@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator coverage over the TPC-H-ish corpus.
+  *
+  * The reference has NO relational operators (SURVEY.md §2e: no joins,
+  * windows, sorts, set ops, grouping sets) — its single primitive is
+  * "whole group → arbitrary exe". This module exposes the full relational
+  * surface a user of a real analytics engine needs, expressed declaratively so
+  * Catalyst plans them (pushdown, pruning, broadcast/SMJ selection, AQE).
+  *
+  * Scale notes are per-query; the common rules:
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast —
+  *    no shuffle of the fact table for those joins;
+  *  - aggregations are partial (map-side combine) by construction, since we
+  *    use declarative groupBy.agg;
+  *  - every top-k is rank-then-filter or sort-limit (TakeOrdered physical op),
+  *    never a full global sort materialization.
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------- q1
+    // TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline.
+    // At 100 TB: scan + map-side partial agg + tiny 6-row shuffle — optimal.
+    Q(
+      "q1_pricing_summary",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+      """)) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+      li.filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          asDouble(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))).as("sum_disc_price"),
+          (asDouble(sum(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ----------------------------------------------------------------- q3
+    // Join customer ⋈ orders ⋈ lineitem, aggregate revenue, deterministic
+    // top-10. customer is broadcast (small dim); orders⋈lineitem shuffles on
+    // o_orderkey = l_orderkey, the natural co-partitioning key. Top-k is
+    // sort-limit => TakeOrderedAndProject, no global sort.
+    Q(
+      "q3_topk_revenue",
+      Some("""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(
+          t.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          asDouble(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))).as("revenue"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ----------------------------------------------------------------- q5
+    // Multi-way join through both dimension chains (customer-nation and
+    // supplier-nation must match): all dims broadcast, single fact shuffle.
+    Q(
+      "q5_nation_revenue",
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey  = c_custkey
+          JOIN supplier ON l_suppkey  = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(
+          t.orders.filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(asDouble(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))).as("revenue"))
+    },
+
+    // ---------------------------------------------------------- semi join
+    // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
+    // keys of the filtered side when small; left_semi never duplicates rows.
+    Q(
+      "join_semi_active_customers",
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val active = t.orders.filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      t.customer
+        .join(active, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ---------------------------------------------------------- anti join
+    // NOT EXISTS: customers with no order since 2000 (non-empty at every SF,
+    // unlike "no orders at all" — the corpus gives every customer orders).
+    Q(
+      "join_anti_idle_customers",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ------------------------------------------------------------ window
+    // Top-3 orders per customer: rank inside the window partition, filter —
+    // the scalable top-k-per-group (shuffle by c, no global sort).
+    Q(
+      "window_topk_per_customer",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice, rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 3
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t.orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), asDouble(money(col("o_totalprice"))).as("o_totalprice"), col("rn"))
+    },
+
+    // Running sum per supplier over ship time. The frame order is made total
+    // (shipdate, orderkey, linenumber) so the prefix sums are deterministic;
+    // quantities are integral doubles, so sums are exact in both engines.
+    Q(
+      "window_running_qty",
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem
+        WHERE l_suppkey < 50
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.lineitem
+        .filter(col("l_suppkey") < 50)
+        .select(
+          col("l_suppkey"),
+          col("l_orderkey"),
+          col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+    },
+
+    // -------------------------------------------------------- sort/limit
+    // Deterministic global top-25 (unique tiebreak) — physical plan is
+    // TakeOrderedAndProject: per-partition heap + driver merge of 25 rows,
+    // NOT a global sort. That is the 100 TB-safe shape.
+    Q(
+      "sort_topk_lineitem",
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 25
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+        .select(col("l_orderkey"), col("l_linenumber"), asDouble(money(col("l_extendedprice"))).as("l_extendedprice"))
+    },
+
+    // ----------------------------------------------------------- set ops
+    Q(
+      "set_intersect_custkeys",
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      """)) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+      def yr(y: Int) = o
+        .filter(
+          col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      yr(1995).intersect(yr(1996))
+    },
+    Q(
+      "set_except_custkeys",
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      """)) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+      def yr(y: Int) = o
+        .filter(
+          col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      yr(1995).except(yr(1996))
+    },
+    Q(
+      "set_union_keys",
+      Some("""
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal < 0
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .union(t.customer.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k")))
+        .distinct()
+    },
+
+    // ---------------------------------------------------- rollup / cube
+    Q(
+      "rollup_flag_status",
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    },
+    Q(
+      "cube_flag_status",
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------ distinct agg
+    Q(
+      "agg_distinct_parts",
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // -------------------------------------------------- scalar functions
+    // String/math function parity sample (exact ops only — no FP rounding).
+    Q(
+      "scalar_funcs_part",
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_u,
+               LOWER(p_type) AS type_l,
+               LENGTH(p_name) AS name_len,
+               SUBSTR(p_name, 1, 8) AS name_pre,
+               CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+               ABS(p_size - 25) AS size_dist,
+               p_size % 7 AS size_mod
+        FROM part WHERE p_size BETWEEN 10 AND 40
+      """)) { (spark, dir) =>
+      Tables(spark, dir).part
+        .filter(col("p_size").between(10, 40))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 8).as("name_pre"),
+          concat(col("p_brand"), lit(":"), col("p_size").cast("string")).as("brand_size"),
+          abs(col("p_size") - 25).as("size_dist"),
+          (col("p_size") % 7).as("size_mod"))
+    },
+
+    // ------------------------------------------------------- date funcs
+    Q(
+      "date_funcs_orders",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(money(col("o_totalprice")))).as("sum_price"))
+    },
+
+    // ------------------------------------------------------- json funcs
+    Q(
+      "json_funcs_events",
+      Some("""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+      """)) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------- time-windowed (events)
+    // Batch shape of the streaming tumbling-window aggregation (the same
+    // transform runs under readStream in graft.streaming — see EventStreams).
+    Q(
+      "events_hourly_agg",
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(money(col("value")))).as("sum_value"))
+    }
+  )
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.MapleJuice
+import graft.sources.Tables
+
+/** Reference-parity text queries + the text-analysis operators a training-data
+  * pipeline needs.
+  *
+  * Reference query library (SURVEY.md §2c): word count
+  * (src/reduce_exe_word_count.go:21-34), key/value inversion
+  * (src/reverse_map.go:25-42), distributed grep (claimed at README.md:17).
+  * Those are implemented here both natively (declarative, codegen'd) and —
+  * for word count — through the MapleJuice API itself, so the reference's own
+  * dataflow path is oracle-checked end to end.
+  */
+object TextQueries {
+
+  /** Tokenizer shared by every text op: split on runs of whitespace, drop
+    * empties. Mirrors the reference's strings.Fields contract
+    * (src/node.go:929-931). DuckDB equivalent:
+    * list_filter(string_split_regex(text, '\s+'), x -> x <> ''). */
+  private def tokens = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------- word count
+    // Native path: explode + partial-aggregated count. At 100 TB this is
+    // scan → flatMap → map-side combine → tiny shuffle; no per-word state
+    // beyond the agg hashmap.
+    Q(
+      "wc_wordcount",
+      Some("""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(explode(tokens).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // MapleJuice-API path: the same query through maple(flatMap) → shuffle →
+    // juice(whole-group reduce), i.e. the reference's exact execution shape
+    // (SURVEY.md §3b+3c). Deliberately NOT partial-aggregated — the juice
+    // contract is an opaque whole-group function, like the reference's exe.
+    Q(
+      "mj_wordcount",
+      Some("""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val lines = Tables(spark, dir).documents.select(col("text")).as[String]
+      MapleJuice
+        .run(lines)(line => line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")))(
+          // reference word-count reduce = count of non-empty value lines
+          // (src/reduce_exe_word_count.go:21-34), order-insensitive.
+          (_, values) => values.count(_.nonEmpty).toString)
+        .select(col("key").as("word"), col("value").cast("long").as("cnt"))
+    },
+
+    // ------------------------------------------------- key/value invert
+    // The reference's reverse_map exe: read `a b` pairs, emit `b a`
+    // (src/reverse_map.go:25-42). Pure projection — narrow, no shuffle.
+    Q(
+      "rev_kv_invert",
+      Some("""
+        SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(o_orderkey AS VARCHAR) AS value
+        FROM orders
+      """)) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(
+          col("o_custkey").cast("string").as("key"),
+          col("o_orderkey").cast("string").as("value"))
+    },
+
+    // Full reverse-web-link-graph shape: invert then group (the reference
+    // composes reverse_map with a juice). Emitted as distinct (word → doc)
+    // postings rather than an array column so the oracle hash is stable.
+    Q(
+      "inverted_index",
+      Some("""
+        SELECT DISTINCT word, doc_id
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        WHERE word <> ''
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), explode(tokens).as("word"))
+        .select(col("word"), col("doc_id"))
+        .distinct()
+    },
+
+    // ---------------------------------------------------- distributed grep
+    // README.md:17 claims grep; no implementation survives in the reference
+    // (SURVEY.md §2b). Here: predicate-pushdown-friendly rlike scan.
+    Q(
+      "grep_documents",
+      Some("""
+        SELECT doc_id, text FROM documents
+        WHERE regexp_matches(text, 'join .* shuffle|window agg')
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .filter(col("text").rlike("join .* shuffle|window agg"))
+        .select(col("doc_id"), col("text"))
+    },
+
+    // -------------------------------------------------- per-key line count
+    // The reference's juice-side "count lines of the group" as a native agg.
+    Q(
+      "kv_event_counts",
+      Some("""
+        SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+      """)) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // ===================== text analysis (training-data pipeline ops) ====
+
+    // Token / char statistics per document. BPE-ish token proxy: word pieces
+    // of <= 4 chars via a sliding regex — counts only, exact integers.
+    Q(
+      "text_stats",
+      Some("""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+               len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpeish
+        FROM documents
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(tokens).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("n_bpeish"))
+    },
+
+    // Quality scoring: ratios from exact integer counts (IEEE division of
+    // exact ints is deterministic across engines).
+    Q(
+      "text_quality",
+      Some("""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1) AS tokens_per_char,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                 / GREATEST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1) AS stopword_ratio,
+               CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1) AS punct_ratio,
+               LENGTH(text) >= 100 AND LENGTH(text) <= 20000 AS len_ok
+        FROM documents
+      """)) { (spark, dir) =>
+      val toks      = tokens
+      val stopwords = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          (size(toks).cast("double") / greatest(length(col("text")), lit(1))).as("tokens_per_char"),
+          (size(filter(toks, t => array_contains(stopwords, t))).cast("double") /
+            greatest(size(toks), lit(1))).as("stopword_ratio"),
+          (size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
+            greatest(length(col("text")), lit(1))).as("punct_ratio"),
+          (length(col("text")) >= 100 && length(col("text")) <= 20000).as("len_ok"))
+    },
+
+    // Language ID: deterministic stopword-dictionary scoring with a fixed
+    // tie order. (The corpus vocabulary is language-independent, so most rows
+    // score 'en' or 'und' — the operator contract is the mechanism, which at
+    // scale swaps in real per-language dictionaries broadcast to executors.)
+    Q(
+      "text_langid",
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['the','a','and','of'], x))) AS s_en,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['der','die','und','das'], x))) AS s_de,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['le','la','et','les'], x))) AS s_fr,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['el','los','las','es'], x))) AS s_es
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM scored
+      """)) { (spark, dir) =>
+      val toks               = tokens
+      def dict(ws: String*)  = array(ws.map(lit): _*)
+      def score(d: org.apache.spark.sql.Column) = size(filter(toks, t => array_contains(d, t)))
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          score(dict("the", "a", "and", "of")).as("s_en"),
+          score(dict("der", "die", "und", "das")).as("s_de"),
+          score(dict("le", "la", "et", "les")).as("s_fr"),
+          score(dict("el", "los", "las", "es")).as("s_es"))
+        .select(
+          col("doc_id"),
+          when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 && col("s_es") === 0, "und")
+            .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es")
+            .as("lang_pred"))
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized lowercased text —
+    // identical digests in Spark and DuckDB, usable as an exact-dedup key.
+    Q(
+      "text_fingerprint",
+      Some("""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+    }
+  )
+}
