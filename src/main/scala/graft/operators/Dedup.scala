@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * No reference counterpart (SURVEY.md §2e) — these are the north-star
+  * extensions (BASELINE.json). Every variant is designed for the 100 TB
+  * shape:
+  *
+  *  - exact dedup: hash-groupBy — partial agg, one shuffle of (hash, id).
+  *  - n-gram Jaccard: inverted shingle index self-join — never O(n²); the
+  *    join fan-out is bounded by shingle document frequency (cap very
+  *    frequent shingles with `maxShingleDF` at real scale).
+  *  - MinHash + LSH banding: constant-size signature per doc (an
+  *    Aggregator computes all K hashes in one pass over shingles — no K×
+  *    row blowup), band-bucket self-join for candidates, exact verification
+  *    on the candidates only. This is the scale path: cost ~ O(n·K + candidates).
+  *  - SimHash: 64-bit signature via declarative per-bit sums (map-side
+  *    partial agg), hamming-ball candidate search via 16-bit chunk banding.
+  */
+object Dedup {
+
+  /** Tokenize: split on whitespace runs, drop empties (same contract as
+    * TextQueries — strings.Fields parity, src/node.go:929-931). */
+  def tokensCol(text: Column): Column = filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** w-token shingles of a token array, as strings ("a b c"). Callers ensure
+    * size(tokens) >= w; indices 0..size-w each start one shingle. */
+  def shinglesCol(tokens: Column, w: Int = 3): Column =
+    transform(sequence(lit(0), size(tokens) - w), i => concat_ws(" ", slice(tokens, i + 1, lit(w))))
+
+  /** (doc_id, shingle) rows, distinct — the inverted-index input. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    docs
+      .filter(size(tokensCol(col(textCol))) >= w)
+      .select(col(idCol).as("doc_id"), explode(shinglesCol(toks, w)).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: group identical (normalized) texts, keep the smallest id.
+    * At scale: group on the 128-bit digest, not the text itself, so the
+    * shuffle carries 16 bytes per row instead of the document. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * pairs sharing >=1 shingle, shared-count from the index join, set sizes
+    * joined in, jaccard = shared / (|A| + |B| - shared).
+    *
+    * `maxShingleDF`: drop shingles appearing in more than this many docs
+    * before pairing (0 = keep all). Near-dup pairs share many RARE shingles,
+    * so a DF cap preserves recall while bounding the self-join fan-out —
+    * at 100 TB this is the difference between a join and an explosion. The
+    * oracle-checked query runs uncapped (exact semantics).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      w: Int = 3,
+      maxShingleDF: Int = 0): DataFrame = {
+    val rows  = shingleRows(docs, idCol, textCol, w)
+    val index = if (maxShingleDF > 0) {
+      val dfCounts = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      rows.join(broadcast(dfCounts.filter(col("df") <= maxShingleDF)), "shingle").select("doc_id", "shingle")
+    } else rows
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+
+    val a = index.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = index.select(col("doc_id").as("b_id"), col("shingle"))
+    val shared = a
+      .join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("nb")), Seq("b_id"))
+      .withColumn("jacc", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+  }
+
+  // ------------------------------------------------------------ MinHash/LSH
+
+  /** Deterministic 2-universal hash family over a 64-bit base hash:
+    * h_i(x) = a_i * x + b_i (wrapping Long arithmetic — deterministic and
+    * uniform enough for MinHash). Coefficients from a fixed splitmix64
+    * stream, identical on every executor and every run. */
+  private[operators] def hashFamily(k: Int): (Array[Long], Array[Long]) = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.tabulate(k)(i => splitmix(2L * i) | 1L) // odd => bijective mod 2^64
+    val b = Array.tabulate(k)(i => splitmix(2L * i + 1))
+    (a, b)
+  }
+
+  /** Aggregator: element-wise-min MinHash signature of a group of shingle
+    * hashes. One pass, K mins per row, fixed K*8-byte buffer — no row
+    * blowup, partial-aggregates map-side like any Aggregator. */
+  final class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val (fa, fb) = hashFamily(k)
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+      var i = 0
+      while (i < k) { val h = fa(i) * x + fb(i); if (h < buf(i)) buf(i) = h; i += 1 }
+      buf
+    }
+    override def merge(p: Array[Long], q: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (q(i) < p(i)) p(i) = q(i); i += 1 }
+      p
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** (doc_id, sig: Array[Long] of length k) MinHash signatures. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 128, w: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = shingleRows(docs, idCol, textCol, w)
+      .select(col("doc_id").cast("long"), xxhash64(col("shingle")).as("h"))
+      .as[(Long, Long)]
+    val agg = new MinHashAgg(k).toColumn
+    rows.groupByKey(_._1).mapValues(_._2).agg(agg).toDF("doc_id", "sig")
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide in >=1 of
+    * `bands` bands (rows-per-band = k/bands). P(candidate | j) =
+    * 1-(1-j^r)^b — with k=128, b=32, r=4 a true-jaccard-0.8 pair is missed
+    * with probability ~5e-8. */
+  def lshCandidates(sigs: DataFrame, k: Int = 128, bands: Int = 32): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map(b => slice(col("sig"), b * r + 1, r)): _*)))
+      .select(
+        col("doc_id"),
+        col("pos").as("band"),
+        // xxhash64 hashes complex types natively — no string round-trip
+        xxhash64(col("pos"), col("col")).as("bucket"))
+    banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exactly verified: LSH proposes candidates,
+    * then the true jaccard (over shingle-hash sets) confirms — output is
+    * (a_id, b_id, jacc) with jacc >= threshold, i.e. the same contract as
+    * [[jaccardPairs]] but at signature cost instead of index-join cost. */
+  def minhashDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3): DataFrame = {
+    val sigs       = minhashSignatures(docs, idCol, textCol, k, w)
+    val candidates = lshCandidates(sigs, k, bands)
+    val sets = shingleRows(docs, idCol, textCol, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("hs"))
+    candidates
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
+      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jacc", col("shared").cast("double") / (size(col("ha")) + size(col("hb")) - col("shared")))
+      .filter(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document: per-bit weighted sums of token hashes,
+    * fully declarative (64 conditional sums → map-side partial agg, whole-
+    * stage codegen). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenRows = docs
+      .select(col(idCol).as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"b$j")
+    }
+    val summed = tokenRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs with hamming distance <= maxDist,
+    * found by 16-bit chunk banding (pigeonhole: distance <=3 pairs collide
+    * in >=1 of 4 chunks), then exact popcount verification. */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val chunks = sigs.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+    val cand = chunks
+      .as("x")
+      .join(chunks.as("y"), Seq("pos", "col"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a_id"),
+        col("y.doc_id").as("b_id"),
+        col("x.simhash").as("sa"),
+        col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed batch-at-a-time on executors.
+  *
+  * No reference counterpart (SURVEY.md §2e) — north-star extension. The
+  * container ships no media codecs, so the DECODE step is a deterministic
+  * stub ([[FakeCodec]]) behind the same interface a real codec (javacv /
+  * ffmpeg-pipe / JNI) would implement. Everything AROUND the decode — the
+  * schema contract, binary column handling, partition-wise batching via
+  * mapPartitions (the JVM analogue of mapInPandas: one iterator per
+  * partition, codec state initialized once per partition, never per row) —
+  * is real and tested.
+  *
+  * Scale design:
+  *  - media bytes never pass through the driver; rows flow
+  *    partition-at-a-time through the codec;
+  *  - decoded features are fixed-width arrays (bounded memory per row);
+  *  - frame sampling is uniform-stride on the byte payload, so per-row cost
+  *    is O(frames), not O(payload).
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media payload. */
+  final case class MediaMeta(
+      mediaId: Long,
+      kind: String,          // "image" | "audio" | "video"
+      nBytes: Long,
+      contentHash: String)
+
+  /** Decoded, fixed-shape features: the contract a real decoder fills. */
+  final case class MediaFeatures(
+      mediaId: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      // fixed-width feature vector (e.g. pooled pixels / mel means)
+      features: Array[Float])
+
+  /** Codec interface — ONE instance per partition (stateful codecs are
+    * expensive to init; never construct per row). */
+  trait Codec extends Serializable {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures
+  }
+
+  /** STUB codec (no media libs in this container): deterministic fake that
+    * derives plausible fixed-shape output purely from the payload bytes.
+    * A real implementation swaps in here; nothing else changes. */
+  final class FakeCodec(featureDim: Int = 8) extends Codec {
+    override def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      val n = payload.length
+      val feats = Array.tabulate(featureDim) { i =>
+        // uniform-stride byte sampling — O(featureDim), not O(n)
+        if (n == 0) 0f else (payload(((i.toLong * n) / featureDim).toInt % n) & 0xff) / 255f
+      }
+      MediaFeatures(
+        mediaId = mediaId,
+        kind = kind,
+        width = 64 + n % 192,
+        height = 64 + (n / 7) % 192,
+        nFrames = if (kind == "video") 1 + n % 30 else 1,
+        features = feats)
+    }
+  }
+
+  /** Normalize any (id, kind, payload) DataFrame to the media schema:
+    * (media_id, kind, payload binary, n_bytes, content_hash). */
+  def ingest(df: DataFrame, idCol: String, kindCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(kindCol).cast("string").as("kind"),
+      col(payloadCol).cast("binary").as("payload"),
+      length(col(payloadCol).cast("binary")).as("n_bytes"),
+      md5(col(payloadCol).cast("binary")).as("content_hash"))
+
+  /** Decode/feature-extract partition-at-a-time. The codec is constructed
+    * once per partition inside the task (broadcast-free: codec factories
+    * are cheap lambdas; heavyweight native state initializes lazily on the
+    * executor). */
+  def decodeFeatures(media: DataFrame, codecFactory: () => Codec): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("kind").cast("string"), col("payload").cast("binary"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = codecFactory() // once per partition, not per row
+        rows.map { case (id, kind, payload) => codec.decode(id, kind, payload) }
+      }
+  }
+
+  /** Uniform frame sampling over a byte payload: `k` evenly-spaced fixed-size
+    * slices (a stand-in for video frame extraction with the same batching
+    * shape). Declarative substring arithmetic — codegen'd, no UDF. */
+  def sampleFrames(media: DataFrame, k: Int, frameBytes: Int): DataFrame = {
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn(
+        "frame",
+        expr(s"substring(payload, cast(frame_idx * greatest(n_bytes - $frameBytes, 0) / greatest($k - 1, 1) as int) + 1, $frameBytes)"))
+      .select(col("media_id"), col("frame_idx"), col("frame"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * No reference counterpart (SURVEY.md §2e) — north-star extension.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact baseline. Query set is broadcast; the
+  *    corpus streams once; per-partition ranking happens inside the window.
+  *    Cost O(|Q|·n·d) — correct answer, fine for small |Q|, the oracle.
+  *  - LSH-bucketed (random hyperplane signatures): the 100 TB path. Each
+  *    vector gets a deterministic p-bit signature; only same-bucket (or
+  *    near-bucket) pairs are scored. Recall is tunable via multiple tables
+  *    (independent signature sets).
+  *
+  * All arithmetic is done in double (cast from float) with sequential
+  * left-to-right summation — deterministic, and bit-identical to DuckDB's
+  * double-list cosine, which the oracle relies on.
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns: sequential fold, codegen'd
+    * higher-order functions — no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDoubleVec(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    *
+    * Ranking is by cosine rounded to 9 dp with vec_id tiebreak — a total,
+    * FP-robust order (1e-15 cross-engine float noise cannot flip a 1e-9
+    * bucket except on exact boundaries).
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv")))
+    val c   = corpus.select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+    val sim = cosine(col("qv"), col("cv"))
+    val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): ±1 from splitmix64 — identical everywhere, no RNG state. */
+  private def planeSign(table: Int, plane: Int, dim: Int): Double = {
+    var z = (table.toLong << 40) + (plane.toLong << 20) + dim + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** p-bit random-hyperplane signature per vector, for `tables` independent
+    * hash tables. Returns (vec_id, table, bucket). Declarative: the plane
+    * matrix is a literal array baked into the plan (p*d doubles), the dot
+    * products are higher-order-function folds. */
+  def hyperplaneBuckets(vectors: DataFrame, dims: Int, bits: Int = 16, tables: Int = 4): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDoubleVec(col("embedding")).as("dv"))
+    val perTable = (0 until tables).map { t =>
+      val bucket = (0 until bits)
+        .map { p =>
+          val plane = array((0 until dims).map(d => lit(planeSign(t, p, d))): _*)
+          when(dot(col("dv"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+        }
+        .reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    v.select(col("vec_id"), explode(array(perTable: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via LSH: score only same-bucket candidates (union over
+    * tables), exact cosine on that candidate set. Recall < 1 by design;
+    * rows-only checked (the exact contract is [[bruteTopK]]). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dims: Int, k: Int, bits: Int = 12, tables: Int = 6): DataFrame = {
+    val cb = hyperplaneBuckets(corpus, dims, bits, tables)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val qb = broadcast(
+      hyperplaneBuckets(queries, dims, bits, tables).withColumnRenamed("vec_id", "query_id"))
+    val candidates = qb
+      .join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+    val sim = cosine(col("qv"), col("cv"))
+    val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
+    candidates
+      .join(q, Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine >= threshold, computed
+    * exactly. Self-join shape — at real scale swap in [[hyperplaneBuckets]]
+    * candidates first (same contract, bounded join). */
+  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a   = vectors.select(col("vec_id").as("a_id"), asDoubleVec(col("embedding")).as("va"))
+    val b   = vectors.select(col("vec_id").as("b_id"), asDoubleVec(col("embedding")).as("vb"))
+    val sim = cosine(col("va"), col("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim6", round(sim, 6))
+      .filter(col("sim6") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
+  }
+}

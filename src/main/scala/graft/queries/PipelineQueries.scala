@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Training-data pipeline operators registered for the correctness gate:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine)
+  * and similarity search (brute-force + LSH ANN).
+  *
+  * Oracle notes: thresholds are chosen from the corpus's actual similarity
+  * structure (planted near-dup pairs sit at jaccard >= 0.9 with a clean gap
+  * below 0.1; embedding cosines top out ~0.5) so every query returns
+  * non-empty, boundary-safe output. FP-sensitive comparisons go through
+  * round(·, 6) on BOTH engines.
+  */
+object PipelineQueries {
+
+  private val EMB_DIMS = 64
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------- exact dedup
+    Q(
+      "dedup_exact",
+      Some("""
+        SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+      """)) { (spark, dir) =>
+      Dedup.exact(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
+    // ----------------------------------------- exact n-gram Jaccard dedup
+    // Inverted shingle-index join — the exact-semantics path (uncapped DF).
+    Q(
+      "dedup_ngram_jaccard",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
+        FROM p JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+      """)) { (spark, dir) =>
+      Dedup.jaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
+    },
+
+    // ------------------------------------------------- MinHash + LSH dedup
+    // Same output contract as dedup_ngram_jaccard (the oracle is the exact
+    // computation): LSH proposes, exact jaccard verifies. With k=128 b=32
+    // r=4, a true-0.8 pair is missed w.p. ~5e-8 — the scale path at oracle
+    // fidelity.
+    Q(
+      "dedup_minhash_lsh",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
+        FROM p JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+      """)) { (spark, dir) =>
+      Dedup.minhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
+    },
+
+    // --------------------------------------------------------- SimHash
+    // 64-bit signatures + hamming<=16 pairs via 16-bit chunk banding.
+    // xxhash64 is engine-specific → no SQL oracle; rows-only check. The
+    // ScalaTest spec pins the planted near-dup pairs instead.
+    Q("dedup_simhash", None) { (spark, dir) =>
+      Dedup.simhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", maxDist = 8)
+    },
+
+    // ---------------------------------------- embedding cosine near-dup
+    Q(
+      "dedup_embedding_cosine",
+      Some("""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+      """)) { (spark, dir) =>
+      Similarity.cosineDupPairs(Tables(spark, dir).embeddings, threshold = 0.4)
+    },
+
+    // ------------------------------------------------ ANN: exact top-k
+    Q(
+      "ann_brute_topk",
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+              FROM q JOIN c ON query_id <> neighbor_id),
+        r AS (SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= 10
+      """)) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+    },
+
+    // ------------------------------------------------ ANN: LSH bucketed
+    // Approximate by construction (recall < 1) → rows-only check; the
+    // ScalaTest spec measures recall against bruteTopK.
+    // Bucket width tuned for the corpus size: 6-bit buckets x 12 tables
+    // scores ~1/6 of the corpus per query with ~0.5+ recall on the near
+    // neighbors (the spec measures recall against ann_brute_topk).
+    Q("ann_lsh_topk", None) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), dims = EMB_DIMS, k = 10, bits = 6, tables = 12)
+    },
+
+    // ------------------------------------------------- multimodal columns
+    // Opaque binary + typed metadata: the documents' text bytes stand in for
+    // a media payload (the container has no image/audio libs — the DECODE
+    // step is stubbed in graft.operators.Multimodal; the Spark-side
+    // plumbing here — binary column, byte lengths, content hashes, byte
+    // slicing — is real and oracle-checked).
+    Q(
+      "multimodal_meta",
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_hash,
+               lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+        FROM documents
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          md5(col("text").cast("binary")).as("content_hash"),
+          lower(hex(substring(col("text").cast("binary"), 1, 8))).as("head_hex"))
+    }
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Catalog
+
+class CatalogSpec extends SparkSpec {
+  private def freshCatalog(): (Catalog, java.nio.file.Path) = {
+    val root = Files.createTempDirectory("graft_catalog_")
+    (new Catalog(spark, root.toString), root)
+  }
+
+  test("PUT/GET roundtrip preserves content") {
+    val (cat, _) = freshCatalog()
+    val local    = Files.createTempFile("graft_in_", ".txt")
+    Files.writeString(local, "alpha beta\ngamma\n")
+    cat.put("data1", local.toString)
+
+    val out = Files.createTempDirectory("graft_out_").resolve("got.txt")
+    cat.get("data1", out.toString)
+    assert(Files.readString(out) == "alpha beta\ngamma\n")
+    assert(cat.readText("data1").collect().toSet == Set("alpha beta", "gamma"))
+  }
+
+  test("putText + readPrefix implements the maple source-scan contract") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putText("wc_in_a", Seq("one two", "three").toDS())
+    cat.putText("wc_in_b", Seq("four").toDS())
+    cat.putText("other", Seq("nope").toDS())
+    assert(cat.readPrefix("wc_in").collect().toSet == Set("one two", "three", "four"))
+  }
+
+  test("STORE lists names; DELETE removes everywhere; LS locates") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putText("f1", Seq("x").toDS())
+    cat.putText("f2", Seq("y").toDS())
+    assert(cat.store() == Seq("f1", "f2"))
+    assert(cat.ls("f1").nonEmpty)
+    assert(cat.ls("missing").isEmpty)
+    assert(cat.delete("f1"))
+    assert(cat.store() == Seq("f2"))
+    assert(!cat.exists("f1"))
+  }
+
+  test("PUT overwrites (reference subsequent-PUT semantics)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putText("f", Seq("v1").toDS())
+    cat.putText("f", Seq("v2").toDS())
+    assert(cat.readText("f").collect().toSeq == Seq("v2"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  private lazy val docs = Tables(spark, SharedSpark.sf0001).documents.cache()
+
+  test("exact dedup groups identical texts and keeps min id") {
+    import spark.implicits._
+    val df  = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at t=0.8 (sf0.001)") {
+    val exact = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Dedup
+      .minhashDupPairs(docs, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("jaccard values agree between index-join and candidate-verify paths") {
+    val exact = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val lsh = Dedup
+      .minhashDupPairs(docs, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    exact.foreach { case (k, j) => assert(math.abs(lsh(k) - j) < 1e-12) }
+  }
+
+  test("maxShingleDF cap preserves the near-dup pairs (scale-path recall)") {
+    val uncapped = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // even an aggressive DF cap keeps rare-shingle-sharing near-dups
+    val capped = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 0.8, maxShingleDF = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(uncapped.subsetOf(capped.union(uncapped)))
+    assert(capped.intersect(uncapped).size >= uncapped.size / 2)
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    val nearDups = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sim = Dedup
+      .simhashDupPairs(docs, "doc_id", "text", maxDist = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(nearDups.nonEmpty)
+    // simhash at 64 bits catches most >=0.9-jaccard pairs within dist 8
+    assert(nearDups.intersect(sim).size >= (nearDups.size * 0.6).toInt)
+  }
+
+  test("simhash signature is deterministic across evaluations") {
+    val s1 = Dedup.simhash(docs, "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s2 = Dedup.simhash(docs, "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 == s2)
+  }
+
+  test("minhash signatures have the declared shape and determinism") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 32)
+    val rows = sigs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](1).length == 32))
+    val again = Dedup.minhashSignatures(docs, "doc_id", "text", k = 32).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap ==
+      again.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap)
+  }
+}

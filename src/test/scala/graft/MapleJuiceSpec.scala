@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.MapleJuice
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class MapleJuiceSpec extends SparkSpec {
+  import MapleJuice._
+
+  test("parseKV: key/value split, last record kept, cleaned semantics") {
+    assert(parseKV("the 1") == Some(("the", "1")))
+    assert(parseKV("k multi word value") == Some(("k", "multi word value")))
+    assert(parseKV("  padded   v  ") == Some(("padded", "v")))
+    assert(parseKV("") == None)
+    assert(parseKV("solo") == Some(("solo", ""))) // no silent drop (§2f wart 1)
+  }
+
+  test("maple+juice word count matches declarative groupBy.count") {
+    import spark.implicits._
+    val lines = Seq("the quick brown fox", "the lazy dog", "the fox").toDS()
+    val mj = MapleJuice
+      .run(lines)(l => l.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")))((_, vs) => vs.size.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).toLong))
+      .toMap
+    val expected = lines
+      .flatMap(_.split("\\s+"))
+      .groupByKey(identity)
+      .count()
+      .collect()
+      .toMap
+    assert(mj == expected)
+    assert(mj("the") == 3L)
+  }
+
+  test("juice is order-insensitive: shuffled input gives identical output") {
+    import spark.implicits._
+    // property check with a deterministic scalacheck generator stream
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.alphaNumStr.map(_.take(5))))
+    (0 until 5).foreach { i =>
+      val pairs = gen(Gen.Parameters.default, Seed(42L + i)).get
+      def reduceOf(ps: List[(String, String)]) =
+        juice(ps.toDS())((_, vs) => vs.toSeq.sorted.mkString("|")).collect().toMap
+      val rnd = new scala.util.Random(7 * i + 1)
+      assert(reduceOf(pairs) == reduceOf(rnd.shuffle(pairs)))
+    }
+  }
+
+  test("numTasks>0 juice partitions by key like the reference's FNV mod n") {
+    import spark.implicits._
+    val pairs = (1 to 100).map(i => (s"k${i % 7}", i.toString)).toDS()
+    val out   = juice(pairs, numTasks = 4)((k, vs) => vs.size.toString).collect().toMap
+    assert(out.size == 7)
+    assert(out("k0").toInt + out("k1").toInt * 6 > 0) // all keys present, counts sane
+    assert(out.values.map(_.toInt).sum == 100)
+  }
+
+  test("mapleExe pipes lines through an external executable") {
+    import spark.implicits._
+    // sed swaps the two fields -> reproduces reverse_map.go's k/v inversion
+    val lines = Seq("a 1", "b 2", "a 3").toDS()
+    val out   = mapleExe(lines, Seq("sed", "-E", "s/^(\\S+) (\\S+)$/\\2 \\1/")).collect().toSet
+    assert(out == Set(("1", "a"), ("2", "b"), ("3", "a")))
+  }
+
+  test("juiceExe runs `reducer <keyfile>` per group (word-count exe parity)") {
+    import spark.implicits._
+    val pairs = Seq(("the", "1"), ("the", "1"), ("fox", "1")).toDS()
+    // wc -l counts the value lines = reduce_exe_word_count.go semantics
+    val out = juiceExe(pairs, Seq("wc", "-l"))
+      .collect()
+      .map { case (k, v) => (k, v.trim.split("\\s+").head.toInt) }
+      .toMap
+    assert(out == Map("the" -> 2, "fox" -> 1))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends SparkSpec {
+  private lazy val media = Multimodal
+    .ingest(
+      Tables(spark, SharedSpark.sf0001).documents
+        .select(col("doc_id"), lit("image").as("kind"), col("text").cast("binary").as("payload")),
+      "doc_id",
+      "kind",
+      "payload")
+    .cache()
+
+  test("ingest normalizes to the media schema with byte metadata") {
+    assert(media.columns.toSeq == Seq("media_id", "kind", "payload", "n_bytes", "content_hash"))
+    val r = media.head()
+    assert(r.getAs[Array[Byte]]("payload").length == r.getAs[Int]("n_bytes"))
+    assert(r.getAs[String]("content_hash").length == 32)
+  }
+
+  test("decodeFeatures: fixed shape, deterministic, partition-batched") {
+    val feats = Multimodal.decodeFeatures(media, () => new Multimodal.FakeCodec(8)).collect()
+    assert(feats.length == media.count())
+    feats.foreach { f =>
+      assert(f.features.length == 8)
+      assert(f.width >= 64 && f.width < 256)
+      assert(f.nFrames == 1) // images
+    }
+    val again = Multimodal.decodeFeatures(media, () => new Multimodal.FakeCodec(8)).collect()
+    assert(feats.map(f => (f.mediaId, f.features.toSeq)).toMap ==
+      again.map(f => (f.mediaId, f.features.toSeq)).toMap)
+  }
+
+  test("video kind drives frame count in the codec contract") {
+    import spark.implicits._
+    val vids = Multimodal.ingest(
+      Seq((1L, "video", "0123456789abcdef".getBytes)).toDF("id", "kind", "payload"),
+      "id", "kind", "payload")
+    val f = Multimodal.decodeFeatures(vids, () => new Multimodal.FakeCodec(4)).head()
+    assert(f.nFrames > 1)
+  }
+
+  test("sampleFrames emits k fixed-size evenly-spaced byte slices") {
+    val frames = Multimodal.sampleFrames(media, k = 4, frameBytes = 16).collect()
+    assert(frames.length == media.count() * 4)
+    frames.foreach { r =>
+      val idx   = r.getInt(1)
+      val bytes = r.getAs[Array[Byte]](2)
+      assert(idx >= 0 && idx < 4)
+      assert(bytes.length <= 16 && bytes.length > 0)
+    }
+  }
+}

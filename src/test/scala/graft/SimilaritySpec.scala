@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  private lazy val emb = Tables(spark, SharedSpark.sf0001).embeddings.cache()
+
+  test("cosine column matches a hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 0.0))).toDF("a", "b")
+    val c  = df.select(Similarity.cosine(col("a"), col("b")).as("c")).head().getDouble(0)
+    val expected = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("bruteTopK returns k deterministic, correctly-ranked neighbors") {
+    val out  = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 3), k = 5).collect()
+    val byQ  = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // ranked desc
+      assert(!rows.exists(r => r.getLong(1) == r.getLong(0)))      // self excluded
+    }
+  }
+
+  test("lshTopK recall against bruteTopK is substantial") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity
+      .bruteTopK(emb, queries, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Similarity
+      .lshTopK(emb, queries, dims = 64, k = 10, bits = 6, tables = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    // and every LSH hit is scored with the true cosine ranking discipline
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
+  test("hyperplane buckets are deterministic") {
+    val b1 = Similarity.hyperplaneBuckets(emb, dims = 64, bits = 8, tables = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b2 = Similarity.hyperplaneBuckets(emb, dims = 64, bits = 8, tables = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(b1 == b2)
+  }
+
+  test("cosineDupPairs is symmetric-free and threshold-filtered") {
+    val pairs = Similarity.cosineDupPairs(emb, 0.4).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM, one session — see build.sbt
+  * Test/fork + parallelExecution=false). */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    val s = Engine
+      .builder("graft-test", cores = 8)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+  val sf001  = "/root/testdata/sf0.01"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+}

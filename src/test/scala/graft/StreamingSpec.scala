@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  private lazy val events = Tables(spark, SharedSpark.sf0001).events.cache()
+
+  /** events staged into a directory of event-time-ordered parquet files
+    * with mtimes forcing FileStreamSource to drain them in time order. */
+  private lazy val stagedDir: String = {
+    import org.apache.spark.sql.functions.col
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(5, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write
+      .mode("overwrite")
+      .parquet(stage)
+    val parts = new java.io.File(stage).listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+    stage
+  }
+
+  test("streaming hourly agg == batch hourly agg on the same input") {
+    // FP note: micro-batch sums accumulate in a different order than batch
+    // sums — compare at cent precision, not bit-exact doubles
+    val batch = EventStreams
+      .hourlyAgg(events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .toMap
+
+    val sq = EventStreams
+      .hourlyAggStream(EventStreams.readEventStream(spark, stagedDir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hourly_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val streamed = spark
+      .table("hourly_out")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .toMap
+    assert(streamed == batch)
+  }
+
+  test("batch sessionization: gaps split sessions, aggregates are exact") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val df = Seq(
+      (1L, at(0), 1.0),
+      (1L, at(10), 2.0),  // same session (gap 10 < 30)
+      (1L, at(50), 3.0),  // new session (gap 40 > 30)
+      (2L, at(0), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val sessions = EventStreams
+      .sessionizeBatch(df, gapMinutes = 30)
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(sessions.length == 3)
+    val s1 = sessions(0)
+    assert(s1.getLong(0) == 1L && s1.getInt(3) == 2 && s1.getDouble(4) == 3.0)
+    val s2 = sessions(1)
+    assert(s2.getInt(3) == 1 && s2.getDouble(4) == 3.0)
+  }
+
+  test("stateful streaming sessionization emits sessions consistent with batch") {
+    import spark.implicits._
+    // millis precision on both sides (Timestamp.getTime truncates micros —
+    // the stateful op tracks event time in millis)
+    val batchSessions = EventStreams
+      .sessionizeBatch(events.select(col("user_id"), col("ts"), col("value")), gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(3)))
+      .toSet
+
+    val stream = EventStreams
+      .readEventStream(spark, stagedDir)
+      // generous watermark: no event is ever late-dropped in this corpus
+      .withWatermark("ts", "30 days")
+      .as[EventStreams.Event]
+
+    val sq = EventStreams
+      .sessionize(stream, gapMinutes = 30)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val streamed = spark
+      .table("sessions_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(3)))
+      .toSet
+    assert(streamed.nonEmpty, "stream should emit completed sessions")
+    // every emitted session must be a true (batch-computed) session
+    assert(streamed.subsetOf(batchSessions))
+  }
+}
