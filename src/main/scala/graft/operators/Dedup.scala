@@ -32,13 +32,18 @@ object Dedup {
   def shinglesCol(tokens: Column, w: Int = 3): Column =
     transform(sequence(lit(0), size(tokens) - w), i => concat_ws(" ", slice(tokens, i + 1, lit(w))))
 
-  /** (doc_id, shingle) rows, distinct — the inverted-index input. */
+  /** (doc_id, shingle) rows, distinct per document — the inverted-index
+    * input. Dedup happens INSIDE the row via array_distinct before the
+    * explode: a narrow map-only stage, versus a full (doc_id, shingle)
+    * distinct() which would shuffle every shingle string. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
     val toks = tokensCol(col(textCol))
     docs
+      // a small-file corpus scans as few partitions; spread the CPU-heavy
+      // shingle generation across the cluster before exploding
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .filter(size(tokensCol(col(textCol))) >= w)
-      .select(col(idCol).as("doc_id"), explode(shinglesCol(toks, w)).as("shingle"))
-      .distinct()
+      .select(col(idCol).as("doc_id"), explode(array_distinct(shinglesCol(toks, w))).as("shingle"))
   }
 
   /** Exact dedup: group identical (normalized) texts, keep the smallest id.
@@ -66,7 +71,10 @@ object Dedup {
       threshold: Double,
       w: Int = 3,
       maxShingleDF: Int = 0): DataFrame = {
-    val rows  = shingleRows(docs, idCol, textCol, w)
+    // the shingle scan feeds the index twice (self-join) plus the size agg —
+    // materialize it once instead of re-exploding the corpus three times.
+    // (At 100 TB the index is written to storage and reused, same idea.)
+    val rows = shingleRows(docs, idCol, textCol, w).cache()
     val index = if (maxShingleDF > 0) {
       val dfCounts = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       rows.join(broadcast(dfCounts.filter(col("df") <= maxShingleDF)), "shingle").select("doc_id", "shingle")
@@ -131,10 +139,15 @@ object Dedup {
   }
 
   /** (doc_id, sig: Array[Long] of length k) MinHash signatures. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 128, w: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 128, w: Int = 3): DataFrame =
+    minhashSignaturesFromRows(shingleRows(docs, idCol, textCol, w), k)
+
+  /** Signature computation from a prepared (doc_id, shingle) index — lets
+    * callers share one shingle scan across signatures and verification. */
+  def minhashSignaturesFromRows(shingles: DataFrame, k: Int): DataFrame = {
+    val spark = shingles.sparkSession
     import spark.implicits._
-    val rows = shingleRows(docs, idCol, textCol, w)
+    val rows = shingles
       .select(col("doc_id").cast("long"), xxhash64(col("shingle")).as("h"))
       .as[(Long, Long)]
     val agg = new MinHashAgg(k).toColumn
@@ -148,6 +161,7 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, k: Int = 128, bands: Int = 32): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
+    // cached: both sides of the bucket self-join read this projection
     val banded = sigs
       .select(
         col("doc_id"),
@@ -157,6 +171,7 @@ object Dedup {
         col("pos").as("band"),
         // xxhash64 hashes complex types natively — no string round-trip
         xxhash64(col("pos"), col("col")).as("bucket"))
+      .cache()
     banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bucket"))
@@ -177,9 +192,11 @@ object Dedup {
       k: Int = 128,
       bands: Int = 32,
       w: Int = 3): DataFrame = {
-    val sigs       = minhashSignatures(docs, idCol, textCol, k, w)
+    // ONE shingle scan feeds both the signatures and the verification sets
+    val rows       = shingleRows(docs, idCol, textCol, w).cache()
+    val sigs       = minhashSignaturesFromRows(rows, k)
     val candidates = lshCandidates(sigs, k, bands)
-    val sets = shingleRows(docs, idCol, textCol, w)
+    val sets = rows
       .groupBy(col("doc_id"))
       .agg(collect_set(xxhash64(col("shingle"))).as("hs"))
     candidates
@@ -198,6 +215,7 @@ object Dedup {
     * stage codegen). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokenRows = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("w"))

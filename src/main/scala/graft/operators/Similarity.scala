@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns: sequential fold, codegen'd
-    * higher-order functions — no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two double-array columns via the native codegen'd
+    * VecDot expression (graft.functions) — sequential left-to-right sum,
+    * same FP result as the declarative fold but inside WholeStageCodegen's
+    * tight loop (the HOF version was the all-pairs bottleneck). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,10 +42,16 @@ object Similarity {
     * bucket except on exact boundaries).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms are computed ONCE per side before the join (not per pair); the
+    // cosine formula dot/(na*nb) is unchanged, so FP results are identical
     val q = broadcast(
-      queries.select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv")))
-    val c   = corpus.select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
-    val sim = cosine(col("qv"), col("cv"))
+      queries
+        .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv"))))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
     val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("rn", row_number().over(w))
@@ -94,9 +101,14 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
-    val sim = cosine(col("qv"), col("cv"))
+    val q = broadcast(
+      queries
+        .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv"))))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
     val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
     candidates
       .join(q, Seq("query_id"))
@@ -110,9 +122,12 @@ object Similarity {
     * exactly. Self-join shape — at real scale swap in [[hyperplaneBuckets]]
     * candidates first (same contract, bounded join). */
   def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a   = vectors.select(col("vec_id").as("a_id"), asDoubleVec(col("embedding")).as("va"))
-    val b   = vectors.select(col("vec_id").as("b_id"), asDoubleVec(col("embedding")).as("vb"))
-    val sim = cosine(col("va"), col("vb"))
+    val withNorm = vectors
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val a   = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b   = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("sim6", round(sim, 6))
       .filter(col("sim6") >= threshold)
