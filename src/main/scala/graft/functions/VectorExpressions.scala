@@ -58,6 +58,57 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH signatures of a vector in ONE expression:
+  * output is array<long> of length `tables`, element t = the `bits`-bit
+  * bucket of hash table t. Plane components are deterministic ±1 from
+  * splitmix64(t, p, d) computed on the fly — no 4,000-literal plane matrix
+  * in the plan (which made planning dominate runtime), no RNG state.
+  *
+  * Interpreted eval (CodegenFallback) is fine here: one call per VECTOR
+  * (not per pair), O(tables·bits·dims) ≈ 5k mults — planning savings dwarf
+  * the codegen loss.
+  */
+case class HyperplaneSig(child: Expression, bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(bits > 0 && bits <= 62 && tables > 0)
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "hyperplane_sig"
+
+  @inline private def planeSign(table: Int, plane: Int, dim: Int): Double = {
+    var z = (table.toLong << 40) + (plane.toLong << 20) + dim + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v    = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    val out  = new Array[Long](tables)
+    var t    = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p      = 0
+      while (p < bits) {
+        var s = 0.0
+        var d = 0
+        while (d < dims) { s += v.getDouble(d) * planeSign(t, p, d); d += 1 }
+        if (s > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** vec_dot as a Column — drop-in for the HOF fold, whole-stage-codegen'd.
     * Inputs are cast to array<double> so the expression always sees doubles. */
@@ -66,4 +117,8 @@ object VectorFunctions {
       VecDot(
         Bridge.expression(a.cast(ArrayType(DoubleType))),
         Bridge.expression(b.cast(ArrayType(DoubleType)))))
+
+  /** Per-table LSH bucket array for a vector (see [[HyperplaneSig]]). */
+  def hyperplane_sig(v: Column, bits: Int, tables: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(v.cast(ArrayType(DoubleType))), bits, tables))
 }

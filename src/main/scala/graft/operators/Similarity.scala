@@ -59,34 +59,18 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): ±1 from splitmix64 — identical everywhere, no RNG state. */
-  private def planeSign(table: Int, plane: Int, dim: Int): Double = {
-    var z = (table.toLong << 40) + (plane.toLong << 20) + dim + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
-
   /** p-bit random-hyperplane signature per vector, for `tables` independent
-    * hash tables. Returns (vec_id, table, bucket). Declarative: the plane
-    * matrix is a literal array baked into the plan (p*d doubles), the dot
-    * products are higher-order-function folds. */
-  def hyperplaneBuckets(vectors: DataFrame, dims: Int, bits: Int = 16, tables: Int = 4): DataFrame = {
-    val v = vectors.select(col("vec_id"), asDoubleVec(col("embedding")).as("dv"))
-    val perTable = (0 until tables).map { t =>
-      val bucket = (0 until bits)
-        .map { p =>
-          val plane = array((0 until dims).map(d => lit(planeSign(t, p, d))): _*)
-          when(dot(col("dv"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
-        }
-        .reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    v.select(col("vec_id"), explode(array(perTable: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+    * hash tables. Returns (vec_id, table, bucket). One HyperplaneSig
+    * expression computes every table's bucket in a single pass — plane
+    * signs are derived deterministically inside the expression (an earlier
+    * literal-plane-matrix formulation put ~5k literals in the plan and made
+    * PLANNING the dominant cost). `dims` is taken from the data. */
+  def hyperplaneBuckets(vectors: DataFrame, dims: Int, bits: Int = 16, tables: Int = 4): DataFrame =
+    vectors
+      .select(
+        col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.hyperplane_sig(col("embedding"), bits, tables)))
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
 
   /** ANN top-k via LSH: score only same-bucket candidates (union over
     * tables), exact cosine on that candidate set. Recall < 1 by design;
