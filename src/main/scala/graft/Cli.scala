@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.MapleJuice
+import graft.sources.Catalog
+
+/** Command-surface parity with the reference's stdin REPL (README.md:17-29
+  * of the reference; client loop src/node.go:59-233):
+  *
+  *   PUT <sdfsname> <localfile>     upload/overwrite
+  *   GET <sdfsname> <localfile>     download
+  *   DELETE <sdfsname>              remove everywhere
+  *   LS <sdfsname>                  where a file lives
+  *   STORE                          names in the namespace
+  *   LIST                           live cluster members
+  *   SELF                           own id/uptime
+  *   LEAVE                          stop the session
+  *   maple <exe> <num_maples> <prefix> <src_prefix>
+  *   juice <exe> <num_juices> <prefix> <dest> <delete_input 0|1>
+  *   grep <pattern> <src_prefix>    distributed grep over named datasets
+  *
+  * Intermediate layout divergence (deliberate, SURVEY.md §2f): the reference
+  * materializes one SDFS file per key named `<prefix>_<key>`
+  * (src/node.go:933); here the shuffle is Spark's and the maple output is ONE
+  * named dataset `<prefix>` of `key value` lines. juice consumes it by name.
+  * Semantics (whole-group reduce over per-key values) are identical; the
+  * per-key-file layout was an artifact of the reference's master-mediated
+  * shuffle.
+  */
+final class Cli(spark: SparkSession, storageRoot: String) {
+  val catalog      = new Catalog(spark, storageRoot)
+  private val startedAt = System.currentTimeMillis()
+
+  /** Dispatch one command line; returns the printable result. */
+  def handle(line: String): String = {
+    val parts = line.trim.split("\\s+").toList
+    parts match {
+      case Nil | List("") => ""
+      case "PUT" :: name :: local :: Nil =>
+        catalog.put(name, local); s"put $name"
+      case "GET" :: name :: local :: Nil =>
+        catalog.get(name, local); s"got $name -> $local"
+      case "DELETE" :: name :: Nil =>
+        if (catalog.delete(name)) s"deleted $name" else s"no such file $name"
+      case "LS" :: name :: Nil =>
+        val locs = catalog.ls(name)
+        if (locs.isEmpty) s"no such file $name" else locs.mkString("\n")
+      case "STORE" :: Nil =>
+        catalog.store().mkString("\n")
+      case "LIST" :: Nil =>
+        // executor set = the engine's "membership list"
+        spark.sparkContext.statusTracker.getExecutorInfos.map(_.host()).distinct.mkString("\n")
+      case "SELF" :: Nil =>
+        val up = (System.currentTimeMillis() - startedAt) / 1000
+        s"${spark.sparkContext.applicationId} up ${up}s"
+      case "LEAVE" :: Nil =>
+        spark.stop(); "left"
+      case "maple" :: exe :: num :: prefix :: src :: Nil =>
+        maple(exe, num.toInt, prefix, src)
+      case "juice" :: exe :: num :: prefix :: dest :: del :: Nil =>
+        juice(exe, num.toInt, prefix, dest, del == "1")
+      case "grep" :: pattern :: src :: Nil =>
+        val hits = catalog.readPrefix(src).filter(_.matches(".*" + pattern + ".*"))
+        val n    = hits.count()
+        s"$n matching lines"
+      case other =>
+        s"unknown command: ${other.mkString(" ")}"
+    }
+  }
+
+  /** maple: run the exe over every dataset with the src prefix, store the
+    * shuffled `key value` pairs as dataset `<prefix>`. */
+  def maple(exe: String, numMaples: Int, prefix: String, srcPrefix: String): String = {
+    import spark.implicits._
+    val lines = catalog.readPrefix(srcPrefix)
+    val pairs = MapleJuice.mapleExe(lines, exe.split(',').toSeq, numMaples)
+    catalog.putText(prefix, pairs.map { case (k, v) => s"$k $v" })
+    s"maple $prefix done"
+  }
+
+  /** juice: group dataset `<prefix>` by key, reduce each group with the exe,
+    * store `key value` results as dataset `<dest>`. */
+  def juice(exe: String, numJuices: Int, prefix: String, dest: String, deleteInput: Boolean): String = {
+    import spark.implicits._
+    val pairs = catalog
+      .readText(prefix)
+      .flatMap(MapleJuice.parseKV(_))
+    val reduced = MapleJuice.juiceExe(pairs, exe.split(',').toSeq, numJuices)
+    catalog.putText(dest, reduced.map { case (k, v) => s"$k $v" })
+    if (deleteInput) catalog.delete(prefix)
+    s"juice $dest done"
+  }
+}
+
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val root  = args.headOption.getOrElse("/tmp/graft_storage")
+    val spark = Engine.session()
+    val cli   = new Cli(spark, root)
+    println(s"graft engine CLI — storage root $root (LEAVE to exit)")
+    Iterator
+      .continually(scala.io.StdIn.readLine("> "))
+      .takeWhile(l => l != null && l.trim != "LEAVE")
+      .foreach(l => println(cli.handle(l)))
+    spark.stop()
+  }
+}
