@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Second-wave relational coverage: percentiles, statistical aggregates,
+  * pivot, deterministic sampling, as-of join — operators beyond the
+  * reference's surface (SURVEY.md §2e) that any engine replacement needs.
+  */
+object AdvancedQueries {
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------- percentiles
+    // Exact interpolated percentiles: Spark `percentile` == DuckDB
+    // quantile_cont on the same sorted data (both interpolate linearly).
+    Q(
+      "agg_percentiles",
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        FROM lineitem GROUP BY l_returnflag
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
+    },
+
+    // ------------------------------------------------- statistical aggs
+    // Order-dependent FP aggregates rounded to 6dp on both engines.
+    Q(
+      "agg_statistics",
+      Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+               round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        FROM lineitem GROUP BY l_returnflag
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+    },
+
+    // ------------------------------------------------------------- pivot
+    // Spark .pivot with a FIXED value list (scalable: no driver-side value
+    // discovery pass); oracle = conditional aggregation.
+    Q(
+      "pivot_event_types",
+      Some("""
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id
+      """)) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na
+        .fill(0L)
+        .select(
+          col("user_id"),
+          col("click"),
+          col("view"),
+          col("purchase"),
+          col("signup"),
+          col("error"))
+    },
+
+    // ----------------------------------------- deterministic hash sample
+    // Engine-portable sampling: md5-prefix predicate gives the SAME sample
+    // in any engine (unlike TABLESAMPLE) and pushes down as a scan filter.
+    Q(
+      "sample_hash_orders",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+      """)) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    },
+
+    // ------------------------------------------------------- as-of join
+    // For every purchase event: the user's most recent STRICTLY PRIOR
+    // signup/login time (event-time as-of self-join via one window pass).
+    Q(
+      "asof_last_signup",
+      Some("""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               strftime(
+                 last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 '%Y-%m-%d %H:%M:%S') AS asof_signup
+        FROM events
+        QUALIFY event_type = 'purchase'
+      """)) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+      e.withColumn(
+        "asof_signup_ts",
+        AsOfJoin.lastPriorWhere(
+          col("event_type") === "signup",
+          col("ts"),
+          col("user_id"),
+          col("ts"),
+          col("event_id")))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          date_format(col("asof_signup_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_signup"))
+    }
+  )
+}
