@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan contracts: the scale claims in the query modules are
+  * enforced here, not just commented. If Catalyst stops broadcasting a dim,
+  * stops pushing a filter into the parquet scan, or materializes a global
+  * sort for a top-k, these specs fail.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = SharedSpark.sf001
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+  private def formatted(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: filter pushed to parquet scan + two-phase (partial) aggregation") {
+    val f = formatted("q1_pricing_summary")
+    assert(f.contains("PushedFilters"), "scan should push filters")
+    assert(
+      f.contains("LessThanOrEqual(l_shipdate") || f.contains("LessThanOrEqual(`l_shipdate`"),
+      s"shipdate predicate should reach the scan:\n$f")
+    assert("HashAggregate".r.findAllIn(f).length >= 2, "partial + final aggregate expected")
+  }
+
+  test("q1: scan reads only referenced columns (pruning)") {
+    val f = formatted("q1_pricing_summary")
+    val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"), s"unused columns must be pruned: $read")
+  }
+
+  test("q3/q5: dimension joins are broadcast, not shuffled") {
+    assert(planOf("q3_topk_revenue").contains("BroadcastHashJoin"))
+    val q5 = planOf("q5_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(q5).length >= 3, "customer/supplier/nation should broadcast")
+  }
+
+  test("top-k queries use TakeOrderedAndProject, never a global sort") {
+    val topk = planOf("sort_topk_lineitem")
+    assert(topk.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$topk")
+    val q3 = planOf("q3_topk_revenue")
+    assert(q3.contains("TakeOrderedAndProject"), "sorted limit should be a heap merge")
+  }
+
+  test("semi/anti joins plan as semi/anti, preserving no-duplication semantics") {
+    assert(planOf("join_semi_active_customers").contains("LeftSemi"))
+    assert(planOf("join_anti_idle_customers").contains("LeftAnti"))
+  }
+
+  test("word count is partially aggregated map-side (no raw pair shuffle)") {
+    val f = planOf("wc_wordcount")
+    assert("HashAggregate".r.findAllIn(f).length >= 2, "expected partial+final count")
+  }
+
+  test("kv inversion is a narrow projection — zero exchanges") {
+    val f = planOf("rev_kv_invert")
+    assert(!f.contains("Exchange"), s"projection must not shuffle:\n$f")
+  }
+
+  test("grep filter is evaluated in the scan stage (single stage, no shuffle)") {
+    val f = planOf("grep_documents")
+    assert(!f.contains("Exchange"), "filter+project must stay narrow")
+  }
+
+  test("hash sample filter reaches the scan stage (portable sampling pushes down)") {
+    val f = planOf("sample_hash_orders")
+    assert(!f.contains("Exchange"), "sampling is a narrow filter")
+  }
+
+  test("vec_dot expression participates in codegen (no HOF fallback in ANN)") {
+    val f = planOf("ann_brute_topk")
+    assert(f.contains("vec_dot"), "custom expression should appear in the plan")
+    assert(!f.contains("aggregate(zip_with"), "HOF fold must be gone from the hot path")
+  }
+}
