@@ -109,6 +109,16 @@ object EventStreams {
       .drop("session_idx")
   }
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark window are dropped, and dedup state for
+    * ids older than the watermark is evicted — the streaming analogue of the
+    * batch `Dedup.exact`, safe to run forever (state never grows past one
+    * watermark window of ids). */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Read a DIRECTORY of event parquet files as a stream, one file per
     * micro-batch (FileStreamSource requires a directory, not a single
     * file). Applies the same nanos→timestamp conversion as Tables when the

@@ -9,6 +9,9 @@ object SharedSpark {
   lazy val spark: SparkSession = {
     val s = Engine
       .builder("graft-test", cores = 8)
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

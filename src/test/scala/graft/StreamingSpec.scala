@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops in-watermark duplicates with bounded state") {
+    // duplicate the staged events: every id appears twice across the stream
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup_").toString
+    val staged = spark.read.parquet(stagedDir)
+    staged.union(staged).repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(dupDir)
+
+    val sq = EventStreams
+      .dedupStream(EventStreams.readEventStream(spark, dupDir), watermarkDelay = "30 days")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "no id may survive twice")
+    assert(ids.length == staged.count(), "every unique id survives exactly once")
+  }
+
   test("batch sessionization: gaps split sessions, aggregates are exact") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
