@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
 import graft.sources.Tables
+import graft.streaming.EventStreams
 
 /** Second-wave relational coverage: percentiles, statistical aggregates,
   * pivot, deterministic sampling, as-of join — operators beyond the
@@ -95,6 +96,37 @@ object AdvancedQueries {
       Tables(spark, dir).orders
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    },
+
+    // ----------------------------------------------------- sessionization
+    // The batch sessionizer (window lag -> gap flags -> cumulative session
+    // ids -> per-session agg) — same semantics as the streaming
+    // flatMapGroupsWithState path (cross-checked in StreamingSpec).
+    Q(
+      "sessionize_events",
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, ts, value,
+                 SUM(CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM y GROUP BY user_id, sid
+      """)) { (spark, dir) =>
+      EventStreams
+        .sessionizeBatch(Tables(spark, dir).events.select(col("user_id"), col("ts"), col("value")), gapMinutes = 30)
+        .select(
+          col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
     },
 
     // ------------------------------------------------------- as-of join
