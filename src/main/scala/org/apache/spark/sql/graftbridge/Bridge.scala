@@ -1,14 +1,31 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Minimal bridge to the private[sql] Column<->Expression converters (Spark
-  * 4 moved Column onto ColumnNode; classic.ExpressionUtils is the sanctioned
-  * internal mapping). Only this object lives inside the spark namespace; all
-  * engine code stays in graft.*. */
+/** Minimal bridge to the private[sql] internals a custom operator needs
+  * (Spark 4 moved Column onto ColumnNode; classic.ExpressionUtils /
+  * classic.Dataset.ofRows are the sanctioned internal mappings). Only this
+  * object lives inside the spark namespace; all engine code stays in
+  * graft.*. */
 object Bridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+
+  /** Idempotently register an extra planner strategy on the session. */
+  def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.exists(_ eq s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }
