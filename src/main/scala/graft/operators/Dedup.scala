@@ -208,6 +208,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
+  // ----------------------------------------------------- duplicate clusters
+
+  /** Connected components over near-dup pairs: every document gets the
+    * minimum doc_id reachable through the duplicate graph — the canonical
+    * representative of its duplicate cluster.
+    *
+    * Algorithm: iterative min-label propagation (label(v) = min(label(v),
+    * min(label(neighbors)))) to a fixed point. Each round is two
+    * shuffles (join + groupBy-min); rounds needed = graph diameter, and
+    * near-dup clusters are tiny cliques, so 2-3 rounds close them. `maxIter`
+    * bounds pathological chains (the standard large-star/small-star
+    * alternation is the upgrade path at extreme diameters).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    val vertices = edges.select(col("src").as("id")).distinct()
+
+    var labels    = vertices.withColumn("label", col("id")).cache()
+    var changed   = true
+    var iteration = 0
+    while (changed && iteration < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("label", "src_label"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val next = labels
+        .join(propagated, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val diff = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .limit(1)
+        .count()
+      labels = next
+      changed = diff > 0
+      iteration += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: per-bit weighted sums of token hashes,

@@ -98,6 +98,30 @@ object AdvancedQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     },
 
+    // ------------------------------------- custom top-k-per-group operator
+    // The graft.plans custom physical operator in the correctness gate:
+    // same row set as the window formulation (the oracle), executed with
+    // bounded heaps + k-per-group shuffle (see TopKPerGroup).
+    Q(
+      "topk_custom_operator",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 2
+      """)) { (spark, dir) =>
+      graft.operators.TopK
+        .perGroup(
+          Tables(spark, dir).orders,
+          Seq("o_custkey"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          k = 2)
+        .select(col("o_custkey"), col("o_orderkey"), asDouble(money(col("o_totalprice"))).as("price"))
+    },
+
     // ----------------------------------------------------- sessionization
     // The batch sessionizer (window lag -> gap flags -> cumulative session
     // ids -> per-session agg) — same semantics as the streaming

@@ -71,6 +71,33 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
     },
 
+    // ------------------------------------------------ duplicate clusters
+    // Connected components over the >=0.8-jaccard near-dup graph: each doc
+    // mapped to its cluster's minimum doc_id. Oracle: recursive CTE
+    // reachability (UNION-dedup terminates on cycles).
+    Q(
+      "dedup_clusters",
+      Some("""
+        WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+               FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        p AS (SELECT a_id, b_id FROM p0 JOIN sz sa ON sa.doc_id = p0.a_id JOIN sz sb ON sb.doc_id = p0.b_id
+              WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+        reach(id, lab) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id)
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+      """)) { (spark, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8))
+    },
+
     // --------------------------------------------------------- SimHash
     // 64-bit signatures + hamming<=16 pairs via 16-bit chunk banding.
     // xxhash64 is engine-specific → no SQL oracle; rows-only check. The
