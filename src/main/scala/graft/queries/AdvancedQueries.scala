@@ -98,6 +98,97 @@ object AdvancedQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     },
 
+    // -------------------------------------------------------- outer joins
+    // LEFT OUTER with null-group handling: customers' 2001+ order counts,
+    // zero (not missing) for inactive customers.
+    Q(
+      "join_left_outer_counts",
+      Some("""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_recent
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        GROUP BY c_custkey
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_recent"))
+    },
+
+    // FULL OUTER across two key sets with asymmetric presence.
+    Q(
+      "join_full_outer_presence",
+      Some("""
+        SELECT COALESCE(a.k, b.k) AS k,
+               a.k IS NOT NULL AS in_1995,
+               b.k IS NOT NULL AS in_2001
+        FROM (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00') a
+        FULL OUTER JOIN
+             (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') b
+        ON a.k = b.k
+      """)) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+      def keys(lo: String, hi: Option[String]) = {
+        val base = o.filter(col("o_orderdate") >= lit(lo).cast("timestamp"))
+        hi.fold(base)(h => base.filter(col("o_orderdate") < lit(h).cast("timestamp")))
+          .select(col("o_custkey").as("k"))
+          .distinct()
+      }
+      val a = keys("1995-01-01", Some("1996-01-01")).withColumnRenamed("k", "ak")
+      val b = keys("2001-01-01", None).withColumnRenamed("k", "bk")
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .select(
+          coalesce(col("ak"), col("bk")).as("k"),
+          col("ak").isNotNull.as("in_1995"),
+          col("bk").isNotNull.as("in_2001"))
+    },
+
+    // ---------------------------------------------------------- EXCEPT ALL
+    Q(
+      "set_except_all_status",
+      Some("""
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+        EXCEPT ALL
+        SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+      """)) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+      o.filter(col("o_totalprice") > 100000)
+        .select(col("o_orderstatus"))
+        .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderstatus")))
+    },
+
+    // ----------------------------------------------------- raw SQL entry
+    // The engine's spark.sql surface: TPC-H Q6-shaped revenue forecast over
+    // a registered temp view — same text semantics as the DuckDB oracle.
+    Q(
+      "sql_q6_revenue",
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_v")
+      spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25
+      """)
+    },
+
     // ------------------------------------- custom top-k-per-group operator
     // The graft.plans custom physical operator in the correctness gate:
     // same row set as the window formulation (the oracle), executed with

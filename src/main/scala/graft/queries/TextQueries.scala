@@ -214,6 +214,32 @@ object TextQueries {
             .as("lang_pred"))
     },
 
+    // Bigram frequencies: n-gram analysis over the token stream (per-doc
+    // duplicates kept — frequency, not document frequency).
+    Q(
+      "text_bigrams",
+      Some("""
+        SELECT bg, COUNT(*) AS cnt
+        FROM (
+          SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+          FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents)
+          WHERE len(toks) >= 2)
+        GROUP BY bg
+      """)) { (spark, dir) =>
+      val toks = tokens
+      Tables(spark, dir).documents
+        // small-file corpus = one input partition; spread the explode
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(size(tokens) >= 2)
+        .select(
+          explode(
+            transform(
+              sequence(lit(0), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("bg"))
+        .groupBy(col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // Document fingerprint: md5 over whitespace-normalized lowercased text —
     // identical digests in Spark and DuckDB, usable as an exact-dedup key.
     Q(

@@ -77,6 +77,19 @@ class DedupSpec extends SparkSpec {
     assert(nearDups.intersect(sim).size >= (nearDups.size * 0.6).toInt)
   }
 
+  test("duplicate clusters: driver union-find == distributed label propagation") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8).cache()
+    val local = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.duplicateClusters(pairs, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local.nonEmpty)
+    assert(local == dist)
+    // every cluster id is the minimum member of its cluster
+    val byCluster = local.groupBy(_._2)
+    byCluster.foreach { case (cid, members) => assert(members.map(_._1).min == cid) }
+  }
+
   test("simhash signature is deterministic across evaluations") {
     val s1 = Dedup.simhash(docs, "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val s2 = Dedup.simhash(docs, "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
