@@ -65,6 +65,28 @@ object TextQueries {
         .select(col("key").as("word"), col("value").cast("long").as("cnt"))
     },
 
+    // Exe-UDF path: the reference's actual execution mode — an external
+    // mapper process on stdin/stdout (RDD.pipe) and a `reducer <keyfile>`
+    // process per group — in the oracle gate. awk tokenizes ("word 1"
+    // lines, src/reverse_map.go shape); awk END{print NR} counts the value
+    // file's lines (src/reduce_exe_word_count.go:21-34 semantics).
+    Q(
+      "mj_wordcount_exe",
+      Some("""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val lines = Tables(spark, dir).documents.select(col("text")).as[String]
+      val pairs = MapleJuice.mapleExe(lines, Seq("awk", "{for(i=1;i<=NF;i++) print $i\" 1\"}"))
+      MapleJuice
+        .juiceExe(pairs, Seq("awk", "END{print NR}"))
+        .toDF("word", "cnt_str")
+        .select(col("word"), col("cnt_str").cast("long").as("cnt"))
+    },
+
     // ------------------------------------------------- key/value invert
     // The reference's reverse_map exe: read `a b` pairs, emit `b a`
     // (src/reverse_map.go:25-42). Pure projection — narrow, no shuffle.
