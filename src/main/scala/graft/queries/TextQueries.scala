@@ -57,8 +57,11 @@ object TextQueries {
       """)) { (spark, dir) =>
       import spark.implicits._
       val lines = Tables(spark, dir).documents.select(col("text")).as[String]
+      // numMaples > 0: the corpus is a single small file = one input split;
+      // the reference's num_maples knob maps to an explicit repartition
       MapleJuice
-        .run(lines)(line => line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")))(
+        .run(lines, numMaples = spark.sparkContext.defaultParallelism)(
+          line => line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")))(
           // reference word-count reduce = count of non-empty value lines
           // (src/reduce_exe_word_count.go:21-34), order-insensitive.
           (_, values) => values.count(_.nonEmpty).toString)
@@ -80,7 +83,11 @@ object TextQueries {
       """)) { (spark, dir) =>
       import spark.implicits._
       val lines = Tables(spark, dir).documents.select(col("text")).as[String]
-      val pairs = MapleJuice.mapleExe(lines, Seq("awk", "{for(i=1;i<=NF;i++) print $i\" 1\"}"))
+      // one mapper process per task — numTasks spreads the single-file scan
+      val pairs = MapleJuice.mapleExe(
+        lines,
+        Seq("awk", "{for(i=1;i<=NF;i++) print $i\" 1\"}"),
+        numTasks = spark.sparkContext.defaultParallelism)
       MapleJuice
         .juiceExe(pairs, Seq("awk", "END{print NR}"))
         .toDF("word", "cnt_str")
