@@ -102,6 +102,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
   }
 
+  /** IVF-style ANN: a k-means coarse quantizer (MLlib, fixed seed) assigns
+    * every vector to its nearest of `nlist` centroids; a query scores only
+    * vectors in its `nprobe` closest cells, exact-cosine-reranked. The
+    * second standard ANN shape next to [[lshTopK]] — at 100 TB the
+    * centroid model is tiny (nlist × dims doubles, broadcast) and the
+    * probed fraction is nprobe/nlist of the corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(col("vec_id"), array_to_vector(asDoubleVec(col("embedding"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20).fit(train)
+
+    val centroids = model.clusterCenters.map(_.toArray)
+    // assignment is a deterministic function of the model — compute cell
+    // membership for corpus rows and the probe list for query rows
+    val cellOf = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        val ctr = centroids(c)
+        while (i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val probesOf = udf { (v: Seq[Double]) =>
+      centroids.indices
+        .map { c =>
+          var d = 0.0; var i = 0
+          val ctr = centroids(c)
+          while (i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+          (d, c)
+        }
+        .sortBy(_._1)
+        .take(nprobe)
+        .map(_._2)
+    }
+
+    val cells = corpus
+      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("cell", cellOf(col("cv")))
+    val q = broadcast(
+      queries
+        .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv")))
+        .withColumn("cell", explode(probesOf(col("qv")))))
+
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
+    q.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine >= threshold, computed
     * exactly. Self-join shape — at real scale swap in [[hyperplaneBuckets]]
     * candidates first (same contract, bounded join). */

@@ -146,6 +146,13 @@ object PipelineQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), dims = EMB_DIMS, k = 10, bits = 6, tables = 12)
     },
 
+    // --------------------------------------------- ANN: IVF (k-means cells)
+    // Approximate by construction -> rows-only; spec measures recall.
+    Q("ann_ivf_topk", None) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 4)
+    },
+
     // ------------------------------------------------- multimodal columns
     // Opaque binary + typed metadata: the documents' text bytes stand in for
     // a media payload (the container has no image/audio libs — the DECODE

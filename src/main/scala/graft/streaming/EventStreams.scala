@@ -109,6 +109,36 @@ object EventStreams {
       .drop("session_idx")
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within `withinHours` BEFORE the purchase. On a stream both
+    * sides carry watermarks and the time-range predicate bounds the join
+    * state (Spark evicts buffered rows once the watermark passes the
+    * interval) — the canonical bounded-state stream-stream join. The same
+    * function applies to batch frames unchanged. */
+  def purchasesAfterSignup(events: DataFrame, withinHours: Int = 24, watermark: String = "2 hours"): DataFrame = {
+    val signups = events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("event_id"), col("value"))
+    val (s, p) =
+      if (signups.isStreaming)
+        (signups.withWatermark("signup_ts", watermark), purchases.withWatermark("purchase_ts", watermark))
+      else (signups, purchases)
+    p.join(
+        s,
+        col("p_user") === col("s_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $withinHours HOURS"))
+      .select(
+        col("event_id"),
+        col("p_user").as("user_id"),
+        col("purchase_ts"),
+        col("signup_ts"),
+        col("value"))
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates
     * arriving within the watermark window are dropped, and dedup state for
     * ids older than the watermark is evicted — the streaming analogue of the

@@ -47,6 +47,17 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopK: probing a few cells recovers most true neighbors") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
   test("hyperplane buckets are deterministic") {
     val b1 = Similarity.hyperplaneBuckets(emb, dims = 64, bits = 8, tables = 2).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val batch = EventStreams
+      .purchasesAfterSignup(events, withinHours = 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime))
+      .toSet
+    assert(batch.nonEmpty, "corpus should contain purchase-after-signup pairs")
+
+    val sq = EventStreams
+      .purchasesAfterSignup(
+        EventStreams.readEventStream(spark, stagedDir),
+        withinHours = 24,
+        watermark = "30 days") // nothing late-dropped in this bounded corpus
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ss_join_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val streamed = spark
+      .table("ss_join_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops in-watermark duplicates with bounded state") {
     // duplicate the staged events: every id appears twice across the stream
     val dupDir = java.nio.file.Files.createTempDirectory("graft_dup_").toString
