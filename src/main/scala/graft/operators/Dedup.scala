@@ -291,14 +291,14 @@ object Dedup {
     * fully declarative (64 conditional sums → map-side partial agg, whole-
     * stage codegen). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // term frequency weighting is implicit: summing ±1 per OCCURRENCE equals
+    // the per-(doc,token)-count weighted sum, one shuffle cheaper
     val tokenRows = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitSums: Seq[Column] = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"b$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val summed = tokenRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64)

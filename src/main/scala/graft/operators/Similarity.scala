@@ -118,8 +118,10 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // bucketing doesn't need a converged clustering — a few iterations of
+    // seeded random-init k-means give stable, deterministic cells
     val train = corpus.select(col("vec_id"), array_to_vector(asDoubleVec(col("embedding"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20).fit(train)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8).setInitMode("random").fit(train)
 
     val centroids = model.clusterCenters.map(_.toArray)
     // assignment is a deterministic function of the model — compute cell
