@@ -58,6 +58,42 @@ final class Catalog(spark: SparkSession, root: String) {
     spark.read.textFile(names.map(n => pathOf(n).toString): _*)
   }
 
+  /** Structured dataset write: parquet (default), csv, or json under the
+    * same flat namespace. The reference is text-only (SURVEY.md §2a "File
+    * formats"); structured formats are the engine's extension. */
+  def putTable(name: String, df: org.apache.spark.sql.DataFrame, format: String = "parquet"): Unit = {
+    val tmp = pathOf(name + ".__tmp__")
+    val w   = df.write.mode("overwrite")
+    format match {
+      case "parquet" => w.parquet(tmp.toString)
+      case "csv"     => w.option("header", "true").csv(tmp.toString)
+      case "json"    => w.json(tmp.toString)
+      case other     => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val dst = pathOf(name)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** Structured dataset read, format-symmetric with [[putTable]]. For csv,
+    * pass `schema` to avoid a driver inference pass over the data. */
+  def readTable(
+      name: String,
+      format: String = "parquet",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): org.apache.spark.sql.DataFrame = {
+    val p = pathOf(name).toString
+    format match {
+      case "parquet" => spark.read.parquet(p)
+      case "csv" =>
+        val r = spark.read.option("header", "true")
+        schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(p)
+      case "json" =>
+        val r = spark.read
+        schema.fold(r)(s => r.schema(s)).json(p)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
   /** DELETE from all replicas + metadata (src/master.go:82-108) — on Spark,
     * one recursive FS delete. */
   def delete(name: String): Boolean = fs.delete(pathOf(name), true)

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.Catalog
 
 class CatalogSpec extends SparkSpec {
@@ -42,6 +44,23 @@ class CatalogSpec extends SparkSpec {
     assert(cat.delete("f1"))
     assert(cat.store() == Seq("f2"))
     assert(!cat.exists("f1"))
+  }
+
+  test("structured formats round-trip: parquet, csv, json") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Seq("parquet", "csv", "json").foreach { fmt =>
+      cat.putTable(s"tbl_$fmt", df, fmt)
+      val back = cat.readTable(s"tbl_$fmt", fmt)
+      val rows = back
+        .select(col("id").cast("long"), col("name"), col("score").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(rows == Set((1L, "a", 1.5), (2L, "b", 2.5)), s"format $fmt")
+    }
+    intercept[IllegalArgumentException](cat.putTable("x", df, "avro"))
   }
 
   test("PUT overwrites (reference subsequent-PUT semantics)") {
