@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{DataQuality, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Training-data pipeline operators registered for the correctness gate:
@@ -151,6 +151,33 @@ object PipelineQueries {
     Q("ann_ivf_topk", None) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 4)
+    },
+
+    // ------------------------------------------------------- data quality
+    // Single-scan constraint profile over lineitem: every rule is a
+    // conditional aggregate in ONE pass (violation counts + rates).
+    Q(
+      "quality_profile_lineitem",
+      Some("""
+        WITH w AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS r1,
+                 SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS r2,
+                 SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS r3,
+                 SUM(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS r4
+          FROM lineitem)
+        SELECT 'l_quantity_not_null' AS rule, r1 AS n_violations, n AS n_rows, CAST(r1 AS DOUBLE)/n AS violation_rate FROM w
+        UNION ALL SELECT 'l_quantity_in_range', r2, n, CAST(r2 AS DOUBLE)/n FROM w
+        UNION ALL SELECT 'l_extendedprice_positive', r3, n, CAST(r3 AS DOUBLE)/n FROM w
+        UNION ALL SELECT 'l_returnflag_matches', r4, n, CAST(r4 AS DOUBLE)/n FROM w
+      """)) { (spark, dir) =>
+      DataQuality.profile(
+        Tables(spark, dir).lineitem,
+        Seq(
+          DataQuality.notNull("l_quantity"),
+          DataQuality.inRange("l_quantity", 1, 50),
+          DataQuality.positive("l_extendedprice"),
+          DataQuality.matches("l_returnflag", "^[ANR]$")))
     },
 
     // ------------------------------------------------- multimodal columns
