@@ -371,6 +371,25 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // -------------------------------------- pushed-down event time range
+    // Tables.eventsBetween filters the RAW nanos long before the timestamp
+    // conversion, so the range reaches the parquet scan (PlanSpec asserts
+    // PushedFilters) — the partition-pruning analogue for file-level stats.
+    Q(
+      "events_day_window",
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY event_type
+      """)) { (spark, dir) =>
+      Tables(spark, dir)
+        .eventsBetween("2024-01-02", "2024-01-04")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(money(col("value")))).as("sum_value"))
+    },
+
     // ------------------------------------------- time-windowed (events)
     // Batch shape of the streaming tumbling-window aggregation (the same
     // transform runs under readStream in graft.streaming — see EventStreams).

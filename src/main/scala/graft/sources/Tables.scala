@@ -28,6 +28,29 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Events in [lo, hi) — ISO dates/timestamps, e.g. "2024-01-02".
+    *
+    * The nanos→timestamp conversion in [[table]] is an expression, so a
+    * filter on the CONVERTED column cannot reach the parquet scan. This
+    * helper translates the bounds to raw nanos and filters the LONG column
+    * before converting — `.explain` shows the range in PushedFilters, which
+    * at 100 TB is the difference between reading a day and reading a year
+    * (PlanSpec pins it). */
+  def eventsBetween(lo: String, hi: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def ns(s: String): Long = {
+      val t = if (s.length == 10) s + "T00:00:00Z" else s.replace(' ', 'T') + "Z"
+      val i = java.time.Instant.parse(t)
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
+    if (raw.schema("ts").dataType == LongType)
+      raw
+        .filter(expr(s"ts >= ${ns(lo)}L AND ts < ${ns(hi)}L"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      raw.filter(expr(s"ts >= TIMESTAMP '$lo' AND ts < TIMESTAMP '$hi'"))
+  }
+
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
   def customer: DataFrame   = table("customer")

@@ -74,6 +74,13 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("Exchange"), "sampling is a narrow filter")
   }
 
+  test("event time-range filter reaches the parquet scan despite ts conversion") {
+    val f = formatted("events_day_window")
+    val pushed = f.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("ts"), s"raw nanos range must be pushed:\n$pushed")
+    assert(pushed.contains("GreaterThanOrEqual") || pushed.contains("LessThan"), pushed)
+  }
+
   test("vec_dot expression participates in codegen (no HOF fallback in ANN)") {
     val f = planOf("ann_brute_topk")
     assert(f.contains("vec_dot"), "custom expression should appear in the plan")
