@@ -102,12 +102,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
   }
 
-  /** IVF-style ANN: a k-means coarse quantizer (MLlib, fixed seed) assigns
-    * every vector to its nearest of `nlist` centroids; a query scores only
-    * vectors in its `nprobe` closest cells, exact-cosine-reranked. The
-    * second standard ANN shape next to [[lshTopK]] — at 100 TB the
-    * centroid model is tiny (nlist × dims doubles, broadcast) and the
-    * probed fraction is nprobe/nlist of the corpus.
+  /** k-means coarse quantizer trained DRIVER-LOCALLY on a deterministic
+    * sample (hash-ordered top-`sampleN` — a TakeOrdered, no full shuffle):
+    * the standard IVF recipe (FAISS trains on ~256·nlist points). At 100 TB
+    * the cluster never iterates — one O(n log s) sampling pass, then Lloyd's
+    * on ≤ sampleN×dims doubles in driver memory. Deterministic: hash order
+    * and farthest-point-style init are seed-free functions of the data. */
+  private[operators] def trainCoarseQuantizer(
+      corpus: DataFrame,
+      nlist: Int,
+      sampleN: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(asDoubleVec(col("embedding")).as("v"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("v")(0))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) return Array(Array.empty[Double])
+    val kk = math.min(nlist, sample.length)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    // init: first kk sample points in hash order (hash order ≈ uniform draw)
+    val centroids = Array.tabulate(kk)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums   = Array.fill(kk)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < kk) { val d = d2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) { var i = 0; while (i < centroids(c).length) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 } }
+        c += 1 // empty cell keeps its previous centroid
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: a k-means coarse quantizer assigns every vector to its
+    * nearest of `nlist` centroids; a query scores only vectors in its
+    * `nprobe` closest cells, exact-cosine-reranked. The second standard ANN
+    * shape next to [[lshTopK]] — at 100 TB the centroid model is tiny
+    * (nlist × dims doubles, broadcast) and the probed fraction is
+    * nprobe/nlist of the corpus.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -115,15 +162,7 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // bucketing doesn't need a converged clustering — a few iterations of
-    // seeded random-init k-means give stable, deterministic cells
-    val train = corpus.select(col("vec_id"), array_to_vector(asDoubleVec(col("embedding"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8).setInitMode("random").fit(train)
-
-    val centroids = model.clusterCenters.map(_.toArray)
+    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
     // assignment is a deterministic function of the model — compute cell
     // membership for corpus rows and the probe list for query rows
     val cellOf = udf { (v: Seq[Double]) =>
