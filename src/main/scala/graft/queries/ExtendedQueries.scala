@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second-wave relational coverage: grouping sets, INTERSECT ALL, range
+  * joins, value-offset window functions/frames, and a composed
+  * corpus-cleaning pipeline (quality gate → dedup → stats in one plan).
+  *
+  * All of these fill §2e gaps (the reference has no relational surface at
+  * all); each is a single declarative plan — Catalyst handles pushdown and
+  * the aggregates partial-aggregate map-side.
+  */
+object ExtendedQueries {
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------- grouping sets
+    // Explicit GROUPING SETS (rollup/cube's general form): per-flag,
+    // per-(flag,status), and grand-total rows in ONE pass — Spark expands to
+    // a single Expand + aggregate, not three scans.
+    Q(
+      "grouping_sets_flag_status",
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      """)) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_returnflag"), col("l_linestatus")), Seq()),
+          col("l_returnflag"),
+          col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), asDouble(sum(money(col("l_extendedprice")))).as("sum_price"))
+    },
+
+    // ---------------------------------------------------- INTERSECT ALL
+    // Multiset intersection (min of multiplicities) — the bag-semantics
+    // sibling of set_intersect_custkeys.
+    Q(
+      "set_intersect_all_keys",
+      Some("""
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+        .intersectAll(t.orders.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k")))
+    },
+
+    // -------------------------------------------------------- range join
+    // Events within each user's first active day: equi-join on the user key
+    // carries the shuffle; the time range is a residual predicate. The
+    // per-user window table is tiny → broadcast; at 100 TB the equi-key
+    // keeps this a join, never a cross product.
+    Q(
+      "join_range_first_day",
+      Some("""
+        WITH w AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id)
+        SELECT e.user_id, COUNT(*) AS n_first_day,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN w ON e.user_id = w.user_id
+          AND e.ts >= w.t0 AND e.ts < w.t0 + INTERVAL 1 DAY
+        GROUP BY e.user_id
+      """)) { (spark, dir) =>
+      val events = Tables(spark, dir).events
+      val firstDay = events.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      events
+        .join(
+          broadcast(firstDay),
+          Seq("user_id"))
+        .filter(col("ts") >= col("t0") && col("ts") < col("t0") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_first_day"), asDouble(sum(money(col("value")))).as("sum_value"))
+    },
+
+    // ------------------------------------------- lag / lead / ntile window
+    // Value-offset window functions over a total per-customer order (date,
+    // then key — deterministic despite duplicate dates).
+    Q(
+      "window_lag_lead_ntile",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(COALESCE(lag(o_totalprice) OVER w, -1) AS DOUBLE) AS prev_price,
+               CAST(COALESCE(lead(o_totalprice) OVER w, -1) AS DOUBLE) AS next_price,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      """)) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(spark, dir).orders
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          // NULL-free floats: the first/last row in a partition takes a -1
+          // sentinel (mixed NULL/float columns are hash-hostile downstream)
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1d)).as("prev_price"),
+          coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1d)).as("next_price"),
+          ntile(4).over(w).as("quartile"))
+    },
+
+    // ------------------------------------------------- RANGE window frame
+    // Trailing-28-day spend per customer: a value-based (RANGE) frame over
+    // epoch seconds — frame membership depends on ORDER VALUES only, so ties
+    // on o_orderdate cannot make it nondeterministic.
+    Q(
+      "window_trailing_spend",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 2419200 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_28d
+        FROM orders
+      """)) { (spark, dir) =>
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-2419200L, Window.currentRow)
+      Tables(spark, dir).orders
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          asDouble(sum(money(col("o_totalprice"))).over(w)).as("spend_28d"))
+    },
+
+    // ------------------------------------- composed corpus-clean pipeline
+    // The training-data shape end to end in ONE plan: length gate →
+    // whitespace-normalized fingerprint → exact-dedup keep-min → per-kept-doc
+    // stats. Catalyst fuses the projection chain; the only shuffles are the
+    // fingerprint groupBy and the keeper join.
+    Q(
+      "pipeline_corpus_clean",
+      Some("""
+        WITH q AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+          FROM documents
+          WHERE LENGTH(text) >= 100),
+        d AS (SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM q GROUP BY fp)
+        SELECT q.doc_id, q.n_tokens, d.n_dups
+        FROM q JOIN d ON q.doc_id = d.keep_id
+      """)) { (spark, dir) =>
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val q = Tables(spark, dir).documents
+        .filter(length(col("text")) >= 100)
+        .select(
+          col("doc_id"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+          size(toks).as("n_tokens"))
+      val keepers = q.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      q.join(keepers, q("doc_id") === keepers("keep_id"))
+        .select(col("doc_id"), col("n_tokens"), col("n_dups"))
+    }
+  )
+}

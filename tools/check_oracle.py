@@ -19,8 +19,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(rows):
+    # sort key is type-tagged strings so NULL/float/str mixes cannot crash
+    # the sort; equality comparison below still sees the raw values
     return sorted(
-        tuple("NULL" if v is None else v for v in r) for r in rows
+        (tuple("NULL" if v is None else v for v in r) for r in rows),
+        key=lambda r: tuple(str(v) for v in r),
     )
 
 
