@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Sketches
 import graft.sources.Tables
 
 /** Second-wave relational coverage: grouping sets, INTERSECT ALL, range
@@ -156,6 +157,31 @@ object ExtendedQueries {
       val keepers = q.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       q.join(keepers, q("doc_id") === keepers("keep_id"))
         .select(col("doc_id"), col("n_tokens"), col("n_dups"))
+    },
+
+    // ------------------------------------------------- sketch aggregates
+    // Mergeable Datasketches HLL + HLL++ distinct estimates. Estimates are
+    // engine-specific (no DuckDB parity) → rows-only gate; SketchSpec pins
+    // the error envelope against exact counts.
+    Q("sketch_distinct_users", None) { (spark, dir) =>
+      Sketches.distinctCounts(Tables(spark, dir).events, "event_type", "user_id")
+    },
+
+    // Daily HLL cube re-aggregated by UNION — distinct-over-range from
+    // stored sketches, the never-rescan-raw-events pattern.
+    Q("sketch_union_daily", None) { (spark, dir) =>
+      Sketches.unionSketches(
+        Sketches.dailySketches(Tables(spark, dir).events, "ts", "event_type", "user_id"),
+        "event_type")
+    },
+
+    // Distributed approximate quantiles per order status.
+    Q("sketch_quantiles_price", None) { (spark, dir) =>
+      Sketches.approxQuantiles(
+        Tables(spark, dir).orders,
+        "o_orderstatus",
+        col("o_totalprice"),
+        Seq(0.5, 0.95, 0.99))
     }
   )
 }

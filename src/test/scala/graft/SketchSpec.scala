@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Sketch aggregates: estimates must land inside a tight error envelope of
+  * the exact answers, and the daily-sketch union must agree with the
+  * single-pass sketch (mergeability). */
+class SketchSpec extends SparkSpec {
+
+  private lazy val t = Tables(spark, SharedSpark.sf001)
+
+  test("HLL distinct estimates are within 5% of exact") {
+    val exact = t.events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val est = Sketches.distinctCounts(t.events, "event_type", "user_id").collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val k      = r.getString(0)
+      val hll    = r.getLong(1).toDouble
+      val hllpp  = r.getLong(2).toDouble
+      val truth  = exact(k).toDouble
+      assert(math.abs(hll - truth) / truth <= 0.05, s"$k hll=$hll exact=$truth")
+      assert(math.abs(hllpp - truth) / truth <= 0.05, s"$k hllpp=$hllpp exact=$truth")
+    }
+  }
+
+  test("daily sketch union equals the single-pass sketch estimate") {
+    val single = Sketches
+      .distinctCounts(t.events, "event_type", "user_id")
+      .select(col("event_type"), col("hll_distinct"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val unioned = Sketches
+      .unionSketches(Sketches.dailySketches(t.events, "ts", "event_type", "user_id"), "event_type")
+      .collect()
+    assert(unioned.nonEmpty)
+    unioned.foreach { r =>
+      // same sketch family + lossless union: estimates agree exactly
+      assert(r.getLong(1) == single(r.getString(0)), s"${r.getString(0)}")
+    }
+  }
+
+  test("approx quantiles are within 2% rank error of exact") {
+    val qs = Seq(0.5, 0.95, 0.99)
+    val approx = Sketches
+      .approxQuantiles(t.orders, "o_orderstatus", col("o_totalprice"), qs)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    approx.foreach { case (status, est) =>
+      val prices = t.orders
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_totalprice"))
+        .collect()
+        .map(_.getDouble(0))
+        .sorted
+      qs.zip(est).foreach { case (q, v) =>
+        // value must sit within +-2% rank of the requested quantile
+        val lo = prices(math.max(0, (prices.length * (q - 0.02)).toInt))
+        val hi = prices(math.min(prices.length - 1, (prices.length * (q + 0.02)).toInt))
+        assert(v >= lo && v <= hi, s"$status q$q=$v not in [$lo,$hi]")
+      }
+    }
+  }
+}
