@@ -86,4 +86,28 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("vec_dot"), "custom expression should appear in the plan")
     assert(!f.contains("aggregate(zip_with"), "HOF fold must be gone from the hot path")
   }
+
+  test("grouping sets plan as ONE Expand + aggregate, not a union of scans") {
+    val f = planOf("grouping_sets_flag_status")
+    assert("Expand".r.findAllIn(f).length == 1, s"single Expand expected:\n$f")
+    assert(!f.contains("Union"), "grouping sets must not union separate scans")
+  }
+
+  test("range join keeps an equi-key hash join (no cross product)") {
+    val f = planOf("join_range_first_day")
+    assert(f.contains("BroadcastHashJoin") || f.contains("SortMergeJoin"), s"equi join expected:\n$f")
+    assert(!f.contains("CartesianProduct") && !f.contains("BroadcastNestedLoopJoin"), "range predicate must stay residual")
+  }
+
+  test("sketch distinct counts partial-aggregate map-side (mergeable sketches)") {
+    val f = planOf("sketch_distinct_users")
+    assert("ObjectHashAggregate".r.findAllIn(f).length >= 2 || "HashAggregate".r.findAllIn(f).length >= 2,
+      s"partial+final sketch agg expected:\n$f")
+  }
+
+  test("corpus-clean pipeline reads documents once per join side with pruned schema") {
+    val f = formatted("pipeline_corpus_clean")
+    val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"))
+  }
 }
