@@ -75,16 +75,20 @@ object Dedup {
     // materialize it once instead of re-exploding the corpus three times.
     // (At 100 TB the index is written to storage and reused, same idea.)
     val rows = shingleRows(docs, idCol, textCol, w).cache()
+    // join on the 64-bit shingle hash, not the string: the self-join shuffle
+    // carries 8 bytes/key and compares longs (collision odds ~ n²/2⁶⁴ —
+    // the same contract the MinHash verification path already accepts)
+    val hashed = rows.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val index = if (maxShingleDF > 0) {
-      val dfCounts = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      rows.join(broadcast(dfCounts.filter(col("df") <= maxShingleDF)), "shingle").select("doc_id", "shingle")
-    } else rows
+      val dfCounts = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      hashed.join(broadcast(dfCounts.filter(col("df") <= maxShingleDF)), "h").select("doc_id", "h")
+    } else hashed
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
 
-    val a = index.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = index.select(col("doc_id").as("b_id"), col("shingle"))
+    val a = index.select(col("doc_id").as("a_id"), col("h"))
+    val b = index.select(col("doc_id").as("b_id"), col("h"))
     val shared = a
-      .join(b, Seq("shingle"))
+      .join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"))
