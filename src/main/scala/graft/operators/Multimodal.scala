@@ -93,6 +93,45 @@ object Multimodal {
       }
   }
 
+  /** A resized fake "image": fixed tw×th byte grid per row. */
+  final case class ResizedImage(mediaId: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Nearest-neighbor resize to a fixed target grid, partition-at-a-time.
+    *
+    * The decode-to-source-grid step is the stub (payload bytes as a
+    * row-major ~square gray image — a real codec supplies true pixels); the
+    * resize arithmetic, fixed-size output contract (bounded row width —
+    * exactly tw·th bytes regardless of payload size), and batching shape
+    * are real. */
+  def resizeNearest(media: DataFrame, tw: Int, th: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val n  = math.max(payload.length, 1)
+          val sw = math.max(math.sqrt(n.toDouble).toInt, 1)
+          val sh = (n + sw - 1) / sw
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            val sy = (y.toLong * sh / th).toInt
+            var x  = 0
+            while (x < tw) {
+              val sx  = (x.toLong * sw / tw).toInt
+              val idx = sy * sw + sx
+              out(y * tw + x) = if (idx < payload.length) payload(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          ResizedImage(id, tw, th, out)
+        }
+      }
+  }
+
   /** Uniform frame sampling over a byte payload: `k` evenly-spaced fixed-size
     * slices (a stand-in for video frame extraction with the same batching
     * shape). Declarative substring arithmetic — codegen'd, no UDF. */

@@ -55,6 +55,17 @@ class MapleJuiceSpec extends SparkSpec {
     assert(out.values.map(_.toInt).sum == 100)
   }
 
+  test("kv inversion is an involution (property: invert twice = identity)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50, Gen.zip(Gen.alphaNumStr.map("k" + _.take(6)), Gen.alphaNumStr.map("v" + _.take(6))))
+    (0 until 3).foreach { i =>
+      val pairs = gen(Gen.Parameters.default, Seed(11L + i)).get
+      val ds    = pairs.toDS()
+      def invert(d: org.apache.spark.sql.Dataset[(String, String)]) = d.map { case (k, v) => (v, k) }
+      assert(invert(invert(ds)).collect().sorted.sameElements(ds.collect().sorted))
+    }
+  }
+
   test("mapleExe pipes lines through an external executable") {
     import spark.implicits._
     // sed swaps the two fields -> reproduces reverse_map.go's k/v inversion

@@ -54,4 +54,22 @@ class MultimodalSpec extends SparkSpec {
       assert(bytes.length <= 16 && bytes.length > 0)
     }
   }
+
+  test("resizeNearest: fixed tw×th output for every payload size, deterministic") {
+    val resized = Multimodal.resizeNearest(media, tw = 8, th = 6).collect()
+    assert(resized.length == media.count())
+    resized.foreach { r =>
+      assert(r.width == 8 && r.height == 6)
+      assert(r.pixels.length == 48)
+    }
+    // deterministic: second run bit-identical
+    val again = Multimodal.resizeNearest(media, tw = 8, th = 6).collect()
+    val a = resized.sortBy(_.mediaId).map(_.pixels.toSeq)
+    val b = again.sortBy(_.mediaId).map(_.pixels.toSeq)
+    assert(a.sameElements(b))
+    // top-left pixel is the source's byte(0) (nearest-neighbor identity corner)
+    val pay = media.orderBy(col("media_id")).head()
+    val first = resized.sortBy(_.mediaId).head
+    assert(first.pixels(0) == pay.getAs[Array[Byte]]("payload")(0))
+  }
 }
