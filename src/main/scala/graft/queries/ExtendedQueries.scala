@@ -182,6 +182,46 @@ object ExtendedQueries {
         "o_orderstatus",
         col("o_totalprice"),
         Seq(0.5, 0.95, 0.99))
+    },
+
+    // ------------------------------------------------- map-type functions
+    // JSON props parsed to a real MapType, then map_keys/size — scalar
+    // string/int outputs keep the cross-engine compare exact.
+    Q(
+      "map_funcs_events",
+      Some("""
+        SELECT event_id,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+               len(json_keys(props)) AS n_keys
+        FROM events
+      """)) { (spark, dir) =>
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      Tables(spark, dir).events
+        .select(
+          col("event_id"),
+          concat_ws(",", array_sort(map_keys(m))).as("keys_csv"),
+          size(map_keys(m)).as("n_keys"))
+    },
+
+    // ----------------------------------------------- array-type functions
+    // Order-free exact reductions over the embedding arrays (min/max are
+    // copies of stored floats — no arithmetic, no FP divergence).
+    Q(
+      "array_funcs_embeddings",
+      Some("""
+        SELECT vec_id,
+               len(embedding) AS dims,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx
+        FROM embeddings
+      """)) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dims"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"))
     }
   )
 }
