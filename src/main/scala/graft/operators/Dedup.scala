@@ -212,6 +212,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
+  // ------------------------------------------------------------- winnowing
+
+  /** Positional near-dup pairs via winnowing fingerprints (Schleimer et al.,
+    * MOSS): docs sharing >= `minShared` winnowed k-gram hashes. Guarantee:
+    * any common substring of length >= k+w-1 bytes produces a shared
+    * fingerprint — catches copied PASSAGES that set-based Jaccard dilutes
+    * away in long documents. Same inverted-index join shape as
+    * [[jaccardPairs]]: fingerprints per doc are O(len/w), the self-join is
+    * bounded by fingerprint document frequency. */
+  def winnowDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int,
+      k: Int = 8,
+      w: Int = 16): DataFrame = {
+    val fps = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.winnow_fingerprints(col(textCol), k, w)).as("fp"))
+    val a = fps.select(col("doc_id").as("a_id"), col("fp"))
+    val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ----------------------------------------------------- duplicate clusters
 
   /** Connected components over near-dup pairs: every document gets the

@@ -106,6 +106,14 @@ object PipelineQueries {
       Dedup.simhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", maxDist = 8)
     },
 
+    // ------------------------------------------------------- winnowing
+    // MOSS-style positional fingerprints (custom rolling-hash expression)
+    // — engine-specific hashes → rows-only; TextFunctionsSpec pins the
+    // substring-sharing guarantee and the planted near-dup pairs.
+    Q("dedup_winnow", None) { (spark, dir) =>
+      Dedup.winnowDupPairs(Tables(spark, dir).documents, "doc_id", "text", minShared = 10)
+    },
+
     // ---------------------------------------- embedding cosine near-dup
     Q(
       "dedup_embedding_cosine",

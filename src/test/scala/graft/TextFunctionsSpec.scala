@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def rollRef(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xff))
+
+  test("roll_hash matches the reference Horner digest (codegen path)") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "the same the same", "ü¢∂ unicode")
+    val got = inputs.toDF("s").select(TextFunctions.roll_hash(col("s"))).collect().map(_.getLong(0))
+    assert(got.sameElements(inputs.map(rollRef)))
+  }
+
+  test("winnow fingerprints: deterministic, distinct, and substring-sharing") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running ahead"
+    val docA = base + " with a unique suffix A only here"
+    val docB = "prefix B first then " + base
+    val rows = Seq((1L, docA), (2L, docB), (3L, "completely different content zzz qqq"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.winnow_fingerprints(col("text"), 8, 16).as("fps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    // distinct within a document
+    rows.values.foreach(f => assert(f.distinct.length == f.length))
+    // the shared >= k+w-1 substring guarantees >=1 shared fingerprint
+    val shared = rows(1L).toSet.intersect(rows(2L).toSet)
+    assert(shared.nonEmpty, "docs sharing a long passage must share a fingerprint")
+    assert(rows(1L).toSet.intersect(rows(3L).toSet).isEmpty)
+  }
+
+  test("winnowDupPairs finds the planted near-dup pairs on the corpus") {
+    val docs = Tables(spark, SharedSpark.sf0001).documents
+    val winnow = Dedup
+      .winnowDupPairs(docs, "doc_id", "text", minShared = 10)
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // the exact-jaccard near-dups are the planted ground truth; winnowing
+    // (positional, stricter) must recover a substantial fraction of them
+    val truth = Dedup
+      .jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.nonEmpty)
+    val recall = truth.intersect(winnow).size.toDouble / truth.size
+    assert(recall >= 0.8, s"winnow recall $recall over ${truth.size} planted pairs")
+  }
+}
