@@ -227,14 +227,23 @@ object Dedup {
       textCol: String,
       minShared: Int,
       k: Int = 8,
-      w: Int = 16): DataFrame = {
+      w: Int = 16,
+      maxFpDF: Int = 100): DataFrame = {
     val fps = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(
         col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.winnow_fingerprints(col(textCol), k, w)).as("fp"))
-    val a = fps.select(col("doc_id").as("a_id"), col("fp"))
-    val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+      .cache()
+    // boilerplate fingerprints (shared across > maxFpDF docs) say nothing
+    // about pairwise duplication but dominate the self-join fan-out — the
+    // same DF-cap judgment as jaccardPairs' maxShingleDF (0 = keep all)
+    val index = if (maxFpDF > 0) {
+      val dfCounts = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      fps.join(broadcast(dfCounts.filter(col("df") <= maxFpDF)), "fp").select("doc_id", "fp")
+    } else fps
+    val a = index.select(col("doc_id").as("a_id"), col("fp"))
+    val b = index.select(col("doc_id").as("b_id"), col("fp"))
     a.join(b, Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))

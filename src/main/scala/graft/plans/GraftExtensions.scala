@@ -1,0 +1,19 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point for the engine's custom planning
+  * (build-brief preference (c): LogicalPlan + Strategy registered via
+  * extensions). Activate with
+  *
+  *   SparkSession.builder().config("spark.sql.extensions",
+  *     "graft.plans.GraftExtensions")
+  *
+  * or `.withExtensions(new GraftExtensions)`. [[graft.operators.TopK]] also
+  * self-registers its strategy per session (Bridge.addStrategy) so the
+  * operator works on un-configured sessions; this class is the cluster-wide
+  * config-driven path a deployment uses. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+}

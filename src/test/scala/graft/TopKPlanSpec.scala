@@ -57,4 +57,40 @@ class TopKPlanSpec extends SparkSpec {
       .collect().map(_.getDouble(1)).toSet
     assert(out == Set(100.0, 99.0, 98.0, 97.0, 96.0))
   }
+
+  test("GraftExtensions registers the strategy via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive  = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // reuses the JVM's SparkContext. spark.sql.extensions is a STATIC
+      // conf (frozen once a context exists), so the test exercises the
+      // equivalent builder API; a fresh cluster sets the config string.
+      val s2 = SparkSession
+        .builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
+      import org.apache.spark.sql.graftbridge.Bridge
+      import s2.implicits._
+      val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("g", "v")
+      val lp = Bridge.logicalPlan(df)
+      def attr(n: String) = lp.output.find(_.name == n).get
+      // plan the logical node through the session DIRECTLY — no
+      // Bridge.addStrategy; only the config-injected strategy can plan it
+      val out = Bridge.ofRows(
+        s2,
+        graft.plans.TopKPerGroup(Seq(attr("g")), Seq(SortOrder(attr("v"), Descending)), 1, lp))
+      assert(out.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 2.0), (2L, 3.0)))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
