@@ -58,14 +58,15 @@ final class Catalog(spark: SparkSession, root: String) {
     spark.read.textFile(names.map(n => pathOf(n).toString): _*)
   }
 
-  /** Structured dataset write: parquet (default), csv, or json under the
-    * same flat namespace. The reference is text-only (SURVEY.md §2a "File
-    * formats"); structured formats are the engine's extension. */
+  /** Structured dataset write: parquet (default), orc, csv, or json under
+    * the same flat namespace. The reference is text-only (SURVEY.md §2a
+    * "File formats"); structured formats are the engine's extension. */
   def putTable(name: String, df: org.apache.spark.sql.DataFrame, format: String = "parquet"): Unit = {
     val tmp = pathOf(name + ".__tmp__")
     val w   = df.write.mode("overwrite")
     format match {
       case "parquet" => w.parquet(tmp.toString)
+      case "orc"     => w.orc(tmp.toString)
       case "csv"     => w.option("header", "true").csv(tmp.toString)
       case "json"    => w.json(tmp.toString)
       case other     => throw new IllegalArgumentException(s"unsupported format: $other")
@@ -84,6 +85,7 @@ final class Catalog(spark: SparkSession, root: String) {
     val p = pathOf(name).toString
     format match {
       case "parquet" => spark.read.parquet(p)
+      case "orc"     => spark.read.orc(p)
       case "csv" =>
         val r = spark.read.option("header", "true")
         schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(p)

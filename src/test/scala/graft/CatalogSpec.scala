@@ -46,11 +46,11 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.exists("f1"))
   }
 
-  test("structured formats round-trip: parquet, csv, json") {
+  test("structured formats round-trip: parquet, orc, csv, json") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
-    Seq("parquet", "csv", "json").foreach { fmt =>
+    Seq("parquet", "orc", "csv", "json").foreach { fmt =>
       cat.putTable(s"tbl_$fmt", df, fmt)
       val back = cat.readTable(s"tbl_$fmt", fmt)
       val rows = back
