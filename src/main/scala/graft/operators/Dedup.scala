@@ -277,7 +277,10 @@ object Dedup {
     val spark = pairs.sparkSession
     val edgePairs = pairs.select(col("a_id").cast("long"), col("b_id").cast("long")).cache()
 
-    if (edgePairs.count() <= localThreshold) {
+    // one job decides the path AND fetches the edges: limit(T+1) either
+    // returns every edge (<=T: solve locally) or proves there are more
+    val sample = edgePairs.limit(localThreshold.toInt + 1).collect()
+    if (sample.length <= localThreshold) {
       // driver union-find over the (small) duplicate graph
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -287,7 +290,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edgePairs.collect().foreach { row =>
+      sample.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }

@@ -84,4 +84,27 @@ class SinksSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(z.sameElements(Array(1L, 2L, 15L)))
   }
+
+  test("dynamic partition pruning fires on the date-partitioned layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    graft.sources.Sinks.writeDatePartitioned(
+      graft.sources.Tables(spark, SharedSpark.sf001).events, "ts", dir)
+    val fact = graft.sources.Sinks.readPartitioned(spark, dir)
+    // a tiny dim whose FILTER decides which partitions matter — the classic
+    // DPP shape: the partition filter is only known at runtime. The dim must
+    // be source-backed: a filter over a LocalRelation constant-folds away
+    // and DPP's selective-predicate check never sees it.
+    Seq(("2024-01-03", "keep"), ("2024-01-11", "keep"), ("2024-01-20", "drop"))
+      .toDF("d", "tag")
+      .write.mode("overwrite").parquet(s"$dir/__dim")
+    val dim = spark.read.parquet(s"$dir/__dim")
+    val joined = fact.join(
+      dim.filter(col("tag") === "keep").select(to_date(col("d")).as("event_date")),
+      Seq("event_date"))
+    val f = joined.queryExecution.executedPlan.toString
+    assert(f.contains("dynamicpruning"), s"DPP subquery expected in partition filters:\n$f")
+    assert(joined.count() > 0)
+  }
 }
