@@ -70,13 +70,17 @@ object Aggregators {
     override def outputEncoder: Encoder[(Double, Double, Long)]   = ExpressionEncoder()
   }
 
-  /** Order-insensitive string reduce with bounded output: collects up to
-    * `cap` DISTINCT values sorted lexicographically (a scalable stand-in
-    * for "concatenate the group", which at 100 TB must be bounded). */
+  /** Order-insensitive string reduce with bounded output: the `cap`
+    * lexicographically-SMALLEST distinct values of the group (a scalable,
+    * deterministic stand-in for "concatenate the group", which at 100 TB
+    * must be bounded). Keeping the smallest — rather than the first seen —
+    * makes the result independent of partitioning and arrival order. */
   final class DistinctSample(cap: Int) extends Aggregator[String, Set[String], Seq[String]] {
-    override def zero: Set[String]                           = Set.empty
+    override def zero: Set[String] = Set.empty
     override def reduce(s: Set[String], x: String): Set[String] =
-      if (s.size >= cap) s else s + x
+      if (s.contains(x)) s
+      else if (s.size < cap) s + x
+      else { val worst = s.max; if (x < worst) s - worst + x else s }
     override def merge(a: Set[String], b: Set[String]): Set[String] =
       (a ++ b).toSeq.sorted.take(cap).toSet
     override def finish(s: Set[String]): Seq[String]         = s.toSeq.sorted

@@ -26,6 +26,10 @@ object AsOfJoin {
     * @param rightTs    right timestamp column name
     * @param payload    right columns to carry onto left rows (renamed as-is)
     * @param strict     true = right.ts <  left.ts; false = <=
+    * @param rightTieBreak right column ordering ties among right rows with
+    *                   IDENTICAL (key, ts) — the largest wins. Without it,
+    *                   duplicate right timestamps would make the attached
+    *                   payload partition-order-dependent.
     */
   def asof(
       left: DataFrame,
@@ -34,30 +38,40 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      rightTieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns
 
     // side marker orders right rows before left rows at equal ts for <=
     // semantics, after them for strict <
     val rightSide = if (strict) lit(2) else lit(0)
+    // natural-typed tiebreak (a string cast would order "10" < "9"); left
+    // rows take a typed null — tb only disambiguates within right rows,
+    // since __side already separates the sides at equal ts
+    val tb     = rightTieBreak.map(col).getOrElse(lit(0))
+    val tbNull = rightTieBreak
+      .map(c => lit(null).cast(right.schema(c).dataType))
+      .getOrElse(lit(0))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
+      .withColumn("__tb", tbNull)
       .select(
-        (keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        (keyCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__tb")) ++
           leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) ++
           payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", rightSide)
+      .withColumn("__tb", tb)
       .select(
-        (keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        (keyCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__tb")) ++
           leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
           payload.map(c => col(c).as(s"__p_$c")): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = l

@@ -72,4 +72,19 @@ class AggregatorsSpec extends SparkSpec {
     assert(out("k") == Seq("a", "b")) // sorted, capped at 2
     assert(out("j") == Seq("z"))
   }
+
+  test("DistinctSample keeps the cap-smallest regardless of arrival order") {
+    import spark.implicits._
+    // descending arrival with many partitions: a first-seen cap would
+    // retain late-alphabet values on some partitionings
+    val vals  = ('a' to 'z').map(_.toString).reverse
+    val pairs = vals.map(v => ("k", v)).toDS().repartition(8)
+    val out = pairs
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new Aggregators.DistinctSample(3).toColumn.name("vals"))
+      .collect()
+      .toMap
+    assert(out("k") == Seq("a", "b", "c"))
+  }
 }

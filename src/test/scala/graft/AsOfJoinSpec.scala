@@ -53,4 +53,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.columns.toSet == Set("sym", "ts", "qty", "asof_price"))
   }
+
+  test("duplicate right timestamps resolve deterministically via tiebreak") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(("A", ts("2024-01-01 10:00:00"), 1)).toDF("sym", "ts", "qty")
+    // two right rows at the SAME (key, ts): seq decides — largest wins
+    val r = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 5L, 1.0),
+      ("A", ts("2024-01-01 09:00:00"), 9L, 2.0)).toDF("sym", "qts", "seq", "price")
+      .repartition(4)
+    (0 until 3).foreach { _ =>
+      val out = AsOfJoin
+        .asof(l, r, Seq("sym"), "ts", "qts", Seq("price"), rightTieBreak = Some("seq"))
+        .head()
+      assert(out.getAs[Double]("asof_price") == 2.0)
+    }
+  }
 }
