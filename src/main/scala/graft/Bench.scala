@@ -20,11 +20,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // two full measured passes, best-of per query (single-shot numbers on
+    // this box swing +-25% under GC/fs noise); caches cleared between
+    // passes so both are comparable executions
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val p1 = onePass()
+    spark.catalog.clearCache()
+    val p2      = onePass().toMap
+    val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
