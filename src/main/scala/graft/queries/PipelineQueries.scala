@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataQuality, Dedup, Similarity}
+import graft.operators.{DataQuality, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Training-data pipeline operators registered for the correctness gate:
@@ -209,6 +209,67 @@ object PipelineQueries {
           length(col("text").cast("binary")).as("n_bytes"),
           md5(col("text").cast("binary")).as("content_hash"),
           lower(hex(substring(col("text").cast("binary"), 1, 8))).as("head_hex"))
+    },
+
+    // Decode/feature-extract through the partition-batched codec path. The
+    // stub codec's metadata is a deterministic function of the byte length,
+    // so the ORACLE can recompute it — the mapPartitions plumbing itself is
+    // what's under test. (The float features column is spec-checked.)
+    Q(
+      "multimodal_features",
+      Some("""
+        SELECT doc_id AS media_id,
+               64 + octet_length(encode(text)) % 192 AS width,
+               64 + (octet_length(encode(text)) // 7) % 192 AS height,
+               1 AS n_frames
+        FROM documents
+      """)) { (spark, dir) =>
+      val media = Multimodal.ingest(
+        Tables(spark, dir).documents
+          .select(col("doc_id"), lit("image").as("kind"), col("text").cast("binary").as("payload")),
+        "doc_id", "kind", "payload")
+      Multimodal
+        .decodeFeatures(media, () => new Multimodal.FakeCodec(8))
+        .toDF()
+        .select(
+          col("mediaId").as("media_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("nFrames").cast("int").as("n_frames"))
+    },
+
+    // Uniform frame sampling: k evenly-spaced byte slices, hex-compared
+    // against DuckDB's arithmetic (1.0 can neither slice nor md5 BLOBs, so
+    // the oracle slices the hex string: byte b lives at hex chars 2b+1..).
+    Q(
+      "multimodal_frames",
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS payload_hex,
+                          octet_length(encode(text)) AS n FROM documents)
+        SELECT media_id, CAST(i AS INT) AS frame_idx,
+               substring(payload_hex, 2 * (CAST(floor(i * greatest(n - 16, 0) / 3) AS INT)) + 1, 32) AS frame_hex
+        FROM m, range(0, 4) t(i)
+      """)) { (spark, dir) =>
+      val media = Multimodal.ingest(
+        Tables(spark, dir).documents
+          .select(col("doc_id"), lit("image").as("kind"), col("text").cast("binary").as("payload")),
+        "doc_id", "kind", "payload")
+      Multimodal
+        .sampleFrames(media, k = 4, frameBytes = 16)
+        .select(col("media_id"), col("frame_idx"), lower(hex(col("frame"))).as("frame_hex"))
+    },
+
+    // Nearest-neighbor resize to a fixed grid — engine-specific byte output
+    // (rows-only); MultimodalSpec pins shape and determinism.
+    Q("multimodal_resize", None) { (spark, dir) =>
+      val media = Multimodal.ingest(
+        Tables(spark, dir).documents
+          .select(col("doc_id"), lit("image").as("kind"), col("text").cast("binary").as("payload")),
+        "doc_id", "kind", "payload")
+      Multimodal
+        .resizeNearest(media, tw = 16, th = 16)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"), md5(col("pixels")).as("pixels_md5"))
     }
   )
 }
