@@ -46,6 +46,22 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(array_distinct(shinglesCol(toks, w))).as("shingle"))
   }
 
+  /** (doc_id, h) rows — the HASHED shingle index: token w-grams hashed to
+    * longs inside the transform lambda, never materialized as strings (the
+    * "a b c" concat + per-shingle string allocation was ~half the scan
+    * cost). Same distinct-within-row discipline as [[shingleRows]]; all
+    * pair semantics downstream are hash-set equalities either way. */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val grams = transform(
+      sequence(lit(0), size(toks) - w),
+      i => xxhash64((0 until w).map(j => element_at(toks, i + j + 1)): _*))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .filter(size(tokensCol(col(textCol))) >= w)
+      .select(col(idCol).as("doc_id"), explode(array_distinct(grams)).as("h"))
+  }
+
   /** Exact dedup: group identical (normalized) texts, keep the smallest id.
     * At scale: group on the 128-bit digest, not the text itself, so the
     * shuffle carries 16 bytes per row instead of the document. */
@@ -74,15 +90,15 @@ object Dedup {
     // the shingle scan feeds the index twice (self-join) plus the size agg —
     // materialize it once instead of re-exploding the corpus three times.
     // (At 100 TB the index is written to storage and reused, same idea.)
-    val rows = shingleRows(docs, idCol, textCol, w).cache()
-    // join on the 64-bit shingle hash, not the string: the self-join shuffle
-    // carries 8 bytes/key and compares longs (collision odds ~ n²/2⁶⁴ —
-    // the same contract the MinHash verification path already accepts)
-    val hashed = rows.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // Hashed end to end: the self-join shuffle carries 8 bytes/key and
+    // compares longs (collision odds ~ n²/2⁶⁴ — the same contract the
+    // MinHash verification path accepts), and no shingle string is ever
+    // allocated.
+    val rows = shingleHashRows(docs, idCol, textCol, w).cache()
     val index = if (maxShingleDF > 0) {
-      val dfCounts = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      hashed.join(broadcast(dfCounts.filter(col("df") <= maxShingleDF)), "h").select("doc_id", "h")
-    } else hashed
+      val dfCounts = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      rows.join(broadcast(dfCounts.filter(col("df") <= maxShingleDF)), "h").select("doc_id", "h")
+    } else rows
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
 
     val a = index.select(col("doc_id").as("a_id"), col("h"))
@@ -144,15 +160,16 @@ object Dedup {
 
   /** (doc_id, sig: Array[Long] of length k) MinHash signatures. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 128, w: Int = 3): DataFrame =
-    minhashSignaturesFromRows(shingleRows(docs, idCol, textCol, w), k)
+    minhashSignaturesFromRows(shingleHashRows(docs, idCol, textCol, w), k)
 
-  /** Signature computation from a prepared (doc_id, shingle) index — lets
-    * callers share one shingle scan across signatures and verification. */
+  /** Signature computation from a prepared (doc_id, h) hashed-shingle index
+    * — lets callers share one shingle scan across signatures and
+    * verification. */
   def minhashSignaturesFromRows(shingles: DataFrame, k: Int): DataFrame = {
     val spark = shingles.sparkSession
     import spark.implicits._
     val rows = shingles
-      .select(col("doc_id").cast("long"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id").cast("long"), col("h"))
       .as[(Long, Long)]
     val agg = new MinHashAgg(k).toColumn
     rows.groupByKey(_._1).mapValues(_._2).agg(agg).toDF("doc_id", "sig")
@@ -197,12 +214,12 @@ object Dedup {
       bands: Int = 32,
       w: Int = 3): DataFrame = {
     // ONE shingle scan feeds both the signatures and the verification sets
-    val rows       = shingleRows(docs, idCol, textCol, w).cache()
+    val rows       = shingleHashRows(docs, idCol, textCol, w).cache()
     val sigs       = minhashSignaturesFromRows(rows, k)
     val candidates = lshCandidates(sigs, k, bands)
     val sets = rows
       .groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(col("shingle"))).as("hs"))
+      .agg(collect_set(col("h")).as("hs"))
     candidates
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))

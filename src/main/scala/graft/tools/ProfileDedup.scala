@@ -30,7 +30,7 @@ object ProfileDedup {
     val docs = Tables(spark, dir).documents
     time("scan documents")(docs.count())
     spark.catalog.clearCache()
-    val rows = Dedup.shingleRows(docs, "doc_id", "text")
+    val rows = Dedup.shingleHashRows(docs, "doc_id", "text")
     time("shingleRows cold")(rows.count())
     spark.catalog.clearCache()
     time("jaccardPairs cold")(

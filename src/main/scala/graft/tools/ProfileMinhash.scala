@@ -21,7 +21,7 @@ object ProfileMinhash {
     }
 
     val rows = time("shingleRows+cache") {
-      val r = Dedup.shingleRows(docs, "doc_id", "text").cache(); r.count(); r
+      val r = Dedup.shingleHashRows(docs, "doc_id", "text").cache(); r.count(); r
     }
     val sigs = time("signatures") {
       val s = Dedup.minhashSignaturesFromRows(rows, 128).cache(); s.count(); s
