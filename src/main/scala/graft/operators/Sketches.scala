@@ -45,4 +45,35 @@ object Sketches {
       .agg(
         percentile_approx(valueCol, array(qs.map(lit): _*), lit(accuracy)).as("quantiles"),
         count(lit(1)).as("n_rows"))
+
+  /** Heavy hitters via Count-Min Sketch: ONE pass builds a fixed-size
+    * (eps, conf) frequency sketch (mergeable binary — partial-aggregates
+    * map-side like the HLLs); candidate keys are then probed against it.
+    * At 100 TB the sketch replaces a full groupBy when only the heavy tail
+    * matters: O(log(1/δ)/ε) memory regardless of key cardinality, and a
+    * stored sketch answers later frequency queries without re-scanning.
+    *
+    * `candidates` holds the keys to probe (at scale: a distinct() over a
+    * sample, or the domain if known). Estimates over-count by at most
+    * eps·N with probability conf. */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      candidates: DataFrame,
+      minCount: Long,
+      eps: Double = 0.001,
+      confidence: Double = 0.99): DataFrame = {
+    val sketchRow = df
+      .agg(count_min_sketch(col(keyCol).cast("string"), lit(eps), lit(confidence), lit(42)).as("cms"))
+    val bytes = sketchRow.head().getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val spark = df.sparkSession
+    val bc    = spark.sparkContext.broadcast(cms)
+    val probe = org.apache.spark.sql.functions.udf((k: String) => bc.value.estimateCount(k))
+    candidates
+      .select(col(keyCol).cast("string").as(keyCol))
+      .withColumn("est_count", probe(col(keyCol)))
+      .filter(col("est_count") >= minCount)
+  }
 }

@@ -184,6 +184,17 @@ object ExtendedQueries {
         Seq(0.5, 0.95, 0.99))
     },
 
+    // Count-min heavy hitters over event types (estimates are sketch-
+    // specific → rows-only; SketchSpec pins the eps*N error envelope).
+    Q("sketch_heavy_hitters", None) { (spark, dir) =>
+      val events = Tables(spark, dir).events
+      Sketches.heavyHitters(
+        events,
+        "event_type",
+        events.select(col("event_type")).distinct(),
+        minCount = 100)
+    },
+
     // ------------------------------------------------- map-type functions
     // JSON props parsed to a real MapType, then map_keys/size — scalar
     // string/int outputs keep the cross-engine compare exact.

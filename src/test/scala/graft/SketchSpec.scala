@@ -48,6 +48,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min heavy hitters: estimates within eps*N of exact, no misses") {
+    val exact = t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val n   = exact.values.sum
+    val eps = 0.001
+    val got = Sketches
+      .heavyHitters(
+        t.events,
+        "event_type",
+        t.events.select(col("event_type")).distinct(),
+        minCount = 100,
+        eps = eps)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val trueHeavy = exact.filter(_._2 >= 100 + (eps * n).toLong) // can't slip under via over-count
+    trueHeavy.keys.foreach(k => assert(got.contains(k), s"missed heavy hitter $k"))
+    got.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(est >= ex && est <= ex + (eps * n).toLong + 1, s"$k est=$est exact=$ex")
+    }
+  }
+
   test("approx quantiles are within 2% rank error of exact") {
     val qs = Seq(0.5, 0.95, 0.99)
     val approx = Sketches
