@@ -350,24 +350,49 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document: per-bit weighted sums of token hashes,
-    * fully declarative (64 conditional sums → map-side partial agg, whole-
-    * stage codegen). */
+  /** Aggregator: 64 SimHash bit-counters updated in one tight loop per
+    * token hash — one typed agg column instead of 64 conditional sums (the
+    * declarative form planned 64 agg expressions; this buffer partial-
+    * aggregates identically but evaluates ~10× less plan machinery). */
+  final class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) buf(j) += 1 else buf(j) -= 1; j += 1 }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    override def finish(buf: Array[Int]): Long = {
+      var sig = 0L
+      var j   = 0
+      while (j < 64) { if (buf(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** 64-bit SimHash per document: per-bit weighted sums of token hashes via
+    * [[SimHashAgg]] (map-side partial agg, O(1) state per doc). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // term frequency weighting is implicit: summing ±1 per OCCURRENCE equals
     // the per-(doc,token)-count weighted sum, one shuffle cheaper
-    val tokenRows = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
+    docs
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).cast("long").as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val summed = tokenRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    summed.select(col("doc_id"), sig.as("simhash"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new SimHashAgg().toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup candidate pairs with hamming distance <= maxDist,

@@ -67,6 +67,29 @@ object Multimodal {
     }
   }
 
+  /** Ingest a DIRECTORY of media files via Spark's binaryFile source — the
+    * real-world entry point (S3/HDFS bucket of images/audio): each file
+    * becomes one row (path, modificationTime, length, content), read
+    * distributed, never through the driver. Kind is derived from the file
+    * extension; media_id from a hash of the path (stable across reruns). */
+  def ingestDir(spark: org.apache.spark.sql.SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    val raw = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val kind = when(ext.isin("jpg", "jpeg", "png", "gif", "bmp", "webp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin("mp4", "mkv", "avi", "webm"), "video")
+      .otherwise("binary")
+    raw.select(
+      xxhash64(col("path")).as("media_id"),
+      kind.as("kind"),
+      col("content").as("payload"),
+      col("length").as("n_bytes"),
+      md5(col("content")).as("content_hash"))
+  }
+
   /** Normalize any (id, kind, payload) DataFrame to the media schema:
     * (media_id, kind, payload binary, n_bytes, content_hash). */
   def ingest(df: DataFrame, idCol: String, kindCol: String, payloadCol: String): DataFrame =

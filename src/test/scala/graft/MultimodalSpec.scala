@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ingestDir reads a media directory via binaryFile, typed by extension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.wav"), Array[Byte](5, 6))
+    java.nio.file.Files.write(dir.resolve("c.bin"), Array[Byte](7))
+    val got = Multimodal.ingestDir(spark, dir.toString).collect()
+    assert(got.length == 3)
+    val byKind = got.map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_bytes")).toMap
+    assert(byKind == Map("image" -> 4L, "audio" -> 2L, "binary" -> 1L))
+    // stable ids + full pipeline compatibility: decode the ingested rows
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.ingestDir(spark, dir.toString), () => new Multimodal.FakeCodec(4)).collect()
+    assert(feats.length == 3 && feats.forall(_.features.length == 4))
+  }
+
   test("resizeNearest: fixed tw×th output for every payload size, deterministic") {
     val resized = Multimodal.resizeNearest(media, tw = 8, th = 6).collect()
     assert(resized.length == media.count())
