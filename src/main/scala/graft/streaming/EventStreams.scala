@@ -109,6 +109,29 @@ object EventStreams {
       .drop("session_idx")
   }
 
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState — the one-output-per-
+    * group-per-batch stateful shape (vs flatMapGroupsWithState's 0..n
+    * emissions in [[sessionize]]). State is O(1) per user forever; used for
+    * live per-entity counters that each micro-batch refreshes. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Event], state: GroupState[UserTotals]) => {
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+          var n    = prev.n_events
+          var s    = prev.sum_value
+          evs.foreach { e => n += 1; s += e.value }
+          val next = UserTotals(userId, n, s)
+          state.update(next)
+          next
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * signups within `withinHours` BEFORE the purchase. On a stream both
     * sides carry watermarks and the time-range predicate bounds the join

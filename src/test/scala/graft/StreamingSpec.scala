@@ -160,4 +160,38 @@ class StreamingSpec extends SparkSpec {
     // every emitted session must be a true (batch-computed) session
     assert(streamed.subsetOf(batchSessions))
   }
+
+  test("mapGroupsWithState running totals converge to batch totals") {
+    import spark.implicits._
+    val batch = events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toMap
+
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .runningUserTotals(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("totals_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    // the LAST update per user is the converged running total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("n_events").desc)
+    val finalTotals = spark
+      .table("totals_out")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toMap
+    assert(finalTotals == batch)
+  }
 }
