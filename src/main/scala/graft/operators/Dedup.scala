@@ -117,6 +117,47 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
+  /** Incremental near-dup detection: Jaccard pairs between a NEW batch and
+    * an existing corpus (old ∪ new), never re-pairing old×old — the daily-
+    * ingestion shape. `oldIndex` is a persisted (doc_id, h) hashed-shingle
+    * index ([[shingleHashRows]] output written once per batch); cost is
+    * O(new·index-hit) instead of a full-corpus recompute.
+    *
+    * Output contract matches [[jaccardPairs]] (canonical a_id < b_id rows,
+    * jacc >= threshold) restricted to pairs with >=1 new document. */
+  def incrementalJaccardPairs(
+      newDocs: DataFrame,
+      oldIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      w: Int = 3): DataFrame = {
+    val newRows = shingleHashRows(newDocs, idCol, textCol, w).cache()
+    val all = oldIndex
+      .select(col("doc_id"), col("h"))
+      .withColumn("is_new", lit(false))
+      .union(newRows.withColumn("is_new", lit(true)))
+    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+
+    val a = newRows.select(col("doc_id").as("x_id"), col("h"))
+    val b = all.select(col("doc_id").as("y_id"), col("h"), col("is_new"))
+    // count each unordered pair ONCE: new-new pairs only from the x<y side;
+    // new-old pairs only ever appear with the old doc on the y side
+    val shared = a
+      .join(b, Seq("h"))
+      .filter(col("x_id") < col("y_id") || (!col("is_new") && col("x_id") =!= col("y_id")))
+      .select(least(col("x_id"), col("y_id")).as("a_id"), greatest(col("x_id"), col("y_id")).as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("nb")), Seq("b_id"))
+      .withColumn("jacc", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+  }
+
   // ------------------------------------------------------------ MinHash/LSH
 
   /** Deterministic 2-universal hash family over a 64-bit base hash:

@@ -105,4 +105,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap ==
       again.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap)
   }
+
+  test("incremental jaccard == full jaccard restricted to new-touching pairs") {
+    import org.apache.spark.sql.functions._
+    val docs   = graft.sources.Tables(spark, SharedSpark.sf0001).documents
+    val oldSet = docs.filter(col("doc_id") % 2 === 0)
+    val newSet = docs.filter(col("doc_id") % 2 === 1)
+    val oldIdx = Dedup.shingleHashRows(oldSet, "doc_id", "text")
+
+    val incr = Dedup
+      .incrementalJaccardPairs(newSet, oldIdx, "doc_id", "text", threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9))
+      .toMap
+    val full = Dedup
+      .jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9))
+      .toMap
+    val expected = full.filter { case ((a, b), _) => a % 2 == 1 || b % 2 == 1 }
+    assert(incr == expected)
+    assert(expected.nonEmpty)
+    // old×old pairs must NOT be recomputed/emitted
+    assert(incr.keys.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+  }
 }
