@@ -71,6 +71,34 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
     },
 
+    // ------------------------------------------------ incremental dedup
+    // New batch (odd doc_ids) deduped against a stored index of the old
+    // corpus (even doc_ids) — the daily-ingestion shape. Oracle: the full
+    // exact-jaccard pair set restricted to pairs touching a new doc.
+    Q(
+      "dedup_incremental",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
+        FROM p JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+          AND (a_id % 2 = 1 OR b_id % 2 = 1)
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      Dedup.incrementalJaccardPairs(
+        docs.filter(col("doc_id") % 2 === 1),
+        Dedup.shingleHashRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold = 0.8)
+    },
+
     // ------------------------------------------------ duplicate clusters
     // Connected components over the >=0.8-jaccard near-dup graph: each doc
     // mapped to its cluster's minimum doc_id. Oracle: recursive CTE
