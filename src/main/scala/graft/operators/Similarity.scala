@@ -156,15 +156,11 @@ object Similarity {
     * (nlist × dims doubles, broadcast) and the probed fraction is
     * nprobe/nlist of the corpus.
     */
-  def ivfTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
-    // assignment is a deterministic function of the model — compute cell
-    // membership for corpus rows and the probe list for query rows
+  /** Assign vectors to their nearest centroid cell: the INDEX-BUILD step,
+    * reusable incrementally — new vectors are assigned with the stored
+    * centroid model, no retraining (write the output per batch; the
+    * centroids array is the tiny persistent model). */
+  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val cellOf = udf { (v: Seq[Double]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -177,6 +173,21 @@ object Similarity {
       }
       best
     }
+    corpus
+      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("cell", cellOf(col("cv")))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
+    // assignment is a deterministic function of the model — compute cell
+    // membership for corpus rows and the probe list for query rows
     val probesOf = udf { (v: Seq[Double]) =>
       centroids.indices
         .map { c =>
@@ -190,10 +201,7 @@ object Similarity {
         .map(_._2)
     }
 
-    val cells = corpus
-      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .withColumn("cell", cellOf(col("cv")))
+    val cells = ivfAssign(corpus, centroids)
     val q = broadcast(
       queries
         .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
