@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Similarity, Sketches, TopK}
+
+/** Degenerate-input hardening: a library operator must return an empty (or
+  * well-defined) result on empty/singleton inputs, never throw. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("dedup operators on an empty corpus return empty results") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 0.8).count() == 0)
+    assert(Dedup.minhashDupPairs(emptyDocs, "doc_id", "text", 0.8).count() == 0)
+    assert(Dedup.simhashDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.winnowDupPairs(emptyDocs, "doc_id", "text", minShared = 1).count() == 0)
+  }
+
+  test("dedup on single/short documents (no shingles possible)") {
+    import spark.implicits._
+    val tiny = Seq((1L, "one two"), (2L, "x")).toDF("doc_id", "text")
+    // both docs have < 3 tokens: no shingles, no pairs — and no crash
+    assert(Dedup.jaccardPairs(tiny, "doc_id", "text", 0.8).count() == 0)
+    assert(Dedup.minhashDupPairs(tiny, "doc_id", "text", 0.8).count() == 0)
+    // simhash still hashes single tokens
+    assert(Dedup.simhash(tiny, "doc_id", "text").count() == 2)
+  }
+
+  test("duplicateClusters of an empty pair set is empty") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long, Double)].toDF("a_id", "b_id", "jacc")
+    assert(Dedup.duplicateClusters(noPairs).count() == 0)
+  }
+
+  test("similarity search with empty query/corpus sides") {
+    import spark.implicits._
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someVecs  = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteTopK(someVecs, emptyVecs, k = 3).count() == 0)
+    assert(Similarity.bruteTopK(emptyVecs, someVecs, k = 3).count() == 0)
+    assert(Similarity.cosineDupPairs(emptyVecs, 0.5).count() == 0)
+    // k larger than corpus: returns all others, ranked
+    assert(Similarity.bruteTopK(someVecs, someVecs, k = 10).count() == 2)
+  }
+
+  test("as-of join with an empty right side keeps all left rows, null payload") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(("A", ts("2024-01-01 10:00:00"), 1)).toDF("sym", "ts", "qty")
+    val r = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("sym", "qts", "price")
+    val out = AsOfJoin.asof(l, r, Seq("sym"), "ts", "qts", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_price")))
+  }
+
+  test("top-k per group on empty input and k=1 groups") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("g", "v")
+    assert(TopK.perGroup(empty, Seq("g"), Seq("v" -> false), 3).count() == 0)
+    val one = Seq((1L, 2.0)).toDF("g", "v")
+    assert(TopK.perGroup(one, Seq("g"), Seq("v" -> false), 3).count() == 1)
+  }
+
+  test("sketches on empty input: zero-row outputs, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("k", "id")
+    assert(Sketches.distinctCounts(empty, "k", "id").count() == 0)
+    assert(Sketches.approxQuantiles(empty, "k", col("id"), Seq(0.5)).count() == 0)
+  }
+}
