@@ -131,12 +131,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      w: Int = 3): DataFrame = {
-    val newRows = shingleHashRows(newDocs, idCol, textCol, w).cache()
+      w: Int = 3): DataFrame =
+    incrementalJaccardPairsFromIndexes(
+      shingleHashRows(newDocs, idCol, textCol, w).cache(),
+      oldIndex,
+      threshold)
+
+  /** Same contract with BOTH sides as prepared (doc_id, h) indexes — the
+    * pure stored-index path (e.g. partitions of one persisted corpus
+    * index), no document scan at all. */
+  def incrementalJaccardPairsFromIndexes(
+      newRows: DataFrame,
+      oldIndex: DataFrame,
+      threshold: Double): DataFrame = {
     val all = oldIndex
       .select(col("doc_id"), col("h"))
       .withColumn("is_new", lit(false))
-      .union(newRows.withColumn("is_new", lit(true)))
+      .union(newRows.select(col("doc_id"), col("h")).withColumn("is_new", lit(true)))
     val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
 
     val a = newRows.select(col("doc_id").as("x_id"), col("h"))

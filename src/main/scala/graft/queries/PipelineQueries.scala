@@ -90,12 +90,12 @@ object PipelineQueries {
         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
           AND (a_id % 2 = 1 OR b_id % 2 = 1)
       """)) { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-      Dedup.incrementalJaccardPairs(
-        docs.filter(col("doc_id") % 2 === 1),
-        Dedup.shingleHashRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
-        "doc_id",
-        "text",
+      // both halves sliced from ONE stored index (the same cached scan the
+      // rest of the dedup family shares) — the pure stored-index path
+      val index = Dedup.shingleHashRows(Tables(spark, dir).documents, "doc_id", "text").cache()
+      Dedup.incrementalJaccardPairsFromIndexes(
+        index.filter(col("doc_id") % 2 === 1),
+        index.filter(col("doc_id") % 2 === 0),
         threshold = 0.8)
     },
 
