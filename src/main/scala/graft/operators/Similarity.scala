@@ -217,6 +217,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
   }
 
+  /** kNN classification: majority label among each query vector's k exact
+    * nearest neighbors (cosine), ties broken toward the smallest label — a
+    * fully deterministic, oracle-checkable label-propagation shape (the
+    * "retrieve-then-vote" pattern over an embedding corpus). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val neighbors = bruteTopK(corpus, queries, k)
+      .join(
+        broadcast(corpus.select(col("vec_id").as("neighbor_id"), col("label"))),
+        Seq("neighbor_id"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    neighbors
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine >= threshold, computed
     * exactly. Self-join shape — at real scale swap in [[hyperplaneBuckets]]
     * candidates first (same contract, bounded join). */

@@ -182,6 +182,29 @@ object PipelineQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), dims = EMB_DIMS, k = 10, bits = 6, tables = 12)
     },
 
+    // ------------------------------------------------- kNN classification
+    // Majority label of the 10 exact nearest neighbors, smallest-label tie
+    // break — retrieve-then-vote over the labeled embedding corpus.
+    Q(
+      "knn_label_vote",
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 32),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+        s AS (SELECT query_id, vec_id, label, list_cosine_similarity(qv, cv) AS sim
+              FROM q JOIN c ON query_id <> vec_id),
+        r AS (SELECT query_id, label,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rn
+              FROM s),
+        v AS (SELECT query_id, label, COUNT(*) AS votes FROM r WHERE rn <= 10 GROUP BY 1, 2),
+        p AS (SELECT query_id, label, votes,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+              FROM v)
+        SELECT query_id, label AS pred_label, votes FROM p WHERE rk = 1
+      """)) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.knnClassify(emb, emb.filter(col("vec_id") < 32), k = 10)
+    },
+
     // --------------------------------------------- ANN: IVF (k-means cells)
     // Approximate by construction -> rows-only; spec measures recall.
     Q("ann_ivf_topk", None) { (spark, dir) =>
