@@ -269,6 +269,37 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // Mixture statistics per (source, lang): the curation report behind
+    // training-data mixing — document counts, token budget, and exact-dup
+    // rate per slice, one scan + one fingerprint groupBy.
+    Q(
+      "corpus_mixture",
+      Some("""
+        WITH d AS (
+          SELECT source, lang,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_toks,
+                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents)
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               SUM(n_toks) AS n_tokens,
+               COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+        FROM d GROUP BY source, lang
+      """)) { (spark, dir) =>
+      val toks = tokens
+      Tables(spark, dir).documents
+        .select(
+          col("source"),
+          col("lang"),
+          size(toks).as("n_toks"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+    },
+
     // Document fingerprint: md5 over whitespace-normalized lowercased text —
     // identical digests in Spark and DuckDB, usable as an exact-dedup key.
     Q(
