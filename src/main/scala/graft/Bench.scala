@@ -15,10 +15,17 @@ object Bench {
     // query absorbs JVM/codegen/JIT cold-start (profiled at ~10s for the
     // first documents-pipeline query otherwise); sf0.1 data is NOT touched
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count()
-      catch { case _: Throwable => () }
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    SparkEntry.queries.toSeq
+      .map { case (_, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try { fn(spark, warmDir).count(); () }
+            catch { case _: Throwable => () }
+        })
+      }
+      .foreach(_.get())
+    pool.shutdown()
     spark.catalog.clearCache()
     // two full measured passes, best-of per query (single-shot numbers on
     // this box swing +-25% under GC/fs noise); caches cleared between
