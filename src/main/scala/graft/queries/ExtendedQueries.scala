@@ -159,6 +159,54 @@ object ExtendedQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_dups"))
     },
 
+    // ------------------------------------------- collection aggregation
+    // Deterministic list aggregation: collect + sort inside the row, then
+    // a scalar join — order-insensitive input contract (SURVEY.md §2f.4)
+    // made deterministic by the explicit sort.
+    Q(
+      "agg_collect_sorted",
+      Some("""
+        SELECT n_nationkey,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+               COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey"))
+        .agg(
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          count(lit(1)).as("n_customers"))
+    },
+
+    // ---------------------------------------- first/last window values
+    // first_value/last_value over an explicit full-partition frame with a
+    // total order (date, key) — frame-clause coverage the ranking windows
+    // don't touch.
+    Q(
+      "window_first_last",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+               CAST(last_value(o_totalprice) OVER w AS DOUBLE) AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      """)) { (spark, dir) =>
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir).orders
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+    },
+
     // ------------------------------------------------- sketch aggregates
     // Mergeable Datasketches HLL + HLL++ distinct estimates. Estimates are
     // engine-specific (no DuckDB parity) → rows-only gate; SketchSpec pins
