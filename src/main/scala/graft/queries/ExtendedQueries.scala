@@ -159,6 +159,49 @@ object ExtendedQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_dups"))
     },
 
+    // -------------------------------------------------- regexp functions
+    // Extraction/replacement/count parity (regexp_matches already covered
+    // by grep/quality): part-type word extraction and digit scrubbing.
+    Q(
+      "regexp_funcs_part",
+      Some("""
+        SELECT p_partkey,
+               regexp_extract(p_type, '([a-z]+)$', 1) AS type_last_word,
+               regexp_replace(p_name, '[0-9]+', '#', 'g') AS name_scrubbed,
+               len(regexp_extract_all(p_name, '[0-9]+')) AS n_number_runs
+        FROM part
+      """)) { (spark, dir) =>
+      Tables(spark, dir).part
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_type"), "([a-z]+)$", 1).as("type_last_word"),
+          regexp_replace(col("p_name"), "[0-9]+", "#").as("name_scrubbed"),
+          size(regexp_extract_all(col("p_name"), lit("[0-9]+"), lit(0))).as("n_number_runs"))
+    },
+
+    // ------------------------------------------------------ union by name
+    // Schema-evolution union: two projections with different column orders
+    // and a missing column on one side, aligned by NAME with null fill.
+    Q(
+      "union_by_name_keys",
+      Some("""
+        SELECT o_custkey AS k, 'order' AS src, CAST(o_totalprice AS DOUBLE) AS amount FROM orders WHERE o_totalprice > 200000
+        UNION ALL BY NAME
+        SELECT 'customer' AS src, c_custkey AS k, CAST(-1 AS DOUBLE) AS amount FROM customer WHERE c_acctbal < -900
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val a = t.orders
+        .filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("k"), lit("order").as("src"), col("o_totalprice").as("amount"))
+      val b = t.customer
+        .filter(col("c_acctbal") < -900)
+        .select(lit("customer").as("src"), col("c_custkey").as("k"))
+      // null-fill from the missing column becomes a -1 sentinel: mixed
+      // NULL/float columns are hash-hostile in downstream comparators
+      a.unionByName(b, allowMissingColumns = true)
+        .withColumn("amount", coalesce(col("amount"), lit(-1d)))
+    },
+
     // ------------------------------------------- collection aggregation
     // Deterministic list aggregation: collect + sort inside the row, then
     // a scalar join — order-insensitive input contract (SURVEY.md §2f.4)
