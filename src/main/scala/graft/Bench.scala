@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full-result materialization: iterate every InternalRow of the final
+    // plan (all columns evaluated, nothing collected to the driver).
+    // `.count()` let Catalyst prune final projections, timing projection-
+    // heavy queries as little more than a scan — wrong measurements.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
     // session warmup: run every query once at tiny sf0.001 so no measured
     // query absorbs JVM/codegen/JIT cold-start (profiled at ~10s for the
     // first documents-pipeline query otherwise); sf0.1 data is NOT touched
@@ -20,7 +26,7 @@ object Bench {
       .map { case (_, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
-            try { fn(spark, warmDir).count(); () }
+            try { materialize(fn(spark, warmDir)) }
             catch { case _: Throwable => () }
         })
       }
@@ -33,7 +39,7 @@ object Bench {
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val passes = (0 until 3).map { i =>

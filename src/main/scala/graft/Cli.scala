@@ -16,6 +16,7 @@ import graft.sources.Catalog
   *   LIST                           live cluster members
   *   SELF                           own id/uptime
   *   LEAVE                          stop the session
+  *   ping                           liveness probe of every live executor
   *   maple <exe> <num_maples> <prefix> <src_prefix>
   *   juice <exe> <num_juices> <prefix> <dest> <delete_input 0|1>
   *   grep <pattern> <src_prefix>    distributed grep over named datasets
@@ -56,6 +57,19 @@ final class Cli(spark: SparkSession, storageRoot: String) {
         s"${spark.sparkContext.applicationId} up ${up}s"
       case "LEAVE" :: Nil =>
         spark.stop(); "left"
+      case ("ping" | "PING") :: Nil =>
+        // reference README.md:17 "ping": the heartbeat liveness check. Here:
+        // one no-op task per live core slot, round-trip timed — proves the
+        // scheduler AND every responding executor are alive.
+        val t0    = System.nanoTime()
+        val slots = math.max(spark.sparkContext.defaultParallelism, 1)
+        val hosts = spark.sparkContext
+          .parallelize(1 to slots, slots)
+          .map(_ => java.net.InetAddress.getLocalHost.getHostName)
+          .distinct()
+          .collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        f"pong from ${hosts.length} host(s) [${hosts.sorted.mkString(",")}] in $ms%.0f ms"
       case "maple" :: exe :: num :: prefix :: src :: Nil =>
         maple(exe, num.toInt, prefix, src)
       case "juice" :: exe :: num :: prefix :: dest :: del :: Nil =>
@@ -74,7 +88,9 @@ final class Cli(spark: SparkSession, storageRoot: String) {
   def maple(exe: String, numMaples: Int, prefix: String, srcPrefix: String): String = {
     import spark.implicits._
     val lines = catalog.readPrefix(srcPrefix)
-    val pairs = MapleJuice.mapleExe(lines, exe.split(',').toSeq, numMaples)
+    // ship local exe files to every executor (reference README.md:27 done
+    // automatically); PATH binaries/flags pass through
+    val pairs = MapleJuice.mapleExe(lines, MapleJuice.ship(spark, exe.split(',').toSeq), numMaples)
     catalog.putText(prefix, pairs.map { case (k, v) => s"$k $v" })
     s"maple $prefix done"
   }
@@ -86,7 +102,7 @@ final class Cli(spark: SparkSession, storageRoot: String) {
     val pairs = catalog
       .readText(prefix)
       .flatMap(MapleJuice.parseKV(_))
-    val reduced = MapleJuice.juiceExe(pairs, exe.split(',').toSeq, numJuices)
+    val reduced = MapleJuice.juiceExe(pairs, MapleJuice.ship(spark, exe.split(',').toSeq), numJuices)
     catalog.putText(dest, reduced.map { case (k, v) => s"$k $v" })
     if (deleteInput) catalog.delete(prefix)
     s"juice $dest done"

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native rolling-hash text expressions (SURVEY.md "document fingerprinting
@@ -22,9 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * yields at least one shared fingerprint — the positional near-dup
   * detector that complements set-based MinHash.
   */
-case class RollHash(child: Expression) extends UnaryExpression {
+case class RollHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
-  // callers pass string columns (TextFunctions wraps with the cast)
+  // a non-string child is an ANALYSIS error, not a runtime ClassCastException
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "roll_hash"
 
@@ -62,10 +63,12 @@ case class RollHash(child: Expression) extends UnaryExpression {
   * candidate pairing happens relationally downstream. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression
+    with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   require(k >= 2 && w >= 1, s"k=$k must be >=2, w=$w >=1")
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "winnow_fingerprints"
 

@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cache hygiene for operators that share one scan across several plan
+    * sides: materialize the RESULT with an eager local checkpoint (one job;
+    * result blocks stored like a cached DF, lineage truncated, cleaned by
+    * the ContextCleaner when the returned frame is dropped), then release
+    * the temp caches — a long-lived session accumulates at most the live
+    * results, never the scan-sharing intermediates. On a multi-executor
+    * cluster prefer reliable checkpointing for multi-hour jobs (local
+    * checkpoint blocks die with their executor). */
+  private def materializeThenRelease(result: DataFrame, temps: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    temps.foreach(_.unpersist(false))
+    out
+  }
+
   /** Tokenize: split on whitespace runs, drop empties (same contract as
     * TextQueries — strings.Fields parity, src/node.go:929-931). */
   def tokensCol(text: Column): Column = filter(split(text, "\\s+"), t => length(t) > 0)
@@ -109,12 +123,14 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared"))
 
-    shared
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("na")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("nb")), Seq("b_id"))
-      .withColumn("jacc", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jacc") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jacc"))
+    materializeThenRelease(
+      shared
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("nb")), Seq("b_id"))
+        .withColumn("jacc", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jacc") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jacc")),
+      rows)
   }
 
   /** Incremental near-dup detection: Jaccard pairs between a NEW batch and
@@ -131,11 +147,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      w: Int = 3): DataFrame =
-    incrementalJaccardPairsFromIndexes(
-      shingleHashRows(newDocs, idCol, textCol, w).cache(),
-      oldIndex,
-      threshold)
+      w: Int = 3): DataFrame = {
+    val newRows = shingleHashRows(newDocs, idCol, textCol, w).cache()
+    materializeThenRelease(
+      incrementalJaccardPairsFromIndexes(newRows, oldIndex, threshold),
+      newRows)
+  }
 
   /** Same contract with BOTH sides as prepared (doc_id, h) indexes — the
     * pure stored-index path (e.g. partitions of one persisted corpus
@@ -216,15 +233,12 @@ object Dedup {
 
   /** Signature computation from a prepared (doc_id, h) hashed-shingle index
     * — lets callers share one shingle scan across signatures and
-    * verification. */
+    * verification. The Aggregator runs as a udaf over the ORIGINAL id
+    * column (any type groups correctly — a lossy cast-to-long would
+    * silently collapse non-numeric ids into one NULL group). */
   def minhashSignaturesFromRows(shingles: DataFrame, k: Int): DataFrame = {
-    val spark = shingles.sparkSession
-    import spark.implicits._
-    val rows = shingles
-      .select(col("doc_id").cast("long"), col("h"))
-      .as[(Long, Long)]
-    val agg = new MinHashAgg(k).toColumn
-    rows.groupByKey(_._1).mapValues(_._2).agg(agg).toDF("doc_id", "sig")
+    val mh = udaf(new MinHashAgg(k), Encoders.scalaLong)
+    shingles.groupBy(col("doc_id")).agg(mh(col("h")).as("sig"))
   }
 
   /** LSH banding: candidate pairs whose signatures collide in >=1 of
@@ -245,12 +259,14 @@ object Dedup {
         // xxhash64 hashes complex types natively — no string round-trip
         xxhash64(col("pos"), col("col")).as("bucket"))
       .cache()
-    banded
-      .as("x")
-      .join(banded.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    materializeThenRelease(
+      banded
+        .as("x")
+        .join(banded.as("y"), Seq("band", "bucket"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct(),
+      banded)
   }
 
   /** MinHash+LSH near-dup pairs, exactly verified: LSH proposes candidates,
@@ -272,13 +288,15 @@ object Dedup {
     val sets = rows
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"))
-    candidates
-      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
-      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jacc", col("shared").cast("double") / (size(col("ha")) + size(col("hb")) - col("shared")))
-      .filter(col("jacc") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jacc"))
+    materializeThenRelease(
+      candidates
+        .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
+        .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
+        .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jacc", col("shared").cast("double") / (size(col("ha")) + size(col("hb")) - col("shared")))
+        .filter(col("jacc") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jacc")),
+      rows)
   }
 
   // ------------------------------------------------------------- winnowing
@@ -313,11 +331,13 @@ object Dedup {
     } else fps
     val a = index.select(col("doc_id").as("a_id"), col("fp"))
     val b = index.select(col("doc_id").as("b_id"), col("fp"))
-    a.join(b, Seq("fp"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= minShared)
+    materializeThenRelease(
+      a.join(b, Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared),
+      fps)
   }
 
   // ----------------------------------------------------- duplicate clusters
@@ -367,6 +387,7 @@ object Dedup {
       }
       val members = parent.keySet ++ parent.values
       val rows    = members.toSeq.map(id => (id, find(id)))
+      edgePairs.unpersist(false)
       import spark.implicits._
       rows.toDF("doc_id", "cluster_id")
     } else {
@@ -392,11 +413,14 @@ object Dedup {
           .filter(col("label") =!= col("old"))
           .limit(1)
           .count()
+        labels.unpersist(false) // superseded iteration state
         labels = next
         changed = diff > 0
         iteration += 1
       }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      materializeThenRelease(
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+        labels, edges, edgePairs)
     }
   }
 
@@ -430,21 +454,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-bit weighted sums of token hashes via
-    * [[SimHashAgg]] (map-side partial agg, O(1) state per doc). */
+    * [[SimHashAgg]] (map-side partial agg, O(1) state per doc). Groups on
+    * the ORIGINAL id column — any id type keys correctly. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val sh = udaf(new SimHashAgg(), Encoders.scalaLong)
     // term frequency weighting is implicit: summing ±1 per OCCURRENCE equals
     // the per-(doc,token)-count weighted sum, one shuffle cheaper
     docs
-      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).cast("long").as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new SimHashAgg().toColumn.name("simhash"))
-      .toDF("doc_id", "simhash")
+      .groupBy(col("doc_id"))
+      .agg(sh(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs with hamming distance <= maxDist,

@@ -61,15 +61,65 @@ object MapleJuice {
     src.flatMap(fn)
   }
 
+  /** Exe distribution: the reference requires "the executables must be there
+    * for every machine" (README.md:27) by hand. [[ship]] makes it automatic:
+    * every command element that is a local file is registered with
+    * `sc.addFile` (torrent-style broadcast to every executor, any cluster
+    * size) and rewritten to a `sparkfile:` token that [[resolveShipped]]
+    * resolves INSIDE the task via `SparkFiles.get` — the executor-local
+    * path cannot be known on the driver. Non-file elements (binaries on
+    * PATH, flags) pass through untouched. */
+  private val ShipPrefix = "sparkfile:"
+
+  def ship(spark: org.apache.spark.sql.SparkSession, command: Seq[String]): Seq[String] =
+    command.map { el =>
+      val f = new java.io.File(el)
+      if (f.isFile) {
+        spark.sparkContext.addFile(f.getAbsolutePath)
+        ShipPrefix + f.getName
+      } else el
+    }
+
+  private[operators] def resolveShipped(el: String): String =
+    if (el.startsWith(ShipPrefix)) {
+      val p = org.apache.spark.SparkFiles.get(el.stripPrefix(ShipPrefix))
+      new java.io.File(p).setExecutable(true) // fetch does not promise exec bits
+      p
+    } else el
+
   /** maple with an arbitrary executable, reference-style (mapper reads lines
-    * on stdin, writes `key value` lines on stdout). RDD.pipe streams
-    * partition-at-a-time — no whole-file materialization, unlike the
-    * reference's whole-file GET per worker (src/node.go:892-909). */
+    * on stdin, writes `key value` lines on stdout). Streams each partition
+    * through the process — no whole-file materialization, unlike the
+    * reference's whole-file GET per worker (src/node.go:892-909). A
+    * dedicated writer thread feeds stdin while the task iterator drains
+    * stdout (same deadlock-free shape as RDD.pipe, which can't be used here:
+    * `sparkfile:` command tokens must resolve executor-side). */
   def mapleExe(lines: Dataset[String], command: Seq[String], numTasks: Int = 0): Dataset[(String, String)] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    val src   = if (numTasks > 0) lines.repartition(numTasks) else lines
-    val piped = src.rdd.pipe(command).flatMap(parseKV)
+    val src = if (numTasks > 0) lines.repartition(numTasks) else lines
+    val piped = src.rdd.mapPartitions { it =>
+      val cmd  = command.map(resolveShipped)
+      val proc = new ProcessBuilder(cmd: _*).start()
+      val sink = new java.io.PrintWriter(
+        new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8)))
+      val writer = new Thread(() => {
+        try it.foreach(sink.println)
+        finally sink.close()
+      }, "graft-maple-stdin")
+      writer.setDaemon(true)
+      writer.start()
+      val outLines = scala.io.Source
+        .fromInputStream(proc.getInputStream)(scala.io.Codec.UTF8)
+        .getLines()
+      outLines.flatMap(parseKV) ++ {
+        // by-name tail: runs after stdout is exhausted
+        val status = proc.waitFor()
+        require(status == 0, s"maple exe exited with $status")
+        Iterator.empty
+      }
+    }
     spark.createDataset(piped)
   }
 
@@ -116,7 +166,7 @@ object MapleJuice {
         finally w.close()
         val out = new StringBuilder
         import scala.sys.process._
-        val cmd    = command :+ tmp.toString
+        val cmd    = command.map(resolveShipped) :+ tmp.toString
         val status = cmd.!(ProcessLogger(line => { out.append(line); out.append('\n') }, _ => ()))
         require(status == 0, s"juice exe exited with $status")
         out.toString.trim

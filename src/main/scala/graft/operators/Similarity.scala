@@ -237,10 +237,11 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
 
-  /** Embedding near-dup pairs: all pairs with cosine >= threshold, computed
-    * exactly. Self-join shape — at real scale swap in [[hyperplaneBuckets]]
-    * candidates first (same contract, bounded join). */
-  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-dup pairs, exact: ALL pairs with cosine >= threshold via
+    * an O(n²·d) self-join. This is the oracle/baseline path — correct at any
+    * threshold, affordable only for small n (thousands). [[cosineDupPairs]]
+    * gates into it automatically. */
+  def cosineDupPairsExact(vectors: DataFrame, threshold: Double): DataFrame = {
     val withNorm = vectors
       .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
@@ -252,4 +253,58 @@ object Similarity {
       .filter(col("sim6") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
   }
+
+  /** Embedding near-dup pairs, LSH-bucketed: candidate pairs are vectors
+    * sharing a hyperplane bucket in ANY of `tables` hash tables; each
+    * candidate is then verified with the EXACT cosine, so every emitted pair
+    * satisfies the threshold — only recall is approximate. Join cost is
+    * bounded by bucket occupancy (equi-join on (table, bucket)), never n².
+    *
+    * Recall math (random hyperplanes): a pair at angle θ collides per table
+    * with prob (1-θ/π)^bits. Defaults bits=8, tables=12 give ~0.98 recall at
+    * cosine 0.9 — near-dup territory. LOW thresholds (<0.7) are not LSH
+    * territory at any setting; use the exact path or raise tables. */
+  def cosineDupPairsBucketed(
+      vectors: DataFrame,
+      threshold: Double,
+      bits: Int = 8,
+      tables: Int = 12): DataFrame = {
+    val buckets = hyperplaneBuckets(vectors, dims = 0, bits = bits, tables = tables)
+    val candidates = buckets
+      .select(col("table"), col("bucket"), col("vec_id").as("a_id"))
+      .join(
+        buckets.select(col("table"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val withNorm = vectors
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val a   = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b   = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    candidates
+      .join(a, Seq("a_id"))
+      .join(b, Seq("b_id"))
+      .withColumn("sim6", round(sim, 6))
+      .filter(col("sim6") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
+  }
+
+  /** Embedding near-dup pairs with cosine >= threshold. Size-gated the way
+    * Dedup.duplicateClusters gates union-find: at or under `exactGate` rows
+    * (one cheap count — parquet metadata at scale) the exact all-pairs join
+    * runs (small-corpus/oracle contract, exact at ANY threshold); above it
+    * the LSH-bucketed candidates + exact-verify path runs — emitted pairs
+    * are still exact, recall ~0.98 at near-dup thresholds (0.9+), and the
+    * join is bucket-bounded instead of O(n²). */
+  def cosineDupPairs(
+      vectors: DataFrame,
+      threshold: Double,
+      exactGate: Long = 1L << 16,
+      bits: Int = 8,
+      tables: Int = 12): DataFrame =
+    if (vectors.count() <= exactGate) cosineDupPairsExact(vectors, threshold)
+    else cosineDupPairsBucketed(vectors, threshold, bits, tables)
 }

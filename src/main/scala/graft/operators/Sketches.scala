@@ -46,6 +46,22 @@ object Sketches {
         percentile_approx(valueCol, array(qs.map(lit): _*), lit(accuracy)).as("quantiles"),
         count(lit(1)).as("n_rows"))
 
+  /** Long-form quantiles: one row per (group, q, value) — same sketch pass
+    * as [[approxQuantiles]], with the array unpivoted via posexplode so the
+    * output is all-scalar (sortable/hashable by any downstream harness; the
+    * array form crashed the r1 oracle compare). */
+  def approxQuantilesLong(df: DataFrame, groupCol: String, valueCol: Column, qs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    approxQuantiles(df, groupCol, valueCol, qs, accuracy)
+      .select(
+        col(groupCol),
+        col("n_rows"),
+        posexplode(col("quantiles")).as(Seq("pos", "value")))
+      .select(
+        col(groupCol),
+        element_at(array(qs.map(lit): _*), col("pos") + 1).as("q"),
+        col("value"),
+        col("n_rows"))
+
   /** Heavy hitters via Count-Min Sketch: ONE pass builds a fixed-size
     * (eps, conf) frequency sketch (mergeable binary — partial-aggregates
     * map-side like the HLLs); candidate keys are then probed against it.

@@ -266,9 +266,11 @@ object ExtendedQueries {
         "event_type")
     },
 
-    // Distributed approximate quantiles per order status.
+    // Distributed approximate quantiles per order status — long form (one
+    // scalar row per group×quantile) so the output is harness-sortable; the
+    // array-column form remains as Sketches.approxQuantiles.
     Q("sketch_quantiles_price", None) { (spark, dir) =>
-      Sketches.approxQuantiles(
+      Sketches.approxQuantilesLong(
         Tables(spark, dir).orders,
         "o_orderstatus",
         col("o_totalprice"),

@@ -220,10 +220,10 @@ object PipelineQueries {
       Some("""
         WITH w AS (
           SELECT COUNT(*) AS n,
-                 SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS r1,
-                 SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS r2,
-                 SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS r3,
-                 SUM(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS r4
+                 CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+                 CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+                 CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+                 CAST(SUM(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS BIGINT) AS r4
           FROM lineitem)
         SELECT 'l_quantity_not_null' AS rule, r1 AS n_violations, n AS n_rows, CAST(r1 AS DOUBLE)/n AS violation_rate FROM w
         UNION ALL SELECT 'l_quantity_in_range', r2, n, CAST(r2 AS DOUBLE)/n FROM w

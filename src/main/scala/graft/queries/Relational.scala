@@ -360,7 +360,7 @@ object Relational {
       "json_funcs_events",
       Some("""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(*) AS n
         FROM events GROUP BY event_type
       """)) { (spark, dir) =>

@@ -282,7 +282,7 @@ object TextQueries {
           FROM documents)
         SELECT source, lang,
                COUNT(*) AS n_docs,
-               SUM(n_toks) AS n_tokens,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
                COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
         FROM d GROUP BY source, lang
       """)) { (spark, dir) =>

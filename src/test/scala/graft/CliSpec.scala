@@ -30,6 +30,14 @@ class CliSpec extends SparkSpec {
     assert(cli.handle("FROB x").startsWith("unknown command"))
   }
 
+  test("ping probes every live executor slot (reference README.md:17 parity)") {
+    val cli = freshCli()
+    val out = cli.handle("ping")
+    assert(out.startsWith("pong from"), out)
+    assert(out.contains("host"), out)
+    assert(cli.handle("PING").startsWith("pong from"), "case-insensitive like the reference REPL")
+  }
+
   test("maple/juice word count end to end through the CLI (exe UDFs)") {
     import spark.implicits._
     val cli = freshCli()

@@ -74,6 +74,30 @@ class MapleJuiceSpec extends SparkSpec {
     assert(out == Set(("1", "a"), ("2", "b"), ("3", "a")))
   }
 
+  test("ship distributes a local exe file and tasks resolve it via SparkFiles") {
+    import spark.implicits._
+    // a real on-disk mapper script, referenced by ABSOLUTE LOCAL PATH only —
+    // ship() must addFile it and tasks must resolve the executor-side copy
+    val script = java.nio.file.Files.createTempFile("graft_mapper_", ".sh")
+    java.nio.file.Files.writeString(script, "#!/bin/sh\nwhile read k v; do echo \"$v $k\"; done\n")
+    script.toFile.setExecutable(true)
+    val shipped = ship(spark, Seq(script.toString))
+    assert(shipped.head.startsWith("sparkfile:"), s"local file must be rewritten: $shipped")
+    assert(ship(spark, Seq("wc", "-l")) == Seq("wc", "-l"), "PATH binaries pass through")
+    val lines = Seq("a 1", "b 2").toDS()
+    val out   = mapleExe(lines, shipped).collect().toSet
+    assert(out == Set(("1", "a"), ("2", "b")))
+  }
+
+  test("mapleExe fails loudly when the exe exits nonzero") {
+    import spark.implicits._
+    val lines = Seq("x 1").toDS()
+    val ex = intercept[Exception] {
+      mapleExe(lines, Seq("sh", "-c", "exit 3")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("juiceExe runs `reducer <keyfile>` per group (word-count exe parity)") {
     import spark.implicits._
     val pairs = Seq(("the", "1"), ("the", "1"), ("fox", "1")).toDS()

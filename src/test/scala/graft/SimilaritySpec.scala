@@ -73,4 +73,47 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  /** Planted near-dup corpus: `n` deterministic base vectors, each with a
+    * slightly-perturbed copy (cosine ≈ 0.99+) — ground truth for the
+    * bucketed path's recall. */
+  private def plantedNearDups(n: Int, dims: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until n).flatMap { i =>
+      val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, near))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bucketed dup pairs: no quadratic join in the plan, exact-verified output") {
+    val vecs = plantedNearDups(64, dims = 32)
+    val bucketed = Similarity.cosineDupPairsBucketed(vecs, threshold = 0.95)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bucketed path must not cross-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed path must equi-join on buckets")
+    // precision 1.0 by construction: every emitted pair passed the exact check
+    val exact = Similarity.cosineDupPairsExact(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "bucketed output must be a subset of the exact pairs")
+    // recall at near-dup threshold: expected ~1.0 with bits=8 x 12 tables
+    assert(exact.nonEmpty)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"bucketed recall $recall too low at threshold 0.95")
+  }
+
+  test("cosineDupPairs size gate dispatches to the bucketed path above the gate") {
+    val vecs = plantedNearDups(16, dims = 16)
+    // gate=0 forces the scale path; same exact-verified contract
+    val gated = Similarity.cosineDupPairs(vecs, threshold = 0.95, exactGate = 0)
+    val plan  = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val exact = Similarity.cosineDupPairsExact(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = gated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+  }
 }

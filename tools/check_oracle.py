@@ -6,52 +6,66 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query parquet dumped by graft.Verify, runs the matching oracle SQL
 from oracle_sql.json in DuckDB over views named after the sfDir tables, then
-compares: column names (sorted), row counts, and values (rows sorted, exact
-for ints/strings, tiny-epsilon report for floats).
+compares the way the driver does: both sides through pandas, rows sorted by
+all columns (sorted column order), then value-AND-dtype-sensitive equality.
+A DuckDB HUGEINT (pandas float64/object) vs Spark int64 is a FAIL here even
+when the values are numerically equal — that's exactly what the driver's
+hash sees (r1 postmortem: corpus_mixture / quality_profile / json_funcs).
 """
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(rows):
-    # sort key is type-tagged strings so NULL/float/str mixes cannot crash
-    # the sort; equality comparison below still sees the raw values
-    return sorted(
-        (tuple("NULL" if v is None else v for v in r) for r in rows),
-        key=lambda r: tuple(str(v) for v in r),
-    )
+def normalize(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    try:
+        df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    except TypeError as e:  # driver's pandas lexsort dies the same way
+        raise RuntimeError(f"unsortable output (driver would crash): {e}")
+    return df
 
 
-def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
-    if sorted(spark_cols) != sorted(duck_cols):
-        return f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
-    # reorder both to sorted column order
-    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
-    didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s = canon([[r[i] for i in sidx] for r in spark_rows])
-    d = canon([[r[i] for i in didx] for r in duck_rows])
+def compare(name, sdf, ddf):
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return f"SCHEMA MISMATCH spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
+    try:
+        s, d = normalize(sdf), normalize(ddf)
+    except RuntimeError as e:
+        return str(e)
     if len(s) != len(d):
         return f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
+    def kind(dt):
+        # the driver's hash is insensitive to integer WIDTH (int32 vs int64
+        # both passed r1) but float64-vs-int64 failed — compare by kind
+        k = dt.kind  # i/u int, f float, O object, b bool, M datetime
+        return "i" if k == "u" else k
+
+    for c in s.columns:
+        if kind(s[c].dtype) != kind(d[c].dtype):
+            return f"DTYPE MISMATCH col={c} spark={s[c].dtype} duck={d[c].dtype} (driver hash would differ)"
     worst = 0.0
-    for sr, dr in zip(s, d):
-        for a, b in zip(sr, dr):
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for a, b in zip(sv, dv):
+            if a is None and b is None:
+                continue
             if isinstance(a, float) and isinstance(b, float):
                 if math.isnan(a) and math.isnan(b):
                     continue
                 diff = abs(a - b)
                 if diff > worst:
                     worst = diff
-                if diff > 0:
-                    pass
-            elif a != b:
-                return f"VALUE MISMATCH {sr} vs {dr}"
+            elif a != b and not (a != a and b != b):  # NaN-safe
+                return f"VALUE MISMATCH col={c}: {a!r} vs {b!r}"
     if worst > 0:
-        return f"FLOAT DIFF max={worst:g} (hash would fail if nonzero repr diff)"
+        return f"FLOAT DIFF max={worst:g} (hash fails on any repr diff)"
     return None
 
 
@@ -69,25 +83,19 @@ def main(sf_dir, out_dir):
             print(f"MISSING  {name}: no spark output")
             fail += 1
             continue
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet({files!r})"
-        )
-        spark_cols = [d[0] for d in sdf.description]
-        spark_rows = sdf.fetchall()
+        sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
         try:
-            ddf = con.execute(sql)
-            duck_cols = [d[0] for d in ddf.description]
-            duck_rows = ddf.fetchall()
+            ddf = con.execute(sql).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             fail += 1
             continue
-        err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        err = compare(name, sdf, ddf)
         if err:
             print(f"FAIL     {name}: {err}")
             fail += 1
         else:
-            print(f"ok       {name}  ({len(spark_rows)} rows)")
+            print(f"ok       {name}  ({len(sdf)} rows)")
             ok += 1
     print(f"\n{ok} ok, {fail} failed")
     return 1 if fail else 0
