@@ -39,7 +39,16 @@ final class Cli(spark: SparkSession, storageRoot: String) {
     parts match {
       case Nil | List("") => ""
       case "PUT" :: name :: local :: Nil =>
-        catalog.put(name, local); s"put $name"
+        // reference parity: a PUT racing a <60s-old write needs confirmation
+        // (src/master.go:121-178); non-interactively that is reject-by-default
+        // with an explicit `PUT <name> <local> force` override (the "Y").
+        try { catalog.put(name, local); s"put $name" }
+        catch {
+          case c: graft.sources.PutConflictException =>
+            s"put conflict: ${c.getMessage} — rerun as: PUT $name $local force"
+        }
+      case "PUT" :: name :: local :: "force" :: Nil =>
+        catalog.put(name, local, force = true); s"put $name"
       case "GET" :: name :: local :: Nil =>
         catalog.get(name, local); s"got $name -> $local"
       case "DELETE" :: name :: Nil =>
@@ -75,8 +84,10 @@ final class Cli(spark: SparkSession, storageRoot: String) {
       case "juice" :: exe :: num :: prefix :: dest :: del :: Nil =>
         juice(exe, num.toInt, prefix, dest, del == "1")
       case "grep" :: pattern :: src :: Nil =>
-        val hits = catalog.readPrefix(src).filter(_.matches(".*" + pattern + ".*"))
-        val n    = hits.count()
+        // codegen'd rlike (unanchored find ≡ the reference's grep), not a
+        // per-row closure recompiling the Pattern on every line
+        import org.apache.spark.sql.functions.col
+        val n = catalog.readPrefix(src).toDF("line").filter(col("line").rlike(pattern)).count()
         s"$n matching lines"
       case other =>
         s"unknown command: ${other.mkString(" ")}"

@@ -99,25 +99,81 @@ object MapleJuice {
     import spark.implicits._
     val src = if (numTasks > 0) lines.repartition(numTasks) else lines
     val piped = src.rdd.mapPartitions { it =>
+      val ctx  = org.apache.spark.TaskContext.get()
       val cmd  = command.map(resolveShipped)
       val proc = new ProcessBuilder(cmd: _*).start()
+
+      // Drain child stderr: an exe logging more than the OS pipe buffer
+      // (~64 KB) would otherwise block on write, stop emitting stdout, and
+      // hang the task forever (RDD.pipe runs the same dedicated reader).
+      val stderrDrain = new Thread(() => {
+        val err = proc.getErrorStream
+        val buf = new Array[Byte](8192)
+        try { while (err.read(buf) != -1) () }
+        catch { case _: java.io.IOException => () }
+      }, "graft-maple-stderr")
+      stderrDrain.setDaemon(true)
+      stderrDrain.start()
+
+      // Stdin writer. Two hard requirements mirrored from Spark's PipedRDD:
+      //  - the thread carries the task's TaskContext (consuming a shuffle or
+      //    cached-block iterator off-thread without it can mis-release block
+      //    locks);
+      //  - an upstream failure (shuffle fetch, cached-block read) must NOT
+      //    die silently in the thread — closing stdin would hand the exe a
+      //    truncated-but-EOF-terminated input, it would exit 0, and the task
+      //    would succeed with silently partial output. The failure is stored
+      //    and rethrown from the consuming iterator below.
+      val upstreamFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val sink = new java.io.PrintWriter(
         new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8)))
       val writer = new Thread(() => {
+        if (ctx != null) org.apache.spark.sql.graftbridge.Bridge.setTaskContext(ctx)
         try it.foreach(sink.println)
+        catch { case t: Throwable => upstreamFailure.set(t) }
         finally sink.close()
       }, "graft-maple-stdin")
       writer.setDaemon(true)
       writer.start()
-      val outLines = scala.io.Source
+
+      // Partial consumption downstream (limit/take/first) abandons the
+      // iterator before the exit-status tail runs — without this listener
+      // the child process would leak until executor shutdown.
+      if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+        if (proc.isAlive) proc.destroyForcibly()
+      }
+
+      def rethrowUpstream(): Unit = {
+        val t = upstreamFailure.get()
+        if (t != null)
+          throw new RuntimeException(s"maple upstream input failed feeding ${cmd.head}", t)
+      }
+
+      val parsed = scala.io.Source
         .fromInputStream(proc.getInputStream)(scala.io.Codec.UTF8)
         .getLines()
-      outLines.flatMap(parseKV) ++ {
-        // by-name tail: runs after stdout is exhausted
-        val status = proc.waitFor()
-        require(status == 0, s"maple exe exited with $status")
-        Iterator.empty
+        .flatMap(parseKV)
+      new scala.collection.AbstractIterator[(String, String)] {
+        private var tailChecked = false
+        override def hasNext: Boolean = {
+          rethrowUpstream()
+          if (parsed.hasNext) true
+          else {
+            if (!tailChecked) {
+              val status = proc.waitFor()
+              writer.join()
+              rethrowUpstream()
+              require(status == 0, s"maple exe exited with $status")
+              tailChecked = true
+            }
+            false
+          }
+        }
+        override def next(): (String, String) = {
+          if (!hasNext) throw new NoSuchElementException("empty maple output")
+          parsed.next()
+        }
       }
     }
     spark.createDataset(piped)

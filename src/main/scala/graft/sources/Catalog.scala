@@ -19,7 +19,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * PUT / GET / DELETE / LS / STORE, plus prefix listing used by maple source
   * scans (src/master.go:448-453).
   */
-final class Catalog(spark: SparkSession, root: String) {
+final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long = Catalog.DefaultConflictWindowMs) {
   private val conf: Configuration = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem      = new Path(root).getFileSystem(conf)
   private def pathOf(name: String): Path = new Path(root, name)
@@ -27,10 +27,28 @@ final class Catalog(spark: SparkSession, root: String) {
   fs.mkdirs(new Path(root))
 
   /** PUT: upload a local file under a global name (overwrite semantics, like
-    * the reference's subsequent-PUT branch src/master.go:212-298; the 60 s
-    * interactive write-write confirm is intentionally not reproduced). */
-  def put(name: String, localFile: String): Unit =
+    * the reference's subsequent-PUT branch src/master.go:212-298).
+    *
+    * Write-write conflict window: the reference interactively confirms a PUT
+    * landing within 60 s of the previous write to the same name
+    * (src/master.go:121-178, src/master.go:225-227, minute=60 at
+    * src/master_helpers.go:27). The non-interactive equivalent here: the
+    * racing PUT is REJECTED with [[PutConflictException]] unless
+    * `force = true` (the "Y" answer). The last-write time is the storage
+    * layer's modification time, so the check holds across concurrent
+    * clients of the same namespace — no driver-local state. Engine-native
+    * writes ([[putText]]/[[putTable]]) are deliberate pipeline sinks, not
+    * interactive uploads, and keep plain overwrite semantics. */
+  def put(name: String, localFile: String, force: Boolean = false): Unit = {
+    if (!force && putConflictWindowMs > 0) {
+      val p = pathOf(name)
+      if (fs.exists(p)) {
+        val ageMs = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        if (ageMs < putConflictWindowMs) throw new PutConflictException(name, ageMs, putConflictWindowMs)
+      }
+    }
     fs.copyFromLocalFile(false, true, new Path(localFile), pathOf(name))
+  }
 
   /** PUT of an in-memory dataset (engine-native write path). */
   def putText(name: String, ds: Dataset[String]): Unit = {
@@ -131,3 +149,14 @@ final class Catalog(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = fs.exists(pathOf(name))
 }
+
+object Catalog {
+  /** Reference parity: `minute = 60` seconds at src/master_helpers.go:27. */
+  val DefaultConflictWindowMs: Long = 60000L
+}
+
+/** A PUT raced a recent write to the same name (within the reference's 60 s
+  * confirm window) and was rejected; retry with `force = true` to overwrite. */
+final class PutConflictException(val name: String, val ageMs: Long, val windowMs: Long)
+    extends RuntimeException(
+      s"'$name' was written ${ageMs}ms ago (< ${windowMs}ms conflict window)")

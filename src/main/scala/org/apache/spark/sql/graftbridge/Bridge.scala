@@ -22,6 +22,14 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
 
+  /** Install a TaskContext on the current thread — needed by helper threads
+    * (e.g. a process-stdin writer) that consume a task's shuffle or cached
+    * block iterators: block locks are tracked per TaskContext, and a thread
+    * without one can mis-release them (same reason Spark's own PipedRDD sets
+    * it in its stdin writer thread). */
+  def setTaskContext(ctx: org.apache.spark.TaskContext): Unit =
+    org.apache.spark.TaskContext.setTaskContext(ctx)
+
   /** Idempotently register an extra planner strategy on the session. */
   def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

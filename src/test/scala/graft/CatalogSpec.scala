@@ -63,6 +63,29 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.putTable("x", df, "avro"))
   }
 
+  test("racing PUTs within the conflict window: reject, force, expire") {
+    import graft.sources.{Catalog, PutConflictException}
+    val root = Files.createTempDirectory("graft_catalog_conflict_")
+    val cat  = new Catalog(spark, root.toString, putConflictWindowMs = 400L)
+    val v1   = Files.createTempFile("graft_v1_", ".txt")
+    val v2   = Files.createTempFile("graft_v2_", ".txt")
+    Files.writeString(v1, "v1\n")
+    Files.writeString(v2, "v2\n")
+
+    cat.put("race", v1.toString)
+    // second writer inside the window: rejected, first write preserved
+    val c = intercept[PutConflictException](cat.put("race", v2.toString))
+    assert(c.name == "race" && c.windowMs == 400L)
+    assert(cat.readText("race").collect().toSeq == Seq("v1"))
+    // force = the interactive "Y" (reference src/master.go:121-178)
+    cat.put("race", v2.toString, force = true)
+    assert(cat.readText("race").collect().toSeq == Seq("v2"))
+    // outside the window: plain subsequent-PUT overwrite, no confirm needed
+    Thread.sleep(450L)
+    cat.put("race", v1.toString)
+    assert(cat.readText("race").collect().toSeq == Seq("v1"))
+  }
+
   test("PUT overwrites (reference subsequent-PUT semantics)") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

@@ -98,6 +98,43 @@ class MapleJuiceSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("mapleExe survives an exe flooding stderr past the OS pipe buffer") {
+    import spark.implicits._
+    // 1 MB to stderr BEFORE consuming stdin: without a dedicated stderr
+    // drainer the child blocks on the full pipe and the task hangs forever
+    val script = java.nio.file.Files.createTempFile("graft_noisy_", ".sh")
+    java.nio.file.Files.writeString(
+      script,
+      "#!/bin/sh\nyes noisy-stderr-line | head -c 1048576 >&2\nwhile read k v; do echo \"$k $v\"; done\n")
+    script.toFile.setExecutable(true)
+    val lines = (1 to 50).map(i => s"k$i $i").toDS().repartition(1)
+    val out   = mapleExe(lines, Seq(script.toString)).collect().toSet
+    assert(out == (1 to 50).map(i => (s"k$i", i.toString)).toSet)
+  }
+
+  test("mapleExe propagates an upstream input failure instead of exiting 0 on truncated stdin") {
+    import spark.implicits._
+    val lines = spark
+      .range(100)
+      .repartition(1)
+      .map(i => if (i == 60) throw new IllegalStateException("upstream boom") else s"w$i 1")
+    val ex = intercept[Exception] {
+      mapleExe(lines, Seq("cat")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("upstream boom")), s"got: ${chain(ex)}")
+  }
+
+  test("mapleExe under partial consumption (limit) completes and cleans up") {
+    import spark.implicits._
+    // downstream take(1) abandons the output iterator: the task-completion
+    // listener must reap the still-running child (no leak, no hang)
+    val lines = (1 to 10000).map(i => s"k$i $i").toDS().repartition(1)
+    val first = mapleExe(lines, Seq("cat")).take(1)
+    assert(first.length == 1)
+  }
+
   test("juiceExe runs `reducer <keyfile>` per group (word-count exe parity)") {
     import spark.implicits._
     val pairs = Seq(("the", "1"), ("the", "1"), ("fox", "1")).toDS()
