@@ -64,22 +64,48 @@ object Similarity {
     * expression computes every table's bucket in a single pass — plane
     * signs are derived deterministically inside the expression (an earlier
     * literal-plane-matrix formulation put ~5k literals in the plan and made
-    * PLANNING the dominant cost). `dims` is taken from the data. */
-  def hyperplaneBuckets(vectors: DataFrame, dims: Int, bits: Int = 16, tables: Int = 4): DataFrame =
+    * PLANNING the dominant cost). Dimensionality is taken from the data. */
+  def hyperplaneBuckets(vectors: DataFrame, bits: Int = 16, tables: Int = 4): DataFrame =
     vectors
       .select(
         col("vec_id"),
         posexplode(graft.functions.VectorFunctions.hyperplane_sig(col("embedding"), bits, tables)))
       .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
 
-  /** ANN top-k via LSH: score only same-bucket candidates (union over
-    * tables), exact cosine on that candidate set. Recall < 1 by design;
-    * rows-only checked (the exact contract is [[bruteTopK]]). */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, dims: Int, k: Int, bits: Int = 12, tables: Int = 6): DataFrame = {
-    val cb = hyperplaneBuckets(corpus, dims, bits, tables)
+  /** Multi-probe expansion of a signature bucket: every bucket within
+    * hamming distance <= `radius` of the query's own. Standard multi-probe
+    * LSH — the near neighbors a query misses are overwhelmingly in buckets
+    * that differ by one or two sign bits, so probing them buys the recall
+    * of many extra tables for the cost of a few extra (tiny) bucket reads.
+    * QUERY-side only: the corpus still stores exactly one bucket per table,
+    * so index size and the equi-join shape are unchanged at any scale. */
+  private def probeBuckets(bucket: Column, bits: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 2, s"probe radius 0..2 supported, got $radius")
+    val expand = udf { (b: Long) =>
+      val buf = scala.collection.mutable.ArrayBuffer(b)
+      if (radius >= 1) for (i <- 0 until bits) buf += (b ^ (1L << i))
+      if (radius >= 2) for (i <- 0 until bits; j <- (i + 1) until bits) buf += (b ^ (1L << i) ^ (1L << j))
+      buf.toSeq
+    }
+    expand(bucket)
+  }
+
+  /** ANN top-k via LSH: score only candidates sharing a (multi-probed)
+    * bucket in any table, exact cosine on that candidate set. Recall < 1 by
+    * design; rows-only checked (the exact contract is [[bruteTopK]]). */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 6,
+      probeHamming: Int = 1): DataFrame = {
+    val cb = hyperplaneBuckets(corpus, bits, tables)
       .withColumnRenamed("vec_id", "neighbor_id")
     val qb = broadcast(
-      hyperplaneBuckets(queries, dims, bits, tables).withColumnRenamed("vec_id", "query_id"))
+      hyperplaneBuckets(queries, bits, tables)
+        .withColumn("bucket", explode(probeBuckets(col("bucket"), bits, probeHamming)))
+        .withColumnRenamed("vec_id", "query_id"))
     val candidates = qb
       .join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -108,6 +134,19 @@ object Similarity {
     * the cluster never iterates — one O(n log s) sampling pass, then Lloyd's
     * on ≤ sampleN×dims doubles in driver memory. Deterministic: hash order
     * and farthest-point-style init are seed-free functions of the data. */
+  /** L2-normalize in place (zero vectors pass through). The quantizer and
+    * cell assignment work on UNIT vectors: search ranks by cosine, and on
+    * the unit sphere L2² = 2·(1−cos), so normalized-L2 cells are exactly
+    * cosine cells — unnormalized L2 cells disagree with cosine whenever
+    * vector norms vary, which was the main IVF recall leak. */
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < v.length) { v(i) /= n; i += 1 } }
+    v
+  }
+
   private[operators] def trainCoarseQuantizer(
       corpus: DataFrame,
       nlist: Int,
@@ -118,7 +157,7 @@ object Similarity {
       .orderBy(col("h"), col("v")(0))
       .limit(sampleN)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(r => normalized(r.getSeq[Double](0).toArray))
     if (sample.isEmpty) return Array(Array.empty[Double])
     val kk = math.min(nlist, sample.length)
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -156,27 +195,34 @@ object Similarity {
     * (nlist × dims doubles, broadcast) and the probed fraction is
     * nprobe/nlist of the corpus.
     */
-  /** Assign vectors to their nearest centroid cell: the INDEX-BUILD step,
-    * reusable incrementally — new vectors are assigned with the stored
-    * centroid model, no retraining (write the output per batch; the
-    * centroids array is the tiny persistent model). */
-  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val cellOf = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        var d = 0.0; var i = 0
-        val ctr = centroids(c)
-        while (i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
+  /** Assign vectors to their `assign` nearest centroid cells: the
+    * INDEX-BUILD step, reusable incrementally — new vectors are assigned
+    * with the stored centroid model, no retraining (write the output per
+    * batch; the centroids array is the tiny persistent model).
+    *
+    * `assign > 1` is corpus-side multi-assignment: a vector near a cell
+    * boundary is indexed into each of its closest cells, so a query probing
+    * either side still finds it. Index size scales ×assign (storage), but
+    * probe cost per query is unchanged — the standard recall lever when the
+    * corpus has weak cluster structure. */
+  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]], assign: Int = 1): DataFrame = {
+    val cellsOf = udf { (v: Seq[Double]) =>
+      val u = normalized(v.toArray) // cosine cells, matching the quantizer
+      centroids.indices
+        .map { c =>
+          var d = 0.0; var i = 0
+          val ctr = centroids(c)
+          while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
+          (d, c)
+        }
+        .sortBy(_._1)
+        .take(math.max(assign, 1))
+        .map(_._2)
     }
     corpus
       .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("cell", cellOf(col("cv")))
+      .withColumn("cell", explode(cellsOf(col("cv"))))
   }
 
   def ivfTopK(
@@ -184,16 +230,18 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      assign: Int = 2): DataFrame = {
     val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
     // assignment is a deterministic function of the model — compute cell
     // membership for corpus rows and the probe list for query rows
     val probesOf = udf { (v: Seq[Double]) =>
+      val u = normalized(v.toArray)
       centroids.indices
         .map { c =>
           var d = 0.0; var i = 0
           val ctr = centroids(c)
-          while (i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+          while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
           (d, c)
         }
         .sortBy(_._1)
@@ -201,17 +249,32 @@ object Similarity {
         .map(_._2)
     }
 
-    val cells = ivfAssign(corpus, centroids)
+    val cells = ivfAssign(corpus, centroids, assign)
+    val qprobe = broadcast(
+      queries
+        .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("cell", explode(probesOf(col("qv"))))
+        .select(col("query_id"), col("cell")))
+    // with assign > 1 a (query, neighbor) pair can meet in several shared
+    // cells — dedupe BEFORE ranking or row_number counts duplicates
+    val candidates = qprobe
+      .join(cells.select(col("cell"), col("neighbor_id")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+
     val q = broadcast(
       queries
         .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
-        .withColumn("qn", norm(col("qv")))
-        .withColumn("cell", explode(probesOf(col("qv")))))
-
+        .withColumn("qn", norm(col("qv"))))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
     val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
-    q.join(cells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    candidates
+      .join(q, Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
@@ -269,7 +332,7 @@ object Similarity {
       threshold: Double,
       bits: Int = 8,
       tables: Int = 12): DataFrame = {
-    val buckets = hyperplaneBuckets(vectors, dims = 0, bits = bits, tables = tables)
+    val buckets = hyperplaneBuckets(vectors, bits = bits, tables = tables)
     val candidates = buckets
       .select(col("table"), col("bucket"), col("vec_id").as("a_id"))
       .join(
@@ -292,19 +355,38 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
   }
 
+  /** The cosine threshold below which random-hyperplane LSH stops being an
+    * honest recall proposition at the default bits/tables (its own docstring
+    * math: collision probability decays exponentially in the pair's angle). */
+  val LshThresholdFloor = 0.8
+
   /** Embedding near-dup pairs with cosine >= threshold. Size-gated the way
     * Dedup.duplicateClusters gates union-find: at or under `exactGate` rows
-    * (one cheap count — parquet metadata at scale) the exact all-pairs join
-    * runs (small-corpus/oracle contract, exact at ANY threshold); above it
-    * the LSH-bucketed candidates + exact-verify path runs — emitted pairs
-    * are still exact, recall ~0.98 at near-dup thresholds (0.9+), and the
-    * join is bucket-bounded instead of O(n²). */
+    * the exact all-pairs join runs (small-corpus/oracle contract, exact at
+    * ANY threshold); above it the LSH-bucketed candidates + exact-verify
+    * path runs — emitted pairs are still exact, recall ~0.98 at near-dup
+    * thresholds (0.9+), and the join is bucket-bounded instead of O(n²).
+    *
+    * The bucketed path is auto-dispatched ONLY in LSH territory
+    * (threshold >= [[LshThresholdFloor]]): below it LSH recall collapses
+    * and silently shrinking the result set as the corpus grows would be a
+    * correctness bug, so a low-threshold query stays exact at any size —
+    * callers who explicitly want approximate low-threshold pairs opt in
+    * via [[cosineDupPairsBucketed]] with raised `tables`.
+    *
+    * `sizeHint` skips the gate's `count()` — which on a derived frame
+    * executes the whole upstream plan once — when the caller already knows
+    * the cardinality (a parquet scan's count is metadata-cheap; a
+    * post-filter frame's is not). */
   def cosineDupPairs(
       vectors: DataFrame,
       threshold: Double,
       exactGate: Long = 1L << 16,
       bits: Int = 8,
-      tables: Int = 12): DataFrame =
-    if (vectors.count() <= exactGate) cosineDupPairsExact(vectors, threshold)
+      tables: Int = 12,
+      sizeHint: Option[Long] = None): DataFrame = {
+    if (threshold < LshThresholdFloor) cosineDupPairsExact(vectors, threshold)
+    else if (sizeHint.getOrElse(vectors.count()) <= exactGate) cosineDupPairsExact(vectors, threshold)
     else cosineDupPairsBucketed(vectors, threshold, bits, tables)
+  }
 }

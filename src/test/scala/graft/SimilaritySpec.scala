@@ -28,40 +28,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("lshTopK recall against bruteTopK is substantial") {
+  test("lshTopK recall against bruteTopK is >= 0.9 at the shipped settings") {
     val queries = emb.filter(col("vec_id") < 8)
     val brute = Similarity
       .bruteTopK(emb, queries, k = 10)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
+    // EXACTLY the ann_lsh_topk gate-query settings (PipelineQueries) — this
+    // is the self-oracle that catches a broken hash family or probe logic
     val lsh = Similarity
-      .lshTopK(emb, queries, dims = 64, k = 10, bits = 6, tables = 12)
+      .lshTopK(emb, queries, k = 10, bits = 8, tables = 12, probeHamming = 2)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(lsh.nonEmpty)
     val recall = lsh.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.3, s"LSH recall $recall too low")
+    assert(recall >= 0.9, s"LSH recall $recall below the pinned 0.9 floor")
     // and every LSH hit is scored with the true cosine ranking discipline
     assert(lsh.forall { case (q, n) => q != n })
   }
 
-  test("ivfTopK: probing a few cells recovers most true neighbors") {
+  test("ivfTopK recall against bruteTopK is >= 0.9 at the shipped settings") {
     val queries = emb.filter(col("vec_id") < 8)
     val brute = Similarity.bruteTopK(emb, queries, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 6)
+    // EXACTLY the ann_ivf_topk gate-query settings (PipelineQueries)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 8, assign = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(recall >= 0.9, s"IVF recall $recall below the pinned 0.9 floor")
   }
 
   test("hyperplane buckets are deterministic") {
-    val b1 = Similarity.hyperplaneBuckets(emb, dims = 64, bits = 8, tables = 2).collect()
+    val b1 = Similarity.hyperplaneBuckets(emb, bits = 8, tables = 2).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val b2 = Similarity.hyperplaneBuckets(emb, dims = 64, bits = 8, tables = 2).collect()
+    val b2 = Similarity.hyperplaneBuckets(emb, bits = 8, tables = 2).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(b1 == b2)
   }
