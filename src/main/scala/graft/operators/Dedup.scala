@@ -391,37 +391,99 @@ object Dedup {
       import spark.implicits._
       rows.toDF("doc_id", "cluster_id")
     } else {
-      val edges = edgePairs
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(edgePairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .distinct()
-        .cache()
-      var labels    = edges.select(col("src").as("id")).distinct().withColumn("label", col("id")).cache()
-      var changed   = true
-      var iteration = 0
-      while (changed && iteration < maxIter) {
-        val propagated = edges
-          .join(labels.withColumnRenamed("id", "src").withColumnRenamed("label", "src_label"), Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("src_label")).as("nbr_label"))
-        val next = labels
-          .join(propagated, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .cache()
-        val diff = next
-          .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old"))
-          .limit(1)
-          .count()
-        labels.unpersist(false) // superseded iteration state
-        labels = next
-        changed = diff > 0
-        iteration += 1
-      }
-      materializeThenRelease(
-        labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
-        labels, edges, edgePairs)
+      val (labels, _) = starComponents(edgePairs.select(col("a_id").as("a"), col("b_id").as("b")), maxIter)
+      edgePairs.unpersist(false)
+      labels
     }
+  }
+
+  /** Distributed connected components via large-star / small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): each round contracts every node toward its neighborhood
+    * minimum, halving component "height" — O(log n) rounds on ANY graph
+    * shape, where plain min-label propagation needs O(diameter) rounds
+    * (a 10⁶-long chain of near-dup shards would take 10⁶ shuffles).
+    *
+    *  - large-star: per node u, connect every LARGER neighbor to
+    *    m = min(Γ(u) ∪ u).
+    *  - small-star: per node u (edges directed larger→smaller), connect
+    *    every smaller neighbor and u itself to m = min(Γ⁻(u) ∪ u).
+    *
+    * Each round is materialized EAGERLY with a localCheckpoint and the
+    * previous round's blocks are released only afterwards — no recompute-
+    * through-unpersisted-lineage chains, and (crucially for an iterative
+    * algorithm) the logical plan stays CONSTANT depth: each round's plan
+    * references the previous edge set twice, so building lazily on a cache
+    * would grow the plan tree ~4× per round — exponential analysis cost by
+    * round ~10. localCheckpoint trades fault-tolerance for that truncation
+    * (a lost executor loses blocks → job restart); for multi-hour cluster
+    * runs swap in reliable `checkpoint` via `spark.sparkContext.
+    * setCheckpointDir`. Convergence = the canonical edge set reaches its
+    * fix-point (every component a star rooted at its minimum), detected by
+    * an order-insensitive (count, xor-of-hash) signature — a false
+    * fix-point needs a 64-bit hash-xor collision at equal counts (~2⁻⁶⁴,
+    * vanishing at any corpus).
+    *
+    * Returns (labels: doc_id → cluster_id = component min, rounds run).
+    */
+  private[graft] def starComponents(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+
+    // order-insensitive set signature (count + XOR of per-edge hashes —
+    // XOR never overflows under ANSI mode and the edge set is distinct, so
+    // multiplicity cancellation cannot occur); cheap: runs over the
+    // already-materialized checkpoint blocks
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(lo, hi))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u")) // m <= u < v: emitted edge is canonical
+        .select(col("m").as("a"), col("v").as("b"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      e.join(m, "hi")
+        .select(col("m").as("a"), col("lo").as("b")) // smaller neighbors → m
+        .union(m.select(col("m").as("a"), col("hi").as("b"))) // u itself → m
+    }
+
+    var edges  = canon(pairs).localCheckpoint(true)
+    var sig    = signature(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val next    = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(true)
+      val nextSig = signature(next)
+      Bridge.unpersistLocalCheckpoint(edges) // only now is the old round droppable
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    // fix-point shape: each component is a star (root=min, leaves=rest)
+    val leafLabels = edges
+      .groupBy(col("hi").as("doc_id"))
+      .agg(min(col("lo")).as("cluster_id"))
+    val rootLabels = edges
+      .select(col("lo").as("doc_id"))
+      .distinct()
+      .join(leafLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    val out = leafLabels.unionByName(rootLabels).localCheckpoint(true)
+    Bridge.unpersistLocalCheckpoint(edges)
+    (out, rounds)
   }
 
   // --------------------------------------------------------------- SimHash

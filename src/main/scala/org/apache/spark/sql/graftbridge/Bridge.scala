@@ -22,6 +22,15 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
 
+  /** Release the materialized blocks behind a localCheckpoint'ed frame
+    * (Dataset.unpersist only covers CacheManager entries, not checkpoint
+    * RDDs). No-op for any other plan shape. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _                                            => ()
+    }
+
   /** Install a TaskContext on the current thread — needed by helper threads
     * (e.g. a process-stdin writer) that consume a task's shuffle or cached
     * block iterators: block locks are tracked per TaskContext, and a thread

@@ -77,7 +77,7 @@ class DedupSpec extends SparkSpec {
     assert(nearDups.intersect(sim).size >= (nearDups.size * 0.6).toInt)
   }
 
-  test("duplicate clusters: driver union-find == distributed label propagation") {
+  test("duplicate clusters: driver union-find == distributed star alternation") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8).cache()
     val local = Dedup.duplicateClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -88,6 +88,40 @@ class DedupSpec extends SparkSpec {
     // every cluster id is the minimum member of its cluster
     val byCluster = local.groupBy(_._2)
     byCluster.foreach { case (cid, members) => assert(members.map(_._1).min == cid) }
+  }
+
+  test("star alternation converges in O(log n) rounds on a high-diameter chain") {
+    import spark.implicits._
+    // worst case for plain min-label propagation: a 256-long chain needs
+    // ~256 propagation rounds (diameter); large-star/small-star halves
+    // component height per round — logarithmic, the 100 TB contract
+    val n     = 256
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.starComponents(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until n.toLong).map(i => (i, 0L)).toSet, "one component rooted at 0")
+    assert(rounds <= 14, s"chain of $n must converge logarithmically, took $rounds rounds")
+  }
+
+  test("star alternation labels a random multi-component graph like union-find") {
+    import spark.implicits._
+    val rnd   = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).filter(p => p._1 != p._2)
+    val (labels, _) = Dedup.starComponents(edges.toDF("a", "b"))
+    // reference: plain union-find over the same edges
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes    = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expected = nodes.map { id =>
+      // min member of the component = canonical label
+      val root = find(id)
+      (id, nodes.filter(find(_) == root).min)
+    }
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
   test("simhash signature is deterministic across evaluations") {
