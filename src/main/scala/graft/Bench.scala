@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every SparkEntry query at SPARK_GRAFT_SF_DIR on
+  * local[N], best-of-3 full-materialization passes, and emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "regressed":[...]}.
+  *
+  * The same JSON is also written to BENCH_LOCAL.json next to the repo root so
+  * a driver that only captures a bounded tail of stdout can never lose the
+  * head of the per-query map (BENCH_r02/r03 lost the first ~18 queries that
+  * way).
+  *
+  * Regression gate: if BASELINE_LOCAL.json (flat {"query": best_seconds})
+  * exists, any query slower than 2x its pinned baseline is listed under
+  * "regressed" with its pinned and measured times, so round-over-round swings
+  * are mechanically adjudicated instead of eyeballed.
+  */
 object Bench {
+  private val RegressionFactor = 2.0
+
+  /** Parse a flat {"name": 1.23, ...} JSON object (the only shape
+    * BASELINE_LOCAL.json has); avoids dragging a JSON library into main.
+    */
+  private def parseFlatJson(text: String): Map[String, Double] =
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,7 +78,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val baselinePath = java.nio.file.Paths.get(repoRoot, "BASELINE_LOCAL.json")
+    val baseline: Map[String, Double] =
+      if (java.nio.file.Files.exists(baselinePath))
+        parseFlatJson(new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8"))
+      else Map.empty
+    val regressed = results.collect {
+      case (name, sec) if baseline.get(name).exists(b => sec > b * RegressionFactor) =>
+        s"""{"query":"$name","baseline":${baseline(name)},"measured":$sec,"ratio":${sec / baseline(name)}}"""
+    }
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","regressed":[${regressed.mkString(",")}]}"""
+    // side file first: survives any stdout tail-window truncation
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -20,6 +20,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * scans (src/master.go:448-453).
   */
 final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long = Catalog.DefaultConflictWindowMs) {
+  import Catalog.{OldSuffix, TmpSuffix, VersionRe}
   private val conf: Configuration = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem      = new Path(root).getFileSystem(conf)
   private def pathOf(name: String): Path = new Path(root, name)
@@ -38,7 +39,16 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * layer's modification time, so the check holds across concurrent
     * clients of the same namespace — no driver-local state. Engine-native
     * writes ([[putText]]/[[putTable]]) are deliberate pipeline sinks, not
-    * interactive uploads, and keep plain overwrite semantics. */
+    * interactive uploads, and keep plain overwrite semantics.
+    *
+    * The check is BEST-EFFORT, exactly like the reference's (its master
+    * serializes the check through one goroutine but a crashed confirmer
+    * leaves the same race): check-then-act over storage modtime means two
+    * racing PUTs can both observe an old modtime and both proceed — true
+    * exclusion would need an atomic create on the storage layer. A negative
+    * age (client clock behind the storage clock, i.e. skew) is treated as
+    * conflicting rather than silently passing, since it proves the modtime
+    * is too fresh to trust. */
   def put(name: String, localFile: String, force: Boolean = false): Unit = {
     if (!force && putConflictWindowMs > 0) {
       val p = pathOf(name)
@@ -50,22 +60,91 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     fs.copyFromLocalFile(false, true, new Path(localFile), pathOf(name))
   }
 
-  /** PUT of an in-memory dataset (engine-native write path). */
-  def putText(name: String, ds: Dataset[String]): Unit = {
-    val tmp = pathOf(name + ".__tmp__")
-    ds.write.mode("overwrite").text(tmp.toString)
-    val dst = pathOf(name)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+  /** Per-name monitor so in-process concurrent overwrites of the same name
+    * serialize. Cross-JVM writers remain best-effort (documented at [[put]]);
+    * cross-JVM READERS are always safe — the publish protocol below never
+    * renames or deletes a directory a reader could currently hold. */
+  private val nameLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(name: String): Object =
+    nameLocks.computeIfAbsent(name, _ => new Object)
+
+  /** Overwrite publishing — why versioned write-once dirs and not renames.
+    *
+    * The reference blocks GET while a PUT is in flight (src/master.go:72-113)
+    * so a reader never observes a half-written or missing file. A lock-free
+    * engine needs the equivalent guarantee structurally. Delete-then-rename
+    * leaves a reader-visible hole; even a tight rename-shuffle breaks Spark
+    * readers, which capture concrete part-file paths at load time and open
+    * them later — any rename of the live directory invalidates in-flight
+    * scans. And on object stores (the 100 TB deployment target) directory
+    * rename isn't atomic at all — it's copy+delete.
+    *
+    * So engine-native writes never mutate a published directory:
+    *
+    *   - each put writes a fresh dir `name.__v<N>__` (N strictly increasing);
+    *     the `_SUCCESS` marker the committer writes last makes it visible
+    *   - readers resolve `name` → the highest `_SUCCESS`-complete version
+    *   - the writer retains the immediately-previous complete version and
+    *     garbage-collects older ones, so a reader that resolved the previous
+    *     version mid-write keeps its snapshot until two further puts complete
+    *     — with full Spark write jobs in between, a practical impossibility
+    *     for an in-flight scan
+    *
+    * This is the same write-once-plus-pointer discipline table formats use
+    * (Iceberg/Delta); the "pointer" here is the max-complete-version listing
+    * rule, which needs no atomic file replace from the storage layer. */
+  private def versionDirs(name: String): Seq[(Long, Path)] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else
+      fs.listStatus(rootPath).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(base, n) if base == name => Some((n.toLong, st.getPath))
+          case _                                  => None
+        }
+      }
   }
+
+  private def isComplete(dir: Path): Boolean = fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** Resolve `name` to a currently-readable path: the newest complete
+    * version dir, else the plain path (interactive [[put]] uploads / legacy
+    * layouts). */
+  private def resolveReadable(name: String): Path =
+    versionDirs(name)
+      .filter { case (_, p) => isComplete(p) }
+      .sortBy(-_._1)
+      .headOption
+      .map(_._2)
+      .getOrElse(pathOf(name))
+
+  /** Run `write` into the next version dir for `name`, then GC: drop failed
+    * partials and every complete version older than the immediately-previous
+    * one, plus any plain-path upload this engine-native write shadows. */
+  private def publishVersion(name: String)(write: Path => Unit): Unit =
+    lockFor(name).synchronized {
+      val existing = versionDirs(name)
+      val next     = existing.map(_._1).maxOption.getOrElse(0L) + 1L
+      write(pathOf(s"$name.__v${next}__"))
+      versionDirs(name).foreach { case (v, p) =>
+        if (v < next && (v < next - 1 || !isComplete(p))) fs.delete(p, true)
+      }
+      // a superseded interactive upload at the plain path; versioned reads
+      // shadow it already, delete only once the new version is live
+      if (fs.exists(pathOf(name))) fs.delete(pathOf(name), true)
+    }
+
+  /** PUT of an in-memory dataset (engine-native write path). */
+  def putText(name: String, ds: Dataset[String]): Unit =
+    publishVersion(name)(dir => ds.write.mode("overwrite").text(dir.toString))
 
   /** GET: copy an SDFS file to a local path (src/node.go:336-418). */
   def get(name: String, localFile: String): Unit =
-    fs.copyToLocalFile(pathOf(name), new Path(localFile))
+    fs.copyToLocalFile(resolveReadable(name), new Path(localFile))
 
   /** Read a named dataset as lines (the engine-native GET). */
   def readText(name: String): Dataset[String] =
-    spark.read.textFile(pathOf(name).toString)
+    spark.read.textFile(resolveReadable(name).toString)
 
   /** Read every dataset whose name starts with `prefix` — the reference's
     * "directory" concept (src/master.go:448-453: prefix match over the file
@@ -73,26 +152,23 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
   def readPrefix(prefix: String): Dataset[String] = {
     val names = lsPrefix(prefix)
     require(names.nonEmpty, s"no catalog entries with prefix '$prefix'")
-    spark.read.textFile(names.map(n => pathOf(n).toString): _*)
+    spark.read.textFile(names.map(n => resolveReadable(n).toString): _*)
   }
 
   /** Structured dataset write: parquet (default), orc, csv, or json under
     * the same flat namespace. The reference is text-only (SURVEY.md §2a
     * "File formats"); structured formats are the engine's extension. */
-  def putTable(name: String, df: org.apache.spark.sql.DataFrame, format: String = "parquet"): Unit = {
-    val tmp = pathOf(name + ".__tmp__")
-    val w   = df.write.mode("overwrite")
-    format match {
-      case "parquet" => w.parquet(tmp.toString)
-      case "orc"     => w.orc(tmp.toString)
-      case "csv"     => w.option("header", "true").csv(tmp.toString)
-      case "json"    => w.json(tmp.toString)
-      case other     => throw new IllegalArgumentException(s"unsupported format: $other")
+  def putTable(name: String, df: org.apache.spark.sql.DataFrame, format: String = "parquet"): Unit =
+    publishVersion(name) { dir =>
+      val w = df.write.mode("overwrite")
+      format match {
+        case "parquet" => w.parquet(dir.toString)
+        case "orc"     => w.orc(dir.toString)
+        case "csv"     => w.option("header", "true").csv(dir.toString)
+        case "json"    => w.json(dir.toString)
+        case other     => throw new IllegalArgumentException(s"unsupported format: $other")
+      }
     }
-    val dst = pathOf(name)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
-  }
 
   /** Structured dataset read, format-symmetric with [[putTable]]. For csv,
     * pass `schema` to avoid a driver inference pass over the data. */
@@ -100,7 +176,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       name: String,
       format: String = "parquet",
       schema: Option[org.apache.spark.sql.types.StructType] = None): org.apache.spark.sql.DataFrame = {
-    val p = pathOf(name).toString
+    val p = resolveReadable(name).toString
     format match {
       case "parquet" => spark.read.parquet(p)
       case "orc"     => spark.read.orc(p)
@@ -115,14 +191,18 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
   }
 
   /** DELETE from all replicas + metadata (src/master.go:82-108) — on Spark,
-    * one recursive FS delete. */
-  def delete(name: String): Boolean = fs.delete(pathOf(name), true)
+    * recursive FS deletes of every version of the name. */
+  def delete(name: String): Boolean = lockFor(name).synchronized {
+    val versioned = versionDirs(name).map { case (_, p) => fs.delete(p, true) }
+    val plain     = fs.delete(pathOf(name), true)
+    plain || versioned.exists(identity)
+  }
 
   /** LS: where a file lives (src/node.go:191-204). The reference prints the 4
     * replica node ids; here the storage layer owns placement, so we report the
     * fully-qualified path(s) + block locations when the FS exposes them. */
   def ls(name: String): Seq[String] = {
-    val p = pathOf(name)
+    val p = resolveReadable(name)
     if (!fs.exists(p)) Seq.empty
     else {
       val status = fs.getFileStatus(p)
@@ -139,20 +219,39 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
 
   /** STORE: list every name in the namespace (src/node.go:211-217 lists the
     * local node's files; with storage-layer placement the namespace itself is
-    * the answer). */
+    * the answer). Version dirs collapse to their logical name; incomplete
+    * (in-flight or failed) first writes are not listed. */
   def store(): Seq[String] =
     if (!fs.exists(new Path(root))) Seq.empty
-    else fs.listStatus(new Path(root)).map(_.getPath.getName).toSeq.sorted
+    else {
+      val entries = fs.listStatus(new Path(root)).toSeq
+      val (versioned, plain) = entries.partition(st => VersionRe.matches(st.getPath.getName))
+      val versionedNames = versioned.flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(base, _) if isComplete(st.getPath) => Some(base)
+          case _                                            => None
+        }
+      }
+      val plainNames = plain
+        .map(_.getPath.getName)
+        .filterNot(n => n.endsWith(TmpSuffix) || n.endsWith(OldSuffix))
+      (versionedNames ++ plainNames).distinct.sorted
+    }
 
   def lsPrefix(prefix: String): Seq[String] =
     store().filter(_.startsWith(prefix))
 
-  def exists(name: String): Boolean = fs.exists(pathOf(name))
+  def exists(name: String): Boolean = fs.exists(resolveReadable(name))
 }
 
 object Catalog {
   /** Reference parity: `minute = 60` seconds at src/master_helpers.go:27. */
   val DefaultConflictWindowMs: Long = 60000L
+  /** Legacy staging/backup suffixes, still hidden from [[Catalog.store]]. */
+  val TmpSuffix: String = ".__tmp__"
+  val OldSuffix: String = ".__old__"
+  /** Engine-native write-once version dirs: `<name>.__v<N>__`. */
+  val VersionRe: scala.util.matching.Regex = "^(.*)\\.__v(\\d+)__$".r
 }
 
 /** A PUT raced a recent write to the same name (within the reference's 60 s

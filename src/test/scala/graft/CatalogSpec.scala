@@ -93,4 +93,62 @@ class CatalogSpec extends SparkSpec {
     cat.putText("f", Seq("v2").toDS())
     assert(cat.readText("f").collect().toSeq == Seq("v2"))
   }
+
+  test("a reader looping readText during repeated putText never sees a missing dataset") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putText("hot", Seq("v0").toDS())
+
+    val stop       = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerDone = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val writer = new Thread(() => {
+      try (1 to 12).foreach(i => cat.putText("hot", Seq(s"v$i").toDS()))
+      catch { case t: Throwable => writerDone.set(t) }
+      finally stop.set(true)
+    })
+    writer.start()
+
+    // The reader must always observe SOME complete version (old or new) —
+    // never a missing path (the pre-fix delete-then-rename window) and never
+    // a partial write (tmp dirs are staged under a separate name).
+    var reads = 0
+    val seen  = scala.collection.mutable.Set[String]()
+    while (!stop.get() || reads == 0) {
+      val got = cat.readText("hot").collect().toSeq
+      assert(got.size == 1 && got.head.startsWith("v"), s"partial/garbled read: $got")
+      seen += got.head
+      reads += 1
+    }
+    writer.join()
+    assert(writerDone.get() == null, s"writer failed: ${writerDone.get()}")
+    assert(cat.readText("hot").collect().toSeq == Seq("v12"))
+    assert(reads > 0 && seen.nonEmpty)
+  }
+
+  test("store() collapses version dirs; writer retains exactly the previous version; delete() removes all") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    def versionDirs(): Seq[String] =
+      java.nio.file.Files
+        .list(root)
+        .toArray
+        .map(_.toString.split('/').last)
+        .filter(n => Catalog.VersionRe.matches(n))
+        .toSeq
+        .sorted
+
+    cat.putText("d", Seq("v1").toDS())
+    cat.putText("d", Seq("v2").toDS())
+    cat.putText("d", Seq("v3").toDS())
+    // the immediately-previous version is retained for in-flight readers,
+    // older ones are garbage-collected
+    assert(versionDirs() == Seq("d.__v2__", "d.__v3__"))
+    // ... but the namespace listing shows only the logical name
+    assert(cat.store() == Seq("d"))
+    assert(cat.readText("d").collect().toSeq == Seq("v3"))
+    assert(cat.delete("d"))
+    assert(versionDirs().isEmpty)
+    assert(cat.store().isEmpty)
+    assert(!cat.exists("d"))
+  }
 }
