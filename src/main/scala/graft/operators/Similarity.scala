@@ -35,12 +35,31 @@ object Similarity {
 
   private def asDoubleVec(c: Column): Column = c.cast("array<double>")
 
-  /** Exact top-k neighbors for each query vector (brute force).
+  /** Rank scored (query_id, neighbor_id, sim9, sim) candidates to top-k per
+    * query. Selection runs through the custom bounded-heap operator
+    * (graft.plans.TopKPerGroup): O(n) per partition with O(k·queries)
+    * memory, shuffling only k candidates per (query, partition) — never a
+    * full per-query sort of the scored set. The row_number window that
+    * assigns ranks afterwards only ever sees ≤ k rows per query and reuses
+    * the heap shuffle's clustering.
     *
     * Ranking is by cosine rounded to 9 dp with vec_id tiebreak — a total,
     * FP-robust order (1e-15 cross-engine float noise cannot flip a 1e-9
-    * bucket except on exact boundaries).
-    */
+    * bucket except on exact boundaries). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.operators.TopK.perGroup(
+      scored,
+      groupCols = Seq("query_id"),
+      orderCols = Seq("sim9" -> false, "neighbor_id" -> true),
+      k = k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim9").desc, col("neighbor_id"))
+    top
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force over the
+    * corpus, bounded-heap selection — the corpus is streamed, never sorted). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // norms are computed ONCE per side before the join (not per pair); the
     // cosine formula dot/(na*nb) is unchanged, so FP results are identical
@@ -52,11 +71,14 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
-    val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
+    rankTopK(
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(sim, 9).as("sim9"),
+          round(sim, 6).as("sim")),
+      k)
   }
 
   /** p-bit random-hyperplane signature per vector, for `tables` independent
@@ -81,18 +103,26 @@ object Similarity {
     * so index size and the equi-join shape are unchanged at any scale. */
   private def probeBuckets(bucket: Column, bits: Int, radius: Int): Column = {
     require(radius >= 0 && radius <= 2, s"probe radius 0..2 supported, got $radius")
-    val expand = udf { (b: Long) =>
-      val buf = scala.collection.mutable.ArrayBuffer(b)
-      if (radius >= 1) for (i <- 0 until bits) buf += (b ^ (1L << i))
-      if (radius >= 2) for (i <- 0 until bits; j <- (i + 1) until bits) buf += (b ^ (1L << i) ^ (1L << j))
-      buf.toSeq
-    }
-    expand(bucket)
+    // the hamming ball around 0 depends only on (bits, radius): precompute
+    // the XOR masks on the driver and expand with a native HOF over the
+    // literal array — no per-row UDF, stays inside Catalyst
+    val masks = scala.collection.mutable.ArrayBuffer(0L)
+    if (radius >= 1) for (i <- 0 until bits) masks += (1L << i)
+    if (radius >= 2) for (i <- 0 until bits; j <- (i + 1) until bits) masks += ((1L << i) | (1L << j))
+    transform(lit(masks.toArray), m => bucket.bitwiseXOR(m))
   }
 
   /** ANN top-k via LSH: score only candidates sharing a (multi-probed)
     * bucket in any table, exact cosine on that candidate set. Recall < 1 by
-    * design; rows-only checked (the exact contract is [[bruteTopK]]). */
+    * design; rows-only checked (the exact contract is [[bruteTopK]]).
+    *
+    * Query-cardinality contract: the QUERY side is broadcast, including its
+    * multi-probe expansion — tables × ball(bits, radius) rows per query
+    * (e.g. 37× at bits=8/radius=2, 137× at bits=16/radius=2). That is the
+    * right shape for the retrieve-few-against-many workload this serves
+    * (|Q| up to ~10⁵); for a QUERY SET approaching corpus scale, broadcast
+    * stops being the right plan regardless of expansion — self-join via
+    * [[cosineDupPairsBucketed]] is that workload's shape. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -119,13 +149,16 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
-    val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
-    candidates
-      .join(q, Seq("query_id"))
-      .join(c, Seq("neighbor_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
+    rankTopK(
+      candidates
+        .join(q, Seq("query_id"))
+        .join(c, Seq("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(sim, 9).as("sim9"),
+          round(sim, 6).as("sim")),
+      k)
   }
 
   /** k-means coarse quantizer trained DRIVER-LOCALLY on a deterministic
@@ -271,13 +304,16 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
-    val w   = Window.partitionBy(col("query_id")).orderBy(round(sim, 9).desc, col("neighbor_id"))
-    candidates
-      .join(q, Seq("query_id"))
-      .join(c, Seq("neighbor_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(sim, 6).as("sim"), col("rn"))
+    rankTopK(
+      candidates
+        .join(q, Seq("query_id"))
+        .join(c, Seq("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(sim, 9).as("sim9"),
+          round(sim, 6).as("sim")),
+      k)
   }
 
   /** kNN classification: majority label among each query vector's k exact
@@ -385,8 +421,22 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 12,
       sizeHint: Option[Long] = None): DataFrame = {
-    if (threshold < LshThresholdFloor) cosineDupPairsExact(vectors, threshold)
-    else if (sizeHint.getOrElse(vectors.count()) <= exactGate) cosineDupPairsExact(vectors, threshold)
+    lazy val n = sizeHint.getOrElse(vectors.count())
+    if (threshold < LshThresholdFloor) {
+      // below the LSH floor only the exact join is honest — but it is
+      // O(n²·d), so a large corpus here deserves a loud flag, not a silent
+      // quadratic dispatch (the caller's levers: raise the threshold, or
+      // opt into cosineDupPairsBucketed with many more tables)
+      if (n > exactGate)
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .warn(
+            s"cosineDupPairs: threshold $threshold is below the LSH floor $LshThresholdFloor " +
+              s"and the corpus has $n rows (> exactGate $exactGate); running the EXACT O(n^2) " +
+              "all-pairs join. For approximate low-threshold pairs call cosineDupPairsBucketed " +
+              "with raised `tables` explicitly.")
+      cosineDupPairsExact(vectors, threshold)
+    } else if (n <= exactGate) cosineDupPairsExact(vectors, threshold)
     else cosineDupPairsBucketed(vectors, threshold, bits, tables)
   }
 }

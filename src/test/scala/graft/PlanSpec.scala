@@ -110,4 +110,21 @@ class PlanSpec extends SparkSpec {
     val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("doc_id") && read.contains("text"))
   }
+
+  test("ANN top-k ranks with bounded heaps: no sort of the scored candidate set") {
+    for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+      val f = planOf(q)
+      assert(f.contains("TopKPerGroup"), s"$q should select via the bounded-heap operator:\n$f")
+      // the only Sort allowed is the one under the rank-assigning window,
+      // which runs ABOVE the heap operator on <= k rows per query — no Sort
+      // may appear below TopKPerGroupPartialExec (i.e. over the full scored set)
+      val belowHeap = f.linesIterator.dropWhile(!_.contains("TopKPerGroupPartial")).mkString("\n")
+      assert(!belowHeap.contains("Sort"), s"$q sorts the full scored set:\n$f")
+    }
+  }
+
+  test("lshTopK multi-probe expansion is native (no per-row ScalaUDF)") {
+    val f = planOf("ann_lsh_topk")
+    assert(!f.contains("UDF"), s"probe expansion must not be a ScalaUDF:\n$f")
+  }
 }
