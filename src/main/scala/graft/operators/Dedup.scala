@@ -361,8 +361,9 @@ object Dedup {
     */
   def duplicateClusters(
       pairs: DataFrame,
-      maxIter: Int = 10,
-      localThreshold: Long = 1000000L): DataFrame = {
+      maxIter: Int = 50,
+      localThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val edgePairs = pairs.select(col("a_id").cast("long"), col("b_id").cast("long")).cache()
 
@@ -391,7 +392,8 @@ object Dedup {
       import spark.implicits._
       rows.toDF("doc_id", "cluster_id")
     } else {
-      val (labels, _) = starComponents(edgePairs.select(col("a_id").as("a"), col("b_id").as("b")), maxIter)
+      val (labels, _) =
+        starComponents(edgePairs.select(col("a_id").as("a"), col("b_id").as("b")), maxIter, checkpointDir)
       edgePairs.unpersist(false)
       labels
     }
@@ -409,25 +411,43 @@ object Dedup {
     *  - small-star: per node u (edges directed larger→smaller), connect
     *    every smaller neighbor and u itself to m = min(Γ⁻(u) ∪ u).
     *
-    * Each round is materialized EAGERLY with a localCheckpoint and the
-    * previous round's blocks are released only afterwards — no recompute-
-    * through-unpersisted-lineage chains, and (crucially for an iterative
-    * algorithm) the logical plan stays CONSTANT depth: each round's plan
-    * references the previous edge set twice, so building lazily on a cache
-    * would grow the plan tree ~4× per round — exponential analysis cost by
-    * round ~10. localCheckpoint trades fault-tolerance for that truncation
-    * (a lost executor loses blocks → job restart); for multi-hour cluster
-    * runs swap in reliable `checkpoint` via `spark.sparkContext.
-    * setCheckpointDir`. Convergence = the canonical edge set reaches its
-    * fix-point (every component a star rooted at its minimum), detected by
-    * an order-insensitive (count, xor-of-hash) signature — a false
-    * fix-point needs a 64-bit hash-xor collision at equal counts (~2⁻⁶⁴,
-    * vanishing at any corpus).
+    * Each round is materialized EAGERLY (checkpoint) and the previous
+    * round's blocks are released only afterwards — no recompute-through-
+    * unpersisted-lineage chains, and (crucially for an iterative algorithm)
+    * the logical plan stays CONSTANT depth: each round's plan references
+    * the previous edge set twice, so building lazily on a cache would grow
+    * the plan tree ~4× per round — exponential analysis cost by round ~10.
+    *
+    * Checkpoint mode: by default `localCheckpoint` — fastest, but a lost
+    * executor loses blocks → job restart. Pass `checkpointDir` for RELIABLE
+    * checkpoints (HDFS/object-store) on multi-hour cluster runs: each
+    * round's edge set is written to durable storage, so executor loss
+    * replays only the current round. Convergence = the canonical edge set
+    * reaches its fix-point (every component a star rooted at its minimum),
+    * detected by an order-insensitive (count, xor-of-hash) signature — a
+    * false fix-point needs a 64-bit hash-xor collision at equal counts
+    * (~2⁻⁶⁴, vanishing at any corpus). If `maxIter` rounds pass without
+    * the signature converging, the star-labeling would silently emit
+    * INCONSISTENT cluster ids — so this THROWS instead (O(log n) bound:
+    * any graph that needs >50 rounds indicates a bug, not a big input).
     *
     * Returns (labels: doc_id → cluster_id = component min, rounds run).
     */
-  private[graft] def starComponents(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+  private[graft] def starComponents(
+      pairs: DataFrame,
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.graftbridge.Bridge
+
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // reliable checkpoint files are owned by the checkpoint dir (cleaned by
+    // spark.cleaner.referenceTracking.cleanCheckpoints or dir lifecycle);
+    // only localCheckpoint blocks need explicit release
+    def release(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) Bridge.unpersistLocalCheckpoint(df)
 
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
@@ -459,19 +479,25 @@ object Dedup {
         .union(m.select(col("m").as("a"), col("hi").as("b"))) // u itself → m
     }
 
-    var edges  = canon(pairs).localCheckpoint(true)
+    var edges  = materialize(canon(pairs))
     var sig    = signature(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val next    = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(true)
+      val next    = materialize(canon(smallStar(canon(largeStar(edges)))))
       val nextSig = signature(next)
-      Bridge.unpersistLocalCheckpoint(edges) // only now is the old round droppable
+      release(edges) // only now is the old round droppable
       edges = next
       converged = nextSig == sig
       sig = nextSig
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starComponents did not reach its fix-point within $maxIter rounds " +
+          s"(edge-set signature still changing: $sig). Emitting labels from a " +
+          "non-star edge set would produce inconsistent cluster ids; raise " +
+          "maxIter only if the O(log n) bound genuinely needs it.")
     // fix-point shape: each component is a star (root=min, leaves=rest)
     val leafLabels = edges
       .groupBy(col("hi").as("doc_id"))
@@ -481,8 +507,8 @@ object Dedup {
       .distinct()
       .join(leafLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", col("doc_id"))
-    val out = leafLabels.unionByName(rootLabels).localCheckpoint(true)
-    Bridge.unpersistLocalCheckpoint(edges)
+    val out = materialize(leafLabels.unionByName(rootLabels))
+    release(edges)
     (out, rounds)
   }
 

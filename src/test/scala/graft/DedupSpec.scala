@@ -103,6 +103,44 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 14, s"chain of $n must converge logarithmically, took $rounds rounds")
   }
 
+  test("star alternation: 10k-edge path graph converges in ~log2(n) rounds (O(log n) pinned)") {
+    import spark.implicits._
+    // the O(log n) claim, pinned as a property: a path graph is the maximum-
+    // diameter shape per edge count, so rounds <= log2(n) + c here bounds
+    // every other 10k-edge graph too
+    val n     = 10001L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.starComponents(chain)
+    val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4 // log2(10001)=14
+    assert(rounds <= bound, s"path of $n nodes took $rounds rounds (bound $bound)")
+    val got = labels.agg(org.apache.spark.sql.functions.count_distinct(col("cluster_id")),
+      org.apache.spark.sql.functions.count(lit(1)), org.apache.spark.sql.functions.min("cluster_id")).head()
+    assert(got.getLong(0) == 1L && got.getLong(1) == n && got.getLong(2) == 0L,
+      "single component, every node labeled, rooted at 0")
+  }
+
+  test("reliable-checkpoint mode labels identically to localCheckpoint mode") {
+    import spark.implicits._
+    val rnd   = new scala.util.Random(13)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)).filter(p => p._1 != p._2)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_").toString
+    val (localLabels, _)    = Dedup.starComponents(edges.toDF("a", "b"))
+    val (reliableLabels, _) = Dedup.starComponents(edges.toDF("a", "b"), checkpointDir = Some(ckDir))
+    assert(
+      localLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        reliableLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the reliable mode actually wrote durable round snapshots
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(ckDir)).count() > 0)
+  }
+
+  test("starComponents throws (not silently mislabels) when maxIter is too low to converge") {
+    import spark.implicits._
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.starComponents(chain, maxIter = 2)
+    }
+  }
+
   test("star alternation labels a random multi-component graph like union-find") {
     import spark.implicits._
     val rnd   = new scala.util.Random(7)
