@@ -9,10 +9,18 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// keep "[success] Total time …" off stdout: the driver captures only a
+// bounded tail of bench output, and the epilogue line would evict the head
+// of the one-line JSON summary printed by graft.Bench
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 Test / fork := true
 // suites share one SparkSession (SharedSpark) — keep them sequential
 Test / parallelExecution := false
 run / fork := true
+// forked-run output passes through unprefixed ("[info] " would sit in front
+// of graft.Bench's one-line JSON and break a json.loads of the last line)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

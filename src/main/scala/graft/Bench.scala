@@ -90,11 +90,40 @@ object Bench {
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","regressed":[${regressed.mkString(",")}]}"""
-    // side file first: survives any stdout tail-window truncation
+    // full-precision record: survives any stdout tail-window truncation
     java.nio.file.Files.write(
       java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that window; the full-precision line above is ~2.6 KB
+    // and gets its head evicted (BENCH_r01-r04 all came back `parsed: null`)
+    // — and a full per-query map cannot fit (80 query names alone are
+    // ~1.4 KB and the set only grows). So the LAST line printed is a compact
+    // summary guaranteed to fit whole: total + the 20 slowest queries
+    // (3-decimal) + a pointer to BENCH_LOCAL.json, which carries every
+    // query at full precision and is committed with the repo. `regressed`
+    // is computed from full precision and capped at 10 entries here.
+    def fmt(v: Double): String = {
+      val s = f"$v%.3f"
+      val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (t.isEmpty) "0" else t
+    }
+    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
+    val qsCompact = slowest.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val regCompact = results.collect {
+      case (name, sec) if baseline.get(name).exists(b => sec > b * RegressionFactor) =>
+        s"""{"q":"$name","base":${fmt(baseline(name))},"got":${fmt(sec)}}"""
+    }
+    val regShown = regCompact.take(10)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries_full":"BENCH_LOCAL.json","queries":$qsCompact,"sf":"$sfLabel",""" +
+        s""""regressed_total":${regCompact.size},"regressed":[${regShown.mkString(",")}]}"""
     spark.stop()
+    // after stop(): nothing (shutdown warnings included) may print below this
+    println(compact)
   }
 }

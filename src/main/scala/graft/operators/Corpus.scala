@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and tokenization: repeated-span detection, eval-set
+  * decontamination, PII scrubbing, and repetition/quality signals.
+  *
+  * No reference counterpart (SURVEY.md §2e extension family) — these are the
+  * operations published pipeline papers describe (Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better" for span-level
+  * dedup; Rae et al. 2021 "Scaling Language Models" App. A for the Gopher
+  * repetition filters; benchmark decontamination as in GPT-3 App. C), each
+  * re-expressed as a declarative Spark plan.
+  *
+  * Scale design (100 TB):
+  *  - every operator is scan → narrow transform → ONE keyed shuffle; no
+  *    driver-side collection anywhere;
+  *  - n-gram streams explode to ~L rows per document but stay map-side
+  *    partial-aggregated, so the shuffle carries (gram, partial count), not
+  *    raw occurrences;
+  *  - [[ngramSpans]] can shuffle 8-byte `xxhash64(gram)` keys instead of
+  *    gram text (`hashGrams = true`): at corpus scale the gram strings
+  *    dominate shuffle volume, and a 64-bit key keeps the group-by exact up
+  *    to hash collisions (~2⁻⁶⁴ per pair — vanishing even at 10¹² grams
+  *    relative to per-pair cost, and collisions only ever MERGE two span
+  *    groups, never drop one);
+  *  - [[evalOverlap]] broadcasts the eval-side gram set — held-out
+  *    benchmarks are small by construction (MBs, not TBs), so the
+  *    contamination check is a broadcast semi-join against every training
+  *    shard, never a corpus×corpus shuffle.
+  */
+object Corpus {
+
+  /** Whitespace tokenizer shared with TextQueries (strings.Fields contract,
+    * reference src/node.go:929-931). */
+  private def toks(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Per-document stream of word n-grams (space-joined token windows),
+    * one row per OCCURRENCE: (id, gram). Documents shorter than n tokens
+    * emit nothing. A small-file corpus scans as few partitions — spread the
+    * CPU-heavy gram generation across the cluster before exploding (same
+    * discipline as Dedup.shingleRows). */
+  def tokenNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = toks(col(textCol))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .filter(size(t) >= n)
+      .select(
+        col(idCol).as("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
+  }
+
+  /** (doc_id, gram_h) rows: token n-grams hashed to 64 bits INSIDE the
+    * transform lambda — gram strings are never materialized (the concat +
+    * per-gram allocation is ~half the scan cost; same finding as
+    * Dedup.shingleHashRows). `distinctInRow` dedups within the document via
+    * array_distinct BEFORE the explode: a narrow map-only operation that
+    * replaces a full (doc, gram) distinct() shuffle downstream. */
+  def tokenNgramHashes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      distinctInRow: Boolean = false): DataFrame = {
+    val t = toks(col(textCol))
+    val grams = transform(
+      sequence(lit(0), size(t) - n),
+      i => xxhash64((0 until n).map(j => element_at(t, i + j + 1)): _*))
+    val arr = if (distinctInRow) array_distinct(grams) else grams
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .filter(size(t) >= n)
+      .select(col(idCol).as("doc_id"), explode(arr).as("gram_h"))
+  }
+
+  /** Repeated n-gram spans across the corpus — the span-granular exact-dedup
+    * primitive (a gram appearing in ≥ `minDocs` distinct documents marks a
+    * duplicated span to cut or down-weight). Output: (gram, n_docs,
+    * n_occurrences).
+    *
+    * `hashGrams = true` replaces the gram text with its xxhash64 in the
+    * shuffle key AND output (`gram_hash`) — the scale path; the default
+    * keeps the text so results are oracle-comparable. */
+  def ngramSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Long = 2L,
+      hashGrams: Boolean = false): DataFrame = {
+    val keyed =
+      if (hashGrams)
+        tokenNgramHashes(df, idCol, textCol, n)
+          .select(col("gram_h").as("gram_hash"), col("doc_id"))
+      else tokenNgrams(df, idCol, textCol, n)
+    val key = if (hashGrams) "gram_hash" else "gram"
+    // two-level aggregate instead of count(DISTINCT doc_id): an Expand-based
+    // distinct would double the shuffled rows WITH their gram-string keys;
+    // here level 1 collapses per-(gram, doc) occurrences map-side, so the
+    // second shuffle carries one row per (gram, doc) and the distinct-doc
+    // count becomes a plain count
+    keyed
+      .groupBy(col(key), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("occ")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Benchmark decontamination: for each training document, how many
+    * DISTINCT n-grams it shares with the held-out eval corpus. Output:
+    * (doc_id, n_shared_grams), only documents with ≥1 shared gram — the
+    * rows a pipeline quarantines or strips.
+    *
+    * The eval gram set is broadcast (eval suites are small by construction);
+    * the training side is one NARROW pass + broadcast semi-join — no
+    * corpus-sized shuffle at all. Grams travel as 64-bit hashes (never
+    * strings) and the per-doc distinct happens in-row via array_distinct
+    * before the explode, so the train side needs no distinct() exchange:
+    * scan → explode → broadcast semi-join → doc_id-partial count. A false
+    * shared gram takes an in-document or train×eval 64-bit collision —
+    * ~2⁻⁶⁴ per pair, vanishing at any corpus. */
+  def evalOverlap(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val trainGrams = tokenNgramHashes(train, idCol, textCol, n, distinctInRow = true)
+    val evalGrams = tokenNgramHashes(eval_, idCol, textCol, n, distinctInRow = true)
+      .select(col("gram_h"))
+      .distinct()
+    trainGrams
+      .join(broadcast(evalGrams), Seq("gram_h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Decontaminated training corpus: drop every training document sharing
+    * ≥ `minShared` distinct n-grams with the eval corpus (the action
+    * [[evalOverlap]]'s report drives). Anti-join on the flagged id set —
+    * the corpus passes through untouched except for the dropped rows. */
+  def dropContaminated(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minShared: Long = 1L): DataFrame = {
+    val flagged = evalOverlap(train, eval_, idCol, textCol, n)
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col("doc_id").as(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Fold a rule list (regex → replacement) over a text column — the PII /
+    * boilerplate scrub primitive. Patterns must stay in the RE2-compatible
+    * subset (no lookaround) so the same rules run on any engine. */
+  def scrub(c: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(c) { case (acc, (re, repl)) => regexp_replace(acc, lit(re), lit(repl)) }
+
+  /** Count of matches of `re` in `c` — audit counterpart to [[scrub]]. */
+  def matchCount(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 App. A):
+    * duplicate-token fraction, duplicate-bigram fraction, and the fraction
+    * of the document owned by its single most frequent token. Documents
+    * with zero tokens are dropped (no signal to compute).
+    *
+    * One narrow pass computes the distinct-ratio columns from the token
+    * array in place; the top-token column is explode → two-level aggregate
+    * (partial map-side combine on (doc, token)) joined back — both sides
+    * shuffle only (doc_id)-keyed rows. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    // one doc_id repartition up front: spreads the small-file scan AND
+    // satisfies every downstream clustering ((doc_id, tok) and (doc_id)
+    // groupings, the ratios⋈top join) — zero further exchanges
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), t.as("toks"))
+      .filter(size(col("toks")) > 0)
+    val bgs = transform(
+      sequence(lit(0), size(col("toks")) - 2),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))
+    val ratios = base.select(
+      col("doc_id"),
+      (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .as("dup_token_frac"),
+      when(
+        size(col("toks")) >= 2,
+        lit(1.0) - size(array_distinct(bgs)).cast("double") / (size(col("toks")) - 1))
+        .otherwise(lit(0.0))
+        .as("dup_bigram_frac"))
+    val top = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
+    ratios.join(top, Seq("doc_id"))
+  }
+}

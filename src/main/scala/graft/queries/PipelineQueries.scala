@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataQuality, Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, DataQuality, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Training-data pipeline operators registered for the correctness gate:
@@ -122,6 +122,52 @@ object PipelineQueries {
       """)) { (spark, dir) =>
       Dedup.duplicateClusters(
         Dedup.jaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8))
+    },
+
+    // ----------------------------------------- repeated n-gram spans
+    // Span-granular exact dedup (Lee et al. 2022): 8-grams appearing in >=2
+    // distinct documents mark duplicated spans to cut or down-weight. The
+    // oracle keeps gram TEXT as the group key; Corpus.ngramSpans(hashGrams=
+    // true) is the scale path (8-byte xxhash64 shuffle keys) and CorpusSpec
+    // proves the two agree.
+    Q(
+      "dedup_ngram_spans",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))) AS gram
+              FROM t WHERE len(toks) >= 8)
+        SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      """)) { (spark, dir) =>
+      Corpus.ngramSpans(Tables(spark, dir).documents, "doc_id", "text", n = 8, minDocs = 2)
+    },
+
+    // ---------------------------------------- eval-set decontamination
+    // Benchmark contamination check (GPT-3 App. C shape): distinct n-grams
+    // shared between each training doc and a held-out eval slice (doc_id %
+    // 100 == 0 stands in for the benchmark corpus). Eval grams broadcast —
+    // never a corpus-sized shuffle. n=4 here because the synthetic corpus
+    // draws uniformly from a tiny vocabulary, so longer grams are unique
+    // w.h.p. and the overlap set would be empty; real pipelines run the
+    // same operator at n=8..13.
+    Q(
+      "decontam_overlap",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        g AS (SELECT DISTINCT doc_id, gram FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) AS gram
+              FROM t WHERE len(toks) >= 4)),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 100 <> 0)
+        SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+        FROM tr JOIN ev ON tr.gram = ev.gram
+        GROUP BY tr.doc_id
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      Corpus.evalOverlap(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 4)
     },
 
     // --------------------------------------------------------- SimHash
@@ -310,9 +356,38 @@ object PipelineQueries {
         .select(col("media_id"), col("frame_idx"), lower(hex(col("frame"))).as("frame_hex"))
     },
 
-    // Nearest-neighbor resize to a fixed grid — engine-specific byte output
-    // (rows-only); MultimodalSpec pins shape and determinism.
-    Q("multimodal_resize", None) { (spark, dir) =>
+    // Nearest-neighbor resize to a fixed 16x16 grid. The stub "decode"
+    // treats the payload as a row-major ~square gray image (sw=floor(sqrt n),
+    // sh=ceil(n/sw)) and the resize picks payload[(y*sh/16)*sw + (x*sw/16)]
+    // — all integer arithmetic, so the ORACLE replays it in DuckDB by
+    // slicing the hex encoding of the payload (byte b = hex chars 2b+1..2b+2)
+    // and string_agg-ing the 256 sampled bytes in (y, x) order.
+    Q(
+      "multimodal_resize",
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 lower(hex(encode(text))) AS ph,
+                 octet_length(encode(text)) AS nb,
+                 greatest(octet_length(encode(text)), 1) AS n
+          FROM documents),
+        g AS (
+          SELECT media_id, ph, nb, n,
+                 greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS sw
+          FROM m),
+        h AS (SELECT *, (n + sw - 1) // sw AS sh FROM g),
+        px AS (
+          SELECT media_id, y, x,
+                 ((y * sh) // 16) * sw + ((x * sw) // 16) AS idx, ph, nb
+          FROM h, range(0, 16) ty(y), range(0, 16) tx(x))
+        SELECT media_id,
+               16 AS width, 16 AS height,
+               string_agg(
+                 CASE WHEN idx < nb THEN substring(ph, CAST(2 * idx + 1 AS INT), 2) ELSE '00' END,
+                 '' ORDER BY y, x) AS pixels_hex
+        FROM px
+        GROUP BY media_id
+      """)) { (spark, dir) =>
       val media = Multimodal.ingest(
         Tables(spark, dir).documents
           .select(col("doc_id"), lit("image").as("kind"), col("text").cast("binary").as("payload")),
@@ -320,7 +395,11 @@ object PipelineQueries {
       Multimodal
         .resizeNearest(media, tw = 16, th = 16)
         .toDF()
-        .select(col("mediaId").as("media_id"), col("width"), col("height"), md5(col("pixels")).as("pixels_md5"))
+        .select(
+          col("mediaId").as("media_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          lower(hex(col("pixels"))).as("pixels_hex"))
     }
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.MapleJuice
+import graft.operators.{Corpus, MapleJuice}
 import graft.sources.Tables
 
 /** Reference-parity text queries + the text-analysis operators a training-data
@@ -313,6 +313,67 @@ object TextQueries {
         .select(
           col("doc_id"),
           md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+    },
+
+    // Gopher-style repetition signals (Rae et al. 2021 App. A): duplicate
+    // token/bigram fractions plus the most-frequent-token share — the
+    // filters that cut boilerplate/spam before training. Ratios are IEEE
+    // divisions of exact integer counts — bit-identical across engines.
+    Q(
+      "text_repetition",
+      Some("""
+        WITH b AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+                 CASE WHEN len(toks) >= 2
+                      THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
+                      ELSE 0.0 END AS dup_bigram_frac
+          FROM b WHERE len(toks) > 0),
+        tc AS (
+          SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM b) GROUP BY 1, 2)
+          GROUP BY doc_id)
+        SELECT r.doc_id, dup_token_frac, dup_bigram_frac, top_token_frac
+        FROM r JOIN tc ON tc.doc_id = r.doc_id
+      """)) { (spark, dir) =>
+      Corpus.repetitionSignals(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
+    // PII / identifier scrubbing: rule-list regex redaction with audit
+    // counts, over a ticket-shaped text synthesized from real customer
+    // columns (the corpus has no digits — customer names/balances do).
+    // Redacting the numeric token also erases any cross-engine float-
+    // formatting difference BEFORE the hash compare; the counts prove the
+    // patterns fired. RE2-compatible patterns only (see Corpus.scrub).
+    Q(
+      "pii_scrub",
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 c_name || ' balance ' || CAST(c_acctbal AS VARCHAR) || ' segment ' || c_mktsegment AS ticket
+          FROM customer)
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(ticket, 'Customer#[0-9]+', '[ID]', 'g'), '-?[0-9]+\.[0-9]+', '[NUM]', 'g') AS scrubbed,
+               len(regexp_extract_all(ticket, 'Customer#[0-9]+')) AS n_ids,
+               len(regexp_extract_all(ticket, '-?[0-9]+\.[0-9]+')) AS n_nums
+        FROM t
+      """)) { (spark, dir) =>
+      val ticket = concat(
+        col("c_name"), lit(" balance "), col("c_acctbal").cast("string"),
+        lit(" segment "), col("c_mktsegment"))
+      Tables(spark, dir).customer
+        .select(col("c_custkey"), ticket.as("ticket"))
+        .select(
+          col("c_custkey"),
+          Corpus
+            .scrub(col("ticket"), Seq("Customer#[0-9]+" -> "[ID]", "-?[0-9]+\\.[0-9]+" -> "[NUM]"))
+            .as("scrubbed"),
+          Corpus.matchCount(col("ticket"), "Customer#[0-9]+").as("n_ids"),
+          Corpus.matchCount(col("ticket"), "-?[0-9]+\\.[0-9]+").as("n_nums"))
     }
   )
 }

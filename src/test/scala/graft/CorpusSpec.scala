@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+import graft.sources.Tables
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, SharedSpark.sf0001).documents
+
+  test("tokenNgrams: per-occurrence stream, short docs emit nothing") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x")).toDF("doc_id", "text")
+    val grams = Corpus.tokenNgrams(df, "doc_id", "text", n = 3).collect()
+    val byDoc = grams.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    assert(byDoc(1L).sorted == Seq("a b c", "b c d"))
+    assert(!byDoc.contains(2L)) // shorter than n
+    assert(byDoc(3L) == Seq("x x x")) // occurrences, not distinct
+  }
+
+  test("ngramSpans: text and hashGrams paths agree on every group's counts") {
+    val exact = Corpus.ngramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+    val hashed = Corpus.ngramSpans(docs, "doc_id", "text", n = 8, minDocs = 2, hashGrams = true)
+    assert(exact.count() > 0, "sf0.001 corpus has planted near-dups sharing 8-gram spans")
+    // hashing the gram must not change any (n_docs, n_occurrences) group:
+    // recompute the element-wise xxhash64 (the hashed path never builds the
+    // string) from the exact path's gram text and join the two group sets
+    val parts = split(col("gram"), " ")
+    val elemHash = xxhash64((0 until 8).map(j => element_at(parts, j + 1)): _*)
+    val rekeyed = exact.withColumn("gram_hash", elemHash)
+    val joined = rekeyed
+      .select(col("gram_hash"), col("n_docs").as("ed"), col("n_occurrences").as("eo"))
+      .join(
+        hashed.select(col("gram_hash"), col("n_docs").as("hd"), col("n_occurrences").as("ho")),
+        Seq("gram_hash"), "full_outer")
+    assert(joined.filter(col("ed").isNull || col("hd").isNull).count() == 0,
+      "both paths must produce the same span-group set")
+    assert(joined.filter(col("ed") =!= col("hd") || col("eo") =!= col("ho")).count() == 0)
+  }
+
+  test("evalOverlap: planted overlap found, eval docs never self-report, zero-overlap docs absent") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // shares the 8-gram prefix
+      (2L, "completely different words with no shared spans at all here"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = Corpus.evalOverlap(train, eval_, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // eval text tokens: 9 -> grams "the..lazy" and "quick..dog"
+    assert(out(1L) == 2L)
+    assert(out(3L) == 2L)
+    assert(!out.contains(2L))
+    assert(!out.contains(100L))
+  }
+
+  test("dropContaminated: flagged docs removed, clean docs and eval side untouched") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words with no shared spans at all here"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val kept = Corpus.dropContaminated(train, eval_, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // minShared above the planted overlap keeps everything
+    val keptAll = Corpus.dropContaminated(train, eval_, "doc_id", "text", n = 8, minShared = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L))
+  }
+
+  test("scrub + matchCount: rules fold in order, counts audit the redactions") {
+    val df = Seq(
+      ("Customer#000000042 balance 123.45 segment AUTO"),
+      ("no pii in this row")
+    ).toDF("ticket")
+    val out = df.select(
+      Corpus.scrub(col("ticket"), Seq("Customer#[0-9]+" -> "[ID]", "-?[0-9]+\\.[0-9]+" -> "[NUM]")).as("s"),
+      Corpus.matchCount(col("ticket"), "Customer#[0-9]+").as("ids"),
+      Corpus.matchCount(col("ticket"), "-?[0-9]+\\.[0-9]+").as("nums")
+    ).collect()
+    assert(out(0).getString(0) == "[ID] balance [NUM] segment AUTO")
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1)
+    assert(out(1).getString(0) == "no pii in this row")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0)
+  }
+
+  test("repetitionSignals: hand-checked fractions") {
+    val df = Seq(
+      (1L, "a a a a"),       // 4 tokens, 1 distinct; bigrams: 3x "a a" -> 1 distinct
+      (2L, "a b c d"),       // all distinct
+      (3L, "a")              // single token: dup_bigram_frac = 0 by contract
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((0.75, 1.0 - 1.0 / 3.0, 1.0)))
+    assert(out(2L) == ((0.0, 0.0, 0.25)))
+    assert(out(3L) == ((0.0, 0.0, 1.0)))
+  }
+
+  test("null/empty text: dropped from gram streams and signals, passed through scrub") {
+    val df = Seq((1L, "a b c d e f g h i"), (2L, null.asInstanceOf[String]), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    assert(Corpus.tokenNgrams(df, "doc_id", "text", 8).select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(Corpus.repetitionSignals(df, "doc_id", "text").select("doc_id").as[Long].collect().toSet == Set(1L))
+    val scrubbed = df.select(Corpus.scrub(col("text"), Seq("a" -> "x")).as("s"))
+      .as[String].collect()
+    assert(scrubbed.count(_ == null) == 1) // null in, null out — never a crash
+  }
+
+  test("repetitionSignals: planted near-dup corpus shows higher repetition than average") {
+    val out = Corpus.repetitionSignals(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    // tiny-vocab synthetic corpus: docs repeat tokens heavily on average
+    val avgDup = out.agg(avg(col("dup_token_frac"))).head().getDouble(0)
+    assert(avgDup > 0.2, s"avg dup_token_frac $avgDup")
+  }
+}

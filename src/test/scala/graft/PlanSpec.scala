@@ -127,4 +127,34 @@ class PlanSpec extends SparkSpec {
     val f = planOf("ann_lsh_topk")
     assert(!f.contains("UDF"), s"probe expansion must not be a ScalaUDF:\n$f")
   }
+
+  test("decontam eval-gram side is broadcast (never a corpus-sized shuffle)") {
+    val p = planOf("decontam_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(p.contains("LeftSemi"), s"overlap join must be a semi-join:\n$p")
+  }
+
+  test("ngram spans aggregate partially map-side (shuffle carries partial counts)") {
+    val f = formatted("dedup_ngram_spans")
+    assert("HashAggregate".r.findAllIn(f).length >= 2, s"partial + final aggregate expected:\n$f")
+    assert(!f.contains("UDF"), s"gram generation must stay codegen'd (no UDF):\n$f")
+  }
+
+  test("repetition signals: the up-front doc_id repartition is the ONLY shuffle") {
+    val f = formatted("text_repetition")
+    assert("HashAggregate".r.findAllIn(f).length >= 2, s"partial + final aggregate expected:\n$f")
+    assert(!f.contains("CartesianProduct") && !f.contains("BroadcastNestedLoop"), f)
+    // the doc_id-keyed repartition per scan branch satisfies every downstream
+    // clustering (the (doc,tok) agg, the (doc) agg, the ratios⋈top join), so
+    // Catalyst must never insert a shuffle of its own: every Exchange in the
+    // plan is one of our explicit REPARTITION_BY_NUMs (or a BroadcastExchange,
+    // which moves the small aggregated side, not corpus rows)
+    assert(!f.contains("ENSURE_REQUIREMENTS"),
+      s"optimizer inserted a shuffle beyond the explicit repartitions:\n$f")
+  }
+
+  test("pii scrub is a narrow projection — zero exchanges") {
+    val p = planOf("pii_scrub")
+    assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
+  }
 }
