@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -167,6 +168,92 @@ object Corpus {
   /** Count of matches of `re` in `c` — audit counterpart to [[scrub]]. */
   def matchCount(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Concat-and-chunk sequence packing: assign every document the training
+    * context window ("pack") its FIRST token lands in, under the scheme that
+    * concatenates a shard's documents in `idCol` order and slices the token
+    * stream into `capacity`-token windows. Output per surviving document:
+    * (doc_id, shard, n_tokens, pack_id, pack_offset) — integers only, so any
+    * engine replaying the same order computes the same packing. Zero-token
+    * documents are dropped (they occupy no tokens).
+    *
+    * Packing is per-`shardCol` because that is how pipelines run it: the
+    * mixing weights are per source/shard, and packing inside a shard keeps
+    * windows homogeneous. Each shard is one window partition — an
+    * independent range-sorted prefix sum, so shards pack in parallel and no
+    * shard ever sees another's rows. At 100 TB a single giant source should
+    * be pre-split into bounded sub-shards (any deterministic function of the
+    * id: `pmod(hash(id), k)` as an extra shard key) — the operator takes any
+    * shard expression, so that is a caller-side choice, not a new code path. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Int,
+      shardCol: String): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+        col(idCol).as("doc_id"),
+        col(shardCol).as("shard"),
+        size(toks(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        col("n_tokens"),
+        (col("start") / capacity).cast("long").as("pack_id"),
+        (col("start") % capacity).as("pack_offset"))
+  }
+
+  /** Top-`topK` vocabulary by corpus frequency, deterministically ranked
+    * (count desc, then token asc — ties never reorder across engines).
+    * Output: (token, n_occurrences, rank), rank 1-based.
+    *
+    * The explode is map-side partial-aggregated, so the shuffle carries
+    * (token, partial count) — one row per distinct token per partition, not
+    * per occurrence. The ranking window runs single-partition BUT over the
+    * aggregated distinct-token table, which is vocabulary-sized (millions of
+    * rows at web scale, not trillions) — the same reduction every tokenizer
+    * trainer performs. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val counts = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    counts
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("n_occurrences").desc, col("token")))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Per-document out-of-vocabulary rate against `vocab` (any DataFrame with
+    * a `token` column, e.g. [[vocabulary]]'s output): (doc_id, n_tokens,
+    * oov_frac) where oov_frac is the fraction of token OCCURRENCES outside
+    * the vocabulary — the signal that routes a document to the right
+    * tokenizer or flags encoding rot.
+    *
+    * The vocabulary is broadcast (top-K vocabularies are bounded by
+    * construction), so the corpus side is scan → explode → broadcast left
+    * join → doc-keyed count — map-side partial aggregation, no corpus-sized
+    * distinct, one keyed shuffle. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.select(col("token")).distinct().withColumn("in_vocab", lit(1)))
+    df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .join(v, Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("double") / count(lit(1)))
+          .as("oov_frac"))
+  }
 
   /** Gopher-style repetition signals per document (Rae et al. 2021 App. A):
     * duplicate-token fraction, duplicate-bigram fraction, and the fraction

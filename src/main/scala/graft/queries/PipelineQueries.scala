@@ -170,6 +170,28 @@ object PipelineQueries {
         "doc_id", "text", n = 4)
     },
 
+    // -------------------------------------------- sequence packing
+    // Concat-and-chunk packing into 256-token context windows, per source
+    // shard in doc_id order — pure integer window arithmetic, so the oracle
+    // replays it exactly with a SQL running sum.
+    Q(
+      "pack_sequences",
+      Some("""
+        WITH b AS (
+          SELECT doc_id, source AS shard,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+          FROM documents),
+        w AS (
+          SELECT doc_id, shard, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
+          FROM b WHERE n_tokens > 0)
+        SELECT doc_id, shard, n_tokens, start // 256 AS pack_id, start % 256 AS pack_offset
+        FROM w
+      """)) { (spark, dir) =>
+      Corpus.packSequences(Tables(spark, dir).documents, "doc_id", "text", capacity = 256, shardCol = "source")
+    },
+
     // --------------------------------------------------------- SimHash
     // 64-bit signatures + hamming<=16 pairs via 16-bit chunk banding.
     // xxhash64 is engine-specific → no SQL oracle; rows-only check. The

@@ -343,6 +343,47 @@ object TextQueries {
       Corpus.repetitionSignals(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // Tokenizer-training vocabulary: top-20 tokens by corpus frequency with
+    // a deterministic tie-break (count desc, token asc) so both engines rank
+    // identically. K=20 < the synthetic corpus's distinct-token count, so
+    // the cut is exercised and oov_rate below is non-trivial.
+    Q(
+      "vocab_topk",
+      Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+          FROM documents),
+        c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token)
+        SELECT token, n_occurrences, rank FROM (
+          SELECT token, n_occurrences,
+                 ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank
+          FROM c)
+        WHERE rank <= 20
+      """)) { (spark, dir) =>
+      Corpus.vocabulary(Tables(spark, dir).documents, "doc_id", "text", topK = 20)
+    },
+
+    // Per-document out-of-vocabulary rate against that top-20 vocabulary —
+    // vocab side broadcast, corpus side one keyed shuffle.
+    Q(
+      "oov_rate",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+          FROM documents),
+        c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token),
+        v AS (SELECT token FROM (
+                SELECT token, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank FROM c)
+              WHERE rank <= 20)
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_frac
+        FROM tok LEFT JOIN v ON tok.token = v.token
+        GROUP BY tok.doc_id
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      Corpus.oovRate(docs, "doc_id", "text", Corpus.vocabulary(docs, "doc_id", "text", topK = 20))
+    },
+
     // PII / identifier scrubbing: rule-list regex redaction with audit
     // counts, over a ticket-shaped text synthesized from real customer
     // columns (the corpus has no digits — customer names/balances do).

@@ -100,6 +100,45 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((0.0, 0.0, 1.0)))
   }
 
+  test("packSequences: boundary straddle, per-shard independence, zero-token drop") {
+    val df = Seq(
+      (1L, "s1", "a b c"),        // tokens 0-2   -> pack 0, offset 0
+      (2L, "s1", "d e f g"),      // tokens 3-6   -> pack 0, offset 3 (straddles into pack 1)
+      (3L, "s1", "h i"),          // tokens 7-8   -> pack 1, offset 3
+      (4L, "s1", "   "),          // zero tokens  -> dropped, consumes nothing
+      (5L, "s1", "j"),            // token 9      -> pack 2, offset 1
+      (1L, "s2", "x y z")         // other shard restarts at 0
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.packSequences(df, "doc_id", "text", capacity = 4, shardCol = "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out((1L, "s1")) == ((3L, 0L, 0L)))
+    assert(out((2L, "s1")) == ((4L, 0L, 3L)))
+    assert(out((3L, "s1")) == ((2L, 1L, 3L)))
+    assert(!out.contains((4L, "s1")))
+    assert(out((5L, "s1")) == ((1L, 2L, 1L)))
+    assert(out((1L, "s2")) == ((3L, 0L, 0L)))
+  }
+
+  test("vocabulary: deterministic tie-break (count desc, token asc), 1-based rank cut") {
+    val df = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val v = Corpus.vocabulary(df, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a and b tie at 2 — token asc puts a first; c (count 1) falls below K
+    assert(v.toSeq == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+  }
+
+  test("oovRate: occurrence-weighted fraction against an explicit vocab") {
+    val docs = Seq((1L, "a a b z"), (2L, "z z"), (3L, "a b")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val out = Corpus.oovRate(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((4L, 0.25)))
+    assert(out(2L) == ((2L, 1.0)))
+    assert(out(3L) == ((2L, 0.0)))
+  }
+
   test("null/empty text: dropped from gram streams and signals, passed through scrub") {
     val df = Seq((1L, "a b c d e f g h i"), (2L, null.asInstanceOf[String]), (3L, ""), (4L, "   "))
       .toDF("doc_id", "text")

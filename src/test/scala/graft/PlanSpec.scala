@@ -157,4 +157,19 @@ class PlanSpec extends SparkSpec {
     val p = planOf("pii_scrub")
     assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
   }
+
+  test("pack_sequences: one shard-keyed shuffle feeding the running-sum window") {
+    val f = formatted("pack_sequences")
+    assert(f.contains("Window"), s"packing must be a window prefix-sum:\n$f")
+    // exactly the shard-partitioning exchange; a second shuffle means the
+    // window did not reuse it
+    assert("\\bExchange\\b".r.findAllIn(f).length / 2 <= 1,
+      s"expected only the shard-key exchange:\n$f")
+  }
+
+  test("oov_rate: vocab side broadcast, corpus side partial-aggregated") {
+    val f = formatted("oov_rate")
+    assert(f.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$f")
+    assert("HashAggregate".r.findAllIn(f).length >= 2, s"partial + final agg expected:\n$f")
+  }
 }
