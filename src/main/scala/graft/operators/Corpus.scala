@@ -255,6 +255,54 @@ object Corpus {
           .as("oov_frac"))
   }
 
+  /** Deterministic mixture rebalancing: resample each source to a target
+    * rate — the "data mixing" step every pretraining pipeline runs (e.g.
+    * down-weight raw web crawl, up-weight books/code; cf. the mixture
+    * tables in GPT-3 §2.2 and Gopher App. A). A rate r gives every
+    * document ⌊r⌋ copies plus one more with probability frac(r), decided
+    * by a hash of the document id — so the SAME documents are kept on
+    * every run, on any engine, at any parallelism (reproducible data
+    * recipes; no RNG state).
+    *
+    * The fractional keep-test compares a fixed-width md5 hex prefix of the
+    * id against a PRECOMPUTED hex threshold (16-bit resolution), so the
+    * whole operator is literals + md5 — portable to any engine verbatim,
+    * which is what makes the oracle a hash-check rather than a
+    * distribution test. Output: (doc_id, source, copy_idx) with copy_idx
+    * 0..copies-1 — upsampled docs appear multiple times, dropped docs not
+    * at all.
+    *
+    * Scale shape: a narrow projection + filter + bounded explode (≤⌈max
+    * rate⌉ rows per input row) — zero shuffles, pushdown-friendly. */
+  def resampleMixture(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0), "rates must be >= 0")
+    def base(r: Double): Long  = math.floor(r).toLong
+    def thresh(r: Double): String = f"${math.floor((r - math.floor(r)) * 65536).toInt}%04x"
+    // deterministic plan: fold sources in sorted order into one CASE chain
+    val sorted = rates.toSeq.sortBy(_._1)
+    val baseCol = sorted.foldLeft(lit(base(defaultRate))) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(base(r))).otherwise(acc)
+    }
+    val threshCol = sorted.foldLeft(lit(thresh(defaultRate))) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(thresh(r))).otherwise(acc)
+    }
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    df.select(
+        col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        (baseCol + when(h < threshCol, 1L).otherwise(0L)).as("copies"))
+      .filter(col("copies") > 0)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy_idx"))
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 App. A):
     * duplicate-token fraction, duplicate-bigram fraction, and the fraction
     * of the document owned by its single most frequent token. Documents

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -397,6 +397,43 @@ object Dedup {
       edgePairs.unpersist(false)
       labels
     }
+  }
+
+  /** Canonical-document (survivor) selection per duplicate cluster — the
+    * action [[duplicateClusters]]'s labels drive: of each cluster keep the
+    * longest document (most content), ties broken toward the smallest id.
+    * Documents outside every cluster are their own singleton cluster and
+    * survive trivially. Output: one row per INPUT document —
+    * (doc_id, cluster_id, keep_id); the deduplicated corpus is
+    * `filter(doc_id === keep_id)`, kept fully declarative here so callers
+    * can also audit what was dropped and why.
+    *
+    * Scale shape: one left join docs⋈labels (labels are pair-graph-sized,
+    * usually broadcast-able; Catalyst picks), then a window partitioned by
+    * cluster_id. Cluster partitions are near-dup groups — bounded small by
+    * construction (a cluster spanning a meaningful fraction of a 100 TB
+    * corpus means the dedup threshold, not this operator, is wrong) — and
+    * singletons are one-row partitions, so the window never concentrates
+    * data. */
+  def canonicalDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clusters: DataFrame): DataFrame = {
+    val labels = clusters.select(col("doc_id").as("_cd_id"), col("cluster_id").as("_cd_cluster"))
+    val labeled = docs
+      .select(col(idCol).cast("long").as("doc_id"), length(col(textCol)).as("_cd_len"))
+      .join(labels, col("doc_id") === col("_cd_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("_cd_cluster"), col("doc_id")).as("cluster_id"),
+        col("_cd_len"))
+    val w = Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("_cd_len").desc, col("doc_id"))
+    labeled
+      .withColumn("keep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"))
   }
 
   /** Distributed connected components via large-star / small-star

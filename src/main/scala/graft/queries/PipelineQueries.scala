@@ -124,6 +124,44 @@ object PipelineQueries {
         Dedup.jaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8))
     },
 
+    // ------------------------------------------- canonical doc selection
+    // Survivor selection per duplicate cluster: keep each cluster's longest
+    // document (ties → smallest doc_id); singletons survive as their own
+    // cluster. One row per document — the deduplicated corpus is
+    // doc_id = keep_id. Oracle: the dedup_clusters recursive CTE extended
+    // with a COALESCE for singletons and a FIRST_VALUE window.
+    Q(
+      "dedup_canonical",
+      Some("""
+        WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+               FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        p AS (SELECT a_id, b_id FROM p0 JOIN sz sa ON sa.doc_id = p0.a_id JOIN sz sb ON sb.doc_id = p0.b_id
+              WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+        reach(id, lab) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id),
+        c AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, LENGTH(d.text) AS len
+                FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id)
+        SELECT doc_id, cluster_id,
+               FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS keep_id
+        FROM lab
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      Dedup.canonicalDocs(
+        docs,
+        "doc_id",
+        "text",
+        Dedup.duplicateClusters(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)))
+    },
+
     // ----------------------------------------- repeated n-gram spans
     // Span-granular exact dedup (Lee et al. 2022): 8-grams appearing in >=2
     // distinct documents mark duplicated spans to cut or down-weight. The
@@ -140,6 +178,31 @@ object PipelineQueries {
         FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
       """)) { (spark, dir) =>
       Corpus.ngramSpans(Tables(spark, dir).documents, "doc_id", "text", n = 8, minDocs = 2)
+    },
+
+    // ---------------------------------------- mixture resampling
+    // Deterministic data-mixing: src0 down to 0.35x, src1 up to 2.4x, src2
+    // dropped, src3 at 1.75x, everything else passes through. Thresholds
+    // are literal hex prefixes (0.35 -> floor(0.35*65536) = 0x5999), so the
+    // oracle replays the exact same keep/copy decisions.
+    Q(
+      "corpus_resample",
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 WHEN 'src3' THEN 1 ELSE 1 END AS base,
+                 CASE source WHEN 'src0' THEN '5999' WHEN 'src1' THEN '6666' WHEN 'src2' THEN '0000' WHEN 'src3' THEN 'c000' ELSE '0000' END AS th,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+          FROM documents),
+        k AS (SELECT doc_id, source, base + CASE WHEN h < th THEN 1 ELSE 0 END AS copies
+              FROM r WHERE base + CASE WHEN h < th THEN 1 ELSE 0 END > 0)
+        SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy_idx FROM k
+      """)) { (spark, dir) =>
+      Corpus.resampleMixture(
+        Tables(spark, dir).documents,
+        "doc_id",
+        "source",
+        rates = Map("src0" -> 0.35, "src1" -> 2.4, "src2" -> 0.0, "src3" -> 1.75))
     },
 
     // ---------------------------------------- eval-set decontamination

@@ -149,6 +149,30 @@ class CorpusSpec extends SparkSpec {
     assert(scrubbed.count(_ == null) == 1) // null in, null out — never a crash
   }
 
+  test("resampleMixture: exact copy semantics, determinism, and rate convergence") {
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 0.25, "src1" -> 2.5, "src2" -> 0.0)
+    val out = Corpus.resampleMixture(df, "doc_id", "source", rates) // src3 -> default 1.0
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // copy_idx is exactly 0..copies-1 per kept doc (no gaps, no dups)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, copies) =>
+      assert(copies.map(_._3).sorted.toSeq == (0L until copies.length.toLong))
+    }
+    val bySource = rows.groupBy(_._2).view.mapValues(_.length.toDouble / 1000).toMap
+    assert(!bySource.contains("src2"), "rate 0 drops the source entirely")
+    assert(math.abs(bySource("src0") - 0.25) < 0.05, s"src0 rate ${bySource("src0")}")
+    assert(math.abs(bySource("src1") - 2.5) < 0.05, s"src1 rate ${bySource("src1")}")
+    assert(bySource("src3") == 1.0, "default rate 1.0 passes every doc through exactly once")
+    // every src1 doc has at least its 2 integer copies (only the 3rd is hash-gated)
+    assert(rows.filter(_._2 == "src1").groupBy(_._1).forall(_._2.length >= 2))
+
+    // deterministic: a second run selects the identical multiset
+    val again = Corpus.resampleMixture(df, "doc_id", "source", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("repetitionSignals: planted near-dup corpus shows higher repetition than average") {
     val out = Corpus.repetitionSignals(docs, "doc_id", "text")
     assert(out.count() == docs.count())

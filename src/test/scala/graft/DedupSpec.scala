@@ -201,4 +201,30 @@ class DedupSpec extends SparkSpec {
     // old×old pairs must NOT be recomputed/emitted
     assert(incr.keys.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
   }
+
+  test("canonicalDocs keeps each cluster's longest doc (ties -> smallest id), singletons survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),        // cluster {1,2,3}: 3 is longest
+      (2L, "a b c d"),
+      (3L, "a b c d e f"),
+      (4L, "x y"),              // singleton
+      (5L, "p q r"),            // cluster {5,6}: equal lengths -> keep 5
+      (6L, "p q s")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
+    val got = Dedup
+      .canonicalDocs(docs, "doc_id", "text", clusters)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(
+      got == Set(
+        (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+        (4L, 4L, 4L),
+        (5L, 5L, 5L), (6L, 5L, 5L)))
+    // the deduplicated corpus = keep_id rows, one survivor per cluster
+    val survivors = got.filter { case (id, _, keep) => id == keep }.map(_._1)
+    assert(survivors == Set(3L, 4L, 5L))
+  }
 }
