@@ -142,6 +142,49 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** [[evalOverlap]] for eval sets BEYOND the broadcast budget — the same
+    * exact output through a Bloom-prefilter + shuffle-verify plan.
+    *
+    * [[evalOverlap]] broadcasts the eval gram set as a join hash relation:
+    * right until the eval side stops fitting an executor (a few hundred MB
+    * of 8-byte grams). Past that, this variant keeps the memory bounded and
+    * the plan shuffle-light in two steps: (1) a fixed-size Bloom filter of
+    * the eval grams (numBits/8 bytes — 512 KiB at the default 2²² bits,
+    * still broadcast-cheap at ANY eval size) prefilters the corpus gram
+    * stream down to true hits + the FP sliver; (2) an exact semi-join
+    * verifies the survivors, running as a SHUFFLE hash join — affordable
+    * because only the prefiltered sliver shuffles, never the corpus gram
+    * stream. Bloom FPs cost shuffle bytes, never correctness: the verify
+    * join removes them, so the output is bit-identical to [[evalOverlap]]
+    * (one oracle serves both).
+    *
+    * False-negative risk: none — build and probe run the same multiply-
+    * shift arithmetic on the same JVM semantics (see graft.functions.Bloom).
+    * Size the filter at ~10 bits/gram for ~1% FP (numHashes=4 optimal ≈
+    * m/n·ln2 ≈ 7; 4 keeps probe cost low at <2% FP). */
+  def evalOverlapBloom(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      numBits: Int = 1 << 22,
+      numHashes: Int = 4): DataFrame = {
+    import graft.functions.Bloom
+    val evalGrams = tokenNgramHashes(eval_, idCol, textCol, n, distinctInRow = true)
+      .select(col("gram_h"))
+      .distinct()
+    val bloom = Bloom.build(evalGrams, "gram_h", numBits, numHashes)
+    tokenNgramHashes(train, idCol, textCol, n, distinctInRow = true)
+      .filter(Bloom.mightContain(bloom, numHashes)(col("gram_h")))
+      // exact verify on the sliver — hinted to the shuffle join shape this
+      // variant exists for (Catalyst would otherwise broadcast a small eval
+      // side and hide the plan under test; PlanSpec pins no-broadcast)
+      .join(evalGrams.hint("shuffle_hash"), Seq("gram_h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Decontaminated training corpus: drop every training document sharing
     * ≥ `minShared` distinct n-grams with the eval corpus (the action
     * [[evalOverlap]]'s report drives). Anti-join on the flagged id set —

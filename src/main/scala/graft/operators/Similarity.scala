@@ -316,6 +316,106 @@ object Similarity {
       k)
   }
 
+  /** IVF over an int8-quantized index with exact rerank — the memory/IO
+    * variant of [[ivfTopK]] for corpora where even the probed cells'
+    * full-precision vectors dominate cost. The resident index row is
+    * (id, cell, scale, q8 bytes): d + 16 bytes per vector instead of 8d —
+    * ~7× less to store, scan, and shuffle at d=64, the standard
+    * SQ8 recipe (FAISS IndexIVFScalarQuantizer).
+    *
+    * Search: probe nprobe cells, score candidates with the CODEGEN'd
+    * integer dot (cos ≈ s_q·s_c·dotq8 on unit vectors, error ~1e-2),
+    * bounded-heap a `rerank`·k shortlist per query, then exact-cosine
+    * rerank ONLY the shortlist against full-precision vectors — a
+    * shortlist-sized keyed join, so the 8d-byte vectors are touched for
+    * rerank·k rows per query, never per candidate. Quantization error
+    * only costs recall when the true #k and the #(rerank·k) quantized
+    * scores differ by more than the error — the spec pins recall ≥ 0.9 at
+    * gate settings. */
+  def ivfTopKQ8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      assign: Int = 2,
+      rerank: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot_q8, vec_q8}
+    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
+
+    // the quantized resident index: unit-normalize (cosine contract), then
+    // int8-quantize; full-precision cv/cn are dropped before the join
+    def q8(v: Column, n: Column): Column =
+      vec_q8(when(n > 0, transform(v, x => x / n)).otherwise(v))
+    val index = ivfAssign(corpus, centroids, assign)
+      .withColumn("cq8", q8(col("cv"), col("cn")))
+      .select(
+        col("neighbor_id"),
+        col("cell"),
+        col("cq8.scale").as("cscale"),
+        col("cq8.q").as("cq"))
+
+    val probesOf = udf { (v: Seq[Double]) =>
+      val u = normalized(v.toArray)
+      centroids.indices
+        .map { c =>
+          var d = 0.0; var i = 0
+          val ctr = centroids(c)
+          while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
+          (d, c)
+        }
+        .sortBy(_._1)
+        .take(nprobe)
+        .map(_._2)
+    }
+    val qprep = queries
+      .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qprobe = broadcast(
+      qprep
+        .withColumn("qq8", q8(col("qv"), col("qn")))
+        .select(
+          col("query_id"),
+          explode(probesOf(col("qv"))).as("cell"),
+          col("qq8.scale").as("qscale"),
+          col("qq8.q").as("qq")))
+
+    // quantized scoring: integer dot in codegen; multi-assign duplicates
+    // carry identical scores, so a plain per-(query, neighbor) dedup after
+    // scoring is exact
+    val scored = qprobe
+      .join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (col("qscale") * col("cscale") * vec_dot_q8(col("qq"), col("cq"))).as("simq"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val shortlist = graft.operators.TopK.perGroup(
+      scored,
+      groupCols = Seq("query_id"),
+      orderCols = Seq("simq" -> false, "neighbor_id" -> true),
+      k = math.max(rerank, 1) * k)
+
+    // exact rerank of the shortlist only — full-precision vectors enter
+    // here, keyed by the shortlist's ids
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    rankTopK(
+      shortlist
+        .select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(qprep), Seq("query_id"))
+        .join(c, Seq("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(sim, 9).as("sim9"),
+          round(sim, 6).as("sim")),
+      k)
+  }
+
   /** kNN classification: majority label among each query vector's k exact
     * nearest neighbors (cosine), ties broken toward the smallest label — a
     * fully deterministic, oracle-checkable label-propagation shape (the

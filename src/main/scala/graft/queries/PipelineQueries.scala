@@ -233,6 +233,32 @@ object PipelineQueries {
         "doc_id", "text", n = 4)
     },
 
+    // ------------------------------ decontamination, beyond-broadcast path
+    // Same contamination report as decontam_overlap, computed through the
+    // Bloom-prefilter + shuffle-verify plan (the shape for eval sets too
+    // big to broadcast as a join relation). Bloom FPs are removed by the
+    // exact verify join, so the oracle is the SAME exact SQL — the scale
+    // path is hash-checked, not just rows-counted.
+    Q(
+      "decontam_bloom",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        g AS (SELECT DISTINCT doc_id, gram FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) AS gram
+              FROM t WHERE len(toks) >= 4)),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 100 <> 0)
+        SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+        FROM tr JOIN ev ON tr.gram = ev.gram
+        GROUP BY tr.doc_id
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      Corpus.evalOverlapBloom(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 4)
+    },
+
     // -------------------------------------------- sequence packing
     // Concat-and-chunk packing into 256-token context windows, per source
     // shard in doc_id order — pure integer window arithmetic, so the oracle
@@ -341,6 +367,17 @@ object PipelineQueries {
     Q("ann_ivf_topk", None) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3)
+    },
+
+    // ------------------------------------- ANN: int8-quantized IVF + rerank
+    // The memory/IO variant: the resident index is (id, cell, scale, int8
+    // bytes) — d+16 bytes/vector instead of 8d — scored with a codegen'd
+    // integer dot, exact-reranked on a rerank*k shortlist. Approximate by
+    // construction -> rows-only; spec pins recall >= 0.9 at these settings
+    // and the quantization error bound.
+    Q("ann_ivf_int8", None) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.ivfTopKQ8(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)
     },
 
     // ------------------------------------------------------- data quality

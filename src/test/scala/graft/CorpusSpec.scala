@@ -149,6 +149,45 @@ class CorpusSpec extends SparkSpec {
     assert(scrubbed.count(_ == null) == 1) // null in, null out — never a crash
   }
 
+  test("bloom filter: zero false negatives, FP rate within 2x of theory") {
+    import graft.functions.Bloom
+    val numBits   = 1 << 16
+    val numHashes = 4
+    val members   = (0L until 4000L).map(i => i * 0x9e3779b97f4a7c15L + 17L)
+    val bloom     = Bloom.build(members.toDF("gram_h"), "gram_h", numBits, numHashes)
+
+    // every member passes (the no-false-negative contract)
+    val memberHits = members.toDF("gram_h")
+      .filter(Bloom.mightContain(bloom, numHashes)(col("gram_h"))).count()
+    assert(memberHits == members.length.toLong)
+
+    // non-members: FP rate near (1 - e^(-kn/m))^k ~ 0.24% at n=4000, m=2^16, k=4
+    val outsiders = (0L until 20000L).map(i => i * 0xbf58476d1ce4e5b9L + 923L)
+      .filterNot(members.toSet)
+    val fps = outsiders.toDF("gram_h")
+      .filter(Bloom.mightContain(bloom, numHashes)(col("gram_h"))).count()
+    val theory = {
+      val m = numBits.toDouble; val n = members.length.toDouble; val k = numHashes.toDouble
+      math.pow(1 - math.exp(-k * n / m), k)
+    }
+    assert(fps.toDouble / outsiders.length < 2 * theory + 0.001,
+      s"FP rate ${fps.toDouble / outsiders.length} vs theory $theory")
+  }
+
+  test("evalOverlapBloom == evalOverlap exactly (FPs verified away), via a shuffle join") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Corpus.evalOverlap(train, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomDf = Corpus.evalOverlapBloom(train, eval_, "doc_id", "text", n = 4)
+    val bloomed = bloomDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "sf0.001 corpus has planted cross-split overlap")
+    assert(bloomed == exact)
+    // the verify join must be the shuffle shape this variant exists for
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), "verify join must not broadcast")
+  }
+
   test("resampleMixture: exact copy semantics, determinism, and rate convergence") {
     val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     val rates = Map("src0" -> 0.25, "src1" -> 2.5, "src2" -> 0.0)

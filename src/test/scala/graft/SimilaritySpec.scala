@@ -61,6 +61,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall below the pinned 0.9 floor")
   }
 
+  test("ivfTopKQ8 recall against bruteTopK is >= 0.9 at the shipped settings") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // EXACTLY the ann_ivf_int8 gate-query settings (PipelineQueries)
+    val q8 = Similarity.ivfTopKQ8(emb, queries, k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q8.nonEmpty)
+    val recall = q8.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8-IVF recall $recall below the pinned 0.9 floor")
+  }
+
+  test("int8 quantized cosine approximates the exact cosine within quantization error") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{vec_dot_q8, vec_q8}
+    val rnd  = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val pairs = (0 until 200).map(_ => (unit(), unit())).toDF("a", "b")
+    val rows = pairs
+      .withColumn("qa", vec_q8(col("a")))
+      .withColumn("qb", vec_q8(col("b")))
+      .select(
+        Similarity.cosine(col("a"), col("b")).as("exact"),
+        (col("qa.scale") * col("qb.scale") * vec_dot_q8(col("qa.q"), col("qb.q"))).as("approx"))
+      .collect()
+    val maxErr = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    // per-element error <= scale/2 ~ maxAbs/254; accumulated over d=64 unit
+    // vectors the observed error is ~1e-2 — pin an order-of-magnitude bound
+    assert(maxErr < 0.05, s"quantized cosine max error $maxErr")
+  }
+
   test("hyperplane buckets are deterministic") {
     val b1 = Similarity.hyperplaneBuckets(emb, bits = 8, tables = 2).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
