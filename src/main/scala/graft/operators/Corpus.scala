@@ -113,6 +113,66 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** The ACTION [[ngramSpans]]'s report drives (Lee et al. 2022 §4): cut
+    * every corpus-wide duplicated span out of the text. A token is cut when
+    * ANY n-gram occurrence covering it appears in ≥ `minDocs` distinct
+    * documents; the survivors re-join in order. Output per document (≥1
+    * token): (doc_id, clean_text, n_removed) — clean_text may be empty if
+    * the whole document was duplicated spans, and documents unchanged come
+    * through with n_removed = 0 (callers filter as policy dictates).
+    *
+    * Scale shape: grams travel as xxhash64 (never strings — same collision
+    * argument as [[ngramSpans]] hashGrams, and a collision only ever CUTS a
+    * false span, bounded by ~2⁻⁶⁴ per gram pair); the flagged-gram set is
+    * the ngramSpans aggregate, joined back as a semi-join; covered
+    * positions explode ×n only for FLAGGED occurrences; reassembly is one
+    * doc_id-keyed aggregate. No driver-side state at any step. */
+  def cutSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Long = 2L): DataFrame = {
+    val t = toks(col(textCol))
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), t.as("toks"))
+      .filter(size(col("toks")) > 0)
+    // (doc_id, 1-based token position, token)
+    val tokRows = base
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+    // (doc_id, 1-based gram start, gram hash) — hash computed in-row
+    val gramRows = base
+      .filter(size(col("toks")) >= n)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => xxhash64((0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .select(col("doc_id"), (col("pos") + 1).as("gpos"), col("col").as("gram_h"))
+    val flagged = ngramSpans(df, idCol, textCol, n, minDocs, hashGrams = true)
+      .select(col("gram_hash").as("gram_h"))
+    val covered = gramRows
+      .join(flagged, Seq("gram_h"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    // left join + conditional aggregate (NOT an anti join): a fully-covered
+    // document must still emit its (empty) row. collect_list drops nulls,
+    // so the kept tokens are exactly the uncovered positions.
+    tokRows
+      .join(covered.withColumn("cut", lit(1)), Seq("doc_id", "pos"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("cut").isNull, struct(col("pos"), col("token"))))),
+            s => s("token")),
+          " ").as("clean_text"),
+        sum(when(col("cut").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Benchmark decontamination: for each training document, how many
     * DISTINCT n-grams it shares with the held-out eval corpus. Output:
     * (doc_id, n_shared_grams), only documents with ≥1 shared gram — the

@@ -491,6 +491,74 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
   }
 
+  private def prepped(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+
+  /** Incremental embedding near-dup pairs, exact: every pair with cosine >=
+    * threshold TOUCHING the new batch — new×stored and new×new, never
+    * stored×stored (the daily-ingestion contract, mirroring
+    * Dedup.incrementalJaccardPairs). Cost O(|new|·|all|·d), proportional to
+    * the batch — re-running the full dedup would be O(|all|²·d) and redo
+    * yesterday's work. Ids must be disjoint across the two frames. Output
+    * (a_id, b_id, sim) normalized to a_id < b_id. */
+  def cosineDupPairsIncrementalExact(
+      newVecs: DataFrame,
+      oldVecs: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = prepped(newVecs)
+      .select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b = prepped(newVecs).withColumn("is_new", lit(true))
+      .unionByName(prepped(oldVecs).withColumn("is_new", lit(false)))
+      .select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"), col("is_new"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // each new×new pair meets once (a < b); new×old pairs always qualify
+    a.join(b, col("a_id") =!= col("b_id") && (!col("is_new") || col("a_id") < col("b_id")))
+      .withColumn("sim6", round(sim, 6))
+      .filter(col("sim6") >= threshold)
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("sim6").as("sim"))
+  }
+
+  /** Incremental near-dup pairs, LSH-bucketed: candidates are (new, any)
+    * bucket collisions — the stored side contributes index rows but never
+    * pairs among itself — then exact-verified like
+    * [[cosineDupPairsBucketed]]. The stored side's buckets are exactly the
+    * persistent index [[hyperplaneBuckets]] builds (deterministic
+    * signatures: recomputing here equals reading a stored copy). */
+  def cosineDupPairsIncrementalBucketed(
+      newVecs: DataFrame,
+      oldVecs: DataFrame,
+      threshold: Double,
+      bits: Int = 8,
+      tables: Int = 12): DataFrame = {
+    val newB = hyperplaneBuckets(newVecs, bits, tables)
+    val allB = newB.withColumn("is_new", lit(true))
+      .unionByName(hyperplaneBuckets(oldVecs, bits, tables).withColumn("is_new", lit(false)))
+      .select(col("table"), col("bucket"), col("vec_id").as("b_id"), col("is_new"))
+    val candidates = newB
+      .select(col("table"), col("bucket"), col("vec_id").as("a_id"))
+      .join(allB, Seq("table", "bucket"))
+      .filter(col("a_id") =!= col("b_id") && (!col("is_new") || col("a_id") < col("b_id")))
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val withNorm = prepped(newVecs).unionByName(prepped(oldVecs))
+    val a   = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b   = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    candidates
+      .join(a, Seq("a_id"))
+      .join(b, Seq("b_id"))
+      .withColumn("sim6", round(sim, 6))
+      .filter(col("sim6") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
+  }
+
   /** The cosine threshold below which random-hyperplane LSH stops being an
     * honest recall proposition at the default bits/tables (its own docstring
     * math: collision probability decays exponentially in the pair's angle). */
@@ -538,5 +606,31 @@ object Similarity {
       cosineDupPairsExact(vectors, threshold)
     } else if (n <= exactGate) cosineDupPairsExact(vectors, threshold)
     else cosineDupPairsBucketed(vectors, threshold, bits, tables)
+  }
+
+  /** [[cosineDupPairsIncrementalExact]] / [[cosineDupPairsIncrementalBucketed]]
+    * behind the same size/threshold gate as [[cosineDupPairs]]: exact while
+    * small or below the LSH recall floor, bucketed candidates + exact verify
+    * at scale. */
+  def cosineDupPairsIncremental(
+      newVecs: DataFrame,
+      oldVecs: DataFrame,
+      threshold: Double,
+      exactGate: Long = 1L << 16,
+      bits: Int = 8,
+      tables: Int = 12,
+      sizeHint: Option[Long] = None): DataFrame = {
+    lazy val n = sizeHint.getOrElse(newVecs.count() + oldVecs.count())
+    if (threshold < LshThresholdFloor) {
+      if (n > exactGate)
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .warn(
+            s"cosineDupPairsIncremental: threshold $threshold is below the LSH floor " +
+              s"$LshThresholdFloor and the corpus has $n rows (> exactGate $exactGate); " +
+              "running the EXACT new-vs-all join.")
+      cosineDupPairsIncrementalExact(newVecs, oldVecs, threshold)
+    } else if (n <= exactGate) cosineDupPairsIncrementalExact(newVecs, oldVecs, threshold)
+    else cosineDupPairsIncrementalBucketed(newVecs, oldVecs, threshold, bits, tables)
   }
 }

@@ -180,6 +180,33 @@ object PipelineQueries {
       Corpus.ngramSpans(Tables(spark, dir).documents, "doc_id", "text", n = 8, minDocs = 2)
     },
 
+    // ---------------------------------------- duplicated-span cutting
+    // The action dedup_ngram_spans reports: tokens covered by any 8-gram
+    // seen in >=2 documents are cut, survivors re-join in order (Lee et
+    // al. 2022 span dedup). The oracle replays positions with gram TEXT;
+    // the engine shuffles 8-byte gram hashes (CorpusSpec pins hash==text).
+    Q(
+      "dedup_cut_spans",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        t1 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i -> {'gpos': i, 'gram': array_to_string(toks[i:i+7], ' ')})) AS u
+               FROM t1 WHERE len(toks) >= 8),
+        g AS (SELECT doc_id, u.gpos AS gpos, u.gram AS gram FROM g0),
+        flagged AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov0 AS (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS pos FROM g JOIN flagged USING (gram)),
+        cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'pos': i, 'token': toks[i]})) AS u FROM t1),
+        tk AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok)
+        SELECT tk.doc_id,
+               array_to_string(list(tk.token ORDER BY tk.pos) FILTER (WHERE cov.pos IS NULL), ' ') AS clean_text,
+               CAST(COUNT(cov.pos) AS BIGINT) AS n_removed
+        FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+        GROUP BY tk.doc_id
+      """)) { (spark, dir) =>
+      Corpus.cutSpans(Tables(spark, dir).documents, "doc_id", "text", n = 8, minDocs = 2)
+    },
+
     // ---------------------------------------- mixture resampling
     // Deterministic data-mixing: src0 down to 0.35x, src1 up to 2.4x, src2
     // dropped, src3 at 1.75x, everything else passes through. Thresholds
@@ -307,6 +334,27 @@ object PipelineQueries {
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
       """)) { (spark, dir) =>
       Similarity.cosineDupPairs(Tables(spark, dir).embeddings, threshold = 0.4)
+    },
+
+    // --------------------------------- embedding dedup, incremental batch
+    // New vectors (odd ids) deduped against a stored index (even ids) —
+    // new×all pairs, never old×old (the ingestion shape, mirroring
+    // dedup_incremental). Oracle: the full exact pair set restricted to
+    // pairs touching a new vector.
+    Q(
+      "dedup_embedding_incr",
+      Some("""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+          AND (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+      """)) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.cosineDupPairsIncremental(
+        emb.filter(col("vec_id") % 2 === 1),
+        emb.filter(col("vec_id") % 2 === 0),
+        threshold = 0.4)
     },
 
     // ------------------------------------------------ ANN: exact top-k

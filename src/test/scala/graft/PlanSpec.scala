@@ -112,7 +112,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ANN top-k ranks with bounded heaps: no sort of the scored candidate set") {
-    for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+    for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_int8")) {
       val f = planOf(q)
       assert(f.contains("TopKPerGroup"), s"$q should select via the bounded-heap operator:\n$f")
       // the only Sort allowed is the one under the rank-assigning window,
@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
     val p = planOf("decontam_overlap")
     assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
     assert(p.contains("LeftSemi"), s"overlap join must be a semi-join:\n$p")
+  }
+
+  test("decontam bloom path: native probe (no UDF), shuffle semi-join verify") {
+    val p = planOf("decontam_bloom")
+    assert(p.contains("bloom_might_contain"), s"bloom probe must be the native expression:\n$p")
+    assert(!p.contains("UDF"), s"bloom probe must not be a ScalaUDF:\n$p")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      s"verify must be the beyond-broadcast shuffle semi-join shape:\n$p")
   }
 
   test("ngram spans aggregate partially map-side (shuffle carries partial counts)") {

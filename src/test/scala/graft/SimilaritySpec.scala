@@ -143,6 +143,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"bucketed recall $recall too low at threshold 0.95")
   }
 
+  test("incremental dup pairs == full pairs restricted to new-touching, no old×old emitted") {
+    val newVecs = emb.filter(col("vec_id") % 2 === 1)
+    val oldVecs = emb.filter(col("vec_id") % 2 === 0)
+    val incr = Similarity.cosineDupPairsIncremental(newVecs, oldVecs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Similarity.cosineDupPairsExact(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = full.filter { case ((a, b), _) => a % 2 == 1 || b % 2 == 1 }
+    assert(expected.nonEmpty)
+    assert(incr == expected)
+    assert(incr.keys.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+  }
+
+  test("incremental bucketed path: exact-verified subset, high recall, no quadratic join") {
+    val vecs    = plantedNearDups(64, dims = 32)
+    val newVecs = vecs.filter(col("vec_id") % 4 < 2)  // mix of bases and copies
+    val oldVecs = vecs.filter(col("vec_id") % 4 >= 2)
+    val bucketed = Similarity.cosineDupPairsIncrementalBucketed(newVecs, oldVecs, threshold = 0.95)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val exact = Similarity.cosineDupPairsIncrementalExact(newVecs, oldVecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(got.subsetOf(exact), "bucketed output must be exact-verified")
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"incremental bucketed recall $recall")
+  }
+
   test("cosineDupPairs size gate dispatches to the bucketed path above the gate") {
     val vecs = plantedNearDups(16, dims = 16)
     // gate=0 forces the scale path; same exact-verified contract
