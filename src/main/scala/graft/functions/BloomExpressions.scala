@@ -43,7 +43,9 @@ object Bloom {
     }
 
   private def log2Exact(n: Int): Int = {
-    require(n > 0 && (n & (n - 1)) == 0, s"numBits must be a power of two, got $n")
+    require(
+      n >= 64 && (n & (n - 1)) == 0,
+      s"numBits must be a power of two >= 64 (one long word), got $n")
     java.lang.Integer.numberOfTrailingZeros(n)
   }
 

@@ -156,10 +156,13 @@ case class VecDotQ8(left: Expression, right: Expression) extends BinaryExpressio
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) {
+      throw new IllegalArgumentException(
+        s"vec_dot_q8: dimension mismatch (${x.length} vs ${y.length})")
+    }
     var s = 0L
     var i = 0
-    while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
+    while (i < x.length) { s += x(i).toLong * y(i).toLong; i += 1 }
     s
   }
 
@@ -168,13 +171,15 @@ case class VecDotQ8(left: Expression, right: Expression) extends BinaryExpressio
       ctx,
       ev,
       (x, y) => {
-        val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-        |final int $n = java.lang.Math.min($x.length, $y.length);
+        |if ($x.length != $y.length) {
+        |  throw new IllegalArgumentException(
+        |    "vec_dot_q8: dimension mismatch (" + $x.length + " vs " + $y.length + ")");
+        |}
         |long $s = 0L;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; $i < $x.length; $i++) {
         |  $s += (long)$x[$i] * (long)$y[$i];
         |}
         |${ev.value} = $s;

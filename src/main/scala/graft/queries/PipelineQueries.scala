@@ -199,7 +199,7 @@ object PipelineQueries {
         tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'pos': i, 'token': toks[i]})) AS u FROM t1),
         tk AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok)
         SELECT tk.doc_id,
-               array_to_string(list(tk.token ORDER BY tk.pos) FILTER (WHERE cov.pos IS NULL), ' ') AS clean_text,
+               COALESCE(array_to_string(list(tk.token ORDER BY tk.pos) FILTER (WHERE cov.pos IS NULL), ' '), '') AS clean_text,
                CAST(COUNT(cov.pos) AS BIGINT) AS n_removed
         FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
         GROUP BY tk.doc_id
