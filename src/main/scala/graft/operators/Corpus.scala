@@ -406,6 +406,57 @@ object Corpus {
         explode(sequence(lit(0L), col("copies") - 1)).as("copy_idx"))
   }
 
+  /** Per-source quota cap: keep at most `quota` documents per source — the
+    * domain-balancing step web-scale pipelines run so one giant crawl host
+    * can't dominate the mixture (RefinedWeb §3.1 caps URLs per domain;
+    * C4 and Gopher apply the same per-host discipline). Which documents
+    * survive is decided by ranking on a portable hash of the id
+    * (md5, doc_id tiebreak), so the kept set is a uniform, reproducible
+    * sample of each source — same rows on every run, any engine, any
+    * parallelism — rather than an ingestion-order artifact.
+    *
+    * Executed with the bounded-heap [[TopK.perGroup]] physical operator:
+    * each map task keeps a `quota`-row heap per source it sees, so the
+    * shuffle carries ≤ quota·sources rows per partition — NOT the window
+    * equivalent (full shuffle of every row + per-partition sort), which at
+    * 100 TB would move the whole corpus to rank it. Output: (doc_id,
+    * source) of the survivors. */
+  def quotaPerSource(df: DataFrame, idCol: String, sourceCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val ranked = df.select(
+      col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      md5(col(idCol).cast("string")).as("rank_h"))
+    TopK
+      .perGroup(ranked, Seq("source"), Seq("rank_h" -> true, "doc_id" -> true), quota)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Per-document top-k keyword extraction: the highest-frequency tokens of
+    * each document, with the global document frequency carried alongside —
+    * the distinctive-terms signal tagging/routing/quality pipelines compute
+    * per shard. Ranking is fully integer-deterministic (tf desc, then
+    * global df asc — rarer wins a tie as the more distinctive term — then
+    * token asc), so the result is engine-portable and hash-checkable; no
+    * floating-point tf·idf score whose last ulp differs across engines.
+    *
+    * Scale shape: tf is a (doc, token)-keyed aggregate (map-side partial),
+    * df aggregates the ALREADY-reduced tf rows by token (|tf| ≪ corpus
+    * tokens), the join back is aggregate×aggregate, and the final ranking
+    * runs on bounded [[TopK.perGroup]] heaps — never a full window sort of
+    * the tf table. */
+  def keywordsTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tok = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    TopK
+      .perGroup(tf.join(dfreq, "token"), Seq("doc_id"), Seq("tf" -> false, "df" -> true, "token" -> true), k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"))
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 App. A):
     * duplicate-token fraction, duplicate-bigram fraction, and the fraction
     * of the document owned by its single most frequent token. Documents

@@ -633,4 +633,150 @@ object Similarity {
     } else if (n <= exactGate) cosineDupPairsIncrementalExact(newVecs, oldVecs, threshold)
     else cosineDupPairsIncrementalBucketed(newVecs, oldVecs, threshold, bits, tables)
   }
+
+  // ----------------------------------------------------------------- k-means
+
+  /** Result of [[kmeans]]: per-vector assignments (vec_id, cluster, dist2),
+    * the trained k×d centroid matrix, iterations actually run, and the
+    * final inertia (sum of squared unit-sphere distances to the assigned
+    * centroid). */
+  final case class KMeansResult(
+      assignments: DataFrame,
+      centroids: Array[Array[Double]],
+      iters: Int,
+      inertia: Double)
+
+  /** Distributed k-means (Lloyd's) over an embedding column — the corpus
+    * clustering step semantic pipelines run before balancing or pruning
+    * (cluster-then-sample: SemDeDup, Abbas et al. 2023, clusters embeddings
+    * and prunes within cells; mixture balancing samples per cell). Vectors
+    * are unit-normalized first, so squared L2 equals 2 − 2·cosine —
+    * spherical k-means in cosine order, matching the rest of this module.
+    *
+    * Deterministic end to end: init = the k lowest-id vectors; the
+    * assignment argmin breaks distance ties toward the lower cluster index;
+    * empty cells keep their previous centroid; no RNG anywhere. Two runs
+    * (any parallelism) produce identical assignments — the property the
+    * spec pins by comparing against a single-node Lloyd's with the same
+    * tie rules.
+    *
+    * Scale shape per iteration: ONE cached-corpus scan, a narrow assignment
+    * against the broadcast k×d model (UDF justified: driver-held model
+    * closure), and ONE shuffle of (cluster, pos) partial sums — map-side
+    * combine caps each task's contribution at k·d cells regardless of row
+    * count, and the driver only ever holds the k×d matrix (same bounded-
+    * model contract as [[trainCoarseQuantizer]], which stays the
+    * SAMPLE-based seeder for IVF; this is the full-corpus trainer whose
+    * every iteration is a distributed job). */
+  def kmeans(
+      vectors: DataFrame,
+      k: Int,
+      maxIter: Int = 20,
+      tol: Double = 1e-9): KMeansResult = {
+    require(k > 0, "k must be positive")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val prep = vectors
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+      .select(
+        col("vec_id"),
+        when(col("nrm") > 0, transform(col("v0"), x => x / col("nrm")))
+          .otherwise(col("v0"))
+          .as("v"))
+      .persist()
+    // deterministic seed: the k lowest-id vectors (already unit-normalized)
+    var centroids: Array[Array[Double]] = prep
+      .orderBy("vec_id")
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "kmeans needs at least one input vector")
+    val dim = centroids.head.length
+    // (cluster, dist2) of the nearest centroid; ties -> lower cluster index
+    def assign(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      val u = v.toArray
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val ctr = cs(c); var d = 0.0; var i = 0
+        while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      (best, bd)
+    }
+    var iters = 0
+    var moved = Double.MaxValue
+    while (iters < maxIter && moved > tol) {
+      // Coordinates are summed as DECIMAL(38,18), not double: decimal
+      // addition is exact, so the result is independent of partition and
+      // merge order — the model (and therefore every assignment) is
+      // bit-identical run to run at any parallelism. Unit-sphere coords are
+      // in [-1,1], leaving 20 integer digits of headroom (10^12 rows deep).
+      val cells = prep
+        .select(assign(centroids)(col("v")).getField("_1").as("cluster"), col("v"))
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(
+          sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // bounded: exactly k·d populated cells
+      val next = centroids.map(_.clone())
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / r.getLong(3)
+      }
+      moved = 0.0
+      var c = 0
+      while (c < next.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val x = next(c)(i) - centroids(c)(i); d += x * x; i += 1 }
+        if (d > moved) moved = d
+        c += 1
+      }
+      centroids = next
+      iters += 1
+    }
+    val a = assign(centroids)(col("v"))
+    val assignments = prep.select(
+      col("vec_id"),
+      a.getField("_1").as("cluster"),
+      a.getField("_2").as("dist2"))
+    val inertia = assignments.agg(sum(col("dist2"))).head().getDouble(0)
+    prep.unpersist() // iterations + inertia used the cache; consumers rescan
+    KMeansResult(assignments, centroids, iters, inertia)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
+    * clusters the embedding space, then the exact cosine pair search runs
+    * ONLY within each cluster — the published recipe for pushing embedding
+    * dedup past the all-pairs wall. The cluster-equality join key turns the
+    * O(n²) self-join into Σᵢ O(nᵢ²): with k balanced cells that is a k×
+    * candidate reduction, and the shuffle co-locates one cell per task.
+    * Every emitted pair is exact-cosine-verified (≥ threshold); recall is
+    * approximate only in that a near-dup pair straddling a cell boundary is
+    * not examined — the same contract as [[cosineDupPairsBucketed]], with
+    * cells in place of hash buckets (SimilaritySpec pins recall on the
+    * planted near-dups, which sit at cosine ≥0.95 and land together).
+    *
+    * Output: (a_id, b_id, sim, cluster). */
+  def semanticDupPairs(
+      vectors: DataFrame,
+      threshold: Double,
+      k: Int = 64,
+      maxIter: Int = 10): DataFrame = {
+    val cells = kmeans(vectors, k, maxIter).assignments.select(col("vec_id"), col("cluster"))
+    val withNorm = vectors
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .join(cells, "vec_id")
+    val a = withNorm.select(
+      col("cluster"), col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b = withNorm.select(
+      col("cluster"), col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim6", round(sim, 6))
+      .filter(col("sim6") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim6").as("sim"), col("cluster"))
+  }
 }

@@ -308,6 +308,66 @@ object PipelineQueries {
       Corpus.packSequences(Tables(spark, dir).documents, "doc_id", "text", capacity = 256, shardCol = "source")
     },
 
+    // ---------------------------------------------- per-source quota cap
+    // RefinedWeb-style domain balancing: keep at most 15 docs per source,
+    // chosen by portable md5 rank (uniform reproducible sample, not
+    // ingestion order). Engine side runs the bounded-heap TopKPerGroup
+    // physical operator; the oracle replays the rank as a window.
+    Q(
+      "quota_per_source",
+      Some("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+          FROM documents)
+        WHERE rn <= 15
+      """)) { (spark, dir) =>
+      Corpus.quotaPerSource(Tables(spark, dir).documents, "doc_id", "source", quota = 15)
+    },
+
+    // ---------------------------------------------- keyword extraction
+    // Top-5 terms per document by tf with (global df asc, token asc)
+    // tiebreaks — integer-deterministic ranking, no float tf·idf score to
+    // drift across engines. Bounded-heap TopKPerGroup on the engine side.
+    Q(
+      "keywords_topk",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        r AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rn
+              FROM tf JOIN dfreq ON dfreq.token = tf.token)
+        SELECT doc_id, token, tf, df FROM r WHERE rn <= 5
+      """)) { (spark, dir) =>
+      Corpus.keywordsTopK(Tables(spark, dir).documents, "doc_id", "text", k = 5)
+    },
+
+    // ------------------------------------------- k-means corpus clustering
+    // Distributed Lloyd's over the embeddings (SemDeDup-style cluster-then-
+    // prune shape). Deterministic (lowest-id seed, tie rules) but iterative
+    // over float arithmetic — not SQL-expressible, so rows-only here; the
+    // spec pins exact equality against a single-node Lloyd's with the same
+    // tie rules plus monotone inertia.
+    Q("cluster_kmeans", None) { (spark, dir) =>
+      val r = Similarity.kmeans(Tables(spark, dir).embeddings, k = 10, maxIter = 10)
+      r.assignments.select(col("vec_id"), col("cluster"))
+    },
+
+    // --------------------------------------------- semantic dedup (SemDeDup)
+    // Cluster-then-prune: the exact cosine pair search confined to k-means
+    // cells — every emitted pair is exact-verified, recall bounded by cell
+    // co-location (pinned ≥0.9 on the planted near-dups in the spec).
+    // Iterative k-means inside → rows-only here. Threshold matches
+    // dedup_embedding_cosine (this corpus's cosines top out ~0.5).
+    Q("dedup_semantic", None) { (spark, dir) =>
+      Similarity.semanticDupPairs(
+        Tables(spark, dir).embeddings, threshold = 0.4, k = 10, maxIter = 5)
+    },
+
     // --------------------------------------------------------- SimHash
     // 64-bit signatures + hamming<=16 pairs via 16-bit chunk banding.
     // xxhash64 is engine-specific → no SQL oracle; rows-only check. The

@@ -219,4 +219,52 @@ class CorpusSpec extends SparkSpec {
     val avgDup = out.agg(avg(col("dup_token_frac"))).head().getDouble(0)
     assert(avgDup > 0.2, s"avg dup_token_frac $avgDup")
   }
+
+  test("quotaPerSource: cap respected, set == window-rank reference, deterministic") {
+    val quota = 7
+    val out = Corpus.quotaPerSource(docs, "doc_id", "source", quota)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    // every source capped at quota (sf0.001 has 25 docs per source, so the cap binds)
+    val perSource = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perSource.values.forall(_ == quota), s"per-source counts $perSource")
+    // same survivor set as the declarative window-rank formulation
+    val ref = docs
+      .select(col("doc_id"), col("source"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= quota)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows.toSet == ref)
+    // deterministic across runs
+    val again = Corpus.quotaPerSource(docs, "doc_id", "source", quota)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == rows.toSet)
+  }
+
+  test("quotaPerSource: a source under quota passes through whole") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val out = Corpus.quotaPerSource(df, "doc_id", "source", quota = 5)
+    assert(out.count() == 3)
+  }
+
+  test("keywordsTopK: top-k by (tf desc, df asc, token asc), df is global") {
+    val df = Seq(
+      (1L, "x x x y y z common"),
+      (2L, "y y z z common common"),
+      (3L, "w common")).toDF("doc_id", "text")
+    val out = Corpus.keywordsTopK(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: x(tf=3) then y(tf=2, df=2) — z also tf=1 but y wins on tf
+    assert(byDoc(1L).sortBy(t => (-t._3, t._4, t._2)).map(_._2).toSeq == Seq("x", "y"))
+    // doc 2: y and z tie at tf=2 — both have df=2, token asc breaks toward
+    // the complete pair; common (tf=2, df=3) loses the df tiebreak
+    assert(byDoc(2L).map(_._2).toSet == Set("y", "z"))
+    // df column is the GLOBAL document frequency: common appears in 3 docs
+    val commonDf = out.filter(_._2 == "common").map(_._4).distinct
+    assert(commonDf.isEmpty || commonDf.toSeq == Seq(3L))
+    // doc 3 keeps both its tokens (fewer than k)
+    assert(byDoc(3L).map(_._2).toSet == Set("w", "common"))
+  }
 }

@@ -71,4 +71,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Sketches.distinctCounts(empty, "k", "id").count() == 0)
     assert(Sketches.approxQuantiles(empty, "k", col("id"), Seq(0.5)).count() == 0)
   }
+
+  test("corpus shaping on empty/degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(graft.operators.Corpus.quotaPerSource(empty, "doc_id", "source", 5).count() == 0)
+    assert(graft.operators.Corpus.keywordsTopK(emptyDocs, "doc_id", "text", 3).count() == 0)
+    // docs with empty/whitespace text contribute no keyword rows but don't crash
+    val blank = Seq((1L, ""), (2L, "   "), (3L, "word")).toDF("doc_id", "text")
+    val kw = graft.operators.Corpus.keywordsTopK(blank, "doc_id", "text", 3).collect()
+    assert(kw.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("kmeans rejects an empty corpus loudly; semantic dedup empty on no near pairs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeans(empty, k = 2, maxIter = 1)
+    }
+    // orthogonal vectors: clustering succeeds, zero pairs at any threshold
+    val ortho = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDupPairs(ortho, threshold = 0.5, k = 2, maxIter = 2).count() == 0)
+  }
 }

@@ -180,4 +180,24 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$f")
     assert("HashAggregate".r.findAllIn(f).length >= 2, s"partial + final agg expected:\n$f")
   }
+
+  test("quota_per_source ranks with bounded heaps, not a window sort") {
+    val p = planOf("quota_per_source")
+    assert(p.contains("TopKPerGroup"), s"expected the custom bounded-heap operator:\n$p")
+    assert(!p.contains("Window") && !p.contains("RunningWindowFunction"),
+      s"per-source ranking must not run a window sort:\n$p")
+  }
+
+  test("keywords_topk: partial heaps bound the shuffle, df side joins without a window") {
+    val p = planOf("keywords_topk")
+    assert(p.contains("TopKPerGroupPartial"), s"map-side heaps must bound the rank shuffle:\n$p")
+    assert(!p.contains("Window"), s"keyword ranking must not run a window sort:\n$p")
+    // the tf aggregate must need NO exchange of its own: the up-front
+    // doc_id repartition already co-locates (doc_id, token) groups. The 4
+    // allowed exchanges: per-branch tokenize-spreading repartitions (×2),
+    // the token-keyed df aggregate, and the doc-keyed rank shuffle.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"tf must ride the repartition, not shuffle again:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df side should broadcast at gate scale:\n$p")
+  }
 }

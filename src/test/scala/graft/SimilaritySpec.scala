@@ -183,4 +183,89 @@ class SimilaritySpec extends SparkSpec {
     val got = gated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(exact))
   }
+
+  // single-node Lloyd's with EXACTLY the kmeans contract (lowest-id seed,
+  // unit sphere, argmin ties to lower index, empty cell keeps centroid) —
+  // the distributed version must reproduce it bit-for-bit on assignments
+  private def lloydReference(
+      data: Array[(Long, Array[Double])],
+      k: Int,
+      iters: Int): (Map[Long, Int], Array[Array[Double]]) = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val pts = data.sortBy(_._1).map { case (id, v) => (id, unit(v)) }
+    var cs = pts.take(k).map(_._2.map(identity))
+    def nearest(v: Array[Double]): Int =
+      cs.zipWithIndex.minBy { case (c, i) => (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._2
+    for (_ <- 0 until iters) {
+      val byCell = pts.groupBy { case (_, v) => nearest(v) }
+      cs = cs.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(members) =>
+            val d = old.length
+            Array.tabulate(d)(j => members.map(_._2(j)).sum / members.length)
+          case None => old
+        }
+      }
+    }
+    (pts.map { case (id, v) => id -> nearest(v) }.toMap, cs)
+  }
+
+  test("kmeans: distributed Lloyd's == single-node reference, assignments exact") {
+    val iters = 4
+    val r = Similarity.kmeans(emb, k = 6, maxIter = iters)
+    assert(r.iters <= iters)
+    val data = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(row => (row.getLong(0), row.getSeq[Double](1).toArray))
+    // reference runs the iterations the engine actually ran (it may have
+    // converged early), then assigns with the final model — same as engine
+    val (refAssign, refCs) = lloydReference(data, k = 6, iters = r.iters)
+    val got = r.assignments.collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert(got == refAssign)
+    // centroid matrices agree to fp-accumulation tolerance (sum order differs)
+    r.centroids.zip(refCs).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+    }
+  }
+
+  test("kmeans: inertia is non-increasing over iterations, runs deterministic") {
+    val i1 = Similarity.kmeans(emb, k = 8, maxIter = 1).inertia
+    val i3 = Similarity.kmeans(emb, k = 8, maxIter = 3).inertia
+    val i8 = Similarity.kmeans(emb, k = 8, maxIter = 8).inertia
+    assert(i1 >= i3 - 1e-9 && i3 >= i8 - 1e-9, s"inertia not monotone: $i1 $i3 $i8")
+    val a = Similarity.kmeans(emb, k = 8, maxIter = 3)
+      .assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Similarity.kmeans(emb, k = 8, maxIter = 3)
+      .assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
+
+  test("kmeans: every vector assigned, clusters within range, k > n degenerates safely") {
+    val r = Similarity.kmeans(emb.limit(5), k = 16, maxIter = 2)
+    val rows = r.assignments.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(x => x.getInt(1) >= 0 && x.getInt(1) < r.centroids.length))
+  }
+
+  test("semanticDupPairs: exact-verified subset of all-pairs, high recall on planted dups") {
+    // planted corpus: each base vector has a cosine≈0.99 twin — the SemDeDup
+    // regime (true near-dups are FAR tighter than cell diameters)
+    val vecs = plantedNearDups(64, dims = 32)
+    val threshold = 0.95
+    val exact = Similarity.cosineDupPairsExact(vecs, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val sem = Similarity.semanticDupPairs(vecs, threshold, k = 8, maxIter = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), "every emitted pair must be exact-cosine-verified")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.9, s"cell co-location recall $recall (${sem.size}/${exact.size})")
+    // and on the real corpus the gate-query settings return a sane shape
+    val gate = Similarity.semanticDupPairs(emb, threshold = 0.4, k = 10, maxIter = 5)
+    val rows = gate.collect()
+    assert(rows.nonEmpty, "gate settings must produce pairs on the sf corpus")
+    assert(rows.forall(_.getDouble(2) >= 0.4))
+  }
 }
