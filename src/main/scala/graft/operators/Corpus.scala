@@ -440,20 +440,22 @@ object Corpus {
     * token asc), so the result is engine-portable and hash-checkable; no
     * floating-point tf·idf score whose last ulp differs across engines.
     *
-    * Scale shape: tf is a (doc, token)-keyed aggregate (map-side partial),
-    * df aggregates the ALREADY-reduced tf rows by token (|tf| ≪ corpus
-    * tokens), the join back is aggregate×aggregate, and the final ranking
-    * runs on bounded [[TopK.perGroup]] heaps — never a full window sort of
-    * the tf table. */
+    * Scale shape — ONE corpus pass: tf is a (doc, token)-keyed aggregate
+    * (map-side partial, riding the up-front doc_id repartition with no
+    * exchange of its own); df is a count-over-token window on the ALREADY-
+    * reduced tf rows (one row per (doc, token), so the partition count IS
+    * the document frequency) — no second tokenize pass, and no broadcast of
+    * a web-scale vocabulary; the final ranking runs on bounded
+    * [[TopK.perGroup]] heaps, never a rank-window sort of the tf table. */
   def keywordsTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val tok = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
     TopK
-      .perGroup(tf.join(dfreq, "token"), Seq("doc_id"), Seq("tf" -> false, "df" -> true, "token" -> true), k)
+      .perGroup(withDf, Seq("doc_id"), Seq("tf" -> false, "df" -> true, "token" -> true), k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
 

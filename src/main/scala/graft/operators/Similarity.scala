@@ -441,16 +441,10 @@ object Similarity {
     * threshold, affordable only for small n (thousands). [[cosineDupPairs]]
     * gates into it automatically. */
   def cosineDupPairsExact(vectors: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = vectors
-      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-      .withColumn("n", norm(col("v")))
-    val a   = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
-    val b   = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
-    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("sim6", round(sim, 6))
-      .filter(col("sim6") >= threshold)
-      .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
+    val withNorm = prepped(vectors)
+    val a = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
+    scorePairs(a.join(b, col("a_id") < col("b_id")), threshold)
   }
 
   /** Embedding near-dup pairs, LSH-bucketed: candidate pairs are vectors
@@ -477,24 +471,33 @@ object Similarity {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    val withNorm = vectors
-      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-      .withColumn("n", norm(col("v")))
-    val a   = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
-    val b   = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
-    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    candidates
-      .join(a, Seq("a_id"))
-      .join(b, Seq("b_id"))
-      .withColumn("sim6", round(sim, 6))
-      .filter(col("sim6") >= threshold)
-      .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
+    val withNorm = prepped(vectors)
+    val a = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
+    scorePairs(candidates.join(a, Seq("a_id")).join(b, Seq("b_id")), threshold)
   }
 
+  /** (vec_id, v, n) pair-search operand with zero-norm vectors DROPPED:
+    * cosine is undefined for the zero vector, and 0/0 = NaN would ride
+    * Spark's NaN-largest total order straight through a `>= threshold`
+    * filter as a spurious pair (every co-candidate of a zero embedding
+    * would be reported as its near-dup). A zero vector can never be a
+    * near-duplicate of anything; it simply does not participate. */
   private def prepped(vectors: DataFrame): DataFrame =
     vectors
       .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
+      .filter(col("n") > 0)
+
+  /** The one shared tail of every *DupPairs path: exact cosine over a
+    * candidate frame carrying (a_id, va, na, b_id, vb, nb), rounded to 6dp
+    * for engine-portable FP equality, threshold-filtered. `extra` appends
+    * passthrough columns (e.g. the semantic cluster id). */
+  private def scorePairs(pairs: DataFrame, threshold: Double, extra: Column*): DataFrame =
+    pairs
+      .withColumn("sim6", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim6") >= threshold)
+      .select(Seq(col("a_id"), col("b_id"), col("sim6").as("sim")) ++ extra: _*)
 
   /** Incremental embedding near-dup pairs, exact: every pair with cosine >=
     * threshold TOUCHING the new batch — new×stored and new×new, never
@@ -512,15 +515,14 @@ object Similarity {
     val b = prepped(newVecs).withColumn("is_new", lit(true))
       .unionByName(prepped(oldVecs).withColumn("is_new", lit(false)))
       .select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"), col("is_new"))
-    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     // each new×new pair meets once (a < b); new×old pairs always qualify
-    a.join(b, col("a_id") =!= col("b_id") && (!col("is_new") || col("a_id") < col("b_id")))
-      .withColumn("sim6", round(sim, 6))
-      .filter(col("sim6") >= threshold)
+    val cand = a
+      .join(b, col("a_id") =!= col("b_id") && (!col("is_new") || col("a_id") < col("b_id")))
       .select(
         least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
-        col("sim6").as("sim"))
+        col("va"), col("na"), col("vb"), col("nb"))
+    scorePairs(cand, threshold)
   }
 
   /** Incremental near-dup pairs, LSH-bucketed: candidates are (new, any)
@@ -548,15 +550,9 @@ object Similarity {
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
     val withNorm = prepped(newVecs).unionByName(prepped(oldVecs))
-    val a   = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
-    val b   = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
-    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    candidates
-      .join(a, Seq("a_id"))
-      .join(b, Seq("b_id"))
-      .withColumn("sim6", round(sim, 6))
-      .filter(col("sim6") >= threshold)
-      .select(col("a_id"), col("b_id"), col("sim6").as("sim"))
+    val a = withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
+    val b = withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
+    scorePairs(candidates.join(a, Seq("a_id")).join(b, Seq("b_id")), threshold)
   }
 
   /** The cosine threshold below which random-hyperplane LSH stops being an
@@ -639,12 +635,31 @@ object Similarity {
   /** Result of [[kmeans]]: per-vector assignments (vec_id, cluster, dist2),
     * the trained k×d centroid matrix, iterations actually run, and the
     * final inertia (sum of squared unit-sphere distances to the assigned
-    * centroid). */
-  final case class KMeansResult(
-      assignments: DataFrame,
-      centroids: Array[Array[Double]],
-      iters: Int,
-      inertia: Double)
+    * centroid). `inertia` is LAZY — it costs one full corpus pass, and most
+    * consumers (the gate query, [[semanticDupPairs]]) only want the
+    * assignments, so the pass runs only if someone asks. */
+  final class KMeansResult(
+      val assignments: DataFrame,
+      val centroids: Array[Array[Double]],
+      val iters: Int) {
+    lazy val inertia: Double =
+      assignments.agg(sum(col("dist2"))).head().getDouble(0)
+  }
+
+  /** (cluster, dist2) of the nearest centroid in `cs` for a double-array
+    * column; distance ties break toward the lower cluster index. The one
+    * model-closure UDF every k-means phase shares. */
+  private def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    val u = v.toArray
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c); var d = 0.0; var i = 0
+      while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    (best, bd)
+  }
 
   /** Distributed k-means (Lloyd's) over an embedding column — the corpus
     * clustering step semantic pipelines run before balancing or pruning
@@ -653,12 +668,23 @@ object Similarity {
     * are unit-normalized first, so squared L2 equals 2 − 2·cosine —
     * spherical k-means in cosine order, matching the rest of this module.
     *
-    * Deterministic end to end: init = the k lowest-id vectors; the
-    * assignment argmin breaks distance ties toward the lower cluster index;
-    * empty cells keep their previous centroid; no RNG anywhere. Two runs
-    * (any parallelism) produce identical assignments — the property the
-    * spec pins by comparing against a single-node Lloyd's with the same
-    * tie rules.
+    * Deterministic end to end: the assignment argmin breaks distance ties
+    * toward the lower cluster index; empty cells keep their previous
+    * centroid; no RNG anywhere. Two runs (any parallelism) produce
+    * identical assignments — the property the spec pins by comparing
+    * against a single-node Lloyd's with the same tie rules.
+    *
+    * `initMode`:
+    *  - `"ids"` (default): the k lowest-id vectors. One cheap job; quality
+    *    depends on id order being uncorrelated with geometry.
+    *  - `"parallel"`: k-means‖ (Bahmani et al. 2012) — `initRounds` passes
+    *    each keep a vector with probability min(1, 2k·d²(x,C)/φ), decided
+    *    by a PORTABLE md5 threshold instead of an RNG (same derandomization
+    *    as Corpus.resampleMixture), then the ≤ ~2k·rounds weighted
+    *    candidates are Lloyd'd on the driver down to k seeds. Costs
+    *    `initRounds` extra corpus scans; buys seeds spread ∝ the data's own
+    *    density — the standard fix when cheap seeding collapses into one
+    *    dense region.
     *
     * Scale shape per iteration: ONE cached-corpus scan, a narrow assignment
     * against the broadcast k×d model (UDF justified: driver-held model
@@ -672,9 +698,12 @@ object Similarity {
       vectors: DataFrame,
       k: Int,
       maxIter: Int = 20,
-      tol: Double = 1e-9): KMeansResult = {
+      tol: Double = 1e-9,
+      initMode: String = "ids",
+      initRounds: Int = 5): KMeansResult = {
     require(k > 0, "k must be positive")
     require(maxIter >= 1, "maxIter must be >= 1")
+    require(initMode == "ids" || initMode == "parallel", s"unknown initMode $initMode")
     val prep = vectors
       .select(col("vec_id"), asDoubleVec(col("embedding")).as("v0"))
       .withColumn("nrm", norm(col("v0")))
@@ -683,8 +712,9 @@ object Similarity {
         when(col("nrm") > 0, transform(col("v0"), x => x / col("nrm")))
           .otherwise(col("v0"))
           .as("v"))
-      .persist()
-    // deterministic seed: the k lowest-id vectors (already unit-normalized)
+    // deterministic seed: the k lowest-id vectors (already unit-normalized);
+    // collected BEFORE persisting so an empty corpus rejects without leaving
+    // a cached entry behind
     var centroids: Array[Array[Double]] = prep
       .orderBy("vec_id")
       .limit(k)
@@ -692,57 +722,142 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     require(centroids.nonEmpty, "kmeans needs at least one input vector")
     val dim = centroids.head.length
-    // (cluster, dist2) of the nearest centroid; ties -> lower cluster index
-    def assign(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
-      val u = v.toArray
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val ctr = cs(c); var d = 0.0; var i = 0
-        while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
-        if (d < bd) { bd = d; best = c }
-        c += 1
-      }
-      (best, bd)
-    }
+    prep.persist()
     var iters = 0
     var moved = Double.MaxValue
-    while (iters < maxIter && moved > tol) {
+    try {
+      if (initMode == "parallel" && centroids.length > 1)
+        centroids = parallelSeeds(prep, centroids.head, k, initRounds)
+      while (iters < maxIter && moved > tol) {
       // Coordinates are summed as DECIMAL(38,18), not double: decimal
       // addition is exact, so the result is independent of partition and
       // merge order — the model (and therefore every assignment) is
       // bit-identical run to run at any parallelism. Unit-sphere coords are
       // in [-1,1], leaving 20 integer digits of headroom (10^12 rows deep).
-      val cells = prep
-        .select(assign(centroids)(col("v")).getField("_1").as("cluster"), col("v"))
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(
-          sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"),
-          count(lit(1)).as("n"))
-        .collect() // bounded: exactly k·d populated cells
-      val next = centroids.map(_.clone())
-      cells.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / r.getLong(3)
+        val cells = prep
+          .select(nearestUdf(centroids)(col("v")).getField("_1").as("cluster"), col("v"))
+          .select(col("cluster"), posexplode(col("v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(
+            sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"),
+            count(lit(1)).as("n"))
+          .collect() // bounded: exactly k·d populated cells
+        val next = centroids.map(_.clone())
+        cells.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue / r.getLong(3)
+        }
+        moved = 0.0
+        var c = 0
+        while (c < next.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = next(c)(i) - centroids(c)(i); d += x * x; i += 1 }
+          if (d > moved) moved = d
+          c += 1
+        }
+        centroids = next
+        iters += 1
       }
-      moved = 0.0
-      var c = 0
-      while (c < next.length) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val x = next(c)(i) - centroids(c)(i); d += x * x; i += 1 }
-        if (d > moved) moved = d
-        c += 1
-      }
-      centroids = next
-      iters += 1
-    }
-    val a = assign(centroids)(col("v"))
+    } finally prep.unpersist() // iterations used the cache; consumers rescan
+    val a = nearestUdf(centroids)(col("v"))
     val assignments = prep.select(
       col("vec_id"),
       a.getField("_1").as("cluster"),
       a.getField("_2").as("dist2"))
-    val inertia = assignments.agg(sum(col("dist2"))).head().getDouble(0)
-    prep.unpersist() // iterations + inertia used the cache; consumers rescan
-    KMeansResult(assignments, centroids, iters, inertia)
+    new KMeansResult(assignments, centroids, iters)
+  }
+
+  /** k-means‖ seeding (Bahmani et al. 2012 "Scalable K-Means++"),
+    * derandomized: each round scores every vector by d²(x, C) against the
+    * current center set, computes φ = Σd² EXACTLY (decimal sum — so the
+    * keep-threshold is identical at any parallelism), and keeps x iff
+    * u(x) < 2k·d²(x)/φ where u(x) is a 52-bit uniform read from
+    * md5(vec_id:round) — the same md5-threshold derandomization as
+    * Corpus.resampleMixture, so the candidate set is a deterministic
+    * function of the data. Expected ~2k candidates/round (hard-capped at
+    * 10k per round by lowest-id, the documented bounded-collect contract);
+    * candidates are then weighted by the size of their Voronoi cell (one
+    * scan) and reduced to k seeds by a driver-side weighted Lloyd's.
+    * Cost: `rounds` scans for scoring + one for weights. */
+  private def parallelSeeds(
+      prep: DataFrame,
+      firstCenter: Array[Double],
+      k: Int,
+      rounds: Int): Array[Array[Double]] = {
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](firstCenter)
+    val cap = 10 * k
+    var r = 1
+    while (r <= rounds) {
+      val cs = centers.toArray
+      val scored = prep.select(
+        col("vec_id"), col("v"), nearestUdf(cs)(col("v")).getField("_2").as("d2"))
+      val phi = scored
+        .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 18))))
+        .head().getDecimal(0).doubleValue
+      if (phi <= 0) return centers.toArray // all vectors coincide with centers
+      val u = conv(substring(md5(concat_ws(":", col("vec_id"), lit(r))), 1, 13), 16, 10)
+        .cast("double") / lit(math.pow(16.0, 13))
+      val picked = scored
+        .filter(u < col("d2") * lit(2.0 * k) / lit(phi))
+        .orderBy("vec_id")
+        .limit(cap)
+        .collect()
+      centers ++= picked.map(_.getSeq[Double](1).toArray)
+      r += 1
+    }
+    val cs = centers.toArray
+    val weightRows = prep
+      .select(nearestUdf(cs)(col("v")).getField("_1").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .collect()
+    val weights = new Array[Long](cs.length)
+    weightRows.foreach(row => weights(row.getInt(0)) = row.getLong(1))
+    weightedLloyd(cs, weights, k)
+  }
+
+  /** Driver-side weighted Lloyd's reducing the ≤ ~2k·rounds k-means‖
+    * candidates to k seeds. Deterministic: init = the k heaviest candidates
+    * (insertion index breaks ties), assignment ties to the lower index,
+    * empty cells keep their centroid. */
+  private def weightedLloyd(
+      cand: Array[Array[Double]],
+      w: Array[Long],
+      k: Int,
+      iters: Int = 20): Array[Array[Double]] = {
+    val kk = math.min(k, cand.length)
+    val d = cand.head.length
+    val order = cand.indices.sortBy(i => (-w(i), i))
+    val centroids = Array.tabulate(kk)(i => cand(order(i)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Long](kk)
+      var p = 0
+      while (p < cand.length) {
+        if (w(p) > 0) {
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < kk) {
+            var dd = 0.0; var i = 0
+            while (i < d) { val x = cand(p)(i) - centroids(c)(i); dd += x * x; i += 1 }
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          counts(best) += w(p)
+          val s = sums(best); var i = 0
+          while (i < d) { s(i) += cand(p)(i) * w(p); i += 1 }
+        }
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
@@ -762,21 +877,28 @@ object Similarity {
       vectors: DataFrame,
       threshold: Double,
       k: Int = 64,
-      maxIter: Int = 10): DataFrame = {
-    val cells = kmeans(vectors, k, maxIter).assignments.select(col("vec_id"), col("cluster"))
-    val withNorm = vectors
-      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-      .withColumn("n", norm(col("v")))
-      .join(cells, "vec_id")
+      maxIter: Int = 10,
+      initMode: String = "ids"): DataFrame = {
+    // empty corpus → empty pairs, like every sibling dedup operator (the
+    // kmeans trainer itself rejects an empty input loudly)
+    if (vectors.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("a_id", LongType), StructField("b_id", LongType),
+        StructField("sim", DoubleType), StructField("cluster", IntegerType)))
+      return vectors.sparkSession.createDataFrame(
+        vectors.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val cells = kmeans(vectors, k, maxIter, initMode = initMode)
+      .assignments.select(col("vec_id"), col("cluster"))
+    val withNorm = prepped(vectors).join(cells, "vec_id")
     val a = withNorm.select(
       col("cluster"), col("vec_id").as("a_id"), col("v").as("va"), col("n").as("na"))
     val b = withNorm.select(
       col("cluster"), col("vec_id").as("b_id"), col("v").as("vb"), col("n").as("nb"))
-    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    a.join(b, Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("sim6", round(sim, 6))
-      .filter(col("sim6") >= threshold)
-      .select(col("a_id"), col("b_id"), col("sim6").as("sim"), col("cluster"))
+    scorePairs(
+      a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id")),
+      threshold,
+      col("cluster"))
   }
 }

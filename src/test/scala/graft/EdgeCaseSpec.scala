@@ -83,12 +83,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(kw.map(_.getLong(0)).toSet == Set(3L))
   }
 
-  test("kmeans rejects an empty corpus loudly; semantic dedup empty on no near pairs") {
+  test("kmeans rejects an empty corpus loudly; semantic dedup empty-in-empty-out") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
       Similarity.kmeans(empty, k = 2, maxIter = 1)
     }
+    // the composed operator matches its dedup siblings: empty, not a throw
+    assert(Similarity.semanticDupPairs(empty, threshold = 0.5, k = 2, maxIter = 1).count() == 0)
     // orthogonal vectors: clustering succeeds, zero pairs at any threshold
     val ortho = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

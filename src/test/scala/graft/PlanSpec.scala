@@ -188,16 +188,17 @@ class PlanSpec extends SparkSpec {
       s"per-source ranking must not run a window sort:\n$p")
   }
 
-  test("keywords_topk: partial heaps bound the shuffle, df side joins without a window") {
+  test("keywords_topk: single corpus pass, partial heaps, ranking not via window") {
     val p = planOf("keywords_topk")
     assert(p.contains("TopKPerGroupPartial"), s"map-side heaps must bound the rank shuffle:\n$p")
-    assert(!p.contains("Window"), s"keyword ranking must not run a window sort:\n$p")
-    // the tf aggregate must need NO exchange of its own: the up-front
-    // doc_id repartition already co-locates (doc_id, token) groups. The 4
-    // allowed exchanges: per-branch tokenize-spreading repartitions (×2),
-    // the token-keyed df aggregate, and the doc-keyed rank shuffle.
+    // ranking is the bounded-heap operator; the only window is the count-
+    // over-token df computation (no sort-based rank function anywhere)
+    assert(!p.contains("row_number") && !p.contains("rank("), s"no rank window:\n$p")
+    // ONE tokenize pass: tf + df + ranking all derive from a single scan
+    assert("FileScan".r.findAllIn(p).length == 1, s"corpus must be scanned once:\n$p")
+    // exchanges: tokenize-spreading repartition, token-keyed window shuffle,
+    // doc-keyed rank shuffle — the tf aggregate rides the repartition
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 4, s"tf must ride the repartition, not shuffle again:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"df side should broadcast at gate scale:\n$p")
+    assert(exchanges <= 3, s"tf must ride the repartition, not shuffle again:\n$p")
   }
 }

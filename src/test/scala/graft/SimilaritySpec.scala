@@ -205,7 +205,16 @@ class SimilaritySpec extends SparkSpec {
         byCell.get(i) match {
           case Some(members) =>
             val d = old.length
-            Array.tabulate(d)(j => members.map(_._2(j)).sum / members.length)
+            // mirror the engine's arithmetic EXACTLY: each coordinate cast
+            // to DECIMAL(38,18) (HALF_UP), summed exactly, decimal→double,
+            // then double division — so centroids are bit-identical and the
+            // assignment comparison below can never flake on a near-tie
+            Array.tabulate(d) { j =>
+              val s = members
+                .map(m => BigDecimal(m._2(j)).setScale(18, BigDecimal.RoundingMode.HALF_UP))
+                .sum
+              s.toDouble / members.length
+            }
           case None => old
         }
       }
@@ -224,9 +233,9 @@ class SimilaritySpec extends SparkSpec {
     val (refAssign, refCs) = lloydReference(data, k = 6, iters = r.iters)
     val got = r.assignments.collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
     assert(got == refAssign)
-    // centroid matrices agree to fp-accumulation tolerance (sum order differs)
+    // decimal-mirrored arithmetic → centroids bit-identical, not merely close
     r.centroids.zip(refCs).foreach { case (a, b) =>
-      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
     }
   }
 
@@ -242,11 +251,54 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("kmeans parallel init escapes pathological id-ordered seeding, stays deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 4 tight blobs on orthogonal axes; ids assigned so the first four ids
+    // (the "ids" seeds at k=4) ALL sit in blob 0 — worst case for cheap
+    // seeding, the case k-means|| exists for
+    val dim = 8
+    val rows = for (b <- 0 until 4; i <- 0 until 25) yield {
+      val v = new Array[Float](dim)
+      v(b * 2) = 1f
+      for (j <- 0 until dim) v(j) += (0.02 * rnd.nextGaussian()).toFloat
+      (b * 25L + i, v) // ids 0..24 are blob 0, 25..49 blob 1, ...
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val ids = Similarity.kmeans(vecs, k = 4, maxIter = 15)
+    val par = Similarity.kmeans(vecs, k = 4, maxIter = 15, initMode = "parallel")
+    assert(par.inertia < ids.inertia * 0.5,
+      s"parallel init should beat in-blob seeding: ${par.inertia} vs ${ids.inertia}")
+    // parallel mode recovers the 4 planted blobs exactly
+    val byBlob = par.assignments.collect()
+      .groupBy(r => r.getLong(0) / 25).view.mapValues(_.map(_.getInt(1)).distinct.toSeq)
+    assert(byBlob.values.forall(_.length == 1), s"each blob one cluster: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 4, "four distinct clusters")
+    // derandomized init: a second run is bit-identical
+    val again = Similarity.kmeans(vecs, k = 4, maxIter = 15, initMode = "parallel")
+    assert(par.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      again.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq)
+  }
+
   test("kmeans: every vector assigned, clusters within range, k > n degenerates safely") {
     val r = Similarity.kmeans(emb.limit(5), k = 16, maxIter = 2)
     val rows = r.assignments.collect()
     assert(rows.length == 5)
     assert(rows.forall(x => x.getInt(1) >= 0 && x.getInt(1) < r.centroids.length))
+  }
+
+  test("zero-norm vectors never emit pairs (0/0 NaN would pass Spark's NaN-largest filter)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f)), // cosine undefined — must not pair with anything
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDupPairsExact(vecs, threshold = 0.5).collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(exact.forall(r => !r.getDouble(2).isNaN))
+    val sem = Similarity.semanticDupPairs(vecs, threshold = 0.5, k = 1, maxIter = 1).collect()
+    assert(sem.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(sem.forall(r => !r.getDouble(2).isNaN))
   }
 
   test("semanticDupPairs: exact-verified subset of all-pairs, high recall on planted dups") {
