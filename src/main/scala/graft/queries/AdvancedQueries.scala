@@ -98,6 +98,63 @@ object AdvancedQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     },
 
+    // ------------------------------------------------------------ unpivot
+    // Wide→long inversion of the pivot above: every (user, metric) pair
+    // survives including zero counts — the melt step feature pipelines run
+    // before per-metric modeling. DuckDB UNPIVOT replays it exactly.
+    Q(
+      "unpivot_event_counts",
+      Some("""
+        WITH p AS (SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id)
+        SELECT user_id, metric, n FROM p UNPIVOT (n FOR metric IN (click, view, purchase, signup, error))
+      """)) { (spark, dir) =>
+      val metrics = Seq("click", "view", "purchase", "signup", "error")
+      Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", metrics)
+        .count()
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")), metrics.map(col).toArray, "metric", "n")
+    },
+
+    // ------------------------------------------------- time-series gap-fill
+    // Per-user hourly resample: zero-filled counts + LOCF value between a
+    // user's first and last observed hour. Single-pass gap-run explode
+    // (lead over the key partition) — no grid×observations join.
+    Q(
+      "gapfill_hourly_events",
+      Some("""
+        WITH h AS (SELECT user_id AS key, date_trunc('hour', ts) AS hr,
+                          COUNT(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT key, hr, n, sum_value,
+                     lead(hr) OVER (PARTITION BY key ORDER BY hr) AS next_hr
+              FROM h),
+        g AS (SELECT key, hr, n, sum_value,
+                     unnest(generate_series(hr, COALESCE(next_hr - INTERVAL 1 HOUR, hr), INTERVAL 1 HOUR)) AS ghr
+              FROM r)
+        SELECT key AS user_id, strftime(ghr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               CASE WHEN ghr = hr THEN n ELSE 0 END AS n,
+               CASE WHEN ghr = hr THEN sum_value END AS sum_value,
+               sum_value AS v_locf
+        FROM g
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.gapFill(Tables(spark, dir).events, "user_id", "ts", "value")
+        .select(
+          col("key").as("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("n"),
+          col("sum_value"),
+          col("v_locf"))
+    },
+
     // -------------------------------------------------------- outer joins
     // LEFT OUTER with null-group handling: customers' 2001+ order counts,
     // zero (not missing) for inactive customers.

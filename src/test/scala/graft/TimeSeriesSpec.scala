@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("gapFill: zero-filled gaps, exact sums, LOCF carries the last observed value") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 1.5),
+      (1L, ts("2024-01-01 10:45:00"), 2.5),
+      (1L, ts("2024-01-01 13:30:00"), 3.0),
+      (2L, ts("2024-01-02 08:00:00"), 7.0)).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFill(events, "user_id", "ts", "value")
+      .orderBy("key", "bucket").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    // grid spans first..last observed hour inclusive: 10,11,12,13
+    assert(u1.map(_.getTimestamp(1).toString.substring(11, 13)).toSeq == Seq("10", "11", "12", "13"))
+    assert(u1.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L)) // n zero-filled
+    // observed sums exact; gap hours carry NULL sum but LOCF'd value
+    assert(u1(0).getDouble(3) == 4.0 && u1(0).getDouble(4) == 4.0)
+    assert(u1(1).isNullAt(3) && u1(1).getDouble(4) == 4.0)
+    assert(u1(2).isNullAt(3) && u1(2).getDouble(4) == 4.0)
+    assert(u1(3).getDouble(3) == 3.0 && u1(3).getDouble(4) == 3.0)
+    // single-observation key: exactly one row, no gap explosion
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getLong(2) == 1L && u2.head.getDouble(4) == 7.0)
+  }
+
+  test("gapFill: empty input yields empty output; day unit buckets correctly") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "value")
+    assert(TimeSeries.gapFill(empty, "user_id", "ts", "value").count() == 0)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-04 09:00:00"), 2.0)).toDF("user_id", "ts", "value")
+    val days = TimeSeries.gapFill(events, "user_id", "ts", "value", unit = "day")
+      .orderBy("bucket").collect()
+    assert(days.length == 4) // Jan 1..4 inclusive
+    assert(days.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L, 1L))
+  }
+}
