@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application: MERGE a batch of upserts/deletes into a
+  * base table by key — the operation that keeps a continuously-refreshed
+  * training corpus current without rewriting it from scratch.
+  *
+  * No reference counterpart (the reference's PUT is whole-dataset replace,
+  * master.go:72-113; SURVEY.md §2a): this is the standard lakehouse MERGE
+  * (Armbrust et al. 2020, Delta Lake) re-expressed as a pure dataflow —
+  * delta ∪ (base ⟕̸ delta) — so it needs no table format support.
+  *
+  * Scale design (100 TB): ONE keyed shuffle shape. The anti-join hashes on
+  * the merge key; when the delta is batch-small (the common CDC case) Spark
+  * broadcasts it and the base table never shuffles at all — the merge
+  * degenerates to a broadcast-filter + union, a single scan of the base.
+  * Neither side ever collects to the driver.
+  */
+object Cdc {
+
+  /** Upsert `delta` into `base` on `keys`: rows of `base` whose key appears
+    * in `delta` are replaced by the delta row; new delta keys are inserted;
+    * all other base rows pass through. Both inputs must share a schema.
+    * `delta` must be key-unique (enforce upstream with
+    * [[DataQuality.duplicateKeys]]) — duplicate delta keys would both
+    * survive, which is ambiguous CDC. */
+  def mergeInto(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    require(
+      base.columns.sorted.sameElements(delta.columns.sorted),
+      s"schema mismatch: base ${base.columns.mkString(",")} vs delta ${delta.columns.mkString(",")}")
+    delta.unionByName(base.join(delta.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
+  /** Upsert + tombstone application: like [[mergeInto]], but delta rows with
+    * `deleteCol` = true delete the key instead of replacing it. */
+  def applyChanges(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      deleteCol: String): DataFrame = {
+    val survivors = delta.filter(!col(deleteCol)).drop(deleteCol)
+    val allKeys   = delta.select(keys.map(col): _*)
+    survivors.unionByName(base.join(allKeys, keys, "left_anti"))
+  }
+
+  /** SCD type-2 history application: `current` carries versioned rows
+    * (attribute columns + [validFromCol, validToCol], open rows have a null
+    * validTo); `delta` carries the new attribute state per key stamped
+    * `tsCol`. A delta row whose attributes differ from the key's open row
+    * CLOSES that row (validTo = ts) and opens a new version (validFrom =
+    * ts); an identical delta row is a no-op; an unseen key opens its first
+    * version. Closed history rows always pass through untouched. Delta must
+    * be key-unique (same contract as [[mergeInto]]).
+    *
+    * Scale shape: ONE key-hashed join between the OPEN slice and the delta
+    * (broadcast when the delta is batch-small), then a narrow per-row
+    * explode emitting 1–2 output rows — never one pass per outcome class
+    * over the join. Closed history is a pure pass-through union (no
+    * shuffle). */
+  def scd2Apply(
+      current: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "scd2Apply needs at least one key column")
+    val attrs = current.columns.toSeq.filterNot(c =>
+      keys.contains(c) || c == validFromCol || c == validToCol)
+    require(
+      delta.columns.sorted.sameElements((keys ++ attrs :+ tsCol).sorted),
+      s"delta must carry keys + attrs + $tsCol: expected ${(keys ++ attrs :+ tsCol).mkString(",")}, got ${delta.columns.mkString(",")}")
+
+    val open   = current.filter(col(validToCol).isNull).withColumn("__o", lit(true))
+    val closed = current.filter(col(validToCol).isNotNull)
+    val d = delta.select(
+      keys.map(col) ++ attrs.map(a => col(a).as(s"__d_$a")) ++
+        Seq(col(tsCol).as("__d_ts"), lit(true).as("__d")): _*)
+
+    val j = open.join(d, keys, "full_outer")
+    val changed = attrs.map(a => !(col(a) <=> col(s"__d_$a"))).reduce(_ || _)
+    val oPresent = col("__o").isNotNull
+    val dPresent = col("__d").isNotNull
+
+    // candidate output rows per joined row, emitted in one narrow pass:
+    //   survive  — open row untouched (no delta, or identical delta)
+    //   close    — open row sealed at the delta timestamp
+    //   reopen   — new version from the delta attributes
+    def out(attrSrc: String => org.apache.spark.sql.Column, vf: org.apache.spark.sql.Column, vt: org.apache.spark.sql.Column) =
+      struct(attrs.map(a => attrSrc(a).as(a)) ++ Seq(vf.as(validFromCol), vt.as(validToCol)): _*)
+    val survive = when(oPresent && (!dPresent || !changed), out(a => col(a), col(validFromCol), lit(null).cast(open.schema(validToCol).dataType)))
+    val close   = when(oPresent && dPresent && changed, out(a => col(a), col(validFromCol), col("__d_ts")))
+    val reopen  = when(dPresent && (!oPresent || changed), out(a => col(s"__d_$a"), col("__d_ts"), lit(null).cast(open.schema(validToCol).dataType)))
+
+    val exploded = j
+      .select(
+        keys.map(col) :+ explode(filter(array(survive, close, reopen), x => x.isNotNull)).as("__r"): _*)
+      .select(keys.map(col) ++ attrs.map(a => col(s"__r.$a")) ++
+        Seq(col(s"__r.$validFromCol"), col(s"__r.$validToCol")): _*)
+    closed.select(keys.map(col) ++ attrs.map(col) ++ Seq(col(validFromCol), col(validToCol)): _*)
+      .unionByName(exploded)
+  }
+}

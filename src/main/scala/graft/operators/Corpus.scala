@@ -459,6 +459,48 @@ object Corpus {
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
 
+  /** Character-level Shannon entropy per document, in bits — the classic
+    * gibberish/boilerplate quality signal (low entropy ⇒ repeated filler,
+    * near-log2(alphabet) ⇒ random noise; CCNet-style quality gates threshold
+    * on it). Emits (doc_id, n_chars, distinct_chars, entropy_bits).
+    *
+    * Determinism contract (oracle hash-compares doubles): entropy is
+    * computed as log2(L) − (Σ c·log2 c)/L over per-char counts, with the
+    * Σ folded in ASCENDING CHAR ORDER via a left fold — never an unordered
+    * SQL SUM of doubles — and the result emitted as round(·, 6) to absorb
+    * last-ulp libm (log2) differences across engines. Zero-length documents
+    * emit nothing (no distribution to measure).
+    *
+    * Scale shape: explode to one row per character but map-side partial
+    * aggregate on (doc_id, char) — the shuffle carries per-doc alphabet
+    * histograms (≤ alphabet-size rows per doc), not raw characters; the
+    * per-doc fold then touches ≤ alphabet-size entries. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        aggregate(
+          array_sort(collect_list(struct(col("ch"), col("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c").cast("double") * log2(x.getField("c").cast("double")))
+          .as("s"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("distinct_chars"),
+        round(
+          log2(col("n_chars").cast("double")) - col("s") / col("n_chars").cast("double"),
+          6).as("entropy_bits"))
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 App. A):
     * duplicate-token fraction, duplicate-bigram fraction, and the fraction
     * of the document owned by its single most frequent token. Documents

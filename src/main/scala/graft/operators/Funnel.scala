@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: for each user, the first
+  * time each stage of a fixed stage sequence was reached, where stage i+1
+  * only counts STRICTLY AFTER the user's stage-i time (the standard
+  * product-analytics funnel; same semantics as a chain of windowed
+  * first-match self-joins, computed in one pass).
+  *
+  * No reference counterpart (SURVEY.md §2e extension family) — this is the
+  * conversion-path query every event pipeline ships.
+  *
+  * Scale design (100 TB): filter to the k stage types FIRST (rides the
+  * parquet scan as an IN pushdown — non-funnel events never shuffle), then
+  * ONE user-keyed shuffle; per-user state is a sorted event array bounded
+  * by that user's stage-event count, folded once. No per-stage join chain
+  * (k−1 shuffles), no window over the full stream. Skewed power users are
+  * bounded by their own activity, not the corpus.
+  */
+object Funnel {
+
+  /** Per-user first-reach times for `stages`, plus how many stages were
+    * reached. Output: (user, t_<stage>... as timestamp, n_stages). Users
+    * with no stage-0 event still appear (all-null stage times) iff they
+    * have at least one event of ANY funnel stage type. */
+  def firstReach(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, s"stages must be distinct, got $stages")
+
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol).as("user"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("etype")))).as("evs"))
+
+    val init = struct(
+      stages.indices.map(i => lit(null).cast("timestamp").as(s"s$i")): _*)
+    // left fold in event-time order; each step reads the PREVIOUS
+    // accumulator, so one event can never satisfy two stages at once and
+    // stage i+1 requires ts strictly after the recorded stage-i time
+    def step(acc: Column, ev: Column): Column =
+      struct(stages.zipWithIndex.map { case (st, i) =>
+        val prevOk =
+          if (i == 0) lit(true)
+          else acc.getField(s"s${i - 1}").isNotNull && ev.getField("ts") > acc.getField(s"s${i - 1}")
+        coalesce(
+          acc.getField(s"s$i"),
+          when(ev.getField("etype") === st && prevOk, ev.getField("ts"))).as(s"s$i")
+      }: _*)
+
+    val folded = aggregate(col("evs"), init, step)
+    val stageCols = stages.zipWithIndex.map { case (st, i) =>
+      folded.getField(s"s$i").as(s"t_$st")
+    }
+    val reached = stages.indices
+      .map(i => when(folded.getField(s"s$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    perUser.select((col("user").as(userCol) +: stageCols :+ reached.cast("long").as("n_stages")): _*)
+  }
+}

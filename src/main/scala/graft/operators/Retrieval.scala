@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval and approximate string matching over a tokenized corpus
+  * — the lookup side of the training-data pipeline (find documents for an
+  * audit query; reconcile near-identical vocabulary variants).
+  *
+  * No reference counterpart (SURVEY.md §2e extension family): the reference
+  * stops at the boolean inverted index (reverse_map juice,
+  * src/node.go:929-960); BM25 is the standard scoring layer on top of it
+  * (Robertson & Zaragoza 2009), and FastSS deletion-neighborhood blocking
+  * (Bocek et al. 2007) is the standard way to make an edit-distance join
+  * sub-quadratic.
+  *
+  * Scale design (100 TB):
+  *  - [[bm25TopK]] is one corpus pass: tf is a (doc, term)-keyed map-side
+  *    partial aggregate over ONLY rows matching a query term (the filter
+  *    rides the scan), df/avgdl are tiny aggregates of the already-reduced
+  *    tf rows, and the final top-k is a TakeOrderedAndProject (per-partition
+  *    bounded heap + driver merge of k rows) — never a global sort;
+  *  - the query term list is a literal in the plan (queries are words, not
+  *    tables), so scoring never joins against a second corpus-scale input;
+  *  - [[fuzzyWordPairs]] explodes each distinct word into O(L·maxDist)
+  *    deletion signatures and shuffles ONLY (signature, word) pairs; the
+  *    quadratic step runs per signature bucket (bucket size tracks
+  *    signature collisions, not vocabulary size) and every candidate is
+  *    exact-verified with codegen'd `levenshtein` — the same
+  *    band-then-verify discipline as Dedup's MinHash/LSH path.
+  */
+object Retrieval {
+
+  /** Whitespace tokenizer (strings.Fields contract, shared with Corpus). */
+  private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Okapi BM25 top-k: score every document against a bag of query terms,
+    * return the k best as (doc_id, n_terms, score).
+    *
+    * score(d) = Σ_t ln(1 + (N − df_t + ½)/(df_t + ½)) ·
+    *            tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl))
+    *
+    * Determinism contract (oracle hash-compares doubles): every arithmetic
+    * step is an IEEE-exact op on exact integers (mul/div/add are correctly
+    * rounded, so both engines agree bit-for-bit given the same operation
+    * order); the per-doc sum folds term contributions in ASCENDING TERM
+    * ORDER via a left fold, never an unordered SQL SUM; the one libm call
+    * (ln) can differ in the last ulp across engines, so the emitted score
+    * is round(·, 6). Ranking ties break by doc_id. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, "k must be positive")
+    val qTerms = terms.distinct.sorted
+
+    // one tokenize pass feeds both doc length and term frequencies
+    val tokd = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("len"), explode(col("toks")).as("token"))
+    val tf = tokd
+      .filter(col("token").isin(qTerms: _*)) // rides the scan; non-query terms never shuffle
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+
+    // corpus stats: N and avgdl over ALL docs (len 0 docs count toward both)
+    val stats = docs
+      .select(size(toks(col(textCol))).as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot_len"))
+    // df per query term from the reduced tf rows (one row per doc×term)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+    // contribution per (doc, term): exact-int inputs, fixed operation order
+    val scored = tf
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn(
+        "idf",
+        log(
+          lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))))
+      .withColumn(
+        "contrib",
+        col("idf") * ((col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / col("avgdl"))))))
+
+    // per-doc fold in ascending term order — the sum is order-fixed so both
+    // engines add the same doubles in the same sequence
+    val perDoc = scored
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("token"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("raw"))
+
+    perDoc
+      .orderBy(col("raw").desc, col("doc_id").asc) // TakeOrderedAndProject with .limit
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"), round(col("raw"), 6).as("score"))
+  }
+
+  /** All 0- to maxDist-deletion variants of a word, distinct. maxDist is
+    * bounded tiny (1–2) so the blow-up is O(L^maxDist) per word. */
+  private[graft] def deletionVariants(w: String, maxDist: Int): Seq[String] = {
+    var frontier = Set(w)
+    var all      = Set(w)
+    var d        = 0
+    while (d < maxDist) {
+      frontier = frontier.flatMap(v => v.indices.map(i => v.substring(0, i) + v.substring(i + 1)))
+      all ++= frontier
+      d += 1
+    }
+    all.toSeq
+  }
+
+  /** Edit-distance join over the DISTINCT words of a column: all pairs
+    * (w1 < w2) with levenshtein(w1, w2) <= maxDist.
+    *
+    * FastSS blocking: two words within edit distance d share at least one
+    * common d-deletion variant, so candidate generation is a self-join on
+    * the exploded signature set, then exact `levenshtein` verification —
+    * never vocabulary × vocabulary. Output: (w1, w2, dist). */
+  def fuzzyWordPairs(df: DataFrame, wordCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist must be 1 or 2 (got $maxDist): signatures grow O(L^d)")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val words = df.select(col(wordCol).as("word")).distinct()
+    val sigs = words
+      .as[String]
+      .flatMap(w => deletionVariants(w, maxDist).map(s => (s, w)))
+      .toDF("sig", "word")
+    sigs
+      .as("a")
+      .join(sigs.as("b"), col("a.sig") === col("b.sig") && col("a.word") < col("b.word"))
+      .select(col("a.word").as("w1"), col("b.word").as("w2"))
+      .distinct() // pairs can share several signatures
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Funnel}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -332,6 +332,50 @@ object AdvancedQueries {
           col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           date_format(col("asof_signup_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_signup"))
+    },
+
+    // ------------------------------------------------------ ordered funnel
+    // view → click → purchase conversion path per user (operators/Funnel):
+    // stage i+1 counts only STRICTLY AFTER the user's stage-i first-reach.
+    // The engine folds each user's sorted stage events once; the oracle
+    // replays the textbook min-join chain — first view, first click after
+    // it, first purchase after that — proving the one-pass fold ≡ the k-join
+    // definition.
+    Q(
+      "funnel_view_click_purchase",
+      Some("""
+        WITH f AS (SELECT user_id, ts, event_type FROM events WHERE event_type IN ('click','purchase','view')),
+        v AS (SELECT user_id, MIN(ts) AS t0 FROM f WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT f.user_id, MIN(f.ts) AS t1 FROM f JOIN v ON v.user_id = f.user_id AND f.ts > v.t0
+              WHERE f.event_type = 'click' GROUP BY 1),
+        p AS (SELECT f.user_id, MIN(f.ts) AS t2 FROM f JOIN c ON c.user_id = f.user_id AND f.ts > c.t1
+              WHERE f.event_type = 'purchase' GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM f)
+        SELECT u.user_id,
+               strftime(v.t0, '%Y-%m-%d %H:%M:%S') AS t_view,
+               strftime(c.t1, '%Y-%m-%d %H:%M:%S') AS t_click,
+               strftime(p.t2, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+               CAST(CASE WHEN v.t0 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN c.t1 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.t2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_stages
+        FROM u
+        LEFT JOIN v ON v.user_id = u.user_id
+        LEFT JOIN c ON c.user_id = u.user_id
+        LEFT JOIN p ON p.user_id = u.user_id
+      """)) { (spark, dir) =>
+      Funnel
+        .firstReach(
+          Tables(spark, dir).events,
+          "user_id",
+          "ts",
+          "event_type",
+          stages = Seq("view", "click", "purchase"))
+        .select(
+          col("user_id"),
+          date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+          col("n_stages"))
     }
   )
 }

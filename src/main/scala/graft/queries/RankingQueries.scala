@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+import graft.sources.Tables
+
+/** Ranked retrieval + fuzzy matching over the corpus (operators/Retrieval).
+  *
+  * Float determinism: BM25's one libm call (ln) can differ in the last ulp
+  * across engines, so contributions are summed in a FIXED (ascending-term)
+  * fold order on both sides and the emitted score is round(·, 6); every
+  * other arithmetic step is an IEEE-exact op in matched evaluation order
+  * (the oracle spells k1+1 as `1.2 + 1.0` so DuckDB constant-folds to the
+  * bit-identical double Scala's `lit(k1 + 1.0)` produces). */
+object RankingQueries {
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------ BM25 ranked top-k
+    // Okapi BM25 (k1=1.2, b=0.75) over the documents table for a fixed
+    // 4-term query; top 25 by score, ties by doc_id. The oracle replays
+    // the exact fold order (list_reduce over term-sorted contributions).
+    Q(
+      "bm25_topk",
+      Some("""
+        WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        tokd AS (SELECT doc_id, len(toks) AS len, unnest(toks) AS token FROM tok),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf, MIN(len) AS len FROM tokd
+               WHERE token IN ('agg','join','scan','shuffle') GROUP BY 1, 2),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS tot_len
+                  FROM documents),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        contrib AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                   * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+          FROM tf, df, stats WHERE tf.token = df.token),
+        perdoc AS (SELECT doc_id, COUNT(*) AS n_terms,
+                          list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) AS raw
+                   FROM contrib GROUP BY doc_id)
+        SELECT doc_id, n_terms, ROUND(raw, 6) AS score
+        FROM perdoc ORDER BY raw DESC, doc_id LIMIT 25
+      """)) { (spark, dir) =>
+      Retrieval.bm25TopK(
+        Tables(spark, dir).documents,
+        "doc_id",
+        "text",
+        terms = Seq("agg", "join", "scan", "shuffle"),
+        k = 25)
+    },
+
+    // --------------------------------------- edit-distance fuzzy join
+    // All pairs of distinct part-name words within levenshtein <= 2.
+    // Engine: FastSS deletion-neighborhood blocking + exact verify (never
+    // vocab x vocab); oracle: the brute-force quadratic (vocab is tiny at
+    // oracle scale, so the O(V^2) replay is the point — it proves the
+    // blocked join loses nothing).
+    Q(
+      "fuzzy_join_words",
+      Some("""
+        WITH w AS (SELECT DISTINCT word FROM
+                     (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+                   WHERE word <> '')
+        SELECT a.word AS w1, b.word AS w2, CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+        FROM w a, w b
+        WHERE a.word < b.word AND levenshtein(a.word, b.word) <= 2
+      """)) { (spark, dir) =>
+      val words = Tables(spark, dir).part
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      Retrieval.fuzzyWordPairs(words, "word", maxDist = 2)
+    }
+  )
+}

@@ -407,6 +407,83 @@ object Relational {
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), asDouble(sum(money(col("value")))).as("sum_value"))
+    },
+
+    // ------------------------------------------------- CDC MERGE (upsert)
+    // Lakehouse-style MERGE INTO as pure dataflow (operators/Cdc): a delta
+    // of updates (keys %10=0, price doubled, status 'U') and inserts
+    // (shifted keys, status 'N') applied to orders. Money stays DECIMAL
+    // through the merge (exact ×2), cast to double only at the end.
+    Q(
+      "merge_upsert_orders",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, price * 2 AS price FROM base WHERE o_orderkey % 10 = 0),
+        ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, price FROM base WHERE o_orderkey % 100 = 7),
+        delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        merged AS (
+          SELECT * FROM delta
+          UNION ALL
+          SELECT b.* FROM base b ANTI JOIN delta d USING (o_orderkey))
+        SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS o_totalprice FROM merged
+      """)) { (spark, dir) =>
+      val base = Tables(spark, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), money(col("o_totalprice")).as("price"))
+      val upd = base
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"), (col("price") * 2).as("price"))
+      val ins = base
+        .filter(col("o_orderkey") % 100 === 7)
+        .select(
+          (col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          col("price"))
+      graft.operators.Cdc
+        .mergeInto(base, upd.unionByName(ins), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), asDouble(col("price")).as("o_totalprice"))
+    },
+
+    // -------------------------------------------------- SCD type-2 history
+    // Dimension-history tracking (operators/Cdc.scd2Apply): a segment-change
+    // delta (keys %5=0; half actually changed, half identical no-ops) closes
+    // open versions and opens new ones. The oracle replays the outcome
+    // classes directly: unchanged opens pass through, changed keys emit a
+    // closed old version + a new open one.
+    Q(
+      "scd2_customer_segment",
+      Some("""
+        WITH cur AS (SELECT c_custkey, c_mktsegment AS segment, TIMESTAMP '2023-01-01 00:00:00' AS vf FROM customer),
+        d AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'PROMO' END AS segment,
+                     TIMESTAMP '2024-06-01 00:00:00' AS ts
+              FROM customer WHERE c_custkey % 5 = 0),
+        changed AS (SELECT cur.c_custkey, cur.segment AS old_seg, d.segment AS new_seg, cur.vf, d.ts
+                    FROM cur JOIN d USING (c_custkey) WHERE cur.segment <> d.segment)
+        SELECT c_custkey, segment, strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        FROM cur ANTI JOIN changed USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, old_seg, strftime(vf, '%Y-%m-%d %H:%M:%S'), strftime(ts, '%Y-%m-%d %H:%M:%S') FROM changed
+        UNION ALL
+        SELECT c_custkey, new_seg, strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS VARCHAR) FROM changed
+      """)) { (spark, dir) =>
+      val cust = Tables(spark, dir).customer
+      val current = cust.select(
+        col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        lit("2023-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val delta = cust
+        .filter(col("c_custkey") % 5 === 0)
+        .select(
+          col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_mktsegment")).otherwise(lit("PROMO")).as("segment"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("ts"))
+      graft.operators.Cdc
+        .scd2Apply(current, delta, Seq("c_custkey"), "ts")
+        .select(
+          col("c_custkey"),
+          col("segment"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
     }
   )
 }

@@ -415,6 +415,26 @@ object TextQueries {
             .as("scrubbed"),
           Corpus.matchCount(col("ticket"), "Customer#[0-9]+").as("n_ids"),
           Corpus.matchCount(col("ticket"), "-?[0-9]+\\.[0-9]+").as("n_nums"))
+    },
+
+    // Character-level Shannon entropy — the gibberish/boilerplate quality
+    // signal (CCNet-style gates threshold on it). Both engines fold
+    // c·log2(c) in ascending char order (never an unordered SUM of
+    // doubles) and emit round(·, 6); counts are exact ints. Zero-length
+    // docs emit nothing on either side.
+    Q(
+      "text_entropy",
+      Some("""
+        WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+        cnt AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars, COUNT(*) AS distinct_chars,
+                       list_reduce(list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) ORDER BY ch), (a, b) -> a + b) AS s
+                FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_chars, distinct_chars,
+               ROUND(log2(CAST(n_chars AS DOUBLE)) - s / CAST(n_chars AS DOUBLE), 6) AS entropy_bits
+        FROM agg
+      """)) { (spark, dir) =>
+      Corpus.charEntropy(Tables(spark, dir).documents, "doc_id", "text")
     }
   )
 }

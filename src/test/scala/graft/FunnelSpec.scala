@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+import graft.sources.Tables
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("firstReach: strictly-after ordering, stalls, and full conversion") {
+    val events = Seq(
+      // user 1 converts fully, out-of-arrival-order input
+      (1L, ts("2024-01-01 10:02:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "purchase"),
+      // user 2: purchase BEFORE any view — must not count; stalls at view
+      (2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      // user 3: click exactly AT the first view ts — strictly-after excludes it,
+      // a later click counts
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "click"),
+      (3L, ts("2024-01-01 08:10:00"), "click"),
+      // user 4: only non-funnel events — absent from output entirely
+      (4L, ts("2024-01-01 07:00:00"), "error")
+    ).toDF("user_id", "ts", "event_type")
+
+    val out = Funnel
+      .firstReach(events, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)), r.getLong(4))))
+      .toMap
+
+    assert(out(1L) == ((Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 10:02:00")), Some(ts("2024-01-01 10:05:00")), 3L)))
+    assert(out(2L) == ((Some(ts("2024-01-01 09:30:00")), None, None, 1L)), "pre-view purchase must not convert")
+    assert(out(3L) == ((Some(ts("2024-01-01 08:00:00")), Some(ts("2024-01-01 08:10:00")), None, 2L)),
+      "same-instant click is not strictly after the view")
+    assert(!out.contains(4L), "users with no funnel-stage events are absent")
+  }
+
+  test("firstReach over the corpus equals the min-join chain definition") {
+    val e = Tables(spark, SharedSpark.sf0001).events
+    val fold = Funnel
+      .firstReach(e, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    // k-join reference implementation: first view, first click after it,
+    // first purchase after that
+    val f = e.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = f.filter(col("event_type") === "view").groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = f.as("f").join(v.as("v"), col("f.user_id") === col("v.user_id") && col("f.ts") > col("v.t_view"))
+      .filter(col("f.event_type") === "click")
+      .groupBy(col("f.user_id").as("user_id")).agg(min(col("f.ts")).as("t_click"))
+    val p = f.as("f").join(c.as("c"), col("f.user_id") === col("c.user_id") && col("f.ts") > col("c.t_click"))
+      .filter(col("f.event_type") === "purchase")
+      .groupBy(col("f.user_id").as("user_id")).agg(min(col("f.ts")).as("t_purchase"))
+    val joined = f.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+
+    val a = fold.select("user_id", "t_view", "t_click", "t_purchase").collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    val b = joined.collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(a == b, "one-pass fold must equal the k-join chain on real data")
+    assert(a.nonEmpty)
+  }
+
+  test("firstReach plan: one user-keyed shuffle, stage filter reaches the scan") {
+    val e    = Tables(spark, SharedSpark.sf0001).events
+    val df   = Funnel.firstReach(e, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"expected hashpartitioning + AQE coalesce at most, got $shuffles exchanges:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("in(event_type"),
+      s"stage IN-filter must reach the parquet scan:\n$plan")
+  }
+}

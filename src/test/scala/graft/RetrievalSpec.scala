@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Corpus, Retrieval}
+import graft.sources.Tables
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, SharedSpark.sf0001).documents
+
+  // ------------------------------------------------------------- BM25
+
+  test("bm25TopK: hand-computed score on a 3-doc corpus") {
+    val df = Seq(
+      (1L, "cat dog cat"),  // cat tf=2, len=3
+      (2L, "dog dog bird"), // len=3
+      (3L, "fish fish")     // no query terms
+    ).toDF("doc_id", "text")
+    val out = Retrieval
+      .bm25TopK(df, "doc_id", "text", terms = Seq("cat", "dog"), k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+    // N=3, avgdl=8/3; idf(t) = ln(1 + (3 - df + 0.5)/(df + 0.5))
+    def idf(dfT: Int)            = math.log(1.0 + (3.0 - dfT + 0.5) / (dfT + 0.5))
+    def w(tf: Int, len: Int)     = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len / (8.0 / 3.0))))
+    def rnd(x: Double)           = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = rnd(idf(1) * w(2, 3) + idf(2) * w(1, 3)) // cat then dog (term-sorted fold)
+    val d2 = rnd(idf(2) * w(2, 3))
+    assert(out(1L)._1 == 2 && math.abs(out(1L)._2 - d1) < 1e-9)
+    assert(out(2L)._1 == 1 && math.abs(out(2L)._2 - d2) < 1e-9)
+    assert(!out.contains(3L), "docs matching no query term must not appear")
+    // rarer 'cat' + higher tf must outrank the common term doc
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("bm25TopK: k cuts by score desc with doc_id tiebreak, corpus run non-empty") {
+    val top = Retrieval
+      .bm25TopK(docs, "doc_id", "text", terms = Seq("agg", "join", "scan", "shuffle"), k = 5)
+      .collect()
+    assert(top.length == 5)
+    val scores = top.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-_)), "output ordered by score desc")
+  }
+
+  // --------------------------------------------- FastSS fuzzy word join
+
+  test("deletionVariants: distance-1 neighborhood of 'abc'") {
+    val v = Retrieval.deletionVariants("abc", 1).toSet
+    assert(v == Set("abc", "bc", "ac", "ab"))
+    assert(Retrieval.deletionVariants("abc", 2).toSet ==
+      Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+  }
+
+  test("fuzzyWordPairs equals brute-force levenshtein join (maxDist 1 and 2)") {
+    val words = Tables(spark, SharedSpark.sf0001).part
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    for (d <- Seq(1, 2)) {
+      val fast = Retrieval
+        .fuzzyWordPairs(words, "word", d)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val vocab = words.distinct().as[String].collect()
+      val brute = (for {
+        a <- vocab; b <- vocab
+        if a < b
+        dist = levDist(a, b)
+        if dist <= d
+      } yield (a, b, dist.toLong)).toSet
+      assert(fast == brute, s"FastSS blocking must lose nothing at maxDist=$d")
+      assert(brute.nonEmpty, "part-name vocabulary has close word pairs")
+    }
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(
+        math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  // ------------------------------------------------------ char entropy
+
+  test("charEntropy: uniform and single-char distributions hit closed forms") {
+    val df = Seq(
+      (1L, "abcd"), // uniform over 4 chars -> exactly 2 bits
+      (2L, "aaaa"), // degenerate -> 0 bits
+      (3L, "")      // no chars -> absent
+    ).toDF("doc_id", "text")
+    val out = Corpus
+      .charEntropy(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 2.0)))
+    assert(out(2L) == ((4L, 1L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
+}
