@@ -1,0 +1,186 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: distributed corpus → word-frequency pass,
+  * deterministic driver-side merge training over the bounded vocabulary,
+  * and distributed encoding with the trained merge table broadcast.
+  *
+  * No reference counterpart (SURVEY.md §2e extension family) — this is the
+  * subword tokenizer every LLM data pipeline ends in (Sennrich et al. 2016).
+  *
+  * Scale design (100 TB): training NEVER iterates over the corpus. One
+  * corpus pass reduces to (word, count) — a map-side-combined aggregate
+  * whose output is bounded by the VOCABULARY, not the token stream (the
+  * same shape HF tokenizers / SentencePiece train from). The driver trains
+  * on the top `maxVocabWords` words (deterministic count-desc/word-asc
+  * cap) with incremental pair-count maintenance — each merge touches only
+  * the words containing the merged pair. Encoding broadcasts the rank
+  * table (numMerges entries, KBs) and memoizes per distinct word within
+  * each partition, so hot words are encoded once per partition, not once
+  * per occurrence.
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended as a separate symbol so merges cannot
+    * cross word boundaries and "low" ≠ the prefix of "lower" (standard BPE
+    * practice). A control char no corpus token contains. */
+  private[graft] val Eow = ""
+
+  /** Trained model: merge pairs in rank order (rank 0 = first, most
+    * frequent merge). */
+  final case class Model(merges: Seq[(String, String)]) {
+    /** pair → rank lookup for the encoder. */
+    lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+  }
+
+  private def toks(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Distributed (word, count) table — the only corpus-scale step. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(toks(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+
+  /** Train `numMerges` BPE merges. Deterministic: the vocabulary cap takes
+    * the top words by (count desc, word asc); each round merges the pair
+    * with the highest count, ties broken lexicographically; training stops
+    * early when no pair occurs twice. */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocabWords: Int = 1 << 20): Model = {
+    require(numMerges > 0, "numMerges must be positive")
+    val vocab: Array[(String, Long)] = wordCounts(docs, textCol)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(vocab, numMerges)
+  }
+
+  /** Driver-side trainer over a bounded (word, count) vocabulary with
+    * incremental pair-count maintenance: pair→count and pair→word-ids are
+    * kept in sync so each merge rescans ONLY the words containing the
+    * merged pair — the standard efficient trainer, O(occurrences touched)
+    * per merge rather than O(vocabulary) per merge. */
+  private[graft] def trainFromCounts(vocab: Array[(String, Long)], numMerges: Int): Model = {
+    val words  = vocab.map { case (w, _) => mutable.ArrayBuffer(w.map(_.toString): _*) :+ Eow }
+    val counts = vocab.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * counts(i)
+        if (c == 0L) pairCount.remove(p) else pairCount.update(p, c)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+      // stale pairWords entries are tolerated: the merge loop re-checks
+      // each candidate word for the pair before touching it
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round  = 0
+    while (round < numMerges && pairCount.nonEmpty) {
+      // deterministic argmax: highest count, then lexicographically SMALLEST pair
+      val bestPair = pairCount.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, e @ (p, c)) =>
+          acc match {
+            case Some((ap, ac)) if ac > c || (ac == c && orderPair(ap, p) <= 0) => acc
+            case _                                                             => Some(e)
+          }
+      }.get
+      if (bestPair._2 < 2) round = numMerges // no repeated pair left — stop
+      else {
+        val (a, b) = bestPair._1
+        merges += ((a, b))
+        val touched = pairWords.getOrElse((a, b), mutable.Set.empty).toArray
+        touched.foreach { i =>
+          val w = words(i)
+          if (containsPair(w, a, b)) {
+            addWord(i, -1L) // retract old pair counts for this word
+            var j = 0
+            while (j < w.length - 1) {
+              if (w(j) == a && w(j + 1) == b) { w(j) = a + b; w.remove(j + 1) }
+              else j += 1
+            }
+            addWord(i, 1L) // re-add with the merged symbol
+          }
+        }
+        round += 1
+      }
+    }
+    Model(merges.toSeq)
+  }
+
+  private def orderPair(x: (String, String), y: (String, String)): Int = {
+    val c = x._1.compareTo(y._1)
+    if (c != 0) c else x._2.compareTo(y._2)
+  }
+
+  private def containsPair(w: mutable.ArrayBuffer[String], a: String, b: String): Boolean = {
+    var j = 0
+    while (j < w.length - 1) {
+      if (w(j) == a && w(j + 1) == b) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Encode one word: repeatedly apply the LOWEST-RANK applicable merge
+    * (the standard BPE encode loop — guarantees encode ∘ train is
+    * consistent with the training merge order). */
+  private[graft] def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = (word.map(_.toString) :+ Eow).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx  = -1
+      var j        = 0
+      while (j < syms.length - 1) {
+        ranks.get((syms(j), syms(j + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestIdx = j }
+        }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++ syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  /** Per-document BPE token count (the "how many tokens will this cost"
+    * pipeline signal) plus the whitespace token count for comparison.
+    * The merge table is broadcast; each partition memoizes distinct words
+    * so repeated words encode once per partition. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val spark  = docs.sparkSession
+    val ranksB = spark.sparkContext.broadcast(model.ranks)
+    val enc = udf { (words: Seq[String]) =>
+      val memo = mutable.HashMap.empty[String, Int]
+      var total = 0L
+      words.foreach { w =>
+        // a still-standalone end-of-word sentinel is not a token the model
+        // would emit — count only real symbols (merged symbols absorb it)
+        total += memo.getOrElseUpdate(w, encodeWord(w, ranksB.value).count(_ != Eow))
+      }
+      total
+    }
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks(col(textCol))).cast("long").as("n_words"),
+      enc(toks(col(textCol))).as("n_bpe_tokens"))
+  }
+}

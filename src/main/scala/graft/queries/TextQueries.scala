@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, MapleJuice}
+import graft.operators.{Bpe, Corpus, MapleJuice}
 import graft.sources.Tables
 
 /** Reference-parity text queries + the text-analysis operators a training-data
@@ -435,6 +435,18 @@ object TextQueries {
         FROM agg
       """)) { (spark, dir) =>
       Corpus.charEntropy(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
+    // Real BPE subword tokenization (operators/Bpe): one corpus pass to
+    // word counts, deterministic driver-side merge training on the bounded
+    // vocabulary, broadcast-ranks encode with per-partition word memoization.
+    // No SQL oracle (iterative merge training isn't SQL-expressible);
+    // BpeSpec pins the exact merge sequence and encodings on the classic
+    // teaching corpus and determinism on this table.
+    Q("bpe_token_count", None) { (spark, dir) =>
+      val docs  = Tables(spark, dir).documents
+      val model = Bpe.train(docs, "text", numMerges = 100)
+      Bpe.tokenCounts(docs, "doc_id", "text", model)
     }
   )
 }

@@ -172,6 +172,43 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Continuously-maintained current-state table: each micro-batch is
+    * reduced to its latest row per key (by `tsCol`; ties are unspecified —
+    * feed a unique per-key timestamp), then merged into the named catalog
+    * table with [[graft.operators.Cdc.mergeInto]]. This is the streaming
+    * materialized-upsert pattern: `foreachBatch` is Structured Streaming's
+    * documented escape hatch for merge sinks, and the catalog's versioned
+    * publish (write new version dir, then flip the pointer) makes each
+    * merge atomic for concurrent readers — a reader never sees a
+    * half-merged table.
+    *
+    * Scale shape: the per-batch reduction is one keyed window over the
+    * BATCH (micro-batches are small by construction); the merge joins
+    * state × batch on the key, broadcasting the batch side. State grows
+    * with distinct keys, not stream length. */
+  def mergeStream(
+      updates: DataFrame,
+      catalog: graft.sources.Catalog,
+      table: String,
+      keys: Seq[String],
+      tsCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(tsCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        val merged =
+          if (catalog.exists(table))
+            graft.operators.Cdc.mergeInto(catalog.readTable(table), latest, keys)
+          else latest
+        catalog.putTable(table, merged)
+      }
+
   /** Read a DIRECTORY of event parquet files as a stream, one file per
     * micro-batch (FileStreamSource requires a directory, not a single
     * file). Applies the same nanos→timestamp conversion as Tables when the

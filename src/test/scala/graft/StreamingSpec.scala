@@ -194,4 +194,34 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(finalTotals == batch)
   }
+
+  test("mergeStream maintains a latest-per-key state table across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val cat = new graft.sources.Catalog(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_cdc_stream_").toString)
+
+    val q = EventStreams
+      .mergeStream(mem.toDF().toDF("k", "v", "ts"), cat, "state", Seq("k"), "ts")
+      .start()
+    try {
+      // batch 1: two keys, one updated within the same micro-batch
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "a2", 2L))
+      q.processAllAvailable()
+      val afterFirst = cat.readTable("state").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(afterFirst == Set((1L, "a2", 2L), (2L, "b", 1L)),
+        "in-batch dedup keeps the newest row per key")
+      // batch 2: update an existing key, insert a new one
+      mem.addData((2L, "b2", 5L), (3L, "c", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = cat.readTable("state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a2", 2L), (2L, "b2", 5L), (3L, "c", 5L)),
+      "merge across batches: update wins, insert lands, untouched key survives")
+  }
 }
