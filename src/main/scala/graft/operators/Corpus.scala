@@ -313,6 +313,42 @@ object Corpus {
         (col("start") % capacity).as("pack_offset"))
   }
 
+  /** Fixed-window document chunking with overlap — the context-window
+    * splitter that feeds long documents to a bounded-sequence trainer (or a
+    * RAG indexer): chunk i covers tokens [i·stride, i·stride + chunkSize)
+    * with stride = chunkSize − overlap; the last chunk may be short; a
+    * document no longer than chunkSize is one chunk. Complements
+    * [[packSequences]] (which bins SHORT documents up to a budget; this
+    * splits LONG ones down to it).
+    *
+    * Scale shape: purely narrow — tokenize, compute the chunk count
+    * arithmetically, explode one row per chunk. Zero shuffles, zero driver
+    * state; parallelism is whatever the scan provides. Chunk counts are
+    * exact integer arithmetic so the output is engine-portable
+    * (oracle-checked). */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize, s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val nChunks = when(col("len") <= chunkSize, lit(1L))
+      .otherwise(floor((col("len") - chunkSize + (stride - 1)).cast("double") / stride).cast("long") + 1L)
+    df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"))
+      .withColumn("len", size(col("toks")).cast("long"))
+      .filter(col("len") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        concat_ws(" ", slice(col("toks"), (col("chunk_id") * stride + 1L).cast("int"), lit(chunkSize)))
+          .as("chunk_text"),
+        least(col("len") - col("chunk_id") * stride, lit(chunkSize.toLong)).as("n_tokens"))
+  }
+
   /** Top-`topK` vocabulary by corpus frequency, deterministically ranked
     * (count desc, then token asc — ties never reorder across engines).
     * Output: (token, n_occurrences, rank), rank 1-based.

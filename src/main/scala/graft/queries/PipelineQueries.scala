@@ -308,6 +308,28 @@ object PipelineQueries {
       Corpus.packSequences(Tables(spark, dir).documents, "doc_id", "text", capacity = 256, shardCol = "source")
     },
 
+    // ------------------------------------------ context-window chunking
+    // The complement of pack_sequences: split LONG documents into
+    // fixed-token windows (16 tokens, 4 overlap → stride 12) for a
+    // bounded-sequence trainer / RAG index. Purely narrow arithmetic —
+    // exact integer chunk counts, so fully oracle-checkable.
+    Q(
+      "chunk_documents",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        t1 AS (SELECT doc_id, toks, len(toks) AS len FROM t WHERE len(toks) > 0),
+        n AS (SELECT doc_id, toks, len,
+                     CASE WHEN len <= 16 THEN 1 ELSE (len - 16 + 11) // 12 + 1 END AS n_chunks
+              FROM t1),
+        c AS (SELECT doc_id, toks, len, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+        SELECT doc_id, chunk_id,
+               array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk_text,
+               LEAST(len - chunk_id * 12, 16) AS n_tokens
+        FROM c
+      """)) { (spark, dir) =>
+      Corpus.chunkDocuments(Tables(spark, dir).documents, "doc_id", "text", chunkSize = 16, overlap = 4)
+    },
+
     // ---------------------------------------------- per-source quota cap
     // RefinedWeb-style domain balancing: keep at most 15 docs per source,
     // chosen by portable md5 rank (uniform reproducible sample, not

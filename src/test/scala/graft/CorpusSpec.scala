@@ -267,4 +267,37 @@ class CorpusSpec extends SparkSpec {
     // doc 3 keeps both its tokens (fewer than k)
     assert(byDoc(3L).map(_._2).toSet == Set("w", "common"))
   }
+
+  test("chunkDocuments: window starts, overlap, short tails, and edge sizes") {
+    import spark.implicits._
+    val w30 = (1 to 30).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, w30),                                  // 30 tokens → 3 chunks at (16, 4)
+      (2L, (1 to 16).map(i => s"t$i").mkString(" ")), // exactly chunkSize → 1 chunk
+      (3L, (1 to 17).map(i => s"t$i").mkString(" ")), // one over → 2 chunks
+      (4L, "solo"),                               // short doc → 1 chunk
+      (5L, "")                                    // empty → dropped
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(df, "doc_id", "text", chunkSize = 16, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+
+    // doc 1: stride 12 → starts 0, 12, 24; lengths 16, 16, 6
+    assert(out((1L, 0L))._1 == (1 to 16).map(i => s"t$i").mkString(" "))
+    assert(out((1L, 1L))._1 == (13 to 28).map(i => s"t$i").mkString(" "))
+    assert(out((1L, 2L))._1 == (25 to 30).map(i => s"t$i").mkString(" "))
+    assert(out((1L, 0L))._2 == 16 && out((1L, 1L))._2 == 16 && out((1L, 2L))._2 == 6)
+    // overlap: chunk 1 re-covers tokens 13..16 of chunk 0
+    // doc 2: exactly chunkSize is ONE chunk (no spurious overlap tail)
+    assert(!out.contains((2L, 1L)) && out((2L, 0L))._2 == 16)
+    // doc 3: 17 tokens → chunks of 16 and 5
+    assert(out((3L, 1L)) == ((13 to 17).map(i => s"t$i").mkString(" "), 5L))
+    // doc 4: short single chunk; doc 5: absent
+    assert(out((4L, 0L)) == (("solo", 1L)))
+    assert(!out.keys.exists(_._1 == 5L))
+    // every token of every doc is covered by at least one chunk
+    assert(out.keys.count(_._1 == 1L) == 3)
+    intercept[IllegalArgumentException](Corpus.chunkDocuments(df, "doc_id", "text", 8, 8))
+  }
 }

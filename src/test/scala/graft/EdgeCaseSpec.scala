@@ -98,4 +98,32 @@ class EdgeCaseSpec extends SparkSpec {
       (2L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
     assert(Similarity.semanticDupPairs(ortho, threshold = 0.5, k = 2, maxIter = 2).count() == 0)
   }
+
+  test("retrieval/cdc/funnel/bpe/chunking on empty or unmatched inputs") {
+    import spark.implicits._
+    import graft.operators.{Bpe, Cdc, Funnel, Retrieval}
+    // BM25: no doc contains any query term → empty, never a div-by-zero
+    val noHit = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(Retrieval.bm25TopK(noHit, "doc_id", "text", Seq("zzz"), k = 5).count() == 0)
+    assert(Retrieval.bm25TopK(emptyDocs, "doc_id", "text", Seq("x"), k = 5).count() == 0)
+    // fuzzy join: empty vocab, and a vocab with no close pairs
+    assert(Retrieval.fuzzyWordPairs(emptyDocs.select(col("text").as("word")), "word", 2).count() == 0)
+    val far = Seq("aaaaaaaa", "zzzzzzzzzzzz").toDF("word")
+    assert(Retrieval.fuzzyWordPairs(far, "word", 1).count() == 0)
+    // CDC: empty delta is a no-op; empty base means delta inserts wholesale
+    val base  = Seq((1L, "a")).toDF("k", "v")
+    val eDelta = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Cdc.mergeInto(base, eDelta, Seq("k")).count() == 1)
+    assert(Cdc.mergeInto(eDelta, base, Seq("k")).count() == 1)
+    // funnel: empty stream, and a stream with only non-stage events
+    val eEvents = Seq.empty[(Long, java.sql.Timestamp, String)].toDF("user_id", "ts", "event_type")
+    assert(Funnel.firstReach(eEvents, "user_id", "ts", "event_type", Seq("view", "click")).count() == 0)
+    // BPE: empty corpus trains an empty model; encoding still works
+    val m = Bpe.train(emptyDocs, "text", numMerges = 5)
+    assert(m.merges.isEmpty)
+    assert(Bpe.tokenCounts(noHit, "doc_id", "text", m).collect().head.getLong(2) == 9L,
+      "char-level fallback: alpha(5)+beta(4) symbols with no merges")
+    // chunking: empty corpus → empty
+    assert(graft.operators.Corpus.chunkDocuments(emptyDocs, "doc_id", "text", 16, 4).count() == 0)
+  }
 }

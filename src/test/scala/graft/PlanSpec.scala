@@ -201,4 +201,27 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 3, s"tf must ride the repartition, not shuffle again:\n$p")
   }
+
+  test("bm25 ranks with TakeOrderedAndProject; df/stats sides broadcast") {
+    val p = planOf("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be heap-based, not a global sort:\n$p")
+    assert(p.contains("BroadcastExchange"), s"df/corpus-stats joins must broadcast:\n$p")
+    // the term filter must prune the token stream before the tf shuffle
+    assert(p.toLowerCase.contains("token") && p.contains("INSET") || p.contains(" IN ("),
+      s"query-term IN filter missing from the plan:\n$p")
+  }
+
+  test("chunk_documents is a narrow transform — zero exchanges") {
+    val p = planOf("chunk_documents")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one scan:\n$p")
+  }
+
+  test("funnel: stage IN filter reaches the scan, aggregation on one user shuffle") {
+    val f = formatted("funnel_view_click_purchase")
+    assert(f.contains("PushedFilters"), s"stage filter should reach the scan:\n$f")
+    val p = planOf("funnel_view_click_purchase")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"one user-keyed shuffle (+AQE coalesce at most):\n$p")
+  }
 }
