@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, DataQuality, Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, DataQuality, Dedup, LanguageModel, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Training-data pipeline operators registered for the correctness gate:
@@ -328,6 +328,36 @@ object PipelineQueries {
         FROM c
       """)) { (spark, dir) =>
       Corpus.chunkDocuments(Tables(spark, dir).documents, "doc_id", "text", chunkSize = 16, overlap = 4)
+    },
+
+    // ------------------------------------- bigram LM fluency score (CCNet)
+    // Self-scored add-0.5 smoothed bigram log-probability per document —
+    // the perplexity-style quality gate, as a pure count LM. Exact-integer
+    // counts; ln matched in shape; per-doc sum folded in POSITION order on
+    // both engines; mean emitted at round(·, 6).
+    Q(
+      "lm_bigram_score",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS len FROM t WHERE len(toks) >= 2),
+        big0 AS (SELECT doc_id, unnest(list_transform(range(1, len), i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS u FROM t2),
+        b AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM big0),
+        uni AS (SELECT word, COUNT(*) AS c1 FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+        bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+        v AS (SELECT COUNT(*) AS vsz FROM uni),
+        lp AS (SELECT b.doc_id, b.pos,
+                      ln((CAST(COALESCE(c2, 0) AS DOUBLE) + 0.5) / (CAST(COALESCE(c1, 0) AS DOUBLE) + 0.5 * CAST(vsz AS DOUBLE))) AS logp
+               FROM b
+               LEFT JOIN bic USING (w1, w2)
+               LEFT JOIN uni ON uni.word = b.w1
+               CROSS JOIN v),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+                FROM lp GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, ROUND(s / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob FROM agg
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      LanguageModel.bigramScore(docs, docs, "doc_id", "text")
     },
 
     // ---------------------------------------------- per-source quota cap
