@@ -901,4 +901,52 @@ object Similarity {
       threshold,
       col("cluster"))
   }
+
+  /** Johnson–Lindenstrauss random projection with a deterministic ±1 sign
+    * matrix (Achlioptas 2001: E[⟨proj(u), proj(v)⟩] = ⟨u, v⟩, distortion
+    * O(1/√outDim)) — the dimensionality-reduction step that shrinks an
+    * embedding table before an ANN index or pair search.
+    *
+    * The sign matrix is generated driver-side from a splitmix64 stream of
+    * (seed, j·inDim + i) and embedded as a PLAN LITERAL (outDim·inDim
+    * bytes-as-ints — KBs for any practical dim), so the projection is a
+    * purely narrow zero-shuffle map over built-in HOFs: no UDF, no
+    * broadcast join, no nondeterministic RNG state anywhere. Rows whose
+    * vector length ≠ inDim fail loudly (raise_error) rather than silently
+    * projecting garbage. */
+  def randomProject(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int,
+      seed: Long = 42L): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive, got $inDim -> $outDim")
+    require(outDim <= inDim, s"projection should reduce: $outDim > $inDim")
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val signs: Seq[Seq[Int]] = (0 until outDim).map { j =>
+      (0 until inDim).map(i => if (mix(seed ^ (j.toLong * inDim + i)) < 0) -1 else 1)
+    }
+    val signsLit = typedLit(signs)
+    val invSqrt  = 1.0 / math.sqrt(outDim.toDouble)
+    val checked = when(
+      size(col(vecCol)) === inDim,
+      col(vecCol).cast("array<double>"))
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected dim $inDim, got "), size(col(vecCol)).cast("string"))))
+    vectors.select(
+      col(idCol),
+      transform(
+        sequence(lit(0), lit(outDim - 1)),
+        j =>
+          aggregate(
+            zip_with(checked, element_at(signsLit, (j + 1).cast("int")), (a, s) => a * s),
+            lit(0.0),
+            (acc, x) => acc + x) * invSqrt).as("projected"))
+  }
 }

@@ -540,6 +540,15 @@ object PipelineQueries {
       Similarity.ivfTopKQ8(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)
     },
 
+    // ------------------------------------ JL random projection (64 → 16)
+    // Deterministic ±1 sign-matrix projection (Achlioptas) as a zero-
+    // shuffle narrow map — the shrink-before-index step for ANN at scale.
+    // Rows-only (array-valued output); SimilaritySpec pins determinism,
+    // expectation-preserved norms, and loud dimension-mismatch failure.
+    Q("embed_project", None) { (spark, dir) =>
+      Similarity.randomProject(Tables(spark, dir).embeddings, "vec_id", "embedding", inDim = 64, outDim = 16)
+    },
+
     // ------------------------------------------------------- data quality
     // Single-scan constraint profile over lineitem: every rule is a
     // conditional aggregate in ONE pass (violation counts + rates).

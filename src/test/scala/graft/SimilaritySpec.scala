@@ -320,4 +320,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty, "gate settings must produce pairs on the sf corpus")
     assert(rows.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("randomProject: deterministic, norm-preserving in expectation, loud on bad dims") {
+    import spark.implicits._
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", inDim = 64, outDim = 16)
+    // deterministic literal sign matrix: two plans, identical output
+    val a = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.randomProject(emb, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+    assert(a.head._2.length == 16)
+    // E[||proj||^2] = ||v||^2 (Achlioptas): the corpus-mean ratio concentrates
+    val exact = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => x * x).sum).toMap
+    val ratios = a.map { case (id, p) => p.map(x => x * x).sum / exact(id) }
+    val mean   = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean squared-norm ratio $mean drifted from 1")
+    // a different seed gives a different (but equally deterministic) projection
+    val c = Similarity.randomProject(emb, "vec_id", "embedding", 64, 16, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c != a)
+    // wrong declared dim fails loudly instead of silently projecting garbage
+    val bad = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.randomProject(bad, "vec_id", "embedding", inDim = 64, outDim = 16).collect()
+    }
+  }
 }
