@@ -132,6 +132,62 @@ object EventStreams {
         })
   }
 
+  final case class FunnelState(stages: Seq[Option[Long]])
+  final case class FunnelProgress(
+      user_id: Long,
+      stage_ts: Seq[Option[Timestamp]],
+      n_stages: Int)
+
+  /** Streaming ordered funnel: the live counterpart of
+    * [[graft.operators.Funnel.firstReach]] — per-user first-reach times for
+    * a fixed stage sequence (stage i+1 strictly after stage i), refreshed
+    * every micro-batch via mapGroupsWithState. Applies the SAME fold step
+    * as the batch operator to each batch's time-sorted events, so on an
+    * in-order stream the converged state equals the batch result
+    * (StreamingSpec asserts it). Stage times only ever fill
+    * monotonically — O(k) state per user forever, no event buffering.
+    *
+    * Late data caveat (inherent to forward-only funnel state): an event
+    * older than an already-recorded stage time cannot retroactively
+    * improve it; feed an in-order (or watermark-reordered) stream where
+    * that matters. */
+  def funnelStream(events: Dataset[Event], stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = stages.size
+    // state keeps epoch MICROS (full Timestamp precision — millis would
+    // silently truncate sub-ms event times and diverge from the batch fold)
+    def micros(t: Timestamp): Long   = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    events
+      .filter(e => stages.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Event], state: GroupState[FunnelState]) => {
+          var cur: Seq[Option[Long]] =
+            state.getOption.map(_.stages).getOrElse(Seq.fill(k)(None))
+          evs.toVector.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
+            // same read-the-previous-accumulator step as the batch fold
+            val prev = cur
+            cur = stages.zipWithIndex.map { case (st, i) =>
+              prev(i).orElse {
+                val prevOk = i == 0 || prev(i - 1).exists(_ < t)
+                if (e.event_type == st && prevOk) Some(t) else None
+              }
+            }
+          }
+          state.update(FunnelState(cur))
+          FunnelProgress(userId, cur.map(_.map(fromMicros)), cur.count(_.isDefined))
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * signups within `withinHours` BEFORE the purchase. On a stream both
     * sides carry watermarks and the time-range predicate bounds the join

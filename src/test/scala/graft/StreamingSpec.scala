@@ -195,6 +195,43 @@ class StreamingSpec extends SparkSpec {
     assert(finalTotals == batch)
   }
 
+  test("streaming funnel converges to the batch funnel on an in-order stream") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val stages = Seq("view", "click", "purchase")
+    val sq = EventStreams
+      .funnelStream(stream, stages)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("funnel_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    // stage times fill monotonically, so the max-n_stages row per user IS
+    // the converged state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("n_stages").desc)
+    val streamed = spark
+      .table("funnel_out")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[java.sql.Timestamp](1).map(Option(_)))
+      .toMap
+
+    val batch = graft.operators.Funnel
+      .firstReach(events.toDF(), "user_id", "ts", "event_type", stages)
+      .collect()
+      .map(r => r.getLong(0) -> Seq(Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+      .toMap
+
+    assert(streamed == batch, "converged streaming funnel state must equal the batch fold")
+    assert(batch.nonEmpty)
+  }
+
   test("mergeStream maintains a latest-per-key state table across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
