@@ -360,6 +360,56 @@ object PipelineQueries {
       LanguageModel.bigramScore(docs, docs, "doc_id", "text")
     },
 
+    // --------------------------------------- composed quality gate (v2)
+    // The CCNet-shaped keep/drop decision joining the round's three
+    // signals: char entropy (gibberish floor), bigram-LM fluency, and
+    // Gopher token repetition. Thresholds end in a 7th-decimal 5
+    // (4.0000005, -3.4500005, 0.6000005) so they can NEVER equal a
+    // round(·,6)-quantized score — comparisons are ulp-safe across
+    // engines by construction.
+    Q(
+      "pipeline_quality_gate",
+      Some("""
+        WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+        cnt AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+        eagg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+                        list_reduce(list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) ORDER BY ch), (a, b) -> a + b) AS s
+                 FROM cnt GROUP BY doc_id),
+        ent AS (SELECT doc_id, ROUND(log2(CAST(n_chars AS DOUBLE)) - s / CAST(n_chars AS DOUBLE), 6) AS entropy_bits FROM eagg),
+        t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS len FROM t WHERE len(toks) >= 2),
+        big0 AS (SELECT doc_id, unnest(list_transform(range(1, len), i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS u FROM t2),
+        b AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM big0),
+        uni AS (SELECT word, COUNT(*) AS c1 FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+        bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+        v AS (SELECT COUNT(*) AS vsz FROM uni),
+        lp AS (SELECT b.doc_id, b.pos,
+                      ln((CAST(COALESCE(c2, 0) AS DOUBLE) + 0.5) / (CAST(COALESCE(c1, 0) AS DOUBLE) + 0.5 * CAST(vsz AS DOUBLE))) AS logp
+               FROM b LEFT JOIN bic USING (w1, w2) LEFT JOIN uni ON uni.word = b.w1 CROSS JOIN v),
+        lm AS (SELECT doc_id, ROUND(list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob
+               FROM lp GROUP BY doc_id),
+        rep AS (SELECT doc_id, 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac
+                FROM t WHERE len(toks) > 0)
+        SELECT ent.doc_id, entropy_bits, avg_logprob, dup_token_frac,
+               (entropy_bits > 4.0000005 AND avg_logprob > -3.4500005 AND dup_token_frac < 0.6000005) AS keep
+        FROM ent JOIN lm ON lm.doc_id = ent.doc_id JOIN rep ON rep.doc_id = ent.doc_id
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val ent  = Corpus.charEntropy(docs, "doc_id", "text").select(col("doc_id"), col("entropy_bits"))
+      val lm   = LanguageModel.bigramScore(docs, docs, "doc_id", "text").select(col("doc_id"), col("avg_logprob"))
+      val rep  = Corpus.repetitionSignals(docs, "doc_id", "text").select(col("doc_id"), col("dup_token_frac"))
+      ent
+        .join(lm, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+          col("doc_id"),
+          col("entropy_bits"),
+          col("avg_logprob"),
+          col("dup_token_frac"),
+          (col("entropy_bits") > 4.0000005 && col("avg_logprob") > -3.4500005 && col("dup_token_frac") < 0.6000005)
+            .as("keep"))
+    },
+
     // ---------------------------------------------- per-source quota cap
     // RefinedWeb-style domain balancing: keep at most 15 docs per source,
     // chosen by portable md5 rank (uniform reproducible sample, not

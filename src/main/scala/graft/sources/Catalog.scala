@@ -242,6 +242,31 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     store().filter(_.startsWith(prefix))
 
   def exists(name: String): Boolean = fs.exists(resolveReadable(name))
+
+  /** Small-file compaction (lakehouse OPTIMIZE): rewrite the dataset's
+    * current version into ~`targetBytes`-sized files and publish the
+    * compacted copy as a NEW version — concurrent readers keep their
+    * resolved (previous) version untouched until they re-resolve; the
+    * versioned-publish GC then retires it. Returns the file count written.
+    *
+    * The pathology this fixes is real at scale: a streaming
+    * [[graft.streaming.EventStreams.mergeStream]] sink or a
+    * high-parallelism job leaves hundreds of KB-sized part files per
+    * version, and scan startup cost becomes file-count-bound rather than
+    * byte-bound. One `repartition(n)` round-robin shuffle is the standard
+    * fix. */
+  def compact(
+      name: String,
+      format: String = "parquet",
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val current = resolveReadable(name)
+    require(fs.exists(current), s"no such dataset: $name")
+    val bytes  = fs.getContentSummary(current).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    putTable(name, readTable(name, format).repartition(nFiles), format)
+    nFiles
+  }
 }
 
 object Catalog {

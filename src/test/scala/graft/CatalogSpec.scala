@@ -151,4 +151,27 @@ class CatalogSpec extends SparkSpec {
     assert(cat.store().isEmpty)
     assert(!cat.exists("d"))
   }
+
+  test("compact: many small part files collapse to one, data and readers unharmed") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    // write with forced high parallelism → many tiny part files
+    cat.putTable("t", (1L to 1000L).toDF("x").repartition(32))
+    def partFiles(version: String): Int =
+      java.nio.file.Files
+        .list(root.resolve(version))
+        .toArray
+        .map(_.toString.split('/').last)
+        .count(_.startsWith("part-"))
+    assert(partFiles("t.__v1__") > 8, "precondition: fragmented input")
+    val before = cat.readTable("t").as[Long].collect().sorted
+
+    val n = cat.compact("t", targetBytes = 1L << 30) // everything fits one file
+    assert(n == 1)
+    // compaction published a NEW version; previous retained for in-flight readers
+    assert(java.nio.file.Files.exists(root.resolve("t.__v2__")))
+    assert(partFiles("t.__v2__") == 1)
+    val after = cat.readTable("t").as[Long].collect().sorted
+    assert(after.sameElements(before), "compaction must not change the data")
+  }
 }
