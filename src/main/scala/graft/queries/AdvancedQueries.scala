@@ -376,6 +376,21 @@ object AdvancedQueries {
           date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
           date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
           col("n_stages"))
+    },
+
+    // --------------------------------------------------------- PageRank
+    // Entity importance over the customer→supplier interaction graph
+    // (operators/Graph): power iteration, one dst-keyed shuffle per round,
+    // eager per-iteration checkpoints. Rows-only (iterative float ranks
+    // aren't SQL-expressible); GraphSpec pins equality with a driver
+    // power-iteration reference to 1e-9 and rank-mass conservation.
+    Q("graph_pagerank", None) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
     }
   )
 }
