@@ -50,21 +50,30 @@ object Graph {
 
     val e = materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val nodes = materialize(
+    val nodes0 = materialize(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
-    val n = nodes.count()
+    val n = nodes0.count()
     require(n > 0, "pageRank needs at least one edge")
-    val outDeg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    // the iterated state is NODE-sized, usually orders of magnitude smaller
+    // than the edge set — size its partitioning to the node count (~500k
+    // rows/partition) instead of inheriting the edge scan's parallelism, or
+    // ten iterations of per-partition task overhead dominate small graphs
+    val stateParts = math.max(
+      1,
+      math.min(spark.sparkContext.defaultParallelism.toLong, n / 500000L + 1L)).toInt
+    val nodes  = materialize(nodes0.repartition(stateParts))
+    release(nodes0)
+    val outDeg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")).repartition(stateParts))
 
     var ranks = materialize(nodes.select(col("id"), lit(1.0 / n).as("rank")))
     var i = 0
     while (i < iterations) {
-      // O(1) driver scalar: total rank parked on dangling nodes this round
+      // dangling mass rides the SAME job as the rank update (one-row agg
+      // cross-joined into the plan) — no per-iteration driver round-trip;
+      // each iteration is exactly one action: the eager checkpoint
       val danglingMass = ranks
         .join(outDeg, ranks("id") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)))
-        .head()
-        .getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       val weights = ranks
         .join(outDeg, ranks("id") === outDeg("src"))
         .select(col("id").as("wsrc"), (col("rank") / col("deg")).as("w"))
@@ -75,10 +84,11 @@ object Graph {
       val next = materialize(
         nodes
           .join(contribs, nodes("id") === contribs("dst"), "left")
+          .crossJoin(broadcast(danglingMass))
           .select(
             col("id"),
             (lit((1.0 - damping) / n) +
-              lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n))).as("rank")))
+              lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank")))
       release(ranks)
       ranks = next
       i += 1
