@@ -443,6 +443,37 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderstatus"), asDouble(col("price")).as("o_totalprice"))
     },
 
+    // -------------------------------------------- CDC tombstone application
+    // applyChanges: a change batch carrying upserts AND deletes (keys %7=0
+    // tombstoned, %7=3 upserted with doubled price) applied in one pass —
+    // the delete half of the CDC contract, oracled directly.
+    Q(
+      "cdc_apply_changes",
+      Some("""
+        WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        delta AS (
+          SELECT o_orderkey, price, TRUE AS is_delete FROM base WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, price * 2 AS price, FALSE FROM base WHERE o_orderkey % 7 = 3),
+        merged AS (
+          SELECT o_orderkey, price FROM delta WHERE NOT is_delete
+          UNION ALL
+          SELECT b.o_orderkey, b.price FROM base b ANTI JOIN delta d USING (o_orderkey))
+        SELECT o_orderkey, CAST(price AS DOUBLE) AS o_totalprice FROM merged
+      """)) { (spark, dir) =>
+      val base = Tables(spark, dir).orders
+        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+      val dels = base
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("price"), lit(true).as("is_delete"))
+      val upds = base
+        .filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), (col("price") * 2).as("price"), lit(false).as("is_delete"))
+      graft.operators.Cdc
+        .applyChanges(base, dels.unionByName(upds), Seq("o_orderkey"), "is_delete")
+        .select(col("o_orderkey"), asDouble(col("price")).as("o_totalprice"))
+    },
+
     // -------------------------------------------------- SCD type-2 history
     // Dimension-history tracking (operators/Cdc.scd2Apply): a segment-change
     // delta (keys %5=0; half actually changed, half identical no-ops) closes
