@@ -63,4 +63,41 @@ object Funnel {
       .reduce(_ + _)
     perUser.select((col("user").as(userCol) +: stageCols :+ reached.cast("long").as("n_stages")): _*)
   }
+
+  /** Cohort retention matrix: users grouped by the calendar week of their
+    * first `anchorType` event (the cohort), counted as retained in each
+    * whole-week offset where they have ANY event — the
+    * signup-week × weeks-since grid every product-analytics stack draws.
+    * Output: (cohort_week, weeks_since, n_users), exact integers only
+    * (cross-engine hash-safe with no float discipline needed).
+    *
+    * Scale shape: anchor extraction is one user-keyed aggregate; the
+    * retention grid is a second aggregate over (user, week) pairs made
+    * DISTINCT before counting, so the shuffle carries at most
+    * users × active-weeks rows — bounded by the calendar, not the event
+    * volume. */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      anchorType: String): DataFrame = {
+    val anchors = events
+      .filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(date_trunc("week", col(tsCol))).as("cohort_start"))
+    events
+      .select(col(userCol).as("user"), date_trunc("week", col(tsCol)).as("week"))
+      .join(anchors, "user")
+      .filter(col("week") >= col("cohort_start"))
+      .select(
+        col("user"),
+        col("cohort_start"),
+        (datediff(col("week"), col("cohort_start")) / 7).cast("long").as("weeks_since"))
+      .distinct()
+      .groupBy(
+        date_format(col("cohort_start"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -98,4 +98,62 @@ object Graph {
     release(e); release(outDeg); release(nodes)
     ranks
   }
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) over an UNDIRECTED edge list: each round every node adopts the
+    * most frequent label among its neighbors, ties broken toward the
+    * SMALLEST label — fully deterministic, unlike the classic randomized
+    * LPA (determinism is what makes the result testable and reproducible
+    * across cluster sizes). Labels start as node ids; `iterations` rounds
+    * of one neighbor-keyed shuffle each, labels eagerly checkpointed per
+    * round with the same constant-depth discipline as [[pageRank]].
+    * Returns (id, label).
+    *
+    * Communities are denser-than-CC structure: connected components merge
+    * everything reachable; LPA splits a component along sparse cuts —
+    * the grouping that separates topically-distinct near-dup clusters
+    * sharing a few accidental edges. Known LPA caveat (inherited from the
+    * paper, not this implementation): synchronous updates can oscillate on
+    * bipartite-ish subgraphs, so run a fixed iteration budget and treat
+    * labels as heuristic communities, not a fix-point. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) Bridge.unpersistLocalCheckpoint(df)
+
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).filter(col("a") =!= col("b"))
+    val sym = materialize(
+      raw.union(raw.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var labels = materialize(
+      sym.select(col("a").as("id")).distinct().select(col("id"), col("id").as("label")))
+
+    var i = 0
+    while (i < iterations) {
+      // neighbor label histogram per node; adopt (max count, min label)
+      val next = materialize(
+        sym
+          .join(labels, sym("b") === labels("id"))
+          .groupBy(col("a"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("a").as("id"))
+          .agg(min_by(col("label"), struct((-col("n")).as("negn"), col("label"))).as("label")))
+      release(labels)
+      labels = next
+      i += 1
+    }
+    release(sym)
+    labels
+  }
 }

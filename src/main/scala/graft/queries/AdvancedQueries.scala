@@ -378,6 +378,26 @@ object AdvancedQueries {
           col("n_stages"))
     },
 
+    // ------------------------------------------------- cohort retention
+    // signup-week cohorts × whole-week activity offsets — the classic
+    // retention grid beside the funnel. Exact integers end to end (week
+    // truncation + day diffs + distinct counts), no float discipline
+    // needed for the oracle hash.
+    Q(
+      "cohort_retention",
+      Some("""
+        WITH a AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_start
+                   FROM events WHERE event_type = 'signup' GROUP BY 1),
+        w AS (SELECT DISTINCT e.user_id, a.cohort_start,
+                     date_diff('day', a.cohort_start, date_trunc('week', e.ts)) // 7 AS weeks_since
+              FROM events e JOIN a ON a.user_id = e.user_id
+              WHERE date_trunc('week', e.ts) >= a.cohort_start)
+        SELECT strftime(cohort_start, '%Y-%m-%d') AS cohort_week, weeks_since, COUNT(*) AS n_users
+        FROM w GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      Funnel.cohortRetention(Tables(spark, dir).events, "user_id", "ts", "event_type", anchorType = "signup")
+    },
+
     // --------------------------------------------------------- PageRank
     // Entity importance over the customer→supplier interaction graph
     // (operators/Graph): power iteration, one dst-keyed shuffle per round,
@@ -391,6 +411,21 @@ object AdvancedQueries {
         .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
         .distinct()
       graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+    },
+
+    // ------------------------------------------------ LPA communities
+    // Deterministic synchronous label propagation over the same
+    // interaction graph (suppliers offset out of the customer id space).
+    // Rows-only; GraphSpec pins exact equality with a driver synchronous-
+    // LPA reference on random graphs and community separation across a
+    // bridge.
+    Q("graph_communities", None) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", iterations = 4)
     }
   )
 }

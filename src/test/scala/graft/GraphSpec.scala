@@ -63,6 +63,42 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(dist.values.sum - 1.0) < 1e-9)
   }
 
+  /** Driver-side synchronous LPA reference with identical semantics. */
+  private def lpaReference(edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val sym   = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val nbrs  = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(v => v -> v).toMap
+    (1 to iterations).foreach { _ =>
+      labels = nbrs.map { case (v, ns) =>
+        val hist = ns.map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        v -> hist.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: bridge between two triangles splits into two communities") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "t")
+    val out = Graph.labelPropagation(g, "s", "t", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, s"triangle A must share a label: $out")
+    assert(Set(out(4L), out(5L), out(6L)).size == 1, s"triangle B must share a label: $out")
+    assert(out(1L) != out(4L), s"the bridge must not merge the communities: $out")
+  }
+
+  test("labelPropagation equals the driver synchronous-LPA reference on random graphs") {
+    import spark.implicits._
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(7000 + trial)
+      val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)).filter(e => e._1 != e._2).distinct
+      val got = Graph.labelPropagation(edges.toDF("s", "t"), "s", "t", iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = lpaReference(edges, iterations = 4)
+      assert(got == ref, s"trial $trial")
+    }
+  }
+
   test("pageRank: constant-depth plans across iterations (checkpoint discipline)") {
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
     val few  = Graph.pageRank(cycle, "s", "t", iterations = 2)
