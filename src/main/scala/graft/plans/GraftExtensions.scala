@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * operator works on un-configured sessions; this class is the cluster-wide
   * config-driven path a deployment uses. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // SQL names for the native expressions (vec_dot, roll_hash, ...) so a
+    // spark.sql-only user reaches the same codegen'd kernels
+    graft.functions.SqlFunctions.inject(ext)
+  }
 }

@@ -45,4 +45,19 @@ object Bridge {
     if (!cs.experimental.extraStrategies.exists(_ eq s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Register a SQL function on an ALREADY-BUILT session (the
+    * config-driven path is GraftExtensions at builder time; this covers
+    * sessions the caller didn't construct). sessionState is private[sql],
+    * hence here. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+      .functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }
