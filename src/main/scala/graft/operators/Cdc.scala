@@ -22,16 +22,35 @@ object Cdc {
 
   /** Upsert `delta` into `base` on `keys`: rows of `base` whose key appears
     * in `delta` are replaced by the delta row; new delta keys are inserted;
-    * all other base rows pass through. Both inputs must share a schema.
-    * `delta` must be key-unique (enforce upstream with
-    * [[DataQuality.duplicateKeys]]) — duplicate delta keys would both
-    * survive, which is ambiguous CDC. */
-  def mergeInto(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    * all other base rows pass through. Both inputs must share a schema
+    * unless `allowEvolution` is set. `delta` must be key-unique (enforce
+    * upstream with [[DataQuality.duplicateKeys]]) — duplicate delta keys
+    * would both survive, which is ambiguous CDC.
+    *
+    * `allowEvolution = true` is Delta-style automatic schema evolution:
+    * columns new in the delta are added to the result (null for untouched
+    * base rows), columns the delta dropped are kept (null for delta rows)
+    * — the merge never loses a column, matching lakehouse MERGE WITH
+    * SCHEMA EVOLUTION semantics. Key columns must exist on both sides
+    * either way. */
+  def mergeInto(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      allowEvolution: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
-    require(
-      base.columns.sorted.sameElements(delta.columns.sorted),
-      s"schema mismatch: base ${base.columns.mkString(",")} vs delta ${delta.columns.mkString(",")}")
-    delta.unionByName(base.join(delta.select(keys.map(col): _*), keys, "left_anti"))
+    keys.foreach { k =>
+      require(
+        base.columns.contains(k) && delta.columns.contains(k),
+        s"key column $k must exist on both sides")
+    }
+    if (!allowEvolution)
+      require(
+        base.columns.sorted.sameElements(delta.columns.sorted),
+        s"schema mismatch (pass allowEvolution=true to evolve): base ${base.columns.mkString(",")} vs delta ${delta.columns.mkString(",")}")
+    val untouched = base.join(delta.select(keys.map(col): _*), keys, "left_anti")
+    if (allowEvolution) delta.unionByName(untouched, allowMissingColumns = true)
+    else delta.unionByName(untouched)
   }
 
   /** Upsert + tombstone application: like [[mergeInto]], but delta rows with

@@ -42,6 +42,29 @@ class CdcSpec extends SparkSpec {
     assert(out == Map(1L -> 10.0, 2L -> 99.0, 4L -> 40.0))
   }
 
+  test("mergeInto schema evolution: new delta columns appear, dropped ones survive") {
+    val base  = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val delta = Seq((2L, "B", 9.5), (3L, "c", 1.5)).toDF("k", "v", "score") // adds score
+    val out = Cdc.mergeInto(base, delta, Seq("k"), allowEvolution = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)))))
+      .toMap
+    assert(out == Map(
+      1L -> ("a", None),       // untouched base row: new column null-filled
+      2L -> ("B", Some(9.5)),  // updated with the evolved column
+      3L -> ("c", Some(1.5)))) // inserted
+    // the reverse direction: delta DROPPING a column keeps it (null for delta rows)
+    val delta2 = Seq((1L, 7.0)).toDF("k", "score")
+    val out2 = Cdc.mergeInto(out.keys.toSeq.map(k => (k, s"v$k", 0.0)).toDF("k", "v", "score"),
+      delta2, Seq("k"), allowEvolution = true)
+      .select("k", "v") // evolution reorders columns (delta's first) — read by name
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out2(1L).isEmpty, "delta row without v gets null, column survives")
+    assert(out2(2L).contains("v2"))
+    // without the flag, evolution is still rejected loudly
+    intercept[IllegalArgumentException](Cdc.mergeInto(base, delta, Seq("k")))
+  }
+
   test("mergeInto plan: small delta broadcasts — base never shuffles") {
     val base  = Tables(spark, SharedSpark.sf0001).orders.select(col("o_orderkey"), col("o_totalprice"))
     val delta = base.limit(10).withColumn("o_totalprice", col("o_totalprice") * 2)

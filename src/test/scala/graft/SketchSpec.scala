@@ -97,4 +97,23 @@ class SketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("daily sketches survive a catalog round-trip: union from storage == union from memory") {
+    // the production shape: write the mergeable per-day cube once, answer
+    // distinct-over-any-range later WITHOUT re-scanning raw events
+    val events = graft.sources.Tables(spark, SharedSpark.sf0001).events
+    val cube   = graft.operators.Sketches.dailySketches(events, "ts", "event_type", "user_id")
+    val cat = new graft.sources.Catalog(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_sketch_").toString)
+    cat.putTable("daily_sketches", cube)
+
+    def totals(c: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.unionSketches(c, "event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromMemory  = totals(cube)
+    val fromStorage = totals(cat.readTable("daily_sketches"))
+    assert(fromStorage == fromMemory, "parquet round-trip must not perturb sketch binaries")
+    assert(fromMemory.nonEmpty)
+  }
 }
