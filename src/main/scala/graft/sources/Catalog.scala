@@ -243,6 +243,32 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
 
   def exists(name: String): Boolean = fs.exists(resolveReadable(name))
 
+  /** Version numbers currently readable for `name`, newest first — the
+    * time-travel window. The publish GC retains the current and
+    * immediately-previous complete versions, so depth is at most 2 (plus
+    * any in-flight write); a deployment wanting deeper history raises the
+    * GC horizon, not this API. */
+  def versions(name: String): Seq[Long] =
+    versionDirs(name).filter { case (_, p) => isComplete(p) }.map(_._1).sorted.reverse
+
+  /** Read a SPECIFIC retained version (shallow time travel): the
+    * reproducibility hook for "re-run the job against yesterday's corpus
+    * snapshot" while a new version is being published. Throws if that
+    * version has been garbage-collected. */
+  def readTableVersion(name: String, version: Long, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    val p = versionDirs(name).collectFirst {
+      case (v, path) if v == version && isComplete(path) => path
+    }
+    require(p.isDefined, s"version $version of $name is not retained (have: ${versions(name).mkString(",")})")
+    format match {
+      case "parquet" => spark.read.parquet(p.get.toString)
+      case "orc"     => spark.read.orc(p.get.toString)
+      case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(p.get.toString)
+      case "json"    => spark.read.json(p.get.toString)
+      case other     => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
   /** Small-file compaction (lakehouse OPTIMIZE): rewrite the dataset's
     * current version into ~`targetBytes`-sized files and publish the
     * compacted copy as a NEW version — concurrent readers keep their

@@ -152,6 +152,20 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.exists("d"))
   }
 
+  test("versions + readTableVersion: shallow time travel over the retained window") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("t", Seq((1L, "v1")).toDF("k", "v"))
+    cat.putTable("t", Seq((1L, "v2")).toDF("k", "v"))
+    cat.putTable("t", Seq((1L, "v3")).toDF("k", "v"))
+    // GC retains current + previous
+    assert(cat.versions("t") == Seq(3L, 2L))
+    assert(cat.readTableVersion("t", 2L).collect().head.getString(1) == "v2")
+    assert(cat.readTableVersion("t", 3L).collect().head.getString(1) == "v3")
+    assert(cat.readTable("t").collect().head.getString(1) == "v3", "unpinned read = newest")
+    intercept[IllegalArgumentException](cat.readTableVersion("t", 1L)) // GC'd
+  }
+
   test("compact: many small part files collapse to one, data and readers unharmed") {
     import spark.implicits._
     val (cat, root) = freshCatalog()
