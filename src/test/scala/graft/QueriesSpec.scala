@@ -25,4 +25,32 @@ class QueriesSpec extends SparkSpec {
   test("oracleSql keys are a subset of queries keys with matching columns discipline") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  /** Every rows-only query must be on this list, each with the spec that
+    * pins its correctness — adding a query with NEITHER an oracle NOR an
+    * entry here fails the build, so coverage can't silently erode. */
+  private val rowsOnlyPinnedBy = Map(
+    "ann_lsh_topk"      -> "SimilaritySpec (recall >= 0.9 vs brute force)",
+    "ann_ivf_topk"      -> "SimilaritySpec (recall >= 0.9 vs brute force)",
+    "ann_ivf_int8"      -> "SimilaritySpec (recall + quantization error bound)",
+    "dedup_simhash"     -> "DedupSpec (hamming baseline)",
+    "dedup_winnow"      -> "TextFunctionsSpec (recall baseline)",
+    "dedup_semantic"    -> "SimilaritySpec (subset-of-exact + recall >= 0.9)",
+    "cluster_kmeans"    -> "SimilaritySpec (single-node equivalence, planted blobs)",
+    "sketch_distinct_users"  -> "SketchSpec (5% error envelope)",
+    "sketch_heavy_hitters"   -> "SketchSpec (eps*N bound, no misses)",
+    "sketch_quantiles_price" -> "SketchSpec (2% rank error)",
+    "sketch_union_daily"     -> "SketchSpec (union == single pass)",
+    "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)",
+    "embed_project"     -> "SimilaritySpec (determinism + norm preservation)",
+    "graph_pagerank"    -> "GraphSpec (driver reference at 1e-9)",
+    "graph_communities" -> "GraphSpec (driver LPA reference, exact)")
+
+  test("no query lacks both an oracle and a pinned rows-only spec") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unpinned = rowsOnly -- rowsOnlyPinnedBy.keySet
+    assert(unpinned.isEmpty, s"rows-only queries without a pinned spec: $unpinned")
+    val stale = rowsOnlyPinnedBy.keySet -- rowsOnly
+    assert(stale.isEmpty, s"stale allowlist entries (now oracled or removed): $stale")
+  }
 }
