@@ -105,6 +105,31 @@ object ExtendedQueries {
           ntile(4).over(w).as("quartile"))
     },
 
+    // ------------------------------------- rank-function window family
+    // dense_rank / percent_rank / cume_dist over per-customer price order.
+    // percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are divisions
+    // of exact integers (IEEE-exact, identical both engines); ties on
+    // equal prices are genuine and both functions define them identically.
+    Q(
+      "window_rank_family",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(dense_rank() OVER w AS BIGINT) AS drank,
+               ROUND(percent_rank() OVER w, 6) AS prank,
+               ROUND(cume_dist() OVER w, 6) AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+      """)) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      Tables(spark, dir).orders
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+    },
+
     // ------------------------------------------------- RANGE window frame
     // Trailing-28-day spend per customer: a value-based (RANGE) frame over
     // epoch seconds — frame membership depends on ORDER VALUES only, so ties
