@@ -44,10 +44,25 @@ object Cdc {
         base.columns.contains(k) && delta.columns.contains(k),
         s"key column $k must exist on both sides")
     }
-    if (!allowEvolution)
+    if (!allowEvolution) {
       require(
         base.columns.sorted.sameElements(delta.columns.sorted),
         s"schema mismatch (pass allowEvolution=true to evolve): base ${base.columns.mkString(",")} vs delta ${delta.columns.mkString(",")}")
+      // same-named columns must agree in TYPE too, up to the widening
+      // unionByName itself performs (e.g. decimal precision growth from a
+      // price*2 delta — accepted by design); a same-named column with an
+      // irreconcilable type fails HERE, not as a raw union analysis error
+      val deltaTypes = delta.schema.map(f => f.name -> f.dataType).toMap
+      val clash = base.schema.flatMap { f =>
+        val dt = deltaTypes(f.name)
+        if (dt == f.dataType ||
+          org.apache.spark.sql.graftbridge.Bridge.widerType(f.dataType, dt).isDefined) None
+        else Some(s"${f.name}: base ${f.dataType.simpleString} vs delta ${dt.simpleString}")
+      }
+      require(
+        clash.isEmpty,
+        s"incompatible column types (no common wider type): ${clash.mkString("; ")}")
+    }
     val untouched = base.join(delta.select(keys.map(col): _*), keys, "left_anti")
     if (allowEvolution) delta.unionByName(untouched, allowMissingColumns = true)
     else delta.unionByName(untouched)

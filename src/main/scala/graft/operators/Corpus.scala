@@ -355,22 +355,24 @@ object Corpus {
     *
     * The explode is map-side partial-aggregated, so the shuffle carries
     * (token, partial count) — one row per distinct token per partition, not
-    * per occurrence. The ranking window runs single-partition BUT over the
-    * aggregated distinct-token table, which is vocabulary-sized (millions of
-    * rows at web scale, not trillions) — the same reduction every tokenizer
-    * trainer performs. */
+    * per occurrence. The top-K cut is a `TakeOrderedAndProject` (bounded
+    * per-partition heaps — the distinct-token table is vocabulary-sized,
+    * millions of rows at web scale, and NEVER funnels through one
+    * partition); only the topK survivors, already bounded by the caller's
+    * K, pass through the final rank window. */
   def vocabulary(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     val counts = df
       .select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
     counts
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
       .withColumn(
         "rank",
         row_number()
           .over(Window.orderBy(col("n_occurrences").desc, col("token")))
           .cast("long"))
-      .filter(col("rank") <= topK)
   }
 
   /** Per-document out-of-vocabulary rate against `vocab` (any DataFrame with
@@ -478,18 +480,21 @@ object Corpus {
     *
     * Scale shape — ONE corpus pass: tf is a (doc, token)-keyed aggregate
     * (map-side partial, riding the up-front doc_id repartition with no
-    * exchange of its own); df is a count-over-token window on the ALREADY-
-    * reduced tf rows (one row per (doc, token), so the partition count IS
-    * the document frequency) — no second tokenize pass, and no broadcast of
-    * a web-scale vocabulary; the final ranking runs on bounded
-    * [[TopK.perGroup]] heaps, never a rank-window sort of the tf table. */
+    * exchange of its own); df is a token-keyed AGGREGATE of the ALREADY-
+    * reduced tf rows (one row per (doc, token), so the group count IS the
+    * document frequency) joined back — never a token-partitioned window,
+    * which would funnel every occurrence row of a stopword ("the") into
+    * ONE partition at corpus scale; the aggregate partial-combines
+    * map-side and the join-back is AQE-skew-splittable. The final ranking
+    * runs on bounded [[TopK.perGroup]] heaps, never a rank-window sort of
+    * the tf table. */
   def keywordsTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val tok = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    val withDf = tf.join(tf.groupBy("token").agg(count(lit(1)).as("df")), "token")
     TopK
       .perGroup(withDf, Seq("doc_id"), Seq("tf" -> false, "df" -> true, "token" -> true), k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
@@ -508,12 +513,13 @@ object Corpus {
     * emit nothing (no distribution to measure).
     *
     * Scale shape: explode to one row per character but map-side partial
-    * aggregate on (doc_id, char) — the shuffle carries per-doc alphabet
-    * histograms (≤ alphabet-size rows per doc), not raw characters; the
-    * per-doc fold then touches ≤ alphabet-size entries. */
+    * aggregate on (doc_id, char) — the ONLY shuffle carries per-doc
+    * alphabet histograms (≤ alphabet-size rows per doc), not raw
+    * characters and never the full document text (no up-front
+    * repartition); the per-doc fold then touches ≤ alphabet-size
+    * entries. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy(col("doc_id"), col("ch"))

@@ -60,9 +60,11 @@ object Retrieval {
     require(k > 0, "k must be positive")
     val qTerms = terms.distinct.sorted
 
-    // one tokenize pass feeds both doc length and term frequencies
+    // one tokenize pass feeds both doc length and term frequencies; no
+    // up-front repartition — the full-text corpus never shuffles, only the
+    // (doc_id, token, len) rows that survive the query-term filter reach
+    // the tf exchange (map-side partial-aggregated)
     val tokd = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("len"), explode(col("toks")).as("token"))
     val tf = tokd

@@ -914,6 +914,23 @@ object Similarity {
     * broadcast join, no nondeterministic RNG state anywhere. Rows whose
     * vector length ≠ inDim fail loudly (raise_error) rather than silently
     * projecting garbage. */
+  /** The deterministic ±1 Achlioptas sign matrix [[randomProject]] embeds
+    * as a plan literal — public so an external checker (e.g. a SQL oracle)
+    * can regenerate the exact same matrix from (inDim, outDim, seed) and
+    * verify the projection value-for-value. Row j, column i is the sign of
+    * splitmix64(seed ^ (j·inDim + i)). */
+  def projectionSigns(inDim: Int, outDim: Int, seed: Long = 42L): Seq[Seq[Int]] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until outDim).map { j =>
+      (0 until inDim).map(i => if (mix(seed ^ (j.toLong * inDim + i)) < 0) -1 else 1)
+    }
+  }
+
   def randomProject(
       vectors: DataFrame,
       idCol: String,
@@ -923,15 +940,7 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     require(inDim > 0 && outDim > 0, s"dims must be positive, got $inDim -> $outDim")
     require(outDim <= inDim, s"projection should reduce: $outDim > $inDim")
-    def mix(x: Long): Long = {
-      var z = x + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val signs: Seq[Seq[Int]] = (0 until outDim).map { j =>
-      (0 until inDim).map(i => if (mix(seed ^ (j.toLong * inDim + i)) < 0) -1 else 1)
-    }
+    val signs = projectionSigns(inDim, outDim, seed)
     val signsLit = typedLit(signs)
     val invSqrt  = 1.0 / math.sqrt(outDim.toDouble)
     val checked = when(

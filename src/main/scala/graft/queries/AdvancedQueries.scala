@@ -401,25 +401,34 @@ object AdvancedQueries {
     // --------------------------------------------------------- PageRank
     // Entity importance over the customer→supplier interaction graph
     // (operators/Graph): power iteration, one dst-keyed shuffle per round,
-    // eager per-iteration checkpoints. Rows-only (iterative float ranks
-    // aren't SQL-expressible); GraphSpec pins equality with a driver
-    // power-iteration reference to 1e-9 and rank-mass conservation.
-    Q("graph_pagerank", None) { (spark, dir) =>
+    // eager per-iteration checkpoints. Suppliers are offset out of the
+    // customer id space (same as graph_communities) so customer N and
+    // supplier N stay distinct nodes. Oracle: the 10 iterations unrolled
+    // as chained CTEs with every float literal written as the expression
+    // Spark's lit()s fold to, final ranks quantized round(·, 6) (the only
+    // cross-engine float freedom left is unordered SUM order — ~1e-15,
+    // eight orders below the grid). GraphSpec additionally pins a driver
+    // power-iteration reference at 1e-9 and rank-mass conservation.
+    Q("graph_pagerank", Some(pageRankOracle)) { (spark, dir) =>
       val t = Tables(spark, dir)
       val edges = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
         .distinct()
-      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 10)
+      graft.operators.Graph
+        .pageRank(edges, "src", "dst", iterations = 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
     // ------------------------------------------------ LPA communities
     // Deterministic synchronous label propagation over the same
     // interaction graph (suppliers offset out of the customer id space).
-    // Rows-only; GraphSpec pins exact equality with a driver synchronous-
-    // LPA reference on random graphs and community separation across a
-    // bridge.
-    Q("graph_communities", None) { (spark, dir) =>
+    // Oracle: the 4 synchronous rounds unrolled as chained CTEs — LPA is
+    // all-integer (histogram + (max n, min label) tie-break), so the
+    // compare is exact, no float discipline needed. GraphSpec additionally
+    // pins a driver synchronous-LPA reference on random graphs and
+    // community separation across a bridge.
+    Q("graph_communities", Some(lpaOracle)) { (spark, dir) =>
       val t = Tables(spark, dir)
       val edges = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
@@ -428,4 +437,63 @@ object AdvancedQueries {
       graft.operators.Graph.labelPropagation(edges, "src", "dst", iterations = 4)
     }
   )
+
+  /** DuckDB oracle for graph_pagerank: the power iteration unrolled —
+    * r0 = 1/N, then per round k: dangling mass d_k (rank with no
+    * out-edges), contributions c_k (dst-grouped Σ rank/deg), and
+    * r_k = (1−d)/N + d·(c + dm/N). Float literals are spelled as the
+    * exact expressions [[graft.operators.Graph.pageRank]]'s lit()s fold
+    * to, so both engines run the identical IEEE op sequence; the final
+    * round(·, 6) absorbs unordered-SUM ulp drift. */
+  private def pageRankOracle: String = {
+    val iters = 10
+    val head =
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+    val rounds = (1 to iters)
+      .map { k =>
+        val p = k - 1
+        s"""d$k AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+                    FROM r$p r LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),
+            c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / deg.deg) AS c
+                    FROM e JOIN r$p r ON e.src = r.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            r$k AS MATERIALIZED (SELECT nodes.id,
+                           (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                           + 0.85 * (COALESCE(c$k.c, CAST(0.0 AS DOUBLE)) + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS rank
+                    FROM nodes LEFT JOIN c$k ON nodes.id = c$k.id)"""
+      }
+      .mkString(",\n")
+    s"$head,\n$rounds\nSELECT id, round(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** DuckDB oracle for graph_communities: synchronous LPA unrolled —
+    * labels start as node ids; each round every node adopts the most
+    * frequent neighbor label, ties toward the smallest (ROW_NUMBER over
+    * (n DESC, label ASC) ≡ the operator's min_by(label, (−n, label))).
+    * Pure integer arithmetic end to end. */
+  private def lpaOracle: String = {
+    val iters = 4
+    val head =
+      """WITH raw AS MATERIALIZED (SELECT o_custkey AS a, l_suppkey + 10000000 AS b
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      WHERE o_custkey <> l_suppkey + 10000000),
+         sym AS MATERIALIZED (SELECT DISTINCT a, b FROM (SELECT a, b FROM raw UNION ALL SELECT b AS a, a AS b FROM raw)),
+         l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM sym)"""
+    val rounds = (1 to iters)
+      .map { k =>
+        val p = k - 1
+        s"""h$k AS MATERIALIZED (SELECT s.a, l.label, COUNT(*) AS n
+                    FROM sym s JOIN l$p l ON s.b = l.id GROUP BY s.a, l.label),
+            l$k AS MATERIALIZED (SELECT a AS id, label FROM (
+                      SELECT a, label, ROW_NUMBER() OVER (PARTITION BY a ORDER BY n DESC, label ASC) AS rk
+                      FROM h$k)
+                    WHERE rk = 1)"""
+      }
+      .mkString(",\n")
+    s"$head,\n$rounds\nSELECT id, label FROM l$iters"
+  }
 }

@@ -17,6 +17,32 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
+  /** DuckDB oracle for embed_project: one UNION ALL arm per output dim,
+    * each replaying randomProject's fold bit-for-bit — the ±1 signs come
+    * from the same splitmix64 stream ([[Similarity.projectionSigns]],
+    * baked in as +/− on the CAST-to-double elements: a·(+1.0)=a and
+    * a·(−1.0)=−a are IEEE-exact, and SQL's left-associative +/− chain is
+    * the same add sequence as the Spark aggregate()'s left fold), scaled
+    * by the same 1/√outDim double and quantized with round(·, 6). */
+  private def embedProjectOracle: String = {
+    val inDim  = 64
+    val outDim = 16
+    val invSqrt = 1.0 / math.sqrt(outDim.toDouble)
+    Similarity
+      .projectionSigns(inDim, outDim)
+      .zipWithIndex
+      .map { case (row, j) =>
+        val fold = row.zipWithIndex
+          .map { case (s, i) =>
+            s"${if (s < 0) "-" else "+"} CAST(embedding[${i + 1}] AS DOUBLE)"
+          }
+          .mkString(" ")
+        s"SELECT vec_id, CAST($j AS INTEGER) AS pos, " +
+          s"round((CAST(0.0 AS DOUBLE) $fold) * CAST($invSqrt AS DOUBLE), 6) AS value FROM embeddings"
+      }
+      .mkString("\nUNION ALL\n")
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     Q(
@@ -593,10 +619,18 @@ object PipelineQueries {
     // ------------------------------------ JL random projection (64 → 16)
     // Deterministic ±1 sign-matrix projection (Achlioptas) as a zero-
     // shuffle narrow map — the shrink-before-index step for ANN at scale.
-    // Rows-only (array-valued output); SimilaritySpec pins determinism,
-    // expectation-preserved norms, and loud dimension-mismatch failure.
-    Q("embed_project", None) { (spark, dir) =>
-      Similarity.randomProject(Tables(spark, dir).embeddings, "vec_id", "embedding", inDim = 64, outDim = 16)
+    // Gate shape: posexplode to scalar (vec_id, pos, value) rows (array
+    // columns are unhashable in the harness dump) with round(·, 6). The
+    // oracle regenerates the SAME sign matrix from the seed as SQL
+    // literals (Similarity.projectionSigns) and replays the projection's
+    // exact left-fold add order, so the hash compare is value-for-value;
+    // SimilaritySpec additionally pins determinism, expectation-preserved
+    // norms, and loud dimension-mismatch failure on the array-valued API.
+    Q("embed_project", Some(embedProjectOracle)) { (spark, dir) =>
+      Similarity
+        .randomProject(Tables(spark, dir).embeddings, "vec_id", "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("pos", "value")))
+        .select(col("vec_id"), col("pos"), round(col("value"), 6).as("value"))
     },
 
     // ------------------------------------------------------- data quality

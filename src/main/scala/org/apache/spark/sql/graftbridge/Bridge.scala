@@ -46,6 +46,16 @@ object Bridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
 
+  /** Widest common type for two column types under union coercion (the
+    * same widening unionByName itself applies, e.g. decimal precision
+    * growth), None when the types are irreconcilable — lets callers
+    * validate a union-shaped merge up front instead of surfacing a raw
+    * analysis error mid-plan. */
+  def widerType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] =
+    org.apache.spark.sql.catalyst.analysis.TypeCoercion.findWiderTypeForTwo(a, b)
+
   /** Register a SQL function on an ALREADY-BUILT session (the
     * config-driven path is GraftExtensions at builder time; this covers
     * sessions the caller didn't construct). sessionState is private[sql],

@@ -188,18 +188,32 @@ class PlanSpec extends SparkSpec {
       s"per-source ranking must not run a window sort:\n$p")
   }
 
-  test("keywords_topk: single corpus pass, partial heaps, ranking not via window") {
+  test("keywords_topk: partial heaps, df via aggregate+join — no window anywhere") {
     val p = planOf("keywords_topk")
     assert(p.contains("TopKPerGroupPartial"), s"map-side heaps must bound the rank shuffle:\n$p")
-    // ranking is the bounded-heap operator; the only window is the count-
-    // over-token df computation (no sort-based rank function anywhere)
-    assert(!p.contains("row_number") && !p.contains("rank("), s"no rank window:\n$p")
-    // ONE tokenize pass: tf + df + ranking all derive from a single scan
-    assert("FileScan".r.findAllIn(p).length == 1, s"corpus must be scanned once:\n$p")
-    // exchanges: tokenize-spreading repartition, token-keyed window shuffle,
-    // doc-keyed rank shuffle — the tf aggregate rides the repartition
+    // df must NOT be a token-partitioned window (a stopword's window
+    // partition is corpus-document-sized at web scale and AQE can't split
+    // it); the aggregate+join-back shape is map-side combined and
+    // AQE-skew-splittable. No window operator of any kind in the plan.
+    assert(!p.contains("Window"), s"token-keyed window skew — df must be aggregate+join:\n$p")
+    // exchanges: tokenize-spreading repartition (reused by both tf
+    // branches), token-keyed df aggregate + join shuffles, doc-keyed rank
+    // shuffle
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 3, s"tf must ride the repartition, not shuffle again:\n$p")
+    assert(exchanges <= 4, s"unexpected extra shuffles:\n$p")
+  }
+
+  test("vocab_topk: ranking window only sees a bounded TakeOrderedAndProject cut") {
+    val p = planOf("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be heap-based (never a vocabulary-sized sort):\n$p")
+    // the rank window exists but must sit ABOVE the K-row cut — a window
+    // directly over the distinct-token aggregate would funnel the whole
+    // vocabulary through one partition
+    val win = p.indexOf("Window")
+    val cut = p.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && win < cut,
+      s"rank window must consume the bounded top-K, not the full vocabulary:\n$p")
   }
 
   test("bm25 ranks with TakeOrderedAndProject; df/stats sides broadcast") {

@@ -41,10 +41,7 @@ class QueriesSpec extends SparkSpec {
     "sketch_heavy_hitters"   -> "SketchSpec (eps*N bound, no misses)",
     "sketch_quantiles_price" -> "SketchSpec (2% rank error)",
     "sketch_union_daily"     -> "SketchSpec (union == single pass)",
-    "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)",
-    "embed_project"     -> "SimilaritySpec (determinism + norm preservation)",
-    "graph_pagerank"    -> "GraphSpec (driver reference at 1e-9)",
-    "graph_communities" -> "GraphSpec (driver LPA reference, exact)")
+    "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)")
 
   test("no query lacks both an oracle and a pinned rows-only spec") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
