@@ -38,6 +38,24 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pin discipline: every registered query must carry a baseline pin in
+    // the SAME commit that adds it, or round-over-round regressions on it
+    // are invisible. Refuse to measure an unpinned set — loudly and BEFORE
+    // the ~15-minute measurement spend. (BenchContractSpec enforces the
+    // same invariant at `sbt test` time.)
+    locally {
+      val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+      val pinPath  = java.nio.file.Paths.get(repoRoot, "BASELINE_LOCAL.json")
+      if (java.nio.file.Files.exists(pinPath)) {
+        val pins = parseFlatJson(new String(java.nio.file.Files.readAllBytes(pinPath), "UTF-8"))
+        val unpinned = SparkEntry.queries.keySet -- pins.keySet
+        if (unpinned.nonEmpty) {
+          println(s"""{"metric":"error","reason":"unpinned queries (add BASELINE_LOCAL.json entries in the same commit)","queries":[${unpinned.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}""")
+          spark.stop()
+          sys.exit(1)
+        }
+      }
+    }
     // full-result materialization: iterate every InternalRow of the final
     // plan (all columns evaluated, nothing collected to the driver).
     // `.count()` let Catalyst prune final projections, timing projection-

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir  = args(0)
+    val outDir = args(1)
+    // optional 3rd arg (dev only): comma-separated query names — dump just
+    // those for fast single-query iteration; the driver always passes 2
+    val only = args.lift(2).map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,7 @@ object Verify {
     // cluster stays busy across per-query planning/IO gaps (Spark job
     // submission is thread-safe; failure isolation stays per-query)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

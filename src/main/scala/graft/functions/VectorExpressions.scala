@@ -190,6 +190,83 @@ case class VecDotQ8(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmin over a driver-held k×d centroid matrix: struct(cluster int,
+  * dist2 double) of the nearest centroid (squared L2; ties toward the
+  * lower cluster index — k-means' determinism contract). Replaces the
+  * ScalaUDF that used to sit in the k-means hot loop: the UDF paid
+  * catalyst→Seq[Double] conversion per ROW per ITERATION; this expression
+  * reads the unsafe array buffer in place and participates in whole-stage
+  * codegen. The matrix rides the expression as a reference object
+  * (serialized once per task with the plan, like a broadcast closure —
+  * k·d doubles, bounded by the same contract as the k-means driver
+  * state). Rows whose dimension differs from the model's fail loudly. */
+case class VecNearest(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "vec_nearest needs at least one centroid")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist2", DoubleType, nullable = false)))
+  override def prettyName: String = "vec_nearest"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != centroids(0).length) {
+      throw new IllegalArgumentException(
+        s"vec_nearest: dimension mismatch ($n vs model ${centroids(0).length})")
+    }
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c); var d = 0.0; var i = 0
+      while (i < n) { val x = v.getDouble(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bd)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => {
+        val n    = ctx.freshName("n")
+        val best = ctx.freshName("best")
+        val bd   = ctx.freshName("bd")
+        val c    = ctx.freshName("c")
+        val ctr  = ctx.freshName("ctr")
+        val d    = ctx.freshName("d")
+        val i    = ctx.freshName("i")
+        val x    = ctx.freshName("x")
+        s"""
+        |final int $n = $v.numElements();
+        |if ($n != $cs[0].length) {
+        |  throw new IllegalArgumentException(
+        |    "vec_nearest: dimension mismatch (" + $n + " vs model " + $cs[0].length + ")");
+        |}
+        |int $best = 0; double $bd = Double.MAX_VALUE;
+        |for (int $c = 0; $c < $cs.length; $c++) {
+        |  final double[] $ctr = $cs[$c];
+        |  double $d = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $x = $v.getDouble($i) - $ctr[$i];
+        |    $d += $x * $x;
+        |  }
+        |  if ($d < $bd) { $bd = $d; $best = $c; }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        |  new Object[]{$best, $bd});
+        """.stripMargin
+      })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** vec_dot as a Column — drop-in for the HOF fold, whole-stage-codegen'd.
     * Inputs are cast to array<double> so the expression always sees doubles. */
@@ -210,4 +287,8 @@ object VectorFunctions {
   /** Integer dot of two int8-quantized (binary) vectors (see [[VecDotQ8]]). */
   def vec_dot_q8(a: Column, b: Column): Column =
     Bridge.column(VecDotQ8(Bridge.expression(a), Bridge.expression(b)))
+
+  /** struct(cluster, dist2) of the nearest centroid (see [[VecNearest]]). */
+  def vec_nearest(v: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(VecNearest(Bridge.expression(v.cast(ArrayType(DoubleType))), centroids))
 }

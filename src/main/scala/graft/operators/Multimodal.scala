@@ -67,6 +67,79 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for binary PPM/PGM (netpbm P6/P5) — an uncompressed format
+    * decodable in pure JVM, so the [[Codec]] interface is proven with
+    * actual pixel decoding, not just the [[FakeCodec]] stub: width/height
+    * come from the parsed header, features from the decoded pixel bytes.
+    * Compressed formats (JPEG/WAV/MP4) still route to [[FakeCodec]] until
+    * a native codec is wired in; NOTHING else in the pipeline changes —
+    * that is the point of the trait.
+    *
+    * Features: `bands` equal slices of the raster in scan order, each
+    * emitting its mean pixel value (sum/size in double, narrowed to
+    * float) — deterministic integer-sum arithmetic an external oracle can
+    * replay exactly. Malformed payloads fail loudly (a training pipeline
+    * must quarantine bad media, not silently fabricate features). */
+  final class PpmCodec(bands: Int = 8) extends Codec {
+    require(bands > 0, "bands must be positive")
+
+    override def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      var pos = 0
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PpmCodec: $msg (media_id=$mediaId)")
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      // whitespace + '#' comment lines are legal anywhere in the header
+      def skipWs(): Unit = {
+        var more = true
+        while (more && pos < payload.length) {
+          if (isWs(payload(pos))) pos += 1
+          else if (payload(pos) == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else more = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        val start = pos
+        var v = 0L
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+          if (v > Int.MaxValue) fail("header number overflows")
+        }
+        if (pos == start) fail(s"expected integer at byte $pos")
+        v.toInt
+      }
+      if (payload.length < 2 || payload(0) != 'P') fail("not a netpbm payload")
+      val channels = payload(1) match {
+        case '5' => 1 // PGM: grayscale
+        case '6' => 3 // PPM: RGB
+        case m   => fail(s"unsupported magic P${m.toChar}")
+      }
+      pos = 2
+      val width  = readInt()
+      val height = readInt()
+      val maxval = readInt()
+      if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$height")
+      if (maxval <= 0 || maxval > 255) fail(s"maxval $maxval unsupported (1-byte samples only)")
+      pos += 1 // exactly ONE whitespace byte separates header from raster
+      val n = width * height * channels
+      if (payload.length - pos < n) fail(s"truncated raster: need $n bytes, have ${payload.length - pos}")
+      val feats = new Array[Float](bands)
+      var b = 0
+      while (b < bands) {
+        // band = equal slice of the raster in scan order; integer sums make
+        // the mean exactly reproducible by any engine
+        val from = (b.toLong * n / bands).toInt
+        val to   = ((b + 1).toLong * n / bands).toInt
+        var s = 0L
+        var i = from
+        while (i < to) { s += (payload(pos + i) & 0xff); i += 1 }
+        feats(b) = if (to > from) (s.toDouble / (to - from)).toFloat else 0f
+        b += 1
+      }
+      MediaFeatures(mediaId, "image", width, height, nFrames = 1, features = feats)
+    }
+  }
+
   /** Ingest a DIRECTORY of media files via Spark's binaryFile source — the
     * real-world entry point (S3/HDFS bucket of images/audio): each file
     * becomes one row (path, modificationTime, length, content), read

@@ -646,20 +646,12 @@ object Similarity {
       assignments.agg(sum(col("dist2"))).head().getDouble(0)
   }
 
-  /** (cluster, dist2) of the nearest centroid in `cs` for a double-array
-    * column; distance ties break toward the lower cluster index. The one
-    * model-closure UDF every k-means phase shares. */
-  private def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
-    val u = v.toArray
-    var best = 0; var bd = Double.MaxValue; var c = 0
-    while (c < cs.length) {
-      val ctr = cs(c); var d = 0.0; var i = 0
-      while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
-      if (d < bd) { bd = d; best = c }
-      c += 1
-    }
-    (best, bd)
-  }
+  /** struct(cluster, dist2) of the nearest centroid in `cs` — the codegen'd
+    * [[graft.functions.VecNearest]] expression (no ScalaUDF ser/de in the
+    * k-means hot loop); distance ties break toward the lower cluster
+    * index. The one model-closure scorer every k-means phase shares. */
+  private def nearest(cs: Array[Array[Double]])(vc: Column): Column =
+    graft.functions.VectorFunctions.vec_nearest(vc, cs)
 
   /** Distributed k-means (Lloyd's) over an embedding column — the corpus
     * clustering step semantic pipelines run before balancing or pruning
@@ -735,7 +727,7 @@ object Similarity {
       // bit-identical run to run at any parallelism. Unit-sphere coords are
       // in [-1,1], leaving 20 integer digits of headroom (10^12 rows deep).
         val cells = prep
-          .select(nearestUdf(centroids)(col("v")).getField("_1").as("cluster"), col("v"))
+          .select(nearest(centroids)(col("v")).getField("cluster").as("cluster"), col("v"))
           .select(col("cluster"), posexplode(col("v")))
           .groupBy(col("cluster"), col("pos"))
           .agg(
@@ -758,11 +750,11 @@ object Similarity {
         iters += 1
       }
     } finally prep.unpersist() // iterations used the cache; consumers rescan
-    val a = nearestUdf(centroids)(col("v"))
+    val a = nearest(centroids)(col("v"))
     val assignments = prep.select(
       col("vec_id"),
-      a.getField("_1").as("cluster"),
-      a.getField("_2").as("dist2"))
+      a.getField("cluster").as("cluster"),
+      a.getField("dist2").as("dist2"))
     new KMeansResult(assignments, centroids, iters)
   }
 
@@ -789,7 +781,7 @@ object Similarity {
     while (r <= rounds) {
       val cs = centers.toArray
       val scored = prep.select(
-        col("vec_id"), col("v"), nearestUdf(cs)(col("v")).getField("_2").as("d2"))
+        col("vec_id"), col("v"), nearest(cs)(col("v")).getField("dist2").as("d2"))
       val phi = scored
         .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 18))))
         .head().getDecimal(0).doubleValue
@@ -806,7 +798,7 @@ object Similarity {
     }
     val cs = centers.toArray
     val weightRows = prep
-      .select(nearestUdf(cs)(col("v")).getField("_1").as("c"))
+      .select(nearest(cs)(col("v")).getField("cluster").as("c"))
       .groupBy("c").agg(count(lit(1)).as("n"))
       .collect()
     val weights = new Array[Long](cs.length)

@@ -775,6 +775,41 @@ object PipelineQueries {
           col("width").cast("int").as("width"),
           col("height").cast("int").as("height"),
           lower(hex(col("pixels"))).as("pixels_hex"))
+    },
+
+    // REAL decode through the codec path: each document's bytes are framed
+    // as a binary PGM (P5 header + 16×16 raster) and PpmCodec — an actual
+    // pure-JVM netpbm decoder, not the stub — parses the header and
+    // extracts band-mean features from the decoded pixels. The oracle
+    // replays the raster construction and the integer band sums in SQL
+    // (text is ASCII, so chars == bytes; means are /32 = exact dyadic
+    // doubles, so the float compare is exact, no rounding discipline
+    // needed). Proves the Codec interface with real pixel data end to end.
+    Q(
+      "multimodal_decode_ppm",
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, rpad(substring(text, 1, 256), 256, ' ') AS body FROM documents),
+        px AS (SELECT media_id, i, ord(substring(body, CAST(i + 1 AS INT), 1)) AS p
+               FROM m, range(0, 256) t(i)),
+        s AS (SELECT media_id, CAST(i // 32 AS INT) AS band, SUM(p) AS bsum FROM px GROUP BY 1, 2)
+        SELECT media_id, 16 AS width, 16 AS height, band,
+               CAST(CAST(bsum AS DOUBLE) / 32.0 AS REAL) AS mean_px
+        FROM s
+      """)) { (spark, dir) =>
+      val media = Tables(spark, dir).documents.select(
+        col("doc_id").cast("long").as("media_id"),
+        lit("image").as("kind"),
+        concat(lit("P5\n16 16\n255\n"), rpad(substring(col("text"), 1, 256), 256, " "))
+          .cast("binary")
+          .as("payload"))
+      Multimodal
+        .decodeFeatures(media, () => new Multimodal.PpmCodec(bands = 8))
+        .toDF()
+        .select(
+          col("mediaId").as("media_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          posexplode(col("features")).as(Seq("band", "mean_px")))
     }
   )
 }

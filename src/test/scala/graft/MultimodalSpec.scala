@@ -70,6 +70,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 3 && feats.forall(_.features.length == 4))
   }
 
+  test("PpmCodec: decodes real P5/P6 headers and pixels; comments honored") {
+    // P5 grayscale 4x2, maxval 255, raster 0..7 — band means over 8 bytes
+    val p5 = "P5\n# a comment\n4 2\n255\n".getBytes("US-ASCII") ++ Array.tabulate(8)(_.toByte)
+    val f5 = new Multimodal.PpmCodec(bands = 2).decode(7L, "image", p5)
+    assert(f5.width == 4 && f5.height == 2 && f5.nFrames == 1)
+    // bands of 4: mean(0,1,2,3)=1.5, mean(4,5,6,7)=5.5 — exact dyadic floats
+    assert(f5.features.toSeq == Seq(1.5f, 5.5f))
+    // P6 RGB 2x1: 6 raster bytes
+    val p6 = "P6 2 1 255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40, 50, 60)
+    val f6 = new Multimodal.PpmCodec(bands = 1).decode(8L, "image", p6)
+    assert(f6.width == 2 && f6.height == 1)
+    assert(f6.features.toSeq == Seq(35.0f))
+  }
+
+  test("PpmCodec: malformed media fails loudly, never fabricates features") {
+    val codec = new Multimodal.PpmCodec()
+    def bad(payload: Array[Byte]) =
+      intercept[IllegalArgumentException](codec.decode(1L, "image", payload))
+    assert(bad("JFIF....".getBytes("US-ASCII")).getMessage.contains("netpbm"))
+    assert(bad("P7 1 1 255\nx".getBytes("US-ASCII")).getMessage.contains("magic"))
+    // truncated raster: header promises 4 bytes, payload carries 2
+    assert(bad("P5 2 2 255\nab".getBytes("US-ASCII")).getMessage.contains("truncated"))
+    // 2-byte samples (maxval > 255) unsupported -> loud, not garbage
+    assert(bad("P5 1 1 65535\nab".getBytes("US-ASCII")).getMessage.contains("maxval"))
+  }
+
   test("resizeNearest: fixed tw×th output for every payload size, deterministic") {
     val resized = Multimodal.resizeNearest(media, tw = 8, th = 6).collect()
     assert(resized.length == media.count())
