@@ -444,6 +444,102 @@ object Corpus {
         explode(sequence(lit(0L), col("copies") - 1)).as("copy_idx"))
   }
 
+  /** Linear quality-classifier INFERENCE (the fastText/CCNet filtering
+    * shape: LLaMA filters CommonCrawl with a linear classifier over cheap
+    * text features; CCNet with an LM + linear head): score = σ(b + w·f)
+    * over four deterministic features — tokens-per-char, stopword ratio,
+    * punctuation ratio, log(1+len). Training happens OFFLINE; this is the
+    * serving pass a 100 TB filter actually runs, so weights arrive as
+    * parameters and the whole operator is a narrow zero-shuffle projection
+    * (codegen'd builtins, no UDF) that rides the scan.
+    *
+    * Determinism contract: the ratio features are exact int/int double
+    * divisions; w·f folds in FIXED feature order as a literal chain (never
+    * an unordered SUM); the two libm calls (ln, exp) can differ in the
+    * last ulp across engines, so the emitted score is round(·, 6).
+    * Output: (doc_id, quality_score ∈ (0,1)). */
+  def linearQualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      wTokensPerChar: Double,
+      wStopwordRatio: Double,
+      wPunctRatio: Double,
+      wLogLen: Double,
+      bias: Double): DataFrame = {
+    val toksC     = toks(col(textCol))
+    val stopwords = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
+    val len       = length(col(textCol))
+    val nt        = size(toksC)
+    val f1 = nt.cast("double") / greatest(len, lit(1))
+    val f2 = size(filter(toksC, t => array_contains(stopwords, t))).cast("double") /
+      greatest(nt, lit(1))
+    val f3 = size(regexp_extract_all(col(textCol), lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(len, lit(1))
+    val f4 = log(lit(1.0) + len.cast("double"))
+    val z = lit(bias) +
+      lit(wTokensPerChar) * f1 +
+      lit(wStopwordRatio) * f2 +
+      lit(wPunctRatio) * f3 +
+      lit(wLogLen) * f4
+    docs.select(
+      col(idCol).as("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+  }
+
+  /** Upper hex boundaries for [[leakageSafeSplit]]'s hash buckets: one
+    * 13-hex-digit string per split EXCEPT the last (which catches the
+    * remainder) — floor(cumulative_fraction · 16¹³) rendered in hex, so a
+    * first-13-hex-of-md5 value compares against them as a plain string.
+    * Public so an external checker (the SQL oracle) embeds the exact same
+    * literals instead of re-deriving the float arithmetic. */
+  def splitBoundaries(fractions: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 > 0.0), "split fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    fractions.init.zip(cum.init).map { case ((name, _), c) =>
+      name -> f"${math.floor(c * math.pow(16.0, 13)).toLong}%013x"
+    }
+  }
+
+  /** Leakage-safe train/validation/test assignment: the fold is decided
+    * per NEAR-DUP CLUSTER, never per document — a near-duplicate of a
+    * training document in the eval fold is exactly the contamination that
+    * inflates benchmark numbers (the reason GPT-3 App. C / PaLM dedup
+    * their eval sets against training data), and an independent per-doc
+    * split puts SOME member of almost every large cluster in every fold.
+    *
+    * `clusters` is [[Dedup.duplicateClusters]] output (doc_id, cluster_id)
+    * over whichever pair generator fits the scale (exact jaccard,
+    * MinHash+LSH, embedding cosine); documents absent from it are
+    * singletons and anchor their own cluster. The fold is then a pure
+    * function of md5(cluster_id) against precomputed hex thresholds
+    * ([[splitBoundaries]] — same derandomized-hash discipline as
+    * [[resampleMixture]]): reproducible on any engine at any parallelism,
+    * and stable under corpus growth (new singletons never move existing
+    * clusters between folds).
+    *
+    * Scale shape: one doc-keyed left join against the (much smaller)
+    * cluster map, then a narrow md5 + CASE projection — no extra
+    * shuffles beyond the join. Output: (doc_id, cluster_id, split). */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val bounds = splitBoundaries(fractions)
+    val labeled = docs
+      .select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val h = substring(md5(col("cluster_id").cast("string")), 1, 13)
+    val splitCol = bounds.reverse.foldLeft(lit(fractions.last._1)) {
+      case (acc, (name, b)) => when(h < lit(b), lit(name)).otherwise(acc)
+    }
+    labeled.select(col("doc_id"), col("cluster_id"), splitCol.as("split"))
+  }
+
   /** Per-source quota cap: keep at most `quota` documents per source — the
     * domain-balancing step web-scale pipelines run so one giant crawl host
     * can't dominate the mixture (RefinedWeb §3.1 caps URLs per domain;

@@ -43,6 +43,43 @@ object PipelineQueries {
       .mkString("\nUNION ALL\n")
   }
 
+  private val splitFractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+
+  /** DuckDB oracle for split_leakage_safe: the dedup_clusters recursive-CTE
+    * connected components (same 0.8-jaccard pair set), singletons anchored
+    * to their own doc_id, then the EXACT hex boundary literals from
+    * [[Corpus.splitBoundaries]] in a CASE over md5(cluster_id). */
+  private def leakageSafeSplitOracle: String = {
+    val bounds = Corpus.splitBoundaries(splitFractions)
+    val cases = bounds
+      .map { case (name, b) =>
+        s"WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 13) < '$b' THEN '$name'"
+      }
+      .mkString(" ")
+    s"""
+      WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
+      s AS (SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM t WHERE len(toks) >= 3)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+      p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+             FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      p AS (SELECT a_id, b_id FROM p0 JOIN sz sa ON sa.doc_id = p0.a_id JOIN sz sb ON sb.doc_id = p0.b_id
+            WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8),
+      e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+      reach(id, lab) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id),
+      c AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+      lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id)
+      SELECT doc_id, cluster_id,
+             CASE $cases ELSE '${splitFractions.last._1}' END AS split
+      FROM lab
+    """
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     Q(
@@ -186,6 +223,22 @@ object PipelineQueries {
         "doc_id",
         "text",
         Dedup.duplicateClusters(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)))
+    },
+
+    // ------------------------------------- leakage-safe train/val/test
+    // Fold assignment per near-dup CLUSTER (never per document): a
+    // near-duplicate of a training doc in the eval fold is benchmark
+    // contamination. Split = md5(cluster_id) against precomputed hex
+    // thresholds (Corpus.splitBoundaries literals, embedded in the oracle
+    // verbatim), so the compare is pure string/integer — the oracle is the
+    // dedup_clusters recursive CTE + a CASE chain.
+    Q("split_leakage_safe", Some(leakageSafeSplitOracle)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      Corpus.leakageSafeSplit(
+        docs,
+        "doc_id",
+        Dedup.duplicateClusters(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)),
+        splitFractions)
     },
 
     // ----------------------------------------- repeated n-gram spans

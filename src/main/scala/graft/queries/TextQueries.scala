@@ -201,6 +201,38 @@ object TextQueries {
           (length(col("text")) >= 100 && length(col("text")) <= 20000).as("len_ok"))
     },
 
+    // Linear quality-classifier inference (operators/Corpus): σ(b + w·f)
+    // over the four deterministic features, weights as literals — the
+    // fastText-shaped filtering pass at serving time. Oracle replays the
+    // exact literal chain; the ratio features are exact int/int divisions,
+    // and ln/exp ulp drift is absorbed by round(·, 6).
+    Q(
+      "quality_classifier_score",
+      Some("""
+        SELECT doc_id,
+               round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                 -1.5
+                 + 8.0 * (CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE)
+                          / GREATEST(LENGTH(text), 1))
+                 + 3.0 * (CAST(len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                          / GREATEST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1))
+                 + (-4.0) * (CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE)
+                          / GREATEST(LENGTH(text), 1))
+                 + 0.25 * ln(CAST(1.0 AS DOUBLE) + LENGTH(text))
+               ))), 6) AS quality_score
+        FROM documents
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.linearQualityScore(
+        Tables(spark, dir).documents,
+        "doc_id",
+        "text",
+        wTokensPerChar = 8.0,
+        wStopwordRatio = 3.0,
+        wPunctRatio = -4.0,
+        wLogLen = 0.25,
+        bias = -1.5)
+    },
+
     // Language ID: deterministic stopword-dictionary scoring with a fixed
     // tie order. (The corpus vocabulary is language-independent, so most rows
     // score 'en' or 'und' — the operator contract is the mechanism, which at

@@ -129,6 +129,33 @@ class CorpusSpec extends SparkSpec {
     assert(v.toSeq == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
   }
 
+  test("leakageSafeSplit: cluster members share a fold, singletons covered, deterministic") {
+    val six      = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
+    val fr       = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Corpus.leakageSafeSplit(six, "doc_id", clusters, fr).collect()
+    assert(out.length == 6)
+    val byDoc = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the leakage contract: every member of a cluster lands in the SAME fold
+    assert(byDoc(1L) == byDoc(2L) && byDoc(5L) == byDoc(6L))
+    // singletons anchor their own cluster
+    assert(byDoc(3L)._1 == 3L && byDoc(4L)._1 == 4L)
+    assert(out.forall(r => fr.exists(_._1 == r.getString(2))))
+    // deterministic rerun
+    val again = Corpus.leakageSafeSplit(six, "doc_id", clusters, fr).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // fold sizes track the fractions on an all-singleton corpus
+    val many  = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val none  = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val folds = Corpus.leakageSafeSplit(many, "doc_id", none, fr)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folds("train") > 1500 && folds("valid") > 120 && folds("test") > 120)
+    assert(folds.values.sum == 2000L)
+    // fractions must be positive and sum to 1 — loud otherwise
+    intercept[IllegalArgumentException](Corpus.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](Corpus.splitBoundaries(Seq("a" -> 1.5, "b" -> -0.5)))
+  }
+
   test("oovRate: occurrence-weighted fraction against an explicit vocab") {
     val docs = Seq((1L, "a a b z"), (2L, "z z"), (3L, "a b")).toDF("doc_id", "text")
     val vocab = Seq("a", "b").toDF("token")

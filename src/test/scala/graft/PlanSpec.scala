@@ -161,6 +161,12 @@ class PlanSpec extends SparkSpec {
       s"optimizer inserted a shuffle beyond the explicit repartitions:\n$f")
   }
 
+  test("quality_classifier_score is a narrow projection — zero exchanges, one scan") {
+    val p = planOf("quality_classifier_score")
+    assert(!p.contains("Exchange"), s"classifier inference must ride the scan:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one corpus scan:\n$p")
+  }
+
   test("pii scrub is a narrow projection — zero exchanges") {
     val p = planOf("pii_scrub")
     assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
