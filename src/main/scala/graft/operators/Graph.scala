@@ -35,9 +35,11 @@ object Graph {
       dstCol: String,
       iterations: Int = 10,
       damping: Double = 0.85,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      checkpointInterval: Int = 2): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
     import org.apache.spark.sql.graftbridge.Bridge
 
     val spark = edges.sparkSession
@@ -65,12 +67,20 @@ object Graph {
     release(nodes0)
     val outDeg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")).repartition(stateParts))
 
-    var ranks = materialize(nodes.select(col("id"), lit(1.0 / n).as("rank")))
+    var ranks   = materialize(nodes.select(col("id"), lit(1.0 / n).as("rank")))
+    var lastMat = ranks
     var i = 0
     while (i < iterations) {
       // dangling mass rides the SAME job as the rank update (one-row agg
-      // cross-joined into the plan) — no per-iteration driver round-trip;
-      // each iteration is exactly one action: the eager checkpoint
+      // cross-joined into the plan) — no per-iteration driver round-trip.
+      // Iterations are composed and only every `checkpointInterval`-th one
+      // (plus the last) runs an action: the eager checkpoint. Composition
+      // changes NO arithmetic — the un-checkpointed iteration's plan nodes
+      // are identical, its shuffle is deduped plan-wide by exchange reuse
+      // — it only removes job launches + state materializations, the
+      // dominant per-iteration cost when the node state is small relative
+      // to job overhead (and at scale, fewer bigger jobs mean fewer driver
+      // round-trips). Plan depth stays bounded by the interval.
       val danglingMass = ranks
         .join(outDeg, ranks("id") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
@@ -81,16 +91,19 @@ object Graph {
         .join(weights, col("src") === col("wsrc"))
         .groupBy(col("dst"))
         .agg(sum(col("w")).as("c"))
-      val next = materialize(
-        nodes
-          .join(contribs, nodes("id") === contribs("dst"), "left")
-          .crossJoin(broadcast(danglingMass))
-          .select(
-            col("id"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank")))
-      release(ranks)
-      ranks = next
+      val nextPlan = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .crossJoin(broadcast(danglingMass))
+        .select(
+          col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank"))
+      if ((i + 1) % checkpointInterval == 0 || i == iterations - 1) {
+        val next = materialize(nextPlan)
+        release(lastMat)
+        lastMat = next
+        ranks = next
+      } else ranks = nextPlan
       i += 1
     }
     // the returned ranks are checkpointed (self-contained blocks), so every
@@ -121,8 +134,10 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int = 5,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      checkpointInterval: Int = 2): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
     import org.apache.spark.sql.graftbridge.Bridge
 
     val spark = edges.sparkSession
@@ -139,18 +154,24 @@ object Graph {
     var labels = materialize(
       sym.select(col("a").as("id")).distinct().select(col("id"), col("id").as("label")))
 
+    var lastMat = labels
     var i = 0
     while (i < iterations) {
-      // neighbor label histogram per node; adopt (max count, min label)
-      val next = materialize(
-        sym
-          .join(labels, sym("b") === labels("id"))
-          .groupBy(col("a"), col("label"))
-          .agg(count(lit(1)).as("n"))
-          .groupBy(col("a").as("id"))
-          .agg(min_by(col("label"), struct((-col("n")).as("negn"), col("label"))).as("label")))
-      release(labels)
-      labels = next
+      // neighbor label histogram per node; adopt (max count, min label).
+      // Same composed-iteration checkpoint discipline as [[pageRank]] —
+      // integer-exact labels, so composition cannot even shift a float.
+      val nextPlan = sym
+        .join(labels, sym("b") === labels("id"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("a").as("id"))
+        .agg(min_by(col("label"), struct((-col("n")).as("negn"), col("label"))).as("label"))
+      if ((i + 1) % checkpointInterval == 0 || i == iterations - 1) {
+        val next = materialize(nextPlan)
+        release(lastMat)
+        lastMat = next
+        labels = next
+      } else labels = nextPlan
       i += 1
     }
     release(sym)
