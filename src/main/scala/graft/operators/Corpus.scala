@@ -38,6 +38,19 @@ object Corpus {
     * reference src/node.go:929-931). */
   private def toks(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
 
+  /** Spread a SMALL input before CPU-heavy per-row work (tokenize/explode):
+    * if the source arrives in fewer file splits than half the cluster's
+    * cores (tiny local files, single parquet row groups — scan parallelism
+    * is then irreversibly capped at the split count), ONE key-hashed
+    * shuffle of the still-small input buys full parallelism for everything
+    * downstream. An input that already arrives well-split — the 100 TB
+    * case, thousands of files/row groups — passes through UNTOUCHED: the
+    * full corpus never reshuffles just to tokenize. */
+  private[operators] def spreadSmallInput(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= math.max(p / 2, 1)) df else df.repartition(p, key)
+  }
+
   /** Per-document stream of word n-grams (space-joined token windows),
     * one row per OCCURRENCE: (id, gram). Documents shorter than n tokens
     * emit nothing. A small-file corpus scans as few partitions — spread the
@@ -609,13 +622,14 @@ object Corpus {
     * emit nothing (no distribution to measure).
     *
     * Scale shape: explode to one row per character but map-side partial
-    * aggregate on (doc_id, char) — the ONLY shuffle carries per-doc
-    * alphabet histograms (≤ alphabet-size rows per doc), not raw
-    * characters and never the full document text (no up-front
-    * repartition); the per-doc fold then touches ≤ alphabet-size
+    * aggregate on (doc_id, char) — the shuffle carries per-doc alphabet
+    * histograms (≤ alphabet-size rows per doc), never raw characters; a
+    * well-split corpus is NOT reshuffled up front ([[spreadSmallInput]] —
+    * only a tiny under-split input pays one doc-keyed spread so the
+    * explode parallelizes); the per-doc fold then touches ≤ alphabet-size
     * entries. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = df
+    val counts = spreadSmallInput(df, col(idCol))
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy(col("doc_id"), col("ch"))

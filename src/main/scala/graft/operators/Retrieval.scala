@@ -60,11 +60,14 @@ object Retrieval {
     require(k > 0, "k must be positive")
     val qTerms = terms.distinct.sorted
 
-    // one tokenize pass feeds both doc length and term frequencies; no
-    // up-front repartition — the full-text corpus never shuffles, only the
-    // (doc_id, token, len) rows that survive the query-term filter reach
-    // the tf exchange (map-side partial-aggregated)
-    val tokd = docs
+    // one tokenize pass feeds both doc length and term frequencies. A
+    // well-split corpus is NOT reshuffled up front (Corpus.spreadSmallInput
+    // — only a tiny under-split input pays one doc-keyed spread so the
+    // tokenize parallelizes); past the query-term filter, only
+    // (doc_id, token, len) survivor rows reach the tf exchange
+    // (map-side partial-aggregated) — non-query terms never shuffle
+    val tokd = Corpus
+      .spreadSmallInput(docs, col(idCol))
       .select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("len"), explode(col("toks")).as("token"))
     val tf = tokd
