@@ -45,8 +45,11 @@ object Corpus {
     * shuffle of the still-small input buys full parallelism for everything
     * downstream. An input that already arrives well-split — the 100 TB
     * case, thousands of files/row groups — passes through UNTOUCHED: the
-    * full corpus never reshuffles just to tokenize. */
-  private[operators] def spreadSmallInput(df: DataFrame, key: Column): DataFrame = {
+    * full corpus never reshuffles just to tokenize. Public: any
+    * CPU-or-memory-heavy aggregation over an under-split source (exact
+    * percentiles building per-partition value buffers, say) benefits the
+    * same way. */
+  def spreadSmallInput(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.inputFiles.length >= math.max(p / 2, 1)) df else df.repartition(p, key)
   }

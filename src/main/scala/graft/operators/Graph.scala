@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB of edges): each power iteration is ONE keyed
   * shuffle (contributions grouped by destination) plus a broadcast-sized
   * rank⋈degree join keyed on source; ranks are eagerly checkpointed every
-  * iteration with the same local/reliable discipline as
-  * [[Dedup.starComponents]], so the plan tree stays constant-depth across
+  * `checkpointInterval` iterations (composed in between — same values,
+  * fewer jobs) with the same local/reliable discipline as
+  * [[Dedup.starComponents]], so the plan tree stays bounded-depth across
   * iterations instead of growing linearly. Per iteration there is exactly
   * one O(1) driver scalar (the dangling-mass sum — the same shape GraphX
   * uses); node and edge sets never collect.
@@ -118,8 +119,8 @@ object Graph {
     * SMALLEST label — fully deterministic, unlike the classic randomized
     * LPA (determinism is what makes the result testable and reproducible
     * across cluster sizes). Labels start as node ids; `iterations` rounds
-    * of one neighbor-keyed shuffle each, labels eagerly checkpointed per
-    * round with the same constant-depth discipline as [[pageRank]].
+    * of one neighbor-keyed shuffle each, labels checkpointed on the same
+    * composed-interval bounded-depth discipline as [[pageRank]].
     * Returns (id, label).
     *
     * Communities are denser-than-CC structure: connected components merge

@@ -25,7 +25,11 @@ object AdvancedQueries {
                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         FROM lineitem GROUP BY l_returnflag
       """)) { (spark, dir) =>
-      Tables(spark, dir).lineitem
+      // exact percentiles buffer every value per partial-agg task — spread
+      // an under-split scan so the buffer build parallelizes (values are
+      // merged sorted, so the result is partitioning-independent)
+      graft.operators.Corpus
+        .spreadSmallInput(Tables(spark, dir).lineitem, col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(
           percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
