@@ -159,6 +159,30 @@ object AdvancedQueries {
           col("v_locf"))
     },
 
+    // --------------------------------------------- trailing z-score anomaly
+    // Per-user outlier scoring against the previous 10 events (current row
+    // excluded; operators/TimeSeries.trailingZScore). The frame's order key
+    // (ts, event_id) is total, so ROWS-frame contents are engine-identical;
+    // μ/σ ulp drift is absorbed by round(·, 6). The ≥2-history guard is
+    // load-bearing: Spark's stddev_samp over one row is NaN and NaN ranks
+    // above every double in its comparisons.
+    Q(
+      "events_anomaly_zscore",
+      Some("""
+        WITH s AS (
+          SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+                 avg(CAST(value AS DOUBLE)) OVER w AS mu,
+                 stddev_samp(CAST(value AS DOUBLE)) OVER w AS sd,
+                 COUNT(*) OVER w AS hist_n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        SELECT event_id AS id, user_id AS key, round((v - mu) / sd, 6) AS z
+        FROM s WHERE hist_n >= 2 AND sd > 0
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries
+        .trailingZScore(Tables(spark, dir).events, "user_id", "ts", "value", "event_id", window = 10)
+    },
+
     // -------------------------------------------------------- outer joins
     // LEFT OUTER with null-group handling: customers' 2001+ order counts,
     // zero (not missing) for inactive customers.

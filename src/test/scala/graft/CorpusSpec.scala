@@ -156,6 +156,21 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.splitBoundaries(Seq("a" -> 1.5, "b" -> -0.5)))
   }
 
+  test("leakageSafeSplit: corpus growth without cluster merges never moves existing folds") {
+    val fr    = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val cl    = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val small = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val grown = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val before = Corpus.leakageSafeSplit(small, "doc_id", cl, fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val after = Corpus.leakageSafeSplit(grown, "doc_id", cl, fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the fold is a pure function of cluster_id — new singletons cannot
+    // move any existing document's assignment (the recipe-stability
+    // contract a growing corpus needs)
+    before.foreach { case (id, split) => assert(after(id) == split, s"doc $id moved folds") }
+  }
+
   test("oovRate: occurrence-weighted fraction against an explicit vocab") {
     val docs = Seq((1L, "a a b z"), (2L, "z z"), (3L, "a b")).toDF("doc_id", "text")
     val vocab = Seq("a", "b").toDF("token")
