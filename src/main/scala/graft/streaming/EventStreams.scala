@@ -188,6 +188,62 @@ object EventStreams {
         })
   }
 
+  final case class ZHistory(vals: Seq[Double])
+  final case class ZScore(id: Long, key: Long, z: Double)
+
+  /** Streaming trailing z-score — the live counterpart of
+    * [[graft.operators.TimeSeries.trailingZScore]]: each event scored
+    * against its user's previous ≤ `window` values, state a bounded
+    * O(window) deque per user via flatMapGroupsWithState (0..n scored
+    * rows per group per batch).
+    *
+    * Bit-exact convergence contract (spec-pinned on in-order streams): the
+    * fold replays the EXACT arithmetic the batch WindowExec runs per frame
+    * — ordered left-fold sum then /n for the mean (Spark's Average), the
+    * Welford/CentralMomentAgg update sequence for the sample stddev, and
+    * HALF_UP BigDecimal rounding (Spark's round) — so streamed z values
+    * equal the batch query's to the last bit, not just approximately.
+    * Out-of-order arrivals score against state-at-arrival (the batch
+    * operator re-sorts globally); in-order delivery ⇒ exact equality. */
+  def zscoreStream(events: Dataset[Event], window: Int = 10): Dataset[ZScore] = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Event], state: GroupState[ZHistory]) => {
+          var hist = state.getOption.map(_.vals).getOrElse(Seq.empty)
+          val out  = Vector.newBuilder[ZScore]
+          evs.toVector.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (hist.size >= 2) {
+              // Spark Average over the frame: ordered sum, then one divide
+              var s = 0.0
+              hist.foreach(x => s += x)
+              val mu = s / hist.size
+              // Spark CentralMomentAgg (Welford) in frame order
+              var n = 0.0; var mean = 0.0; var m2 = 0.0
+              hist.foreach { x =>
+                n += 1.0
+                val d  = x - mean
+                val dn = d / n
+                mean += dn
+                m2 += d * (x - mean)
+              }
+              val sd = math.sqrt(m2 / (n - 1.0))
+              if (sd > 0) out += ZScore(e.event_id, userId, round6((e.value - mu) / sd))
+            }
+            hist = (hist :+ e.value).takeRight(window)
+          }
+          state.update(ZHistory(hist))
+          out.result().iterator
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * signups within `withinHours` BEFORE the purchase. On a stream both
     * sides carry watermarks and the time-range predicate bounds the join

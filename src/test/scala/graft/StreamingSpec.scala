@@ -195,6 +195,35 @@ class StreamingSpec extends SparkSpec {
     assert(finalTotals == batch)
   }
 
+  test("streaming z-score equals the batch window bit-for-bit on an in-order stream") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .zscoreStream(stream, window = 10)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("zscore_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val streamed = spark
+      .table("zscore_out")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    val batch = graft.operators.TimeSeries
+      .trailingZScore(events, "user_id", "ts", "value", "event_id", window = 10)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    // EXACT double equality — the streaming fold replays the batch
+    // WindowExec's arithmetic sequence, not an approximation of it
+    assert(streamed == batch)
+    assert(batch.size > 100)
+  }
+
   test("streaming funnel converges to the batch funnel on an in-order stream") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
