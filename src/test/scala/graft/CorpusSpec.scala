@@ -171,6 +171,24 @@ class CorpusSpec extends SparkSpec {
     before.foreach { case (id, split) => assert(after(id) == split, s"doc $id moved folds") }
   }
 
+  test("leakageSafeSplit property: no cluster ever spans folds (random cluster maps)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val docs = (1L to 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      val clusters = (1L to 300L)
+        .filter(_ => rnd.nextDouble() < 0.4)
+        .map(i => (i, 1L + rnd.nextInt(40).toLong))
+        .toDF("doc_id", "cluster_id")
+      val out = Corpus
+        .leakageSafeSplit(docs, "doc_id", clusters, Seq("train" -> 0.7, "test" -> 0.3))
+        .collect()
+      assert(out.length == 300)
+      out.groupBy(_.getLong(1)).foreach { case (c, rows) =>
+        assert(rows.map(_.getString(2)).distinct.length == 1, s"cluster $c spans folds")
+      }
+    }
+  }
+
   test("oovRate: occurrence-weighted fraction against an explicit vocab") {
     val docs = Seq((1L, "a a b z"), (2L, "z z"), (3L, "a b")).toDF("doc_id", "text")
     val vocab = Seq("a", "b").toDF("token")
