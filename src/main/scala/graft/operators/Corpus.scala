@@ -556,6 +556,45 @@ object Corpus {
     labeled.select(col("doc_id"), col("cluster_id"), splitCol.as("split"))
   }
 
+  /** Temperature-flattened source mixture (the multilingual/multi-source
+    * LM recipe — mT5/XLM-R sample source i ∝ p_i^{1/τ}: τ=1 keeps natural
+    * proportions, τ→∞ approaches uniform — the knob that keeps a dominant
+    * crawl from drowning rare sources without hand-tuning per-source
+    * rates). Rates are DERIVED FROM THE DATA: one bounded groupBy-count
+    * (collect is #sources rows), rate_i = (n_i^{1/τ} / Σ_j n_j^{1/τ}) ·
+    * N / n_i — expected output size stays N — then the whole thing lowers
+    * onto [[resampleMixture]]'s derandomized md5-threshold machinery, so
+    * the kept/duplicated document set is reproducible on any engine.
+    *
+    * Determinism contract: the Σ over sources folds in ASCENDING SOURCE
+    * ORDER (an external checker replays it with an ordered list_reduce);
+    * the one libm call (pow) can differ in the last ulp across engines,
+    * but rates pass through resampleMixture's 16-bit threshold
+    * quantization, so a flip needs the fractional rate within ~2⁻⁴⁰ of a
+    * bucket boundary — negligible, and the oracle hash-check would catch
+    * it loudly rather than silently. */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tau: Double): DataFrame = {
+    require(tau >= 1.0, s"tau must be >= 1 (1 = natural proportions), got $tau")
+    val counts = df
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMixture needs a non-empty corpus")
+    val nn = counts.map(_._2).sum
+    val q  = counts.map { case (s, n) => (s, math.pow(n.toDouble, 1.0 / tau)) }
+    val z  = q.foldLeft(0.0)(_ + _._2)
+    val rates = q.zip(counts).map { case ((s, qv), (_, n)) =>
+      s -> (qv / z * nn.toDouble / n.toDouble)
+    }.toMap
+    resampleMixture(df, idCol, sourceCol, rates)
+  }
+
   /** Per-source quota cap: keep at most `quota` documents per source — the
     * domain-balancing step web-scale pipelines run so one giant crawl host
     * can't dominate the mixture (RefinedWeb §3.1 caps URLs per domain;

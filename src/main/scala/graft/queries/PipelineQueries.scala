@@ -311,6 +311,35 @@ object PipelineQueries {
         rates = Map("src0" -> 0.35, "src1" -> 2.4, "src2" -> 0.0, "src3" -> 1.75))
     },
 
+    // --------------------------------------- temperature mixture (τ = 2)
+    // Rates derived from the data (rate_i = n_i^{1/τ}/Σ·N/n_i), then the
+    // same md5-threshold resample as corpus_resample. The oracle replays
+    // the rate derivation with the identical double op sequence (ordered
+    // list_reduce for Σ, left-assoc rate chain) and the same 16-bit
+    // threshold quantization — pow's last-ulp freedom cannot flip a
+    // 16-bit bucket except within ~2^-40 of a boundary.
+    Q(
+      "corpus_temperature",
+      Some("""
+        WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n) AS nn FROM c),
+        q AS (SELECT source, n, power(CAST(n AS DOUBLE), CAST(1.0 AS DOUBLE) / 2.0) AS qv FROM c),
+        z AS (SELECT list_reduce(list(qv ORDER BY source), (a, b) -> a + b) AS zz FROM q),
+        r AS (SELECT source, qv / (SELECT zz FROM z) * (SELECT nn FROM tot) / n AS rate FROM q),
+        t AS (SELECT source,
+                     CAST(floor(rate) AS BIGINT) AS base,
+                     printf('%04x', CAST(floor((rate - floor(rate)) * 65536) AS BIGINT)) AS th
+              FROM r),
+        s AS (SELECT d.doc_id, d.source, t.base, t.th,
+                     substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS h
+              FROM documents d JOIN t USING (source)),
+        k AS (SELECT doc_id, source, base + CASE WHEN h < th THEN 1 ELSE 0 END AS copies
+              FROM s WHERE base + CASE WHEN h < th THEN 1 ELSE 0 END > 0)
+        SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy_idx FROM k
+      """)) { (spark, dir) =>
+      Corpus.temperatureMixture(Tables(spark, dir).documents, "doc_id", "source", tau = 2.0)
+    },
+
     // ---------------------------------------- eval-set decontamination
     // Benchmark contamination check (GPT-3 App. C shape): distinct n-grams
     // shared between each training doc and a held-out eval slice (doc_id %

@@ -189,6 +189,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixture: flattens a skewed mixture toward uniform, τ=1 is identity") {
+    val skewed = ((1L to 1000L).map(i => (i, "web")) ++
+      (2001L to 2050L).map(i => (i, "books")) ++
+      (3001L to 3010L).map(i => (i, "code"))).toDF("doc_id", "source")
+    val out = Corpus.temperatureMixture(skewed, "doc_id", "source", tau = 2.0)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = skewed.count()
+    // dominant source down-weighted, rare sources up-weighted, total ≈ N
+    assert(out("web") < 1000, s"web must shrink: $out")
+    assert(out("books") > 50 && out("code") > 10, s"rare sources must grow: $out")
+    val total = out.values.sum
+    assert(math.abs(total - n) < n / 10, s"expected ≈$n docs, got $total")
+    // τ=1: natural proportions — every document exactly once
+    val id = Corpus.temperatureMixture(skewed, "doc_id", "source", tau = 1.0)
+    assert(id.count() == n && id.agg(max(col("copy_idx"))).head().getLong(0) == 0L)
+    intercept[IllegalArgumentException](
+      Corpus.temperatureMixture(skewed, "doc_id", "source", tau = 0.5))
+  }
+
   test("oovRate: occurrence-weighted fraction against an explicit vocab") {
     val docs = Seq((1L, "a a b z"), (2L, "z z"), (3L, "a b")).toDF("doc_id", "text")
     val vocab = Seq("a", "b").toDF("token")
