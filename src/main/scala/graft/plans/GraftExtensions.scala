@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // SQL window-top-k (`row_number() OVER (...) <= k`) auto-rewrites to
+    // the bounded-heap operator the strategy above plans
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
     // SQL names for the native expressions (vec_dot, roll_hash, ...) so a
     // spark.sql-only user reaches the same codegen'd kernels
     graft.functions.SqlFunctions.inject(ext)

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias,
+  And,
+  AttributeReference,
+  EqualTo,
+  ExprId,
+  Expression,
+  GreaterThan,
+  GreaterThanOrEqual,
+  IntegerLiteral,
+  LessThan,
+  LessThanOrEqual,
+  RowNumber,
+  SortOrder,
+  SpecifiedWindowFrame,
+  WindowExpression,
+  WindowSpecDefinition
+}
+import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, UnboundedPreceding}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: rewrite the ubiquitous SQL window-top-k idiom
+  *
+  *   SELECT ... FROM (SELECT ..., row_number() OVER
+  *     (PARTITION BY g ORDER BY o) AS rn FROM t) WHERE rn <= k
+  *
+  * to rank over a [[TopKPerGroup]]-bounded input. The window form shuffles
+  * EVERY row of every group and sort-materializes each partition before
+  * discarding all but k; after the rewrite the bounded-heap operator feeds
+  * the window at most k rows per group, so the shuffle carries k·groups
+  * candidates and the WindowExec sort collapses — same plan shape
+  * `TopK.perGroup` users get explicitly, now derived for plain-SQL users.
+  *
+  * Semantics: the heap retains the k first rows under EXACTLY the window's
+  * SortOrder (same null ordering, same direction), and row_number is then
+  * recomputed over that subset — identical output up to row_number's own
+  * tie-arbitrariness (ties at the k boundary were already
+  * plan-nondeterministic in the window form). Fires only on the
+  * conservative shape it can prove: a single row_number window expression
+  * with the default running frame, a deterministic non-empty ORDER BY,
+  * deterministic partition keys, and a literal rank bound `rn <= k` /
+  * `rn < k` / `rn = 1` (possibly one conjunct of an AND) with
+  * 1 ≤ k ≤ `maxK` — beyond maxK the per-group heaps stop being "bounded"
+  * in any useful sense and the window form's spillable sort is safer.
+  *
+  * Activation: injected by [[GraftExtensions]] (builder-time), or
+  * `spark.experimental.extraOptimizations ++= Seq(WindowTopKRewrite)` on a
+  * built session (plus `TopKStrategy` via `Bridge.addStrategy`, which
+  * GraftExtensions also injects). Idempotent under fix-point batches: a
+  * Window already fed by [[TopKPerGroup]] never re-matches.
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  private val maxK = 1000000
+
+  /** Literal rank bound on `rn`, searched one conjunct deep. */
+  private def kFromCond(cond: Expression, rn: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k)
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn        => Some(k - 1)
+    case EqualTo(a: AttributeReference, IntegerLiteral(1)) if a.exprId == rn         => Some(1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn     => Some(k - 1)
+    case And(l, r) => kFromCond(l, rn).orElse(kFromCond(r, rn))
+    case _         => None
+  }
+
+  /** The provable shape: one row_number over a deterministic spec with the
+    * default running frame, not already bounded. */
+  private def rankWindow(w: Window): Option[(Seq[Expression], Seq[SortOrder], ExprId)] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(
+            WindowExpression(
+              _: RowNumber,
+              WindowSpecDefinition(part, order, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+            _))
+          if order.nonEmpty && order.forall(_.deterministic) && part.forall(_.deterministic) &&
+            !w.child.isInstanceOf[TopKPerGroup] =>
+        Some((part, order, a.exprId))
+      case _ => None
+    }
+
+  private def bound(f: Filter, cond: Expression, w: Window, rebuild: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
+    rankWindow(w).flatMap { case (part, order, rnId) =>
+      kFromCond(cond, rnId)
+        .filter(k => k >= 1 && k <= maxK)
+        .map(k => f.copy(child = rebuild(w.copy(child = TopKPerGroup(part, order, k, w.child)))))
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      bound(f, cond, w, identity).getOrElse(f)
+    case f @ Filter(cond, p @ Project(_, w: Window)) =>
+      bound(f, cond, w, nw => p.copy(child = nw)).getOrElse(f)
+  }
+}
