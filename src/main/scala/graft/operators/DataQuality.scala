@@ -36,6 +36,53 @@ object DataQuality {
         (col("e.n_violations").cast("double") / col("__n")).as("violation_rate"))
   }
 
+  /** Quantile bucketization — the standard feature-discretization step
+    * (Spark ML's QuantileDiscretizer shape, made exact and reproducible):
+    * cut points are EXACT interpolated percentiles at `probabilities`
+    * (one aggregate pass; the driver collect is #boundaries doubles),
+    * rounded to `scale` decimals so an external checker lands on the
+    * bit-identical boundaries, then every non-null row is assigned
+    * bin i = first boundary with value ≤ bᵢ (bin = #boundaries when
+    * above all) by a narrow literal CASE chain riding a second scan.
+    * Output: one row per occupied bin, (bin, n_rows).
+    *
+    * Exactness note: rounding the BOUNDARY (never the data) keeps the
+    * `v <= b` predicate deterministic across engines — both sides agree
+    * on b after round(·, scale), so percentile interpolation's last-ulp
+    * freedom is absorbed before any comparison happens. */
+  def quantileBucketize(
+      df: DataFrame,
+      valueCol: String,
+      probabilities: Seq[Double],
+      scale: Int = 4): DataFrame = {
+    require(probabilities.nonEmpty, "need at least one boundary probability")
+    require(probabilities.forall(p => p > 0.0 && p < 1.0), "probabilities must be in (0,1)")
+    require(probabilities == probabilities.sorted, "probabilities must be ascending")
+    // both passes touch ONLY the value column — project it out before the
+    // spread so the scan prunes and any shuffle carries one double per row;
+    // exact percentiles buffer every value per partial-agg task, so spread
+    // an under-split source for parallel buffer build
+    // (Corpus.spreadSmallInput is a no-op on a well-split corpus)
+    val spread = Corpus.spreadSmallInput(df.select(col(valueCol)), col(valueCol))
+    // ONE percentile buffer for all cut points (the array form), not one
+    // full value buffer per probability; rounding happens driver-side with
+    // the same HALF_UP arithmetic Spark's round() uses, so the boundaries
+    // are identical to a SQL round(percentile, scale)
+    val row = spread
+      .agg(percentile(col(valueCol), lit(probabilities.toArray)).as("bs"))
+      .head()
+    val bounds = row.getSeq[Double](0).map(b =>
+      java.math.BigDecimal.valueOf(b).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue)
+    val v = col(valueCol).cast("double")
+    val bin = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(v <= lit(b), lit(i)).otherwise(acc)
+    }
+    spread
+      .filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Uniqueness check (needs its own shuffle, unlike row-local rules):
     * key combinations appearing more than once. */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =

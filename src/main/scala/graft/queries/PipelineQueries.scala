@@ -742,6 +742,33 @@ object PipelineQueries {
           DataQuality.matches("l_returnflag", "^[ANR]$")))
     },
 
+    // ------------------------------------------- quantile bucketization
+    // Feature discretization (DataQuality.quantileBucketize): exact
+    // quartile cut points rounded to 4dp (the boundary is rounded, never
+    // the data — so the v <= b predicate is engine-deterministic; the
+    // unrounded-percentile parity itself is proven by agg_percentiles),
+    // then a literal CASE assigns bins on a second scan.
+    Q(
+      "quantile_bucketize_price",
+      Some("""
+        WITH b AS (SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS b0,
+                          round(quantile_cont(l_extendedprice, 0.5), 4) AS b1,
+                          round(quantile_cont(l_extendedprice, 0.75), 4) AS b2
+                   FROM lineitem)
+        SELECT CASE WHEN l_extendedprice <= b0 THEN 0
+                    WHEN l_extendedprice <= b1 THEN 1
+                    WHEN l_extendedprice <= b2 THEN 2
+                    ELSE 3 END AS bin,
+               COUNT(*) AS n_rows
+        FROM lineitem, b
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      DataQuality.quantileBucketize(
+        Tables(spark, dir).lineitem,
+        "l_extendedprice",
+        probabilities = Seq(0.25, 0.5, 0.75))
+    },
+
     // ------------------------------------------------- multimodal columns
     // Opaque binary + typed metadata: the documents' text bytes stand in for
     // a media payload (the container has no image/audio libs — the DECODE

@@ -47,4 +47,21 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.duplicateKeys(df, Seq("k", "v")).count() == 1)
     assert(DataQuality.duplicateKeys(li, Seq("l_orderkey")).count() > 0)
   }
+
+  test("quantileBucketize: exact quartile bins, nulls excluded, loud validation") {
+    import spark.implicits._
+    // 1..100: quartile boundaries 25.75 / 50.5 / 75.25 — bins of 25/25/25/25
+    val vals = ((1 to 100).map(i => Some(i.toDouble)) :+ None).toDF("x")
+    val bins = DataQuality
+      .quantileBucketize(vals, "x", Seq(0.25, 0.5, 0.75))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    assert(bins == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L), s"got $bins")
+    // every row lands in exactly one bin; the null never counts
+    assert(bins.values.sum == 100L)
+    intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq(0.5, 0.25)))
+    intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq(1.5)))
+    intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq.empty))
+  }
 }
