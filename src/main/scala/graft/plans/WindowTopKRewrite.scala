@@ -60,7 +60,9 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   private def kFromCond(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k)
     case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn        => Some(k - 1)
-    case EqualTo(a: AttributeReference, IntegerLiteral(1)) if a.exprId == rn         => Some(1)
+    // rn = k: bound to the top k, the surviving filter then picks the k-th
+    case EqualTo(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn         => Some(k)
+    case EqualTo(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn         => Some(k)
     case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn => Some(k)
     case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.exprId == rn     => Some(k - 1)
     case And(l, r) => kFromCond(l, rn).orElse(kFromCond(r, rn))

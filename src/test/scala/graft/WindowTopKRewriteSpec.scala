@@ -41,6 +41,19 @@ class WindowTopKRewriteSpec extends SparkSpec {
       val other = spark.sql(sql.replace("WHERE rn <= 4", "WHERE l_quantity > 10"))
       assert(!other.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
         "non-rank filter must not rewrite")
+      // rn = k bounds to top-k; the surviving filter picks exactly the k-th
+      val kthSql = sql.replace("rn <= 4", "rn = 3")
+      val kthExpected = {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ eq WindowTopKRewrite)
+        try spark.sql(kthSql).collect().map(_.toSeq).toSet
+        finally spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ WindowTopKRewrite
+      }
+      val kth = spark.sql(kthSql)
+      assert(kth.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "rn = k must rewrite")
+      assert(kth.collect().map(_.toSeq).toSet == kthExpected)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ eq WindowTopKRewrite)
