@@ -180,7 +180,7 @@ object Similarity {
     v
   }
 
-  private[operators] def trainCoarseQuantizer(
+  def trainCoarseQuantizer(
       corpus: DataFrame,
       nlist: Int,
       sampleN: Int,
@@ -258,16 +258,19 @@ object Similarity {
       .withColumn("cell", explode(cellsOf(col("cv"))))
   }
 
-  def ivfTopK(
-      corpus: DataFrame,
+  /** SERVE step over a prebuilt cell index — [[ivfAssign]] output, fresh
+    * or RELOADED from storage (the index lifecycle: train the tiny
+    * centroid model once, `ivfAssign` batches as they arrive, persist
+    * (cell, neighbor_id, cv, cn) via the catalog, then answer queries from
+    * the stored index with this method — no corpus access, no retraining).
+    * Probes each query's `nprobe` nearest cells and exact-cosine-reranks
+    * candidates against the full-precision vectors carried IN the index. */
+  def ivfSearch(
+      cellIndex: DataFrame,
       queries: DataFrame,
+      centroids: Array[Array[Double]],
       k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      assign: Int = 2): DataFrame = {
-    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
-    // assignment is a deterministic function of the model — compute cell
-    // membership for corpus rows and the probe list for query rows
+      nprobe: Int = 4): DataFrame = {
     val probesOf = udf { (v: Seq[Double]) =>
       val u = normalized(v.toArray)
       centroids.indices
@@ -281,17 +284,15 @@ object Similarity {
         .take(nprobe)
         .map(_._2)
     }
-
-    val cells = ivfAssign(corpus, centroids, assign)
     val qprobe = broadcast(
       queries
         .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
         .withColumn("cell", explode(probesOf(col("qv"))))
         .select(col("query_id"), col("cell")))
-    // with assign > 1 a (query, neighbor) pair can meet in several shared
-    // cells — dedupe BEFORE ranking or row_number counts duplicates
+    // with multi-assignment a (query, neighbor) pair can meet in several
+    // shared cells — dedupe BEFORE ranking or row_number counts duplicates
     val candidates = qprobe
-      .join(cells.select(col("cell"), col("neighbor_id")), Seq("cell"))
+      .join(cellIndex.select(col("cell"), col("neighbor_id")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
@@ -300,20 +301,30 @@ object Similarity {
       queries
         .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
         .withColumn("qn", norm(col("qv"))))
-    val c = corpus
-      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    // full-precision vectors ride the index rows; a multi-assigned vector
+    // appears once per cell with identical (cv, cn). Dedupe AFTER scoring
+    // on the scalar (query, neighbor, sim) rows — a plain hash aggregate —
+    // NOT via dropDuplicates over the array payload, which plans as a
+    // SortAggregate and sorts the candidate set the heap exists to avoid
+    val c   = cellIndex.select(col("neighbor_id"), col("cv"), col("cn"))
     val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
-    rankTopK(
-      candidates
-        .join(q, Seq("query_id"))
-        .join(c, Seq("neighbor_id"))
-        .select(
-          col("query_id"),
-          col("neighbor_id"),
-          round(sim, 9).as("sim9"),
-          round(sim, 6).as("sim")),
-      k)
+    val scored = candidates
+      .join(q, Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(round(sim, 9)).as("sim9"), max(round(sim, 6)).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      assign: Int = 2): DataFrame = {
+    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
+    ivfSearch(ivfAssign(corpus, centroids, assign), queries, centroids, k, nprobe)
   }
 
   /** IVF over an int8-quantized index with exact rerank — the memory/IO

@@ -73,6 +73,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"int8-IVF recall $recall below the pinned 0.9 floor")
   }
 
+  test("IVF index lifecycle: build → persist via catalog → reload → serve identically") {
+    import spark.implicits._
+    val queries   = emb.filter(col("vec_id") < 6)
+    val centroids = Similarity.trainCoarseQuantizer(emb, nlist = 8, sampleN = 512)
+    val cells     = Similarity.ivfAssign(emb, centroids, assign = 2)
+    val inMem = Similarity.ivfSearch(cells, queries, centroids, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(inMem.nonEmpty)
+
+    // persist BOTH artifacts — the cell index and the tiny centroid model —
+    // through the catalog's versioned publish, then serve from the reload
+    val cat = new graft.sources.Catalog(
+      spark, java.nio.file.Files.createTempDirectory("graft_ann_index_").toString)
+    cat.putTable("ann_cells", cells)
+    cat.putTable(
+      "ann_model",
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid"))
+
+    val reloadedModel = cat.readTable("ann_model")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val served = Similarity
+      .ivfSearch(cat.readTable("ann_cells"), queries, reloadedModel, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(served == inMem, "the persisted index must answer exactly like the in-memory one")
+  }
+
   test("int8 quantized cosine approximates the exact cosine within quantization error") {
     import spark.implicits._
     import graft.functions.VectorFunctions.{vec_dot_q8, vec_q8}
