@@ -39,19 +39,28 @@ object Corpus {
   private def toks(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
 
   /** Spread a SMALL input before CPU-heavy per-row work (tokenize/explode):
-    * if the source arrives in fewer file splits than half the cluster's
-    * cores (tiny local files, single parquet row groups — scan parallelism
+    * if the source PLANS as fewer scan partitions than half the cluster's
+    * cores (tiny local files packed into a handful of splits — parallelism
     * is then irreversibly capped at the split count), ONE key-hashed
     * shuffle of the still-small input buys full parallelism for everything
     * downstream. An input that already arrives well-split — the 100 TB
     * case, thousands of files/row groups — passes through UNTOUCHED: the
-    * full corpus never reshuffles just to tokenize. Public: any
-    * CPU-or-memory-heavy aggregation over an under-split source (exact
-    * percentiles building per-partition value buffers, say) benefits the
-    * same way. */
+    * full corpus never reshuffles just to tokenize.
+    *
+    * The gate reads the PLANNED partition count (`rdd.getNumPartitions`),
+    * not `inputFiles.length`: split parallelism is per row-group /
+    * `maxPartitionBytes`, so one 100 GB file is ~800 splits (must pass
+    * untouched, and does), while 64 KB-sized files pack into a couple of
+    * splits (must spread, and do). Non-file sources (views, in-memory
+    * relations) are judged by their actual partitioning instead of always
+    * reshuffling. Public: any CPU-or-memory-heavy aggregation over an
+    * under-split source (exact percentiles building per-partition value
+    * buffers, say) benefits the same way. Call it on a SCAN or a narrow
+    * projection of one — planning a frame with upstream exchanges would
+    * materialize those stages under AQE just to read the count. */
   def spreadSmallInput(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= math.max(p / 2, 1)) df else df.repartition(p, key)
+    if (df.rdd.getNumPartitions >= math.max(p / 2, 1)) df else df.repartition(p, key)
   }
 
   /** Per-document stream of word n-grams (space-joined token windows),
@@ -61,7 +70,7 @@ object Corpus {
     * discipline as Dedup.shingleRows). */
   def tokenNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val t = toks(col(textCol))
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    spreadSmallInput(df, col(idCol))
       .filter(size(t) >= n)
       .select(
         col(idCol).as("doc_id"),
@@ -88,7 +97,7 @@ object Corpus {
       sequence(lit(0), size(t) - n),
       i => xxhash64((0 until n).map(j => element_at(t, i + j + 1)): _*))
     val arr = if (distinctInRow) array_distinct(grams) else grams
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    spreadSmallInput(df, col(idCol))
       .filter(size(t) >= n)
       .select(col(idCol).as("doc_id"), explode(arr).as("gram_h"))
   }
@@ -150,8 +159,7 @@ object Corpus {
       n: Int = 8,
       minDocs: Long = 2L): DataFrame = {
     val t = toks(col(textCol))
-    val base = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val base = spreadSmallInput(df, col(idCol))
       .select(col(idCol).as("doc_id"), t.as("toks"))
       .filter(size(col("toks")) > 0)
     // (doc_id, 1-based token position, token)
@@ -587,11 +595,19 @@ object Corpus {
       .sortBy(_._1)
     require(counts.nonEmpty, "temperatureMixture needs a non-empty corpus")
     val nn = counts.map(_._2).sum
-    val q  = counts.map { case (s, n) => (s, math.pow(n.toDouble, 1.0 / tau)) }
-    val z  = q.foldLeft(0.0)(_ + _._2)
-    val rates = q.zip(counts).map { case ((s, qv), (_, n)) =>
-      s -> (qv / z * nn.toDouble / n.toDouble)
-    }.toMap
+    // tau == 1 is the identity mixture BY CONTRACT: computing it through
+    // pow/fold would give rate = ((n/Σn)·Σn)/n = 0.999… for some count
+    // distributions and silently drop ~1/65536 of a source — special-case
+    // to exactly 1.0 (the oracle mirrors this).
+    val rates =
+      if (tau == 1.0) counts.map { case (s, _) => s -> 1.0 }.toMap
+      else {
+        val q = counts.map { case (s, n) => (s, math.pow(n.toDouble, 1.0 / tau)) }
+        val z = q.foldLeft(0.0)(_ + _._2)
+        q.zip(counts).map { case ((s, qv), (_, n)) =>
+          s -> (qv / z * nn.toDouble / n.toDouble)
+        }.toMap
+      }
     resampleMixture(df, idCol, sourceCol, rates)
   }
 
@@ -641,8 +657,7 @@ object Corpus {
     * the tf table. */
   def keywordsTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val tok = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val tok = spreadSmallInput(docs, col(idCol))
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val withDf = tf.join(tf.groupBy("token").agg(count(lit(1)).as("df")), "token")
@@ -709,8 +724,7 @@ object Corpus {
     // one doc_id repartition up front: spreads the small-file scan AND
     // satisfies every downstream clustering ((doc_id, tok) and (doc_id)
     // groupings, the ratios⋈top join) — zero further exchanges
-    val base = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val base = spreadSmallInput(df, col(idCol))
       .select(col(idCol).as("doc_id"), t.as("toks"))
       .filter(size(col("toks")) > 0)
     val bgs = transform(

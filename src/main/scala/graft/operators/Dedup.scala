@@ -52,10 +52,10 @@ object Dedup {
     * distinct() which would shuffle every shingle string. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
     val toks = tokensCol(col(textCol))
-    docs
-      // a small-file corpus scans as few partitions; spread the CPU-heavy
-      // shingle generation across the cluster before exploding
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    // a small-file corpus scans as few partitions; spread the CPU-heavy
+    // shingle generation across the cluster before exploding (no-op on a
+    // well-split corpus — Corpus.spreadSmallInput)
+    Corpus.spreadSmallInput(docs, col(idCol))
       .filter(size(tokensCol(col(textCol))) >= w)
       .select(col(idCol).as("doc_id"), explode(array_distinct(shinglesCol(toks, w))).as("shingle"))
   }
@@ -70,8 +70,7 @@ object Dedup {
     val grams = transform(
       sequence(lit(0), size(toks) - w),
       i => xxhash64((0 until w).map(j => element_at(toks, i + j + 1)): _*))
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    Corpus.spreadSmallInput(docs, col(idCol))
       .filter(size(tokensCol(col(textCol))) >= w)
       .select(col(idCol).as("doc_id"), explode(array_distinct(grams)).as("h"))
   }
@@ -316,8 +315,7 @@ object Dedup {
       k: Int = 8,
       w: Int = 16,
       maxFpDF: Int = 100): DataFrame = {
-    val fps = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val fps = Corpus.spreadSmallInput(docs, col(idCol))
       .select(
         col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.winnow_fingerprints(col(textCol), k, w)).as("fp"))
@@ -585,8 +583,7 @@ object Dedup {
     val sh = udaf(new SimHashAgg(), Encoders.scalaLong)
     // term frequency weighting is implicit: summing ±1 per OCCURRENCE equals
     // the per-(doc,token)-count weighted sum, one shuffle cheaper
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    Corpus.spreadSmallInput(docs, col(idCol))
       .select(col(idCol).as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))

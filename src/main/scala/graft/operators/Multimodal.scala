@@ -121,7 +121,12 @@ object Multimodal {
       if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$height")
       if (maxval <= 0 || maxval > 255) fail(s"maxval $maxval unsupported (1-byte samples only)")
       pos += 1 // exactly ONE whitespace byte separates header from raster
-      val n = width * height * channels
+      // Long arithmetic: a crafted 65536x65536 header would wrap an Int
+      // product to 0 and slip past the truncation check — fail loudly
+      // instead (malformed payloads never fabricate features).
+      val nL = width.toLong * height * channels
+      if (nL > Int.MaxValue) fail(s"raster size $nL overflows supported range")
+      val n = nL.toInt
       if (payload.length - pos < n) fail(s"truncated raster: need $n bytes, have ${payload.length - pos}")
       val feats = new Array[Float](bands)
       var b = 0

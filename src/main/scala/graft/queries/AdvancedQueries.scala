@@ -163,7 +163,9 @@ object AdvancedQueries {
     // Per-user outlier scoring against the previous 10 events (current row
     // excluded; operators/TimeSeries.trailingZScore). The frame's order key
     // (ts, event_id) is total, so ROWS-frame contents are engine-identical;
-    // μ/σ ulp drift is absorbed by round(·, 6). The ≥2-history guard is
+    // μ/σ snap to the 6-decimal grid BEFORE the division (1/σ would
+    // amplify their ulp drift past the final round's grid), and the final
+    // round(·, 6) absorbs division drift. The ≥2-history guard is
     // load-bearing: Spark's stddev_samp over one row is NaN and NaN ranks
     // above every double in its comparisons.
     Q(
@@ -171,8 +173,8 @@ object AdvancedQueries {
       Some("""
         WITH s AS (
           SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
-                 avg(CAST(value AS DOUBLE)) OVER w AS mu,
-                 stddev_samp(CAST(value AS DOUBLE)) OVER w AS sd,
+                 round(avg(CAST(value AS DOUBLE)) OVER w, 6) AS mu,
+                 round(stddev_samp(CAST(value AS DOUBLE)) OVER w, 6) AS sd,
                  COUNT(*) OVER w AS hist_n
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))

@@ -290,7 +290,7 @@ object TextQueries {
       val toks = tokens
       Tables(spark, dir).documents
         // small-file corpus = one input partition; spread the explode
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(graft.operators.Corpus.spreadSmallInput(_, col("doc_id")))
         .filter(size(tokens) >= 2)
         .select(
           explode(

@@ -94,6 +94,11 @@ class MultimodalSpec extends SparkSpec {
     assert(bad("P5 2 2 255\nab".getBytes("US-ASCII")).getMessage.contains("truncated"))
     // 2-byte samples (maxval > 255) unsupported -> loud, not garbage
     assert(bad("P5 1 1 65535\nab".getBytes("US-ASCII")).getMessage.contains("maxval"))
+    // crafted dimensions whose Int product wraps (46341^2 > Int.MaxValue,
+    // 65536*65536*1 wraps to exactly 0) must fail the overflow check, not
+    // slip past the truncation check and emit zero features
+    assert(bad("P5 65536 65536 255\nab".getBytes("US-ASCII")).getMessage.contains("overflow"))
+    assert(bad("P6 46341 46341 255\nab".getBytes("US-ASCII")).getMessage.contains("overflow"))
   }
 
   test("resizeNearest: fixed tw×th output for every payload size, deterministic") {

@@ -244,4 +244,43 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"one user-keyed shuffle (+AQE coalesce at most):\n$p")
   }
+
+  test("tokenize/shingle family: well-split input is NOT reshuffled; under-split input is") {
+    import org.apache.spark.sql.functions.col
+    // Many-file fixture: 8 parquet files on an 8-core session. File-split
+    // bin-packing (totalBytes/defaultParallelism bytes-per-core) gives one
+    // scan partition per file, >= cores/2, so spreadSmallInput must pass
+    // the scan through untouched — the 100 TB shape in miniature.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manyfile_").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    docs.repartition(8).write.mode("overwrite").parquet(s"$tmp/many")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/one")
+
+    val many = spark.read.parquet(s"$tmp/many")
+    assume(many.rdd.getNumPartitions >= 4, "fixture must plan as >= cores/2 splits")
+    val wellSplit = Seq(
+      graft.operators.Corpus.tokenNgramHashes(many, "doc_id", "text", 3),
+      graft.operators.Corpus.tokenNgrams(many, "doc_id", "text", 3),
+      graft.operators.Dedup.shingleHashRows(many, "doc_id", "text"),
+      graft.operators.Dedup.shingleRows(many, "doc_id", "text"))
+    wellSplit.foreach { q =>
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"well-split corpus must not reshuffle to tokenize:\n$p")
+    }
+
+    // Single-file fixture: 1 scan partition < cores/2 — the spread SHOULD
+    // fire (dropping it serialized tokenize in round 8: text_entropy 1.89x).
+    val one = spark.read.parquet(s"$tmp/one")
+    assume(one.rdd.getNumPartitions < 4)
+    val p1 = graft.operators.Corpus
+      .tokenNgramHashes(one, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("Exchange"), s"under-split input must spread before exploding:\n$p1")
+    // and correctness is unchanged either way
+    val a = graft.operators.Corpus.tokenNgramHashes(many, "doc_id", "text", 3)
+      .groupBy("doc_id").count().orderBy(col("doc_id")).collect().toSeq
+    val b = graft.operators.Corpus.tokenNgramHashes(one, "doc_id", "text", 3)
+      .groupBy("doc_id").count().orderBy(col("doc_id")).collect().toSeq
+    assert(a == b)
+  }
 }
