@@ -881,7 +881,8 @@ object Similarity {
       threshold: Double,
       k: Int = 64,
       maxIter: Int = 10,
-      initMode: String = "ids"): DataFrame = {
+      initMode: String = "ids",
+      tol: Double = 1e-9): DataFrame = {
     // empty corpus → empty pairs, like every sibling dedup operator (the
     // kmeans trainer itself rejects an empty input loudly)
     if (vectors.isEmpty) {
@@ -892,7 +893,7 @@ object Similarity {
       return vectors.sparkSession.createDataFrame(
         vectors.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val cells = kmeans(vectors, k, maxIter, initMode = initMode)
+    val cells = kmeans(vectors, k, maxIter, tol = tol, initMode = initMode)
       .assignments.select(col("vec_id"), col("cluster"))
     val withNorm = prepped(vectors).join(cells, "vec_id")
     val a = withNorm.select(

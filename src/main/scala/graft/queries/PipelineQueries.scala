@@ -17,6 +17,74 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
+  /** Shared WITH-chain prefix replaying [[Similarity.kmeans]] (initMode =
+    * "ids", tol = 0) in DuckDB — the unrolled-iteration discipline of the
+    * pagerank/LPA oracles applied to Lloyd's:
+    *  - `nv`: unit-normalized double vectors (float→double cast exact,
+    *    left-fold dot ≡ VecDot's sequential sum, IEEE sqrt/divide);
+    *  - `c0`: the k lowest-vec_id vectors, cluster = rank − 1 (the
+    *    collect order of the Spark seeder);
+    *  - per round: `a{i}` assigns by ROW_NUMBER over (dist2 ASC, cluster
+    *    ASC) — exactly VecNearest's strict-< argmin with its lower-index
+    *    tie-break, with dist2 the same ascending-i left fold; `m{i}` sums
+    *    coordinates as DECIMAL(38,18) (exact, order-free — the engine's
+    *    partition-order-independence trick replayed verbatim) and divides
+    *    in double; `c{i}` keeps the previous centroid for empty cells.
+    * Spark stops early only at an exact fixpoint (tol = 0), where further
+    * unrolled rounds are identities — iteration counts can't diverge. */
+  private def kmeansCellsPrefix(k: Int, iters: Int, dim: Int = 64): String = {
+    val d1 = dim + 1
+    val head =
+      s"""WITH v0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         nrm AS MATERIALIZED (SELECT vec_id, x, sqrt(list_reduce(list_transform(x, t -> t * t), (a, b) -> a + b)) AS nr FROM v0),
+         nv AS MATERIALIZED (SELECT vec_id, CASE WHEN nr > 0 THEN list_transform(x, t -> t / nr) ELSE x END AS v FROM nrm),
+         c0 AS MATERIALIZED (SELECT cluster, cv FROM (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv FROM nv) WHERE cluster < $k)"""
+    val rounds = (1 to iters)
+      .map { it =>
+        val p = it - 1
+        s"""a$it AS MATERIALIZED (SELECT vec_id, cluster, v FROM (
+              SELECT nv.vec_id, c.cluster, nv.v,
+                     ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
+                       list_reduce(list_transform(range(1, $d1), i -> (nv.v[i] - c.cv[i]) * (nv.v[i] - c.cv[i])), (a, b) -> a + b) ASC,
+                       c.cluster ASC) AS rk
+              FROM nv CROSS JOIN c$p c) WHERE rk = 1),
+            m$it AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+              SELECT cluster, pos, CAST(SUM(CAST(val AS DECIMAL(38, 18))) AS DOUBLE) / COUNT(*) AS m
+              FROM (SELECT cluster, unnest(range(1, $d1)) - 1 AS pos, unnest(v) AS val FROM a$it)
+              GROUP BY cluster, pos) GROUP BY cluster),
+            c$it AS MATERIALIZED (SELECT c$p.cluster AS cluster, COALESCE(m$it.cv, c$p.cv) AS cv
+              FROM c$p LEFT JOIN m$it ON c$p.cluster = m$it.cluster)"""
+      }
+      .mkString(",\n")
+    val finalAssign =
+      s"""af AS MATERIALIZED (SELECT vec_id, cluster FROM (
+            SELECT nv.vec_id, c.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
+                     list_reduce(list_transform(range(1, $d1), i -> (nv.v[i] - c.cv[i]) * (nv.v[i] - c.cv[i])), (a, b) -> a + b) ASC,
+                     c.cluster ASC) AS rk
+            FROM nv CROSS JOIN c$iters c) WHERE rk = 1)"""
+    s"$head,\n$rounds,\n$finalAssign"
+  }
+
+  /** DuckDB oracle for cluster_kmeans: final-model assignments. */
+  private def kmeansAssignOracle(k: Int, iters: Int): String =
+    s"${kmeansCellsPrefix(k, iters)}\nSELECT vec_id, cluster FROM af"
+
+  /** DuckDB oracle for dedup_semantic: the [[kmeansCellsPrefix]] cells,
+    * then the PROVEN dedup_embedding_cosine round6 cosine (raw unnormalized
+    * doubles, zero-norm rows dropped) restricted to same-cell pairs. */
+  private def semanticDedupOracle(k: Int, iters: Int): String =
+    s"""${kmeansCellsPrefix(k, iters)},
+       pr AS MATERIALIZED (SELECT vec_id, x FROM nrm WHERE nr > 0)
+       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_cosine_similarity(a.x, b.x), 6) AS sim,
+              ca.cluster AS cluster
+       FROM pr a JOIN pr b ON a.vec_id < b.vec_id
+       JOIN af ca ON ca.vec_id = a.vec_id
+       JOIN af cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+       WHERE round(list_cosine_similarity(a.x, b.x), 6) >= 0.4"""
+
   /** DuckDB oracle for embed_project: one UNION ALL arm per output dim,
     * each replaying randomProject's fold bit-for-bit — the ±1 signs come
     * from the same splitmix64 stream ([[Similarity.projectionSigns]],
@@ -558,12 +626,16 @@ object PipelineQueries {
 
     // ------------------------------------------- k-means corpus clustering
     // Distributed Lloyd's over the embeddings (SemDeDup-style cluster-then-
-    // prune shape). Deterministic (lowest-id seed, tie rules) but iterative
-    // over float arithmetic — not SQL-expressible, so rows-only here; the
-    // spec pins exact equality against a single-node Lloyd's with the same
-    // tie rules plus monotone inertia.
-    Q("cluster_kmeans", None) { (spark, dir) =>
-      val r = Similarity.kmeans(Tables(spark, dir).embeddings, k = 10, maxIter = 10)
+    // prune shape). Deterministic end to end (lowest-id seed, decimal-exact
+    // centroid sums, tie-to-lower-index, tol = 0 so both engines run the
+    // SAME fixed iteration count) — oracled by unrolling the 10 Lloyd
+    // rounds as MATERIALIZED CTEs, the graph_pagerank discipline. The
+    // output is pure INTEGER assignments, so the only cross-engine FP
+    // freedom — the ≤2-ulp decimal→double centroid conversion — would
+    // have to flip an argmin between two distances within ~1e-15 to show,
+    // which the spec-pinned single-node equivalence additionally guards.
+    Q("cluster_kmeans", Some(kmeansAssignOracle(k = 10, iters = 10))) { (spark, dir) =>
+      val r = Similarity.kmeans(Tables(spark, dir).embeddings, k = 10, maxIter = 10, tol = 0.0)
       r.assignments.select(col("vec_id"), col("cluster"))
     },
 
@@ -571,11 +643,13 @@ object PipelineQueries {
     // Cluster-then-prune: the exact cosine pair search confined to k-means
     // cells — every emitted pair is exact-verified, recall bounded by cell
     // co-location (pinned ≥0.9 on the planted near-dups in the spec).
-    // Iterative k-means inside → rows-only here. Threshold matches
-    // dedup_embedding_cosine (this corpus's cosines top out ~0.5).
-    Q("dedup_semantic", None) { (spark, dir) =>
+    // Oracle: the same unrolled-Lloyd's cells (5 rounds, tol = 0), then
+    // the proven dedup_embedding_cosine round6 cosine restricted to
+    // same-cell pairs. Threshold matches dedup_embedding_cosine (this
+    // corpus's cosines top out ~0.5).
+    Q("dedup_semantic", Some(semanticDedupOracle(k = 10, iters = 5))) { (spark, dir) =>
       Similarity.semanticDupPairs(
-        Tables(spark, dir).embeddings, threshold = 0.4, k = 10, maxIter = 5)
+        Tables(spark, dir).embeddings, threshold = 0.4, k = 10, maxIter = 5, tol = 0.0)
     },
 
     // --------------------------------------------------------- SimHash
