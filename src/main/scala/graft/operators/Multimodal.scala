@@ -145,6 +145,87 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for the formats the JDK ships decoders for — PNG, BMP,
+    * GIF, JPEG via `javax.imageio` (no external media libs needed, so the
+    * "container has no codecs" constraint doesn't bind for images). Same
+    * feature contract as [[PpmCodec]]: `bands` equal slices of the
+    * channel-interleaved RGB raster in scan order (sample k = (y·w + x)·3
+    * + channel), each emitting its integer-sum mean — deterministic
+    * arithmetic an external oracle can replay from the source pixels.
+    * Audio/video still route to [[FakeCodec]].
+    *
+    * One codec instance per partition as usual; `ImageIO` stream caching
+    * is disabled (in-memory payloads — a temp-file cache per row would be
+    * pure overhead on an executor). Malformed/unsupported payloads fail
+    * loudly, never fabricate features. */
+  final class ImageIoCodec(bands: Int = 8) extends Codec {
+    require(bands > 0, "bands must be positive")
+
+    override def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"ImageIoCodec: $msg (media_id=$mediaId)")
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case e: java.io.IOException => fail(s"decode error: ${e.getMessage}") }
+      if (img == null) fail("unsupported or corrupt image payload")
+      val width  = img.getWidth
+      val height = img.getHeight
+      // Long arithmetic — same overflow contract as PpmCodec
+      val nL = width.toLong * height * 3
+      if (nL > Int.MaxValue) fail(s"raster size $nL overflows supported range")
+      val n     = nL.toInt
+      val feats = new Array[Float](bands)
+      var b = 0
+      while (b < bands) {
+        val from = (b.toLong * n / bands).toInt
+        val to   = ((b + 1).toLong * n / bands).toInt
+        var s = 0L
+        var k = from
+        while (k < to) {
+          val px  = k / 3
+          val rgb = img.getRGB(px % width, px / width)
+          s += ((k % 3: @annotation.switch) match {
+            case 0 => (rgb >> 16) & 0xff
+            case 1 => (rgb >> 8) & 0xff
+            case _ => rgb & 0xff
+          })
+          k += 1
+        }
+        feats(b) = if (to > from) (s.toDouble / (to - from)).toFloat else 0f
+        b += 1
+      }
+      MediaFeatures(mediaId, "image", width, height, nFrames = 1, features = feats)
+    }
+  }
+
+  /** Deterministic synthetic RGB test card ENCODED AS A REAL PNG/BMP —
+    * the fixture generator for [[ImageIoCodec]]'s gate query: pixel
+    * channels are pure integer functions of (x, y, id), so an external
+    * oracle can compute the expected band means from the FORMULA while the
+    * engine side actually encodes with `ImageIO.write` and decodes through
+    * the codec. Any decode defect (channel order, row order, color
+    * conversion) breaks the mean comparison. */
+  def syntheticImage(id: Int, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + y * 13 + id) % 256
+        val g = (x * 11 + y * 3 + 2 * id) % 256
+        val bl = (x * 5 + y * 17 + 3 * id) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, format, baos), s"no JDK encoder for $format")
+    baos.toByteArray
+  }
+
   /** Ingest a DIRECTORY of media files via Spark's binaryFile source — the
     * real-world entry point (S3/HDFS bucket of images/audio): each file
     * becomes one row (path, modificationTime, length, content), read

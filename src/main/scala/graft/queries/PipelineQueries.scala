@@ -993,6 +993,56 @@ object PipelineQueries {
           col("width").cast("int").as("width"),
           col("height").cast("int").as("height"),
           posexplode(col("features")).as(Seq("band", "mean_px")))
+    },
+
+    // REAL compressed-format decode through the JDK's own PNG codec: each
+    // row ENCODES a synthetic RGB test card with ImageIO.write (a genuine
+    // zlib-compressed PNG, executor-side) and ImageIoCodec decodes it back
+    // through javax.imageio. The pixel channels are pure integer functions
+    // of (x, y, id), so the oracle computes the expected dims + band means
+    // from the FORMULA — any decode defect (channel order, row order,
+    // color conversion, banding arithmetic) breaks the comparison. Means
+    // are exact-integer sums / count on both sides → float compare exact.
+    Q(
+      "multimodal_decode_png",
+      Some("""
+        WITH d AS (SELECT CAST(doc_id AS INT) AS id FROM documents WHERE doc_id < 64),
+        dims AS (SELECT id, 16 + id % 16 AS w, 12 + id % 8 AS h FROM d),
+        samp AS (SELECT id, w, h, w * h * 3 AS n, unnest(range(0, w * h * 3)) AS k FROM dims),
+        px AS (SELECT id, w, h, k,
+                      CAST((8 * k + 7) // n AS INT) AS band,
+                      CASE CAST(k % 3 AS INT)
+                        WHEN 0 THEN (CAST(k // 3 AS INT) % w * 7  + CAST(k // 3 AS INT) // w * 13 + id) % 256
+                        WHEN 1 THEN (CAST(k // 3 AS INT) % w * 11 + CAST(k // 3 AS INT) // w * 3  + 2 * id) % 256
+                        ELSE        (CAST(k // 3 AS INT) % w * 5  + CAST(k // 3 AS INT) // w * 17 + 3 * id) % 256
+                      END AS p
+               FROM samp),
+        s AS (SELECT id, w, h, band, SUM(p) AS bsum, COUNT(*) AS cnt FROM px GROUP BY 1, 2, 3, 4)
+        SELECT id AS media_id, w AS width, h AS height, band,
+               CAST(CAST(bsum AS DOUBLE) / cnt AS REAL) AS mean_px
+        FROM s
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val media = Tables(spark, dir).documents
+        .select(col("doc_id").cast("int").as("id"))
+        .filter(col("id") < 64)
+        .as[Int]
+        .mapPartitions { it =>
+          it.map { id =>
+            (id.toLong, "image", Multimodal.syntheticImage(id, 16 + id % 16, 12 + id % 8, "png"))
+          }
+        }
+        .toDF("media_id", "kind", "payload")
+      Multimodal
+        .decodeFeatures(
+          Multimodal.ingest(media, "media_id", "kind", "payload"),
+          () => new Multimodal.ImageIoCodec(bands = 8))
+        .toDF()
+        .select(
+          col("mediaId").as("media_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          posexplode(col("features")).as(Seq("band", "mean_px")))
     }
   )
 }

@@ -101,6 +101,37 @@ class MultimodalSpec extends SparkSpec {
     assert(bad("P6 46341 46341 255\nab".getBytes("US-ASCII")).getMessage.contains("overflow"))
   }
 
+  test("ImageIoCodec: real PNG and BMP roundtrips recover formula-exact band means") {
+    val codec = new Multimodal.ImageIoCodec(bands = 8)
+    for (format <- Seq("png", "bmp"); id <- Seq(0, 7, 63)) {
+      val (w, h) = (16 + id % 16, 12 + id % 8)
+      val f = codec.decode(id.toLong, "image", Multimodal.syntheticImage(id, w, h, format))
+      assert(f.width == w && f.height == h && f.features.length == 8)
+      // expected band means straight from the generating formula
+      val n = w * h * 3
+      val expected = (0 until 8).map { b =>
+        val (from, to) = (b * n / 8, (b + 1) * n / 8)
+        val s = (from until to).map { k =>
+          val (px, c) = (k / 3, k % 3)
+          val (x, y)  = (px % w, px / w)
+          c match {
+            case 0 => (x * 7 + y * 13 + id) % 256
+            case 1 => (x * 11 + y * 3 + 2 * id) % 256
+            case _ => (x * 5 + y * 17 + 3 * id) % 256
+          }
+        }.map(_.toLong).sum
+        (s.toDouble / (to - from)).toFloat
+      }
+      assert(f.features.toSeq == expected, s"$format id=$id")
+    }
+  }
+
+  test("ImageIoCodec: non-image bytes fail loudly") {
+    val e = intercept[IllegalArgumentException](
+      new Multimodal.ImageIoCodec().decode(9L, "image", "not an image".getBytes("US-ASCII")))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("resizeNearest: fixed tw×th output for every payload size, deterministic") {
     val resized = Multimodal.resizeNearest(media, tw = 8, th = 6).collect()
     assert(resized.length == media.count())
