@@ -33,35 +33,68 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan)
+    child: LogicalPlan,
+    keepTies: Boolean = false)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }
 
-/** Shared heap pass: per group, keep the k first rows under `order`. */
+/** Shared heap pass: per group, keep the k first rows under `order`.
+  *
+  * `keepTies = true` switches to `rank() <= k` retention: every row whose
+  * sort key equals the k-th smallest key is ALSO kept (rank counts strict
+  * predecessors, so boundary ties all have rank ≤ k). Implementation: the
+  * k-heap plus a homogeneous tie buffer holding rows equal to the current
+  * boundary (heap head); when an eviction strictly improves the boundary,
+  * the buffer — all at the old boundary key, now rank > k — drops
+  * wholesale. Memory is O(k + boundary-tie count) per group: an all-tied
+  * pathological group degrades to full retention, which is exactly the
+  * row set rank() itself emits — the operator stops saving memory there,
+  * never changes the result. */
 private[plans] object TopKHeap {
   def topKPerPartition(
       iter: Iterator[InternalRow],
       groupExprs: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      output: Seq[Attribute]): Iterator[InternalRow] = {
+      output: Seq[Attribute],
+      keepTies: Boolean = false): Iterator[InternalRow] = {
     val keyProj  = UnsafeProjection.create(groupExprs, output)
     val ordering = GenerateOrdering.generate(order, output)
     // max-heap under `ordering`: the head is the WORST retained row, so a
     // better candidate evicts it in O(log k)
-    val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-    iter.foreach { row =>
-      val key  = keyProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty(ordering))
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ordering.compare(row, heap.head) < 0) {
-        heap.dequeue(); heap.enqueue(row.copy())
+    final class Group {
+      val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+      var ties: mutable.ArrayBuffer[InternalRow] = null // lazily, keepTies only
+      def add(row: InternalRow): Unit =
+        if (heap.size < k) heap.enqueue(row.copy())
+        else {
+          val cmp = ordering.compare(row, heap.head)
+          if (cmp < 0) {
+            val evicted = heap.dequeue()
+            heap.enqueue(row.copy())
+            if (keepTies) {
+              // evicted was the old boundary; it survives iff it still
+              // ties the new boundary, else the whole buffer is stale
+              if (ordering.compare(evicted, heap.head) == 0) tiesBuf += evicted
+              else if (ties != null) ties.clear()
+            }
+          } else if (keepTies && cmp == 0) tiesBuf += row.copy()
+        }
+      private def tiesBuf: mutable.ArrayBuffer[InternalRow] = {
+        if (ties == null) ties = mutable.ArrayBuffer.empty[InternalRow]
+        ties
       }
+      def rows: Iterator[InternalRow] =
+        if (ties == null) heap.iterator else heap.iterator ++ ties.iterator
     }
-    heaps.valuesIterator.flatMap(_.iterator)
+    val groups = mutable.HashMap.empty[UnsafeRow, Group]
+    iter.foreach { row =>
+      groups.getOrElseUpdate(keyProj(row).copy(), new Group).add(row)
+    }
+    groups.valuesIterator.flatMap(_.rows)
   }
 }
 
@@ -71,12 +104,13 @@ case class TopKPerGroupPartialExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan)
+    child: SparkPlan,
+    keepTies: Boolean = false)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] = {
-    val (g, o, kk, out) = (groupExprs, order, k, child.output)
-    child.execute().mapPartitions(iter => TopKHeap.topKPerPartition(iter, g, o, kk, out), preservesPartitioning = true)
+    val (g, o, kk, out, ties) = (groupExprs, order, k, child.output, keepTies)
+    child.execute().mapPartitions(iter => TopKHeap.topKPerPartition(iter, g, o, kk, out, ties), preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
@@ -88,7 +122,8 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan)
+    child: SparkPlan,
+    keepTies: Boolean = false)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   // empty group list = global top-k: all (at most k-per-partition)
@@ -97,8 +132,8 @@ case class TopKPerGroupExec(
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
-    val (g, o, kk, out) = (groupExprs, order, k, child.output)
-    child.execute().mapPartitions(iter => TopKHeap.topKPerPartition(iter, g, o, kk, out), preservesPartitioning = true)
+    val (g, o, kk, out, ties) = (groupExprs, order, k, child.output, keepTies)
+    child.execute().mapPartitions(iter => TopKHeap.topKPerPartition(iter, g, o, kk, out, ties), preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
@@ -106,8 +141,8 @@ case class TopKPerGroupExec(
 
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, TopKPerGroupPartialExec(g, o, k, planLater(child))) :: Nil
+    case TopKPerGroup(g, o, k, child, ties) =>
+      TopKPerGroupExec(g, o, k, TopKPerGroupPartialExec(g, o, k, planLater(child), ties), ties) :: Nil
     case _ => Nil
   }
 }

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   IntegerLiteral,
   LessThan,
   LessThanOrEqual,
+  Rank,
   RowNumber,
   SortOrder,
   SpecifiedWindowFrame,
@@ -26,6 +27,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   *   SELECT ... FROM (SELECT ..., row_number() OVER
   *     (PARTITION BY g ORDER BY o) AS rn FROM t) WHERE rn <= k
+  *
+  * (and its `rank()` sibling, which routes through the KEEP-TIES heap so
+  * boundary ties — rank ≤ k rows beyond the k-th — survive the cut)
   *
   * to rank over a [[TopKPerGroup]]-bounded input. The window form shuffles
   * EVERY row of every group and sort-materializes each partition before
@@ -69,26 +73,32 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     case _         => None
   }
 
-  /** The provable shape: one row_number over a deterministic spec with the
-    * default running frame, not already bounded. */
-  private def rankWindow(w: Window): Option[(Seq[Expression], Seq[SortOrder], ExprId)] =
+  /** The provable shape: one row_number (exact-k heap) or rank (keep-ties
+    * heap — boundary ties all have rank ≤ k and must survive the cut) over
+    * a deterministic spec with a default running frame, not already
+    * bounded. rank's formal frame is the RANGE running frame, so both
+    * running frames are accepted; dense_rank is deliberately NOT matched —
+    * `dense_rank <= k` keeps k DISTINCT keys, a row set no k-bounded heap
+    * retention can prove. */
+  private def rankWindow(w: Window): Option[(Seq[Expression], Seq[SortOrder], ExprId, Boolean)] =
     w.windowExpressions match {
       case Seq(a @ Alias(
             WindowExpression(
-              _: RowNumber,
-              WindowSpecDefinition(part, order, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+              fn,
+              WindowSpecDefinition(part, order, SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _))
-          if order.nonEmpty && order.forall(_.deterministic) && part.forall(_.deterministic) &&
+          if (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) &&
+            order.nonEmpty && order.forall(_.deterministic) && part.forall(_.deterministic) &&
             !w.child.isInstanceOf[TopKPerGroup] =>
-        Some((part, order, a.exprId))
+        Some((part, order, a.exprId, fn.isInstanceOf[Rank]))
       case _ => None
     }
 
   private def bound(f: Filter, cond: Expression, w: Window, rebuild: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
-    rankWindow(w).flatMap { case (part, order, rnId) =>
+    rankWindow(w).flatMap { case (part, order, rnId, keepTies) =>
       kFromCond(cond, rnId)
         .filter(k => k >= 1 && k <= maxK)
-        .map(k => f.copy(child = rebuild(w.copy(child = TopKPerGroup(part, order, k, w.child)))))
+        .map(k => f.copy(child = rebuild(w.copy(child = TopKPerGroup(part, order, k, w.child, keepTies)))))
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -29,10 +29,34 @@ class WindowTopKRewriteSpec extends SparkSpec {
       assert(plan.contains("TopKPerGroup"), s"rewrite must fire:\n$plan")
       assert(df.collect().map(_.toSeq).toSet == expected, "rewritten results must match stock plan")
 
-      // rank() assigns equal ranks to ties — NOT the proven shape; no rewrite
-      val rankDf = spark.sql(sql.replace("row_number()", "rank()"))
-      assert(!rankDf.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
-        "rank() must not rewrite")
+      // rank() keeps boundary ties — rewrites through the keep-ties heap.
+      // ORDER BY l_quantity alone is tie-HEAVY (small integer domain), so
+      // the rank<=4 row set is far larger than 4 per group and exercises
+      // the tie buffer; the set (incl. every boundary tie) must match.
+      val rankSql =
+        s"""SELECT * FROM (
+           |  SELECT l_orderkey, l_partkey, l_quantity,
+           |         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rn
+           |  FROM parquet.`${SharedSpark.sf0001}/lineitem.parquet`)
+           |WHERE rn <= 4""".stripMargin
+      val rankExpected = {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ eq WindowTopKRewrite)
+        try spark.sql(rankSql).collect().map(_.toSeq).toSet
+        finally spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ WindowTopKRewrite
+      }
+      val rankDf = spark.sql(rankSql)
+      assert(rankDf.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "rank() <= k must rewrite through the keep-ties heap")
+      val rankGot = rankDf.collect().map(_.toSeq).toSet
+      assert(rankGot.size > 8, "fixture must actually produce boundary ties beyond 4 rows/group")
+      assert(rankGot == rankExpected, "keep-ties rewrite must preserve every boundary tie")
+      // dense_rank() <= k keeps k DISTINCT keys — not provable by any
+      // k-bounded heap retention; must NOT rewrite
+      val dense = spark.sql(rankSql.replace("rank()", "dense_rank()"))
+      assert(!dense.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "dense_rank() must not rewrite")
       // k beyond the bounded-heap budget — window form's spillable sort is safer
       val bigK = spark.sql(sql.replace("rn <= 4", "rn <= 2000000"))
       assert(!bigK.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
@@ -54,6 +78,35 @@ class WindowTopKRewriteSpec extends SparkSpec {
       assert(kth.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
         "rn = k must rewrite")
       assert(kth.collect().map(_.toSeq).toSet == kthExpected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq WindowTopKRewrite)
+    }
+  }
+
+  test("keep-ties heap: adversarial arrival orders (ties first, stale buffer must drop)") {
+    import graft.plans.{TopKStrategy, WindowTopKRewrite}
+    org.apache.spark.sql.graftbridge.Bridge.addStrategy(spark, TopKStrategy)
+    import spark.implicits._
+    // one partition so arrival order is exactly this sequence: the three 5s
+    // fill the heap, then better rows evict them pairwise — first eviction
+    // ties the remaining boundary (5 enters the buffer), the 1-eviction
+    // strictly improves it (buffer must drop wholesale), then fresh 3-ties
+    // rebuild it. rank() <= 3 ascending keeps {1,2,3,3,3}.
+    val rows = Seq(("g", 5), ("g", 5), ("g", 5), ("g", 1), ("g", 2), ("g", 3), ("g", 3), ("g", 3))
+    val df = rows.toDF("g", "v").coalesce(1)
+    df.createOrReplaceTempView("tie_fixture")
+    val sql = """SELECT g, v FROM (
+                |  SELECT g, v, rank() OVER (PARTITION BY g ORDER BY v) AS rn FROM tie_fixture)
+                |WHERE rn <= 3""".stripMargin
+    val expected = spark.sql(sql).collect().map(_.getInt(1)).sorted.toSeq
+    assert(expected == Seq(1, 2, 3, 3, 3))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ WindowTopKRewrite
+    try {
+      val got = spark.sql(sql)
+      assert(got.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      assert(got.collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 3, 3))
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ eq WindowTopKRewrite)
