@@ -427,6 +427,50 @@ object Similarity {
       k)
   }
 
+  /** Gate-visible ANN recall audit: overlap of each approximate index's
+    * top-k against [[bruteTopK]] ground truth, computed IN Spark so the
+    * recall numbers ride the correctness artifact instead of living only
+    * in ScalaTest. One row per method: (method, n_true, n_hits, recall).
+    *
+    * No SQL oracle is possible — the approximate sides hinge on
+    * engine-internal hashing (xxhash-seeded LSH hyperplanes, the sampled
+    * IVF quantizer) — so the row is rows-checked by the driver and the
+    * VALUES are pinned by SimilaritySpec (recall ≥ 0.9 per method, and
+    * audit ≡ an independently computed overlap). Scale shape: truth is
+    * k·|queries| rows (bounded), every join here is against that bounded
+    * set — the expensive parts are the underlying index searches
+    * themselves. */
+  def recallAudit(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      assign: Int,
+      rerank: Int,
+      bits: Int,
+      tables: Int,
+      probeHamming: Int): DataFrame = {
+    val truth = bruteTopK(corpus, queries, k).select(col("query_id"), col("neighbor_id"))
+    def audit(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      truth
+        .agg(count(lit(1)).as("n_true"))
+        .crossJoin(hits)
+        .select(
+          lit(method).as("method"),
+          col("n_true"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+    }
+    audit("ivf", ivfTopK(corpus, queries, k, nlist, nprobe, assign))
+      .unionAll(audit("ivf_int8", ivfTopKQ8(corpus, queries, k, nlist, nprobe, assign, rerank)))
+      .unionAll(audit("lsh", lshTopK(corpus, queries, k, bits, tables, probeHamming)))
+  }
+
   /** kNN classification: majority label among each query vector's k exact
     * nearest neighbors (cosine), ties broken toward the smallest label — a
     * fully deterministic, oracle-checkable label-propagation shape (the

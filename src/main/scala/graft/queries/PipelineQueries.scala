@@ -772,6 +772,21 @@ object PipelineQueries {
       Similarity.ivfTopKQ8(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)
     },
 
+    // --------------------------------------- ANN recall, driver-auditable
+    // The recall numbers the three approximate rows above are trusted for,
+    // surfaced AS a gate artifact: per-method overlap against bruteTopK at
+    // exactly the gate settings. No SQL oracle can exist (LSH hyperplanes /
+    // the sampled IVF quantizer are engine-hash-specific) — the driver
+    // rows-checks it and the dumped values ARE the audit; SimilaritySpec
+    // pins recall >= 0.9 per method and audit ≡ independent overlap.
+    Q("ann_recall_audit", None) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.recallAudit(
+        emb, emb.filter(col("vec_id") < 8), k = 10,
+        nlist = 16, nprobe = 8, assign = 3, rerank = 4,
+        bits = 8, tables = 12, probeHamming = 2)
+    },
+
     // ------------------------------------ JL random projection (64 → 16)
     // Deterministic ±1 sign-matrix projection (Achlioptas) as a zero-
     // shuffle narrow map — the shrink-before-index step for ANN at scale.

@@ -73,6 +73,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"int8-IVF recall $recall below the pinned 0.9 floor")
   }
 
+  test("recallAudit: gate-query settings, one row per method, >= 0.9, audit == independent overlap") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val audit = Similarity
+      .recallAudit(emb, queries, k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4,
+        bits = 8, tables = 12, probeHamming = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(audit.keySet == Set("ivf", "ivf_int8", "lsh"))
+    val brute = Similarity.bruteTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def overlap(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(brute).size.toLong
+    val expected = Map(
+      "ivf" -> overlap(Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 8, assign = 3)),
+      "ivf_int8" -> overlap(
+        Similarity.ivfTopKQ8(emb, queries, k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)),
+      "lsh" -> overlap(Similarity.lshTopK(emb, queries, k = 10, bits = 8, tables = 12, probeHamming = 2)))
+    audit.foreach { case (m, (nTrue, nHits, recall)) =>
+      assert(nTrue == brute.size.toLong, s"$m n_true")
+      assert(nHits == expected(m), s"$m audit hits must equal the independent overlap")
+      assert(recall >= 0.9, s"$m recall $recall below the pinned 0.9 floor")
+    }
+  }
+
   test("IVF index lifecycle: build → persist via catalog → reload → serve identically") {
     import spark.implicits._
     val queries   = emb.filter(col("vec_id") < 6)
