@@ -108,9 +108,13 @@ object Dedup {
     // MinHash verification path accepts), and no shingle string is ever
     // allocated.
     val rows = shingleHashRows(docs, idCol, textCol, w).cache()
+    // broadcast the HOT shingles being dropped (tiny: only boilerplate
+    // exceeds the cap) and anti-join — the keep-set is O(distinct shingles)
+    // and could never broadcast at corpus scale
     val index = if (maxShingleDF > 0) {
-      val dfCounts = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      rows.join(broadcast(dfCounts.filter(col("df") <= maxShingleDF)), "h").select("doc_id", "h")
+      val hot =
+        rows.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDF).select("h")
+      rows.join(broadcast(hot), Seq("h"), "left_anti")
     } else rows
     val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
 
@@ -244,7 +248,40 @@ object Dedup {
     * `bands` bands (rows-per-band = k/bands). P(candidate | j) =
     * 1-(1-j^r)^b — with k=128, b=32, r=4 a true-jaccard-0.8 pair is missed
     * with probability ~5e-8. */
-  def lshCandidates(sigs: DataFrame, k: Int = 128, bands: Int = 32): DataFrame = {
+  def lshCandidates(sigs: DataFrame, k: Int = 128, bands: Int = 32, maxBucketDF: Int = 0): DataFrame = {
+    val (banded, joined) = lshCandidatePlan(sigs, k, bands, maxBucketDF)
+    materializeThenRelease(joined, banded)
+  }
+
+  /** The un-materialized [[lshCandidates]] plan, as (cached banded
+    * projection, candidate join) — exposed so tests can execute the LIVE
+    * band-bucket self-join and inspect its final adaptive plan (the
+    * materialized wrapper localCheckpoints, hiding the join behind a
+    * checkpoint scan). Callers must unpersist `banded` after consuming
+    * the join.
+    *
+    * Hot-bucket discipline (an identical-doc flood lands ALL its rows on
+    * one (band, bucket) key — SkewAndBucketSpec's fixture): the blowup is
+    * OUTPUT-side — m docs in a bucket emit m²/2 candidate rows from one
+    * join key, which input-size-based AQE skew splitting cannot see (and
+    * at toy scale cannot even detect: identical rows compress to almost
+    * nothing in the map output sizes it inspects). Defenses, layered the
+    * way published pipelines run them:
+    *  1. exact-dedup FIRST ([[exactDedup]]) — byte-identical floods never
+    *     reach near-dup LSH;
+    *  2. `maxBucketDF` > 0 drops buckets shared by more than that many
+    *     docs (the [[jaccardPairs]] maxShingleDF judgment applied to
+    *     bands): a bucket hot beyond plausibility is boilerplate, and a
+    *     TRUE near-dup pair inside a dropped bucket still surfaces via
+    *     its other `bands − 1` chances to collide;
+    *  3. input-size skew that remains (big-but-legitimate buckets at
+    *     production scale, where map sizes are honest) is AQE
+    *     skew-splittable — the join is a plain shuffled equi-join. */
+  def lshCandidatePlan(
+      sigs: DataFrame,
+      k: Int = 128,
+      bands: Int = 32,
+      maxBucketDF: Int = 0): (DataFrame, DataFrame) = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
     // cached: both sides of the bucket self-join read this projection
@@ -258,14 +295,24 @@ object Dedup {
         // xxhash64 hashes complex types natively — no string round-trip
         xxhash64(col("pos"), col("col")).as("bucket"))
       .cache()
-    materializeThenRelease(
-      banded
-        .as("x")
-        .join(banded.as("y"), Seq("band", "bucket"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct(),
-      banded)
+    // the cap removes the HOT buckets — broadcast THAT set (tiny by
+    // construction: only floods exceed it) and anti-join, never the
+    // unbounded keep-set of ordinary buckets
+    val index = if (maxBucketDF > 0) {
+      val hot = banded
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxBucketDF)
+        .select("band", "bucket")
+      banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    } else banded
+    val joined = index
+      .as("x")
+      .join(index.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    (banded, joined)
   }
 
   /** MinHash+LSH near-dup pairs, exactly verified: LSH proposes candidates,
@@ -324,8 +371,9 @@ object Dedup {
     // about pairwise duplication but dominate the self-join fan-out — the
     // same DF-cap judgment as jaccardPairs' maxShingleDF (0 = keep all)
     val index = if (maxFpDF > 0) {
-      val dfCounts = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      fps.join(broadcast(dfCounts.filter(col("df") <= maxFpDF)), "fp").select("doc_id", "fp")
+      val hot =
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("df")).filter(col("df") > maxFpDF).select("fp")
+      fps.join(broadcast(hot), Seq("fp"), "left_anti")
     } else fps
     val a = index.select(col("doc_id").as("a_id"), col("fp"))
     val b = index.select(col("doc_id").as("b_id"), col("fp"))

@@ -64,4 +64,57 @@ class SkewAndBucketSpec extends SparkSpec {
     val got = joined.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(got == expect)
   }
+
+  test("LSH hot band: identical-doc flood — DF cap bounds the fan-out, plan stays an equi-join") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // pathological fixture: 10% of the corpus is ONE identical document —
+    // every band of every hot doc lands on the same (band, bucket) key, the
+    // worst case for the candidate self-join. The blowup is OUTPUT-side
+    // (m docs in one bucket → m²/2 candidate rows from one join key), which
+    // input-size-based AQE skew splitting cannot see — the layered defense
+    // is exact-dedup first, then the maxBucketDF boilerplate cap, then AQE
+    // for big-but-legitimate input skew (see Dedup.lshCandidatePlan).
+    val hotText = (1 to 40).map(j => s"dup$j").mkString(" ")
+    val nHot    = 200
+    val docs = ((0 until nHot).map(i => (i.toLong, hotText)) ++
+      (nHot until 2000).map(i => (i.toLong, (1 to 12).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+      .repartition(8, col("doc_id"))
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the plan under test is the one a
+      // 100 TB corpus would run (tiny test sides would otherwise broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+      // UNCAPPED: the flood's m²/2 true pairs all materialize as candidates
+      val (b1, uncapped) = Dedup.lshCandidatePlan(sigs, k = 128, bands = 4)
+      try {
+        val got = uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hotPairs = (for (a <- 0L until nHot; b <- (a + 1) until nHot) yield (a, b)).toSet
+        assert(hotPairs.subsetOf(got), "identical docs must all be candidates when uncapped")
+        assert(got.forall { case (a, b) => a < nHot || b < nHot }, "no unique-unique candidates")
+        val plan = uncapped.queryExecution.executedPlan.toString
+        assert(
+          !plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"candidate generation must stay a (skew-splittable) shuffled equi-join:\n$plan")
+        assert(
+          plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"expected a shuffle join under forced-no-broadcast:\n$plan")
+      } finally b1.unpersist(false)
+      // CAPPED at 64 << 200: the hot buckets drop wholesale BEFORE the
+      // self-join — candidate fan-out collapses from m²/2 ≈ 19 900 to the
+      // unique docs' (empty) bucket collisions. The cap set is broadcast
+      // as a LeftAnti (only the hot keys travel, never the keep-set).
+      val (b2, capped) = Dedup.lshCandidatePlan(sigs, k = 128, bands = 4, maxBucketDF = 64)
+      try {
+        val plan = capped.queryExecution.executedPlan.toString
+        assert(plan.contains("LeftAnti"), s"cap must be an anti-join against the hot set:\n$plan")
+        assert(capped.count() == 0, "flood buckets dropped => bounded (here: zero) candidates")
+      } finally { b2.unpersist(false); sigs.unpersist(false) }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
