@@ -78,23 +78,39 @@ object Bench {
       .foreach(_.get())
     pool.shutdown()
     spark.catalog.clearCache()
+    // JVM-wide GC time; queries run serially, so the delta across one
+    // query's window attributes its GC cost. Recorded per query so a
+    // driver-run spike adjudicates itself: a >2x-over-pin row whose extra
+    // time is GC/sandbox contention shows gc_frac >> the quiet-run norm
+    // (the round-7/8 dedup_* flags were exactly this, cleared by hand).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     // three full measured passes, best-of per query (single-shot numbers on
     // this box swing +-25% under GC/fs noise); caches cleared between
     // passes so all are comparable executions
-    def onePass(): Seq[(String, Double)] =
+    def onePass(): Seq[(String, (Double, Double))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
       }
     val passes = (0 until 3).map { i =>
       if (i > 0) spark.catalog.clearCache()
       onePass().toMap
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .map(name => name -> passes.map(_(name)).min)
+    // best pass per query, carrying THAT run's GC window
+    val best = SparkEntry.queries.keys.toSeq.sorted
+      .map(name => name -> passes.map(_(name)).minBy(_._1))
+    val results = best.map { case (n, (sec, _)) => n -> sec }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gcs = best.map { case (k, (_, g)) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val gcByName = best.toMap
     val total = results.map(_._2).sum
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
     val baselinePath = java.nio.file.Paths.get(repoRoot, "BASELINE_LOCAL.json")
@@ -104,10 +120,10 @@ object Bench {
       else Map.empty
     val regressed = results.collect {
       case (name, sec) if baseline.get(name).exists(b => sec > b * RegressionFactor) =>
-        s"""{"query":"$name","baseline":${baseline(name)},"measured":$sec,"ratio":${sec / baseline(name)}}"""
+        s"""{"query":"$name","baseline":${baseline(name)},"measured":$sec,"ratio":${sec / baseline(name)},"gc_sec":${gcByName(name)._2}}"""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","regressed":[${regressed.mkString(",")}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir","regressed":[${regressed.mkString(",")}]}"""
     // full-precision record: survives any stdout tail-window truncation
     java.nio.file.Files.write(
       java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"),
@@ -133,7 +149,7 @@ object Bench {
     val sfLabel = java.nio.file.Paths.get(sfDir).getFileName.toString
     val regCompact = results.collect {
       case (name, sec) if baseline.get(name).exists(b => sec > b * RegressionFactor) =>
-        s"""{"q":"$name","base":${fmt(baseline(name))},"got":${fmt(sec)}}"""
+        s"""{"q":"$name","base":${fmt(baseline(name))},"got":${fmt(sec)},"gc":${fmt(gcByName(name)._2)}}"""
     }
     val regShown = regCompact.take(10)
     val compact =
