@@ -238,19 +238,41 @@ object Similarity {
     * either side still finds it. Index size scales ×assign (storage), but
     * probe cost per query is unchanged — the standard recall lever when the
     * corpus has weak cluster structure. */
+  /** Indices of the `m` nearest centroids to unit vector `u`, ascending by
+    * (distance, index) — a BOUNDED insertion selection, O(nlist·m) with a
+    * tiny m instead of sorting all nlist distances per row. Tie behavior
+    * matches the stable `sortBy(distance).take(m)` it replaces: equal
+    * distances keep ascending-index order, and a boundary tie keeps the
+    * incumbent (lower index). nlist can now grow (√n cells at corpus
+    * scale) without the probe cost growing n·log n per row. */
+  private def nearestCells(u: Array[Double], centroids: Array[Array[Double]], m: Int): Seq[Int] = {
+    val mm    = math.min(math.max(m, 1), centroids.length)
+    val dBest = new Array[Double](mm)
+    val iBest = new Array[Int](mm)
+    var size  = 0
+    var c     = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ctr = centroids(c)
+      while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
+      if (size < mm) {
+        var p = size
+        while (p > 0 && dBest(p - 1) > d) { dBest(p) = dBest(p - 1); iBest(p) = iBest(p - 1); p -= 1 }
+        dBest(p) = d; iBest(p) = c; size += 1
+      } else if (d < dBest(mm - 1)) {
+        var p = mm - 1
+        while (p > 0 && dBest(p - 1) > d) { dBest(p) = dBest(p - 1); iBest(p) = iBest(p - 1); p -= 1 }
+        dBest(p) = d; iBest(p) = c
+      }
+      c += 1
+    }
+    iBest.take(size).toSeq
+  }
+
   def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]], assign: Int = 1): DataFrame = {
     val cellsOf = udf { (v: Seq[Double]) =>
-      val u = normalized(v.toArray) // cosine cells, matching the quantizer
-      centroids.indices
-        .map { c =>
-          var d = 0.0; var i = 0
-          val ctr = centroids(c)
-          while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
-          (d, c)
-        }
-        .sortBy(_._1)
-        .take(math.max(assign, 1))
-        .map(_._2)
+      // cosine cells, matching the quantizer
+      nearestCells(normalized(v.toArray), centroids, assign)
     }
     corpus
       .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
@@ -272,17 +294,7 @@ object Similarity {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val probesOf = udf { (v: Seq[Double]) =>
-      val u = normalized(v.toArray)
-      centroids.indices
-        .map { c =>
-          var d = 0.0; var i = 0
-          val ctr = centroids(c)
-          while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
-          (d, c)
-        }
-        .sortBy(_._1)
-        .take(nprobe)
-        .map(_._2)
+      nearestCells(normalized(v.toArray), centroids, nprobe)
     }
     val qprobe = broadcast(
       queries
@@ -367,17 +379,7 @@ object Similarity {
         col("cq8.q").as("cq"))
 
     val probesOf = udf { (v: Seq[Double]) =>
-      val u = normalized(v.toArray)
-      centroids.indices
-        .map { c =>
-          var d = 0.0; var i = 0
-          val ctr = centroids(c)
-          while (i < u.length) { val x = u(i) - ctr(i); d += x * x; i += 1 }
-          (d, c)
-        }
-        .sortBy(_._1)
-        .take(nprobe)
-        .map(_._2)
+      nearestCells(normalized(v.toArray), centroids, nprobe)
     }
     val qprep = queries
       .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
