@@ -221,10 +221,13 @@ object EventStreams {
           val out  = Vector.newBuilder[ZScore]
           evs.toVector.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             if (hist.size >= 2) {
-              // Spark Average over the frame: ordered sum, then one divide
+              // Spark Average over the frame: ordered sum, then one divide;
+              // μ/σ snap to the 6-decimal grid BEFORE the division, exactly
+              // like the batch trailingZScore (1/σ would amplify σ's ulp
+              // freedom past the final rounding grid)
               var s = 0.0
               hist.foreach(x => s += x)
-              val mu = s / hist.size
+              val mu = round6(s / hist.size)
               // Spark CentralMomentAgg (Welford) in frame order
               var n = 0.0; var mean = 0.0; var m2 = 0.0
               hist.foreach { x =>
@@ -234,7 +237,7 @@ object EventStreams {
                 mean += dn
                 m2 += d * (x - mean)
               }
-              val sd = math.sqrt(m2 / (n - 1.0))
+              val sd = round6(math.sqrt(m2 / (n - 1.0)))
               if (sd > 0) out += ZScore(e.event_id, userId, round6((e.value - mu) / sd))
             }
             hist = (hist :+ e.value).takeRight(window)

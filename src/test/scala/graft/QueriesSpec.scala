@@ -35,13 +35,12 @@ class QueriesSpec extends SparkSpec {
     "ann_ivf_int8"      -> "SimilaritySpec (recall + quantization error bound)",
     "dedup_simhash"     -> "DedupSpec (hamming baseline)",
     "dedup_winnow"      -> "TextFunctionsSpec (recall baseline)",
-    "dedup_semantic"    -> "SimilaritySpec (subset-of-exact + recall >= 0.9)",
-    "cluster_kmeans"    -> "SimilaritySpec (single-node equivalence, planted blobs)",
     "sketch_distinct_users"  -> "SketchSpec (5% error envelope)",
     "sketch_heavy_hitters"   -> "SketchSpec (eps*N bound, no misses)",
     "sketch_quantiles_price" -> "SketchSpec (2% rank error)",
     "sketch_union_daily"     -> "SketchSpec (union == single pass)",
-    "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)")
+    "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)",
+    "ann_recall_audit"  -> "SimilaritySpec (audit == independent overlap, recall >= 0.9/method)")
 
   test("no query lacks both an oracle and a pinned rows-only spec") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
