@@ -564,6 +564,33 @@ object Corpus {
     labeled.select(col("doc_id"), col("cluster_id"), splitCol.as("split"))
   }
 
+  /** Reproducible corpus sharding — the terminal write-side step of a
+    * training pipeline (tokenize → pack → SHUFFLE → shard): every document
+    * gets (shard, order_key) where `shard` is an equal-width md5 hash
+    * range over the 16-bit prefix grid (the [[resampleMixture]]
+    * quantization, so boundaries are exact hex literals any engine
+    * replays) and `order_key` is the full md5 hex of the id — a
+    * deterministic global shuffle: same shard contents and same
+    * within-shard order on any engine, any parallelism, any run, with no
+    * RNG state to checkpoint.
+    *
+    * The assignment itself is a ZERO-shuffle narrow projection
+    * (plan-asserted). Writers then `repartition($"shard")
+    * .sortWithinPartitions($"order_key")` — ONE exchange and a
+    * per-partition sort, never a global order-by — which at 100 TB is the
+    * only affordable shape for "write N shuffled training shards". */
+  def shardAssignment(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
+    val hex = md5(col(idCol).cast("string"))
+    val h   = substring(hex, 1, 4)
+    // boundary i = floor(65536·i/shards), as 4-hex literals
+    val bounds = (1 until shards).map(i => f"${i * 65536L / shards}%04x")
+    val shardCol = bounds.zipWithIndex.reverse.foldLeft(lit(shards - 1): Column) {
+      case (acc, (b, i)) => when(h < lit(b), lit(i)).otherwise(acc)
+    }
+    df.select(col(idCol).as("doc_id"), shardCol.as("shard"), hex.as("order_key"))
+  }
+
   /** Temperature-flattened source mixture (the multilingual/multi-source
     * LM recipe — mT5/XLM-R sample source i ∝ p_i^{1/τ}: τ=1 keeps natural
     * proportions, τ→∞ approaches uniform — the knob that keeps a dominant

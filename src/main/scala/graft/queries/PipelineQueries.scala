@@ -309,6 +309,32 @@ object PipelineQueries {
         splitFractions)
     },
 
+    // ------------------------------------ reproducible training shards
+    // The terminal write-side step: deterministic global shuffle into 8
+    // equal hash-range shards + a portable within-shard order key (full
+    // md5 hex) — same shard contents and order on any engine/run, no RNG
+    // state. Zero-shuffle narrow projection (PlanSpec); a writer adds one
+    // repartition(shard) + sortWithinPartitions(order_key), never a
+    // global sort.
+    Q(
+      "corpus_shards",
+      Some("""
+        WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex FROM documents)
+        SELECT doc_id,
+               CASE WHEN substr(hex, 1, 4) < '2000' THEN 0
+                    WHEN substr(hex, 1, 4) < '4000' THEN 1
+                    WHEN substr(hex, 1, 4) < '6000' THEN 2
+                    WHEN substr(hex, 1, 4) < '8000' THEN 3
+                    WHEN substr(hex, 1, 4) < 'a000' THEN 4
+                    WHEN substr(hex, 1, 4) < 'c000' THEN 5
+                    WHEN substr(hex, 1, 4) < 'e000' THEN 6
+                    ELSE 7 END AS shard,
+               hex AS order_key
+        FROM h
+      """)) { (spark, dir) =>
+      Corpus.shardAssignment(Tables(spark, dir).documents, "doc_id", shards = 8)
+    },
+
     // ----------------------------------------- repeated n-gram spans
     // Span-granular exact dedup (Lee et al. 2022): 8-grams appearing in >=2
     // distinct documents mark duplicated spans to cut or down-weight. The

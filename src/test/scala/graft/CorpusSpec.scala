@@ -347,6 +347,30 @@ class CorpusSpec extends SparkSpec {
     assert(byDoc(3L).map(_._2).toSet == Set("w", "common"))
   }
 
+  test("shardAssignment: total, deterministic, balanced hash ranges; degenerate shards=1") {
+    import spark.implicits._
+    val docs = (0L until 800L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Corpus.shardAssignment(docs, "doc_id", shards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out.length == 800, "every doc assigned exactly once")
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // md5 uniformity: each equal-width range gets ~100 docs (loose 3-sigma)
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.size == 8 && sizes.values.forall(n => n > 60 && n < 140), s"unbalanced: $sizes")
+    // order_key is the portable md5 and the assignment is pure function of id
+    assert(out.forall { case (id, _, k) =>
+      k == java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    })
+    val again = Corpus.shardAssignment(docs, "doc_id", shards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out.toSet == again.toSet)
+    // shards = 1: everything in shard 0, order key intact
+    val one = Corpus.shardAssignment(docs, "doc_id", shards = 1).collect()
+    assert(one.length == 800 && one.forall(_.getInt(1) == 0))
+    assertThrows[IllegalArgumentException](Corpus.shardAssignment(docs, "doc_id", 0))
+  }
+
   test("chunkDocuments: window starts, overlap, short tails, and edge sizes") {
     import spark.implicits._
     val w30 = (1 to 30).map(i => s"t$i").mkString(" ")

@@ -245,6 +245,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"one user-keyed shuffle (+AQE coalesce at most):\n$p")
   }
 
+  test("corpus_shards: assignment is a zero-exchange narrow projection") {
+    val p = planOf("corpus_shards")
+    assert(!p.contains("Exchange"), s"shard assignment must not shuffle:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one scan:\n$p")
+  }
+
   test("tokenize/shingle family: well-split input is NOT reshuffled; under-split input is") {
     import org.apache.spark.sql.functions.col
     // Many-file fixture: 8 parquet files on an 8-core session. File-split
