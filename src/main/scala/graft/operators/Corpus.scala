@@ -579,7 +579,14 @@ object Corpus {
     * .sortWithinPartitions($"order_key")` — ONE exchange and a
     * per-partition sort, never a global order-by — which at 100 TB is the
     * only affordable shape for "write N shuffled training shards". */
-  def shardAssignment(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+  def shardAssignment(df: DataFrame, idCol: String, shards: Int): DataFrame =
+    withShardColumns(df, idCol, shards)
+      .select(col(idCol).as("doc_id"), col("shard"), col("order_key"))
+
+  /** [[shardAssignment]]'s column form: appends (shard, order_key) to the
+    * FULL row — the shape a shard writer consumes without a join back
+    * ([[graft.sources.Sinks.writeTrainingShards]]). */
+  def withShardColumns(df: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
     val hex = md5(col(idCol).cast("string"))
     val h   = substring(hex, 1, 4)
@@ -588,7 +595,7 @@ object Corpus {
     val shardCol = bounds.zipWithIndex.reverse.foldLeft(lit(shards - 1): Column) {
       case (acc, (b, i)) => when(h < lit(b), lit(i)).otherwise(acc)
     }
-    df.select(col(idCol).as("doc_id"), shardCol.as("shard"), hex.as("order_key"))
+    df.withColumn("shard", shardCol).withColumn("order_key", hex)
   }
 
   /** Temperature-flattened source mixture (the multilingual/multi-source

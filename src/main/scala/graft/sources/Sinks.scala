@@ -41,6 +41,29 @@ object Sinks {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Deterministic training shards on disk — the write side of
+    * [[graft.operators.Corpus.shardAssignment]]: ONE hash exchange on the
+    * shard id, a WITHIN-partition sort on (shard, order_key), one
+    * directory per shard. Never a global order-by (at 100 TB a total sort
+    * is the unaffordable plan; per-shard order is what training loaders
+    * consume anyway) and no small-file spray (each task owns exactly its
+    * shard's directory). Re-running over the same input produces
+    * byte-identical shard membership and order. */
+  def writeTrainingShards(
+      df: DataFrame,
+      idCol: String,
+      shards: Int,
+      path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    graft.operators.Corpus
+      .withShardColumns(df, idCol, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("order_key"))
+      .write
+      .mode(mode)
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Morton (Z-order) value of two non-negative long columns: the low
     * `bitsPerCol` bits of each, bit-interleaved (a even positions, b odd).
     * Declarative shift/or chain — codegen'd, no UDF. */

@@ -107,4 +107,45 @@ class SinksSpec extends SparkSpec {
     assert(f.contains("dynamicpruning"), s"DPP subquery expected in partition filters:\n$f")
     assert(joined.count() > 0)
   }
+
+  test("training shards: one exchange + within-partition sort, per-shard order on disk") {
+    import spark.implicits._
+    val docs = Tables(spark, SharedSpark.sf0001).documents.select("doc_id", "text")
+    val dir  = Files.createTempDirectory("graft_shards_").toString + "/out"
+    // plan shape of the write-side frame: exactly ONE exchange (the shard
+    // hash repartition) and a NON-global sort — never a total order-by
+    val frame = graft.operators.Corpus
+      .withShardColumns(docs, "doc_id", 4)
+      .repartition(4, col("shard"))
+      .sortWithinPartitions(col("shard"), col("order_key"))
+    val p = frame.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1, s"one shard exchange only:\n$p")
+    // SortExec prints as `Sort [keys], <global>, 0`
+    assert(p.contains("], false, 0"), s"within-partition sort expected:\n$p")
+    assert(!p.contains("], true, 0"), s"must never plan a global sort:\n$p")
+
+    Sinks.writeTrainingShards(docs, "doc_id", shards = 4, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // shard membership is total and disjoint; within each FILE rows are
+    // ordered by order_key (what a training loader streams)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles().filter(_.getName.endsWith(".parquet"))
+      files.foreach { f =>
+        val keys = spark.read.parquet(f.getPath)
+          .select(md5(col("doc_id").cast("string")))
+          .collect().map(_.getString(0)).toSeq
+        assert(keys == keys.sorted, s"rows in ${f.getName} must be order_key-sorted")
+      }
+    }
+    // deterministic: a second write lands identical membership + order
+    val dir2 = Files.createTempDirectory("graft_shards2_").toString + "/out"
+    Sinks.writeTrainingShards(docs, "doc_id", shards = 4, dir2)
+    val a = spark.read.parquet(dir).select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = spark.read.parquet(dir2).select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
 }
