@@ -493,6 +493,58 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector, the k most-similar corpus vectors carrying a DIFFERENT label,
+    * below an optional cosine ceiling. The two filters are the standard
+    * contrastive-training recipe: a different label makes the pair a
+    * negative; the ceiling (`maxSim`) drops near-duplicates that are likely
+    * mislabeled positives rather than informative negatives.
+    *
+    * Same 100 TB shape as [[bruteTopK]]: queries broadcast, corpus streamed
+    * once, bounded-heap top-k per query — no corpus shuffle, no per-query
+    * sort of the scored set. The label predicate rides the broadcast join
+    * condition so rejected pairs never materialize. `maxSim` compares the
+    * round-6 cosine against a 7th-decimal-offset literal so the cut is
+    * FP-robust cross-engine. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      maxSim: Double = Double.MaxValue): DataFrame = {
+    val q = broadcast(
+      queries
+        .select(
+          col("vec_id").as("query_id"),
+          col("label").as("q_label"),
+          asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv"))))
+    val c = corpus
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    val scored = q
+      .join(c, col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("neg_label"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("neg_label"),
+        round(sim, 9).as("sim9"),
+        round(sim, 6).as("sim"))
+      .filter(col("sim") < lit(maxSim))
+    val top = graft.operators.TopK.perGroup(
+      scored,
+      groupCols = Seq("query_id"),
+      orderCols = Seq("sim9" -> false, "neighbor_id" -> true),
+      k = k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim9").desc, col("neighbor_id"))
+    top
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"), col("sim"), col("rn"))
+  }
+
   /** Embedding near-dup pairs, exact: ALL pairs with cosine >= threshold via
     * an O(n²·d) self-join. This is the oracle/baseline path — correct at any
     * threshold, affordable only for small n (thousands). [[cosineDupPairs]]

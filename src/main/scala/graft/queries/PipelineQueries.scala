@@ -778,6 +778,28 @@ object PipelineQueries {
       Similarity.knnClassify(emb, emb.filter(col("vec_id") < 32), k = 10)
     },
 
+    // ------------------------------------------- hard-negative mining
+    // Contrastive-training data: for each query vector, the 10 most-similar
+    // corpus vectors with a DIFFERENT label, capped below the near-dup
+    // band (round-6 cosine < 0.4000005 — the dedup_embedding_cosine
+    // threshold with the 7th-decimal guard) so likely-mislabeled positives
+    // are excluded. Same broadcast+bounded-heap shape as ann_brute_topk.
+    Q(
+      "ann_hard_negatives",
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
+        c AS (SELECT vec_id AS neighbor_id, label AS neg_label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        s AS (SELECT query_id, neighbor_id, neg_label, list_cosine_similarity(qv, cv) AS sim
+              FROM q JOIN c ON query_id <> neighbor_id AND q_label <> neg_label),
+        r AS (SELECT query_id, neighbor_id, neg_label, round(sim, 6) AS sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rn
+              FROM s WHERE round(sim, 6) < 0.4000005)
+        SELECT query_id, neighbor_id, neg_label, sim, rn FROM r WHERE rn <= 10
+      """)) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 16), k = 10, maxSim = 0.4000005)
+    },
+
     // --------------------------------------------- ANN: IVF (k-means cells)
     // Approximate by construction -> rows-only; spec pins recall >= 0.9 at
     // these settings (ProfileAnn-tuned; cells are COSINE cells — the

@@ -28,6 +28,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: different label, below ceiling, exact top-k among eligible") {
+    val cap = 0.4000005
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 4), k = 5, maxSim = cap).collect()
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 5)
+      rows.foreach { r =>
+        assert(r.getInt(2) == labels(r.getLong(1)))       // neg_label is the corpus label
+        assert(r.getInt(2) != labels(qid))                // never the query's own label
+        assert(r.getDouble(3) < cap)                      // ceiling enforced
+      }
+    }
+    // cross-check vs the exact path: bruteTopK over the full corpus with the
+    // label/ceiling filters applied post-hoc must agree on the top-5 sets
+    // when k is large enough that filtering never exhausts the shortlist.
+    val brute = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 4), k = 400).collect()
+    byQ.foreach { case (qid, rows) =>
+      val expect = brute.filter(_.getLong(0) == qid)
+        .filter(r => labels(r.getLong(1)) != labels(qid) && r.getDouble(2) < cap)
+        .sortBy(_.getInt(3)).take(5).map(_.getLong(1)).toSet
+      assert(rows.map(_.getLong(1)).toSet == expect)
+    }
+  }
+
   test("lshTopK recall against bruteTopK is >= 0.9 at the shipped settings") {
     val queries = emb.filter(col("vec_id") < 8)
     val brute = Similarity
