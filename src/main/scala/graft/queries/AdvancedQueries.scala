@@ -276,6 +276,54 @@ object AdvancedQueries {
       """)
     },
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers by
+    // balance per nation. Exercises Catalyst's DecorrelateInnerQuery — the
+    // correlated limit decorrelates to a partitioned rank, so the plan is
+    // the same bounded per-group selection the DataFrame top-k queries use,
+    // arrived at from plain SQL. Tie-broken on c_custkey; raw column values
+    // pass the hash compare exactly (no arithmetic).
+    Q(
+      "sql_lateral_topk",
+      Some("""
+        SELECT n_name, c_custkey, c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.nation.createOrReplaceTempView("nation_v")
+      t.customer.createOrReplaceTempView("customer_v")
+      spark.sql("""
+        SELECT n_name, c_custkey, c_acctbal
+        FROM nation_v JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_v
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      """)
+    },
+
+    // Correlated scalar subquery: each customer's maximal-price order(s).
+    // Exercises RewriteCorrelatedScalarSubquery (aggregate-then-join
+    // decorrelation). MAX involves no arithmetic, so the equality on raw
+    // parquet doubles is engine-exact.
+    Q(
+      "sql_scalar_subquery",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+      """)) { (spark, dir) =>
+      Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+      spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+      """)
+    },
+
     // ------------------------------------- custom top-k-per-group operator
     // The graft.plans custom physical operator in the correctness gate:
     // same row set as the window formulation (the oracle), executed with
