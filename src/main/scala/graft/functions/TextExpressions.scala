@@ -112,9 +112,48 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Unicode NFC normalization — Spark ships no normalize builtin, so this is
+  * a codegen'd wrapper over `java.text.Normalizer`. The already-normalized
+  * fast path (true for all-ASCII corpora) returns the input UTF8String
+  * without allocating; only strings containing combining sequences pay the
+  * String round-trip. Oracle parity: DuckDB's `nfc_normalize`. */
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      x => {
+        val s = ctx.freshName("s")
+        s"""
+        |final String $s = $x.toString();
+        |${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
+        |  ? $x
+        |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+        |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+        """.stripMargin
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Whole-string Karp–Rabin digest — codegen'd exact-dedup key. */
   def roll_hash(c: Column): Column = Bridge.column(RollHash(Bridge.expression(c)))
+
+  /** Unicode NFC normalization (codegen'd; no-alloc fast path on
+    * already-normalized input). */
+  def nfc_normalize(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
 
   /** Winnowing fingerprint set (distinct array<long>) of a text column. */
   def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 16): Column =

@@ -296,6 +296,25 @@ object Corpus {
   def matchCount(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0)))
 
+  /** Canonical text normalization — the first pass of every corpus-cleaning
+    * pipeline, one narrow codegen'd projection (no shuffle, no UDF):
+    *  1. Unicode NFC (codegen'd [[graft.functions.NfcNormalize]]; no-alloc
+    *     on already-normalized input) so byte-level dedup keys and n-grams
+    *     agree across differently-encoded copies of the same text;
+    *  2. zero-width/invisible characters removed (ZWSP/ZWNJ/ZWJ/word-joiner/
+    *     BOM/soft-hyphen — the classic dedup-evading payload);
+    *  3. every control (Cc) and Unicode space-separator (Zs) folded to a
+    *     plain space — regex classes stay in the RE2 ∩ Java subset, so the
+    *     same rules run on any engine (Java \s and RE2 \s disagree on VT;
+    *     \p{Cc} sidesteps that);
+    *  4. runs of spaces collapsed, ends trimmed. */
+  def normalizeText(c: Column): Column = {
+    val nfc     = graft.functions.TextFunctions.nfc_normalize(c)
+    val visible = regexp_replace(nfc, "[\u200B\u200C\u200D\u2060\uFEFF\u00AD]", "")
+    val spaced  = regexp_replace(visible, "[\\p{Cc}\\p{Zs}]", " ")
+    trim(regexp_replace(spaced, " +", " "))
+  }
+
   /** Concat-and-chunk sequence packing: assign every document the training
     * context window ("pack") its FIRST token lands in, under the scheme that
     * concatenates a shard's documents in `idCol` order and slices the token

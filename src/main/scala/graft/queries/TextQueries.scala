@@ -347,6 +347,35 @@ object TextQueries {
           md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
     },
 
+    // Canonical normalization (Corpus.normalizeText): NFC + invisible-char
+    // removal + control/space folding + collapse. The corpus is ASCII, so
+    // the query PLANTS the mess deterministically — a decomposed A+combining
+    // acute (NFC composes it), a zero-width space, a BEL control, double
+    // no-break spaces — and both engines must land on identical cleaned
+    // bytes (md5) and length. Spark side is one codegen'd projection
+    // (NfcNormalize expression — no UDF); DuckDB replays via nfc_normalize.
+    Q(
+      "text_normalize",
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 'A' || chr(769) || chr(8203) || chr(7) || text || chr(160) || chr(160) || ' end' AS messy
+          FROM documents),
+        n AS (SELECT doc_id, nfc_normalize(messy) AS s FROM m),
+        i AS (SELECT doc_id, regexp_replace(s, '[' || chr(8203) || chr(8204) || chr(8205) || chr(8288) || chr(65279) || chr(173) || ']', '', 'g') AS s FROM n),
+        c AS (SELECT doc_id, regexp_replace(s, '[\p{Cc}\p{Zs}]', ' ', 'g') AS s FROM i),
+        f AS (SELECT doc_id, trim(regexp_replace(s, ' +', ' ', 'g')) AS s FROM c)
+        SELECT doc_id, length(s) AS n_clean, md5(s) AS fp FROM f
+      """)) { (spark, dir) =>
+      val messy = concat(
+        lit("A\u0301\u200B\u0007"),
+        col("text"),
+        lit("\u00A0\u00A0 end"))
+      val clean = Corpus.normalizeText(messy)
+      Tables(spark, dir).documents
+        .select(col("doc_id"), length(clean).as("n_clean"), md5(clean).as("fp"))
+    },
+
     // Gopher-style repetition signals (Rae et al. 2021 App. A): duplicate
     // token/bigram fractions plus the most-frequent-token share — the
     // filters that cut boilerplate/spam before training. Ratios are IEEE

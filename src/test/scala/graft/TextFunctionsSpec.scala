@@ -18,6 +18,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.sameElements(inputs.map(rollRef)))
   }
 
+  test("nfc_normalize + normalizeText: compose, strip invisibles, fold controls, collapse") {
+    import spark.implicits._
+    val decomposed = "e\u0301"                       // e + combining acute
+    val composed   = "\u00e9"                        // NFC single codepoint
+    val messy      = "a\u200Bbc \u00A0 d\te\r\n " + decomposed
+    val out = Seq(messy, "plain text", "", "  already  spaced  ")
+      .toDF("t")
+      .select(
+        TextFunctions.nfc_normalize(col("t")).as("nfc"),
+        graft.operators.Corpus.normalizeText(col("t")).as("clean"))
+      .collect()
+    assert(out(0).getString(0).endsWith(composed))     // NFC composed
+    assert(out(0).getString(1) == "abc d e " + composed) // ZWSP removed, controls/nbsp->space, collapsed
+    assert(out(1).getString(1) == "plain text")        // ASCII passes untouched
+    assert(out(2).getString(1) == "")                  // empty stays empty
+    assert(out(3).getString(1) == "already spaced")    // collapse + trim
+    // idempotence: normalizing a normalized string is the identity
+    val once  = Seq(messy).toDF("t").select(graft.operators.Corpus.normalizeText(col("t")).as("c"))
+    val twice = once.select(graft.operators.Corpus.normalizeText(col("c")).as("c2")).collect()
+    assert(twice(0).getString(0) == out(0).getString(1))
+    // null-safe
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(graft.operators.Corpus.normalizeText(col("t"))).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("winnow fingerprints: deterministic, distinct, and substring-sharing") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running ahead"
