@@ -315,6 +315,55 @@ object Corpus {
     trim(regexp_replace(spaced, " +", " "))
   }
 
+  /** C4/RefinedWeb-style line-level boilerplate removal: a line that occurs
+    * in `minDf` or more DISTINCT documents is navigation/cookie-banner/
+    * footer chrome, not content — remove it from every document it appears
+    * in (C4 §2.2 "three-sentence span seen more than once" is the span
+    * variant, [[dedupNgramSpans]]; this is the line-level pass RefinedWeb
+    * runs first). Blank lines are dropped. A document whose every line is
+    * boilerplate disappears from the output entirely.
+    *
+    * Scale shape (the 100 TB pass):
+    *  1. one narrow posexplode into (doc, pos, line) rows — no shuffle
+    *     (spread-gated for under-split local inputs);
+    *  2. line document-frequency on the 64-bit line hash — ONE exchange,
+    *     partial-aggregated map-side;
+    *  3. the HOT set (lines at/over `minDf`) is tiny by construction —
+    *     boilerplate is by definition few distinct strings — so it
+    *     broadcasts as a LeftAnti; the keep-set never ships anywhere
+    *     (same discipline as [[graft.operators.Dedup.lshCandidates]]'
+    *     bucket cap);
+    *  4. reassembly groups by document — the second and last exchange —
+    *     folding surviving lines in position order (array_sort on the
+    *     (pos, line) struct: exact, order-fixed, oracle-replayable).
+    *
+    * Hash-vs-text note: DF is computed on `xxhash64(line)`; a 64-bit
+    * collision between a hot and a cold line would mis-drop the cold one
+    * (probability ~n²/2⁶⁴ — negligible; the DuckDB oracle groups on the
+    * line text itself and hash-matches, witnessing no collision at test
+    * scale). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = spreadSmallInput(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col(idCol), col("pos"), col("line"), xxhash64(col("line")).as("h"))
+    val hot = lines
+      .groupBy("h")
+      .agg(countDistinct(col(idCol)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("h")
+    val kept = lines.join(broadcast(hot), Seq("h"), "left_anti")
+    kept
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(
+          "\n",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as(textCol))
+  }
+
   /** Concat-and-chunk sequence packing: assign every document the training
     * context window ("pack") its FIRST token lands in, under the scheme that
     * concatenates a shard's documents in `idCol` order and slices the token

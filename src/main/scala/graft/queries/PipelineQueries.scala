@@ -159,6 +159,48 @@ object PipelineQueries {
       Dedup.exact(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // ------------------------------------- line-level boilerplate removal
+    // Corpus.lineDedup (C4/RefinedWeb line pass). The corpus has no
+    // newlines, so the query PLANTS the chrome deterministically: a cookie
+    // banner + copyright footer on every document (corpus-wide DF → always
+    // removed) and a per-source nav line (DF = docs-per-source — removed
+    // exactly when the source clears minDf, which the oracle replays).
+    // The content line survives unless the text itself is a ≥minDf exact
+    // duplicate. Output hashes the reassembled document byte-for-byte.
+    Q(
+      "dedup_lines",
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 'ACCEPT COOKIES TO CONTINUE' || chr(10) || text || chr(10) ||
+                 'nav: ' || source || chr(10) || '(c) example.com all rights reserved' AS t
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+                 unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos,
+                 unnest(string_split(t, chr(10))) AS line
+          FROM m),
+        ne AS (SELECT * FROM e WHERE length(trim(line)) > 0),
+        ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM ne GROUP BY line),
+        keep AS (SELECT ne.doc_id, ne.pos, ne.line
+                 FROM ne JOIN ldf USING (line) WHERE ldf.line_df < 10),
+        r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+              FROM keep GROUP BY doc_id)
+        SELECT doc_id, length(t) AS n_clean, md5(t) AS fp FROM r
+      """)) { (spark, dir) =>
+      val messy = Tables(spark, dir).documents.select(
+        col("doc_id"),
+        concat(
+          lit("ACCEPT COOKIES TO CONTINUE\n"),
+          col("text"),
+          lit("\nnav: "),
+          col("source"),
+          lit("\n(c) example.com all rights reserved")).as("text"))
+      Corpus
+        .lineDedup(messy, "doc_id", "text", minDf = 10)
+        .select(col("doc_id"), length(col("text")).as("n_clean"), md5(col("text")).as("fp"))
+    },
+
     // ----------------------------------------- exact n-gram Jaccard dedup
     // Inverted shingle-index join — the exact-semantics path (uncapped DF).
     Q(

@@ -39,6 +39,33 @@ class CorpusSpec extends SparkSpec {
     assert(joined.filter(col("ed") =!= col("hd") || col("eo") =!= col("ho")).count() == 0)
   }
 
+  test("lineDedup: boilerplate lines removed everywhere, order kept, all-chrome docs vanish") {
+    val boiler = "ACCEPT COOKIES"
+    val df = Seq(
+      (1L, s"$boiler\nunique alpha\n\n  \nunique beta"),
+      (2L, s"$boiler\nunique gamma"),
+      (3L, s"unique delta\n$boiler"),
+      (4L, boiler),                    // every line is chrome -> doc dropped
+      (5L, s"twice in one doc\n$boiler\n$boiler\nunique eps"))
+      .toDF("doc_id", "text")
+    val out = Corpus
+      .lineDedup(df, "doc_id", "text", minDf = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // boiler appears in 5 distinct docs (within-doc repeat counts once) >= 4
+    assert(out == Map(
+      1L -> "unique alpha\nunique beta", // blank/whitespace lines dropped too
+      2L -> "unique gamma",
+      3L -> "unique delta",
+      5L -> "twice in one doc\nunique eps"))
+    // below the threshold nothing is touched (blank-line drop aside)
+    val loose = Corpus.lineDedup(df, "doc_id", "text", minDf = 6).collect()
+    assert(loose.length == 5)
+    assert(
+      loose.map(r => r.getLong(0) -> r.getString(1)).toMap.apply(4L) == boiler)
+  }
+
   test("evalOverlap: planted overlap found, eval docs never self-report, zero-overlap docs absent") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"), // shares the 8-gram prefix
