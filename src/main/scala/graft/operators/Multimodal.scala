@@ -199,6 +199,102 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for RIFF/WAVE audio through the JDK's own
+    * `javax.sound.sampled` parser (the WAVE file reader ships with the JDK
+    * and needs no audio device — the "no media libs" constraint doesn't
+    * bind for WAV either; MP3/MP4 remain [[FakeCodec]]). Feature contract
+    * mirrors [[ImageIoCodec]] with the audio analog of dimensions:
+    * `width` = sample rate (Hz), `height` = channel count, `nFrames` =
+    * sample frames; `features` = `bands` equal slices of the
+    * channel-INTERLEAVED 16-bit sample stream in frame order (sample k =
+    * frame·channels + channel), each emitting its integer-sum mean —
+    * deterministic arithmetic an external oracle replays from the sample
+    * formula. Only 16-bit signed PCM is accepted; anything else — or a
+    * truncated/corrupt RIFF — fails loudly, never fabricates features. */
+  final class WavCodec(bands: Int = 8) extends Codec {
+    require(bands > 0, "bands must be positive")
+
+    override def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"WavCodec: $msg (media_id=$mediaId)")
+      val ais =
+        try
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            fail(s"not a parseable audio container: ${e.getMessage}")
+          case e: java.io.IOException => fail(s"decode error: ${e.getMessage}")
+        }
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        fail(s"only signed PCM supported, got ${fmt.getEncoding}")
+      if (fmt.getSampleSizeInBits != 16)
+        fail(s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+      val channels = fmt.getChannels
+      val bytes =
+        try ais.readAllBytes()
+        catch { case e: java.io.IOException => fail(s"raster read error: ${e.getMessage}") }
+      if (bytes.length % (2 * channels) != 0)
+        fail(s"truncated PCM payload: ${bytes.length} bytes for $channels channel(s)")
+      val n = bytes.length / 2 // interleaved 16-bit samples
+      def sample(k: Int): Int =
+        if (fmt.isBigEndian) (bytes(2 * k) << 8) | (bytes(2 * k + 1) & 0xff)
+        else (bytes(2 * k + 1) << 8) | (bytes(2 * k) & 0xff)
+      val feats = new Array[Float](bands)
+      var b = 0
+      while (b < bands) {
+        val from = (b.toLong * n / bands).toInt
+        val to   = ((b + 1).toLong * n / bands).toInt
+        var s = 0L
+        var k = from
+        while (k < to) { s += sample(k); k += 1 }
+        feats(b) = if (to > from) (s.toDouble / (to - from)).toFloat else 0f
+        b += 1
+      }
+      MediaFeatures(
+        mediaId,
+        "audio",
+        width = fmt.getSampleRate.toInt,
+        height = channels,
+        nFrames = n / channels,
+        features = feats)
+    }
+  }
+
+  /** Deterministic synthetic PCM clip ENCODED AS A REAL WAV — the fixture
+    * generator for [[WavCodec]]'s gate query, same discipline as
+    * [[syntheticImage]]: sample values are a pure integer function of
+    * (frame, channel, id), so an external oracle computes expected band
+    * means from the FORMULA while the engine side really writes a RIFF
+    * container with `AudioSystem.write` and decodes it back through the
+    * codec. Any decode defect (endianness, header skip, channel
+    * interleave) breaks the comparison. */
+  def syntheticWav(id: Int, sampleRate: Int, nFrames: Int, channels: Int): Array[Byte] = {
+    val total = nFrames * channels
+    val data  = new Array[Byte](total * 2)
+    var k = 0
+    while (k < total) {
+      val frame = k / channels
+      val ch    = k % channels
+      val s     = ((frame * (13 + id) + ch * 7919) % 4093) - 2046
+      data(2 * k) = (s & 0xff).toByte          // little-endian 16-bit
+      data(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data),
+      fmt,
+      nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      baos)
+    baos.toByteArray
+  }
+
   /** Deterministic synthetic RGB test card ENCODED AS A REAL PNG/BMP —
     * the fixture generator for [[ImageIoCodec]]'s gate query: pixel
     * channels are pure integer functions of (x, y, id), so an external

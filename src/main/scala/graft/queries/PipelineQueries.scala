@@ -1148,6 +1148,58 @@ object PipelineQueries {
           col("width").cast("int").as("width"),
           col("height").cast("int").as("height"),
           posexplode(col("features")).as(Seq("band", "mean_px")))
+    },
+
+    // REAL audio decode through the JDK's own RIFF/WAVE parser: each row
+    // ENCODES a deterministic PCM clip with AudioSystem.write (a genuine
+    // WAV container, executor-side) and WavCodec parses it back through
+    // javax.sound.sampled. Sample values are a pure integer function of
+    // (frame, channel, id) — mono and stereo alternate by id — so the
+    // oracle computes expected rate/channels/frames + band means from the
+    // FORMULA; any decode defect (endianness, header skip, channel
+    // interleave, banding) breaks the comparison. Integer sums / count on
+    // both sides → float compare exact.
+    Q(
+      "multimodal_decode_wav",
+      Some("""
+        WITH d AS (SELECT CAST(doc_id AS INT) AS id FROM documents WHERE doc_id < 64),
+        dims AS (SELECT id, 400 + (id % 5) * 160 AS nf, 1 + id % 2 AS ch FROM d),
+        samp AS (SELECT id, nf, ch, nf * ch AS n, unnest(range(0, nf * ch)) AS k FROM dims),
+        px AS (SELECT id, nf, ch, n, k,
+                      CAST((8 * k + 7) // n AS INT) AS band,
+                      (CAST(k // ch AS INT) * (13 + id) + CAST(k % ch AS INT) * 7919) % 4093 - 2046 AS p
+               FROM samp),
+        s AS (SELECT id, nf, ch, band, SUM(p) AS bsum, COUNT(*) AS cnt FROM px GROUP BY 1, 2, 3, 4)
+        SELECT id AS media_id, 8000 AS sample_rate, ch AS channels, nf AS n_frames, band,
+               CAST(CAST(bsum AS DOUBLE) / cnt AS REAL) AS mean_amp
+        FROM s
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val media = Tables(spark, dir).documents
+        .select(col("doc_id").cast("int").as("id"))
+        .filter(col("id") < 64)
+        .as[Int]
+        .mapPartitions { it =>
+          it.map { id =>
+            (
+              id.toLong,
+              "audio",
+              Multimodal.syntheticWav(id, 8000, 400 + (id % 5) * 160, 1 + id % 2))
+          }
+        }
+        .toDF("media_id", "kind", "payload")
+      Multimodal
+        .decodeFeatures(
+          Multimodal.ingest(media, "media_id", "kind", "payload"),
+          () => new Multimodal.WavCodec(bands = 8))
+        .toDF()
+        .select(
+          col("mediaId").as("media_id"),
+          col("width").cast("int").as("sample_rate"), // decoded rate, not replanted
+
+          col("height").cast("int").as("channels"),
+          col("nFrames").cast("int").as("n_frames"),
+          posexplode(col("features")).as(Seq("band", "mean_amp")))
     }
   )
 }

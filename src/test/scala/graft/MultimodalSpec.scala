@@ -126,6 +126,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: real WAV roundtrips recover rate/channels/frames + formula-exact band means") {
+    val codec = new Multimodal.WavCodec(bands = 8)
+    for (id <- Seq(0, 7, 63)) {
+      val (nf, ch) = (400 + (id % 5) * 160, 1 + id % 2)
+      val f = codec.decode(id.toLong, "audio", Multimodal.syntheticWav(id, 8000, nf, ch))
+      assert(f.width == 8000 && f.height == ch && f.nFrames == nf && f.features.length == 8)
+      val n = nf * ch
+      val expected = (0 until 8).map { b =>
+        val (from, to) = (b * n / 8, (b + 1) * n / 8)
+        val s = (from until to).map { k =>
+          ((k / ch) * (13 + id) + (k % ch) * 7919) % 4093 - 2046
+        }.map(_.toLong).sum
+        (s.toDouble / (to - from)).toFloat
+      }
+      assert(f.features.toSeq == expected, s"id=$id")
+    }
+  }
+
+  test("WavCodec: non-audio and unsupported-depth payloads fail loudly") {
+    val codec = new Multimodal.WavCodec()
+    val e1 = intercept[IllegalArgumentException](
+      codec.decode(9L, "audio", "not audio at all".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("not a parseable audio container"))
+    // real container, wrong depth: 8-bit WAV (PCM_UNSIGNED per the RIFF
+    // spec) must be rejected at the encoding check, not guessed at
+    val data = Array.tabulate[Byte](64)(i => i.toByte)
+    val fmt  = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 64L)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem
+      .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val e2 = intercept[IllegalArgumentException](codec.decode(10L, "audio", baos.toByteArray))
+    assert(e2.getMessage.contains("signed PCM"))
+  }
+
   test("ImageIoCodec: non-image bytes fail loudly") {
     val e = intercept[IllegalArgumentException](
       new Multimodal.ImageIoCodec().decode(9L, "image", "not an image".getBytes("US-ASCII")))
