@@ -324,6 +324,35 @@ object AdvancedQueries {
       """)
     },
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop execution): walk
+    // each doc_id up the implicit binary tree (node -> node div 2) to the
+    // root, then aggregate depth and the exact ancestor-id sum. Iteration
+    // count is log2(max id) (~17 at sf0.1) and the working set stays
+    // linear in the table — the shape a hierarchy/BOM walk has at scale.
+    // Pure integer arithmetic -> engine-exact; only the integer-division
+    // spelling differs per dialect (DIV vs //).
+    Q(
+      "sql_recursive_cte",
+      Some("""
+        WITH RECURSIVE anc(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents
+          UNION ALL
+          SELECT doc_id, node // 2, depth + 1 FROM anc WHERE node > 0)
+        SELECT doc_id, MAX(depth) AS tree_depth,
+               CAST(SUM(node) AS BIGINT) AS path_sum
+        FROM anc GROUP BY doc_id
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents.createOrReplaceTempView("documents_v")
+      spark.sql("""
+        WITH RECURSIVE anc(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents_v
+          UNION ALL
+          SELECT doc_id, node DIV 2, depth + 1 FROM anc WHERE node > 0)
+        SELECT doc_id, MAX(depth) AS tree_depth, SUM(node) AS path_sum
+        FROM anc GROUP BY doc_id
+      """)
+    },
+
     // ------------------------------------- custom top-k-per-group operator
     // The graft.plans custom physical operator in the correctness gate:
     // same row set as the window formulation (the oracle), executed with
