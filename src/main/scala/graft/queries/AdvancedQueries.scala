@@ -408,6 +408,46 @@ object AdvancedQueries {
           round(col("sum_value"), 6).as("sum_value"))
     },
 
+    // Native session windows: the BUILT-IN session_window operator (the
+    // streaming-capable path with state-store session merging) on the same
+    // events — a different engine surface than the lag-islands sessionizer
+    // above. Boundary semantics differ from lag-islands by design: a
+    // session window is [ts, ts+gap), so an event landing EXACTLY gap
+    // after its predecessor starts a NEW session (split at diff >= gap,
+    // not > gap) and session_end = last ts + gap; the oracle replays
+    // exactly that. Same two-exchange shape: one keyed shuffle into the
+    // session assignment, one into the per-session aggregate.
+    Q(
+      "events_session_window",
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, ts, value,
+                 SUM(CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) >= 1800000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM y GROUP BY user_id, sid
+      """)) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events").cast("long").as("n_events"),
+          col("sum_value"))
+    },
+
     // ------------------------------------------------------- as-of join
     // For every purchase event: the user's most recent STRICTLY PRIOR
     // signup/login time (event-time as-of self-join via one window pass).
