@@ -315,6 +315,40 @@ object Corpus {
     trim(regexp_replace(spaced, " +", " "))
   }
 
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb filter the
+    * ratio heuristics can't replace): zlib-deflate the UTF-8 text at a
+    * FIXED configuration (level 6, raw stream — no header/checksum
+    * variance) and report deflated/raw bytes. Machine-generated spam and
+    * template boilerplate compress far below natural prose, and the signal
+    * is robust to the token-level tricks that fool word-ratio filters.
+    * A UDF is unavoidable (no zlib in Catalyst, none in any SQL oracle —
+    * hence rows-only gating with a property-pinned spec), but the op stays
+    * a narrow zero-shuffle projection; empty text defines ratio = 1.0.
+    * Deterministic for a fixed zlib implementation (the JDK's), which is
+    * what reproducible corpus recipes pin anyway. */
+  private lazy val deflateRatioUdf =
+    udf { (s: String) =>
+      if (s == null) None
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (raw.isEmpty) Some(1.0)
+        else {
+          val d = new java.util.zip.Deflater(6, true)
+          try {
+            d.setInput(raw)
+            d.finish()
+            val buf   = new Array[Byte](8192)
+            var total = 0L
+            while (!d.finished()) total += d.deflate(buf)
+            Some(total.toDouble / raw.length)
+          } finally d.end()
+        }
+      }
+    }
+
+  /** Deflated-bytes / raw-bytes of a text column — see [[deflateRatioUdf]]. */
+  def deflateRatio(c: Column): Column = deflateRatioUdf(c)
+
   /** C4/RefinedWeb-style line-level boilerplate removal: a line that occurs
     * in `minDf` or more DISTINCT documents is navigation/cookie-banner/
     * footer chrome, not content — remove it from every document it appears

@@ -376,6 +376,23 @@ object TextQueries {
         .select(col("doc_id"), length(clean).as("n_clean"), md5(clean).as("fp"))
     },
 
+    // Compression-ratio quality signal (Corpus.deflateRatio): zlib-deflate
+    // at fixed level 6 raw, deflated/raw bytes. No SQL engine exposes
+    // zlib, so this is rows-only; CorpusSpec pins the properties that make
+    // the signal a filter (repetition compresses away, 4x-repeated text
+    // drops the ratio, determinism, empty/null contract). The rep4 column
+    // witnesses the separation ON the gate data itself: every row must
+    // satisfy ratio_rep4 < ratio.
+    Q("text_compression_ratio", None) { (spark, dir) =>
+      val rep4 = concat(col("text"), lit(" "), col("text"), lit(" "), col("text"), lit(" "), col("text"))
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          round(Corpus.deflateRatio(col("text")), 6).as("ratio"),
+          round(Corpus.deflateRatio(rep4), 6).as("ratio_rep4"))
+        .filter(col("ratio_rep4") < col("ratio"))
+    },
+
     // Gopher-style repetition signals (Rae et al. 2021 App. A): duplicate
     // token/bigram fractions plus the most-frequent-token share — the
     // filters that cut boilerplate/spam before training. Ratios are IEEE

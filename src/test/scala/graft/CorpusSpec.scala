@@ -39,6 +39,37 @@ class CorpusSpec extends SparkSpec {
     assert(joined.filter(col("ed") =!= col("hd") || col("eo") =!= col("ho")).count() == 0)
   }
 
+  test("deflateRatio: repetition compresses away, prose doesn't; deterministic; empty/null contract") {
+    val uniqueWords = (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val df = Seq(
+      ("aaaa" * 250, "flat"),
+      (("spam phrase " * 100).trim, "loop"),
+      (uniqueWords, "prose"),
+      ("", "empty"))
+      .toDF("text", "kind")
+      .select(col("kind"), Corpus.deflateRatio(col("text")).as("r"))
+    val r = df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("flat") < 0.05, s"constant text must collapse, got ${r("flat")}")
+    assert(r("loop") < r("prose"), "template spam must compress below unique prose")
+    assert(r("prose") > 0.3 && r("prose") <= 1.5)
+    assert(r("empty") == 1.0)
+    // repeating a document drops its ratio (the rep4 witness the gate uses)
+    val doc = docs.select(col("text")).limit(1).collect()(0).getString(0)
+    val both = Seq((doc, concat4(doc))).toDF("one", "four")
+      .select(Corpus.deflateRatio(col("one")), Corpus.deflateRatio(col("four")))
+      .collect()(0)
+    assert(both.getDouble(1) < both.getDouble(0))
+    // deterministic across runs and partitionings
+    val a = docs.select(col("doc_id"), Corpus.deflateRatio(col("text")).as("r")).collect()
+    val b = docs.repartition(7).select(col("doc_id"), Corpus.deflateRatio(col("text")).as("r")).collect()
+    assert(a.map(x => x.getLong(0) -> x.getDouble(1)).toMap == b.map(x => x.getLong(0) -> x.getDouble(1)).toMap)
+    // null-safe
+    val n = Seq[Option[String]](None).toDF("text").select(Corpus.deflateRatio(col("text"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  private def concat4(s: String): String = s"$s $s $s $s"
+
   test("lineDedup: boilerplate lines removed everywhere, order kept, all-chrome docs vanish") {
     val boiler = "ACCEPT COOKIES"
     val df = Seq(

@@ -40,7 +40,8 @@ class QueriesSpec extends SparkSpec {
     "sketch_quantiles_price" -> "SketchSpec (2% rank error)",
     "sketch_union_daily"     -> "SketchSpec (union == single pass)",
     "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)",
-    "ann_recall_audit"  -> "SimilaritySpec (audit == independent overlap, recall >= 0.9/method)")
+    "ann_recall_audit"  -> "SimilaritySpec (audit == independent overlap, recall >= 0.9/method)",
+    "text_compression_ratio" -> "CorpusSpec (separation + determinism; in-query rep4 witness)")
 
   test("no query lacks both an oracle and a pinned rows-only spec") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
