@@ -333,6 +333,33 @@ object ExtendedQueries {
           size(map_keys(m)).as("n_keys"))
     },
 
+    // ------------------------------------------------------- VARIANT type
+    // Spark 4's semi-structured VARIANT: props parse ONCE into the binary
+    // variant encoding (parse_json), typed extraction via variant_get, and
+    // a per-type rollup — the open-schema ingestion path that replaces
+    // per-query string re-parsing at scale (parse once, extract many).
+    // Exact integer outputs; DuckDB replays through its JSON reader.
+    Q(
+      "json_variant_agg",
+      Some("""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_hot
+        FROM events GROUP BY event_type
+      """)) { (spark, dir) =>
+      val k = variant_get(parse_json(col("props")), "$.k", "long")
+      Tables(spark, dir).events
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") > 50, 1)).as("n_hot"))
+    },
+
     // ----------------------------------------------- array-type functions
     // Order-free exact reductions over the embedding arrays (min/max are
     // copies of stored floats — no arithmetic, no FP divergence).
