@@ -134,6 +134,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"overlap join must be a semi-join:\n$p")
   }
 
+  test("lineDedup: hot boilerplate set broadcasts as anti-join; no corpus-sized extra exchange") {
+    val p = planOf("dedup_lines")
+    assert(p.contains("BroadcastHashJoin"), s"hot line set must broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"removal must be an anti-join:\n$p")
+    // exchanges: line-hash DF aggregation + doc reassembly (+ the spread
+    // gate's repartition on the under-split test fixture); the keep-set
+    // itself must never be the build side of anything
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no cross-shaped fallback:\n$p")
+  }
+
   test("decontam bloom path: native probe (no UDF), shuffle semi-join verify") {
     val p = planOf("decontam_bloom")
     assert(p.contains("bloom_might_contain"), s"bloom probe must be the native expression:\n$p")

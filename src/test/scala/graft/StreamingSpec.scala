@@ -54,6 +54,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("native session_window streaming == batch session_window on the same input") {
+    // the same operator the events_session_window gate query runs in batch,
+    // here through the state-store session-merging streaming path (complete
+    // mode: every session emitted regardless of watermark). FP note as
+    // above — compare sums at cent precision.
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("ws"),
+        col("session_window.end").as("we"),
+        col("n"),
+        col("s"))
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime) ->
+          (r.getLong(3), math.round(r.getDouble(4) * 100)))
+      .toMap
+
+    val batch = keyed(sessions(events.select(col("user_id"), col("ts"), col("value"))).collect())
+    val sq = sessions(
+      EventStreams.readEventStream(spark, stagedDir).select(col("user_id"), col("ts"), col("value")))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sess_win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    val streamed = keyed(spark.table("sess_win_out").collect())
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val batch = EventStreams
       .purchasesAfterSignup(events, withinHours = 24)
