@@ -333,6 +333,52 @@ object ExtendedQueries {
           size(map_keys(m)).as("n_keys"))
     },
 
+    // ------------------------------------------- corrupt-record quarantine
+    // PERMISSIVE parsing with an explicit _corrupt_record column: at 100 TB
+    // some rows ARE malformed, and the job must quarantine and count them,
+    // not die (FAILFAST) or silently null them out. The query plants
+    // deterministic corruption (every 7th event loses its last two JSON
+    // bytes), parses with columnNameOfCorruptRecord, and audits per type:
+    // totals, corrupt counts, and the valid-only sum. DuckDB replays via
+    // json_valid + TRY_CAST.
+    Q(
+      "json_corrupt_audit",
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 7 = 0
+                      THEN substring(props, 1, CAST(length(props) AS INT) - 2)
+                      ELSE props END AS props
+          FROM events),
+        p AS (
+          SELECT event_type, json_valid(props) AS ok,
+                 CASE WHEN json_valid(props)
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+          FROM c)
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(CASE WHEN NOT ok THEN 1 END) AS BIGINT) AS n_corrupt,
+               CAST(SUM(k) AS BIGINT) AS sum_k_valid
+        FROM p GROUP BY event_type
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val corrupted = when(
+        pmod(col("event_id"), lit(7)) === 0,
+        expr("substring(props, 1, length(props) - 2)")).otherwise(col("props"))
+      val schema = new StructType().add("k", LongType).add("_corrupt_record", StringType)
+      val parsed = from_json(
+        corrupted,
+        schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record"))
+      Tables(spark, dir).events
+        .select(col("event_type"), parsed.as("p"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("p._corrupt_record").isNotNull, 1)).as("n_corrupt"),
+          sum(when(col("p._corrupt_record").isNull, col("p.k"))).as("sum_k_valid"))
+    },
+
     // ------------------------------------------------------- VARIANT type
     // Spark 4's semi-structured VARIANT: props parse ONCE into the binary
     // variant encoding (parse_json), typed extraction via variant_get, and
