@@ -313,15 +313,22 @@ object EventStreams {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
           .orderBy(col(tsCol).desc)
+        // mergeInto reads `latest` twice (delta ∪ anti-join) — persist the
+        // tiny per-batch reduction so the SOURCE is scanned once per
+        // trigger, not once per downstream branch (at scale, re-reading a
+        // micro-batch's files twice doubles ingest I/O for nothing)
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn")
-        val merged =
-          if (catalog.exists(table))
-            graft.operators.Cdc.mergeInto(catalog.readTable(table), latest, keys)
-          else latest
-        catalog.putTable(table, merged)
+          .persist()
+        try {
+          val merged =
+            if (catalog.exists(table))
+              graft.operators.Cdc.mergeInto(catalog.readTable(table), latest, keys)
+            else latest
+          catalog.putTable(table, merged)
+        } finally latest.unpersist()
       }
 
   /** Read a DIRECTORY of event parquet files as a stream, one file per
