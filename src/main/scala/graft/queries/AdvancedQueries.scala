@@ -324,6 +324,28 @@ object AdvancedQueries {
       """)
     },
 
+    // Null-aware anti-join: NOT IN over a NULLABLE subquery column is NOT
+    // a plain anti-join (one NULL in the list must empty the result —
+    // three-valued logic), so Catalyst plans its dedicated null-aware
+    // path. The list is null-free at runtime (so the result is non-empty
+    // and the compare meaningful) but nullable in schema, which is what
+    // forces the null-aware plan. Both engines implement ANSI semantics;
+    // raw key/column parity, no arithmetic.
+    Q(
+      "sql_null_aware_anti",
+      Some("""
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("customer_v")
+      t.orders.createOrReplaceTempView("orders_v")
+      spark.sql("""
+        SELECT c_custkey, c_nationkey FROM customer_v
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v WHERE o_totalprice > 200000)
+      """)
+    },
+
     // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop execution): walk
     // each doc_id up the implicit binary tree (node -> node div 2) to the
     // root, then aggregate depth and the exact ancestor-id sum. Iteration
