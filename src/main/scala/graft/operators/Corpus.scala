@@ -398,6 +398,32 @@ object Corpus {
             s => s.getField("line"))).as(textCol))
   }
 
+  /** Snapshot diff between two versions of a corpus: the change feed a
+    * continuously-refreshed training set needs before re-running the
+    * expensive downstream passes (dedup/decontam/tokenize touch only
+    * `added`/`changed` docs; `removed` ids tombstone out of the index).
+    * One full outer join on the id — the single shuffle — comparing a
+    * 128-bit content digest, never the text twice: (id, status) with
+    * status ∈ added | removed | changed (unchanged rows are dropped —
+    * at 100 TB the diff output must scale with the CHANGE, not the
+    * corpus). */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol).cast("binary")).as("__old_fp"))
+    val n = newDf.select(col(idCol), md5(col(textCol).cast("binary")).as("__new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        when(col("__old_fp").isNull, "added")
+          .when(col("__new_fp").isNull, "removed")
+          .when(col("__old_fp") =!= col("__new_fp"), "changed")
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
   /** Concat-and-chunk sequence packing: assign every document the training
     * context window ("pack") its FIRST token lands in, under the scheme that
     * concatenates a shard's documents in `idCol` order and slices the token

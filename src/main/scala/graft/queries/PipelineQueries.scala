@@ -159,6 +159,44 @@ object PipelineQueries {
       Dedup.exact(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // ------------------------------------------------ corpus snapshot diff
+    // Corpus.snapshotDiff: the change feed between two corpus versions.
+    // v2 is derived deterministically in-query (every 17th doc removed,
+    // every 13th survivor edited, every 29th re-added under a shifted id)
+    // and the diff must scale with the CHANGE, not the corpus: unchanged
+    // rows never leave the join. Oracle replays with direct text compare
+    // (the operator compares 128-bit digests — same verdicts).
+    Q(
+      "corpus_snapshot_diff",
+      Some("""
+        WITH v1 AS (SELECT doc_id, text FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+          FROM v1 WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 29 = 0),
+        j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.text AS t1, b.text AS t2
+              FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        SELECT doc_id,
+               CASE WHEN t1 IS NULL THEN 'added'
+                    WHEN t2 IS NULL THEN 'removed'
+                    WHEN t1 <> t2 THEN 'changed' END AS status
+        FROM j WHERE t1 IS NULL OR t2 IS NULL OR t1 <> t2
+      """)) { (spark, dir) =>
+      val v1 = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+      val kept = v1
+        .filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .withColumn(
+          "text",
+          when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      val added = v1
+        .filter(pmod(col("doc_id"), lit(29)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Corpus.snapshotDiff(v1, kept.unionByName(added), "doc_id", "text")
+    },
+
     // ------------------------------------- line-level boilerplate removal
     // Corpus.lineDedup (C4/RefinedWeb line pass). The corpus has no
     // newlines, so the query PLANTS the chrome deterministically: a cookie
