@@ -114,6 +114,47 @@ object Retrieval {
       .select(col("doc_id"), col("n_terms"), round(col("raw"), 6).as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of
+    * top-k rankings — BM25, ANN, keyword tf, whatever produced them — into
+    * one list by score(d) = Σ_lists 1/(c + rank_d). The hybrid-retrieval
+    * workhorse: rank-based, so wildly different score scales fuse without
+    * calibration.
+    *
+    * Inputs are (idCol, rankCol) frames with 1-based ranks. Determinism
+    * contract (the oracle hash-compares doubles): each contribution
+    * 1/(c+rank) is one IEEE-exact division of exact integers, and the
+    * per-doc sum folds in FIXED list order — never an unordered SUM;
+    * output score rounds to the usual 1e-6 grid, final ties break by id.
+    * Scale shape: the inputs are already bounded top-k lists, so this is
+    * a union of small frames, one id-keyed aggregation, and a bounded
+    * TakeOrderedAndProject cut — nothing corpus-sized moves. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && c >= 0, "k must be positive, c non-negative")
+    val tagged = rankings.zipWithIndex
+      .map { case (r, i) =>
+        r.select(col(idCol), lit(i).as("__list"), col(rankCol).cast("long").as("__rank"))
+      }
+      .reduce(_ unionByName _)
+    tagged
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lists"),
+        aggregate(
+          array_sort(collect_list(struct(col("__list"), col("__rank")))),
+          lit(0.0),
+          (acc, x) =>
+            acc + lit(1.0) / (lit(c.toDouble) + x.getField("__rank").cast("double"))).as("raw"))
+      .orderBy(col("raw").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_lists"), round(col("raw"), 6).as("rrf_score"))
+  }
+
   /** All 0- to maxDist-deletion variants of a word, distinct. maxDist is
     * bounded tiny (1–2) so the blow-up is O(L^maxDist) per word. */
   private[graft] def deletionVariants(w: String, maxDist: Int): Seq[String] = {

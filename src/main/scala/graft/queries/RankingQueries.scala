@@ -51,6 +51,64 @@ object RankingQueries {
         k = 25)
     },
 
+    // --------------------------------------- reciprocal-rank fusion
+    // Hybrid retrieval: the BM25 top-50 for the 4-term query fused with a
+    // keyword-tf top-50 for 'spark' via RRF (c=60). Ranks are assigned on
+    // the ROUNDED bm25 scores (ties by doc_id) so both engines rank
+    // identical inputs; each 1/(60+rank) contribution is IEEE-exact and
+    // the per-doc fold runs in fixed list order on both sides.
+    Q(
+      "retrieval_rrf_fusion",
+      Some("""
+        WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        tokd AS (SELECT doc_id, len(toks) AS len, unnest(toks) AS token FROM tok),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf, MIN(len) AS len FROM tokd
+               WHERE token IN ('agg','join','scan','shuffle') GROUP BY 1, 2),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS tot_len
+                  FROM documents),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        contrib AS (
+          SELECT tf.doc_id, tf.token,
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                   * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+                      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib
+          FROM tf, df, stats WHERE tf.token = df.token),
+        perdoc AS (SELECT doc_id, list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) AS raw
+                   FROM contrib GROUP BY doc_id),
+        bm AS (SELECT doc_id, ROUND(raw, 6) AS score FROM perdoc ORDER BY raw DESC, doc_id LIMIT 50),
+        ra AS (SELECT doc_id, 0 AS lst, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+        tfq AS (SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'), x -> x = 'spark')) AS tfs
+                FROM documents),
+        b0 AS (SELECT doc_id, tfs FROM tfq WHERE tfs > 0 ORDER BY tfs DESC, doc_id LIMIT 50),
+        rb AS (SELECT doc_id, 1 AS lst, row_number() OVER (ORDER BY tfs DESC, doc_id) AS rnk FROM b0),
+        u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+        f AS (SELECT doc_id, COUNT(*) AS n_lists,
+                     list_reduce(list(1.0 / (60.0 + CAST(rnk AS DOUBLE)) ORDER BY lst), (a, b) -> a + b) AS raw
+              FROM u GROUP BY doc_id)
+        SELECT doc_id, n_lists, ROUND(raw, 6) AS rrf_score
+        FROM f ORDER BY raw DESC, doc_id LIMIT 20
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val bm = Retrieval.bm25TopK(
+        docs, "doc_id", "text", terms = Seq("agg", "join", "scan", "shuffle"), k = 50)
+      val ra = bm.select(
+        col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+      val tfs = size(filter(split(col("text"), "\\s+"), x => x === lit("spark")))
+      val b0 = docs
+        .select(col("doc_id"), tfs.as("tfs"))
+        .filter(col("tfs") > 0)
+        .orderBy(col("tfs").desc, col("doc_id").asc)
+        .limit(50)
+      val rb = b0.select(
+        col("doc_id"),
+        row_number().over(Window.orderBy(col("tfs").desc, col("doc_id").asc)).as("rank"))
+      Retrieval.rrfFuse(Seq(ra, rb), "doc_id", "rank", k = 20)
+    },
+
     // --------------------------------------- edit-distance fuzzy join
     // All pairs of distinct part-name words within levenshtein <= 2.
     // Engine: FastSS deletion-neighborhood blocking + exact verify (never
