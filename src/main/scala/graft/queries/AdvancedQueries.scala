@@ -185,6 +185,56 @@ object AdvancedQueries {
         .trailingZScore(Tables(spark, dir).events, "user_id", "ts", "value", "event_id", window = 10)
     },
 
+    // ------------------------------------------------------- EWMA serving
+    // Final exponentially-weighted state per user (TimeSeries.ewmaFinal):
+    // s1 = v1, st = α·vt + (1−α)·st−1 folded in (ts, value) order. α =
+    // 0.125 and 1−α = 0.875 are exact binary doubles, every step is two
+    // correctly-rounded mults + one add in a fixed order, so the fold is
+    // bit-identical across engines before the final 1e-6 snap. DuckDB
+    // replays via list_reduce (its seedless first-element init IS s1 = v1;
+    // Spark mirrors with a null-seeded fold).
+    Q(
+      "events_ewma",
+      Some("""
+        SELECT user_id AS key, COUNT(*) AS n,
+               ROUND(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, value),
+                                 (a, b) -> 0.125 * b + 0.875 * a), 6) AS ewma
+        FROM events GROUP BY user_id
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries
+        .ewmaFinal(Tables(spark, dir).events, "user_id", "ts", "value", alpha = 0.125)
+    },
+
+    // -------------------------------------------- common-neighbor pairs
+    // Supplier pairs by shared customers (Graph.commonNeighborPairs over
+    // the order bipartite graph): the co-occurrence primitive behind
+    // item-item recommenders. Hub discipline: customers over 50 distinct
+    // suppliers are dropped BEFORE pairing (quadratic fan-out carries no
+    // pair-specific signal — the IDF argument), broadcast as a LeftAnti;
+    // the oracle replays the cap exactly. Top-100 by (shared, a, b) —
+    // all-integer, exact.
+    Q(
+      "graph_common_neighbors",
+      Some("""
+        WITH e AS (SELECT DISTINCT l_suppkey AS l, o_custkey AS r
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT r, COUNT(*) AS deg FROM e GROUP BY r),
+        cold AS (SELECT e.l, e.r FROM e JOIN deg USING (r) WHERE deg.deg <= 50),
+        p AS (SELECT x.l AS a, y.l AS b, COUNT(*) AS shared
+              FROM cold x JOIN cold y ON x.r = y.r AND x.l < y.l
+              GROUP BY 1, 2)
+        SELECT a, b, shared FROM p ORDER BY shared DESC, a, b LIMIT 100
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      graft.operators.Graph
+        .commonNeighborPairs(edges, "supp", "cust", maxDegree = 50)
+        .orderBy(col("shared").desc, col("a"), col("b"))
+        .limit(100)
+    },
+
     // -------------------------------------------------------- outer joins
     // LEFT OUTER with null-group handling: customers' 2001+ order counts,
     // zero (not missing) for inactive customers.
