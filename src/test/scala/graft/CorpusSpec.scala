@@ -39,6 +39,16 @@ class CorpusSpec extends SparkSpec {
     assert(joined.filter(col("ed") =!= col("hd") || col("eo") =!= col("ho")).count() == 0)
   }
 
+  test("snapshotDiff: added/removed/changed verdicts; identical snapshots diff to empty") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("doc_id", "text")
+    val diff = Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    assert(Corpus.snapshotDiff(v1, v1, "doc_id", "text").count() == 0)
+  }
+
   test("deflateRatio: repetition compresses away, prose doesn't; deterministic; empty/null contract") {
     val uniqueWords = (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
     val df = Seq(

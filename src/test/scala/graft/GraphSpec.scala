@@ -77,6 +77,27 @@ class GraphSpec extends SparkSpec {
     labels
   }
 
+  test("commonNeighborPairs: hand-checked counts; hub over the cap contributes nothing") {
+    import spark.implicits._
+    // suppliers 1,2,3 over customers 10,20,30; customer 99 is a hub all
+    // three touch
+    val edges = Seq(
+      (1L, 10L), (1L, 20L), (1L, 99L),
+      (2L, 10L), (2L, 20L), (2L, 30L), (2L, 99L),
+      (3L, 30L), (3L, 99L),
+      (2L, 10L) // duplicate edge must not double-count
+    ).toDF("supp", "cust")
+    def pairsWithCap(cap: Int) = Graph
+      .commonNeighborPairs(edges, "supp", "cust", maxDegree = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // cap 2: customer 99 (degree 3) is dropped; shared counts from 10,20,30
+    assert(pairsWithCap(2) == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L))
+    // cap 3: the hub participates and every pair gains one
+    assert(pairsWithCap(3) == Map((1L, 2L) -> 3L, (2L, 3L) -> 2L, (1L, 3L) -> 1L))
+  }
+
   test("labelPropagation: bridge between two triangles splits into two communities") {
     import spark.implicits._
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "t")

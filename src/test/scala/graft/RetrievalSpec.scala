@@ -48,6 +48,21 @@ class RetrievalSpec extends SparkSpec {
 
   // --------------------------------------------- FastSS fuzzy word join
 
+  test("rrfFuse: hand-computed fusion, lists weight equally, ties break by id") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (10L, 2)).toDF("doc_id", "rank")
+    val out = graft.operators.Retrieval
+      .rrfFuse(Seq(a, b), "doc_id", "rank", k = 10, c = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 10: 1/61 + 1/62; doc 20: 1/62 + 1/61 — EQUAL scores, tie by id;
+    // doc 30: 1/63 from one list only
+    val s12 = BigDecimal(1.0 / 61 + 1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s3  = BigDecimal(1.0 / 63).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((10L, 2L, s12), (20L, 2L, s12), (30L, 1L, s3)))
+  }
+
   test("deletionVariants: distance-1 neighborhood of 'abc'") {
     val v = Retrieval.deletionVariants("abc", 1).toSet
     assert(v == Set("abc", "bc", "ac", "ab"))

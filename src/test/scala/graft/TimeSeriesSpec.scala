@@ -31,6 +31,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(u2.length == 1 && u2.head.getLong(2) == 1L && u2.head.getDouble(4) == 7.0)
   }
 
+  test("ewmaFinal: hand-folded recursion, order independence of input partitioning") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 3L, 10.0), (1L, 1L, 2.0), (1L, 2L, 4.0), // arrives out of order
+      (2L, 1L, 5.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.ewmaFinal(rows, "k", "ts", "v", alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // key 1 in ts order: s=2; s=0.25*4+0.75*2=2.5; s=0.25*10+0.75*2.5=4.375
+    assert(out(1L) == (3L, 4.375))
+    assert(out(2L) == (1L, 5.0)) // single observation: s1 = v1
+    // partitioning must not change the fold (order comes from the sort key)
+    val re = TimeSeries.ewmaFinal(rows.repartition(5), "k", "ts", "v", alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(re == out)
+  }
+
   test("gapFill: empty input yields empty output; day unit buckets correctly") {
     val empty = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "value")
     assert(TimeSeries.gapFill(empty, "user_id", "ts", "value").count() == 0)
