@@ -374,6 +374,41 @@ object AdvancedQueries {
       """)
     },
 
+    // SQL PIVOT syntax (the parser/analyzer path, distinct from the
+    // DataFrame .pivot gate): user-decile cohorts × event types, counts
+    // and cent-exact value sums per cell. The oracle replays as manual
+    // conditional aggregation — which is also exactly what the pivot
+    // plans to (one Aggregate, no join), so the surfaces must agree.
+    Q(
+      "sql_pivot_syntax",
+      Some("""
+        SELECT user_id % 10 AS cohort,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error_n,
+               ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS click_v,
+               ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS purchase_v,
+               ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS error_v
+        FROM events GROUP BY 1
+      """)) { (spark, dir) =>
+      Tables(spark, dir).events.createOrReplaceTempView("events_pivot_v")
+      spark.sql("""
+        SELECT cohort,
+               COALESCE(click_n, 0)    AS click_n,
+               COALESCE(purchase_n, 0) AS purchase_n,
+               COALESCE(error_n, 0)    AS error_n,
+               COALESCE(click_v, 0)    AS click_v,
+               COALESCE(purchase_v, 0) AS purchase_v,
+               COALESCE(error_v, 0)    AS error_v
+        FROM (
+          SELECT * FROM (
+            SELECT user_id % 10 AS cohort, event_type, CAST(value AS DECIMAL(18,2)) AS v
+            FROM events_pivot_v)
+          PIVOT (COUNT(v) AS n, ROUND(SUM(v), 2) AS v
+                 FOR event_type IN ('click' AS click, 'purchase' AS purchase, 'error' AS error)))
+      """)
+    },
+
     // Null-aware anti-join: NOT IN over a NULLABLE subquery column is NOT
     // a plain anti-join (one NULL in the list must empty the result —
     // three-valued logic), so Catalyst plans its dedicated null-aware
