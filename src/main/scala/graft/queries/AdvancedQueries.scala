@@ -420,14 +420,14 @@ object AdvancedQueries {
       "sql_null_aware_anti",
       Some("""
         SELECT c_custkey, c_nationkey FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
       """)) { (spark, dir) =>
       val t = Tables(spark, dir)
       t.customer.createOrReplaceTempView("customer_v")
       t.orders.createOrReplaceTempView("orders_v")
       spark.sql("""
         SELECT c_custkey, c_nationkey FROM customer_v
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v WHERE o_totalprice > 200000)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v WHERE o_totalprice > 350000)
       """)
     },
 
