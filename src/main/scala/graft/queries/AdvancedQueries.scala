@@ -102,6 +102,29 @@ object AdvancedQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     },
 
+    // ------------------------------------------------ stratified sampling
+    // Deterministic per-stratum downsampling — the corpus-curation move
+    // that rebalances a mixture WITHOUT a shuffle or an RNG: each stratum
+    // (here: language) gets its own keep-rate, applied as a hex threshold
+    // on md5(doc_id) so membership is a pure function of the row. English
+    // keeps 8/16 of docs, every other language 4/16. At 100 TB this is a
+    // narrow scan-side filter (zero exchanges — plan-asserted in
+    // PlanSpec); reruns and incremental re-ingests select the SAME rows,
+    // so downstream dedup/splits stay stable across pipeline versions.
+    Q(
+      "sample_stratified",
+      Some("""
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              < CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+      """)) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .filter(
+          substring(md5(col("doc_id").cast("string")), 1, 1)
+            < when(col("lang") === "en", lit("8")).otherwise(lit("4")))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // ------------------------------------------------------------ unpivot
     // Wide→long inversion of the pivot above: every (user, metric) pair
     // survives including zero counts — the melt step feature pipelines run

@@ -515,6 +515,38 @@ object Relational {
           col("segment"),
           date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+    },
+
+    // ------------------------------------------- outer-join distribution
+    // TPC-H Q13 shape: how many customers placed 0, 1, 2, … qualifying
+    // orders. The oracle states it as the classic LEFT OUTER JOIN + two
+    // aggregates; the Spark plan pre-aggregates orders per custkey FIRST
+    // (map-side partial agg shrinks the fact side to one row per customer)
+    // so the outer join carries counts, not order rows — at 100 TB the
+    // join input is customer-sized on both sides instead of order-sized.
+    // coalesce(n, 0) restores the zero-order customers the pre-agg form
+    // would otherwise lose. Pure integer counts — engine-exact.
+    Q(
+      "sql_q13_custdist",
+      Some("""
+        WITH co AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        SELECT c_count, COUNT(*) AS custdist
+        FROM co GROUP BY c_count
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val perCust = t.orders
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      t.customer
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
     }
   )
 }

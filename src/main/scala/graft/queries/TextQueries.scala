@@ -525,6 +525,61 @@ object TextQueries {
       val docs  = Tables(spark, dir).documents
       val model = Bpe.train(docs, "text", numMerges = 100)
       Bpe.tokenCounts(docs, "doc_id", "text", model)
+    },
+
+    // ------------------------------------------- HTML → text extraction
+    // The WET-style main-content extraction step every web-scraped corpus
+    // runs before any quality/dedup pass: drop style/script blocks, strip
+    // tags, decode entities, collapse whitespace. The markup is planted
+    // in-query (deterministic scaffold around each doc) so the extraction
+    // chain is exercised against known boilerplate and the oracle replays
+    // the identical chain. Every step is a codegen'd string expression on
+    // a narrow projection — zero exchanges, scan-parallel at 100 TB. The
+    // regex dialect subset used ('<[^>]*>', non-greedy (?s) block strip)
+    // means the same thing in Java regex and RE2.
+    Q(
+      "text_html_extract",
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 '<html><head><title>Doc</title><style>p { color: red; }</style></head><body><p class="main">'
+                 || text || '</p><div id="nav">&lt;nav&gt; &amp; footer</div></body></html>' AS page
+          FROM documents),
+        stripped AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(page, '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                                '<[^>]*>', ' ', 'g') AS s
+          FROM raw)
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(s,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '[ \t\n\r]+', ' ', 'g')) AS clean,
+               length(trim(regexp_replace(
+                 replace(replace(replace(replace(replace(s,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '[ \t\n\r]+', ' ', 'g'))) AS n_chars_clean
+        FROM stripped
+      """)) { (spark, dir) =>
+      val page = concat(
+        lit("<html><head><title>Doc</title><style>p { color: red; }</style></head><body><p class=\"main\">"),
+        col("text"),
+        lit("</p><div id=\"nav\">&lt;nav&gt; &amp; footer</div></body></html>"))
+      val stripped = regexp_replace(
+        regexp_replace(page, "(?s)<style[^>]*>.*?</style>", " "),
+        "<[^>]*>", " ")
+      val decoded = regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(stripped, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&amp;", "&")
+      val clean = trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), clean.as("clean"), length(clean).as("n_chars_clean"))
     }
   )
 }

@@ -299,4 +299,25 @@ class PlanSpec extends SparkSpec {
       .groupBy("doc_id").count().orderBy(col("doc_id")).collect().toSeq
     assert(a == b)
   }
+
+  test("stratified sample is a scan-side filter — zero exchanges") {
+    val p = planOf("sample_stratified")
+    assert(!p.contains("Exchange"), s"per-stratum hash sampling must not shuffle:\n$p")
+  }
+
+  test("html extraction is a narrow projection — zero exchanges, one scan") {
+    val p = planOf("text_html_extract")
+    assert(!p.contains("Exchange"), s"extraction chain must stay scan-side:\n$p")
+    assert("FileScan|BatchScan".r.findAllIn(p).length == 1, "single pass over documents")
+  }
+
+  test("q13 custdist pre-aggregates orders below the outer join") {
+    // The scalable Q13 plan: orders collapse to one row per custkey BEFORE
+    // the outer join (map-side partial + final agg), then the customer-sized
+    // join feeds the tiny distribution aggregate. If Catalyst ever plans the
+    // raw LEFT OUTER first (order-sized join input), the agg count drops.
+    val f = formatted("sql_q13_custdist")
+    assert("HashAggregate".r.findAllIn(f).length >= 4, s"expected pre-agg + distribution agg pairs:\n$f")
+    assert(f.contains("SortMergeJoin") || f.contains("ShuffledHashJoin") || f.contains("BroadcastHashJoin"))
+  }
 }
