@@ -618,7 +618,8 @@ object Corpus {
       wStopwordRatio: Double,
       wPunctRatio: Double,
       wLogLen: Double,
-      bias: Double): DataFrame = {
+      bias: Double,
+      keep: Seq[String] = Nil): DataFrame = {
     val toksC     = toks(col(textCol))
     val stopwords = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
     val len       = length(col(textCol))
@@ -635,8 +636,45 @@ object Corpus {
       lit(wPunctRatio) * f3 +
       lit(wLogLen) * f4
     docs.select(
-      col(idCol).as("doc_id"),
-      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+      col(idCol).as("doc_id") +:
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score") +:
+        keep.map(col): _*)
+  }
+
+  /** Cross-source score calibration: percent_rank of `scoreCol` within each
+    * `groupCol` stratum — the step that makes classifier scores comparable
+    * across sources before mixture tuning thresholds on them (a 0.8 from a
+    * clean source and a 0.8 from a noisy one are different animals; their
+    * within-source quantiles are not).
+    *
+    * NOT a window over the corpus: `PARTITION BY source` has only as many
+    * partitions as sources, so the naive percent_rank sorts whole-corpus
+    * slices on single tasks. Instead the rank arithmetic runs over the
+    * (group, score) AGGREGATE — scores arrive rounded to 6 decimals in
+    * [0,1], so that relation is bounded at ~1e6 rows per source REGARDLESS
+    * of corpus size — and docs join back on (group, score) to pick up their
+    * tie-group's rank. Ranks below = cumulative count minus own count; all
+    * integers until the final (n_below / (total-1)) division, so the value
+    * is engine-exact; ties share a rank exactly like SQL percent_rank.
+    * Single-row groups emit 0.0 (the SQL convention). */
+  def calibrateScores(scored: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val cnt = scored.groupBy(col(groupCol), col(scoreCol)).agg(count(lit(1)).as("__n"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    val ranked = cnt.select(
+      col(groupCol),
+      col(scoreCol),
+      (sum(col("__n")).over(cum) - col("__n")).as("__below"),
+      sum(col("__n")).over(all).as("__total"))
+    val calib = ranked.select(
+      col(groupCol),
+      col(scoreCol),
+      round(
+        when(col("__total") === 1, lit(0.0))
+          .otherwise(col("__below").cast("double") / (col("__total") - lit(1)).cast("double")),
+        6).as("calib_rank"))
+    scored.join(calib, Seq(groupCol, scoreCol))
   }
 
   /** Upper hex boundaries for [[leakageSafeSplit]]'s hash buckets: one

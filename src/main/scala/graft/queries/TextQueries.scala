@@ -233,6 +233,47 @@ object TextQueries {
         bias = -1.5)
     },
 
+    // Cross-source calibration of the classifier scores (operators/Corpus
+    // calibrateScores): within-source percent_rank, computed over the
+    // bounded (source, rounded-score) aggregate instead of a whole-corpus
+    // window (PARTITION BY source would sort corpus-sized slices on
+    // single tasks at 100 TB). The oracle is the NAIVE window form —
+    // semantics must agree exactly, including tie groups sharing a rank.
+    Q(
+      "quality_score_calibrate",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, source,
+                 round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                   -1.5
+                   + 8.0 * (CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE)
+                            / GREATEST(LENGTH(text), 1))
+                   + 3.0 * (CAST(len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                            / GREATEST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1))
+                   + (-4.0) * (CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE)
+                            / GREATEST(LENGTH(text), 1))
+                   + 0.25 * ln(CAST(1.0 AS DOUBLE) + LENGTH(text))
+                 ))), 6) AS quality_score
+          FROM documents)
+        SELECT doc_id, source, quality_score,
+               round(percent_rank() OVER (PARTITION BY source ORDER BY quality_score), 6) AS calib_rank
+        FROM s
+      """)) { (spark, dir) =>
+      val scored = graft.operators.Corpus.linearQualityScore(
+        Tables(spark, dir).documents,
+        "doc_id",
+        "text",
+        wTokensPerChar = 8.0,
+        wStopwordRatio = 3.0,
+        wPunctRatio = -4.0,
+        wLogLen = 0.25,
+        bias = -1.5,
+        keep = Seq("source"))
+      graft.operators.Corpus
+        .calibrateScores(scored, "source", "quality_score")
+        .select(col("doc_id"), col("source"), col("quality_score"), col("calib_rank"))
+    },
+
     // Language ID: deterministic stopword-dictionary scoring with a fixed
     // tie order. (The corpus vocabulary is language-independent, so most rows
     // score 'en' or 'und' — the operator contract is the mechanism, which at

@@ -471,4 +471,26 @@ class CorpusSpec extends SparkSpec {
     assert(out.keys.count(_._1 == 1L) == 3)
     intercept[IllegalArgumentException](Corpus.chunkDocuments(df, "doc_id", "text", 8, 8))
   }
+
+  test("calibrateScores == native percent_rank, including tie groups and single-row strata") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // planted ties (two 0.5s in src_a), a strictly-ordered stratum, and a
+    // single-row stratum (percent_rank convention: 0.0)
+    val scored = Seq(
+      (1L, "src_a", 0.2), (2L, "src_a", 0.5), (3L, "src_a", 0.5), (4L, "src_a", 0.9),
+      (5L, "src_b", 0.1), (6L, "src_b", 0.4), (7L, "src_b", 0.8),
+      (8L, "src_c", 0.7)
+    ).toDF("doc_id", "source", "quality_score")
+    val got = Corpus.calibrateScores(scored, "source", "quality_score")
+      .select("doc_id", "calib_rank").as[(Long, Double)].collect().toMap
+    val want = scored.select(
+        col("doc_id"),
+        round(percent_rank().over(Window.partitionBy("source").orderBy("quality_score")), 6).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == want, s"got $got want $want")
+    // hand-checked anchors: ties share (1-1)/(4-1)=0 .. doc2=doc3=1/3; singleton = 0
+    assert(got(2L) == got(3L) && math.abs(got(2L) - 0.333333) < 1e-9)
+    assert(got(8L) == 0.0)
+  }
 }

@@ -311,6 +311,20 @@ class PlanSpec extends SparkSpec {
     assert("FileScan|BatchScan".r.findAllIn(p).length == 1, "single pass over documents")
   }
 
+  test("score calibration windows over the bounded aggregate, never the corpus") {
+    // ONE Window operator, and its input chain reaches a HashAggregate
+    // before any file scan — i.e. the percent_rank arithmetic runs on the
+    // (source, score) aggregate, not on corpus-sized per-source slices.
+    val p = planOf("quality_score_calibrate")
+    assert("Window".r.findAllIn(p).length >= 1)
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate"), wIdx)
+    val scanIdx = lines.indexWhere(l => l.contains("Scan parquet") || l.contains("FileScan"), wIdx)
+    assert(wIdx >= 0 && aggIdx >= 0, s"expected Window over an aggregate:\n$p")
+    assert(scanIdx < 0 || aggIdx < scanIdx, s"Window must sit over the aggregate, not a raw scan:\n$p")
+  }
+
   test("q13 custdist pre-aggregates orders below the outer join") {
     // The scalable Q13 plan: orders collapse to one row per custkey BEFORE
     // the outer join (map-side partial + final agg), then the customer-sized
