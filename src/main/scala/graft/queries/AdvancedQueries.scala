@@ -125,6 +125,50 @@ object AdvancedQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // ------------------------------------------------- weighted sampling
+    // Fixed-SIZE weighted sampling without replacement (Efraimidis-
+    // Spirakis A-ES): key = u^(1/w) per row, keep the global top-k keys —
+    // the complement of sample_stratified (exact sample size, weights
+    // instead of rates; here: upweight target languages 4:2:1). Two
+    // determinism moves make it oracle-exact: u is a dyadic rational from
+    // pure integer hashing ((id % p) * 2654435761 mod 2^20, +0.5, / 2^20
+    // — every step exact in IEEE), and weights are POWERS OF TWO so
+    // u^(1/w) evaluates as nested sqrt, which IEEE-754 requires to be
+    // correctly rounded — bit-identical across engines, unlike pow/exp.
+    // At 100 TB: narrow projection + TakeOrderedAndProject (per-partition
+    // top-k heaps, no global sort).
+    Q(
+      "sample_weighted",
+      Some("""
+        WITH k AS (
+          SELECT doc_id, lang,
+                 (CAST(((doc_id % 1048573) * 2654435761) % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u,
+                 CASE WHEN lang = 'en' THEN 4 WHEN lang IN ('de', 'fr') THEN 2 ELSE 1 END AS w
+          FROM documents)
+        SELECT doc_id, lang, w,
+               CASE w WHEN 4 THEN sqrt(sqrt(u)) WHEN 2 THEN sqrt(u) ELSE u END AS wkey
+        FROM k
+        ORDER BY wkey DESC, doc_id
+        LIMIT 200
+      """)) { (spark, dir) =>
+      val u = (((col("doc_id") % 1048573L) * 2654435761L % 1048576L).cast("double") + lit(0.5)) /
+        lit(1048576.0)
+      val w = when(col("lang") === "en", 4)
+        .when(col("lang").isin("de", "fr"), 2)
+        .otherwise(1)
+      Tables(spark, dir).documents
+        .select(
+          col("doc_id"),
+          col("lang"),
+          w.as("w"),
+          when(w === 4, sqrt(sqrt(u)))
+            .when(w === 2, sqrt(u))
+            .otherwise(u)
+            .as("wkey"))
+        .orderBy(col("wkey").desc, col("doc_id"))
+        .limit(200)
+    },
+
     // ------------------------------------------------------------ unpivot
     // Wide→long inversion of the pivot above: every (user, metric) pair
     // survives including zero counts — the melt step feature pipelines run
