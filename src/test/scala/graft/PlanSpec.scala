@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Physical-plan contracts: the scale claims in the query modules are
   * enforced here, not just commented. If Catalyst stops broadcasting a dim,
@@ -309,6 +310,38 @@ class PlanSpec extends SparkSpec {
     val p = planOf("text_html_extract")
     assert(!p.contains("Exchange"), s"extraction chain must stay scan-side:\n$p")
     assert("FileScan|BatchScan".r.findAllIn(p).length == 1, "single pass over documents")
+  }
+
+  test("fact-dim joins stay eligible for runtime bloom-filter injection") {
+    // The 100 TB contract behind the q3/q5-family join shapes: when the
+    // fact side is too big to broadcast (it shuffles) and the dim side
+    // carries a selective non-key filter, Catalyst injects a bloom
+    // semi-filter (might_contain over the join key) into the fact scan —
+    // rows that can't join die at the scan, not at the shuffle. Local SFs
+    // are below the size thresholds and broadcast instead, so this spec
+    // recreates the at-scale conditions (thresholds to 0, broadcast off)
+    // and pins that our join shape qualifies — a conf or shape regression
+    // that would silently lose runtime filtering at scale fails here.
+    val scanKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val oldScan = spark.conf.get(scanKey)
+    try {
+      spark.conf.set(scanKey, "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = graft.sources.Tables(spark, dir)
+      val j = t.lineitem
+        .join(
+          t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(
+        p.contains("might_contain"),
+        s"selective dim filter should inject a runtime bloom filter into the fact scan:\n$p")
+    } finally {
+      spark.conf.set(scanKey, oldScan)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("score calibration windows over the bounded aggregate, never the corpus") {
