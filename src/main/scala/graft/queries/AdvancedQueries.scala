@@ -476,6 +476,33 @@ object AdvancedQueries {
       """)
     },
 
+    // ANSI FILTER-clause aggregation: per-aggregate predicates in one
+    // Aggregate node (plans exactly like the CASE-WHEN form — one pass,
+    // partial aggs intact — but states the intent first-class, including
+    // on a DISTINCT aggregate, which the CASE spelling can't express
+    // without a second aggregation). Empty filter groups emit NULL sums
+    // on both engines; counts stay zero. Money through DECIMAL(18,2).
+    Q(
+      "sql_filtered_agg",
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000) AS big_spenders
+        FROM orders GROUP BY o_orderpriority
+      """)) { (spark, dir) =>
+      Tables(spark, dir).orders.createOrReplaceTempView("orders_fagg_v")
+      spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000) AS big_spenders
+        FROM orders_fagg_v GROUP BY o_orderpriority
+      """)
+    },
+
     // Null-aware anti-join: NOT IN over a NULLABLE subquery column is NOT
     // a plain anti-join (one NULL in the list must empty the result —
     // three-valued logic), so Catalyst plans its dedicated null-aware

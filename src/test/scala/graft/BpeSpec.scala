@@ -64,4 +64,21 @@ class BpeSpec extends SparkSpec {
       assert(r.getLong(2) >= r.getLong(1), s"doc ${r.getLong(0)}: fewer BPE tokens than words")
     }
   }
+
+  test("encode is lossless: tokens concatenate back to the word (round-trip over corpus vocab)") {
+    // The detokenize contract a tokenizer must satisfy before any corpus
+    // ships through it: merges only ever CONCATENATE adjacent symbols, so
+    // stripping the end-of-word sentinel and joining must reproduce the
+    // word exactly — for trained words, partially-merged words, and
+    // never-seen words alike.
+    val m = Bpe.train(Tables(spark, SharedSpark.sf0001).documents, "text", numMerges = 100)
+    val vocab = Tables(spark, SharedSpark.sf0001).documents
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", "\\s+")).as("w"))
+      .filter($"w" =!= "").distinct().as[String].take(500)
+    (vocab ++ Seq("hug", "xyzzy", "", "a")).foreach { w =>
+      val back = Bpe.encodeWord(w, m.ranks).mkString.stripSuffix(E)
+      assert(back == w, s"round-trip broke: '$w' -> '$back'")
+    }
+  }
 }
