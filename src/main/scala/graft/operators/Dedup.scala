@@ -136,6 +136,51 @@ object Dedup {
       rows)
   }
 
+  /** Asymmetric containment near-dup pairs: containment(inner ⊂ outer) =
+    * |S_inner ∩ S_outer| / |S_inner| ≥ threshold — the subset/quote
+    * detector symmetric Jaccard structurally misses (a 200-token doc fully
+    * quoted inside a 10 000-token doc has jaccard ≈ 0.02 but containment
+    * = 1.0; RealNews/CC curation drops exactly these). Directional output:
+    * (inner_id, outer_id, containment), up to two rows per unordered pair.
+    *
+    * Same inverted hashed-shingle index, DF-cap discipline, and one-pass
+    * shared-count join as [[jaccardPairs]] — the unordered pair counts are
+    * computed ONCE and both directions derive from the same row, so the
+    * asymmetric variant costs one extra narrow union, not a second join. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      w: Int = 3,
+      maxShingleDF: Int = 0): DataFrame = {
+    val rows = shingleHashRows(docs, idCol, textCol, w).cache()
+    val index = if (maxShingleDF > 0) {
+      val hot =
+        rows.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDF).select("h")
+      rows.join(broadcast(hot), Seq("h"), "left_anti")
+    } else rows
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val shared = index.select(col("doc_id").as("a_id"), col("h"))
+      .join(index.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val withSizes = shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("nb")), Seq("b_id"))
+    val directional = withSizes
+      .select(
+        col("a_id").as("inner_id"),
+        col("b_id").as("outer_id"),
+        (col("shared").cast("double") / col("na")).as("containment"))
+      .unionAll(withSizes.select(
+        col("b_id").as("inner_id"),
+        col("a_id").as("outer_id"),
+        (col("shared").cast("double") / col("nb")).as("containment")))
+    materializeThenRelease(directional.filter(col("containment") >= threshold), rows)
+  }
+
   /** Incremental near-dup detection: Jaccard pairs between a NEW batch and
     * an existing corpus (old ∪ new), never re-pairing old×old — the daily-
     * ingestion shape. `oldIndex` is a persisted (doc_id, h) hashed-shingle

@@ -258,6 +258,32 @@ object PipelineQueries {
       Dedup.jaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
     },
 
+    // -------------------------------------------------- containment dedup
+    // Asymmetric |A∩B|/|A|: the subset/quote detector symmetric jaccard
+    // structurally misses (a short doc fully quoted inside a long one has
+    // jacc ≈ |A|/|B| but containment 1.0). Directional rows; unordered
+    // pair counts computed once, both directions derive from the same row.
+    Q(
+      "dedup_containment",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        d AS (
+          SELECT a_id AS inner_id, b_id AS outer_id, CAST(shared AS DOUBLE) / sa.n AS containment
+          FROM p JOIN sz sa ON sa.doc_id = p.a_id
+          UNION ALL
+          SELECT b_id, a_id, CAST(shared AS DOUBLE) / sb.n
+          FROM p JOIN sz sb ON sb.doc_id = p.b_id)
+        SELECT inner_id, outer_id, containment FROM d WHERE containment >= 0.9
+      """)) { (spark, dir) =>
+      Dedup.containmentPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.9)
+    },
+
     // ------------------------------------------------- MinHash + LSH dedup
     // Same output contract as dedup_ngram_jaccard (the oracle is the exact
     // computation): LSH proposes, exact jaccard verifies. With k=128 b=32

@@ -227,4 +227,25 @@ class DedupSpec extends SparkSpec {
     val survivors = got.filter { case (id, _, keep) => id == keep }.map(_._1)
     assert(survivors == Set(3L, 4L, 5L))
   }
+
+  test("containmentPairs flags the quoted-subset pair symmetric jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"          // 5 tokens -> 3 shingles
+    val long  = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, short),                       // fully contained in doc 2
+      (2L, long),
+      (3L, "zeta eta theta iota kappa")  // unrelated
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 1's 3 shingles all appear in doc 2 -> containment(1 in 2) = 1.0;
+    // the reverse direction is tiny; doc 3 pairs with nothing. And the
+    // symmetric jaccard at the same threshold finds NOTHING here.
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+    val jacc = graft.operators.Dedup
+      .jaccardPairs(docs, "doc_id", "text", threshold = 0.9).count()
+    assert(jacc == 0, "jaccard should miss the subset pair — that's the point")
+  }
 }
