@@ -641,6 +641,48 @@ object Corpus {
         keep.map(col): _*)
   }
 
+  /** Quality-mass truncation: per `groupCol` stratum, keep the highest-
+    * scoring docs until `p` of the stratum's total score mass is covered —
+    * the mass-budget counterpart to the count-budget quota cap (keeping
+    * "the best half of the quality" retains more docs from uniformly-good
+    * sources and aggressively cuts long junk tails, which a fixed top-N
+    * cannot express).
+    *
+    * Determinism: scores arrive round(·,6) in [0,1]; all mass arithmetic
+    * runs in DECIMAL(10,6) sums — exact, order-independent — so the cut
+    * predicate (mass of strictly-better score groups < p · total) is
+    * engine-exact. Tie groups are indivisible (equal-score docs are equal
+    * candidates): the straddling group is kept whole, never split by id.
+    * Same bounded-aggregate discipline as [[calibrateScores]]: the window
+    * walks the (group, score) aggregate (≤ ~1e6 rows per stratum at any
+    * corpus size — one row per distinct rounded score), docs join back on
+    * (group, score). */
+  def qualityMassCut(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      p: BigDecimal): DataFrame = {
+    // p as a DECIMAL literal, not a double: total * p must stay inside
+    // exact decimal arithmetic or the cut predicate re-enters FP land
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val mass = sum(col(scoreCol).cast(org.apache.spark.sql.types.DecimalType(10, 6))).as("__mass")
+    val grp  = scored.groupBy(col(groupCol), col(scoreCol)).agg(mass)
+    // one row per (group, score) -> a ROWS exclusive-preceding frame over
+    // score DESC is exactly "mass of strictly better score groups"
+    val before = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(groupCol))
+    val kept = grp
+      .select(
+        col(groupCol),
+        col(scoreCol),
+        (coalesce(sum(col("__mass")).over(before), lit(0).cast(org.apache.spark.sql.types.DecimalType(10, 6)))
+          < sum(col("__mass")).over(whole) * lit(p.underlying)).as("__keep"))
+      .filter(col("__keep"))
+      .drop("__keep")
+    scored.join(kept, Seq(groupCol, scoreCol))
+  }
+
   /** Cross-source score calibration: percent_rank of `scoreCol` within each
     * `groupCol` stratum — the step that makes classifier scores comparable
     * across sources before mixture tuning thresholds on them (a 0.8 from a

@@ -274,6 +274,57 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("quality_score"), col("calib_rank"))
     },
 
+    // Quality-mass truncation (operators/Corpus qualityMassCut): per source,
+    // keep the best docs until HALF the source's total quality mass is
+    // covered — the mass-budget counterpart to the count-budget quota cap.
+    // All mass arithmetic in DECIMAL(10,6) (exact, order-free), tie groups
+    // indivisible; the oracle is the naive RANGE-window form over per-doc
+    // scores (peer-inclusive cum minus peer-group mass = strictly-better
+    // mass), which must agree exactly with the bounded-aggregate plan.
+    Q(
+      "corpus_quality_cut",
+      Some("""
+        WITH s AS (
+          SELECT doc_id, source,
+                 round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                   -1.5
+                   + 8.0 * (CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE)
+                            / GREATEST(LENGTH(text), 1))
+                   + 3.0 * (CAST(len(list_filter(string_split_regex(text, '\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                            / GREATEST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1))
+                   + (-4.0) * (CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE)
+                            / GREATEST(LENGTH(text), 1))
+                   + 0.25 * ln(CAST(1.0 AS DOUBLE) + LENGTH(text))
+                 ))), 6) AS quality_score
+          FROM documents),
+        m AS (
+          SELECT doc_id, source, quality_score,
+                 SUM(CAST(quality_score AS DECIMAL(10,6))) OVER
+                   (PARTITION BY source ORDER BY quality_score DESC
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl,
+                 SUM(CAST(quality_score AS DECIMAL(10,6))) OVER
+                   (PARTITION BY source, quality_score) AS grp_mass,
+                 SUM(CAST(quality_score AS DECIMAL(10,6))) OVER
+                   (PARTITION BY source) AS total
+          FROM s)
+        SELECT doc_id, source, quality_score
+        FROM m WHERE (cum_incl - grp_mass) < total * 0.5
+      """)) { (spark, dir) =>
+      val scored = graft.operators.Corpus.linearQualityScore(
+        Tables(spark, dir).documents,
+        "doc_id",
+        "text",
+        wTokensPerChar = 8.0,
+        wStopwordRatio = 3.0,
+        wPunctRatio = -4.0,
+        wLogLen = 0.25,
+        bias = -1.5,
+        keep = Seq("source"))
+      graft.operators.Corpus
+        .qualityMassCut(scored, "source", "quality_score", p = BigDecimal("0.5"))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+    },
+
     // Language ID: deterministic stopword-dictionary scoring with a fixed
     // tie order. (The corpus vocabulary is language-independent, so most rows
     // score 'en' or 'und' — the operator contract is the mechanism, which at

@@ -493,4 +493,21 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L) == got(3L) && math.abs(got(2L) - 0.333333) < 1e-9)
     assert(got(8L) == 0.0)
   }
+
+  test("qualityMassCut keeps strictly-better mass under p·total, tie groups indivisible") {
+    import spark.implicits._
+    // src_a total = 2.0, half = 1.0: 0.9 kept (0 < 1), the 0.5-tie group
+    // kept WHOLE (0.9 < 1.0 straddles), 0.1 dropped (1.9 >= 1.0).
+    // src_b: uniform scores -> tie group is the whole stratum -> all kept
+    // (a count-budget top-N could never express that).
+    val scored = Seq(
+      (1L, "src_a", 0.9), (2L, "src_a", 0.5), (3L, "src_a", 0.5), (4L, "src_a", 0.1),
+      (5L, "src_b", 0.4), (6L, "src_b", 0.4), (7L, "src_b", 0.4)
+    ).toDF("doc_id", "source", "quality_score")
+    val kept = Corpus.qualityMassCut(scored, "source", "quality_score", BigDecimal("0.5"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L, 6L, 7L), s"got $kept")
+    intercept[IllegalArgumentException](
+      Corpus.qualityMassCut(scored, "source", "quality_score", BigDecimal(1)))
+  }
 }
