@@ -29,17 +29,28 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Shared tuning applied by Verify/Bench on top of driver-imposed configs.
-    * nanosAsLong: the corpus `events.ts` is parquet TIMESTAMP(NANOS) — read it
-    * as a long and let Tables convert (see Tables.scala). */
+    *
+    * Timestamp ingestion is vintage-proof, because the driver corpus has
+    * shipped `events.ts` as BOTH parquet TIMESTAMP(NANOS) and naive
+    * TIMESTAMP(MICROS) across rounds:
+    *  - nanosAsLong: NANOS (which the vectorized reader otherwise rejects)
+    *    arrives as a long and Tables converts (see Tables.scala);
+    *  - inferTimestampNTZ=false: a naive (isAdjustedToUTC=false) column
+    *    reads as plain TIMESTAMP instead of TIMESTAMP_NTZ — with the UTC
+    *    session zone the wall-clock values are identical to the oracle's
+    *    naive read, and watermarks/unix_millis (TIMESTAMP-only surfaces)
+    *    keep working. */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def session(): SparkSession = {
     val s = builder().getOrCreate()

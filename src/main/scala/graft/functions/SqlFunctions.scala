@@ -50,6 +50,10 @@ object SqlFunctions {
       new ExpressionInfo(classOf[RollHash].getName, "roll_hash"),
       args => { arity("roll_hash", args, 1); RollHash(args(0)) }),
     (
+      "mix64",
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      args => { arity("mix64", args, 1); Mix64(args(0)) }),
+    (
       "winnow_fingerprints",
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       args => {

@@ -58,6 +58,50 @@ case class RollHash(child: Expression) extends UnaryExpression with ExpectsInput
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** splitmix64 finalizer (Steele, Lea & Flood, "Fast splittable pseudorandom
+  * number generators", OOPSLA'14 — public reference constants): a bijective
+  * xor-shift/wrapping-multiply mixer that turns the structured bits of a
+  * polynomial Karp–Rabin digest into 64 well-diffused bits. SimHash reads
+  * EVERY bit of the token hash as an independent vote, and a plain
+  * polynomial hash of a short token leaves the high bits near-zero — mixed,
+  * [[RollHash]]∘[[Mix64]] is a portable replacement for xxhash64: any
+  * engine with 64-bit integers replays it exactly (the DuckDB oracle does,
+  * in HUGEINT mod 2^64), so signatures persisted by one engine stay
+  * recomputable by another. */
+case class Mix64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+
+  override def nullSafeEval(input: Any): Any = Mix64.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      x => {
+        val z = ctx.freshName("z")
+        s"""
+        |long $z = $x;
+        |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+        |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+        |${ev.value} = $z ^ ($z >>> 31);
+        """.stripMargin
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object Mix64 {
+  def mix(h: Long): Long = {
+    var z = h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
 /** Winnowing fingerprints: distinct min-hashes of each w-window over the
   * k-gram rolling hashes. Interpreted eval (one call per DOCUMENT, O(n));
   * candidate pairing happens relationally downstream. */
@@ -150,6 +194,14 @@ case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsI
 object TextFunctions {
   /** Whole-string Karp–Rabin digest — codegen'd exact-dedup key. */
   def roll_hash(c: Column): Column = Bridge.column(RollHash(Bridge.expression(c)))
+
+  /** splitmix64 bit-diffusion finalizer over a long column. */
+  def mix64(c: Column): Column = Bridge.column(Mix64(Bridge.expression(c)))
+
+  /** Portable 64-bit token hash: [[roll_hash]] diffused by [[mix64]] —
+    * the engine-independent stand-in for xxhash64 wherever the hash value
+    * itself is part of the operator contract (SimHash signatures). */
+  def portable_hash64(c: Column): Column = mix64(roll_hash(c))
 
   /** Unicode NFC normalization (codegen'd; no-alloc fast path on
     * already-normalized input). */

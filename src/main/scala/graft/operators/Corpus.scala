@@ -55,12 +55,32 @@ object Corpus {
     * relations) are judged by their actual partitioning instead of always
     * reshuffling. Public: any CPU-or-memory-heavy aggregation over an
     * under-split source (exact percentiles building per-partition value
-    * buffers, say) benefits the same way. Call it on a SCAN or a narrow
-    * projection of one — planning a frame with upstream exchanges would
-    * materialize those stages under AQE just to read the count. */
+    * buffers, say) benefits the same way.
+    *
+    * The probe itself is guarded, because `df.rdd` FINALIZES the physical
+    * plan — under AQE that eagerly executes any upstream shuffle stages at
+    * plan-build time (work then thrown away), and it throws outright on a
+    * streaming frame. So the count is read ONLY when the analyzed plan is a
+    * leaf or a narrow projection/filter over one (a scan, where the probe is
+    * free and the split-count question is meaningful). Anything else —
+    * streaming, or a frame with joins/aggregates/exchanges upstream —
+    * passes through untouched: its parallelism is already set by the
+    * upstream shuffle (`spark.sql.shuffle.partitions`), so a spread would
+    * be a pure extra full shuffle, not a fix. */
   def spreadSmallInput(df: DataFrame, key: Column): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(p / 2, 1)) df else df.repartition(p, key)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrowOverScan(p: LogicalPlan): Boolean = p match {
+      case n: Project       => narrowOverScan(n.child)
+      case n: Filter        => narrowOverScan(n.child)
+      case n: SubqueryAlias => narrowOverScan(n.child)
+      case n: View          => narrowOverScan(n.child)
+      case n                => n.children.isEmpty
+    }
+    if (df.isStreaming || !narrowOverScan(df.queryExecution.analyzed)) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= math.max(p / 2, 1)) df else df.repartition(p, key)
+    }
   }
 
   /** Per-document stream of word n-grams (space-joined token windows),
@@ -376,7 +396,12 @@ object Corpus {
     * (probability ~n²/2⁶⁴ — negligible; the DuckDB oracle groups on the
     * line text itself and hash-matches, witnessing no collision at test
     * scale). */
-  def lineDedup(df: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int,
+      hotBroadcastCap: Long = 4L * 1000 * 1000): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     val lines = spreadSmallInput(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
@@ -387,7 +412,18 @@ object Corpus {
       .agg(countDistinct(col(idCol)).as("line_df"))
       .filter(col("line_df") >= minDf)
       .select("h")
-    val kept = lines.join(broadcast(hot), Seq("h"), "left_anti")
+    // The hot-set size is DATA-dependent: genuine boilerplate is few
+    // distinct strings, but a template-heavy corpus (every doc a near-copy)
+    // can push the at/over-minDf set toward line scale, and an unconditional
+    // broadcast hint would then OOM the driver. Count it once (persisted, so
+    // the anti-join reuses the same rows instead of re-aggregating) and
+    // broadcast only under `hotBroadcastCap` 8-byte keys; past the cap fall
+    // back to a shuffled left_anti on the 64-bit hash — a corpus-scale
+    // exchange, but the only correct shape once the build side isn't tiny.
+    val hotCached = hot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept =
+      if (hotCached.count() <= hotBroadcastCap) lines.join(broadcast(hotCached), Seq("h"), "left_anti")
+      else lines.join(hotCached, Seq("h"), "left_anti")
     kept
       .groupBy(col(idCol))
       .agg(
@@ -412,8 +448,13 @@ object Corpus {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol), md5(col(textCol).cast("binary")).as("__old_fp"))
-    val n = newDf.select(col(idCol), md5(col(textCol).cast("binary")).as("__new_fp"))
+    // sha2-256, not md5: the corpus is untrusted web text, and md5
+    // collisions are practically constructible — a crafted edit could
+    // collide with the old digest and be reported "unchanged", skipping
+    // dedup/decontam on it. The hash is per-row and off the hot path, so
+    // the cryptographic margin is free relative to the full-outer join.
+    val o = oldDf.select(col(idCol), sha2(col(textCol).cast("binary"), 256).as("__old_fp"))
+    val n = newDf.select(col(idCol), sha2(col(textCol).cast("binary"), 256).as("__new_fp"))
     o.join(n, Seq(idCol), "full_outer")
       .select(
         col(idCol),

@@ -671,14 +671,22 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-bit weighted sums of token hashes via
     * [[SimHashAgg]] (map-side partial agg, O(1) state per doc). Groups on
-    * the ORIGINAL id column — any id type keys correctly. */
+    * the ORIGINAL id column — any id type keys correctly.
+    *
+    * The token hash is the PORTABLE roll_hash∘mix64 pair, not xxhash64: a
+    * SimHash signature is part of the operator's persisted contract (stored
+    * next to the corpus, compared across ingestion batches), so it must be
+    * recomputable by any engine — and the DuckDB oracle replays it bit for
+    * bit (HUGEINT mod-2^64 arithmetic), making the whole near-dup query
+    * hash-checkable instead of rows-only. Codegen cost is on par with
+    * xxhash64 (both are a few multiplies/shifts per token). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = udaf(new SimHashAgg(), Encoders.scalaLong)
     // term frequency weighting is implicit: summing ±1 per OCCURRENCE equals
     // the per-(doc,token)-count weighted sum, one shuffle cheaper
     Corpus.spreadSmallInput(docs, col(idCol))
       .select(col(idCol).as("doc_id"), explode(tokensCol(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), graft.functions.TextFunctions.portable_hash64(col("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(sh(col("h")).as("simhash"))
   }

@@ -141,6 +141,13 @@ object Retrieval {
         r.select(col(idCol), lit(i).as("__list"), col(rankCol).cast("long").as("__rank"))
       }
       .reduce(_ unionByName _)
+      // Enforce, not assume, the "each input is a distinct-id top-k list"
+      // contract: a duplicate (id, rank) row in one list would silently
+      // inflate both n_lists and the fused score. Keep the best (minimum)
+      // rank per (id, list); the inputs are bounded top-k lists, so this
+      // extra aggregation moves k·lists rows, nothing corpus-sized.
+      .groupBy(col(idCol), col("__list"))
+      .agg(min(col("__rank")).as("__rank"))
     tagged
       .groupBy(col(idCol))
       .agg(

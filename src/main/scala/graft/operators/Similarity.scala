@@ -503,9 +503,11 @@ object Similarity {
     * Same 100 TB shape as [[bruteTopK]]: queries broadcast, corpus streamed
     * once, bounded-heap top-k per query — no corpus shuffle, no per-query
     * sort of the scored set. The label predicate rides the broadcast join
-    * condition so rejected pairs never materialize. `maxSim` compares the
-    * round-6 cosine against a 7th-decimal-offset literal so the cut is
-    * FP-robust cross-engine. */
+    * condition so rejected pairs never materialize. The `maxSim` cut is
+    * FP-robust cross-engine: the operator itself nudges the caller's bound
+    * up by 5e-7 before comparing the round-6 cosine, so a caller passing a
+    * plain 0.4 gets the offset cut — no caller-side epsilon needed (an
+    * unset bound, `Double.MaxValue`, is left exact). */
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,
@@ -533,7 +535,7 @@ object Similarity {
         col("neg_label"),
         round(sim, 9).as("sim9"),
         round(sim, 6).as("sim"))
-      .filter(col("sim") < lit(maxSim))
+      .filter(col("sim") < lit(if (maxSim == Double.MaxValue) maxSim else maxSim + 5e-7))
     val top = graft.operators.TopK.perGroup(
       scored,
       groupCols = Seq("query_id"),

@@ -446,6 +446,10 @@ object AdvancedQueries {
     // and cent-exact value sums per cell. The oracle replays as manual
     // conditional aggregation — which is also exactly what the pivot
     // plans to (one Aggregate, no join), so the surfaces must agree.
+    // Money columns leave the query as DOUBLE (repo convention): the sums
+    // are cent-exact in DECIMAL and only the final emit casts, so the
+    // driver's value hash sees identical doubles instead of two engines'
+    // decimal scales (r09's sole hash-red was this column left DECIMAL).
     Q(
       "sql_pivot_syntax",
       Some("""
@@ -453,9 +457,9 @@ object AdvancedQueries {
                CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n,
                CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error_n,
-               ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS click_v,
-               ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS purchase_v,
-               ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS error_v
+               CAST(ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS DOUBLE) AS click_v,
+               CAST(ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS DOUBLE) AS purchase_v,
+               CAST(ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END), 0), 2) AS DOUBLE) AS error_v
         FROM events GROUP BY 1
       """)) { (spark, dir) =>
       Tables(spark, dir).events.createOrReplaceTempView("events_pivot_v")
@@ -464,9 +468,9 @@ object AdvancedQueries {
                COALESCE(click_n, 0)    AS click_n,
                COALESCE(purchase_n, 0) AS purchase_n,
                COALESCE(error_n, 0)    AS error_n,
-               COALESCE(click_v, 0)    AS click_v,
-               COALESCE(purchase_v, 0) AS purchase_v,
-               COALESCE(error_v, 0)    AS error_v
+               CAST(COALESCE(click_v, 0) AS DOUBLE)    AS click_v,
+               CAST(COALESCE(purchase_v, 0) AS DOUBLE) AS purchase_v,
+               CAST(COALESCE(error_v, 0) AS DOUBLE)    AS error_v
         FROM (
           SELECT * FROM (
             SELECT user_id % 10 AS cohort, event_type, CAST(value AS DECIMAL(18,2)) AS v

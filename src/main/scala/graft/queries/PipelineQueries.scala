@@ -785,18 +785,120 @@ object PipelineQueries {
     },
 
     // --------------------------------------------------------- SimHash
-    // 64-bit signatures + hamming<=16 pairs via 16-bit chunk banding.
-    // xxhash64 is engine-specific → no SQL oracle; rows-only check. The
-    // ScalaTest spec pins the planted near-dup pairs instead.
-    Q("dedup_simhash", None) { (spark, dir) =>
+    // 64-bit signatures + hamming<=8 pairs via 16-bit chunk banding.
+    // Fully DuckDB-oracled since the token hash became the portable
+    // roll_hash∘mix64 pair: the oracle replays the polynomial hash
+    // (recursive B^j powers mod 2^64), the splitmix64 finalizer (wrapping
+    // 64x64 multiplies done in INT128 via 32-bit-split mulmod — a direct
+    // HUGEINT product overflows), the per-bit ±tf votes, the signature
+    // bit-pack, and the same 4-chunk pigeonhole join + popcount filter the
+    // operator plans. Candidates are banding-dependent by design (maxDist
+    // 8 > the 4-chunk guarantee of 3), so the oracle replays the BANDING,
+    // not just exact hamming — both surfaces emit identical pair sets.
+    Q(
+      "dedup_simhash",
+      Some("""
+        WITH occ AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok),
+        dt AS (SELECT DISTINCT tok FROM occ),
+        pows AS (
+          WITH RECURSIVE p(j, v) AS (
+            SELECT 0, 1::HUGEINT
+            UNION ALL
+            SELECT j + 1, (v * 1000003::HUGEINT) % 18446744073709551616::HUGEINT
+            FROM p WHERE j < (SELECT max(length(tok)) FROM dt))
+          SELECT * FROM p),
+        chars AS (
+          SELECT tok, length(tok) - i AS rev, ord(substr(tok, i, 1))::HUGEINT AS b
+          FROM dt, LATERAL (SELECT unnest(range(1, length(tok) + 1)) AS i) u),
+        roll AS (
+          SELECT c.tok, CAST(sum(c.b * p.v) % 18446744073709551616::HUGEINT AS UBIGINT) AS r
+          FROM chars c JOIN pows p ON p.j = c.rev GROUP BY c.tok),
+        mix1a AS (SELECT tok, xor(r, r >> 30) AS a FROM roll),
+        mix1  AS (SELECT tok, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                     + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM mix1a),
+        mix2a AS (SELECT tok, xor(z1, z1 >> 27) AS a FROM mix1),
+        mix2  AS (SELECT tok, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                     + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM mix2a),
+        mixed AS (SELECT tok, xor(z2, z2 >> 31) AS h FROM mix2),
+        votes AS (
+          SELECT o.doc_id, j.j,
+                 sum(CASE WHEN (m.h >> j.j) & 1 = 1 THEN o.cnt ELSE -o.cnt END) AS c
+          FROM occ o JOIN mixed m ON m.tok = o.tok,
+               LATERAL (SELECT unnest(range(0, 64)) AS j) j
+          GROUP BY o.doc_id, j.j),
+        sig AS (
+          SELECT doc_id, CAST(coalesce(sum(CASE WHEN c > 0 THEN (1::UBIGINT << j)::HUGEINT END), 0) AS UBIGINT) AS usig
+          FROM votes GROUP BY doc_id),
+        sigs AS (
+          SELECT doc_id, usig,
+                 CAST(CASE WHEN usig >= 9223372036854775808::UBIGINT
+                           THEN usig::HUGEINT - 18446744073709551616::HUGEINT
+                           ELSE usig::HUGEINT END AS BIGINT) AS s
+          FROM sig),
+        chunks AS (
+          SELECT doc_id, s, c.c AS chunk_no, CAST((usig >> (c.c * 16)) & 65535 AS INTEGER) AS chunk
+          FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS c) c),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.s AS sa, y.s AS sb
+          FROM chunks x JOIN chunks y
+            ON x.chunk_no = y.chunk_no AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+      """)) { (spark, dir) =>
       Dedup.simhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", maxDist = 8)
     },
 
     // ------------------------------------------------------- winnowing
-    // MOSS-style positional fingerprints (custom rolling-hash expression)
-    // — engine-specific hashes → rows-only; TextFunctionsSpec pins the
-    // substring-sharing guarantee and the planted near-dup pairs.
-    Q("dedup_winnow", None) { (spark, dir) =>
+    // MOSS-style positional fingerprints (custom rolling-hash expression).
+    // Fully DuckDB-oracled: the rolling hash is a PORTABLE wrapping-64-bit
+    // polynomial (base 1000003 over UTF-8 bytes == ASCII codepoints on this
+    // corpus), so the oracle replays it positionally — each k-gram hash as
+    // Σ ord·B^j in HUGEINT reduced mod 2^64 back to signed BIGINT (the
+    // B^j constants are precomputed mod 2^64: B^7 doesn't fit 64 bits),
+    // each w-window's rightmost minimum via (fp ASC, p DESC) row_number,
+    // then the same DF-cap anti-join and shared-count join as the operator.
+    // k=8, w=16, maxFpDF=100 mirror winnowDupPairs' defaults.
+    Q(
+      "dedup_winnow",
+      Some("""
+        WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 8),
+        pos AS (SELECT doc_id, text, len - 7 AS m, unnest(range(0, len - 7)) AS p FROM d),
+        hraw AS (SELECT doc_id, m, p,
+                   (  ord(substr(text, p+1, 1))::HUGEINT * 12924618581234127435::HUGEINT
+                    + ord(substr(text, p+2, 1))::HUGEINT * 10923514805226455897::HUGEINT
+                    + ord(substr(text, p+3, 1))::HUGEINT * 14453212906556403763::HUGEINT
+                    + ord(substr(text, p+4, 1))::HUGEINT * 14003818205314896721::HUGEINT
+                    + ord(substr(text, p+5, 1))::HUGEINT * 1000009000027000027::HUGEINT
+                    + ord(substr(text, p+6, 1))::HUGEINT * 1000006000009::HUGEINT
+                    + ord(substr(text, p+7, 1))::HUGEINT * 1000003::HUGEINT
+                    + ord(substr(text, p+8, 1))::HUGEINT
+                   ) % 18446744073709551616::HUGEINT AS r
+                 FROM pos),
+        h AS (SELECT doc_id, m, p,
+                CAST(CASE WHEN r >= 9223372036854775808::HUGEINT
+                          THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp
+              FROM hraw),
+        wins AS (SELECT doc_id, m, unnest(range(0, greatest(m - 16, 0) + 1)) AS win
+                 FROM (SELECT DISTINCT doc_id, m FROM h)),
+        cand AS (SELECT w.doc_id, w.win, h.fp,
+                        ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.win
+                                           ORDER BY h.fp ASC, h.p DESC) AS rn
+                 FROM wins w JOIN h ON h.doc_id = w.doc_id
+                                   AND h.p >= w.win AND h.p < least(w.win + 16, w.m)),
+        fps AS (SELECT DISTINCT doc_id, fp FROM cand WHERE rn = 1),
+        idx AS (SELECT * FROM fps WHERE fp NOT IN
+                  (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 100))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_fps
+        FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10
+      """)) { (spark, dir) =>
       Dedup.winnowDupPairs(Tables(spark, dir).documents, "doc_id", "text", minShared = 10)
     },
 
@@ -887,9 +989,10 @@ object PipelineQueries {
     // ------------------------------------------- hard-negative mining
     // Contrastive-training data: for each query vector, the 10 most-similar
     // corpus vectors with a DIFFERENT label, capped below the near-dup
-    // band (round-6 cosine < 0.4000005 — the dedup_embedding_cosine
-    // threshold with the 7th-decimal guard) so likely-mislabeled positives
-    // are excluded. Same broadcast+bounded-heap shape as ann_brute_topk.
+    // band (caller passes the plain 0.4; the operator applies the
+    // 7th-decimal FP guard internally, so the effective cut is 0.4000005 —
+    // what the oracle replays) so likely-mislabeled positives are
+    // excluded. Same broadcast+bounded-heap shape as ann_brute_topk.
     Q(
       "ann_hard_negatives",
       Some("""
@@ -903,7 +1006,7 @@ object PipelineQueries {
         SELECT query_id, neighbor_id, neg_label, sim, rn FROM r WHERE rn <= 10
       """)) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
-      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 16), k = 10, maxSim = 0.4000005)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 16), k = 10, maxSim = 0.4)
     },
 
     // --------------------------------------------- ANN: IVF (k-means cells)

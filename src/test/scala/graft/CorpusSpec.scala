@@ -107,6 +107,32 @@ class CorpusSpec extends SparkSpec {
       loose.map(r => r.getLong(0) -> r.getString(1)).toMap.apply(4L) == boiler)
   }
 
+  test("lineDedup: over-cap hot set falls back to shuffled anti-join, same results") {
+    val boiler = "ACCEPT COOKIES"
+    val df = Seq(
+      (1L, s"$boiler\nunique alpha\nunique beta"),
+      (2L, s"$boiler\nunique gamma"),
+      (3L, s"unique delta\n$boiler"),
+      (4L, boiler),
+      (5L, s"$boiler\nunique eps"))
+      .toDF("doc_id", "text")
+    def run(cap: Long) = Corpus
+      .lineDedup(df, "doc_id", "text", minDf = 4, hotBroadcastCap = cap)
+    // cap 0 forces the un-hinted left_anti; results must match the
+    // broadcast path exactly. The assertion is on the HINT (analyzed
+    // plan), not the physical join — AQE may still auto-broadcast a
+    // genuinely small build side at runtime, which is fine; what the cap
+    // must prevent is FORCING a driver-side broadcast of an unbounded set.
+    val spread   = run(0L)
+    val hinted   = run(Long.MaxValue)
+    val expected = hinted.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(spread.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == expected)
+    assert(hinted.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
+      "under-cap hot set keeps the broadcast hint")
+    assert(!spread.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
+      "over-cap hot set must not carry a broadcast hint")
+  }
+
   test("evalOverlap: planted overlap found, eval docs never self-report, zero-overlap docs absent") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"), // shares the 8-gram prefix

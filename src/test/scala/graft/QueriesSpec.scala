@@ -33,8 +33,6 @@ class QueriesSpec extends SparkSpec {
     "ann_lsh_topk"      -> "SimilaritySpec (recall >= 0.9 vs brute force)",
     "ann_ivf_topk"      -> "SimilaritySpec (recall >= 0.9 vs brute force)",
     "ann_ivf_int8"      -> "SimilaritySpec (recall + quantization error bound)",
-    "dedup_simhash"     -> "DedupSpec (hamming baseline)",
-    "dedup_winnow"      -> "TextFunctionsSpec (recall baseline)",
     "sketch_distinct_users"  -> "SketchSpec (5% error envelope)",
     "sketch_heavy_hitters"   -> "SketchSpec (eps*N bound, no misses)",
     "sketch_quantiles_price" -> "SketchSpec (2% rank error)",

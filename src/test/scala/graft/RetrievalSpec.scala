@@ -63,6 +63,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 2L, s12), (20L, 2L, s12), (30L, 1L, s3)))
   }
 
+  test("rrfFuse: duplicate id within one list collapses to its best rank") {
+    import spark.implicits._
+    // doc 10 appears twice in list a (ranks 1 and 3) — a malformed input.
+    // The contract keeps min rank per (id, list): fusion must equal the
+    // clean two-list case, with n_lists = 2, not 3.
+    val a = Seq((10L, 1), (10L, 3), (20L, 2)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (10L, 2)).toDF("doc_id", "rank")
+    val out = graft.operators.Retrieval
+      .rrfFuse(Seq(a, b), "doc_id", "rank", k = 10, c = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val s12 = BigDecimal(1.0 / 61 + 1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((10L, 2L, s12), (20L, 2L, s12)))
+  }
+
   test("deletionVariants: distance-1 neighborhood of 'abc'") {
     val v = Retrieval.deletionVariants("abc", 1).toSet
     assert(v == Set("abc", "bc", "ac", "ab"))

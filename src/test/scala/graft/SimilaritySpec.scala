@@ -29,8 +29,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("hardNegatives: different label, below ceiling, exact top-k among eligible") {
+    // Caller passes the PLAIN bound; the operator applies the 5e-7 FP guard
+    // internally, so the effective cut sits between the 1e-6 round-6 grid
+    // points — sims at 0.400000 survive, 0.400001 and up are cut.
     val cap = 0.4000005
-    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 4), k = 5, maxSim = cap).collect()
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 4), k = 5, maxSim = 0.4).collect()
     val labels = emb.select(col("vec_id"), col("label")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val byQ = out.groupBy(_.getLong(0))
