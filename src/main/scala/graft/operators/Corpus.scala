@@ -949,6 +949,97 @@ object Corpus {
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
 
+  /** DSIR importance log-weights (Xie et al., NeurIPS'23 "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how much more likely its hashed n-gram features are under a TARGET
+    * distribution than under the raw corpus's own —
+    * log ŵ(x) = Σ_b c_b(x)·Δ_b, Δ_b = ln p̂_t(b) − ln p̂_r(b),
+    * p̂(b) = (count_b + λ)/(total + λ·B): add-λ smoothed multinomials over
+    * B hash buckets. Downstream selection resamples by weight; emitting the
+    * per-doc log-weight keeps the operator composable (top-k cut, Gumbel
+    * resample, [[quotaPerSource]]-style mixing).
+    *
+    * Features follow the paper: unigrams + bigrams of the whitespace token
+    * stream, hashed into `buckets` buckets via the engine-portable
+    * [[graft.functions.TextFunctions.portable_hash64]] + pmod, so a SQL
+    * oracle replays the featurization bit for bit.
+    *
+    * Determinism contract (the oracle hash-compares doubles): each Δ_b is
+    * rounded to the 1e-12 grid and cast DECIMAL(30,12), so the per-doc
+    * Σ c_b·Δ_b is EXACT decimal arithmetic — order-free, no float fold —
+    * and only the final emit rounds to 1e-6 DOUBLE. A last-ulp ln()
+    * disagreement between engines perturbs one Δ_b by at most 1e-12, which
+    * cannot move the 1e-6-rounded sum off its grid point unless the true
+    * value sits within ~1e-10 of a rounding boundary — the absorb-the-ulp
+    * judgment of [[charEntropy]], made sturdier by the intermediate grid.
+    *
+    * Scale shape (100 TB): the feature stream explodes to ~2·tokens rows
+    * but partial-aggregates map-side into (doc, bucket) counts; the bucket
+    * tables are bounded by B (default 2^16 rows) REGARDLESS of corpus
+    * size, so the Δ table always broadcasts; one doc-keyed aggregation
+    * emits the weights. The target corpus is eval-sized by construction;
+    * the raw corpus pays one scan (cached feature stream feeds both the
+    * bucket histogram and the per-doc counts) plus one bounded shuffle. */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1 << 16,
+      lambda: Double = 1.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import graft.functions.TextFunctions.portable_hash64
+
+    def feats(df: DataFrame): DataFrame =
+      spreadSmallInput(df.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
+        .select(
+          col("doc_id"),
+          explode(
+            concat(
+              col("ts"),
+              expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), (t, i) -> concat(t, ' ', ts[i + 1]))")))
+            .as("gram"))
+        .select(col("doc_id"), pmod(portable_hash64(col("gram")), lit(buckets.toLong)).as("bucket"))
+
+    val rawFeats = feats(raw).cache() // feeds the histogram AND the per-doc counts
+    val tCounts  = feats(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val rCounts  = rawFeats.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tTot     = tCounts.agg(sum(col("tc")).as("t_tot"))
+    val rTot     = rCounts.agg(sum(col("rc")).as("r_tot"))
+    val lamB     = lambda * buckets
+    // buckets no raw document touches can't contribute to any weight, so a
+    // LEFT join from the raw histogram is complete (target-only buckets drop)
+    val delta = rCounts
+      .join(tCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .select(
+        col("bucket"),
+        round(
+          log(coalesce(col("tc"), lit(0L)) + lambda) - log(coalesce(col("t_tot"), lit(0L)) + lamB)
+            - log(col("rc") + lambda) + log(col("r_tot") + lamB),
+          // DECIMAL(20,12), not (30,12): Spark's product type is
+          // decimal(p1+p2+1, s1+s2) capped at precision 38 WITH SCALE LOSS
+          // (allowPrecisionLoss) — a (30,12)·bigint product silently
+          // re-rounds every term at scale 6 and the per-doc sum walks
+          // ~1e-6 off the oracle. (20,12)·(10,0) = (31,12): exact.
+          12).cast(org.apache.spark.sql.types.DecimalType(20, 12)).as("delta"))
+    val out = rawFeats
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(delta), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_feats"),
+        sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(10, 0)) * col("delta")).as("dsum"))
+      .select(col("doc_id"), col("n_feats"), round(col("dsum"), 6).cast("double").as("log_w"))
+    val materialized = out.localCheckpoint(true)
+    rawFeats.unpersist(false)
+    materialized
+  }
+
   /** Character-level Shannon entropy per document, in bits — the classic
     * gibberish/boilerplate quality signal (low entropy ⇒ repeated filler,
     * near-log2(alphabet) ⇒ random noise; CCNet-style quality gates threshold

@@ -511,6 +511,69 @@ object PipelineQueries {
         rates = Map("src0" -> 0.35, "src1" -> 2.4, "src2" -> 0.0, "src3" -> 1.75))
     },
 
+    // ------------------------------------ DSIR importance log-weights
+    // Xie et al. NeurIPS'23: every document scored by Σ_b c_b·Δ_b over
+    // hashed unigram+bigram buckets, Δ_b the add-1-smoothed log ratio of
+    // an English-target distribution (lang='en' docs) to the raw corpus.
+    // The oracle replays the portable roll_hash∘mix64 featurization (same
+    // HUGEINT machinery as dedup_simhash), the per-bucket ln ratio on the
+    // 1e-12 DECIMAL grid, and the exact decimal per-doc sum — so the
+    // double column hash-matches despite being built from ln().
+    Q(
+      "corpus_dsir_weights",
+      Some("""
+        WITH toksd AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ts
+          FROM documents),
+        grams AS (
+          SELECT doc_id, lang, unnest(ts) AS gram FROM toksd
+          UNION ALL
+          SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS gram
+          FROM toksd, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u),
+        dt AS (SELECT DISTINCT gram FROM grams),
+        pows AS (
+          WITH RECURSIVE p(j, v) AS (
+            SELECT 0, 1::HUGEINT
+            UNION ALL
+            SELECT j + 1, (v * 1000003::HUGEINT) % 18446744073709551616::HUGEINT
+            FROM p WHERE j < (SELECT max(length(gram)) FROM dt))
+          SELECT * FROM p),
+        chars AS (
+          SELECT gram, length(gram) - i AS rev, ord(substr(gram, i, 1))::HUGEINT AS b
+          FROM dt, LATERAL (SELECT unnest(range(1, length(gram) + 1)) AS i) u),
+        roll AS (
+          SELECT c.gram, CAST(sum(c.b * p.v) % 18446744073709551616::HUGEINT AS UBIGINT) AS r
+          FROM chars c JOIN pows p ON p.j = c.rev GROUP BY c.gram),
+        mix1a AS (SELECT gram, xor(r, r >> 30) AS a FROM roll),
+        mix1  AS (SELECT gram, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                     + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM mix1a),
+        mix2a AS (SELECT gram, xor(z1, z1 >> 27) AS a FROM mix1),
+        mix2  AS (SELECT gram, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                     + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM mix2a),
+        bmap AS (SELECT gram, CAST(xor(z2, z2 >> 31) & 65535 AS BIGINT) AS bucket FROM mix2),
+        occ AS (SELECT g.doc_id, g.lang, b.bucket FROM grams g JOIN bmap b USING (gram)),
+        rc AS (SELECT bucket, count(*) AS rcnt FROM occ GROUP BY 1),
+        tc AS (SELECT bucket, count(*) AS tcnt FROM occ WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM occ WHERE lang = 'en') AS t_tot,
+                       (SELECT count(*) FROM occ) AS r_tot),
+        delta AS (
+          SELECT r.bucket,
+                 CAST(round(ln(coalesce(t.tcnt, 0) + 1.0) - ln(tot.t_tot + 65536.0)
+                          - ln(r.rcnt + 1.0) + ln(tot.r_tot + 65536.0), 12) AS DECIMAL(30,12)) AS delta
+          FROM rc r LEFT JOIN tc t USING (bucket), tot),
+        perdoc AS (SELECT doc_id, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2)
+        SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_feats,
+               CAST(round(sum(p.cnt * d2.delta), 6) AS DOUBLE) AS log_w
+        FROM perdoc p JOIN delta d2 USING (bucket)
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      Corpus.dsirLogWeights(docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+    },
+
     // --------------------------------------- temperature mixture (τ = 2)
     // Rates derived from the data (rate_i = n_i^{1/τ}/Σ·N/n_i), then the
     // same md5-threshold resample as corpus_resample. The oracle replays

@@ -283,6 +283,35 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dsirLogWeights: target-like docs outrank off-target, n_feats exact, deterministic") {
+    // target distribution: "alpha beta" prose; off-target: "zeta omega"
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha"), // pure target-style
+      (2L, "alpha beta zeta omega"),       // half and half
+      (3L, "zeta omega zeta omega zeta"))  // pure off-target
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (101L, "alpha beta alpha beta"),
+      (102L, "beta alpha beta"))
+      .toDF("doc_id", "text")
+    val out = Corpus
+      .dsirLogWeights(raw, target, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // n_feats = unigrams + bigrams = n + (n-1)
+    assert(out(1L)._1 == 9 && out(2L)._1 == 7 && out(3L)._1 == 9)
+    // importance strictly orders by target affinity
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+    // exact decimal pipeline -> bit-identical on re-run
+    val again = Corpus
+      .dsirLogWeights(raw, target, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(again == out)
+  }
+
   test("temperatureMixture: flattens a skewed mixture toward uniform, τ=1 is identity") {
     val skewed = ((1L to 1000L).map(i => (i, "web")) ++
       (2001L to 2050L).map(i => (i, "books")) ++
