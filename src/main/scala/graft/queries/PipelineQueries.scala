@@ -85,6 +85,37 @@ object PipelineQueries {
        JOIN af cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
        WHERE round(list_cosine_similarity(a.x, b.x), 6) >= 0.4"""
 
+  /** DuckDB oracle for ann_ivf_kmeans: [[kmeansCellsPrefix]] replays the
+    * deterministic quantizer (c`iters` = final centroids over unit
+    * vectors); multi-assignment and query probes are the same
+    * (dist2 ASC, cluster ASC) ranking cut at `assign`/`nprobe`; candidates
+    * dedupe per (query, neighbor) exactly like the operator; scoring is
+    * the PROVEN raw-double cosine of ann_brute_topk. */
+  private def ivfKmeansOracle(nlist: Int, iters: Int, assign: Int, nprobe: Int, k: Int): String = {
+    val d2 =
+      "list_reduce(list_transform(range(1, 65), i -> (nv.v[i] - c.cv[i]) * (nv.v[i] - c.cv[i])), (a, b) -> a + b)"
+    s"""${kmeansCellsPrefix(nlist, iters)},
+       amulti AS MATERIALIZED (SELECT vec_id, cluster AS cell FROM (
+           SELECT nv.vec_id, c.cluster,
+                  ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
+           FROM nv CROSS JOIN c$iters c) WHERE rk <= $assign),
+       qprobe AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS cell FROM (
+           SELECT nv.vec_id, c.cluster,
+                  ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
+           FROM nv CROSS JOIN c$iters c WHERE nv.vec_id < 8) WHERE rk <= $nprobe),
+       cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+                FROM qprobe q JOIN amulti a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+       sc AS (SELECT c2.query_id, c2.neighbor_id,
+                     round(list_cosine_similarity(qa.x, nb.x), 9) AS sim9,
+                     round(list_cosine_similarity(qa.x, nb.x), 6) AS sim
+              FROM cand c2 JOIN v0 qa ON qa.vec_id = c2.query_id
+                           JOIN v0 nb ON nb.vec_id = c2.neighbor_id),
+       rr AS (SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim9 DESC, neighbor_id) AS rn
+              FROM sc)
+       SELECT query_id, neighbor_id, sim, rn FROM rr WHERE rn <= $k"""
+  }
+
   /** DuckDB oracle for embed_project: one UNION ALL arm per output dim,
     * each replaying randomProject's fold bit-for-bit — the ±1 signs come
     * from the same splitmix64 stream ([[Similarity.projectionSigns]],
@@ -1079,6 +1110,27 @@ object PipelineQueries {
     Q("ann_ivf_topk", None) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3)
+    },
+
+    // ---------------------------- ANN: IVF over the DETERMINISTIC quantizer
+    // Same assign->serve pipeline, but the coarse quantizer is the
+    // decimal-exact distributed k-means instead of the sampled driver
+    // trainer — the reproducible-index-build variant (an audit can replay
+    // the EXACT index any engine built; at 100 TB trainer cost is per
+    // index build, amortized over every query batch served from it). That
+    // determinism buys a full DuckDB oracle: kmeansCellsPrefix replays the
+    // model, rank<=assign replays multi-assignment, rank<=nprobe the query
+    // probes, and the proven round-6/round-9 cosine ranks the candidates.
+    Q("ann_ivf_kmeans", Some(ivfKmeansOracle(nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10))) {
+      (spark, dir) =>
+        val emb   = Tables(spark, dir).embeddings
+        val model = Similarity.kmeans(emb, k = 16, maxIter = 5, tol = 0.0).centroids
+        Similarity.ivfSearch(
+          Similarity.ivfAssign(emb, model, assign = 3),
+          emb.filter(col("vec_id") < 8),
+          model,
+          k = 10,
+          nprobe = 8)
     },
 
     // ------------------------------------- ANN: int8-quantized IVF + rerank
