@@ -362,9 +362,29 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       assign: Int = 2,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4): DataFrame =
+    ivfServeQ8(
+      trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist),
+      corpus,
+      queries,
+      k,
+      nprobe,
+      assign,
+      rerank)
+
+  /** [[ivfTopKQ8]] with a caller-supplied centroid model — the serve step
+    * decoupled from training, mirroring [[ivfSearch]]'s lifecycle split
+    * (train once — sampled or the deterministic [[kmeans]] — then build
+    * and serve the quantized index from the stored model). */
+  def ivfServeQ8(
+      centroids: Array[Array[Double]],
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      assign: Int,
+      rerank: Int): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot_q8, vec_q8}
-    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
 
     // the quantized resident index: unit-normalize (cosine contract), then
     // int8-quantize; full-precision cv/cn are dropped before the join

@@ -91,7 +91,10 @@ object PipelineQueries {
     * (dist2 ASC, cluster ASC) ranking cut at `assign`/`nprobe`; candidates
     * dedupe per (query, neighbor) exactly like the operator; scoring is
     * the PROVEN raw-double cosine of ann_brute_topk. */
-  private def ivfKmeansOracle(nlist: Int, iters: Int, assign: Int, nprobe: Int, k: Int): String = {
+  /** Shared CTE chain for the kmeans-quantizer IVF oracles: the
+    * [[kmeansCellsPrefix]] model, rank<=assign multi-assignment of every
+    * vector, and rank<=nprobe query probes (vec_id < nQueries). */
+  private def ivfCellsPrefix(nlist: Int, iters: Int, assign: Int, nprobe: Int, nQueries: Int): String = {
     val d2 =
       "list_reduce(list_transform(range(1, 65), i -> (nv.v[i] - c.cv[i]) * (nv.v[i] - c.cv[i])), (a, b) -> a + b)"
     s"""${kmeansCellsPrefix(nlist, iters)},
@@ -102,7 +105,11 @@ object PipelineQueries {
        qprobe AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS cell FROM (
            SELECT nv.vec_id, c.cluster,
                   ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
-           FROM nv CROSS JOIN c$iters c WHERE nv.vec_id < 8) WHERE rk <= $nprobe),
+           FROM nv CROSS JOIN c$iters c WHERE nv.vec_id < $nQueries) WHERE rk <= $nprobe)"""
+  }
+
+  private def ivfKmeansOracle(nlist: Int, iters: Int, assign: Int, nprobe: Int, k: Int): String =
+    s"""${ivfCellsPrefix(nlist, iters, assign, nprobe, nQueries = 8)},
        cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
                 FROM qprobe q JOIN amulti a ON a.cell = q.cell AND a.vec_id <> q.query_id),
        sc AS (SELECT c2.query_id, c2.neighbor_id,
@@ -110,6 +117,105 @@ object PipelineQueries {
                      round(list_cosine_similarity(qa.x, nb.x), 6) AS sim
               FROM cand c2 JOIN v0 qa ON qa.vec_id = c2.query_id
                            JOIN v0 nb ON nb.vec_id = c2.neighbor_id),
+       rr AS (SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim9 DESC, neighbor_id) AS rn
+              FROM sc)
+       SELECT query_id, neighbor_id, sim, rn FROM rr WHERE rn <= $k"""
+
+  /** DuckDB oracle for ann_ivf_int8_kmeans: the [[ivfCellsPrefix]] model,
+    * then the int8 serve path replayed exactly — symmetric per-vector
+    * quantization of the UNIT vector (scale = maxAbs/127; Java's
+    * Math.round is floor(x + 0.5), NOT SQL round's half-away-from-zero,
+    * so the oracle spells the floor form), integer-dot shortlist of
+    * rerank·k per query ranked by (qs·cs)·dot with the same
+    * multiplication order, and the proven raw-double cosine rerank. */
+  private def ivfQ8KmeansOracle(
+      nlist: Int,
+      iters: Int,
+      assign: Int,
+      nprobe: Int,
+      k: Int,
+      rerank: Int): String =
+    s"""${ivfCellsPrefix(nlist, iters, assign, nprobe, nQueries = 8)},
+       q8 AS MATERIALIZED (SELECT vec_id, scale,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+             FROM (SELECT vec_id, v,
+                     CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0
+                          THEN list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+                          ELSE 1.0 END AS scale
+                   FROM nv)),
+       simq AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id,
+                       (qq.scale * cq.scale) *
+                       list_reduce(list_transform(range(1, 65), i -> qq.q[i] * cq.q[i]), (x, y) -> x + y) AS simq
+                FROM qprobe q JOIN amulti a ON a.cell = q.cell AND a.vec_id <> q.query_id
+                JOIN q8 qq ON qq.vec_id = q.query_id
+                JOIN q8 cq ON cq.vec_id = a.vec_id),
+       short AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY simq DESC, neighbor_id) AS rk
+                   FROM simq) WHERE rk <= ${rerank * k}),
+       sc AS (SELECT s.query_id, s.neighbor_id,
+                     round(list_cosine_similarity(qa.x, nb.x), 9) AS sim9,
+                     round(list_cosine_similarity(qa.x, nb.x), 6) AS sim
+              FROM short s JOIN v0 qa ON qa.vec_id = s.query_id
+                           JOIN v0 nb ON nb.vec_id = s.neighbor_id),
+       rr AS (SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim9 DESC, neighbor_id) AS rn
+              FROM sc)
+       SELECT query_id, neighbor_id, sim, rn FROM rr WHERE rn <= $k"""
+
+  /** (a*b) mod 2^64 in DuckDB HUGEINT via 32-bit split — a direct 64×64
+    * product overflows INT128. `a` must be a UBIGINT-typed SQL expression;
+    * `b` a decimal literal of the unsigned 64-bit constant. */
+  private def sqlMulMod64(a: String, b: String): String =
+    s"CAST((( ($a & 4294967295)::HUGEINT * $b::HUGEINT" +
+      s" + ((($a >> 32)::HUGEINT * $b::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      s") % 18446744073709551616::HUGEINT) AS UBIGINT)"
+
+  /** DuckDB oracle for ann_lsh_topk: the LSH pipeline is approximate versus
+    * brute force but fully DETERMINISTIC — plane signs are
+    * splitmix64(t<<40 | p<<20 | d) ([[graft.functions.HyperplaneSig]]),
+    * replayed here with the same HUGEINT mulmod machinery as dedup_simhash;
+    * per-plane sums fold v[d]·(±1.0) in ascending-d order (exact ±, same
+    * add sequence as the expression's loop), buckets bit-pack strict s>0
+    * votes, the hamming-≤radius probe ball is a bit_count filter, and the
+    * candidate set ranks by the proven round-9/round-6 cosine. */
+  private def lshOracle(bits: Int, tables: Int, radius: Int, k: Int, nQueries: Int): String = {
+    val ballSize = 1 << bits
+    s"""WITH grid AS (
+         SELECT t.t, p.p, d.d
+         FROM (SELECT unnest(range(0, $tables)) AS t) t,
+              (SELECT unnest(range(0, $bits)) AS p) p,
+              (SELECT unnest(range(0, 64)) AS d) d),
+       z0 AS (SELECT t, p, d,
+                CAST(((t::HUGEINT * 1099511627776::HUGEINT + p::HUGEINT * 1048576::HUGEINT
+                       + d::HUGEINT + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) AS a
+              FROM grid),
+       m1a AS (SELECT t, p, d, xor(a, a >> 30) AS a FROM z0),
+       m1  AS (SELECT t, p, d, ${sqlMulMod64("a", "13787848793156543929")} AS a FROM m1a),
+       m2a AS (SELECT t, p, d, xor(a, a >> 27) AS a FROM m1),
+       m2  AS (SELECT t, p, d, ${sqlMulMod64("a", "10723151780598845931")} AS a FROM m2a),
+       signs AS (SELECT t, p, d,
+                   CASE WHEN (xor(a, a >> 31) & 1) = 0 THEN 1.0 ELSE -1.0 END AS sgn
+                 FROM m2),
+       vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       psum AS (SELECT v.vec_id, s.t, s.p,
+                  list_reduce(list(v.x[s.d + 1] * s.sgn ORDER BY s.d), (a, b) -> a + b) AS s
+                FROM vs v CROSS JOIN signs s GROUP BY v.vec_id, s.t, s.p),
+       buckets AS (SELECT vec_id, t AS tbl,
+                     CAST(coalesce(sum(CASE WHEN s > 0 THEN (1::UBIGINT << p)::HUGEINT END), 0) AS BIGINT) AS bucket
+                   FROM psum GROUP BY 1, 2),
+       masks AS (SELECT m FROM (SELECT unnest(range(0, $ballSize)) AS m) WHERE bit_count(m) <= $radius),
+       qprobe AS (SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, m.m) AS bucket
+                  FROM buckets b, masks m WHERE b.vec_id < $nQueries),
+       cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+                FROM qprobe q JOIN buckets c
+                  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.query_id),
+       sc AS (SELECT c2.query_id, c2.neighbor_id,
+                     round(list_cosine_similarity(qa.x, nb.x), 9) AS sim9,
+                     round(list_cosine_similarity(qa.x, nb.x), 6) AS sim
+              FROM cand c2 JOIN vs qa ON qa.vec_id = c2.query_id
+                           JOIN vs nb ON nb.vec_id = c2.neighbor_id),
        rr AS (SELECT query_id, neighbor_id, sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim9 DESC, neighbor_id) AS rn
               FROM sc)
@@ -1047,12 +1153,15 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------ ANN: LSH bucketed
-    // Approximate by construction (recall < 1) → rows-only check; the
-    // ScalaTest spec pins recall >= 0.9 against bruteTopK with exactly
-    // these settings (ProfileAnn-tuned: recall 0.975+ on both gate
-    // corpora; multi-probe radius 2 buys the recall of many extra tables
-    // while the corpus index stays 1 bucket/table/vector).
-    Q("ann_lsh_topk", None) { (spark, dir) =>
+    // Approximate versus brute force (recall < 1, spec pins >= 0.9 at
+    // these ProfileAnn-tuned settings) but fully DETERMINISTIC — the
+    // derandomized splitmix64 plane signs replay in SQL, so the oracle
+    // recomputes the SAME approximate answer and the row set
+    // hash-matches. Multi-probe radius 2 buys the recall of many extra
+    // tables while the corpus index stays 1 bucket/table/vector.
+    Q(
+      "ann_lsh_topk",
+      Some(lshOracle(bits = 8, tables = 12, radius = 2, k = 10, nQueries = 8))) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 10, bits = 8, tables = 12, probeHamming = 2)
     },
@@ -1131,6 +1240,27 @@ object PipelineQueries {
           model,
           k = 10,
           nprobe = 8)
+    },
+
+    // ------------------- ANN: int8 IVF over the DETERMINISTIC quantizer
+    // ann_ivf_kmeans' int8 sibling: same decimal-exact k-means model, but
+    // served from the quantized resident index (d+16 bytes/vector) with
+    // the integer-dot shortlist and exact rerank. Hash-checked end to end
+    // — quantization, int8 scoring and rerank all replay in SQL.
+    Q(
+      "ann_ivf_int8_kmeans",
+      Some(ivfQ8KmeansOracle(nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10, rerank = 4))) {
+      (spark, dir) =>
+        val emb   = Tables(spark, dir).embeddings
+        val model = Similarity.kmeans(emb, k = 16, maxIter = 5, tol = 0.0).centroids
+        Similarity.ivfServeQ8(
+          model,
+          emb,
+          emb.filter(col("vec_id") < 8),
+          k = 10,
+          nprobe = 8,
+          assign = 3,
+          rerank = 4)
     },
 
     // ------------------------------------- ANN: int8-quantized IVF + rerank

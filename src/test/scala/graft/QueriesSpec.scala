@@ -30,7 +30,6 @@ class QueriesSpec extends SparkSpec {
     * pins its correctness — adding a query with NEITHER an oracle NOR an
     * entry here fails the build, so coverage can't silently erode. */
   private val rowsOnlyPinnedBy = Map(
-    "ann_lsh_topk"      -> "SimilaritySpec (recall >= 0.9 vs brute force)",
     "ann_ivf_topk"      -> "SimilaritySpec (recall >= 0.9 vs brute force)",
     "ann_ivf_int8"      -> "SimilaritySpec (recall + quantization error bound)",
     "sketch_distinct_users"  -> "SketchSpec (5% error envelope)",
