@@ -651,16 +651,11 @@ object Corpus {
     * an unordered SUM); the two libm calls (ln, exp) can differ in the
     * last ulp across engines, so the emitted score is round(·, 6).
     * Output: (doc_id, quality_score ∈ (0,1)). */
-  def linearQualityScore(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      wTokensPerChar: Double,
-      wStopwordRatio: Double,
-      wPunctRatio: Double,
-      wLogLen: Double,
-      bias: Double,
-      keep: Seq[String] = Nil): DataFrame = {
+  /** The four deterministic surface-quality features shared by
+    * [[linearQualityScore]] (serving) and [[trainQualityClassifier]]
+    * (training): tokens/char, stopword ratio, punctuation ratio — exact
+    * IEEE divisions of exact integer counts — and ln(1+len). */
+  private def qualityFeatures(textCol: String): (Column, Column, Column, Column) = {
     val toksC     = toks(col(textCol))
     val stopwords = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
     val len       = length(col(textCol))
@@ -671,6 +666,20 @@ object Corpus {
     val f3 = size(regexp_extract_all(col(textCol), lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
       greatest(len, lit(1))
     val f4 = log(lit(1.0) + len.cast("double"))
+    (f1, f2, f3, f4)
+  }
+
+  def linearQualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      wTokensPerChar: Double,
+      wStopwordRatio: Double,
+      wPunctRatio: Double,
+      wLogLen: Double,
+      bias: Double,
+      keep: Seq[String] = Nil): DataFrame = {
+    val (f1, f2, f3, f4) = qualityFeatures(textCol)
     val z = lit(bias) +
       lit(wTokensPerChar) * f1 +
       lit(wStopwordRatio) * f2 +
@@ -680,6 +689,101 @@ object Corpus {
       col(idCol).as("doc_id") +:
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score") +:
         keep.map(col): _*)
+  }
+
+  /** Train the linear quality classifier IN the engine: full-batch gradient
+    * descent on logistic loss over the [[qualityFeatures]] (plus bias),
+    * labels supplied by the caller (e.g. "is this the target language" —
+    * the fastText-quality-filter recipe trained from weak labels). Returns
+    * the 5-row (feature, weight) model — [[linearQualityScore]] serves it.
+    *
+    * Deterministic/oracle contract (kmeans' unrolled-iteration discipline
+    * applied to GD):
+    *  - features are rounded to the 1e-9 grid and held as DECIMAL(13,9) —
+    *    exact int-division doubles land identically in both engines, and
+    *    ln(1+len)'s last-ulp freedom cannot cross a 1e-9 boundary except
+    *    with ~1e-7 probability per doc;
+    *  - per-iteration margins are plain double arithmetic over the
+    *    decimal-cast-to-double features in a FIXED fold order; the error
+    *    term σ(m)−y is rounded to 1e-9 and becomes DECIMAL(12,9), so the
+    *    gradient Σ err·x is EXACT decimal arithmetic — order-free at any
+    *    parallelism (the grid, not the sum, absorbs exp()'s ulp);
+    *  - the weight update w −= lr·(g/n) is the same double op sequence
+    *    either engine replays.
+    *
+    * Scale shape: one cached scan of the featurized corpus; each iteration
+    * is ONE aggregation shuffling 5 decimal partial sums per task — the
+    * driver only ever holds the 5-weight model (bounded-model contract,
+    * like [[graft.operators.Similarity.kmeans]]). */
+  def trainQualityClassifier(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      iters: Int = 8,
+      lr: Double = 0.5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val (f1, f2, f3, f4) = qualityFeatures(textCol)
+    val dec9             = org.apache.spark.sql.types.DecimalType(13, 9)
+    val feats = docs
+      .select(
+        label.cast("double").as("y"),
+        round(f1, 9).cast(dec9).as("x1"),
+        round(f2, 9).cast(dec9).as("x2"),
+        round(f3, 9).cast(dec9).as("x3"),
+        round(f4, 9).cast(dec9).as("x4"))
+      .select(
+        col("y"),
+        col("x1"),
+        col("x2"),
+        col("x3"),
+        col("x4"),
+        col("x1").cast("double").as("x1d"),
+        col("x2").cast("double").as("x2d"),
+        col("x3").cast("double").as("x3d"),
+        col("x4").cast("double").as("x4d"))
+      .persist()
+    val n = feats.count().toDouble
+    require(n > 0, "trainQualityClassifier needs at least one document")
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.0) // bias, x1..x4
+    try {
+      var it = 0
+      while (it < iters) {
+        val margin = lit(w(0)) + lit(w(1)) * col("x1d") + lit(w(2)) * col("x2d") +
+          lit(w(3)) * col("x3d") + lit(w(4)) * col("x4d")
+        val err = round(lit(1.0) / (lit(1.0) + exp(-margin)) - col("y"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 9))
+        val g = feats
+          .select(
+            err.as("e"),
+            col("x1"),
+            col("x2"),
+            col("x3"),
+            col("x4"))
+          .agg(
+            sum(col("e")).as("g0"),
+            sum(col("e") * col("x1")).as("g1"),
+            sum(col("e") * col("x2")).as("g2"),
+            sum(col("e") * col("x3")).as("g3"),
+            sum(col("e") * col("x4")).as("g4"))
+          .head()
+        var j = 0
+        while (j < 5) {
+          w(j) = w(j) - lr * (g.getDecimal(j).doubleValue / n)
+          j += 1
+        }
+        it += 1
+      }
+    } finally feats.unpersist()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(
+      ("bias", BigDecimal(w(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("tokens_per_char", BigDecimal(w(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("stopword_ratio", BigDecimal(w(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("punct_ratio", BigDecimal(w(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("log_len", BigDecimal(w(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("feature", "weight")
   }
 
   /** Quality-mass truncation: per `groupCol` stratum, keep the highest-

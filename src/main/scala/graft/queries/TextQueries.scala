@@ -24,6 +24,56 @@ object TextQueries {
     * list_filter(string_split_regex(text, '\s+'), x -> x <> ''). */
   private def tokens = filter(split(col("text"), "\\s+"), t => length(t) > 0)
 
+  /** DuckDB oracle for quality_classifier_train: [[graft.operators.Corpus
+    * .trainQualityClassifier]]'s full-batch GD unrolled (the kmeans oracle
+    * discipline applied to logistic regression). Per iteration: margins in
+    * plain double arithmetic over the decimal-cast features with the SAME
+    * left-assoc fold, σ(m)−y rounded onto the 1e-9 grid into DECIMAL(12,9)
+    * so the five gradient sums are exact decimals, then the identical
+    * w − lr·(CAST(g AS DOUBLE)/n) update chain. */
+  private def trainQualityOracle(iters: Int, lr: Double): String = {
+    val rounds = (1 to iters)
+      .map { i =>
+        val p = i - 1
+        s"""e$i AS (SELECT CAST(round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                w.b + w.w1 * fd.x1d + w.w2 * fd.x2d + w.w3 * fd.x3d + w.w4 * fd.x4d
+              ))) - fd.y, 9) AS DECIMAL(12,9)) AS e, fd.x1, fd.x2, fd.x3, fd.x4
+            FROM fd, w$p w),
+           g$i AS (SELECT sum(e) AS g0, sum(e * x1) AS g1, sum(e * x2) AS g2,
+                          sum(e * x3) AS g3, sum(e * x4) AS g4 FROM e$i),
+           w$i AS (SELECT w.b  - $lr * (CAST(g.g0 AS DOUBLE) / nn.n) AS b,
+                          w.w1 - $lr * (CAST(g.g1 AS DOUBLE) / nn.n) AS w1,
+                          w.w2 - $lr * (CAST(g.g2 AS DOUBLE) / nn.n) AS w2,
+                          w.w3 - $lr * (CAST(g.g3 AS DOUBLE) / nn.n) AS w3,
+                          w.w4 - $lr * (CAST(g.g4 AS DOUBLE) / nn.n) AS w4
+                   FROM w$p w, g$i g, nn)"""
+      }
+      .mkString(",\n")
+    s"""WITH f AS (SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+           CAST(round(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+                      / GREATEST(LENGTH(text), 1), 9) AS DECIMAL(13,9)) AS x1,
+           CAST(round(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                      / GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1), 9) AS DECIMAL(13,9)) AS x2,
+           CAST(round(CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE)
+                      / GREATEST(LENGTH(text), 1), 9) AS DECIMAL(13,9)) AS x3,
+           CAST(round(ln(CAST(1.0 AS DOUBLE) + LENGTH(text)), 9) AS DECIMAL(13,9)) AS x4
+         FROM documents),
+       fd AS (SELECT y, x1, x2, x3, x4,
+                CAST(x1 AS DOUBLE) AS x1d, CAST(x2 AS DOUBLE) AS x2d,
+                CAST(x3 AS DOUBLE) AS x3d, CAST(x4 AS DOUBLE) AS x4d
+              FROM f),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fd),
+       w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+                     CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+                     CAST(0.0 AS DOUBLE) AS w4),
+       $rounds
+       SELECT 'bias' AS feature, round(b, 6) AS weight FROM w$iters
+       UNION ALL SELECT 'tokens_per_char', round(w1, 6) FROM w$iters
+       UNION ALL SELECT 'stopword_ratio', round(w2, 6) FROM w$iters
+       UNION ALL SELECT 'punct_ratio', round(w3, 6) FROM w$iters
+       UNION ALL SELECT 'log_len', round(w4, 6) FROM w$iters"""
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- word count
     // Native path: explode + partial-aggregated count. At 100 TB this is
@@ -231,6 +281,25 @@ object TextQueries {
         wPunctRatio = -4.0,
         wLogLen = 0.25,
         bias = -1.5)
+    },
+
+    // Linear quality-classifier TRAINING (operators/Corpus): full-batch
+    // logistic GD over the same four features, weak labels = lang='en'
+    // (the fastText-filter recipe: teach surface statistics to separate
+    // the target language, then serve with linearQualityScore). 8
+    // unrolled iterations, gradients on the 1e-9 decimal grid — the
+    // oracle replays every margin, sigmoid, gradient sum and weight
+    // update, so the learned WEIGHTS hash-match cross-engine.
+    Q(
+      "quality_classifier_train",
+      Some(trainQualityOracle(iters = 8, lr = 0.5))) { (spark, dir) =>
+      graft.operators.Corpus.trainQualityClassifier(
+        Tables(spark, dir).documents,
+        "doc_id",
+        "text",
+        label = col("lang") === "en",
+        iters = 8,
+        lr = 0.5)
     },
 
     // Cross-source calibration of the classifier scores (operators/Corpus

@@ -312,6 +312,54 @@ class CorpusSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("trainQualityClassifier: learns a planted signal, bit-deterministic on the corpus") {
+    // planted separable corpus: positives are stopword-rich prose,
+    // negatives are punctuation-heavy gibberish — the stopword and punct
+    // features carry the label, so GD must pull their weights apart
+    val planted = (1L to 30L).map { i =>
+      (i, s"the quick fox and the dog of the hill went to the town $i", 1)
+    } ++ (31L to 60L).map { i =>
+      (i, s"@@## %%!! &&** ^^$$ ::;; ,,.. xq$i zr!! ##@@ **&&", 0)
+    }
+    val pdf = planted.toDF("doc_id", "text", "y")
+    val pw = Corpus
+      .trainQualityClassifier(pdf, "doc_id", "text", label = col("y") === 1)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(pw.keySet == Set("bias", "tokens_per_char", "stopword_ratio", "punct_ratio", "log_len"))
+    assert(pw("stopword_ratio") > 0, s"stopword weight must pull positive, got $pw")
+    assert(pw("punct_ratio") < 0, s"punct weight must pull negative, got $pw")
+    // the learned model separates the planted classes at serving time
+    val served = Corpus
+      .linearQualityScore(
+        pdf,
+        "doc_id",
+        "text",
+        wTokensPerChar = pw("tokens_per_char"),
+        wStopwordRatio = pw("stopword_ratio"),
+        wPunctRatio = pw("punct_ratio"),
+        wLogLen = pw("log_len"),
+        bias = pw("bias"),
+        keep = Seq("y"))
+      .groupBy(col("y"))
+      .agg(avg(col("quality_score")))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
+    assert(served(1) > served(0), s"positive-class mean score must exceed negative: $served")
+
+    // on the real corpus: exactly the gate's weak-label training,
+    // bit-deterministic run to run (exact decimal gradients)
+    val docs = Tables(spark, SharedSpark.sf001).documents
+    def weights() = Corpus
+      .trainQualityClassifier(docs, "doc_id", "text", label = col("lang") === "en")
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(weights() == weights(), "training must be bit-deterministic run to run")
+  }
+
   test("temperatureMixture: flattens a skewed mixture toward uniform, τ=1 is identity") {
     val skewed = ((1L to 1000L).map(i => (i, "web")) ++
       (2001L to 2050L).map(i => (i, "books")) ++
