@@ -185,8 +185,16 @@ object Similarity {
       nlist: Int,
       sampleN: Int,
       iters: Int = 10): Array[Array[Double]] = {
+    // mix64(vec_id), not xxhash64: same uniform-draw property, but the
+    // hash replays in SQL — with it, the whole sampled trainer (sample
+    // set, iteration order, every double add) is engine-replayable, which
+    // is what lets ann_ivf_topk / ann_ivf_int8 / ann_recall_audit carry
+    // full DuckDB oracles despite being "approximate" (they are
+    // approximate versus brute force, never nondeterministic).
     val sample: Array[Array[Double]] = corpus
-      .select(asDoubleVec(col("embedding")).as("v"), xxhash64(col("vec_id")).as("h"))
+      .select(
+        asDoubleVec(col("embedding")).as("v"),
+        graft.functions.TextFunctions.mix64(col("vec_id")).as("h"))
       .orderBy(col("h"), col("v")(0))
       .limit(sampleN)
       .collect()
@@ -454,11 +462,13 @@ object Similarity {
     * recall numbers ride the correctness artifact instead of living only
     * in ScalaTest. One row per method: (method, n_true, n_hits, recall).
     *
-    * No SQL oracle is possible — the approximate sides hinge on
-    * engine-internal hashing (xxhash-seeded LSH hyperplanes, the sampled
-    * IVF quantizer) — so the row is rows-checked by the driver and the
-    * VALUES are pinned by SimilaritySpec (recall ≥ 0.9 per method, and
-    * audit ≡ an independently computed overlap). Scale shape: truth is
+    * Fully SQL-oracled: every method here is approximate versus brute
+    * force but DETERMINISTIC — the LSH planes are derandomized splitmix64
+    * and the sampled IVF trainer draws by mix64(vec_id) — so the driver
+    * replays each method's entire pipeline in DuckDB and hash-checks the
+    * overlap counts; SimilaritySpec additionally pins recall ≥ 0.9 per
+    * method and audit ≡ an independently computed overlap. Scale shape:
+    * truth is
     * k·|queries| rows (bounded), every join here is against that bounded
     * set — the expensive parts are the underlying index searches
     * themselves. */

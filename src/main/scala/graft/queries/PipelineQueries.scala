@@ -91,26 +91,28 @@ object PipelineQueries {
     * (dist2 ASC, cluster ASC) ranking cut at `assign`/`nprobe`; candidates
     * dedupe per (query, neighbor) exactly like the operator; scoring is
     * the PROVEN raw-double cosine of ann_brute_topk. */
-  /** Shared CTE chain for the kmeans-quantizer IVF oracles: the
-    * [[kmeansCellsPrefix]] model, rank<=assign multi-assignment of every
-    * vector, and rank<=nprobe query probes (vec_id < nQueries). */
-  private def ivfCellsPrefix(nlist: Int, iters: Int, assign: Int, nprobe: Int, nQueries: Int): String = {
+  /** Multi-assignment + query-probe CTEs against the centroid CTE named
+    * `centroidCte`: rank<=assign cells per corpus vector, rank<=nprobe per
+    * query (vec_id < nQueries). Shared by the kmeans- and sampled-trainer
+    * IVF oracles — identical because [[Similarity.nearestCells]]' bounded
+    * selection is exactly the (dist2 ASC, cluster ASC) ranking. */
+  private def ivfAssignProbes(centroidCte: String, assign: Int, nprobe: Int, nQueries: Int): String = {
     val d2 =
       "list_reduce(list_transform(range(1, 65), i -> (nv.v[i] - c.cv[i]) * (nv.v[i] - c.cv[i])), (a, b) -> a + b)"
-    s"""${kmeansCellsPrefix(nlist, iters)},
-       amulti AS MATERIALIZED (SELECT vec_id, cluster AS cell FROM (
+    s"""amulti AS MATERIALIZED (SELECT vec_id, cluster AS cell FROM (
            SELECT nv.vec_id, c.cluster,
                   ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
-           FROM nv CROSS JOIN c$iters c) WHERE rk <= $assign),
+           FROM nv CROSS JOIN $centroidCte c) WHERE rk <= $assign),
        qprobe AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS cell FROM (
            SELECT nv.vec_id, c.cluster,
                   ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
-           FROM nv CROSS JOIN c$iters c WHERE nv.vec_id < $nQueries) WHERE rk <= $nprobe)"""
+           FROM nv CROSS JOIN $centroidCte c WHERE nv.vec_id < $nQueries) WHERE rk <= $nprobe)"""
   }
 
-  private def ivfKmeansOracle(nlist: Int, iters: Int, assign: Int, nprobe: Int, k: Int): String =
-    s"""${ivfCellsPrefix(nlist, iters, assign, nprobe, nQueries = 8)},
-       cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+  /** Exact-cosine IVF serve tail over amulti/qprobe/v0: candidate dedup,
+    * the proven round-9/round-6 cosine, bounded rank cut. */
+  private def ivfExactTail(k: Int): String =
+    s"""cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
                 FROM qprobe q JOIN amulti a ON a.cell = q.cell AND a.vec_id <> q.query_id),
        sc AS (SELECT c2.query_id, c2.neighbor_id,
                      round(list_cosine_similarity(qa.x, nb.x), 9) AS sim9,
@@ -122,22 +124,11 @@ object PipelineQueries {
               FROM sc)
        SELECT query_id, neighbor_id, sim, rn FROM rr WHERE rn <= $k"""
 
-  /** DuckDB oracle for ann_ivf_int8_kmeans: the [[ivfCellsPrefix]] model,
-    * then the int8 serve path replayed exactly — symmetric per-vector
-    * quantization of the UNIT vector (scale = maxAbs/127; Java's
-    * Math.round is floor(x + 0.5), NOT SQL round's half-away-from-zero,
-    * so the oracle spells the floor form), integer-dot shortlist of
-    * rerank·k per query ranked by (qs·cs)·dot with the same
-    * multiplication order, and the proven raw-double cosine rerank. */
-  private def ivfQ8KmeansOracle(
-      nlist: Int,
-      iters: Int,
-      assign: Int,
-      nprobe: Int,
-      k: Int,
-      rerank: Int): String =
-    s"""${ivfCellsPrefix(nlist, iters, assign, nprobe, nQueries = 8)},
-       q8 AS MATERIALIZED (SELECT vec_id, scale,
+  /** Int8-quantized IVF serve tail (see ann_ivf_int8_kmeans): unit-vector
+    * symmetric quantization with Java's floor(x+0.5) rounding, integer-dot
+    * shortlist at rerank·k, exact cosine rerank. */
+  private def ivfQ8Tail(k: Int, rerank: Int): String =
+    s"""q8 AS MATERIALIZED (SELECT vec_id, scale,
                  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
              FROM (SELECT vec_id, v,
                      CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0
@@ -163,6 +154,112 @@ object PipelineQueries {
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim9 DESC, neighbor_id) AS rn
               FROM sc)
        SELECT query_id, neighbor_id, sim, rn FROM rr WHERE rn <= $k"""
+
+  /** WITH-chain replaying [[Similarity.trainCoarseQuantizer]] — the
+    * SAMPLED driver trainer, now engine-replayable because the sample
+    * order is mix64(vec_id) (signed) with an x[1] tiebreak:
+    *  - `samp`: rank over (mix64 signed, x[1]), cut at sampleN — the
+    *    TakeOrdered the trainer collects;
+    *  - `snv`: unit-normalized sample; `sc0`: first min(nlist, n) sample
+    *    points in sample order;
+    *  - per round: first-wins strict-< argmin ≡ (dist2 ASC, cluster ASC)
+    *    row_number; per-cell per-dim sums fold the assigned samples' DOUBLE
+    *    coordinates IN SAMPLE ORDER — the trainer's sequential foreach —
+    *    via list(val ORDER BY ord) left folds (no decimal trick here: the
+    *    driver sums doubles, so the oracle replays the exact add sequence);
+    *  - empty cells keep their previous centroid.
+    * Also emits v0 (raw doubles) and nv (normalized corpus) for the serve
+    * tails. */
+  private def ivfSampledPrefix(nlist: Int, sampleN: Int, iters: Int): String = {
+    val mulmod1 = sqlMulMod64("a", "13787848793156543929")
+    val mulmod2 = sqlMulMod64("a", "10723151780598845931")
+    val d2s =
+      "list_reduce(list_transform(range(1, 65), i -> (s.v[i] - c.cv[i]) * (s.v[i] - c.cv[i])), (a, b) -> a + b)"
+    val head =
+      s"""WITH v0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         nrm AS MATERIALIZED (SELECT vec_id, x, sqrt(list_reduce(list_transform(x, t -> t * t), (a, b) -> a + b)) AS nr FROM v0),
+         nv AS MATERIALIZED (SELECT vec_id, CASE WHEN nr > 0 THEN list_transform(x, t -> t / nr) ELSE x END AS v FROM nrm),
+         mh0 AS (SELECT vec_id, x, CAST(vec_id AS UBIGINT) AS a FROM v0),
+         mh1 AS (SELECT vec_id, x, xor(a, a >> 30) AS a FROM mh0),
+         mh2 AS (SELECT vec_id, x, $mulmod1 AS a FROM mh1),
+         mh3 AS (SELECT vec_id, x, xor(a, a >> 27) AS a FROM mh2),
+         mh4 AS (SELECT vec_id, x, $mulmod2 AS a FROM mh3),
+         mh AS (SELECT vec_id, x,
+                  CAST(CASE WHEN xor(a, a >> 31) >= 9223372036854775808::UBIGINT
+                            THEN xor(a, a >> 31)::HUGEINT - 18446744073709551616::HUGEINT
+                            ELSE xor(a, a >> 31)::HUGEINT END AS BIGINT) AS h
+                FROM mh4),
+         samp AS MATERIALIZED (SELECT ord, x FROM (
+             SELECT ROW_NUMBER() OVER (ORDER BY h, x[1]) AS ord, x FROM mh) WHERE ord <= $sampleN),
+         snv AS MATERIALIZED (SELECT ord,
+             CASE WHEN nr > 0 THEN list_transform(x, t -> t / nr) ELSE x END AS v
+           FROM (SELECT ord, x, sqrt(list_reduce(list_transform(x, t -> t * t), (a, b) -> a + b)) AS nr FROM samp)),
+         sc0 AS MATERIALIZED (SELECT ord - 1 AS cluster, v AS cv FROM snv WHERE ord <= $nlist)"""
+    val rounds = (1 to iters)
+      .map { it =>
+        val p = it - 1
+        s"""sa$it AS MATERIALIZED (SELECT ord, v, cluster FROM (
+              SELECT s.ord, s.v, c.cluster,
+                     ROW_NUMBER() OVER (PARTITION BY s.ord ORDER BY $d2s ASC, c.cluster ASC) AS rk
+              FROM snv s CROSS JOIN sc$p c) WHERE rk = 1),
+            sm$it AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+              SELECT cluster, pos,
+                     list_reduce(list(val ORDER BY ord), (a, b) -> a + b) / COUNT(*) AS m
+              FROM (SELECT cluster, ord, unnest(range(1, 65)) - 1 AS pos, unnest(v) AS val FROM sa$it)
+              GROUP BY cluster, pos) GROUP BY cluster),
+            sc$it AS MATERIALIZED (SELECT sc$p.cluster AS cluster, COALESCE(sm$it.cv, sc$p.cv) AS cv
+              FROM sc$p LEFT JOIN sm$it ON sc$p.cluster = sm$it.cluster)"""
+      }
+      .mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  private def ivfKmeansOracle(nlist: Int, iters: Int, assign: Int, nprobe: Int, k: Int): String =
+    s"""${kmeansCellsPrefix(nlist, iters)},
+       ${ivfAssignProbes(s"c$iters", assign, nprobe, nQueries = 8)},
+       ${ivfExactTail(k)}"""
+
+  /** DuckDB oracle for ann_ivf_topk — the SAMPLED-trainer IVF, replayed
+    * end to end: [[ivfSampledPrefix]] centroids, then the same
+    * assignment/probe/serve chain as the kmeans variant. */
+  private def ivfSampledOracle(
+      nlist: Int,
+      sampleN: Int,
+      iters: Int,
+      assign: Int,
+      nprobe: Int,
+      k: Int): String =
+    s"""${ivfSampledPrefix(nlist, sampleN, iters)},
+       ${ivfAssignProbes(s"sc$iters", assign, nprobe, nQueries = 8)},
+       ${ivfExactTail(k)}"""
+
+  /** DuckDB oracle for ann_ivf_int8 — sampled trainer + quantized serve. */
+  private def ivfQ8SampledOracle(
+      nlist: Int,
+      sampleN: Int,
+      iters: Int,
+      assign: Int,
+      nprobe: Int,
+      k: Int,
+      rerank: Int): String =
+    s"""${ivfSampledPrefix(nlist, sampleN, iters)},
+       ${ivfAssignProbes(s"sc$iters", assign, nprobe, nQueries = 8)},
+       ${ivfQ8Tail(k, rerank)}"""
+
+  /** DuckDB oracle for ann_ivf_int8_kmeans: the kmeans model, then the
+    * int8 serve tail (symmetric unit-vector quantization with Java's
+    * floor(x+0.5) rounding — NOT SQL round's half-away-from-zero —
+    * integer-dot shortlist at rerank·k, exact cosine rerank). */
+  private def ivfQ8KmeansOracle(
+      nlist: Int,
+      iters: Int,
+      assign: Int,
+      nprobe: Int,
+      k: Int,
+      rerank: Int): String =
+    s"""${kmeansCellsPrefix(nlist, iters)},
+       ${ivfAssignProbes(s"c$iters", assign, nprobe, nQueries = 8)},
+       ${ivfQ8Tail(k, rerank)}"""
 
   /** (a*b) mod 2^64 in DuckDB HUGEINT via 32-bit split — a direct 64×64
     * product overflows INT128. `a` must be a UBIGINT-typed SQL expression;
@@ -221,6 +318,51 @@ object PipelineQueries {
               FROM sc)
        SELECT query_id, neighbor_id, sim, rn FROM rr WHERE rn <= $k"""
   }
+
+  /** DuckDB oracle for ann_brute_topk (and the audit's ground truth): the
+    * exact cosine top-k. */
+  private def bruteOracle(k: Int, nQueries: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < $nQueries),
+       c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+             FROM q JOIN c ON query_id <> neighbor_id),
+       r AS (SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rn
+             FROM s)
+       SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= $k"""
+
+  /** DuckDB oracle for ann_recall_audit: every method in the audit is now
+    * deterministic (mix64-ordered sampled trainer, derandomized LSH), so
+    * the audit itself replays — each method's FULL oracle runs as a
+    * derived-table subquery (its WITH chain is scoped, so names reuse
+    * freely), and the overlap counts against the brute-force truth are
+    * plain joins. */
+  private def recallAuditOracle(
+      k: Int,
+      nQueries: Int,
+      nlist: Int,
+      sampleN: Int,
+      iters: Int,
+      assign: Int,
+      nprobe: Int,
+      rerank: Int,
+      bits: Int,
+      tables: Int,
+      radius: Int): String =
+    s"""WITH truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${bruteOracle(k, nQueries)}) t),
+       ivf_t AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${ivfSampledOracle(nlist, sampleN, iters, assign, nprobe, k)}) t),
+       i8_t AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${ivfQ8SampledOracle(nlist, sampleN, iters, assign, nprobe, k, rerank)}) t),
+       lsh_t AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${lshOracle(bits, tables, radius, k, nQueries)}) t),
+       tn AS (SELECT count(*) AS n_true FROM truth),
+       h AS (
+         SELECT 'ivf' AS method, (SELECT count(*) FROM ivf_t JOIN truth USING (query_id, neighbor_id)) AS n_hits
+         UNION ALL
+         SELECT 'ivf_int8', (SELECT count(*) FROM i8_t JOIN truth USING (query_id, neighbor_id))
+         UNION ALL
+         SELECT 'lsh', (SELECT count(*) FROM lsh_t JOIN truth USING (query_id, neighbor_id)))
+       SELECT h.method, tn.n_true, h.n_hits,
+              round(CAST(h.n_hits AS DOUBLE) / tn.n_true, 6) AS recall
+       FROM h, tn"""
 
   /** DuckDB oracle for embed_project: one UNION ALL arm per output dim,
     * each replaying randomProject's fold bit-for-bit — the ±1 signs come
@@ -1136,18 +1278,7 @@ object PipelineQueries {
     },
 
     // ------------------------------------------------ ANN: exact top-k
-    Q(
-      "ann_brute_topk",
-      Some("""
-        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
-        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
-              FROM q JOIN c ON query_id <> neighbor_id),
-        r AS (SELECT query_id, neighbor_id, round(sim, 6) AS sim,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rn
-              FROM s)
-        SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= 10
-      """)) { (spark, dir) =>
+    Q("ann_brute_topk", Some(bruteOracle(k = 10, nQueries = 8))) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
     },
@@ -1213,12 +1344,18 @@ object PipelineQueries {
     },
 
     // --------------------------------------------- ANN: IVF (k-means cells)
-    // Approximate by construction -> rows-only; spec pins recall >= 0.9 at
-    // these settings (ProfileAnn-tuned; cells are COSINE cells — the
-    // quantizer runs on unit vectors, see Similarity.normalized).
-    Q("ann_ivf_topk", None) { (spark, dir) =>
-      val emb = Tables(spark, dir).embeddings
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3)
+    // Approximate versus brute force (spec pins recall >= 0.9 at these
+    // ProfileAnn-tuned settings; cells are COSINE cells — the quantizer
+    // runs on unit vectors) but DETERMINISTIC since the sampled trainer's
+    // draw order became mix64(vec_id): the oracle replays the sample cut,
+    // every driver-side double add of Lloyd's in sample order, and the
+    // same serve chain — so even the sampled-trainer variant hash-matches.
+    Q(
+      "ann_ivf_topk",
+      Some(ivfSampledOracle(nlist = 16, sampleN = 4096, iters = 10, assign = 3, nprobe = 8, k = 10))) {
+      (spark, dir) =>
+        val emb = Tables(spark, dir).embeddings
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3)
     },
 
     // ---------------------------- ANN: IVF over the DETERMINISTIC quantizer
@@ -1266,22 +1403,32 @@ object PipelineQueries {
     // ------------------------------------- ANN: int8-quantized IVF + rerank
     // The memory/IO variant: the resident index is (id, cell, scale, int8
     // bytes) — d+16 bytes/vector instead of 8d — scored with a codegen'd
-    // integer dot, exact-reranked on a rerank*k shortlist. Approximate by
-    // construction -> rows-only; spec pins recall >= 0.9 at these settings
-    // and the quantization error bound.
-    Q("ann_ivf_int8", None) { (spark, dir) =>
-      val emb = Tables(spark, dir).embeddings
-      Similarity.ivfTopKQ8(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)
+    // integer dot, exact-reranked on a rerank*k shortlist. Deterministic
+    // like ann_ivf_topk (mix64 sample order), so the sampled trainer +
+    // quantized serve replay fully in the oracle; spec still pins
+    // recall >= 0.9 and the quantization error bound.
+    Q(
+      "ann_ivf_int8",
+      Some(
+        ivfQ8SampledOracle(nlist = 16, sampleN = 4096, iters = 10, assign = 3, nprobe = 8, k = 10, rerank = 4))) {
+      (spark, dir) =>
+        val emb = Tables(spark, dir).embeddings
+        Similarity.ivfTopKQ8(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)
     },
 
     // --------------------------------------- ANN recall, driver-auditable
     // The recall numbers the three approximate rows above are trusted for,
     // surfaced AS a gate artifact: per-method overlap against bruteTopK at
-    // exactly the gate settings. No SQL oracle can exist (LSH hyperplanes /
-    // the sampled IVF quantizer are engine-hash-specific) — the driver
-    // rows-checks it and the dumped values ARE the audit; SimilaritySpec
-    // pins recall >= 0.9 per method and audit ≡ independent overlap.
-    Q("ann_recall_audit", None) { (spark, dir) =>
+    // exactly the gate settings. Every method is deterministic (mix64
+    // sample order, derandomized LSH planes), so the audit itself carries
+    // a full oracle — each method's replay runs as a scoped subquery and
+    // the overlap counts hash-match. SimilaritySpec still pins
+    // recall >= 0.9 per method and audit ≡ independent overlap.
+    Q(
+      "ann_recall_audit",
+      Some(recallAuditOracle(
+        k = 10, nQueries = 8, nlist = 16, sampleN = 4096, iters = 10,
+        assign = 3, nprobe = 8, rerank = 4, bits = 8, tables = 12, radius = 2))) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       Similarity.recallAudit(
         emb, emb.filter(col("vec_id") < 8), k = 10,

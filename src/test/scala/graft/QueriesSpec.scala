@@ -30,14 +30,16 @@ class QueriesSpec extends SparkSpec {
     * pins its correctness — adding a query with NEITHER an oracle NOR an
     * entry here fails the build, so coverage can't silently erode. */
   private val rowsOnlyPinnedBy = Map(
-    "ann_ivf_topk"      -> "SimilaritySpec (recall >= 0.9 vs brute force)",
-    "ann_ivf_int8"      -> "SimilaritySpec (recall + quantization error bound)",
+    // the irreducible rows-only set: probabilistic sketches (the estimate
+    // IS the contract — no exact replay exists), the driver-held BPE merge
+    // table, and raw deflate byte counts (zlib-implementation-specific).
+    // Every deterministic query — including the approximate-but-
+    // derandomized ANN family — carries a full oracle.
     "sketch_distinct_users"  -> "SketchSpec (5% error envelope)",
     "sketch_heavy_hitters"   -> "SketchSpec (eps*N bound, no misses)",
     "sketch_quantiles_price" -> "SketchSpec (2% rank error)",
     "sketch_union_daily"     -> "SketchSpec (union == single pass)",
     "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)",
-    "ann_recall_audit"  -> "SimilaritySpec (audit == independent overlap, recall >= 0.9/method)",
     "text_compression_ratio" -> "CorpusSpec (separation + determinism; in-query rep4 witness)")
 
   test("no query lacks both an oracle and a pinned rows-only spec") {
