@@ -1144,6 +1144,33 @@ object Corpus {
     materialized
   }
 
+  /** Unicode script composition per document: the cheap companion signal
+    * to n-gram language ID — a multilingual crawl routes documents by
+    * dominant script BEFORE the per-language models run (CCNet buckets by
+    * language; script mixing inside one document is itself a spam signal:
+    * Latin text stuffed with CJK SEO keywords, Cyrillic homoglyph
+    * spoofing). One codegen'd projection, zero shuffles: per-script char
+    * counts from regexp_extract_all over explicit code-point ranges, each
+    * emitted as count/len — an exact IEEE division of exact integers, so
+    * the doubles hash-match cross-engine without rounding. Empty documents
+    * are emitted with zero ratios (len guard), not dropped — routing needs
+    * a verdict for every doc. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val len = length(col(textCol))
+    def ratio(re: String) =
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("double") /
+        greatest(len, lit(1)).cast("double")
+    df.select(
+      col(idCol).as("doc_id"),
+      len.cast("long").as("n_chars"),
+      ratio("[A-Za-zÀ-ɏ]").as("latin_ratio"),
+      ratio("[一-鿿぀-ヿ가-힯]").as("cjk_ratio"),
+      ratio("[Ѐ-ӿ]").as("cyrillic_ratio"),
+      ratio("[؀-ۿ]").as("arabic_ratio"),
+      ratio("[0-9]").as("digit_ratio"),
+      ratio("\\s").as("space_ratio"))
+  }
+
   /** Character-level Shannon entropy per document, in bits — the classic
     * gibberish/boilerplate quality signal (low entropy ⇒ repeated filler,
     * near-log2(alphabet) ⇒ random noise; CCNet-style quality gates threshold

@@ -87,4 +87,45 @@ object LanguageModel {
         col("n_bigrams"),
         round(col("s") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
   }
+
+  /** CCNet-style head/middle/tail corpus partitioning (Wenzek et al. 2020
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document under the in-corpus bigram LM, then cut
+    * the score distribution at its terciles — "head" = most fluent
+    * (highest avg log-prob, i.e. lowest perplexity; the slice CCNet keeps
+    * for LM training), "tail" = least fluent (dropped or down-weighted),
+    * "middle" between. Output: (doc_id, avg_logprob, bucket).
+    *
+    * Determinism: avg_logprob arrives on the round-6 grid from
+    * [[bigramScore]]; the two boundaries are exact interpolated
+    * percentiles rounded HALF_UP to 1e-4 driver-side (the
+    * quantileBucketize discipline — interpolation's last-ulp freedom is
+    * absorbed before any `<=` comparison), so bucket assignment is
+    * engine-exact.
+    *
+    * Scale: the scored frame is localCheckpointed once (doc-count-sized —
+    * one row per document) and feeds both the percentile pass and the
+    * assignment, so the LM never trains twice; the percentile buffers one
+    * DOUBLE per document, and at extreme document counts the boundary
+    * pass (its only consumer) can swap to approx_percentile without
+    * touching the assignment. */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val scored = bigramScore(docs, docs, idCol, textCol).localCheckpoint(true)
+    val row = Corpus
+      .spreadSmallInput(scored.select(col("avg_logprob")), col("avg_logprob"))
+      .agg(percentile(col("avg_logprob"), lit(Array(1.0 / 3, 2.0 / 3))).as("bs"))
+      .head()
+    val bounds = row.getSeq[Double](0).map(b =>
+      java.math.BigDecimal.valueOf(b).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
+    scored.select(
+      col("doc_id"),
+      col("avg_logprob"),
+      when(col("avg_logprob") <= lit(bounds(0)), "tail")
+        .when(col("avg_logprob") <= lit(bounds(1)), "middle")
+        .otherwise("head")
+        .as("bucket"))
+  }
 }

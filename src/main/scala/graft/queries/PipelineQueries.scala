@@ -1010,6 +1010,45 @@ object PipelineQueries {
       LanguageModel.bigramScore(docs, docs, "doc_id", "text")
     },
 
+    // --------------------------- CCNet head/middle/tail LM partitioning
+    // The signature CCNet move (Wenzek et al. 2020): tercile-cut the
+    // corpus by in-corpus LM fluency — head kept for training, tail
+    // dropped/down-weighted. Boundaries are exact interpolated
+    // percentiles rounded to 1e-4 before any comparison (the
+    // quantile_bucketize discipline), scores ride the proven
+    // lm_bigram_score chain, so per-doc bucket labels hash-match.
+    Q(
+      "corpus_ccnet_buckets",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS len FROM t WHERE len(toks) >= 2),
+        big0 AS (SELECT doc_id, unnest(list_transform(range(1, len), i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS u FROM t2),
+        b AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM big0),
+        uni AS (SELECT word, COUNT(*) AS c1 FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+        bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+        v AS (SELECT COUNT(*) AS vsz FROM uni),
+        lp AS (SELECT b.doc_id, b.pos,
+                      ln((CAST(COALESCE(c2, 0) AS DOUBLE) + 0.5) / (CAST(COALESCE(c1, 0) AS DOUBLE) + 0.5 * CAST(vsz AS DOUBLE))) AS logp
+               FROM b
+               LEFT JOIN bic USING (w1, w2)
+               LEFT JOIN uni ON uni.word = b.w1
+               CROSS JOIN v),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+                FROM lp GROUP BY doc_id),
+        sc AS (SELECT doc_id, ROUND(s / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob FROM agg),
+        bounds AS (SELECT round(quantile_cont(avg_logprob, CAST(1.0 AS DOUBLE) / 3.0), 4) AS b0,
+                          round(quantile_cont(avg_logprob, CAST(2.0 AS DOUBLE) / 3.0), 4) AS b1
+                   FROM sc)
+        SELECT doc_id, avg_logprob,
+               CASE WHEN avg_logprob <= b0 THEN 'tail'
+                    WHEN avg_logprob <= b1 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM sc, bounds
+      """)) { (spark, dir) =>
+      LanguageModel.perplexityBuckets(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
     // --------------------------------------- composed quality gate (v2)
     // The CCNet-shaped keep/drop decision joining the round's three
     // signals: char entropy (gibberish floor), bigram-LM fluency, and

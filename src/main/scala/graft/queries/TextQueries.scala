@@ -283,6 +283,27 @@ object TextQueries {
         bias = -1.5)
     },
 
+    // Unicode script composition (operators/Corpus.scriptProfile): the
+    // dominant-script routing signal a multilingual crawl applies before
+    // per-language models — and a spam signal when scripts mix. Literal
+    // code-point ranges work identically in Java regex and RE2; every
+    // ratio is an exact int/int IEEE division, so no rounding is needed.
+    Q(
+      "text_script_profile",
+      Some("""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS latin_ratio,
+               CAST(len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS cjk_ratio,
+               CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS cyrillic_ratio,
+               CAST(len(regexp_extract_all(text, '[؀-ۿ]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS arabic_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS digit_ratio,
+               CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS space_ratio
+        FROM documents
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.scriptProfile(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
     // Linear quality-classifier TRAINING (operators/Corpus): full-batch
     // logistic GD over the same four features, weak labels = lang='en'
     // (the fastText-filter recipe: teach surface statistics to separate

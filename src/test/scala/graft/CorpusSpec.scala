@@ -312,6 +312,30 @@ class CorpusSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("scriptProfile: planted multiscript text counts per range, empty doc emits zeros") {
+    val df = Seq(
+      (1L, "hello мир 世界 123"), // 10 latin? no: h-e-l-l-o =5 latin, мир=3 cyr, 世界=2 cjk, 123=3 digit, 3 spaces
+      (2L, "عربي"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Corpus
+      .scriptProfile(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 16)
+    assert(r1.getDouble(2) == 5.0 / 16) // latin
+    assert(r1.getDouble(3) == 2.0 / 16) // cjk
+    assert(r1.getDouble(4) == 3.0 / 16) // cyrillic
+    assert(r1.getDouble(5) == 0.0)      // arabic
+    assert(r1.getDouble(6) == 3.0 / 16) // digits
+    assert(r1.getDouble(7) == 3.0 / 16) // spaces
+    assert(out(2L).getDouble(5) == 1.0, "pure-arabic doc")
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 0 && (2 to 7).forall(i => r3.getDouble(i) == 0.0),
+      "empty doc emits zeros, not dropped")
+  }
+
   test("trainQualityClassifier: learns a planted signal, bit-deterministic on the corpus") {
     // planted separable corpus: positives are stopword-rich prose,
     // negatives are punctuation-heavy gibberish — the stopword and punct

@@ -301,6 +301,31 @@ class PlanSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("spreadSmallInput guard: streaming and non-scan frames pass through unprobed") {
+    import org.apache.spark.sql.functions.col
+    // streaming frame: df.rdd would throw AnalysisException — the guard
+    // must pass it through without touching the physical plan
+    val tmpdir = java.nio.file.Files.createTempDirectory("graft_streamguard_").toString
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmpdir/docs")
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$tmpdir/docs").schema)
+      .parquet(s"$tmpdir/docs")
+    val passed = graft.operators.Corpus.spreadSmallInput(streamIn, col("doc_id"))
+    assert(passed.isStreaming, "streaming frame must survive the guard")
+    assert(passed.queryExecution.logical eq streamIn.queryExecution.logical,
+      "streaming frame must pass through IDENTICALLY, not be rebuilt")
+
+    // aggregated frame (upstream exchange): probing would finalize and
+    // eagerly execute the shuffle under AQE — the guard must skip it and
+    // add no extra repartition (parallelism is already set by the shuffle)
+    val agged = spark.read.parquet(s"$tmpdir/docs")
+      .groupBy(col("doc_id")).agg(org.apache.spark.sql.functions.count(col("text")).as("n"))
+    val out = graft.operators.Corpus.spreadSmallInput(agged, col("doc_id"))
+    assert(out.queryExecution.logical eq agged.queryExecution.logical,
+      "a frame with upstream exchanges must not be re-shuffled just to spread")
+  }
+
   test("stratified sample is a scan-side filter — zero exchanges") {
     val p = planOf("sample_stratified")
     assert(!p.contains("Exchange"), s"per-stratum hash sampling must not shuffle:\n$p")
