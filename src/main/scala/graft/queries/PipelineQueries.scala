@@ -296,9 +296,14 @@ object PipelineQueries {
                    CASE WHEN (xor(a, a >> 31) & 1) = 0 THEN 1.0 ELSE -1.0 END AS sgn
                  FROM m2),
        vs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       -- pre-unnest the vector so the (vec x plane) join rows carry ONE
+       -- double, not the whole 64-double array: at 2000 vectors the join
+       -- is ~12M rows, and carrying the array through it was a multi-GB
+       -- peak that tripped commit-limited boxes at sf0.1
+       vsd AS (SELECT vec_id, unnest(range(1, 65)) - 1 AS d, unnest(x) AS xv FROM vs),
        psum AS (SELECT v.vec_id, s.t, s.p,
-                  list_reduce(list(v.x[s.d + 1] * s.sgn ORDER BY s.d), (a, b) -> a + b) AS s
-                FROM vs v CROSS JOIN signs s GROUP BY v.vec_id, s.t, s.p),
+                  list_reduce(list(v.xv * s.sgn ORDER BY s.d), (a, b) -> a + b) AS s
+                FROM vsd v JOIN signs s ON s.d = v.d GROUP BY v.vec_id, s.t, s.p),
        buckets AS (SELECT vec_id, t AS tbl,
                      CAST(coalesce(sum(CASE WHEN s > 0 THEN (1::UBIGINT << p)::HUGEINT END), 0) AS BIGINT) AS bucket
                    FROM psum GROUP BY 1, 2),

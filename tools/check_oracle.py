@@ -70,9 +70,6 @@ def compare(name, sdf, ddf):
 
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import glob
 
@@ -83,12 +80,21 @@ def main(sf_dir, out_dir):
             print(f"MISSING  {name}: no spark output")
             fail += 1
             continue
+        # fresh connection per query: an OOM in one heavy oracle must not
+        # poison the allocator for every query after it (observed at sf0.1
+        # on a commit-limited box), and the cap keeps any single oracle's
+        # spike inside the commit limit instead of taking the process down
+        con = duckdb.connect()
+        con.execute("SET memory_limit='24GB'")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
         try:
             ddf = con.execute(sql).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             fail += 1
+            con.close()
             continue
         err = compare(name, sdf, ddf)
         if err:
@@ -97,6 +103,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"ok       {name}  ({len(sdf)} rows)")
             ok += 1
+        con.close()
     print(f"\n{ok} ok, {fail} failed")
     return 1 if fail else 0
 
