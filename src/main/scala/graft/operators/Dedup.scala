@@ -693,16 +693,63 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs with hamming distance <= maxDist,
     * found by 16-bit chunk banding (pigeonhole: distance <=3 pairs collide
-    * in >=1 of 4 chunks), then exact popcount verification. */
-  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+    * in >=1 of 4 chunks), then exact popcount verification.
+    *
+    * The chunk self-join is quadratic in bucket occupancy, same shape as
+    * [[lshCandidatePlan]]'s band join — and with only 2^16 buckets per
+    * chunk position, a degenerate corpus (boilerplate-heavy or near-empty
+    * docs whose chunks collapse to the same value, classically 0x0000)
+    * floods one bucket. `maxBucketDF > 0` drops (pos, chunk) buckets
+    * shared by more than that many docs, the same hot-set-broadcast-as-
+    * LeftAnti discipline as lshCandidates: only the hot keys travel (tiny
+    * by construction), never the keep-set, and a true near-dup pair in a
+    * dropped bucket still has its other 3 chunks to collide on. At corpus
+    * scale where EVERY bucket legitimately exceeds any cap (n >> 4·2^16),
+    * 16-bit banding itself is the wrong tool — widen the chunks (Manku
+    * et al. 2007 use permuted tables with ~2^30-bucket prefixes); the cap
+    * defends the mid-scale regime where only degenerate buckets are hot.
+    *
+    * The cached chunk projection also makes the expensive tokenize +
+    * [[SimHashAgg]] chain run ONCE instead of once per join side. */
+  def simhashDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxBucketDF: Int = 0): DataFrame = {
+    // cache the SIGNATURES, not the 4×-exploded chunks: one (id, long) row
+    // per doc is the smallest artifact that lets the expensive tokenize +
+    // SimHashAgg chain run once across the hot-bucket agg and both join
+    // sides; the chunk projection is a free posexplode on top
+    val sigs = simhash(docs, idCol, textCol).cache()
+    val (_, result) = simhashDupPairPlan(sigs, maxDist, maxBucketDF)
+    materializeThenRelease(result, sigs)
+  }
+
+  /** The un-materialized [[simhashDupPairs]] plan over prepared signatures,
+    * as (chunk projection, pair result) — same contract as
+    * [[lshCandidatePlan]]: tests execute the LIVE banding self-join and
+    * inspect its final adaptive plan. Callers own `sigs` persistence
+    * (cache before, unpersist after the result is consumed). */
+  def simhashDupPairPlan(
+      sigs: DataFrame,
+      maxDist: Int = 3,
+      maxBucketDF: Int = 0): (DataFrame, DataFrame) = {
     val chunks = sigs.select(
       col("doc_id"),
       col("simhash"),
       posexplode(array((0 until 4).map(c => shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
-    val cand = chunks
+    val index = if (maxBucketDF > 0) {
+      val hot = chunks
+        .groupBy(col("pos"), col("col"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxBucketDF)
+        .select("pos", "col")
+      chunks.join(broadcast(hot), Seq("pos", "col"), "left_anti")
+    } else chunks
+    val cand = index
       .as("x")
-      .join(chunks.as("y"), Seq("pos", "col"))
+      .join(index.as("y"), Seq("pos", "col"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("a_id"),
@@ -710,9 +757,10 @@ object Dedup {
         col("x.simhash").as("sa"),
         col("y.simhash").as("sb"))
       .distinct()
-    cand
+    val result = cand
       .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
+    (chunks, result)
   }
 }

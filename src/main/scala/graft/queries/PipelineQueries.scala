@@ -1181,6 +1181,10 @@ object PipelineQueries {
     // operator plans. Candidates are banding-dependent by design (maxDist
     // 8 > the 4-chunk guarantee of 3), so the oracle replays the BANDING,
     // not just exact hamming — both surfaces emit identical pair sets.
+    // The maxBucketDF=1000 hot-bucket cap (degenerate-band guard, see
+    // Dedup.simhashDupPairs) is replayed too, as the NOT EXISTS anti-join
+    // on over-occupied (chunk_no, chunk) keys — inert on this corpus
+    // (5000 docs over 4·2^16 buckets) but part of the planned contract.
     Q(
       "dedup_simhash",
       Some("""
@@ -1231,14 +1235,20 @@ object PipelineQueries {
         chunks AS (
           SELECT doc_id, s, c.c AS chunk_no, CAST((usig >> (c.c * 16)) & 65535 AS INTEGER) AS chunk
           FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS c) c),
+        hot AS (
+          SELECT chunk_no, chunk FROM chunks GROUP BY 1, 2 HAVING count(*) > 1000),
+        idx AS (
+          SELECT c.* FROM chunks c WHERE NOT EXISTS
+            (SELECT 1 FROM hot h WHERE h.chunk_no = c.chunk_no AND h.chunk = c.chunk)),
         cand AS (
           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.s AS sa, y.s AS sb
-          FROM chunks x JOIN chunks y
+          FROM idx x JOIN idx y
             ON x.chunk_no = y.chunk_no AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
         SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
         FROM cand WHERE bit_count(xor(sa, sb)) <= 8
       """)) { (spark, dir) =>
-      Dedup.simhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", maxDist = 8)
+      Dedup.simhashDupPairs(
+        Tables(spark, dir).documents, "doc_id", "text", maxDist = 8, maxBucketDF = 1000)
     },
 
     // ------------------------------------------------------- winnowing

@@ -117,4 +117,51 @@ class SkewAndBucketSpec extends SparkSpec {
       case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("SimHash hot band: identical-doc flood — DF cap bounds the chunk join fan-out") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // same pathological shape as the LSH flood above, aimed at the 16-bit
+    // chunk banding: identical docs share ALL FOUR (pos, chunk) keys, so
+    // every hot doc pair materializes 4× from the self-join before the
+    // distinct — the worst case for simhashDupPairPlan's candidate join.
+    val hotText = (1 to 40).map(j => s"dup$j").mkString(" ")
+    val nHot    = 200
+    val docs = ((0 until nHot).map(i => (i.toLong, hotText)) ++
+      (nHot until 2000).map(i => (i.toLong, (1 to 12).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+      .repartition(8, col("doc_id"))
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sigs = Dedup.simhash(docs, "doc_id", "text").cache()
+      // UNCAPPED: the flood's m²/2 dist-0 pairs all surface
+      val (c1, uncapped) = Dedup.simhashDupPairPlan(sigs, maxDist = 3)
+      try {
+        val got = uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hotPairs = (for (a <- 0L until nHot; b <- (a + 1) until nHot) yield (a, b)).toSet
+        assert(hotPairs.subsetOf(got), "identical docs must all pair when uncapped")
+        val plan = uncapped.queryExecution.executedPlan.toString
+        assert(
+          !plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+          s"banding must stay a (skew-splittable) shuffled equi-join:\n$plan")
+      } finally c1.unpersist(false)
+      // CAPPED at 64 << 200: all four flood buckets drop BEFORE the join;
+      // the hot set travels as a broadcast LeftAnti, never the keep-set.
+      // Unique docs' random 16-bit chunks may still collide pairwise, but
+      // any survivor must involve no two flood docs and pass hamming<=3.
+      val (c2, capped) = Dedup.simhashDupPairPlan(sigs, maxDist = 3, maxBucketDF = 64)
+      try {
+        val plan = capped.queryExecution.executedPlan.toString
+        assert(plan.contains("LeftAnti"), s"cap must be an anti-join against the hot set:\n$plan")
+        val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(
+          !got.exists { case (a, b) => a < nHot && b < nHot },
+          "flood buckets dropped => no hot-hot candidate survives the cap")
+      } finally { c2.unpersist(false); sigs.unpersist(false) }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
