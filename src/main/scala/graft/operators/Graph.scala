@@ -67,6 +67,14 @@ object Graph {
     val nodes  = materialize(nodes0.repartition(stateParts))
     release(nodes0)
     val outDeg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")).repartition(stateParts))
+    // the DANGLING ID SET is iteration-invariant (only the rank mass over
+    // it changes) — materialize it once instead of re-running a node-scale
+    // anti-join against outDeg every iteration
+    val dangling = materialize(
+      nodes
+        .join(outDeg, nodes("id") === outDeg("src"), "left_anti")
+        .select(col("id").as("did"))
+        .repartition(stateParts))
 
     var ranks   = materialize(nodes.select(col("id"), lit(1.0 / n).as("rank")))
     var lastMat = ranks
@@ -83,7 +91,7 @@ object Graph {
       // to job overhead (and at scale, fewer bigger jobs mean fewer driver
       // round-trips). Plan depth stays bounded by the interval.
       val danglingMass = ranks
-        .join(outDeg, ranks("id") === outDeg("src"), "left_anti")
+        .join(dangling, ranks("id") === col("did"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       val weights = ranks
         .join(outDeg, ranks("id") === outDeg("src"))
@@ -109,7 +117,7 @@ object Graph {
     }
     // the returned ranks are checkpointed (self-contained blocks), so every
     // intermediate can be dropped now
-    release(e); release(outDeg); release(nodes)
+    release(e); release(outDeg); release(nodes); release(dangling)
     ranks
   }
 
@@ -118,9 +126,11 @@ object Graph {
     * most frequent label among its neighbors, ties broken toward the
     * SMALLEST label — fully deterministic, unlike the classic randomized
     * LPA (determinism is what makes the result testable and reproducible
-    * across cluster sizes). Labels start as node ids; `iterations` rounds
-    * of one neighbor-keyed shuffle each, labels checkpointed on the same
-    * composed-interval bounded-depth discipline as [[pageRank]].
+    * across cluster sizes). Labels start as node ids; up to `iterations`
+    * rounds of one neighbor-keyed shuffle each, labels checkpointed on the
+    * same composed-interval bounded-depth discipline as [[pageRank]], with
+    * an early exit once a checkpoint boundary certifies a consecutive-
+    * iteration fixpoint (hash-identical to running the full budget).
     * Returns (id, label).
     *
     * Communities are denser-than-CC structure: connected components merge
@@ -156,8 +166,9 @@ object Graph {
       sym.select(col("a").as("id")).distinct().select(col("id"), col("id").as("label")))
 
     var lastMat = labels
-    var i = 0
-    while (i < iterations) {
+    var i         = 0
+    var converged = false
+    while (i < iterations && !converged) {
       // neighbor label histogram per node; adopt (max count, min label).
       // Same composed-iteration checkpoint discipline as [[pageRank]] —
       // integer-exact labels, so composition cannot even shift a float.
@@ -168,10 +179,26 @@ object Graph {
         .groupBy(col("a").as("id"))
         .agg(min_by(col("label"), struct((-col("n")).as("negn"), col("label"))).as("label"))
       if ((i + 1) % checkpointInterval == 0 || i == iterations - 1) {
-        val next = materialize(nextPlan)
+        // early-exit probe, computed IN the checkpointed plan: flag each
+        // node whose label differs from the immediately-PRECEDING
+        // iteration (consecutive, not boundary-to-boundary — comparing
+        // labels(t) to labels(t-interval) would false-trigger on LPA's
+        // known synchronous 2-cycles, changing the budget-parity result).
+        // The join against `labels` re-reads the same exchange the step
+        // itself consumes; the changed-count is a scan over the fresh
+        // checkpoint blocks, not a recompute. A zero count certifies a
+        // FIXPOINT (labels(t) == labels(t-1)), so every later iteration
+        // returns the same frame and stopping is hash-identical.
+        val flagged = nextPlan
+          .join(
+            labels.select(col("id").as("pid"), col("label").as("plabel")),
+            col("id") === col("pid"))
+          .select(col("id"), col("label"), (col("label") =!= col("plabel")).as("changed"))
+        val next = materialize(flagged)
+        converged = next.filter(col("changed")).limit(1).isEmpty
         release(lastMat)
         lastMat = next
-        labels = next
+        labels = next.select(col("id"), col("label"))
       } else labels = nextPlan
       i += 1
     }
