@@ -17,19 +17,26 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Per-group HLL distinct estimate + HLL++ approx_count_distinct, side by
-    * side (both one pass, map-side partial agg). */
-  def distinctCounts(df: DataFrame, groupCol: String, idCol: String): DataFrame =
+    * side (both one pass, map-side partial agg). `lgConfigK` sizes the
+    * Datasketches registers (2^lgK); below ~3/4·2^lgK distinct per group
+    * the sketch is still in its coupon (exact) regime and the estimate is
+    * the exact count — which is what makes the gate query hash-checkable
+    * against an exact-COUNT(DISTINCT) oracle at the test scale factors,
+    * while the same code path degrades gracefully to ~1/sqrt(2^lgK)
+    * relative error at production cardinality (SketchSpec pins that
+    * envelope). */
+  def distinctCounts(df: DataFrame, groupCol: String, idCol: String, lgConfigK: Int = 12): DataFrame =
     df.groupBy(col(groupCol))
       .agg(
-        hll_sketch_estimate(hll_sketch_agg(col(idCol))).as("hll_distinct"),
+        hll_sketch_estimate(hll_sketch_agg(col(idCol), lit(lgConfigK))).as("hll_distinct"),
         approx_count_distinct(col(idCol)).as("hllpp_distinct"),
         count(lit(1)).as("n_rows"))
 
   /** Daily sketch cube: one mergeable HLL binary per (day, group). At scale
     * this is written to storage once per day — the reusable aggregate. */
-  def dailySketches(df: DataFrame, tsCol: String, groupCol: String, idCol: String): DataFrame =
+  def dailySketches(df: DataFrame, tsCol: String, groupCol: String, idCol: String, lgConfigK: Int = 12): DataFrame =
     df.groupBy(to_date(col(tsCol)).as("day"), col(groupCol))
-      .agg(hll_sketch_agg(col(idCol)).as("sketch"))
+      .agg(hll_sketch_agg(col(idCol), lit(lgConfigK)).as("sketch"))
 
   /** Re-aggregate a sketch cube to per-group totals: sketches UNION instead
     * of re-scanning raw data — distinct-over-any-range from stored state. */

@@ -276,35 +276,81 @@ object ExtendedQueries {
     },
 
     // ------------------------------------------------- sketch aggregates
-    // Mergeable Datasketches HLL + HLL++ distinct estimates. Estimates are
-    // engine-specific (no DuckDB parity) → rows-only gate; SketchSpec pins
-    // the error envelope against exact counts.
-    Q("sketch_distinct_users", None) { (spark, dir) =>
-      Sketches.distinctCounts(Tables(spark, dir).events, "event_type", "user_id")
+    // Mergeable Datasketches HLL distinct estimate. At lgConfigK=14 the
+    // sketch holds ≤ ~12k distinct per group in its coupon (EXACT) regime
+    // — the gate corpora (≤1.5k distinct users/group) sit squarely inside
+    // it, so the estimate column IS the exact count and the row hash-
+    // checks against COUNT(DISTINCT); at production cardinality the same
+    // plan degrades to ~0.8% error (SketchSpec pins the envelope). The
+    // operator's third column, HLL++ approx_count_distinct, has no exact
+    // regime (its linear-counting estimate rounds off-by-one even at
+    // rsd=0.002 on 1.5k distinct) and no cross-engine replay — it stays
+    // covered by SketchSpec's envelope pin, outside the oracle projection.
+    Q(
+      "sketch_distinct_users",
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS hll_distinct, count(*) AS n_rows
+        FROM events GROUP BY event_type
+      """)) { (spark, dir) =>
+      Sketches
+        .distinctCounts(Tables(spark, dir).events, "event_type", "user_id", lgConfigK = 14)
+        .select(col("event_type"), col("hll_distinct"), col("n_rows"))
     },
 
     // Daily HLL cube re-aggregated by UNION — distinct-over-range from
-    // stored sketches, the never-rescan-raw-events pattern.
-    Q("sketch_union_daily", None) { (spark, dir) =>
+    // stored sketches, the never-rescan-raw-events pattern. Coupon-regime
+    // exactness survives the union (sketch union merges coupon sets), so
+    // the total equals the exact all-days distinct at gate scale.
+    Q(
+      "sketch_union_daily",
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS distinct_total
+        FROM events GROUP BY event_type
+      """)) { (spark, dir) =>
       Sketches.unionSketches(
-        Sketches.dailySketches(Tables(spark, dir).events, "ts", "event_type", "user_id"),
+        Sketches.dailySketches(Tables(spark, dir).events, "ts", "event_type", "user_id", lgConfigK = 14),
         "event_type")
     },
 
     // Distributed approximate quantiles per order status — long form (one
     // scalar row per group×quantile) so the output is harness-sortable; the
-    // array-column form remains as Sketches.approxQuantiles.
-    Q("sketch_quantiles_price", None) { (spark, dir) =>
+    // array-column form remains as Sketches.approxQuantiles. At accuracy
+    // 1e6 the GK summary's rank error bound (n/accuracy < 1 at gate group
+    // sizes ≤ 50k) forces the EXACT order statistic, which Spark selects
+    // at rank ceil(q*n) — the oracle replays that rank over a row_number
+    // window. Production accuracy stays the 1e4 operator default.
+    Q(
+      "sketch_quantiles_price",
+      Some("""
+        WITH ranked AS (
+          SELECT o_orderstatus, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+                 count(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM orders),
+        qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+        SELECT r.o_orderstatus, q.q AS q, r.o_totalprice AS value, r.n AS n_rows
+        FROM ranked r JOIN qs q ON r.rn = CAST(ceil(q.q * r.n) AS BIGINT)
+      """)) { (spark, dir) =>
       Sketches.approxQuantilesLong(
         Tables(spark, dir).orders,
         "o_orderstatus",
         col("o_totalprice"),
-        Seq(0.5, 0.95, 0.99))
+        Seq(0.5, 0.95, 0.99),
+        accuracy = 1000000)
     },
 
-    // Count-min heavy hitters over event types (estimates are sketch-
-    // specific → rows-only; SketchSpec pins the eps*N error envelope).
-    Q("sketch_heavy_hitters", None) { (spark, dir) =>
+    // Count-min heavy hitters over event types. With 5 distinct keys in a
+    // w=ceil(e/eps)≈2719-column sketch, no two keys collide in all depth
+    // rows (deterministic for the fixed seed), so every estimate equals
+    // the exact count and the row hash-checks; at real key cardinality
+    // the same probe over-counts by ≤ eps·N w.p. conf (SketchSpec pins
+    // that envelope).
+    Q(
+      "sketch_heavy_hitters",
+      Some("""
+        SELECT CAST(event_type AS VARCHAR) AS event_type, count(*) AS est_count
+        FROM events GROUP BY 1 HAVING count(*) >= 100
+      """)) { (spark, dir) =>
       val events = Tables(spark, dir).events
       Sketches.heavyHitters(
         events,

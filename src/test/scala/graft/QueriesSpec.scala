@@ -30,15 +30,14 @@ class QueriesSpec extends SparkSpec {
     * pins its correctness — adding a query with NEITHER an oracle NOR an
     * entry here fails the build, so coverage can't silently erode. */
   private val rowsOnlyPinnedBy = Map(
-    // the irreducible rows-only set: probabilistic sketches (the estimate
-    // IS the contract — no exact replay exists), the driver-held BPE merge
-    // table, and raw deflate byte counts (zlib-implementation-specific).
-    // Every deterministic query — including the approximate-but-
-    // derandomized ANN family — carries a full oracle.
-    "sketch_distinct_users"  -> "SketchSpec (5% error envelope)",
-    "sketch_heavy_hitters"   -> "SketchSpec (eps*N bound, no misses)",
-    "sketch_quantiles_price" -> "SketchSpec (2% rank error)",
-    "sketch_union_daily"     -> "SketchSpec (union == single pass)",
+    // the irreducible rows-only set: the driver-held BPE merge table and
+    // raw deflate byte counts (zlib-implementation-specific). The four
+    // sketch queries moved OFF this list in r11: at gate scale each sits
+    // in its sketch's exact regime (HLL coupon mode at lgK=14, GK at
+    // rank-error<1, collision-free CMS over 5 keys), making the full row
+    // hash-checkable; SketchSpec still pins the production-scale error
+    // envelopes. Every deterministic query — including the approximate-
+    // but-derandomized ANN family — carries a full oracle.
     "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)",
     "text_compression_ratio" -> "CorpusSpec (separation + determinism; in-query rep4 witness)")
 
