@@ -402,6 +402,26 @@ object Corpus {
       textCol: String,
       minDf: Int,
       hotBroadcastCap: Long = 4L * 1000 * 1000): DataFrame = {
+    val (hotCached, out) = lineDedupPlan(df, idCol, textCol, minDf, hotBroadcastCap)
+    // NOTE the plan construction above is EAGER (the broadcast-vs-shuffle
+    // gate counts the hot set); the localCheckpoint materializes the
+    // result so the cached hot set can be released here instead of living
+    // for the session (same shape as dsirLogWeights).
+    val materialized = out.localCheckpoint(true)
+    hotCached.unpersist(false)
+    materialized
+  }
+
+  /** The un-materialized [[lineDedup]] plan, as (cached hot-line set,
+    * result) — exposed so tests can assert the broadcast-vs-shuffled
+    * anti-join gating on the LIVE plan (the public wrapper checkpoints,
+    * hiding it). Callers must unpersist the hot set after consuming. */
+  private[graft] def lineDedupPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int,
+      hotBroadcastCap: Long): (DataFrame, DataFrame) = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     val lines = spreadSmallInput(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
@@ -424,7 +444,7 @@ object Corpus {
     val kept =
       if (hotCached.count() <= hotBroadcastCap) lines.join(broadcast(hotCached), Seq("h"), "left_anti")
       else lines.join(hotCached, Seq("h"), "left_anti")
-    kept
+    val out = kept
       .groupBy(col(idCol))
       .agg(
         concat_ws(
@@ -432,6 +452,7 @@ object Corpus {
           transform(
             array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line"))).as(textCol))
+    (hotCached, out)
   }
 
   /** Snapshot diff between two versions of a corpus: the change feed a
@@ -714,7 +735,13 @@ object Corpus {
     * Scale shape: one cached scan of the featurized corpus; each iteration
     * is ONE aggregation shuffling 5 decimal partial sums per task — the
     * driver only ever holds the 5-weight model (bounded-model contract,
-    * like [[graft.operators.Similarity.kmeans]]). */
+    * like [[graft.operators.Similarity.kmeans]]).
+    *
+    * NULL labels are coalesced to 0.0 (negative class) BEFORE the gradient:
+    * without the coalesce a null y nulls its err term — dropped from the
+    * gradient sums yet still counted in n — silently diverging from any
+    * CASE-based oracle that maps the null row to class 0. Callers wanting
+    * null rows EXCLUDED should filter before calling. */
   def trainQualityClassifier(
       docs: DataFrame,
       idCol: String,
@@ -727,7 +754,7 @@ object Corpus {
     val dec9             = org.apache.spark.sql.types.DecimalType(13, 9)
     val feats = docs
       .select(
-        label.cast("double").as("y"),
+        coalesce(label.cast("double"), lit(0.0)).as("y"),
         round(f1, 9).cast(dec9).as("x1"),
         round(f2, 9).cast(dec9).as("x2"),
         round(f3, 9).cast(dec9).as("x3"),

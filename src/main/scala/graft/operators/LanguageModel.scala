@@ -118,6 +118,11 @@ object LanguageModel {
       .spreadSmallInput(scored.select(col("avg_logprob")), col("avg_logprob"))
       .agg(percentile(col("avg_logprob"), lit(Array(1.0 / 3, 2.0 / 3))).as("bs"))
       .head()
+    // percentile over ZERO rows (empty corpus, or every doc under 2
+    // tokens) yields a null array — return the empty scored frame with
+    // the bucket column instead of NPEing on getSeq
+    if (row.isNullAt(0))
+      return scored.select(col("doc_id"), col("avg_logprob"), lit("middle").as("bucket")).limit(0)
     val bounds = row.getSeq[Double](0).map(b =>
       java.math.BigDecimal.valueOf(b).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
     scored.select(

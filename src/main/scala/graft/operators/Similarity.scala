@@ -537,12 +537,20 @@ object Similarity {
     * FP-robust cross-engine: the operator itself nudges the caller's bound
     * up by 5e-7 before comparing the round-6 cosine, so a caller passing a
     * plain 0.4 gets the offset cut — no caller-side epsilon needed (an
-    * unset bound, `Double.MaxValue`, is left exact). */
+    * unset bound, `Double.MaxValue`, is left exact). Bounds must sit ON
+    * the 1e-6 grid: a pre-offset bound (e.g. 0.4000005, the pre-r10
+    * recipe) would silently double-guard, so off-grid values are rejected
+    * loudly instead of reinterpreted. */
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       maxSim: Double = Double.MaxValue): DataFrame = {
+    require(
+      maxSim == Double.MaxValue ||
+        math.abs(maxSim * 1e6 - math.rint(maxSim * 1e6)) < 1e-3,
+      s"maxSim must sit on the 1e-6 cosine grid (got $maxSim): the operator applies its own " +
+        "5e-7 FP guard — pass the plain bound, not a pre-offset one")
     val q = broadcast(
       queries
         .select(

@@ -803,6 +803,11 @@ object PipelineQueries {
     // HUGEINT machinery as dedup_simhash), the per-bucket ln ratio on the
     // 1e-12 DECIMAL grid, and the exact decimal per-doc sum — so the
     // double column hash-matches despite being built from ln().
+    // ASCII-corpus assumption (same as dedup_winnow): the replay hashes
+    // per-character ord() code points while RollHash hashes UTF-8 BYTES —
+    // identical only while the corpus is ASCII (true for the generated
+    // testdata; a non-ASCII vintage would need ord() swapped for an
+    // encode()-byte replay, an oracle-fidelity issue, not an engine bug).
     Q(
       "corpus_dsir_weights",
       Some("""
@@ -1181,6 +1186,10 @@ object PipelineQueries {
     // operator plans. Candidates are banding-dependent by design (maxDist
     // 8 > the 4-chunk guarantee of 3), so the oracle replays the BANDING,
     // not just exact hamming — both surfaces emit identical pair sets.
+    // ASCII-corpus assumption (same as dedup_winnow/corpus_dsir_weights):
+    // ord() replays RollHash's UTF-8-byte polynomial only on ASCII text —
+    // true for the generated testdata; a non-ASCII vintage flips the
+    // oracle (fidelity issue), not the operator.
     // The maxBucketDF=1000 hot-bucket cap (degenerate-band guard, see
     // Dedup.simhashDupPairs) is replayed too, as the NOT EXISTS anti-join
     // on over-occupied (chunk_no, chunk) keys — inert on this corpus

@@ -116,21 +116,25 @@ class CorpusSpec extends SparkSpec {
       (4L, boiler),
       (5L, s"$boiler\nunique eps"))
       .toDF("doc_id", "text")
-    def run(cap: Long) = Corpus
-      .lineDedup(df, "doc_id", "text", minDf = 4, hotBroadcastCap = cap)
     // cap 0 forces the un-hinted left_anti; results must match the
     // broadcast path exactly. The assertion is on the HINT (analyzed
     // plan), not the physical join — AQE may still auto-broadcast a
     // genuinely small build side at runtime, which is fine; what the cap
     // must prevent is FORCING a driver-side broadcast of an unbounded set.
-    val spread   = run(0L)
-    val hinted   = run(Long.MaxValue)
-    val expected = hinted.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(spread.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == expected)
-    assert(hinted.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
-      "under-cap hot set keeps the broadcast hint")
-    assert(!spread.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
-      "over-cap hot set must not carry a broadcast hint")
+    // lineDedupPlan (the un-checkpointed plan the public wrapper
+    // materializes) keeps the hint visible to the assertion.
+    def run(cap: Long) = Corpus
+      .lineDedupPlan(df, "doc_id", "text", minDf = 4, hotBroadcastCap = cap)
+    val (hotS, spread)  = run(0L)
+    val (hotH, hinted)  = run(Long.MaxValue)
+    try {
+      val expected = hinted.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(spread.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == expected)
+      assert(hinted.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
+        "under-cap hot set keeps the broadcast hint")
+      assert(!spread.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
+        "over-cap hot set must not carry a broadcast hint")
+    } finally { hotS.unpersist(false); hotH.unpersist(false) }
   }
 
   test("evalOverlap: planted overlap found, eval docs never self-report, zero-overlap docs absent") {
