@@ -71,8 +71,10 @@ object Multimodal {
     * decodable in pure JVM, so the [[Codec]] interface is proven with
     * actual pixel decoding, not just the [[FakeCodec]] stub: width/height
     * come from the parsed header, features from the decoded pixel bytes.
-    * Compressed formats (JPEG/WAV/MP4) still route to [[FakeCodec]] until
-    * a native codec is wired in; NOTHING else in the pipeline changes —
+    * Of the compressed formats, PNG/BMP/GIF/JPEG decode via
+    * [[ImageIoCodec]], WAV via [[WavCodec]], MP3 frame headers via
+    * [[Mp3Codec]]; only MP4/video still routes to [[FakeCodec]] until a
+    * native codec is wired in; NOTHING else in the pipeline changes —
     * that is the point of the trait.
     *
     * Features: `bands` equal slices of the raster in scan order, each
@@ -152,7 +154,8 @@ object Multimodal {
     * channel-interleaved RGB raster in scan order (sample k = (y·w + x)·3
     * + channel), each emitting its integer-sum mean — deterministic
     * arithmetic an external oracle can replay from the source pixels.
-    * Audio/video still route to [[FakeCodec]].
+    * Audio decodes via [[WavCodec]]/[[Mp3Codec]]; video still routes to
+    * [[FakeCodec]].
     *
     * One codec instance per partition as usual; `ImageIO` stream caching
     * is disabled (in-memory payloads — a temp-file cache per row would be
@@ -202,7 +205,8 @@ object Multimodal {
   /** REAL codec for RIFF/WAVE audio through the JDK's own
     * `javax.sound.sampled` parser (the WAVE file reader ships with the JDK
     * and needs no audio device — the "no media libs" constraint doesn't
-    * bind for WAV either; MP3/MP4 remain [[FakeCodec]]). Feature contract
+    * bind for WAV either; [[Mp3Codec]] walks MP3 frame headers and MP4
+    * remains [[FakeCodec]]). Feature contract
     * mirrors [[ImageIoCodec]] with the audio analog of dimensions:
     * `width` = sample rate (Hz), `height` = channel count, `nFrames` =
     * sample frames; `features` = `bands` equal slices of the
@@ -260,6 +264,122 @@ object Multimodal {
         nFrames = n / channels,
         features = feats)
     }
+  }
+
+  /** REAL parser for MPEG-1 Layer III (MP3) FRAME HEADERS — pure JVM, no
+    * PCM synthesis (a full Huffman/IMDCT decoder is a codec library's job;
+    * the header walk is not): rate/channels come from the first frame
+    * header, duration from the frame count (each MPEG-1 Layer III frame
+    * carries exactly 1152 sample frames), and the walk validates EVERY
+    * frame's sync/version/layer/bitrate and advances by the computed frame
+    * length `144·bitrate/rate + padding` — a truncated or corrupt stream
+    * fails loudly mid-walk, never fabricates metadata. An ID3v2 prefix tag
+    * is skipped via its syncsafe size; headers must agree on rate/mode
+    * across frames (VBR bitrate may vary).
+    *
+    * Same output contract as [[WavCodec]] with the same audio analogs:
+    * `width` = sample rate (Hz), `height` = channels, `nFrames` = SAMPLE
+    * frames (mpeg frames × 1152, so duration = nFrames/rate either
+    * format). Features: `bands` equal slices of the walked byte stream
+    * (headers + payloads, unsigned) in scan order, each emitting its
+    * integer-sum mean — without PCM the bytes ARE the deterministic
+    * content, and an oracle replays the means from the byte formula of a
+    * synthetic fixture ([[syntheticMp3]]). */
+  final class Mp3Codec(bands: Int = 8) extends Codec {
+    require(bands > 0, "bands must be positive")
+    // MPEG-1 Layer III bitrates (kbps) by header index; 0=free and 15=bad
+    private val Bitrates =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    private val Rates = Array(44100, 48000, 32000, -1)
+
+    override def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"Mp3Codec: $msg (media_id=$mediaId)")
+      var pos = 0
+      // ID3v2 prefix: "ID3" + version(2) + flags(1) + syncsafe size(4)
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+        val size = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+          ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+        pos = 10 + size
+        if (pos > payload.length) fail("ID3v2 tag size exceeds payload")
+      }
+      val start = pos
+      var rate      = -1
+      var channels  = -1
+      var mpegFrames = 0
+      while (pos < payload.length) {
+        if (pos + 4 > payload.length) fail(s"truncated frame header at byte $pos")
+        val b0 = payload(pos) & 0xff
+        val b1 = payload(pos + 1) & 0xff
+        val b2 = payload(pos + 2) & 0xff
+        val b3 = payload(pos + 3) & 0xff
+        if (b0 != 0xff || (b1 & 0xe0) != 0xe0) fail(s"lost sync at byte $pos")
+        if ((b1 & 0x18) >> 3 != 3) fail(s"only MPEG-1 supported (header at byte $pos)")
+        if ((b1 & 0x06) >> 1 != 1) fail(s"only Layer III supported (header at byte $pos)")
+        val bitrate = Bitrates((b2 & 0xf0) >> 4)
+        if (bitrate <= 0) fail(s"free/bad bitrate index at byte $pos")
+        val r = Rates((b2 & 0x0c) >> 2)
+        if (r <= 0) fail(s"bad sample-rate index at byte $pos")
+        val padding = (b2 & 0x02) >> 1
+        val ch      = if (((b3 & 0xc0) >> 6) == 3) 1 else 2
+        if (rate < 0) { rate = r; channels = ch }
+        else if (r != rate || ch != channels)
+          fail(s"inconsistent rate/mode at byte $pos ($r Hz/$ch ch vs $rate Hz/$channels ch)")
+        val frameLen = 144 * bitrate * 1000 / rate + padding
+        if (pos + frameLen > payload.length) fail(s"truncated frame at byte $pos (need $frameLen)")
+        pos += frameLen
+        mpegFrames += 1
+      }
+      if (mpegFrames == 0) fail("no MPEG frames in payload")
+      val n     = pos - start
+      val feats = new Array[Float](bands)
+      var b = 0
+      while (b < bands) {
+        val from = (b.toLong * n / bands).toInt
+        val to   = ((b + 1).toLong * n / bands).toInt
+        var s = 0L
+        var i = from
+        while (i < to) { s += (payload(start + i) & 0xff); i += 1 }
+        feats(b) = if (to > from) (s.toDouble / (to - from)).toFloat else 0f
+        b += 1
+      }
+      MediaFeatures(
+        mediaId,
+        "audio",
+        width = rate,
+        height = channels,
+        nFrames = mpegFrames * 1152, // MPEG-1 Layer III: 1152 sample frames/frame
+        features = feats)
+    }
+  }
+
+  /** Deterministic synthetic MPEG-1 Layer III stream — the fixture
+    * generator for [[Mp3Codec]]'s gate query, same discipline as
+    * [[syntheticWav]]: every byte is a pure integer function of
+    * (frame, offset, id), so an external oracle computes expected band
+    * means and the frame-walk metadata from the FORMULA while the codec
+    * genuinely parses sync words and walks frame lengths. Fixed 128 kbps @
+    * 44.1 kHz (frame length 417, no padding); mono for even ids, stereo
+    * for odd — any walk defect (sync, length arithmetic, mode decode)
+    * breaks the comparison. */
+  def syntheticMp3(id: Int, nMpegFrames: Int): Array[Byte] = {
+    val frameLen = 417 // 144 * 128000 / 44100, padding 0
+    val out      = new Array[Byte](nMpegFrames * frameLen)
+    var f = 0
+    while (f < nMpegFrames) {
+      val base = f * frameLen
+      out(base) = 0xff.toByte
+      out(base + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+      out(base + 2) = 0x90.toByte // bitrate idx 9 (128k), 44.1 kHz, no padding
+      out(base + 3) = (if (id % 2 == 0) 0xc0 else 0x00).toByte // mono / stereo
+      var j = 4
+      while (j < frameLen) {
+        out(base + j) = (((j * (7 + id) + f * 131) % 251) & 0xff).toByte
+        j += 1
+      }
+      f += 1
+    }
+    out
   }
 
   /** Deterministic synthetic PCM clip ENCODED AS A REAL WAV — the fixture

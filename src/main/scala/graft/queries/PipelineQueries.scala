@@ -1822,6 +1822,63 @@ object PipelineQueries {
           col("height").cast("int").as("channels"),
           col("nFrames").cast("int").as("n_frames"),
           posexplode(col("features")).as(Seq("band", "mean_amp")))
+    },
+
+    // REAL MP3 frame-header walk: each row synthesizes an MPEG-1 Layer
+    // III stream by pure byte formula (fixed 128 kbps @ 44.1 kHz, frame
+    // length 417, mono/stereo by id parity) and Mp3Codec parses it back —
+    // validating every sync word, computing each frame length from the
+    // header bitrate, skipping nothing. The oracle replays the metadata
+    // (rate/channels, duration as mpeg_frames*1152 sample frames) and the
+    // band means directly from the byte formula: header bytes are the
+    // four constants, payload bytes (j*(7+id)+f*131)%251; any walk defect
+    // (sync, length arithmetic, mode decode, banding) breaks the hash.
+    Q(
+      "multimodal_decode_mp3",
+      Some("""
+        WITH d AS (SELECT CAST(doc_id AS INT) AS id FROM documents WHERE doc_id < 64),
+        dims AS (SELECT id, 20 + id % 11 AS nf FROM d),
+        pos AS (SELECT id, nf, nf * 417 AS n, unnest(range(0, nf * 417)) AS p FROM dims),
+        bytes AS (SELECT id, nf, n, p,
+                         CAST((8 * p + 7) // n AS INT) AS band,
+                         CAST(p // 417 AS INT) AS f,
+                         CAST(p % 417 AS INT) AS j
+                  FROM pos),
+        v AS (SELECT id, nf, band,
+                     CASE
+                       WHEN j = 0 THEN 255
+                       WHEN j = 1 THEN 251
+                       WHEN j = 2 THEN 144
+                       WHEN j = 3 THEN CASE WHEN id % 2 = 0 THEN 192 ELSE 0 END
+                       ELSE (j * (7 + id) + f * 131) % 251
+                     END AS b
+              FROM bytes),
+        s AS (SELECT id, nf, band, SUM(b) AS bsum, COUNT(*) AS cnt FROM v GROUP BY 1, 2, 3)
+        SELECT id AS media_id, 44100 AS sample_rate, 1 + id % 2 AS channels,
+               nf * 1152 AS n_frames, band,
+               CAST(CAST(bsum AS DOUBLE) / cnt AS REAL) AS mean_byte
+        FROM s
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val media = Tables(spark, dir).documents
+        .select(col("doc_id").cast("int").as("id"))
+        .filter(col("id") < 64)
+        .as[Int]
+        .mapPartitions { it =>
+          it.map(id => (id.toLong, "audio", Multimodal.syntheticMp3(id, 20 + id % 11)))
+        }
+        .toDF("media_id", "kind", "payload")
+      Multimodal
+        .decodeFeatures(
+          Multimodal.ingest(media, "media_id", "kind", "payload"),
+          () => new Multimodal.Mp3Codec(bands = 8))
+        .toDF()
+        .select(
+          col("mediaId").as("media_id"),
+          col("width").cast("int").as("sample_rate"),
+          col("height").cast("int").as("channels"),
+          col("nFrames").cast("int").as("n_frames"),
+          posexplode(col("features")).as(Seq("band", "mean_byte")))
     }
   )
 }

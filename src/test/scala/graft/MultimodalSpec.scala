@@ -162,6 +162,52 @@ class MultimodalSpec extends SparkSpec {
     assert(e2.getMessage.contains("signed PCM"))
   }
 
+  test("Mp3Codec: frame-header walk recovers rate/channels/duration + formula-exact band means") {
+    val codec = new Multimodal.Mp3Codec(bands = 8)
+    for (id <- Seq(0, 7, 63)) {
+      val nf = 20 + id % 11
+      val f  = codec.decode(id.toLong, "audio", Multimodal.syntheticMp3(id, nf))
+      assert(f.width == 44100 && f.height == 1 + id % 2 && f.nFrames == nf * 1152)
+      val n = nf * 417
+      def byteAt(p: Int): Int = {
+        val (fr, j) = (p / 417, p % 417)
+        j match {
+          case 0 => 255
+          case 1 => 251
+          case 2 => 144
+          case 3 => if (id % 2 == 0) 192 else 0
+          case _ => (j * (7 + id) + fr * 131) % 251
+        }
+      }
+      val expected = (0 until 8).map { b =>
+        val (from, to) = (b * n / 8, (b + 1) * n / 8)
+        val s = (from until to).map(byteAt(_).toLong).sum
+        (s.toDouble / (to - from)).toFloat
+      }
+      assert(f.features.toSeq == expected, s"id=$id")
+    }
+    // an ID3v2 prefix is skipped, not walked as frames
+    val body = Multimodal.syntheticMp3(3, 5)
+    val tag  = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12) ++ new Array[Byte](12)
+    val withTag = codec.decode(3L, "audio", tag ++ body)
+    assert(withTag.nFrames == 5 * 1152 && withTag.features.toSeq ==
+      codec.decode(3L, "audio", body).features.toSeq)
+  }
+
+  test("Mp3Codec: garbage, truncation, and mid-stream desync fail loudly") {
+    val codec = new Multimodal.Mp3Codec()
+    val e1 = intercept[IllegalArgumentException](
+      codec.decode(9L, "audio", "certainly not mpeg".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("lost sync"))
+    val ok = Multimodal.syntheticMp3(1, 3)
+    val e2 = intercept[IllegalArgumentException](
+      codec.decode(10L, "audio", ok.take(ok.length - 50)))
+    assert(e2.getMessage.contains("truncated frame"))
+    val desync = ok.clone(); desync(417) = 0x00 // corrupt 2nd frame's sync byte
+    val e3 = intercept[IllegalArgumentException](codec.decode(11L, "audio", desync))
+    assert(e3.getMessage.contains("lost sync"))
+  }
+
   test("ImageIoCodec: non-image bytes fail loudly") {
     val e = intercept[IllegalArgumentException](
       new Multimodal.ImageIoCodec().decode(9L, "image", "not an image".getBytes("US-ASCII")))
