@@ -73,9 +73,10 @@ object Multimodal {
     * come from the parsed header, features from the decoded pixel bytes.
     * Of the compressed formats, PNG/BMP/GIF/JPEG decode via
     * [[ImageIoCodec]], WAV via [[WavCodec]], MP3 frame headers via
-    * [[Mp3Codec]]; only MP4/video still routes to [[FakeCodec]] until a
-    * native codec is wired in; NOTHING else in the pipeline changes —
-    * that is the point of the trait.
+    * [[Mp3Codec]], MP4 box metadata via [[Mp4Codec]] — [[FakeCodec]]
+    * remains only as the interface stub for genuinely unknown formats;
+    * NOTHING else in the pipeline changes — that is the point of the
+    * trait.
     *
     * Features: `bands` equal slices of the raster in scan order, each
     * emitting its mean pixel value (sum/size in double, narrowed to
@@ -154,8 +155,8 @@ object Multimodal {
     * channel-interleaved RGB raster in scan order (sample k = (y·w + x)·3
     * + channel), each emitting its integer-sum mean — deterministic
     * arithmetic an external oracle can replay from the source pixels.
-    * Audio decodes via [[WavCodec]]/[[Mp3Codec]]; video still routes to
-    * [[FakeCodec]].
+    * Audio decodes via [[WavCodec]]/[[Mp3Codec]], MP4 metadata via
+    * [[Mp4Codec]].
     *
     * One codec instance per partition as usual; `ImageIO` stream caching
     * is disabled (in-memory payloads — a temp-file cache per row would be
@@ -205,8 +206,8 @@ object Multimodal {
   /** REAL codec for RIFF/WAVE audio through the JDK's own
     * `javax.sound.sampled` parser (the WAVE file reader ships with the JDK
     * and needs no audio device — the "no media libs" constraint doesn't
-    * bind for WAV either; [[Mp3Codec]] walks MP3 frame headers and MP4
-    * remains [[FakeCodec]]). Feature contract
+    * bind for WAV either; [[Mp3Codec]] walks MP3 frame headers,
+    * [[Mp4Codec]] MP4 boxes). Feature contract
     * mirrors [[ImageIoCodec]] with the audio analog of dimensions:
     * `width` = sample rate (Hz), `height` = channel count, `nFrames` =
     * sample frames; `features` = `bands` equal slices of the
@@ -351,6 +352,175 @@ object Multimodal {
         nFrames = mpegFrames * 1152, // MPEG-1 Layer III: 1152 sample frames/frame
         features = feats)
     }
+  }
+
+  /** REAL parser for MP4 (ISO BMFF) BOX STRUCTURE — pure JVM, no sample
+    * decode (an H.264/AAC decoder is a codec library's job; the box walk
+    * is not): duration metadata comes from `moov/mvhd`
+    * (timescale+duration), frame count from the first video track's
+    * `stbl/stts` sample-count sum (the authoritative per-track sample
+    * table — a genuine header-only fact, not an estimate), width/height
+    * from that track's `tkhd` 16.16 fixed-point fields, and features are
+    * band means over the `mdat` payload bytes. The walk validates every
+    * box size against its container and fails loudly on truncation,
+    * 64-bit sizes, or a missing moov/mvhd/video-trak/stts/mdat — never
+    * fabricates metadata. With this codec only nothing routes to
+    * [[FakeCodec]] except genuinely unknown formats.
+    *
+    * Output contract: `width`/`height` = video track pixel dims,
+    * `nFrames` = stts sample count, and `kind` is reported as "video". */
+  final class Mp4Codec(bands: Int = 8) extends Codec {
+    require(bands > 0, "bands must be positive")
+
+    override def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"Mp4Codec: $msg (media_id=$mediaId)")
+      def u32(p: Int): Long = {
+        if (p + 4 > payload.length) fail(s"truncated u32 at byte $p")
+        ((payload(p) & 0xffL) << 24) | ((payload(p + 1) & 0xffL) << 16) |
+          ((payload(p + 2) & 0xffL) << 8) | (payload(p + 3) & 0xffL)
+      }
+      def typ(p: Int): String =
+        new String(payload, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // iterate child boxes of [from, to) invoking f(type, payloadFrom, payloadTo)
+      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var p = from
+        while (p < to) {
+          if (p + 8 > to) fail(s"truncated box header at byte $p")
+          val size = u32(p)
+          if (size == 1) fail(s"64-bit box size unsupported at byte $p")
+          if (size < 8) fail(s"bad box size $size at byte $p")
+          if (p + size > to) fail(s"box overruns container at byte $p (size $size)")
+          f(typ(p + 4), p + 8, (p + size).toInt)
+          p += size.toInt
+        }
+      }
+      var timescale   = -1L
+      var durationTk  = -1L
+      var vidW        = -1
+      var vidH        = -1
+      var sttsFrames  = -1L
+      var mdatFrom    = -1
+      var mdatTo      = -1
+      walk(0, payload.length) {
+        case ("moov", mFrom, mTo) =>
+          walk(mFrom, mTo) {
+            case ("mvhd", f, t) =>
+              val ver = payload(f) & 0xff
+              if (ver != 0) fail("only mvhd version 0 supported")
+              if (t - f < 100) fail("mvhd box too small")
+              timescale = u32(f + 12)
+              durationTk = u32(f + 16)
+            case ("trak", tkFrom, tkTo) =>
+              var w      = -1
+              var h      = -1
+              var isVide = false
+              var frames = -1L
+              walk(tkFrom, tkTo) {
+                case ("tkhd", f, t) =>
+                  if ((payload(f) & 0xff) != 0) fail("only tkhd version 0 supported")
+                  if (t - f < 84) fail("tkhd box too small")
+                  w = (u32(f + 76) >> 16).toInt // 16.16 fixed
+                  h = (u32(f + 80) >> 16).toInt
+                case ("mdia", mdFrom, mdTo) =>
+                  walk(mdFrom, mdTo) {
+                    case ("hdlr", f, _) =>
+                      isVide = typ(f + 8) == "vide"
+                    case ("minf", mnFrom, mnTo) =>
+                      walk(mnFrom, mnTo) {
+                        case ("stbl", sbFrom, sbTo) =>
+                          walk(sbFrom, sbTo) {
+                            case ("stts", f, t) =>
+                              val entries = u32(f + 4)
+                              if (t - f < 8 + entries * 8) fail("truncated stts")
+                              var s = 0L
+                              var e = 0
+                              while (e < entries) { s += u32(f + 8 + e * 8); e += 1 }
+                              frames = s
+                            case _ => ()
+                          }
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              if (isVide && sttsFrames < 0) {
+                if (frames < 0) fail("video trak carries no stts")
+                sttsFrames = frames; vidW = w; vidH = h
+              }
+            case _ => ()
+          }
+        case ("mdat", f, t) =>
+          if (mdatFrom < 0) { mdatFrom = f; mdatTo = t }
+        case _ => ()
+      }
+      if (timescale <= 0 || durationTk < 0) fail("no moov/mvhd in payload")
+      if (sttsFrames < 0) fail("no video trak in payload")
+      if (mdatFrom < 0) fail("no mdat in payload")
+      if (sttsFrames > Int.MaxValue) fail("stts sample count overflows")
+      val n     = mdatTo - mdatFrom
+      val feats = new Array[Float](bands)
+      var b = 0
+      while (b < bands) {
+        val from = (b.toLong * n / bands).toInt
+        val to   = ((b + 1).toLong * n / bands).toInt
+        var s = 0L
+        var i = from
+        while (i < to) { s += (payload(mdatFrom + i) & 0xff); i += 1 }
+        feats(b) = if (to > from) (s.toDouble / (to - from)).toFloat else 0f
+        b += 1
+      }
+      MediaFeatures(
+        mediaId,
+        "video",
+        width = vidW,
+        height = vidH,
+        nFrames = sttsFrames.toInt,
+        features = feats)
+    }
+  }
+
+  /** Deterministic synthetic MP4 — the fixture generator for
+    * [[Mp4Codec]]'s gate query, same discipline as [[syntheticMp3]]: a
+    * well-formed ftyp + moov(mvhd + video trak(tkhd + mdia(mdhd + hdlr +
+    * minf(stbl(stts))))) + mdat tree whose metadata fields and mdat bytes
+    * are pure integer functions of `id`, so an external oracle computes
+    * the expected walk output from the FORMULA while the codec genuinely
+    * parses box sizes and nesting. Any walk defect (size arithmetic,
+    * nesting, fixed-point dims, stts summing, mdat banding) breaks the
+    * comparison. */
+  def syntheticMp4(id: Int, nFrames: Int, w: Int, h: Int, mdatBytes: Int): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+    val timescale = 600L
+    val duration  = nFrames * 25L // 24 fps at timescale 600
+    val mvhd = box(
+      "mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+        be32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++ new Array[Byte](8) ++
+        (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000L)) ++ new Array[Byte](24) ++ be32(2))
+    val tkhd = box(
+      "tkhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration) ++
+        new Array[Byte](8) ++ new Array[Byte](8) ++
+        (be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000L)) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++ be32(0x55c40000L))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](12) :+ 0.toByte)
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(nFrames.toLong) ++ be32(25))
+    val stbl = box("stbl", stts)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++ "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", Array.tabulate[Byte](mdatBytes)(j => (((j * (11 + id)) % 241) & 0xff).toByte))
+    ftyp ++ moov ++ mdat
   }
 
   /** Deterministic synthetic MPEG-1 Layer III stream — the fixture

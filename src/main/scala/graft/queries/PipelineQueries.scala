@@ -1879,6 +1879,62 @@ object PipelineQueries {
           col("height").cast("int").as("channels"),
           col("nFrames").cast("int").as("n_frames"),
           posexplode(col("features")).as(Seq("band", "mean_byte")))
+    },
+
+    // REAL MP4 box walk: each row synthesizes a well-formed ISO BMFF tree
+    // (ftyp + moov(mvhd + video trak(tkhd+mdia(mdhd+hdlr+minf(stbl(stts)))))
+    // + mdat) whose every metadata field and mdat byte is a pure integer
+    // function of id, and Mp4Codec walks the boxes back — validating
+    // nesting and sizes, reading dims from tkhd's 16.16 fixed point,
+    // frame count from the stts sample-count sum, features from mdat band
+    // means. The oracle recomputes all of it from the formulas; any walk
+    // defect (size arithmetic, nesting, fixed point, stts, banding)
+    // breaks the hash.
+    Q(
+      "multimodal_decode_mp4",
+      Some("""
+        WITH d AS (SELECT CAST(doc_id AS INT) AS id FROM documents WHERE doc_id < 64),
+        dims AS (SELECT id, 2000 + (id % 5) * 400 AS nb FROM d),
+        pos AS (SELECT id, nb, unnest(range(0, nb)) AS p FROM dims),
+        v AS (SELECT id, nb, CAST((8 * p + 7) // nb AS INT) AS band,
+                     (p * (11 + id)) % 241 AS b
+              FROM pos),
+        s AS (SELECT id, nb, band, SUM(b) AS bsum, COUNT(*) AS cnt FROM v GROUP BY 1, 2, 3)
+        SELECT id AS media_id, 160 + (id % 4) * 80 AS width, 120 + (id % 3) * 60 AS height,
+               24 + (id % 7) * 24 AS n_frames, band,
+               CAST(CAST(bsum AS DOUBLE) / cnt AS REAL) AS mean_byte
+        FROM s
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val media = Tables(spark, dir).documents
+        .select(col("doc_id").cast("int").as("id"))
+        .filter(col("id") < 64)
+        .as[Int]
+        .mapPartitions { it =>
+          it.map { id =>
+            (
+              id.toLong,
+              "video",
+              Multimodal.syntheticMp4(
+                id,
+                nFrames = 24 + (id % 7) * 24,
+                w = 160 + (id % 4) * 80,
+                h = 120 + (id % 3) * 60,
+                mdatBytes = 2000 + (id % 5) * 400))
+          }
+        }
+        .toDF("media_id", "kind", "payload")
+      Multimodal
+        .decodeFeatures(
+          Multimodal.ingest(media, "media_id", "kind", "payload"),
+          () => new Multimodal.Mp4Codec(bands = 8))
+        .toDF()
+        .select(
+          col("mediaId").as("media_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("nFrames").cast("int").as("n_frames"),
+          posexplode(col("features")).as(Seq("band", "mean_byte")))
     }
   )
 }

@@ -208,6 +208,44 @@ class MultimodalSpec extends SparkSpec {
     assert(e3.getMessage.contains("lost sync"))
   }
 
+  test("Mp4Codec: box walk recovers dims/frames + formula-exact mdat band means") {
+    val codec = new Multimodal.Mp4Codec(bands = 8)
+    for (id <- Seq(0, 7, 63)) {
+      val (nf, w, h, nb) =
+        (24 + (id % 7) * 24, 160 + (id % 4) * 80, 120 + (id % 3) * 60, 2000 + (id % 5) * 400)
+      val f = codec.decode(id.toLong, "video", Multimodal.syntheticMp4(id, nf, w, h, nb))
+      assert(f.kind == "video" && f.width == w && f.height == h && f.nFrames == nf)
+      val expected = (0 until 8).map { b =>
+        val (from, to) = (b * nb / 8, (b + 1) * nb / 8)
+        val s = (from until to).map(p => ((p * (11 + id)) % 241).toLong).sum
+        (s.toDouble / (to - from)).toFloat
+      }
+      assert(f.features.toSeq == expected, s"id=$id")
+    }
+  }
+
+  test("Mp4Codec: garbage, missing boxes, and overrunning sizes fail loudly") {
+    val codec = new Multimodal.Mp4Codec()
+    val e1 = intercept[IllegalArgumentException](
+      codec.decode(9L, "video", "certainly not an mp4 file".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("box"))
+    val ok = Multimodal.syntheticMp4(1, 48, 320, 240, 1200)
+    // corrupt the moov size so it overruns the payload
+    val bad = ok.clone()
+    val moovAt = ok.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+    bad(moovAt) = 0x7f.toByte
+    val e2 = intercept[IllegalArgumentException](codec.decode(10L, "video", bad))
+    assert(e2.getMessage.contains("overruns"))
+    // mdat alone: no moov metadata to report
+    val mdatOnly = ok.drop(moovAt + {
+      val size = ((ok(moovAt) & 0xff) << 24) | ((ok(moovAt + 1) & 0xff) << 16) |
+        ((ok(moovAt + 2) & 0xff) << 8) | (ok(moovAt + 3) & 0xff)
+      size
+    })
+    val e3 = intercept[IllegalArgumentException](codec.decode(11L, "video", mdatOnly))
+    assert(e3.getMessage.contains("no moov"))
+  }
+
   test("ImageIoCodec: non-image bytes fail loudly") {
     val e = intercept[IllegalArgumentException](
       new Multimodal.ImageIoCodec().decode(9L, "image", "not an image".getBytes("US-ASCII")))
