@@ -136,13 +136,33 @@ class PlanSpec extends SparkSpec {
   }
 
   test("lineDedup: hot boilerplate set broadcasts as anti-join; no corpus-sized extra exchange") {
-    val p = planOf("dedup_lines")
-    assert(p.contains("BroadcastHashJoin"), s"hot line set must broadcast:\n$p")
-    assert(p.contains("LeftAnti"), s"removal must be an anti-join:\n$p")
-    // exchanges: line-hash DF aggregation + doc reassembly (+ the spread
-    // gate's repartition on the under-split test fixture); the keep-set
-    // itself must never be the build side of anything
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"no cross-shaped fallback:\n$p")
+    // the public lineDedup localCheckpoints (hiding the join behind a
+    // checkpoint scan) — assert on the un-materialized plan variant, the
+    // same frame the wrapper executes
+    import org.apache.spark.sql.functions.{concat, length, lit, md5}
+    val messy = graft.sources.Tables(spark, dir).documents.select(
+      col("doc_id"),
+      concat(
+        lit("ACCEPT COOKIES TO CONTINUE\n"),
+        col("text"),
+        lit("\nnav: "),
+        col("source"),
+        lit("\n(c) example.com all rights reserved")).as("text"))
+    val (hot, out) =
+      graft.operators.Corpus.lineDedupPlan(messy, "doc_id", "text", minDf = 10, hotBroadcastCap = 4000000L)
+    try {
+      val p = out
+        .select(col("doc_id"), length(col("text")).as("n_clean"), md5(col("text")).as("fp"))
+        .queryExecution
+        .executedPlan
+        .toString
+      assert(p.contains("BroadcastHashJoin"), s"hot line set must broadcast:\n$p")
+      assert(p.contains("LeftAnti"), s"removal must be an anti-join:\n$p")
+      // exchanges: line-hash DF aggregation + doc reassembly (+ the spread
+      // gate's repartition on the under-split test fixture); the keep-set
+      // itself must never be the build side of anything
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"no cross-shaped fallback:\n$p")
+    } finally hot.unpersist(false)
   }
 
   test("decontam bloom path: native probe (no UDF), shuffle semi-join verify") {
