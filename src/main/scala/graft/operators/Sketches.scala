@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Sketch/approximate aggregates — the 100 TB answer to "how many distinct
@@ -68,6 +68,77 @@ object Sketches {
         element_at(array(qs.map(lit): _*), col("pos") + 1).as("q"),
         col("value"),
         col("n_rows"))
+
+  /** PORTABLE HLL: register-level HyperLogLog over the engine-independent
+    * [[graft.functions.TextFunctions.mix64]] hash — unlike the
+    * Datasketches/HLL++ aggregates above, the ESTIMATE itself is part of
+    * the cross-engine contract: any engine replaying splitmix64 + the
+    * register max + the Flajolet harmonic estimator reproduces it bit for
+    * bit, in the DENSE (approximate) regime, not just a small-n exact
+    * mode. That makes stored sketch estimates auditable by an external
+    * system — the property the gate query hash-checks against a full
+    * DuckDB register replay.
+    *
+    * Estimator spelled for exact replay: S = Σ 2^(rmax−r) summed EXACTLY
+    * over all 2^p registers (BigInt — the harmonic sum's float ordering
+    * is the classic nondeterminism trap, dodged by integer arithmetic),
+    * raw = alpha·m·m·2^rmax / S with a fixed left-to-right op order, the
+    * standard linear-counting small-range correction (m·ln(m/V) — ln
+    * agreement to the rounding grid is the same cross-libm contract
+    * corpus_dsir_weights relies on), and the result rounded HALF_UP to
+    * 1e-6. Map-side partial agg: the buffer is the m-byte register array,
+    * merge = elementwise max (order-free). */
+  final class PortableHllAgg(p: Int) extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Double] {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    private val m = 1 << p
+    override def zero: Array[Byte] = new Array[Byte](m)
+    override def reduce(regs: Array[Byte], h: Long): Array[Byte] = {
+      val bucket = (h >>> (64 - p)).toInt
+      val w      = h << p
+      val rho    = if (w == 0L) 65 - p else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rho > regs(bucket)) regs(bucket) = rho.toByte
+      regs
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(regs: Array[Byte]): Double = {
+      var rmax = 0
+      var i    = 0
+      while (i < m) { if (regs(i) > rmax) rmax = regs(i); i += 1 }
+      var s     = BigInt(0)
+      var zeros = 0
+      i = 0
+      while (i < m) {
+        s += BigInt(1) << (rmax - regs(i))
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val alpha =
+        if (m == 16) 0.673 else if (m == 32) 0.697 else if (m == 64) 0.709
+        else 0.7213 / (1.0 + 1.079 / m)
+      val raw = alpha * m * m * math.pow(2.0, rmax) / s.toDouble
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      java.math.BigDecimal.valueOf(est).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Double]      = Encoders.scalaDouble
+  }
+
+  /** Per-group portable-HLL distinct estimate (see [[PortableHllAgg]]):
+    * (group, hll_portable, n_rows). Ids must be non-negative longs (the
+    * cross-engine replay reads them as unsigned). */
+  def portableDistinct(df: DataFrame, groupCol: String, idCol: String, p: Int = 12): DataFrame = {
+    val agg = udaf(new PortableHllAgg(p), Encoders.scalaLong)
+    df.groupBy(col(groupCol))
+      .agg(
+        agg(graft.functions.TextFunctions.mix64(col(idCol).cast("long"))).as("hll_portable"),
+        count(lit(1)).as("n_rows"))
+  }
 
   /** Heavy hitters via Count-Min Sketch: ONE pass builds a fixed-size
     * (eps, conf) frequency sketch (mergeable binary — partial-aggregates

@@ -359,6 +359,64 @@ object ExtendedQueries {
         minCount = 100)
     },
 
+    // Portable HLL: register-level HyperLogLog over the splitmix64 portable
+    // hash — unlike the Datasketches/HLL++ rows above, the ESTIMATE itself
+    // is cross-engine auditable in the DENSE (approximate) regime: the
+    // oracle replays the hash (same HUGEINT mulmod machinery as
+    // dedup_simhash), the bucket/rho register build (rho via bin() bit
+    // length), the EXACT integer harmonic sum Σ2^(rmax−r), the fixed-order
+    // raw estimator, and the linear-counting correction — every constant
+    // forced ::DOUBLE (DuckDB decimal literals would silently change the
+    // arithmetic), final round(…, 6) on both sides. At 1.5k distinct over
+    // 4096 registers this exercises the linear-counting branch with a
+    // genuinely approximate (non-exact-count) value that still hash-matches.
+    Q(
+      "sketch_portable_hll",
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x FROM events),
+        m1a AS (SELECT event_type, xor(x, x >> 30) AS a FROM du),
+        m1 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                 + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM m1a),
+        m2a AS (SELECT event_type, xor(z1, z1 >> 27) AS a FROM m1),
+        m2 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                 + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM m2a),
+        h AS (SELECT event_type, xor(z2, z2 >> 31) AS h FROM m2),
+        rb AS (SELECT event_type, CAST(h >> 52 AS INT) AS bucket,
+                      CAST((h::HUGEINT * 4096) % 18446744073709551616::HUGEINT AS UBIGINT) AS w
+               FROM h),
+        rho AS (SELECT event_type, bucket,
+                       CASE WHEN w = 0 THEN 53 ELSE 65 - length(bin(w)) END AS rho
+                FROM rb),
+        regs0 AS (SELECT event_type, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+        grid AS (SELECT g.event_type, b.b AS bucket
+                 FROM (SELECT DISTINCT event_type FROM events) g,
+                      (SELECT unnest(range(0, 4096)) AS b) b),
+        regs AS (SELECT grid.event_type, grid.bucket, COALESCE(regs0.r, 0) AS r
+                 FROM grid LEFT JOIN regs0
+                   ON regs0.event_type = grid.event_type AND regs0.bucket = grid.bucket),
+        agg AS (SELECT event_type, MAX(r) AS rmax FROM regs GROUP BY 1),
+        s AS (SELECT regs.event_type,
+                     SUM(CAST((1::UBIGINT << CAST(agg.rmax - regs.r AS INT)) AS HUGEINT)) AS ssum,
+                     SUM(CASE WHEN regs.r = 0 THEN 1 ELSE 0 END) AS zeros,
+                     MAX(agg.rmax) AS rmax
+              FROM regs JOIN agg USING (event_type) GROUP BY 1),
+        est AS (SELECT event_type,
+                       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096::DOUBLE)
+                         * 4096 * 4096 * pow(2.0::DOUBLE, rmax) / CAST(ssum AS DOUBLE) AS raw,
+                       zeros
+                FROM s),
+        n AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1)
+        SELECT est.event_type,
+               ROUND(CASE WHEN raw <= 2.5::DOUBLE * 4096 AND zeros > 0
+                          THEN 4096 * ln(4096::DOUBLE / zeros) ELSE raw END, 6) AS hll_portable,
+               n.n_rows
+        FROM est JOIN n USING (event_type)
+      """)) { (spark, dir) =>
+      Sketches.portableDistinct(Tables(spark, dir).events, "event_type", "user_id", p = 12)
+    },
+
     // ------------------------------------------------- map-type functions
     // JSON props parsed to a real MapType, then map_keys/size — scalar
     // string/int outputs keep the cross-engine compare exact.

@@ -31,6 +31,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable HLL: within 5% of exact, partitioning-invariant, duplicate-insensitive") {
+    val exact = t.events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches
+        .portableDistinct(df, "event_type", "user_id")
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+        .toMap
+    val est = run(t.events)
+    assert(est.nonEmpty)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) <= 0.05 * exact(k), s"$k: est $e vs exact ${exact(k)}")
+    }
+    // register max is order- and partitioning-free: the merge path must
+    // produce the SAME double at any parallelism (the cross-engine
+    // auditability contract — not just "close")
+    assert(run(t.events.repartition(17, col("user_id"))) == est)
+    // duplicate rows cannot move a register
+    assert(run(t.events.union(t.events)) == est)
+  }
+
   test("daily sketch union equals the single-pass sketch estimate") {
     val single = Sketches
       .distinctCounts(t.events, "event_type", "user_id")
