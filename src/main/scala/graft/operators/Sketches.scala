@@ -88,43 +88,82 @@ object Sketches {
     * corpus_dsir_weights relies on), and the result rounded HALF_UP to
     * 1e-6. Map-side partial agg: the buffer is the m-byte register array,
     * merge = elementwise max (order-free). */
+  private[graft] def hllReduce(p: Int, regs: Array[Byte], h: Long): Array[Byte] = {
+    val bucket = (h >>> (64 - p)).toInt
+    val w      = h << p
+    val rho    = if (w == 0L) 65 - p else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+    regs
+  }
+
+  private[graft] def hllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  /** The replayable estimator over a register array — see [[PortableHllAgg]]
+    * for the op-order contract. */
+  private[graft] def hllEstimate(regs: Array[Byte]): Double = {
+    val m    = regs.length
+    var rmax = 0
+    var i    = 0
+    while (i < m) { if (regs(i) > rmax) rmax = regs(i); i += 1 }
+    var s     = BigInt(0)
+    var zeros = 0
+    i = 0
+    while (i < m) {
+      s += BigInt(1) << (rmax - regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha =
+      if (m == 16) 0.673 else if (m == 32) 0.697 else if (m == 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m * math.pow(2.0, rmax) / s.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    java.math.BigDecimal.valueOf(est).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
   final class PortableHllAgg(p: Int) extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Double] {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    private val m = 1 << p
-    override def zero: Array[Byte] = new Array[Byte](m)
-    override def reduce(regs: Array[Byte], h: Long): Array[Byte] = {
-      val bucket = (h >>> (64 - p)).toInt
-      val w      = h << p
-      val rho    = if (w == 0L) 65 - p else java.lang.Long.numberOfLeadingZeros(w) + 1
-      if (rho > regs(bucket)) regs(bucket) = rho.toByte
-      regs
+    override def zero: Array[Byte]                                = new Array[Byte](1 << p)
+    override def reduce(regs: Array[Byte], h: Long): Array[Byte]  = hllReduce(p, regs, h)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = hllMerge(a, b)
+    override def finish(regs: Array[Byte]): Double                = hllEstimate(regs)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Double]      = Encoders.scalaDouble
+  }
+
+  /** [[PortableHllAgg]] variant that emits the RAW register array — the
+    * persistable mergeable artifact: daily register blobs written once can
+    * answer any-range distinct counts by [[PortableHllUnionAgg]] without
+    * re-reading events, and any engine replaying splitmix64 can both
+    * rebuild and CHECK the stored registers byte for byte (the Datasketches
+    * blob above is opaque by comparison). */
+  final class PortableHllRegsAgg(p: Int) extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    override def zero: Array[Byte]                                = new Array[Byte](1 << p)
+    override def reduce(regs: Array[Byte], h: Long): Array[Byte]  = hllReduce(p, regs, h)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = hllMerge(a, b)
+    override def finish(regs: Array[Byte]): Array[Byte]           = regs
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union of stored portable register blobs → estimate: elementwise max
+    * (order-free, idempotent) then the same replayable estimator. */
+  final class PortableHllUnionAgg(p: Int) extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Double] {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    override def zero: Array[Byte] = new Array[Byte](1 << p)
+    override def reduce(a: Array[Byte], regs: Array[Byte]): Array[Byte] = {
+      require(regs.length == a.length, s"register width mismatch: ${regs.length} vs ${a.length}")
+      hllMerge(a, regs)
     }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-      a
-    }
-    override def finish(regs: Array[Byte]): Double = {
-      var rmax = 0
-      var i    = 0
-      while (i < m) { if (regs(i) > rmax) rmax = regs(i); i += 1 }
-      var s     = BigInt(0)
-      var zeros = 0
-      i = 0
-      while (i < m) {
-        s += BigInt(1) << (rmax - regs(i))
-        if (regs(i) == 0) zeros += 1
-        i += 1
-      }
-      val alpha =
-        if (m == 16) 0.673 else if (m == 32) 0.697 else if (m == 64) 0.709
-        else 0.7213 / (1.0 + 1.079 / m)
-      val raw = alpha * m * m * math.pow(2.0, rmax) / s.toDouble
-      val est =
-        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-        else raw
-      java.math.BigDecimal.valueOf(est).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = hllMerge(a, b)
+    override def finish(regs: Array[Byte]): Double                  = hllEstimate(regs)
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Double]      = Encoders.scalaDouble
   }
@@ -138,6 +177,24 @@ object Sketches {
       .agg(
         agg(graft.functions.TextFunctions.mix64(col(idCol).cast("long"))).as("hll_portable"),
         count(lit(1)).as("n_rows"))
+  }
+
+  /** Daily portable-register cube: one mergeable m-byte blob per
+    * (day, group) — the persist-once artifact behind any-date-range
+    * distinct queries. */
+  def portableDailyCube(df: DataFrame, tsCol: String, groupCol: String, idCol: String, p: Int = 12): DataFrame = {
+    val agg = udaf(new PortableHllRegsAgg(p), Encoders.scalaLong)
+    df.groupBy(to_date(col(tsCol)).as("day"), col(groupCol))
+      .agg(agg(graft.functions.TextFunctions.mix64(col(idCol).cast("long"))).as("regs"))
+  }
+
+  /** Re-aggregate a portable cube to per-group estimates — registers union
+    * by elementwise max, so union-of-days ≡ single global pass BIT FOR BIT
+    * (SketchSpec pins the equality; the gate oracle replays the global
+    * build, which by that identity is also the union's contract). */
+  def portableUnion(cube: DataFrame, groupCol: String, p: Int = 12): DataFrame = {
+    val agg = udaf(new PortableHllUnionAgg(p), Encoders.BINARY)
+    cube.groupBy(col(groupCol)).agg(agg(col("regs")).as("distinct_est"))
   }
 
   /** Heavy hitters via Count-Min Sketch: ONE pass builds a fixed-size

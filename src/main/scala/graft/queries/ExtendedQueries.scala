@@ -417,6 +417,61 @@ object ExtendedQueries {
       Sketches.portableDistinct(Tables(spark, dir).events, "event_type", "user_id", p = 12)
     },
 
+    // Portable cube + union: daily m-byte register blobs re-aggregated by
+    // elementwise max. Union-of-days ≡ one global pass BIT FOR BIT (the
+    // register max is order-free and idempotent; SketchSpec pins the
+    // equality), so the oracle replays the GLOBAL register build — the
+    // same replay as sketch_portable_hll — and the union's estimate must
+    // hash-match it. This is the stored-sketch-cube contract: an external
+    // engine can audit any-range distinct estimates from persisted blobs.
+    Q(
+      "sketch_portable_union",
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x FROM events),
+        m1a AS (SELECT event_type, xor(x, x >> 30) AS a FROM du),
+        m1 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                 + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM m1a),
+        m2a AS (SELECT event_type, xor(z1, z1 >> 27) AS a FROM m1),
+        m2 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                 + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM m2a),
+        h AS (SELECT event_type, xor(z2, z2 >> 31) AS h FROM m2),
+        rb AS (SELECT event_type, CAST(h >> 52 AS INT) AS bucket,
+                      CAST((h::HUGEINT * 4096) % 18446744073709551616::HUGEINT AS UBIGINT) AS w
+               FROM h),
+        rho AS (SELECT event_type, bucket,
+                       CASE WHEN w = 0 THEN 53 ELSE 65 - length(bin(w)) END AS rho
+                FROM rb),
+        regs0 AS (SELECT event_type, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+        grid AS (SELECT g.event_type, b.b AS bucket
+                 FROM (SELECT DISTINCT event_type FROM events) g,
+                      (SELECT unnest(range(0, 4096)) AS b) b),
+        regs AS (SELECT grid.event_type, grid.bucket, COALESCE(regs0.r, 0) AS r
+                 FROM grid LEFT JOIN regs0
+                   ON regs0.event_type = grid.event_type AND regs0.bucket = grid.bucket),
+        agg AS (SELECT event_type, MAX(r) AS rmax FROM regs GROUP BY 1),
+        s AS (SELECT regs.event_type,
+                     SUM(CAST((1::UBIGINT << CAST(agg.rmax - regs.r AS INT)) AS HUGEINT)) AS ssum,
+                     SUM(CASE WHEN regs.r = 0 THEN 1 ELSE 0 END) AS zeros,
+                     MAX(agg.rmax) AS rmax
+              FROM regs JOIN agg USING (event_type) GROUP BY 1),
+        est AS (SELECT event_type,
+                       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096::DOUBLE)
+                         * 4096 * 4096 * pow(2.0::DOUBLE, rmax) / CAST(ssum AS DOUBLE) AS raw,
+                       zeros
+                FROM s)
+        SELECT event_type,
+               ROUND(CASE WHEN raw <= 2.5::DOUBLE * 4096 AND zeros > 0
+                          THEN 4096 * ln(4096::DOUBLE / zeros) ELSE raw END, 6) AS distinct_est
+        FROM est
+      """)) { (spark, dir) =>
+      Sketches.portableUnion(
+        Sketches.portableDailyCube(Tables(spark, dir).events, "ts", "event_type", "user_id", p = 12),
+        "event_type",
+        p = 12)
+    },
+
     // ------------------------------------------------- map-type functions
     // JSON props parsed to a real MapType, then map_keys/size — scalar
     // string/int outputs keep the cross-engine compare exact.

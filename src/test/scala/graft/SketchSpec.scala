@@ -57,6 +57,23 @@ class SketchSpec extends SparkSpec {
     assert(run(t.events.union(t.events)) == est)
   }
 
+  test("portable HLL union-of-daily-cube == single global pass, bit for bit") {
+    val global = Sketches
+      .portableDistinct(t.events, "event_type", "user_id")
+      .select(col("event_type"), col("hll_portable").as("distinct_est"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    val unioned = Sketches
+      .portableUnion(
+        Sketches.portableDailyCube(t.events, "ts", "event_type", "user_id"),
+        "event_type")
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(unioned == global, "register max is order-free: union must reproduce the global estimate exactly")
+  }
+
   test("daily sketch union equals the single-pass sketch estimate") {
     val single = Sketches
       .distinctCounts(t.events, "event_type", "user_id")
