@@ -89,4 +89,54 @@ object DataQuality {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
+
+  /** Robust per-group outlier flags via MAD (median absolute deviation):
+    * score = |v − median| / (1.4826·MAD), flagged when the rounded score
+    * exceeds `k` — the robust cousin of the z-score (TimeSeries), immune
+    * to the outliers it hunts inflating its own scale estimate (a single
+    * extreme value moves a mean/stddev but not a median/MAD).
+    *
+    * Determinism discipline (the quantileBucketize contract): medians are
+    * EXACT interpolated percentiles rounded HALF_UP to `scale` decimals
+    * BEFORE any arithmetic, the deviation v − med is then an exact double
+    * subtraction, and the final score is rounded to the same grid before
+    * the `> k` comparison — so an external engine replaying
+    * quantile_cont lands on bit-identical flags. Groups with MAD = 0
+    * (≥ half the group identical) emit no flags — an undefined scale, not
+    * an infinite score.
+    *
+    * Scale shape: two group-keyed aggregation passes (exact percentile
+    * buffers are group-sized — swap to percentile_approx beyond memory,
+    * same note as quantileBucketize) plus two joins of the tiny per-group
+    * stat tables, broadcast by construction. */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      k: Double = 3.0,
+      scale: Int = 6): DataFrame = {
+    require(k > 0.0, s"k must be positive, got $k")
+    val v = col(valueCol).cast("double")
+    val med = df
+      .groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("med_raw"))
+      .select(col(groupCol), round(col("med_raw"), scale).as("med"))
+    val dev = df
+      .join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), col(idCol), v.as("v"), abs(v - col("med")).as("dev"))
+    val mad = dev
+      .groupBy(col(groupCol))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad_raw"))
+      .select(col(groupCol), round(col("mad_raw"), scale).as("mad"))
+    dev
+      .join(broadcast(mad), Seq(groupCol))
+      .filter(col("mad") > 0.0)
+      .select(
+        col(groupCol),
+        col(idCol),
+        col("v").as(valueCol),
+        round(col("dev") / (lit(1.4826) * col("mad")), scale).as("score"))
+      .filter(col("score") > k)
+  }
 }

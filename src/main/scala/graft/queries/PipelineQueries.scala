@@ -1570,6 +1570,34 @@ object PipelineQueries {
         probabilities = Seq(0.25, 0.5, 0.75))
     },
 
+    // --------------------------------------------- MAD robust outliers
+    // DataQuality.madOutliers: |v − median| / (1.4826·MAD) > 3, the
+    // robust z-score immune to its own outliers. Median and MAD are exact
+    // interpolated percentiles rounded to 1e-6 BEFORE any arithmetic, the
+    // deviation is an exact double subtraction, and the score is rounded
+    // to the same grid before the threshold compare — DuckDB's
+    // quantile_cont uses the same lower+(upper−lower)·frac interpolation,
+    // so flags are engine-deterministic. Constants forced ::DOUBLE (the
+    // DuckDB decimal-literal trap).
+    Q(
+      "events_mad_outliers",
+      Some("""
+        WITH med AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+                     FROM events GROUP BY 1),
+        dev AS (SELECT e.event_type, e.event_id, e.value, ABS(e.value - m.med) AS dev
+                FROM events e JOIN med m USING (event_type)),
+        mad AS (SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+                FROM dev GROUP BY 1)
+        SELECT d.event_type, d.event_id, d.value,
+               ROUND(d.dev / (1.4826::DOUBLE * mad.mad), 6) AS score
+        FROM dev d JOIN mad ON mad.event_type = d.event_type
+        WHERE mad.mad > 0::DOUBLE
+          AND ROUND(d.dev / (1.4826::DOUBLE * mad.mad), 6) > 3.0::DOUBLE
+      """)) { (spark, dir) =>
+      DataQuality.madOutliers(
+        Tables(spark, dir).events, "event_type", "event_id", "value", k = 3.0)
+    },
+
     // ------------------------------------------------- multimodal columns
     // Opaque binary + typed metadata: the documents' text bytes stand in for
     // a media payload (the container has no image/audio libs — the DECODE

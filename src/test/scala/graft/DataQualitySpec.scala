@@ -64,4 +64,27 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq(1.5)))
     intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq.empty))
   }
+
+  test("madOutliers: planted spike flagged, robust to its own outlier, MAD=0 group silent") {
+    import spark.implicits._
+    // group g: 1..21 symmetric around median 11 (MAD = 5), plus one spike
+    // at 1000 → dev 989, score 989/(1.4826*5) ≈ 133 — flagged; no inlier
+    // crosses 3 (max inlier dev 10 → score ≈ 1.35). The spike CANNOT
+    // drag the median/MAD far enough to hide itself — the point of MAD
+    // over mean/stddev. Group c is constant → MAD 0 → no flags, no Inf.
+    val rows = ((1 to 21).map(i => ("g", i.toLong, i.toDouble)) :+ ("g", 99L, 1000.0)) ++
+      (1 to 8).map(i => ("c", 100L + i, 7.0))
+    val out = DataQuality
+      .madOutliers(rows.toDF("grp", "id", "v"), "grp", "id", "v", k = 3.0)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "g" && out.head.getLong(1) == 99L)
+    assert(out.head.getDouble(3) > 100.0)
+    // determinism: same flags (and scores) at different parallelism
+    val rerun = DataQuality
+      .madOutliers(rows.toDF("grp", "id", "v").repartition(13), "grp", "id", "v", k = 3.0)
+      .collect()
+    assert(rerun.map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet ==
+      out.map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet)
+  }
 }
