@@ -197,6 +197,184 @@ object Sketches {
     cube.groupBy(col(groupCol)).agg(agg(col("regs")).as("distinct_est"))
   }
 
+  // --------------------------------------------------------- KMV / theta
+
+  /** Unsigned-long → double, correctly rounded (round-to-odd on the shifted
+    * value keeps the sticky bit, the ×2 is exact) — bit-identical to
+    * DuckDB's CAST(UBIGINT AS DOUBLE), which is what makes KMV estimates
+    * cross-engine hash-checkable. */
+  private[graft] def unsignedToDouble(h: Long): Double =
+    if (h >= 0L) h.toDouble else ((h >>> 1) | (h & 1L)).toDouble * 2.0
+
+  /** Column form of [[unsignedToDouble]] — same operation order so Spark's
+    * codegen produces the identical IEEE sequence. */
+  private def u2d(h: Column): Column =
+    when(h >= 0, h.cast("double"))
+      .otherwise(shiftrightunsigned(h, 1).bitwiseOR(h.bitwiseAND(lit(1L))).cast("double") * lit(2.0))
+
+  private val TwoPow64: Double = math.pow(2.0, 64) // exact power of two
+
+  /** Unsigned order on signed longs: flipping the sign bit is order-
+    * preserving, so `a ^ MinValue < b ^ MinValue` ⟺ a <u b. */
+  private def flipU(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+
+  /** k-minimum-values aggregator (Bar-Yossef et al. 2002 / the theta-sketch
+    * sample): keeps the k smallest DISTINCT mix64 hashes, unsigned-ascending.
+    * Unlike HLL registers the retained sample supports SET OPERATIONS
+    * (intersection/difference — HLL fundamentally cannot intersect), and
+    * because the k-min set under a fixed hash is a pure order statistic it
+    * is fully deterministic: the ESTIMATE itself replays in any engine with
+    * 64-bit integers (the DuckDB oracle does, via row_number over UBIGINT).
+    *
+    * Buffer is a sorted-unique long array capped at k — partial aggregation
+    * keeps every map-side buffer ≤ k entries, so the shuffle moves
+    * O(k · groups) no matter the corpus size. */
+  final class KmvAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, "k must be at least 2")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = searchU(buf, h)
+      if (pos >= 0) buf // already present (hashes are a set)
+      else {
+        val ins = -pos - 1
+        if (buf.length < k) insertAt(buf, ins, h, buf.length + 1)
+        else if (ins < k) insertAt(buf, ins, h, k) // h < current max: displace it
+        else buf
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val takeA =
+          j >= b.length || (i < a.length && java.lang.Long.compareUnsigned(a(i), b(j)) <= 0)
+        val v = if (takeA) { val x = a(i); i += 1; x } else { val x = b(j); j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    private def searchU(buf: Array[Long], h: Long): Int = {
+      var lo = 0; var hi = buf.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c   = java.lang.Long.compareUnsigned(buf(mid), h)
+        if (c < 0) lo = mid + 1 else if (c > 0) hi = mid - 1 else return mid
+      }
+      -(lo + 1)
+    }
+
+    private def insertAt(buf: Array[Long], ins: Int, h: Long, newLen: Int): Array[Long] = {
+      val out = new Array[Long](newLen)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = h
+      System.arraycopy(buf, ins, out, ins + 1, newLen - ins - 1)
+      out
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group KMV sample: (group, kmv sorted unsigned-ascending, n_rows).
+    * Ids are mixed through the portable splitmix64 finalizer, so a stored
+    * sample is recomputable by any engine. */
+  def kmvSketches(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.groupBy(col(groupCol))
+      .agg(
+        agg(graft.functions.TextFunctions.mix64(col(idCol).cast("long"))).as("kmv"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Per-group distinct estimate from the KMV sample. Below k distinct the
+    * sample IS the distinct set (exact count); at or above, the classic
+    * (k−1)/U₍k₎ estimator with U₍k₎ = kth-min/2⁶⁴ — all double arithmetic in
+    * a fixed order, so the estimate hash-matches a cross-engine replay at
+    * ANY cardinality (no exact-regime gating needed, unlike register HLLs). */
+  def kmvDistinct(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame =
+    kmvSketches(df, groupCol, idCol, k)
+      .select(
+        col(groupCol),
+        round(
+          when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble) / (u2d(element_at(col("kmv"), k)) / lit(TwoPow64))),
+          6).as("distinct_est"),
+        col("n_rows"))
+
+  /** Theta-sketch set operations over every ordered group pair: estimated
+    * |A∩B| and |A∪B| — the queries HLL cannot answer from stored state.
+    * θ = min of the two kth-min thresholds (absent when both samples are
+    * exhaustive, in which case the counts are exact); retained hashes <u θ
+    * common to both sides scale by 2⁶⁴/θ (Dasgupta et al., the Datasketches
+    * theta framework). Everything after the one aggregation pass is
+    * O(k · groups²) on sketch-sized data. */
+  def kmvSetOps(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val sk = kmvSketches(df, groupCol, idCol, k)
+    val meta = sk.select(
+      col(groupCol).as("g"),
+      col("kmv"),
+      (size(col("kmv")) === k).as("full"),
+      when(size(col("kmv")) === k, element_at(col("kmv"), k)).as("theta"))
+
+    val pairs = meta.select(col("g").as("type_a"), col("full").as("fa"), col("theta").as("ta"))
+      .join(
+        meta.select(col("g").as("type_b"), col("full").as("fb"), col("theta").as("tb")),
+        col("type_a") < col("type_b"))
+      .withColumn(
+        "theta_pair",
+        when(col("fa") && col("fb"),
+          when(flipU(col("ta")) < flipU(col("tb")), col("ta")).otherwise(col("tb")))
+          .when(col("fa"), col("ta"))
+          .when(col("fb"), col("tb"))
+          .otherwise(lit(null).cast("long")))
+
+    val ex = meta.select(col("g"), explode(col("kmv")).as("h"))
+    def below(h: Column, theta: Column): Column = theta.isNull || (flipU(h) < flipU(theta))
+
+    // per-pair retained-below-θ counts on each side and in the intersection
+    val ca = ex.join(pairs, ex("g") === pairs("type_a") && below(col("h"), col("theta_pair")))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("ca"))
+    val cb = ex.join(pairs, ex("g") === pairs("type_b") && below(col("h"), col("theta_pair")))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("cb"))
+    val ci = ex.as("x")
+      .join(ex.as("y"), col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .select(col("x.g").as("type_a"), col("y.g").as("type_b"), col("x.h").as("h"))
+      .join(pairs, Seq("type_a", "type_b"))
+      .filter(below(col("h"), col("theta_pair")))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("ci"))
+
+    val withCnt = pairs
+      .join(ca, Seq("type_a", "type_b"), "left")
+      .join(cb, Seq("type_a", "type_b"), "left")
+      .join(ci, Seq("type_a", "type_b"), "left")
+      .select(
+        col("type_a"), col("type_b"), col("theta_pair"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("ci"), lit(0L)).as("ci"))
+
+    def scaled(cnt: Column, theta: Column): Column =
+      when(theta.isNull, cnt.cast("double"))
+        .otherwise(cnt.cast("double") / (u2d(theta) / lit(TwoPow64)))
+
+    withCnt.select(
+      col("type_a"),
+      col("type_b"),
+      round(scaled(col("ci"), col("theta_pair")), 6).as("inter_est"),
+      round(scaled(col("ca") + col("cb") - col("ci"), col("theta_pair")), 6).as("union_est"))
+  }
+
   /** Heavy hitters via Count-Min Sketch: ONE pass builds a fixed-size
     * (eps, conf) frequency sketch (mergeable binary — partial-aggregates
     * map-side like the HLLs); candidate keys are then probed against it.

@@ -472,6 +472,96 @@ object ExtendedQueries {
         p = 12)
     },
 
+    // KMV / theta sketch: the k smallest distinct mix64 hashes per group are
+    // a pure order statistic — fully deterministic, so unlike register HLLs
+    // the ESTIMATE hash-checks cross-engine at ANY cardinality (here 150
+    // distinct over k=128: genuinely approximate, no exact-regime gating).
+    // The oracle replays the splitmix64 chain, takes row_number ≤ k over
+    // UBIGINT order, and applies the same fixed-order (k−1)/U₍k₎ double
+    // arithmetic (UBIGINT→DOUBLE cast ≡ the engine's round-to-odd idiom).
+    Q(
+      "sketch_kmv_distinct",
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x FROM events),
+        m1a AS (SELECT event_type, xor(x, x >> 30) AS a FROM du),
+        m1 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                 + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM m1a),
+        m2a AS (SELECT event_type, xor(z1, z1 >> 27) AS a FROM m1),
+        m2 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                 + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM m2a),
+        h AS (SELECT event_type, xor(z2, z2 >> 31) AS h FROM m2),
+        rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        keep AS (SELECT event_type, h FROM rk WHERE rn <= 128),
+        meta AS (SELECT event_type, COUNT(*) AS cnt, MAX(h) AS theta FROM keep GROUP BY 1),
+        n AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1)
+        SELECT m.event_type,
+               ROUND(CASE WHEN m.cnt < 128 THEN CAST(m.cnt AS DOUBLE)
+                          ELSE CAST(127 AS DOUBLE) / (CAST(m.theta AS DOUBLE) / pow(2.0::DOUBLE, 64)) END,
+                     6) AS distinct_est,
+               n.n_rows
+        FROM meta m JOIN n USING (event_type)
+      """)) { (spark, dir) =>
+      Sketches.kmvDistinct(Tables(spark, dir).events, "event_type", "user_id", k = 128)
+    },
+
+    // Theta-sketch SET OPERATIONS from the same stored KMV samples — the
+    // query register HLLs fundamentally cannot answer: estimated |A∩B| and
+    // |A∪B| for every event-type pair. θ = min of the kth-min thresholds;
+    // retained common hashes <u θ scale by 2^64/θ. Deterministic end to
+    // end, so the whole pair grid hash-matches the replay.
+    Q(
+      "sketch_kmv_setops",
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x FROM events),
+        m1a AS (SELECT event_type, xor(x, x >> 30) AS a FROM du),
+        m1 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                 + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM m1a),
+        m2a AS (SELECT event_type, xor(z1, z1 >> 27) AS a FROM m1),
+        m2 AS (SELECT event_type, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                 + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+               ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM m2a),
+        h AS (SELECT event_type, xor(z2, z2 >> 31) AS h FROM m2),
+        rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        keep AS (SELECT event_type, h FROM rk WHERE rn <= 128),
+        meta AS (SELECT event_type, COUNT(*) AS cnt, MAX(h) AS theta FROM keep GROUP BY 1),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CASE WHEN a.cnt = 128 AND b.cnt = 128 THEN LEAST(a.theta, b.theta)
+                      WHEN a.cnt = 128 THEN a.theta
+                      WHEN b.cnt = 128 THEN b.theta
+                      ELSE NULL END AS theta_pair
+          FROM meta a JOIN meta b ON a.event_type < b.event_type),
+        ca AS (SELECT p.type_a, p.type_b, COUNT(*) AS ca
+               FROM keep k JOIN pairs p ON k.event_type = p.type_a
+               WHERE p.theta_pair IS NULL OR k.h < p.theta_pair GROUP BY 1, 2),
+        cb AS (SELECT p.type_a, p.type_b, COUNT(*) AS cb
+               FROM keep k JOIN pairs p ON k.event_type = p.type_b
+               WHERE p.theta_pair IS NULL OR k.h < p.theta_pair GROUP BY 1, 2),
+        ci AS (SELECT p.type_a, p.type_b, COUNT(*) AS ci
+               FROM keep x JOIN keep y ON x.h = y.h AND x.event_type < y.event_type
+               JOIN pairs p ON p.type_a = x.event_type AND p.type_b = y.event_type
+               WHERE p.theta_pair IS NULL OR x.h < p.theta_pair GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b,
+               ROUND(CASE WHEN p.theta_pair IS NULL THEN CAST(COALESCE(ci.ci, 0) AS DOUBLE)
+                          ELSE CAST(COALESCE(ci.ci, 0) AS DOUBLE)
+                               / (CAST(p.theta_pair AS DOUBLE) / pow(2.0::DOUBLE, 64)) END,
+                     6) AS inter_est,
+               ROUND(CASE WHEN p.theta_pair IS NULL
+                          THEN CAST(COALESCE(ca.ca, 0) + COALESCE(cb.cb, 0) - COALESCE(ci.ci, 0) AS DOUBLE)
+                          ELSE CAST(COALESCE(ca.ca, 0) + COALESCE(cb.cb, 0) - COALESCE(ci.ci, 0) AS DOUBLE)
+                               / (CAST(p.theta_pair AS DOUBLE) / pow(2.0::DOUBLE, 64)) END,
+                     6) AS union_est
+        FROM pairs p
+        LEFT JOIN ca ON ca.type_a = p.type_a AND ca.type_b = p.type_b
+        LEFT JOIN cb ON cb.type_a = p.type_a AND cb.type_b = p.type_b
+        LEFT JOIN ci ON ci.type_a = p.type_a AND ci.type_b = p.type_b
+      """)) { (spark, dir) =>
+      Sketches.kmvSetOps(Tables(spark, dir).events, "event_type", "user_id", k = 128)
+    },
+
     // ------------------------------------------------- map-type functions
     // JSON props parsed to a real MapType, then map_keys/size — scalar
     // string/int outputs keep the cross-engine compare exact.

@@ -159,4 +159,50 @@ class SketchSpec extends SparkSpec {
     assert(fromStorage == fromMemory, "parquet round-trip must not perturb sketch binaries")
     assert(fromMemory.nonEmpty)
   }
+
+  test("KMV distinct: exact below k, inside the envelope above, partitioning/duplicate-invariant") {
+    val exact = t.events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Sketches.kmvDistinct(df, "event_type", "user_id", k)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // k above every group's cardinality → the sample is the set: EXACT
+    val big = run(t.events, k = 4096)
+    exact.foreach { case (g, n) => assert(big(g) == n.toDouble, s"$g exact-regime: ${big(g)} vs $n") }
+    // k below cardinality → approximate; KMV standard error is ~1/sqrt(k-2)
+    val approx = run(t.events, k = 128)
+    approx.foreach { case (g, e) =>
+      val truth = exact(g).toDouble
+      assert(math.abs(e - truth) <= 4.0 / math.sqrt(126.0) * truth, s"$g: est $e vs exact $truth")
+    }
+    // the k-min set is an order statistic: any partitioning/duplication
+    // must reproduce the SAME double (cross-engine auditability contract)
+    assert(run(t.events.repartition(17, col("user_id")), 128) == approx)
+    assert(run(t.events.union(t.events), 128) == approx)
+  }
+
+  test("KMV set ops: exact when both samples exhaustive, enveloped when sampled, symmetric-consistent") {
+    import spark.implicits._
+    // planted overlap: A = 1..300, B = 201..500 → |A∩B| = 100, |A∪B| = 500
+    val df = (1 to 300).map(i => ("A", i.toLong)).union((201 to 500).map(i => ("B", i.toLong)))
+      .toDF("grp", "uid")
+    val exactOps = Sketches.kmvSetOps(df, "grp", "uid", k = 1024).collect().head
+    assert(exactOps.getDouble(2) == 100.0, s"exhaustive-sample intersection must be exact: $exactOps")
+    assert(exactOps.getDouble(3) == 500.0, s"exhaustive-sample union must be exact: $exactOps")
+    // sampled regime: estimates land inside ~4/sqrt(k) of truth
+    val est = Sketches.kmvSetOps(df, "grp", "uid", k = 128).collect().head
+    assert(math.abs(est.getDouble(2) - 100.0) <= 4.0 / math.sqrt(126.0) * 500.0, s"inter: $est")
+    assert(math.abs(est.getDouble(3) - 500.0) <= 4.0 / math.sqrt(126.0) * 500.0, s"union: $est")
+    // every event-type pair present, estimates deterministic under reshuffle
+    val pairs = Sketches.kmvSetOps(t.events, "event_type", "user_id", k = 128)
+    val nTypes = t.events.select("event_type").distinct().count()
+    val rows = pairs.collect()
+    assert(rows.length == nTypes * (nTypes - 1) / 2, s"expected full pair grid, got ${rows.length}")
+    val again = Sketches.kmvSetOps(t.events.repartition(13), "event_type", "user_id", k = 128).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }
