@@ -136,6 +136,110 @@ object Dedup {
       rows)
   }
 
+  /** Exact Jaccard join via prefix filtering (AllPairs, Bayardo et al.
+    * WWW'07; positional filter from PPJoin, Xiao et al. WWW'08): the same
+    * exact output as [[jaccardPairs]] but with candidate generation that
+    * survives corpus scale WITHOUT sacrificing exactness.
+    *
+    * [[jaccardPairs]] joins the FULL inverted index against itself — the
+    * fan-out of a shingle shared by d docs is d², so common shingles
+    * explode and the `maxShingleDF` cap trades exactness for survival.
+    * Prefix filtering keeps exactness: order each doc's shingles by
+    * (global document frequency asc, hash asc) and index only the first
+    * n − ⌈t·n⌉ + 1 of them. Any pair with J ≥ t MUST share a prefix
+    * shingle (if A's prefix misses B entirely, overlap ≤ ⌈t·nₐ⌉ − 1, but
+    * J ≥ t forces overlap ≥ t·nₐ — pigeonhole), so no true pair is lost —
+    * and prefixes hold each doc's RAREST shingles, so the d² blow-up never
+    * sees the hot keys that forced the cap. Candidates are then pruned by
+    * the length filter (t·max(nₐ,n_b) ≤ min(nₐ,n_b)) and the positional
+    * upper bound (overlap ≤ 1 + min(nₐ−pₐ, n_b−p_b) must reach
+    * ⌈t(nₐ+n_b)/(1+t)⌉), and exact shared counts verify survivors.
+    *
+    * The per-doc ordering is a doc-partitioned window (no global sort; the
+    * frequency table is vocab-sized). ⌈t·n⌉ is computed as ceil(t·n − 1e−6):
+    * the epsilon absorbs FP noise on rational thresholds and errs toward a
+    * LONGER prefix — more candidates, never a missed pair. */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      w: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
+    val rows = shingleHashRows(docs, idCol, textCol, w).cache()
+    val freq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    def ceilT(n: Column): Column = ceil(n * lit(threshold) - lit(1e-6))
+
+    val ordered = rows
+      .join(freq, Seq("h"))
+      .withColumn(
+        "p",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .join(sizes, Seq("doc_id"))
+    val prefix = ordered.filter(col("p") <= col("n") - ceilT(col("n")) + 1)
+
+    // candidate pairs: shared prefix shingle, length filter, positional bound
+    val a = prefix.select(col("doc_id").as("a_id"), col("h"), col("p").as("pa"), col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("b_id"), col("h"), col("p").as("pb"), col("n").as("nb"))
+    val minOverlap = ceil((col("na") + col("nb")) * lit(threshold / (1.0 + threshold)) - lit(1e-6))
+    val cand = a
+      .join(b, Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("nb") >= ceilT(col("na")) && col("na") >= ceilT(col("nb")))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+
+    // exact verification: shared counts computed ONLY for surviving pairs
+    val shared = cand
+      .join(rows.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(rows.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+
+    materializeThenRelease(
+      shared
+        .withColumn("jacc", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jacc") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jacc")),
+      rows)
+  }
+
+  /** Candidate-pair count of the prefix-filtered plan vs the full inverted
+    * index — the spec pins that prefix filtering generates strictly fewer
+    * candidates while [[prefixJaccardPairs]] ≡ [[jaccardPairs]] exactly. */
+  private[graft] def prefixCandidateCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      w: Int = 3): (Long, Long) = {
+    val rows  = shingleHashRows(docs, idCol, textCol, w).cache()
+    val freq  = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ordered = rows
+      .join(freq, Seq("h"))
+      .withColumn(
+        "p",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .join(sizes, Seq("doc_id"))
+    val prefix = ordered.filter(col("p") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-6)) + 1)
+    def pairCount(idx: DataFrame): Long = idx
+      .select(col("doc_id").as("a_id"), col("h"))
+      .join(idx.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .count()
+    val res = (pairCount(prefix), pairCount(rows))
+    rows.unpersist()
+    res
+  }
+
   /** Asymmetric containment near-dup pairs: containment(inner ⊂ outer) =
     * |S_inner ∩ S_outer| / |S_inner| ≥ threshold — the subset/quote
     * detector symmetric Jaccard structurally misses (a 200-token doc fully

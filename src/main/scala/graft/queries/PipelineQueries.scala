@@ -542,6 +542,29 @@ object PipelineQueries {
       Dedup.jaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
     },
 
+    // Prefix-filtered EXACT Jaccard join (AllPairs/PPJoin): same exact
+    // output contract as dedup_ngram_jaccard — the oracle is the identical
+    // brute computation — but candidate generation indexes only each doc's
+    // (n − ⌈t·n⌉ + 1)-prefix of RAREST shingles, so the plan stays exact at
+    // corpus scale without the maxShingleDF exactness trade-off. DedupSpec
+    // pins prefix ≡ full-index results and the candidate-count reduction.
+    Q(
+      "dedup_prefix_jaccard",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
+        FROM p JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+      """)) { (spark, dir) =>
+      Dedup.prefixJaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
+    },
+
     // -------------------------------------------------- containment dedup
     // Asymmetric |A∩B|/|A|: the subset/quote detector symmetric jaccard
     // structurally misses (a short doc fully quoted inside a long one has

@@ -248,4 +248,31 @@ class DedupSpec extends SparkSpec {
       .jaccardPairs(docs, "doc_id", "text", threshold = 0.9).count()
     assert(jacc == 0, "jaccard should miss the subset pair — that's the point")
   }
+
+  test("prefix-filtered jaccard join ≡ full inverted-index join, with strictly fewer candidates") {
+    val docs = graft.sources.Tables(spark, SharedSpark.sf0001).documents
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.6, 0.8, 0.9)) {
+      val full   = norm(graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", threshold = t))
+      val prefix = norm(graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id", "text", threshold = t))
+      assert(prefix == full, s"t=$t: prefix join must be EXACT (no lost pairs, no extras)")
+      assert(full.nonEmpty || t > 0.85, s"t=$t fixture should produce pairs")
+    }
+    // the scale claim: the prefix index pairs strictly fewer candidates
+    // than the full inverted index on the same corpus
+    val (candPrefix, candFull) =
+      graft.operators.Dedup.prefixCandidateCounts(docs, "doc_id", "text", threshold = 0.8)
+    assert(candPrefix < candFull, s"prefix candidates $candPrefix !< full $candFull")
+    assert(candPrefix > 0)
+  }
+
+  test("prefix jaccard: identical-doc flood stays exact (every pair is a true dup)") {
+    import spark.implicits._
+    val flood = ((1 to 40).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) :+
+      (99L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.prefixJaccardPairs(flood, "doc_id", "text", threshold = 0.8)
+    assert(got.count() == 40L * 39 / 2, "all identical-doc pairs must survive — exactness over capping")
+    assert(got.filter(col("a_id") === 99L || col("b_id") === 99L).count() == 0)
+  }
 }
