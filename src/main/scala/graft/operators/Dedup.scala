@@ -830,6 +830,60 @@ object Dedup {
     materializeThenRelease(result, sigs)
   }
 
+  /** Wide-key SimHash banding (Manku et al. WWW'07, "Detecting
+    * near-duplicates for web crawling"): the PRODUCTION-scale answer to the
+    * 16-bit chunk ceiling documented on [[simhashDupPairs]]. The 64-bit
+    * signature splits into 6 blocks (11,11,11,11,10,10 bits); a pair within
+    * hamming distance 3 differs in ≤3 blocks, so for at least one of the
+    * C(6,3)=20 block-triples both signatures agree on all three blocks —
+    * band on each triple's concatenated ~32-bit key and every true pair is
+    * GUARANTEED to collide somewhere (exact recall, no LSH miss
+    * probability), then exact popcount verifies. 2^30–2^33 buckets per
+    * table means no bucket is legitimately hot until ~10^10 docs — the
+    * regime where 4·2^16 chunk buckets all flood and any DF cap starts
+    * dropping true pairs. Cost: 20 index rows/doc vs 4 — the classic
+    * space-for-exactness trade the paper makes (they store 20 permuted
+    * tables for the same reason).
+    *
+    * Because the output is exactly {pairs : hamming ≤ maxDist}, the oracle
+    * is the signature replay + brute hamming join — banding-independent,
+    * a stronger contract than the banding-dependent maxDist=8 query. */
+  def simhashDupPairsWide(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3, s"6-block triple banding guarantees recall only for maxDist <= 3: $maxDist")
+    val sigs = simhash(docs, idCol, textCol).cache()
+    materializeThenRelease(simhashWidePlan(sigs, maxDist), sigs)
+  }
+
+  /** The un-materialized [[simhashDupPairsWide]] plan over prepared
+    * signatures (callers own `sigs` persistence). */
+  def simhashWidePlan(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val widths  = Array(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _) // bit offset of each block
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val keys = for {
+      i <- 0 until 6; j <- (i + 1) until 6; l <- (j + 1) until 6
+    } yield shiftleft(block(i), 24).bitwiseOR(shiftleft(block(j), 12)).bitwiseOR(block(l))
+    val bands = sigs.select(col("doc_id"), col("simhash"), posexplode(array(keys: _*)))
+    bands
+      .as("x")
+      .join(bands.as("y"), Seq("pos", "col"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a_id"),
+        col("y.doc_id").as("b_id"),
+        col("x.simhash").as("sa"),
+        col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** The un-materialized [[simhashDupPairs]] plan over prepared signatures,
     * as (chunk projection, pair result) — same contract as
     * [[lshCandidatePlan]]: tests execute the LIVE banding self-join and

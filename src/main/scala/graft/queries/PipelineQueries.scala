@@ -1283,6 +1283,67 @@ object PipelineQueries {
         Tables(spark, dir).documents, "doc_id", "text", maxDist = 8, maxBucketDF = 1000)
     },
 
+    // Wide-key SimHash banding (Manku et al. 2007): 6 blocks × C(6,3)=20
+    // triple-keyed tables with ~2^32 buckets each — the production regime
+    // where all 4·2^16 chunk buckets legitimately flood. EXACT for d ≤ 3
+    // (pigeonhole guarantees a triple-collision), so the oracle replays
+    // signatures and brute-forces hamming ≤ 3 — a banding-INDEPENDENT
+    // contract, stronger than the banding-dependent maxDist=8 row above.
+    Q(
+      "dedup_simhash_wide",
+      Some("""
+        WITH occ AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok),
+        dt AS (SELECT DISTINCT tok FROM occ),
+        pows AS (
+          WITH RECURSIVE p(j, v) AS (
+            SELECT 0, 1::HUGEINT
+            UNION ALL
+            SELECT j + 1, (v * 1000003::HUGEINT) % 18446744073709551616::HUGEINT
+            FROM p WHERE j < (SELECT max(length(tok)) FROM dt))
+          SELECT * FROM p),
+        chars AS (
+          SELECT tok, length(tok) - i AS rev, ord(substr(tok, i, 1))::HUGEINT AS b
+          FROM dt, LATERAL (SELECT unnest(range(1, length(tok) + 1)) AS i) u),
+        roll AS (
+          SELECT c.tok, CAST(sum(c.b * p.v) % 18446744073709551616::HUGEINT AS UBIGINT) AS r
+          FROM chars c JOIN pows p ON p.j = c.rev GROUP BY c.tok),
+        mix1a AS (SELECT tok, xor(r, r >> 30) AS a FROM roll),
+        mix1  AS (SELECT tok, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                     + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM mix1a),
+        mix2a AS (SELECT tok, xor(z1, z1 >> 27) AS a FROM mix1),
+        mix2  AS (SELECT tok, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                     + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM mix2a),
+        mixed AS (SELECT tok, xor(z2, z2 >> 31) AS h FROM mix2),
+        votes AS (
+          SELECT o.doc_id, j.j,
+                 sum(CASE WHEN (m.h >> j.j) & 1 = 1 THEN o.cnt ELSE -o.cnt END) AS c
+          FROM occ o JOIN mixed m ON m.tok = o.tok,
+               LATERAL (SELECT unnest(range(0, 64)) AS j) j
+          GROUP BY o.doc_id, j.j),
+        sig AS (
+          SELECT doc_id, CAST(coalesce(sum(CASE WHEN c > 0 THEN (1::UBIGINT << j)::HUGEINT END), 0) AS UBIGINT) AS usig
+          FROM votes GROUP BY doc_id),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN usig >= 9223372036854775808::UBIGINT
+                           THEN usig::HUGEINT - 18446744073709551616::HUGEINT
+                           ELSE usig::HUGEINT END AS BIGINT) AS s
+          FROM sig)
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+               CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS dist
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.s, y.s)) <= 3
+      """)) { (spark, dir) =>
+      Dedup.simhashDupPairsWide(Tables(spark, dir).documents, "doc_id", "text", maxDist = 3)
+    },
+
     // ------------------------------------------------------- winnowing
     // MOSS-style positional fingerprints (custom rolling-hash expression).
     // Fully DuckDB-oracled: the rolling hash is a PORTABLE wrapping-64-bit

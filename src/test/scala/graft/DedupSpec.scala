@@ -267,6 +267,35 @@ class DedupSpec extends SparkSpec {
     assert(candPrefix > 0)
   }
 
+  test("wide simhash banding (Manku 20-table) ≡ brute hamming ≤ 3 ≡ uncapped chunk banding") {
+    val docs = graft.sources.Tables(spark, SharedSpark.sf0001).documents
+    val sigs = graft.operators.Dedup.simhash(docs, "doc_id", "text").cache()
+    // banding-independent ground truth: brute-force popcount over all pairs
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .filter(col("dist") <= 3)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wide = graft.operators.Dedup.simhashDupPairsWide(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wide == brute, "20-table triple banding must have EXACT recall at d<=3")
+    // 4-chunk pigeonhole also guarantees d<=3 when uncapped — all three agree
+    val chunk = graft.operators.Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(chunk == brute)
+    sigs.unpersist()
+    // planted pair: SimHash is bag-of-tokens (order-invariant), so a
+    // permuted doc is at distance 0 and MUST surface through the banding
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "completely unrelated content with other words only")).toDF("doc_id", "text")
+    val pp = graft.operators.Dedup.simhashDupPairsWide(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pp.contains((1L, 2L, 0)), s"permuted twin must collide in a triple table: ${pp.mkString(",")}")
+  }
+
   test("prefix jaccard: identical-doc flood stays exact (every pair is a true dup)") {
     import spark.implicits._
     val flood = ((1 to 40).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) :+
