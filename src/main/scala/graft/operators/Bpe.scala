@@ -74,6 +74,82 @@ object Bpe {
     trainFromCounts(vocab, numMerges)
   }
 
+  /** Distributed BPE trainer: pair counting stays ON THE EXECUTORS, so the
+    * vocabulary is never collected and [[train]]'s `maxVocabWords` driver
+    * cap (and its ~GB symbol-buffer heap) disappears — the trainer that
+    * still works when the vocabulary itself outgrows one machine.
+    *
+    * State is the vocab-sized (count, syms) table. Each merge round plans:
+    * adjacent pairs via zip_with over two array slices (codegen'd, no UDF),
+    * a map-side-combined weighted count, a ONE-ROW argmax collect
+    * (count desc, pair asc — the driver trainer's exact tie-break), and a
+    * narrow per-word merge map touching only words containing the pair.
+    * Lineage is cut every `checkpointEvery` rounds so 100+ merges keep a
+    * bounded plan. Cost: numMerges vocab-sized aggregations — at corpus
+    * scale the vocabulary is orders of magnitude smaller than the token
+    * stream, and the corpus itself is read exactly once ([[wordCounts]]).
+    *
+    * Merge-for-merge IDENTICAL to [[train]] with an uncapped vocabulary
+    * (BpeSpec pins the sequence): same left-to-right re-check merge
+    * application, same stop-when-no-pair-repeats rule. Tie-break parity
+    * holds on ASCII symbols (Spark compares UTF-8 bytes, the driver UTF-16
+    * chars — equal orders on ASCII, same caveat as the dedup oracles). */
+  def trainDistributed(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      checkpointEvery: Int = 8): Model = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    var state = wordCounts(docs, textCol)
+      .select(
+        col("n"),
+        concat(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          array(lit(Eow))).as("syms"))
+      .localCheckpoint(true)
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round  = 0
+    var done   = false
+    while (round < numMerges && !done) {
+      val best = state
+        .select(
+          col("n"),
+          explode(expr(
+            "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (x, y) -> struct(x AS pa, y AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best.head.getLong(2) < 2L) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((a, b))
+        val mergeOne = udf((syms: Seq[String]) => applyMerge(syms, a, b))
+        state = state.withColumn("syms", mergeOne(col("syms")))
+        round += 1
+        if (round % checkpointEvery == 0) state = state.localCheckpoint(true)
+      }
+    }
+    val _ = spark // session kept in scope for clarity; plans hang off `docs`
+    Model(merges.toSeq)
+  }
+
+  /** One merge applied the way the driver trainer does it: scan left to
+    * right, merge in place, re-check the merged symbol against the next —
+    * the exact loop from [[trainFromCounts]]. */
+  private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val buf = mutable.ArrayBuffer(syms: _*)
+    var j = 0
+    while (j < buf.length - 1) {
+      if (buf(j) == a && buf(j + 1) == b) { buf(j) = a + b; buf.remove(j + 1) }
+      else j += 1
+    }
+    buf.toSeq
+  }
+
   /** Driver-side trainer over a bounded (word, count) vocabulary with
     * incremental pair-count maintenance: pair→count and pair→word-ids are
     * kept in sync so each merge rescans ONLY the words containing the

@@ -81,4 +81,21 @@ class BpeSpec extends SparkSpec {
       assert(back == w, s"round-trip broke: '$w' -> '$back'")
     }
   }
+
+  test("distributed trainer: merge-for-merge identical to the driver trainer") {
+    // the teaching corpus (hand-verified sequence incl. tie-breaks)
+    val dist = Bpe.trainDistributed(corpus, "text", numMerges = 5)
+    assert(dist.merges == Bpe.train(corpus, "text", numMerges = 5).merges)
+    // a real corpus, more merges than distinct pairs survive, crossing a
+    // checkpoint boundary — and the early-stop rule must agree too
+    val docs = Tables(spark, SharedSpark.sf0001).documents
+    val driver = Bpe.train(docs, "text", numMerges = 40, maxVocabWords = 1 << 20)
+    val spark40 = Bpe.trainDistributed(docs, "text", numMerges = 40, checkpointEvery = 16)
+    assert(spark40.merges == driver.merges,
+      s"diverged at ${spark40.merges.zip(driver.merges).indexWhere(p => p._1 != p._2)}")
+    // token counts served from either model are identical
+    val a = Bpe.tokenCounts(docs, "doc_id", "text", driver).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val b = Bpe.tokenCounts(docs, "doc_id", "text", spark40).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(a == b)
+  }
 }
