@@ -83,6 +83,96 @@ object DataQuality {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Population stability index (PSI) drift between a reference slice and a
+    * current slice of the same feature — the standard "did this feature's
+    * distribution move since the model was trained" monitor every serving
+    * pipeline runs. Bins come from the REFERENCE deciles (exact
+    * interpolated percentiles rounded HALF_UP to `scale`, the
+    * [[quantileBucketize]] determinism discipline), both slices are counted
+    * into that fixed grid, proportions are clamped at `minP` (the standard
+    * empty-bin smoothing — PSI's log explodes at 0), and each bin emits its
+    * (p_cur − p_ref)·ln(p_cur/p_ref) contribution rounded to 6 (absorbing
+    * ln's cross-engine last-ulp freedom). Σ psi_term is the headline PSI
+    * (< 0.1 stable, > 0.25 action); the per-bin grid is the diagnosis.
+    *
+    * Scale shape: one percentile pass over ref (boundary collect is
+    * `bins−1` doubles), one conditional-aggregation scan per slice, and a
+    * bins-sized grid join — no shuffle wider than the bin grid. */
+  def psiDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      bins: Int = 10,
+      scale: Int = 4,
+      minP: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val row = Corpus.spreadSmallInput(ref.select(col(valueCol)), col(valueCol))
+      .agg(percentile(col(valueCol).cast("double"), lit(probs.toArray)).as("bs"))
+      .head()
+    val bounds = row.getSeq[Double](0).map(b =>
+      java.math.BigDecimal.valueOf(b).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue)
+    val v = col(valueCol).cast("double")
+    val bin = bounds.zipWithIndex.foldRight(lit(bins - 1): Column) {
+      case ((b, i), acc) => when(v <= lit(b), lit(i)).otherwise(acc)
+    }
+    def binCounts(df: DataFrame, as: String): DataFrame =
+      df.filter(v.isNotNull).groupBy(bin.as("bin")).agg(count(lit(1)).as(as))
+    val spark = ref.sparkSession
+    val grid = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val counts = grid
+      .join(binCounts(ref, "nr"), Seq("bin"), "left")
+      .join(binCounts(cur, "nc"), Seq("bin"), "left")
+      .select(
+        col("bin"),
+        coalesce(col("nr"), lit(0L)).as("n_ref"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val pr = greatest(col("n_ref").cast("double") / col("tr"), lit(minP))
+    val pc = greatest(col("n_cur").cast("double") / col("tc"), lit(minP))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bin"),
+        col("n_ref"),
+        col("n_cur"),
+        round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+  }
+
+  /** Chi-square homogeneity drift over a CATEGORICAL column: observed
+    * ref/cur counts per category vs expectations from the pooled
+    * proportion — the companion to [[psiDrift]] for discrete features
+    * (event types, sources, languages). Emits per-category contribution
+    * rows ((o−e)²/e summed over both slices, rounded to 6 — the
+    * cross-category total is the χ² statistic with (k−1) d.o.f., and
+    * keeping the sum OUT of the query sidesteps double-sum order
+    * dependence); categories absent from one slice count as observed 0,
+    * exactly what the test expects. One aggregation per slice, full-outer
+    * on the category-sized grid. */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame, keyCol: String): DataFrame = {
+    val or = ref.groupBy(col(keyCol)).agg(count(lit(1)).as("nr"))
+    val oc = cur.groupBy(col(keyCol)).agg(count(lit(1)).as("nc"))
+    val grid = or.join(oc, Seq(keyCol), "full_outer")
+      .select(
+        col(keyCol),
+        coalesce(col("nr"), lit(0L)).as("n_ref"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"))
+    val totals = grid.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val p  = (col("n_ref") + col("n_cur")).cast("double") / (col("tr") + col("tc"))
+    val er = p * col("tr")
+    val ec = p * col("tc")
+    grid
+      .crossJoin(broadcast(totals))
+      .select(
+        col(keyCol),
+        col("n_ref"),
+        col("n_cur"),
+        round(
+          (col("n_ref") - er) * (col("n_ref") - er) / er +
+            (col("n_cur") - ec) * (col("n_cur") - ec) / ec,
+          6).as("chi2_term"))
+  }
+
   /** Uniqueness check (needs its own shuffle, unlike row-local rules):
     * key combinations appearing more than once. */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =

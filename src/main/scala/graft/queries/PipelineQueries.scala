@@ -1682,6 +1682,78 @@ object PipelineQueries {
         Tables(spark, dir).events, "event_type", "event_id", "value", k = 3.0)
     },
 
+    // ------------------------------------------------- distribution drift
+    // PSI over the events value feature, first half-month (reference) vs
+    // second (current): bins from REFERENCE deciles (exact percentiles
+    // rounded to 1e-4 before any compare — the quantileBucketize
+    // discipline), per-bin (p_cur−p_ref)·ln(p_cur/p_ref) contributions
+    // with the standard 1e-6 empty-bin clamp, rounded to 6 to absorb ln's
+    // cross-engine last-ulp freedom. Σ psi_term is the headline PSI.
+    Q(
+      "quality_drift_psi",
+      Some("""
+        WITH ref AS (SELECT value AS v FROM events WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+        cur AS (SELECT value AS v FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+        b AS (SELECT round(quantile_cont(v, 0.1), 4) AS b0, round(quantile_cont(v, 0.2), 4) AS b1,
+                     round(quantile_cont(v, 0.3), 4) AS b2, round(quantile_cont(v, 0.4), 4) AS b3,
+                     round(quantile_cont(v, 0.5), 4) AS b4, round(quantile_cont(v, 0.6), 4) AS b5,
+                     round(quantile_cont(v, 0.7), 4) AS b6, round(quantile_cont(v, 0.8), 4) AS b7,
+                     round(quantile_cont(v, 0.9), 4) AS b8
+              FROM ref),
+        rbin AS (SELECT CASE WHEN v <= b0 THEN 0 WHEN v <= b1 THEN 1 WHEN v <= b2 THEN 2
+                             WHEN v <= b3 THEN 3 WHEN v <= b4 THEN 4 WHEN v <= b5 THEN 5
+                             WHEN v <= b6 THEN 6 WHEN v <= b7 THEN 7 WHEN v <= b8 THEN 8
+                             ELSE 9 END AS bin FROM ref, b),
+        cbin AS (SELECT CASE WHEN v <= b0 THEN 0 WHEN v <= b1 THEN 1 WHEN v <= b2 THEN 2
+                             WHEN v <= b3 THEN 3 WHEN v <= b4 THEN 4 WHEN v <= b5 THEN 5
+                             WHEN v <= b6 THEN 6 WHEN v <= b7 THEN 7 WHEN v <= b8 THEN 8
+                             ELSE 9 END AS bin FROM cur, b),
+        rc AS (SELECT bin, COUNT(*) AS nr FROM rbin GROUP BY 1),
+        cc AS (SELECT bin, COUNT(*) AS nc FROM cbin GROUP BY 1),
+        grid AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bin),
+        counts AS (SELECT g.bin, COALESCE(rc.nr, 0) AS n_ref, COALESCE(cc.nc, 0) AS n_cur
+                   FROM grid g LEFT JOIN rc ON rc.bin = g.bin LEFT JOIN cc ON cc.bin = g.bin),
+        t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts)
+        SELECT bin, n_ref, n_cur,
+               ROUND((GREATEST(n_cur::DOUBLE / tc, 1e-6) - GREATEST(n_ref::DOUBLE / tr, 1e-6))
+                     * ln(GREATEST(n_cur::DOUBLE / tc, 1e-6) / GREATEST(n_ref::DOUBLE / tr, 1e-6)),
+                     6) AS psi_term
+        FROM counts, t
+      """)) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      DataQuality.psiDrift(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut), "value", bins = 10)
+    },
+
+    // Chi-square homogeneity over the categorical event-type mix, same
+    // half-month split: per-category (o−e)²/e contributions against the
+    // pooled-proportion expectation (the sum is the χ² statistic with k−1
+    // d.o.f. — kept OUT of the query so no cross-category double-sum
+    // order dependence enters the contract).
+    Q(
+      "quality_drift_chi2",
+      Some("""
+        WITH r AS (SELECT event_type, COUNT(*) AS nr FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+        c AS (SELECT event_type, COUNT(*) AS nc FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1),
+        g AS (SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+                     COALESCE(nr, 0) AS n_ref, COALESCE(nc, 0) AS n_cur
+              FROM r FULL OUTER JOIN c ON r.event_type = c.event_type),
+        t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM g)
+        SELECT event_type, n_ref, n_cur,
+               ROUND((n_ref - (n_ref + n_cur)::DOUBLE / (tr + tc) * tr)
+                     * (n_ref - (n_ref + n_cur)::DOUBLE / (tr + tc) * tr)
+                     / ((n_ref + n_cur)::DOUBLE / (tr + tc) * tr)
+                     + (n_cur - (n_ref + n_cur)::DOUBLE / (tr + tc) * tc)
+                     * (n_cur - (n_ref + n_cur)::DOUBLE / (tr + tc) * tc)
+                     / ((n_ref + n_cur)::DOUBLE / (tr + tc) * tc),
+                     6) AS chi2_term
+        FROM g, t
+      """)) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      DataQuality.chiSquareDrift(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut), "event_type")
+    },
+
     // ------------------------------------------------- multimodal columns
     // Opaque binary + typed metadata: the documents' text bytes stand in for
     // a media payload (the container has no image/audio libs — the DECODE

@@ -65,6 +65,39 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq.empty))
   }
 
+  test("psiDrift: identical slices → 0 everywhere; a shifted slice moves mass to high bins") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(i => i.toDouble / 10.0).toDF("value")
+    // same distribution → every bin contributes exactly 0
+    val same = DataQuality.psiDrift(ref, ref, "value", bins = 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getDouble(3) == 0.0), s"identical slices must give psi 0: ${same.mkString(",")}")
+    assert(same.map(r => r.getLong(1)).sum == 1000 && same.forall(r => r.getLong(1) == 100))
+    // shifted current slice: positive PSI, mass visibly in the top bin
+    val curShift = (1 to 1000).map(i => i.toDouble / 10.0 + 50.0).toDF("value")
+    val drift = DataQuality.psiDrift(ref, curShift, "value", bins = 10).collect()
+    val psi = drift.map(_.getDouble(3)).sum
+    assert(psi > 0.25, s"a half-range shift is major drift, psi=$psi")
+    assert(drift.find(_.getInt(0) == 9).get.getLong(2) > 500, "shifted mass must land in the top bin")
+    // empty current bins hit the clamp, never NaN/Inf
+    assert(drift.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+
+  test("chiSquareDrift: identical mixes → 0; a category swap produces a large statistic") {
+    import spark.implicits._
+    val ref = (Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c")).toDF("k")
+    val same = DataQuality.chiSquareDrift(ref, ref, "k").collect()
+    assert(same.length == 3 && same.forall(_.getDouble(3) == 0.0))
+    // current flips a and c: the statistic over 2 d.o.f. far exceeds any critical value
+    val cur = (Seq.fill(100)("a") ++ Seq.fill(200)("b") ++ Seq.fill(300)("c")).toDF("k")
+    val drift = DataQuality.chiSquareDrift(ref, cur, "k").collect()
+    assert(drift.map(_.getDouble(3)).sum > 50.0)
+    // a category present only in one slice still grids with observed 0
+    val curNew = (Seq.fill(600)("zzz")).toDF("k")
+    val rows = DataQuality.chiSquareDrift(ref, curNew, "k").collect()
+    assert(rows.length == 4 && rows.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("madOutliers: planted spike flagged, robust to its own outlier, MAD=0 group silent") {
     import spark.implicits._
     // group g: 1..21 symmetric around median 11 (MAD = 5), plus one spike
