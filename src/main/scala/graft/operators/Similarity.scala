@@ -1100,4 +1100,123 @@ object Similarity {
             lit(0.0),
             (acc, x) => acc + x) * invSqrt).as("projected"))
   }
+
+  // ------------------------------------------------------------------ PCA
+
+  /** Trained PCA model: per-dimension means and the top principal
+    * component after exactly `iters` power iterations (the unrolled-
+    * iteration contract — convergence is the user's knob, the iteration
+    * count is the spec). */
+  final case class PcaModel(means: Array[Double], component: Array[Double])
+
+  private def grid9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Top-principal-component PCA by power iteration over a decimal-exact
+    * distributed covariance — the whitening/dim-reduction step embedding
+    * pipelines run before clustering, made engine-deterministic the same
+    * way [[kmeans]] was:
+    *
+    *  - inputs land on the 1e-9 grid (round → DECIMAL) so every cross-
+    *    moment Σ cᵢ·c_j is EXACT decimal arithmetic, order-free at any
+    *    parallelism;
+    *  - the d×d covariance (CAST(Σ AS DOUBLE)/(n−1)) is the bounded-model
+    *    collect (d² doubles — the k·d k-means judgment);
+    *  - each power iteration re-grids: raw = Σ_j grid(C·v), norm =
+    *    √(Σ grid(raw²)), v = grid(raw/norm) — fixed double op sequences
+    *    an external engine replays term for term (the oracle unrolls all
+    *    iterations as CTEs).
+    *
+    * Scale shape: one narrow centered-projection scan feeding a d²-group
+    * aggregation (map-side combined; the double posexplode emits d² terms
+    * per row — the classic Gram-matrix pass, embarrassingly parallel);
+    * iterations run on the driver over the d² model, never the data. */
+  def pcaFit(embs: DataFrame, idCol: String, vecCol: String, iters: Int = 8): PcaModel = {
+    require(iters >= 1, "iters must be >= 1")
+    val dec9  = org.apache.spark.sql.types.DecimalType(13, 9)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val n = embs.count()
+    require(n >= 2, "PCA needs at least 2 vectors")
+    val sums = embs
+      .select(posexplode(col(vecCol)).as(Seq("j", "xe")))
+      .select(col("j"), round(col("xe").cast("double"), 9).cast(dec9).as("xd"))
+      .groupBy(col("j"))
+      .agg(sum(col("xd")).as("s"))
+      .orderBy(col("j"))
+      .collect()
+    val means = sums.map(r => r.getDecimal(1).doubleValue / n)
+    val d     = means.length
+
+    val mArr = array(means.toSeq.map(lit): _*)
+    val centered = embs.select(
+      zip_with(col(vecCol), mArr, (xv, m) => round(xv.cast("double"), 9) - m).as("c"))
+    val covRows = centered
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .select(col("i"), col("j"), round(col("ci") * col("cj"), 9).cast(dec18).as("t"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("t")).as("s"))
+      .select(col("i"), col("j"), (col("s").cast("double") / lit(n - 1)).as("cv"))
+      .collect()
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+
+    var v = Array.fill(d)(grid9(1.0 / math.sqrt(d.toDouble)))
+    var t = 0
+    while (t < iters) {
+      val raw = Array.tabulate(d) { i =>
+        var s = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < d) {
+          s = s.add(java.math.BigDecimal.valueOf(cov(i)(j) * v(j)).setScale(9, java.math.RoundingMode.HALF_UP))
+          j += 1
+        }
+        s.doubleValue
+      }
+      var n2 = java.math.BigDecimal.ZERO
+      raw.foreach(r => n2 = n2.add(java.math.BigDecimal.valueOf(r * r).setScale(9, java.math.RoundingMode.HALF_UP)))
+      val norm = math.sqrt(n2.doubleValue)
+      require(norm > 0.0, "power iteration collapsed to the zero vector (degenerate covariance)")
+      v = raw.map(r => grid9(r / norm))
+      t += 1
+    }
+    PcaModel(means, v)
+  }
+
+  /** The trained component as a frame: (dim, loading) — the persistable
+    * model artifact, hash-checkable against an engine replay. */
+  def pcaTopComponent(embs: DataFrame, idCol: String, vecCol: String, iters: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val m = pcaFit(embs, idCol, vecCol, iters)
+    m.component.zipWithIndex.map { case (l, i) => (i, l) }.toSeq.toDF("dim", "loading")
+  }
+
+  /** Per-vector projection onto the top component: score = Σ grid(c_j·v_j)
+    * over the centered coordinates — a zero-shuffle serving pass with the
+    * model broadcast as plan literals (the [[graft.operators.Corpus]]
+    * linearQualityScore shape). */
+  def pcaProject(embs: DataFrame, idCol: String, vecCol: String, iters: Int = 8): DataFrame = {
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 9)
+    // accumulator sized so DECIMAL(28,9) + DECIMAL(18,9) stays UNDER the
+    // 38-digit cap: at the cap Spark's DecimalPrecision silently drops the
+    // result scale to fit (observed: terms re-rounded to 1e-8, breaking the
+    // cross-engine replay by ~1e-7) — the same precision-loss trap
+    // corpus_dsir_weights documents for decimal×bigint products
+    val decAcc = org.apache.spark.sql.types.DecimalType(28, 9)
+    val m     = pcaFit(embs, idCol, vecCol, iters)
+    val mArr  = array(m.means.toSeq.map(lit): _*)
+    val vArr  = array(m.component.toSeq.map(lit): _*)
+    embs.select(
+      col(idCol),
+      aggregate(
+        zip_with(
+          zip_with(col(vecCol), mArr, (xv, mm) => round(xv.cast("double"), 9) - mm),
+          vArr,
+          (c, vv) => round(c * vv, 9).cast(dec18)),
+        lit(0).cast(decAcc),
+        // decimal addition widens; re-cap at (38,9) so the accumulator type
+        // is stable — exact at these magnitudes, so the fold is order-free
+        (acc, x) => (acc + x).cast(decAcc)).cast("double").as("score"))
+  }
 }

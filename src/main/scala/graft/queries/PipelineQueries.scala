@@ -67,6 +67,38 @@ object PipelineQueries {
     s"$head,\n$rounds,\n$finalAssign"
   }
 
+  /** DuckDB replay of [[Similarity.pcaFit]]: 1e-9-grid inputs, exact-
+    * decimal covariance moments, then `iters` unrolled power iterations —
+    * each re-gridding raw = Σ grid(C·v), norm = √(Σ grid(raw²)),
+    * v = grid(raw/norm), the same fixed double sequences the driver runs.
+    * v0 = round(1/√64, 9) = 0.125 exactly. Exposes cx (centered arrays)
+    * and v`iters` (the component, 1-based dims). */
+  private def pcaPrefix(iters: Int): String = {
+    val head =
+      s"""WITH ncte AS (SELECT COUNT(*) AS n FROM embeddings),
+        m AS (SELECT j, CAST(SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE), 9) AS DECIMAL(13,9))) AS DOUBLE)
+                        / (SELECT n FROM ncte) AS m
+              FROM embeddings, (SELECT unnest(range(1, 65)) AS j) jj GROUP BY j),
+        mm AS (SELECT list(m ORDER BY j) AS marr FROM m),
+        cx AS MATERIALIZED (
+          SELECT vec_id, list_transform(range(1, 65), j -> ROUND(CAST(embedding[j] AS DOUBLE), 9) - mm.marr[j]) AS c
+          FROM embeddings, mm),
+        cov AS MATERIALIZED (
+          SELECT ii.i, jj.j,
+                 CAST(SUM(CAST(ROUND(c[ii.i] * c[jj.j], 9) AS DECIMAL(18,9))) AS DOUBLE)
+                 / (SELECT n - 1 FROM ncte) AS cv
+          FROM cx, (SELECT unnest(range(1, 65)) AS i) ii, (SELECT unnest(range(1, 65)) AS j) jj
+          GROUP BY ii.i, jj.j),
+        v0 AS (SELECT j, CAST(0.125 AS DOUBLE) AS v FROM (SELECT unnest(range(1, 65)) AS j) jj)"""
+    val its = (1 to iters).map { t =>
+      s"""r$t AS (SELECT c.i AS j, CAST(SUM(CAST(ROUND(c.cv * v${t - 1}.v, 9) AS DECIMAL(18,9))) AS DOUBLE) AS raw
+              FROM cov c JOIN v${t - 1} ON v${t - 1}.j = c.j GROUP BY c.i),
+        n$t AS (SELECT sqrt(CAST(SUM(CAST(ROUND(raw * raw, 9) AS DECIMAL(18,9))) AS DOUBLE)) AS nrm FROM r$t),
+        v$t AS (SELECT j, ROUND(raw / nrm, 9) AS v FROM r$t, n$t)"""
+    }.mkString(",\n")
+    s"$head,\n$its"
+  }
+
   /** DuckDB oracle for cluster_kmeans: final-model assignments. */
   private def kmeansAssignOracle(k: Int, iters: Int): String =
     s"${kmeansCellsPrefix(k, iters)}\nSELECT vec_id, cluster FROM af"
@@ -1598,6 +1630,34 @@ object PipelineQueries {
         .randomProject(Tables(spark, dir).embeddings, "vec_id", "embedding", inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("pos", "value")))
         .select(col("vec_id"), col("pos"), round(col("value"), 6).as("value"))
+    },
+
+    // ------------------------------------------------------- PCA (power it.)
+    // Top principal component over the decimal-exact covariance (the
+    // kmeans determinism discipline applied to PCA): inputs on the 1e-9
+    // grid, Σ cᵢc_j exact decimal (order-free), d² model collected, and
+    // each of the 8 power iterations re-grids raw/norm/v so the oracle
+    // unrolls them as CTEs and the LOADINGS THEMSELVES hash-match.
+    Q(
+      "embed_pca_component",
+      Some(s"${pcaPrefix(8)}\nSELECT CAST(j - 1 AS INTEGER) AS dim, v AS loading FROM v8")) { (spark, dir) =>
+      Similarity.pcaTopComponent(Tables(spark, dir).embeddings, "vec_id", "embedding", iters = 8)
+    },
+
+    // Per-vector projection onto that component: a zero-shuffle serving
+    // pass with the model as plan literals; score = exact-decimal
+    // Σ grid(c_j·v_j) — the dimensionality-reduction feature downstream
+    // clustering consumes, oracled end to end THROUGH the training.
+    Q(
+      "embed_pca_project",
+      Some(s"""${pcaPrefix(8)},
+        va AS (SELECT list(v ORDER BY j) AS varr FROM v8)
+        SELECT cx.vec_id,
+               CAST(list_reduce(
+                      list_transform(range(1, 65), j -> CAST(ROUND(cx.c[j] * va.varr[j], 9) AS DECIMAL(18,9))),
+                      (a, b) -> a + b) AS DOUBLE) AS score
+        FROM cx, va""")) { (spark, dir) =>
+      Similarity.pcaProject(Tables(spark, dir).embeddings, "vec_id", "embedding", iters = 8)
     },
 
     // ------------------------------------------------------- data quality

@@ -429,4 +429,33 @@ class SimilaritySpec extends SparkSpec {
       Similarity.randomProject(bad, "vec_id", "embedding", inDim = 64, outDim = 16).collect()
     }
   }
+
+  test("PCA: unit component, partitioning-deterministic, recovers a planted dominant direction") {
+    val embs = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
+    val m = Similarity.pcaFit(embs, "vec_id", "embedding", iters = 8)
+    assert(m.means.length == 64 && m.component.length == 64)
+    // power iteration normalizes every round: ||v|| == 1 up to the 1e-9
+    // grid (64 gridded squares + a gridded norm → ~1e-6 accumulated slack)
+    val norm = math.sqrt(m.component.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"component norm $norm")
+    // the exact-decimal moments make the model invariant to partitioning
+    val m2 = Similarity.pcaFit(embs.repartition(17), "vec_id", "embedding", iters = 8)
+    assert(m2.component.sameElements(m.component) && m2.means.sameElements(m.means))
+    // planted anisotropy: dim 0 carries 10x the variance of the rest —
+    // the component must align overwhelmingly with dim 0
+    import spark.implicits._
+    val planted = (0 until 200).map { i =>
+      val arr = Array.tabulate(64)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 60f)
+      arr(0) = (if (i % 2 == 0) 1f else -1f) * (1f + (i % 5) / 10f)
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val pm = Similarity.pcaFit(planted, "vec_id", "embedding", iters = 8)
+    assert(math.abs(pm.component(0)) > 0.9, s"dominant dim loading ${pm.component(0)}")
+    // projection scores separate the two planted signs
+    val scores = Similarity.pcaProject(planted, "vec_id", "embedding", iters = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val even = (0 until 200 by 2).map(i => scores(i.toLong))
+    val odd  = (1 until 200 by 2).map(i => scores(i.toLong))
+    assert(even.min * odd.max < 0, "sign groups must land on opposite sides of the component")
+  }
 }
