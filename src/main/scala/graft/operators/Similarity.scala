@@ -1131,10 +1131,66 @@ object Similarity {
     * aggregation (map-side combined; the double posexplode emits d² terms
     * per row — the classic Gram-matrix pass, embarrassingly parallel);
     * iterations run on the driver over the d² model, never the data. */
+  /** Cross-moment aggregator over 1e-9-grid vectors: one pass, NO explode —
+    * the d² exploded-pair formulation spent ~9 s at sf0.1 on 8M per-term
+    * Round/decimal evaluations; this buffer does the same arithmetic in
+    * pure long ops (~ms). Grid doubles convert to exact 1e-9-unit longs
+    * (Math.round recovers the integer: the double's representation error
+    * is ≪ 0.5 units), centered units multiply EXACTLY in 1e-18 units, and
+    * each product splits into (quotient, remainder) halves accumulated in
+    * two long cells — overflow-safe to ~2e9 rows per cell and guarded by
+    * addExact (loud, never silent wraparound). The finished buffer IS the
+    * exact Σ cᵢ·c_j decimal — identical to SUM(DECIMAL(13,9)×DECIMAL(13,9))
+    * in any engine, which is what the oracle replays. */
+  final class CovUnitsAgg(d: Int, meanUnits: Array[Long])
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Long], Array[Long]] {
+    private val B = 1000000000L // unit split base (1e9)
+
+    override def zero: Array[Long] = new Array[Long](2 * d * d)
+
+    override def reduce(buf: Array[Long], xs: Seq[Double]): Array[Long] = {
+      require(xs.length == d, s"vector length ${xs.length} != declared dim $d")
+      val u = new Array[Long](d)
+      var j = 0
+      while (j < d) {
+        u(j) = Math.round(xs(j) * 1e9) - meanUnits(j)
+        require(math.abs(u(j)) <= 3037000499L, s"centered value ${xs(j)} overflows the unit grid")
+        j += 1
+      }
+      var i = 0
+      while (i < d) {
+        val ui   = u(i)
+        val base = i * d
+        var k = 0
+        while (k < d) {
+          val p = ui * u(k) // exact: both factors <= 3.03e9
+          val q = Math.floorDiv(p, B)
+          buf(base + k) = Math.addExact(buf(base + k), q)
+          buf(d * d + base + k) = Math.addExact(buf(d * d + base + k), p - q * B)
+          k += 1
+        }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   def pcaFit(embs: DataFrame, idCol: String, vecCol: String, iters: Int = 8): PcaModel = {
     require(iters >= 1, "iters must be >= 1")
-    val dec9  = org.apache.spark.sql.types.DecimalType(13, 9)
-    val dec18 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val dec9 = org.apache.spark.sql.types.DecimalType(13, 9)
     val n = embs.count()
     require(n >= 2, "PCA needs at least 2 vectors")
     val sums = embs
@@ -1144,38 +1200,55 @@ object Similarity {
       .agg(sum(col("xd")).as("s"))
       .orderBy(col("j"))
       .collect()
-    val means = sums.map(r => r.getDecimal(1).doubleValue / n)
+    // means land on the 1e-9 grid too, so centered values are exact grid
+    // differences — the property the unit-arithmetic aggregator needs
+    val means = sums.map(r => grid9(r.getDecimal(1).doubleValue / n))
     val d     = means.length
+    val meanUnits = means.map(m => Math.round(m * 1e9))
 
-    val mArr = array(means.toSeq.map(lit): _*)
-    val centered = embs.select(
-      zip_with(col(vecCol), mArr, (xv, m) => round(xv.cast("double"), 9) - m).as("c"))
-    val covRows = centered
-      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
-      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
-      .select(col("i"), col("j"), round(col("ci") * col("cj"), 9).cast(dec18).as("t"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("t")).as("s"))
-      .select(col("i"), col("j"), (col("s").cast("double") / lit(n - 1)).as("cv"))
-      .collect()
-    val cov = Array.ofDim[Double](d, d)
-    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val covAgg = udaf(
+      new CovUnitsAgg(d, meanUnits),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val units = embs
+      .select(transform(col(vecCol), x => round(x.cast("double"), 9)).as("c"))
+      .agg(covAgg(col("c")).as("u"))
+      .head()
+      .getSeq[Long](0)
+    // exact Σ cᵢc_j from the (quotient, remainder) halves. Scale-18
+    // decimals must be ROUNDED TO SCALE 9 while still decimal, BEFORE any
+    // double cast: DuckDB's DECIMAL(38,18)→DOUBLE cast double-rounds
+    // (measured: ~27% of random scale-18 values off by an ulp), while its
+    // scale-9 cast and decimal ROUND are exact/HALF_UP — so the replayable
+    // boundary is decimal-round-then-cast, never cast-at-scale-18.
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val s = java.math.BigDecimal
+        .valueOf(units(i * d + j)).movePointLeft(9)
+        .add(java.math.BigDecimal.valueOf(units(d * d + i * d + j)).movePointLeft(18))
+      grid9(s.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue / (n - 1))
+    }
 
     var v = Array.fill(d)(grid9(1.0 / math.sqrt(d.toDouble)))
     var t = 0
     while (t < iters) {
+      // raw = Σ_j C·v as EXACT decimal products of grid values (scale 18),
+      // decimal-rounded to scale 9 before the double boundary (see cov)
       val raw = Array.tabulate(d) { i =>
         var s = java.math.BigDecimal.ZERO
         var j = 0
         while (j < d) {
-          s = s.add(java.math.BigDecimal.valueOf(cov(i)(j) * v(j)).setScale(9, java.math.RoundingMode.HALF_UP))
+          s = s.add(
+            java.math.BigDecimal.valueOf(cov(i)(j)).setScale(9)
+              .multiply(java.math.BigDecimal.valueOf(v(j)).setScale(9)))
           j += 1
         }
-        s.doubleValue
+        s.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
       }
       var n2 = java.math.BigDecimal.ZERO
-      raw.foreach(r => n2 = n2.add(java.math.BigDecimal.valueOf(r * r).setScale(9, java.math.RoundingMode.HALF_UP)))
-      val norm = math.sqrt(n2.doubleValue)
+      raw.foreach { r =>
+        val rd = java.math.BigDecimal.valueOf(r).setScale(9)
+        n2 = n2.add(rd.multiply(rd))
+      }
+      val norm = math.sqrt(n2.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
       require(norm > 0.0, "power iteration collapsed to the zero vector (degenerate covariance)")
       v = raw.map(r => grid9(r / norm))
       t += 1
@@ -1197,13 +1270,13 @@ object Similarity {
     * model broadcast as plan literals (the [[graft.operators.Corpus]]
     * linearQualityScore shape). */
   def pcaProject(embs: DataFrame, idCol: String, vecCol: String, iters: Int = 8): DataFrame = {
-    val dec18 = org.apache.spark.sql.types.DecimalType(18, 9)
-    // accumulator sized so DECIMAL(28,9) + DECIMAL(18,9) stays UNDER the
-    // 38-digit cap: at the cap Spark's DecimalPrecision silently drops the
-    // result scale to fit (observed: terms re-rounded to 1e-8, breaking the
-    // cross-engine replay by ~1e-7) — the same precision-loss trap
-    // corpus_dsir_weights documents for decimal×bigint products
-    val decAcc = org.apache.spark.sql.types.DecimalType(28, 9)
+    val dec9 = org.apache.spark.sql.types.DecimalType(13, 9)
+    // accumulator sized so (37,18) + (27,18) peaks at precision 38 EXACTLY:
+    // one digit higher and Spark's DecimalPrecision silently drops the
+    // result scale to fit the 38 cap (observed: terms re-rounded to 1e-8,
+    // breaking the cross-engine replay by ~1e-7) — the same precision-loss
+    // trap corpus_dsir_weights documents for decimal×bigint products
+    val decAcc = org.apache.spark.sql.types.DecimalType(37, 18)
     val m     = pcaFit(embs, idCol, vecCol, iters)
     val mArr  = array(m.means.toSeq.map(lit): _*)
     val vArr  = array(m.component.toSeq.map(lit): _*)
@@ -1213,10 +1286,15 @@ object Similarity {
         zip_with(
           zip_with(col(vecCol), mArr, (xv, mm) => round(xv.cast("double"), 9) - mm),
           vArr,
-          (c, vv) => round(c * vv, 9).cast(dec18)),
+          // both factors are 1e-9-grid values: the DECIMAL(13,9) casts are
+          // exact and the product is EXACT at scale 18 — no rounding site
+          (c, vv) => c.cast(dec9) * vv.cast(dec9)),
         lit(0).cast(decAcc),
-        // decimal addition widens; re-cap at (38,9) so the accumulator type
-        // is stable — exact at these magnitudes, so the fold is order-free
-        (acc, x) => (acc + x).cast(decAcc)).cast("double").as("score"))
+        (acc, x) => (acc + x).cast(decAcc)).as("score_raw"))
+      .select(
+        col(idCol),
+        // decimal-round to scale 9 BEFORE the double cast (the scale-18
+        // cast is not correctly rounded in every engine — see pcaFit)
+        round(col("score_raw"), 9).cast("double").as("score"))
   }
 }

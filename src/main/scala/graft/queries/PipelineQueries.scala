@@ -76,8 +76,8 @@ object PipelineQueries {
   private def pcaPrefix(iters: Int): String = {
     val head =
       s"""WITH ncte AS (SELECT COUNT(*) AS n FROM embeddings),
-        m AS (SELECT j, CAST(SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE), 9) AS DECIMAL(13,9))) AS DOUBLE)
-                        / (SELECT n FROM ncte) AS m
+        m AS (SELECT j, ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE), 9) AS DECIMAL(13,9))) AS DOUBLE)
+                        / (SELECT n FROM ncte), 9) AS m
               FROM embeddings, (SELECT unnest(range(1, 65)) AS j) jj GROUP BY j),
         mm AS (SELECT list(m ORDER BY j) AS marr FROM m),
         cx AS MATERIALIZED (
@@ -85,15 +85,19 @@ object PipelineQueries {
           FROM embeddings, mm),
         cov AS MATERIALIZED (
           SELECT ii.i, jj.j,
-                 CAST(SUM(CAST(ROUND(c[ii.i] * c[jj.j], 9) AS DECIMAL(18,9))) AS DOUBLE)
-                 / (SELECT n - 1 FROM ncte) AS cv
+                 ROUND(CAST(ROUND(SUM(CAST(c[ii.i] AS DECIMAL(13,9)) * CAST(c[jj.j] AS DECIMAL(13,9))), 9) AS DOUBLE)
+                       / (SELECT n - 1 FROM ncte), 9) AS cv
           FROM cx, (SELECT unnest(range(1, 65)) AS i) ii, (SELECT unnest(range(1, 65)) AS j) jj
           GROUP BY ii.i, jj.j),
         v0 AS (SELECT j, CAST(0.125 AS DOUBLE) AS v FROM (SELECT unnest(range(1, 65)) AS j) jj)"""
+    // scale-18 sums are decimal-ROUNDed to scale 9 BEFORE every double
+    // cast: DuckDB's scale-18→DOUBLE cast is not correctly rounded, its
+    // scale-9 cast and decimal ROUND (half away from zero ≡ HALF_UP) are
     val its = (1 to iters).map { t =>
-      s"""r$t AS (SELECT c.i AS j, CAST(SUM(CAST(ROUND(c.cv * v${t - 1}.v, 9) AS DECIMAL(18,9))) AS DOUBLE) AS raw
+      s"""r$t AS (SELECT c.i AS j,
+                CAST(ROUND(SUM(CAST(c.cv AS DECIMAL(13,9)) * CAST(v${t - 1}.v AS DECIMAL(13,9))), 9) AS DOUBLE) AS raw
               FROM cov c JOIN v${t - 1} ON v${t - 1}.j = c.j GROUP BY c.i),
-        n$t AS (SELECT sqrt(CAST(SUM(CAST(ROUND(raw * raw, 9) AS DECIMAL(18,9))) AS DOUBLE)) AS nrm FROM r$t),
+        n$t AS (SELECT sqrt(CAST(ROUND(SUM(CAST(raw AS DECIMAL(13,9)) * CAST(raw AS DECIMAL(13,9))), 9) AS DOUBLE)) AS nrm FROM r$t),
         v$t AS (SELECT j, ROUND(raw / nrm, 9) AS v FROM r$t, n$t)"""
     }.mkString(",\n")
     s"$head,\n$its"
@@ -1653,9 +1657,10 @@ object PipelineQueries {
       Some(s"""${pcaPrefix(8)},
         va AS (SELECT list(v ORDER BY j) AS varr FROM v8)
         SELECT cx.vec_id,
-               CAST(list_reduce(
-                      list_transform(range(1, 65), j -> CAST(ROUND(cx.c[j] * va.varr[j], 9) AS DECIMAL(18,9))),
-                      (a, b) -> a + b) AS DOUBLE) AS score
+               CAST(ROUND(list_reduce(
+                      list_transform(range(1, 65),
+                        j -> CAST(cx.c[j] AS DECIMAL(13,9)) * CAST(va.varr[j] AS DECIMAL(13,9))),
+                      (a, b) -> a + b), 9) AS DOUBLE) AS score
         FROM cx, va""")) { (spark, dir) =>
       Similarity.pcaProject(Tables(spark, dir).embeddings, "vec_id", "embedding", iters = 8)
     },
