@@ -255,4 +255,76 @@ object Graph {
       .groupBy(col("x.l").as("a"), col("y.l").as("b"))
       .agg(count(lit(1)).as("shared"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient via
+    * DEGREE-ORDERED wedge closing (the "compact-forward" scheme, Latapy
+    * 2008 / Suri-Vassilvitskii WWW'11 for the MapReduce form): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher
+    * one, build wedges only at each edge's LOW-rank endpoint, and close
+    * them against the oriented edge set. The orientation bounds every
+    * out-neighborhood by O(√m) regardless of hubs — the naive
+    * adjacency self-join is quadratic in the max degree (a celebrity node
+    * in a co-purchase graph explodes it), while oriented wedge counts are
+    * Σ outdeg² ≤ O(m^1.5), the proven worst case for triangle listing.
+    * Every triangle (ranked u < v < w) is emitted exactly once as the
+    * wedge (v, w) at u closed by the oriented edge v→w.
+    *
+    * Output: (id, degree, n_triangles, clustering) for every endpoint —
+    * lcc = 2T/(deg·(deg−1)) rounded to 6, the standard cohesion signal
+    * (spam/bot subgraphs in web corpora read as lcc anomalies). Exact
+    * integers until the one division, so the row hash-checks against an
+    * algorithm-independent 3-way-join oracle. */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+    // rank = (degree, id): a total order that sends wedge-building to the
+    // LOW-degree endpoint of every edge
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), Seq("b"))
+    def rankLt(d1: org.apache.spark.sql.Column, i1: org.apache.spark.sql.Column,
+               d2: org.apache.spark.sql.Column, i2: org.apache.spark.sql.Column) =
+      d1 < d2 || (d1 === d2 && i1 < i2)
+    val oriented = withDeg
+      .select(
+        when(rankLt(col("da"), col("a"), col("db"), col("b")), col("a")).otherwise(col("b")).as("u"),
+        when(rankLt(col("da"), col("a"), col("db"), col("b")), col("b")).otherwise(col("a")).as("v"),
+        when(rankLt(col("da"), col("a"), col("db"), col("b")), col("db")).otherwise(col("da")).as("dv"))
+      .cache()
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          rankLt(col("x.dv"), col("x.v"), col("y.dv"), col("y.v")))
+      .select(col("x.u").as("tu"), col("x.v").as("tv"), col("y.v").as("tw"))
+    val triangles = wedges
+      .join(oriented.select(col("u").as("tv"), col("v").as("tw")), Seq("tv", "tw"))
+    val perNode = triangles
+      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = deg
+      .join(perNode, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(
+          when(col("degree") >= 2,
+            (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") / (col("degree") * (col("degree") - 1)))
+            .otherwise(lit(0.0)),
+          6).as("clustering"))
+    val materialized = out.localCheckpoint(true)
+    und.unpersist()
+    oriented.unpersist()
+    materialized
+  }
 }

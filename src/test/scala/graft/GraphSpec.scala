@@ -130,4 +130,32 @@ class GraphSpec extends SparkSpec {
     val depthMany = many.queryExecution.executedPlan.toString.count(_ == '\n')
     assert(depthMany <= depthFew + 2, s"plan grew with iterations: $depthFew -> $depthMany")
   }
+
+  test("triangleStats: hand-checked planted graph, hub-safe orientation ≡ brute 3-way join") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 5 + isolated edge 6-7
+    val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (6L, 7L))).toDF("pa", "pb")
+    val got = graft.operators.Graph.triangleStats(edges, "pa", "pb")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)) && got(2L) == ((3L, 3L, 1.0)) && got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.5)), s"hub 4: ${got(4L)}") // 3 of C(4,2)=6 wedges closed
+    assert(got(5L) == ((1L, 0L, 0.0)) && got(6L) == ((1L, 0L, 0.0)) && got(7L) == ((1L, 0L, 0.0)))
+    // random-ish graph: degree-ordered plan ≡ brute canonical 3-way join
+    val rnd = (0 until 400).map { i =>
+      val a = (i * 37 + i * i * 11) % 60; val b = (i * 53 + 7) % 60
+      (a.toLong, b.toLong)
+    }.filter(p => p._1 != p._2).toDF("pa", "pb")
+    val fast = graft.operators.Graph.triangleStats(rnd, "pa", "pb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = rnd.select(least($"pa", $"pb").as("a"), greatest($"pa", $"pb").as("b")).distinct()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast.foreach { case (id, _, t) => assert(t == brute.getOrElse(id, 0L), s"node $id: $t vs ${brute.get(id)}") }
+    assert(fast.map(_._3).sum == brute.values.sum)
+  }
 }
