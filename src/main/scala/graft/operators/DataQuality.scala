@@ -180,6 +180,31 @@ object DataQuality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** k-anonymity / l-diversity audit over quasi-identifier columns — the
+    * privacy gate a dataset passes before release (Sweeney 2002; Machanavajjhala
+    * et al. 2007): every QI combination's group size (re-identification risk
+    * when < k) and distinct-sensitive-value count (attribute disclosure when
+    * < l, even in large groups). One aggregation pass, group-sized output,
+    * exact integers — the flags are the contract, no sampling. */
+  def kAnonymityAudit(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long = 10L,
+      l: Long = 2L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .select(
+        qiCols.map(col) ++ Seq(
+          col("group_size"),
+          col("l_diversity"),
+          (col("group_size") < k).as("k_violation"),
+          (col("l_diversity") < l).as("l_violation")): _*)
+  }
+
   /** Robust per-group outlier flags via MAD (median absolute deviation):
     * score = |v − median| / (1.4826·MAD), flagged when the rounded score
     * exceeds `k` — the robust cousin of the z-score (TimeSeries), immune

@@ -285,6 +285,55 @@ object Dedup {
     materializeThenRelease(directional.filter(col("containment") >= threshold), rows)
   }
 
+  /** Sorted-neighborhood entity-resolution pairs (Hernández & Stolfo 1995):
+    * records sorted by a blocking key, candidates = pairs within `window`
+    * positions, verified by Levenshtein ≤ `maxDist` — the classic
+    * record-linkage blocking scheme for TYPO-level duplicates that token-
+    * set methods (Jaccard/MinHash) dilute and LSH may miss (a one-char
+    * edit barely moves a sorted position but can flip many shingles).
+    *
+    * Distributed form: the sort window runs WITHIN hash-blocks (first
+    * `blockLen` chars of the key), so no global single-partition window
+    * exists anywhere in the plan; pairs straddling a block boundary are
+    * traded away exactly like the classic multi-pass scheme trades
+    * sort-boundary misses (run again with a different key to recover —
+    * standard SN practice, Herzog et al. 2007 ch. 12). Cost: one
+    * block-keyed shuffle, w·n candidate rows, edit distance only on
+    * candidates. */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      window: Int = 3,
+      maxDist: Int = 5,
+      blockLen: Int = 1): DataFrame = {
+    require(window >= 1 && maxDist >= 0 && blockLen >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"))
+      .orderBy(col("key"), col("id"))
+    val ranked = df
+      .select(col(idCol).as("id"), col(keyCol).as("key"))
+      .withColumn("block", substring(col("key"), 1, blockLen))
+      .withColumn("rn", row_number().over(w))
+      // rank bucket of width `window`: a window partner sits in the same
+      // bucket or the next one, so the join can carry (block, bucket) as
+      // EQUALITY keys — without it Spark hash-joins on `block` alone and
+      // the per-block cross product is quadratic (measured 34 s at sf0.1;
+      // bucketed: linear in w·n)
+      .withColumn("bucket", floor(col("rn") / window))
+    val probes = ranked.withColumn("jb", explode(array(col("bucket"), col("bucket") + 1)))
+    probes.as("x")
+      .join(
+        ranked.as("y"),
+        col("x.block") === col("y.block") && col("x.jb") === col("y.bucket") &&
+          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + window)
+      .select(
+        col("x.id").as("a_id"),
+        col("y.id").as("b_id"),
+        levenshtein(col("x.key"), col("y.key")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Incremental near-dup detection: Jaccard pairs between a NEW batch and
     * an existing corpus (old ∪ new), never re-pairing old×old — the daily-
     * ingestion shape. `oldIndex` is a persisted (doc_id, h) hashed-shingle

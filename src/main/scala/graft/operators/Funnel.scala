@@ -100,4 +100,37 @@ object Funnel {
         col("weeks_since"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next | prev) estimated from adjacent event pairs in (ts, tie)
+    * order — the behavioral model behind next-action prediction and
+    * anomaly scoring (an improbable transition IS the anomaly signal).
+    * The tie column makes ordering total (equal timestamps would otherwise
+    * make `lag` nondeterministic). One user-keyed shuffle for the lag
+    * window, transition-matrix-sized aggregation after; probabilities are
+    * exact count ratios rounded to 6. */
+  def markovTransitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n_transitions")).as("n_from"))
+    pairs
+      .join(totals, Seq("prev_type"))
+      .select(
+        col("prev_type"),
+        col("next_type"),
+        col("n_transitions"),
+        round(col("n_transitions").cast("double") / col("n_from"), 6).as("prob"))
+  }
 }

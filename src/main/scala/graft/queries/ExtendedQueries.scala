@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sketches
+import graft.operators.{DataQuality, Funnel, Sketches}
 import graft.sources.Tables
 
 /** Second-wave relational coverage: grouping sets, INTERSECT ALL, range
@@ -560,6 +560,43 @@ object ExtendedQueries {
         LEFT JOIN ci ON ci.type_a = p.type_a AND ci.type_b = p.type_b
       """)) { (spark, dir) =>
       Sketches.kmvSetOps(Tables(spark, dir).events, "event_type", "user_id", k = 128)
+    },
+
+    // k-anonymity / l-diversity audit over customer quasi-identifiers —
+    // the pre-release privacy gate: QI groups below k are re-identifiable,
+    // single-sensitive-value groups leak the attribute even when large.
+    // One aggregation, exact integers + boolean flags.
+    Q(
+      "privacy_k_anonymity",
+      Some("""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS group_size,
+               COUNT(DISTINCT c_acctbal) AS l_diversity,
+               COUNT(*) < 10 AS k_violation,
+               COUNT(DISTINCT c_acctbal) < 2 AS l_violation
+        FROM customer GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      DataQuality.kAnonymityAudit(
+        Tables(spark, dir).customer, Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10L, l = 2L)
+    },
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // P(next|prev) from lag pairs in total (ts, event_id) order — the
+    // behavior model behind next-action prediction; improbable transitions
+    // are the anomaly signal. Exact count ratios rounded to 6.
+    Q(
+      "events_markov",
+      Some("""
+        WITH seq AS (SELECT user_id, event_type AS next_type,
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                     FROM events),
+        p AS (SELECT prev_type, next_type, COUNT(*) AS n_transitions
+              FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from FROM p GROUP BY 1)
+        SELECT p.prev_type, p.next_type, p.n_transitions,
+               ROUND(CAST(p.n_transitions AS DOUBLE) / t.n_from, 6) AS prob
+        FROM p JOIN t USING (prev_type)
+      """)) { (spark, dir) =>
+      Funnel.markovTransitions(Tables(spark, dir).events, "user_id", "ts", "event_type", "event_id")
     },
 
     // ------------------------------------------------- map-type functions

@@ -601,6 +601,25 @@ object PipelineQueries {
       Dedup.prefixJaccardPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
     },
 
+    // Sorted-neighborhood ER blocking (Hernández-Stolfo): sort by name
+    // within first-char hash blocks, pair a 3-wide window, verify with
+    // Levenshtein ≤ 5 — the typo-level linkage pass token-set dedup
+    // dilutes. No global window anywhere (block-partitioned row_number);
+    // both engines implement the identical unit-cost edit distance.
+    Q(
+      "dedup_sorted_neighborhood",
+      Some("""
+        WITH s AS (SELECT p_partkey AS id, p_name AS key, substr(p_name, 1, 1) AS block,
+                          row_number() OVER (PARTITION BY substr(p_name, 1, 1) ORDER BY p_name, p_partkey) AS rn
+                   FROM part)
+        SELECT x.id AS a_id, y.id AS b_id, CAST(levenshtein(x.key, y.key) AS INTEGER) AS dist
+        FROM s x JOIN s y ON x.block = y.block AND y.rn > x.rn AND y.rn <= x.rn + 3
+        WHERE levenshtein(x.key, y.key) <= 5
+      """)) { (spark, dir) =>
+      Dedup.sortedNeighborPairs(
+        Tables(spark, dir).part, "p_partkey", "p_name", window = 3, maxDist = 5, blockLen = 1)
+    },
+
     // -------------------------------------------------- containment dedup
     // Asymmetric |A∩B|/|A|: the subset/quote detector symmetric jaccard
     // structurally misses (a short doc fully quoted inside a long one has

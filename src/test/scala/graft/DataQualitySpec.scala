@@ -65,6 +65,20 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq.empty))
   }
 
+  test("kAnonymityAudit: planted small group and single-valued group flagged, big diverse group clean") {
+    import spark.implicits._
+    val df = (
+      (1 to 20).map(i => ("CA", 1, i * 10.0)) ++        // big, diverse: clean
+        (1 to 3).map(i => ("NY", 2, i * 10.0)) ++       // size 3 < k: k_violation
+        (1 to 15).map(_ => ("TX", 3, 42.0))             // big but single-valued: l_violation
+    ).toDF("seg", "nat", "bal")
+    val got = DataQuality.kAnonymityAudit(df, Seq("seg", "nat"), "bal", k = 10L, l = 2L)
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got("CA") == ((20L, 20L, false, false)))
+    assert(got("NY") == ((3L, 3L, true, false)))
+    assert(got("TX") == ((15L, 1L, false, true)))
+  }
+
   test("psiDrift: identical slices → 0 everywhere; a shifted slice moves mass to high bins") {
     import spark.implicits._
     val ref = (1 to 1000).map(i => i.toDouble / 10.0).toDF("value")

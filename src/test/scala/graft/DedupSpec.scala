@@ -296,6 +296,22 @@ class DedupSpec extends SparkSpec {
     assert(pp.contains((1L, 2L, 0)), s"permuted twin must collide in a triple table: ${pp.mkString(",")}")
   }
 
+  test("sortedNeighborPairs: typo twins pair inside the window, cross-block pairs traded away") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "acme corp"), (2L, "acme c0rp"),            // adjacent after sort, dist 1
+      (3L, "acme corporation"),                        // dist 7 from both: filtered at maxDist 5
+      (4L, "zeta llc"), (5L, "zeta lcc"),              // another block, dist 1 (one substitution)
+      (6L, "beta inc")                                 // alone in its block
+    ).toDF("id", "name")
+    val got = Dedup.sortedNeighborPairs(df, "id", "name", window = 2, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 1)) || got.contains((2L, 1L, 1)), s"typo twin missing: $got")
+    assert(got.contains((4L, 5L, 1)) || got.contains((5L, 4L, 1)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "distance-7 neighbor must be filtered")
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "cross-block pairing must not happen")
+  }
+
   test("prefix jaccard: identical-doc flood stays exact (every pair is a true dup)") {
     import spark.implicits._
     val flood = ((1 to 40).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) :+

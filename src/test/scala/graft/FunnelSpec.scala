@@ -77,4 +77,26 @@ class FunnelSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("in(event_type"),
       s"stage IN-filter must reach the parquet scan:\n$plan")
   }
+
+  test("markovTransitions: hand-checked chain, rows sum to 1 per prev state") {
+    import java.sql.Timestamp
+    // user 1: a->b->a->b ; user 2: a->b->c — transitions: a->b ×3, b->a ×1, b->c ×1
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01"), "a", 1L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:02"), "b", 2L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:03"), "a", 3L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:04"), "b", 4L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:01"), "a", 5L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:02"), "b", 6L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:03"), "c", 7L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.markovTransitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((3L, 1.0)))
+    assert(got(("b", "a")) == ((1L, 0.5)) && got(("b", "c")) == ((1L, 0.5)))
+    assert(got.size == 3)
+    // probabilities from a prev state always sum to ~1
+    val sums = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    sums.foreach { case (s, p) => assert(math.abs(p - 1.0) < 1e-9, s"$s sums to $p") }
+  }
 }
