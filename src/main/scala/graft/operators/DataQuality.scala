@@ -180,6 +180,47 @@ object DataQuality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE scan —
+    * the feature-redundancy / leakage screen run before training (a 0.99
+    * feature-feature correlation means a duplicated signal; a high
+    * feature-label one means leakage). All (Σx, Σx², Σxy) moments are
+    * EXACT: inputs land on a 10^-`scale` decimal grid and products carry
+    * (17,s)×(17,s) = (35,2s) — under the 38-digit cap where Spark silently
+    * drops scale. The closed-form r then runs in double in a fixed op
+    * order, rounded to 6 (the decimal→double boundary's last-ulp freedom
+    * absorbed, same as PSI's ln). Output: one row per unordered column
+    * pair; zero-variance columns yield NULL r, not NaN. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = org.apache.spark.sql.types.DecimalType(17, scale)
+    val gridded = df.select(cols.map(c => round(col(c).cast("double"), scale).cast(dec).as(c)): _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") } :+
+        count(lit(1)).as("n")
+    val wide = gridded.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      val nD   = col("n").cast("double")
+      val sa   = col(s"s_$a").cast("double")
+      val sb   = col(s"s_$b").cast("double")
+      val ssa  = col(s"ss_$a").cast("double")
+      val ssb  = col(s"ss_$b").cast("double")
+      val sab  = col(s"sp_${a}_$b").cast("double")
+      val va   = nD * ssa - sa * sa
+      val vb   = nD * ssb - sb * sb
+      val r    = (nD * sab - sa * sb) / (sqrt(va) * sqrt(vb))
+      struct(
+        lit(a).as("col_a"),
+        lit(b).as("col_b"),
+        round(when(va > 0.0 && vb > 0.0, r).otherwise(lit(null)), 6).as("r"))
+    }
+    wide
+      .select(col("n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"), col("e.r").as("r"), col("n").as("n_rows"))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns — the
     * privacy gate a dataset passes before release (Sweeney 2002; Machanavajjhala
     * et al. 2007): every QI combination's group size (re-identification risk

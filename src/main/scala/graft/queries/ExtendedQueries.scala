@@ -16,6 +16,29 @@ import graft.sources.Tables
   */
 object ExtendedQueries {
 
+  /** DuckDB replay of [[graft.operators.DataQuality.correlationMatrix]]
+    * over the four lineitem numeric columns: 1e-2-grid decimal moments in
+    * one pass, then the fixed-order double closed form per pair, round 6
+    * — generated so the six pair arms stay mechanically identical. */
+  private def correlationOracle: String = {
+    val cols  = Seq("l_quantity" -> "q", "l_extendedprice" -> "e", "l_discount" -> "d", "l_tax" -> "t")
+    val grid  = cols.map { case (c, a) => s"CAST(ROUND($c, 2) AS DECIMAL(17,2)) AS $a" }.mkString(", ")
+    val sums  = cols.map { case (_, a) => s"SUM($a) AS s_$a, SUM($a * $a) AS ss_$a" }.mkString(", ")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
+    val cross = pairs.map { case ((_, a), (_, b)) => s"SUM($a * $b) AS sp_${a}_$b" }.mkString(", ")
+    val arms = pairs.map { case ((ca, a), (cb, b)) =>
+      val va = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+      val vb = s"(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      s"""SELECT '$ca' AS col_a, '$cb' AS col_b,
+             ROUND(CASE WHEN $va > 0 AND $vb > 0 THEN $num / (sqrt($va) * sqrt($vb)) END, 6) AS r,
+             n AS n_rows FROM m"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (SELECT $grid FROM lineitem),
+       m AS (SELECT COUNT(*) AS n, $sums, $cross FROM g)
+       $arms"""
+  }
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------- grouping sets
     // Explicit GROUPING SETS (rollup/cube's general form): per-flag,
@@ -560,6 +583,61 @@ object ExtendedQueries {
         LEFT JOIN ci ON ci.type_a = p.type_a AND ci.type_b = p.type_b
       """)) { (spark, dir) =>
       Sketches.kmvSetOps(Tables(spark, dir).events, "event_type", "user_id", k = 128)
+    },
+
+    // Per-nation OLS revenue trend (TimeSeries.groupLinearTrend): slope +
+    // intercept of daily supplier-nation revenue over the day index, from
+    // exact integer/decimal moments in one aggregation — "is this segment
+    // growing and how fast" without iteration. Double closed-form in a
+    // fixed op order, intercept derived from the ROUNDED slope so both
+    // surfaces agree past the last ulp.
+    Q(
+      "trend_nation_revenue",
+      Some("""
+        WITH daily AS (
+          SELECT n_name,
+                 datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x,
+                 ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        g AS (SELECT n_name, x, CAST(rev AS DECIMAL(23,2)) AS y FROM daily),
+        m AS (SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+                     SUM(y) AS sy, SUM(CAST(x AS DECIMAL(6,0)) * y) AS sxy
+              FROM g GROUP BY 1),
+        s2 AS (SELECT n_name, n,
+                      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                      CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                      CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+               FROM m)
+        SELECT n_name, n AS n_points,
+               ROUND(CASE WHEN n >= 2 AND den <> 0 THEN num / den END, 6) AS slope,
+               ROUND(CASE WHEN n >= 2 AND den <> 0
+                          THEN (syd - ROUND(num / den, 6) * sxd) / CAST(n AS DOUBLE) END, 6) AS intercept
+        FROM s2
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.lineitem
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(
+          col("n_name"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date")).as("x"))
+        // revenue stays DECIMAL to the grid boundary: a scale-4 → double →
+        // round-2 detour would split engines on exact .xx50 half values
+        .agg(round(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 2).as("rev"))
+      graft.operators.TimeSeries.groupLinearTrend(daily, "n_name", "x", "rev", yScale = 2)
+    },
+
+    // Pairwise Pearson correlations over the lineitem numeric columns in
+    // ONE scan (DataQuality.correlationMatrix): the feature-redundancy /
+    // leakage screen. Exact decimal moments; double closed form; round 6.
+    Q("quality_correlations", Some(correlationOracle)) { (spark, dir) =>
+      DataQuality.correlationMatrix(
+        Tables(spark, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 2)
     },
 
     // k-anonymity / l-diversity audit over customer quasi-identifiers —

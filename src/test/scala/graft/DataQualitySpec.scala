@@ -65,6 +65,22 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](DataQuality.quantileBucketize(vals, "x", Seq.empty))
   }
 
+  test("correlationMatrix: perfect/anti/zero-variance pairs, one row per pair, reshuffle-stable") {
+    import spark.implicits._
+    val df = (0 until 200).map { i =>
+      (i.toDouble, 2.0 * i + 5.0, 100.0 - i, 7.0) // b = 2a+5 (r=1), c anti (r=-1), d constant
+    }.toDF("a", "b", "c", "d")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      DataQuality.correlationMatrix(x, Seq("a", "b", "c", "d"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    val got = run(df)
+    assert(got.size == 6)
+    assert(got(("a", "b")) == Some(1.0) && got(("a", "c")) == Some(-1.0) && got(("b", "c")) == Some(-1.0))
+    assert(got(("a", "d")).isEmpty && got(("b", "d")).isEmpty && got(("c", "d")).isEmpty,
+      "zero-variance pairs must be NULL, not NaN")
+    assert(run(df.repartition(11)) == got)
+  }
+
   test("kAnonymityAudit: planted small group and single-valued group flagged, big diverse group clean") {
     import spark.implicits._
     val df = (

@@ -59,4 +59,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(days.length == 4) // Jan 1..4 inclusive
     assert(days.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L, 1L))
   }
+
+  test("groupLinearTrend: exact line recovered, degenerate groups NULL, partitioning-invariant") {
+    import spark.implicits._
+    val df = (
+      (0 until 50).map(x => ("up", x.toLong, 3.0 * x + 7.0)) ++     // slope 3, intercept 7
+        (0 until 50).map(x => ("down", x.toLong, -1.5 * x + 100.0)) ++
+        Seq(("single", 5L, 10.0)) ++                                 // one point: NULL
+        Seq(("flatx", 4L, 1.0), ("flatx", 4L, 9.0))                  // all-equal x: NULL
+    ).toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.groupLinearTrend(d, "g", "x", "y")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    val got = run(df)
+    assert(got("up") == ((50L, Some(3.0), Some(7.0))), s"up: ${got("up")}")
+    assert(got("down") == ((50L, Some(-1.5), Some(100.0))))
+    assert(got("single")._2.isEmpty && got("single")._3.isEmpty)
+    assert(got("flatx")._2.isEmpty)
+    assert(run(df.repartition(13)) == got, "exact moments must be partitioning-invariant")
+  }
 }
