@@ -589,6 +589,40 @@ object Corpus {
           .cast("long"))
   }
 
+  /** Heaps-law vocabulary-growth curve: V(N) — distinct tokens seen after
+    * the first N tokens of the corpus in doc-id order — sampled at
+    * `points` evenly-spaced document checkpoints. The curve's shape is the
+    * classic corpus-health diagnostic: natural text grows V ≈ K·N^β with
+    * β ≈ 0.5 (Heaps 1978); a flattening curve means duplication/boiler-
+    * plate, a too-steep one encoding rot or ID-like junk tokens.
+    *
+    * Distributed shape: token first-occurrence docs and per-doc lengths
+    * are corpus-wide aggregations (map-side combined); only the DOC-LEVEL
+    * cumulative table — one row per document, metadata-sized — rides a
+    * global ordered window, the same bounded-window judgment as the
+    * calibrate/quality-cut aggregates. Exact integers end to end. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String, points: Int = 10): DataFrame = {
+    require(points >= 1, "points must be >= 1")
+    val tokRows = df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+    val perDoc = tokRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val newPerDoc = tokRows
+      .groupBy(col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perDoc
+      .join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .select(
+        row_number().over(Window.orderBy(col("doc_id"))).cast("long").as("docs_seen"),
+        sum(col("n_toks")).over(w).as("tokens_seen"),
+        sum(col("n_new")).over(w).as("vocab_size"))
+    val nDocs = df.count()
+    val marks = (1 to points).map(i => Math.floorDiv(i * nDocs, points.toLong)).distinct.filter(_ >= 1)
+    cum.filter(col("docs_seen").isin(marks: _*))
+  }
+
   /** Per-document out-of-vocabulary rate against `vocab` (any DataFrame with
     * a `token` column, e.g. [[vocabulary]]'s output): (doc_id, n_tokens,
     * oov_frac) where oov_frac is the fraction of token OCCURRENCES outside

@@ -565,6 +565,30 @@ object TextQueries {
     // drops the ratio, determinism, empty/null contract). The rep4 column
     // witnesses the separation ON the gate data itself: every row must
     // satisfy ratio_rep4 < ratio.
+    // Heaps-law vocabulary growth: V(N) at 10 document checkpoints in
+    // doc-id order — the duplication/encoding-rot curve. Exact integers;
+    // the oracle replays first-occurrence docs + the doc-level cumulative
+    // window.
+    Q(
+      "corpus_vocab_growth",
+      Some("""
+        WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+                    FROM documents),
+        pd AS (SELECT doc_id, COUNT(*) AS n_toks FROM tk GROUP BY 1),
+        fo AS (SELECT token, MIN(doc_id) AS doc_id FROM tk GROUP BY 1),
+        np AS (SELECT doc_id, COUNT(*) AS n_new FROM fo GROUP BY 1),
+        cum AS (SELECT row_number() OVER (ORDER BY pd.doc_id) AS docs_seen,
+                       SUM(pd.n_toks) OVER (ORDER BY pd.doc_id ROWS UNBOUNDED PRECEDING) AS tokens_seen,
+                       SUM(COALESCE(np.n_new, 0)) OVER (ORDER BY pd.doc_id ROWS UNBOUNDED PRECEDING) AS vocab_size
+                FROM pd LEFT JOIN np ON np.doc_id = pd.doc_id),
+        n AS (SELECT COUNT(*) AS nd FROM documents)
+        SELECT docs_seen, CAST(tokens_seen AS BIGINT) AS tokens_seen, CAST(vocab_size AS BIGINT) AS vocab_size
+        FROM cum, n
+        WHERE docs_seen IN (SELECT (i * nd) // 10 FROM (SELECT unnest(range(1, 11)) AS i), n WHERE (i * nd) // 10 >= 1)
+      """)) { (spark, dir) =>
+      Corpus.vocabGrowth(Tables(spark, dir).documents, "doc_id", "text", points = 10)
+    },
+
     Q("text_compression_ratio", None) { (spark, dir) =>
       val rep4 = concat(col("text"), lit(" "), col("text"), lit(" "), col("text"), lit(" "), col("text"))
       Tables(spark, dir).documents
