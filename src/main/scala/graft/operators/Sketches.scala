@@ -229,56 +229,68 @@ object Sketches {
     * Buffer is a sorted-unique long array capped at k — partial aggregation
     * keeps every map-side buffer ≤ k entries, so the shuffle moves
     * O(k · groups) no matter the corpus size. */
+  /** Insert a hash into a sorted-unique unsigned-ascending k-min buffer —
+    * shared by the batch aggregator and the streaming state twin so both
+    * surfaces hold IDENTICAL sample sets. */
+  private[graft] def kmvInsert(buf: Array[Long], k: Int, h: Long): Array[Long] = {
+    val pos = kmvSearchU(buf, h)
+    if (pos >= 0) buf // already present (hashes are a set)
+    else {
+      val ins = -pos - 1
+      if (buf.length < k) kmvInsertAt(buf, ins, h, buf.length + 1)
+      else if (ins < k) kmvInsertAt(buf, ins, h, k) // h < current max: displace it
+      else buf
+    }
+  }
+
+  private[graft] def kmvMergeBufs(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val takeA =
+        j >= b.length || (i < a.length && java.lang.Long.compareUnsigned(a(i), b(j)) <= 0)
+      val v = if (takeA) { val x = a(i); i += 1; x } else { val x = b(j); j += 1; x }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  private def kmvSearchU(buf: Array[Long], h: Long): Int = {
+    var lo = 0; var hi = buf.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c   = java.lang.Long.compareUnsigned(buf(mid), h)
+      if (c < 0) lo = mid + 1 else if (c > 0) hi = mid - 1 else return mid
+    }
+    -(lo + 1)
+  }
+
+  private def kmvInsertAt(buf: Array[Long], ins: Int, h: Long, newLen: Int): Array[Long] = {
+    val out = new Array[Long](newLen)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = h
+    System.arraycopy(buf, ins, out, ins + 1, newLen - ins - 1)
+    out
+  }
+
+  /** Scalar twin of [[kmvDistinct]]'s estimate column: the same fixed op
+    * order ((k−1) / (u2d(max)/2⁶⁴)) and the same HALF_UP round-6, so a
+    * streaming state fold lands on the identical double. */
+  private[graft] def kmvEstimateValue(buf: Array[Long], k: Int): Double = {
+    val raw =
+      if (buf.length < k) buf.length.toDouble
+      else (k - 1).toDouble / (unsignedToDouble(buf(k - 1)) / TwoPow64)
+    java.math.BigDecimal.valueOf(raw).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
   final class KmvAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
     require(k >= 2, "k must be at least 2")
-
     override def zero: Array[Long] = Array.emptyLongArray
-
-    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
-      val pos = searchU(buf, h)
-      if (pos >= 0) buf // already present (hashes are a set)
-      else {
-        val ins = -pos - 1
-        if (buf.length < k) insertAt(buf, ins, h, buf.length + 1)
-        else if (ins < k) insertAt(buf, ins, h, k) // h < current max: displace it
-        else buf
-      }
-    }
-
-    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      if (a.isEmpty) return b
-      if (b.isEmpty) return a
-      val out = new Array[Long](math.min(a.length + b.length, k))
-      var i = 0; var j = 0; var n = 0
-      while (n < out.length && (i < a.length || j < b.length)) {
-        val takeA =
-          j >= b.length || (i < a.length && java.lang.Long.compareUnsigned(a(i), b(j)) <= 0)
-        val v = if (takeA) { val x = a(i); i += 1; x } else { val x = b(j); j += 1; x }
-        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
-      }
-      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
-    }
-
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = kmvInsert(buf, k, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = kmvMergeBufs(a, b, k)
     override def finish(buf: Array[Long]): Array[Long] = buf
-
-    private def searchU(buf: Array[Long], h: Long): Int = {
-      var lo = 0; var hi = buf.length - 1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        val c   = java.lang.Long.compareUnsigned(buf(mid), h)
-        if (c < 0) lo = mid + 1 else if (c > 0) hi = mid - 1 else return mid
-      }
-      -(lo + 1)
-    }
-
-    private def insertAt(buf: Array[Long], ins: Int, h: Long, newLen: Int): Array[Long] = {
-      val out = new Array[Long](newLen)
-      System.arraycopy(buf, 0, out, 0, ins)
-      out(ins) = h
-      System.arraycopy(buf, ins, out, ins + 1, newLen - ins - 1)
-      out
-    }
-
     override def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Array[Long]] =

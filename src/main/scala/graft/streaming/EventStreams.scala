@@ -247,6 +247,36 @@ object EventStreams {
         })
   }
 
+  final case class KmvState(hashes: Array[Long], nRows: Long)
+  final case class KmvEstimate(event_type: String, distinct_est: Double, n_rows: Long)
+
+  /** Live KMV distinct estimate per event type: mapGroupsWithState holds
+    * each group's k smallest distinct mix64 user hashes — O(k) state per
+    * key, NEVER the user set — and every micro-batch emits the refreshed
+    * estimate (Update mode). The state fold reuses the batch aggregator's
+    * exact insert and the batch column's exact estimate arithmetic
+    * ([[graft.operators.Sketches.kmvInsert]] / kmvEstimateValue), so after
+    * any prefix of the stream the estimate is BIT-IDENTICAL to running the
+    * batch [[graft.operators.Sketches.kmvDistinct]] over the same rows —
+    * the persisted-sketch contract, live (StreamingSpec pins it). */
+  def kmvStream(events: Dataset[Event], k: Int = 128): Dataset[KmvEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (eventType: String, evs: Iterator[Event], state: GroupState[KmvState]) => {
+          var buf = state.getOption.map(_.hashes).getOrElse(Array.emptyLongArray)
+          var n   = state.getOption.map(_.nRows).getOrElse(0L)
+          evs.foreach { e =>
+            buf = graft.operators.Sketches.kmvInsert(buf, k, graft.functions.Mix64.mix(e.user_id))
+            n += 1
+          }
+          state.update(KmvState(buf, n))
+          KmvEstimate(eventType, graft.operators.Sketches.kmvEstimateValue(buf, k), n)
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * signups within `withinHours` BEFORE the purchase. On a stream both
     * sides carry watermarks and the time-range predicate bounds the join

@@ -372,4 +372,37 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, "a2", 2L), (2L, "b2", 5L), (3L, "c", 5L)),
       "merge across batches: update wins, insert lands, untouched key survives")
   }
+
+  test("streaming KMV distinct estimate converges bit-identical to the batch sketch") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .kmvStream(stream, k = 64)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("kmv_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    // last update per type = the estimate over the full stream
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("n_rows").desc)
+    val streamed = spark.table("kmv_out")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    val batch = graft.operators.Sketches
+      .kmvDistinct(events, "event_type", "user_id", k = 64)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    // EXACT double equality: the state fold replays the batch aggregator's
+    // insert and the batch column's estimate arithmetic, not an analogue
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
