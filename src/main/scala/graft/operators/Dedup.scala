@@ -83,6 +83,20 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Token-SET dedup: documents with the same sorted distinct-token set
+    * group together — the cheap order/repetition-insensitive exact tier
+    * between byte-exact [[exact]] (misses any reordering) and
+    * [[jaccardPairs]] (pays a pairwise join). Catches shuffled boilerplate
+    * and word-repetition spam in ONE groupBy: the fingerprint is
+    * md5(space-joined sorted distinct tokens), a pure narrow projection
+    * before a hash-keyed count — the same zero-pairwise-cost shape as
+    * exact dedup, at set semantics. */
+  def bagExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(
+        md5(concat_ws(" ", array_sort(array_distinct(tokensCol(col(textCol)))))).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     * pairs sharing >=1 shingle, shared-count from the index join, set sizes
     * joined in, jaccard = shared / (|A| + |B| - shared).

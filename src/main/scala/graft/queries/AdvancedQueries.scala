@@ -272,6 +272,36 @@ object AdvancedQueries {
         .ewmaFinal(Tables(spark, dir).events, "user_id", "ts", "value", alpha = 0.125)
     },
 
+    // Holt level+trend per user (TimeSeries.holtFinal): double exponential
+    // smoothing folded in total (ts, event_id) order — the trending-series
+    // forecast EWMA structurally lags. α=0.25/β=0.125 exact binary; the
+    // oracle walks the identical recurrence as a recursive CTE, so level,
+    // trend AND the one-step forecast hash-match bit for bit.
+    Q(
+      "events_holt",
+      Some("""
+        WITH RECURSIVE seq AS (
+          SELECT user_id, CAST(value AS DOUBLE) AS v,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        cnt AS (SELECT user_id, COUNT(*) AS n FROM seq GROUP BY 1),
+        hw(user_id, rn, l, b) AS (
+          SELECT user_id, rn, v, 0.0::DOUBLE FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.rn,
+                 0.25::DOUBLE * s.v + 0.75::DOUBLE * (h.l + h.b),
+                 0.125::DOUBLE * ((0.25::DOUBLE * s.v + 0.75::DOUBLE * (h.l + h.b)) - h.l)
+                   + 0.875::DOUBLE * h.b
+          FROM hw h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+        SELECT h.user_id AS key, c.n,
+               ROUND(h.l, 6) AS level, ROUND(h.b, 6) AS trend,
+               ROUND(h.l + h.b, 6) AS forecast_next
+        FROM hw h JOIN cnt c ON c.user_id = h.user_id AND h.rn = c.n
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.holtFinal(
+        Tables(spark, dir).events, "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.125)
+    },
+
     // -------------------------------------------- common-neighbor pairs
     // Per-node triangle counts + local clustering coefficient over the
     // part co-purchase graph (parts sharing an order), via degree-ordered

@@ -479,6 +479,20 @@ object PipelineQueries {
       Dedup.exact(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // Token-set dedup: md5 of the sorted distinct-token set — the
+    // order/repetition-insensitive exact tier (shuffled boilerplate, word-
+    // repeat spam) at groupBy cost, no pairwise join. Spark's array_sort
+    // on ASCII tokens ≡ DuckDB list_sort (binary order).
+    Q(
+      "dedup_bag_exact",
+      Some("""
+        SELECT md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))), ' ')) AS fp,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY 1
+      """)) { (spark, dir) =>
+      Dedup.bagExact(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
     // ------------------------------------------------ corpus snapshot diff
     // Corpus.snapshotDiff: the change feed between two corpus versions.
     // v2 is derived deterministically in-query (every 17th doc removed,

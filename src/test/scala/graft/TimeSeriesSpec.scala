@@ -60,6 +60,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(days.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L, 1L))
   }
 
+  test("holtFinal: hand-checked recurrence; converges onto a pure linear trend") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // hand-walk for key A, values 10, 14 (alpha=0.5, beta=0.5):
+    // step1: l=10, b=0 ; step2: l=.5*14+.5*10=12, b=.5*(12-10)+.5*0=1
+    val df = Seq(("A", ts(1), 1L, 10.0), ("A", ts(2), 2L, 14.0)).toDF("k", "ts", "tie", "v")
+    val r = graft.operators.TimeSeries.holtFinal(df, "k", "ts", "tie", "v", alpha = 0.5, beta = 0.5)
+      .collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((2L, 12.0, 1.0, 13.0)))
+    // a long exact line: level tracks it and the forecast lands ~on the next point
+    val line = (0 until 60).map(i => ("L", ts(i % 60), i.toLong, 5.0 + 2.0 * i)).toDF("k", "ts", "tie", "v")
+    val lr = graft.operators.TimeSeries.holtFinal(line, "k", "ts", "tie", "v", alpha = 0.25, beta = 0.125)
+      .collect().head
+    val nextTrue = 5.0 + 2.0 * 60
+    assert(math.abs(lr.getDouble(4) - nextTrue) < 1.0, s"forecast ${lr.getDouble(4)} vs $nextTrue")
+    assert(math.abs(lr.getDouble(3) - 2.0) < 0.1, s"trend ${lr.getDouble(3)}")
+  }
+
   test("groupLinearTrend: exact line recovered, degenerate groups NULL, partitioning-invariant") {
     import spark.implicits._
     val df = (
