@@ -1313,4 +1313,49 @@ object Corpus {
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
     ratios.join(top, Seq("doc_id"))
   }
+
+  /** C4-style blocklist filtering (Raffel et al. 2020 dropped any page
+    * containing a "List of Dirty, Naughty…" word; refined pipelines use a
+    * RATIO threshold instead so a single quoted profanity doesn't nuke an
+    * encyclopedia article): per-document blocked-token counts against a
+    * literal word set, keep = blocked_ratio ≤ maxRatio.
+    *
+    * Scale shape: the blocklist compiles into the plan as an
+    * `array_intersect`-free codegen'd filter over the token array — a
+    * ZERO-SHUFFLE narrow projection (the text_quality discipline); real
+    * blocklists are a few thousand words, well inside literal-set size.
+    * The ratio is one exact-int division rounded to the 1e-9 grid before
+    * the ≤ compare, so keep/drop is engine-exact. Returns
+    * (doc_id, n_tokens, n_blocked, blocked_ratio, keep). */
+  def blocklistFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String],
+      maxRatio: Double): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    require(maxRatio >= 0.0 && maxRatio <= 1.0, s"maxRatio in [0,1], got $maxRatio")
+    val blocked = blocklist.distinct.toSet
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => t.isin(blocked.toSeq.sorted: _*))).as("n_blocked"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_blocked").cast("long").as("n_blocked"),
+        round(
+          when(col("n_tokens") > 0, col("n_blocked").cast("double") / col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)),
+          9).as("blocked_ratio"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_blocked"),
+        col("blocked_ratio"),
+        (col("blocked_ratio") <= lit(maxRatio)).as("keep"))
+  }
 }

@@ -206,6 +206,154 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS levels over an edge list: level(v) = the minimum hop
+    * count from any node in `sources`, explored frontier-by-frontier up to
+    * `maxDepth` (nodes farther than that — or unreachable — are absent
+    * from the output). `undirected` symmetrizes the edge set first.
+    *
+    * Scale shape: the textbook frontier iteration — each round is ONE
+    * neighbor-keyed shuffle (frontier ⋈ edges) plus a left_anti against
+    * the visited set, both frontier-sized (shrinking), never node²; the
+    * visited set is checkpointed per round so plan depth stays O(1) per
+    * level, and the loop exits the first time a frontier comes back empty
+    * (the count rides the checkpoint action). This is the reachability /
+    * contamination-blast-radius primitive: "everything within k hops of
+    * these flagged nodes". Returns (id, level). */
+  def bfsLevels(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: DataFrame,
+      maxDepth: Int,
+      undirected: Boolean = true): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    require(sources.columns.length == 1, "sources must be a single-column id frame")
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).filter(col("a") =!= col("b"))
+    val dir = if (undirected) raw.union(raw.select(col("b").as("a"), col("a").as("b"))) else raw
+    val sym = materialize(dir.distinct())
+    // sources may name nodes outside the edge set — they are still level-0
+    // roots (a flagged doc with no links is its own blast radius)
+    val srcIds = sources.toDF("id").distinct()
+    var visited  = materialize(srcIds.select(col("id"), lit(0).as("level")))
+    var frontier = visited.select("id")
+    var lastVisited = visited
+    var prevFrontier: DataFrame = null
+    var level = 0
+    var done  = frontier.limit(1).isEmpty
+    while (level < maxDepth && !done) {
+      level += 1
+      val nextFrontier = materialize(
+        sym
+          .join(frontier.select(col("id").as("fid")), col("a") === col("fid"))
+          .select(col("b").as("id"))
+          .distinct()
+          .join(visited, Seq("id"), "left_anti"))
+      done = nextFrontier.limit(1).isEmpty
+      if (!done) {
+        val nextVisited = materialize(
+          visited.union(nextFrontier.select(col("id"), lit(level).as("level"))))
+        release(lastVisited)
+        lastVisited = nextVisited
+        visited = nextVisited
+        if (prevFrontier != null) release(prevFrontier)
+        prevFrontier = nextFrontier
+        frontier = nextFrontier
+      } else release(nextFrontier)
+    }
+    if (prevFrontier != null) release(prevFrontier)
+    release(sym)
+    visited
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list:
+    * a = A·h / ‖A·h‖₂, h = Aᵀ·a / ‖Aᵀ·a‖₂ alternating for `iterations`
+    * rounds from h₀ = 1/N — the bipartite-friendly importance pair
+    * PageRank can't express (a customer is a good HUB when it buys from
+    * good suppliers; a supplier a good AUTHORITY when good hubs buy from
+    * it). Returns (id, hub, authority) rounded to 6dp.
+    *
+    * Same float discipline as [[pageRank]]: plain double arithmetic, one
+    * dst-keyed shuffle per half-step, per-round L2 normalization (keeps
+    * magnitudes O(1) at any scale/iteration count), composed-iteration
+    * checkpoints every `checkpointInterval` rounds for bounded plan depth.
+    * The only cross-engine freedom is unordered-SUM ulp order (~1e-15),
+    * eight orders under the final round(·, 6) — the proven pagerank
+    * envelope. */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 8,
+      checkpointInterval: Int = 2): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = materialize(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "hits needs at least one edge")
+
+    var hubs    = nodes.select(col("id"), lit(1.0 / n).as("h"))
+    var auths: DataFrame = null
+    var lastMat = materialize(hubs)
+    hubs = lastMat
+    var i = 0
+    while (i < iterations) {
+      // authority: in-neighbor hub mass, L2-normalized in-plan (the norm is
+      // a one-row agg cross-joined in — no driver round-trip, same shape as
+      // pagerank's dangling mass)
+      val araw = e
+        .join(hubs.select(col("id").as("hid"), col("h")), col("src") === col("hid"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("h")).as("ar"))
+      val anorm = araw.agg(sqrt(sum(col("ar") * col("ar"))).as("an"))
+      val aPlan = araw.crossJoin(broadcast(anorm)).select(col("id"), (col("ar") / col("an")).as("a"))
+      // hub: out-neighbor authority mass, L2-normalized
+      val hraw = e
+        .join(aPlan.select(col("id").as("aid"), col("a")), col("dst") === col("aid"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("a")).as("hr"))
+      val hnorm = hraw.agg(sqrt(sum(col("hr") * col("hr"))).as("hn"))
+      val hPlan = hraw.crossJoin(broadcast(hnorm)).select(col("id"), (col("hr") / col("hn")).as("h"))
+      if ((i + 1) % checkpointInterval == 0 || i == iterations - 1) {
+        // one composed checkpoint carries BOTH halves of the round (the
+        // authority exchange is reused by the hub step plan-wide)
+        val packed = materialize(
+          hPlan.join(aPlan.select(col("id").as("aid2"), col("a")), col("id") === col("aid2"), "full")
+            .select(coalesce(col("id"), col("aid2")).as("id"), col("h"), col("a")))
+        release(lastMat)
+        lastMat = packed
+        hubs  = packed.select(col("id"), col("h")).filter(col("h").isNotNull)
+        auths = packed.select(col("id"), col("a")).filter(col("a").isNotNull)
+      } else {
+        hubs = hPlan
+        auths = aPlan
+      }
+      i += 1
+    }
+    val out = nodes
+      .join(hubs.select(col("id").as("hid"), col("h")), col("id") === col("hid"), "left")
+      .join(auths.select(col("id").as("aid"), col("a")), col("id") === col("aid"), "left")
+      .select(
+        col("id"),
+        round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("a"), lit(0.0)), 6).as("authority"))
+    val materialized = out.localCheckpoint(true)
+    release(e); release(nodes); release(lastMat)
+    materialized
+  }
+
   /** Common-neighbor pairs over a bipartite edge list (left, right): for
     * every pair of LEFT nodes, how many RIGHT neighbors they share — the
     * "customers who bought from the same suppliers" co-occurrence

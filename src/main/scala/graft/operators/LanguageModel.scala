@@ -133,4 +133,141 @@ object LanguageModel {
         .otherwise("head")
         .as("bucket"))
   }
+
+  /** PMI collocations (Church & Hanks 1990): adjacent-bigram pointwise
+    * mutual information over the corpus token stream —
+    * pmi(x,y) = ln( (c_xy/T) · (U/c_x) · (U/c_y) ) with c_xy the bigram
+    * count (T total bigrams), c_x unigram counts (U total tokens). The
+    * phrase-mining primitive ("new york"-style units worth fusing before
+    * tokenizer training); `minCount` drops the unstable low-count tail,
+    * which is ALSO the output bound (≤ T/minCount rows).
+    *
+    * Scale shape: two count tables (bigram- and vocab-sized, map-side
+    * combined) and one broadcast join of the tiny unigram side into the
+    * bigram frame — nothing pairs beyond observed bigrams. Float contract:
+    * counts are exact ints; one ln over one IEEE-exact ratio chain in
+    * matched evaluation order; emitted pmi rounds to 6. Returns
+    * (w1, w2, n_xy, pmi). */
+  def pmiCollocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val uni = Corpus
+      .spreadSmallInput(docs, col(idCol))
+      .select(explode(toks(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("c1"))
+    val uniTot = uni.agg(sum(col("c1")).cast("long").as("u"))
+    val bi = bigrams(Corpus.spreadSmallInput(docs, col(idCol)), idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val biTot = bigrams(docs, idCol, textCol).agg(count(lit(1)).as("t"))
+    bi
+      .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("cx"))), Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("c1").as("cy"))), Seq("w2"))
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(biTot))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("n_xy"),
+        round(
+          log(
+            (col("n_xy").cast("double") * col("u").cast("double") * col("u").cast("double")) /
+              (col("t").cast("double") * col("cx").cast("double") * col("cy").cast("double"))),
+          6).as("pmi"))
+  }
+
+  /** Multinomial Naive Bayes text classifier, trained AND served in-engine
+    * (the learned sibling of the heuristic `text_langid` scorer — fastText
+    * -style supervised lang/domain ID is exactly this shape, a linear
+    * bag-of-words model): add-1-smoothed class-conditional token
+    * log-probs + log priors, argmax per document.
+    *
+    * score(d, c) = ln(n_c/N) + Σ_t tf(d,t) · ln((cnt(c,t)+1)/(tot_c+V))
+    *
+    * Determinism (the lm_bigram discipline, hardened for argmax): each ln
+    * is rounded HALF_UP to 1e-12 and cast to DECIMAL(20,12) BEFORE any
+    * aggregation, tf multiplies as DECIMAL(6,0) (exact — product scale
+    * stays 12, precision ≤ 27, no silent DecimalPrecision re-scale), so
+    * per-(doc, class) scores are EXACT decimal sums in any engine at any
+    * parallelism — the argmax (score DESC, class ASC) can never flip on
+    * float order, which a plain double SUM could near a tie. Emitted
+    * score decimal-rounds to scale 9 before the double cast (the DuckDB
+    * scale-18 cast hazard recorded on [[Similarity.pcaFit]]).
+    *
+    * Scale shape: the model is (V·C + C) rows — token-vocab-sized count
+    * tables (the [[bigramScore]] judgment), broadcast-joined into one
+    * scoring pass over (doc, token, tf) rows crossed with C classes; one
+    * doc-keyed aggregation, one bounded per-doc rank cut. Returns
+    * (doc_id, predicted, score). */
+  def naiveBayesClassify(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val decTf = org.apache.spark.sql.types.DecimalType(6, 0)
+
+    val classes = train
+      .groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nDocs = train.count()
+    require(nDocs > 0, "naiveBayesClassify needs training documents")
+    val priors = classes.select(
+      col("cls"),
+      round(log(col("n_docs").cast("double") / lit(nDocs.toDouble)), 12).cast(dec12).as("prior"))
+
+    val trainTok = Corpus
+      .spreadSmallInput(train, col(idCol))
+      .select(col(labelCol).as("cls"), explode(toks(col(textCol))).as("token"))
+    val cnt  = trainTok.groupBy(col("cls"), col("token")).agg(count(lit(1)).as("cnt"))
+    val tot  = trainTok.groupBy(col("cls")).agg(count(lit(1)).as("tot"))
+    val vsz  = cnt.select(col("token")).distinct().count()
+
+    // class-conditional log-likelihood for EVERY (class, vocab token) cell
+    // — including zero counts, which smooth to ln(1/(tot_c+V)); the model
+    // is V·C rows, built by a vocab × classes cross of two tiny frames
+    val vocab = cnt.select(col("token")).distinct()
+    val logp = vocab
+      .crossJoin(classes.select(col("cls")))
+      .join(cnt, Seq("cls", "token"), "left")
+      .join(tot, Seq("cls"))
+      .select(
+        col("cls"),
+        col("token"),
+        round(
+          log(
+            (coalesce(col("cnt"), lit(0L)).cast("double") + lit(1.0)) /
+              (col("tot").cast("double") + lit(vsz.toDouble))),
+          12).cast(dec12).as("logp"))
+
+    val tf = Corpus
+      .spreadSmallInput(score, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tokens unseen in training carry no vocabulary cell — standard NB
+    // serve-time behavior is to ignore them (inner join drops them)
+    val scores = tf
+      .join(broadcast(logp), Seq("token"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("tf").cast(decTf) * col("logp")).as("ll"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col("doc_id"), col("cls"), (col("prior") + col("ll")).as("s"))
+    import org.apache.spark.sql.expressions.Window
+    scores
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("cls").asc)))
+      .filter(col("rk") === 1)
+      .select(
+        col("doc_id"),
+        col("cls").as("predicted"),
+        round(col("s"), 9).cast("double").as("score"))
+  }
 }

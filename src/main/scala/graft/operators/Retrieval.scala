@@ -201,4 +201,70 @@ object Retrieval {
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** All-pairs document cosine similarity over ln-idf-weighted term
+    * vectors via POSTING-LIST self-join — the sparse-vector sibling of
+    * [[Similarity]]'s dense embedding cosine, and the classic "similar
+    * documents without embeddings" primitive (Bayardo et al. WWW'07
+    * all-pairs frame).
+    *
+    * Pipeline: tokenize → tf per (doc, term) → drop terms with
+    * df > maxDfRatio·N (an IDF-motivated stop-word cut that is ALSO the
+    * scale guard: pair fan-out is Σ_t df_t², so one everywhere-term makes
+    * the join quadratic in the corpus — the same hot-key physics as
+    * Dedup's LSH bucket cap, here with the df threshold doing double duty
+    * as semantics) → w = tf·ln(N/df) → one term-keyed equi-self-join
+    * (never a cross product; pair dot products partial-aggregate
+    * map-side) → normalize by per-doc L2 norms over the kept vocab →
+    * keep pairs with sim ≥ minSim.
+    *
+    * Float contract: tf/df/N are exact integers; w is two IEEE-exact ops
+    * around one libm ln; dot products and norms are unordered SUMs (ulp
+    * order drift ~1e-15) — absorbed by the emitted round(·, 6), the
+    * proven pagerank/cosine envelope. Returns (a_id, b_id, n_shared, sim). */
+  def tfidfCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDfRatio: Double = 0.5,
+      minSim: Double = 0.1): DataFrame = {
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0, s"maxDfRatio in (0,1], got $maxDfRatio")
+    val n = docs.count()
+    require(n >= 2, "need at least 2 documents")
+
+    val tf = Corpus
+      .spreadSmallInput(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // df over distinct (doc, token) rows; the cap is the integer
+    // floor(maxDfRatio·N) so both engines compare against the same exact
+    // threshold — no float boundary in the filter
+    val maxDf = (maxDfRatio * n).toLong
+    val kept = tf
+      .join(
+        broadcast(
+          tf.groupBy(col("token")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)),
+        "token")
+    val posting = kept.select(
+      col("doc_id"),
+      col("token"),
+      (col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double"))).as("w"))
+    val norms = posting
+      .groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = posting.as("x")
+      .join(posting.as("y"), col("x.token") === col("y.token") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("x.w") * col("y.w")).as("dp"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("n_shared"),
+        round(col("dp") / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

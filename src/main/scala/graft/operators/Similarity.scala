@@ -1188,8 +1188,10 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  def pcaFit(embs: DataFrame, idCol: String, vecCol: String, iters: Int = 8): PcaModel = {
-    require(iters >= 1, "iters must be >= 1")
+  /** The shared data pass behind [[pcaFit]] / [[pcaFitK]]: per-dimension
+    * grid-9 means and the decimal-exact covariance — one scan for the
+    * means, one unit-aggregator scan for the d² cross moments. */
+  private def covModel(embs: DataFrame, vecCol: String): (Array[Double], Array[Array[Double]]) = {
     val dec9 = org.apache.spark.sql.types.DecimalType(13, 9)
     val n = embs.count()
     require(n >= 2, "PCA needs at least 2 vectors")
@@ -1226,7 +1228,14 @@ object Similarity {
         .add(java.math.BigDecimal.valueOf(units(d * d + i * d + j)).movePointLeft(18))
       grid9(s.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue / (n - 1))
     }
+    (means, cov)
+  }
 
+  /** `iters` grid-re-rounding power iterations over a d×d grid-9 matrix —
+    * the fixed double-op sequence both [[pcaFit]] and the deflated
+    * components of [[pcaFitK]] run (and the oracle unrolls as CTEs). */
+  private def powerIterate(cov: Array[Array[Double]], iters: Int): Array[Double] = {
+    val d = cov.length
     var v = Array.fill(d)(grid9(1.0 / math.sqrt(d.toDouble)))
     var t = 0
     while (t < iters) {
@@ -1253,7 +1262,147 @@ object Similarity {
       v = raw.map(r => grid9(r / norm))
       t += 1
     }
-    PcaModel(means, v)
+    v
+  }
+
+  def pcaFit(embs: DataFrame, idCol: String, vecCol: String, iters: Int = 8): PcaModel = {
+    require(iters >= 1, "iters must be >= 1")
+    val (means, cov) = covModel(embs, vecCol)
+    PcaModel(means, powerIterate(cov, iters))
+  }
+
+  /** Multi-component PCA model: per-dimension means, the top `k`
+    * components (row per component), their Rayleigh eigenvalues, and the
+    * covariance trace (total variance) the explained ratios divide by. */
+  final case class PcaModelK(
+      means: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double],
+      trace: Double)
+
+  /** w = grid(C·v) and the Rayleigh quotient λ = grid(Σ grid(w)·v) —
+    * exact-decimal two-stage contraction (never a triple-decimal product,
+    * which would overflow scale 27). */
+  private def rayleigh(cov: Array[Array[Double]], v: Array[Double]): Double = {
+    val d = cov.length
+    val w = Array.tabulate(d) { i =>
+      var s = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < d) {
+        s = s.add(
+          java.math.BigDecimal.valueOf(cov(i)(j)).setScale(9)
+            .multiply(java.math.BigDecimal.valueOf(v(j)).setScale(9)))
+        j += 1
+      }
+      s.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    var lam = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < d) {
+      lam = lam.add(
+        java.math.BigDecimal.valueOf(w(i)).setScale(9)
+          .multiply(java.math.BigDecimal.valueOf(v(i)).setScale(9)))
+      i += 1
+    }
+    lam.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
+  /** Hotelling deflation C' = grid(C − grid(λv)·vᵀ): u = grid(λ·vᵢ) first
+    * (scale-18 product rounded to the grid), then each cell is the EXACT
+    * decimal C(i,j) − u(i)·v(j) rounded HALF_UP to scale 9 — the same
+    * decimal-before-double boundary discipline as the covariance itself,
+    * so an external engine replays the deflated matrix cell for cell. */
+  private def deflate(
+      cov: Array[Array[Double]], v: Array[Double], lambda: Double): Array[Array[Double]] = {
+    val d = cov.length
+    val lamDec = java.math.BigDecimal.valueOf(lambda).setScale(9)
+    val u = v.map { vi =>
+      grid9(
+        lamDec.multiply(java.math.BigDecimal.valueOf(vi).setScale(9))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+    }
+    Array.tabulate(d, d) { (i, j) =>
+      java.math.BigDecimal.valueOf(cov(i)(j)).setScale(9)
+        .subtract(
+          java.math.BigDecimal.valueOf(u(i)).setScale(9)
+            .multiply(java.math.BigDecimal.valueOf(v(j)).setScale(9)))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+  }
+
+  /** Top-`nComponents` PCA by power iteration + Hotelling deflation over
+    * the decimal-exact covariance — closes the single-component limitation
+    * [[pcaFit]] shipped with: component c is `iters` power iterations on
+    * the (c-times-deflated) matrix, then C ← C − λvvᵀ and repeat. Every
+    * deflation step re-grids through exact decimal arithmetic (see
+    * [[deflate]]), so all components AND eigenvalues replay in an external
+    * engine. Data cost is unchanged from [[pcaFit]] — the two covariance
+    * scans; the per-component work is driver-side over the d² model
+    * (the k·d bounded-model judgment, d=64 → 32 KB). */
+  def pcaFitK(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 8,
+      nComponents: Int = 2): PcaModelK = {
+    require(iters >= 1, "iters must be >= 1")
+    require(nComponents >= 1, "nComponents must be >= 1")
+    val (means, cov0) = covModel(embs, vecCol)
+    val d = means.length
+    require(nComponents <= d, s"nComponents $nComponents > dimension $d")
+    var trace = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < d) {
+      trace = trace.add(java.math.BigDecimal.valueOf(cov0(i)(i)).setScale(9))
+      i += 1
+    }
+    val comps = Array.ofDim[Array[Double]](nComponents)
+    val lams  = Array.ofDim[Double](nComponents)
+    var cov   = cov0
+    var c = 0
+    while (c < nComponents) {
+      val v = powerIterate(cov, iters)
+      comps(c) = v
+      lams(c) = rayleigh(cov, v)
+      c += 1
+      if (c < nComponents) cov = deflate(cov, v, lams(c - 1))
+    }
+    PcaModelK(means, comps, lams, trace.doubleValue)
+  }
+
+  /** The trained components as a frame: (component, dim, loading) — the
+    * persistable multi-component model artifact. */
+  def pcaComponents(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 8,
+      nComponents: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val m = pcaFitK(embs, idCol, vecCol, iters, nComponents)
+    m.components.zipWithIndex.flatMap { case (vs, c) =>
+      vs.zipWithIndex.map { case (l, dim) => (c, dim, l) }
+    }.toSeq.toDF("component", "dim", "loading")
+  }
+
+  /** Per-component spectrum: (component, eigenvalue, explained_ratio) —
+    * eigenvalues are the Rayleigh quotients λ_c = v_cᵀ C_c v_c on the
+    * c-times-deflated matrix, ratio = round(λ_c / trace(C), 9): the
+    * how-many-dimensions-do-I-need curve embedding pipelines read before
+    * fixing an output width. */
+  def pcaExplainedVariance(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 8,
+      nComponents: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val m = pcaFitK(embs, idCol, vecCol, iters, nComponents)
+    m.eigenvalues.zipWithIndex.map { case (lam, c) =>
+      (c, lam, grid9(lam / m.trace))
+    }.toSeq.toDF("component", "eigenvalue", "explained_ratio")
   }
 
   /** The trained component as a frame: (dim, loading) — the persistable

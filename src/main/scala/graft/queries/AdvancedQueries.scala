@@ -860,8 +860,94 @@ object AdvancedQueries {
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
         .distinct()
       graft.operators.Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+    },
+
+    // ------------------------------------------- multi-source BFS levels
+    // Reachability blast radius over the undirected interaction graph:
+    // level(v) = min hops from any source (customers with id < 50), capped
+    // at 4 — the "everything within k hops of these flagged nodes"
+    // primitive (contamination spread, abuse-ring expansion). Frontier
+    // iteration: one neighbor-keyed shuffle + one visited left_anti per
+    // level, frontier-sized both, early exit on an empty frontier. Oracle:
+    // a recursive CTE over DISTINCT (id, lvl) states (UNION, so the state
+    // set is n·depth-bounded, never path-enumerating), min level per node.
+    // All-integer — exact compare.
+    Q("graph_bfs_levels", Some(bfsOracle(maxDepth = 4, srcLt = 50))) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val sources = edges.select(col("src").as("id")).filter(col("id") < 50).distinct()
+      graft.operators.Graph.bfsLevels(edges, "src", "dst", sources, maxDepth = 4)
+    },
+
+    // --------------------------------------------- HITS hubs/authorities
+    // Kleinberg's alternating eigenvector pair over the DIRECTED
+    // customer→supplier graph — the bipartite importance measure PageRank
+    // can't express (hub customers buy from authoritative suppliers).
+    // 8 rounds, L2-normalized per half-step, one dst-keyed shuffle each;
+    // oracle unrolls the rounds as CTEs with the identical IEEE op
+    // sequence, final round(·, 6) absorbing unordered-SUM ulp order (the
+    // proven pagerank envelope).
+    Q("graph_hits", Some(hitsOracle(iters = 8))) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.hits(edges, "src", "dst", iterations = 8, checkpointInterval = 1)
     }
   )
+
+  /** DuckDB oracle for graph_bfs_levels: recursive CTE over distinct
+    * (id, lvl) states — UNION dedups, so the working set is bounded by
+    * n·maxDepth — then MIN(lvl) per reached node. */
+  private def bfsOracle(maxDepth: Int, srcLt: Long): String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       sym AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                UNION ALL SELECT dst AS a, src AS b FROM e WHERE src <> dst)),
+       walk(id, lvl) AS (
+         SELECT DISTINCT src AS id, 0 AS lvl FROM e WHERE src < $srcLt
+         UNION
+         SELECT s.b AS id, w.lvl + 1 AS lvl
+         FROM walk w JOIN sym s ON s.a = w.id WHERE w.lvl < $maxDepth)
+       SELECT id, CAST(MIN(lvl) AS INTEGER) AS level FROM walk GROUP BY id"""
+
+  /** DuckDB oracle for graph_hits: the 8 alternating rounds unrolled —
+    * a_k = normalize₂(Σ_in h_{k-1}), h_k = normalize₂(Σ_out a_k) — with
+    * every literal spelled as the expression Spark's lit()s fold to;
+    * nodes missing a side coalesce to 0 at the end, round(·, 6). */
+  private def hitsOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS h FROM nodes)"""
+    val rounds = (1 to iters)
+      .map { k =>
+        val p = k - 1
+        s"""ar$k AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS ar
+                    FROM e JOIN h$p h ON e.src = h.id GROUP BY e.dst),
+            an$k AS MATERIALIZED (SELECT sqrt(SUM(ar * ar)) AS an FROM ar$k),
+            a$k AS MATERIALIZED (SELECT id, ar / (SELECT an FROM an$k) AS a FROM ar$k),
+            hr$k AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS hr
+                    FROM e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+            hn$k AS MATERIALIZED (SELECT sqrt(SUM(hr * hr)) AS hn FROM hr$k),
+            h$k AS MATERIALIZED (SELECT id, hr / (SELECT hn FROM hn$k) AS h FROM hr$k)"""
+      }
+      .mkString(",\n")
+    s"""$head,
+       $rounds
+       SELECT nodes.id,
+              round(COALESCE(h$iters.h, CAST(0.0 AS DOUBLE)), 6) AS hub,
+              round(COALESCE(a$iters.a, CAST(0.0 AS DOUBLE)), 6) AS authority
+       FROM nodes LEFT JOIN h$iters ON nodes.id = h$iters.id
+                  LEFT JOIN a$iters ON nodes.id = a$iters.id"""
+  }
 
   /** DuckDB oracle for graph_pagerank: the power iteration unrolled —
     * r0 = 1/N, then per round k: dangling mass d_k (rank with no

@@ -103,6 +103,47 @@ object PipelineQueries {
     s"$head,\n$its"
   }
 
+  /** Extends [[pcaPrefix]] with the second-component deflation replay of
+    * [[Similarity.pcaFitK]]: w1 = grid(C·v8) and the Rayleigh λ1 =
+    * grid(Σ grid(w1)·v8) (two-stage — never a triple-decimal product),
+    * u1 = grid(λ1·v8), the deflated matrix cov2 = grid(C − u1·v8ᵀ) as
+    * EXACT decimal subtraction, then `iters` more unrolled power
+    * iterations (b0..b`iters`) with the identical re-grid sequence, plus
+    * λ2 over cov2 and the trace Σ diag(C) (scale-9 decimal sum — exact
+    * cast). Exposes v`iters` (component 0), b`iters` (component 1),
+    * lam1/lam2/tr. */
+  private def pcaMultiPrefix(iters: Int): String = {
+    val head =
+      s"""${pcaPrefix(iters)},
+        w1 AS MATERIALIZED (SELECT c.i AS j,
+                 CAST(ROUND(SUM(CAST(c.cv AS DECIMAL(13,9)) * CAST(v$iters.v AS DECIMAL(13,9))), 9) AS DOUBLE) AS w
+               FROM cov c JOIN v$iters ON v$iters.j = c.j GROUP BY c.i),
+        lam1 AS MATERIALIZED (SELECT CAST(ROUND(SUM(CAST(w1.w AS DECIMAL(13,9)) * CAST(v$iters.v AS DECIMAL(13,9))), 9) AS DOUBLE) AS lam
+               FROM w1 JOIN v$iters ON v$iters.j = w1.j),
+        u1 AS MATERIALIZED (SELECT v$iters.j,
+                 CAST(ROUND(CAST((SELECT lam FROM lam1) AS DECIMAL(13,9)) * CAST(v$iters.v AS DECIMAL(13,9)), 9) AS DOUBLE) AS u
+               FROM v$iters),
+        cov2 AS MATERIALIZED (SELECT c.i, c.j,
+                 CAST(ROUND(CAST(c.cv AS DECIMAL(13,9)) - CAST(u1.u AS DECIMAL(13,9)) * CAST(v$iters.v AS DECIMAL(13,9)), 9) AS DOUBLE) AS cv
+               FROM cov c JOIN u1 ON u1.j = c.i JOIN v$iters ON v$iters.j = c.j),
+        b0 AS MATERIALIZED (SELECT j, CAST(0.125 AS DOUBLE) AS v FROM (SELECT unnest(range(1, 65)) AS j) jj)"""
+    val its = (1 to iters).map { t =>
+      s"""rb$t AS MATERIALIZED (SELECT c.i AS j,
+                CAST(ROUND(SUM(CAST(c.cv AS DECIMAL(13,9)) * CAST(b${t - 1}.v AS DECIMAL(13,9))), 9) AS DOUBLE) AS raw
+              FROM cov2 c JOIN b${t - 1} ON b${t - 1}.j = c.j GROUP BY c.i),
+        nb$t AS MATERIALIZED (SELECT sqrt(CAST(ROUND(SUM(CAST(raw AS DECIMAL(13,9)) * CAST(raw AS DECIMAL(13,9))), 9) AS DOUBLE)) AS nrm FROM rb$t),
+        b$t AS MATERIALIZED (SELECT j, ROUND(raw / nrm, 9) AS v FROM rb$t, nb$t)"""
+    }.mkString(",\n")
+    val tail =
+      s"""w2 AS MATERIALIZED (SELECT c.i AS j,
+                 CAST(ROUND(SUM(CAST(c.cv AS DECIMAL(13,9)) * CAST(b$iters.v AS DECIMAL(13,9))), 9) AS DOUBLE) AS w
+               FROM cov2 c JOIN b$iters ON b$iters.j = c.j GROUP BY c.i),
+        lam2 AS MATERIALIZED (SELECT CAST(ROUND(SUM(CAST(w2.w AS DECIMAL(13,9)) * CAST(b$iters.v AS DECIMAL(13,9))), 9) AS DOUBLE) AS lam
+               FROM w2 JOIN b$iters ON b$iters.j = w2.j),
+        tr AS MATERIALIZED (SELECT CAST(SUM(CAST(cv AS DECIMAL(13,9))) AS DOUBLE) AS trace FROM cov WHERE i = j)"""
+    s"$head,\n$its,\n$tail"
+  }
+
   /** DuckDB oracle for cluster_kmeans: final-model assignments. */
   private def kmeansAssignOracle(k: Int, iters: Int): String =
     s"${kmeansCellsPrefix(k, iters)}\nSELECT vec_id, cluster FROM af"
@@ -1696,6 +1737,38 @@ object PipelineQueries {
                       (a, b) -> a + b), 9) AS DOUBLE) AS score
         FROM cx, va""")) { (spark, dir) =>
       Similarity.pcaProject(Tables(spark, dir).embeddings, "vec_id", "embedding", iters = 8)
+    },
+
+    // Multi-component PCA (power iteration + Hotelling deflation): the
+    // top-2 loadings, both hash-matched — component 1 comes from 8 more
+    // unrolled iterations over the EXACT-decimal deflated matrix
+    // C − grid(λ1·v1)·v1ᵀ, closing the single-component limitation the
+    // round-10 advice recorded. Data cost identical to embed_pca_component
+    // (same two covariance scans); deflation is driver-side over the d²
+    // model.
+    Q(
+      "embed_pca_multi",
+      Some(s"""${pcaMultiPrefix(8)}
+        SELECT 0 AS component, CAST(j - 1 AS INTEGER) AS dim, v AS loading FROM v8
+        UNION ALL
+        SELECT 1 AS component, CAST(j - 1 AS INTEGER) AS dim, v AS loading FROM b8""")) { (spark, dir) =>
+      Similarity.pcaComponents(Tables(spark, dir).embeddings, "vec_id", "embedding", iters = 8, nComponents = 2)
+    },
+
+    // The spectrum read-out for the same model: Rayleigh eigenvalues
+    // λ_c = v_cᵀ C_c v_c (grid-exact two-stage contraction) and
+    // explained-variance ratios against the exact-decimal trace — the
+    // how-many-output-dims curve an embedding pipeline reads before fixing
+    // its projection width.
+    Q(
+      "embed_pca_variance",
+      Some(s"""${pcaMultiPrefix(8)}
+        SELECT 0 AS component, lam1.lam AS eigenvalue,
+               ROUND(lam1.lam / tr.trace, 9) AS explained_ratio FROM lam1, tr
+        UNION ALL
+        SELECT 1 AS component, lam2.lam AS eigenvalue,
+               ROUND(lam2.lam / tr.trace, 9) AS explained_ratio FROM lam2, tr""")) { (spark, dir) =>
+      Similarity.pcaExplainedVariance(Tables(spark, dir).embeddings, "vec_id", "embedding", iters = 8, nComponents = 2)
     },
 
     // ------------------------------------------------------- data quality

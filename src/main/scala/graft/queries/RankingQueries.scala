@@ -129,6 +129,35 @@ object RankingQueries {
         .select(explode(split(col("p_name"), " ")).as("word"))
         .filter(col("word") =!= "")
       Retrieval.fuzzyWordPairs(words, "word", maxDist = 2)
+    },
+
+    // --------------------------------- tf-idf posting-list cosine pairs
+    // Similar-document pairs WITHOUT embeddings: ln-idf-weighted term
+    // vectors, one term-keyed posting self-join (Bayardo all-pairs shape),
+    // df > 0.5·N terms dropped — the IDF stop-word cut that is also the
+    // hot-term scale guard (fan-out is Σ df²). Norms/dots are unordered
+    // SUMs inside the proven round(·, 6) envelope; tf/df/N all exact ints.
+    Q(
+      "tfidf_cosine_pairs",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        kept AS (SELECT tf.doc_id, tf.token, tf.tf, df.df FROM tf JOIN df ON tf.token = df.token
+                 WHERE df.df <= CAST(floor(0.5 * (SELECT n FROM nd)) AS BIGINT)),
+        p AS (SELECT doc_id, token,
+                     CAST(tf AS DOUBLE) * ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+              FROM kept),
+        nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM p GROUP BY doc_id),
+        d AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_shared, SUM(x.w * y.w) AS dp
+              FROM p x JOIN p y ON x.token = y.token AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        SELECT a_id, b_id, n_shared, round(dp / (na.nrm * nb.nrm), 6) AS sim
+        FROM d JOIN nrm na ON na.doc_id = d.a_id JOIN nrm nb ON nb.doc_id = d.b_id
+        WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.1
+      """)) { (spark, dir) =>
+      Retrieval.tfidfCosinePairs(
+        Tables(spark, dir).documents, "doc_id", "text", maxDfRatio = 0.5, minSim = 0.1)
     }
   )
 }

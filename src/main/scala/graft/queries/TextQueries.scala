@@ -786,6 +786,125 @@ object TextQueries {
       val clean = trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
       Tables(spark, dir).documents
         .select(col("doc_id"), clean.as("clean"), length(clean).as("n_chars_clean"))
+    },
+
+    // ------------------------------------------------ PMI collocations
+    // Phrase mining: adjacent-bigram pointwise mutual information
+    // (Church & Hanks 1990) with a min-count cut — counts exact ints, one
+    // ln over a matched-order ratio chain, round(·, 6).
+    Q(
+      "text_pmi_collocations",
+      Some("""
+        WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        uni AS (SELECT word, COUNT(*) AS c1 FROM (SELECT unnest(toks) AS word FROM tok) GROUP BY word),
+        ut AS (SELECT CAST(SUM(c1) AS BIGINT) AS u FROM uni),
+        bi AS (SELECT w1, w2, COUNT(*) AS n_xy FROM (
+                 SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                        unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+                 FROM tok WHERE len(toks) >= 2)
+               GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        bt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM (
+                 SELECT len(toks) - 1 AS cnt FROM tok WHERE len(toks) >= 2))
+        SELECT bi.w1, bi.w2, bi.n_xy,
+               round(ln((CAST(bi.n_xy AS DOUBLE) * CAST(ut.u AS DOUBLE) * CAST(ut.u AS DOUBLE)) /
+                        (CAST(bt.t AS DOUBLE) * CAST(ux.c1 AS DOUBLE) * CAST(uy.c1 AS DOUBLE))), 6) AS pmi
+        FROM bi JOIN uni ux ON ux.word = bi.w1 JOIN uni uy ON uy.word = bi.w2, ut, bt
+      """)) { (spark, dir) =>
+      graft.operators.LanguageModel.pmiCollocations(
+        Tables(spark, dir).documents, "doc_id", "text", minCount = 5L)
+    },
+
+    // ----------------------------------- Naive Bayes language classifier
+    // The LEARNED sibling of text_langid's heuristic scorer: multinomial
+    // NB trained in-engine on (lang → token counts), served as one
+    // broadcast-model scoring pass. Decimal-exact scores (each ln rounded
+    // to 1e-12 then DECIMAL — the lm_bigram discipline), so the argmax
+    // can never flip on float summation order.
+    Q(
+      "nb_lang_classify",
+      Some(nbScoresSql + """
+        SELECT doc_id, cls AS predicted, CAST(ROUND(s, 9) AS DOUBLE) AS score
+        FROM (SELECT doc_id, cls, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rk FROM sc)
+        WHERE rk = 1
+      """)) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+      graft.operators.LanguageModel.naiveBayesClassify(d, d, "doc_id", "text", "lang")
+    },
+
+    // The held-in confusion matrix for the same model — the eval artifact
+    // a curation pipeline reads before trusting the classifier's routing:
+    // (actual, predicted, n_docs), all-integer.
+    Q(
+      "nb_lang_confusion",
+      Some(nbScoresSql + """,
+        pred AS (SELECT doc_id, cls AS predicted
+                 FROM (SELECT doc_id, cls, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rk FROM sc)
+                 WHERE rk = 1)
+        SELECT d.lang AS actual, p.predicted, COUNT(*) AS n_docs
+        FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY d.lang, p.predicted
+      """)) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+      graft.operators.LanguageModel
+        .naiveBayesClassify(d, d, "doc_id", "text", "lang")
+        .join(d.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // --------------------------------------------- C4 blocklist filter
+    // Raffel et al. 2020-style bad-word filtering as a ratio gate: a
+    // zero-shuffle narrow projection flagging each doc's blocked-token
+    // count against a literal word set; keep = blocked_ratio <= 0.05 with
+    // the ratio rounded to the 1e-9 grid before the compare, so the gate
+    // is engine-exact.
+    Q(
+      "corpus_blocklist_filter",
+      Some("""
+        WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, t -> list_contains(['drop', 'null', 'slow'], t))) AS BIGINT) AS n_blocked,
+               round(CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks, t -> list_contains(['drop', 'null', 'slow'], t))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END, 9) AS blocked_ratio,
+               round(CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks, t -> list_contains(['drop', 'null', 'slow'], t))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END, 9) <= 0.05 AS keep
+        FROM tok
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.blocklistFilter(
+        Tables(spark, dir).documents, "doc_id", "text",
+        blocklist = Seq("drop", "null", "slow"), maxRatio = 0.05)
     }
   )
+
+  /** Shared NB prefix: token counts per lang, add-1-smoothed DECIMAL(20,12)
+    * log-likelihood cells over the vocab × class grid, priors, and the
+    * exact-decimal per-(doc, class) score CTE `sc` — the SQL replay of
+    * [[graft.operators.LanguageModel.naiveBayesClassify]]. */
+  private def nbScoresSql: String = """
+    WITH tokt AS (SELECT lang AS cls, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents),
+    cls AS (SELECT lang AS cls, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    pri AS (SELECT cls, CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE)), 12) AS DECIMAL(20,12)) AS prior FROM cls),
+    cnt AS (SELECT cls, token, COUNT(*) AS cnt FROM tokt GROUP BY 1, 2),
+    tot AS (SELECT cls, COUNT(*) AS tot FROM tokt GROUP BY 1),
+    voc AS (SELECT DISTINCT token FROM cnt),
+    vs AS (SELECT COUNT(*) AS v FROM voc),
+    logp AS (SELECT c.cls, v.token,
+               CAST(round(ln((CAST(COALESCE(cnt.cnt, 0) AS DOUBLE) + 1.0)
+                             / (CAST(tot.tot AS DOUBLE) + CAST((SELECT v FROM vs) AS DOUBLE))), 12) AS DECIMAL(20,12)) AS logp
+             FROM voc v CROSS JOIN cls c
+             LEFT JOIN cnt ON cnt.cls = c.cls AND cnt.token = v.token
+             JOIN tot ON tot.cls = c.cls),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents)
+           GROUP BY 1, 2),
+    sc AS (SELECT tf.doc_id, l.cls, p.prior + SUM(CAST(tf.tf AS DECIMAL(6,0)) * l.logp) AS s
+           FROM tf JOIN logp l ON l.token = tf.token JOIN pri p ON p.cls = l.cls
+           GROUP BY tf.doc_id, l.cls, p.prior)
+  """
 }

@@ -641,4 +641,25 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.qualityMassCut(scored, "source", "quality_score", BigDecimal(1)))
   }
+
+  test("blocklistFilter: exact counts, ratio gate at the boundary, clean docs keep") {
+    val docs = Seq(
+      (1L, "clean text only here"),            // 0/4 → keep
+      (2L, "bad text bad bad bad"),            // 4/5 = 0.8 → drop at 0.5
+      (3L, "bad one two three four five six seven"), // 1/8 = 0.125 → keep at 0.5
+      (4L, "bad worse"),                       // 2/2 = 1.0 → drop
+      (5L, "")                                 // empty → 0 tokens, ratio 0, keep
+    ).toDF("doc_id", "text")
+    val out = Corpus
+      .blocklistFilter(docs, "doc_id", "text", Seq("bad", "worse"), maxRatio = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((4L, 0L, 0.0, true)))
+    assert(out(2L) == ((5L, 4L, 0.8, false)))
+    assert(out(3L) == ((8L, 1L, 0.125, true)))
+    assert(out(4L) == ((2L, 2L, 1.0, false)), s"got ${out(4L)}") // both words blocked
+    assert(out(5L) == ((0L, 0L, 0.0, true)))
+    intercept[IllegalArgumentException](Corpus.blocklistFilter(docs, "doc_id", "text", Nil, 0.5))
+  }
 }

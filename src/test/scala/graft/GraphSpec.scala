@@ -158,4 +158,52 @@ class GraphSpec extends SparkSpec {
     fast.foreach { case (id, _, t) => assert(t == brute.getOrElse(id, 0L), s"node $id: $t vs ${brute.get(id)}") }
     assert(fast.map(_._3).sum == brute.values.sum)
   }
+
+  test("bfsLevels: path graph levels, depth cap, isolated source, early exit") {
+    // path 1-2-3-4-5 plus isolated source 99
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val src = Seq(1L, 99L).toDF("id")
+    val got = Graph.bfsLevels(e, "s", "t", src, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2), s"got $got")
+    // full depth reaches the whole path; undirected so 1 also reaches back
+    val full = Graph.bfsLevels(e, "s", "t", Seq(3L).toDF("id"), maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2), s"got $full")
+    // directed: no back-edges from 3
+    val dir = Graph.bfsLevels(e, "s", "t", Seq(3L).toDF("id"), maxDepth = 10, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dir == Map(3L -> 0, 4L -> 1, 5L -> 2), s"got $dir")
+  }
+
+  test("hits equals the driver alternating-eigenvector reference; L2 norms are 1") {
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 10L),
+      (3L, 11L), (4L, 12L), (5L, 10L), (5L, 13L))
+    val got = Graph.hits(edges.toDF("s", "t"), "s", "t", iterations = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // driver reference: same fixed op sequence modulo summation order
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var h = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var a = Map.empty[Long, Double]
+    (1 to 8).foreach { _ =>
+      val ar = e.groupBy(_._2).view.mapValues(_.map(p => h(p._1)).sum).toMap
+      val an = math.sqrt(ar.values.map(x => x * x).sum)
+      a = ar.view.mapValues(_ / an).toMap
+      val hr = e.groupBy(_._1).view.mapValues(_.map(p => a(p._2)).sum).toMap
+      val hn = math.sqrt(hr.values.map(x => x * x).sum)
+      h = hr.view.mapValues(_ / hn).toMap
+    }
+    got.foreach { case (id, hub, auth) =>
+      assert(math.abs(hub - h.getOrElse(id, 0.0)) < 1e-6, s"hub $id: $hub vs ${h.get(id)}")
+      assert(math.abs(auth - a.getOrElse(id, 0.0)) < 1e-6, s"auth $id: $auth vs ${a.get(id)}")
+    }
+    // normalized: both vectors are unit length (pre-rounding drift < 1e-6)
+    assert(math.abs(got.map(x => x._2 * x._2).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(x => x._3 * x._3).sum - 1.0) < 1e-4)
+    // bipartite: pure sources have 0 authority, pure sinks 0 hub
+    got.filter(_._1 <= 5).foreach { case (id, _, auth) => assert(auth == 0.0, s"source $id") }
+    got.filter(_._1 >= 10).foreach { case (id, hub, _) => assert(hub == 0.0, s"sink $id") }
+  }
 }

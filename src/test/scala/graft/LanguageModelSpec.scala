@@ -54,4 +54,45 @@ class LanguageModelSpec extends SparkSpec {
     val expected = BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(out.head.getDouble(2) - expected) < 1e-9)
   }
+
+  test("naiveBayesClassify: separable corpus classifies perfectly, hand-checked decimal score") {
+    val docs = Seq(
+      (1L, "x x x y", "A"), (2L, "x y x x", "A"), (3L, "x x", "A"),
+      (4L, "z z w", "B"), (5L, "w z z z", "B")
+    ).toDF("doc_id", "text", "lab")
+    val pred = LanguageModel.naiveBayesClassify(docs, docs, "doc_id", "text", "lab")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "A", 2L -> "A", 3L -> "A", 4L -> "B", 5L -> "B"), s"got $pred")
+    // hand-check doc 3 ("x x") score: prior ln(3/5) + 2·ln((cnt_A(x)+1)/(tot_A+V))
+    // cnt_A(x)=8, tot_A=10, V=4 → ln(9/14); each ln rounded to 1e-12 first
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = (r12(math.log(3.0 / 5.0)) + BigDecimal(2) * r12(math.log(9.0 / 14.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s3 = LanguageModel.naiveBayesClassify(docs, docs, "doc_id", "text", "lab")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 3L).head().getDouble(2)
+    assert(s3 == want, s"doc3 score $s3 vs $want")
+    // scoring docs made ONLY of unseen tokens drop out (no vocab rows)
+    val unseen = Seq((9L, "qq rr")).toDF("doc_id", "text")
+    assert(LanguageModel.naiveBayesClassify(
+      docs, unseen.withColumn("lab", org.apache.spark.sql.functions.lit("?")), "doc_id", "text", "lab")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 9L).isEmpty)
+  }
+
+  test("pmiCollocations: planted collocation scores high, independent pair near 0") {
+    // "aa bb" always adjacent (collocation); "cc" and "dd" co-occur freely
+    val docs = (0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "aa bb cc dd" else "aa bb dd cc")
+    }.toDF("doc_id", "text")
+    val out = LanguageModel.pmiCollocations(docs, "doc_id", "text", minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // aa→bb appears in every doc: c_xy=40, c_x=c_y=40, U=160, T=120
+    // pmi = ln(40·160·160/(120·40·40)) = ln(16/3)
+    val want = BigDecimal(math.log(40.0 * 160 * 160 / (120.0 * 40 * 40)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("aa", "bb"))._1 == 40L && out(("aa", "bb"))._2 == want, s"got ${out.get(("aa", "bb"))}")
+    // the collocation outranks every other observed pair
+    assert(out.values.map(_._2).max == out(("aa", "bb"))._2)
+    // min-count: pairs below 5 never surface
+    assert(out.values.forall(_._1 >= 5L))
+  }
 }

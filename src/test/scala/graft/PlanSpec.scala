@@ -412,4 +412,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(f).length >= 4, s"expected pre-agg + distribution agg pairs:\n$f")
     assert(f.contains("SortMergeJoin") || f.contains("ShuffledHashJoin") || f.contains("BroadcastHashJoin"))
   }
+
+  test("blocklist filter is a narrow projection — zero exchanges, one scan") {
+    val p = planOf("corpus_blocklist_filter")
+    assert(!p.contains("Exchange"), s"blocklist gate must ride the scan:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one corpus scan:\n$p")
+  }
+
+  test("tfidf pairs: tiny df/norm sides broadcast; posting self-join is the only big exchange") {
+    val p = planOf("tfidf_cosine_pairs")
+    assert(p.contains("BroadcastHashJoin"), s"df cap side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"posting join must stay equi-keyed:\n$p")
+  }
+
+  test("naive bayes serve: model sides broadcast into one scoring pass") {
+    val p = planOf("nb_lang_classify")
+    assert(p.contains("BroadcastHashJoin"), s"V·C model join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed pairing:\n$p")
+  }
 }

@@ -134,4 +134,32 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("tfidfCosinePairs: identical docs hit 1, disjoint docs absent, df cap drops stop-words") {
+    val d = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),  // identical to 1 → sim 1.0
+      (3L, "apple dates"),          // shares only 'apple' with 1/2
+      (4L, "elder fig grape"),      // disjoint → no pair
+      (5L, "the the the"),          // 'the' df=2 — under the cap, tf-heavy
+      (6L, "apple the")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.tfidfCosinePairs(d, "doc_id", "text", maxDfRatio = 0.5, minSim = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // 'apple' (df 4 > cap) is gone, so the identical docs share 2 kept terms
+    assert(out((1L, 2L)) == ((2L, 1.0)), s"identical docs: ${out.get((1L, 2L))}")
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L }, "disjoint doc paired")
+    // 'apple' df=4 > floor(0.5·6)=3 → capped out: docs 3 and 6 share nothing left
+    assert(!out.contains((3L, 6L)) && !out.contains((1L, 3L)), s"stop-term pair leaked: ${out.keys}")
+    // every pair is canonical a < b with sim in (0, 1]
+    out.foreach { case ((a, b), (_, s)) => assert(a < b && s > 0 && s <= 1.0) }
+  }
+
+  test("tfidfCosinePairs on the corpus: non-empty, symmetric-free, weights favor rarer overlap") {
+    val out = Retrieval.tfidfCosinePairs(docs, "doc_id", "text", maxDfRatio = 0.5, minSim = 0.1)
+      .collect()
+    assert(out.nonEmpty)
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == out.length, "duplicate pairs")
+    pairs.foreach { case (a, b) => assert(a < b && !pairs.contains((b, a))) }
+  }
 }

@@ -458,4 +458,47 @@ class SimilaritySpec extends SparkSpec {
     val odd  = (1 until 200 by 2).map(i => scores(i.toLong))
     assert(even.min * odd.max < 0, "sign groups must land on opposite sides of the component")
   }
+
+  test("pcaFitK: component 0 ≡ pcaFit, orthogonal spectrum, planted two-direction recovery") {
+    val embs = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
+    val m1 = Similarity.pcaFit(embs, "vec_id", "embedding", iters = 8)
+    val mk = Similarity.pcaFitK(embs, "vec_id", "embedding", iters = 8, nComponents = 2)
+    // deflation is strictly additive: the first component is bit-identical
+    assert(mk.components(0).sameElements(m1.component) && mk.means.sameElements(m1.means))
+    // positivity + near-ordering on a real covariance: the corpus spectrum
+    // is close to isotropic, so a FIXED 8-iteration budget may stop with
+    // λ0 marginally under λ1 (the iteration count is the contract, not
+    // convergence — same clause as pcaFit's scaladoc); strict ordering is
+    // asserted on the planted separated spectrum below
+    assert(mk.eigenvalues.forall(_ > 0), mk.eigenvalues.toSeq)
+    assert(mk.eigenvalues(0) >= mk.eigenvalues(1) * 0.9, mk.eigenvalues.toSeq)
+    assert(mk.trace > mk.eigenvalues.sum, "explained variance cannot exceed total")
+    // loose orthogonality on the near-degenerate spectrum (an unconverged
+    // v1 leaves deflation residual along itself); tight on planted below
+    val dot = mk.components(0).zip(mk.components(1)).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot) < 0.2, s"components grossly non-orthogonal: $dot")
+    // partitioning-invariant like the single-component path
+    val mk2 = Similarity.pcaFitK(embs.repartition(17), "vec_id", "embedding", iters = 8, nComponents = 2)
+    assert(mk2.components(1).sameElements(mk.components(1)) && mk2.eigenvalues.sameElements(mk.eigenvalues))
+    // planted: dim 0 dominates, dim 1 second — components align in order
+    import spark.implicits._
+    val planted = (0 until 200).map { i =>
+      val arr = Array.tabulate(64)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 600f)
+      arr(0) = (if (i % 2 == 0) 1f else -1f) * (1f + (i % 5) / 10f)
+      arr(1) = (if (i % 3 == 0) 0.5f else -0.25f) * (1f + (i % 7) / 10f)
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val pk = Similarity.pcaFitK(planted, "vec_id", "embedding", iters = 8, nComponents = 2)
+    assert(math.abs(pk.components(0)(0)) > 0.9, s"c0 dim0 ${pk.components(0)(0)}")
+    assert(math.abs(pk.components(1)(1)) > 0.9, s"c1 dim1 ${pk.components(1)(1)}")
+    assert(pk.eigenvalues(0) > pk.eigenvalues(1), pk.eigenvalues.toSeq)
+    // separated spectrum → converged v1 → deflation leaves v2 ⊥ v1 tightly
+    val pdot = pk.components(0).zip(pk.components(1)).map { case (x, y) => x * y }.sum
+    assert(math.abs(pdot) < 1e-3, s"planted components not orthogonal: $pdot")
+    // explained ratios from the frame API match the model and sum below 1
+    val ev = Similarity.pcaExplainedVariance(planted, "vec_id", "embedding", 8, 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(ev(0)._2 == pk.eigenvalues(0) && ev(1)._2 == pk.eigenvalues(1))
+    assert(ev.map(_._3).sum < 1.0 && ev.forall(_._3 > 0))
+  }
 }
