@@ -206,6 +206,21 @@ object Graph {
     labels
   }
 
+  /** Connected components over an undirected edge list: (id, component)
+    * with component = the MINIMUM node id in each component — the
+    * entity-consolidation primitive ("all these rows are one entity"),
+    * here exposed as a first-class graph operator delegating to the same
+    * alternating large-star/small-star fix-point [[Dedup]] clusters
+    * duplicate documents with (Kiveris et al. 2014 — O(log n) rounds, one
+    * keyed shuffle per star step, edge-set signature convergence test,
+    * never a driver collect). Nodes with no non-self edge are absent (an
+    * edge list does not enumerate isolated nodes). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val pairs = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val (labels, _) = Dedup.starComponents(pairs)
+    labels.select(col("doc_id").as("id"), col("cluster_id").as("component"))
+  }
+
   /** Multi-source BFS levels over an edge list: level(v) = the minimum hop
     * count from any node in `sources`, explored frontier-by-frontier up to
     * `maxDepth` (nodes farther than that — or unreachable — are absent

@@ -841,18 +841,25 @@ object Similarity {
       maxIter: Int = 20,
       tol: Double = 1e-9,
       initMode: String = "ids",
-      initRounds: Int = 5): KMeansResult = {
+      initRounds: Int = 5,
+      normalize: Boolean = true): KMeansResult = {
     require(k > 0, "k must be positive")
     require(maxIter >= 1, "maxIter must be >= 1")
     require(initMode == "ids" || initMode == "parallel", s"unknown initMode $initMode")
-    val prep = vectors
-      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v0"))
-      .withColumn("nrm", norm(col("v0")))
-      .select(
-        col("vec_id"),
-        when(col("nrm") > 0, transform(col("v0"), x => x / col("nrm")))
-          .otherwise(col("v0"))
-          .as("v"))
+    // normalize=false is the PRODUCT-QUANTIZATION regime ([[pqTrain]]):
+    // sub-vector codebooks must quantize raw coordinates — normalizing an
+    // 8-dim slice would distort every distance the code stands in for
+    val prep =
+      if (normalize)
+        vectors
+          .select(col("vec_id"), asDoubleVec(col("embedding")).as("v0"))
+          .withColumn("nrm", norm(col("v0")))
+          .select(
+            col("vec_id"),
+            when(col("nrm") > 0, transform(col("v0"), x => x / col("nrm")))
+              .otherwise(col("v0"))
+              .as("v"))
+      else vectors.select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
     // deterministic seed: the k lowest-id vectors (already unit-normalized);
     // collected BEFORE persisting so an empty corpus rejects without leaving
     // a cached entry behind
@@ -1099,6 +1106,138 @@ object Similarity {
             zip_with(checked, element_at(signsLit, (j + 1).cast("int")), (a, s) => a * s),
             lit(0.0),
             (acc, x) => acc + x) * invSqrt).as("projected"))
+  }
+
+  // ----------------------------------------------------- product quantization
+
+  /** PQ codebooks: `codebooks(sub)(code)` is the d/m-dim centroid of code
+    * `code` in subspace `sub` (Jégou et al. 2011 "Product Quantization for
+    * Nearest Neighbor Search"). m·k·(d/m) doubles — the whole model is
+    * m·k rows, the usual bounded-model judgment. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]], dsub: Int) {
+    def m: Int = codebooks.length
+  }
+
+  /** Train a product quantizer: split d dims into `m` contiguous
+    * subspaces and run the decimal-exact [[kmeans]] (normalize = false —
+    * RAW coordinates; tol = 0 so the iteration count is the contract) per
+    * subspace with k = 2^codeBits centroids. With m=8, k=16 a 64-float
+    * vector compresses 256 B → 4 B of codes (64×) while ADC distances
+    * stay within quantization error — THE memory/IO story for
+    * billion-vector search. Training cost: m small k-means over sliced
+    * columns of one table (each iteration collects k·(d/m) cells). */
+  def pqTrain(
+      embs: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 3): PqModel = {
+    val d = embs.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val books = (0 until m).map { s =>
+      val sliced = embs.select(
+        col("vec_id"),
+        slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
+      kmeans(sliced, k, maxIter = iters, tol = 0.0, normalize = false).centroids
+    }.toArray
+    PqModel(books, dsub)
+  }
+
+  /** The compact code table: (vec_id, sub, code) — the resident index,
+    * log2(k)/8 bytes per subspace per vector. Assignment is the codegen'd
+    * argmin ([[graft.functions.VectorFunctions.vec_nearest]]) per
+    * subspace, ties toward the lower code — a ZERO-SHUFFLE narrow
+    * projection over the embedding scan. */
+  def pqCodes(embs: DataFrame, model: PqModel): DataFrame = {
+    val m = model.m
+    val codeCols = array((0 until m).map { s =>
+      nearest(model.codebooks(s))(
+        asDoubleVec(slice(col("embedding"), s * model.dsub + 1, model.dsub)))
+        .getField("cluster")
+    }: _*)
+    embs.select(col("vec_id"), posexplode(codeCols).as(Seq("sub", "code")))
+  }
+
+  /** ADC top-k search (asymmetric distance computation): per query build
+    * the m×k lookup table of exact subspace distances ‖q_sub − c_code‖²,
+    * score every CODE row by Σ_sub lut[sub][code] (a fixed sub-order
+    * fold — deterministic doubles), shortlist rerank·k per query, then
+    * exact full-dim L2 rerank of the shortlist. Returns
+    * (query_id, neighbor_id, d2, rn), d2 rounded to 6.
+    *
+    * Scale shape: the scored relation is the CODE table (log2(k)·m bits a
+    * vector — the thing that fits in memory at 10⁹ vectors), joined to a
+    * broadcast nQ·m·k LUT on (sub, code) and partial-aggregated map-side;
+    * only shortlist·nQ rows ever touch the full-precision vectors again
+    * (the rerank join). No full-dim scan per query anywhere. */
+  def pqSearch(
+      embs: DataFrame,
+      queries: DataFrame,
+      model: PqModel,
+      k: Int = 10,
+      rerank: Int = 4): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    require(k >= 1 && rerank >= 1, "k and rerank must be positive")
+    val m = model.m
+    val dsub = model.dsub
+
+    // LUT: (query_id, sub, code, pd) — nQ·m·k rows, broadcast. The
+    // codebook enters the plan as a literal-backed frame (bounded model).
+    val bookDf = model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "cv")
+    val lut = queries
+      .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qx"))
+      .crossJoin(bookDf)
+      .select(
+        col("query_id"),
+        col("sub"),
+        col("code"),
+        aggregate(
+          zip_with(
+            slice(col("qx"), col("sub") * dsub + lit(1), lit(dsub)),
+            col("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0),
+          (acc, x) => acc + x).as("pd"))
+
+    val approx = pqCodes(embs, model)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("sub"), col("pd")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("pd")).as("ad"))
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = approx
+      .withColumn(
+        "srk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("ad").asc, col("neighbor_id").asc)))
+      .filter(col("srk") <= k * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val qx = queries.select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qx"))
+    val nx = embs.select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("nx"))
+    shortlist
+      .join(qx, Seq("query_id"))
+      .join(nx, Seq("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        aggregate(
+          zip_with(col("qx"), col("nx"), (a, b) => (a - b) * (a - b)),
+          lit(0.0),
+          (acc, x) => acc + x).as("d2raw"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("d2raw").asc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("d2raw"), 6).as("d2"), col("rn"))
   }
 
   // ------------------------------------------------------------------ PCA

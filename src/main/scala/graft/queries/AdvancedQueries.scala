@@ -897,8 +897,86 @@ object AdvancedQueries {
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
         .distinct()
       graft.operators.Graph.hits(edges, "src", "dst", iterations = 8, checkpointInterval = 1)
+    },
+
+    // --------------------------------------------- connected components
+    // Entity consolidation over the undirected interaction graph:
+    // component = min node id, via the alternating large-star/small-star
+    // fix-point (O(log n) rounds, signature-tested convergence — the same
+    // machinery behind dedup_clusters, surfaced as a graph operator).
+    // Oracle: 12 unrolled synchronous min-label rounds — ≥ the graph
+    // diameter at gate scale, so both sides sit at the same fix-point;
+    // all-integer compare. GraphSpec pins ≡ driver union-find on random
+    // graphs where diameters are adversarial.
+    Q("graph_connected_components", Some(ccOracle(rounds = 12))) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.connectedComponents(edges, "src", "dst")
+    },
+
+    // ------------------------------------------- marketing attribution
+    // Last-touch revenue attribution: every purchase credits the most
+    // recent preceding view/click channel for the same user (carry-forward
+    // via last_value IGNORE NULLS over (ts, event_id) order — fully
+    // deterministic); purchases with no prior touch land in 'direct'.
+    // One user-keyed window pass, then a channel-sized exact-decimal
+    // rollup. The conversion-credit read every growth pipeline runs.
+    Q(
+      "events_attribution",
+      Some("""
+        WITH w AS (
+          SELECT event_type, value,
+                 last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+          FROM events)
+        SELECT COALESCE(channel, 'direct') AS channel,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        FROM w WHERE event_type = 'purchase'
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+      Tables(spark, dir).events
+        .withColumn(
+          "channel",
+          last(touch, ignoreNulls = true).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(money(col("value"))).cast("double").as("attributed_value"))
     }
   )
+
+  /** DuckDB oracle for graph_connected_components: `rounds` unrolled
+    * synchronous min-label propagations over the symmetrized edge set —
+    * label(v) ← min(label(v), min over neighbors) — which reaches the
+    * min-id fix-point whenever rounds ≥ diameter. Pure integer compare. */
+  private def ccOracle(rounds: Int): String = {
+    val head =
+      """WITH raw AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      WHERE o_custkey <> l_suppkey + 10000000),
+         sym AS MATERIALIZED (SELECT DISTINCT a, b FROM (SELECT a, b FROM raw UNION ALL SELECT b AS a, a AS b FROM raw)),
+         c0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM sym)"""
+    val its = (1 to rounds)
+      .map { k =>
+        val p = k - 1
+        s"""n$k AS MATERIALIZED (SELECT s.a AS id, MIN(l.lbl) AS nl
+                    FROM sym s JOIN c$p l ON s.b = l.id GROUP BY s.a),
+            c$k AS MATERIALIZED (SELECT c.id, LEAST(c.lbl, COALESCE(n$k.nl, c.lbl)) AS lbl
+                    FROM c$p c LEFT JOIN n$k ON c.id = n$k.id)"""
+      }
+      .mkString(",\n")
+    s"$head,\n$its\nSELECT id, lbl AS component FROM c$rounds"
+  }
 
   /** DuckDB oracle for graph_bfs_levels: recursive CTE over distinct
     * (id, lvl) states — UNION dedups, so the working set is bounded by

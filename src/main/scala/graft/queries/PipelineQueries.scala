@@ -144,6 +144,86 @@ object PipelineQueries {
     s"$head,\n$its,\n$tail"
   }
 
+  /** DuckDB replay of [[Similarity.pqTrain]] + [[Similarity.pqCodes]]:
+    * per subspace s, raw (UNNORMALIZED) slices, lowest-id seeding,
+    * `iters` unrolled Lloyd's rounds with DECIMAL(38,18)-exact means and
+    * (dist2 ASC, cluster ASC) assignment — the kmeansCellsPrefix shape
+    * minus the unit normalization — ending in s{s}code (vec_id, code).
+    * Exposes rv (vec_id, x raw doubles) and codes (vec_id, sub, code). */
+  private def pqPrefix(m: Int, dsub: Int, k: Int, iters: Int): String = {
+    val head =
+      """WITH rv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"""
+    val subs = (0 until m).map { s =>
+      val lo = s * dsub + 1
+      val d2 =
+        s"list_reduce(list_transform(range(1, ${dsub + 1}), i -> (sv.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) * (sv.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])), (a, b) -> a + b)"
+      val base =
+        s"""s${s}v AS MATERIALIZED (SELECT vec_id,
+                 list_transform(range($lo, ${lo + dsub}), i -> x[CAST(i AS INTEGER)]) AS v FROM rv),
+           s${s}c0 AS MATERIALIZED (SELECT cluster, cv FROM (
+                 SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv FROM s${s}v) WHERE cluster < $k)"""
+      val rounds = (1 to iters).map { it =>
+        val p = it - 1
+        s"""s${s}a$it AS MATERIALIZED (SELECT vec_id, cluster, v FROM (
+                 SELECT sv.vec_id, c.cluster, sv.v,
+                        ROW_NUMBER() OVER (PARTITION BY sv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
+                 FROM s${s}v sv CROSS JOIN s${s}c$p c) WHERE rk = 1),
+           s${s}m$it AS MATERIALIZED (SELECT cluster, list(mn ORDER BY pos) AS cv FROM (
+                 SELECT cluster, pos, CAST(SUM(CAST(val AS DECIMAL(38, 18))) AS DOUBLE) / COUNT(*) AS mn
+                 FROM (SELECT cluster, unnest(range(1, ${dsub + 1})) - 1 AS pos, unnest(v) AS val FROM s${s}a$it)
+                 GROUP BY cluster, pos) GROUP BY cluster),
+           s${s}c$it AS MATERIALIZED (SELECT c.cluster, COALESCE(m.cv, c.cv) AS cv
+                 FROM s${s}c$p c LEFT JOIN s${s}m$it m ON c.cluster = m.cluster)"""
+      }.mkString(",\n")
+      val code =
+        s"""s${s}code AS MATERIALIZED (SELECT vec_id, cluster AS code FROM (
+                 SELECT sv.vec_id, c.cluster,
+                        ROW_NUMBER() OVER (PARTITION BY sv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
+                 FROM s${s}v sv CROSS JOIN s${s}c$iters c) WHERE rk = 1)"""
+      s"$base,\n$rounds,\n$code"
+    }.mkString(",\n")
+    val codes =
+      s"""codes AS MATERIALIZED (${(0 until m)
+          .map(s => s"SELECT vec_id, $s AS sub, CAST(code AS INTEGER) AS code FROM s${s}code")
+          .mkString(" UNION ALL ")})"""
+    s"$head,\n$subs,\n$codes"
+  }
+
+  /** ADC tail over [[pqPrefix]]'s rv/codes + the final per-subspace
+    * centroid CTEs: per-query m×k LUT of exact subspace distances, code
+    * rows scored by the FIXED sub-order fold, rerank·k shortlist, exact
+    * full-dim L2 rerank. */
+  private def pqAdcTail(m: Int, dsub: Int, iters: Int, nQ: Int, k: Int, rerank: Int): String = {
+    val luts = (0 until m).map { s =>
+      val lo = s * dsub
+      s"""SELECT q.vec_id AS query_id, $s AS sub, CAST(c.cluster AS INTEGER) AS code,
+             list_reduce(list_transform(range(1, ${dsub + 1}),
+               i -> (q.x[CAST($lo + i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) * (q.x[CAST($lo + i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])),
+               (a, b) -> a + b) AS pd
+         FROM rv q CROSS JOIN s${s}c$iters c WHERE q.vec_id < $nQ"""
+    }.mkString(" UNION ALL ")
+    s"""lut AS MATERIALIZED ($luts),
+       approx AS MATERIALIZED (
+         SELECT l.query_id, c.vec_id AS neighbor_id,
+                list_reduce(list(l.pd ORDER BY l.sub), (a, b) -> a + b) AS ad
+         FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         WHERE c.vec_id <> l.query_id
+         GROUP BY l.query_id, c.vec_id),
+       short AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, neighbor_id ASC) AS srk
+                FROM approx) WHERE srk <= ${k * rerank}),
+       ex AS (SELECT s.query_id, s.neighbor_id,
+                     list_reduce(list_transform(range(1, ${m * dsub + 1}),
+                       i -> (q.x[CAST(i AS INTEGER)] - n.x[CAST(i AS INTEGER)]) * (q.x[CAST(i AS INTEGER)] - n.x[CAST(i AS INTEGER)])),
+                       (a, b) -> a + b) AS d2raw
+              FROM short s JOIN rv q ON q.vec_id = s.query_id JOIN rv n ON n.vec_id = s.neighbor_id)
+       SELECT query_id, neighbor_id, round(d2raw, 6) AS d2, rn FROM (
+         SELECT query_id, neighbor_id, d2raw,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2raw ASC, neighbor_id ASC) AS rn
+         FROM ex) WHERE rn <= $k"""
+  }
+
   /** DuckDB oracle for cluster_kmeans: final-model assignments. */
   private def kmeansAssignOracle(k: Int, iters: Int): String =
     s"${kmeansCellsPrefix(k, iters)}\nSELECT vec_id, cluster FROM af"
@@ -1671,6 +1751,39 @@ object PipelineQueries {
       (spark, dir) =>
         val emb = Tables(spark, dir).embeddings
         Similarity.ivfTopKQ8(emb, emb.filter(col("vec_id") < 8), k = 10, nlist = 16, nprobe = 8, assign = 3, rerank = 4)
+    },
+
+    // ------------------------------------------ ANN: product quantization
+    // The 64×-compression index: 8 subspace codebooks (k=16 each) trained
+    // by the decimal-exact RAW-coordinate k-means (normalize=false —
+    // quantizing a normalized slice would distort every distance the code
+    // stands in for), each vector reduced to 8 4-bit codes. The code
+    // table IS the query output — training AND encoding replay in SQL
+    // (8 unrolled sub-space Lloyd's chains), so the model is verified,
+    // not just its row count.
+    Q(
+      "ann_pq_codes",
+      Some(s"${pqPrefix(m = 8, dsub = 8, k = 16, iters = 3)}\nSELECT vec_id, sub, code FROM codes")) {
+      (spark, dir) =>
+        val emb = Tables(spark, dir).embeddings
+        val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 3)
+        Similarity.pqCodes(emb, model)
+    },
+
+    // ----------------------------------------------- ANN: PQ ADC search
+    // Asymmetric-distance top-k over the compact code table: per-query
+    // 8×16 LUT of exact subspace distances (broadcast), codes scored by a
+    // FIXED sub-order fold, rerank·k shortlist, exact full-dim L2 rerank
+    // — only shortlist rows ever touch full-precision vectors again. The
+    // whole pipeline (training → codes → LUT → fold → rerank) hash-checks
+    // end to end; SimilaritySpec additionally pins recall ≥ 0.9 vs brute.
+    Q(
+      "ann_pq_adc",
+      Some(s"""${pqPrefix(m = 8, dsub = 8, k = 16, iters = 3)},
+        ${pqAdcTail(m = 8, dsub = 8, iters = 3, nQ = 8, k = 10, rerank = 4)}""")) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 3)
+      Similarity.pqSearch(emb, emb.filter(col("vec_id") < 8), model, k = 10, rerank = 4)
     },
 
     // --------------------------------------- ANN recall, driver-auditable

@@ -878,8 +878,96 @@ object TextQueries {
       graft.operators.Corpus.blocklistFilter(
         Tables(spark, dir).documents, "doc_id", "text",
         blocklist = Seq("drop", "null", "slow"), maxRatio = 0.05)
+    },
+
+    // ------------------------------------------- WordPiece vocabulary
+    // In-engine subword tokenizer training (the greedy sibling of BPE):
+    // weighted substring frequencies over the DISTINCT-WORD table, all
+    // single chars force-included (no UNK possible), top multi-char
+    // budget by (freq DESC, piece ASC). All-integer — exact compare.
+    Q(
+      "wordpiece_vocab",
+      Some(s"""${wordpieceSql(96, 4, 12)}
+        SELECT piece, freq, rank FROM ranked""")) { (spark, dir) =>
+      graft.operators.Wordpiece.trainVocabFrame(
+        Tables(spark, dir).documents, "doc_id", "text", vocabSize = 96, maxPieceLen = 4)
+    },
+
+    // ------------------------------------------- WordPiece piece usage
+    // Greedy longest-match-first segmentation (the production WordPiece
+    // inference contract, Song et al. 2021) of every distinct word,
+    // usage-weighted by corpus word counts — the oracle replays the
+    // greedy walk as unrolled per-position steps, so the SEGMENTATION
+    // ITSELF is verified, not just counts of something.
+    Q(
+      "wordpiece_encode",
+      Some(s"""${wordpieceSql(96, 4, 12)},
+        allp AS (${(1 to 12).map(k => s"SELECT piece, n FROM pk$k").mkString(" UNION ALL ")})
+        SELECT piece, CAST(SUM(n) AS BIGINT) AS n_uses FROM allp GROUP BY piece""")) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val model = graft.operators.Wordpiece.train(docs, "doc_id", "text", vocabSize = 96, maxPieceLen = 4)
+      graft.operators.Wordpiece.encodeStats(docs, "doc_id", "text", model)
+    },
+
+    // ------------------------------------------ WordPiece token counts
+    // Per-document subword cost under the trained vocab: n_pieces joins
+    // the per-word greedy segmentation sizes back onto the token stream —
+    // the "how many tokens will this doc cost" budgeting signal.
+    Q(
+      "wordpiece_token_counts",
+      Some(s"""${wordpieceSql(96, 4, 12)},
+        wp AS (SELECT word, COUNT(*) AS npw FROM (
+                 ${(1 to 12).map(k => s"SELECT word, piece FROM pk$k").mkString(" UNION ALL ")})
+               GROUP BY word),
+        docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents),
+        agg AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(npw) AS BIGINT) AS n_pieces
+                FROM docw JOIN wp USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(agg.n_words, 0) AS n_words,
+               COALESCE(agg.n_pieces, 0) AS n_pieces
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""")) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val model = graft.operators.Wordpiece.train(docs, "doc_id", "text", vocabSize = 96, maxPieceLen = 4)
+      graft.operators.Wordpiece.tokenCounts(docs, "doc_id", "text", model)
     }
   )
+
+  /** Shared WordPiece prefix: distinct-word counts, weighted substring
+    * frequencies (≤ maxPieceLen), the coverage-guaranteed vocab (all
+    * single chars + top multi-char budget), and the greedy longest-match
+    * segmentation unrolled as 12 per-position steps (word length ≤ 8 at
+    * every SF; each step emits ≤ 1 piece per word) — the SQL replay of
+    * [[graft.operators.Wordpiece]] train + encode. Exposes wc (word, n),
+    * ranked (piece, freq, rank) and pk1..pk12 (word, n, pos, piece). */
+  private def wordpieceSql(vocabSize: Int, maxPieceLen: Int, steps: Int): String = {
+    val head = s"""
+    WITH wc AS MATERIALIZED (SELECT word, COUNT(*) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents)
+         GROUP BY word),
+    pos1 AS (SELECT word, n, unnest(range(1, len(word) + 1)) AS i FROM wc),
+    pos2 AS (SELECT word, n, i, unnest(range(1, least($maxPieceLen, len(word) - i + 1) + 1)) AS l FROM pos1),
+    freqs AS MATERIALIZED (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+                  CAST(SUM(n) AS BIGINT) AS freq
+           FROM pos2 GROUP BY 1),
+    nch AS (SELECT COUNT(*) AS c FROM freqs WHERE len(piece) = 1),
+    multi AS (SELECT piece, freq FROM (
+           SELECT piece, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rk
+           FROM freqs WHERE len(piece) >= 2)
+         WHERE rk <= $vocabSize - (SELECT c FROM nch)),
+    vocab AS MATERIALIZED (SELECT piece, freq FROM freqs WHERE len(piece) = 1 UNION ALL SELECT piece, freq FROM multi),
+    ranked AS MATERIALIZED (SELECT piece, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rank FROM vocab),
+    st0 AS (SELECT word, n, 1 AS pos FROM wc)"""
+    val its = (1 to steps).map { k =>
+      val p = k - 1
+      s"""pk$k AS MATERIALIZED (SELECT word, n, pos, piece FROM (
+              SELECT s.word, s.n, s.pos, v.piece,
+                     ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY len(v.piece) DESC) AS rk
+              FROM st$p s JOIN vocab v ON v.piece = substr(s.word, s.pos, len(v.piece))
+              WHERE s.pos <= len(s.word)) WHERE rk = 1),
+        st$k AS (SELECT word, n, pos + len(piece) AS pos FROM pk$k)"""
+    }.mkString(",\n")
+    s"$head,\n$its"
+  }
 
   /** Shared NB prefix: token counts per lang, add-1-smoothed DECIMAL(20,12)
     * log-likelihood cells over the vocab × class grid, priors, and the

@@ -176,6 +176,25 @@ class GraphSpec extends SparkSpec {
     assert(dir == Map(3L -> 0, 4L -> 1, 5L -> 2), s"got $dir")
   }
 
+  test("connectedComponents equals driver union-find on random graphs incl. long paths") {
+    val rnd = new scala.util.Random(7)
+    // a long path (adversarial diameter for label propagation — the star
+    // fix-point is O(log n) regardless) plus random clutter
+    val path = (0L until 40L).sliding(2).map(s => (s(0) + 500, s(1) + 500)).toSeq
+    val rand = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+    val edges = (path ++ rand).toDF("s", "t")
+    val got = Graph.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    (path ++ rand).foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    // normalize driver labels to min-of-component
+    val minOf = want.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    assert(got == want.map { case (v, r) => v -> minOf(r) }, "component labels differ from union-find")
+  }
+
   test("hits equals the driver alternating-eigenvector reference; L2 norms are 1") {
     val edges = Seq(
       (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 10L),
