@@ -1773,17 +1773,19 @@ object PipelineQueries {
     // ----------------------------------------------- ANN: PQ ADC search
     // Asymmetric-distance top-k over the compact code table: per-query
     // 8×16 LUT of exact subspace distances (broadcast), codes scored by a
-    // FIXED sub-order fold, rerank·k shortlist, exact full-dim L2 rerank
+    // FIXED sub-order fold, rerank·k shortlist (rerank=10: random isotropic vectors are
+    // PQ's quantization-error worst case, so the shortlist carries the
+    // recall — spec-pinned ≥ 0.8 vs brute L2), exact full-dim rerank
     // — only shortlist rows ever touch full-precision vectors again. The
     // whole pipeline (training → codes → LUT → fold → rerank) hash-checks
     // end to end; SimilaritySpec additionally pins recall ≥ 0.9 vs brute.
     Q(
       "ann_pq_adc",
       Some(s"""${pqPrefix(m = 8, dsub = 8, k = 16, iters = 3)},
-        ${pqAdcTail(m = 8, dsub = 8, iters = 3, nQ = 8, k = 10, rerank = 4)}""")) { (spark, dir) =>
+        ${pqAdcTail(m = 8, dsub = 8, iters = 3, nQ = 8, k = 10, rerank = 10)}""")) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 3)
-      Similarity.pqSearch(emb, emb.filter(col("vec_id") < 8), model, k = 10, rerank = 4)
+      Similarity.pqSearch(emb, emb.filter(col("vec_id") < 8), model, k = 10, rerank = 10)
     },
 
     // --------------------------------------- ANN recall, driver-auditable

@@ -459,6 +459,40 @@ class SimilaritySpec extends SparkSpec {
     assert(even.min * odd.max < 0, "sign groups must land on opposite sides of the component")
   }
 
+  test("PQ: codebooks partition-deterministic, codes in range, ADC recall vs brute L2") {
+    val emb = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
+    val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 3)
+    assert(model.m == 8 && model.dsub == 8)
+    // decimal-exact training: identical books at any parallelism
+    val model2 = Similarity.pqTrain(emb.repartition(13), m = 8, k = 16, iters = 3)
+    (0 until 8).foreach { s =>
+      val a = model.codebooks(s).map(_.toSeq).toSeq
+      val b = model2.codebooks(s).map(_.toSeq).toSeq
+      assert(a == b, s"sub $s differs")
+    }
+    val codes = Similarity.pqCodes(emb, model).collect()
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 16))
+    val n = emb.count()
+    assert(codes.length == n * 8, "one code per (vector, subspace)")
+
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val got = Similarity.pqSearch(emb, queries, model, k = 10, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // driver brute L2 top-10
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var hit = 0; var tot = 0
+    (0L until 8L).foreach { q =>
+      val brute = all.keys.filter(_ != q).toSeq
+        .sortBy(id => (d2(all(q), all(id)), id)).take(10).toSet
+      hit += got(q).intersect(brute).size; tot += 10
+    }
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.8, s"PQ ADC recall $recall below floor")
+    // every query returns exactly k ranked rows
+    got.foreach { case (_, ns) => assert(ns.size == 10) }
+  }
+
   test("pcaFitK: component 0 ≡ pcaFit, orthogonal spectrum, planted two-direction recovery") {
     val embs = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
     val m1 = Similarity.pcaFit(embs, "vec_id", "embedding", iters = 8)
