@@ -1314,6 +1314,64 @@ object Corpus {
     ratios.join(top, Seq("doc_id"))
   }
 
+  /** Zipf-law fit over the corpus word-frequency distribution: OLS of
+    * ln(freq) on ln(rank) — a healthy natural-language corpus sits near
+    * slope −1 (Zipf 1949), so the slope is a one-number corpus-health
+    * monitor (template/boilerplate floods flatten it, key-value spam
+    * steepens it) complementing the Heaps-law vocabulary curve. Returns
+    * one row (n_words, slope, intercept).
+    *
+    * Determinism (the trend_nation_revenue discipline on log-log data):
+    * ranks are exact ints (freq DESC, word ASC); each ln lands on the
+    * 1e-12 grid as DECIMAL(16,12) BEFORE any aggregation, so the four
+    * moments are exact decimal sums at any parallelism; each moment
+    * decimal-rounds to scale 9 before its double cast (the DuckDB
+    * scale-18 hazard), and the closed form runs in matched double order,
+    * round(·, 6). Scale: one vocab-sized count table + one bounded
+    * aggregation — the ranking window runs over the vocab, not the
+    * corpus. */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(16, 12)
+    val toks  = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val freqs = spreadSmallInput(docs, col(idCol))
+      .select(explode(toks).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = freqs
+      .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("word").asc)))
+      .select(
+        round(log(col("rank").cast("double")), 12).cast(dec12).as("x"),
+        round(log(col("freq").cast("double")), 12).cast(dec12).as("y"))
+    val m = ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("n"),
+        col("n").cast("double").as("nd"),
+        round(col("sx"), 9).cast("double").as("sxd"),
+        round(col("sxx"), 9).cast("double").as("sxxd"),
+        round(col("sy"), 9).cast("double").as("syd"),
+        round(col("sxy"), 9).cast("double").as("sxyd"))
+    m.select(
+      col("n").as("n_words"),
+      round(
+        (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("nd") * col("sxxd") - col("sxd") * col("sxd")),
+        6).as("slope"),
+      round(
+        (col("syd") -
+          round(
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")),
+            6) * col("sxd")) / col("nd"),
+        6).as("intercept"))
+  }
+
   /** C4-style blocklist filtering (Raffel et al. 2020 dropped any page
     * containing a "List of Dirty, Naughty…" word; refined pipelines use a
     * RATIO threshold instead so a single quoted profanity doesn't nuke an

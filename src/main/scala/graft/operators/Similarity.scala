@@ -1108,6 +1108,65 @@ object Similarity {
             (acc, x) => acc + x) * invSqrt).as("projected"))
   }
 
+  /** IR ranking quality of the exact top-k list, graded by embedding
+    * labels (relevant ⇔ same label as the query — the standard proxy when
+    * no human judgments exist): per query, hits@k, reciprocal rank of the
+    * first relevant result, and NDCG@k with binary gains — the eval
+    * artifact a retrieval pipeline reads before trusting its index. DCG
+    * uses the natural-log discount Σ rel/ln(rank+1) (the base cancels in
+    * the NDCG ratio); both DCG and the ideal fold in FIXED rank order, so
+    * the only cross-engine freedom is ln's last ulp under the round(·, 6)
+    * envelope. Returns (query_id, n_relevant, hits_at_k, rr, ndcg).
+    *
+    * Scale shape: [[bruteTopK]]'s bounded ranked lists joined to the
+    * label column and a broadcast per-label count table; everything after
+    * the ranking is k-row-per-query arithmetic. */
+  def rankingMetrics(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ranked = bruteTopK(corpus, queries, k)
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val labCnt = labels.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val qLab = queries
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      .join(labCnt.withColumnRenamed("label", "qlabel"), "qlabel")
+      .select(col("query_id"), col("qlabel"), (col("cnt") - 1).cast("long").as("n_relevant"))
+    val graded = ranked
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")), "neighbor_id")
+      .join(broadcast(qLab), "query_id")
+      .select(
+        col("query_id"),
+        col("n_relevant"),
+        col("rn"),
+        (col("nlabel") === col("qlabel")).cast("long").as("rel"))
+    graded
+      .groupBy(col("query_id"), col("n_relevant"))
+      .agg(
+        sum(col("rel")).as("hits_at_k"),
+        min(when(col("rel") === 1, col("rn"))).as("first_rel"),
+        aggregate(
+          array_sort(collect_list(struct(col("rn"), col("rel")))),
+          lit(0.0),
+          (acc, x) =>
+            acc + x.getField("rel").cast("double") /
+              log(x.getField("rn").cast("double") + lit(1.0))).as("dcg"))
+      .select(
+        col("query_id"),
+        col("n_relevant"),
+        col("hits_at_k"),
+        when(col("first_rel").isNotNull, round(lit(1.0) / col("first_rel").cast("double"), 6))
+          .otherwise(lit(0.0)).as("rr"),
+        when(
+          col("n_relevant") > 0,
+          round(
+            col("dcg") / aggregate(
+              transform(
+                sequence(lit(1), least(col("n_relevant"), lit(k.toLong)).cast("int")),
+                i => lit(1.0) / log(i.cast("double") + lit(1.0))),
+              lit(0.0),
+              (acc, x) => acc + x),
+            6)).otherwise(lit(0.0)).as("ndcg"))
+  }
+
   // ----------------------------------------------------- product quantization
 
   /** PQ codebooks: `codebooks(sub)(code)` is the d/m-dim centroid of code

@@ -657,6 +657,35 @@ object ExtendedQueries {
         Tables(spark, dir).customer, Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10L, l = 2L)
     },
 
+    // Behavioral path mining: counts of length-3 consecutive event-type
+    // sequences per user (lead pairs in total (ts, event_id) order) — the
+    // "what do users actually do" funnel-discovery primitive the Markov
+    // matrix below summarizes to first order. All-integer; the path
+    // universe is |event_types|³-bounded, so the aggregation is tiny
+    // regardless of event volume.
+    Q(
+      "events_paths",
+      Some("""
+        WITH seq AS (SELECT event_type AS e1,
+                            lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                            lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+                     FROM events)
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir).events
+        .select(
+          col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n_paths"))
+    },
+
     // First-order Markov transition matrix over per-user event sequences:
     // P(next|prev) from lag pairs in total (ts, event_id) order — the
     // behavior model behind next-action prediction; improbable transitions

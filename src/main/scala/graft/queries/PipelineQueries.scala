@@ -1808,6 +1808,50 @@ object PipelineQueries {
         bits = 8, tables = 12, probeHamming = 2)
     },
 
+    // --------------------------------------------- IR ranking metrics
+    // Retrieval eval over the exact top-10, graded by embedding labels
+    // (relevant ⇔ same label): hits@10, MRR, binary-gain NDCG@10 with the
+    // ln-discount (base cancels in the ratio), per query. DCG and the
+    // ideal both fold in FIXED rank order; ln ulp freedom sits under
+    // round(·, 6). The index-quality artifact next to ann_recall_audit:
+    // recall says "found the true neighbors", this says "the neighbors
+    // are the right CLASS, early".
+    Q(
+      "ann_ranking_metrics",
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+              FROM q JOIN c ON query_id <> neighbor_id),
+        r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rn
+              FROM s),
+        lc AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+        ql AS (SELECT e.vec_id AS query_id, e.label AS qlabel, lc.cnt - 1 AS n_relevant
+               FROM embeddings e JOIN lc ON lc.label = e.label WHERE e.vec_id < 8),
+        g AS (SELECT r.query_id, ql.n_relevant, r.rn,
+                     CASE WHEN ne.label = ql.qlabel THEN 1 ELSE 0 END AS rel
+              FROM r JOIN embeddings ne ON ne.vec_id = r.neighbor_id
+                     JOIN ql ON ql.query_id = r.query_id
+              WHERE r.rn <= 10),
+        pq AS (SELECT query_id, n_relevant,
+                      CAST(SUM(rel) AS BIGINT) AS hits_at_k,
+                      MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+                      list_reduce(list(CAST(rel AS DOUBLE) / ln(CAST(rn AS DOUBLE) + 1.0) ORDER BY rn),
+                                  (a, b) -> a + b) AS dcg
+               FROM g GROUP BY query_id, n_relevant)
+        SELECT query_id, CAST(n_relevant AS BIGINT) AS n_relevant, hits_at_k,
+               CASE WHEN first_rel IS NOT NULL THEN round(1.0 / CAST(first_rel AS DOUBLE), 6) ELSE 0.0 END AS rr,
+               CASE WHEN n_relevant > 0
+                    THEN round(dcg / list_reduce(
+                           list_transform(range(1, least(n_relevant, 10) + 1),
+                             i -> 1.0 / ln(CAST(i AS DOUBLE) + 1.0)),
+                           (a, b) -> a + b), 6)
+                    ELSE 0.0 END AS ndcg
+        FROM pq""")) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.rankingMetrics(emb, emb.filter(col("vec_id") < 8), k = 10)
+    },
+
     // ------------------------------------ JL random projection (64 → 16)
     // Deterministic ±1 sign-matrix projection (Achlioptas) as a zero-
     // shuffle narrow map — the shrink-before-index step for ANN at scale.

@@ -880,6 +880,36 @@ object TextQueries {
         blocklist = Seq("drop", "null", "slow"), maxRatio = 0.05)
     },
 
+    // ------------------------------------------------- Zipf-law fit
+    // OLS of ln(freq) on ln(rank) over the word-frequency table — corpus
+    // health in one number (natural language ≈ −1; template floods
+    // flatten it). ln values land on the 1e-12 decimal grid before the
+    // moments (exact sums), moments round to scale 9 before the double
+    // closed form, round(·, 6) — the trend_nation_revenue discipline on
+    // log-log data.
+    Q(
+      "text_zipf_fit",
+      Some("""
+        WITH wc AS (SELECT word, COUNT(*) AS freq FROM (
+               SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word FROM documents)
+             GROUP BY word),
+        rk AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank FROM wc),
+        xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(16,12)) AS x,
+                      CAST(round(ln(CAST(freq AS DOUBLE)), 12) AS DECIMAL(16,12)) AS y
+               FROM rk),
+        m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(x * y) AS sxy FROM xy),
+        d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                     CAST(ROUND(sx, 9) AS DOUBLE) AS sxd, CAST(ROUND(sxx, 9) AS DOUBLE) AS sxxd,
+                     CAST(ROUND(sy, 9) AS DOUBLE) AS syd, CAST(ROUND(sxy, 9) AS DOUBLE) AS sxyd
+              FROM m)
+        SELECT n AS n_words,
+               round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+               round((syd - round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) * sxd) / nd, 6) AS intercept
+        FROM d
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.zipfFit(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
     // ------------------------------------------- WordPiece vocabulary
     // In-engine subword tokenizer training (the greedy sibling of BPE):
     // weighted substring frequencies over the DISTINCT-WORD table, all
