@@ -277,6 +277,75 @@ object EventStreams {
         })
   }
 
+  final case class SsCounter(key: Long, count: Long, err: Long)
+  final case class SsState(counters: Array[SsCounter], nRows: Long)
+  final case class SsTop(shard: Int, key: Long, count_min: Long, count_max: Long, n_rows: Long)
+
+  /** Streaming heavy hitters by SHARDED SpaceSaving (Metwally et al.
+    * 2005 "Efficient Computation of Frequent and Top-k Elements in Data
+    * Streams"): each of `shards` state groups holds exactly `k`
+    * (key, count, err) counters — a hit increments its counter; a miss
+    * evicts the MINIMUM counter, inheriting its count as the new key's
+    * overestimation error. Per-key guarantees: true_count ∈
+    * [count − err, count] within the shard, and any key with true
+    * frequency > n_shard/k is guaranteed present — the classic bounded-
+    * state answer to "top user_ids ever seen" that an exact groupBy
+    * cannot give a stream.
+    *
+    * Scale shape: state is shards·k counters TOTAL regardless of stream
+    * length or key cardinality; sharding by key-hash keeps the state
+    * groups parallel (one global group would serialize the stream) and
+    * the per-shard guarantee still merges downstream (Misra-Gries
+    * summaries are mergeable: sum counts, keep top-k). Deterministic
+    * tie-breaks (evict the min-count counter with the LARGEST key; ties
+    * on output sort by count desc, key asc) make stream == batch replay
+    * exact, which the spec pins. Emits each shard's current top
+    * counters: (shard, key, count_min, count_max, n_rows). */
+  def spaceSavingStream(
+      events: Dataset[Event],
+      k: Int = 16,
+      shards: Int = 4): Dataset[SsTop] = {
+    require(k >= 1 && shards >= 1, "k and shards must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (graft.functions.Mix64.mix(e.user_id) % shards + shards) % shards)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (shard: Long, evs: Iterator[Event], state: GroupState[SsState]) => {
+          var counters = state.getOption.map(_.counters.toBuffer).getOrElse(
+            scala.collection.mutable.Buffer.empty[SsCounter])
+          var n = state.getOption.map(_.nRows).getOrElse(0L)
+          // SpaceSaving is ORDER-SENSITIVE (eviction depends on arrival
+          // sequence): fold each batch in (ts, event_id) order — the same
+          // move funnelStream makes — so the state is a pure function of
+          // the event-time sequence, not of partition iteration order
+          evs.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            n += 1
+            val i = counters.indexWhere(_.key == e.user_id)
+            if (i >= 0) counters(i) = counters(i).copy(count = counters(i).count + 1)
+            else if (counters.size < k) counters += SsCounter(e.user_id, 1L, 0L)
+            else {
+              // evict the min-count counter, largest key on ties — a total
+              // order, so the state is a pure function of the event sequence
+              var mi = 0
+              var j = 1
+              while (j < counters.size) {
+                val c = counters(j); val m = counters(mi)
+                if (c.count < m.count || (c.count == m.count && c.key > m.key)) mi = j
+                j += 1
+              }
+              val evicted = counters(mi)
+              counters(mi) = SsCounter(e.user_id, evicted.count + 1, evicted.count)
+            }
+          }
+          state.update(SsState(counters.toArray, n))
+          counters.toSeq
+            .sortBy(c => (-c.count, c.key))
+            .map(c => SsTop(shard.toInt, c.key, c.count - c.err, c.count, n))
+            .iterator
+        })
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * signups within `withinHours` BEFORE the purchase. On a stream both
     * sides carry watermarks and the time-range predicate bounds the join

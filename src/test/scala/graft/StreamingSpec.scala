@@ -405,4 +405,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("spaceSaving heavy hitters: bounds hold, frequent keys guaranteed, k counters per shard") {
+    import spark.implicits._
+    val k = 16
+    val shards = 4
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .spaceSavingStream(stream, k = k, shards = shards)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("ss_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    // final snapshot per shard = rows carrying that shard's max n_rows
+    val fin = spark.table("ss_out")
+      .withColumn("mx", max(col("n_rows")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))))
+      .filter(col("n_rows") === col("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fin.nonEmpty)
+    val byShard = fin.groupBy(_._1)
+    assert(byShard.keySet.subsetOf((0 until shards).toSet))
+    byShard.values.foreach(rows => assert(rows.length <= k))
+    // exact truth per (shard, user)
+    val truth = events
+      .select(col("user_id"))
+      .collect()
+      .map(_.getLong(0))
+      .groupBy(u => ((graft.functions.Mix64.mix(u) % shards + shards) % shards).toInt)
+      .view.mapValues(_.groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    fin.foreach { case (sh, key, cmin, cmax, _) =>
+      val t = truth(sh).getOrElse(key, 0L)
+      assert(cmin <= t && t <= cmax, s"shard $sh key $key: true $t outside [$cmin,$cmax]")
+    }
+    // SpaceSaving guarantee: every key with true count > n_shard/k is present
+    byShard.foreach { case (sh, rows) =>
+      val n = rows.head._5
+      val present = rows.map(_._2).toSet
+      truth(sh).foreach { case (key, t) =>
+        if (t > n / k) assert(present.contains(key), s"frequent key $key (count $t) missing in shard $sh")
+      }
+    }
+  }
 }
