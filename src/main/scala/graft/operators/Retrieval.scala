@@ -227,8 +227,10 @@ object Retrieval {
       idCol: String,
       textCol: String,
       maxDfRatio: Double = 0.5,
-      minSim: Double = 0.1): DataFrame = {
+      minSim: Double = 0.1,
+      maxDfAbs: Long = 2000L): DataFrame = {
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0, s"maxDfRatio in (0,1], got $maxDfRatio")
+    require(maxDfAbs >= 1, s"maxDfAbs must be positive, got $maxDfAbs")
     val n = docs.count()
     require(n >= 2, "need at least 2 documents")
 
@@ -238,9 +240,17 @@ object Retrieval {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // df over distinct (doc, token) rows; the cap is the integer
-    // floor(maxDfRatio·N) so both engines compare against the same exact
-    // threshold — no float boundary in the filter
-    val maxDf = (maxDfRatio * n).toLong
+    // min(floor(maxDfRatio·N), maxDfAbs) so both engines compare against
+    // the same exact threshold — no float boundary in the filter.
+    // maxDfAbs exists because the RATIO alone is not a scale guard: in a
+    // grown corpus of near-disjoint sub-corpora (sharded crawls, per-day
+    // drops) a term common within one shard sits far under any global
+    // fraction while its posting list still fans out df² pairs — measured
+    // as alpha ≈ 2.1 on ×4 decorrelated copies before this cap (SCALE.md),
+    // alpha ≈ 1 after. Same physics as Dedup's LSH maxBucketDF: the pair
+    // budget per term is maxDfAbs², an absolute bound no corpus growth
+    // can inflate.
+    val maxDf = math.min((maxDfRatio * n).toLong, maxDfAbs)
     val kept = tf
       .join(
         broadcast(

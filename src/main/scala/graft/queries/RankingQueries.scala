@@ -134,8 +134,10 @@ object RankingQueries {
     // --------------------------------- tf-idf posting-list cosine pairs
     // Similar-document pairs WITHOUT embeddings: ln-idf-weighted term
     // vectors, one term-keyed posting self-join (Bayardo all-pairs shape),
-    // df > 0.5·N terms dropped — the IDF stop-word cut that is also the
-    // hot-term scale guard (fan-out is Σ df²). Norms/dots are unordered
+    // terms with df > min(0.5·N, 2000) dropped — the IDF stop-word cut
+    // composed with an ABSOLUTE pair-budget cap (a global fraction alone
+    // under-caps shard-locally-common terms; measured quadratic on
+    // decorrelated ×4 copies, SCALE.md). Norms/dots are unordered
     // SUMs inside the proven round(·, 6) envelope; tf/df/N all exact ints.
     Q(
       "tfidf_cosine_pairs",
@@ -145,7 +147,7 @@ object RankingQueries {
         nd AS (SELECT COUNT(*) AS n FROM documents),
         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
         kept AS (SELECT tf.doc_id, tf.token, tf.tf, df.df FROM tf JOIN df ON tf.token = df.token
-                 WHERE df.df <= CAST(floor(0.5 * (SELECT n FROM nd)) AS BIGINT)),
+                 WHERE df.df <= LEAST(CAST(floor(0.5 * (SELECT n FROM nd)) AS BIGINT), 2000)),
         p AS (SELECT doc_id, token,
                      CAST(tf AS DOUBLE) * ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS w
               FROM kept),
@@ -157,7 +159,7 @@ object RankingQueries {
         WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.1
       """)) { (spark, dir) =>
       Retrieval.tfidfCosinePairs(
-        Tables(spark, dir).documents, "doc_id", "text", maxDfRatio = 0.5, minSim = 0.1)
+        Tables(spark, dir).documents, "doc_id", "text", maxDfRatio = 0.5, minSim = 0.1, maxDfAbs = 2000L)
     }
   )
 }
