@@ -133,4 +133,69 @@ object Funnel {
         col("n_transitions"),
         round(col("n_transitions").cast("double") / col("n_from"), 6).as("prob"))
   }
+
+  /** Kaplan-Meier survival curve over user churn (Kaplan & Meier 1958):
+    * a user's observed time is the DAY of their last event (day index
+    * from `baseDate`); they count as CHURNED (death) if the corpus's max
+    * event time is more than `churnGapDays` past their last event,
+    * otherwise right-CENSORED (still alive at observation end — the case
+    * naive retention curves silently miscount). At each death day t:
+    * n_at_risk = users whose observed day ≥ t, d = deaths at t, and
+    * S(t) = Π_{t_j ≤ t} (1 − d_j/n_j) — the estimator every churn model
+    * is benchmarked against.
+    *
+    * Determinism: day indices/death flags/at-risk counts are exact ints
+    * (micros-epoch comparison — no fractional-seconds truncation skew);
+    * S(t) = exp(cumulative Σ ln((n−d)/n)) where the cumulative window sum
+    * adds row-by-row in day order on both engines (an ORDER BY running
+    * sum is a fixed op sequence, unlike a group SUM), round(·, 6). A
+    * fully-dying last day hits ln(0) = −∞ → exp = 0 exactly in both.
+    *
+    * Scale: one user-keyed aggregation (corpus-sized, map-side combined),
+    * then everything runs on the per-DAY frame — observation windows are
+    * years, so the windowed part is a few thousand rows no matter how
+    * many users or events. Returns (day, n_at_risk, d_churned, survival). */
+  def kaplanMeier(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      baseDate: String,
+      churnGapDays: Int = 5): DataFrame = {
+    require(churnGapDays >= 1, s"churnGapDays must be positive, got $churnGapDays")
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = churnGapDays.toLong * 86400L * 1000000L
+    val mx = events.agg(max(unix_micros(col(tsCol))).as("mxus"))
+    val obs = events
+      .groupBy(col(userCol).as("uid"))
+      .agg(max(col(tsCol)).as("last_ts"))
+      .crossJoin(broadcast(mx))
+      .select(
+        datediff(to_date(col("last_ts")), lit(baseDate).cast("date")).as("day"),
+        (col("mxus") - unix_micros(col("last_ts")) > gapUs).cast("long").as("death"))
+    val perDay = obs
+      .groupBy(col("day"))
+      .agg(sum(col("death")).as("d"), count(lit(1)).as("ended"))
+      .crossJoin(broadcast(obs.agg(count(lit(1)).as("n_total"))))
+    val wDay = Window.orderBy(col("day"))
+    val withRisk = perDay
+      .withColumn(
+        "n_at_risk",
+        col("n_total") -
+          coalesce(
+            sum(col("ended")).over(wDay.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+      .filter(col("d") > 0)
+    withRisk
+      .withColumn(
+        "s_ln",
+        sum(
+          log(
+            (col("n_at_risk") - col("d")).cast("double") / col("n_at_risk").cast("double")))
+          .over(wDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        col("day"),
+        col("n_at_risk"),
+        col("d").as("d_churned"),
+        round(exp(col("s_ln")), 6).as("survival"))
+  }
 }

@@ -419,6 +419,56 @@ object Graph {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Item-item cosine similarity from bipartite co-occurrence: for left
+    * nodes a, b sharing right-neighbors, cos(a,b) = shared/√(deg_a·deg_b)
+    * over the hub-capped edge set — [[commonNeighborPairs]]' raw shared
+    * counts normalized into the classic item-item collaborative-filtering
+    * score (co-purchase similarity), so prolific items don't dominate by
+    * volume. Same scale discipline: right hubs over `maxDegree` are
+    * dropped before pairing (broadcast LeftAnti), the pair join is
+    * equi-keyed on the right node, `minShared` bounds the output tail.
+    * Degrees are counted over the SAME capped set the pairs come from, so
+    * cosine ≤ 1 exactly. Returns (a, b, shared, cosine) rounded to 6. */
+  def cooccurrenceCosine(
+      edges: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDegree: Int,
+      minShared: Long = 2L): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must allow pairs, got $maxDegree")
+    val e = edges
+      .select(col(leftCol).cast("long").as("l"), col(rightCol).cast("long").as("r"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = e
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDegree)
+      .select("r")
+    val cold = e.join(broadcast(hot), Seq("r"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ldeg = cold.groupBy(col("l")).agg(count(lit(1)).as("deg"))
+    val out = cold
+      .as("x")
+      .join(cold.as("y"), col("x.r") === col("y.r") && col("x.l") < col("y.l"))
+      .groupBy(col("x.l").as("a"), col("y.l").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(ldeg.select(col("l").as("a"), col("deg").as("da")), Seq("a"))
+      .join(ldeg.select(col("l").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        col("a"),
+        col("b"),
+        col("shared"),
+        round(
+          col("shared").cast("double") /
+            sqrt(col("da").cast("double") * col("db").cast("double")),
+          6).as("cosine"))
+    val materialized = out.localCheckpoint(true)
+    e.unpersist(); cold.unpersist()
+    materialized
+  }
+
   /** Per-node triangle counts + local clustering coefficient via
     * DEGREE-ORDERED wedge closing (the "compact-forward" scheme, Latapy
     * 2008 / Suri-Vassilvitskii WWW'11 for the MapReduce form): orient every

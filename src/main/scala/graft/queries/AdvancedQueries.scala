@@ -899,6 +899,68 @@ object AdvancedQueries {
       graft.operators.Graph.hits(edges, "src", "dst", iterations = 8, checkpointInterval = 1)
     },
 
+    // ------------------------------------- item-item cosine (co-purchase)
+    // commonNeighborPairs' shared counts normalized into the classic
+    // item-item collaborative-filtering score: cos = shared/√(deg_a·deg_b)
+    // over the SAME hub-capped edge set (so cosine ≤ 1 exactly). Exact
+    // ints up to one sqrt; round(·, 6); top-100 on the rounded score with
+    // (a, b) tie-break.
+    Q(
+      "graph_cooccurrence_cosine",
+      Some("""
+        WITH e AS (SELECT DISTINCT l_suppkey AS l, o_custkey AS r
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT r, COUNT(*) AS deg FROM e GROUP BY r),
+        cold AS (SELECT e.l, e.r FROM e JOIN deg USING (r) WHERE deg.deg <= 50),
+        ldeg AS (SELECT l, COUNT(*) AS deg FROM cold GROUP BY l),
+        p AS (SELECT x.l AS a, y.l AS b, COUNT(*) AS shared
+              FROM cold x JOIN cold y ON x.r = y.r AND x.l < y.l
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sc AS (SELECT p.a, p.b, p.shared,
+                      round(CAST(p.shared AS DOUBLE) / sqrt(CAST(da.deg AS DOUBLE) * CAST(db.deg AS DOUBLE)), 6) AS cosine
+               FROM p JOIN ldeg da ON da.l = p.a JOIN ldeg db ON db.l = p.b)
+        SELECT a, b, shared, cosine FROM sc ORDER BY cosine DESC, a, b LIMIT 100
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      graft.operators.Graph
+        .cooccurrenceCosine(edges, "supp", "cust", maxDegree = 50, minShared = 2L)
+        .orderBy(col("cosine").desc, col("a"), col("b"))
+        .limit(100)
+    },
+
+    // --------------------------------------- Kaplan-Meier churn survival
+    // The censoring-aware survival curve (Kaplan & Meier 1958) naive
+    // retention miscounts: users silent > 1 day before observation end
+    // churn at their last-event day, the rest are right-censored. Exact
+    // integer at-risk/death counts (micros-epoch gap compare); S(t) =
+    // exp(running Σ ln((n−d)/n)) where the ORDER BY running sum is a
+    // fixed op sequence on both engines; round(·, 6).
+    Q(
+      "events_kaplan_meier",
+      Some("""
+        WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxus FROM events),
+        obs AS (SELECT datediff('day', DATE '2024-01-01', CAST(last_ts AS DATE)) AS day,
+                       CASE WHEN (SELECT mxus FROM mx) - epoch_us(last_ts) > 86400000000 THEN 1 ELSE 0 END AS death
+                FROM (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)),
+        nt AS (SELECT COUNT(*) AS n_total FROM obs),
+        pd AS (SELECT day, CAST(SUM(death) AS BIGINT) AS d, COUNT(*) AS ended FROM obs GROUP BY day),
+        wr AS (SELECT day, d,
+                      CAST((SELECT n_total FROM nt)
+                        - COALESCE(SUM(ended) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+               FROM pd),
+        dr AS (SELECT day, n_at_risk, d,
+                      SUM(ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)))
+                        OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_ln
+               FROM wr WHERE d > 0)
+        SELECT day, n_at_risk, d AS d_churned, round(exp(s_ln), 6) AS survival FROM dr
+      """)) { (spark, dir) =>
+      graft.operators.Funnel.kaplanMeier(
+        Tables(spark, dir).events, "user_id", "ts", baseDate = "2024-01-01", churnGapDays = 1)
+    },
+
     // --------------------------------------------- connected components
     // Entity consolidation over the undirected interaction graph:
     // component = min node id, via the alternating large-star/small-star

@@ -99,4 +99,28 @@ class FunnelSpec extends SparkSpec {
     val sums = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
     sums.foreach { case (s, p) => assert(math.abs(p - 1.0) < 1e-9, s"$s sums to $p") }
   }
+
+  test("kaplanMeier: hand-computed curve with censoring, monotone, censored-only is empty") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // observation ends day 9 (user F active to the end). Last-event days:
+    // A=1 B=1 C=3 (all churned, gap > 2d), D=8 E=8 F=9 (censored, gap <= 2d)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(1)),           // A dies day 1
+      (2L, ts(1)),                        // B dies day 1
+      (3L, ts(3)),                        // C dies day 3
+      (4L, ts(8)), (5L, ts(8)), (6L, ts(9))
+    ).toDF("user_id", "ts")
+    val got = Funnel.kaplanMeier(events, "user_id", "ts", baseDate = "2024-01-01", churnGapDays = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // day 1: at risk 6, d 2 → S = 4/6; day 3: at risk 4, d 1 → S = 4/6 · 3/4 = 0.5
+    assert(got.keySet == Set(1, 3), s"death days: ${got.keySet}")
+    assert(got(1)._1 == 6L && got(1)._2 == 2L)
+    assert(got(3)._1 == 4L && got(3)._2 == 1L)
+    assert(math.abs(got(1)._3 - 2.0 / 3) < 1e-6 && math.abs(got(3)._3 - 0.5) < 1e-6)
+    // survival is non-increasing across death days
+    assert(got(1)._3 >= got(3)._3)
+    // a fully-censored population has no death rows at all
+    val alive = Seq((1L, ts(9)), (2L, ts(8))).toDF("user_id", "ts")
+    assert(Funnel.kaplanMeier(alive, "user_id", "ts", "2024-01-01", churnGapDays = 2).isEmpty)
+  }
 }

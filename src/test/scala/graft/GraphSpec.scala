@@ -159,6 +159,23 @@ class GraphSpec extends SparkSpec {
     assert(fast.map(_._3).sum == brute.values.sum)
   }
 
+  test("cooccurrenceCosine: hand-checked normalization, identical-neighborhood pair hits 1") {
+    // items 1,2 share BOTH customers (deg 2 each) → cos = 2/√4 = 1.0;
+    // item 3 shares one customer with each (deg 1) → cos = 1/√2
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L)).toDF("item", "cust")
+    val got = Graph.cooccurrenceCosine(e, "item", "cust", maxDegree = 50, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got((1L, 2L)) == ((2L, 1.0)), s"got ${got.get((1L, 2L))}")
+    val inv2 = BigDecimal(1.0 / math.sqrt(2.0 * 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 3L)) == ((1L, inv2)) && got((2L, 3L)) == ((1L, inv2)))
+    // a hub customer above the cap contributes nothing — and its removal
+    // also shrinks the degrees (cosine is over the capped graph)
+    val withHub = e.union(Seq.tabulate(60)(i => (i + 100L, 10L)).toDF("item", "cust"))
+    val capped = Graph.cooccurrenceCosine(withHub, "item", "cust", maxDegree = 50, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 1L), s"got $capped") // only cust 11 survives
+  }
+
   test("bfsLevels: path graph levels, depth cap, isolated source, early exit") {
     // path 1-2-3-4-5 plus isolated source 99
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
