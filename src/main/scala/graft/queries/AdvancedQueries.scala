@@ -931,6 +931,70 @@ object AdvancedQueries {
         .limit(100)
     },
 
+    // ------------------------------------------- A/B two-proportion test
+    // Experiment readout: deterministic variant assignment (user_id
+    // parity — in production, the hash bucket the assignment service
+    // wrote), conversion = heavy purchaser (≥ 15 purchase events — "ever
+    // purchased" saturates at 1.0 in this dense fixture, collapsing the
+    // pooled variance), and the two-proportion
+    // pooled z-statistic — the significance number every experimentation
+    // pipeline ships. Counts are exact ints; the z closed form runs in
+    // matched double order, round(·, 6). |z| > 1.96 ⇒ 95% significance;
+    // the statistic is emitted rather than a p-value (no erf parity
+    // across engines — the consumer applies their own threshold).
+    Q(
+      "events_ab_ztest",
+      Some("""
+        WITH u AS (SELECT user_id, user_id % 2 AS variant,
+                          CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted
+                   FROM events GROUP BY user_id),
+        v AS (SELECT variant, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_converted
+              FROM u GROUP BY variant),
+        w AS (SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS na,
+                     MAX(CASE WHEN variant = 0 THEN n_converted END) AS xa,
+                     MAX(CASE WHEN variant = 1 THEN n_users END) AS nb,
+                     MAX(CASE WHEN variant = 1 THEN n_converted END) AS xb
+              FROM v),
+        z AS (SELECT na, xa, nb, xb,
+                     CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                     CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+                     CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+              FROM w)
+        SELECT na, xa, nb, xb,
+               round(pa - pb, 6) AS lift,
+               CASE WHEN pp > 0.0 AND pp < 1.0
+                    THEN round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)
+                    ELSE 0.0 END AS z
+        FROM z
+      """)) { (spark, dir) =>
+      val u = Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 15)
+            .cast("int").as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+      val v = u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).cast("long").as("n_converted"))
+      val w = v.agg(
+        max(when(col("variant") === 0, col("n_users"))).as("na"),
+        max(when(col("variant") === 0, col("n_converted"))).as("xa"),
+        max(when(col("variant") === 1, col("n_users"))).as("nb"),
+        max(when(col("variant") === 1, col("n_converted"))).as("xb"))
+      val pa = col("xa").cast("double") / col("na").cast("double")
+      val pb = col("xb").cast("double") / col("nb").cast("double")
+      val pp = (col("xa") + col("xb")).cast("double") / (col("na") + col("nb")).cast("double")
+      w.select(
+        col("na"), col("xa"), col("nb"), col("xb"),
+        round(pa - pb, 6).as("lift"),
+        when(
+          pp > 0.0 && pp < 1.0,
+          round(
+            (pa - pb) /
+              sqrt(pp * (lit(1.0) - pp) *
+                (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double"))),
+            6)).otherwise(lit(0.0)).as("z"))
+    },
+
     // --------------------------------------- Kaplan-Meier churn survival
     // The censoring-aware survival curve (Kaplan & Meier 1958) naive
     // retention miscounts: users silent > 1 day before observation end
