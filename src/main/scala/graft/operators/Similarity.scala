@@ -1332,6 +1332,137 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("d2raw"), 6).as("d2"), col("rn"))
   }
 
+  /** IVF-PQ: the canonical billion-vector index (Jégou et al. 2011 §IV) —
+    * a coarse quantizer partitions the corpus into `nlist` cells (the
+    * decimal-exact spherical [[kmeans]], so cell assignment matches the
+    * rest of the IVF family), and a product quantizer codes each vector's
+    * RESIDUAL u − c(cell) (residuals are centered near 0, so the same
+    * code budget quantizes them far tighter than raw coordinates — the
+    * whole point of the composition). Serving probes each query's
+    * `nprobe` nearest cells, scores codes by per-(query, cell) residual
+    * LUTs (ADC), shortlists rerank·k, and exact-cosine-reranks — output
+    * (query_id, neighbor_id, sim, rn), the IVF-family contract.
+    *
+    * Scale shape: the resident index is (cell, m codes) per vector —
+    * m·log2(pqK)/8 bytes + a cell id; scoring joins the code table to a
+    * BROADCAST nQ·nprobe·m·pqK LUT and partial-aggregates map-side; only
+    * shortlist rows touch full-precision vectors (the rerank join). The
+    * coarse model is nlist·d, the PQ model m·pqK·(d/m) = pqK·d — both
+    * bounded driver models. */
+  def ivfPq(
+      embs: DataFrame,
+      queries: DataFrame,
+      nlist: Int = 16,
+      coarseIters: Int = 5,
+      m: Int = 8,
+      pqK: Int = 16,
+      pqIters: Int = 3,
+      nprobe: Int = 8,
+      k: Int = 10,
+      rerank: Int = 10): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val km    = kmeans(embs, nlist, maxIter = coarseIters, tol = 0.0)
+    val cents = km.centroids
+    val dsub  = cents.head.length / m
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "ccv"))
+    val unit = embs
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+      .select(
+        col("vec_id"),
+        when(col("nrm") > 0, transform(col("v0"), x => x / col("nrm")))
+          .otherwise(col("v0"))
+          .as("u"))
+    val resid = unit
+      .join(km.assignments.select(col("vec_id"), col("cluster").as("cell")), "vec_id")
+      .join(centDf, "cell")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        zip_with(col("u"), col("ccv"), (a, b) => a - b).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = pqTrain(resid.select(col("vec_id"), col("embedding")), m, pqK, pqIters)
+      val codes = pqCodes(resid.select(col("vec_id"), col("embedding")), model)
+        .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+
+      val probesOf = udf { (v: Seq[Double]) => nearestCells(normalized(v.toArray), cents, nprobe) }
+      val qunit = queries
+        .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv")))
+        .select(
+          col("query_id"),
+          col("qv"),
+          when(col("qn") > 0, transform(col("qv"), x => x / col("qn")))
+            .otherwise(col("qv"))
+            .as("qu"))
+      val qprobe = qunit.withColumn("cell", explode(probesOf(col("qv"))))
+      val bookDf = model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) }
+      }.toSeq.toDF("sub", "code", "cv")
+      val lut = broadcast(
+        qprobe
+          .join(centDf, "cell")
+          .select(
+            col("query_id"),
+            col("cell"),
+            zip_with(col("qu"), col("ccv"), (a, b) => a - b).as("qr"))
+          .crossJoin(bookDf)
+          .select(
+            col("query_id"),
+            col("cell"),
+            col("sub"),
+            col("code"),
+            aggregate(
+              zip_with(
+                slice(col("qr"), col("sub") * dsub + lit(1), lit(dsub)),
+                col("cv"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0),
+              (acc, x) => acc + x).as("pd")))
+      val approx = codes
+        .join(lut, Seq("cell", "sub", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(
+          aggregate(
+            array_sort(collect_list(struct(col("sub"), col("pd")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("pd")).as("ad"))
+      import org.apache.spark.sql.expressions.Window
+      val shortlist = approx
+        .withColumn(
+          "srk",
+          row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("ad").asc, col("neighbor_id").asc)))
+        .filter(col("srk") <= k * rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      // exact rerank with the IVF family's raw-double cosine discipline
+      val qraw = queries.select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qx"))
+        .withColumn("qn", norm(col("qx")))
+      val nraw = embs.select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("nx"))
+        .withColumn("nn", norm(col("nx")))
+      val sim = dot(col("qx"), col("nx")) / (col("qn") * col("nn"))
+      val out = shortlist
+        .join(qraw, Seq("query_id"))
+        .join(nraw, Seq("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(sim, 9).as("sim9"),
+          round(sim, 6).as("sim"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("sim9").desc, col("neighbor_id").asc)))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      out.localCheckpoint(true)
+    } finally resid.unpersist()
+  }
+
   // ------------------------------------------------------------------ PCA
 
   /** Trained PCA model: per-dimension means and the top principal

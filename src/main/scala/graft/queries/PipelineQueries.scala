@@ -153,6 +153,14 @@ object PipelineQueries {
   private def pqPrefix(m: Int, dsub: Int, k: Int, iters: Int): String = {
     val head =
       """WITH rv AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"""
+    s"$head,\n${pqSubspaceChains(m, dsub, k, iters)}"
+  }
+
+  /** The m per-subspace Lloyd's chains + code table of [[pqPrefix]],
+    * factored so they can train over ANY source CTE named `rv`
+    * (vec_id, x DOUBLE[]) — raw embeddings for ann_pq_*, coarse-cell
+    * RESIDUALS for ann_ivfpq. */
+  private def pqSubspaceChains(m: Int, dsub: Int, k: Int, iters: Int): String = {
     val subs = (0 until m).map { s =>
       val lo = s * dsub + 1
       val d2 =
@@ -186,7 +194,61 @@ object PipelineQueries {
       s"""codes AS MATERIALIZED (${(0 until m)
           .map(s => s"SELECT vec_id, $s AS sub, CAST(code AS INTEGER) AS code FROM s${s}code")
           .mkString(" UNION ALL ")})"""
-    s"$head,\n$subs,\n$codes"
+    s"$subs,\n$codes"
+  }
+
+  /** DuckDB oracle for ann_ivfpq: [[kmeansCellsPrefix]] replays the
+    * coarse quantizer (nv unit vectors, c`ci` centroids, af assignments),
+    * `rv` becomes the RESIDUAL table nv.v − c(cell) feeding
+    * [[pqSubspaceChains]] (so the PQ model trains on residuals exactly
+    * like the operator), then the serve: per-query nprobe probes, a
+    * per-(query, cell) residual LUT against the final sub-space
+    * codebooks, fixed-sub-order ADC fold over each probed cell's codes,
+    * rerank·k shortlist, and the proven raw-double cosine rerank. */
+  private def ivfPqOracle(
+      nlist: Int, coarseIters: Int, m: Int, dsub: Int, pqK: Int, pqIters: Int,
+      nQ: Int, nprobe: Int, k: Int, rerank: Int): String = {
+    val d2 =
+      "list_reduce(list_transform(range(1, 65), i -> (nv.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) * (nv.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])), (a, b) -> a + b)"
+    val luts = (0 until m).map { s =>
+      val lo = s * dsub
+      s"""SELECT r.query_id, r.cell, $s AS sub, CAST(c.cluster AS INTEGER) AS code,
+             list_reduce(list_transform(range(1, ${dsub + 1}),
+               i -> (r.qr[CAST($lo + i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) * (r.qr[CAST($lo + i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])),
+               (a, b) -> a + b) AS pd
+         FROM qres r CROSS JOIN s${s}c$pqIters c"""
+    }.mkString(" UNION ALL ")
+    s"""${kmeansCellsPrefix(nlist, coarseIters)},
+       rv AS MATERIALIZED (SELECT nv.vec_id,
+            list_transform(range(1, 65), i -> nv.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS x
+            FROM nv JOIN af ON af.vec_id = nv.vec_id JOIN c$coarseIters c ON c.cluster = af.cluster),
+       ${pqSubspaceChains(m, dsub, pqK, pqIters)},
+       qprobe AS MATERIALIZED (SELECT vec_id AS query_id, cluster AS cell FROM (
+            SELECT nv.vec_id, c.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY $d2 ASC, c.cluster ASC) AS rk
+            FROM nv CROSS JOIN c$coarseIters c WHERE nv.vec_id < $nQ) WHERE rk <= $nprobe),
+       qres AS MATERIALIZED (SELECT q.query_id, q.cell,
+            list_transform(range(1, 65), i -> nv.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS qr
+            FROM qprobe q JOIN nv ON nv.vec_id = q.query_id JOIN c$coarseIters c ON c.cluster = q.cell),
+       lutq AS MATERIALIZED ($luts),
+       cellcodes AS MATERIALIZED (SELECT codes.vec_id, af.cluster AS cell, codes.sub, codes.code
+            FROM codes JOIN af ON af.vec_id = codes.vec_id),
+       approx AS MATERIALIZED (SELECT l.query_id, cc.vec_id AS neighbor_id,
+              list_reduce(list(l.pd ORDER BY l.sub), (a, b) -> a + b) AS ad
+            FROM cellcodes cc JOIN lutq l ON l.cell = cc.cell AND l.sub = cc.sub AND l.code = cc.code
+            WHERE cc.vec_id <> l.query_id GROUP BY 1, 2),
+       short AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad ASC, neighbor_id ASC) AS srk
+            FROM approx) WHERE srk <= ${k * rerank}),
+       scx AS (SELECT s.query_id, s.neighbor_id,
+              round(list_cosine_similarity(q.x, n.x), 9) AS sim9,
+              round(list_cosine_similarity(q.x, n.x), 6) AS sim
+            FROM short s JOIN v0 q ON q.vec_id = s.query_id JOIN v0 n ON n.vec_id = s.neighbor_id)
+       SELECT query_id, neighbor_id, sim, rn FROM (
+         SELECT query_id, neighbor_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim9 DESC, neighbor_id) AS rn
+         FROM scx) WHERE rn <= $k"""
   }
 
   /** ADC tail over [[pqPrefix]]'s rv/codes + the final per-subspace
@@ -1786,6 +1848,27 @@ object PipelineQueries {
       val emb = Tables(spark, dir).embeddings
       val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 3)
       Similarity.pqSearch(emb, emb.filter(col("vec_id") < 8), model, k = 10, rerank = 10)
+    },
+
+    // ------------------------------------------------- ANN: IVF-PQ
+    // The canonical billion-vector composition (Jégou §IV): coarse
+    // spherical k-means cells + product quantization of the RESIDUALS
+    // u − c(cell) — residuals center near 0, so 4-bit codes quantize them
+    // far tighter than raw coordinates. Serve: nprobe cell probes,
+    // per-(query, cell) residual LUTs, fixed-order ADC fold, exact cosine
+    // rerank. The ENTIRE composition — coarse training, residuals, PQ
+    // training on them, codes, probes, LUTs, shortlist, rerank — replays
+    // in SQL and hash-matches.
+    Q(
+      "ann_ivfpq",
+      Some(ivfPqOracle(
+        nlist = 16, coarseIters = 5, m = 8, dsub = 8, pqK = 16, pqIters = 3,
+        nQ = 8, nprobe = 8, k = 10, rerank = 10))) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.ivfPq(
+        emb, emb.filter(col("vec_id") < 8),
+        nlist = 16, coarseIters = 5, m = 8, pqK = 16, pqIters = 3,
+        nprobe = 8, k = 10, rerank = 10)
     },
 
     // --------------------------------------- ANN recall, driver-auditable
