@@ -180,6 +180,77 @@ object DataQuality {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Referential-integrity audit: for each declared FK relation
+    * (child.childKey → parent.parentKey), how many child rows have no
+    * parent — the silent-join-loss check run before trusting any
+    * derived table (an orphaned FK turns every inner join downstream
+    * into row loss). One left_anti per relation (null child keys count
+    * as orphans — they too vanish from inner joins); parents are
+    * typically dimension-sized, so the anti-joins broadcast. Returns
+    * (relation, n_child_rows, n_orphans). */
+  def referentialIntegrity(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one FK relation")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val orphans = child
+        .select(col(childKey).as("ck"))
+        .join(parent.select(col(parentKey).as("pk")), col("ck") <=> col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child_rows"))
+        .crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_child_rows"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Primary-key uniqueness audit over declared (table, keys) pairs:
+    * (table_name, n_rows, n_distinct_keys, n_dup_rows) — n_dup_rows is
+    * the count of rows carrying a key that appears more than once (the
+    * rows an accidental re-ingest doubled), not the number of offending
+    * keys; [[duplicateKeys]] lists the keys themselves. One count-distinct
+    * aggregation per table. */
+  def uniquenessAudit(tables: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    tables.map { case (name, df, keys) =>
+      val kc = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      kc.agg(
+          sum(col("n")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_distinct_keys"),
+          coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).cast("long").as("n_dup_rows"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_distinct_keys"), col("n_dup_rows"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Benford first-digit test (Benford 1938; the accounting-fraud /
+    * synthetic-data smell test): leading-digit distribution of a positive
+    * numeric column against the log-law p(d) = log10(1 + 1/d), with the
+    * per-digit chi-square contribution (o − n·p)²/(n·p). Real
+    * transactional magnitudes follow the law; fabricated or truncated
+    * ones don't. One scan + a 9-row aggregate; digits are exact string
+    * heads, expectations one log10 each in matched double order,
+    * round(·, 6). Uniform-ish synthetic data FAILS this test loudly —
+    * that is the point (the monitor reads the chi2 column, not a
+    * pass/fail flag here). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_observed"))
+    val total = digits.agg(sum(col("n_observed")).cast("long").as("n_total"))
+    val p  = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    val ex = col("n_total").cast("double") * p
+    digits
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"),
+        col("n_observed"),
+        round(p, 6).as("expected_p"),
+        round(
+          (col("n_observed").cast("double") - ex) * (col("n_observed").cast("double") - ex) / ex,
+          6).as("chi2_term"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns in ONE scan —
     * the feature-redundancy / leakage screen run before training (a 0.99
     * feature-feature correlation means a duplicated signal; a high

@@ -2040,6 +2040,92 @@ object PipelineQueries {
           DataQuality.matches("l_returnflag", "^[ANR]$")))
     },
 
+    // ------------------------------------- referential-integrity audit
+    // FK orphan counts across the schema's join paths — the silent-join-
+    // loss check (an orphaned FK means inner joins downstream drop rows).
+    // One broadcast left_anti per relation; all-integer.
+    Q(
+      "quality_referential_integrity",
+      Some("""
+        SELECT 'lineitem->orders' AS relation,
+               (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'supplier->nation',
+               (SELECT COUNT(*) FROM supplier),
+               (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      DataQuality.referentialIntegrity(Seq(
+        ("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+        ("customer->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+        ("supplier->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey")))
+    },
+
+    // --------------------------------------------- PK uniqueness audit
+    // Declared-key uniqueness per table: rows, distinct keys, and rows
+    // carrying a duplicated key (what a double-ingest doubles). One
+    // aggregation per table; all-integer.
+    Q(
+      "quality_uniqueness",
+      Some("""
+        SELECT 'orders' AS table_name, COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
+               CAST(COUNT(*) - (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) = 1)) AS BIGINT) AS n_dup_rows
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey * 10 + l_linenumber),
+               CAST(COUNT(*) - (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) = 1)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+               CAST(COUNT(*) - (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) = 1)) AS BIGINT)
+        FROM customer
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      DataQuality.uniquenessAudit(Seq(
+        ("orders", t.orders, Seq("o_orderkey")),
+        ("lineitem", t.lineitem, Seq("l_orderkey", "l_linenumber")),
+        ("customer", t.customer, Seq("c_custkey"))))
+    },
+
+    // -------------------------------------------- Benford first-digit
+    // Leading-digit law over order totals (money cast to DECIMAL first so
+    // both engines string-format identically — no double-format skew):
+    // observed counts vs p(d) = log10(1+1/d) with per-digit chi-square
+    // contributions. Synthetic uniform prices FAIL the law loudly — the
+    // monitor reads the chi2 column; real transactional data trends to 0.
+    Q(
+      "quality_benford",
+      Some("""
+        WITH v AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders WHERE o_totalprice > 0),
+        d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v),
+        g AS (SELECT digit, COUNT(*) AS n_observed FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+        t AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n_total FROM g)
+        SELECT digit, n_observed,
+               round((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 6) AS expected_p,
+               round((CAST(n_observed AS DOUBLE) - CAST(n_total AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+                     * (CAST(n_observed AS DOUBLE) - CAST(n_total AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+                     / (CAST(n_total AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6) AS chi2_term
+        FROM g, t
+      """)) { (spark, dir) =>
+      DataQuality.benfordAudit(
+        Tables(spark, dir).orders.select(money(col("o_totalprice")).as("v")), "v")
+    },
+
     // ------------------------------------------- quantile bucketization
     // Feature discretization (DataQuality.quantileBucketize): exact
     // quartile cut points rounded to 4dp (the boundary is rounded, never
