@@ -1314,6 +1314,35 @@ object Corpus {
     ratios.join(top, Seq("doc_id"))
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
+    * fixed-dimension sparse bag-of-words features with NO vocabulary
+    * table — token t lands in bucket portable_hash64(t) & (dim−1) with a
+    * ±1 sign from hash bit 40, so collisions cancel in expectation
+    * (the unbiasedness trick) and the featurizer is stateless: any
+    * executor, any batch, any engine produces the same vector, which is
+    * what makes it THE featurizer for streaming/distributed training
+    * (vowpal-wabbit style). `dim` must be a power of two.
+    *
+    * Scale shape: a zero-vocabulary narrow explode + one (doc, bucket)
+    * map-side-combined aggregation; the portable roll∘mix64 hash replays
+    * in SQL (the DSIR discipline), so the hashed features themselves are
+    * oracle-checkable. Returns (doc_id, bucket, value). */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0, s"dim must be a power of two >= 2, got $dim")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val h = graft.functions.TextFunctions.portable_hash64(col("tok"))
+    spreadSmallInput(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .select(
+        col("doc_id"),
+        (h.bitwiseAND(lit((dim - 1).toLong))).as("bucket"),
+        when(shiftrightunsigned(h, 40).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))
+          .as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("value"))
+  }
+
   /** Zipf-law fit over the corpus word-frequency distribution: OLS of
     * ln(freq) on ln(rank) — a healthy natural-language corpus sits near
     * slope −1 (Zipf 1949), so the slope is a one-number corpus-health

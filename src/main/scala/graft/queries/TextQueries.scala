@@ -880,6 +880,48 @@ object TextQueries {
         blocklist = Seq("drop", "null", "slow"), maxRatio = 0.05)
     },
 
+    // ------------------------------------------------ feature hashing
+    // Vocabulary-free fixed-dim bag-of-words (the hashing trick,
+    // Weinberger ICML'09): bucket = portable_hash64(token) & 31, ±1 sign
+    // from hash bit 40 so collisions cancel in expectation. Stateless —
+    // any engine/batch featurizes identically, which the oracle proves by
+    // replaying the roll∘mix64 chain in HUGEINT arithmetic (the DSIR
+    // discipline). All-integer output.
+    Q(
+      "text_hashed_features",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok FROM documents),
+        dt AS (SELECT DISTINCT tok AS gram FROM tok),
+        pows AS (
+          WITH RECURSIVE p(j, v) AS (
+            SELECT 0, 1::HUGEINT
+            UNION ALL
+            SELECT j + 1, (v * 1000003::HUGEINT) % 18446744073709551616::HUGEINT
+            FROM p WHERE j < (SELECT max(length(gram)) FROM dt))
+          SELECT * FROM p),
+        chars AS (
+          SELECT gram, length(gram) - i AS rev, ord(substr(gram, i, 1))::HUGEINT AS b
+          FROM dt, LATERAL (SELECT unnest(range(1, length(gram) + 1)) AS i) u),
+        roll AS (
+          SELECT c.gram, CAST(sum(c.b * p.v) % 18446744073709551616::HUGEINT AS UBIGINT) AS r
+          FROM chars c JOIN pows p ON p.j = c.rev GROUP BY c.gram),
+        mix1a AS (SELECT gram, xor(r, r >> 30) AS a FROM roll),
+        mix1  AS (SELECT gram, CAST((( (a & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT
+                     + (((a >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM mix1a),
+        mix2a AS (SELECT gram, xor(z1, z1 >> 27) AS a FROM mix1),
+        mix2  AS (SELECT gram, CAST((( (a & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT
+                     + (((a >> 32)::HUGEINT * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z2 FROM mix2a),
+        hmap AS (SELECT gram, xor(z2, z2 >> 31) AS h FROM mix2),
+        bmap AS (SELECT gram, CAST(h & 31 AS BIGINT) AS bucket,
+                        CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END AS sign FROM hmap)
+        SELECT t.doc_id, b.bucket, CAST(SUM(b.sign) AS BIGINT) AS value
+        FROM tok t JOIN bmap b ON b.gram = t.tok GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.hashedFeatures(Tables(spark, dir).documents, "doc_id", "text", dim = 32)
+    },
+
     // ------------------------------------------------- Zipf-law fit
     // OLS of ln(freq) on ln(rank) over the word-frequency table — corpus
     // health in one number (natural language ≈ −1; template floods
