@@ -255,6 +255,53 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * reproducibility hook for "re-run the job against yesterday's corpus
     * snapshot" while a new version is being published. Throws if that
     * version has been garbage-collected. */
+  /** ANALYZE: one-scan column statistics for a stored table — per column
+    * (min, max, ndv, null_count) as strings plus the row count — the
+    * inputs every cost-based decision reads (broadcast-vs-shuffle
+    * thresholds, min-max data skipping, partition-pruning sanity). The
+    * stats are PUBLISHED back through the same versioned write-once path
+    * (`<name>.__stats__`), so they version with the data and a reader
+    * never sees stats for a half-written table. All aggregates run in ONE
+    * pass (no per-column scans); ndv is exact count-distinct — swap to
+    * approx_count_distinct at extreme widths, the stats contract allows
+    * it. Returns the stats frame it published. */
+  def analyzeTable(name: String, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = readTable(name, format)
+    // atomic columns only: min/max/ndv over arrays or structs is not a
+    // meaningful pruning stat (and not consistently orderable)
+    val fields = df.schema.fields.filterNot(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+        f.dataType == org.apache.spark.sql.types.BinaryType)
+    require(fields.nonEmpty, s"table $name has no atomic columns to analyze")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"),
+        countDistinct(c).as(s"${f.name}__ndv"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs.toSeq: _*).head()
+    val nRows = row.getLong(0)
+    val stats = fields.map { f =>
+      (
+        f.name,
+        f.dataType.simpleString,
+        nRows,
+        Option(row.getAs[String](s"${f.name}__min")).getOrElse(null),
+        Option(row.getAs[String](s"${f.name}__max")).getOrElse(null),
+        row.getAs[Long](s"${f.name}__ndv"),
+        row.getAs[Long](s"${f.name}__nulls"))
+    }.toSeq
+    val out = spark.createDataFrame(stats).toDF(
+      "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls")
+    putTable(s"$name.__stats__", out, format)
+    readTable(s"$name.__stats__", format)
+  }
+
   def readTableVersion(name: String, version: Long, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
     val p = versionDirs(name).collectFirst {
       case (v, path) if v == version && isComplete(path) => path

@@ -188,4 +188,28 @@ class CatalogSpec extends SparkSpec {
     val after = cat.readTable("t").as[Long].collect().sorted
     assert(after.sameElements(before), "compaction must not change the data")
   }
+
+  test("analyzeTable: exact one-pass stats, versioned alongside the data, non-atomic columns skipped") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = Seq(
+      (1L, "a", Some(10.5), Seq(1, 2)),
+      (2L, "b", None, Seq(3)),
+      (3L, "a", Some(-2.0), Seq.empty[Int])
+    ).toDF("id", "tag", "score", "arr")
+    cat.putTable("t", df)
+    val stats = cat.analyzeTable("t")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3), r.getString(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // array column carries no pruning stats; atomic columns all present
+    assert(stats.keySet == Set("id", "tag", "score"))
+    assert(stats("id") == ((3L, "1", "3", 3L, 0L)))
+    assert(stats("tag") == ((3L, "a", "b", 2L, 0L)))
+    assert(stats("score")._4 == 2L && stats("score")._5 == 1L) // ndv ignores null, 1 null
+    assert(stats("score")._2 == "-2.0" && stats("score")._3 == "10.5")
+    // stats are a published catalog table themselves (versioned, readable)
+    assert(cat.exists("t.__stats__"))
+    assert(cat.readTable("t.__stats__").count() == 3)
+  }
 }
