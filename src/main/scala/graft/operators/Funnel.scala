@@ -101,6 +101,54 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort lifetime value: weekly revenue per signup cohort plus the
+    * CUMULATIVE LTV curve — the payback read next to [[cohortRetention]]
+    * (retention says who stayed; LTV says what staying was worth).
+    * Revenue is exact DECIMAL(18,2) to the last aggregation and the
+    * cumulative sum is an ORDER BY running window over the per-(cohort,
+    * week) frame — decimal addition, so order could not matter even if
+    * the frame order did. Per-user spend aggregates map-side before the
+    * cohort join; the windowed part runs over cohorts × weeks rows.
+    * Returns (cohort_week, weeks_since, n_active_users, revenue,
+    * cum_revenue) with the doubles cast from exact decimals. */
+  def cohortLtv(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      anchorType: String,
+      revenueType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val anchors = events
+      .filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(date_trunc("week", col(tsCol))).as("cohort_start"))
+    val weekly = events
+      .filter(col(typeCol) === revenueType)
+      .select(
+        col(userCol).as("user"),
+        date_trunc("week", col(tsCol)).as("week"),
+        col(valueCol).cast(dec).as("v"))
+      .join(anchors, "user")
+      .filter(col("week") >= col("cohort_start"))
+      .groupBy(
+        date_format(col("cohort_start"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("week"), col("cohort_start")) / 7).cast("long").as("weeks_since"))
+      .agg(countDistinct(col("user")).as("n_active_users"), sum(col("v")).as("rev"))
+    val w = Window
+      .partitionBy(col("cohort_week"))
+      .orderBy(col("weeks_since"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly.select(
+      col("cohort_week"),
+      col("weeks_since"),
+      col("n_active_users"),
+      col("rev").cast("double").as("revenue"),
+      sum(col("rev")).over(w).cast("double").as("cum_revenue"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next | prev) estimated from adjacent event pairs in (ts, tie)
     * order — the behavioral model behind next-action prediction and

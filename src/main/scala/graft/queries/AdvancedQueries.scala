@@ -931,6 +931,35 @@ object AdvancedQueries {
         .limit(100)
     },
 
+    // ------------------------------------------------- cohort LTV curve
+    // Weekly purchase revenue per signup cohort with the cumulative
+    // lifetime-value running sum — the payback curve next to
+    // cohort_retention. Revenue exact DECIMAL(18,2) through every sum
+    // (including the ORDER BY running window — decimal addition is
+    // order-free anyway), doubles only at the boundary.
+    Q(
+      "cohort_ltv",
+      Some("""
+        WITH a AS (SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort_start
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        wk AS (SELECT strftime(a.cohort_start, '%Y-%m-%d') AS cohort_week,
+                      date_diff('day', a.cohort_start, date_trunc('week', e.ts)) // 7 AS weeks_since,
+                      COUNT(DISTINCT e.user_id) AS n_active_users,
+                      SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+               FROM events e JOIN a ON a.u = e.user_id
+               WHERE e.event_type = 'purchase' AND date_trunc('week', e.ts) >= a.cohort_start
+               GROUP BY 1, 2)
+        SELECT cohort_week, weeks_since, n_active_users,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        FROM wk
+      """)) { (spark, dir) =>
+      graft.operators.Funnel.cohortLtv(
+        Tables(spark, dir).events, "user_id", "ts", "event_type", "value",
+        anchorType = "signup", revenueType = "purchase")
+    },
+
     // ------------------------------------------- A/B two-proportion test
     // Experiment readout: deterministic variant assignment (user_id
     // parity — in production, the hash bucket the assignment service
