@@ -474,6 +474,42 @@ object Relational {
         .select(col("o_orderkey"), asDouble(col("price")).as("o_totalprice"))
     },
 
+    // ------------------------------------ incremental aggregate refresh
+    // Materialized-view maintenance: a stored per-status aggregate over
+    // pre-1997 orders refreshed by a CDC delta (1997+ inserts, %97 base
+    // deletes) WITHOUT rescanning the facts — signed per-key delta fold,
+    // one key-sized full-outer merge. The oracle computes the FULL
+    // aggregate over the post-change fact set, so the row hash proves the
+    // self-maintenance identity refresh(base, Δ) ≡ agg(F ⊖ Δ) exactly
+    // (decimal sums — a float sum would break the identity in the ulps).
+    Q(
+      "cdc_incremental_agg",
+      Some("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE NOT (o_orderdate < '1997-01-01' AND o_orderkey % 97 = 0)
+        GROUP BY o_orderstatus
+      """)) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      val baseFacts = orders.filter(col("o_orderdate") < "1997-01-01")
+      val base = baseFacts
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("total"))
+      val inserts = orders
+        .filter(col("o_orderdate") >= "1997-01-01")
+        .select(col("o_orderstatus"), money(col("o_totalprice")).as("total"), lit("I").as("op"))
+      val deletes = baseFacts
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderstatus"), money(col("o_totalprice")).as("total"), lit("D").as("op"))
+      graft.operators.Cdc
+        .incrementalAggRefresh(
+          base, inserts.unionByName(deletes),
+          keys = Seq("o_orderstatus"), opCol = "op", countCol = "n_orders", sumCols = Seq("total"))
+        .select(col("o_orderstatus"), col("n_orders"), asDouble(col("total")).as("total"))
+    },
+
     // -------------------------------------------------- SCD type-2 history
     // Dimension-history tracking (operators/Cdc.scd2Apply): a segment-change
     // delta (keys %5=0; half actually changed, half identical no-ops) closes
