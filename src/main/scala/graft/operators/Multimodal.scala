@@ -703,6 +703,41 @@ object Multimodal {
   /** Uniform frame sampling over a byte payload: `k` evenly-spaced fixed-size
     * slices (a stand-in for video frame extraction with the same batching
     * shape). Declarative substring arithmetic — codegen'd, no UDF. */
+  /** dHash perceptual image fingerprint (the difference-hash the image-
+    * dedup ecosystem standardized on — Krawetz 2013): resize to a 9×8
+    * gray grid with the SAME integer nearest-neighbor arithmetic as
+    * [[resizeNearest]], then bit (y,x) = pixel(y,x) < pixel(y,x+1) — 64
+    * horizontal-gradient bits packed into a signed long. Gradient signs
+    * survive re-encoding/brightness shifts that break exact byte hashes,
+    * so hamming distance over dhash IS image near-dup detection — the
+    * multimodal sibling of [[Dedup.simhash]], and the SAME banding/
+    * pigeonhole machinery applies downstream at corpus scale (a dhash is
+    * bit-compatible with the 16-bit-chunk SimHash band join). Source
+    * pixels come from the codec-or-stub decode contract: here the stub's
+    * row-major ~square gray interpretation, which the oracle replays with
+    * pure integer arithmetic. Returns (media_id, dhash). */
+  def dhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    resizeNearest(media, tw = 9, th = 8)
+      .map { r =>
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val a = r.pixels(y * 9 + x) & 0xff
+            val b = r.pixels(y * 9 + x + 1) & 0xff
+            if (a < b) h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (r.mediaId, h)
+      }
+      .toDF("media_id", "dhash")
+  }
+
   def sampleFrames(media: DataFrame, k: Int, frameBytes: Int): DataFrame = {
     media
       .withColumn("frame_idx", explode(sequence(lit(0), lit(k - 1))))

@@ -2324,6 +2324,46 @@ object PipelineQueries {
         .select(col("media_id"), col("frame_idx"), lower(hex(col("frame"))).as("frame_hex"))
     },
 
+    // dHash perceptual fingerprint (Krawetz difference hash): 9×8 integer
+    // nearest-neighbor resize, 64 horizontal-gradient bits packed into a
+    // signed long — the image near-dup key (gradient signs survive
+    // re-encode/brightness shifts that break exact byte hashes); feeds
+    // the SAME hamming/banding machinery as Dedup.simhash downstream.
+    // The oracle replays the resize index arithmetic and packs bits via a
+    // recursive-doubling HUGEINT power table (no 1<<63 BIGINT overflow),
+    // then converts to the signed-long two's complement Spark holds.
+    Q(
+      "multimodal_dhash",
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, text AS body, octet_length(encode(text)) AS nb,
+                          greatest(octet_length(encode(text)), 1) AS n FROM documents),
+        g AS (SELECT *, greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS sw FROM m),
+        hh AS (SELECT *, (n + sw - 1) // sw AS sh FROM g),
+        px AS (SELECT media_id, y, x, ((y * sh) // 8) * sw + ((x * sw) // 9) AS idx, body, nb
+               FROM hh, range(0, 8) ty(y), range(0, 9) tx(x)),
+        pv AS (SELECT media_id, y, x,
+                      CASE WHEN idx < nb THEN ord(substring(body, CAST(idx + 1 AS INT), 1)) ELSE 0 END AS p
+               FROM px),
+        bits AS (SELECT a.media_id, a.y, a.x, CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+                 FROM pv a JOIN pv b ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+                 WHERE a.x < 8),
+        pow2 AS (WITH RECURSIVE q(k, v) AS (
+                   SELECT 0, 1::HUGEINT UNION ALL SELECT k + 1, v * 2 FROM q WHERE k < 63)
+                 SELECT * FROM q),
+        s AS (SELECT b.media_id, SUM(CASE WHEN b.bit = 1 THEN p2.v ELSE 0::HUGEINT END) AS hs
+              FROM bits b JOIN pow2 p2 ON p2.k = b.y * 8 + b.x GROUP BY b.media_id)
+        SELECT media_id,
+               CAST(CASE WHEN hs >= 9223372036854775808::HUGEINT
+                         THEN hs - 18446744073709551616::HUGEINT ELSE hs END AS BIGINT) AS dhash
+        FROM s
+      """)) { (spark, dir) =>
+      val media = Multimodal.ingest(
+        Tables(spark, dir).documents
+          .select(col("doc_id"), lit("image").as("kind"), col("text").cast("binary").as("payload")),
+        "doc_id", "kind", "payload")
+      Multimodal.dhash(media)
+    },
+
     // Nearest-neighbor resize to a fixed 16x16 grid. The stub "decode"
     // treats the payload as a row-major ~square gray image (sw=floor(sqrt n),
     // sh=ceil(n/sw)) and the resize picks payload[(y*sh/16)*sw + (x*sw/16)]

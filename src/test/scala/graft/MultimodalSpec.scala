@@ -269,4 +269,24 @@ class MultimodalSpec extends SparkSpec {
     val first = resized.sortBy(_.mediaId).head
     assert(first.pixels(0) == pay.getAs[Array[Byte]]("payload")(0))
   }
+
+  test("dhash: brightness-shift invariant, deterministic, distinct images diverge") {
+    import spark.implicits._
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.ingest(
+        rows.toDF("id", "p").select(col("id"), lit("image").as("kind"), col("p").as("payload")),
+        "id", "kind", "payload")
+    val base = Array.tabulate(81)(i => ((i * 37 + 11) % 180).toByte)
+    val brighter = base.map(b => (b + 40).toByte) // no wraparound: values < 180
+    val other = Array.tabulate(81)(i => ((i * 53 + 7) % 180).toByte)
+    val h = Multimodal.dhash(mediaOf(Seq((1L, base), (2L, brighter), (3L, other), (4L, base))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // strict gradients are shift-invariant: +40 on every pixel keeps every bit
+    assert(h(1L) == h(2L), "brightness shift must not change the difference hash")
+    // identical payloads hash identically; a different image diverges
+    assert(h(1L) == h(4L))
+    assert(h(1L) != h(3L))
+    // hamming distance to the distinct image is substantial (not a near-dup)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 8, s"dist ${java.lang.Long.bitCount(h(1L) ^ h(3L))}")
+  }
 }
