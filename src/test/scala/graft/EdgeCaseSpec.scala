@@ -126,4 +126,45 @@ class EdgeCaseSpec extends SparkSpec {
     // chunking: empty corpus → empty
     assert(graft.operators.Corpus.chunkDocuments(emptyDocs, "doc_id", "text", 16, 4).count() == 0)
   }
+
+  test("round-11 operators: loud rejections and well-defined degenerate outputs") {
+    import spark.implicits._
+    val docs2 = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    // parameter validation is loud, not silent
+    intercept[IllegalArgumentException](
+      graft.operators.Corpus.hashedFeatures(docs2, "doc_id", "text", dim = 3)) // not a power of 2
+    intercept[IllegalArgumentException](
+      graft.operators.Retrieval.tfidfCosinePairs(Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text"))
+    intercept[IllegalArgumentException](
+      graft.operators.LanguageModel.pmiCollocations(docs2, "doc_id", "text", minCount = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Funnel.kaplanMeier(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("user_id", "ts"),
+        "user_id", "ts", "2024-01-01", churnGapDays = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Wordpiece.trainVocabFrame(docs2, "doc_id", "text", vocabSize = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.pqTrain(
+        Seq((1L, Array.fill(10)(0.1f))).toDF("vec_id", "embedding"), m = 3)) // 10 % 3 != 0
+    // empty-source BFS: no roots → empty levels, no crash
+    assert(graft.operators.Graph
+      .bfsLevels(Seq((1L, 2L)).toDF("s", "t"), "s", "t",
+        Seq.empty[Long].toDF("id"), maxDepth = 3).count() == 0)
+    // NB with an empty training set rejects loudly (no silent empty model)
+    intercept[IllegalArgumentException](
+      graft.operators.LanguageModel.naiveBayesClassify(
+        Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lab"),
+        docs2.withColumn("lab", lit("?")), "doc_id", "text", "lab"))
+    // incremental refresh: an unknown op code fails the job, never mis-signs
+    val base = Seq(("O", 1L, BigDecimal("1.00"))).toDF("k", "n", "s")
+    val badDelta = Seq(("O", BigDecimal("2.00"), "X")).toDF("k", "s", "op")
+    val ex = intercept[Exception](
+      graft.operators.Cdc
+        .incrementalAggRefresh(base, badDelta, Seq("k"), "op", "n", Seq("s"))
+        .collect())
+    assert(ex.getMessage != null)
+    // empty blocklisted corpus → empty gate output, not a crash
+    assert(graft.operators.Corpus
+      .blocklistFilter(emptyDocs, "doc_id", "text", Seq("x"), 0.5).count() == 0)
+  }
 }
