@@ -431,4 +431,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"V·C model join should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unkeyed pairing:\n$p")
   }
+
+  test("hashed features: one scan, one map-side-combined aggregation exchange") {
+    val p = planOf("text_hashed_features")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one corpus scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"partial + final aggregate expected:\n$p")
+  }
+
+  test("PQ ADC: LUT broadcasts into the code-table scoring join") {
+    // The plan DOES contain bounded cross products — the nQ×(m·k) LUT
+    // build is a deliberate tiny-model × tiny-model product — so the
+    // assertion targets what must NOT degrade: the corpus-sized code
+    // table joins the LUT via broadcast equi-join, never a nested loop
+    // (the scoring join carries the (sub, code) keys).
+    val p = planOf("ann_pq_adc")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, s"LUT must broadcast-equi-join:\n$p")
+  }
 }
