@@ -1054,6 +1054,24 @@ object AdvancedQueries {
         Tables(spark, dir).events, "user_id", "ts", baseDate = "2024-01-01", churnGapDays = 1)
     },
 
+    // --------------------------------------- personalized PageRank (RWR)
+    // Random walk with restart from the customer seed set (id < 50):
+    // proximity-to-S relevance — the graph-recommendation primitive
+    // ("suppliers near what these customers touch"). Same float
+    // discipline and unrolled-CTE oracle as graph_pagerank, with teleport
+    // and dangling mass landing only on S; round(·, 6).
+    Q("graph_personalized_pagerank", Some(pprOracle(iters = 10, srcLt = 50))) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val sources = edges.select(col("src").as("id")).filter(col("id") < 50).distinct()
+      graft.operators.Graph
+        .personalizedPageRank(edges, "src", "dst", sources, iterations = 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    },
+
     // --------------------------------------------- connected components
     // Entity consolidation over the undirected interaction graph:
     // component = min node id, via the alternating large-star/small-star
@@ -1131,6 +1149,39 @@ object AdvancedQueries {
       }
       .mkString(",\n")
     s"$head,\n$its\nSELECT id, lbl AS component FROM c$rounds"
+  }
+
+  /** DuckDB oracle for graph_personalized_pagerank: [[pageRankOracle]]'s
+    * unrolled power iteration with teleport + dangling mass restricted to
+    * the source set — every float literal spelled as the expression
+    * Spark's lit()s fold to, round(·, 6) at the end. */
+  private def pprOracle(iters: Int, srcLt: Long): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         srcs AS MATERIALIZED (SELECT id FROM nodes WHERE id < $srcLt),
+         ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM srcs),
+         ins AS MATERIALIZED (SELECT nodes.id,
+                    CASE WHEN s.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS f
+                  FROM nodes LEFT JOIN srcs s ON s.id = nodes.id),
+         deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         r0 AS MATERIALIZED (SELECT id, f / (SELECT n FROM ns) AS rank FROM ins)"""
+    val rounds = (1 to iters)
+      .map { k =>
+        val p = k - 1
+        s"""d$k AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+                    FROM r$p r LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),
+            c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / deg.deg) AS c
+                    FROM e JOIN r$p r ON e.src = r.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
+            r$k AS MATERIALIZED (SELECT ins.id,
+                           (CAST(1.0 AS DOUBLE) - 0.85) * ins.f / (SELECT n FROM ns)
+                           + 0.85 * (COALESCE(c$k.c, CAST(0.0 AS DOUBLE))
+                                     + (SELECT dm FROM d$k) * ins.f / (SELECT n FROM ns)) AS rank
+                    FROM ins LEFT JOIN c$k ON ins.id = c$k.id)"""
+      }
+      .mkString(",\n")
+    s"$head,\n$rounds\nSELECT id, round(rank, 6) AS rank FROM r$iters"
   }
 
   /** DuckDB oracle for graph_bfs_levels: recursive CTE over distinct

@@ -159,6 +159,33 @@ class GraphSpec extends SparkSpec {
     assert(fast.map(_._3).sum == brute.values.sum)
   }
 
+  test("personalizedPageRank equals a driver RWR reference; mass conserved; proximity ordering") {
+    // chain 1→2→3→4 plus a far component 7→8; restart at {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+    val got = Graph.personalizedPageRank(
+      edges.toDF("s", "t"), "s", "t", Seq(1L).toDF("id"), iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver reference with identical semantics
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val outDeg = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val d = 0.85
+    val inS = nodes.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    var ranks = nodes.map(v => v -> inS(v)).toMap
+    (1 to 20).foreach { _ =>
+      val dm = nodes.filterNot(outDeg.contains).map(ranks).sum
+      val contrib = e.groupBy(_._2).view.mapValues(_.map { case (s, _) => ranks(s) / outDeg(s) }.sum).toMap
+      ranks = nodes.map(v => v -> ((1 - d) * inS(v) + d * (contrib.getOrElse(v, 0.0) + dm * inS(v)))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - ranks(v)) < 1e-9, s"node $v: ${got(v)} vs ${ranks(v)}"))
+    // all mass stays reachable-from-S: the far component gets exactly 0
+    assert(got(7L) == 0.0 && got(8L) == 0.0)
+    // proximity ordering along the chain from the restart node
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L), s"got $got")
+    // mass conservation (dangling node 4 recycles to S, nothing leaks)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
+  }
+
   test("cooccurrenceCosine: hand-checked normalization, identical-neighborhood pair hits 1") {
     // items 1,2 share BOTH customers (deg 2 each) → cos = 2/√4 = 1.0;
     // item 3 shares one customer with each (deg 1) → cos = 1/√2
