@@ -406,6 +406,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("corpus gates are stream-transparent: blocklist filter on a doc stream equals batch") {
+    // the gate is a stateless narrow projection, so the SAME operator call
+    // runs on a readStream frame unchanged — the define-once contract the
+    // header documents, proven on a corpus gate rather than an event agg
+    val docs = Tables(spark, SharedSpark.sf0001).documents.select(col("doc_id"), col("text"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_docstream_").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    val sq = graft.operators.Corpus
+      .blocklistFilter(stream, "doc_id", "text", Seq("drop", "null", "slow"), maxRatio = 0.05)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("gate_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    val streamed = spark.table("gate_out").collect().map(_.toSeq).toSet
+    val batch = graft.operators.Corpus
+      .blocklistFilter(docs, "doc_id", "text", Seq("drop", "null", "slow"), maxRatio = 0.05)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("spaceSaving heavy hitters: bounds hold, frequent keys guaranteed, k counters per shard") {
     import spark.implicits._
     val k = 16
