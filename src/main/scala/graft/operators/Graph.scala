@@ -121,6 +121,81 @@ object Graph {
     ranks
   }
 
+  /** Weighted PageRank: the [[pageRank]] power iteration over a WEIGHTED
+    * edge list — each source distributes its rank proportionally to edge
+    * weight (w(u→v)/Σ_x w(u→x)) instead of uniformly across out-edges,
+    * the standard extension when edges carry interaction counts or
+    * monetary volume (a supplier a customer bought from 40 times should
+    * pull 40× the rank of a one-off). Duplicate (src, dst) rows pre-sum
+    * their weights; non-positive-total sources count as dangling. Same
+    * scale/float discipline as [[pageRank]]: one dst-keyed shuffle per
+    * iteration, in-plan dangling mass, composed checkpoints, round at
+    * the caller. Returns (id, rank). */
+  def weightedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      checkpointInterval: Int = 2): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+
+    // collapse duplicates to exact LONG weights (integer interaction
+    // counts — exact Σw, so the w/Σw shares are deterministic doubles)
+    val e = materialize(
+      edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(weightCol).cast("long").as("w"))
+        .filter(col("w") > 0)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("w")).as("w")))
+    val nodes = materialize(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "weightedPageRank needs at least one positive-weight edge")
+    val outW = materialize(e.groupBy("src").agg(sum(col("w")).as("tw")))
+    val dangling = materialize(
+      nodes.join(outW, nodes("id") === outW("src"), "left_anti").select(col("id").as("did")))
+
+    var ranks   = materialize(nodes.select(col("id"), lit(1.0 / n).as("rank")))
+    var lastMat = ranks
+    var i = 0
+    while (i < iterations) {
+      val danglingMass = ranks
+        .join(dangling, ranks("id") === col("did"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val weights = ranks
+        .join(outW, ranks("id") === outW("src"))
+        .select(col("id").as("wsrc"), (col("rank") / col("tw")).as("rpw"))
+      val contribs = e
+        .join(weights, col("src") === col("wsrc"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rpw") * col("w")).as("c"))
+      val nextPlan = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .crossJoin(broadcast(danglingMass))
+        .select(
+          col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dmass") / n)).as("rank"))
+      if ((i + 1) % checkpointInterval == 0 || i == iterations - 1) {
+        val next = materialize(nextPlan)
+        release(lastMat)
+        lastMat = next
+        ranks = next
+      } else ranks = nextPlan
+      i += 1
+    }
+    release(e); release(outW); release(nodes); release(dangling)
+    ranks
+  }
+
   /** Personalized PageRank (random walk with restart — Jeh & Widom 2003
     * "Scaling Personalized Web Search"): identical power iteration to
     * [[pageRank]] except the teleport mass lands ONLY on the `sources`

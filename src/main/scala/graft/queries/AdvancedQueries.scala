@@ -1054,6 +1054,22 @@ object AdvancedQueries {
         Tables(spark, dir).events, "user_id", "ts", baseDate = "2024-01-01", churnGapDays = 1)
     },
 
+    // ------------------------------------------------ weighted PageRank
+    // Rank distributed proportionally to interaction VOLUME (lineitem
+    // counts per customer→supplier pair) instead of uniformly per edge —
+    // the importance measure when edges carry counts or money. Same
+    // unrolled-CTE oracle discipline as graph_pagerank; round(·, 6).
+    Q("graph_weighted_pagerank", Some(weightedPageRankOracle(iters = 10))) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph
+        .weightedPageRank(edges, "src", "dst", "w", iterations = 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    },
+
     // --------------------------------------- personalized PageRank (RWR)
     // Random walk with restart from the customer seed set (id < 50):
     // proximity-to-S relevance — the graph-recommendation primitive
@@ -1149,6 +1165,33 @@ object AdvancedQueries {
       }
       .mkString(",\n")
     s"$head,\n$its\nSELECT id, lbl AS component FROM c$rounds"
+  }
+
+  /** DuckDB oracle for graph_weighted_pagerank: [[pageRankOracle]] with
+    * contributions weighted by w/Σw — tw kept BIGINT on both sides so the
+    * rank/tw division is the identical double/int64 op. */
+  private def weightedPageRankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (SELECT o_custkey AS src, l_suppkey + 10000000 AS dst, COUNT(*) AS w
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY src),
+         r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+    val rounds = (1 to iters)
+      .map { k =>
+        val p = k - 1
+        s"""d$k AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+                    FROM r$p r LEFT JOIN ow ON r.id = ow.src WHERE ow.src IS NULL),
+            c$k AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / o.tw * e.w) AS c
+                    FROM e JOIN r$p r ON e.src = r.id JOIN ow o ON e.src = o.src GROUP BY e.dst),
+            r$k AS MATERIALIZED (SELECT nodes.id,
+                           (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                           + 0.85 * (COALESCE(c$k.c, CAST(0.0 AS DOUBLE)) + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS rank
+                    FROM nodes LEFT JOIN c$k ON nodes.id = c$k.id)"""
+      }
+      .mkString(",\n")
+    s"$head,\n$rounds\nSELECT id, round(rank, 6) AS rank FROM r$iters"
   }
 
   /** DuckDB oracle for graph_personalized_pagerank: [[pageRankOracle]]'s

@@ -159,6 +159,25 @@ class GraphSpec extends SparkSpec {
     assert(fast.map(_._3).sum == brute.values.sum)
   }
 
+  test("weightedPageRank: uniform weights reduce to pageRank; heavy edge pulls rank") {
+    val uw = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("s", "t", "w")
+    val wpr = Graph.weightedPageRank(uw, "s", "t", "w", iterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = Graph.pageRank(uw.select("s", "t"), "s", "t", iterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // with all weights equal the share w/Σw equals 1/outdeg — same fixpoint
+    wpr.foreach { case (id, r) => assert(math.abs(r - pr(id)) < 1e-12, s"node $id: $r vs ${pr(id)}") }
+    // node 0 splits 9:1 between 10 and 11 — rank follows the weight
+    val skew = Seq((0L, 10L, 9L), (0L, 11L, 1L), (10L, 0L, 1L), (11L, 0L, 1L)).toDF("s", "t", "w")
+    val sk = Graph.weightedPageRank(skew, "s", "t", "w", iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sk(10L) > 3 * sk(11L), s"heavy edge must dominate: $sk")
+    assert(math.abs(sk.values.sum - 1.0) < 1e-9)
+    // non-positive weights are dropped (loud empty-graph rejection if all are)
+    intercept[IllegalArgumentException](
+      Graph.weightedPageRank(Seq((1L, 2L, 0L)).toDF("s", "t", "w"), "s", "t", "w"))
+  }
+
   test("personalizedPageRank equals a driver RWR reference; mass conserved; proximity ordering") {
     // chain 1→2→3→4 plus a far component 7→8; restart at {1}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
