@@ -83,7 +83,8 @@ object Bpe {
     * adjacent pairs via zip_with over two array slices (codegen'd, no UDF),
     * a map-side-combined weighted count, a ONE-ROW argmax collect
     * (count desc, pair asc — the driver trainer's exact tie-break), and a
-    * narrow per-word merge map touching only words containing the pair.
+    * codegen-friendly native left-fold (`aggregate` over the symbol array,
+    * no Scala UDF) applying the merge left-to-right non-overlapping.
     * Lineage is cut every `checkpointEvery` rounds so 100+ merges keep a
     * bounded plan. Cost: numMerges vocab-sized aggregations — at corpus
     * scale the vocabulary is orders of magnitude smaller than the token
@@ -127,8 +128,24 @@ object Bpe {
       else {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
         merges += ((a, b))
-        val mergeOne = udf((syms: Seq[String]) => applyMerge(syms, a, b))
-        state = state.withColumn("syms", mergeOne(col("syms")))
+        // Native left-fold merge (no Scala UDF, no ser/de): push each symbol
+        // unless the accumulator ends in `a` and the symbol is `b`, in which
+        // case replace the tail with the merged symbol. A merged tail is
+        // a+b != a (b nonempty), so a fresh merge is never itself re-merged —
+        // exactly the left-to-right non-overlapping scan of [[applyMerge]]
+        // (BpeSpec pins the parity). `get` past the end yields NULL and the
+        // NULL condition falls through to `otherwise`, so the empty
+        // accumulator is ANSI-safe.
+        state = state.withColumn(
+          "syms",
+          aggregate(
+            col("syms"),
+            array().cast("array<string>"),
+            (acc, s) =>
+              when(
+                get(acc, size(acc) - lit(1)) === lit(a) && s === lit(b),
+                concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+                .otherwise(concat(acc, array(s)))))
         round += 1
         if (round % checkpointEvery == 0) state = state.localCheckpoint(true)
       }

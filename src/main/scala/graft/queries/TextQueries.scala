@@ -721,15 +721,20 @@ object TextQueries {
       Corpus.charEntropy(Tables(spark, dir).documents, "doc_id", "text")
     },
 
-    // Real BPE subword tokenization (operators/Bpe): one corpus pass to
-    // word counts, deterministic driver-side merge training on the bounded
-    // vocabulary, broadcast-ranks encode with per-partition word memoization.
-    // No SQL oracle (iterative merge training isn't SQL-expressible);
-    // BpeSpec pins the exact merge sequence and encodings on the classic
-    // teaching corpus and determinism on this table.
-    Q("bpe_token_count", None) { (spark, dir) =>
+    // Real BPE subword tokenization (operators/Bpe): the distributed
+    // trainer (pair counting on executors, one-row argmax per merge, native
+    // left-fold merge application) with an 8-merge budget, then the
+    // broadcast-ranks encode with per-partition word memoization. The
+    // oracle replays TRAINING ITSELF as 8 unrolled merge rounds (weighted
+    // pair counts → count-desc/pair-asc argmax → gaps-and-islands
+    // left-to-right non-overlapping merge application) and ENCODING as 8
+    // unrolled lowest-rank-first steps (word+EOW ≤ 9 symbols at every SF,
+    // so 8 single-merge steps reach the fixpoint) — the wordpiece_encode
+    // discipline, now covering the merge-learning loop too. BpeSpec pins
+    // trainDistributed ≡ driver train merge-for-merge.
+    Q("bpe_token_count", Some(bpeSql(8, 8))) { (spark, dir) =>
       val docs  = Tables(spark, dir).documents
-      val model = Bpe.train(docs, "text", numMerges = 100)
+      val model = Bpe.trainDistributed(docs, "text", numMerges = 8)
       Bpe.tokenCounts(docs, "doc_id", "text", model)
     },
 
@@ -1039,6 +1044,75 @@ object TextQueries {
         st$k AS (SELECT word, n, pos + len(piece) AS pos FROM pk$k)"""
     }.mkString(",\n")
     s"$head,\n$its"
+  }
+
+  /** BPE oracle: replay [[graft.operators.Bpe.trainDistributed]] +
+    * [[graft.operators.Bpe.tokenCounts]] entirely in SQL.
+    *
+    * Training unrolls `merges` rounds over the (word, count, syms) state:
+    * each round computes count-weighted adjacent-pair frequencies, takes the
+    * (cnt DESC, pa ASC, pb ASC) argmax — binary string order, identical to
+    * Spark's on this ASCII + chr(1) alphabet — and applies the merge
+    * left-to-right non-overlapping via gaps-and-islands (candidate runs are
+    * consecutive only when pa = pb; odd positions within a run are merged,
+    * the exact semantics of the engine's left-fold). A round whose best pair
+    * occurs < 2 times merges nothing, so early stop degrades to no-op rounds
+    * exactly like the trainer's stop rule.
+    *
+    * Encoding unrolls `encSteps` single-merge steps per distinct word:
+    * find the lowest-rank applicable merge (ties to the leftmost position —
+    * the engine's encodeWord scan), splice it in, repeat. word + EOW is at
+    * most 9 symbols at every SF, so 8 steps reach the fixpoint. Token count
+    * = final symbols excluding a still-standalone chr(1) sentinel. */
+  private def bpeSql(merges: Int, encSteps: Int): String = {
+    def trainRound(r: Int): String = {
+      val p = r - 1
+      s"""pc$r AS (SELECT syms[CAST(j AS INT)] AS pa, syms[CAST(j AS INT)+1] AS pb, CAST(SUM(n) AS BIGINT) AS cnt
+              FROM st$p, LATERAL (SELECT unnest(range(1, len(syms))) AS j) u$r GROUP BY 1, 2),
+        bm$r AS (SELECT pa, pb, cnt FROM pc$r ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+        ap$r AS (SELECT s.word, s.n, CAST(j AS INT) AS j, s.syms[CAST(j AS INT)] AS sym, s.syms[CAST(j AS INT)+1] AS nxt,
+                        COALESCE(s.syms[CAST(j AS INT)] = b.pa AND s.syms[CAST(j AS INT)+1] = b.pb AND b.cnt >= 2, FALSE) AS cand
+                 FROM st$p s LEFT JOIN bm$r b ON TRUE, LATERAL (SELECT unnest(range(1, len(s.syms)+1)) AS j) v$r),
+        ch$r AS (SELECT word, j FROM (
+                   SELECT word, j, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY j) AS k
+                   FROM (SELECT word, j, j - ROW_NUMBER() OVER (PARTITION BY word ORDER BY j) AS grp
+                         FROM ap$r WHERE cand))
+                 WHERE k % 2 = 1),
+        st$r AS MATERIALIZED (SELECT word, n, list(CASE WHEN sel THEN sym || nxt ELSE sym END ORDER BY j) AS syms
+                 FROM (SELECT a.word, a.n, a.j, a.sym, a.nxt, (c.j IS NOT NULL) AS sel, (c2.j IS NOT NULL) AS skip
+                       FROM ap$r a
+                       LEFT JOIN ch$r c ON c.word = a.word AND c.j = a.j
+                       LEFT JOIN ch$r c2 ON c2.word = a.word AND c2.j = a.j - 1)
+                 WHERE NOT skip GROUP BY word, n),
+        mg$r AS (SELECT ${r - 1} AS rank, pa, pb FROM bm$r WHERE cnt >= 2)"""
+    }
+    def encStep(t: Int): String = {
+      val p = t - 1
+      s"""cd$t AS (SELECT e.word, CAST(j AS INT) AS j, m.rank
+              FROM e$p e, LATERAL (SELECT unnest(range(1, len(e.syms))) AS j) w$t
+              JOIN mt m ON m.pa = e.syms[CAST(j AS INT)] AND m.pb = e.syms[CAST(j AS INT)+1]),
+        bd$t AS (SELECT word, j FROM (SELECT word, j, ROW_NUMBER() OVER (PARTITION BY word ORDER BY rank ASC, j ASC) AS rk FROM cd$t) WHERE rk = 1),
+        e$t AS MATERIALIZED (SELECT e.word,
+                        CASE WHEN b.j IS NULL THEN e.syms
+                             ELSE e.syms[1:b.j-1] || [e.syms[b.j] || e.syms[b.j+1]] || e.syms[b.j+2:]
+                        END AS syms
+                 FROM e$p e LEFT JOIN bd$t b USING (word))"""
+    }
+    s"""
+    WITH wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents)
+         GROUP BY word),
+    st0 AS MATERIALIZED (SELECT word, n, list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)) || [chr(1)] AS syms FROM wc),
+    ${(1 to merges).map(trainRound).mkString(",\n")},
+    mt AS MATERIALIZED (${(1 to merges).map(r => s"SELECT rank, pa, pb FROM mg$r").mkString(" UNION ALL ")}),
+    e0 AS (SELECT word, syms FROM st0),
+    ${(1 to encSteps).map(encStep).mkString(",\n")},
+    npw AS (SELECT word, CAST(len(list_filter(syms, s -> s <> chr(1))) AS BIGINT) AS npw FROM e$encSteps),
+    docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(npw) AS BIGINT) AS n_bpe_tokens
+            FROM docw JOIN npw USING (word) GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words, COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
   }
 
   /** Shared NB prefix: token counts per lang, add-1-smoothed DECIMAL(20,12)
