@@ -225,15 +225,23 @@ object DataQuality {
     * numeric column against the log-law p(d) = log10(1 + 1/d), with the
     * per-digit chi-square contribution (o − n·p)²/(n·p). Real
     * transactional magnitudes follow the law; fabricated or truncated
-    * ones don't. One scan + a 9-row aggregate; digits are exact string
-    * heads, expectations one log10 each in matched double order,
-    * round(·, 6). Uniform-ish synthetic data FAILS this test loudly —
-    * that is the point (the monitor reads the chi2 column, not a
-    * pass/fail flag here). */
+    * ones don't. One scan + a 9-row aggregate. The leading digit is the
+    * FIRST SIGNIFICANT digit — the first [1-9] character of the value's
+    * string form — which is exact and rendering-independent: "0.0042"
+    * and "4.2E-5" both yield 4 (a normalized mantissa's first nonzero
+    * char IS the leading digit), so sub-unit and extreme-magnitude
+    * values are audited consistently instead of being dropped or
+    * mantissa-skewed, with no log10/floor libm edge (log10(1000) is
+    * 2.999… in some libms). Expectations are one log10 each in matched
+    * double order, round(·, 6). Uniform-ish synthetic data FAILS this
+    * test loudly — that is the point (the monitor reads the chi2 column,
+    * not a pass/fail flag here). */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val digits = df
       .filter(col(valueCol) > 0)
-      .select(substring(col(valueCol).cast("string"), 1, 1).cast("int").as("digit"))
+      .select(
+        nullif(regexp_extract(col(valueCol).cast("string"), "[1-9]", 0), lit(""))
+          .cast("int").as("digit"))
       .filter(col("digit").between(1, 9))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n_observed"))

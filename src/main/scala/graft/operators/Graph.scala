@@ -124,10 +124,13 @@ object Graph {
   /** Weighted PageRank: the [[pageRank]] power iteration over a WEIGHTED
     * edge list — each source distributes its rank proportionally to edge
     * weight (w(u→v)/Σ_x w(u→x)) instead of uniformly across out-edges,
-    * the standard extension when edges carry interaction counts or
-    * monetary volume (a supplier a customer bought from 40 times should
-    * pull 40× the rank of a one-off). Duplicate (src, dst) rows pre-sum
-    * their weights; non-positive-total sources count as dangling. Same
+    * the standard extension when edges carry INTEGER interaction counts
+    * (a supplier a customer bought from 40 times should pull 40× the rank
+    * of a one-off). Weights must be integral — a fractional weight raises
+    * at execution time rather than silently truncating (scale monetary
+    * amounts to integer cents first; exact long Σw keeps the w/Σw shares
+    * deterministic, which a double sum cannot). Duplicate (src, dst) rows
+    * pre-sum their weights; non-positive-total sources count as dangling. Same
     * scale/float discipline as [[pageRank]]: one dst-keyed shuffle per
     * iteration, in-plan dangling mass, composed checkpoints, round at
     * the caller. Returns (id, rank). */
@@ -148,10 +151,20 @@ object Graph {
     def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
 
     // collapse duplicates to exact LONG weights (integer interaction
-    // counts — exact Σw, so the w/Σw shares are deterministic doubles)
+    // counts — exact Σw, so the w/Σw shares are deterministic doubles).
+    // Integrality is checked in-plan (decimal compare — exact for decimal
+    // inputs and for doubles below 2^53): a fractional weight raises
+    // loudly instead of truncating 1.9 and 1.1 both to 1.
+    val wLong = col(weightCol).cast("long")
+    val wChecked = when(
+      col(weightCol).cast("decimal(38,18)") === wLong.cast("decimal(38,18)"),
+      wLong)
+      .otherwise(raise_error(concat(
+        lit(s"weightedPageRank: non-integral weight in '$weightCol': "),
+        col(weightCol).cast("string"))).cast("long"))
     val e = materialize(
       edges
-        .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(weightCol).cast("long").as("w"))
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"), wChecked.as("w"))
         .filter(col("w") > 0)
         .groupBy(col("src"), col("dst"))
         .agg(sum(col("w")).as("w")))

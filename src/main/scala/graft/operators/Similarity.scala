@@ -1120,16 +1120,34 @@ object Similarity {
     *
     * Scale shape: [[bruteTopK]]'s bounded ranked lists joined to the
     * label column and a broadcast per-label count table; everything after
-    * the ranking is k-row-per-query arithmetic. */
+    * the ranking is k-row-per-query arithmetic. n_relevant subtracts the
+    * query itself only when it actually is a corpus member (explicit
+    * membership semi-join), so held-out query sets are graded against the
+    * full same-label count. */
   def rankingMetrics(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val ranked = bruteTopK(corpus, queries, k)
     val labels = corpus.select(col("vec_id"), col("label"))
     val labCnt = labels.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
-    val qLab = queries
-      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    // n_relevant = same-label corpus rows EXCLUDING the query itself when
+    // (and only when) the query is a corpus member — an explicit
+    // (vec_id, label) membership check, so a query set disjoint from the
+    // corpus gets the full same-label count instead of an off-by-one
+    // (which would also miscalibrate the NDCG ideal denominator below)
+    val qLabBase = queries.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val selfHit = qLabBase
+      .join(
+        labels,
+        labels("vec_id") === qLabBase("query_id") && labels("label") === qLabBase("qlabel"),
+        "left_semi")
+      .select(col("query_id"), lit(1L).as("self_in_corpus"))
+    val qLab = qLabBase
       .join(labCnt.withColumnRenamed("label", "qlabel"), "qlabel")
-      .select(col("query_id"), col("qlabel"), (col("cnt") - 1).cast("long").as("n_relevant"))
+      .join(selfHit, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("qlabel"),
+        (col("cnt") - coalesce(col("self_in_corpus"), lit(0L))).cast("long").as("n_relevant"))
     val graded = ranked
       .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")), "neighbor_id")
       .join(broadcast(qLab), "query_id")

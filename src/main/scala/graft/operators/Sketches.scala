@@ -16,20 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Per-group HLL distinct estimate + HLL++ approx_count_distinct, side by
-    * side (both one pass, map-side partial agg). `lgConfigK` sizes the
-    * Datasketches registers (2^lgK); below ~3/4·2^lgK distinct per group
-    * the sketch is still in its coupon (exact) regime and the estimate is
-    * the exact count — which is what makes the gate query hash-checkable
-    * against an exact-COUNT(DISTINCT) oracle at the test scale factors,
-    * while the same code path degrades gracefully to ~1/sqrt(2^lgK)
-    * relative error at production cardinality (SketchSpec pins that
-    * envelope). */
+  /** Per-group HLL distinct estimate (one pass, map-side partial agg).
+    * `lgConfigK` sizes the Datasketches registers (2^lgK); below ~3/4·2^lgK
+    * distinct per group the sketch is still in its coupon (exact) regime
+    * and the estimate is the exact count — which is what makes the gate
+    * query hash-checkable against an exact-COUNT(DISTINCT) oracle at the
+    * test scale factors, while the same code path degrades gracefully to
+    * ~1/sqrt(2^lgK) relative error at production cardinality (SketchSpec
+    * pins that envelope). Every emitted column is oracle-checkable; for an
+    * HLL++ estimate use Spark's `approx_count_distinct` directly (no exact
+    * regime, so it stays out of this verified surface), and for a
+    * cross-engine-replayable estimate use [[portableDistinct]]. */
   def distinctCounts(df: DataFrame, groupCol: String, idCol: String, lgConfigK: Int = 12): DataFrame =
     df.groupBy(col(groupCol))
       .agg(
         hll_sketch_estimate(hll_sketch_agg(col(idCol), lit(lgConfigK))).as("hll_distinct"),
-        approx_count_distinct(col(idCol)).as("hllpp_distinct"),
         count(lit(1)).as("n_rows"))
 
   /** Daily sketch cube: one mergeable HLL binary per (day, group). At scale

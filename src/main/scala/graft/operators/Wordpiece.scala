@@ -115,17 +115,28 @@ object Wordpiece {
     Model(rows.toSeq, maxPieceLen)
   }
 
+  /** The reserved out-of-vocabulary token. Training vocabularies are built
+    * from corpus substrings, so this bracketed form can never collide with
+    * a learned piece of the plain-text alphabet. */
+  val Unk = "[UNK]"
+
   /** Greedy longest-match-first segmentation — the WordPiece inference
     * contract: at each position take the LONGEST vocab piece that
-    * prefixes the remainder (single chars always match, so this total
-    * function never emits UNK). Pure, deterministic, and replayed by the
-    * oracle as unrolled per-position steps. */
+    * prefixes the remainder. Training force-includes every corpus
+    * character, so over the training alphabet single chars always match;
+    * a serve-time word containing a character NEVER seen in training
+    * segments to the single [[Unk]] token for the whole word (the
+    * production BERT/WordPiece contract — not a silent pass-through of an
+    * untrained symbol). Pure, deterministic, and replayed by the oracle as
+    * unrolled per-position steps (the gate corpus serves its own training
+    * alphabet, so the UNK branch is spec-covered, never oracle-reachable). */
   private[graft] def encodeWord(word: String, pieces: Set[String], maxPieceLen: Int): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var p = 0
     while (p < word.length) {
       var l = math.min(maxPieceLen, word.length - p)
       while (l > 1 && !pieces.contains(word.substring(p, p + l))) l -= 1
+      if (l == 1 && !pieces.contains(word.substring(p, p + 1))) return Seq(Unk)
       out += word.substring(p, p + l)
       p += l
     }

@@ -304,20 +304,17 @@ object ExtendedQueries {
     // — the gate corpora (≤1.5k distinct users/group) sit squarely inside
     // it, so the estimate column IS the exact count and the row hash-
     // checks against COUNT(DISTINCT); at production cardinality the same
-    // plan degrades to ~0.8% error (SketchSpec pins the envelope). The
-    // operator's third column, HLL++ approx_count_distinct, has no exact
-    // regime (its linear-counting estimate rounds off-by-one even at
-    // rsd=0.002 on 1.5k distinct) and no cross-engine replay — it stays
-    // covered by SketchSpec's envelope pin, outside the oracle projection.
+    // plan degrades to ~0.8% error (SketchSpec pins the envelope). Every
+    // column the operator emits is inside the oracle hash (HLL++
+    // approx_count_distinct, which has no exact regime and no cross-engine
+    // replay, is deliberately not part of the operator surface).
     Q(
       "sketch_distinct_users",
       Some("""
         SELECT event_type, count(DISTINCT user_id) AS hll_distinct, count(*) AS n_rows
         FROM events GROUP BY event_type
       """)) { (spark, dir) =>
-      Sketches
-        .distinctCounts(Tables(spark, dir).events, "event_type", "user_id", lgConfigK = 14)
-        .select(col("event_type"), col("hll_distinct"), col("n_rows"))
+      Sketches.distinctCounts(Tables(spark, dir).events, "event_type", "user_id", lgConfigK = 14)
     },
 
     // Daily HLL cube re-aggregated by UNION — distinct-over-range from

@@ -2106,13 +2106,15 @@ object PipelineQueries {
     // Leading-digit law over order totals (money cast to DECIMAL first so
     // both engines string-format identically — no double-format skew):
     // observed counts vs p(d) = log10(1+1/d) with per-digit chi-square
-    // contributions. Synthetic uniform prices FAIL the law loudly — the
-    // monitor reads the chi2 column; real transactional data trends to 0.
+    // contributions. The digit is the first SIGNIFICANT digit (first
+    // [1-9] char of the rendering — correct for sub-unit values too, and
+    // rendering-independent). Synthetic uniform prices FAIL the law
+    // loudly — the monitor reads the chi2 column; real data trends to 0.
     Q(
       "quality_benford",
       Some("""
         WITH v AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders WHERE o_totalprice > 0),
-        d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v),
+        d AS (SELECT CAST(regexp_extract(CAST(v AS VARCHAR), '[1-9]') AS INTEGER) AS digit FROM v),
         g AS (SELECT digit, COUNT(*) AS n_observed FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
         t AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n_total FROM g)
         SELECT digit, n_observed,

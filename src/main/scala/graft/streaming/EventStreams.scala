@@ -298,9 +298,16 @@ object EventStreams {
     * the per-shard guarantee still merges downstream (Misra-Gries
     * summaries are mergeable: sum counts, keep top-k). Deterministic
     * tie-breaks (evict the min-count counter with the LARGEST key; ties
-    * on output sort by count desc, key asc) make stream == batch replay
-    * exact, which the spec pins. Emits each shard's current top
-    * counters: (shard, key, count_min, count_max, n_rows). */
+    * on output sort by count desc, key asc) make each micro-batch fold a
+    * pure function of that batch's (ts, event_id)-sorted contents —
+    * stream == batch replay exact for event-time-ordered arrival across
+    * batches (the spec's single-batch pin). SpaceSaving itself is
+    * order-sensitive, so a LATE arrival folded under different batch
+    * boundaries can land in a different global position and shift
+    * eviction choices — the determinism guarantee is per-batch, like
+    * funnelStream's, not arbitrary-rebatching invariance. Emits each
+    * shard's current top counters: (shard, key, count_min, count_max,
+    * n_rows). */
   def spaceSavingStream(
       events: Dataset[Event],
       k: Int = 16,
@@ -317,8 +324,9 @@ object EventStreams {
           var n = state.getOption.map(_.nRows).getOrElse(0L)
           // SpaceSaving is ORDER-SENSITIVE (eviction depends on arrival
           // sequence): fold each batch in (ts, event_id) order — the same
-          // move funnelStream makes — so the state is a pure function of
-          // the event-time sequence, not of partition iteration order
+          // move funnelStream makes — so each batch's fold is a pure
+          // function of that batch's contents, not of partition iteration
+          // order (cross-batch ordering is the scaladoc's caveat)
           evs.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             n += 1
             val i = counters.indexWhere(_.key == e.user_id)

@@ -176,6 +176,15 @@ class GraphSpec extends SparkSpec {
     // non-positive weights are dropped (loud empty-graph rejection if all are)
     intercept[IllegalArgumentException](
       Graph.weightedPageRank(Seq((1L, 2L, 0L)).toDF("s", "t", "w"), "s", "t", "w"))
+    // fractional weights raise loudly instead of truncating (1.9 is not 1)
+    val frac = Seq((1L, 2L, 1.9), (2L, 1L, 1.0)).toDF("s", "t", "w")
+    val err = intercept[Exception](Graph.weightedPageRank(frac, "s", "t", "w", iterations = 2).collect())
+    assert(err.getMessage != null, "fractional weight must fail the job")
+    // decimal inputs that ARE integral pass through exactly (cents-scaled money)
+    val cents = Seq((1L, 2L, BigDecimal("40.00")), (2L, 1L, BigDecimal("1.00"))).toDF("s", "t", "w")
+    val cr = Graph.weightedPageRank(cents, "s", "t", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cr.values.sum - 1.0) < 1e-9)
   }
 
   test("personalizedPageRank equals a driver RWR reference; mass conserved; proximity ordering") {

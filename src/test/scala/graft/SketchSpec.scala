@@ -19,12 +19,21 @@ class SketchSpec extends SparkSpec {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+    // Spark's built-in HLL++ rides along here for the envelope check only —
+    // it is intentionally NOT part of the distinctCounts operator surface
+    // (no exact regime, no cross-engine replay, so it can't be oracled)
+    val hllppMap = t.events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("hllpp"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
     val est = Sketches.distinctCounts(t.events, "event_type", "user_id").collect()
     assert(est.nonEmpty)
     est.foreach { r =>
       val k      = r.getString(0)
       val hll    = r.getLong(1).toDouble
-      val hllpp  = r.getLong(2).toDouble
+      val hllpp  = hllppMap(k).toDouble
       val truth  = exact(k).toDouble
       assert(math.abs(hll - truth) / truth <= 0.05, s"$k hll=$hll exact=$truth")
       assert(math.abs(hllpp - truth) / truth <= 0.05, s"$k hllpp=$hllpp exact=$truth")

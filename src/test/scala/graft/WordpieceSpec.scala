@@ -7,7 +7,7 @@ import graft.operators.Wordpiece
 class WordpieceSpec extends SparkSpec {
   import spark.implicits._
 
-  test("encodeWord: greedy longest-match-first, single-char fallback, never UNK") {
+  test("encodeWord: greedy longest-match-first, single-char fallback, whole-word UNK") {
     val pieces = Set("a", "b", "c", "ab", "abc", "bc")
     assert(Wordpiece.encodeWord("abcabc", pieces, 4) == Seq("abc", "abc"))
     // greedy takes 'abc' even though 'ab'+'c...' would also work
@@ -16,6 +16,11 @@ class WordpieceSpec extends SparkSpec {
     assert(Wordpiece.encodeWord("abcabc", pieces, 2) == Seq("ab", "c", "ab", "c"))
     // chars outside the multi-char set fall back to singles
     assert(Wordpiece.encodeWord("cba", pieces, 4) == Seq("c", "b", "a"))
+    // a character NEVER seen in training voids the whole word to [UNK]
+    // (the BERT contract) — not a silent pass-through of an untrained
+    // symbol that the oracle's vocab join would instead drop
+    assert(Wordpiece.encodeWord("abxc", pieces, 4) == Seq(Wordpiece.Unk))
+    assert(Wordpiece.encodeWord("x", pieces, 4) == Seq(Wordpiece.Unk))
   }
 
   test("trainVocabFrame: hand-checked weighted frequencies, char coverage, budget cut") {
