@@ -1710,6 +1710,61 @@ object Similarity {
     }
   }
 
+  /** Guarded power iteration for [[pcaFitK]]'s `orthoTol` path: the same
+    * grid-9 decimal multiply/normalize loop as [[powerIterate]], plus (a)
+    * a per-iteration projection of the iterate against every
+    * previously-found component (classic orthogonal/subspace iteration —
+    * the cure for near-degenerate spectra, where Hotelling deflation of a
+    * NOT-yet-converged v₁ leaves v₂ measurably correlated with it) and
+    * (b) a movement-based early-exit that keeps iterating past `iters`
+    * (up to 16× `iters`) until max|v_{t+1} − v_t| ≤ tol. Deterministic:
+    * same fixed op order every run, stop rule over exact grid values. */
+  private def powerIterateOrtho(
+      cov: Array[Array[Double]],
+      prev: Seq[Array[Double]],
+      iters: Int,
+      tol: Double): Array[Double] = {
+    val d   = cov.length
+    val cap = iters * 16
+    var v     = Array.fill(d)(grid9(1.0 / math.sqrt(d.toDouble)))
+    var moved = Double.MaxValue
+    var t     = 0
+    while (t < iters || (moved > tol && t < cap)) {
+      val raw = Array.tabulate(d) { i =>
+        var s = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < d) {
+          s = s.add(
+            java.math.BigDecimal.valueOf(cov(i)(j)).setScale(9)
+              .multiply(java.math.BigDecimal.valueOf(v(j)).setScale(9)))
+          j += 1
+        }
+        s.setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+      }
+      // project out prior components (grid-9 after each subtraction); this
+      // branch is spec-pinned, not oracle-replayed, so plain double dot
+      // products suffice inside the grid boundary
+      prev.foreach { u =>
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += raw(i) * u(i); i += 1 }
+        i = 0
+        while (i < d) { raw(i) = grid9(raw(i) - dot * u(i)); i += 1 }
+      }
+      var n2 = 0.0
+      raw.foreach(r => n2 += r * r)
+      val norm = math.sqrt(n2)
+      require(norm > 0.0, "power iteration collapsed to the zero vector (degenerate covariance)")
+      val next = raw.map(r => grid9(r / norm))
+      moved = 0.0
+      var i = 0
+      while (i < d) { val m = math.abs(next(i) - v(i)); if (m > moved) moved = m; i += 1 }
+      v = next
+      t += 1
+    }
+    v
+  }
+
   /** Top-`nComponents` PCA by power iteration + Hotelling deflation over
     * the decimal-exact covariance — closes the single-component limitation
     * [[pcaFit]] shipped with: component c is `iters` power iterations on
@@ -1718,15 +1773,29 @@ object Similarity {
     * [[deflate]]), so all components AND eigenvalues replay in an external
     * engine. Data cost is unchanged from [[pcaFit]] — the two covariance
     * scans; the per-component work is driver-side over the d² model
-    * (the k·d bounded-model judgment, d=64 → 32 KB). */
+    * (the k·d bounded-model judgment, d=64 → 32 KB).
+    *
+    * CONVERGENCE CAVEAT: with the default fixed budget, a near-degenerate
+    * spectrum (λ₁ ≈ λ₂) converges slowly — deflating a not-yet-converged
+    * v₁ can leave |v₁·v₂| around 10⁻² at small `iters` (measured ≈0.06 on
+    * isotropic synthetics at the default 8). Either raise `iters`, or set
+    * `orthoTol` > 0 (e.g. 1e-6) to enable the guard: each component then
+    * projects out the previously-found ones every iteration and keeps
+    * iterating past `iters` (≤16×) until the iterate moves by at most
+    * `orthoTol` — components come out orthogonal by construction
+    * (SimilaritySpec pins |v₁·v₂| < 1e-3 on an isotropic fixture). The
+    * default `orthoTol = 0` path is bit-identical to previous behavior
+    * and is what the gate oracle unrolls. */
   def pcaFitK(
       embs: DataFrame,
       idCol: String,
       vecCol: String,
       iters: Int = 8,
-      nComponents: Int = 2): PcaModelK = {
+      nComponents: Int = 2,
+      orthoTol: Double = 0.0): PcaModelK = {
     require(iters >= 1, "iters must be >= 1")
     require(nComponents >= 1, "nComponents must be >= 1")
+    require(orthoTol >= 0.0, "orthoTol must be >= 0")
     val (means, cov0) = covModel(embs, vecCol)
     val d = means.length
     require(nComponents <= d, s"nComponents $nComponents > dimension $d")
@@ -1741,7 +1810,9 @@ object Similarity {
     var cov   = cov0
     var c = 0
     while (c < nComponents) {
-      val v = powerIterate(cov, iters)
+      val v =
+        if (orthoTol > 0.0) powerIterateOrtho(cov, comps.take(c).toSeq, iters, orthoTol)
+        else powerIterate(cov, iters)
       comps(c) = v
       lams(c) = rayleigh(cov, v)
       c += 1

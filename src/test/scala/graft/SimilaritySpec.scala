@@ -555,4 +555,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ev(0)._2 == pk.eigenvalues(0) && ev(1)._2 == pk.eigenvalues(1))
     assert(ev.map(_._3).sum < 1.0 && ev.forall(_._3 > 0))
   }
+
+  test("pcaFitK orthoTol guard: orthogonal components on the isotropic corpus, default path untouched") {
+    val embs = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
+    // the near-isotropic corpus spectrum is exactly where the fixed budget
+    // leaves deflation residual along an unconverged v1 — the guard must
+    // drive |v1·v2| below 1e-3 where the default budget cannot promise it
+    val g = Similarity.pcaFitK(embs, "vec_id", "embedding", iters = 8, nComponents = 3, orthoTol = 1e-6)
+    for (a <- 0 until 3; b <- (a + 1) until 3) {
+      val dot = g.components(a).zip(g.components(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-3, s"guarded components $a,$b not orthogonal: $dot")
+    }
+    assert(g.eigenvalues.forall(_ > 0) && g.trace > g.eigenvalues.sum)
+    // deterministic under repartitioning, like the default path
+    val g2 = Similarity.pcaFitK(
+      embs.repartition(17), "vec_id", "embedding", iters = 8, nComponents = 3, orthoTol = 1e-6)
+    assert(g2.components(2).sameElements(g.components(2)) && g2.eigenvalues.sameElements(g.eigenvalues))
+    // orthoTol = 0 is bit-identical to the pre-guard behavior (the oracle
+    // contract): same components as an explicit default call
+    val d0 = Similarity.pcaFitK(embs, "vec_id", "embedding", iters = 8, nComponents = 2)
+    val d1 = Similarity.pcaFitK(embs, "vec_id", "embedding", iters = 8, nComponents = 2, orthoTol = 0.0)
+    assert(d0.components(0).sameElements(d1.components(0)) && d0.components(1).sameElements(d1.components(1)))
+  }
 }
