@@ -65,14 +65,42 @@ object Dedup {
     * "a b c" concat + per-shingle string allocation was ~half the scan
     * cost). Same distinct-within-row discipline as [[shingleRows]]; all
     * pair semantics downstream are hash-set equalities either way. */
-  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val toks = tokensCol(col(textCol))
-    val grams = transform(
-      sequence(lit(0), size(toks) - w),
-      i => xxhash64((0 until w).map(j => element_at(toks, i + j + 1)): _*))
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
     Corpus.spreadSmallInput(docs, col(idCol))
       .filter(size(tokensCol(col(textCol))) >= w)
-      .select(col(idCol).as("doc_id"), explode(array_distinct(grams)).as("h"))
+      .select(
+        col(idCol).as("doc_id"),
+        explode(array_distinct(shingleHashArrayCol(col(textCol), w))).as("h"))
+
+  /** The hashed-shingle ARRAY column behind [[shingleHashRows]] — exposed
+    * (pre-explode, pre-distinct) so stateless stream projections can
+    * compute per-document shingle sets with bit-identical hash arithmetic
+    * to the batch index (graft.streaming.DocStreams rides on it). */
+  def shingleHashArrayCol(text: Column, w: Int = 3): Column = {
+    val toks = tokensCol(text)
+    transform(
+      sequence(lit(0), size(toks) - w),
+      i => xxhash64((0 until w).map(j => element_at(toks, i + j + 1)): _*))
+  }
+
+  /** Driver/executor-side MinHash signature of one document's shingle-hash
+    * set — the EXACT per-element arithmetic of [[MinHashAgg]] (same
+    * [[hashFamily]], same wrapping-long h = a·x + b, same element-wise
+    * min), packaged for per-row use where no grouping is available (the
+    * streaming near-dup tier computes one signature per arriving doc).
+    * Equality with the batch aggregator is by construction: min over the
+    * same multiset of the same hashes, in any order. */
+  private[graft] def minhashSigOf(shingles: Array[Long], k: Int): Array[Long] = {
+    val (fa, fb) = hashFamily(k)
+    val buf = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < shingles.length) {
+      val x = shingles(j)
+      var i = 0
+      while (i < k) { val h = fa(i) * x + fb(i); if (h < buf(i)) buf(i) = h; i += 1 }
+      j += 1
+    }
+    buf
   }
 
   /** Exact dedup: group identical (normalized) texts, keep the smallest id.
@@ -555,6 +583,34 @@ object Dedup {
         .filter(col("jacc") >= threshold)
         .select(col("a_id"), col("b_id"), col("jacc")),
       rows)
+  }
+
+  /** Keep-first near-dup DECISIONS: every document that near-duplicates an
+    * EARLIER (smaller-id) document, with its earliest such partner and the
+    * exact verified jaccard against it — (doc_id, anchor_id, jacc). This
+    * is the batch twin of the streaming near-dup tier
+    * (graft.streaming.DocStreams.nearDupPairStream): a stream that flags
+    * each arriving doc against already-seen anchors converges to exactly
+    * this table when ids arrive in order, so the two are pinned equal
+    * (StreamingSpec) and the batch row is the replayable gate. Same
+    * propose/verify contract as [[minhashDupPairs]] — the oracle is the
+    * exact-jaccard computation; LSH changes the plan, not the answer. */
+  def nearDupFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3): DataFrame = {
+    val pairs = minhashDupPairs(docs, idCol, textCol, threshold, k, bands, w)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b_id"))
+      .orderBy(col("a_id"))
+    pairs
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("b_id").as("doc_id"), col("a_id").as("anchor_id"), col("jacc"))
   }
 
   // ------------------------------------------------------------- winnowing

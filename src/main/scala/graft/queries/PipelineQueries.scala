@@ -865,6 +865,33 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
     },
 
+    // --------------------------------------------- keep-first dedup flags
+    // The streaming-ingestion DECISION table: each doc that near-dups an
+    // EARLIER (smaller-id) doc, with its earliest partner and the exact
+    // verified jaccard — what a live gate rejects at the door. Batch twin
+    // of streaming.DocStreams.nearDupPairStream (StreamingSpec pins the
+    // stream to this output); the oracle is the exact pair computation +
+    // keep-first window, the dedup_minhash_lsh discipline.
+    Q(
+      "dedup_neardup_flags",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t WHERE len(toks) >= 3)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pj AS (SELECT a_id, b_id, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jacc
+               FROM p JOIN sz sa ON sa.doc_id = p.a_id JOIN sz sb ON sb.doc_id = p.b_id
+               WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8)
+        SELECT b_id AS doc_id, a_id AS anchor_id, jacc FROM (
+          SELECT a_id, b_id, jacc, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id) AS rn FROM pj)
+        WHERE rn = 1
+      """)) { (spark, dir) =>
+      Dedup.nearDupFlags(Tables(spark, dir).documents, "doc_id", "text", threshold = 0.8)
+    },
+
     // ------------------------------------------------ incremental dedup
     // New batch (odd doc_ids) deduped against a stored index of the old
     // corpus (even doc_ids) — the daily-ingestion shape. Oracle: the full

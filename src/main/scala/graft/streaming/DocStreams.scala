@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Structured Streaming over DOCUMENT streams — the live tier of the corpus
+  * curation family. Batch near-dup (operators/Dedup) answers "which docs in
+  * this corpus duplicate each other"; the streaming tier answers "does this
+  * ARRIVING doc duplicate anything already ingested" without re-running the
+  * batch job per arrival — the ingestion-gate shape of a production
+  * LLM-data pipeline (near-dups rejected at the door, the batch pass kept
+  * for backfill/audit).
+  *
+  * Stateless corpus gates (blocklist, quality, language-id) are
+  * stream-transparent by construction — the SAME operator call runs on a
+  * readStream frame (StreamingSpec's blocklist pin). This file holds the
+  * operators that genuinely need STATE.
+  */
+object DocStreams {
+
+  /** One verified near-dup hit: the unordered pair (a_id < b_id), the band
+    * whose bucket proposed it, and the EXACT jaccard over shingle-hash
+    * sets — the same value the batch verify join computes. The same pair
+    * may surface from several bands (each band's bucket state is
+    * independent); consumers treat hits idempotently (DISTINCT on
+    * (a_id, b_id), as the spec does). */
+  final case class NearDupHit(band: Int, a_id: Long, b_id: Long, jacc: Double)
+
+  /** Per-(band, bucket) state: the member docs' ids and their SORTED
+    * distinct shingle-hash arrays, capped at `maxPerBucket` entries. */
+  final case class BucketState(ids: Array[Long], shingles: Array[Array[Long]])
+
+  /** Streaming MinHash+LSH near-dup detection with bounded per-key state:
+    * each arriving document is signed ([[Dedup.minhashSigOf]] — the batch
+    * aggregator's exact arithmetic), banded, and probed against the
+    * per-(band, bucket) state of previously-seen docs; every proposal is
+    * verified with the EXACT jaccard over stored shingle-hash sets before
+    * it is emitted. Output = verified [[NearDupHit]]s (Update mode).
+    *
+    * Stream ≡ batch (StreamingSpec pins it): with no bucket overflow, the
+    * distinct (a_id, b_id, jacc) hit set after consuming the stream equals
+    * batch [[Dedup.minhashDupPairs]] over the same rows — the state fold
+    * compares every arriving doc against every stored bucket member in
+    * both directions, so the hit set is a pure function of the DOC SET,
+    * not of arrival or batch order. (Bucket identity here is the signature
+    * band slice itself; the batch plan's xxhash64 of the slice is an
+    * injective-modulo-2⁻⁶⁴ rename of the same key, and any
+    * collision-proposed extra pair on the batch side is removed by the
+    * shared exact-jaccard verify unless it is a true near-dup pair — which
+    * LSH proposes with miss probability ~5e-8 at the k=128/b=32 defaults.)
+    *
+    * Scale/state discipline: state per bucket is ≤ `maxPerBucket` member
+    * docs (ids + shingle-hash sets — the price of EXACT verification at
+    * the door; a fingerprint-only tier would be smaller but could not
+    * match the batch contract). A bucket beyond the cap stops admitting
+    * members (arrival order decides — the [[Dedup.lshCandidatePlan]]
+    * maxBucketDF judgment applied live): a flood of identical boilerplate
+    * lands its first `maxPerBucket` copies and every later copy is still
+    * FLAGGED against them, it just stops growing the state. Run
+    * [[graft.operators.Dedup.exact]]-style byte-dedup upstream to keep
+    * floods out entirely, exactly as the batch pipeline orders its tiers.
+    */
+  def nearDupPairStream(
+      docs: DataFrame,
+      threshold: Double,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    require(maxPerBucket >= 2, s"maxPerBucket must be >= 2, got $maxPerBucket")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // stateless narrow projection, bit-identical to the batch index: same
+    // tokenizer, same xxhash64 shingle hashes, same distinct-within-doc
+    val prepped = docs
+      .filter(size(Dedup.tokensCol(col("text"))) >= w)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        array_distinct(Dedup.shingleHashArrayCol(col("text"), w)).as("sh"))
+      .as[(Long, Array[Long])]
+
+    // one signature per doc (no grouping needed — the doc row carries its
+    // whole text), then one row per band keyed by the slice itself
+    val banded = prepped.flatMap { case (id, sh) =>
+      val sorted = sh.sorted // sorted once: exact intersections by merge below
+      val sig    = Dedup.minhashSigOf(sh, k)
+      (0 until bands).iterator.map { b =>
+        (b, sig.slice(b * r, (b + 1) * r).toSeq, id, sorted)
+      }
+    }
+
+    banded
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: (Int, Seq[Long]),
+         rows: Iterator[(Int, Seq[Long], Long, Array[Long])],
+         state: GroupState[BucketState]) => {
+          var ids = state.getOption.map(_.ids).getOrElse(Array.emptyLongArray)
+          var shs = state.getOption.map(_.shingles).getOrElse(Array.empty[Array[Long]])
+          val out = Seq.newBuilder[NearDupHit]
+          // id-sorted fold inside the batch: with ordered arrival the state
+          // admits the smallest ids first, matching the batch keep-first view
+          rows.toVector.sortBy(_._3).foreach { case (band, _, id, sh) =>
+            if (!ids.contains(id)) { // replay/duplicate-delivery guard
+              var i = 0
+              while (i < shs.length) {
+                val shared = sortedIntersectCount(sh, shs(i))
+                // the batch verify join's exact arithmetic: int sizes, one
+                // double division — bit-identical on the same sets
+                val jacc = shared.toDouble / (sh.length + shs(i).length - shared)
+                if (jacc >= threshold)
+                  out += NearDupHit(band, math.min(id, ids(i)), math.max(id, ids(i)), jacc)
+                i += 1
+              }
+              if (ids.length < maxPerBucket) { ids = ids :+ id; shs = shs :+ sh }
+            }
+          }
+          state.update(BucketState(ids, shs))
+          out.result().iterator
+        })
+  }
+
+  /** Exact |A ∩ B| of two SORTED distinct long arrays by linear merge. */
+  private[streaming] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+}

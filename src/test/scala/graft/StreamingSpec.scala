@@ -431,6 +431,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming near-dup tier: verified hit set == batch minhashDupPairs, flags == nearDupFlags") {
+    val docs = Tables(spark, SharedSpark.sf0001).documents.select(col("doc_id"), col("text"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_neardup_stream_").toString
+    // multiple files → multiple micro-batches → cross-batch bucket state
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    // 0.5 keeps the fixture non-trivial at sf0.001 (0.8 may be sparse there)
+    val threshold = 0.5
+    val sq = graft.streaming.DocStreams
+      .nearDupPairStream(stream, threshold = threshold)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("neardup_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    val hits = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val streamedPairs = hits.toSet
+    val batchPairs = graft.operators.Dedup
+      .minhashDupPairs(docs, "doc_id", "text", threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // EXACT equality including the jaccard double: the state fold replays
+    // the batch verify join's set sizes and single division
+    assert(streamedPairs == batchPairs, {
+      val miss = batchPairs -- streamedPairs; val extra = streamedPairs -- batchPairs
+      s"missing=${miss.take(5)} extra=${extra.take(5)}"
+    })
+    assert(batchPairs.nonEmpty, "fixture must exercise the near-dup path")
+    // keep-first decisions derived from the hit stream == the batch twin
+    val streamedFlags = hits.groupBy(_._2).map { case (b, hs) =>
+      val first = hs.minBy(_._1)
+      (b, first._1, first._3)
+    }.toSet
+    val batchFlags = graft.operators.Dedup
+      .nearDupFlags(docs, "doc_id", "text", threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamedFlags == batchFlags)
+  }
+
   test("spaceSaving heavy hitters: bounds hold, frequent keys guaranteed, k counters per shard") {
     import spark.implicits._
     val k = 16
