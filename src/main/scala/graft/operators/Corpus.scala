@@ -158,6 +158,74 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Suffix-array-style EXACT substring dedup (Lee et al. 2022 §4.1,
+    * ExactSubstr): the maximal extents of every substring of ≥ `minLen`
+    * tokens that occurs more than once in the corpus — counting TOTAL
+    * occurrences, so a passage repeated within one document is flagged
+    * exactly like one repeated across documents (the capability
+    * [[ngramSpans]]'s distinct-doc counting and [[cutSpans]]'s cut-text
+    * output don't cover). Output: (doc_id, span_start, span_end) — merged,
+    * non-overlapping, 1-based inclusive token intervals.
+    *
+    * Why no suffix array: a token position is covered by a repeated
+    * substring of length ≥ L iff some L-gram window containing it occurs
+    * ≥ 2 times — every maximal repeated substring of length M ≥ L is
+    * tiled by its M−L+1 start windows, each itself a repeated L-gram, and
+    * conversely every repeated L-gram IS a repeated substring. So
+    * (repeated-window starts) ∪-expanded to [p, p+L−1] and merged equals
+    * the union of maximal repeated-substring extents — the suffix array's
+    * answer for the ≥L regime, from two linear aggregations.
+    *
+    * Scale shape (the reason this beats a distributed suffix array at
+    * 100 TB): grams travel as xxhash64 (collision ⇒ at worst one falsely
+    * merged span, ~2⁻⁶⁴ per gram pair — [[cutSpans]]'s argument); the
+    * multiplicity count is a map-side-combined aggregate on the gram key;
+    * flagging is a semi-join back on the same key — ONE row per position,
+    * never a pair per occurrence², so a boilerplate flood (hot gram in
+    * every doc) costs linear output by construction (SkewAndBucketSpec
+    * floods it); the interval merge is a per-doc window — gaps-and-
+    * islands over at most one row per token. */
+  def exactSubstrSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(col(textCol))
+    val base = spreadSmallInput(df, col(idCol))
+      .select(col(idCol).as("doc_id"), t.as("toks"))
+      .filter(size(col("toks")) >= minLen)
+    val gramRows = base
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("toks")) - minLen),
+            i => xxhash64((0 until minLen).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    val rep = gramRows
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("g"))
+    val flagged = gramRows.join(rep, Seq("g"), "left_semi").select(col("doc_id"), col("p"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    flagged
+      .withColumn(
+        "prev_end",
+        max(col("p") + lit(minLen - 1)).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "brk",
+        when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + lit(minLen - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   /** The ACTION [[ngramSpans]]'s report drives (Lee et al. 2022 §4): cut
     * every corpus-wide duplicated span out of the text. A token is cut when
     * ANY n-gram occurrence covering it appears in ≥ `minDocs` distinct

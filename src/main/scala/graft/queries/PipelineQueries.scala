@@ -1072,6 +1072,36 @@ object PipelineQueries {
       Corpus.cutSpans(Tables(spark, dir).documents, "doc_id", "text", n = 8, minDocs = 2)
     },
 
+    // ------------------------------------- exact-substring span extents
+    // Suffix-array-style ExactSubstr (Lee et al. 2022 §4.1): maximal
+    // merged extents of every >=8-token substring occurring MORE THAN
+    // ONCE in the corpus, total-occurrence multiplicity (within-doc
+    // repeats flagged too — what the distinct-doc span family misses).
+    // Identity: repeated >=L extents == union of repeated L-gram windows,
+    // so two linear aggregations replace the suffix array; the oracle
+    // replays positions with gram TEXT while the engine shuffles hashes.
+    Q(
+      "dedup_exact_substr",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p, array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS g
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i) u
+                WHERE len(toks) >= 8),
+        rep AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM pos GROUP BY g) WHERE c >= 2),
+        f AS (SELECT doc_id, p FROM pos JOIN rep USING (g)),
+        m AS (SELECT doc_id, p,
+                     MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM f),
+        i AS (SELECT doc_id, p,
+                     SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+              FROM m)
+        SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start, CAST(MAX(p) + 7 AS BIGINT) AS span_end
+        FROM i GROUP BY doc_id, island
+      """)) { (spark, dir) =>
+      Corpus.exactSubstrSpans(Tables(spark, dir).documents, "doc_id", "text", minLen = 8)
+    },
+
     // ---------------------------------------- mixture resampling
     // Deterministic data-mixing: src0 down to 0.35x, src1 up to 2.4x, src2
     // dropped, src3 at 1.75x, everything else passes through. Thresholds

@@ -662,4 +662,30 @@ class CorpusSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, 0.0, true)))
     intercept[IllegalArgumentException](Corpus.blocklistFilter(docs, "doc_id", "text", Nil, 0.5))
   }
+
+  test("exactSubstrSpans: maximal merged extents, within-doc repeats, hand-checked") {
+    // docs 1 and 2 share the 6-token passage "p q r s t u" at positions
+    // 3..8 and 1..6; with minLen=4 its three 4-gram windows each repeat,
+    // so the merged span is the FULL passage extent on both sides
+    val docs = Seq(
+      (1L, "a b p q r s t u c d"),
+      (2L, "p q r s t u x y z w"),
+      // doc 3 repeats "m n o k" twice WITHIN itself (positions 1..4 and
+      // 6..9) — total-occurrence multiplicity must flag both occurrences
+      (3L, "m n o k j m n o k i"),
+      // doc 4 shares nothing >= 4 tokens long with anything
+      (4L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val spans = Corpus.exactSubstrSpans(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 3L, 8L), (2L, 1L, 6L), (3L, 1L, 4L), (3L, 6L, 9L)),
+      s"got $spans")
+    // adjacency merge: two flagged windows overlapping by extension merge
+    // into ONE span (docs share 5 tokens -> two 4-gram windows, one span)
+    val adj = Seq((1L, "v w x y z a"), (2L, "b v w x y z")).toDF("doc_id", "text")
+    val s2 = Corpus.exactSubstrSpans(adj, "doc_id", "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s2 == Set((1L, 1L, 5L), (2L, 2L, 6L)), s"got $s2")
+    intercept[IllegalArgumentException](Corpus.exactSubstrSpans(docs, "doc_id", "text", minLen = 1))
+  }
 }

@@ -164,4 +164,25 @@ class SkewAndBucketSpec extends SparkSpec {
       case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("exactSubstrSpans flood: one gram in every doc — linear output, no pair join") {
+    import spark.implicits._
+    // the degenerate worst case for anything occurrence-PAIR-shaped: the
+    // same 12-token passage in 5000 docs (12.5M occurrence pairs). The
+    // covered-position design never pairs occurrences — the hot gram is
+    // one aggregate row and a semi-join key — so output is exactly one
+    // full-width span per doc and the plan stays equi-join only.
+    val hotText = (1 to 12).map(j => s"boiler$j").mkString(" ")
+    val n = 5000
+    val docs = (0 until n).map(i => (i.toLong, hotText)).toDF("doc_id", "text")
+      .repartition(8, col("doc_id"))
+    val out = graft.operators.Corpus.exactSubstrSpans(docs, "doc_id", "text", minLen = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"flood must not degrade to a pair join:\n$plan")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == n, s"one merged span per doc, got ${rows.length}")
+    assert(rows.forall { case (_, s, e) => s == 1L && e == 12L },
+      "every doc fully covered by the repeated passage")
+  }
 }
