@@ -198,6 +198,84 @@ object Sketches {
     cube.groupBy(col(groupCol)).agg(agg(col("regs")).as("distinct_est"))
   }
 
+  // ------------------------------------------------------ portable Bloom
+
+  /** Kirsch-Mitzenmacher double hashing over the portable splitmix64
+    * finalizer: bit_j(x) = top `logBits` bits of (h1 + j·h2) mod 2⁶⁴,
+    * h1 = mix64(x), h2 = mix64(x ⊕ φ) | 1 (odd ⇒ the j-progression walks
+    * the full 2⁶⁴ ring). Every step is wrapping 64-bit integer arithmetic
+    * an external engine replays exactly (the mix64/HUGEINT machinery the
+    * portable-HLL oracle already exercises) — so membership ANSWERS,
+    * including the deterministic false positives, are part of the
+    * cross-engine contract, not just an error envelope. */
+  private[graft] val BloomGolden = 0x9e3779b97f4a7c15L
+  private[graft] def bloomBitPositions(key: Long, logBits: Int, nHashes: Int): Array[Int] = {
+    val h1 = graft.functions.Mix64.mix(key)
+    val h2 = graft.functions.Mix64.mix(key ^ BloomGolden) | 1L
+    Array.tabulate(nHashes)(j => ((h1 + j.toLong * h2) >>> (64 - logBits)).toInt)
+  }
+
+  /** Mergeable Bloom filter over long keys: buffer is the fixed 2^logBits
+    * bit array (2^logBits/8 bytes), reduce sets `nHashes` bits, merge is
+    * bytewise OR (order-free, idempotent — duplicate and re-partitioned
+    * inserts cannot change the filter). Map-side partial aggregation keeps
+    * the shuffle at one filter per partition regardless of key count. */
+  final class PortableBloomAgg(logBits: Int, nHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(logBits >= 3 && logBits <= 30, s"logBits must be in [3,30], got $logBits")
+    require(nHashes >= 1 && nHashes <= 16, s"nHashes must be in [1,16], got $nHashes")
+    override def zero: Array[Byte] = new Array[Byte]((1 << logBits) / 8)
+    override def reduce(buf: Array[Byte], key: Long): Array[Byte] = {
+      bloomBitPositions(key, logBits, nHashes).foreach { b =>
+        buf(b >>> 3) = (buf(b >>> 3) | (1 << (b & 7))).toByte
+      }
+      buf
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Probe helper: all `nHashes` bits set. */
+  private[graft] def bloomContains(filter: Array[Byte], key: Long, logBits: Int, nHashes: Int): Boolean =
+    bloomBitPositions(key, logBits, nHashes).forall(b => (filter(b >>> 3) & (1 << (b & 7))) != 0)
+
+  /** Build the filter over a key column — ONE aggregate row of 2^logBits/8
+    * bytes (the model-bounded collect judgment: the filter IS the model). */
+  def bloomBuild(df: DataFrame, keyCol: String, logBits: Int = 20, nHashes: Int = 4): Array[Byte] = {
+    val agg = udaf(new PortableBloomAgg(logBits, nHashes), Encoders.scalaLong)
+    df.select(col(keyCol).cast("long").as("k")).agg(agg(col("k")).as("f"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** The 100 TB membership gate (decontamination / blocklist / PII-set
+    * probe): build the filter over the MEMBER table once, broadcast the
+    * fixed-size bit array, probe the big side with a narrow scan — no
+    * join, no shuffle on the probe path. Output: one row per probe row,
+    * (key, in_filter). No false negatives ever; false positives are
+    * deterministic (≈ (1 − e^(−kn/m))^k ≈ 0.2% at the 2^20/4-hash
+    * defaults for n = 10⁵) and replay exactly in the oracle. */
+  def bloomMembership(
+      members: DataFrame,
+      memberKeyCol: String,
+      probes: DataFrame,
+      probeKeyCol: String,
+      logBits: Int = 20,
+      nHashes: Int = 4): DataFrame = {
+    val spark  = probes.sparkSession
+    val filter = bloomBuild(members, memberKeyCol, logBits, nHashes)
+    val fb     = spark.sparkContext.broadcast(filter)
+    val hit    = udf((k: Long) => bloomContains(fb.value, k, logBits, nHashes))
+    probes.select(
+      col(probeKeyCol),
+      hit(col(probeKeyCol).cast("long")).as("in_filter"))
+  }
+
   // --------------------------------------------------------- KMV / theta
 
   /** Unsigned-long → double, correctly rounded (round-to-odd on the shifted

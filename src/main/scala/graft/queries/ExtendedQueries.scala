@@ -437,6 +437,29 @@ object ExtendedQueries {
       Sketches.portableDistinct(Tables(spark, dir).events, "event_type", "user_id", p = 12)
     },
 
+    // Portable Bloom membership gate: build over error event ids, probe
+    // EVERY event id — the decontamination/blocklist shape (filter built
+    // once over the member set, broadcast, probed by a narrow scan; no
+    // join on the probe path). The oracle replays the splitmix64 double
+    // hashing and the bit-set relationally, so membership ANSWERS —
+    // including each of the ~200 deterministic false positives at these
+    // settings — are hash-checked, alongside the exact truth column (no
+    // false negative can exist on either side by construction).
+    Q(
+      "sketch_bloom_membership",
+      Some(bloomMembershipSql(logBits = 14, nHashes = 4))) { (spark, dir) =>
+      val ev      = Tables(spark, dir).events
+      val members = ev.filter(col("event_type") === "error").select(col("event_id")).distinct()
+      val probes  = ev.select(col("event_id")).distinct()
+      Sketches
+        .bloomMembership(members, "event_id", probes, "event_id", logBits = 14, nHashes = 4)
+        .join(members.withColumn("is_member", lit(true)), Seq("event_id"), "left")
+        .select(
+          col("event_id"),
+          col("in_filter"),
+          coalesce(col("is_member"), lit(false)).as("is_member"))
+    },
+
     // Portable cube + union: daily m-byte register blobs re-aggregated by
     // elementwise max. Union-of-days ≡ one global pass BIT FOR BIT (the
     // register max is order-free and idempotent; SketchSpec pins the
@@ -816,4 +839,41 @@ object ExtendedQueries {
           array_max(col("embedding")).cast("double").as("mx"))
     }
   )
+
+  /** Full relational replay of [[graft.operators.Sketches.bloomMembership]]
+    * over the events gate fixture: the splitmix64 finalizer twice per key
+    * (h1, and h2 from x ⊕ φ with the low bit forced), the Kirsch-
+    * Mitzenmacher j-progression mod 2⁶⁴, top-`logBits` bit indices, the
+    * member bit-set as a DISTINCT projection, and probe = all `nHashes`
+    * bits present. Same HUGEINT mulmod machinery as the portable-HLL
+    * oracle. */
+  private def bloomMembershipSql(logBits: Int, nHashes: Int): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    s"""
+    WITH ks AS (SELECT DISTINCT CAST(event_id AS UBIGINT) AS x FROM events),
+    a1 AS (SELECT x, xor(x, x >> 30) AS a FROM ks),
+    a2 AS (SELECT x, ${mulmod("a", "13787848793156543929")} AS z FROM a1),
+    a3 AS (SELECT x, xor(z, z >> 27) AS a FROM a2),
+    a4 AS (SELECT x, ${mulmod("a", "10723151780598845931")} AS z FROM a3),
+    h1t AS (SELECT x, xor(z, z >> 31) AS h1 FROM a4),
+    b0 AS (SELECT x, xor(x, 11400714819323198485::UBIGINT) AS y FROM ks),
+    b1 AS (SELECT x, xor(y, y >> 30) AS a FROM b0),
+    b2 AS (SELECT x, ${mulmod("a", "13787848793156543929")} AS z FROM b1),
+    b3 AS (SELECT x, xor(z, z >> 27) AS a FROM b2),
+    b4 AS (SELECT x, ${mulmod("a", "10723151780598845931")} AS z FROM b3),
+    h2t AS (SELECT x, xor(z, z >> 31) | 1::UBIGINT AS h2 FROM b4),
+    hh AS (SELECT h1t.x, h1, h2 FROM h1t JOIN h2t USING (x)),
+    bitsq AS (SELECT x, CAST(((h1::HUGEINT + (j::HUGEINT * h2::HUGEINT) % 18446744073709551616::HUGEINT)
+                       % 18446744073709551616::HUGEINT) AS UBIGINT) >> ${64 - logBits} AS b
+              FROM hh, LATERAL (SELECT unnest(range(0, $nHashes)) AS j) u),
+    mem AS (SELECT DISTINCT CAST(event_id AS UBIGINT) AS x FROM events WHERE event_type = 'error'),
+    setb AS (SELECT DISTINCT b FROM bitsq JOIN mem USING (x)),
+    probe AS (SELECT x, COUNT(*) FILTER (WHERE setb.b IS NOT NULL) AS nhit
+              FROM bitsq LEFT JOIN setb USING (b) GROUP BY x)
+    SELECT CAST(p.x AS BIGINT) AS event_id, p.nhit = $nHashes AS in_filter, m.x IS NOT NULL AS is_member
+    FROM probe p LEFT JOIN mem m USING (x)"""
+  }
 }

@@ -100,6 +100,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable Bloom: zero false negatives, partitioning/duplicate-invariant, deterministic FPs") {
+    import spark.implicits._
+    val members = (0L until 500L).filter(_ % 3 == 0).toDF("k")
+    val probes  = (0L until 2000L).toDF("k")
+    def run(m: org.apache.spark.sql.DataFrame) =
+      Sketches.bloomMembership(m, "k", probes, "k", logBits = 10, nHashes = 4)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = run(members)
+    // no false negatives — the Bloom contract's hard half
+    (0L until 500L).filter(_ % 3 == 0).foreach(k => assert(got(k), s"member $k missing"))
+    // tiny filter (1024 bits, 167 members) MUST show false positives, and
+    // they are a deterministic pure function of the key set
+    val fps = got.count { case (k, hit) => hit && !(k < 500 && k % 3 == 0) }
+    assert(fps > 0, "fixture sized to exhibit false positives")
+    assert(run(members.repartition(13)) == got, "filter build is order/partitioning-free")
+    assert(run(members.union(members)) == got, "duplicate inserts cannot move a bit")
+    // h2 is forced odd: the j-progression must vary the bit index
+    val bs = Sketches.bloomBitPositions(42L, 10, 4)
+    assert(bs.distinct.length > 1)
+  }
+
   test("count-min heavy hitters: estimates within eps*N of exact, no misses") {
     val exact = t.events
       .groupBy(col("event_type"))
