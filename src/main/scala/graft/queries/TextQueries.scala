@@ -1006,6 +1006,41 @@ object TextQueries {
       val docs = Tables(spark, dir).documents
       val model = graft.operators.Wordpiece.train(docs, "doc_id", "text", vocabSize = 96, maxPieceLen = 4)
       graft.operators.Wordpiece.tokenCounts(docs, "doc_id", "text", model)
+    },
+
+    // -------------------------------------- Unigram-LM piece usage
+    // The SentencePiece-style third tokenizer (Kudo 2018): Viterbi
+    // max-likelihood segmentation under grid-12 unigram log-probs over
+    // the shared substring vocabulary — the oracle unrolls the DP
+    // forward table AND the backtrack walk, so the max-likelihood
+    // SEGMENTATION itself is verified (where wordpiece_encode verifies
+    // the greedy walk, this verifies the argmax one).
+    Q(
+      "unigram_encode",
+      Some(s"""${unigramSql(96, 4)}
+        SELECT piece, CAST(SUM(n) AS BIGINT) AS n_uses FROM allb GROUP BY piece""")) { (spark, dir) =>
+      val docs  = Tables(spark, dir).documents
+      val model = graft.operators.Unigram.train(docs, "doc_id", "text", vocabSize = 96, maxPieceLen = 4)
+      graft.operators.Unigram.encodeStats(docs, "doc_id", "text", model)
+    },
+
+    // ----------------------------------- Unigram-LM token counts
+    // Per-document subword cost under Viterbi segmentation — the token
+    // budgeting signal at max-likelihood splits (UnigramSpec pins that
+    // every Viterbi segmentation scores >= the greedy one's likelihood
+    // under the same model — the DP's optimality, checked in-data).
+    Q(
+      "unigram_token_counts",
+      Some(s"""${unigramSql(96, 4)},
+        wpn AS (SELECT word, COUNT(*) AS npw FROM allb GROUP BY word),
+        docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents),
+        agg AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(npw) AS BIGINT) AS n_pieces
+                FROM docw JOIN wpn USING (word) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words, COALESCE(agg.n_pieces, 0) AS n_pieces
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""")) { (spark, dir) =>
+      val docs  = Tables(spark, dir).documents
+      val model = graft.operators.Unigram.train(docs, "doc_id", "text", vocabSize = 96, maxPieceLen = 4)
+      graft.operators.Unigram.tokenCounts(docs, "doc_id", "text", model)
     }
   )
 
@@ -1044,6 +1079,65 @@ object TextQueries {
         st$k AS (SELECT word, n, pos + len(piece) AS pos FROM pk$k)"""
     }.mkString(",\n")
     s"$head,\n$its"
+  }
+
+  /** Unigram-LM oracle: replay [[graft.operators.Unigram]] train + Viterbi
+    * entirely in SQL. The seed vocabulary replays
+    * [[graft.operators.Wordpiece.trainVocabFrame]] (same CTEs as
+    * [[wordpieceSql]]); log probabilities live on the 1e-12 decimal grid
+    * (round(ln(freq),12) − round(ln(Σfreq),12) as DECIMAL(20,12) — the NB
+    * scorer's cross-libm contract); the Viterbi DP unrolls as 8 forward
+    * steps (one best (score, predecessor) row per (word, position), ties
+    * to the smallest predecessor = longest final piece — score DESC, pos
+    * ASC row_number) and 8 backtrack joins, so the SEGMENTATION ITSELF is
+    * verified. Words are ≤ 8 chars at every SF, so positions stop at 9.
+    * Exposes wc, vocab, lpv, dacc9 and allb (word, n, piece). */
+  private def unigramSql(vocabSize: Int, maxPieceLen: Int): String = {
+    val head = s"""
+    WITH wc AS MATERIALIZED (SELECT word, COUNT(*) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents)
+         GROUP BY word),
+    pos1 AS (SELECT word, n, unnest(range(1, len(word) + 1)) AS i FROM wc),
+    pos2 AS (SELECT word, n, i, unnest(range(1, least($maxPieceLen, len(word) - i + 1) + 1)) AS l FROM pos1),
+    freqs AS MATERIALIZED (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+                  CAST(SUM(n) AS BIGINT) AS freq
+           FROM pos2 GROUP BY 1),
+    nch AS (SELECT COUNT(*) AS c FROM freqs WHERE len(piece) = 1),
+    multi AS (SELECT piece, freq FROM (
+           SELECT piece, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rk
+           FROM freqs WHERE len(piece) >= 2)
+         WHERE rk <= $vocabSize - (SELECT c FROM nch)),
+    vocab AS MATERIALIZED (SELECT piece, freq FROM freqs WHERE len(piece) = 1 UNION ALL SELECT piece, freq FROM multi),
+    lpv AS MATERIALIZED (SELECT piece,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 12) AS DECIMAL(20,12))
+           - CAST(round(ln(CAST((SELECT SUM(freq) FROM vocab) AS DOUBLE)), 12) AS DECIMAL(20,12)) AS lp
+         FROM vocab),
+    dacc1 AS (SELECT word, n, 1 AS pos, CAST(0 AS DECIMAL(38,12)) AS score, 0 AS prev, CAST(NULL AS VARCHAR) AS piece FROM wc)"""
+    val fwd = (2 to 9).map { j =>
+      val p = j - 1
+      s"""d$j AS MATERIALIZED (SELECT word, n, pos, score, prev, piece FROM (
+            SELECT d.word, d.n, $j AS pos, CAST(d.score + v.lp AS DECIMAL(38,12)) AS score, d.pos AS prev, v.piece,
+                   ROW_NUMBER() OVER (PARTITION BY d.word ORDER BY d.score + v.lp DESC, d.pos ASC) AS rk
+            FROM dacc$p d
+            JOIN lpv v ON len(v.piece) = $j - d.pos
+                      AND v.piece = substr(d.word, CAST(d.pos AS INT), $j - d.pos)
+            WHERE d.pos >= $j - $maxPieceLen AND d.pos < $j AND len(d.word) >= $j - 1
+          ) WHERE rk = 1),
+        dacc$j AS MATERIALIZED (SELECT * FROM dacc$p UNION ALL SELECT * FROM d$j)"""
+    }.mkString(",\n")
+    val back = (2 to 9).map { s =>
+      val p = s - 1
+      s"""b$s AS MATERIALIZED (SELECT d.word, d.n, d.piece, d.prev
+             FROM dacc9 d JOIN b$p ON d.word = b$p.word AND d.pos = b$p.prev
+             WHERE b$p.prev > 1)"""
+    }.mkString(",\n")
+    val union = (1 to 9).map(s => s"SELECT word, n, piece FROM b$s").mkString(" UNION ALL ")
+    s"""$head,
+    $fwd,
+    fin AS MATERIALIZED (SELECT word, n, pos, prev, piece FROM dacc9 WHERE pos = len(word) + 1),
+    b1 AS MATERIALIZED (SELECT word, n, piece, prev FROM fin),
+    $back,
+    allb AS ($union)"""
   }
 
   /** BPE oracle: replay [[graft.operators.Bpe.trainDistributed]] +
