@@ -709,4 +709,73 @@ object Graph {
     oriented.unpersist()
     materialized
   }
+
+  /** k-core decomposition for a fixed k (Seidman 1983; the "dense kernel"
+    * extraction behind community seeds, spam-farm detection, and graph
+    * sparsification): repeatedly PEEL every node whose current degree is
+    * below k — all at once per round, the standard parallel peeling — until
+    * the fixpoint, which is the unique maximal subgraph where every node
+    * has degree ≥ k. Returns the survivors with their within-core degree:
+    * (id, core_degree), all ≥ k.
+    *
+    * Scale shape: each round is one degree aggregation (map-side combined)
+    * plus two left_anti joins against the (usually small, AQE-broadcast)
+    * dropped-node set — edges-linear, no pairwise stage; peel rounds are
+    * data-bounded (the gate graph converges in ≤ 4) and the edge set is
+    * checkpointed every `checkpointInterval` rounds so plan depth stays
+    * bounded; the only driver scalar per round is the dropped-node count
+    * (the [[bfsLevels]] frontier-empty pattern). The SQL oracle unrolls a
+    * fixed round budget — rounds after the fixpoint are no-ops, so engine
+    * early-exit and oracle padding agree exactly. */
+  def kCore(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 32,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    import org.apache.spark.sql.graftbridge.Bridge
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+
+    var live = materialize(
+      edges
+        .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    var lastMat = live
+    var round   = 0
+    var done    = false
+    while (round < maxRounds && !done) {
+      val deg = live
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("degree"))
+      val drop = deg.filter(col("degree") < k).select(col("id")).cache()
+      if (drop.count() == 0L) { drop.unpersist(false); done = true }
+      else {
+        val nextPlan = live
+          .join(drop.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+          .join(drop.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+          .select(col("a"), col("b"))
+        round += 1
+        if (round % checkpointInterval == 0) {
+          val next = materialize(nextPlan)
+          release(lastMat)
+          lastMat = next
+          live = next
+        } else live = nextPlan
+        drop.unpersist(false)
+      }
+    }
+    val out = live
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("core_degree"))
+    val materialized = out.localCheckpoint(true)
+    release(lastMat)
+    materialized
+  }
 }

@@ -277,4 +277,69 @@ object Retrieval {
         round(col("dp") / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** ROUGE-n overlap metrics (Lin 2004) over paired texts — the standard
+    * summarization/generation eval, and in a data pipeline the
+    * candidate-vs-reference leakage check (a generated doc scoring near
+    * 1.0 against a source is a copy): for n = 1..maxN, the CLIPPED n-gram
+    * bag overlap clip = Σ_g min(count_cand(g), count_ref(g)), precision
+    * clip/|cand grams|, recall clip/|ref grams|, F1 = 2PR/(P+R) (0 when
+    * degenerate), round(·, 6). Long form: one row per (pair, n) with the
+    * exact integer counts alongside — so every float is one division away
+    * from replayed integers.
+    *
+    * Scale shape: a pure NARROW projection — both gram bags live in the
+    * pair's own row, so the clipped overlap is row-local array arithmetic
+    * (Σ over the candidate's distinct grams of min(count-in-cand,
+    * count-in-ref), via nested higher-order functions): zero exchanges,
+    * scan-parallel at any corpus size, no cross-pair stage anywhere. */
+  def rougeNgram(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1, s"maxN must be positive, got $maxN")
+    def grams(c: org.apache.spark.sql.Column, n: Int) = {
+      val t = toks(c)
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    (1 to maxN).map { n =>
+      val base = pairs.select(
+        col(idCol).as("pair_id"),
+        grams(col(candCol), n).as("cg"),
+        grams(col(refCol), n).as("rg"))
+      val clipCol = aggregate(
+        array_distinct(col("cg")),
+        lit(0L),
+        (acc, g) =>
+          acc + least(
+            size(filter(col("cg"), x => x === g)),
+            size(filter(col("rg"), x => x === g))).cast("long"))
+      val p = col("clip").cast("double") / col("cand_grams").cast("double")
+      val r = col("clip").cast("double") / col("ref_grams").cast("double")
+      base
+        .select(
+          col("pair_id"),
+          lit(n).as("n"),
+          size(col("cg")).cast("long").as("cand_grams"),
+          size(col("rg")).cast("long").as("ref_grams"),
+          clipCol.as("clip"))
+        .select(
+          col("pair_id"),
+          col("n"),
+          col("cand_grams"),
+          col("ref_grams"),
+          col("clip"),
+          round(when(col("cand_grams") > 0, p).otherwise(lit(0.0)), 6).as("rouge_p"),
+          round(when(col("ref_grams") > 0, r).otherwise(lit(0.0)), 6).as("rouge_r"),
+          round(
+            when(col("cand_grams") > 0 && col("ref_grams") > 0 && (p + r) > 0,
+              lit(2.0) * p * r / (p + r))
+              .otherwise(lit(0.0)),
+            6).as("rouge_f"))
+    }.reduce(_ unionByName _)
+  }
 }

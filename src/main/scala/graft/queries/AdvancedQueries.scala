@@ -346,6 +346,26 @@ object AdvancedQueries {
       graft.operators.Graph.triangleStats(edges, "pa", "pb")
     },
 
+    // ------------------------------------------------ k-core extraction
+    // Dense-kernel extraction (Seidman 1983): parallel peeling of nodes
+    // with degree < k until the fixpoint — the maximal subgraph where
+    // every node keeps >= k neighbors (community seeds / spam-farm
+    // kernels). The bulk-quantity (>=45) co-purchase graph peels in 5-9
+    // cascading rounds at the gate SFs; the oracle unrolls 12 (rounds past
+    // the fixpoint are no-ops, so the engine's early exit and the padded
+    // replay agree exactly). Output = survivors with within-core degree,
+    // all-integer.
+    Q("graph_kcore", Some(kCoreOracle(k = 3, rounds = 12))) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.operators.Graph.kCore(edges, "pa", "pb", k = 3)
+    },
+
     // Supplier pairs by shared customers (Graph.commonNeighborPairs over
     // the order bipartite graph): the co-occurrence primitive behind
     // item-item recommenders. Hub discipline: customers over 50 distinct
@@ -1170,6 +1190,29 @@ object AdvancedQueries {
   /** DuckDB oracle for graph_weighted_pagerank: [[pageRankOracle]] with
     * contributions weighted by w/Σw — tw kept BIGINT on both sides so the
     * rank/tw division is the identical double/int64 op. */
+  /** Unrolled parallel-peeling replay of [[graft.operators.Graph.kCore]]:
+    * per round, degrees over the live edge set, the sub-k drop set, and a
+    * double NOT EXISTS edge filter; `rounds` padded past the observed
+    * fixpoint depth. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""dg$r AS (SELECT id, COUNT(*) AS degree FROM (
+            SELECT a AS id FROM e$p UNION ALL SELECT b AS id FROM e$p) GROUP BY 1),
+        dr$r AS (SELECT id FROM dg$r WHERE degree < $k),
+        e$r AS MATERIALIZED (SELECT e.a, e.b FROM e$p e
+            WHERE NOT EXISTS (SELECT 1 FROM dr$r x WHERE x.id = e.a)
+              AND NOT EXISTS (SELECT 1 FROM dr$r y WHERE y.id = e.b))"""
+    }.mkString(",\n")
+    s"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    $steps
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+      SELECT a AS id FROM e$rounds UNION ALL SELECT b AS id FROM e$rounds) GROUP BY 1"""
+  }
+
   private def weightedPageRankOracle(iters: Int): String = {
     val head =
       """WITH e AS MATERIALIZED (SELECT o_custkey AS src, l_suppkey + 10000000 AS dst, COUNT(*) AS w

@@ -1008,6 +1008,26 @@ object TextQueries {
       graft.operators.Wordpiece.tokenCounts(docs, "doc_id", "text", model)
     },
 
+    // ------------------------------------------ ROUGE-n pair metrics
+    // Generation/summarization eval (Lin 2004) doubling as the
+    // candidate-vs-reference leakage check: clipped n-gram bag overlap
+    // with P/R/F1 per (pair, n). Pairs are each even doc against the next
+    // odd doc (a deterministic corpus self-pairing); every float is one
+    // division away from replayed exact integer counts, round(·, 6).
+    Q(
+      "eval_rouge_pairs",
+      Some(rougeOracle(maxN = 2))) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+      val pairs = d
+        .filter(col("doc_id") % 2 === 0)
+        .select(expr("CAST(doc_id DIV 2 AS BIGINT)").as("pair_id"), col("text").as("cand"))
+        .join(
+          d.filter(col("doc_id") % 2 === 1)
+            .select(expr("CAST((doc_id - 1) DIV 2 AS BIGINT)").as("pair_id"), col("text").as("ref")),
+          "pair_id")
+      graft.operators.Retrieval.rougeNgram(pairs, "pair_id", "cand", "ref", maxN = 2)
+    },
+
     // -------------------------------------- Unigram-LM piece usage
     // The SentencePiece-style third tokenizer (Kudo 2018): Viterbi
     // max-likelihood segmentation under grid-12 unigram log-probs over
@@ -1079,6 +1099,41 @@ object TextQueries {
         st$k AS (SELECT word, n, pos + len(piece) AS pos FROM pk$k)"""
     }.mkString(",\n")
     s"$head,\n$its"
+  }
+
+  /** ROUGE oracle: clipped n-gram bag overlap per (pair, n) with every
+    * float one division from exact integers — the long-form replay of
+    * [[graft.operators.Retrieval.rougeNgram]] over the even/odd doc
+    * self-pairing. */
+  private def rougeOracle(maxN: Int): String = {
+    def gramSide(side: String, n: Int): String =
+      s"""SELECT pair_id, unnest(list_transform(range(1, len($side) - $n + 2),
+             i -> array_to_string($side[CAST(i AS INT):CAST(i AS INT)+$n-1], ' '))) AS g
+             FROM p WHERE len($side) >= $n"""
+    val parts = (1 to maxN).map { n =>
+      val pexp = s"CAST(COALESCE(cl.clip,0) AS DOUBLE) / CAST(t.cand_grams AS DOUBLE)"
+      val rexp = s"CAST(COALESCE(cl.clip,0) AS DOUBLE) / CAST(t.ref_grams AS DOUBLE)"
+      s"""
+      SELECT t.pair_id, $n AS n, t.cand_grams, t.ref_grams, COALESCE(cl.clip, 0) AS clip,
+             ROUND(CASE WHEN t.cand_grams > 0 THEN $pexp ELSE 0.0 END, 6) AS rouge_p,
+             ROUND(CASE WHEN t.ref_grams > 0 THEN $rexp ELSE 0.0 END, 6) AS rouge_r,
+             ROUND(CASE WHEN t.cand_grams > 0 AND t.ref_grams > 0 AND ($pexp + $rexp) > 0
+                        THEN 2.0 * ($pexp) * ($rexp) / ($pexp + $rexp)
+                        ELSE 0.0 END, 6) AS rouge_f
+      FROM (SELECT pair_id, CAST(greatest(len(ct) - $n + 1, 0) AS BIGINT) AS cand_grams,
+                   CAST(greatest(len(rt) - $n + 1, 0) AS BIGINT) AS ref_grams FROM p) t
+      LEFT JOIN (
+        SELECT cn.pair_id, CAST(SUM(least(cn.c, rn.c)) AS BIGINT) AS clip
+        FROM (SELECT pair_id, g, COUNT(*) AS c FROM (${gramSide("ct", n)}) GROUP BY 1, 2) cn
+        JOIN (SELECT pair_id, g, COUNT(*) AS c FROM (${gramSide("rt", n)}) GROUP BY 1, 2) rn
+          ON cn.pair_id = rn.pair_id AND cn.g = rn.g
+        GROUP BY cn.pair_id) cl ON cl.pair_id = t.pair_id"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH c AS (SELECT doc_id // 2 AS pair_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ct FROM documents WHERE doc_id % 2 = 0),
+    r AS (SELECT (doc_id - 1) // 2 AS pair_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rt FROM documents WHERE doc_id % 2 = 1),
+    p AS MATERIALIZED (SELECT c.pair_id, c.ct, r.rt FROM c JOIN r USING (pair_id))
+    $parts"""
   }
 
   /** Unigram-LM oracle: replay [[graft.operators.Unigram]] train + Viterbi

@@ -187,6 +187,29 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(cr.values.sum - 1.0) < 1e-9)
   }
 
+  test("kCore: cascading peel to the unique fixpoint, survivors keep >= k, empty when none") {
+    // 5-clique (a 4-core) with a pendant chain hanging off node 0: the
+    // chain peels over CASCADING rounds (8 -> exposes 7 -> exposes 6...),
+    // the clique survives with within-core degree exactly 4
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain  = Seq((0L, 6L), (6L, 7L), (7L, 8L))
+    val edges  = (clique ++ chain).toDF("a", "b")
+    val got = Graph.kCore(edges, "a", "b", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 4L).map(_ -> 4L).toMap, s"got $got")
+    // k above the densest kernel: everything peels, output empty
+    assert(Graph.kCore(edges, "a", "b", k = 5).collect().isEmpty)
+    // k = 1 keeps every non-isolated node at its plain degree fixpoint
+    val k1 = Graph.kCore(edges, "a", "b", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1(8L) == 1L && k1(0L) == 5L)
+    // duplicate/reversed rows canonicalize first
+    val dup = Graph.kCore(edges.union(edges.select(col("b"), col("a"))), "a", "b", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == got)
+    intercept[IllegalArgumentException](Graph.kCore(edges, "a", "b", k = 0))
+  }
+
   test("personalizedPageRank equals a driver RWR reference; mass conserved; proximity ordering") {
     // chain 1→2→3→4 plus a far component 7→8; restart at {1}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))

@@ -38,7 +38,6 @@ class QueriesSpec extends SparkSpec {
     // hash-checkable; SketchSpec still pins the production-scale error
     // envelopes. Every deterministic query — including the approximate-
     // but-derandomized ANN family — carries a full oracle.
-    "bpe_token_count"   -> "BpeSpec (exact merge sequence + determinism)",
     "text_compression_ratio" -> "CorpusSpec (separation + determinism; in-query rep4 witness)")
 
   test("no query lacks both an oracle and a pinned rows-only spec") {

@@ -162,4 +162,33 @@ class RetrievalSpec extends SparkSpec {
     assert(pairs.size == out.length, "duplicate pairs")
     pairs.foreach { case (a, b) => assert(a < b && !pairs.contains((b, a))) }
   }
+
+  test("rougeNgram: hand-computed clipped overlap, degenerate pairs, bounds") {
+    import spark.implicits._
+    val pairs = Seq(
+      // cand "a b c a" vs ref "a c a d": 1-gram clip = min(2,2)+min(1,1) = 3
+      // -> P = R = 3/4; 2-gram bags {ab,bc,ca} vs {ac,ca,ad}: clip = 1 (ca)
+      (1L, "a b c a", "a c a d"),
+      (2L, "x y", "x y"),      // identical: P = R = F = 1 at both n
+      (3L, "q", "z"),           // disjoint singletons: all zeros; no 2-grams
+      (4L, "", "w w")           // empty candidate: P = 0 by the guard
+    ).toDF("pair_id", "cand", "ref")
+    val got = Retrieval.rougeNgram(pairs, "pair_id", "cand", "ref", maxN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got((1L, 1)) == ((4L, 4L, 3L, 0.75, 0.75, 0.75)))
+    assert(got((1L, 2)) == ((3L, 3L, 1L, 0.333333, 0.333333, 0.333333)))
+    assert(got((2L, 1)) == ((2L, 2L, 2L, 1.0, 1.0, 1.0)))
+    assert(got((2L, 2)) == ((1L, 1L, 1L, 1.0, 1.0, 1.0)))
+    assert(got((3L, 1)) == ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got((3L, 2)) == ((0L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(got((4L, 1)) == ((0L, 2L, 0L, 0.0, 0.0, 0.0)))
+    // bounds on every row: 0 <= P,R,F <= 1 and clip <= min(totals)
+    got.values.foreach { case (cg, rg, clip, p, r, f) =>
+      assert(clip <= math.min(cg, rg) && p >= 0 && p <= 1 && r >= 0 && r <= 1 && f >= 0 && f <= 1)
+    }
+    intercept[IllegalArgumentException](Retrieval.rougeNgram(pairs, "pair_id", "cand", "ref", 0))
+  }
 }
