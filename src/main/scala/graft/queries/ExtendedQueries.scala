@@ -103,6 +103,48 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_first_day"), asDouble(sum(money(col("value")))).as("sum_value"))
     },
 
+    // ------------------------------------- interval join with NO equi-key
+    // Purchases inside ANY early-user signup window — no shared key, so a
+    // bare range predicate would plan as BroadcastNestedLoop (a cross
+    // product once both sides are large). IntervalJoin bands time into
+    // 4-hour bins: intervals replicate into the <= 2 bins they span,
+    // points key by their single bin, and the plan is a shuffled
+    // EQUI-join with the range as a residual — exact by construction (a
+    // point has one bin, so each match meets once). Left join back to the
+    // interval set so empty windows emit zero rows too; all-integer.
+    Q(
+      "join_interval_overlap",
+      Some("""
+        WITH s AS (SELECT event_id AS signup_id, ts AS t0, ts + INTERVAL 4 HOUR AS t1
+                   FROM events WHERE event_type = 'signup' AND user_id < 30),
+        m AS (SELECT s.signup_id, e.user_id FROM events e
+              JOIN s ON e.ts >= s.t0 AND e.ts <= s.t1 WHERE e.event_type = 'purchase'),
+        a AS (SELECT signup_id, COUNT(*) AS n_purchases, COUNT(DISTINCT user_id) AS n_buyers
+              FROM m GROUP BY signup_id)
+        SELECT s.signup_id, COALESCE(a.n_purchases, 0) AS n_purchases,
+               COALESCE(a.n_buyers, 0) AS n_buyers
+        FROM s LEFT JOIN a USING (signup_id)
+      """)) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val intervals = ev
+        .filter(col("event_type") === "signup" && col("user_id") < 30)
+        .select(col("event_id").as("signup_id"), col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 4 HOUR")).as("t1"))
+      val points = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pe_id"), col("ts").as("pts"), col("user_id").as("buyer"))
+      val matched = graft.operators.IntervalJoin
+        .pointInInterval(points, "pts", intervals, "t0", "t1", binMicros = 3600000000L * 4)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_purchases"), countDistinct(col("buyer")).as("n_buyers"))
+      intervals
+        .join(matched, Seq("signup_id"), "left")
+        .select(
+          col("signup_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_buyers"), lit(0L)).as("n_buyers"))
+    },
+
     // ------------------------------------------- lag / lead / ntile window
     // Value-offset window functions over a total per-customer order (date,
     // then key — deterministic despite duplicate dates).

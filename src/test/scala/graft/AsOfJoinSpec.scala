@@ -70,4 +70,48 @@ class AsOfJoinSpec extends SparkSpec {
       assert(out.getAs[Double]("asof_price") == 2.0)
     }
   }
+
+  test("IntervalJoin.pointInInterval == brute range join; stays an equi-join without broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IntervalJoin
+    // intervals spanning multiple bins, bin boundaries, inclusive ends,
+    // nested/overlapping windows, and a point matching several intervals
+    val ivs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00")), // 3 bins at 2h
+      (2L, ts("2024-01-01 04:00:00"), ts("2024-01-01 06:00:00")), // overlaps 1
+      (3L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"))  // zero-width
+    ).toDF("iv_id", "t0", "t1")
+    val pts = Seq(
+      (10L, ts("2024-01-01 00:00:00")), // == start, inclusive
+      (11L, ts("2024-01-01 04:30:00")), // inside 1 AND 2
+      (12L, ts("2024-01-01 05:00:00")), // == end of 1, inside 2
+      (13L, ts("2024-01-01 06:00:01")), // just past 2
+      (14L, ts("2024-01-02 00:00:00")), // == the zero-width interval
+      (15L, ts("2024-03-01 00:00:00"))  // matches nothing
+    ).toDF("p_id", "pt")
+    val got = IntervalJoin.pointInInterval(pts, "pt", ivs, "t0", "t1", binMicros = 7200000000L)
+      .select(col("p_id"), col("iv_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.join(ivs, col("pt") >= col("t0") && col("pt") <= col("t1"))
+      .select(col("p_id"), col("iv_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got == Set((10L, 1L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L), (14L, 3L)))
+    // the scale claim: with broadcasting disabled the plan is still an
+    // equi-join on the bin key, never a nested-loop cross product
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = IntervalJoin
+        .pointInInterval(pts, "pt", ivs, "t0", "t1", binMicros = 7200000000L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+        s"banding must keep an equi-join:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    intercept[IllegalArgumentException](
+      IntervalJoin.pointInInterval(pts, "pt", ivs, "t0", "t1", binMicros = 0))
+    intercept[IllegalArgumentException](
+      IntervalJoin.pointInInterval(pts.withColumnRenamed("p_id", "iv_id"), "pt", ivs, "t0", "t1"))
+  }
 }
