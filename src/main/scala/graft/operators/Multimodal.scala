@@ -738,6 +738,85 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** Haitsma-Kalker-style AUDIO perceptual fingerprint — the WAV sibling
+    * of [[dhash]]: the channel-summed 16-bit PCM signal is cut into
+    * `segments` equal frame ranges, each range's energy is the exact
+    * integer Σ|mono(frame)|, and bit s of the fingerprint is set when
+    * energy(s+1) > energy(s) — 64 energy-DELTA sign bits in a signed
+    * long. Like dHash's gradient signs, the delta signs survive what
+    * breaks exact byte hashes: uniform amplitude scaling (volume) leaves
+    * every comparison unchanged, and localized noise flips only the bits
+    * whose segments it touches — so hamming distance over the fingerprint
+    * IS audio near-dup detection, feeding the same SimHash
+    * hamming/banding machinery downstream (a fingerprint is a 64-bit
+    * SimHash-shaped key).
+    *
+    * Decode discipline matches [[WavCodec]]: real container parse via
+    * javax.sound.sampled on the executor, signed 16-bit PCM only, loud
+    * failure on anything malformed. All integer arithmetic — an oracle
+    * replays energies and bits from a synthetic clip's sample formula. */
+  def audioFingerprint(media: DataFrame, segments: Int = 65): DataFrame = {
+    require(segments >= 2 && segments <= 65, s"segments must be in [2,65], got $segments")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (mediaId, payload) =>
+        def fail(msg: String): Nothing =
+          throw new IllegalArgumentException(s"audioFingerprint: $msg (media_id=$mediaId)")
+        val ais =
+          try
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              fail(s"not a parseable audio container: ${e.getMessage}")
+            case e: java.io.IOException => fail(s"decode error: ${e.getMessage}")
+          }
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          fail(s"only signed PCM supported, got ${fmt.getEncoding}")
+        if (fmt.getSampleSizeInBits != 16)
+          fail(s"only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}-bit")
+        val channels = fmt.getChannels
+        val bytes =
+          try ais.readAllBytes()
+          catch { case e: java.io.IOException => fail(s"raster read error: ${e.getMessage}") }
+        if (bytes.length % (2 * channels) != 0)
+          fail(s"truncated PCM payload: ${bytes.length} bytes for $channels channel(s)")
+        def sample(k: Int): Int =
+          if (fmt.isBigEndian) (bytes(2 * k) << 8) | (bytes(2 * k + 1) & 0xff)
+          else (bytes(2 * k + 1) << 8) | (bytes(2 * k) & 0xff)
+        val nf = bytes.length / (2 * channels)
+        val e  = new Array[Long](segments)
+        var s = 0
+        while (s < segments) {
+          val from = (s.toLong * nf / segments).toInt
+          val to   = ((s + 1).toLong * nf / segments).toInt
+          var acc = 0L
+          var f = from
+          while (f < to) {
+            var mono = 0L
+            var c = 0
+            while (c < channels) { mono += sample(f * channels + c); c += 1 }
+            acc += math.abs(mono)
+            f += 1
+          }
+          e(s) = acc
+          s += 1
+        }
+        var h = 0L
+        var i = 0
+        while (i < segments - 1) {
+          if (e(i) < e(i + 1)) h |= 1L << i
+          i += 1
+        }
+        (mediaId, h)
+      }
+      .toDF("media_id", "afp")
+  }
+
   def sampleFrames(media: DataFrame, k: Int, frameBytes: Int): DataFrame = {
     media
       .withColumn("frame_idx", explode(sequence(lit(0), lit(k - 1))))

@@ -2606,6 +2606,56 @@ object PipelineQueries {
           posexplode(col("features")).as(Seq("band", "mean_amp")))
     },
 
+    // Audio perceptual fingerprint (Haitsma-Kalker energy-delta signs —
+    // the WAV sibling of multimodal_dhash): real RIFF encode + decode on
+    // the executor, 65 segment energies as exact integer Σ|channel-summed
+    // PCM|, 64 delta-sign bits packed into a signed long. Volume scaling
+    // preserves every bit (spec pins it); the oracle replays energies and
+    // bits from the sample FORMULA with the dhash HUGEINT bit-pack.
+    Q(
+      "multimodal_audio_fingerprint",
+      Some("""
+        WITH d AS (SELECT CAST(doc_id AS INT) AS id FROM documents WHERE doc_id < 64),
+        dims AS (SELECT id, 400 + (id % 5) * 160 AS nf, 1 + id % 2 AS ch FROM d),
+        segs AS (SELECT id, nf, ch, CAST(s AS INT) AS s,
+                        (s * nf) // 65 AS f0, ((s + 1) * nf) // 65 AS f1
+                 FROM dims, range(0, 65) t(s)),
+        fr AS (SELECT id, ch, s, unnest(range(f0, f1)) AS f FROM segs),
+        chx AS (SELECT id, s, f, unnest(range(0, ch)) AS c FROM fr),
+        mono AS (SELECT id, s, f, SUM((f * (13 + id) + c * 7919) % 4093 - 2046) AS m
+                 FROM chx GROUP BY 1, 2, 3),
+        en AS (SELECT sg.id, sg.s, COALESCE(SUM(abs(mono.m)), 0) AS e
+               FROM segs sg LEFT JOIN mono ON mono.id = sg.id AND mono.s = sg.s
+               GROUP BY 1, 2),
+        bits AS (SELECT a.id, a.s, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+                 FROM en a JOIN en b ON b.id = a.id AND b.s = a.s + 1 WHERE a.s < 64),
+        pow2 AS (WITH RECURSIVE q(k, v) AS (
+                   SELECT 0, 1::HUGEINT UNION ALL SELECT k + 1, v * 2 FROM q WHERE k < 63)
+                 SELECT * FROM q),
+        hs AS (SELECT b.id, SUM(CASE WHEN b.bit = 1 THEN p2.v ELSE 0::HUGEINT END) AS h
+               FROM bits b JOIN pow2 p2 ON p2.k = b.s GROUP BY b.id)
+        SELECT CAST(id AS BIGINT) AS media_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS afp
+        FROM hs
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val media = Tables(spark, dir).documents
+        .select(col("doc_id").cast("int").as("id"))
+        .filter(col("id") < 64)
+        .as[Int]
+        .mapPartitions { it =>
+          it.map { id =>
+            (
+              id.toLong,
+              "audio",
+              Multimodal.syntheticWav(id, 8000, 400 + (id % 5) * 160, 1 + id % 2))
+          }
+        }
+        .toDF("media_id", "kind", "payload")
+      Multimodal.audioFingerprint(Multimodal.ingest(media, "media_id", "kind", "payload"))
+    },
+
     // REAL MP3 frame-header walk: each row synthesizes an MPEG-1 Layer
     // III stream by pure byte formula (fixed 128 kbps @ 44.1 kHz, frame
     // length 417, mono/stereo by id parity) and Mp3Codec parses it back —

@@ -289,4 +289,47 @@ class MultimodalSpec extends SparkSpec {
     // hamming distance to the distinct image is substantial (not a near-dup)
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 8, s"dist ${java.lang.Long.bitCount(h(1L) ^ h(3L))}")
   }
+
+  test("audioFingerprint: volume-invariant, noise-local, loud on garbage") {
+    import spark.implicits._
+    // hand-built PCM writer so fixtures control the samples exactly
+    def wav(samples: Array[Int], channels: Int): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { k =>
+        data(2 * k) = (samples(k) & 0xff).toByte
+        data(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, (samples.length / channels).toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val base = Array.tabulate(650)(f => ((f * 37) % 1501) - 750)
+    val media = Seq(
+      (1L, "audio", wav(base, 1)),
+      (2L, "audio", wav(base.map(_ * 4), 1)),              // 4x volume
+      (3L, "audio", wav(base.updated(5, 9999).updated(6, -9999), 1)), // local noise
+      // different content: quadratic ramp — a decorrelated energy profile
+      // (reversing the sawtooth would NOT do: its |PCM| segment energies
+      // are near-symmetric, so the delta signs barely move)
+      (4L, "audio", wav(Array.tabulate(650)(f => ((f * f + 17) % 1801) - 900), 1))
+    ).toDF("media_id", "kind", "payload")
+    val h = Multimodal
+      .audioFingerprint(Multimodal.ingest(media, "media_id", "kind", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // uniform amplitude scaling preserves every energy comparison
+    assert(h(1L) == h(2L), "volume change must not move a bit")
+    // noise confined to segment 0 flips at most the bits touching it
+    val dNoise = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(dNoise <= 2, s"local noise flipped $dNoise bits")
+    // genuinely different content is far away
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 8)
+    // garbage payload fails loudly, never fabricates a fingerprint
+    val bad = Seq((9L, "audio", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload")
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.audioFingerprint(Multimodal.ingest(bad, "media_id", "kind", "payload")).collect())
+    assert(e.getMessage.contains("audioFingerprint") || e.getCause != null)
+  }
 }
