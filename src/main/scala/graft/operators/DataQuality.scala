@@ -344,6 +344,46 @@ object DataQuality {
     * buffers are group-sized — swap to percentile_approx beyond memory,
     * same note as quantileBucketize) plus two joins of the tiny per-group
     * stat tables, broadcast by construction. */
+  /** Seeded differentially-private count release (ε-DP, Laplace
+    * mechanism with sensitivity 1): per-group counts plus Laplace(1/ε)
+    * noise derived DETERMINISTICALLY from (group key ⊕ seed) through the
+    * portable splitmix64 finalizer — the reproducible-release discipline
+    * real pipelines use so a published aggregate can be re-derived and
+    * AUDITED bit-for-bit (a fresh seed is a fresh release; the privacy
+    * argument treats the seed as secret, exactly like a recorded RNG
+    * draw). Inverse-CDF sampling: u = top-53 hash bits / 2⁵³ (an exact
+    * dyadic double), noise = −b·sign(u−½)·ln(1 − 2|u−½|), with the ln on
+    * the 1e-12 decimal grid and the final sum rounded HALF_UP to 1e-6 —
+    * every arithmetic boundary replays cross-engine (the NB-scorer
+    * discipline applied to noise).
+    *
+    * `noiseScale` is the integer b = sensitivity/ε (b = 2 ⟺ ε = 0.5 for
+    * counts); integer b keeps the decimal product exact. Keys must be
+    * integral (a day number, a bucket id — release tables are keyed by
+    * such). One map-side-combined aggregate; the noise is a narrow
+    * projection on the key — no second pass, no driver state. */
+  def dpNoisyCounts(
+      df: DataFrame,
+      keyCol: Column,
+      keyName: String,
+      seed: Long,
+      noiseScale: Int): DataFrame = {
+    require(noiseScale >= 1, s"noiseScale must be a positive integer, got $noiseScale")
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    // noise derives from the GROUPED key column (one draw per released row)
+    val h = graft.functions.TextFunctions.mix64(col(keyName).cast("long").bitwiseXOR(lit(seed)))
+    val u = shiftrightunsigned(h, 11).cast("double") / lit(9007199254740992.0) // 2^53
+    val t = u - lit(0.5)
+    val s = when(t < 0, lit(-1)).otherwise(lit(1))
+    val a = greatest(lit(1.0) - lit(2.0) * abs(t), lit(1.1102230246251565e-16)) // 2^-53 floor
+    val noise = round(log(a), 12).cast(dec12) * lit(-noiseScale) * s
+    df.groupBy(keyCol.as(keyName))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col(keyName),
+        round(col("cnt").cast(dec12) + noise, 6).cast("double").as("noisy_count"))
+  }
+
   def madOutliers(
       df: DataFrame,
       groupCol: String,

@@ -719,6 +719,23 @@ object ExtendedQueries {
         Tables(spark, dir).customer, Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10L, l = 2L)
     },
 
+    // Seeded ε-DP count release (Laplace, sensitivity 1, b = 1/ε = 2):
+    // daily event counts plus noise derived deterministically from
+    // (day ⊕ seed) through splitmix64 inverse-CDF sampling — the
+    // reproducible-release pattern (re-derivable, auditable; a fresh seed
+    // is a fresh release). The oracle replays the hash, the exact dyadic
+    // u, the grid-12 ln, and the decimal sum; round(·, 6).
+    Q(
+      "privacy_dp_counts",
+      Some(dpCountsSql(seed = 20240814L, b = 2))) { (spark, dir) =>
+      DataQuality.dpNoisyCounts(
+        Tables(spark, dir).events,
+        unix_date(to_date(col("ts"))).cast("long"),
+        "day",
+        seed = 20240814L,
+        noiseScale = 2)
+    },
+
     // Behavioral path mining: counts of length-3 consecutive event-type
     // sequences per user (lead pairs in total (ts, event_id) order) — the
     // "what do users actually do" funnel-discovery primitive the Markov
@@ -881,6 +898,33 @@ object ExtendedQueries {
           array_max(col("embedding")).cast("double").as("mx"))
     }
   )
+
+  /** Replay of [[graft.operators.DataQuality.dpNoisyCounts]] over daily
+    * event counts: splitmix64 of (day ⊕ seed), u = top-53 bits / 2⁵³,
+    * Laplace inverse CDF with the ln on the 1e-12 grid, exact decimal
+    * sum, round 6 → double. */
+  private def dpCountsSql(seed: Long, b: Int): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    s"""
+    WITH g AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+    k0 AS (SELECT day, cnt, xor(CAST(day AS UBIGINT), $seed::UBIGINT) AS x FROM g),
+    a1 AS (SELECT day, cnt, xor(x, x >> 30) AS a FROM k0),
+    a2 AS (SELECT day, cnt, ${mulmod("a", "13787848793156543929")} AS z FROM a1),
+    a3 AS (SELECT day, cnt, xor(z, z >> 27) AS a FROM a2),
+    a4 AS (SELECT day, cnt, ${mulmod("a", "10723151780598845931")} AS z FROM a3),
+    hx AS (SELECT day, cnt, xor(z, z >> 31) AS h FROM a4),
+    uu AS (SELECT day, cnt, CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM hx),
+    nz AS (SELECT day, cnt,
+                  CASE WHEN u - 0.5 < 0 THEN -1 ELSE 1 END AS s,
+                  greatest(1.0 - 2.0 * abs(u - 0.5), 1.1102230246251565e-16) AS a
+           FROM uu),
+    nv AS (SELECT day, cnt, CAST(round(ln(a), 12) AS DECIMAL(20,12)) * (-$b) * s AS noise FROM nz)
+    SELECT day, CAST(round(CAST(cnt AS DECIMAL(20,12)) + noise, 6) AS DOUBLE) AS noisy_count FROM nv"""
+  }
 
   /** Full relational replay of [[graft.operators.Sketches.bloomMembership]]
     * over the events gate fixture: the splitmix64 finalizer twice per key

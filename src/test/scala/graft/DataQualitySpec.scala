@@ -150,4 +150,30 @@ class DataQualitySpec extends SparkSpec {
     assert(rerun.map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet ==
       out.map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet)
   }
+
+  test("dpNoisyCounts: seed-reproducible, seed-sensitive, Laplace-shaped noise, partitioning-free") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i % 100).toLong).toDF("k")
+    def run(seed: Long, d: org.apache.spark.sql.DataFrame = df) =
+      DataQuality.dpNoisyCounts(d, col("k"), "key", seed, noiseScale = 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(7L)
+    assert(a.size == 100)
+    // same seed → bit-identical release; repartitioning cannot move it
+    assert(run(7L) == a && run(7L, df.repartition(13)) == a)
+    // a fresh seed is a fresh release
+    val b2 = run(8L)
+    assert(a != b2)
+    // every noisy count is true count (50) + bounded Laplace noise:
+    // |noise| <= b * 53*ln2 ≈ 73.5 at the 2^-53 floor; and noise actually
+    // moves counts (not all exactly 50)
+    val noises = a.values.map(_ - 50.0)
+    assert(noises.forall(n => math.abs(n) <= 74.0), s"max ${noises.map(math.abs).max}")
+    assert(noises.count(n => math.abs(n) > 0.01) > 50, "noise must actually perturb")
+    // median |noise| for Laplace(b=2) is b·ln2 ≈ 1.39 — sanity-band it
+    val med = noises.map(math.abs).toSeq.sorted.apply(50)
+    assert(med > 0.2 && med < 8.0, s"median |noise| $med out of the Laplace(2) band")
+    intercept[IllegalArgumentException](
+      DataQuality.dpNoisyCounts(df, col("k"), "key", 1L, noiseScale = 0))
+  }
 }
