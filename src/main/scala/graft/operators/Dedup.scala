@@ -585,6 +585,55 @@ object Dedup {
       rows)
   }
 
+  /** Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969)
+    * — the PROBABILISTIC layer over blocked candidate pairs that the
+    * deterministic ER tiers (exact digests, sorted-neighborhood windows,
+    * jaccard thresholds) don't give: each comparison field carries an
+    * agreement weight ln(m/u) and a disagreement weight ln((1−m)/(1−u))
+    * (m = P(agree | same entity), u = P(agree | different)); a pair's
+    * score is the sum over fields and the classic three-way decision
+    * cuts at the two thresholds — match / possible (clerical review) /
+    * nonmatch.
+    *
+    * Determinism/replay: the weights are the ln values on the 1e-12
+    * decimal grid (the NB-scorer discipline), the score an EXACT decimal
+    * sum of literals selected by the boolean agreement columns, and the
+    * thresholds decimal compares — so scores and decisions replay in an
+    * external engine bit for bit. Scale shape: a pure narrow projection
+    * over the caller's (already blocked) pair table — the quadratic risk
+    * lives in blocking, which the caller controls with the same
+    * block-key judgment as [[sortedNeighborPairs]]. */
+  def fellegiSunterScores(
+      pairs: DataFrame,
+      fields: Seq[(String, Double, Double)],
+      upper: Double,
+      lower: Double): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    fields.foreach { case (n, m, u) =>
+      require(0.0 < u && u < m && m < 1.0, s"field $n: need 0 < u < m < 1, got m=$m u=$u")
+    }
+    require(lower < upper, s"thresholds must satisfy lower < upper, got $lower >= $upper")
+    def grid12(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+    val score = fields
+      .map { case (name, m, u) =>
+        when(col(name), lit(grid12(math.log(m / u))))
+          .otherwise(lit(grid12(math.log((1 - m) / (1 - u)))))
+      }
+      .reduce(_ + _)
+    val upD = lit(java.math.BigDecimal.valueOf(upper))
+    val loD = lit(java.math.BigDecimal.valueOf(lower))
+    pairs
+      .withColumn("__score", score)
+      .select(
+        (pairs.columns.map(col) :+
+          col("__score").cast("double").as("score") :+
+          when(col("__score") >= upD, lit("match"))
+            .when(col("__score") <= loD, lit("nonmatch"))
+            .otherwise(lit("possible"))
+            .as("decision")): _*)
+  }
+
   /** Keep-first near-dup DECISIONS: every document that near-duplicates an
     * EARLIER (smaller-id) document, with its earliest such partner and the
     * exact verified jaccard against it — (doc_id, anchor_id, jacc). This

@@ -817,6 +817,62 @@ object PipelineQueries {
         Tables(spark, dir).part, "p_partkey", "p_name", window = 3, maxDist = 5, blockLen = 1)
     },
 
+    // --------------------------------- Fellegi-Sunter probabilistic ER
+    // The 1969 probabilistic linkage layer over (brand, size)-blocked
+    // part pairs: per-field ln(m/u) / ln((1-m)/(1-u)) weights on the
+    // 1e-12 grid, exact decimal score sum, three-way match / possible /
+    // nonmatch decision at decimal thresholds ±2. Scores AND decisions
+    // replay bit-for-bit (the NB-scorer decimal discipline on linkage).
+    Q(
+      "er_fellegi_sunter",
+      Some("""
+        WITH p AS (SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+                          a.p_type = b.p_type AS agree_type,
+                          a.p_retailprice = b.p_retailprice AS agree_price,
+                          string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1] AS agree_tok
+                   FROM part a JOIN part b
+                     ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey),
+        s AS (SELECT a_id, b_id, agree_type, agree_price, agree_tok,
+                     (CASE WHEN agree_type THEN CAST(round(ln(0.95/0.05), 12) AS DECIMAL(20,12))
+                           ELSE CAST(round(ln((1-0.95)/(1-0.05)), 12) AS DECIMAL(20,12)) END
+                    + CASE WHEN agree_price THEN CAST(round(ln(0.9/0.02), 12) AS DECIMAL(20,12))
+                           ELSE CAST(round(ln((1-0.9)/(1-0.02)), 12) AS DECIMAL(20,12)) END
+                    + CASE WHEN agree_tok THEN CAST(round(ln(0.85/0.01), 12) AS DECIMAL(20,12))
+                           ELSE CAST(round(ln((1-0.85)/(1-0.01)), 12) AS DECIMAL(20,12)) END) AS score
+              FROM p)
+        SELECT a_id, b_id, agree_type, agree_price, agree_tok,
+               CAST(score AS DOUBLE) AS score,
+               CASE WHEN score >= CAST(2.0 AS DECIMAL(20,12)) THEN 'match'
+                    WHEN score <= CAST(-2.0 AS DECIMAL(20,12)) THEN 'nonmatch'
+                    ELSE 'possible' END AS decision
+        FROM s
+      """)) { (spark, dir) =>
+      val p = Tables(spark, dir).part
+      def side(pfx: String) = p.select(
+        col("p_partkey").as(s"${pfx}_key"),
+        col("p_brand").as(s"${pfx}_brand"),
+        col("p_size").as(s"${pfx}_size"),
+        col("p_type").as(s"${pfx}_type"),
+        col("p_retailprice").as(s"${pfx}_price"),
+        split(col("p_name"), " ").getItem(0).as(s"${pfx}_tok"))
+      val pairs = side("a")
+        .join(
+          side("b"),
+          col("a_brand") === col("b_brand") && col("a_size") === col("b_size") &&
+            col("a_key") < col("b_key"))
+        .select(
+          col("a_key").as("a_id"),
+          col("b_key").as("b_id"),
+          (col("a_type") === col("b_type")).as("agree_type"),
+          (col("a_price") === col("b_price")).as("agree_price"),
+          (col("a_tok") === col("b_tok")).as("agree_tok"))
+      Dedup.fellegiSunterScores(
+        pairs,
+        Seq(("agree_type", 0.95, 0.05), ("agree_price", 0.9, 0.02), ("agree_tok", 0.85, 0.01)),
+        upper = 2.0,
+        lower = -2.0)
+    },
+
     // -------------------------------------------------- containment dedup
     // Asymmetric |A∩B|/|A|: the subset/quote detector symmetric jaccard
     // structurally misses (a short doc fully quoted inside a long one has

@@ -8,6 +8,33 @@ import graft.sources.Tables
 class DedupSpec extends SparkSpec {
   private lazy val docs = Tables(spark, SharedSpark.sf0001).documents.cache()
 
+  test("fellegiSunterScores: hand-computed weights, three-way decisions, loud on bad m/u") {
+    import spark.implicits._
+    def w(m: Double, u: Double) =
+      BigDecimal(java.math.BigDecimal.valueOf(math.log(m / u)).setScale(12, java.math.RoundingMode.HALF_UP))
+    def wd(m: Double, u: Double) =
+      BigDecimal(java.math.BigDecimal.valueOf(math.log((1 - m) / (1 - u))).setScale(12, java.math.RoundingMode.HALF_UP))
+    val pairs = Seq(
+      (1L, 2L, true, true),   // both agree
+      (1L, 3L, true, false),  // split
+      (1L, 4L, false, false)  // both disagree
+    ).toDF("a_id", "b_id", "f1", "f2")
+    val fields = Seq(("f1", 0.9, 0.1), ("f2", 0.8, 0.05))
+    val out = Dedup.fellegiSunterScores(pairs, fields, upper = 3.0, lower = -3.0)
+      .collect().map(r => (r.getLong(1)) -> ((r.getDouble(4), r.getString(5)))).toMap
+    val s22 = (w(0.9, 0.1) + w(0.8, 0.05)).toDouble
+    val s23 = (w(0.9, 0.1) + wd(0.8, 0.05)).toDouble
+    val s24 = (wd(0.9, 0.1) + wd(0.8, 0.05)).toDouble
+    assert(out(2L) == ((s22, "match")), s"got ${out(2L)} want $s22")
+    assert(out(3L) == ((s23, "possible")))
+    assert(out(4L) == ((s24, "nonmatch")))
+    intercept[IllegalArgumentException](
+      Dedup.fellegiSunterScores(pairs, Seq(("f1", 0.1, 0.9)), 1.0, -1.0)) // u >= m
+    intercept[IllegalArgumentException](
+      Dedup.fellegiSunterScores(pairs, fields, upper = -1.0, lower = 1.0))
+    intercept[IllegalArgumentException](Dedup.fellegiSunterScores(pairs, Nil, 1.0, -1.0))
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     import spark.implicits._
     val df  = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
