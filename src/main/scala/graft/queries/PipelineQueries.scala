@@ -2589,8 +2589,8 @@ object PipelineQueries {
       """)) { (spark, dir) =>
       import spark.implicits._
       val media = Tables(spark, dir).documents
-        .select(col("doc_id").cast("int").as("id"))
-        .filter(col("id") < 64)
+        .filter(col("doc_id") < 64) // filter BEFORE the int cast: id-offset
+        .select(col("doc_id").cast("int").as("id")) // scale copies overflow INT
         .as[Int]
         .mapPartitions { it =>
           it.map { id =>
@@ -2636,8 +2636,8 @@ object PipelineQueries {
       """)) { (spark, dir) =>
       import spark.implicits._
       val media = Tables(spark, dir).documents
-        .select(col("doc_id").cast("int").as("id"))
-        .filter(col("id") < 64)
+        .filter(col("doc_id") < 64) // filter BEFORE the int cast: id-offset
+        .select(col("doc_id").cast("int").as("id")) // scale copies overflow INT
         .as[Int]
         .mapPartitions { it =>
           it.map { id =>
@@ -2697,8 +2697,8 @@ object PipelineQueries {
       """)) { (spark, dir) =>
       import spark.implicits._
       val media = Tables(spark, dir).documents
-        .select(col("doc_id").cast("int").as("id"))
-        .filter(col("id") < 64)
+        .filter(col("doc_id") < 64) // filter BEFORE the int cast: id-offset
+        .select(col("doc_id").cast("int").as("id")) // scale copies overflow INT
         .as[Int]
         .mapPartitions { it =>
           it.map { id =>
@@ -2749,8 +2749,8 @@ object PipelineQueries {
       """)) { (spark, dir) =>
       import spark.implicits._
       val media = Tables(spark, dir).documents
-        .select(col("doc_id").cast("int").as("id"))
-        .filter(col("id") < 64)
+        .filter(col("doc_id") < 64) // filter BEFORE the int cast: id-offset
+        .select(col("doc_id").cast("int").as("id")) // scale copies overflow INT
         .as[Int]
         .mapPartitions { it =>
           it.map(id => (id.toLong, "audio", Multimodal.syntheticMp3(id, 20 + id % 11)))
@@ -2795,8 +2795,8 @@ object PipelineQueries {
       """)) { (spark, dir) =>
       import spark.implicits._
       val media = Tables(spark, dir).documents
-        .select(col("doc_id").cast("int").as("id"))
-        .filter(col("id") < 64)
+        .filter(col("doc_id") < 64) // filter BEFORE the int cast: id-offset
+        .select(col("doc_id").cast("int").as("id")) // scale copies overflow INT
         .as[Int]
         .mapPartitions { it =>
           it.map { id =>
