@@ -384,6 +384,76 @@ object EventStreams {
         col("value"))
   }
 
+  final case class AsofUpdate(key: Long, ts: Timestamp, seq: Long, value: Double)
+  final case class AsofQuery(key: Long, ts: Timestamp, query_id: Long)
+  final case class AsofResult(
+      query_id: Long,
+      key: Long,
+      ts: Timestamp,
+      asof_value: Option[Double],
+      asof_ts: Option[Timestamp])
+
+  /** Streaming AS-OF join — the feature-store serving pattern: a stream of
+    * per-key feature UPDATES and a stream of QUERIES; each query is
+    * answered with the latest update for its key at-or-before its event
+    * time ([[graft.operators.AsOfJoin.asof]]'s non-strict semantics, seq
+    * breaking ties among identical (key, ts) updates — largest wins).
+    * State per key is exactly ONE (ts, seq, value) row — the
+    * latest-feature register — so state size tracks key cardinality, never
+    * stream length: the O(1)-per-key analogue of the batch union+window.
+    *
+    * Ordering contract (the [[funnelStream]]/[[spaceSavingStream]]
+    * clause, made precise by the register design): each micro-batch folds
+    * in (ts, updates-before-queries, seq) order, so answers are EXACTLY
+    * the batch as-of join's (StreamingSpec pins it) when arrival is
+    * event-time-ordered ACROSS batches — in particular an update must not
+    * be delivered in an EARLIER batch than a query it post-dates: the
+    * register keeps only the latest update per key, so once a newer value
+    * lands, a query about the past can no longer see the superseded one
+    * (it answers None if the register is entirely in its future). Late
+    * UPDATES degrade gracefully — they only affect queries in their own
+    * or later batches. */
+  def asofStream(
+      updates: Dataset[AsofUpdate],
+      queries: Dataset[AsofQuery]): Dataset[AsofResult] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    // one envelope stream: isQuery=false rows carry (seq, value),
+    // isQuery=true rows carry query_id
+    val env = updates
+      .map(u => (u.key, u.ts, false, u.seq, u.value, -1L))
+      .union(queries.map(q => (q.key, q.ts, true, Long.MinValue, 0.0, q.query_id)))
+    env
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: Long,
+         rows: Iterator[(Long, Timestamp, Boolean, Long, Double, Long)],
+         state: GroupState[AsofUpdate]) => {
+          var cur = state.getOption.orNull
+          val out = Seq.newBuilder[AsofResult]
+          rows.toVector
+            .sortBy { case (_, ts, isQuery, seq, _, _) =>
+              // micros epoch (the funnelStream conversion): getTime holds
+              // millis, getNanos the full sub-second — never add both raw
+              (ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, isQuery, seq)
+            }
+            .foreach {
+              case (_, ts, false, seq, value, _) =>
+                // an update wins over the register iff strictly later in
+                // (ts, seq) — the batch rightTieBreak "largest wins" rule
+                if (cur == null || cur.ts.compareTo(ts) < 0 ||
+                  (cur.ts.compareTo(ts) == 0 && cur.seq < seq))
+                  cur = AsofUpdate(key, ts, seq, value)
+              case (_, ts, true, _, _, qid) =>
+                if (cur != null && cur.ts.compareTo(ts) <= 0)
+                  out += AsofResult(qid, key, ts, Some(cur.value), Some(cur.ts))
+                else out += AsofResult(qid, key, ts, None, None)
+            }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+        })
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates
     * arriving within the watermark window are dropped, and dedup state for
     * ids older than the watermark is evicted — the streaming analogue of the

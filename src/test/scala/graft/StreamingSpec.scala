@@ -431,6 +431,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("asofStream: query answers == batch as-of join across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = events.filter(col("user_id") < 40)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .sortBy(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+    assert(ev.length > 100)
+    // ONE tagged source feeding both sides: each micro-batch then contains
+    // its chunk's updates AND queries together, and the operator's in-batch
+    // (ts, updates-first) fold interleaves them — two independent memory
+    // sources would let the engine deliver a chunk's LATER updates in a
+    // batch before its EARLIER queries, which breaks the ordered-arrival
+    // contract (the O(1) register keeps only the latest update, so a
+    // query about the past can't see a superseded value)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Boolean, Long, Double)]
+    val tagged  = mem.toDS()
+    val updates = tagged.filter(!_._3).map(t => EventStreams.AsofUpdate(t._1, t._2, t._4, t._5))
+    val queries = tagged.filter(_._3).map(t => EventStreams.AsofQuery(t._1, t._2, t._4))
+    val sq = EventStreams.asofStream(updates, queries)
+      .writeStream.outputMode("update").format("memory").queryName("asof_out").start()
+    try {
+      // event-time-ordered arrival split into 3 micro-batches
+      ev.grouped(math.max(ev.length / 3, 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq.collect {
+          case r if r.getString(3) == "signup" =>
+            (r.getLong(2), r.getTimestamp(1), false, r.getLong(0), r.getDouble(4))
+          case r if r.getString(3) == "purchase" =>
+            (r.getLong(2), r.getTimestamp(1), true, r.getLong(0), 0.0)
+        })
+        sq.processAllAvailable()
+      }
+    } finally sq.stop()
+    val streamed = spark.table("asof_out").collect()
+      .map(r => r.getLong(0) -> ((
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[java.sql.Timestamp])))).toMap
+    val base = events.filter(col("user_id") < 40)
+    val right = base.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("rts"), col("event_id").as("seq"), col("value"))
+    val left = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val batch = graft.operators.AsOfJoin
+      .asof(left, right, Seq("user_id"), "ts", "rts", Seq("value", "rts"),
+        strict = false, rightTieBreak = Some("seq"))
+      .collect()
+      .map(r => r.getLong(2) -> ((
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[java.sql.Timestamp])))).toMap
+    assert(batch.nonEmpty && batch.values.exists(_._1.isDefined))
+    assert(streamed == batch,
+      s"diff: ${(batch.toSet -- streamed.toSet).take(3)} / ${(streamed.toSet -- batch.toSet).take(3)}")
+  }
+
   test("streaming near-dup tier: verified hit set == batch minhashDupPairs, flags == nearDupFlags") {
     val docs = Tables(spark, SharedSpark.sf0001).documents.select(col("doc_id"), col("text"))
     val stage = java.nio.file.Files.createTempDirectory("graft_neardup_stream_").toString
