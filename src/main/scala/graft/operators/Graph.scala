@@ -710,6 +710,53 @@ object Graph {
     materialized
   }
 
+  /** Degree assortativity (Newman 2002) — the one-number graph-health
+    * signal beside the corpus's Zipf/Heaps fits: the Pearson correlation
+    * of endpoint degrees over the symmetrized edge list. Positive = hubs
+    * attach to hubs (social graphs), negative = hubs attach to leaves
+    * (hub-and-spoke / star floods — the spam topology), ~0 = neutral
+    * mixing. On the symmetrized list both marginals coincide, so
+    * r = (n·Σxy − (Σx)²)/(n·Σxx − (Σx)²) — EXACT integer moments (degrees
+    * are ints; one canonical-edge pass computes Σ(x+y), Σ(x²+y²), Σ2xy
+    * without materializing the mirror), ONE double division, round 6 —
+    * the fully-replayable shape, no sqrt. A regular graph has zero degree
+    * variance: NULL, not NaN. Output: (n_nodes, n_edges, assortativity). */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dg"))
+    val nNodes = deg.count()
+    val m = und
+      .join(deg.select(col("id").as("a"), col("dg").as("x")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("dg").as("y")), Seq("b"))
+      .agg(
+        (count(lit(1)) * 2).as("n"),
+        sum(col("x") + col("y")).as("sx"),
+        sum(col("x") * col("x") + col("y") * col("y")).as("sxx"),
+        sum(col("x") * col("y") * 2).as("sxy"))
+    val out = m.select(
+      lit(nNodes).as("n_nodes"),
+      (col("n") / 2).cast("long").as("n_edges"),
+      when(
+        col("n") * col("sxx") - col("sx") * col("sx") === 0,
+        lit(null).cast("double"))
+        .otherwise(
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6))
+        .as("assortativity"))
+    val materialized = out.localCheckpoint(true)
+    und.unpersist()
+    materialized
+  }
+
   /** k-core decomposition for a fixed k (Seidman 1983; the "dense kernel"
     * extraction behind community seeds, spam-farm detection, and graph
     * sparsification): repeatedly PEEL every node whose current degree is

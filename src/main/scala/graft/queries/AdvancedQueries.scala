@@ -366,6 +366,37 @@ object AdvancedQueries {
       graft.operators.Graph.kCore(edges, "pa", "pb", k = 3)
     },
 
+    // ------------------------------------------- degree assortativity
+    // Newman's one-number mixing signal over the same co-purchase graph:
+    // Pearson r of endpoint degrees on the symmetrized edge list —
+    // r = (n·Σxy − (Σx)²)/(n·Σxx − (Σx)²) with exact integer moments and
+    // ONE double division, round 6 (regular graph → NULL, never NaN).
+    Q(
+      "graph_assortativity",
+      Some("""
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        d AS (SELECT id, COUNT(*) AS dg FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY 1),
+        j AS (SELECT da.dg AS x, db.dg AS y FROM e JOIN d da ON da.id = e.a JOIN d db ON db.id = e.b),
+        m AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n, CAST(SUM(x + y) AS BIGINT) AS sx,
+                     CAST(SUM(x*x + y*y) AS BIGINT) AS sxx, CAST(SUM(2*x*y) AS BIGINT) AS sxy
+              FROM j)
+        SELECT (SELECT COUNT(*) FROM d) AS n_nodes, n // 2 AS n_edges,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE ROUND(CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS assortativity
+        FROM m
+      """)) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.operators.Graph.degreeAssortativity(edges, "pa", "pb")
+    },
+
     // Supplier pairs by shared customers (Graph.commonNeighborPairs over
     // the order bipartite graph): the co-occurrence primitive behind
     // item-item recommenders. Hub discipline: customers over 50 distinct

@@ -187,6 +187,24 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(cr.values.sum - 1.0) < 1e-9)
   }
 
+  test("degreeAssortativity: star is -1, regular graph is NULL, closed forms") {
+    // star K1,4: every edge pairs degree 4 with degree 1 — perfectly
+    // disassortative, r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val s = Graph.degreeAssortativity(star, "a", "b").head()
+    assert(s.getLong(0) == 5L && s.getLong(1) == 4L && s.getDouble(2) == -1.0, s.toString)
+    // 4-cycle: all degrees equal → zero variance → NULL, never NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val c = Graph.degreeAssortativity(cyc, "a", "b").head()
+    assert(c.isNullAt(2), c.toString)
+    // two disjoint stars: still -1 (mixing is per-edge, components don't mix)
+    val two = star.union(Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)).toDF("a", "b"))
+    assert(Graph.degreeAssortativity(two, "a", "b").head().getDouble(2) == -1.0)
+    // duplicate/reversed rows canonicalize
+    val dup = Graph.degreeAssortativity(star.union(star.select(col("b"), col("a"))), "a", "b").head()
+    assert(dup.getDouble(2) == -1.0 && dup.getLong(1) == 4L)
+  }
+
   test("kCore: cascading peel to the unique fixpoint, survivors keep >= k, empty when none") {
     // 5-clique (a 4-core) with a pendant chain hanging off node 0: the
     // chain peels over CASCADING rounds (8 -> exposes 7 -> exposes 6...),
