@@ -1513,4 +1513,111 @@ object Corpus {
         col("blocked_ratio"),
         (col("blocked_ratio") <= lit(maxRatio)).as("keep"))
   }
+
+  /** Flesch readability scores (Flesch 1948 / Kincaid 1975) — the
+    * classic audience-level signal used to bucket corpora by reading
+    * difficulty (textbook-vs-forum stratification, child-content
+    * screens). Counts are deterministic heuristics: words = whitespace
+    * tokens, sentences = [.!?]+ segments containing an alphanumeric
+    * (floor 1 so fragments score), syllables = max(1, vowel-group runs
+    * [aeiouyAEIOUY]+) per word — the standard dictionary-free
+    * approximation.
+    *
+    * Exactness: all three counts are integers; the two score formulas
+    * (reading ease 206.835 − 1.015·w/s − 84.6·syl/w; grade
+    * 0.39·w/s + 11.8·syl/w − 15.59) run in double with a FIXED operation
+    * order from exact-integer inputs — every step correctly rounded and
+    * identical cross-engine — then round(·, 6). Empty docs emit NULL
+    * scores. Row-local, one narrow projection. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t     = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val sents = filter(split(t, "[.!?]+"), s => s.rlike("[A-Za-z0-9]"))
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        size(words).cast("long").as("n_words"),
+        greatest(size(sents), lit(1)).cast("long").as("n_sentences"),
+        aggregate(
+          transform(words, w =>
+            greatest(size(regexp_extract_all(w, lit("[aeiouyAEIOUY]+"), lit(0))), lit(1))
+              .cast("long")),
+          lit(0L), (a, x) => a + x).as("n_syllables"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_sentences"),
+        col("n_syllables"),
+        round(
+          when(col("n_words") > 0,
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+              - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))),
+          6).as("flesch_ease"),
+        round(
+          when(col("n_words") > 0,
+            lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+              + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+              - lit(15.59)),
+          6).as("fk_grade"))
+  }
+
+  /** The Gopher document-quality rules (Rae et al. 2021, App. A) — the
+    * published heuristic battery most large-corpus pipelines start from,
+    * complementing [[linearQualityScore]]'s learned score with fixed,
+    * auditable gates: word count in [minWords, maxWords]; mean word length
+    * in [3, 10]; symbol-to-word ratio ('#' chars + '...' runs) ≤ 1/10;
+    * ≤ 1/10 of lines bullet-led; ≤ 3/10 of lines ellipsis-terminated;
+    * ≥ 4/5 of words containing an alphabetic character; ≥ 2 distinct hits
+    * from the 8-stopword probe list (the "is this prose at all" check).
+    *
+    * Exactness: every rule is a RATIONAL threshold on integer counts, so
+    * each flag is an integer cross-multiplication (word_chars ≥ 3·n_words,
+    * 10·n_bullet ≤ n_lines, 5·n_alpha ≥ 4·n_words, …) — no division, no
+    * doubles, nothing to round; the row replays bit-for-bit in any engine.
+    * One narrow projection, row-local, trivially partition-parallel.
+    * Output: (doc_id, n_words, n_lines, wc_ok, mwl_ok, symbol_ok,
+    * bullet_ok, ellipsis_ok, alpha_ok, stop_ok, gopher_pass). */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, s"bad word bounds [$minWords, $maxWords]")
+    val t     = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val lines = split(t, "\n")
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+          .as("word_chars"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^[-*•]"))).cast("long").as("n_bullet"),
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("long").as("n_ellipsis"),
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(s => array_contains(words, s).cast("int"))
+          .reduce(_ + _).cast("long").as("n_stop"),
+        (length(t) - length(regexp_replace(t, "#", ""))).cast("long").as("n_hash"),
+        size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))).cast("long").as("n_dots"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_lines"),
+        col("n_words").between(minWords, maxWords).as("wc_ok"),
+        (col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10).as("mwl_ok"),
+        ((col("n_hash") + col("n_dots")) * 10 <= col("n_words")).as("symbol_ok"),
+        (col("n_bullet") * 10 <= col("n_lines")).as("bullet_ok"),
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("ellipsis_ok"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("alpha_ok"),
+        (col("n_stop") >= 2).as("stop_ok"))
+      .withColumn(
+        "gopher_pass",
+        col("wc_ok") && col("mwl_ok") && col("symbol_ok") && col("bullet_ok") &&
+          col("ellipsis_ok") && col("alpha_ok") && col("stop_ok"))
+  }
 }

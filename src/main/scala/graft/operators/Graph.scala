@@ -588,6 +588,61 @@ object Graph {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Adamic-Adar link prediction over a bipartite edge list (left, right):
+    * for every pair of LEFT nodes, AA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z)
+    * (Adamic & Adar 2003) — [[commonNeighborPairs]]' raw shared counts with
+    * each shared right-neighbor discounted by its popularity, the standard
+    * "rarer witnesses count more" link-prediction score (the soft version
+    * of the IDF argument the hub cap makes by fiat).
+    *
+    * Scale discipline is identical to [[commonNeighborPairs]]: right hubs
+    * over `maxDegree` are dropped BEFORE pairing (broadcast LeftAnti — a
+    * neighbor shared by everyone carries ~no signal AND floods the pair
+    * join quadratically), the pair join is equi-keyed on the right node,
+    * `minShared` bounds the long tail of singleton coincidences.
+    *
+    * Exactness: the weight 1/ln(deg) is snapped to the 1e-12 decimal grid
+    * (shared z implies deg ≥ 2, so ln > 0) and summed as DECIMAL — exact,
+    * order-free, replayable; rank by the EXACT decimal sum (aa desc, a, b)
+    * before the final round(·, 6) so a top-N cut never straddles a rounding
+    * collision. Returns (a, b, shared, aa). */
+  def adamicAdar(
+      edges: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDegree: Int,
+      minShared: Long = 2L): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must allow pairs, got $maxDegree")
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val e = edges
+      .select(col(leftCol).cast("long").as("l"), col(rightCol).cast("long").as("r"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("r")).agg(count(lit(1)).as("dg"))
+    val hot = deg.filter(col("dg") > maxDegree).select("r")
+    val cold = e.join(broadcast(hot), Seq("r"), "left_anti")
+    // deg==1 right nodes can never be SHARED neighbors (and ln 1 = 0), so
+    // the weight table starts at 2; the inner join below drops their rows
+    // before pairing instead of carrying zero-weight edges.
+    val w = deg
+      .filter(col("dg") <= maxDegree && col("dg") >= 2)
+      .select(
+        col("r"),
+        round(lit(1.0) / log(col("dg").cast("double")), 12).cast(dec12).as("w"))
+    // w is right-node-sized (already a groupBy reduction) — broadcast it
+    // so the weight attach never adds a shuffle to the pair join's input
+    val out = cold
+      .join(broadcast(w), Seq("r"))
+      .as("x")
+      .join(cold.as("y"), col("x.r") === col("y.r") && col("x.l") < col("y.l"))
+      .groupBy(col("x.l").as("a"), col("y.l").as("b"))
+      .agg(count(lit(1)).as("shared"), sum(col("x.w")).as("aa_exact"))
+      .filter(col("shared") >= minShared)
+    val materialized = out.localCheckpoint(true)
+    e.unpersist()
+    materialized
+  }
+
   /** Item-item cosine similarity from bipartite co-occurrence: for left
     * nodes a, b sharing right-neighbors, cos(a,b) = shared/√(deg_a·deg_b)
     * over the hub-capped edge set — [[commonNeighborPairs]]' raw shared

@@ -302,6 +302,61 @@ object AdvancedQueries {
         Tables(spark, dir).events, "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.125)
     },
 
+    // ------------------------------------------------- autocorrelation
+    // Sample ACF of the global hourly event-count series at lags 1..12 —
+    // the seasonality/independence detector. Exact-integer trick: with
+    // S = Σx the n-scaled centered value c_t = n·x_t − S is an integer and
+    // ρ̂(k) = Σc_t·c_{t+k} / Σc_t² (the n² cancels) — both sides exact
+    // decimal/HUGEINT sums, ONE double division per lag, round 6. The
+    // series is the post-aggregation time axis (~720 rows at sf0.1), so
+    // the per-lag self-join is broadcast-sized by construction.
+    Q(
+      "events_acf",
+      Some("""
+        WITH hx AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1),
+        m AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM hx),
+        c AS (SELECT row_number() OVER (ORDER BY h) AS rn,
+                     CAST(n AS HUGEINT) * x - CAST(s AS HUGEINT) AS c
+              FROM hx, m),
+        den AS (SELECT SUM(c*c) AS d FROM c),
+        num AS (SELECT l.lag AS lag, COUNT(*) AS n_pairs, SUM(a.c * b.c) AS num
+                FROM generate_series(1, 12) l(lag)
+                JOIN c a ON TRUE JOIN c b ON b.rn = a.rn + l.lag
+                GROUP BY 1)
+        SELECT lag, n_pairs, round(CAST(num AS DOUBLE) / CAST(d AS DOUBLE), 6) AS acf
+        FROM num, den ORDER BY lag
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.acf(Tables(spark, dir).events, "ts", maxLag = 12)
+    },
+
+    // ----------------------------------------------- CUSUM changepoint
+    // Page's cumulative-sum level-shift scan over the same hourly series:
+    // C_t = Σ_{i≤t}(x_i − x̄) peaks at the changepoint. n·C_t =
+    // n·cumsum(x) − t·S is exact integer arithmetic, so the peak flag is
+    // an EXACT comparison (ties all flag, no argmax ambiguity); the one
+    // ÷n division lands under round(·, 6). Whole series emitted — the
+    // replay checks every step, not just the argmax.
+    Q(
+      "events_cusum",
+      Some("""
+        WITH hx AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1),
+        m AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM hx),
+        c AS (SELECT h, x, n,
+                     CAST(n AS HUGEINT) * SUM(x) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - row_number() OVER (ORDER BY h) * CAST(s AS HUGEINT) AS nc
+              FROM hx, m),
+        pk AS (SELECT MAX(ABS(nc)) AS pk FROM c)
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, x,
+               round(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum,
+               (ABS(nc) = pk) AS is_peak
+        FROM c, pk ORDER BY 1
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.cusum(Tables(spark, dir).events, "ts")
+        .select(
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("x"), col("cusum"), col("is_peak"))
+    },
+
     // -------------------------------------------- common-neighbor pairs
     // Per-node triangle counts + local clustering coefficient over the
     // part co-purchase graph (parts sharing an order), via degree-ordered
@@ -424,6 +479,41 @@ object AdvancedQueries {
         .commonNeighborPairs(edges, "supp", "cust", maxDegree = 50)
         .orderBy(col("shared").desc, col("a"), col("b"))
         .limit(100)
+    },
+
+    // --------------------------------------------- Adamic-Adar prediction
+    // Same supplier–customer bipartite graph, but each shared customer is
+    // discounted by 1/ln(its supplier count) — Adamic-Adar link prediction
+    // (the soft IDF the hub cap applies by fiat). Weights snap to the
+    // 1e-12 decimal grid and sum exactly; ranking uses the EXACT decimal
+    // sum (aa desc, a, b) so the top-100 cut never straddles a rounding
+    // collision, then the one final round(·, 6).
+    Q(
+      "graph_adamic_adar",
+      Some("""
+        WITH e AS (SELECT DISTINCT l_suppkey AS l, o_custkey AS r
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT r, COUNT(*) AS dg FROM e GROUP BY r),
+        w AS (SELECT r, CAST(round(1.0 / ln(dg), 12) AS DECIMAL(20,12)) AS w
+              FROM deg WHERE dg BETWEEN 2 AND 50),
+        cold AS (SELECT e.l, e.r FROM e JOIN deg USING (r) WHERE deg.dg <= 50),
+        p AS (SELECT x.l AS a, y.l AS b, COUNT(*) AS shared, SUM(w.w) AS aa_exact
+              FROM cold x JOIN w ON w.r = x.r JOIN cold y ON x.r = y.r AND x.l < y.l
+              GROUP BY 1, 2)
+        SELECT a, b, shared, CAST(round(aa_exact, 6) AS DOUBLE) AS aa
+        FROM p WHERE shared >= 2
+        ORDER BY aa_exact DESC, a, b LIMIT 100
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      graft.operators.Graph
+        .adamicAdar(edges, "supp", "cust", maxDegree = 50, minShared = 2L)
+        .orderBy(col("aa_exact").desc, col("a"), col("b"))
+        .limit(100)
+        .select(col("a"), col("b"), col("shared"),
+          round(col("aa_exact"), 6).cast("double").as("aa"))
     },
 
     // -------------------------------------------------------- outer joins

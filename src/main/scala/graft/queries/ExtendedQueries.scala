@@ -702,6 +702,51 @@ object ExtendedQueries {
         scale = 2)
     },
 
+    // GBDT histogram split search (Boosting.histSplitGains): the XGBoost/
+    // LightGBM core — ONE map-side-combined (feature, bin) gradient
+    // aggregation over the data, then every split candidate scored from
+    // the tiny bin table. Labels: is-return flag; features pre-binned
+    // (quantity is integral, discount/tax live on the 0.01 grid). Exact
+    // integer sums; each gain is three fixed-order double divisions under
+    // round(·, 6); is_best replays the (gain desc, bin asc) argmax.
+    Q(
+      "ml_hist_split",
+      Some("""
+        WITH m AS (
+          SELECT 'quantity' AS feature, CAST(l_quantity AS BIGINT) AS bin,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS s FROM lineitem
+          UNION ALL
+          SELECT 'discount', CAST(round(l_discount * 100) AS BIGINT),
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END FROM lineitem
+          UNION ALL
+          SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT),
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END FROM lineitem),
+        g AS (SELECT feature, bin, CAST(SUM(s) AS BIGINT) AS sb, COUNT(*) AS nb FROM m GROUP BY 1, 2),
+        c AS (SELECT feature, bin,
+                     CAST(SUM(sb) OVER w AS BIGINT) AS sl,
+                     CAST(SUM(nb) OVER w AS BIGINT) AS nl
+              FROM g WINDOW w AS (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        t AS (SELECT feature, CAST(SUM(sb) AS BIGINT) AS st, CAST(SUM(nb) AS BIGINT) AS nt FROM g GROUP BY 1),
+        sc AS (SELECT c.feature, c.bin, c.nl AS n_left, t.nt - c.nl AS n_right,
+                      round((CAST(c.sl AS DOUBLE) * CAST(c.sl AS DOUBLE) / CAST(c.nl AS DOUBLE)
+                           + CAST(t.st - c.sl AS DOUBLE) * CAST(t.st - c.sl AS DOUBLE) / CAST(t.nt - c.nl AS DOUBLE))
+                           - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS gain
+               FROM c JOIN t USING (feature) WHERE c.nl < t.nt)
+        SELECT feature, bin AS split_bin, n_left, n_right, gain,
+               row_number() OVER (PARTITION BY feature ORDER BY gain DESC, bin) = 1 AS is_best
+        FROM sc
+      """)) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .withColumn("is_return", (col("l_returnflag") === "R").cast("int"))
+      graft.operators.Boosting.histSplitGains(
+        li,
+        "is_return",
+        Seq(
+          "quantity" -> col("l_quantity").cast("long"),
+          "discount" -> round(col("l_discount") * 100).cast("long"),
+          "tax"      -> round(col("l_tax") * 100).cast("long")))
+    },
+
     // k-anonymity / l-diversity audit over customer quasi-identifiers —
     // the pre-release privacy gate: QI groups below k are re-identifiable,
     // single-sensitive-value groups leak the attribute even when large.

@@ -251,6 +251,89 @@ object TextQueries {
           (length(col("text")) >= 100 && length(col("text")) <= 20000).as("len_ok"))
     },
 
+    // Gopher quality rules (Rae et al. 2021 App. A; Corpus.gopherRules):
+    // the published heuristic battery — word-count bounds, mean word
+    // length, symbol/bullet/ellipsis ratios, alpha-word share, stopword
+    // probe. Every rule is a RATIONAL threshold on integer counts, so each
+    // flag is an integer cross-multiplication: no division, no doubles,
+    // bit-exact in any engine. minWords = 5 at gate scale (the synthetic
+    // docs are short; production keeps Gopher's 50).
+    Q(
+      "corpus_gopher_rules",
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+                 string_split(text, chr(10)) AS lines,
+                 LENGTH(text) - LENGTH(replace(text, '#', '')) AS n_hash,
+                 len(regexp_extract_all(text, '\.\.\.')) AS n_dots
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 COALESCE(list_sum(list_transform(words, x -> LENGTH(x))), 0) AS word_chars,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+                 len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS n_ellipsis,
+                 len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                 CAST(list_contains(words, 'the') AS INT) + CAST(list_contains(words, 'be') AS INT)
+                   + CAST(list_contains(words, 'to') AS INT) + CAST(list_contains(words, 'of') AS INT)
+                   + CAST(list_contains(words, 'and') AS INT) + CAST(list_contains(words, 'that') AS INT)
+                   + CAST(list_contains(words, 'have') AS INT) + CAST(list_contains(words, 'with') AS INT) AS n_stop,
+                 n_hash, n_dots
+          FROM f)
+        SELECT doc_id, n_words, n_lines,
+               n_words BETWEEN 5 AND 100000 AS wc_ok,
+               word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS mwl_ok,
+               (n_hash + n_dots) * 10 <= n_words AS symbol_ok,
+               n_bullet * 10 <= n_lines AS bullet_ok,
+               n_ellipsis * 10 <= 3 * n_lines AS ellipsis_ok,
+               n_alpha * 5 >= 4 * n_words AS alpha_ok,
+               n_stop >= 2 AS stop_ok,
+               (n_words BETWEEN 5 AND 100000) AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+                 AND (n_hash + n_dots) * 10 <= n_words AND n_bullet * 10 <= n_lines
+                 AND n_ellipsis * 10 <= 3 * n_lines AND n_alpha * 5 >= 4 * n_words
+                 AND n_stop >= 2 AS gopher_pass
+        FROM g
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.gopherRules(
+        Tables(spark, dir).documents, "doc_id", "text", minWords = 5)
+    },
+
+    // Flesch readability (Corpus.readability): reading-ease + FK grade
+    // from integer word/sentence/vowel-group counts — the audience-level
+    // stratification signal. Both formulas run in a FIXED double op order
+    // from exact ints (every step correctly rounded, identical
+    // cross-engine), then round(·, 6); the heuristic counts themselves
+    // are bit-exact.
+    Q(
+      "text_readability",
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+                 len(list_filter(string_split_regex(text, '[.!?]+'),
+                                 s -> regexp_matches(s, '[A-Za-z0-9]'))) AS raw_sents
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 GREATEST(raw_sents, 1) AS n_sentences,
+                 CAST(COALESCE(list_sum(list_transform(words,
+                   w -> GREATEST(len(regexp_extract_all(w, '[aeiouyAEIOUY]+')), 1))), 0) AS BIGINT) AS n_syllables
+          FROM f)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN round(
+                 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) END AS flesch_ease,
+               CASE WHEN n_words > 0 THEN round(
+                 0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) END AS fk_grade
+        FROM g
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.readability(Tables(spark, dir).documents, "doc_id", "text")
+    },
+
     // Linear quality-classifier inference (operators/Corpus): σ(b + w·f)
     // over the four deterministic features, weights as literals — the
     // fastText-shaped filtering pass at serving time. Oracle replays the

@@ -688,4 +688,52 @@ class CorpusSpec extends SparkSpec {
     assert(s2 == Set((1L, 1L, 5L), (2L, 2L, 6L)), s"got $s2")
     intercept[IllegalArgumentException](Corpus.exactSubstrSpans(docs, "doc_id", "text", minLen = 1))
   }
+
+  test("readability: closed-form Flesch scores, vowel-group syllables, empty doc NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words / 2 sentences / 5 syllables
+      (2L, "beautiful"),            // eau-i-u: 3 vowel groups, 1 word, floor-1 sentence
+      (3L, "")                      // empty: NULL scores
+    ).toDF("doc_id", "text")
+    val got = Corpus.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((5L, 2L, 5L)), r1.toString)
+    // 206.835 - 1.015*2.5 - 84.6*1 = 119.6975 ; 0.39*2.5 + 11.8 - 15.59 = -2.815
+    assert(r1.getDouble(4) == 119.6975 && r1.getDouble(5) == -2.815, r1.toString)
+    val r2 = got(2L)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((1L, 1L, 3L)), r2.toString)
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 0L && r3.isNullAt(4) && r3.isNullAt(5), r3.toString)
+  }
+
+  test("gopherRules: each rule trips on its own fixture, prose passes") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 words, 36 chars, 6 stopword hits, all-alpha, no symbols: PASS
+      (1L, "the cat and dog have that with malice of been"),
+      (2L, "tiny text"),                                   // word count < 5
+      (3L, "a b c d e f"),                                 // mean word length 1 < 3
+      (4L, "## ## ## the cat of and"),                     // 6 '#' vs 7 words
+      (5L, "- item one\n- item two\nplain the of"),        // 2/3 bullet lines
+      (6L, "the pause stretches on and on...\nyes of it"), // 1/2 ellipsis lines
+      (7L, "123 456 789 101 112 131")                      // zero alpha words
+    ).toDF("doc_id", "text")
+    val got = Corpus.gopherRules(docs, "doc_id", "text", minWords = 5)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(got(1L).getBoolean(10), got(1L).toString)                 // gopher_pass
+    assert(!got(2L).getBoolean(3) && !got(2L).getBoolean(10))        // wc_ok
+    assert(!got(3L).getBoolean(4) && !got(3L).getBoolean(10))        // mwl_ok
+    assert(!got(4L).getBoolean(5) && !got(4L).getBoolean(10))        // symbol_ok
+    assert(!got(5L).getBoolean(6) && !got(5L).getBoolean(10))        // bullet_ok
+    assert(!got(6L).getBoolean(7) && !got(6L).getBoolean(10))        // ellipsis_ok
+    assert(!got(7L).getBoolean(8) && !got(7L).getBoolean(10))        // alpha_ok
+    // stopword probe: long all-alpha prose with < 2 distinct probe hits fails
+    val noStop = Seq((8L, "quick brown foxes jump over lazy dogs daily")).toDF("doc_id", "text")
+    val r8 = Corpus.gopherRules(noStop, "doc_id", "text", minWords = 5).collect().head
+    assert(!r8.getBoolean(9) && !r8.getBoolean(10))
+  }
 }

@@ -205,6 +205,35 @@ class GraphSpec extends SparkSpec {
     assert(dup.getDouble(2) == -1.0 && dup.getLong(1) == 4L)
   }
 
+  test("adamicAdar: closed-form weights, hub cap, minShared floor") {
+    // lefts {1,2} share rights {10, 11} (deg 2 each); right 12 is 1's alone.
+    // AA(1,2) = 2 * round(1/ln 2, 12) = 2.885390081778 -> round 6
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (1L, 12L)).toDF("l", "r")
+    val got = Graph.adamicAdar(edges, "l", "r", maxDegree = 50, minShared = 2L)
+      .select(col("a"), col("b"), col("shared"), round(col("aa_exact"), 6).cast("double").as("aa"))
+      .collect()
+    assert(got.length == 1)
+    val r0 = got.head
+    assert(r0.getLong(0) == 1L && r0.getLong(1) == 2L && r0.getLong(2) == 2L)
+    assert(r0.getDouble(3) == 2.88539, r0.toString)
+    // a popular right node (3 lefts) above maxDegree=2 is dropped BEFORE
+    // pairing: with 99 gone, (1,2) keeps its two witnesses, (1,3)/(2,3)
+    // fall under minShared and vanish
+    val withHub = edges.union(Seq((1L, 99L), (2L, 99L), (3L, 99L)).toDF("l", "r"))
+    val capped = Graph.adamicAdar(withHub, "l", "r", maxDegree = 2, minShared = 2L).collect()
+    assert(capped.length == 1 && capped.head.getLong(2) == 2L)
+    // uncapped, 99 contributes 1/ln 3 to (1,2) and makes three pairs, but
+    // only (1,2) reaches minShared = 2
+    val open = Graph.adamicAdar(withHub, "l", "r", maxDegree = 50, minShared = 2L)
+      .select(col("a"), col("b"), round(col("aa_exact"), 6).cast("double").as("aa"))
+      .collect()
+    assert(open.length == 1)
+    // round(1/ln 2, 12) = 1.442695040889; round(1/ln 3, 12) = 0.910239226627
+    val expected = BigDecimal("1.442695040889") * 2 + BigDecimal("0.910239226627")
+    assert(open.head.getDouble(2) == expected.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      open.head.toString)
+  }
+
   test("kCore: cascading peel to the unique fixpoint, survivors keep >= k, empty when none") {
     // 5-clique (a 4-core) with a pendant chain hanging off node 0: the
     // chain peels over CASCADING rounds (8 -> exposes 7 -> exposes 6...),

@@ -79,6 +79,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(lr.getDouble(3) - 2.0) < 0.1, s"trend ${lr.getDouble(3)}")
   }
 
+  test("acf: alternating series closed form, partitioning-invariant") {
+    import spark.implicits._
+    // hourly counts [1,2,1,2,1,2]: c = 6x-9 = [-3,3,-3,3,-3,3], den = 54
+    // acf(1) = -45/54, acf(2) = 36/54, acf(3) = -27/54
+    val rows = (0 until 6).flatMap { h =>
+      val k = if (h % 2 == 0) 1 else 2
+      (0 until k).map(i => ts(f"2024-03-01 $h%02d:0$i:00"))
+    }
+    val events = rows.toDF("ts")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.acf(d, "ts", maxLag = 3)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run(events)
+    assert(got(1) == ((5L, BigDecimal(-45.0 / 54).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2) == ((4L, BigDecimal(36.0 / 54).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(3) == ((3L, -0.5)))
+    assert(run(events.repartition(7)) == got, "exact sums must be partitioning-invariant")
+  }
+
+  test("cusum: step series peaks exactly at the changepoint, ties all flag") {
+    import spark.implicits._
+    // counts [1,1,1,5,5,5]: mean 3, C = [-2,-4,-6,-4,-2,0] — peak at hour 2 (0-based 3rd)
+    val rows = (0 until 6).flatMap { h =>
+      val k = if (h < 3) 1 else 5
+      (0 until k).map(i => ts(f"2024-03-01 $h%02d:0$i:00"))
+    }
+    val got = graft.operators.TimeSeries.cusum(rows.toDF("ts"), "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(13), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.map(_._3).toSeq == Seq(-2.0, -4.0, -6.0, -4.0, -2.0, 0.0), got.mkString(","))
+    assert(got.map(_._4).toSeq == Seq(false, false, true, false, false, false))
+    // constant series: every C_t = 0, every row ties at the (zero) peak
+    val const = (0 until 4).map(h => ts(f"2024-03-02 $h%02d:00:00")).toDF("ts")
+    val c = graft.operators.TimeSeries.cusum(const, "ts").collect()
+    assert(c.forall(r => r.getDouble(2) == 0.0 && r.getBoolean(3)))
+  }
+
   test("groupLinearTrend: exact line recovered, degenerate groups NULL, partitioning-invariant") {
     import spark.implicits._
     val df = (
