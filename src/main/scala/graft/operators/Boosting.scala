@@ -90,4 +90,120 @@ object Boosting {
         gain.as("gain"))
       .withColumn("is_best", row_number().over(wBest) === 1)
   }
+
+  /** Full gradient-boosting training with depth-1 trees (stumps),
+    * squared loss, fixed `rounds` and learning rate `eta` — the
+    * distributed-GBDT training loop end to end: each round builds ONE
+    * map-side-combined (feature, bin) residual histogram over the data,
+    * picks the globally best split from the tiny bin table, and applies
+    * the stump's two leaf values to every row's residual. The model
+    * (one row per round) plus the per-round Σ|residual| convergence
+    * witness is the output — hashing it checks the entire training
+    * trajectory, because every round's histogram sums over the residuals
+    * the previous rounds produced.
+    *
+    * Exact-replay discipline (the k-means/GD lineage): residuals live on
+    * the 1e-12 decimal grid from birth (labels are exact ints; every
+    * update subtracts a grid-snapped leaf), histogram sums are exact
+    * decimal arithmetic, cumulative sums are rounded to the 1e-6 grid
+    * (scale ≤ 9, so the decimal→double cast is exact) BEFORE the
+    * fixed-order double gain formula, the argmax runs under the total
+    * order (gain desc, feature asc, bin asc), and leaf values snap back
+    * to the 1e-12 grid — so an unrolled per-round CTE replay lands on
+    * bit-identical residuals after every round.
+    *
+    * Scale: per round, two data-sized passes (histogram build + residual
+    * update — the Σ|r| witness rides the update's aggregate) and one
+    * 1-row driver collect (the chosen split — model-bounded, the allowed
+    * argmax shape); rows are checkpointed each round so plan depth stays
+    * bounded. Returns (round, feature, split_bin, n_left, n_right, gain,
+    * leaf_left, leaf_right, resid_abs_sum). */
+  def trainStumps(
+      df: DataFrame,
+      labelCol: String,
+      features: Seq[(String, Column)],
+      rounds: Int,
+      eta: Double): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    require(eta > 0.0 && eta <= 1.0, s"eta must be in (0,1], got $eta")
+    val spark = df.sparkSession
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val names = features.map(_._1)
+
+    var rows = df
+      .select(
+        features.map { case (n, c) => c.cast("long").as(s"bin_$n") } :+
+          col(labelCol).cast("int").cast(dec12).as("r"): _*)
+      .localCheckpoint(true)
+
+    val wCum = Window
+      .partitionBy(col("feature"))
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val model = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, Long, Double, Double, Double, Double)]
+
+    for (k <- 1 to rounds) {
+      val melted = names
+        .map(n => rows.select(lit(n).as("feature"), col(s"bin_$n").as("bin"), col("r")))
+        .reduce(_ unionAll _)
+      val bins = melted
+        .groupBy(col("feature"), col("bin"))
+        .agg(sum(col("r")).as("sb"), count(lit(1)).as("nb"))
+      val cum = bins.select(
+        col("feature"),
+        col("bin"),
+        sum(col("sb")).over(wCum).as("rl"),
+        sum(col("nb")).over(wCum).as("nl"))
+      val tot = bins
+        .groupBy(col("feature"))
+        .agg(sum(col("sb")).as("rt"), sum(col("nb")).as("nt"))
+      val cand = cum
+        .join(broadcast(tot), Seq("feature"))
+        .filter(col("nl") < col("nt"))
+        .select(
+          col("feature"), col("bin"), col("nl"), (col("nt") - col("nl")).as("nr"), col("nt"),
+          round(col("rl"), 6).as("rl6"),
+          round(col("rt") - col("rl"), 6).as("rr6"),
+          round(col("rt"), 6).as("rt6"))
+      val rl6D = col("rl6").cast("double")
+      val rr6D = col("rr6").cast("double")
+      val rt6D = col("rt6").cast("double")
+      val scored = cand.select(
+        col("feature"), col("bin"), col("nl"), col("nr"),
+        round(
+          (rl6D * rl6D / col("nl").cast("double") + rr6D * rr6D / col("nr").cast("double")) -
+            rt6D * rt6D / col("nt").cast("double"),
+          6).as("gain"),
+        round(lit(eta) * (rl6D / col("nl").cast("double")), 12).cast(dec12).as("vl"),
+        round(lit(eta) * (rr6D / col("nr").cast("double")), 12).cast(dec12).as("vr"))
+      // 1-row model-bounded argmax — the allowed driver collect shape
+      val best = scored
+        .orderBy(col("gain").desc, col("feature"), col("bin"))
+        .limit(1)
+        .collect()(0)
+      val (bf, bb) = (best.getString(0), best.getLong(1))
+      val (vl, vr) = (best.getDecimal(5), best.getDecimal(6))
+      val updated = rows
+        .withColumn(
+          "r",
+          (col("r") - when(col(s"bin_$bf") <= bb, lit(vl)).otherwise(lit(vr))).cast(dec12))
+        .localCheckpoint(true)
+      val absSum = updated
+        .agg(round(sum(abs(col("r"))), 6).cast("double").as("a"))
+        .collect()(0).getDouble(0)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(rows)
+      rows = updated
+      model += ((k, bf, bb, best.getLong(2), best.getLong(3), best.getDouble(4),
+        vl.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+        vr.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), absSum))
+    }
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(rows)
+    import spark.implicits._
+    model.toSeq
+      .toDF("round", "feature", "split_bin", "n_left", "n_right", "gain",
+        "leaf_left", "leaf_right", "resid_abs_sum")
+  }
 }

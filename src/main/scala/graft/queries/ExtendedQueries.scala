@@ -747,6 +747,29 @@ object ExtendedQueries {
           "tax"      -> round(col("l_tax") * 100).cast("long")))
     },
 
+    // Full GBDT stump training, 3 rounds (Boosting.trainStumps): per
+    // round one residual-histogram pass + one residual update; residuals
+    // live on the 1e-12 decimal grid from birth, cumulative sums snap to
+    // 1e-6 before the fixed-order gain formula, leaves snap back to
+    // 1e-12 — the unrolled-CTE oracle replays the whole trajectory, and
+    // the per-round Σ|residual| witness pins every row's residual, not
+    // just the model. eta = 0.5 (exact binary).
+    Q(
+      "ml_boosted_stumps",
+      Some(stumpsSql(rounds = 3))) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .withColumn("is_return", (col("l_returnflag") === "R").cast("int"))
+      graft.operators.Boosting.trainStumps(
+        li,
+        "is_return",
+        Seq(
+          "quantity" -> col("l_quantity").cast("long"),
+          "discount" -> round(col("l_discount") * 100).cast("long"),
+          "tax"      -> round(col("l_tax") * 100).cast("long")),
+        rounds = 3,
+        eta = 0.5)
+    },
+
     // k-anonymity / l-diversity audit over customer quasi-identifiers —
     // the pre-release privacy gate: QI groups below k are re-identifiable,
     // single-sensitive-value groups leak the attribute even when large.
@@ -948,6 +971,61 @@ object ExtendedQueries {
     * event counts: splitmix64 of (day ⊕ seed), u = top-53 bits / 2⁵³,
     * Laplace inverse CDF with the ln on the 1e-12 grid, exact decimal
     * sum, round 6 → double. */
+  /** Unrolled-round replay of Boosting.trainStumps (the BPE/k-core CTE
+    * discipline): each round re-derives the residual histogram from the
+    * previous round's MATERIALIZED residual table, picks the (gain desc,
+    * feature, bin) argmax, and applies the grid-snapped leaves — so the
+    * model rows AND the Σ|residual| witnesses replay bit-for-bit.
+    * eta = 0.5 baked in (exact binary). */
+  private def stumpsSql(rounds: Int): String = {
+    val base =
+      """r0 AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS bq,
+               CAST(round(l_discount * 100) AS BIGINT) AS bd,
+               CAST(round(l_tax * 100) AS BIGINT) AS bt,
+               CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DECIMAL(20,12)) AS r
+        FROM lineitem)"""
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = s"r${k - 1}"
+      s"""m$k AS MATERIALIZED (
+        WITH melt AS (SELECT 'quantity' AS feature, bq AS bin, r FROM $prev
+                      UNION ALL SELECT 'discount', bd, r FROM $prev
+                      UNION ALL SELECT 'tax', bt, r FROM $prev),
+        g AS (SELECT feature, bin, SUM(r) AS sb, COUNT(*) AS nb FROM melt GROUP BY 1, 2),
+        c AS (SELECT feature, bin, SUM(sb) OVER w AS rl, CAST(SUM(nb) OVER w AS BIGINT) AS nl
+              FROM g WINDOW w AS (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        t AS (SELECT feature, SUM(sb) AS rt, CAST(SUM(nb) AS BIGINT) AS nt FROM g GROUP BY 1),
+        cand AS (SELECT c.feature, c.bin, c.nl, t.nt - c.nl AS nr, t.nt,
+                        round(c.rl, 6) AS rl6, round(t.rt - c.rl, 6) AS rr6, round(t.rt, 6) AS rt6
+                 FROM c JOIN t USING (feature) WHERE c.nl < t.nt),
+        sc AS (SELECT feature, bin, nl, nr,
+                      round((CAST(rl6 AS DOUBLE) * CAST(rl6 AS DOUBLE) / CAST(nl AS DOUBLE)
+                           + CAST(rr6 AS DOUBLE) * CAST(rr6 AS DOUBLE) / CAST(nr AS DOUBLE))
+                           - CAST(rt6 AS DOUBLE) * CAST(rt6 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS gain,
+                      CAST(round(0.5 * (CAST(rl6 AS DOUBLE) / CAST(nl AS DOUBLE)), 12) AS DECIMAL(20,12)) AS vl,
+                      CAST(round(0.5 * (CAST(rr6 AS DOUBLE) / CAST(nr AS DOUBLE)), 12) AS DECIMAL(20,12)) AS vr
+               FROM cand)
+        SELECT * FROM sc ORDER BY gain DESC, feature, bin LIMIT 1),
+      r$k AS MATERIALIZED (
+        SELECT p.bq, p.bd, p.bt,
+               CAST(p.r - CASE WHEN (m.feature = 'quantity' AND p.bq <= m.bin)
+                                 OR (m.feature = 'discount' AND p.bd <= m.bin)
+                                 OR (m.feature = 'tax' AND p.bt <= m.bin)
+                           THEN m.vl ELSE m.vr END AS DECIMAL(20,12)) AS r
+        FROM $prev p, m$k m),
+      a$k AS (SELECT CAST(round(SUM(ABS(r)), 6) AS DOUBLE) AS s FROM r$k)"""
+    }
+    val sel = (1 to rounds)
+      .map { k =>
+        s"""SELECT $k AS round, m.feature, m.bin AS split_bin, m.nl AS n_left, m.nr AS n_right,
+               m.gain, CAST(round(m.vl, 6) AS DOUBLE) AS leaf_left,
+               CAST(round(m.vr, 6) AS DOUBLE) AS leaf_right, a.s AS resid_abs_sum
+           FROM m$k m, a$k a"""
+      }
+      .mkString("\nUNION ALL\n")
+    s"WITH $base,\n${roundCtes.mkString(",\n")}\n$sel"
+  }
+
   private def dpCountsSql(seed: Long, b: Int): String = {
     def mulmod(a: String, c: String): String =
       s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT

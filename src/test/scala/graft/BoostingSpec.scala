@@ -33,4 +33,29 @@ class BoostingSpec extends SparkSpec {
       .sortBy(_._1)
     assert(rep.toSeq == Seq((1L, 3.0, true), (2L, 3.0, false)))
   }
+
+  test("trainStumps: closed-form two-round trajectory, residual halving, feature tie-break") {
+    // bins 1,1,2,2 / labels 0,0,1,1 / eta 0.5: round 1 splits at bin 1
+    // with gain (0 + 4/2) - 4/4 = 1, leaves (0, 0.5); residuals halve to
+    // [0,0,.5,.5]; round 2 re-splits the same bin with gain 0.25.
+    val df = Seq((1L, 0), (1L, 0), (2L, 1), (2L, 1)).toDF("b", "y")
+    val got = Boosting.trainStumps(df, "y", Seq("f" -> col("b")), rounds = 2, eta = 0.5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "f", 1L, 1.0, 0.0, 0.5, 1.0),
+      (2, "f", 1L, 0.25, 0.0, 0.25, 0.5)), got.mkString(","))
+    // two identical features: the argmax tie resolves to the ASC feature name
+    val tie = Boosting.trainStumps(df, "y", Seq("zz" -> col("b"), "aa" -> col("b")),
+        rounds = 1, eta = 0.5)
+      .collect().head
+    assert(tie.getString(1) == "aa", tie.toString)
+    // exact decimals: partitioning cannot move the trajectory
+    val rep = Boosting.trainStumps(df.repartition(5), "y", Seq("f" -> col("b")),
+        rounds = 2, eta = 0.5)
+      .collect().map(r => (r.getInt(0), r.getDouble(5), r.getDouble(8))).sortBy(_._1)
+    assert(rep.toSeq == Seq((1, 1.0, 1.0), (2, 0.25, 0.5)))
+  }
 }
