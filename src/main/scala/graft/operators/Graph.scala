@@ -812,6 +812,104 @@ object Graph {
     materialized
   }
 
+  /** Sampled bounded-distance betweenness centrality (Brandes 2001; the
+    * pivot-sampling and k-bounded variants are Brandes 2008 §3) — "which
+    * nodes sit on the shortest paths", the broker/bottleneck signal beside
+    * PageRank's popularity. From each of the `nSources` smallest node ids
+    * (a deterministic pivot set): a forward BFS accumulating shortest-path
+    * counts σ level by level, then Brandes' backward dependency pass
+    * δ(v) = Σ_{w child} σ(v)/σ(w) · (1 + δ(w)) over the BFS DAG —
+    * predecessors of w are exactly its neighbors one level up, so
+    * consecutive-level joins ARE the DAG. Paths are truncated at
+    * `maxDepth` hops (bounded-distance betweenness): the horizon that
+    * makes both work and replay size finite.
+    *
+    * Exactness: σ are exact integer path counts; each dependency
+    * contribution snaps to the 1e-9 grid (scale 9 ⇒ the decimal→double
+    * cast back is EXACT, the Similarity/PSI discipline) and δ is an exact
+    * decimal sum of snapped terms, so the per-level trajectory replays
+    * bit-for-bit in an unrolled CTE; final score = round(Σ_src δ, 6).
+    *
+    * Scale: per level ONE frontier⋈edges shuffle + an anti-join against
+    * the seen set (both keyed, never cross), all sources batched in one
+    * DataFrame keyed by src — the standard way Brandes shards on
+    * MapReduce; levels and sources are fixed small constants, frontiers
+    * are checkpointed so plan depth stays bounded. Returns
+    * (id, betweenness) for every node reached with nonzero dependency. */
+  def betweennessSampled(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      nSources: Int,
+      maxDepth: Int): DataFrame = {
+    require(nSources >= 1, s"nSources must be positive, got $nSources")
+    require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val dir = mat(und.union(und.select(col("b").as("a"), col("a").as("b"))))
+    val srcs = dir.select(col("a").as("id")).distinct().orderBy(col("id")).limit(nSources)
+
+    // forward: per-level frontiers carrying exact σ path counts
+    var frontier = mat(srcs.select(col("id").as("src"), col("id").as("v"), lit(1L).as("sigma")))
+    var seen     = frontier.select(col("src"), col("v"))
+    val levels   = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxDepth) {
+      val next = mat(
+        dir
+          .join(frontier.select(col("src"), col("v"), col("sigma")), dir("a") === col("v"))
+          .select(col("src"), col("b").as("v"), col("sigma"))
+          .groupBy(col("src"), col("v"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(seen, Seq("src", "v"), "left_anti"))
+      seen = mat(seen.union(next.select(col("src"), col("v"))))
+      levels += next
+      frontier = next
+    }
+
+    // backward: dependency accumulation over consecutive-level DAG joins
+    var delta = mat(levels(maxDepth).select(
+      col("src"), col("v"), lit(java.math.BigDecimal.ZERO).cast(dec9).as("delta")))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    deltas += delta
+    for (l <- (maxDepth - 1) to 0 by -1) {
+      val child = levels(l + 1)
+        .join(delta, Seq("src", "v"))
+        .select(col("src"), col("v").as("w"), col("sigma").as("sw"), col("delta").as("dw"))
+      val contrib = levels(l).as("f")
+        .join(dir, col("f.v") === dir("a"))
+        .join(child, col("b") === col("w") && col("f.src") === child("src"))
+        .select(
+          col("f.src").as("src"),
+          col("f.v").as("v"),
+          round(
+            (col("f.sigma").cast("double") / col("sw").cast("double")) *
+              (lit(1.0) + col("dw").cast("double")),
+            9).cast(dec9).as("c"))
+        .groupBy(col("src"), col("v"))
+        .agg(sum(col("c")).cast(dec9).as("dsum"))
+      delta = mat(
+        levels(l)
+          .join(contrib, Seq("src", "v"), "left")
+          .select(
+            col("src"), col("v"),
+            coalesce(col("dsum"), lit(java.math.BigDecimal.ZERO).cast(dec9)).as("delta")))
+      deltas += delta
+    }
+
+    // betweenness: Σ_src δ_src(v) for v ≠ src, exact decimal sum
+    val out = deltas
+      .map(d => d.filter(col("v") =!= col("src")).select(col("v"), col("delta")))
+      .reduce(_ unionAll _)
+      .groupBy(col("v").as("id"))
+      .agg(round(sum(col("delta")), 6).cast("double").as("betweenness"))
+      .filter(col("betweenness") > 0.0)
+    mat(out)
+  }
+
   /** k-core decomposition for a fixed k (Seidman 1983; the "dense kernel"
     * extraction behind community seeds, spam-farm detection, and graph
     * sparsification): repeatedly PEEL every node whose current degree is

@@ -452,6 +452,25 @@ object AdvancedQueries {
       graft.operators.Graph.degreeAssortativity(edges, "pa", "pb")
     },
 
+    // -------------------------------------- betweenness (Brandes pivots)
+    // Sampled bounded-distance betweenness over the qty≥45 co-purchase
+    // graph: 4 deterministic pivots (smallest ids), 3-hop horizon —
+    // forward BFS with exact integer σ path counts, Brandes' backward
+    // dependency pass with every contribution snapped to the 1e-9 grid
+    // before exact decimal sums. The oracle unrolls all levels both ways.
+    Q(
+      "graph_betweenness",
+      Some(betweennessOracle(nSources = 4, maxDepth = 3))) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.operators.Graph.betweennessSampled(edges, "pa", "pb", nSources = 4, maxDepth = 3)
+    },
+
     // Supplier pairs by shared customers (Graph.commonNeighborPairs over
     // the order bipartite graph): the co-occurrence primitive behind
     // item-item recommenders. Hub discipline: customers over 50 distinct
@@ -1289,6 +1308,52 @@ object AdvancedQueries {
     * synchronous min-label propagations over the symmetrized edge set —
     * label(v) ← min(label(v), min over neighbors) — which reaches the
     * min-id fix-point whenever rounds ≥ diameter. Pure integer compare. */
+  /** Unrolled replay of Graph.betweennessSampled over the qty≥45
+    * co-purchase graph: forward BFS levels with exact integer σ (NOT
+    * EXISTS anti-join against the seen set), then Brandes' backward
+    * dependency pass with each contribution snapped to the 1e-9 grid
+    * before an exact decimal sum — level-by-level, bit-for-bit. */
+  private def betweennessOracle(nSources: Int, maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { l =>
+      s"""f$l AS MATERIALIZED (
+        SELECT f.src, d.b AS v, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+        FROM f${l - 1} f JOIN dir d ON d.a = f.v
+        WHERE NOT EXISTS (SELECT 1 FROM seen${l - 1} s WHERE s.src = f.src AND s.v = d.b)
+        GROUP BY 1, 2),
+      seen$l AS MATERIALIZED (SELECT * FROM seen${l - 1} UNION ALL SELECT src, v FROM f$l)"""
+    }.mkString(",\n")
+    val bwd = ((maxDepth - 1) to 0 by -1).map { l =>
+      s"""d$l AS MATERIALIZED (
+        SELECT f.src, f.v, f.sigma, COALESCE(x.dsum, CAST(0 AS DECIMAL(20,9))) AS delta
+        FROM f$l f LEFT JOIN (
+          SELECT f2.src AS src, f2.v AS v,
+                 CAST(SUM(CAST(round(
+                   (CAST(f2.sigma AS DOUBLE) / CAST(ch.sigma AS DOUBLE))
+                     * (1.0 + CAST(ch.delta AS DOUBLE)), 9) AS DECIMAL(20,9)))
+                   AS DECIMAL(20,9)) AS dsum
+          FROM f$l f2 JOIN dir d ON d.a = f2.v
+          JOIN d${l + 1} ch ON ch.src = f2.src AND ch.v = d.b
+          GROUP BY 1, 2) x ON x.src = f.src AND x.v = f.v)"""
+    }.mkString(",\n")
+    val unions = (0 to maxDepth).map(l => s"SELECT src, v, delta FROM d$l").mkString(" UNION ALL ")
+    s"""
+      WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      dir AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      srcs AS (SELECT DISTINCT a AS id FROM dir ORDER BY id LIMIT $nSources),
+      f0 AS MATERIALIZED (SELECT id AS src, id AS v, CAST(1 AS BIGINT) AS sigma FROM srcs),
+      seen0 AS (SELECT src, v FROM f0),
+      $fwd,
+      d$maxDepth AS (SELECT src, v, sigma, CAST(0 AS DECIMAL(20,9)) AS delta FROM f$maxDepth),
+      $bwd
+      SELECT id, betweenness FROM (
+        SELECT v AS id, CAST(round(SUM(delta), 6) AS DOUBLE) AS betweenness
+        FROM ($unions) WHERE v <> src GROUP BY 1)
+      WHERE betweenness > 0
+    """
+  }
+
   private def ccOracle(rounds: Int): String = {
     val head =
       """WITH raw AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b

@@ -234,6 +234,29 @@ class GraphSpec extends SparkSpec {
       open.head.toString)
   }
 
+  test("betweennessSampled: path and star closed forms, truncation horizon") {
+    // path 1-2-3-4-5, all 5 sources, full depth: Brandes raw dependency
+    // sums are bc(2)=6, bc(3)=8, bc(4)=6; endpoints carry none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.betweennessSampled(path, "a", "b", nSources = 5, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(2L -> 6.0, 3L -> 8.0, 4L -> 6.0), s"got $got")
+    // 1-hop horizon: no path has an intermediate node — empty
+    assert(Graph.betweennessSampled(path, "a", "b", nSources = 5, maxDepth = 1).collect().isEmpty)
+    // star K1,4: every leaf-to-leaf shortest path brokers through the hub
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val s = Graph.betweennessSampled(star, "a", "b", nSources = 5, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s == Map(0L -> 12.0), s"got $s")
+    // σ counts: 4-cycle 1-2-4-3-1 — two equal-length paths split the
+    // dependency: δ_1(2) = δ_1(3) = 0.5. Each node brokers exactly its
+    // opposite pair, 0.5 per direction -> 1.0 everywhere
+    val cyc = Seq((1L, 2L), (2L, 4L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val c = Graph.betweennessSampled(cyc, "a", "b", nSources = 4, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0), s"got $c")
+  }
+
   test("kCore: cascading peel to the unique fixpoint, survivors keep >= k, empty when none") {
     // 5-clique (a 4-core) with a pendant chain hanging off node 0: the
     // chain peels over CASCADING rounds (8 -> exposes 7 -> exposes 6...),
