@@ -357,6 +357,46 @@ object AdvancedQueries {
           col("x"), col("cusum"), col("is_peak"))
     },
 
+    // --------------------------------------------- Page-Hinkley drift
+    // The ONLINE mean-shift detector per user (m_t = Σ(x_i − x̄_i − δ),
+    // alarm when m − min m > λ) — the O(1)-state incremental cousin of
+    // events_cusum and the replay spec for the streaming twin. Values
+    // snap to the 1e-9 grid; the running mean is one exact-cast double
+    // division per row, re-snapped before the exact cumulative sum; the
+    // running min and alarm compare are exact decimal ops.
+    Q(
+      "events_page_hinkley",
+      Some("""
+        WITH s AS (SELECT user_id, ts, event_id,
+                          CAST(round(CAST(value AS DOUBLE), 9) AS DECIMAL(20,9)) AS v
+                   FROM events),
+        c AS (SELECT user_id, ts, event_id, v,
+                     CAST(SUM(v) OVER w AS DECIMAL(20,9)) AS sm,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS n
+              FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        t AS (SELECT user_id, ts, event_id,
+                     CAST(round((CAST(v AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) - 0.5, 9)
+                          AS DECIMAL(20,9)) AS term
+              FROM c),
+        m AS (SELECT user_id, ts, event_id,
+                     CAST(SUM(term) OVER w AS DECIMAL(20,9)) AS m
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p AS (SELECT user_id, ts, event_id, m,
+                     CAST(MIN(m) OVER w AS DECIMAL(20,9)) AS mn
+              FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id AS key, event_id AS id,
+               CAST(round(m - mn, 6) AS DOUBLE) AS ph,
+               (m - mn) > CAST(150 AS DECIMAL(20,9)) AS alarm
+        FROM p
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.pageHinkley(
+        Tables(spark, dir).events, "user_id", "ts", "event_id", "value",
+        delta = 0.5, lambda = new java.math.BigDecimal(150))
+    },
+
     // -------------------------------------------- common-neighbor pairs
     // Per-node triangle counts + local clustering coefficient over the
     // part co-purchase graph (parts sharing an order), via degree-ordered

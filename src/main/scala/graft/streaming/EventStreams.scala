@@ -247,6 +247,59 @@ object EventStreams {
         })
   }
 
+  final case class PhState(n: Long, sU: Long, mU: Long, mnU: Long, started: Boolean)
+  final case class PhScore(key: Long, id: Long, ph: Double, alarm: Boolean)
+
+  /** Streaming Page-Hinkley drift detector — the live counterpart of
+    * [[graft.operators.TimeSeries.pageHinkley]] (which IS its replay
+    * spec): per key, O(1) state (n, Σv, m, min m) as EXACT unscaled
+    * longs on the 1e-9 grid, each event folded as
+    * term = snap₉((v − Σv/n) − δ), m += term, alarm when m − min m > λ.
+    * The fold mirrors the batch operator's arithmetic move for move —
+    * decimal-exact sums, one correctly-rounded double division for the
+    * running mean, HALF_UP snapping — so under event-time-ordered arrival
+    * streamed (ph, alarm) equal the batch rows bit for bit (spec-pinned);
+    * the funnelStream ordering caveat applies to cross-batch late
+    * arrivals. Unscaled-long state bounds |Σv| < 9.2e9 in value units —
+    * far above any metric stream this detector watches. */
+  def pageHinkleyStream(
+      events: Dataset[Event],
+      delta: Double,
+      lambda: java.math.BigDecimal): Dataset[PhScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val lambdaU = lambda.setScale(9).unscaledValue().longValueExact()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Event], state: GroupState[PhState]) => {
+          var st  = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L, started = false))
+          val out = Vector.newBuilder[PhScore]
+          evs.toVector.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val v  = java.math.BigDecimal.valueOf(e.value).setScale(9, java.math.RoundingMode.HALF_UP)
+            val n  = st.n + 1
+            val sU = st.sU + v.unscaledValue().longValueExact()
+            val mean = java.math.BigDecimal.valueOf(sU, 9).doubleValue() / n.toDouble
+            val termU = java.math.BigDecimal
+              .valueOf((v.doubleValue() - mean) - delta)
+              .setScale(9, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            val mU  = st.mU + termU
+            val mnU = if (!st.started) mU else math.min(st.mnU, mU)
+            st = PhState(n, sU, mU, mnU, started = true)
+            val phU = mU - mnU
+            out += PhScore(
+              key, e.event_id,
+              java.math.BigDecimal.valueOf(phU, 9)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+              phU > lambdaU)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   final case class KmvState(hashes: Array[Long], nRows: Long)
   final case class KmvEstimate(event_type: String, distinct_est: Double, n_rows: Long)
 

@@ -260,6 +260,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size > 100)
   }
 
+  test("streaming Page-Hinkley equals the batch operator bit-for-bit on an in-order stream") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .pageHinkleyStream(stream, delta = 0.5, lambda = new java.math.BigDecimal(150))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ph_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val streamed = spark
+      .table("ph_out")
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val batch = graft.operators.TimeSeries
+      .pageHinkley(events, "user_id", "ts", "event_id", "value",
+        delta = 0.5, lambda = new java.math.BigDecimal(150))
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // EXACT equality — the O(1)-state fold replays the batch window's
+    // decimal arithmetic move for move
+    assert(streamed == batch)
+    assert(batch.size > 100)
+  }
+
   test("streaming funnel converges to the batch funnel on an in-order stream") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
