@@ -1514,6 +1514,73 @@ object Corpus {
         (col("blocked_ratio") <= lit(maxRatio)).as("keep"))
   }
 
+  /** Isotonic (monotone) calibration of a [0,1] score against a binary
+    * label — the PAV fit (Zadrozny & Elkan 2002) every serving stack runs
+    * so "0.8 means 80%", complementing [[calibrateScores]]' cross-source
+    * percentile alignment with a probability calibration. Scores snap to
+    * the 1e-6 grid and bucket into `bins` equal-width bins (decimal
+    * multiply + floor — exact, no float boundary); the fitted value uses
+    * the MINIMAX characterization of isotonic regression,
+    * iso(i) = max_{j≤i} min_{k≥i} avg(y over bins j..k), which needs no
+    * sequential pooling loop: interval means come from prefix sums over
+    * the OBSERVED-bin table, snap to the 1e-12 grid, and the minimax is
+    * exact decimal MIN/MAX — bit-replayable and provably the PAV
+    * solution.
+    *
+    * Scale: one data-sized aggregation; everything after runs on ≤ bins
+    * rows (the O(B³) minimax frame is ~20k tiny rows at B = 50 — the
+    * reason scores bin before fitting). Output per observed bin:
+    * (bin, n, pos, rate, iso) with iso monotone non-decreasing. */
+  def isotonicFit(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins in [2,1000], got $bins")
+    val dec6  = org.apache.spark.sql.types.DecimalType(9, 6)
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val b = df
+      .select(
+        least(
+          floor(round(col(scoreCol).cast("double"), 6).cast(dec6) * bins).cast("long"),
+          lit(bins - 1).cast("long")).as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val wCum = wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val c = b
+      .select(
+        col("bin"), col("n"), col("s"),
+        row_number().over(wOrd).as("rn"),
+        sum(col("n")).over(wCum).as("cn"),
+        sum(col("s")).over(wCum).as("cs"))
+      .localCheckpoint(true)
+    // avg(j..k) = (cs_k − cs_j + s_j) / (cn_k − cn_j + n_j), grid-12
+    val pairs = c.as("j")
+      .join(c.as("k"), col("k.rn") >= col("j.rn"))
+      .select(
+        col("j.rn").as("jr"),
+        col("k.rn").as("kr"),
+        round(
+          (col("k.cs") - col("j.cs") + col("j.s")).cast("double") /
+            (col("k.cn") - col("j.cn") + col("j.n")).cast("double"),
+          12).cast(dec12).as("a"))
+    val iso = c.as("i")
+      .join(pairs, col("jr") <= col("i.rn") && col("kr") >= col("i.rn"))
+      .groupBy(col("i.rn").as("rn"), col("jr"))
+      .agg(min(col("a")).as("mn"))
+      .groupBy(col("rn"))
+      .agg(max(col("mn")).as("iso12"))
+    c.join(iso, Seq("rn"))
+      .select(
+        col("bin"),
+        col("n"),
+        col("s").as("pos"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("rate"),
+        round(col("iso12"), 6).cast("double").as("iso"))
+  }
+
   /** Flesch readability scores (Flesch 1948 / Kincaid 1975) — the
     * classic audience-level signal used to bucket corpora by reading
     * difficulty (textbook-vs-forum stratification, child-content

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators for the training pipeline — the steps
+  * between curation (Corpus/Dedup) and model fitting (Boosting): encoding
+  * categoricals against the label without leaking it, and ranking features
+  * by label association before anything trains on them. Both are exact
+  * integer-count aggregations — one data pass each, model-sized outputs.
+  */
+object Features {
+
+  /** K-fold leakage-safe target encoding (the "mean encoding" used for
+    * high-cardinality categoricals in GBDT pipelines; Micci-Barreca 2001):
+    * each fold's encoding for category c is the label mean of c's rows in
+    * the OTHER folds — (S_c − S_cf)/(N_c − N_cf) — so no row's label ever
+    * reaches its own feature value (the same discipline as
+    * Corpus.leakageSafeSplit, applied to a feature). Folds come from a
+    * deterministic integer id (`foldCol % folds`), so the table replays
+    * anywhere. Categories entirely inside one fold fall back to that
+    * fold's out-of-fold GLOBAL prior (S − S_f)/(N − N_f).
+    *
+    * Exactness: all sums/counts are exact integers; each encoding is ONE
+    * double division under round(·, 6). One data pass (a single
+    * (cat, fold) aggregation; per-cat and global margins roll up from it
+    * — category- and fold-sized, broadcast-joined). Output: the encoding
+    * TABLE (category, fold, n_oof, enc) — the model artifact serving
+    * joins attach, not a per-row materialization. */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      labelCol: String,
+      foldCol: String,
+      folds: Int): DataFrame = {
+    require(folds >= 2, s"need at least 2 folds, got $folds")
+    val cf = df
+      .select(
+        col(catCol).as("category"),
+        pmod(col(foldCol).cast("long"), lit(folds.toLong)).as("fold"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(col("y")).as("s_cf"))
+    val perCat = cf.groupBy(col("category"))
+      .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
+    val perFold = cf.groupBy(col("fold"))
+      .agg(sum(col("n_cf")).as("n_f"), sum(col("s_cf")).as("s_f"))
+    val global = cf.agg(sum(col("n_cf")).as("n"), sum(col("s_cf")).as("s"))
+    // every (category, fold) pair — including folds where the category is
+    // absent, which serve the prior — via the cat × fold frame
+    val frame = perCat.select(col("category"), col("n_c"), col("s_c"))
+      .crossJoin(broadcast(perFold))
+    frame
+      .join(cf, Seq("category", "fold"), "left")
+      .crossJoin(broadcast(global))
+      .select(
+        col("category"),
+        col("fold"),
+        (col("n_c") - coalesce(col("n_cf"), lit(0L))).as("n_oof"),
+        round(
+          when(
+            col("n_c") - coalesce(col("n_cf"), lit(0L)) > 0,
+            (col("s_c") - coalesce(col("s_cf"), lit(0L))).cast("double") /
+              (col("n_c") - coalesce(col("n_cf"), lit(0L))).cast("double"))
+            .otherwise(
+              (col("s") - col("s_f")).cast("double") / (col("n") - col("n_f")).cast("double")),
+          6).as("enc"))
+  }
+
+  /** Chi-square feature–label association (the classic filter-selection
+    * score; Yang & Pedersen 1997 for the text-features form): for each
+    * feature's integer-binned values vs a binary label, χ² =
+    * Σ_cells (O − E)²/E with E = row·col/N. ONE melted (feature, bin,
+    * label) aggregation over the data; margins and the statistic run on
+    * the tiny contingency table.
+    *
+    * Exactness: observed counts and margins are exact integers; each
+    * cell's E and (O−E)²/E run in fixed-order double then snap to the
+    * 1e-9 grid, so the cross-cell sum is an exact decimal — order-free —
+    * under the final round(·, 6). Returns (feature, n_bins, dof, chi2),
+    * chi2 descending (the selection order), tie-broken by feature name. */
+  def chi2Features(
+      df: DataFrame,
+      labelCol: String,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val melted = features
+      .map { case (n, c) =>
+        df.select(lit(n).as("feature"), c.cast("long").as("bin"),
+          col(labelCol).cast("int").as("y"))
+      }
+      .reduce(_ unionAll _)
+    val cells = melted
+      .groupBy(col("feature"), col("bin"), col("y"))
+      .agg(count(lit(1)).as("o"))
+    val binTot = cells.groupBy(col("feature"), col("bin")).agg(sum(col("o")).as("row_t"))
+    val labTot = cells.groupBy(col("feature"), col("y")).agg(sum(col("o")).as("col_t"))
+    val nTot   = cells.groupBy(col("feature")).agg(sum(col("o")).as("n"))
+    // absent (bin, label) cells are real zero-observed cells: build the
+    // full bin × label frame per feature so E counts them
+    val frame = binTot
+      .join(labTot, Seq("feature"))
+      .join(broadcast(nTot), Seq("feature"))
+    val e = col("row_t").cast("double") * col("col_t").cast("double") / col("n").cast("double")
+    val o = coalesce(col("o"), lit(0L)).cast("double")
+    val terms = frame
+      .join(cells, Seq("feature", "bin", "y"), "left")
+      .select(
+        col("feature"),
+        round((o - e) * (o - e) / e, 9).cast(dec9).as("term"))
+    val stats = terms
+      .groupBy(col("feature"))
+      .agg(round(sum(col("term")), 6).cast("double").as("chi2"))
+    val shape = binTot.groupBy(col("feature")).agg(count(lit(1)).as("n_bins"))
+      .join(labTot.groupBy(col("feature")).agg(count(lit(1)).as("n_labels")), Seq("feature"))
+    stats
+      .join(shape, Seq("feature"))
+      .select(
+        col("feature"),
+        col("n_bins"),
+        ((col("n_bins") - 1) * (col("n_labels") - 1)).as("dof"),
+        col("chi2"))
+      .orderBy(col("chi2").desc, col("feature"))
+  }
+}

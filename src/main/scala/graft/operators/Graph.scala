@@ -910,6 +910,55 @@ object Graph {
     mat(out)
   }
 
+  /** Sampled bounded-distance harmonic centrality (Boldi & Vigna 2014 —
+    * the closeness variant that handles disconnection gracefully):
+    * h(v) = Σ_{pivot s ≠ v} 1/d(s, v), summed over the `nSources`
+    * smallest-id pivots within a `maxDepth`-hop horizon — unreached
+    * pairs contribute 0 instead of poisoning a mean like closeness does.
+    * Shares [[betweennessSampled]]'s forward machinery: per level ONE
+    * frontier⋈edges shuffle + a seen-set anti-join, pivots batched by a
+    * src key. 1/d snaps to the 1e-12 grid (d is a small positive int),
+    * sums are exact decimal, final round(·, 6). Returns (id, harmonic)
+    * for every node reached from at least one pivot. */
+  def harmonicSampled(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      nSources: Int,
+      maxDepth: Int): DataFrame = {
+    require(nSources >= 1, s"nSources must be positive, got $nSources")
+    require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val dir = mat(und.union(und.select(col("b").as("a"), col("a").as("b"))))
+    val srcs = dir.select(col("a").as("id")).distinct().orderBy(col("id")).limit(nSources)
+    var frontier = mat(srcs.select(col("id").as("src"), col("id").as("v")))
+    var seen     = frontier
+    val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (l <- 1 to maxDepth) {
+      val next = mat(
+        dir
+          .join(frontier.select(col("src"), col("v")), dir("a") === col("v"))
+          .select(col("src"), col("b").as("v"))
+          .distinct()
+          .join(seen, Seq("src", "v"), "left_anti"))
+      seen = mat(seen.union(next))
+      contribs += next.select(
+        col("v"),
+        round(lit(1.0) / lit(l.toDouble), 12).cast(dec12).as("w"))
+      frontier = next
+    }
+    mat(
+      contribs
+        .reduce(_ unionAll _)
+        .groupBy(col("v").as("id"))
+        .agg(round(sum(col("w")), 6).cast("double").as("harmonic")))
+  }
+
   /** k-core decomposition for a fixed k (Seidman 1983; the "dense kernel"
     * extraction behind community seeds, spam-farm detection, and graph
     * sparsification): repeatedly PEEL every node whose current degree is

@@ -770,6 +770,86 @@ object ExtendedQueries {
         eta = 0.5)
     },
 
+    // K-fold leakage-safe target encoding (Features.targetEncode): each
+    // fold's encoding for a category is the label mean over the OTHER
+    // folds — no row's label reaches its own feature value. Deterministic
+    // integer folds (orderkey % 5), exact integer sums, one division per
+    // cell under round(·, 6); the output is the encoding TABLE.
+    Q(
+      "ml_target_encode",
+      Some("""
+        WITH b AS (SELECT o_orderpriority AS category, o_orderkey % 5 AS fold,
+                          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                   FROM orders),
+        cf AS (SELECT category, fold, COUNT(*) AS n_cf, CAST(SUM(y) AS BIGINT) AS s_cf
+               FROM b GROUP BY 1, 2),
+        pc AS (SELECT category, CAST(SUM(n_cf) AS BIGINT) AS n_c, CAST(SUM(s_cf) AS BIGINT) AS s_c
+               FROM cf GROUP BY 1),
+        pf AS (SELECT fold, CAST(SUM(n_cf) AS BIGINT) AS n_f, CAST(SUM(s_cf) AS BIGINT) AS s_f
+               FROM cf GROUP BY 1),
+        g AS (SELECT CAST(SUM(n_cf) AS BIGINT) AS n, CAST(SUM(s_cf) AS BIGINT) AS s FROM cf)
+        SELECT pc.category, pf.fold,
+               pc.n_c - COALESCE(cf.n_cf, 0) AS n_oof,
+               round(CASE WHEN pc.n_c - COALESCE(cf.n_cf, 0) > 0
+                     THEN CAST(pc.s_c - COALESCE(cf.s_cf, 0) AS DOUBLE)
+                          / CAST(pc.n_c - COALESCE(cf.n_cf, 0) AS DOUBLE)
+                     ELSE CAST(g.s - pf.s_f AS DOUBLE) / CAST(g.n - pf.n_f AS DOUBLE) END, 6) AS enc
+        FROM pc CROSS JOIN pf LEFT JOIN cf ON cf.category = pc.category AND cf.fold = pf.fold, g
+      """)) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .withColumn("y", (col("o_orderstatus") === "F").cast("int"))
+      graft.operators.Features.targetEncode(o, "o_orderpriority", "y", "o_orderkey", folds = 5)
+    },
+
+    // Chi-square feature-label association (Features.chi2Features): the
+    // filter-selection ranking over the same binned lineitem features vs
+    // the is-return label. Observed counts and margins are exact
+    // integers; each cell's (O−E)²/E snaps to the 1e-9 grid so the
+    // cross-cell sum is an order-free exact decimal, round(·, 6) last.
+    Q(
+      "ml_chi2_features",
+      Some("""
+        WITH m AS (
+          SELECT 'quantity' AS feature, CAST(l_quantity AS BIGINT) AS bin,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+          UNION ALL
+          SELECT 'discount', CAST(round(l_discount * 100) AS BIGINT),
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+          UNION ALL
+          SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT),
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem),
+        cells AS (SELECT feature, bin, y, COUNT(*) AS o FROM m GROUP BY 1, 2, 3),
+        bt AS (SELECT feature, bin, CAST(SUM(o) AS BIGINT) AS row_t FROM cells GROUP BY 1, 2),
+        lt AS (SELECT feature, y, CAST(SUM(o) AS BIGINT) AS col_t FROM cells GROUP BY 1, 2),
+        nt AS (SELECT feature, CAST(SUM(o) AS BIGINT) AS n FROM cells GROUP BY 1),
+        fr AS (SELECT bt.feature, bt.bin, lt.y, bt.row_t, lt.col_t, nt.n
+               FROM bt JOIN lt ON lt.feature = bt.feature JOIN nt ON nt.feature = bt.feature),
+        t0 AS (SELECT fr.feature,
+                      CAST(COALESCE(c.o, 0) AS DOUBLE) AS o,
+                      CAST(fr.row_t AS DOUBLE) * CAST(fr.col_t AS DOUBLE) / CAST(fr.n AS DOUBLE) AS e
+               FROM fr LEFT JOIN cells c
+                 ON c.feature = fr.feature AND c.bin = fr.bin AND c.y = fr.y),
+        t AS (SELECT feature, CAST(round((o - e) * (o - e) / e, 9) AS DECIMAL(20,9)) AS term FROM t0),
+        st AS (SELECT feature, CAST(round(SUM(term), 6) AS DOUBLE) AS chi2 FROM t GROUP BY 1),
+        sh AS (SELECT f1.feature, f1.n_bins, (f1.n_bins - 1) * (f2.n_labels - 1) AS dof
+               FROM (SELECT feature, COUNT(*) AS n_bins FROM bt GROUP BY 1) f1
+               JOIN (SELECT feature, COUNT(*) AS n_labels FROM lt GROUP BY 1) f2
+                 ON f2.feature = f1.feature)
+        SELECT st.feature, sh.n_bins, sh.dof, st.chi2
+        FROM st JOIN sh ON sh.feature = st.feature
+        ORDER BY st.chi2 DESC, st.feature
+      """)) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .withColumn("is_return", (col("l_returnflag") === "R").cast("int"))
+      graft.operators.Features.chi2Features(
+        li,
+        "is_return",
+        Seq(
+          "quantity" -> col("l_quantity").cast("long"),
+          "discount" -> round(col("l_discount") * 100).cast("long"),
+          "tax"      -> round(col("l_tax") * 100).cast("long")))
+    },
+
     // k-anonymity / l-diversity audit over customer quasi-identifiers —
     // the pre-release privacy gate: QI groups below k are re-identifiable,
     // single-sensitive-value groups leak the attribute even when large.

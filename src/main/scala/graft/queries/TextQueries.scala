@@ -334,6 +334,44 @@ object TextQueries {
       graft.operators.Corpus.readability(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // Isotonic probability calibration (Corpus.isotonicFit): PAV via the
+    // MINIMAX characterization — iso(i) = max_{j≤i} min_{k≥i} avg(j..k)
+    // over prefix-sum interval means on the observed-bin table; interval
+    // means snap to the 1e-12 grid so the minimax is exact decimal
+    // MIN/MAX, provably the PAV solution, bit-replayable with no
+    // sequential pooling loop. Score: a deterministic [0,1) hash of
+    // doc length; label: lang = 'en'.
+    Q(
+      "quality_isotonic_calibrate",
+      Some("""
+        WITH sc AS (SELECT round(CAST(n_chars % 1000 AS DOUBLE) / 1000.0, 6) AS score,
+                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM documents),
+        b AS (SELECT CAST(LEAST(FLOOR(CAST(round(score, 6) AS DECIMAL(9,6)) * 20), 19) AS BIGINT) AS bin,
+                     COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s
+              FROM sc GROUP BY 1),
+        c AS (SELECT bin, n, s, row_number() OVER (ORDER BY bin) AS rn,
+                     CAST(SUM(n) OVER w AS BIGINT) AS cn, CAST(SUM(s) OVER w AS BIGINT) AS cs
+              FROM b WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p AS (SELECT j.rn AS jr, k.rn AS kr,
+                     CAST(round(CAST(k.cs - j.cs + j.s AS DOUBLE)
+                                / CAST(k.cn - j.cn + j.n AS DOUBLE), 12) AS DECIMAL(20,12)) AS a
+              FROM c j JOIN c k ON k.rn >= j.rn),
+        mi AS (SELECT i.rn AS rn, p.jr, MIN(p.a) AS mn
+               FROM c i JOIN p ON p.jr <= i.rn AND p.kr >= i.rn GROUP BY 1, 2),
+        iso AS (SELECT rn, MAX(mn) AS iso12 FROM mi GROUP BY 1)
+        SELECT c.bin, c.n, c.s AS pos,
+               round(CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS rate,
+               CAST(round(iso.iso12, 6) AS DOUBLE) AS iso
+        FROM c JOIN iso ON iso.rn = c.rn
+      """)) { (spark, dir) =>
+      val scored = Tables(spark, dir).documents
+        .select(
+          round((col("n_chars") % 1000).cast("double") / lit(1000.0), 6).as("score"),
+          (col("lang") === "en").cast("int").as("y"))
+      graft.operators.Corpus.isotonicFit(scored, "score", "y", bins = 20)
+    },
+
     // Linear quality-classifier inference (operators/Corpus): σ(b + w·f)
     // over the four deterministic features, weights as literals — the
     // fastText-shaped filtering pass at serving time. Oracle replays the

@@ -689,6 +689,30 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.exactSubstrSpans(docs, "doc_id", "text", minLen = 1))
   }
 
+  test("isotonicFit: PAV pooling via minimax, monotone output, top-edge clamp") {
+    import spark.implicits._
+    // bin rates [0, 1, 0, 1] -> PAV pools the middle violation to 0.5
+    val df = Seq(
+      (0.01, 0), (0.01, 0), (0.06, 1), (0.06, 1),
+      (0.11, 0), (0.11, 0), (0.16, 1), (0.16, 1)
+    ).toDF("score", "y")
+    val got = Corpus.isotonicFit(df, "score", "y", bins = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      0L -> ((0.0, 0.0)), 1L -> ((1.0, 0.5)),
+      2L -> ((0.0, 0.5)), 3L -> ((1.0, 1.0))), s"got $got")
+    // iso is monotone non-decreasing in bin order by construction
+    val isoSeq = Corpus.isotonicFit(df, "score", "y", bins = 20)
+      .orderBy(col("bin")).collect().map(_.getDouble(4)).toSeq
+    assert(isoSeq == isoSeq.sorted, isoSeq.toString)
+    // score 1.0 clamps into the top bin instead of spilling to bin 20
+    val edge = Seq((1.0, 1), (0.999, 0)).toDF("score", "y")
+    val e = Corpus.isotonicFit(edge, "score", "y", bins = 20).collect()
+    assert(e.length == 1 && e.head.getLong(0) == 19L && e.head.getLong(1) == 2L)
+  }
+
   test("readability: closed-form Flesch scores, vowel-group syllables, empty doc NULL") {
     import spark.implicits._
     val docs = Seq(

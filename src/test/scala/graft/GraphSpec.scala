@@ -257,6 +257,20 @@ class GraphSpec extends SparkSpec {
     assert(c == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0), s"got $c")
   }
 
+  test("harmonicSampled: path closed form, horizon truncation, degree at depth 1") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.harmonicSampled(path, "a", "b", nSources = 5, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // h(1) = 1 + 1/2 + 1/3 + 1/4 (grid-snapped) = 2.083333; h(3) = 3.0
+    assert(got(1L) == 2.083333 && got(5L) == 2.083333, s"got $got")
+    assert(got(2L) == 2.833333 && got(4L) == 2.833333)
+    assert(got(3L) == 3.0)
+    // depth 1: each node collects 1.0 per adjacent pivot = its degree
+    val d1 = Graph.harmonicSampled(path, "a", "b", nSources = 5, maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d1 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 2.0, 5L -> 1.0), s"got $d1")
+  }
+
   test("kCore: cascading peel to the unique fixpoint, survivors keep >= k, empty when none") {
     // 5-clique (a 4-core) with a pendant chain hanging off node 0: the
     // chain peels over CASCADING rounds (8 -> exposes 7 -> exposes 6...),
