@@ -114,6 +114,71 @@ object Retrieval {
       .select(col("doc_id"), col("n_terms"), round(col("raw"), 6).as("score"))
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
+    * 2001) — the language-modeling alternative to [[bm25TopK]]'s
+    * probabilistic IDF: score(q,d) = Σ_t ln((tf_td + μ·P(t|C)) /
+    * (|d| + μ)), P(t|C) the collection unigram model. Zero-tf query terms
+    * still contribute (the smoothing mass), so candidates are docs
+    * matching ≥ 1 term and each candidate scores against ALL query terms
+    * via a candidate × term frame with a left tf attach.
+    *
+    * Exactness: tf, doc length, collection frequencies, and |C| are exact
+    * integers; each term's ln(...) runs in fixed double order and snaps
+    * to the 1e-12 grid, so the per-doc sum is an exact decimal — rank by
+    * it BEFORE the final round(·, 6) (the adamicAdar cut discipline).
+    * Scale shape = bm25TopK: non-query terms never shuffle, stats are
+    * 1-row broadcasts, the frame is candidate-sized × |q|. */
+  def queryLikelihoodTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      mu: Double = 100.0): DataFrame = {
+    require(terms.nonEmpty, "queryLikelihoodTopK needs at least one query term")
+    require(k > 0 && mu > 0.0, "k and mu must be positive")
+    val dec12  = org.apache.spark.sql.types.DecimalType(20, 12)
+    val qTerms = terms.distinct.sorted
+    val spark  = docs.sparkSession
+    import spark.implicits._
+
+    val tokd = Corpus
+      .spreadSmallInput(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("len"), explode(col("toks")).as("token"))
+    val tf = tokd
+      .filter(col("token").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+      .localCheckpoint(true)
+    val stats = docs
+      .select(size(toks(col(textCol))).as("len"))
+      .agg(sum(col("len")).as("tot_len"))
+    // collection frequency per query term: every occurrence lives in a
+    // candidate doc, so the tf rows already carry all of them
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val cand = tf.groupBy(col("doc_id")).agg(max(col("len")).as("len"))
+    val frame = cand
+      .crossJoin(broadcast(qTerms.toDF("token")))
+      .join(broadcast(cf), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .join(tf.select(col("doc_id"), col("token"), col("tf")), Seq("doc_id", "token"), "left")
+    val p = col("cf").cast("double") / col("tot_len").cast("double")
+    val contrib = round(
+      log(
+        (coalesce(col("tf"), lit(0L)).cast("double") + lit(mu) * p) /
+          (col("len").cast("double") + lit(mu))),
+      12).cast(dec12)
+    val perDoc = frame
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("raw"))
+    perDoc
+      .orderBy(col("raw").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), round(col("raw"), 6).cast("double").as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of
     * top-k rankings — BM25, ANN, keyword tf, whatever produced them — into
     * one list by score(d) = Σ_lists 1/(c + rank_d). The hybrid-retrieval

@@ -51,6 +51,45 @@ object RankingQueries {
         k = 25)
     },
 
+    // --------------------------------- query likelihood (Dirichlet)
+    // The language-modeling ranker beside BM25 (Zhai-Lafferty): per
+    // candidate doc, Σ_t ln((tf + μ·P(t|C))/(|d| + μ)) over ALL query
+    // terms — zero-tf terms contribute the smoothing mass via a
+    // candidate × term frame. Each ln snaps to the 1e-12 grid; the
+    // per-doc sum is exact decimal, ranked before the final round.
+    Q(
+      "retrieval_query_likelihood",
+      Some("""
+        WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        tokd AS (SELECT doc_id, len(toks) AS len, unnest(toks) AS token FROM tok),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf, MIN(len) AS len FROM tokd
+               WHERE token IN ('agg','join','scan','shuffle') GROUP BY 1, 2),
+        stats AS (SELECT CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS tot_len
+                  FROM documents),
+        cf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        cand AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS len FROM tf GROUP BY 1),
+        q AS (SELECT unnest(['agg','join','scan','shuffle']) AS token),
+        fr AS (SELECT cand.doc_id, cand.len, q.token, cf.cf, stats.tot_len, tf.tf
+               FROM cand CROSS JOIN q JOIN cf ON cf.token = q.token CROSS JOIN stats
+               LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.token = q.token),
+        c AS (SELECT doc_id,
+                     CAST(round(ln((CAST(COALESCE(tf, 0) AS DOUBLE)
+                                    + 100.0 * (CAST(cf AS DOUBLE) / CAST(tot_len AS DOUBLE)))
+                                   / (CAST(len AS DOUBLE) + 100.0)), 12) AS DECIMAL(20,12)) AS c
+              FROM fr),
+        pd AS (SELECT doc_id, SUM(c) AS raw FROM c GROUP BY 1)
+        SELECT doc_id, CAST(round(raw, 6) AS DOUBLE) AS score
+        FROM pd ORDER BY raw DESC, doc_id LIMIT 25
+      """)) { (spark, dir) =>
+      Retrieval.queryLikelihoodTopK(
+        Tables(spark, dir).documents,
+        "doc_id",
+        "text",
+        terms = Seq("agg", "join", "scan", "shuffle"),
+        k = 25,
+        mu = 100.0)
+    },
+
     // --------------------------------------- reciprocal-rank fusion
     // Hybrid retrieval: the BM25 top-50 for the 4-term query fused with a
     // keyword-tf top-50 for 'spark' via RRF (c=60). Ranks are assigned on

@@ -191,4 +191,26 @@ class RetrievalSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](Retrieval.rougeNgram(pairs, "pair_id", "cand", "ref", 0))
   }
+
+  test("queryLikelihoodTopK: closed-form Dirichlet scores, smoothing mass for zero-tf terms") {
+    import spark.implicits._
+    // collection: "a b" and "a a" -> cf(a)=3, |C|=4, P(a|C)=0.75
+    val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
+    val got = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text", Seq("a"), k = 10, mu = 100.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def score(tf: Double, len: Double): Double = {
+      val c = BigDecimal(math.log((tf + 100.0 * 0.75) / (len + 100.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      c.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == Map(1L -> score(1.0, 2.0), 2L -> score(2.0, 2.0)), s"got $got")
+    // the doc with higher tf at equal length ranks higher
+    assert(got(2L) > got(1L))
+    // two-term query: a doc matching one term still pays the smoothing
+    // penalty for the other, so the doc holding both terms wins
+    val d2 = Seq((1L, "x y y"), (2L, "x q y")).toDF("doc_id", "text")
+    val both = Retrieval.queryLikelihoodTopK(d2, "doc_id", "text", Seq("x", "q"), k = 10)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(both.head == 2L, both.toString)
+  }
 }
