@@ -182,6 +182,119 @@ object Funnel {
         round(col("n_transitions").cast("double") / col("n_from"), 6).as("prob"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * data-driven alternative to last-touch: model user journeys as a
+    * first-order chain START → touches → CONV/DROP, and credit each
+    * channel by how much the chain's conversion probability falls when
+    * that channel's state is removed (its transitions redirect to DROP —
+    * probabilities are NOT renormalized, that's the removal semantics).
+    *
+    * Journey building is the only data-sized stage (one user-keyed
+    * window + a transition-matrix-sized count); the chain itself is
+    * model-bounded, so conversion probabilities run DRIVER-SIDE as exact
+    * BigDecimal value iteration — the allowed collect shape — with every
+    * step mirroring the SQL replay move for move: transition
+    * probabilities snap to the 1e-9 grid (double count ratio, HALF_UP),
+    * each step's product round(p·v, 9) re-snaps, per-state sums are
+    * exact decimal adds, `steps` iterations on BOTH sides (fixed-depth —
+    * equality needs identical arithmetic, not convergence). Removal
+    * effects (p − p_c)/p and the normalized attribution shares snap the
+    * same way. Returns (channel, p_conv, p_removed, removal_effect,
+    * attribution) sorted by channel. */
+  def markovRemovalAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      convType: String,
+      steps: Int = 12): DataFrame = {
+    require(steps >= 1, s"steps must be positive, got $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val seq = events
+      .select(col(userCol).as("u"), col(typeCol).as("t"), row_number().over(w).as("rn"))
+    val conv = seq.filter(col("t") === convType).groupBy(col("u")).agg(min(col("rn")).as("crn"))
+    val touches = seq
+      .join(conv, Seq("u"), "left")
+      .filter(col("t") =!= convType && (col("crn").isNull || col("rn") < col("crn")))
+    val wt  = org.apache.spark.sql.expressions.Window.partitionBy(col("u")).orderBy(col("rn"))
+    val mid = touches.select(
+      col("t").as("f"),
+      coalesce(
+        lead(col("t"), 1).over(wt),
+        when(col("crn").isNotNull, lit("CONV")).otherwise(lit("DROP"))).as("tgt"))
+    val ft = touches.groupBy(col("u"))
+      .agg(min(struct(col("rn"), col("t"))).getField("t").as("ftype"))
+    val start = seq.select(col("u")).distinct()
+      .join(ft, Seq("u"), "left")
+      .join(conv, Seq("u"), "left")
+      .select(
+        lit("START").as("f"),
+        coalesce(
+          col("ftype"),
+          when(col("crn").isNotNull, lit("CONV")).otherwise(lit("DROP"))).as("tgt"))
+    // transition-matrix-sized: |event types|² + a few — the allowed collect
+    val trans = mid.unionAll(start)
+      .groupBy(col("f"), col("tgt"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val zero9 = JBD.ZERO.setScale(9)
+    val one9  = JBD.ONE.setScale(9)
+    def snap9(d: Double): JBD = JBD.valueOf(d).setScale(9, RM.HALF_UP)
+    val totals = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val channels = trans.keys.flatMap { case (f, t) => Seq(f, t) }.toSet
+      .diff(Set("START", "CONV", "DROP")).toSeq.sorted
+
+    def converge(excluded: Option[String]): JBD = {
+      val rows = trans.toSeq
+        .filterNot { case ((f, t), _) => excluded.exists(c => f == c || t == c) }
+        .map { case ((f, t), n) => (f, t, snap9(n.toDouble / totals(f).toDouble)) }
+      var v = Map.empty[String, JBD]
+      def look(t: String): JBD =
+        if (t == "CONV") one9 else v.getOrElse(t, zero9)
+      for (_ <- 1 to steps) {
+        v = rows
+          .groupBy(_._1)
+          .map { case (s, rs) =>
+            s -> rs
+              .map { case (_, t, p) => snap9(p.doubleValue() * look(t).doubleValue()) }
+              .foldLeft(zero9)(_ add _)
+          }
+      }
+      v.getOrElse("START", zero9)
+    }
+
+    val pFull = converge(None)
+    val out = channels.map { c =>
+      val pr = converge(Some(c))
+      val re9 =
+        if (pFull.signum == 0) None
+        else Some(snap9(pFull.subtract(pr).doubleValue() / pFull.doubleValue()))
+      (c, pr, re9)
+    }
+    val sumRe = out.flatMap(_._3).foldLeft(zero9)(_ add _)
+    val rows = out.map { case (c, pr, re9) =>
+      (
+        c,
+        pFull.setScale(6, RM.HALF_UP).doubleValue(),
+        pr.setScale(6, RM.HALF_UP).doubleValue(),
+        re9.map(_.setScale(6, RM.HALF_UP).doubleValue()),
+        re9.flatMap(r =>
+          if (sumRe.signum == 0) None
+          else Some(JBD.valueOf(r.doubleValue() / sumRe.doubleValue())
+            .setScale(6, RM.HALF_UP).doubleValue())))
+    }
+    rows.toDF("channel", "p_conv", "p_removed", "removal_effect", "attribution")
+      .orderBy(col("channel"))
+  }
+
   /** Kaplan-Meier survival curve over user churn (Kaplan & Meier 1958):
     * a user's observed time is the DAY of their last event (day index
     * from `baseDate`); they count as CHURNED (death) if the corpus's max

@@ -933,6 +933,25 @@ object ExtendedQueries {
       Funnel.markovTransitions(Tables(spark, dir).events, "user_id", "ts", "event_type", "event_id")
     },
 
+    // -------------------------------- Markov removal-effect attribution
+    // The data-driven alternative to last-touch (Anderl et al. 2016):
+    // journeys as START → touches → CONV/DROP, each channel credited by
+    // the conversion-probability drop when its state is removed (mass
+    // flows to DROP — no renormalization). The chain is model-bounded so
+    // value iteration runs driver-side in exact BigDecimal; the oracle
+    // unrolls 12 JOIN-steps per run (full + one per channel), products
+    // on the 1e-9 grid, exact decimal sums — bit-equal trajectories.
+    Q(
+      "events_markov_attribution",
+      Some(markovAttributionSql(
+        channels = Seq("click", "error", "signup", "view"),
+        convType = "purchase",
+        steps = 12))) { (spark, dir) =>
+      graft.operators.Funnel.markovRemovalAttribution(
+        Tables(spark, dir).events, "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", steps = 12)
+    },
+
     // ------------------------------------------------- map-type functions
     // JSON props parsed to a real MapType, then map_keys/size — scalar
     // string/int outputs keep the cross-engine compare exact.
@@ -1051,6 +1070,78 @@ object ExtendedQueries {
     * event counts: splitmix64 of (day ⊕ seed), u = top-53 bits / 2⁵³,
     * Laplace inverse CDF with the ln on the 1e-12 grid, exact decimal
     * sum, round 6 → double. */
+  /** Unrolled replay of Funnel.markovRemovalAttribution: journey CTEs
+    * build the transition matrix (probabilities on the 1e-9 grid), then
+    * one value-iteration chain per run (full + one per removed channel),
+    * each `steps` JOIN-steps deep with round(p·v, 9) products and exact
+    * decimal sums — the driver's BigDecimal fold, move for move. */
+  private def markovAttributionSql(channels: Seq[String], convType: String, steps: Int): String = {
+    def runCtes(r: Int, filter: String): String = {
+      val first =
+        s"""w${r}_1 AS MATERIALIZED (
+          SELECT f AS state, CAST(SUM(CAST(round(CAST(p AS DOUBLE) * 1.0, 9) AS DECIMAL(20,9))) AS DECIMAL(20,9)) AS val
+          FROM tr WHERE tgt = 'CONV' $filter GROUP BY 1)"""
+      val rest = (2 to steps).map { k =>
+        s"""w${r}_$k AS MATERIALIZED (
+          SELECT tr.f AS state,
+                 CAST(SUM(CAST(round(CAST(tr.p AS DOUBLE) * CAST(w.val AS DOUBLE), 9) AS DECIMAL(20,9))) AS DECIMAL(20,9)) AS val
+          FROM tr JOIN (SELECT state, val FROM w${r}_${k - 1}
+                        UNION ALL SELECT 'CONV', CAST(1 AS DECIMAL(20,9))) w
+            ON w.state = tr.tgt
+          WHERE TRUE $filter GROUP BY 1)"""
+      }
+      (first +: rest).mkString(",\n")
+    }
+    val runs = runCtes(0, "") +: channels.zipWithIndex.map { case (c, i) =>
+      runCtes(i + 1, s"AND tr.f <> '$c' AND tr.tgt <> '$c'")
+    }
+    val resRows = channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+             COALESCE((SELECT val FROM w0_$steps WHERE state = 'START'), CAST(0 AS DECIMAL(20,9))) AS pc,
+             COALESCE((SELECT val FROM w${i + 1}_$steps WHERE state = 'START'), CAST(0 AS DECIMAL(20,9))) AS pr"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH seq AS MATERIALIZED (
+        SELECT user_id AS u, event_type AS t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      conv AS MATERIALIZED (SELECT u, MIN(rn) AS crn FROM seq WHERE t = '$convType' GROUP BY 1),
+      touches AS MATERIALIZED (
+        SELECT s.u, s.t, s.rn, c.crn FROM seq s LEFT JOIN conv c ON c.u = s.u
+        WHERE s.t <> '$convType' AND (c.crn IS NULL OR s.rn < c.crn)),
+      mid AS (SELECT t AS f,
+                     COALESCE(lead(t) OVER (PARTITION BY u ORDER BY rn),
+                              CASE WHEN crn IS NOT NULL THEN 'CONV' ELSE 'DROP' END) AS tgt
+              FROM touches),
+      ft AS (SELECT u, arg_min(t, rn) AS ftype FROM touches GROUP BY 1),
+      start AS (SELECT 'START' AS f,
+                       COALESCE(ft.ftype, CASE WHEN c.crn IS NOT NULL THEN 'CONV' ELSE 'DROP' END) AS tgt
+                FROM (SELECT DISTINCT u FROM seq) au
+                LEFT JOIN ft ON ft.u = au.u LEFT JOIN conv c ON c.u = au.u),
+      cnt AS (SELECT f, tgt, COUNT(*) AS n
+              FROM (SELECT f, tgt FROM mid UNION ALL SELECT f, tgt FROM start) GROUP BY 1, 2),
+      tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf FROM cnt GROUP BY 1),
+      tr AS MATERIALIZED (
+        SELECT cnt.f, cnt.tgt,
+               CAST(round(CAST(cnt.n AS DOUBLE) / CAST(tot.nf AS DOUBLE), 9) AS DECIMAL(20,9)) AS p
+        FROM cnt JOIN tot ON tot.f = cnt.f),
+      ${runs.mkString(",\n")},
+      res AS ($resRows),
+      re AS (SELECT channel, pc, pr,
+                    CASE WHEN pc <> 0
+                         THEN CAST(round(CAST(pc - pr AS DOUBLE) / CAST(pc AS DOUBLE), 9) AS DECIMAL(20,9))
+                    END AS re9
+             FROM res),
+      tre AS (SELECT CAST(SUM(re9) AS DECIMAL(20,9)) AS s FROM re)
+      SELECT channel,
+             CAST(round(pc, 6) AS DOUBLE) AS p_conv,
+             CAST(round(pr, 6) AS DOUBLE) AS p_removed,
+             CAST(round(re9, 6) AS DOUBLE) AS removal_effect,
+             CASE WHEN s <> 0 THEN round(CAST(re9 AS DOUBLE) / CAST(s AS DOUBLE), 6) END AS attribution
+      FROM re, tre ORDER BY channel
+    """
+  }
+
   /** Unrolled-round replay of Boosting.trainStumps (the BPE/k-core CTE
     * discipline): each round re-derives the residual histogram from the
     * previous round's MATERIALIZED residual table, picks the (gain desc,

@@ -100,6 +100,41 @@ class FunnelSpec extends SparkSpec {
     sums.foreach { case (s, p) => assert(math.abs(p - 1.0) < 1e-9, s"$s sums to $p") }
   }
 
+  test("markovRemovalAttribution: closed-form two-channel chain, shares sum to 1") {
+    // u1: view -> click -> purchase ; u2: view (drops)
+    // P: START->view 1, view->click .5, view->DROP .5, click->CONV 1
+    // full p(START) = .5 ; removing either channel severs every
+    // converting path -> removal effect 1.0 each, shares .5/.5
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Funnel
+      .markovRemovalAttribution(events, "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      "click" -> ((0.5, 0.0, 1.0, 0.5)),
+      "view"  -> ((0.5, 0.0, 1.0, 0.5))), s"got $got")
+    // a user converting with NO touches routes START -> CONV directly and
+    // keeps conversion mass that no channel can claim
+    val withDirect = events.union(
+      Seq((3L, ts("2024-01-01 12:00:00"), 5L, "purchase"))
+        .toDF("user_id", "ts", "event_id", "event_type"))
+    val g2 = graft.operators.Funnel
+      .markovRemovalAttribution(withDirect, "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // p_removed now stays at the direct-conversion floor 1/3, so the
+    // removal effect drops below 1 but the two channels stay symmetric
+    assert(g2("click") == g2("view"), s"got $g2")
+    assert(g2("click")._1 > 0.3 && g2("click")._1 < 0.4)
+  }
+
   test("kaplanMeier: hand-computed curve with censoring, monotone, censored-only is empty") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
     // observation ends day 9 (user F active to the end). Last-event days:
