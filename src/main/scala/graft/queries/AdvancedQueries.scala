@@ -357,6 +357,32 @@ object AdvancedQueries {
           col("x"), col("cusum"), col("is_peak"))
     },
 
+    // ------------------------------------------ seasonal profile (24h)
+    // The additive hour-of-day seasonal component: mean hourly count per
+    // hour-of-day minus the grand mean — exact integer sums, both
+    // divisions snapped to 1e-6 BEFORE the subtraction; peak flags are
+    // exact compares on snapped means.
+    Q(
+      "events_seasonal",
+      Some("""
+        WITH hx AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1),
+        hod AS (SELECT EXTRACT(hour FROM h) AS hour_of_day, COUNT(*) AS n_hours,
+                       CAST(SUM(x) AS BIGINT) AS s
+                FROM hx GROUP BY 1),
+        g AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n_hours) AS BIGINT) AS nt FROM hod),
+        m AS (SELECT hour_of_day, n_hours,
+                     round(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS mean_count,
+                     round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS grand_mean
+              FROM hod, g),
+        pk AS (SELECT MAX(mean_count) AS pk FROM m)
+        SELECT hour_of_day, n_hours, mean_count,
+               round(mean_count - grand_mean, 6) AS seasonal,
+               (mean_count = pk) AS peak_hour
+        FROM m, pk ORDER BY 1
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.seasonalProfile(Tables(spark, dir).events, "ts")
+    },
+
     // --------------------------------------------- Page-Hinkley drift
     // The ONLINE mean-shift detector per user (m_t = Σ(x_i − x̄_i − δ),
     // alarm when m − min m > λ) — the O(1)-state incremental cousin of

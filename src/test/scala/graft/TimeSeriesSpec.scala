@@ -116,6 +116,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.forall(r => r.getDouble(2) == 0.0 && r.getBoolean(3)))
   }
 
+  test("seasonalProfile: closed-form hour-of-day means, peak flag, constant-series ACF edge") {
+    import spark.implicits._
+    // hod 0: counts 2 and 4 across two days (mean 3); hod 1: count 2 (mean 2)
+    val rows =
+      (0 until 2).map(i => ts(f"2024-03-01 00:0$i:00")) ++
+        (0 until 4).map(i => ts(f"2024-03-02 00:0$i:00")) ++
+        (0 until 2).map(i => ts(f"2024-03-01 01:0$i:00"))
+    val got = graft.operators.TimeSeries.seasonalProfile(rows.toDF("ts"), "ts")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // grand mean = 8/3 = 2.666667; seasonal = mean - grand
+    assert(got(0) == ((2L, 3.0, BigDecimal(3.0 - 2.666667).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, true)), got.toString)
+    assert(got(1)._2 == 2.0 && !got(1)._4)
+    assert(got(1)._3 == BigDecimal(2.0 - 2.666667).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // ACF of a constant series: zero variance -> NULL correlations, not NaN
+    val const = (0 until 5).map(h => ts(f"2024-03-03 0$h%02d:00:00")).toDF("ts")
+    val acf = graft.operators.TimeSeries.acf(const, "ts", maxLag = 2).collect()
+    assert(acf.forall(_.isNullAt(2)), acf.mkString(","))
+  }
+
   test("groupLinearTrend: exact line recovered, degenerate groups NULL, partitioning-invariant") {
     import spark.implicits._
     val df = (
