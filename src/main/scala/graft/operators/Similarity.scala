@@ -81,6 +81,45 @@ object Similarity {
       k)
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022): recall@k of
+    * brute-force cosine over the embedding's first `d` components against
+    * the full-dimension truth, for each d in `dims` — the measurement
+    * behind serving MRL embeddings at a fraction of the storage/compute
+    * (prefix dims carry most of the signal IF the embedding was trained
+    * that way; this audit is how you check yours was). Each truncated run
+    * is [[bruteTopK]] on sliced vectors — same exact cosine, same
+    * (round-9 sim desc, neighbor_id) ranking — and the overlap against
+    * the full-dim top-k is exact integer counting with one division
+    * under round(·, 6). Query side broadcasts; corpus scans once per
+    * dim (dims is a handful — the audit shape, not the serving path).
+    * Returns (dims, query_id, hits, recall). */
+  def matryoshkaRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val truth = bruteTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val runs = dims.map { d =>
+      bruteTopK(
+        corpus.withColumn("embedding", slice(col("embedding"), 1, d)),
+        queries.withColumn("embedding", slice(col("embedding"), 1, d)),
+        k)
+        .select(lit(d).as("dims"), col("query_id"), col("neighbor_id"))
+    }
+    runs
+      .reduce(_ unionAll _)
+      .join(truth.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dims"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(
+        col("dims"),
+        col("query_id"),
+        col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** p-bit random-hyperplane signature per vector, for `tables` independent
     * hash tables. Returns (vec_id, table, bucket). One HyperplaneSig
     * expression computes every table's bucket in a single pass — plane

@@ -555,6 +555,29 @@ object PipelineQueries {
              FROM s)
        SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= $k"""
 
+  /** DuckDB oracle for ann_matryoshka_recall: each truncation is the
+    * brute-force oracle on sliced vectors; overlap vs the full-dim truth
+    * is exact integer counting. */
+  private def matryoshkaOracle(k: Int, nQueries: Int, dims: Seq[Int]): String = {
+    def trunc(d: Int) =
+      s"""SELECT $d AS dims, query_id, neighbor_id FROM (
+         WITH q AS (SELECT vec_id AS query_id, CAST(embedding[1:$d] AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < $nQueries),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding[1:$d] AS DOUBLE[]) AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+               FROM q JOIN c ON query_id <> neighbor_id),
+         r AS (SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rn
+               FROM s)
+         SELECT query_id, neighbor_id FROM r WHERE rn <= $k) t"""
+    s"""WITH truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${bruteOracle(k, nQueries)}) t),
+       tr AS (${dims.map(trunc).mkString(" UNION ALL ")})
+       SELECT tr.dims, tr.query_id,
+              CAST(SUM(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+              round(CAST(SUM(CASE WHEN truth.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $k.0, 6) AS recall
+       FROM tr LEFT JOIN truth ON truth.query_id = tr.query_id AND truth.neighbor_id = tr.neighbor_id
+       GROUP BY 1, 2"""
+  }
+
   /** DuckDB oracle for ann_recall_audit: every method in the audit is now
     * deterministic (mix64-ordered sampled trainer, derandomized LSH), so
     * the audit itself replays — each method's FULL oracle runs as a
@@ -2002,6 +2025,19 @@ object PipelineQueries {
         emb, emb.filter(col("vec_id") < 8), k = 10,
         nlist = 16, nprobe = 8, assign = 3, rerank = 4,
         bits = 8, tables = 12, probeHamming = 2)
+    },
+
+    // --------------------------------------- Matryoshka truncation audit
+    // Recall@10 of prefix-dim cosine (d = 8/16/32) against the full
+    // 64-dim truth (Kusupati et al. 2022) — the measurement behind
+    // serving truncated embeddings. Same exact cosine + (round-9, id)
+    // ranking as the brute oracle; overlaps are exact integers.
+    Q(
+      "ann_matryoshka_recall",
+      Some(matryoshkaOracle(k = 10, nQueries = 8, dims = Seq(8, 16, 32)))) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.matryoshkaRecall(
+        emb, emb.filter(col("vec_id") < 8), k = 10, dims = Seq(8, 16, 32))
     },
 
     // --------------------------------------------- IR ranking metrics

@@ -28,6 +28,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall: full-dim truncation is perfect recall, prefix tie inverts it") {
+    import spark.implicits._
+    // full-length truncation reproduces the truth exactly
+    val full = Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 3), k = 5, dims = Seq(64))
+      .collect()
+    assert(full.length == 3 && full.forall(_.getDouble(3) == 1.0), full.mkString(","))
+    // planted: q=(1,.9): full top-1 is B=(1,1); at d=1 all prefixes tie
+    // and the id tie-break picks A -> recall 0 at d=1, 1 at d=2
+    val tiny = Seq(
+      (10L, Array(1.0f, 0.0f)), // A
+      (11L, Array(1.0f, 1.0f)), // B
+      (12L, Array(1.0f, 0.9f))  // query
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(
+        tiny, tiny.filter(col("vec_id") === 12L), k = 1, dims = Seq(1, 2))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(3))
+      .toMap
+    assert(got == Map(1 -> 0.0, 2 -> 1.0), s"got $got")
+  }
+
   test("hardNegatives: different label, below ceiling, exact top-k among eligible") {
     // Caller passes the PLAIN bound; the operator applies the 5e-7 FP guard
     // internally, so the effective cut sits between the 1e-6 round-6 grid
