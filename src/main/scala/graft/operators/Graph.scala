@@ -910,6 +910,82 @@ object Graph {
     mat(out)
   }
 
+  /** Bounded-round k-truss peeling (Cohen 2008) — the EDGE analog of
+    * [[kCore]]: repeatedly drop every edge in fewer than k−2 triangles
+    * (its "support"), leaving the subgraph where every surviving edge is
+    * embedded in dense mutual-neighbor structure — stricter than k-core
+    * (a star survives coring but carries no triangles) and the standard
+    * community-kernel/spam-ring extractor one tier up from it.
+    *
+    * Runs a FIXED `rounds` of peel steps (both engine and replay — the
+    * oracle unrolls the same count, so equality is by construction, with
+    * post-fixpoint rounds no-ops exactly like the kCore replay; the gate
+    * graphs converge well inside the budget). Per round, support comes
+    * from degree-ordered compact-forward triangle listing
+    * (Σ outdeg² ≤ O(m^1.5) — [[triangleStats]]' orientation argument, a
+    * hub's wedges never explode), each triangle crediting its three
+    * canonical edges; one keyed aggregation + one join per round, edge
+    * set checkpointed. Returns surviving (a, b, support) with support
+    * recomputed on the final set. */
+  def kTruss(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      rounds: Int = 6): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def rankLt(d1: org.apache.spark.sql.Column, i1: org.apache.spark.sql.Column,
+               d2: org.apache.spark.sql.Column, i2: org.apache.spark.sql.Column) =
+      d1 < d2 || (d1 === d2 && i1 < i2)
+    // per-edge triangle support via degree-ordered wedge closing
+    def support(e: DataFrame): DataFrame = {
+      val deg = e
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("dg"))
+      val withDeg = e
+        .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+      val oriented = withDeg
+        .select(
+          when(rankLt(col("da"), col("a"), col("db"), col("b")), col("a")).otherwise(col("b")).as("u"),
+          when(rankLt(col("da"), col("a"), col("db"), col("b")), col("b")).otherwise(col("a")).as("v"),
+          when(rankLt(col("da"), col("a"), col("db"), col("b")), col("db")).otherwise(col("da")).as("dv"))
+      val tri = oriented.as("x")
+        .join(oriented.as("y"),
+          col("x.u") === col("y.u") &&
+            rankLt(col("x.dv"), col("x.v"), col("y.dv"), col("y.v")))
+        .select(col("x.u").as("tu"), col("x.v").as("tv"), col("y.v").as("tw"))
+        .join(oriented.select(col("u").as("tv"), col("v").as("tw")), Seq("tv", "tw"))
+      tri
+        .select(explode(array(
+          struct(least(col("tu"), col("tv")).as("a"), greatest(col("tu"), col("tv")).as("b")),
+          struct(least(col("tv"), col("tw")).as("a"), greatest(col("tv"), col("tw")).as("b")),
+          struct(least(col("tu"), col("tw")).as("a"), greatest(col("tu"), col("tw")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("supp"))
+    }
+    var e = mat(
+      edges
+        .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    for (_ <- 1 to rounds) {
+      val s = support(e)
+      e = mat(
+        e.join(s, Seq("a", "b"))
+          .filter(col("supp") >= k - 2)
+          .select(col("a"), col("b")))
+    }
+    val finalSupp = support(e)
+    mat(
+      e.join(finalSupp, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("supp"), lit(0L)).as("support")))
+  }
+
   /** Sampled bounded-distance harmonic centrality (Boldi & Vigna 2014 —
     * the closeness variant that handles disconnection gracefully):
     * h(v) = Σ_{pivot s ≠ v} 1/d(s, v), summed over the `nSources`

@@ -537,6 +537,26 @@ object AdvancedQueries {
       graft.operators.Graph.betweennessSampled(edges, "pa", "pb", nSources = 4, maxDepth = 3)
     },
 
+    // ------------------------------------------------- k-truss peeling
+    // The EDGE analog of graph_kcore over the same qty≥45 co-purchase
+    // graph: edges in < k−2 triangles peel until the dense mutual-
+    // neighbor kernel remains (stricter than coring — stars survive
+    // k-core but carry no triangles). 6 fixed peel rounds, support via
+    // degree-ordered triangle listing; the oracle unrolls the rounds
+    // with the algorithm-independent 3-way join.
+    Q(
+      "graph_ktruss",
+      Some(kTrussOracle(k = 3, rounds = 6))) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.operators.Graph.kTruss(edges, "pa", "pb", k = 3, rounds = 6)
+    },
+
     // ------------------------------------------- harmonic centrality
     // Bounded-distance harmonic centrality from 6 deterministic pivots
     // (Boldi-Vigna's disconnection-robust closeness): Σ 1/d over 3-hop
@@ -1491,6 +1511,38 @@ object AdvancedQueries {
     * per round, degrees over the live edge set, the sub-k drop set, and a
     * double NOT EXISTS edge filter; `rounds` padded past the observed
     * fixpoint depth. */
+  /** Unrolled k-truss replay: per round, triangles from the canonical
+    * 3-way join (algorithm-independent — the engine's orientation changes
+    * the plan, not the set), each crediting its three edges; edges under
+    * k−2 support peel. Fixed rounds on both sides ⇒ equality by
+    * construction; post-fixpoint rounds are no-ops. */
+  private def kTrussOracle(k: Int, rounds: Int): String = {
+    def tri(r: Int) =
+      s"""tri$r AS MATERIALIZED (
+        SELECT x.a AS u, x.b AS v, y.b AS w
+        FROM e$r x JOIN e$r y ON y.a = x.b JOIN e$r z ON z.a = x.a AND z.b = y.b),
+      s$r AS MATERIALIZED (
+        SELECT a, b, COUNT(*) AS supp FROM (
+          SELECT u AS a, v AS b FROM tri$r
+          UNION ALL SELECT v, w FROM tri$r
+          UNION ALL SELECT u, w FROM tri$r) GROUP BY 1, 2)"""
+    val steps = (0 until rounds).map { r =>
+      s"""${tri(r)},
+      e${r + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e$r e JOIN s$r s ON s.a = e.a AND s.b = e.b
+        WHERE s.supp >= ${k - 2})"""
+    }.mkString(",\n")
+    s"""
+      WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      $steps,
+      ${tri(rounds)}
+      SELECT e.a, e.b, COALESCE(s.supp, 0) AS support
+      FROM e$rounds e LEFT JOIN s$rounds s ON s.a = e.a AND s.b = e.b
+    """
+  }
+
   private def kCoreOracle(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       val p = r - 1

@@ -257,6 +257,26 @@ class GraphSpec extends SparkSpec {
     assert(c == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0), s"got $c")
   }
 
+  test("kTruss: pendant peels, triangle survives k=3, clique survives k=4, k=5 empties") {
+    // K4 on {1..4} + pendant (4,5) + separate triangle {5,6,7}
+    val k4  = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L))
+    val edges = (k4 ++ Seq((4L, 5L)) ++ tri).toDF("a", "b")
+    val t3 = Graph.kTruss(edges, "a", "b", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // pendant gone; K4 edges carry support 2, triangle edges support 1
+    assert(!t3.contains((4L, 5L)) && t3.size == 9, t3.toString)
+    assert(k4.forall(e => t3(e) == 2L) && tri.forall(e => t3(e) == 1L), t3.toString)
+    val t4 = Graph.kTruss(edges, "a", "b", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 == k4.toSet, t4.toString)
+    assert(Graph.kTruss(edges, "a", "b", k = 5).collect().isEmpty)
+    // reversed/duplicate rows canonicalize
+    val dup = Graph.kTruss(edges.union(edges.select(col("b"), col("a"))), "a", "b", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dup == k4.toSet)
+  }
+
   test("harmonicSampled: path closed form, horizon truncation, degree at depth 1") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     val got = Graph.harmonicSampled(path, "a", "b", nSources = 5, maxDepth = 4)
