@@ -1514,6 +1514,77 @@ object Corpus {
         (col("blocked_ratio") <= lit(maxRatio)).as("keep"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the dictionary-free
+    * multi-word complement to [[keywordsTopK]]'s single-token ranking:
+    * phrases are maximal content-token runs between stopword/punctuation
+    * delimiters; each word scores deg/freq (deg = Σ phrase length over
+    * its occurrences — words living in long phrases score up), a phrase
+    * scores the sum of its words' scores, and the corpus's distinct
+    * phrases rank by score.
+    *
+    * Exactness: freq/deg are exact integer counts, each word score
+    * snaps deg/freq to the 1e-9 grid, phrase scores are exact decimal
+    * sums folded over the phrase's words, and ranking uses the exact
+    * decimal (score desc, phrase asc) BEFORE the final round(·, 6).
+    * Scale: tokenization and phrase assembly are per-doc window work
+    * (partition-parallel on doc_id); word stats and the phrase join are
+    * vocabulary-sized aggregations. Returns top-`k`
+    * (phrase, n_words, n_occurrences, score). */
+  def rakeKeyphrases(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      stopwords: Seq[String] = Seq(
+        "the", "a", "an", "and", "of", "to", "in", "is", "was", "for",
+        "with", "on", "as", "by", "at", "be", "that", "it", "from", "or")): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val stop = array(stopwords.distinct.sorted.map(lit): _*)
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), "\\s+"), t => length(t) > 0)))
+      .select(col("doc_id"), col("pos"),
+        col("col").as("token"),
+        (array_contains(stop, col("col")) || !col("col").rlike("[a-z0-9]")).as("is_delim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val phrases = toks
+      .withColumn("phrase_id", sum(col("is_delim").cast("int")).over(w))
+      .filter(!col("is_delim"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))), x => x.getField("token")),
+          " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .localCheckpoint(true)
+    val occur = phrases
+      .select(col("phrase"), col("len"), explode(split(col("phrase"), " ")).as("word"))
+    val wordStats = occur
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("word"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 9).cast(dec9).as("wscore"))
+    // score each DISTINCT phrase once (freq/deg already count every
+    // occurrence); within-phrase repeats keep their multiplicity
+    val phraseScores = phrases
+      .select(col("phrase")).distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(wordStats, Seq("word"))
+      .groupBy(col("phrase"))
+      .agg(sum(col("wscore")).as("raw"))
+    phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), first(col("len")).as("n_words"))
+      .join(phraseScores, Seq("phrase"))
+      .orderBy(col("raw").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("raw"), 6).cast("double").as("score"))
+  }
+
   /** Isotonic (monotone) calibration of a [0,1] score against a binary
     * label — the PAV fit (Zadrozny & Elkan 2002) every serving stack runs
     * so "0.8 means 80%", complementing [[calibrateScores]]' cross-source

@@ -334,6 +334,44 @@ object TextQueries {
       graft.operators.Corpus.readability(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // RAKE keyphrases (Corpus.rakeKeyphrases): multi-word phrases =
+    // content-token runs between stopword/punctuation delimiters; word
+    // score deg/freq on the 1e-9 grid, phrase score = exact decimal sum
+    // over the DISTINCT phrase's words, ranked by the exact decimal
+    // before the final round. Top 50 corpus-wide.
+    Q(
+      "text_rake_keyphrases",
+      Some("""
+        WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l FROM documents),
+        toks AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS token FROM d0),
+        t2 AS (SELECT doc_id, pos, token,
+                      (list_contains(['a','an','and','as','at','be','by','for','from','in','is','it','of','on','or','that','the','to','was','with'], token)
+                       OR NOT regexp_matches(token, '[a-z0-9]')) AS is_delim
+               FROM toks),
+        t3 AS (SELECT doc_id, pos, token, is_delim,
+                      SUM(CASE WHEN is_delim THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+               FROM t2),
+        ph AS (SELECT doc_id, phrase_id, string_agg(token, ' ' ORDER BY pos) AS phrase, COUNT(*) AS len
+               FROM t3 WHERE NOT is_delim GROUP BY 1, 2),
+        occ AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) AS word FROM ph),
+        ws AS (SELECT word,
+                      CAST(round(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(20,9)) AS wscore
+               FROM occ GROUP BY 1),
+        ps AS (SELECT phrase, CAST(SUM(wscore) AS DECIMAL(20,9)) AS raw
+               FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+                     FROM (SELECT DISTINCT phrase FROM ph)) pw
+               JOIN ws USING (word) GROUP BY 1),
+        pc AS (SELECT phrase, COUNT(*) AS n_occurrences, CAST(MIN(len) AS BIGINT) AS n_words
+               FROM ph GROUP BY 1)
+        SELECT pc.phrase, pc.n_words, pc.n_occurrences, CAST(round(ps.raw, 6) AS DOUBLE) AS score
+        FROM pc JOIN ps USING (phrase)
+        ORDER BY ps.raw DESC, pc.phrase LIMIT 50
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.rakeKeyphrases(Tables(spark, dir).documents, "doc_id", "text", k = 50)
+    },
+
     // Isotonic probability calibration (Corpus.isotonicFit): PAV via the
     // MINIMAX characterization — iso(i) = max_{j≤i} min_{k≥i} avg(j..k)
     // over prefix-sum interval means on the observed-bin table; interval

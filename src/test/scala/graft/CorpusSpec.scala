@@ -689,6 +689,30 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.exactSubstrSpans(docs, "doc_id", "text", minLen = 1))
   }
 
+  test("rakeKeyphrases: closed-form deg/freq scores, stopword and punctuation delimiters") {
+    import spark.implicits._
+    // doc1 phrases: "deep learning" | "deep models" (split on 'of');
+    // doc2: "learning". deg/freq: deep 4/2=2, learning 3/2=1.5, models 2/1=2
+    val docs = Seq(
+      (1L, "deep learning of deep models"),
+      (2L, "learning")
+    ).toDF("doc_id", "text")
+    val got = Corpus.rakeKeyphrases(docs, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("deep models", 2L, 1L, 4.0),
+      ("deep learning", 2L, 1L, 3.5),
+      ("learning", 1L, 1L, 1.5)), got.mkString(","))
+    // pure-punctuation tokens delimit like stopwords; repeated phrases
+    // count occurrences once each in the ranking row
+    val p = Corpus.rakeKeyphrases(
+        Seq((1L, "alpha beta . alpha beta")).toDF("doc_id", "text"), "doc_id", "text", k = 5)
+      .collect()
+    assert(p.length == 1 && p.head.getString(0) == "alpha beta" && p.head.getLong(2) == 2L,
+      p.mkString(","))
+  }
+
   test("isotonicFit: PAV pooling via minimax, monotone output, top-edge clamp") {
     import spark.implicits._
     // bin rates [0, 1, 0, 1] -> PAV pools the middle violation to 0.5
