@@ -1030,6 +1030,39 @@ object AdvancedQueries {
     // replays the textbook min-join chain — first view, first click after
     // it, first purchase after that — proving the one-pass fold ≡ the k-join
     // definition.
+    // Time-to-convert distribution for fully-converted funnels: exact
+    // microsecond deltas between the first-reach view and purchase times
+    // (the SAME strictly-after fold as funnel_view_click_purchase), then
+    // interpolated percentiles — the agg_percentiles quantile_cont
+    // discipline — divided to seconds under round(·, 6).
+    Q(
+      "funnel_time_to_convert",
+      Some("""
+        WITH f AS (SELECT user_id, ts, event_type FROM events WHERE event_type IN ('click','purchase','view')),
+        v AS (SELECT user_id, MIN(ts) AS t0 FROM f WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT f.user_id, MIN(f.ts) AS t1 FROM f JOIN v ON v.user_id = f.user_id AND f.ts > v.t0
+              WHERE f.event_type = 'click' GROUP BY 1),
+        p AS (SELECT f.user_id, MIN(f.ts) AS t2 FROM f JOIN c ON c.user_id = f.user_id AND f.ts > c.t1
+              WHERE f.event_type = 'purchase' GROUP BY 1),
+        d AS (SELECT epoch_us(p.t2) - epoch_us(v.t0) AS delta_us FROM p JOIN v USING (user_id))
+        SELECT COUNT(*) AS n_converted,
+               round(quantile_cont(delta_us, 0.25) / 1000000.0, 6) AS p25_s,
+               round(quantile_cont(delta_us, 0.5) / 1000000.0, 6) AS p50_s,
+               round(quantile_cont(delta_us, 0.9) / 1000000.0, 6) AS p90_s
+        FROM d
+      """)) { (spark, dir) =>
+      val fr = Funnel.firstReach(
+        Tables(spark, dir).events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      fr.filter(col("n_stages") === 3)
+        .select((unix_micros(col("t_purchase")) - unix_micros(col("t_view"))).as("delta_us"))
+        .agg(
+          count(lit(1)).as("n_converted"),
+          round(percentile(col("delta_us"), lit(0.25)) / lit(1000000.0), 6).as("p25_s"),
+          round(percentile(col("delta_us"), lit(0.5)) / lit(1000000.0), 6).as("p50_s"),
+          round(percentile(col("delta_us"), lit(0.9)) / lit(1000000.0), 6).as("p90_s"))
+    },
+
     Q(
       "funnel_view_click_purchase",
       Some("""
