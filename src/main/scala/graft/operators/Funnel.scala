@@ -182,6 +182,51 @@ object Funnel {
         round(col("n_transitions").cast("double") / col("n_from"), 6).as("prob"))
   }
 
+  /** Position-based (U-shaped) attribution — the third leg of the
+    * attribution family beside last-touch (events_attribution) and the
+    * Markov removal effect: for each CONVERTED journey, the first and
+    * last touches take 40% each and the middles split the remaining 20%
+    * evenly (1-touch journeys take 100%, 2-touch 50/50 — the standard
+    * convention). Exactness: per-touch weights are one double division
+    * snapped to the 1e-9 grid, per-channel credit is an exact decimal
+    * sum, round(·, 6) last. One user-keyed window + a channel-sized
+    * aggregation. Returns (channel, n_touches, credit). */
+  def positionAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      convType: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val seq = events
+      .select(col(userCol).as("u"), col(typeCol).as("t"), row_number().over(w).as("rn"))
+    val conv = seq.filter(col("t") === convType).groupBy(col("u")).agg(min(col("rn")).as("crn"))
+    val touches = seq
+      .join(conv, Seq("u"))
+      .filter(col("t") =!= convType && col("rn") < col("crn"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("u")).orderBy(col("rn"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val weighted = touches
+      .select(col("u"), col("t"),
+        row_number().over(wp).as("pos"),
+        count(lit(1)).over(wn).as("n"))
+      .select(col("t").as("channel"),
+        round(
+          when(col("n") === 1, lit(1.0))
+            .when(col("n") === 2, lit(0.5))
+            .when(col("pos") === 1 || col("pos") === col("n"), lit(0.4))
+            .otherwise(lit(0.2) / (col("n") - 2).cast("double")),
+          9).cast(dec9).as("w"))
+    weighted
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("w")).as("raw"))
+      .select(col("channel"), col("n_touches"), round(col("raw"), 6).cast("double").as("credit"))
+      .orderBy(col("channel"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2016) — the
     * data-driven alternative to last-touch: model user journeys as a
     * first-order chain START → touches → CONV/DROP, and credit each

@@ -933,6 +933,37 @@ object ExtendedQueries {
       Funnel.markovTransitions(Tables(spark, dir).events, "user_id", "ts", "event_type", "event_id")
     },
 
+    // ------------------------------------ position-based attribution
+    // The U-shaped leg of the attribution trio: converted journeys give
+    // first/last touches 40% each, middles split 20% (1-touch 100%,
+    // 2-touch 50/50). Weights snap to 1e-9; per-channel credit is an
+    // exact decimal sum under round(·, 6).
+    Q(
+      "events_position_attribution",
+      Some("""
+        WITH seq AS (SELECT user_id AS u, event_type AS t,
+                            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                     FROM events),
+        conv AS (SELECT u, MIN(rn) AS crn FROM seq WHERE t = 'purchase' GROUP BY 1),
+        touches AS (SELECT s.u, s.t, s.rn FROM seq s JOIN conv c ON c.u = s.u
+                    WHERE s.t <> 'purchase' AND s.rn < c.crn),
+        pos AS (SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY rn) AS pos,
+                       COUNT(*) OVER (PARTITION BY u) AS n
+                FROM touches),
+        wt AS (SELECT t AS channel,
+                      CAST(round(CASE WHEN n = 1 THEN 1.0
+                                      WHEN n = 2 THEN 0.5
+                                      WHEN pos = 1 OR pos = n THEN 0.4
+                                      ELSE 0.2 / CAST(n - 2 AS DOUBLE) END, 9) AS DECIMAL(20,9)) AS w
+               FROM pos)
+        SELECT channel, COUNT(*) AS n_touches,
+               CAST(round(SUM(w), 6) AS DOUBLE) AS credit
+        FROM wt GROUP BY 1 ORDER BY 1
+      """)) { (spark, dir) =>
+      graft.operators.Funnel.positionAttribution(
+        Tables(spark, dir).events, "user_id", "ts", "event_id", "event_type", "purchase")
+    },
+
     // -------------------------------- Markov removal-effect attribution
     // The data-driven alternative to last-touch (Anderl et al. 2016):
     // journeys as START → touches → CONV/DROP, each channel credited by

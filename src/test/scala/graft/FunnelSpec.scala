@@ -135,6 +135,37 @@ class FunnelSpec extends SparkSpec {
     assert(g2("click")._1 > 0.3 && g2("click")._1 < 0.4)
   }
 
+  test("positionAttribution: U-shaped weights, 1- and 2-touch conventions, unconverted ignored") {
+    val events = Seq(
+      // u1: 4 touches -> .4, .1, .1, .4
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "signup"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "view"),
+      (1L, ts("2024-01-01 10:04:00"), 5L, "purchase"),
+      // u2: single touch -> 1.0
+      (2L, ts("2024-01-01 11:00:00"), 6L, "click"),
+      (2L, ts("2024-01-01 11:01:00"), 7L, "purchase"),
+      // u3: two touches -> .5/.5
+      (3L, ts("2024-01-01 12:00:00"), 8L, "view"),
+      (3L, ts("2024-01-01 12:01:00"), 9L, "click"),
+      (3L, ts("2024-01-01 12:02:00"), 10L, "purchase"),
+      // u4: never converts -> contributes nothing
+      (4L, ts("2024-01-01 13:00:00"), 11L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Funnel
+      .positionAttribution(events, "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // view: .4 + .4 (u1 ends) + .5 (u3 first) = 1.3 over 3 touches
+    // click: .1 (u1 middle) + 1.0 (u2) + .5 (u3 last) = 1.6 ; signup: .1
+    assert(got == Map(
+      "view" -> ((3L, 1.3)), "click" -> ((3L, 1.6)), "signup" -> ((1L, 0.1))), s"got $got")
+    // total credit equals the number of converted journeys
+    assert(got.values.map(_._2).sum == 3.0)
+  }
+
   test("kaplanMeier: hand-computed curve with censoring, monotone, censored-only is empty") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
     // observation ends day 9 (user F active to the end). Last-event days:
