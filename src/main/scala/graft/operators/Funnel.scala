@@ -182,6 +182,72 @@ object Funnel {
         round(col("n_transitions").cast("double") / col("n_from"), 6).as("prob"))
   }
 
+  /** Wald's sequential probability ratio test (Wald 1945) over a
+    * conversion stream, checkpointed by day — the always-valid
+    * alternative to the fixed-horizon z-test (events_ab_ztest): test
+    * H0: p = p0 vs H1: p = p1 on Bernoulli conversions, stopping the
+    * first day the log-likelihood ratio leaves (ln(β/(1−α)),
+    * ln((1−β)/α)). Observations are users (converted = any `convType`
+    * event), ordered by day; the LLR has the CLOSED FORM
+    * c·ln(p1/p0) + (n−c)·ln((1−p1)/(1−p0)) over cumulative counts, so
+    * daily checkpoints need only a per-day count rollup — the scalable
+    * formulation of the inherently-sequential test (per-observation
+    * trajectories don't shard; cumulative counts do). Observations are
+    * EVENTS with success = `convType` (the event-mix monitoring form:
+    * "is the conversion share drifting to p1 or holding at p0").
+    *
+    * Exactness: both ln literals and the thresholds snap to the 1e-12
+    * grid; llr = exact decimal linear combination of exact counts;
+    * decisions are exact decimal compares. One data pass to the daily
+    * rollup, day-sized everything after. Returns
+    * (day, n_cum, conv_cum, llr, decision), day ascending. */
+  def sprtDaily(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      convType: String,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1, s"need distinct p0,p1 in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "alpha,beta in (0,1)")
+    // DECIMAL(13,12), not (20,12): long(20,0) × (13,12) = precision 34
+    // stays under Spark's 38 cap, so the product KEEPS scale 12 — at
+    // (20,12) DecimalPrecision's allowPrecisionLoss path would crush the
+    // intermediate to scale 9 and a half-boundary llr could round off-grid
+    // (caught by the oracle on real data)
+    val dec12 = org.apache.spark.sql.types.DecimalType(13, 12)
+    def snap12(x: Double) =
+      lit(java.math.BigDecimal.valueOf(math.log(x)).setScale(12, java.math.RoundingMode.HALF_UP))
+        .cast(dec12)
+    val l1 = snap12(p1 / p0)
+    val l0 = snap12((1.0 - p1) / (1.0 - p0))
+    val hi = snap12((1.0 - beta) / alpha)
+    val lo = snap12(beta / (1.0 - alpha))
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(
+        count(lit(1)).as("n_day"),
+        sum((col(typeCol) === convType).cast("int")).as("c_day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = daily.select(
+      col("day"),
+      sum(col("n_day")).over(w).as("n_cum"),
+      sum(col("c_day")).over(w).as("c_cum"))
+    cum.select(
+      col("day").cast("string").as("day"),
+      col("n_cum"),
+      col("c_cum").as("conv_cum"),
+      round(col("c_cum") * l1 + (col("n_cum") - col("c_cum")) * l0, 6).cast("double").as("llr"),
+      when(col("c_cum") * l1 + (col("n_cum") - col("c_cum")) * l0 >= hi, lit("accept_h1"))
+        .when(col("c_cum") * l1 + (col("n_cum") - col("c_cum")) * l0 <= lo, lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"))
+      .orderBy(col("day"))
+  }
+
   /** Position-based (U-shaped) attribution — the third leg of the
     * attribution family beside last-touch (events_attribution) and the
     * Markov removal effect: for each CONVERTED journey, the first and

@@ -933,6 +933,22 @@ object ExtendedQueries {
       Funnel.markovTransitions(Tables(spark, dir).events, "user_id", "ts", "event_type", "event_id")
     },
 
+    // --------------------------------------------- Wald SPRT (daily)
+    // The always-valid sequential test beside events_ab_ztest: is the
+    // purchase share of the event mix drifting to p1 = 0.22 or holding
+    // at p0 = 0.18? LLR has the closed form c·ln(p1/p0) +
+    // (n−c)·ln((1−p1)/(1−p0)) over cumulative counts, so daily
+    // checkpoints need only a count rollup; ln literals/thresholds on
+    // the 1e-12 grid, exact decimal compares.
+    Q(
+      "events_sprt",
+      Some(sprtSql(p0 = 0.18, p1 = 0.22, alpha = 0.05, beta = 0.05, convType = "purchase"))) {
+      (spark, dir) =>
+        graft.operators.Funnel.sprtDaily(
+          Tables(spark, dir).events, "ts", "event_type", "purchase",
+          p0 = 0.18, p1 = 0.22, alpha = 0.05, beta = 0.05)
+    },
+
     // ------------------------------------ position-based attribution
     // The U-shaped leg of the attribution trio: converted journeys give
     // first/last touches 40% each, middles split 20% (1-touch 100%,
@@ -1101,6 +1117,33 @@ object ExtendedQueries {
     * event counts: splitmix64 of (day ⊕ seed), u = top-53 bits / 2⁵³,
     * Laplace inverse CDF with the ln on the 1e-12 grid, exact decimal
     * sum, round 6 → double. */
+  /** Oracle for events_sprt: the ln literals and thresholds are computed
+    * with the SAME BigDecimal snap the operator uses, so the decimal
+    * linear combination replays exactly. */
+  private def sprtSql(p0: Double, p1: Double, alpha: Double, beta: Double, convType: String): String = {
+    def s12(x: Double) =
+      java.math.BigDecimal.valueOf(math.log(x)).setScale(12, java.math.RoundingMode.HALF_UP).toPlainString
+    val l1 = s12(p1 / p0)
+    val l0 = s12((1 - p1) / (1 - p0))
+    val hi = s12((1 - beta) / alpha)
+    val lo = s12(beta / (1 - alpha))
+    val llr = s"c_cum * CAST($l1 AS DECIMAL(13,12)) + (n_cum - c_cum) * CAST($l0 AS DECIMAL(13,12))"
+    s"""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_day,
+                            CAST(SUM(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END) AS BIGINT) AS c_day
+                     FROM events GROUP BY 1),
+      cum AS (SELECT day, CAST(SUM(n_day) OVER w AS BIGINT) AS n_cum,
+                     CAST(SUM(c_day) OVER w AS BIGINT) AS c_cum
+              FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT CAST(day AS VARCHAR) AS day, n_cum, c_cum AS conv_cum,
+             CAST(round($llr, 6) AS DOUBLE) AS llr,
+             CASE WHEN $llr >= CAST($hi AS DECIMAL(13,12)) THEN 'accept_h1'
+                  WHEN $llr <= CAST($lo AS DECIMAL(13,12)) THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM cum ORDER BY day
+    """
+  }
+
   /** Unrolled replay of Funnel.markovRemovalAttribution: journey CTEs
     * build the transition matrix (probabilities on the 1e-9 grid), then
     * one value-iteration chain per run (full + one per removed channel),

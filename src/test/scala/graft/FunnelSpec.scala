@@ -166,6 +166,31 @@ class FunnelSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3.0)
   }
 
+  test("sprtDaily: closed-form LLR trajectory and boundary decisions") {
+    // p0=0.2 vs p1=0.8: l1 = ln4, l0 = ln(1/4) = -l1 (snapped at 1e-12).
+    // day1: 2/10 successes -> llr = -6*ln4 = -8.317766 <= ln(1/19) -> accept_h0
+    // day2 cumulative: 10/20 -> llr = 0 -> continue
+    val events = (
+      (1 to 10).map(i => (i.toLong, ts(f"2024-01-01 10:$i%02d:00"),
+        if (i <= 2) "purchase" else "view")) ++
+      (1 to 10).map(i => (100L + i, ts(f"2024-01-02 10:$i%02d:00"),
+        if (i <= 8) "purchase" else "view"))
+    ).toDF("event_id", "ts", "event_type")
+    val got = graft.operators.Funnel
+      .sprtDaily(events, "ts", "event_type", "purchase", p0 = 0.2, p1 = 0.8)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got("2024-01-01") == ((10L, 2L, -8.317766, "accept_h0")), got.toString)
+    assert(got("2024-01-02") == ((20L, 10L, 0.0, "continue")), got.toString)
+    // symmetric evidence accepts H1
+    val up = (1 to 10).map(i => (i.toLong, ts(f"2024-01-03 10:$i%02d:00"),
+      if (i <= 8) "purchase" else "view")).toDF("event_id", "ts", "event_type")
+    val u = graft.operators.Funnel
+      .sprtDaily(up, "ts", "event_type", "purchase", p0 = 0.2, p1 = 0.8).collect().head
+    assert(u.getString(4) == "accept_h1" && u.getDouble(3) == 8.317766, u.toString)
+  }
+
   test("kaplanMeier: hand-computed curve with censoring, monotone, censored-only is empty") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
     // observation ends day 9 (user F active to the end). Last-event days:
