@@ -300,6 +300,86 @@ object DataQuality {
       .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"), col("e.r").as("r"), col("n").as("n_rows"))
   }
 
+  /** Spearman rank correlation matrix — [[correlationMatrix]]'s robust
+    * sibling (monotone association, outlier-immune): Pearson on DOUBLED
+    * average ranks, which are exact INTEGERS even under ties
+    * (2·rank = 2·cnt_less + cnt_eq + 1), so the whole moment pipeline is
+    * exact-integer and scaling by 2 leaves ρ unchanged. Ranks come from a
+    * per-column value→rank map (one small aggregation + a broadcast
+    * join); columns must be LOW-CARDINALITY/gridded — snap continuous
+    * columns to a grid first, or the rank map stops being broadcastable
+    * (the quantileBucketize-style precondition, documented not hidden).
+    * Output shape = correlationMatrix: (col_a, col_b, r, n_rows). */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val base = df.select(cols.map(col): _*)
+    val ranked = cols.foldLeft(base) { (acc, c) =>
+      val counts = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val rmap = counts.select(
+        col(c),
+        (coalesce(sum(col("cnt")).over(wv), lit(0L)) * 2 + col("cnt") + 1).as(s"__r2_$c"))
+      acc.join(broadcast(rmap), Seq(c))
+    }
+    correlationMatrix(
+      ranked.select(cols.map(c => col(s"__r2_$c").as(c)): _*),
+      cols,
+      scale = 0)
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) for every pair of groups — the
+    * distribution-free "are these two segments' values from the same
+    * distribution" test (the robust two-sample check beside the
+    * parametric z-test). For each pooled pair: doubled average ranks are
+    * exact integers (ties included), 2·U₁ = Σ2r(group₁) − n₁(n₁+1) is an
+    * exact integer statistic, and the common-language effect size
+    * U₁/(n₁n₂) takes the one division under round(·, 6) — effect 0.5 =
+    * stochastically equal, 1.0 = group₁ always larger. Pairs are
+    * group-count bounded (a driver loop over a model-sized set); each
+    * pair is one filtered aggregation with a broadcast rank map (same
+    * low-cardinality value precondition as [[spearmanMatrix]]).
+    * Returns (group_a, group_b, n_a, n_b, u2_a, effect_a). */
+  def mannWhitneyPairs(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = df.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(groups.size >= 2 && groups.size <= 32, s"need 2..32 groups, got ${groups.size}")
+    val rows = for {
+      i <- groups.indices; j <- (i + 1) until groups.size
+    } yield {
+      val (ga, gb) = (groups(i), groups(j))
+      val pair = df
+        .filter(col(groupCol).isin(ga, gb))
+        .select(col(groupCol).cast("string").as("g"), col(valueCol).as("v"))
+      val counts = pair.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val rmap = counts.select(
+        col("v"),
+        (coalesce(sum(col("cnt")).over(wv), lit(0L)) * 2 + col("cnt") + 1).as("r2"))
+      val agg = pair
+        .join(broadcast(rmap), Seq("v"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("r2")).as("sr2"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val (na, ra) = agg(ga)
+      val nb       = agg(gb)._1
+      val u2a      = ra - na * (na + 1)
+      val effect = java.math.BigDecimal
+        .valueOf(u2a.toDouble / (2.0 * na.toDouble * nb.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (ga, gb, na, nb, u2a, effect)
+    }
+    rows.toDF("group_a", "group_b", "n_a", "n_b", "u2_a", "effect_a")
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns — the
     * privacy gate a dataset passes before release (Sweeney 2002; Machanavajjhala
     * et al. 2007): every QI combination's group size (re-identification risk

@@ -39,6 +39,53 @@ object ExtendedQueries {
        $arms"""
   }
 
+  /** Spearman oracle: per-column doubled-average-rank maps (exact ints
+    * under ties), then the correlationOracle moment formula on the rank
+    * columns. */
+  private def spearmanOracle: String = {
+    val cols = Seq("l_quantity" -> "q", "l_discount" -> "d", "l_tax" -> "t")
+    val maps = cols.map { case (c, a) =>
+      s"""r_$a AS (SELECT $c AS v_$a,
+            2 * COALESCE(SUM(cnt) OVER (ORDER BY $c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS r2
+          FROM (SELECT $c, COUNT(*) AS cnt FROM lineitem GROUP BY 1))"""
+    }.mkString(",\n")
+    val joins = cols.map { case (c, a) => s"JOIN r_$a ON r_$a.v_$a = l.$c" }.mkString(" ")
+    val proj  = cols.map { case (_, a) => s"CAST(r_$a.r2 AS DECIMAL(17,0)) AS $a" }.mkString(", ")
+    val sums  = cols.map { case (_, a) => s"SUM($a) AS s_$a, SUM($a * $a) AS ss_$a" }.mkString(", ")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
+    val cross = pairs.map { case ((_, a), (_, b)) => s"SUM($a * $b) AS sp_${a}_$b" }.mkString(", ")
+    val arms = pairs.map { case ((ca, a), (cb, b)) =>
+      val va  = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+      val vb  = s"(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      s"""SELECT '$ca' AS col_a, '$cb' AS col_b,
+             ROUND(CASE WHEN $va > 0 AND $vb > 0 THEN $num / (sqrt($va) * sqrt($vb)) END, 6) AS r,
+             n AS n_rows FROM m"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $maps,
+       g AS (SELECT $proj FROM lineitem l $joins),
+       m AS (SELECT COUNT(*) AS n, $sums, $cross FROM g)
+       $arms"""
+  }
+
+  /** Mann-Whitney oracle: one pooled-rank block per group pair, doubled
+    * ranks exact under ties, the single effect-size division last. */
+  private def mannWhitneyOracle(groups: Seq[String], valueCol: String, groupCol: String): String =
+    (for { i <- groups.indices; j <- (i + 1) until groups.size } yield {
+      val (ga, gb) = (groups(i), groups(j))
+      s"""SELECT '$ga' AS group_a, '$gb' AS group_b, t.n_a, t.n_b, t.u2_a, t.effect_a FROM (
+         WITH pair AS (SELECT $groupCol AS g, $valueCol AS v FROM lineitem WHERE $groupCol IN ('$ga', '$gb')),
+         rm AS (SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2
+                FROM (SELECT v, COUNT(*) AS cnt FROM pair GROUP BY 1)),
+         ag AS (SELECT g, COUNT(*) AS n, CAST(SUM(r2) AS BIGINT) AS sr2 FROM pair JOIN rm USING (v) GROUP BY 1)
+         SELECT a.n AS n_a, b.n AS n_b, a.sr2 - a.n * (a.n + 1) AS u2_a,
+                round(CAST(a.sr2 - a.n * (a.n + 1) AS DOUBLE)
+                      / (2.0 * CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 6) AS effect_a
+         FROM ag a, ag b WHERE a.g = '$ga' AND b.g = '$gb') t"""
+    }).mkString("\nUNION ALL\n")
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------- grouping sets
     // Explicit GROUPING SETS (rollup/cube's general form): per-flag,
@@ -700,6 +747,26 @@ object ExtendedQueries {
         Tables(spark, dir).lineitem,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         scale = 2)
+    },
+
+    // Spearman rank-correlation matrix (DataQuality.spearmanMatrix):
+    // Pearson on doubled average ranks — exact integers even under ties
+    // (2r = 2·cnt_less + cnt_eq + 1) — the outlier-immune monotone
+    // association screen beside quality_correlations. Low-cardinality
+    // grid columns; rank maps broadcast.
+    Q("quality_spearman", Some(spearmanOracle)) { (spark, dir) =>
+      DataQuality.spearmanMatrix(
+        Tables(spark, dir).lineitem, Seq("l_quantity", "l_discount", "l_tax"))
+    },
+
+    // Mann-Whitney U for every returnflag pair on quantity
+    // (DataQuality.mannWhitneyPairs): pooled doubled ranks exact under
+    // ties, 2U1 an exact integer, the common-language effect size
+    // U1/(n1*n2) under round(·, 6) — 0.5 = stochastically equal.
+    Q(
+      "quality_mann_whitney",
+      Some(mannWhitneyOracle(Seq("A", "N", "R"), "l_quantity", "l_returnflag"))) { (spark, dir) =>
+      DataQuality.mannWhitneyPairs(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
     },
 
     // GBDT histogram split search (Boosting.histSplitGains): the XGBoost/

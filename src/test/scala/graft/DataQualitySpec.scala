@@ -176,4 +176,37 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DataQuality.dpNoisyCounts(df, col("k"), "key", 1L, noiseScale = 0))
   }
+
+  test("spearmanMatrix: monotone nonlinear is exactly 1, reversal -1, tie block 0") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (i.toDouble, math.pow(i, 3), -i.toDouble)).toDF("x", "y", "z")
+    val got = DataQuality.spearmanMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // Pearson on x,y is < 1 (cubic), Spearman is exactly 1
+    assert(got(("x", "y")) == 1.0 && got(("x", "z")) == -1.0 && got(("y", "z")) == -1.0, got.toString)
+    // tie-heavy block design: rank vectors orthogonal -> 0
+    val ties = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0)).toDF("a", "b")
+    val t = DataQuality.spearmanMatrix(ties, Seq("a", "b")).collect().head
+    assert(t.getDouble(2) == 0.0, t.toString)
+  }
+
+  test("mannWhitneyPairs: separated groups at effect 0/1, identical groups at 0.5, exact tie ranks") {
+    import spark.implicits._
+    val sep = (Seq(1, 2, 3).map(v => ("A", v.toLong)) ++ Seq(4, 5, 6).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val s = DataQuality.mannWhitneyPairs(sep, "g", "v").collect().head
+    // A is always smaller: U_A = 0, effect 0
+    assert((s.getString(0), s.getString(1), s.getLong(2), s.getLong(3), s.getLong(4), s.getDouble(5))
+      == (("A", "B", 3L, 3L, 0L, 0.0)), s.toString)
+    val same = (Seq(1, 2).map(v => ("A", v.toLong)) ++ Seq(1, 2).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val e = DataQuality.mannWhitneyPairs(same, "g", "v").collect().head
+    // identical distributions: 2U = 4, effect exactly 0.5 via tie ranks
+    assert(e.getLong(4) == 4L && e.getDouble(5) == 0.5, e.toString)
+    // three groups emit all three sorted pairs
+    val tri = sep.union(Seq(("C", 9L)).toDF("g", "v"))
+    val pairs = DataQuality.mannWhitneyPairs(tri, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs == Seq(("A", "B"), ("A", "C"), ("B", "C")), pairs.toString)
+  }
 }
