@@ -300,6 +300,83 @@ object DataQuality {
       .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"), col("e.r").as("r"), col("n").as("n_rows"))
   }
 
+  /** Jensen-Shannon divergence between two categorical distributions —
+    * the SYMMETRIC, bounded (≤ ln 2) drift measure beside PSI (which
+    * blows up on vanishing bins) and chi-square (which needs expected
+    * counts): JSD = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q). Emits one row per
+    * category with both shares and the category's divergence
+    * contribution — hashing the contributions pins the whole statistic.
+    *
+    * Exactness: counts are exact integers; each share and each
+    * p·ln(p/m) term runs in a FIXED double order and snaps to the 1e-12
+    * grid (zero-count sides contribute exactly 0), so the total is an
+    * exact decimal sum of grid terms. Two group-by passes, category-sized
+    * output. */
+  def jsDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      catCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val ca = a.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_b"))
+    val joined = ca
+      .join(cb, Seq("category"), "full_outer")
+      .select(
+        col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val p = col("n_a").cast("double") / col("ta").cast("double")
+    val q = col("n_b").cast("double") / col("tb").cast("double")
+    val m = (p + q) * lit(0.5)
+    def term(x: org.apache.spark.sql.Column) =
+      when(x > 0.0, x * log(x / m)).otherwise(lit(0.0))
+    joined
+      .crossJoin(broadcast(tot))
+      .select(
+        col("category"),
+        col("n_a"),
+        col("n_b"),
+        round(p, 6).as("share_a"),
+        round(q, 6).as("share_b"),
+        round((term(p) + term(q)) * lit(0.5), 12).cast(dec12).as("contrib12"))
+      .select(
+        col("category"), col("n_a"), col("n_b"), col("share_a"), col("share_b"),
+        col("contrib12").cast("double").as("js_contrib"))
+  }
+
+  /** Gini concentration coefficient over per-entity totals (the revenue-
+    * concentration / data-source-imbalance signal): with x₍₁₎ ≤ … ≤ x₍ₙ₎,
+    * G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n. Totals aggregate exactly on the
+    * money grid (DECIMAL cents), Σi·x is an exact decimal, and G is a
+    * fixed-order double expression under round(·, 6); ranking ties break
+    * by entity id so the rank assignment is total. The per-entity
+    * aggregate is the data-sized pass; the ranked cumulative runs on the
+    * entity table (global order — swap in a two-phase prefix sum when
+    * entities outgrow a window). Returns (n_entities, total, gini). */
+  def giniCoefficient(
+      df: DataFrame,
+      entityCol: String,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = df
+      .groupBy(col(entityCol).as("e"))
+      .agg(sum(col(valueCol).cast(dec)).cast(dec).as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("e"))
+    val ranked = per.select(col("x"), row_number().over(w).as("i"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("i")).as("six"))
+    agg.select(
+      col("n").as("n_entities"),
+      col("sx").cast("double").as("total"),
+      round(
+        lit(2.0) * col("six").cast("double") / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"),
+        6).as("gini"))
+  }
+
   /** Spearman rank correlation matrix — [[correlationMatrix]]'s robust
     * sibling (monotone association, outlier-immune): Pearson on DOUBLED
     * average ranks, which are exact INTEGERS even under ties

@@ -749,6 +749,64 @@ object ExtendedQueries {
         scale = 2)
     },
 
+    // Jensen-Shannon drift between the first and second half-month of
+    // the event-type mix (DataQuality.jsDivergence): the symmetric,
+    // bounded drift measure beside PSI/chi2 — per-category contributions
+    // snapped to 1e-12 (their exact-decimal sum IS the statistic).
+    Q(
+      "quality_drift_jsd",
+      Some("""
+        WITH a AS (SELECT event_type AS category, COUNT(*) AS n_a FROM events
+                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        b AS (SELECT event_type AS category, COUNT(*) AS n_b FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        j AS (SELECT COALESCE(a.category, b.category) AS category,
+                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+              FROM a FULL OUTER JOIN b ON b.category = a.category),
+        t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM j)
+        SELECT category, n_a, n_b,
+               round(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS share_a,
+               round(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS share_b,
+               CAST(CAST(round(
+                 (CASE WHEN CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) > 0
+                       THEN (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                            * ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                                 / ((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) * 0.5))
+                       ELSE 0.0 END
+                  + CASE WHEN CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) > 0
+                         THEN (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+                              * ln((CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+                                   / ((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                                       + CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) * 0.5))
+                         ELSE 0.0 END) * 0.5, 12) AS DECIMAL(20,12)) AS DOUBLE) AS js_contrib
+        FROM j, t
+      """)) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      DataQuality.jsDivergence(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut), "event_type")
+    },
+
+    // Gini concentration of customer revenue (DataQuality.giniCoefficient):
+    // the revenue-concentration / source-imbalance signal. Money-grid
+    // exact totals, exact-decimal rank-weighted sum, one fixed-order
+    // double formula under round(·, 6); ties rank by custkey.
+    Q(
+      "quality_gini_revenue",
+      Some("""
+        WITH per AS (SELECT o_custkey AS e, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+                     FROM orders GROUP BY 1),
+        r AS (SELECT x, row_number() OVER (ORDER BY x, e) AS i FROM per),
+        m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * i) AS six FROM r)
+        SELECT n AS n_entities, CAST(sx AS DOUBLE) AS total,
+               round(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                     - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        FROM m
+      """)) { (spark, dir) =>
+      DataQuality.giniCoefficient(Tables(spark, dir).orders, "o_custkey", "o_totalprice")
+    },
+
     // Spearman rank-correlation matrix (DataQuality.spearmanMatrix):
     // Pearson on doubled average ranks — exact integers even under ties
     // (2r = 2·cnt_less + cnt_eq + 1) — the outlier-immune monotone

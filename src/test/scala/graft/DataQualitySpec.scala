@@ -177,6 +177,37 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.dpNoisyCounts(df, col("k"), "key", 1L, noiseScale = 0))
   }
 
+  test("jsDivergence: identical is 0, disjoint is ln2, symmetric") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("c")
+    val same = DataQuality.jsDivergence(a, a, "c").collect()
+    assert(same.forall(_.getDouble(5) == 0.0), same.mkString(","))
+    // disjoint supports: every category contributes 0.5*share*ln2; the
+    // total is exactly ln 2 on the 1e-12 grid
+    val b = Seq("z", "z", "w").toDF("c")
+    val dis = DataQuality.jsDivergence(a, b, "c").collect()
+    val total = dis.map(r => BigDecimal(r.getDouble(5))).sum
+    assert((total - BigDecimal("0.693147180560")).abs < BigDecimal("1e-9"), total.toString)
+    // symmetry: swapping sides permutes shares but keeps contributions
+    val ab = DataQuality.jsDivergence(a, b, "c").collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val ba = DataQuality.jsDivergence(b, a, "c").collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(ab == ba, s"$ab vs $ba")
+  }
+
+  test("giniCoefficient: equality is 0, two-entity max is 0.5, rows aggregate per entity") {
+    import spark.implicits._
+    val eq = Seq(("a", 5.0), ("b", 5.0), ("c", 5.0)).toDF("e", "v")
+    assert(DataQuality.giniCoefficient(eq, "e", "v").collect().head.getDouble(2) == 0.0)
+    val max2 = Seq(("a", 0.0), ("b", 10.0)).toDF("e", "v")
+    val m = DataQuality.giniCoefficient(max2, "e", "v").collect().head
+    assert(m.getLong(0) == 2L && m.getDouble(2) == 0.5, m.toString)
+    // multiple rows per entity aggregate before ranking
+    val multi = Seq(("a", 2.0), ("a", 3.0), ("b", 5.0)).toDF("e", "v")
+    assert(DataQuality.giniCoefficient(multi, "e", "v").collect().head.getDouble(2) == 0.0)
+  }
+
   test("spearmanMatrix: monotone nonlinear is exactly 1, reversal -1, tie block 0") {
     import spark.implicits._
     val df = (1 to 5).map(i => (i.toDouble, math.pow(i, 3), -i.toDouble)).toDF("x", "y", "z")
