@@ -300,6 +300,52 @@ object DataQuality {
       .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"), col("e.r").as("r"), col("n").as("n_rows"))
   }
 
+  /** Kruskal-Wallis H — the k-group extension of [[mannWhitneyPairs]]
+    * (one-way ANOVA on ranks): H = 12/(n(n+1))·ΣR_j²/n_j − 3(n+1) over
+    * pooled ranks, with the standard tie correction
+    * C = 1 − Σ(t³−t)/(n³−n). With doubled ranks (exact ints under ties,
+    * Σ2r = sr2_j) the identity H = 3/(n(n+1))·Σ sr2_j²/n_j − 3(n+1)
+    * keeps every aggregate exact: per-group terms snap to the 1e-9 grid
+    * and sum as decimals, the tie mass Σ(t³−t) is an exact integer over
+    * value counts, and H, C, H/C are fixed-order double expressions
+    * under round(·, 6). One rank map (low-cardinality precondition as
+    * [[spearmanMatrix]]) + one group aggregation.
+    * Returns (n, n_groups, h, h_tie_corrected). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(30, 9)
+    val pool = df.select(col(groupCol).cast("string").as("g"), col(valueCol).as("v"))
+    val counts = pool.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rmap = counts.select(
+      col("v"),
+      (coalesce(sum(col("cnt")).over(wv), lit(0L)) * 2 + col("cnt") + 1).as("r2"))
+    val perGroup = pool
+      .join(broadcast(rmap), Seq("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"), sum(col("r2")).as("sr2"))
+    val terms = perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("nj")).as("n"),
+      sum(
+        round(col("sr2").cast("double") * col("sr2").cast("double") / col("nj").cast("double"), 9)
+          .cast(dec9)).cast(dec9).as("t9"))
+    val ties = counts.agg(
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_mass"))
+    val nD = col("n").cast("double")
+    val h = lit(3.0) * col("t9").cast("double") / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val c = lit(1.0) - col("tie_mass").cast("double") / (nD * nD * nD - nD)
+    terms
+      .crossJoin(broadcast(ties))
+      .select(
+        col("n"),
+        col("n_groups"),
+        round(h, 6).as("h"),
+        round(when(c > 0.0, h / c), 6).as("h_tie_corrected"))
+  }
+
   /** Jensen-Shannon divergence between two categorical distributions —
     * the SYMMETRIC, bounded (≤ ln 2) drift measure beside PSI (which
     * blows up on vanishing bins) and chi-square (which needs expected

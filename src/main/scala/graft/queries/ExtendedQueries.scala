@@ -749,6 +749,40 @@ object ExtendedQueries {
         scale = 2)
     },
 
+    // Kruskal-Wallis H across all returnflag groups on quantity
+    // (DataQuality.kruskalWallis): ANOVA on pooled doubled ranks — the
+    // identity H = 3/(n(n+1))·Σ(2R_j)²/n_j − 3(n+1) keeps every
+    // aggregate exact; per-group terms snap at 1e-9, tie mass Σ(t³−t)
+    // is exact integer, H and the tie-corrected H/C round at 6.
+    Q(
+      "quality_kruskal_wallis",
+      Some("""
+        WITH pool AS (SELECT l_returnflag AS g, l_quantity AS v FROM lineitem),
+        cnts AS (SELECT v, COUNT(*) AS cnt FROM pool GROUP BY 1),
+        rm AS (SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + cnt + 1 AS r2 FROM cnts),
+        pg AS (SELECT g, COUNT(*) AS nj, CAST(SUM(r2) AS BIGINT) AS sr2
+               FROM pool JOIN rm USING (v) GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n_groups, CAST(SUM(nj) AS BIGINT) AS n,
+                     CAST(SUM(CAST(round(CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE) / CAST(nj AS DOUBLE), 9)
+                                   AS DECIMAL(30,9))) AS DECIMAL(30,9)) AS t9
+              FROM pg),
+        tm AS (SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_mass FROM cnts)
+        SELECT n, n_groups,
+               round(3.0 * CAST(t9 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                     - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+               round(CASE WHEN 1.0 - CAST(tie_mass AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+                     THEN (3.0 * CAST(t9 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                           - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                          / (1.0 - CAST(tie_mass AS DOUBLE)
+                                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                     END, 6) AS h_tie_corrected
+        FROM t, tm
+      """)) { (spark, dir) =>
+      DataQuality.kruskalWallis(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
+    },
+
     // Jensen-Shannon drift between the first and second half-month of
     // the event-type mix (DataQuality.jsDivergence): the symmetric,
     // bounded drift measure beside PSI/chi2 — per-category contributions

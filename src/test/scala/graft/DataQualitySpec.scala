@@ -177,6 +177,22 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.dpNoisyCounts(df, col("k"), "key", 1L, noiseScale = 0))
   }
 
+  test("kruskalWallis: separated pair closed form, identical groups at 0 with tie correction") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}: rank sums 3 and 7 -> H = 0.6*29 - 15 = 2.4, no ties
+    val sep = (Seq(1, 2).map(v => ("A", v.toLong)) ++ Seq(3, 4).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val s = DataQuality.kruskalWallis(sep, "g", "v").collect().head
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2), s.getDouble(3)) == ((4L, 2L, 2.4, 2.4)),
+      s.toString)
+    // identical distributions: H = 0; tie correction divides by C = 0.8
+    // and keeps it 0
+    val same = (Seq(1, 2).map(v => ("A", v.toLong)) ++ Seq(1, 2).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val e = DataQuality.kruskalWallis(same, "g", "v").collect().head
+    assert(e.getDouble(2) == 0.0 && e.getDouble(3) == 0.0, e.toString)
+  }
+
   test("jsDivergence: identical is 0, disjoint is ln2, symmetric") {
     import spark.implicits._
     val a = Seq("x", "x", "y").toDF("c")
