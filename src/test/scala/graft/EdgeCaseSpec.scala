@@ -167,4 +167,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Corpus
       .blocklistFilter(emptyDocs, "doc_id", "text", Seq("x"), 0.5).count() == 0)
   }
+
+  test("round-12 continuation operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Graph.adamicAdar(noEdges, "a", "b", maxDegree = 5).count() == 0)
+    assert(graft.operators.Graph.betweennessSampled(noEdges, "a", "b", 4, 3).count() == 0)
+    assert(graft.operators.Graph.harmonicSampled(noEdges, "a", "b", 4, 3).count() == 0)
+    assert(graft.operators.Graph.kTruss(noEdges, "a", "b", k = 3).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Corpus.gopherRules(noDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.Corpus.readability(noDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.Corpus.rakeKeyphrases(noDocs, "doc_id", "text", 5).count() == 0)
+    // markov attribution with zero conversions: channels exist, removal
+    // effects are NULL (p_conv = 0), never a division error
+    val noConv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val m = graft.operators.Funnel
+      .markovRemovalAttribution(noConv, "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect()
+    assert(m.length == 1 && m.head.getDouble(1) == 0.0 && m.head.isNullAt(3), m.mkString(","))
+    // single-group Kruskal-Wallis: H is exactly 0, not a special case
+    val one = Seq(("A", 1L), ("A", 2L), ("A", 3L)).toDF("g", "v")
+    val kw = graft.operators.DataQuality.kruskalWallis(one, "g", "v").collect().head
+    assert(kw.getDouble(2) == 0.0, kw.toString)
+    // boosted stumps on a constant-label input: every split gain is 0
+    // (zero label variance); training still runs its fixed rounds
+    val const = Seq((1L, 1), (2L, 1), (3L, 1)).toDF("b", "y")
+    val st = graft.operators.Boosting.trainStumps(const, "y", Seq("f" -> col("b")), 2, 0.5)
+      .collect()
+    assert(st.forall(r => r.getDouble(5) == 0.0), st.mkString(","))
+  }
 }
