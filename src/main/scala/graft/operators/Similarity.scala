@@ -81,6 +81,59 @@ object Similarity {
       k)
   }
 
+  /** DBSCAN density clustering over the embedding space (Ester et al.
+    * 1996), COMPOSED from the engine's verified primitives: the
+    * ε-neighbor graph is [[cosineDupPairs]] at `simThreshold` (exact
+    * below the gate, LSH-bucketed + exact-verified at scale), core points
+    * have ≥ `minPts` neighbors, clusters are connected components of the
+    * core-core subgraph (Dedup.duplicateClusters — driver union-find
+    * small, large-star/small-star at scale), border points attach to the
+    * SMALLEST cluster label among their core neighbors (a total order —
+    * DBSCAN's border assignment is famously order-dependent; this makes
+    * it deterministic), and everything else is noise. All decisions are
+    * exact integer/label comparisons on top of the round-6 similarity
+    * gate, so the whole clustering replays. Returns one row per vector:
+    * (vec_id, role ∈ core|border|noise, cluster_id — NULL for noise;
+    * an isolated core anchors its own singleton cluster). */
+  def dbscan(vectors: DataFrame, simThreshold: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be positive, got $minPts")
+    val pairs = cosineDupPairs(vectors, simThreshold)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val und = pairs
+      .select(col("a_id").as("id"), col("b_id").as("nb"))
+      .unionAll(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+    val deg  = und.groupBy(col("id")).agg(count(lit(1)).as("nn"))
+    val core = deg.filter(col("nn") >= minPts).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), Seq("a_id"))
+      .join(core.select(col("id").as("b_id")), Seq("b_id"))
+    val ccLabels = Dedup
+      .duplicateClusters(coreEdges)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    // isolated cores (no core neighbor) anchor their own singleton cluster
+    val coreLabels = core
+      .join(ccLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
+    val borderLabels = und
+      .join(core.select(col("id").as("nb")), Seq("nb"))            // neighbor is core
+      .join(core, Seq("id"), "left_anti")                          // self is not
+      .join(coreLabels.select(col("id").as("nb"), col("cluster_id")), Seq("nb"))
+      .groupBy(col("id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    vectors
+      .select(col("vec_id"))
+      .join(coreLabels.select(col("id").as("vec_id"), col("cluster_id").as("core_cl")), Seq("vec_id"), "left")
+      .join(borderLabels.select(col("id").as("vec_id"), col("cluster_id").as("border_cl")), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        when(col("core_cl").isNotNull, lit("core"))
+          .when(col("border_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cl"), col("border_cl")).as("cluster_id"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022): recall@k of
     * brute-force cosine over the embedding's first `d` components against
     * the full-dimension truth, for each d in `dims` — the measurement

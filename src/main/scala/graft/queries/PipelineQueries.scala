@@ -2027,6 +2027,46 @@ object PipelineQueries {
         bits = 8, tables = 12, probeHamming = 2)
     },
 
+    // ----------------------------------------------- DBSCAN clustering
+    // Density clustering composed from verified primitives: ε-graph =
+    // the exact round-6 cosine pair set at 0.4, cores have ≥ 3
+    // neighbors, clusters = CC of the core-core subgraph (recursive
+    // reach replay), borders attach to the SMALLEST core-neighbor label
+    // (determinizing DBSCAN's order-dependent border rule), rest noise.
+    Q(
+      "cluster_dbscan",
+      Some("""
+        WITH RECURSIVE p AS MATERIALIZED (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        u AS (SELECT a_id AS id, b_id AS nb FROM p UNION ALL SELECT b_id, a_id FROM p),
+        deg AS (SELECT id, COUNT(*) AS nn FROM u GROUP BY 1),
+        core AS (SELECT id FROM deg WHERE nn >= 3),
+        ce AS (SELECT p.a_id, p.b_id FROM p JOIN core ca ON ca.id = p.a_id JOIN core cb ON cb.id = p.b_id),
+        e AS (SELECT a_id AS src, b_id AS dst FROM ce UNION SELECT b_id, a_id FROM ce),
+        reach(id, lab) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id),
+        cc AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        corelab AS (SELECT core.id, COALESCE(cc.cluster_id, core.id) AS cluster_id
+                    FROM core LEFT JOIN cc ON cc.id = core.id),
+        border AS (SELECT u.id, MIN(cl.cluster_id) AS cluster_id
+                   FROM u JOIN corelab cl ON cl.id = u.nb
+                   WHERE u.id NOT IN (SELECT id FROM core) GROUP BY u.id)
+        SELECT v.vec_id,
+               CASE WHEN cl.cluster_id IS NOT NULL THEN 'core'
+                    WHEN b.cluster_id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(cl.cluster_id, b.cluster_id) AS cluster_id
+        FROM embeddings v
+        LEFT JOIN corelab cl ON cl.id = v.vec_id
+        LEFT JOIN border b ON b.id = v.vec_id
+      """)) { (spark, dir) =>
+      Similarity.dbscan(Tables(spark, dir).embeddings, simThreshold = 0.4, minPts = 3)
+    },
+
     // --------------------------------------- Matryoshka truncation audit
     // Recall@10 of prefix-dim cosine (d = 8/16/32) against the full
     // 64-dim truth (Kusupati et al. 2022) — the measurement behind

@@ -49,6 +49,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(1 -> 0.0, 2 -> 1.0), s"got $got")
   }
 
+  test("dbscan: chain geometry — cores, borders to the smallest label, noise") {
+    import spark.implicits._
+    // angles 0/25/50/75 degrees: adjacent cos ~0.906 >= 0.898, skip cos
+    // ~0.64 < 0.898. minPts 2 -> middle nodes core, ends border, 150 noise
+    def vec(deg: Double) =
+      Array(math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val vs = Seq(
+      (10L, vec(0)), (11L, vec(25)), (12L, vec(50)), (13L, vec(75)), (14L, vec(150))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dbscan(vs, simThreshold = 0.898, minPts = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      10L -> (("border", 11L)),
+      11L -> (("core", 11L)),
+      12L -> (("core", 11L)),
+      13L -> (("border", 11L)),
+      14L -> (("noise", -1L))), s"got $got")
+    // raising minPts to 3 dissolves the chain: no cores, everyone noise
+    val strict = Similarity.dbscan(vs, simThreshold = 0.898, minPts = 3)
+      .collect().map(_.getString(1)).toSet
+    assert(strict == Set("noise"), strict.toString)
+  }
+
   test("hardNegatives: different label, below ceiling, exact top-k among eligible") {
     // Caller passes the PLAIN bound; the operator applies the 5e-7 FP guard
     // internally, so the effective cut sits between the 1e-6 round-6 grid
