@@ -910,6 +910,50 @@ object Graph {
     mat(out)
   }
 
+  /** Pivot eccentricities within a hop horizon — the diameter/radius
+    * probe (iFUB-style pivot sampling; the max over pivots is a DIAMETER
+    * LOWER BOUND, the standard cheap estimate): for each of the
+    * `nSources` smallest-id pivots, the farthest BFS level reached
+    * within `maxDepth` plus the ball size. Shares [[harmonicSampled]]'s
+    * forward machinery (one keyed shuffle + seen anti-join per level);
+    * all-integer output. Returns (id, eccentricity, n_reached) — note
+    * eccentricity is horizon-clipped: a value of `maxDepth` means
+    * "at least maxDepth". */
+  def eccentricitySampled(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      nSources: Int,
+      maxDepth: Int): DataFrame = {
+    require(nSources >= 1 && maxDepth >= 1, "nSources and maxDepth must be positive")
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val dir = mat(und.union(und.select(col("b").as("a"), col("a").as("b"))))
+    val srcs = dir.select(col("a").as("id")).distinct().orderBy(col("id")).limit(nSources)
+    var frontier = mat(srcs.select(col("id").as("src"), col("id").as("v")))
+    var seen     = frontier
+    val levels   = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (l <- 1 to maxDepth) {
+      val next = mat(
+        dir
+          .join(frontier.select(col("src"), col("v")), dir("a") === col("v"))
+          .select(col("src"), col("b").as("v"))
+          .distinct()
+          .join(seen, Seq("src", "v"), "left_anti"))
+      seen = mat(seen.union(next))
+      levels += next.select(col("src"), lit(l).as("lvl"))
+      frontier = next
+    }
+    mat(
+      levels
+        .reduce(_ unionAll _)
+        .groupBy(col("src").as("id"))
+        .agg(max(col("lvl")).as("eccentricity"), count(lit(1)).as("n_reached")))
+  }
+
   /** Bounded-round k-truss peeling (Cohen 2008) — the EDGE analog of
     * [[kCore]]: repeatedly drop every edge in fewer than k−2 triangles
     * (its "support"), leaving the subgraph where every surviving edge is

@@ -557,6 +557,24 @@ object AdvancedQueries {
       graft.operators.Graph.kTruss(edges, "pa", "pb", k = 3, rounds = 6)
     },
 
+    // ---------------------------------------- pivot eccentricities
+    // iFUB-style diameter probe over the same co-purchase graph: per
+    // pivot, the farthest BFS level within the 4-hop horizon plus ball
+    // size; the max over pivots is a diameter lower bound. All-integer,
+    // reuses the harmonic forward machinery.
+    Q(
+      "graph_eccentricity",
+      Some(eccentricityOracle(nSources = 6, maxDepth = 4))) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.operators.Graph.eccentricitySampled(edges, "pa", "pb", nSources = 6, maxDepth = 4)
+    },
+
     // ------------------------------------------- harmonic centrality
     // Bounded-distance harmonic centrality from 6 deterministic pivots
     // (Boldi-Vigna's disconnection-robust closeness): Σ 1/d over 3-hop
@@ -1488,6 +1506,33 @@ object AdvancedQueries {
         SELECT v AS id, CAST(round(SUM(delta), 6) AS DOUBLE) AS betweenness
         FROM ($unions) WHERE v <> src GROUP BY 1)
       WHERE betweenness > 0
+    """
+  }
+
+  /** Unrolled BFS replay of Graph.eccentricitySampled — the harmonic
+    * forward CTEs with a per-pivot max-level/ball-size rollup. */
+  private def eccentricityOracle(nSources: Int, maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { l =>
+      s"""f$l AS MATERIALIZED (
+        SELECT DISTINCT f.src, d.b AS v
+        FROM f${l - 1} f JOIN dir d ON d.a = f.v
+        WHERE NOT EXISTS (SELECT 1 FROM seen${l - 1} s WHERE s.src = f.src AND s.v = d.b)),
+      seen$l AS MATERIALIZED (SELECT * FROM seen${l - 1} UNION ALL SELECT src, v FROM f$l)"""
+    }.mkString(",\n")
+    val unions = (1 to maxDepth)
+      .map(l => s"SELECT src, $l AS lvl FROM f$l")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      dir AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      srcs AS (SELECT DISTINCT a AS id FROM dir ORDER BY id LIMIT $nSources),
+      f0 AS MATERIALIZED (SELECT id AS src, id AS v FROM srcs),
+      seen0 AS (SELECT src, v FROM f0),
+      $fwd
+      SELECT src AS id, MAX(lvl) AS eccentricity, COUNT(*) AS n_reached
+      FROM ($unions) GROUP BY 1
     """
   }
 

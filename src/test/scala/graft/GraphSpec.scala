@@ -291,6 +291,20 @@ class GraphSpec extends SparkSpec {
     assert(d1 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 2.0, 5L -> 1.0), s"got $d1")
   }
 
+  test("eccentricitySampled: path closed form, horizon clipping, ball sizes") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.eccentricitySampled(path, "a", "b", nSources = 5, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // ends see the whole path (ecc 4); the middle sees ecc 2
+    assert(got == Map(
+      1L -> ((4, 4L)), 2L -> ((3, 4L)), 3L -> ((2, 4L)), 4L -> ((3, 4L)), 5L -> ((4, 4L))),
+      s"got $got")
+    // a 2-hop horizon clips the ends' eccentricity and their ball
+    val clipped = Graph.eccentricitySampled(path, "a", "b", nSources = 5, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(clipped(1L) == ((2, 2L)) && clipped(3L) == ((2, 4L)), s"got $clipped")
+  }
+
   test("kCore: cascading peel to the unique fixpoint, survivors keep >= k, empty when none") {
     // 5-clique (a 4-core) with a pendant chain hanging off node 0: the
     // chain peels over CASCADING rounds (8 -> exposes 7 -> exposes 6...),
