@@ -91,21 +91,34 @@ object Bench {
     // three full measured passes, best-of per query (single-shot numbers on
     // this box swing +-25% under GC/fs noise); caches cleared between
     // passes so all are comparable executions
+    // A failed execution must NOT look like a fast one: a pass poisoned by a
+    // crash (executor loss, interrupt) throws fast from every remaining
+    // query, and a silent `catch => 0.02s` minimum would overwrite real
+    // times in the best-of fold (observed once: a corrupted BENCH_LOCAL with
+    // 141 sub-50ms rows). Failed runs record +Inf so they can never win,
+    // and are reported in an "errors" field instead of vanishing.
+    val failures = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Seq[(String, (Double, Double))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        name -> ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
+        val ok = try { materialize(fn(spark, sfDir)); true }
+                 catch { case _: Throwable => failures += name; false }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+        name -> (sec, (gcMillis() - g0) / 1e3)
       }
     val passes = (0 until 3).map { i =>
       if (i > 0) spark.catalog.clearCache()
       onePass().toMap
     }
-    // best pass per query, carrying THAT run's GC window
+    // best pass per query, carrying THAT run's GC window; a query that
+    // failed in EVERY pass surfaces as +Inf (and in "errors"), never as 0
     val best = SparkEntry.queries.keys.toSeq.sorted
       .map(name => name -> passes.map(_(name)).minBy(_._1))
-    val results = best.map { case (n, (sec, _)) => n -> sec }
+    // queries that failed every pass: excluded from the numeric map/total
+    // (Infinity is not valid JSON) and emitted under "errors" instead
+    val errored = best.collect { case (n, (sec, _)) if sec.isInfinite => n }
+    val results = best.collect { case (n, (sec, _)) if !sec.isInfinite => n -> sec }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = best.map { case (k, (_, g)) => s"\"" + k + "\":" + g }
@@ -122,8 +135,14 @@ object Bench {
       case (name, sec) if baseline.get(name).exists(b => sec > b * RegressionFactor) =>
         s"""{"query":"$name","baseline":${baseline(name)},"measured":$sec,"ratio":${sec / baseline(name)},"gc_sec":${gcByName(name)._2}}"""
     }
+    // "errors" = failed every pass (no time at all); "flaky" = failed at
+    // least one pass but has a real best-of time from a surviving pass
+    val flaky = (failures.toSet -- errored).toSeq.sorted
+    val errsJson =
+      s""""errors":[${errored.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""flaky":[${flaky.map("\"" + _ + "\"").mkString(",")}]"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir","regressed":[${regressed.mkString(",")}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir",$errsJson,"regressed":[${regressed.mkString(",")}]}"""
     // full-precision record: survives any stdout tail-window truncation
     java.nio.file.Files.write(
       java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"),
@@ -155,6 +174,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries_full":"BENCH_LOCAL.json","queries":$qsCompact,"sf":"$sfLabel",""" +
+        s""""n_errors":${errored.size},""" +
         s""""regressed_total":${regCompact.size},"regressed":[${regShown.mkString(",")}]}"""
     spark.stop()
     // after stop(): nothing (shutdown warnings included) may print below this

@@ -503,6 +503,63 @@ object DataQuality {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance for every group pair — the
+    * distribution-shape complement of Mann-Whitney (which only sees
+    * stochastic dominance) and of the binned drift measures (PSI/χ²/JSD,
+    * which need a binning choice): D = sup_v |F_a(v) − F_b(v)| over the
+    * pooled empirical CDFs, binning-free and sensitive to ANY
+    * distributional difference. Exact arithmetic throughout: the sup is
+    * taken over the integer numerator |n_b·C_a(v) − n_a·C_b(v)| (C = the
+    * cumulative count at v), so `d_num` is an exact long and
+    * D = d_num/(n_a·n_b) is ONE division under round(·, 6); the
+    * asymptotic statistic sqrt(n_a·n_b/(n_a+n_b))·D is a fixed-order
+    * double formula from the already-rounded D (IEEE sqrt is correctly
+    * rounded, so both engines agree bit-for-bit).
+    *
+    * Scale: the per-pair table is value-distinct-sized (the cumulative
+    * window runs unpartitioned over it) — same documented low-cardinality
+    * precondition as mannWhitneyPairs; the data-sized stage is one
+    * grouped count per pair.
+    */
+  def ksTestPairs(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = df.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(groups.size >= 2 && groups.size <= 32, s"need 2..32 groups, got ${groups.size}")
+    val rows = for {
+      i <- groups.indices; j <- (i + 1) until groups.size
+    } yield {
+      val (ga, gb) = (groups(i), groups(j))
+      val counts = df
+        .filter(col(groupCol).isin(ga, gb))
+        .select(col(groupCol).cast("string").as("g"), col(valueCol).as("v"))
+        .groupBy(col("v"))
+        .agg(
+          sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")).collect()(0)
+      val (na, nb) = (tot.getLong(0), tot.getLong(1))
+      require(na > 0 && nb > 0, s"empty group among ($ga, $gb)")
+      val dnum = counts
+        .select((sum(col("ca")).over(wv) * nb - sum(col("cb")).over(wv) * na).as("diff"))
+        .agg(max(abs(col("diff"))))
+        .collect()(0).getLong(0)
+      val ksD = java.math.BigDecimal
+        .valueOf(dnum.toDouble / (na.toDouble * nb.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val ksStat = java.math.BigDecimal
+        .valueOf(ksD * math.sqrt(na.toDouble * nb.toDouble / (na.toDouble + nb.toDouble)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (ga, gb, na, nb, dnum, ksD, ksStat)
+    }
+    rows.toDF("group_a", "group_b", "n_a", "n_b", "d_num", "ks_d", "ks_stat")
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns — the
     * privacy gate a dataset passes before release (Sweeney 2002; Machanavajjhala
     * et al. 2007): every QI combination's group size (re-identification risk

@@ -123,4 +123,64 @@ object Features {
         col("chi2"))
       .orderBy(col("chi2").desc, col("feature"))
   }
+
+  /** Per-group simple OLS fit (slope, intercept, r²) in closed form from
+    * the five exact moments — the regression sibling of
+    * DataQuality.correlationMatrix and the linear complement of the GBDT
+    * stumps: ONE map-side-combined aggregation pass computes
+    * (n, Σx, Σy, Σx², Σxy, Σy²) per group with every sum an exact
+    * DECIMAL(38,0) integer (per-row products at DECIMAL(18,0)×(18,0) →
+    * (37,0), under Spark's 38-precision cap — callers supply INTEGRAL
+    * columns, e.g. money pre-scaled to cents), then the group-sized
+    * moment table collects (the model-bounded judgment: the moments ARE
+    * the model) and the normal equations solve driver-side in exact
+    * BigDecimal: num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²,
+    * vary = n·Σy² − (Σy)². slope = num/den and r² = num²/(den·vary) are
+    * fixed-order double formulas from the exact integers under
+    * round(·, 6); intercept uses the ROUNDED slope (the ks_stat
+    * discipline) so both engines agree bit-for-bit. Degenerate groups
+    * emit NULL, never NaN: constant x (den = 0) → slope/intercept/r²
+    * NULL; constant y (vary = 0) → r² NULL.
+    *
+    * |x|, |y| must fit DECIMAL(18,0); at 100 TB the data-sized stage is
+    * still the one partial-aggregated moment pass — group-count-sized
+    * shuffle, no joins. */
+  def olsFit(df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = xCol.cast("long").cast(dec18)
+    val y = yCol.cast("long").cast(dec18)
+    val moments = df
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(dec38).as("sx"),
+        sum(y).cast(dec38).as("sy"),
+        sum(x * x).cast(dec38).as("sxx"),
+        sum(x * y).cast(dec38).as("sxy"),
+        sum(y * y).cast(dec38).as("syy"))
+      .collect()
+    def r6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = moments.toSeq.map { r =>
+      val n   = java.math.BigDecimal.valueOf(r.getLong(1))
+      val sx  = r.getDecimal(2); val sy = r.getDecimal(3)
+      val sxx = r.getDecimal(4); val sxy = r.getDecimal(5); val syy = r.getDecimal(6)
+      val num  = n.multiply(sxy).subtract(sx.multiply(sy))
+      val den  = n.multiply(sxx).subtract(sx.multiply(sx))
+      val vary = n.multiply(syy).subtract(sy.multiply(sy))
+      val slope: Option[Double] =
+        if (den.signum == 0) None else Some(r6(num.doubleValue() / den.doubleValue()))
+      val intercept: Option[Double] =
+        slope.map(s1 => r6((sy.doubleValue() - s1 * sx.doubleValue()) / n.doubleValue()))
+      val r2: Option[Double] =
+        if (den.signum == 0 || vary.signum == 0) None
+        else Some(r6((num.doubleValue() * num.doubleValue()) / (den.doubleValue() * vary.doubleValue())))
+      (r.getString(0), r.getLong(1), slope, intercept, r2)
+    }
+    rows.toDF("group_key", "n", "slope", "intercept", "r2")
+      .orderBy(col("group_key"))
+  }
 }

@@ -88,6 +88,62 @@ object LanguageModel {
         round(col("s") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing every production count-LM — KenLM, the CCNet filter LMs —
+    * actually ships): P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·) +
+    * D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂), with the continuation probability
+    * P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) — "how many contexts does w₂ complete"
+    * rather than raw frequency, the fix for the San-Francisco problem
+    * that add-k smoothing (bigramScore) gets wrong. All counts derive
+    * from ONE bigram aggregation (context totals, distinct continuations
+    * and distinct contexts roll up from it); D = 0.75 is exact binary.
+    *
+    * Determinism: every probability is a fixed-order double formula from
+    * exact integer counts; ln snaps to the 1e-12 grid, per-doc sums are
+    * exact decimals (order-free), the mean is one division under
+    * round(·, 6) after a round-to-1e-9 cast (the decimal→double
+    * discipline). Out-of-train input degrades loudly-but-finitely:
+    * unseen contexts back off to P_cont alone, and a fully-unseen pair
+    * floors at 1e-12 before ln (self-scoring — the gate shape — never
+    * hits either branch).
+    *
+    * Scale: counts are vocabulary/bigram-type-sized aggregations with
+    * map-side combine; the scoring pass joins the scored bigram stream
+    * against them (broadcast-sized for real vocabularies). */
+  def kneserNeyScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val bi = bigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx   = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val cont  = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = bi.agg(count(lit(1)).as("nall"))
+    val pc = coalesce(col("n1b"), lit(0L)).cast("double") / col("nall").cast("double")
+    val p = when(
+      coalesce(col("c1"), lit(0L)) > 0,
+      (greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(discount), lit(0.0))
+        + lit(discount) * col("n1f").cast("double") * pc) / col("c1").cast("double"))
+      .otherwise(pc)
+    bigrams(score, idCol, textCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("logp", round(log(greatest(p, lit(1e-12))), 12).cast(dec12))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(sum(col("logp")), 9).as("s"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
+  }
+
   /** CCNet-style head/middle/tail corpus partitioning (Wenzek et al. 2020
     * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): score every document under the in-corpus bigram LM, then cut

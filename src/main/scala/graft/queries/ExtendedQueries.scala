@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataQuality, Funnel, Sketches}
+import graft.operators.{DataQuality, Features, Funnel, Sketches}
 import graft.sources.Tables
 
 /** Second-wave relational coverage: grouping sets, INTERSECT ALL, range
@@ -861,6 +861,41 @@ object ExtendedQueries {
       DataQuality.mannWhitneyPairs(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
     },
 
+    // Two-sample Kolmogorov-Smirnov for every returnflag pair on quantity
+    // (DataQuality.ksTestPairs): binning-free distribution-shape drift —
+    // the sup-CDF-gap numerator |n_b*Ca - n_a*Cb| is an exact integer
+    // (hash-checked as d_num), D is one division under round(., 6), and
+    // the asymptotic statistic multiplies the ROUNDED D by an IEEE-exact
+    // sqrt, so both engines agree bit-for-bit.
+    Q(
+      "quality_ks_test",
+      Some("""
+        WITH v AS (SELECT l_returnflag AS g, l_quantity AS v FROM lineitem),
+        pairs(ga, gb) AS (VALUES ('A', 'N'), ('A', 'R'), ('N', 'R')),
+        counts AS (SELECT ga, gb, v.v,
+                          SUM(CASE WHEN v.g = ga THEN 1 ELSE 0 END) AS ca,
+                          SUM(CASE WHEN v.g = gb THEN 1 ELSE 0 END) AS cb
+                   FROM pairs JOIN v ON v.g IN (ga, gb) GROUP BY 1, 2, 3),
+        cum AS (SELECT ga, gb,
+                       CAST(SUM(ca) OVER w AS BIGINT) AS fa,
+                       CAST(SUM(cb) OVER w AS BIGINT) AS fb
+                FROM counts
+                WINDOW w AS (PARTITION BY ga, gb ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (SELECT ga, gb, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+                FROM counts GROUP BY 1, 2),
+        d AS (SELECT c.ga, c.gb, MAX(abs(c.fa * t.nb - c.fb * t.na)) AS dnum
+              FROM cum c JOIN tot t USING (ga, gb) GROUP BY 1, 2),
+        kd AS (SELECT d.ga, d.gb, t.na, t.nb, d.dnum,
+                      round(CAST(d.dnum AS DOUBLE) / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6) AS ks_d
+               FROM d JOIN tot t USING (ga, gb))
+        SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b, dnum AS d_num, ks_d,
+               round(ks_d * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                                 / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 6) AS ks_stat
+        FROM kd ORDER BY group_a, group_b
+      """)) { (spark, dir) =>
+      DataQuality.ksTestPairs(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
+    },
+
     // GBDT histogram split search (Boosting.histSplitGains): the XGBoost/
     // LightGBM core — ONE map-side-combined (feature, bin) gradient
     // aggregation over the data, then every split candidate scored from
@@ -904,6 +939,45 @@ object ExtendedQueries {
           "quantity" -> col("l_quantity").cast("long"),
           "discount" -> round(col("l_discount") * 100).cast("long"),
           "tax"      -> round(col("l_tax") * 100).cast("long")))
+    },
+
+    // Per-group simple OLS in closed form (Features.olsFit): price-vs-
+    // quantity slope/intercept/r2 per returnflag from one exact-moment
+    // pass (money pre-scaled to integer cents). num/den/vary are exact
+    // 128-bit integers on both sides (Spark DECIMAL(38,0) sums + driver
+    // BigDecimal, DuckDB HUGEINT); slope and r2 are fixed-order double
+    // formulas from those integers, intercept uses the ROUNDED slope.
+    Q(
+      "ml_ols_fit",
+      Some("""
+        WITH m AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+        a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM m GROUP BY 1),
+        d AS (SELECT g, n, sx, sy, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+                     n * syy - sy * sy AS vary
+              FROM a),
+        b AS (SELECT g, n, sx, sy, num, den, vary,
+                     CASE WHEN den = 0 THEN NULL
+                          ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS slope
+              FROM d)
+        SELECT g AS group_key, CAST(n AS BIGINT) AS n, slope,
+               CASE WHEN slope IS NULL THEN NULL
+                    ELSE round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                               / CAST(n AS DOUBLE), 6) END AS intercept,
+               CASE WHEN den = 0 OR vary = 0 THEN NULL
+                    ELSE round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                               / (CAST(den AS DOUBLE) * CAST(vary AS DOUBLE)), 6) END AS r2
+        FROM b ORDER BY group_key
+      """)) { (spark, dir) =>
+      Features.olsFit(
+        Tables(spark, dir).lineitem,
+        "l_returnflag",
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100))
     },
 
     // Full GBDT stump training, 3 rounds (Boosting.trainStumps): per

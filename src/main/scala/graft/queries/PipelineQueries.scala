@@ -1431,6 +1431,49 @@ object PipelineQueries {
       LanguageModel.bigramScore(docs, docs, "doc_id", "text")
     },
 
+    // ------------------------------ interpolated Kneser-Ney bigram LM
+    // The production count-LM smoothing (KenLM / the CCNet filter LMs)
+    // beside the add-k baseline: discounted bigram mass redistributed by
+    // CONTINUATION counts (how many contexts a word completes), not raw
+    // frequency. All counts from one bigram aggregation; D = 0.75 exact
+    // binary; fixed-order double probability, grid-12 ln, exact decimal
+    // per-doc sums, one division under round(., 6).
+    Q(
+      "lm_kneser_ney",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS len FROM t WHERE len(toks) >= 2),
+        big0 AS (SELECT doc_id, unnest(list_transform(range(1, len), i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS u FROM t2),
+        b AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM big0),
+        bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1f FROM bic GROUP BY 1),
+        cont AS (SELECT w2, COUNT(*) AS n1b FROM bic GROUP BY 1),
+        v AS (SELECT COUNT(*) AS nall FROM bic),
+        lp AS (SELECT b.doc_id, b.pos,
+                      round(ln(greatest(
+                        CASE WHEN COALESCE(c1, 0) > 0
+                             THEN (greatest(CAST(COALESCE(c2, 0) AS DOUBLE) - 0.75, 0.0)
+                                   + 0.75 * CAST(n1f AS DOUBLE)
+                                     * (CAST(COALESCE(n1b, 0) AS DOUBLE) / CAST(nall AS DOUBLE)))
+                                  / CAST(c1 AS DOUBLE)
+                             ELSE CAST(COALESCE(n1b, 0) AS DOUBLE) / CAST(nall AS DOUBLE) END,
+                        1e-12)), 12) AS logp
+               FROM b
+               LEFT JOIN bic USING (w1, w2)
+               LEFT JOIN ctx USING (w1)
+               LEFT JOIN cont USING (w2)
+               CROSS JOIN v),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       round(SUM(CAST(logp AS DECIMAL(20,12))), 9) AS s
+                FROM lp GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               ROUND(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+        FROM agg
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      LanguageModel.kneserNeyScore(docs, docs, "doc_id", "text")
+    },
+
     // --------------------------- CCNet head/middle/tail LM partitioning
     // The signature CCNet move (Wenzek et al. 2020): tercile-cut the
     // corpus by in-corpus LM fluency — head kept for training, tail

@@ -256,4 +256,31 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(pairs == Seq(("A", "B"), ("A", "C"), ("B", "C")), pairs.toString)
   }
+
+  test("ksTestPairs: disjoint supports hit D=1, identical samples hit D=0, interleaved closed form") {
+    import spark.implicits._
+    // disjoint supports: at v=2 the gap is |2*2 - 0*2| = 4 over n_a*n_b = 4 -> D = 1
+    val sep = (Seq(1, 2).map(v => ("A", v.toLong)) ++ Seq(3, 4).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val s = DataQuality.ksTestPairs(sep, "g", "v").collect().head
+    assert((s.getString(0), s.getString(1), s.getLong(2), s.getLong(3), s.getLong(4), s.getDouble(5))
+      == (("A", "B", 2L, 2L, 4L, 1.0)), s.toString)
+    // ks_stat = D * sqrt(na*nb/(na+nb)) = 1 * sqrt(1) = 1 exactly
+    assert(s.getDouble(6) == 1.0, s.toString)
+    // identical samples: every cumulative gap is zero
+    val same = (Seq(1, 2, 3).map(v => ("A", v.toLong)) ++ Seq(1, 2, 3).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val e = DataQuality.ksTestPairs(same, "g", "v").collect().head
+    assert(e.getLong(4) == 0L && e.getDouble(5) == 0.0, e.toString)
+    // interleaved A={1,3}, B={2,4}: max gap at v=1 (or 3): |1*2 - 0*2| = 2 -> D = 0.5
+    val mix = (Seq(1, 3).map(v => ("A", v.toLong)) ++ Seq(2, 4).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val m = DataQuality.ksTestPairs(mix, "g", "v").collect().head
+    assert(m.getLong(4) == 2L && m.getDouble(5) == 0.5, m.toString)
+    // three groups emit all three sorted pairs
+    val tri = sep.union(Seq(("C", 9L)).toDF("g", "v"))
+    val ps = DataQuality.ksTestPairs(tri, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ps == Seq(("A", "B"), ("A", "C"), ("B", "C")), ps.toString)
+  }
 }

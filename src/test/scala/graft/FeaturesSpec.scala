@@ -44,4 +44,30 @@ class FeaturesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(r == Seq("strong", "weak"), r.toString)
   }
+
+  test("olsFit: exact line recovered, r2=1; noisy closed form; degenerate groups yield NULL not NaN") {
+    // perfect line y = 3x + 7 -> slope 3, intercept 7, r2 = 1 exactly
+    val line = Seq(("g", 1L, 10L), ("g", 2L, 13L), ("g", 3L, 16L), ("g", 4L, 19L))
+      .toDF("grp", "x", "y")
+    val l = Features.olsFit(line, "grp", col("x"), col("y")).collect().head
+    assert((l.getLong(1), l.getDouble(2), l.getDouble(3), l.getDouble(4)) == ((4L, 3.0, 7.0, 1.0)),
+      l.toString)
+    // hand-checked: (1,1),(2,2),(3,2) -> slope 0.5, intercept 2/3, r2 = 0.75
+    val noisy = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 2L)).toDF("grp", "x", "y")
+    val n = Features.olsFit(noisy, "grp", col("x"), col("y")).collect().head
+    assert(n.getDouble(2) == 0.5 && n.getDouble(3) == 0.666667 && n.getDouble(4) == 0.75,
+      n.toString)
+    // constant x: den = 0 -> slope/intercept/r2 all NULL
+    val cx = Seq(("g", 5L, 1L), ("g", 5L, 9L)).toDF("grp", "x", "y")
+    val c = Features.olsFit(cx, "grp", col("x"), col("y")).collect().head
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4), c.toString)
+    // constant y: slope 0, r2 NULL (zero variance to explain)
+    val cy = Seq(("g", 1L, 4L), ("g", 2L, 4L)).toDF("grp", "x", "y")
+    val k = Features.olsFit(cy, "grp", col("x"), col("y")).collect().head
+    assert(k.getDouble(2) == 0.0 && k.getDouble(3) == 4.0 && k.isNullAt(4), k.toString)
+    // two groups come back sorted by key
+    val two = line.union(cy.withColumn("grp", lit("a")))
+    val ks = Features.olsFit(two, "grp", col("x"), col("y")).collect().map(_.getString(0)).toSeq
+    assert(ks == Seq("a", "g"), ks.toString)
+  }
 }

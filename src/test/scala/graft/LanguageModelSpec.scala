@@ -31,6 +31,34 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(2L)._2 > rnd(lBA))
   }
 
+  test("kneserNeyScore: hand-computed interpolated KN probabilities, backoff, OOV floor") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // bigram types: (a,b) c2=2, (b,a) c2=1 -> nall=2
+    // ctx a: c1=2, n1f=1; ctx b: c1=1, n1f=1; cont: a n1b=1, b n1b=1
+    def grid12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror the engine's op order: grid-12 ln -> exact decimal sum ->
+    // round 9 -> double division -> round 6
+    def avg(lps: Seq[Double], n: Int) = rnd6(
+      lps.map(grid12).sum.setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble / n.toDouble)
+    val pAB = (math.max(2 - 0.75, 0.0) + 0.75 * 1.0 * (1.0 / 2.0)) / 2.0 // = 0.8125
+    val pBA = (math.max(1 - 0.75, 0.0) + 0.75 * 1.0 * (1.0 / 2.0)) / 1.0 // = 0.625
+    val self = LanguageModel.kneserNeyScore(train, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(self(1L) == ((3L, avg(Seq(math.log(pAB), math.log(pBA), math.log(pAB)), 3))),
+      self.toString)
+    // unseen context backs off to the continuation probability alone
+    val backoff = Seq((9L, "z a")).toDF("doc_id", "text")
+    val b = LanguageModel.kneserNeyScore(train, backoff, "doc_id", "text").collect().head
+    assert(b.getDouble(2) == avg(Seq(math.log(1.0 / 2.0)), 1), b.toString)
+    // fully unseen pair floors at 1e-12, never -Infinity
+    val oov = Seq((8L, "z q")).toDF("doc_id", "text")
+    val o = LanguageModel.kneserNeyScore(train, oov, "doc_id", "text").collect().head
+    assert(o.getDouble(2) == avg(Seq(math.log(1e-12)), 1), o.toString)
+    // the Kneser-Ney point: the frequent transition outscores the rare one
+    assert(pAB > pBA)
+  }
+
   test("bigramScore on the corpus: repeated boilerplate outscores rare transitions") {
     val docs = Tables(spark, SharedSpark.sf0001).documents
     val out  = LanguageModel.bigramScore(docs, docs, "doc_id", "text").collect()
