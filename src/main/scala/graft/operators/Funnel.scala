@@ -293,6 +293,98 @@ object Funnel {
       .orderBy(col("channel"))
   }
 
+  /** Shapley-value attribution (Shapley 1953 via the simplified
+    * coalition method of Zhao et al. 2018) — completes the attribution
+    * family beside last-touch (events_attribution), U-shaped
+    * (positionAttribution) and Markov removal: each channel's credit is
+    * its average marginal contribution to the conversion rate over every
+    * ordering of the channel set. Journeys collapse to their EXPOSURE
+    * COALITION — the set of distinct channels a user touched strictly
+    * before first conversion (whole history for non-converters) — and
+    * the characteristic function is INCLUSIVE: v(S) = conversion rate
+    * over journeys whose coalition ⊆ S ("what converts when only the
+    * channels in S exist"). Inclusive-v is what makes the axioms hold on
+    * sparse data: a channel in no journey is an exact null player
+    * (adding it changes no ⊆-set), where the exactly-S convention would
+    * hand it spurious negative credit for every unobserved superset.
+    *
+    * φ_i = Σ_{S ⊆ N\{i}} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)) runs
+    * DRIVER-SIDE over the ≤2ⁿ-row coalition table (the model-bounded
+    * collect: the coalition table IS the model; n ≤ 8 enforced) in exact
+    * BigDecimal: v snaps to the 1e-9 grid, the factorial weights are
+    * exact integers (n! divided out only at the end), the weighted sum
+    * is an exact decimal, and credit = round(sum/n!, 6) is one double
+    * division from an exactly-cast decimal — bit-replayable.
+    *
+    * The data-sized stages are one conversion-time aggregate and one
+    * distinct-touch aggregate per user; everything after is
+    * coalition-sized. Credits satisfy Σφ_i = v(N) − v(∅) (efficiency:
+    * total credit = overall conversion rate minus the direct-conversion
+    * baseline, up to the 1e-9 snap), and a channel absent from every
+    * journey gets exactly 0 (null player). */
+  def shapleyAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      convType: String,
+      channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8,
+      s"need 1..8 channels, got ${channels.size}")
+    require(channels.distinct.size == channels.size, "channels must be distinct")
+    require(!channels.contains(convType), "the conversion type is not a channel")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val chans = channels.sorted
+    val n     = chans.size
+    val ev    = events.select(col(userCol).as("u"), col(typeCol).as("t"), col(tsCol).as("ets"))
+    val conv  = ev.filter(col("t") === convType).groupBy(col("u")).agg(min(col("ets")).as("cts"))
+    val touches = ev
+      .filter(col("t").isin(chans: _*))
+      .join(conv, Seq("u"), "left")
+      .filter(col("cts").isNull || col("ets") < col("cts"))
+      .select(col("u"), col("t"))
+      .distinct()
+    val keyed = touches
+      .groupBy(col("u"))
+      .agg(concat_ws(",", array_sort(collect_set(col("t")))).as("key"))
+    val coalition = ev.select(col("u")).distinct()
+      .join(keyed, Seq("u"), "left")
+      .join(conv.select(col("u"), lit(1L).as("cv")), Seq("u"), "left")
+      .select(coalesce(col("key"), lit("")).as("key"), coalesce(col("cv"), lit(0L)).as("cv"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("nj"), sum(col("cv")).as("nc"))
+      .collect()
+      .map { r =>
+        val set = r.getString(0).split(",").filter(_.nonEmpty).toSet
+        (set, r.getLong(1), r.getLong(2))
+      }
+      .toSeq
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def v(s: Set[String]): JBD = {
+      var nj = 0L
+      var nc = 0L
+      coalition.foreach { case (t, j, c) => if (t.subsetOf(s)) { nj += j; nc += c } }
+      if (nj == 0L) JBD.ZERO.setScale(9)
+      else JBD.valueOf(nc.toDouble / nj.toDouble).setScale(9, RM.HALF_UP)
+    }
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val nFact = fact(n)
+    val others = (s: String) => chans.filterNot(_ == s)
+    val rows = chans.map { ch =>
+      val subsets = others(ch).toSet.subsets().toSeq
+      val sum = subsets.foldLeft(JBD.ZERO) { (acc, s) =>
+        val w = JBD.valueOf(fact(s.size) * fact(n - 1 - s.size))
+        acc.add(w.multiply(v(s + ch).subtract(v(s))))
+      }
+      val credit = JBD
+        .valueOf(sum.doubleValue() / nFact.toDouble)
+        .setScale(6, RM.HALF_UP).doubleValue()
+      (ch, credit)
+    }
+    rows.toDF("channel", "credit").orderBy(col("channel"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2016) — the
     * data-driven alternative to last-touch: model user journeys as a
     * first-order chain START → touches → CONV/DROP, and credit each

@@ -241,6 +241,86 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // ------------------------------------------------- portable count-min
+
+  /** Count-min bucket for hash row r: the splitmix64 finalizer over
+    * key ⊕ seed_r with seed_r = r+1 golden-ratio steps (wrapping — the
+    * same derandomized-seed discipline as the Bloom/DSIR chains), top
+    * `logW` bits. Pure wrapping 64-bit arithmetic, replayable in HUGEINT
+    * SQL. */
+  private[graft] def cmsBucket(key: Long, r: Int, logW: Int): Int =
+    (graft.functions.Mix64.mix(key ^ (BloomGolden * (r + 1).toLong)) >>> (64 - logW)).toInt
+
+  /** Mergeable count-min sketch over long keys (Cormode & Muthukrishnan
+    * 2005): buffer is the fixed depth × 2^logW counter matrix, reduce
+    * adds 1 at one bucket per row, merge is entrywise addition —
+    * order-free and linear, so map-side partial aggregation keeps the
+    * shuffle at one matrix per partition regardless of stream length,
+    * and sketches of disjoint shards merge exactly (the distributed
+    * heavy-hitter / frequency-serving shape). Point estimates are
+    * min over rows — always ≥ the true count, never an undercount. */
+  final class PortableCmsAgg(logW: Int, depth: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    require(logW >= 3 && logW <= 24, s"logW must be in [3,24], got $logW")
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    override def zero: Array[Long] = new Array[Long](depth << logW)
+    override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+      var r = 0
+      while (r < depth) { buf((r << logW) + cmsBucket(key, r, logW)) += 1L; r += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Point estimate from a counter matrix: min over the depth rows. */
+  private[graft] def cmsEstimate(counters: Array[Long], key: Long, logW: Int, depth: Int): Long = {
+    var best = Long.MaxValue
+    var r    = 0
+    while (r < depth) {
+      val c = counters((r << logW) + cmsBucket(key, r, logW))
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
+  /** Build the count-min matrix over a key column — ONE aggregate row of
+    * depth·2^logW longs (model-bounded: the matrix IS the model). */
+  def cmsBuild(df: DataFrame, keyCol: String, logW: Int = 10, depth: Int = 4): Array[Long] = {
+    val agg = udaf(new PortableCmsAgg(logW, depth), Encoders.scalaLong)
+    df.select(col(keyCol).cast("long").as("k")).agg(agg(col("k")).as("m"))
+      .collect()(0).getAs[scala.collection.Seq[Long]](0).toArray
+  }
+
+  /** The frequency-serving gate: build the matrix over the data once,
+    * broadcast the fixed-size counters, estimate every probe key with a
+    * narrow scan — no join, no shuffle on the probe path. Output:
+    * probes' columns + `cms_est`. Estimates are deterministic (the
+    * derandomized seeds), so they hash-check cross-engine, including
+    * every collision-inflated overcount; est ≥ true always. */
+  def cmsCounts(
+      df: DataFrame,
+      keyCol: String,
+      probes: DataFrame,
+      probeKeyCol: String,
+      logW: Int = 10,
+      depth: Int = 4): DataFrame = {
+    val spark    = probes.sparkSession
+    val counters = cmsBuild(df, keyCol, logW, depth)
+    val cb       = spark.sparkContext.broadcast(counters)
+    val est      = udf((k: Long) => cmsEstimate(cb.value, k, logW, depth))
+    probes.withColumn("cms_est", est(col(probeKeyCol).cast("long")))
+  }
+
   /** Probe helper: all `nHashes` bits set. */
   private[graft] def bloomContains(filter: Array[Byte], key: Long, logBits: Int, nHashes: Int): Boolean =
     bloomBitPositions(key, logBits, nHashes).forall(b => (filter(b >>> 3) & (1 << (b & 7))) != 0)

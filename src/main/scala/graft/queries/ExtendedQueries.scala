@@ -549,6 +549,22 @@ object ExtendedQueries {
           coalesce(col("is_member"), lit(false)).as("is_member"))
     },
 
+    // Portable count-min frequencies (Sketches.cmsCounts): the linear,
+    // mergeable counter matrix beside the Bloom set-membership gate —
+    // build once over the event stream (map-side-combined, one matrix
+    // per partition shuffles), broadcast, probe per-user counts with a
+    // narrow scan. Derandomized splitmix64 row seeds make every
+    // estimate — including each collision-inflated overcount —
+    // deterministic and hash-checked against the relational replay;
+    // est >= exact always (no undercount is possible).
+    Q(
+      "sketch_countmin",
+      Some(cmsSql(logW = 10, depth = 4))) { (spark, dir) =>
+      val ev     = Tables(spark, dir).events
+      val probes = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsCounts(ev, "user_id", probes, "user_id", logW = 10, depth = 4)
+    },
+
     // Portable cube + union: daily m-byte register blobs re-aggregated by
     // elementwise max. Union-of-days ≡ one global pass BIT FOR BIT (the
     // register max is order-free and idempotent; SketchSpec pins the
@@ -1213,6 +1229,28 @@ object ExtendedQueries {
         Tables(spark, dir).events, "user_id", "ts", "event_id", "event_type", "purchase")
     },
 
+    // ------------------------------------- Shapley-value attribution
+    // The game-theoretic leg completing the attribution quartet (Zhao et
+    // al. 2018 coalition method): journeys collapse to their exposure
+    // coalition, v(S) = conversion rate of journeys with coalition ⊆ S
+    // (inclusive — what converts when only S exists; the convention
+    // under which a never-touched channel is an exact null player), and
+    // each channel's credit is its factorial-weighted average marginal
+    // contribution. The oracle enumerates all 2^n coalitions as a
+    // bit-cross-join, snaps v to the 1e-9 grid, sums exact decimals and
+    // divides by n! once — the same arithmetic the driver-side
+    // BigDecimal fold performs.
+    Q(
+      "events_shapley_attribution",
+      Some(shapleySql(
+        channels = Seq("click", "error", "signup", "view"),
+        convType = "purchase"))) { (spark, dir) =>
+      graft.operators.Funnel.shapleyAttribution(
+        Tables(spark, dir).events, "user_id", "ts", "event_type",
+        convType = "purchase",
+        channels = Seq("click", "error", "signup", "view"))
+    },
+
     // -------------------------------- Markov removal-effect attribution
     // The data-driven alternative to last-touch (Anderl et al. 2016):
     // journeys as START → touches → CONV/DROP, each channel credited by
@@ -1534,6 +1572,89 @@ object ExtendedQueries {
     * member bit-set as a DISTINCT projection, and probe = all `nHashes`
     * bits present. Same HUGEINT mulmod machinery as the portable-HLL
     * oracle. */
+  /** DuckDB replay of [[graft.operators.Sketches.cmsCounts]]: per hash
+    * row, the splitmix64 chain over key ⊕ seed_r (HUGEINT mulmod — the
+    * Bloom/HLL machinery), counters as a per-(row, bucket) SUM, point
+    * estimates as LEAST over the row lookups. */
+  private def cmsSql(logW: Int, depth: Int): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    val chains = (0 until depth).map { r =>
+      val seed = java.lang.Long.toUnsignedString(Sketches.BloomGolden * (r + 1).toLong)
+      s"""r${r}y AS (SELECT x, cnt, xor(x, $seed::UBIGINT) AS y FROM n),
+         |r${r}a AS (SELECT x, cnt, xor(y, y >> 30) AS a FROM r${r}y),
+         |r${r}b AS (SELECT x, cnt, ${mulmod("a", "13787848793156543929")} AS z FROM r${r}a),
+         |r${r}c AS (SELECT x, cnt, xor(z, z >> 27) AS a FROM r${r}b),
+         |r${r}d AS (SELECT x, cnt, ${mulmod("a", "10723151780598845931")} AS z FROM r${r}c),
+         |r${r}e AS (SELECT x, cnt, xor(z, z >> 31) >> ${64 - logW} AS b FROM r${r}d),
+         |r${r}ctr AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS c FROM r${r}e GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until depth)
+      .map(r => s"JOIN r${r}e ON r${r}e.x = n.x JOIN r${r}ctr ON r${r}ctr.b = r${r}e.b")
+      .mkString("\n")
+    val least = (0 until depth).map(r => s"r${r}ctr.c").mkString("LEAST(", ", ", ")")
+    s"""
+    WITH n AS (SELECT CAST(user_id AS UBIGINT) AS x, COUNT(*) AS cnt FROM events GROUP BY 1),
+    $chains
+    SELECT CAST(n.x AS BIGINT) AS user_id, n.cnt AS n_exact, $least AS cms_est
+    FROM n
+    $joins"""
+  }
+
+  /** DuckDB replay of [[graft.operators.Funnel.shapleyAttribution]]:
+    * coalition flags (distinct strictly-pre-conversion touches per user),
+    * a 2ⁿ bit-cross-join enumerating every subset, INCLUSIVE v(S) over
+    * journeys with coalition ⊆ S on the 1e-9 grid, per-channel
+    * factorial-weighted exact decimal sums, one double division by n!
+    * under round(·, 6). */
+  private def shapleySql(channels: Seq[String], convType: String): String = {
+    val chans = channels.sorted
+    val n     = chans.size
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val nFact    = fact(n)
+    val bitsFrom = chans.indices.map(i => s"(VALUES (0), (1)) b$i(${chans(i)}_b)").mkString(", ")
+    val flagCols = chans
+      .map(c => s"MAX(CASE WHEN touch.t = '$c' THEN 1 ELSE 0 END) AS ${c}_b")
+      .mkString(",\n                 ")
+    val coalBits = chans.map(c => s"${c}_b").mkString(", ")
+    val subsetOn = chans.map(c => s"coal.${c}_b <= subs.${c}_b").mkString(" AND ")
+    val subsBits = chans.map(c => s"subs.${c}_b").mkString(", ")
+    val szExpr   = chans.map(c => s"${c}_b").mkString(" + ")
+    val wCase = (0 until n).map(s => s"WHEN $s THEN ${fact(s) * fact(n - 1 - s)}")
+      .mkString("CASE v0.sz ", " ", " END")
+    val arms = chans.map { ch =>
+      val otherEq = chans.filterNot(_ == ch).map(c => s"v0.${c}_b = v1.${c}_b").mkString(" AND ")
+      s"""SELECT '$ch' AS channel,
+         |       CAST($wCase AS DECIMAL(6,0)) * (v1.v - v0.v) AS term
+         |FROM v v0 JOIN v v1 ON $otherEq AND v0.${ch}_b = 0 AND v1.${ch}_b = 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""
+    WITH ev AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+    conv AS (SELECT u, MIN(ts) AS cts FROM ev WHERE t = '$convType' GROUP BY 1),
+    touch AS (SELECT DISTINCT e.u, e.t FROM ev e LEFT JOIN conv c USING (u)
+              WHERE e.t IN (${chans.map("'" + _ + "'").mkString(", ")})
+                AND (c.cts IS NULL OR e.ts < c.cts)),
+    users AS (SELECT DISTINCT u FROM ev),
+    flags AS (SELECT users.u,
+                 $flagCols
+              FROM users LEFT JOIN touch ON touch.u = users.u GROUP BY users.u),
+    j AS (SELECT flags.*, CASE WHEN conv.u IS NULL THEN 0 ELSE 1 END AS cv
+          FROM flags LEFT JOIN conv ON flags.u = conv.u),
+    coal AS (SELECT $coalBits, COUNT(*) AS nj, SUM(cv) AS nc FROM j GROUP BY ${(1 to n).mkString(", ")}),
+    subs AS (SELECT $coalBits, $szExpr AS sz FROM $bitsFrom),
+    v AS (SELECT $subsBits, subs.sz,
+                 COALESCE(CAST(round(CAST(SUM(coal.nc) AS DOUBLE) / CAST(SUM(coal.nj) AS DOUBLE), 9) AS DECIMAL(20,9)),
+                          CAST(0 AS DECIMAL(20,9))) AS v
+          FROM subs LEFT JOIN coal ON $subsetOn
+          GROUP BY $subsBits, subs.sz),
+    contrib AS ($arms),
+    agg AS (SELECT channel, SUM(term) AS s FROM contrib GROUP BY 1)
+    SELECT channel, round(CAST(s AS DOUBLE) / ${nFact}.0, 6) AS credit FROM agg ORDER BY channel
+    """
+  }
+
   private def bloomMembershipSql(logBits: Int, nHashes: Int): String = {
     def mulmod(a: String, c: String): String =
       s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT

@@ -166,6 +166,53 @@ class FunnelSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3.0)
   }
 
+  test("shapleyAttribution: symmetric split, null player zero, direct-conversion baseline") {
+    // u1 touches A,B then converts; u2 touches A,B and does not:
+    // v({A,B}) = 0.5, singletons unobserved -> 0.
+    // phi_A = [0!1!*(v(A)-v(0)) + 1!0!*(v(AB)-v(B))]/2! = 0.5/2 = 0.25 = phi_B
+    val sym = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a_chan"),
+      (1L, ts("2024-01-01 10:01:00"), "b_chan"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "a_chan"),
+      (2L, ts("2024-01-01 11:01:00"), "b_chan")
+    ).toDF("user_id", "ts", "event_type")
+    val s = graft.operators.Funnel
+      .shapleyAttribution(sym, "user_id", "ts", "event_type", "purchase", Seq("a_chan", "b_chan"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s == Map("a_chan" -> 0.25, "b_chan" -> 0.25), s.toString)
+    // null player: a channel in the set but never touched gets exactly 0
+    val n = graft.operators.Funnel
+      .shapleyAttribution(sym, "user_id", "ts", "event_type", "purchase",
+        Seq("a_chan", "b_chan", "ghost"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(n("ghost") == 0.0, n.toString)
+    // direct conversions raise the v(empty) baseline: u3 converts
+    // untouched -> v(0) = 1/1; inclusive v({A}) covers all 3 journeys
+    // -> 2/3; phi_A = 0.666666667 - 1 = -0.333333 (A anti-correlated)
+    val direct = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a_chan"),
+      (1L, ts("2024-01-01 10:01:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "a_chan"),
+      (3L, ts("2024-01-01 12:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val d = graft.operators.Funnel
+      .shapleyAttribution(direct, "user_id", "ts", "event_type", "purchase", Seq("a_chan"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d("a_chan") == -0.333333, d.toString)
+    // touches at-or-after the first conversion do not join the coalition:
+    // the only journey is coalition-empty and converted, so v(0) = v(A)
+    // = 1 and the channel earns exactly nothing
+    val after = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase"),
+      (1L, ts("2024-01-01 10:01:00"), "a_chan")
+    ).toDF("user_id", "ts", "event_type")
+    val a = graft.operators.Funnel
+      .shapleyAttribution(after, "user_id", "ts", "event_type", "purchase", Seq("a_chan"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a("a_chan") == 0.0, a.toString)
+  }
+
   test("sprtDaily: closed-form LLR trajectory and boundary decisions") {
     // p0=0.2 vs p1=0.8: l1 = ln4, l0 = ln(1/4) = -l1 (snapped at 1e-12).
     // day1: 2/10 successes -> llr = -6*ln4 = -8.317766 <= ln(1/19) -> accept_h0

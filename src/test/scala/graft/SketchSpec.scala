@@ -148,6 +148,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable count-min: est >= exact always, exact at wide width, partitioning-invariant") {
+    import spark.implicits._
+    val keys = (1L to 200L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+    val df   = keys.toDF("k")
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // wide matrix: 200 keys in 2^16 buckets x 4 rows -- collision-free in
+    // practice; every estimate still must be >= exact by construction
+    val wide = Sketches.cmsBuild(df, "k", logW = 16, depth = 4)
+    exact.foreach { case (k, n) =>
+      val e = Sketches.cmsEstimate(wide, k, 16, 4)
+      assert(e == n, s"key $k est=$e exact=$n (no collision expected at 2^16)")
+    }
+    // narrow matrix forces collisions: estimates may inflate, never deflate
+    val narrow = Sketches.cmsBuild(df, "k", logW = 4, depth = 4)
+    exact.foreach { case (k, n) =>
+      assert(Sketches.cmsEstimate(narrow, k, 4, 4) >= n, s"undercount at key $k")
+    }
+    // linear merge: the matrix from an 8-partition build is bit-identical
+    // to the 1-partition build (entrywise addition is order-free)
+    val repart = Sketches.cmsBuild(df.repartition(8), "k", logW = 10, depth = 4)
+    val single = Sketches.cmsBuild(df.coalesce(1), "k", logW = 10, depth = 4)
+    assert(repart.sameElements(single))
+    // probe path carries probe columns through
+    val probes = df.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+    val out = Sketches.cmsCounts(df, "k", probes, "k", logW = 16, depth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (k, n, e) => assert(e == n, s"key $k est=$e exact=$n") }
+  }
+
   test("approx quantiles are within 2% rank error of exact") {
     val qs = Seq(0.5, 0.95, 0.99)
     val approx = Sketches
