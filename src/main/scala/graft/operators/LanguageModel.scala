@@ -144,6 +144,34 @@ object LanguageModel {
         round(col("s").cast("double") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
   }
 
+  /** Good-Turing frequency re-estimation (Good 1953) — the third count-LM
+    * smoothing beside add-k (bigramScore) and Kneser-Ney: the adjusted
+    * count for words seen r times is r* = (r+1)·N_{r+1}/N_r over the
+    * count-of-counts table, the estimator behind Katz backoff and the
+    * classic "unseen mass = N₁/N" rule. Two aggregations — token counts,
+    * then counts-of-counts — collapse the corpus to a model-sized table
+    * (one row per distinct frequency); r* is ONE fixed-order double
+    * formula from exact integers under round(·, 6), NULL where N_{r+1}=0
+    * (the raw estimator's gaps are the caller's smoothing decision — we
+    * report, not interpolate). Output: (r, n_r, r_star) ascending. */
+  def goodTuring(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(toks(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+    val nr = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val next = nr.select(col("r").as("r1"), col("n_r").as("n_r1"))
+    nr
+      .join(broadcast(next), col("r1") === col("r") + 1, "left")
+      .select(
+        col("r"),
+        col("n_r"),
+        round(
+          ((col("r") + 1) * col("n_r1").cast("double")) / col("n_r").cast("double"),
+          6).as("r_star"))
+      .orderBy(col("r"))
+  }
+
   /** CCNet-style head/middle/tail corpus partitioning (Wenzek et al. 2020
     * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): score every document under the in-corpus bigram LM, then cut

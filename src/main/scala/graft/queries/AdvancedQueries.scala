@@ -302,6 +302,69 @@ object AdvancedQueries {
         Tables(spark, dir).events, "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.125)
     },
 
+    // ------------------------------------ holdout forecast evaluation
+    // The EVAL leg of the time-series family: hold out the last 7 days
+    // of each event type's daily-count series, fit Holt on the prefix
+    // (the proven recursive fold, binary-exact alpha/beta), extrapolate
+    // l + h*b, and score MAE / MAPE / sMAPE / MASE — errors snap to the
+    // 1e-6 grid (exact for count series), per-term ratios to 1e-9,
+    // exact decimal sums, one division per metric under round(., 6).
+    Q(
+      "events_forecast_accuracy",
+      Some("""
+        WITH RECURSIVE dd AS (SELECT event_type AS key, date_trunc('day', ts) AS d, COUNT(*) AS vi
+                              FROM events GROUP BY 1, 2),
+        seq0 AS (SELECT key, CAST(vi AS DOUBLE) AS v,
+                        row_number() OVER (PARTITION BY key ORDER BY d) AS rn
+                 FROM dd),
+        cnt AS (SELECT key, COUNT(*) AS n FROM seq0 GROUP BY 1 HAVING COUNT(*) >= 9),
+        seq AS (SELECT s.key, s.v, s.rn, c.n FROM seq0 s JOIN cnt c USING (key)),
+        tr AS (SELECT key, v, rn FROM seq WHERE rn <= n - 7),
+        ntr AS (SELECT key, COUNT(*) AS n_train FROM tr GROUP BY 1),
+        hw(key, rn, l, b) AS (
+          SELECT key, rn, v, 0.0::DOUBLE FROM tr WHERE rn = 1
+          UNION ALL
+          SELECT t.key, t.rn,
+                 0.25::DOUBLE * t.v + 0.75::DOUBLE * (h.l + h.b),
+                 0.125::DOUBLE * ((0.25::DOUBLE * t.v + 0.75::DOUBLE * (h.l + h.b)) - h.l)
+                   + 0.875::DOUBLE * h.b
+          FROM hw h JOIN tr t ON t.key = h.key AND t.rn = h.rn + 1),
+        fit AS (SELECT h.key, ROUND(h.l, 6) AS l, ROUND(h.b, 6) AS b
+                FROM hw h JOIN ntr ON ntr.key = h.key AND h.rn = ntr.n_train),
+        naive AS (SELECT key, SUM(CAST(round(abs(v - prev), 6) AS DECIMAL(20,6))) AS nsum,
+                         COUNT(*) AS m
+                  FROM (SELECT key, v, lag(v) OVER (PARTITION BY key ORDER BY rn) AS prev FROM tr)
+                  WHERE prev IS NOT NULL GROUP BY 1),
+        hold AS (SELECT key, rn - (n - 7) AS h, v FROM seq WHERE rn > n - 7),
+        e AS (SELECT hold.key, hold.h, hold.v, round(fit.l + hold.h * fit.b, 6) AS yhat
+              FROM hold JOIN fit USING (key)),
+        ae AS (SELECT key, v, yhat, CAST(round(abs(v - yhat), 6) AS DECIMAL(20,6)) AS ae FROM e),
+        t2 AS (SELECT key, COUNT(*) AS hn, SUM(ae) AS sae,
+                      SUM(CASE WHEN v <> 0
+                               THEN CAST(round(CAST(ae AS DOUBLE) / abs(v), 9) AS DECIMAL(20,9)) END) AS ape_s,
+                      COUNT(CASE WHEN v <> 0 THEN 1 END) AS ape_n,
+                      SUM(CASE WHEN abs(v) + abs(yhat) > 0
+                               THEN CAST(round(2.0 * CAST(ae AS DOUBLE) / (abs(v) + abs(yhat)), 9) AS DECIMAL(20,9)) END) AS smape_s,
+                      COUNT(CASE WHEN abs(v) + abs(yhat) > 0 THEN 1 END) AS smape_n
+               FROM ae GROUP BY 1),
+        m2 AS (SELECT t2.*, round(CAST(sae AS DOUBLE) / CAST(hn AS DOUBLE), 6) AS mae FROM t2)
+        SELECT m2.key, ntr.n_train, m2.hn AS horizon, m2.mae,
+               CASE WHEN ape_n > 0
+                    THEN round(CAST(ape_s AS DOUBLE) / CAST(ape_n AS DOUBLE), 6) END AS mape,
+               CASE WHEN smape_n > 0
+                    THEN round(CAST(smape_s AS DOUBLE) / CAST(smape_n AS DOUBLE), 6) END AS smape,
+               CASE WHEN nsum > 0
+                    THEN round(mae / (CAST(nsum AS DOUBLE) / CAST(m AS DOUBLE)), 6) END AS mase
+        FROM m2 JOIN ntr USING (key) JOIN naive USING (key)
+        ORDER BY m2.key
+      """)) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type").as("etype"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.TimeSeries.forecastAccuracy(
+        daily, "etype", "d", "d", "v", alpha = 0.25, beta = 0.125, horizon = 7)
+    },
+
     // ------------------------------------------------- autocorrelation
     // Sample ACF of the global hourly event-count series at lags 1..12 —
     // the seasonality/independence detector. Exact-integer trick: with

@@ -1474,6 +1474,27 @@ object PipelineQueries {
       LanguageModel.kneserNeyScore(docs, docs, "doc_id", "text")
     },
 
+    // ------------------------------------- Good-Turing re-estimation
+    // The estimator behind Katz backoff: adjusted count r* =
+    // (r+1)*N_{r+1}/N_r over the counts-of-counts table (Good 1953).
+    // Two aggregations collapse the corpus to one row per distinct
+    // frequency; r* is one fixed-order double formula from exact
+    // integers, NULL at count-of-count gaps (reported, not smoothed).
+    Q(
+      "lm_good_turing",
+      Some("""
+        WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+                    FROM documents),
+        c AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY 1),
+        nr AS (SELECT c AS r, COUNT(*) AS n_r FROM c GROUP BY 1)
+        SELECT a.r, a.n_r,
+               round(((a.r + 1) * CAST(b.n_r AS DOUBLE)) / CAST(a.n_r AS DOUBLE), 6) AS r_star
+        FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+        ORDER BY a.r
+      """)) { (spark, dir) =>
+      LanguageModel.goodTuring(Tables(spark, dir).documents, "text")
+    },
+
     // --------------------------- CCNet head/middle/tail LM partitioning
     // The signature CCNet move (Wenzek et al. 2020): tercile-cut the
     // corpus by in-corpus LM fluency — head kept for training, tail

@@ -59,6 +59,23 @@ class LanguageModelSpec extends SparkSpec {
     assert(pAB > pBA)
   }
 
+  test("goodTuring: counts-of-counts closed form, NULL at gaps") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val rows = LanguageModel.goodTuring(docs, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // counts a=3 b=2 c=1 -> N1=N2=N3=1: r*=2 at r=1, r*=3 at r=2, gap at r=3
+    assert(rows == Map(
+      1L -> ((1L, Some(2.0))),
+      2L -> ((1L, Some(3.0))),
+      3L -> ((1L, None))), rows.toString)
+    // a frequency gap (no words seen exactly r+1 times) yields NULL too
+    val gap = Seq((1L, "x x x y")).toDF("doc_id", "text") // counts 3 and 1: N2=0
+    val g = LanguageModel.goodTuring(gap, "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(g == Map(1L -> None, 3L -> None), g.toString)
+  }
+
   test("bigramScore on the corpus: repeated boilerplate outscores rare transitions") {
     val docs = Tables(spark, SharedSpark.sf0001).documents
     val out  = LanguageModel.bigramScore(docs, docs, "doc_id", "text").collect()

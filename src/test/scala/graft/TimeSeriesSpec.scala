@@ -137,6 +137,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(acf.forall(_.isNullAt(2)), acf.mkString(","))
   }
 
+  test("forecastAccuracy: hand-folded Holt holdout metrics, constant-train MASE NULL, short keys drop") {
+    // g: series 1,2,3,4 horizon 2 -> train (1,2): l=1.25, b=0.03125
+    // yhat = 1.28125, 1.3125; ae = 1.71875, 2.6875 -> mae = 2.203125
+    // h: series 5,5,9,9 -> constant train: naive MAE 0 -> mase NULL
+    // s: only 3 points < horizon+2 -> dropped
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L),
+      ("h", 1L, 5L), ("h", 2L, 5L), ("h", 3L, 9L), ("h", 4L, 9L),
+      ("s", 1L, 1L), ("s", 2L, 2L), ("s", 3L, 3L)
+    ).toDF("key", "t", "v")
+    val out = TimeSeries.forecastAccuracy(df, "key", "t", "t", "v",
+        alpha = 0.25, beta = 0.125, horizon = 2)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(out.keySet == Set("g", "h"), out.keySet.toString)
+    val g = out("g")
+    assert((g.getLong(1), g.getLong(2)) == ((2L, 2L)), g.toString)
+    assert(g.getDouble(3) == 2.203125, g.toString)       // mae
+    assert(g.getDouble(4) == 0.622396, g.toString)       // mape
+    assert(g.getDouble(5) == 0.907342, g.toString)       // smape
+    assert(g.getDouble(6) == 2.203125, g.toString)       // mase (naive MAE = 1)
+    val h = out("h")
+    assert(h.getDouble(3) == 4.0 && h.isNullAt(6), h.toString)
+    assert(h.getDouble(4) == 0.444444, h.toString)
+  }
+
   test("groupLinearTrend: exact line recovered, degenerate groups NULL, partitioning-invariant") {
     import spark.implicits._
     val df = (
