@@ -330,6 +330,38 @@ object EventStreams {
         })
   }
 
+  /** Streaming count-min matrix — the frequency-serving twin of
+    * [[graft.operators.Sketches.cmsCounts]]. Count-min is LINEAR
+    * (counters are sums of per-row indicators), so unlike SpaceSaving
+    * the stream needs no order-sensitive fold at all: each event
+    * explodes to its `depth` (row, bucket) cells — the same
+    * splitmix64-seeded buckets as the batch sketch, computed by the
+    * codegen'd Mix64 expression, no UDF — and a streaming groupBy
+    * count IS the matrix. State is bounded by depth·2^logW cells
+    * regardless of stream length or key cardinality, cells update in
+    * parallel (no single global state group), and the result equals the
+    * batch matrix EXACTLY under ANY micro-batch boundaries or arrival
+    * order — linearity makes rebatching-invariance a theorem, not a
+    * caveat (contrast spaceSavingStream's per-batch guarantee).
+    * Works unchanged on a batch frame (the spec pins stream ≡ batch ≡
+    * Sketches.cmsBuild cell for cell). */
+  def cmsStream(events: DataFrame, keyCol: String, logW: Int = 10, depth: Int = 4): DataFrame = {
+    require(logW >= 3 && logW <= 24, s"logW must be in [3,24], got $logW")
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    val cells = (0 until depth).map { r =>
+      val seed = graft.operators.Sketches.BloomGolden * (r + 1).toLong
+      struct(
+        lit(r).as("row"),
+        shiftrightunsigned(
+          graft.functions.TextFunctions.mix64(col(keyCol).cast("long").bitwiseXOR(lit(seed))),
+          64 - logW).as("bucket"))
+    }
+    events
+      .select(explode(array(cells: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   final case class SsCounter(key: Long, count: Long, err: Long)
   final case class SsState(counters: Array[SsCounter], nRows: Long)
   final case class SsTop(shard: Int, key: Long, count_min: Long, count_max: Long, n_rows: Long)

@@ -557,6 +557,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamedFlags == batchFlags)
   }
 
+  test("streaming count-min matrix equals the batch sketch cell for cell, any batching") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val sq = EventStreams
+      .cmsStream(mem.toDF().toDF("k"), "k", logW = 6, depth = 4)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("cms_out")
+      .start()
+    val keys = (1L to 50L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
+    try {
+      // deliberately uneven batch boundaries: linearity makes them irrelevant
+      mem.addData(keys.take(13): _*); sq.processAllAvailable()
+      mem.addData(keys.slice(13, 90): _*); sq.processAllAvailable()
+      mem.addData(keys.drop(90): _*); sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: the same operator on a batch frame
+    val batchDf = EventStreams.cmsStream(keys.toDF("k"), "k", logW = 6, depth = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchDf, "stream != batch operator")
+    // and the aggregator-built matrix: nonzero cells must coincide exactly
+    val matrix = graft.operators.Sketches.cmsBuild(keys.toDF("k"), "k", logW = 6, depth = 4)
+    val cells = (for {
+      r <- 0 until 4; b <- 0 until 64
+      c = matrix((r << 6) + b) if c != 0L
+    } yield (r, b.toLong, c)).toSet
+    assert(streamed == cells, "stream != Sketches.cmsBuild matrix")
+  }
+
   test("spaceSaving heavy hitters: bounds hold, frequent keys guaranteed, k counters per shard") {
     import spark.implicits._
     val k = 16
