@@ -560,6 +560,218 @@ object DataQuality {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** All-pairs Mann-Whitney z-tests with Benjamini-Hochberg FDR control
+    * (Benjamini & Hochberg 1995) — the missing piece once a monitor runs a
+    * BATTERY of tests: at m = g·(g−1)/2 pairs, per-test α guarantees ~α·m
+    * false alarms; BH's step-up rule caps the expected FALSE-DISCOVERY
+    * RATE instead, the standard correction for drift dashboards.
+    *
+    * Fully distributed all-pairs formulation (unlike [[mannWhitneyPairs]]'
+    * per-pair driver loop): ONE grouped count per (group, value), a
+    * (values × groups) frame with per-group cumulative-below counts, and
+    * one value-keyed join producing every ordered pair's exact-integer
+    * 2U_a = Σ_v 2·c_a(v)·C_b(<v) + c_a(v)·c_b(v) — ties pay the half by
+    * construction. The normal approximation (no tie correction — the
+    * documented convention, exact given it) is one fixed-order double
+    * formula from exact longs: z = (2U − n_a·n_b)/√(n_a·n_b·(n_a+n_b+1)/3)
+    * under round(·, 6); the two-sided p = erfc(|z|/√2) via the
+    * Abramowitz-Stegun 7.1.26 polynomial (|ε| < 1.5·10⁻⁷ — both engines
+    * evaluate the SAME Horner chain, so parity is exact even though the
+    * approximation isn't) under round(·, 9). BH itself is two windows over
+    * the m-row pair table: rank by (p asc, pair asc), raw q = m·p/rank on
+    * the 1e-9 grid, adjusted q = running MIN from the bottom (min of grid
+    * values — order-free) clamped to 1; reject ⇔ q ≤ alpha.
+    *
+    * Scale: the data-sized stage is the single (group, value) count
+    * (map-side combined). The frame is |values|·g rows and the pair join
+    * |values|·g² — document-bounded for the low-cardinality group axes
+    * this is for (require ≤ 64 groups, same stance as mannWhitneyPairs);
+    * the BH windows run over m ≤ 2016 rows. */
+  def bhFdrMannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(groupCol).cast("string").as("g"), col(valueCol).as("v"))
+    val cnt = pts.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val grp = cnt.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val nGroups = grp.count()
+    require(nGroups >= 2 && nGroups <= 64, s"need 2..64 groups, got $nGroups")
+    val vals  = cnt.select(col("v")).distinct()
+    val frame = vals
+      .crossJoin(broadcast(grp.select(col("g"))))
+      .join(cnt, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val wcum = W.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val cum = frame.withColumn("cum_below", coalesce(sum(col("c")).over(wcum), lit(0L)))
+    val a = cnt.select(col("g").as("ga"), col("v"), col("c").as("ca"))
+    val b = cum.select(col("g").as("gb"), col("v"), col("c").as("cb"), col("cum_below"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u2 = a
+      .join(b, Seq("v"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      // DECIMAL(38,0) terms: c·cumBelow is O(n²) and wraps long past ~3e9-row
+      // groups; the final cast fails loudly (ANSI) instead of wrapping
+      .agg(sum(col("ca").cast(dec38) * col("cum_below") * 2 + col("ca").cast(dec38) * col("cb"))
+        .cast("long").as("u2_a"))
+    val dbl = (c: Column) => c.cast("double")
+    val sd2u = sqrt(dbl(col("n_a")) * dbl(col("n_b")) * dbl(col("n_a") + col("n_b") + 1) / 3.0)
+    val zc   = round((dbl(col("u2_a")) - dbl(col("n_a")) * dbl(col("n_b"))) / sd2u, 6)
+    // A&S 7.1.26 erfc on x = |z|/sqrt(2): t = 1/(1 + 0.3275911 x),
+    // erfc(x) = (((((a5 t + a4) t) + a3) t + a2) t + a1) t · e^{−x²}
+    val x = abs(col("z")) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t + lit(1.421413741)) * t
+      - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val scored = u2
+      .join(broadcast(grp.select(col("g").as("ga"), col("n").as("n_a"))), Seq("ga"))
+      .join(broadcast(grp.select(col("g").as("gb"), col("n").as("n_b"))), Seq("gb"))
+      .withColumn("z", zc)
+      .withColumn("p_value", round(poly * exp(-x * x), 9))
+    val m     = java.lang.Math.toIntExact(nGroups * (nGroups - 1) / 2)
+    val wrank = W.orderBy(col("p_value").asc, col("ga").asc, col("gb").asc)
+    val wmin = W.orderBy(col("p_rank").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    scored
+      .withColumn("p_rank", row_number().over(wrank))
+      .withColumn("q_raw", round(lit(m.toDouble) * col("p_value") / dbl(col("p_rank")), 9))
+      .withColumn("q_value", least(min(col("q_raw")).over(wmin), lit(1.0)))
+      .select(
+        col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("u2_a"),
+        col("z"), col("p_value"), col("p_rank"), col("q_value"),
+        (col("q_value") <= alpha).as("reject"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
+  /** Per-group trimmed mean — the robust location estimate between the
+    * mean (breakdown 0) and the median (breakdown ½): drop the
+    * ⌊n·trimPct⌋ smallest and largest values, average the middle. Exact
+    * arithmetic: the kept window is a pure rank selection (ties are
+    * interchangeable — dropping k smallest under ties removes the same
+    * multiset whatever the tie order), the kept sum is an exact integer
+    * (integral values — cents/counts upstream), and the mean is ONE
+    * division under round(·, 6). One window pass + one aggregation. */
+  def trimmedMean(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      trimPct: Double = 0.05): DataFrame = {
+    require(trimPct >= 0 && trimPct < 0.5, s"trimPct must be in [0, 0.5), got $trimPct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("k", floor(col("n") * trimPct))
+      .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy(col("g"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("k")).as("n_trimmed_each"),
+        count(lit(1)).as("n_kept"),
+        sum(col("v")).as("s"))
+      .select(
+        col("g").as("group_key"),
+        col("n"),
+        col("n_trimmed_each"),
+        col("n_kept"),
+        round(col("s").cast("double") / col("n_kept").cast("double"), 6).as("trimmed_mean"))
+      .orderBy(col("group_key"))
+  }
+
+  /** Cramér's V association between two categorical columns (Cramér
+    * 1946) — the [0, 1] effect size the χ² tests lack (χ² grows with N;
+    * V answers "how strong", the pair to quality_drift_chi2's "is it
+    * real"): V = sqrt(χ²/(N·(min(r,c)−1))). Observed counts and margins
+    * are exact integers from ONE contingency aggregation (absent cells
+    * count as real zeros via the margin frame, the chi2Features
+    * discipline); each (O−E)²/E snaps to the 1e-9 grid so the χ² sum is
+    * an exact decimal; V is one fixed-order sqrt formula from the
+    * round-6 χ² under round(·, 6). Degenerate tables (r or c = 1) emit
+    * NULL, never NaN. */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val cells = df
+      .select(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("row_t"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("col_t"))
+    val nT   = cells.agg(sum(col("o")).as("n"))
+    val frame = rowT.crossJoin(broadcast(colT)).crossJoin(broadcast(nT))
+    val e = col("row_t").cast("double") * col("col_t").cast("double") / col("n").cast("double")
+    val o = coalesce(col("o"), lit(0L)).cast("double")
+    val chi2 = frame
+      .join(cells, Seq("a", "b"), "left")
+      .select(
+        col("n"),
+        round((o - e) * (o - e) / e, 9).cast(dec9).as("term"))
+      .groupBy(col("n"))
+      .agg(round(sum(col("term")), 6).cast("double").as("chi2"))
+    val shape = rowT.agg(count(lit(1)).as("r")).crossJoin(colT.agg(count(lit(1)).as("c")))
+    chi2
+      .crossJoin(broadcast(shape))
+      .select(
+        col("n"),
+        col("r").as("n_rows_cat"),
+        col("c").as("n_cols_cat"),
+        col("chi2"),
+        when(least(col("r"), col("c")) > 1,
+          round(
+            sqrt(col("chi2") / (col("n").cast("double") * (least(col("r"), col("c")) - 1).cast("double"))),
+            6)).as("cramers_v"))
+  }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    * categorical raters (two annotators, or two automated quality gates
+    * whose consistency a labeling pipeline must audit):
+    * κ = (N·Σ_c O_cc − Σ_c n_a(c)·n_b(c)) / (N² − Σ_c n_a(c)·n_b(c)),
+    * the cross-multiplied form of (p_o − p_e)/(1 − p_e) — EXACT integer
+    * numerator and denominator from one contingency pass + two margins,
+    * ONE division under round(·, 6). p_o and p_e are emitted as their own
+    * single divisions (κ is NOT computed from the rounded p's). Both
+    * raters constant and equal (denominator 0) yields NULL, never NaN.
+    * Output: one row (n, n_categories, p_observed, p_expected, kappa). */
+  def cohensKappa(df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    val cells = df
+      .select(col(raterACol).cast("string").as("a"), col(raterBCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy(col("a").as("c")).agg(sum(col("o")).as("na"))
+    val mb = cells.groupBy(col("b").as("c")).agg(sum(col("o")).as("nb"))
+    val marg = ma
+      .join(mb, Seq("c"), "full_outer")
+      .select(col("c"), coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"))
+    val dbl = (c: Column) => c.cast("double")
+    val agg = cells
+      .agg(
+        sum(col("o")).as("n"),
+        sum(when(col("a") === col("b"), col("o")).otherwise(lit(0L))).as("agree"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ex = marg.agg(
+      count(lit(1)).as("n_categories"),
+      // DECIMAL(38,0) products: margins at petabyte row counts overflow long
+      sum(col("na").cast(dec38) * col("nb")).as("pe_num"))
+    val n2 = col("n").cast(dec38) * col("n")
+    agg
+      .crossJoin(broadcast(ex))
+      .select(
+        col("n"),
+        col("n_categories"),
+        round(dbl(col("agree")) / dbl(col("n")), 6).as("p_observed"),
+        round(dbl(col("pe_num")) / dbl(n2), 6).as("p_expected"),
+        round(
+          when(n2 =!= col("pe_num"),
+            dbl(col("n").cast(dec38) * col("agree") - col("pe_num")) / dbl(n2 - col("pe_num"))),
+          6).as("kappa"))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns — the
     * privacy gate a dataset passes before release (Sweeney 2002; Machanavajjhala
     * et al. 2007): every QI combination's group size (re-identification risk
@@ -583,6 +795,71 @@ object DataQuality {
           col("l_diversity"),
           (col("group_size") < k).as("k_violation"),
           (col("l_diversity") < l).as("l_violation")): _*)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the release-privacy ladder after [[kAnonymityAudit]]'s
+    * k/l checks: a QI group can be k-anonymous and l-diverse yet still
+    * leak when its sensitive-value DISTRIBUTION differs from the global
+    * one (the "everyone in this group earns more" attack). For an ordinal
+    * sensitive attribute the distance is the ordered earth-mover's
+    * distance D(P,Q) = Σᵢ |cumP_i − cumQ_i| / (k−1) over the k ordered
+    * categories.
+    *
+    * Exact arithmetic: cross-multiplied cumulative counts make each term
+    * |N·cumP_i − n_g·cumQ_i| an exact long (the i = k term is identically
+    * 0, so summing ALL i is the same sum); ONE division by
+    * n_g·N·(k−1) under round(·, 6). k = 1 (a single global category)
+    * yields NULL, never a division error.
+    *
+    * Shape: one (QI, value) count (the only data-sized stage), then a
+    * groups × k frame with per-group cumulative windows — k is the
+    * sensitive attribute's category count (ordinal ⇒ small by nature).
+    * Output per QI group: (qi…, group_size, emd_t, t_violation). */
+  def tClosenessAudit(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double = 0.2): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val W = org.apache.spark.sql.expressions.Window
+    val qi = qiCols.map(col)
+    val gv = df
+      .groupBy(qi :+ col(sensitiveCol).as("sv"): _*)
+      .agg(count(lit(1)).as("pc"))
+    val qv    = gv.groupBy(col("sv")).agg(sum(col("pc")).as("qc"))
+    val keys  = gv.select(qi: _*).distinct()
+    val frame = keys
+      .crossJoin(broadcast(qv))
+      .join(gv, qiCols :+ "sv", "left")
+      .select(qi ++ Seq(col("sv"), col("qc"), coalesce(col("pc"), lit(0L)).as("pc")): _*)
+    val wcum = W.partitionBy(qi: _*).orderBy(col("sv"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wall = W.partitionBy(qi: _*)
+    val dbl  = (c: Column) => c.cast("double")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    frame
+      .withColumn("cum_p", sum(col("pc")).over(wcum))
+      .withColumn("cum_q", sum(col("qc")).over(wcum))
+      .withColumn("n_g", sum(col("pc")).over(wall))
+      .withColumn("n_tot", sum(col("qc")).over(wall))
+      .groupBy(qi: _*)
+      .agg(
+        first(col("n_g")).as("group_size"),
+        first(col("n_tot")).as("n_total"),
+        count(lit(1)).as("k_cats"),
+        // DECIMAL(38,0) products: N·cumP at petabyte row counts overflows long
+        sum(abs(col("n_tot").cast(dec38) * col("cum_p") - col("n_g").cast(dec38) * col("cum_q")))
+          .as("s_num"))
+      .select(
+        qi ++ Seq(
+          col("group_size"),
+          col("k_cats"),
+          round(
+            when(col("k_cats") > 1,
+              dbl(col("s_num")) / (dbl(col("group_size")) * dbl(col("n_total")) * dbl(col("k_cats") - 1))),
+            6).as("emd_t")): _*)
+      .withColumn("t_violation", col("emd_t") > t)
   }
 
   /** Robust per-group outlier flags via MAD (median absolute deviation):

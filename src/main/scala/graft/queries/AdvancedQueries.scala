@@ -365,6 +365,52 @@ object AdvancedQueries {
         daily, "etype", "d", "d", "v", alpha = 0.25, beta = 0.125, horizon = 7)
     },
 
+    // ---------------------------------------- Theil-Sen robust trend
+    // The median-of-pairwise-slopes estimator (29% breakdown) beside
+    // the OLS trend one wild day can drag: per-pair slopes snap to the
+    // 1e-9 grid, medians are pure rank selections (two-middle average
+    // under round(., 6)), intercept residuals use the rounded slope.
+    // Pairs live on the post-aggregation daily series — series-sized
+    // squared, never data-sized.
+    Q(
+      "events_theil_sen",
+      Some("""
+        WITH dd AS (SELECT event_type AS key, date_trunc('day', ts) AS d, COUNT(*) AS v
+                    FROM events GROUP BY 1, 2),
+        p AS (SELECT key, date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) AS x,
+                     CAST(v AS BIGINT) AS y
+              FROM dd),
+        pr AS (SELECT a.key,
+                      CAST(round(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE), 9) AS DECIMAL(20,9)) AS s
+               FROM p a JOIN p b ON a.key = b.key AND b.x > a.x),
+        sr AS (SELECT key, s, row_number() OVER (PARTITION BY key ORDER BY s) AS rn,
+                      COUNT(*) OVER (PARTITION BY key) AS m
+               FROM pr),
+        sm AS (SELECT key, round(AVG(CAST(s AS DOUBLE)), 6) AS slope, MIN(m) AS n_pairs
+               FROM sr WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY key),
+        res AS (SELECT p.key,
+                       CAST(round(CAST(p.y AS DOUBLE) - sm.slope * CAST(p.x AS DOUBLE), 9) AS DECIMAL(20,9)) AS r
+                FROM p JOIN sm USING (key)),
+        rr AS (SELECT key, r, row_number() OVER (PARTITION BY key ORDER BY r) AS rn,
+                      COUNT(*) OVER (PARTITION BY key) AS m
+               FROM res),
+        im AS (SELECT key, round(AVG(CAST(r AS DOUBLE)), 6) AS intercept
+               FROM rr WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY key),
+        np AS (SELECT key, COUNT(*) AS n_points FROM p GROUP BY 1)
+        SELECT np.key, np.n_points, sm.n_pairs, sm.slope, im.intercept
+        FROM np JOIN sm USING (key) JOIN im USING (key)
+        ORDER BY np.key
+      """)) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type").as("etype"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("v"))
+        .select(
+          col("etype"),
+          datediff(col("d").cast("date"), to_date(lit("1970-01-01"))).as("x"),
+          col("v"))
+      graft.operators.TimeSeries.theilSenTrend(daily, "etype", "x", "v")
+    },
+
     // ------------------------------------------------- autocorrelation
     // Sample ACF of the global hourly event-count series at lags 1..12 —
     // the seasonality/independence detector. Exact-integer trick: with

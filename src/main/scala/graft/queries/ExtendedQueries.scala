@@ -877,6 +877,105 @@ object ExtendedQueries {
       DataQuality.mannWhitneyPairs(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
     },
 
+    // Per-group 5% trimmed mean (DataQuality.trimmedMean): the robust
+    // location estimate between mean and median — rank-select the kept
+    // middle (ties interchangeable), exact integer sum, one division.
+    Q(
+      "quality_trimmed_mean",
+      Some("""
+        WITH v AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY g) AS n
+              FROM v),
+        k AS (SELECT g, v, rn, n, CAST(floor(n * 0.05) AS BIGINT) AS k FROM r)
+        SELECT g AS group_key, MIN(n) AS n, MIN(k) AS n_trimmed_each, COUNT(*) AS n_kept,
+               round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS trimmed_mean
+        FROM k WHERE rn > k AND rn <= n - k
+        GROUP BY g ORDER BY g
+      """)) { (spark, dir) =>
+      DataQuality.trimmedMean(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity", trimPct = 0.05)
+    },
+
+    // Cramér's V effect size (DataQuality.cramersV): the [0,1] strength
+    // number beside the chi-square tests — exact contingency counts
+    // (absent cells are real zeros), grid-9 terms, round-6 chi2, one
+    // fixed-order sqrt; degenerate 1-category axes yield NULL.
+    Q(
+      "quality_cramers_v",
+      Some("""
+        WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+                       FROM lineitem GROUP BY 1, 2),
+        rt AS (SELECT a, SUM(o) AS row_t FROM cells GROUP BY 1),
+        ct AS (SELECT b, SUM(o) AS col_t FROM cells GROUP BY 1),
+        nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        f AS (SELECT rt.a, ct.b, rt.row_t, ct.col_t, nt.n FROM rt, ct, nt),
+        t AS (SELECT f.n,
+                     CAST(round((CAST(COALESCE(cells.o, 0) AS DOUBLE)
+                                 - CAST(f.row_t AS DOUBLE) * CAST(f.col_t AS DOUBLE) / CAST(f.n AS DOUBLE))
+                                * (CAST(COALESCE(cells.o, 0) AS DOUBLE)
+                                   - CAST(f.row_t AS DOUBLE) * CAST(f.col_t AS DOUBLE) / CAST(f.n AS DOUBLE))
+                                / (CAST(f.row_t AS DOUBLE) * CAST(f.col_t AS DOUBLE) / CAST(f.n AS DOUBLE)),
+                                9) AS DECIMAL(20,9)) AS term
+              FROM f LEFT JOIN cells ON cells.a = f.a AND cells.b = f.b),
+        c2 AS (SELECT n, CAST(round(SUM(term), 6) AS DOUBLE) AS chi2 FROM t GROUP BY 1),
+        sh AS (SELECT (SELECT COUNT(*) FROM rt) AS r, (SELECT COUNT(*) FROM ct) AS c)
+        SELECT c2.n, sh.r AS n_rows_cat, sh.c AS n_cols_cat, c2.chi2,
+               CASE WHEN LEAST(sh.r, sh.c) > 1
+                    THEN round(sqrt(c2.chi2 / (CAST(c2.n AS DOUBLE) * CAST(LEAST(sh.r, sh.c) - 1 AS DOUBLE))), 6)
+               END AS cramers_v
+        FROM c2, sh
+      """)) { (spark, dir) =>
+      DataQuality.cramersV(Tables(spark, dir).lineitem, "l_returnflag", "l_linestatus")
+    },
+
+    // All-pairs Mann-Whitney battery with Benjamini-Hochberg FDR control
+    // (DataQuality.bhFdrMannWhitney): 300 nation pairs on customer account
+    // balance — exact-integer 2U from one (group,value) count + a
+    // values×groups cumulative frame (no per-pair jobs), fixed-order
+    // z / A&S-7.1.26 p formulas on the 1e-6/1e-9 grids, BH step-up as a
+    // rank window + running MIN from the bottom clamped at 1.
+    Q(
+      "quality_fdr_bh",
+      Some("""
+        WITH pts AS (SELECT CAST(c_nationkey AS VARCHAR) AS g, c_acctbal AS v FROM customer),
+        cnt AS (SELECT g, v, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+        grp AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        vals AS (SELECT DISTINCT v FROM cnt),
+        frame AS (SELECT grp.g, vals.v, COALESCE(cnt.c, 0) AS c
+                  FROM grp CROSS JOIN vals LEFT JOIN cnt ON cnt.g = grp.g AND cnt.v = vals.v),
+        cum AS (SELECT g, v, c,
+                       COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+                FROM frame),
+        u2 AS (SELECT a.g AS ga, b.g AS gb,
+                      CAST(SUM(2 * a.c * b.cum_below + a.c * b.c) AS BIGINT) AS u2_a
+               FROM cnt a JOIN cum b ON a.v = b.v AND a.g < b.g
+               GROUP BY 1, 2),
+        sc AS (SELECT ga, gb, na.n AS n_a, nb.n AS n_b, u2_a,
+                      round((CAST(u2_a AS DOUBLE) - CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                            / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                                   * CAST(na.n + nb.n + 1 AS DOUBLE) / 3.0), 6) AS z
+               FROM u2 JOIN grp na ON na.g = u2.ga JOIN grp nb ON nb.g = u2.gb),
+        xt AS (SELECT sc.*, abs(z) / sqrt(2.0) AS x,
+                      1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+               FROM sc),
+        pv AS (SELECT *, round(((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                                 - 0.284496736) * t + 0.254829592) * t * exp(-x * x), 9) AS p_value
+               FROM xt),
+        rk AS (SELECT *, row_number() OVER (ORDER BY p_value ASC, ga ASC, gb ASC) AS p_rank,
+                      (SELECT COUNT(*) FROM pv) AS m
+               FROM pv),
+        qv AS (SELECT *, round(CAST(m AS DOUBLE) * p_value / CAST(p_rank AS DOUBLE), 9) AS q_raw FROM rk),
+        bh AS (SELECT *, LEAST(MIN(q_raw) OVER (ORDER BY p_rank DESC
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS q_value
+               FROM qv)
+        SELECT ga AS group_a, gb AS group_b, n_a, n_b, u2_a, z, p_value, p_rank, q_value,
+               (q_value <= 0.05) AS reject
+        FROM bh ORDER BY group_a, group_b
+      """)) { (spark, dir) =>
+      DataQuality.bhFdrMannWhitney(Tables(spark, dir).customer, "c_nationkey", "c_acctbal", alpha = 0.05)
+    },
+
     // Two-sample Kolmogorov-Smirnov for every returnflag pair on quantity
     // (DataQuality.ksTestPairs): binning-free distribution-shape drift —
     // the sup-CDF-gap numerator |n_b*Ca - n_a*Cb| is an exact integer
@@ -1114,6 +1213,93 @@ object ExtendedQueries {
       """)) { (spark, dir) =>
       DataQuality.kAnonymityAudit(
         Tables(spark, dir).customer, Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10L, l = 2L)
+    },
+
+    // t-closeness audit (DataQuality.tClosenessAudit): the third rung of
+    // the release-privacy ladder — ordered earth-mover's distance between
+    // each (segment, nation) group's order-priority distribution and the
+    // global one, cross-multiplied cumulative counts exact to the last
+    // term, one division under round(., 6).
+    Q(
+      "privacy_t_closeness",
+      Some("""
+        WITH j AS (SELECT c_mktsegment, c_nationkey, o_orderpriority AS sv
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+        gv AS (SELECT c_mktsegment, c_nationkey, sv, COUNT(*) AS pc FROM j GROUP BY 1, 2, 3),
+        qv AS (SELECT sv, CAST(SUM(pc) AS BIGINT) AS qc FROM gv GROUP BY 1),
+        keys AS (SELECT DISTINCT c_mktsegment, c_nationkey FROM gv),
+        frame AS (SELECT k.c_mktsegment, k.c_nationkey, qv.sv, qv.qc, COALESCE(gv.pc, 0) AS pc
+                  FROM keys k CROSS JOIN qv
+                  LEFT JOIN gv ON gv.c_mktsegment = k.c_mktsegment
+                              AND gv.c_nationkey = k.c_nationkey AND gv.sv = qv.sv),
+        cum AS (SELECT *,
+                       SUM(pc) OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY sv
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+                       SUM(qc) OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY sv
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+                       SUM(pc) OVER (PARTITION BY c_mktsegment, c_nationkey) AS n_g,
+                       SUM(qc) OVER (PARTITION BY c_mktsegment, c_nationkey) AS n_tot
+                FROM frame),
+        agg AS (SELECT c_mktsegment, c_nationkey,
+                       CAST(MIN(n_g) AS BIGINT) AS group_size,
+                       CAST(MIN(n_tot) AS BIGINT) AS n_total,
+                       COUNT(*) AS k_cats,
+                       SUM(abs(CAST(n_tot AS HUGEINT) * cum_p - CAST(n_g AS HUGEINT) * cum_q)) AS s_num
+                FROM cum GROUP BY 1, 2)
+        SELECT c_mktsegment, c_nationkey, group_size, k_cats,
+               round(CASE WHEN k_cats > 1
+                          THEN CAST(s_num AS DOUBLE)
+                               / (CAST(group_size AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(k_cats - 1 AS DOUBLE))
+                     END, 6) AS emd_t,
+               round(CASE WHEN k_cats > 1
+                          THEN CAST(s_num AS DOUBLE)
+                               / (CAST(group_size AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(k_cats - 1 AS DOUBLE))
+                     END, 6) > 0.05 AS t_violation
+        FROM agg
+      """)) { (spark, dir) =>
+      val tb = Tables(spark, dir)
+      val j = tb.orders
+        .join(tb.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("o_orderpriority"))
+      DataQuality.tClosenessAudit(j, Seq("c_mktsegment", "c_nationkey"), "o_orderpriority", t = 0.05)
+    },
+
+    // Cohen's kappa (DataQuality.cohensKappa): chance-corrected agreement
+    // between two automated document-quality raters (char-length vs
+    // word-count gates) — exact integer contingency/margins, kappa from
+    // the cross-multiplied form in ONE division, never from rounded p's.
+    Q(
+      "quality_cohens_kappa",
+      Some("""
+        WITH r AS (SELECT CASE WHEN length(text) >= 150 THEN 'long' ELSE 'short' END AS a,
+                          CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 30
+                               THEN 'long' ELSE 'short' END AS b
+                   FROM documents),
+        cells AS (SELECT a, b, COUNT(*) AS o FROM r GROUP BY 1, 2),
+        ma AS (SELECT a AS c, SUM(o) AS na FROM cells GROUP BY 1),
+        mb AS (SELECT b AS c, SUM(o) AS nb FROM cells GROUP BY 1),
+        marg AS (SELECT COALESCE(ma.c, mb.c) AS c, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+                 FROM ma FULL OUTER JOIN mb ON ma.c = mb.c),
+        agg AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS agree
+                FROM cells),
+        ex AS (SELECT COUNT(*) AS n_categories,
+                      SUM(CAST(na AS HUGEINT) * nb) AS pe_num
+               FROM marg)
+        SELECT n, n_categories,
+               round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+               round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+               round(CASE WHEN CAST(n AS HUGEINT) * n <> pe_num
+                          THEN CAST(CAST(n AS HUGEINT) * agree - pe_num AS DOUBLE)
+                               / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+                     END, 6) AS kappa
+        FROM agg, ex
+      """)) { (spark, dir) =>
+      val toksN = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+      val rated = Tables(spark, dir).documents.select(
+        when(length(col("text")) >= 150, "long").otherwise("short").as("rater_a"),
+        when(toksN >= 30, "long").otherwise("short").as("rater_b"))
+      DataQuality.cohensKappa(rated, "rater_a", "rater_b")
     },
 
     // Seeded ε-DP count release (Laplace, sensitivity 1, b = 1/ε = 2):

@@ -257,6 +257,94 @@ class DataQualitySpec extends SparkSpec {
     assert(pairs == Seq(("A", "B"), ("A", "C"), ("B", "C")), pairs.toString)
   }
 
+  test("trimmedMean: rank-exact trim, outlier immunity, zero trim is the plain mean") {
+    import spark.implicits._
+    val df = (1L to 10L).map(v => ("g", v)).toDF("g", "v")
+    val r = DataQuality.trimmedMean(df, "g", "v", trimPct = 0.1).collect().head
+    // k = 1: keep 2..9, sum 44 over 8 -> 5.5
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) == ((10L, 1L, 8L, 5.5)),
+      r.toString)
+    val out = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 1000L)).toDF("g", "v")
+    val o = DataQuality.trimmedMean(out, "g", "v", trimPct = 0.25).collect().head
+    assert(o.getDouble(4) == 2.5, o.toString) // the outlier never touches the sum
+    val z = DataQuality.trimmedMean(out, "g", "v", trimPct = 0.0).collect().head
+    assert(z.getDouble(4) == 251.5, z.toString)
+  }
+
+  test("cramersV: perfect association is 1, independence is 0, degenerate axis NULL") {
+    import spark.implicits._
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val p = DataQuality.cramersV(perfect, "a", "b").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getDouble(3), p.getDouble(4))
+      == ((4L, 2L, 2L, 4.0, 1.0)), p.toString)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val i = DataQuality.cramersV(indep, "a", "b").collect().head
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0, i.toString)
+    val degen = Seq(("x", "p"), ("y", "p")).toDF("a", "b")
+    val d = DataQuality.cramersV(degen, "a", "b").collect().head
+    assert(d.isNullAt(4), d.toString)
+  }
+
+  test("tClosenessAudit: disjoint-support groups hit the EMD bound, balanced group hits 0, single-category NULL") {
+    import spark.implicits._
+    // X all-1s, Y all-2s, Z balanced; global = (3,3): X and Y sit at
+    // |6*2-2*3|/(2*6*1) = 0.5, Z at exactly 0
+    val df = Seq(
+      ("X", 1L), ("X", 1L), ("Y", 2L), ("Y", 2L), ("Z", 1L), ("Z", 2L)
+    ).toDF("qi", "sv")
+    val r = DataQuality.tClosenessAudit(df, Seq("qi"), "sv", t = 0.2)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("X").getDouble(3) == 0.5 && r("X").getBoolean(4), r("X").toString)
+    assert(r("Y").getDouble(3) == 0.5 && r("Y").getBoolean(4), r("Y").toString)
+    assert(r("Z").getDouble(3) == 0.0 && !r("Z").getBoolean(4), r("Z").toString)
+    assert(r.values.forall(_.getLong(1) == 2L)) // group_size
+    // one global category: EMD undefined -> NULL, no division error
+    val degen = Seq(("A", 7L), ("B", 7L)).toDF("qi", "sv")
+    val d = DataQuality.tClosenessAudit(degen, Seq("qi"), "sv").collect()
+    assert(d.forall(_.isNullAt(3)), d.mkString(","))
+  }
+
+  test("cohensKappa: textbook 0.4 fixture, independence is 0, perfect agreement 1, constant raters NULL") {
+    import spark.implicits._
+    // classic 2x2: O = [[20,5],[10,15]] -> po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)(("p", "p")) ++ Seq.fill(5)(("p", "n")) ++
+      Seq.fill(10)(("n", "p")) ++ Seq.fill(15)(("n", "n"))
+    val r = DataQuality.cohensKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      == ((50L, 2L, 0.7, 0.5, 0.4)), r.toString)
+    val indep = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")).toDF("a", "b")
+    assert(DataQuality.cohensKappa(indep, "a", "b").collect().head.getDouble(4) == 0.0)
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(DataQuality.cohensKappa(perfect, "a", "b").collect().head.getDouble(4) == 1.0)
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(DataQuality.cohensKappa(const, "a", "b").collect().head.isNullAt(4))
+  }
+
+  test("bhFdrMannWhitney: exact 2U parity with mannWhitneyPairs, BH step-up hand case, identical groups never reject") {
+    import spark.implicits._
+    // three groups: A ≡ B (identical), C far shifted — the battery must
+    // reject both (A,C) and (B,C) under BH at alpha=0.05 and keep (A,B)
+    val df = (Seq.tabulate(20)(i => ("A", (i % 5) + 1L)) ++
+      Seq.tabulate(20)(i => ("B", (i % 5) + 1L)) ++
+      Seq.tabulate(20)(i => ("C", (i % 5) + 101L))).toDF("g", "v")
+    val r = DataQuality.bhFdrMannWhitney(df, "g", "v").collect()
+    val byPair = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // exact-integer 2U must match the per-pair driver-loop implementation
+    val mw = DataQuality.mannWhitneyPairs(df, "g", "v").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(4)).toMap
+    mw.foreach { case (k, u2) => assert(byPair(k).getLong(4) == u2, s"$k 2U mismatch") }
+    val ab = byPair(("A", "B")); val ac = byPair(("A", "C")); val bc = byPair(("B", "C"))
+    assert(ab.getDouble(5) == 0.0 && ab.getDouble(6) > 0.999, ab.toString) // z=0 -> p~1
+    assert(ac.getLong(4) == 0L && !ab.getBoolean(9), ac.toString) // C dominates: U_A = 0
+    assert(ac.getBoolean(9) && bc.getBoolean(9), s"$ac / $bc")
+    // BH hand case: equal shifted pairs share the min q, the null pair q is ~1
+    assert(ac.getDouble(8) == bc.getDouble(8), s"${ac.getDouble(8)} vs ${bc.getDouble(8)}")
+    assert(ab.getDouble(8) > 0.9, ab.toString)
+    // q is the running min from the bottom: nondecreasing in rank order
+    val inRank = r.sortBy(_.getInt(7)).map(_.getDouble(8)).toSeq
+    assert(inRank == inRank.sorted, inRank.toString)
+  }
+
   test("ksTestPairs: disjoint supports hit D=1, identical samples hit D=0, interleaved closed form") {
     import spark.implicits._
     // disjoint supports: at v=2 the gap is |2*2 - 0*2| = 4 over n_a*n_b = 4 -> D = 1

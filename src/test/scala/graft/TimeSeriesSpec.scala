@@ -164,6 +164,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(h.getDouble(4) == 0.444444, h.toString)
   }
 
+  test("theilSenTrend: outlier-immune slope, rank medians, equal-x pairs skipped") {
+    // linear 1..4 plus one wild point: 6 of 10 pairwise slopes are 1, so
+    // the median slope is exactly 1 where OLS would be dragged far off
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L), ("g", 5L, 100L)
+    ).toDF("key", "x", "y")
+    val r = TimeSeries.theilSenTrend(df, "key", "x", "y").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)) == ((5L, 10L, 1.0, 0.0)),
+      r.toString)
+    // even pair count averages TWO DISTINCT middles: points (0,0),(1,1),
+    // (2,4),(3,5) -> slopes 1,1,5/3,2,2,3 -> median (1.666666667+2)/2
+    val even = Seq(("e", 0L, 0L), ("e", 1L, 1L), ("e", 2L, 4L), ("e", 3L, 5L))
+      .toDF("key", "x", "y")
+    val e = TimeSeries.theilSenTrend(even, "key", "x", "y").collect().head
+    assert(e.getDouble(3) == 1.833333, e.toString)
+    // duplicate x contributes no pair; an all-equal-x key vanishes
+    val dup = Seq(("d", 1L, 1L), ("d", 1L, 9L), ("d", 2L, 3L), ("z", 7L, 1L), ("z", 7L, 2L))
+      .toDF("key", "x", "y")
+    val d = TimeSeries.theilSenTrend(dup, "key", "x", "y").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("d"), d.mkString(","))
+    assert(d.head.getLong(2) == 2L, d.head.toString) // two valid pairs
+  }
+
   test("groupLinearTrend: exact line recovered, degenerate groups NULL, partitioning-invariant") {
     import spark.implicits._
     val df = (
