@@ -1215,6 +1215,25 @@ object ExtendedQueries {
         Tables(spark, dir).customer, Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 10L, l = 2L)
     },
 
+    // Z-order vs lexicographic zone-map pruning audit (Layout.zoneMapAudit):
+    // the storage-layout lever behind 100 TB scan skipping — Morton-
+    // interleave (custkey, order-day) as a statically unrolled codegen'd
+    // OR-chain, bucket by the top 10 key bits, and count the buckets a
+    // 2-D range predicate must touch from min/max zone stats under each
+    // layout. Exact integer counts; read amplification falls out as
+    // rows_in_touched / rows_matching.
+    Q(
+      "layout_zorder_prune",
+      Some(zorderPruneSql(bits = 14, bucketBits = 10, x0 = 50L, x1 = 2000L, y0 = 300L, y1 = 1500L))) {
+      (spark, dir) =>
+        val prepared = Tables(spark, dir).orders.select(
+          col("o_custkey").as("ck"),
+          datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).as("dayn"))
+        graft.operators.Layout.zoneMapAudit(
+          prepared, "ck", "dayn", bits = 14, bucketBits = 10,
+          x0 = 50L, x1 = 2000L, y0 = 300L, y1 = 1500L)
+    },
+
     // t-closeness audit (DataQuality.tClosenessAudit): the third rung of
     // the release-privacy ladder — ordered earth-mover's distance between
     // each (segment, nation) group's order-priority distribution and the
@@ -1726,6 +1745,45 @@ object ExtendedQueries {
       }
       .mkString("\nUNION ALL\n")
     s"WITH $base,\n${roundCtes.mkString(",\n")}\n$sel"
+  }
+
+  /** DuckDB replay of [[graft.operators.Layout.zoneMapAudit]]: the Morton
+    * interleave as the same statically-unrolled shift/mask OR-chain, both
+    * bucketings, zone maps, and the intersect-the-rectangle touch rule —
+    * generated so the 2·bits terms stay mechanically identical to the
+    * Spark fold. */
+  private def zorderPruneSql(
+      bits: Int, bucketBits: Int, x0: Long, x1: Long, y0: Long, y1: Long): String = {
+    val mask  = (1L << bits) - 1
+    val shift = 2 * bits - bucketBits
+    val inter = ((0 until bits).map(i => s"(((x >> $i) & 1) << ${2 * i})") ++
+      (0 until bits).map(i => s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    def arm(src: String, name: String) =
+      s"""SELECT '$name' AS layout, COUNT(*) AS n_buckets,
+            CAST(SUM(CASE WHEN min_x <= $x1 AND max_x >= $x0 AND min_y <= $y1 AND max_y >= $y0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+            CAST(SUM(CASE WHEN min_x <= $x1 AND max_x >= $x0 AND min_y <= $y1 AND max_y >= $y0
+                          THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_touched,
+            CAST(SUM(n_hit) AS BIGINT) AS rows_matching
+          FROM $src"""
+    s"""WITH base AS (SELECT (o_custkey & $mask) AS x,
+                             (date_diff('day', DATE '1992-01-01', o_orderdate) & $mask) AS y
+                      FROM orders),
+       keyed AS (SELECT x, y,
+                        (($inter) >> $shift) AS b_zorder,
+                        (((x << $bits) | y) >> $shift) AS b_lex,
+                        (x BETWEEN $x0 AND $x1 AND y BETWEEN $y0 AND $y1) AS hit
+                 FROM base),
+       az AS (SELECT b_zorder AS b, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y,
+                     MAX(y) AS max_y, COUNT(*) AS n_rows,
+                     SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit
+              FROM keyed GROUP BY 1),
+       al AS (SELECT b_lex AS b, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y,
+                     MAX(y) AS max_y, COUNT(*) AS n_rows,
+                     SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit
+              FROM keyed GROUP BY 1)
+       SELECT * FROM (${arm("az", "zorder")} UNION ALL ${arm("al", "lex")})
+       ORDER BY layout DESC"""
   }
 
   private def dpCountsSql(seed: Long, b: Int): String = {
