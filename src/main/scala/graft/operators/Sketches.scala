@@ -556,6 +556,71 @@ object Sketches {
     * `candidates` holds the keys to probe (at scale: a distinct() over a
     * sample, or the domain if known). Estimates over-count by at most
     * eps·N with probability conf. */
+  /** AMS F₂ sketch (Alon, Matias & Szegedy 1996) — the second frequency
+    * moment Σ f_x², i.e. the self-join size / repeat-rate of a key column,
+    * in O(R) space: R sign-hash counters S_j = Σ_x f_x·σ_j(x) with
+    * σ_j(x) = ±1, each S_j² an unbiased F₂ estimate; variance is tamed by
+    * the textbook medians-of-means (R = groups·perGroup). Completes the
+    * portable-sketch family: HLL/KMV estimate F₀, count-min point
+    * frequencies, AMS the full moment (join planning, skew detection,
+    * dedup pressure — n_dup_pairs = (F₂ − N)/2).
+    *
+    * Fully relational and DETERMINISTIC: σ_j(x) is bit 0 of
+    * splitmix64(x ⊕ salt_j) (salt_j = golden·(j+1), the count-min salt
+    * schedule), the key-count table is the only data-sized stage (each
+    * S_j is a linear functional of it — map-side combinable, mergeable
+    * across shards by addition, the same portability contract as the
+    * other sketches), and the medians-of-means needs ONE division:
+    * sorted group sums g₍₁₎…g₍G₎, estimate = (g₍⌈G/2⌉₎ + g₍⌊G/2⌋₊₁₎) /
+    * (2·perGroup) under round(·, 6). Squares ride DECIMAL(38,0) so
+    * petabyte counts cannot wrap. Output one row:
+    * (n_rows, n_distinct, f2_exact, f2_est, rel_err) — f2_exact rides
+    * along for the audit (an external replay checks BOTH, and rel_err is
+    * computed from the already-rounded estimate). */
+  def amsF2(
+      df: DataFrame,
+      keyCol: String,
+      groups: Int = 4,
+      perGroup: Int = 16): DataFrame = {
+    require(groups >= 2 && perGroup >= 1, s"need >=2 groups, got $groups x $perGroup")
+    require(Integer.bitCount(perGroup) == 1, s"perGroup must be a power of 2, got $perGroup")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val n = df
+      .groupBy(col(keyCol).cast("long").as("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val salts = (0 until groups * perGroup)
+      .map(j => struct(lit(j).as("j"), lit(BloomGolden * (j + 1).toLong).as("salt")))
+    val est = n
+      .select(col("x"), col("cnt"), explode(array(salts: _*)).as("e"))
+      .select(col("cnt"), col("e.j").as("j"),
+        graft.functions.TextFunctions.mix64(col("x").bitwiseXOR(col("e.salt"))).as("h"))
+      .select(col("cnt"), col("j"),
+        (lit(1L) - lit(2L) * col("h").bitwiseAND(lit(1L))).as("sign"))
+      .groupBy(col("j"))
+      .agg(sum(col("cnt") * col("sign")).as("s"))
+      .select(shiftright(col("j"), Integer.numberOfTrailingZeros(perGroup)).as("g"),
+        (col("s").cast(dec38) * col("s")).as("s2"))
+      .groupBy(col("g"))
+      .agg(sum(col("s2")).as("gsum"))
+    val W = org.apache.spark.sql.expressions.Window
+    val mid = est
+      .withColumn("rn", row_number().over(W.orderBy(col("gsum").asc, col("g").asc)))
+      .filter(col("rn") === (groups + 1) / 2 || col("rn") === groups / 2 + 1)
+      .agg(sum(col("gsum")).as("midsum"), count(lit(1)).as("nmid"))
+    val exact = n.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("cnt").cast(dec38) * col("cnt")).cast("long").as("f2_exact"))
+    exact
+      .crossJoin(broadcast(mid))
+      .withColumn("f2_est",
+        round(col("midsum").cast("double") / (col("nmid") * perGroup).cast("double"), 6))
+      .select(
+        col("n_rows"), col("n_distinct"), col("f2_exact"), col("f2_est"),
+        round(abs(col("f2_est") - col("f2_exact").cast("double")) / col("f2_exact").cast("double"), 6)
+          .as("rel_err"))
+  }
+
   def heavyHitters(
       df: DataFrame,
       keyCol: String,

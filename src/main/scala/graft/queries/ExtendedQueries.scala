@@ -565,6 +565,18 @@ object ExtendedQueries {
       Sketches.cmsCounts(ev, "user_id", probes, "user_id", logW = 10, depth = 4)
     },
 
+    // AMS F2 sketch (Sketches.amsF2): the second frequency moment of
+    // user_id — self-join size / repeat rate — from 64 splitmix64
+    // sign-hash counters with 4x16 medians-of-means; exact integers until
+    // the ONE median division, exact F2 rides along and rel_err is
+    // computed from the already-rounded estimate. The oracle replays the
+    // full hash chain, sign sums, and rank selection bit-for-bit.
+    Q(
+      "sketch_ams_f2",
+      Some(amsF2Sql(groups = 4, perGroup = 16))) { (spark, dir) =>
+      Sketches.amsF2(Tables(spark, dir).events, "user_id", groups = 4, perGroup = 16)
+    },
+
     // Portable cube + union: daily m-byte register blobs re-aggregated by
     // elementwise max. Union-of-days ≡ one global pass BIT FOR BIT (the
     // register max is order-free and idempotent; SketchSpec pins the
@@ -1820,6 +1832,43 @@ object ExtendedQueries {
     * row, the splitmix64 chain over key ⊕ seed_r (HUGEINT mulmod — the
     * Bloom/HLL machinery), counters as a per-(row, bucket) SUM, point
     * estimates as LEAST over the row lookups. */
+  /** DuckDB replay of [[graft.operators.Sketches.amsF2]]: ONE splitmix64
+    * HUGEINT chain over the (key-count × salts) frame, sign sums, squared
+    * group sums, the medians-of-means rank selection, and the single
+    * division — all bit-for-bit. */
+  private def amsF2Sql(groups: Int, perGroup: Int): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    val salts = (0 until groups * perGroup)
+      .map(j =>
+        s"($j, ${java.lang.Long.toUnsignedString(Sketches.BloomGolden * (j + 1).toLong)}::UBIGINT)")
+      .mkString(", ")
+    val shift = Integer.numberOfTrailingZeros(perGroup)
+    s"""WITH n AS (SELECT CAST(user_id AS UBIGINT) AS x, COUNT(*) AS cnt FROM events GROUP BY 1),
+       salts(j, salt) AS (VALUES $salts),
+       f AS (SELECT n.cnt, salts.j, xor(n.x, salts.salt) AS y FROM n CROSS JOIN salts),
+       a1 AS (SELECT cnt, j, xor(y, y >> 30) AS a FROM f),
+       b1 AS (SELECT cnt, j, ${mulmod("a", "13787848793156543929")} AS z FROM a1),
+       c1 AS (SELECT cnt, j, xor(z, z >> 27) AS a FROM b1),
+       d1 AS (SELECT cnt, j, ${mulmod("a", "10723151780598845931")} AS z FROM c1),
+       e1 AS (SELECT cnt, j, xor(z, z >> 31) AS h FROM d1),
+       sj AS (SELECT j, CAST(SUM(cnt * (1 - 2 * CAST(h & 1 AS BIGINT))) AS BIGINT) AS s
+              FROM e1 GROUP BY 1),
+       gs AS (SELECT (j >> $shift) AS g, SUM((s::HUGEINT) * s) AS gsum FROM sj GROUP BY 1),
+       mid AS (SELECT SUM(gsum) AS midsum, COUNT(*) AS nmid FROM (
+                 SELECT gsum, g, row_number() OVER (ORDER BY gsum ASC, g ASC) AS rn FROM gs)
+               WHERE rn = ${(groups + 1) / 2} OR rn = ${groups / 2 + 1}),
+       ex AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct,
+                     CAST(SUM((cnt::HUGEINT) * cnt) AS BIGINT) AS f2_exact FROM n)
+       SELECT n_rows, n_distinct, f2_exact,
+              round(CAST(midsum AS DOUBLE) / CAST(nmid * $perGroup AS DOUBLE), 6) AS f2_est,
+              round(abs(round(CAST(midsum AS DOUBLE) / CAST(nmid * $perGroup AS DOUBLE), 6)
+                        - CAST(f2_exact AS DOUBLE)) / CAST(f2_exact AS DOUBLE), 6) AS rel_err
+       FROM ex, mid"""
+  }
+
   private def cmsSql(logW: Int, depth: Int): String = {
     def mulmod(a: String, c: String): String =
       s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT

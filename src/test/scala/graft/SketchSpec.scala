@@ -264,4 +264,25 @@ class SketchSpec extends SparkSpec {
     val again = Sketches.kmvSetOps(t.events.repartition(13), "event_type", "user_id", k = 128).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("AMS F2: single-key fixture is hash-free exact, rel_err self-consistent, partitioning-invariant") {
+    import spark.implicits._
+    // every sign-hash sees one key: S_j = ±N for all j, so every estimate
+    // is EXACTLY N^2 whatever the hashes — the closed form that pins the
+    // medians-of-means plumbing end to end
+    val one = Seq.fill(37)(42L).toDF("k")
+    val r1 = Sketches.amsF2(one, "k").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getDouble(3), r1.getDouble(4))
+      == ((37L, 1L, 37L * 37L, 1369.0, 0.0)), r1.toString)
+    // skewed fixture: f2_exact is the true moment; rel_err recomputes from
+    // the emitted (already-rounded) estimate; repartition changes nothing
+    val skew = (Seq.fill(100)(1L) ++ Seq.fill(10)(2L) ++ (3L to 52L)).toDF("k")
+    val r = Sketches.amsF2(skew, "k").collect().head
+    assert(r.getLong(2) == 100L * 100 + 10 * 10 + 50, r.toString)
+    val recomputed = math.abs(r.getDouble(3) - r.getLong(2).toDouble) / r.getLong(2).toDouble
+    assert(math.abs(r.getDouble(4) - BigDecimal(recomputed)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, r.toString)
+    val again = Sketches.amsF2(skew.repartition(13), "k").collect().head
+    assert(r.toString == again.toString)
+  }
 }
