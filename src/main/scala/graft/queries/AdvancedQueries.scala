@@ -302,6 +302,20 @@ object AdvancedQueries {
         Tables(spark, dir).events, "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.125)
     },
 
+    // Holt-Winters additive triple smoothing (TimeSeries.holtWintersFinal):
+    // the seasonal member of the smoothing family — day-of-week period 7
+    // over each event type's daily-count series, zero-seasonal init,
+    // binary-exact alpha/beta/gamma so the per-step double chain is
+    // bit-identical; the oracle's recursive CTE carries (l, b, s1..s7)
+    // with generated CASE slot arms.
+    Q("events_holt_winters", Some(holtWintersSql(7))) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type").as("key"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.TimeSeries.holtWintersFinal(
+        daily, "key", "d", "d", "v", alpha = 0.25, beta = 0.125, gamma = 0.25, period = 7)
+    },
+
     // ------------------------------------ holdout forecast evaluation
     // The EVAL leg of the time-series family: hold out the last 7 days
     // of each event type's daily-count series, fit Holt on the prefix
@@ -1728,6 +1742,42 @@ object AdvancedQueries {
       SELECT e.a, e.b, COALESCE(s.supp, 0) AS support
       FROM e$rounds e LEFT JOIN s$rounds s ON s.a = e.a AND s.b = e.b
     """
+  }
+
+  /** DuckDB replay of [[graft.operators.TimeSeries.holtWintersFinal]] at
+    * period p: the recursive CTE carries (l, b, s1..sp) and walks the
+    * identical fixed chain of correctly-rounded double ops (binary-exact
+    * α/β/γ), with the seasonal slot resolved by generated CASE arms —
+    * bit-for-bit with the Spark fold. */
+  private def holtWintersSql(p: Int): String = {
+    val sCols = (1 to p).map(k => s"s$k")
+    val sInit = sCols.map(_ => "0.0::DOUBLE").mkString(", ")
+    def sOld = s"CASE ((s.rn) - 1) % $p " +
+      (1 to p).map(k => s"WHEN ${k - 1} THEN h.s$k").mkString(" ") + " END"
+    val newL = s"0.25::DOUBLE * (s.v - ($sOld)) + 0.75::DOUBLE * (h.l + h.b)"
+    val newB = s"0.125::DOUBLE * (($newL) - h.l) + 0.875::DOUBLE * h.b"
+    val newS = s"0.25::DOUBLE * (s.v - ($newL)) + 0.75::DOUBLE * ($sOld)"
+    val sUpd = (1 to p)
+      .map(k => s"CASE WHEN ((s.rn - 1) % $p) = ${k - 1} THEN ($newS) ELSE h.s$k END")
+      .mkString(",\n             ")
+    val sNext = s"CASE (c.n % $p) " +
+      (1 to p).map(k => s"WHEN ${k - 1} THEN h.s$k").mkString(" ") + " END"
+    s"""WITH RECURSIVE dd AS (SELECT event_type AS key, date_trunc('day', ts) AS d, COUNT(*) AS vi
+                              FROM events GROUP BY 1, 2),
+       seq AS (SELECT key, CAST(vi AS DOUBLE) AS v,
+                      row_number() OVER (PARTITION BY key ORDER BY d) AS rn
+               FROM dd),
+       cnt AS (SELECT key, COUNT(*) AS n FROM seq GROUP BY 1),
+       hw(key, rn, l, b, ${sCols.mkString(", ")}) AS (
+         SELECT key, rn, v, 0.0::DOUBLE, $sInit FROM seq WHERE rn = 1
+         UNION ALL
+         SELECT s.key, s.rn, $newL, $newB,
+             $sUpd
+         FROM hw h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1)
+       SELECT h.key, c.n, ROUND(h.l, 6) AS level, ROUND(h.b, 6) AS trend,
+              ROUND($sNext, 6) AS season_next,
+              ROUND(h.l + h.b + ($sNext), 6) AS forecast_next
+       FROM hw h JOIN cnt c ON c.key = h.key AND h.rn = c.n"""
   }
 
   private def kCoreOracle(k: Int, rounds: Int): String = {

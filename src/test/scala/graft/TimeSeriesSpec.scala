@@ -164,6 +164,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(h.getDouble(4) == 0.444444, h.toString)
   }
 
+  test("holtWintersFinal: hand fold with seasonal slots, constant series fixpoint, gamma=0 equals Holt") {
+    import spark.implicits._
+    // hand fold, alpha=beta=gamma=0.5, p=2, series 1,2,3:
+    // t2 (slot 1): l=1.5, b=0.25, s2=0.25; t3 (slot 0): l=2.375, b=0.5625, s1=0.3125
+    // next slot is s2 -> season 0.25, forecast 2.375+0.5625+0.25
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L)).toDF("key", "ts", "v")
+    val r = TimeSeries.holtWintersFinal(df, "key", "ts", "ts", "v", 0.5, 0.5, 0.5, 2)
+      .collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      == ((3L, 2.375, 0.5625, 0.25, 3.1875)), r.toString)
+    // constant series: level locks to the constant, trend and season stay 0
+    val const = (1L to 20L).map(t => ("c", t, 7L)).toDF("key", "ts", "v")
+    val c = TimeSeries.holtWintersFinal(const, "key", "ts", "ts", "v", 0.25, 0.125, 0.25, 7)
+      .collect().head
+    assert((c.getDouble(2), c.getDouble(3), c.getDouble(4), c.getDouble(5)) == ((7.0, 0.0, 0.0, 7.0)),
+      c.toString)
+    // gamma = 0 degenerates to exactly Holt's level/trend
+    val mixed = Seq(("m", 1L, 3L), ("m", 2L, 8L), ("m", 3L, 2L), ("m", 4L, 9L), ("m", 5L, 4L))
+      .toDF("key", "ts", "v")
+    val hw = TimeSeries.holtWintersFinal(mixed, "key", "ts", "ts", "v", 0.25, 0.125, 0.0, 3)
+      .collect().head
+    val h = TimeSeries.holtFinal(mixed, "key", "ts", "ts", "v", 0.25, 0.125).collect().head
+    assert(hw.getDouble(2) == h.getDouble(2) && hw.getDouble(3) == h.getDouble(3), s"$hw vs $h")
+    assert(hw.getDouble(4) == 0.0, hw.toString)
+  }
+
   test("theilSenTrend: outlier-immune slope, rank medians, equal-x pairs skipped") {
     // linear 1..4 plus one wild point: 6 of 10 pairwise slopes are 1, so
     // the median slope is exactly 1 where OLS would be dragged far off
