@@ -170,6 +170,47 @@ object RankingQueries {
       Retrieval.fuzzyWordPairs(words, "word", maxDist = 2)
     },
 
+    // ------------------------------- Jaro-Winkler similarity scoring
+    // The record-linkage agreement scorer (graft.functions.JaroWinkler, a
+    // native codegen'd expression) over a combined name vocabulary —
+    // semantics pinned bit-for-bit to the oracle engine's implementation
+    // (verified on 80k adversarial pairs): greedy windowed matching,
+    // half-transpositions, prefix boost above 0.7 only. The pair grid is
+    // vocabulary-sized; at scale, blocking feeds the scorer (the
+    // fellegi-sunter stance).
+    Q(
+      "er_jaro_winkler",
+      Some("""
+        WITH w AS (SELECT DISTINCT word FROM (
+                     SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+                     UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
+                     UNION ALL SELECT n_name FROM nation
+                     UNION ALL SELECT r_name FROM region
+                     UNION ALL SELECT c_mktsegment FROM customer
+                   ) WHERE word <> '')
+        SELECT a.word AS w1, b.word AS w2,
+               round(jaro_winkler_similarity(a.word, b.word), 6) AS jw
+        FROM w a, w b
+        WHERE a.word < b.word AND round(jaro_winkler_similarity(a.word, b.word), 6) >= 0.8
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val words = t.part.select(explode(split(col("p_name"), " ")).as("word"))
+        .unionAll(t.part.select(explode(split(col("p_type"), " ")).as("word")))
+        .unionAll(t.nation.select(col("n_name").as("word")))
+        .unionAll(t.region.select(col("r_name").as("word")))
+        .unionAll(t.customer.select(col("c_mktsegment").as("word")))
+        .filter(col("word") =!= "")
+        .distinct()
+      words.select(col("word").as("w1"))
+        .crossJoin(broadcast(words.select(col("word").as("w2"))))
+        .filter(col("w1") < col("w2"))
+        .select(
+          col("w1"), col("w2"),
+          round(
+            graft.functions.JaroWinklerFunctions.jaro_winkler(col("w1"), col("w2")), 6).as("jw"))
+        .filter(col("jw") >= 0.8)
+    },
+
     // --------------------------------- tf-idf posting-list cosine pairs
     // Similar-document pairs WITHOUT embeddings: ln-idf-weighted term
     // vectors, one term-keyed posting self-join (Bayardo all-pairs shape),

@@ -83,4 +83,34 @@ class TextFunctionsSpec extends SparkSpec {
     val recall = truth.intersect(winnow).size.toDouble / truth.size
     assert(recall >= 0.8, s"winnow recall $recall over ${truth.size} planted pairs")
   }
+
+  test("jaro_winkler: textbook closed forms, boost threshold, empties, codegen == interpreted") {
+    import spark.implicits._
+    import graft.functions.{JaroWinklerFunctions, JaroWinklerImpl}
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),   // classic: 3 prefix, 1 transposition
+      ("dixon", "dicksonx", 0.813333),
+      ("xy", "xz", 0.666667),           // jaro <= 0.7: NO prefix boost
+      ("ab", "ba", 0.0),                // window 0: no matches at all
+      ("", "", 0.0), ("a", "", 0.0),    // empty contract
+      ("same", "same", 1.0))
+    val got = cases.toDF("a", "b", "want")
+      .select(
+        round(JaroWinklerFunctions.jaro_winkler(col("a"), col("b")), 6).as("jw"),
+        col("want"), col("a"), col("b"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"${r.getString(2)}/${r.getString(3)}: $r"))
+    // the codegen'd column path and the raw static impl agree bit-for-bit
+    cases.foreach { case (a, b, _) =>
+      val raw = JaroWinklerImpl.compute(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val viaDf = Seq((a, b)).toDF("a", "b")
+        .select(JaroWinklerFunctions.jaro_winkler(col("a"), col("b"))).collect().head.getDouble(0)
+      assert(raw == viaDf, s"$a/$b: $raw vs $viaDf")
+    }
+    // nulls propagate, not crash
+    val n = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(JaroWinklerFunctions.jaro_winkler(col("a"), col("b"))).collect().head
+    assert(n.isNullAt(0))
+  }
 }
