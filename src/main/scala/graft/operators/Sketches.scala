@@ -577,6 +577,38 @@ object Sketches {
     * (n_rows, n_distinct, f2_exact, f2_est, rel_err) — f2_exact rides
     * along for the audit (an external replay checks BOTH, and rel_err is
     * computed from the already-rounded estimate). */
+  /** Per-key counts of a key column — the only data-sized AMS stage. */
+  private def amsCounts(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).cast("long").as("x")).agg(count(lit(1)).as("cnt"))
+
+  /** The R sign-hash counters S_j = Σ_x f_x·σ_j(x) of a key-count table:
+    * (j, s) rows, σ_j(x) = bit 0 of splitmix64(x ⊕ golden·(j+1)). */
+  private def amsSignSums(n: DataFrame, r: Int): DataFrame = {
+    val salts = (0 until r)
+      .map(j => struct(lit(j).as("j"), lit(BloomGolden * (j + 1).toLong).as("salt")))
+    n.select(col("x"), col("cnt"), explode(array(salts: _*)).as("e"))
+      .select(col("cnt"), col("e.j").as("j"),
+        graft.functions.TextFunctions.mix64(col("x").bitwiseXOR(col("e.salt"))).as("h"))
+      .select(col("cnt"), col("j"),
+        (lit(1L) - lit(2L) * col("h").bitwiseAND(lit(1L))).as("sign"))
+      .groupBy(col("j"))
+      .agg(sum(col("cnt") * col("sign")).as("s"))
+  }
+
+  /** Medians-of-means over per-estimator products: group sums, rank-select
+    * the middle group(s), return (midsum, nmid) — ONE division away from
+    * the estimate. */
+  private def amsMedianOfMeans(prod: DataFrame, groups: Int, perGroup: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    prod
+      .select(shiftright(col("j"), Integer.numberOfTrailingZeros(perGroup)).as("g"), col("p"))
+      .groupBy(col("g"))
+      .agg(sum(col("p")).as("gsum"))
+      .withColumn("rn", row_number().over(W.orderBy(col("gsum").asc, col("g").asc)))
+      .filter(col("rn") === (groups + 1) / 2 || col("rn") === groups / 2 + 1)
+      .agg(sum(col("gsum")).as("midsum"), count(lit(1)).as("nmid"))
+  }
+
   def amsF2(
       df: DataFrame,
       keyCol: String,
@@ -585,28 +617,10 @@ object Sketches {
     require(groups >= 2 && perGroup >= 1, s"need >=2 groups, got $groups x $perGroup")
     require(Integer.bitCount(perGroup) == 1, s"perGroup must be a power of 2, got $perGroup")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val n = df
-      .groupBy(col(keyCol).cast("long").as("x"))
-      .agg(count(lit(1)).as("cnt"))
-    val salts = (0 until groups * perGroup)
-      .map(j => struct(lit(j).as("j"), lit(BloomGolden * (j + 1).toLong).as("salt")))
-    val est = n
-      .select(col("x"), col("cnt"), explode(array(salts: _*)).as("e"))
-      .select(col("cnt"), col("e.j").as("j"),
-        graft.functions.TextFunctions.mix64(col("x").bitwiseXOR(col("e.salt"))).as("h"))
-      .select(col("cnt"), col("j"),
-        (lit(1L) - lit(2L) * col("h").bitwiseAND(lit(1L))).as("sign"))
-      .groupBy(col("j"))
-      .agg(sum(col("cnt") * col("sign")).as("s"))
-      .select(shiftright(col("j"), Integer.numberOfTrailingZeros(perGroup)).as("g"),
-        (col("s").cast(dec38) * col("s")).as("s2"))
-      .groupBy(col("g"))
-      .agg(sum(col("s2")).as("gsum"))
-    val W = org.apache.spark.sql.expressions.Window
-    val mid = est
-      .withColumn("rn", row_number().over(W.orderBy(col("gsum").asc, col("g").asc)))
-      .filter(col("rn") === (groups + 1) / 2 || col("rn") === groups / 2 + 1)
-      .agg(sum(col("gsum")).as("midsum"), count(lit(1)).as("nmid"))
+    val n     = amsCounts(df, keyCol)
+    val mid = amsMedianOfMeans(
+      amsSignSums(n, groups * perGroup).select(col("j"), (col("s").cast(dec38) * col("s")).as("p")),
+      groups, perGroup)
     val exact = n.agg(
       sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_distinct"),
@@ -619,6 +633,57 @@ object Sketches {
         col("n_rows"), col("n_distinct"), col("f2_exact"), col("f2_est"),
         round(abs(col("f2_est") - col("f2_exact").cast("double")) / col("f2_exact").cast("double"), 6)
           .as("rel_err"))
+  }
+
+  /** AMS join-size estimator — the F₂ machinery pointed at JOIN PLANNING:
+    * with the SAME sign hashes on both sides, E[S_j^A·S_j^B] =
+    * Σ_x f_A(x)·f_B(x), the exact inner-join cardinality (cross terms
+    * cancel in expectation because σ is pairwise independent across
+    * keys). Two tiny sketches answer "how big is this join" without
+    * touching either table again — the planner question broadcast/shuffle
+    * decisions hang on at 100 TB, and the sketches persist/merge like
+    * every other portable sketch here (S_j is a linear functional).
+    *
+    * Same determinism story as [[amsF2]]: exact-integer sign sums,
+    * DECIMAL(38,0) products, medians-of-means by rank selection, ONE
+    * division under round(·, 6). The exact join size (a key-distinct-
+    * sized join of the two count tables) rides along for the audit;
+    * rel_err is computed from the already-rounded estimate and is NULL
+    * when the true size is 0. */
+  def amsJoinSize(
+      dfA: DataFrame,
+      keyColA: String,
+      dfB: DataFrame,
+      keyColB: String,
+      groups: Int = 4,
+      perGroup: Int = 16): DataFrame = {
+    require(groups >= 2 && perGroup >= 1, s"need >=2 groups, got $groups x $perGroup")
+    require(Integer.bitCount(perGroup) == 1, s"perGroup must be a power of 2, got $perGroup")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nA    = amsCounts(dfA, keyColA)
+    val nB    = amsCounts(dfB, keyColB)
+    val r     = groups * perGroup
+    val prod = amsSignSums(nA, r).select(col("j"), col("s").as("sa"))
+      .join(amsSignSums(nB, r).select(col("j"), col("s").as("sb")), Seq("j"))
+      .select(col("j"), (col("sa").cast(dec38) * col("sb")).as("p"))
+    val mid = amsMedianOfMeans(prod, groups, perGroup)
+    val exact = nA.join(nB.select(col("x"), col("cnt").as("cnt_b")), Seq("x"))
+      .agg(coalesce(sum(col("cnt").cast(dec38) * col("cnt_b")), lit(0).cast(dec38))
+        .cast("long").as("join_exact"))
+    val sizes = nA.agg(sum(col("cnt")).as("n_a"), count(lit(1)).as("distinct_a"))
+      .crossJoin(nB.agg(sum(col("cnt")).as("n_b"), count(lit(1)).as("distinct_b")))
+    sizes
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(mid))
+      .withColumn("join_est",
+        round(col("midsum").cast("double") / (col("nmid") * perGroup).cast("double"), 6))
+      .select(
+        col("n_a"), col("n_b"), col("distinct_a"), col("distinct_b"),
+        col("join_exact"), col("join_est"),
+        round(
+          when(col("join_exact") > 0,
+            abs(col("join_est") - col("join_exact").cast("double")) / col("join_exact").cast("double")),
+          6).as("rel_err"))
   }
 
   def heavyHitters(

@@ -577,6 +577,18 @@ object ExtendedQueries {
       Sketches.amsF2(Tables(spark, dir).events, "user_id", groups = 4, perGroup = 16)
     },
 
+    // AMS join-size estimator (Sketches.amsJoinSize): the same sign-hash
+    // counters on events.user_id and orders.o_custkey, per-estimator
+    // products S_a*S_b whose expectation IS the inner-join cardinality —
+    // the planner question two tiny persisted sketches can answer without
+    // rescanning either table. Exact join size rides along for the audit.
+    Q(
+      "sketch_ams_join",
+      Some(amsJoinSql(groups = 4, perGroup = 16))) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Sketches.amsJoinSize(t.events, "user_id", t.orders, "o_custkey", groups = 4, perGroup = 16)
+    },
+
     // Portable cube + union: daily m-byte register blobs re-aggregated by
     // elementwise max. Union-of-days ≡ one global pass BIT FOR BIT (the
     // register max is order-free and idempotent; SketchSpec pins the
@@ -1867,6 +1879,51 @@ object ExtendedQueries {
               round(abs(round(CAST(midsum AS DOUBLE) / CAST(nmid * $perGroup AS DOUBLE), 6)
                         - CAST(f2_exact AS DOUBLE)) / CAST(f2_exact AS DOUBLE), 6) AS rel_err
        FROM ex, mid"""
+  }
+
+  /** DuckDB replay of [[graft.operators.Sketches.amsJoinSize]] on
+    * (events.user_id, orders.o_custkey): two sign-sum chains off one
+    * shared salt table, per-estimator products, the medians-of-means rank
+    * selection, one division — plus the exact join size for the audit. */
+  private def amsJoinSql(groups: Int, perGroup: Int): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    def chain(tag: String, src: String): String =
+      s"""f$tag AS (SELECT $src.cnt, salts.j, xor($src.x, salts.salt) AS y FROM $src CROSS JOIN salts),
+         |a$tag AS (SELECT cnt, j, xor(y, y >> 30) AS a FROM f$tag),
+         |b$tag AS (SELECT cnt, j, ${mulmod("a", "13787848793156543929")} AS z FROM a$tag),
+         |c$tag AS (SELECT cnt, j, xor(z, z >> 27) AS a FROM b$tag),
+         |d$tag AS (SELECT cnt, j, ${mulmod("a", "10723151780598845931")} AS z FROM c$tag),
+         |e$tag AS (SELECT cnt, j, xor(z, z >> 31) AS h FROM d$tag),
+         |sj$tag AS (SELECT j, CAST(SUM(cnt * (1 - 2 * CAST(h & 1 AS BIGINT))) AS BIGINT) AS s
+         |           FROM e$tag GROUP BY 1)""".stripMargin
+    val salts = (0 until groups * perGroup)
+      .map(j =>
+        s"($j, ${java.lang.Long.toUnsignedString(Sketches.BloomGolden * (j + 1).toLong)}::UBIGINT)")
+      .mkString(", ")
+    val shift = Integer.numberOfTrailingZeros(perGroup)
+    val est   = s"round(CAST(midsum AS DOUBLE) / CAST(nmid * $perGroup AS DOUBLE), 6)"
+    s"""WITH na AS (SELECT CAST(user_id AS UBIGINT) AS x, COUNT(*) AS cnt FROM events GROUP BY 1),
+       nb AS (SELECT CAST(o_custkey AS UBIGINT) AS x, COUNT(*) AS cnt FROM orders GROUP BY 1),
+       salts(j, salt) AS (VALUES $salts),
+       ${chain("a", "na")},
+       ${chain("b", "nb")},
+       prod AS (SELECT sja.j, (sja.s::HUGEINT) * sjb.s AS p FROM sja JOIN sjb USING (j)),
+       gs AS (SELECT (j >> $shift) AS g, SUM(p) AS gsum FROM prod GROUP BY 1),
+       mid AS (SELECT SUM(gsum) AS midsum, COUNT(*) AS nmid FROM (
+                 SELECT gsum, g, row_number() OVER (ORDER BY gsum ASC, g ASC) AS rn FROM gs)
+               WHERE rn = ${(groups + 1) / 2} OR rn = ${groups / 2 + 1}),
+       ex AS (SELECT COALESCE(CAST(SUM((na.cnt::HUGEINT) * nb.cnt) AS BIGINT), 0) AS join_exact
+              FROM na JOIN nb USING (x)),
+       sza AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_a, COUNT(*) AS distinct_a FROM na),
+       szb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_b, COUNT(*) AS distinct_b FROM nb)
+       SELECT n_a, n_b, distinct_a, distinct_b, join_exact, $est AS join_est,
+              round(CASE WHEN join_exact > 0
+                         THEN abs($est - CAST(join_exact AS DOUBLE)) / CAST(join_exact AS DOUBLE)
+                    END, 6) AS rel_err
+       FROM sza, szb, ex, mid"""
   }
 
   private def cmsSql(logW: Int, depth: Int): String = {

@@ -285,4 +285,24 @@ class SketchSpec extends SparkSpec {
     val again = Sketches.amsF2(skew.repartition(13), "k").collect().head
     assert(r.toString == again.toString)
   }
+
+  test("AMS join size: identical single-key tables are hash-free exact, disjoint keys estimate around 0, exact audit right") {
+    import spark.implicits._
+    // one shared key on both sides: S^A_j = ±17, S^B_j = ±5 with the SAME
+    // sign (same key, same hashes) -> every product is exactly 85
+    val a = Seq.fill(17)(9L).toDF("k")
+    val b = Seq.fill(5)(9L).toDF("k")
+    val r = Sketches.amsJoinSize(a, "k", b, "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5), r.getDouble(6)) == ((17L, 5L, 1L, 1L, 85L, 85.0, 0.0)), r.toString)
+    // disjoint key sets: exact 0, rel_err NULL, estimate still emitted
+    val d = Sketches.amsJoinSize(
+      Seq(1L, 2L, 3L).toDF("k"), "k", Seq(10L, 11L).toDF("k"), "k").collect().head
+    assert(d.getLong(4) == 0L && d.isNullAt(6), d.toString)
+    // overlapping fixture: the exact audit is the true SUM f_a*f_b
+    val x = (Seq.fill(4)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L)).toDF("k")
+    val y = (Seq.fill(3)(1L) ++ Seq.fill(5)(2L) ++ Seq(99L)).toDF("k")
+    val o = Sketches.amsJoinSize(x, "k", y, "k").collect().head
+    assert(o.getLong(4) == 4L * 3 + 2 * 5, o.toString)
+  }
 }
