@@ -211,6 +211,72 @@ object RankingQueries {
         .filter(col("jw") >= 0.8)
     },
 
+    // --------------------------- Soundex blocking + Jaro-Winkler scoring
+    // The classic linkage pipeline end to end: phonetic BLOCKING (American
+    // Soundex — Spark's codegen'd builtin) shrinks the candidate grid to
+    // same-block pairs, then the native Jaro-Winkler expression scores
+    // each candidate — blocking is exactly the scale lever the JW scaladoc
+    // points at. The oracle rebuilds Soundex RELATIONALLY (census rules:
+    // first letter + consonant codes, vowels reset the repeat-suppression
+    // state, H/W transparent via last_value IGNORE NULLS, pad/cut to 3
+    // digits) — validated against the census textbook fixtures — and
+    // scores with its own bit-parity JW.
+    Q(
+      "er_soundex_blocks",
+      Some("""
+        WITH words AS (SELECT DISTINCT word FROM (
+                     SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+                     UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
+                     UNION ALL SELECT n_name FROM nation
+                     UNION ALL SELECT r_name FROM region
+                     UNION ALL SELECT c_mktsegment FROM customer
+                   ) WHERE word <> ''),
+        up AS (SELECT word, upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS s FROM words),
+        lettered AS (SELECT word, s FROM up WHERE length(s) > 0),
+        pos AS (SELECT word, s, unnest(range(1, length(s) + 1)) AS i FROM lettered),
+        cod AS (SELECT word, i,
+                       CASE WHEN instr('BFPV', substr(s, CAST(i AS INTEGER), 1)) > 0 THEN 1
+                            WHEN instr('CGJKQSXZ', substr(s, CAST(i AS INTEGER), 1)) > 0 THEN 2
+                            WHEN instr('DT', substr(s, CAST(i AS INTEGER), 1)) > 0 THEN 3
+                            WHEN substr(s, CAST(i AS INTEGER), 1) = 'L' THEN 4
+                            WHEN instr('MN', substr(s, CAST(i AS INTEGER), 1)) > 0 THEN 5
+                            WHEN substr(s, CAST(i AS INTEGER), 1) = 'R' THEN 6
+                            WHEN instr('HW', substr(s, CAST(i AS INTEGER), 1)) > 0 THEN NULL
+                            ELSE 0 END AS c
+                FROM pos),
+        eff AS (SELECT word, i, c,
+                       last_value(c IGNORE NULLS) OVER (PARTITION BY word ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p
+                FROM cod),
+        dig AS (SELECT word, string_agg(CAST(c AS VARCHAR), '' ORDER BY i) AS d
+                FROM eff WHERE i > 1 AND c >= 1 AND (p IS NULL OR p != c) GROUP BY word),
+        sx AS (SELECT l.word, substr(l.s, 1, 1) || substr(COALESCE(dig.d, '') || '000', 1, 3) AS block
+               FROM lettered l LEFT JOIN dig ON dig.word = l.word)
+        SELECT a.word AS w1, b.word AS w2, a.block,
+               round(jaro_winkler_similarity(a.word, b.word), 6) AS jw
+        FROM sx a JOIN sx b ON a.block = b.block AND a.word < b.word
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val words = t.part.select(explode(split(col("p_name"), " ")).as("word"))
+        .unionAll(t.part.select(explode(split(col("p_type"), " ")).as("word")))
+        .unionAll(t.nation.select(col("n_name").as("word")))
+        .unionAll(t.region.select(col("r_name").as("word")))
+        .unionAll(t.customer.select(col("c_mktsegment").as("word")))
+        .filter(col("word") =!= "")
+        .distinct()
+      val sx = words
+        .select(col("word"), upper(regexp_replace(col("word"), "[^A-Za-z]", "")).as("s"))
+        .filter(length(col("s")) > 0)
+        .select(col("word"), soundex(col("s")).as("block"))
+      sx.select(col("word").as("w1"), col("block"))
+        .join(sx.select(col("word").as("w2"), col("block")), Seq("block"))
+        .filter(col("w1") < col("w2"))
+        .select(
+          col("w1"), col("w2"), col("block"),
+          round(
+            graft.functions.JaroWinklerFunctions.jaro_winkler(col("w1"), col("w2")), 6).as("jw"))
+    },
+
     // --------------------------------- tf-idf posting-list cosine pairs
     // Similar-document pairs WITHOUT embeddings: ln-idf-weighted term
     // vectors, one term-keyed posting self-join (Bayardo all-pairs shape),

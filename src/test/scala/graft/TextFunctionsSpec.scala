@@ -84,6 +84,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(recall >= 0.8, s"winnow recall $recall over ${truth.size} planted pairs")
   }
 
+  test("soundex builtin matches the census textbook fixtures the oracle replay is validated on") {
+    import spark.implicits._
+    // the er_soundex_blocks oracle rebuilds Soundex relationally and was
+    // validated against exactly these census values — this pins Spark's
+    // builtin to the same contract (H/W transparency, vowel reset,
+    // first-letter code as initial suppression state, pad/cut to 3)
+    val want = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", "Ashcraft" -> "A261", "Ashcroft" -> "A261",
+      "Tymczak" -> "T522", "Pfister" -> "P236", "Honeyman" -> "H555", "Washington" -> "W252",
+      "Lee" -> "L000", "Gutierrez" -> "G362", "Jackson" -> "J250", "VanDeusen" -> "V532",
+      "aaa" -> "A000", "b" -> "B000", "Wu" -> "W000", "Hall" -> "H400")
+    val got = want.map(_._1).toDF("w")
+      .select(col("w"), soundex(col("w")).as("sx")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    want.foreach { case (w, sx) => assert(got(w) == sx, s"$w: got ${got(w)}, want $sx") }
+  }
+
   test("jaro_winkler: textbook closed forms, boost threshold, empties, codegen == interpreted") {
     import spark.implicits._
     import graft.functions.{JaroWinklerFunctions, JaroWinklerImpl}
