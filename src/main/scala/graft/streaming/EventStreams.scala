@@ -300,6 +300,58 @@ object EventStreams {
         })
   }
 
+  final case class HwState(l: Double, b: Double, t: Long, s: Array[Double], started: Boolean)
+  final case class HwSnapshot(
+      key: String, n: Long, level: Double, trend: Double,
+      season_next: Double, forecast_next: Double)
+
+  /** Streaming Holt-Winters — the live twin of
+    * [[graft.operators.TimeSeries.holtWintersFinal]]: per-key state is
+    * exactly (level, trend, step count, the `period` seasonal slots) —
+    * O(p) doubles regardless of stream length — folded in event-time
+    * order within each micro-batch and emitted as a refreshed snapshot
+    * per batch (Update mode). Every step runs the BATCH operator's
+    * arithmetic in the same order (same binary-exact coefficients, same
+    * zero-seasonal init), so under event-time-ordered arrival across
+    * batches the final snapshot is BIT-IDENTICAL to the batch fold over
+    * the same rows (StreamingSpec pins it; the ordered-arrival caveat is
+    * the same one every order-sensitive stream here carries). */
+  def holtWintersStream(
+      events: Dataset[Event],
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      period: Int): Dataset[HwSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: String, evs: Iterator[Event], state: GroupState[HwState]) => {
+          var st = state.getOption
+            .getOrElse(HwState(0.0, 0.0, 0L, Array.fill(period)(0.0), started = false))
+          evs.toVector.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val v = e.value
+            if (!st.started) st = HwState(v, 0.0, 1L, st.s, started = true)
+            else {
+              val i    = (st.t % period).toInt
+              val sOld = st.s(i)
+              val newL = alpha * (v - sOld) + (1.0 - alpha) * (st.l + st.b)
+              val newB = beta * (newL - st.l) + (1.0 - beta) * st.b
+              val ns   = st.s.clone()
+              ns(i) = gamma * (v - newL) + (1.0 - gamma) * sOld
+              st = HwState(newL, newB, st.t + 1, ns, started = true)
+            }
+          }
+          state.update(st)
+          val slot = (st.t % period).toInt
+          HwSnapshot(key, st.t, r6(st.l), r6(st.b), r6(st.s(slot)), r6(st.l + st.b + st.s(slot)))
+        })
+  }
+
   final case class KmvState(hashes: Array[Long], nRows: Long)
   final case class KmvEstimate(event_type: String, distinct_est: Double, n_rows: Long)
 

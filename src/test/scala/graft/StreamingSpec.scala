@@ -260,6 +260,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size > 100)
   }
 
+  test("streaming Holt-Winters final snapshot equals the batch fold bit-for-bit on an in-order stream") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .holtWintersStream(stream, alpha = 0.25, beta = 0.125, gamma = 0.25, period = 7)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("hw_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    // per-batch snapshots accumulate; the final one per key (max step
+    // count) must equal the batch operator over the same rows
+    val streamed = spark
+      .table("hw_out")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        k -> ((last.getLong(1), last.getDouble(2), last.getDouble(3), last.getDouble(4), last.getDouble(5)))
+      }
+    val batch = graft.operators.TimeSeries
+      .holtWintersFinal(events, "event_type", "ts", "event_id", "value",
+        alpha = 0.25, beta = 0.125, gamma = 0.25, period = 7)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.values.forall(_._1 > 50))
+  }
+
   test("streaming Page-Hinkley equals the batch operator bit-for-bit on an in-order stream") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
