@@ -302,6 +302,45 @@ object AdvancedQueries {
         Tables(spark, dir).events, "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.125)
     },
 
+    // Pettitt changepoint test (TimeSeries.pettittTest): rank-based single
+    // changepoint per event type's daily series — U_t = t(n+1) - cum(2r)
+    // exact to the last integer via doubled average ranks, earliest-split
+    // argmax, closed-form significance with the one exp under round(., 9).
+    Q(
+      "events_pettitt",
+      Some("""
+        WITH dd AS (SELECT event_type AS key, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS v
+                    FROM events GROUP BY 1, 2),
+        rn AS (SELECT key, d, v, row_number() OVER (PARTITION BY key ORDER BY d) AS t FROM dd),
+        vc AS (SELECT key, v, COUNT(*) AS cnt FROM dd GROUP BY 1, 2),
+        r2 AS (SELECT key, v,
+                      COALESCE(SUM(cnt) OVER (PARTITION BY key ORDER BY v
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                        + cnt + 1 AS r2
+               FROM vc),
+        u AS (SELECT rn.key, rn.d, rn.t,
+                     COUNT(*) OVER (PARTITION BY rn.key) AS n,
+                     SUM(r2.r2) OVER (PARTITION BY rn.key ORDER BY rn.t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w2
+              FROM rn JOIN r2 ON r2.key = rn.key AND r2.v = rn.v),
+        ut AS (SELECT key, d, t, n, CAST(t * (n + 1) - w2 AS BIGINT) AS u_t FROM u WHERE t < n),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY abs(u_t) DESC, t ASC) AS pk
+                 FROM ut)
+        SELECT key, n, t AS cp_index, d AS cp_at, abs(u_t) AS k_stat,
+               round(LEAST(1.0, 2.0 * exp(-6.0 * CAST(abs(u_t) AS DOUBLE) * CAST(abs(u_t) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 9) AS p_value,
+               round(LEAST(1.0, 2.0 * exp(-6.0 * CAST(abs(u_t) AS DOUBLE) * CAST(abs(u_t) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 9) <= 0.05 AS significant
+        FROM pick WHERE pk = 1 ORDER BY key
+      """)) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type").as("etype"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.TimeSeries.pettittTest(daily, "etype", "d", "v", alphaSig = 0.05)
+    },
+
     // Holt-Winters additive triple smoothing (TimeSeries.holtWintersFinal):
     // the seasonal member of the smoothing family — day-of-week period 7
     // over each event type's daily-count series, zero-seasonal init,

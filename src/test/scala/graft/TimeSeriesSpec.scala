@@ -164,6 +164,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(h.getDouble(4) == 0.444444, h.toString)
   }
 
+  test("pettittTest: hand U_t closed form, constant series insignificant, strong step significant") {
+    import spark.implicits._
+    // 1,1,1,5,5: U = (2,4,6,3), K=6 at t=3 (the true split), p=2e^{-1.44}
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 5L), ("g", 5L, 5L))
+      .toDF("key", "ts", "v")
+    val r = TimeSeries.pettittTest(df, "key", "ts", "v").collect().head
+    assert((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)) == ((5L, 3, 3L, 6L)), r.toString)
+    val expP = BigDecimal(2.0 * math.exp(-6.0 * 36.0 / 150.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expP && !r.getBoolean(6), r.toString)
+    // constant series: every U_t = 0, p clamps to 1, earliest-split tie-break
+    val const = (1L to 10L).map(t => ("c", t, 4L)).toDF("key", "ts", "v")
+    val c = TimeSeries.pettittTest(const, "key", "ts", "v").collect().head
+    assert((c.getInt(2), c.getLong(4), c.getDouble(5), c.getBoolean(6)) == ((1, 0L, 1.0, false)),
+      c.toString)
+    // 20 zeros then 20 tens: K = 400 at t=20, overwhelmingly significant
+    val step = ((1L to 20L).map(t => ("s", t, 0L)) ++ (21L to 40L).map(t => ("s", t, 10L)))
+      .toDF("key", "ts", "v")
+    val s = TimeSeries.pettittTest(step, "key", "ts", "v").collect().head
+    assert((s.getInt(2), s.getLong(4), s.getBoolean(6)) == ((20, 400L, true)), s.toString)
+  }
+
   test("holtWintersFinal: hand fold with seasonal slots, constant series fixpoint, gamma=0 equals Holt") {
     import spark.implicits._
     // hand fold, alpha=beta=gamma=0.5, p=2, series 1,2,3:
