@@ -81,6 +81,82 @@ object Similarity {
       k)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
+    * the DIVERSIFIED top-k every retrieval-for-training pipeline needs
+    * once plain top-k starts returning near-duplicates: greedily pick the
+    * candidate maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) against
+    * the already-selected set S.
+    *
+    * Split into the distributed stage and the inherently sequential one:
+    * relevance scoring + the top-`poolSize` pool cut + all pairwise pool
+    * similarities run as Spark plans (the corpus is streamed once through
+    * the bounded-heap top-k; the pool pair grid is poolSize²-bounded);
+    * the greedy k-step selection itself folds DRIVER-SIDE over the
+    * collected pool (a model-bounded collect — poolSize² rows, the
+    * reranker-serving shape; k-means cells and kNN serving make the same
+    * judgment). Every quantity the selection compares sits on the 1e-9
+    * decimal grid (rel9/sim9 rounded before use, each step's score
+    * re-snapped after the fixed-order λ-blend), ties break on vec_id —
+    * the whole trajectory replays as unrolled argmax CTEs.
+    *
+    * First pick maximizes rel alone (max-sim over the empty set is 0 by
+    * convention). Output: (rank, vec_id, rel9, score9) for the k picks. */
+  def mmrSelect(
+      corpus: DataFrame,
+      queryId: Long,
+      poolSize: Int,
+      k: Int,
+      lambda: Double): DataFrame = {
+    require(poolSize >= k && k >= 1, s"need poolSize >= k >= 1, got $poolSize/$k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(
+      corpus.filter(col("vec_id") === queryId)
+        .select(asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv"))))
+    val c = corpus.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val rel = q.crossJoin(c)
+      .select(col("vec_id"), round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("rel9"))
+    val pool = graft.operators.TopK
+      .perGroup(
+        rel.withColumn("g", lit(1)), groupCols = Seq("g"),
+        orderCols = Seq("rel9" -> false, "vec_id" -> true), k = poolSize)
+      .select(col("vec_id"), col("rel9"))
+    val pv = pool
+      .join(c.select(col("vec_id"), col("cv"), col("cn")), Seq("vec_id"))
+    val sims = pv.as("x")
+      .join(pv.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(dot(col("x.cv"), col("y.cv")) / (col("x.cn") * col("y.cn")), 9).as("sim9"))
+    // model-bounded collects: poolSize rows + poolSize^2/2 sims
+    val cand = pool.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val simM = sims.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    def snap9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ cand.keys
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val best = remaining
+        .map { id =>
+          val maxSim = if (selected.isEmpty) 0.0
+          else selected.map(s => simM.getOrElse((id, s._2), 0.0)).max
+          (id, snap9(lambda * cand(id) - (1.0 - lambda) * maxSim))
+        }
+        .minBy { case (id, score) => (-score, id) }
+      selected += ((rank, best._1, cand(best._1), best._2))
+      remaining -= best._1
+      rank += 1
+    }
+    selected.toSeq.toDF("rank", "vec_id", "rel9", "score9")
+  }
+
   /** DBSCAN density clustering over the embedding space (Ester et al.
     * 1996), COMPOSED from the engine's verified primitives: the
     * ε-neighbor graph is [[cosineDupPairs]] at `simThreshold` (exact

@@ -211,6 +211,20 @@ object RankingQueries {
         .filter(col("jw") >= 0.8)
     },
 
+    // ----------------------------------- MMR diversified top-k selection
+    // Maximal Marginal Relevance (Similarity.mmrSelect): relevance scoring
+    // and the pool cut + pairwise sims run distributed; the k greedy picks
+    // fold over the collected pool (model-bounded, the reranker-serving
+    // shape). Every compared quantity sits on the 1e-9 grid with vec_id
+    // tie-breaks, so the oracle replays the WHOLE selection trajectory as
+    // unrolled argmax CTEs.
+    Q(
+      "retrieval_mmr_topk",
+      Some(mmrSql(queryId = 0L, poolSize = 20, k = 8))) { (spark, dir) =>
+      graft.operators.Similarity.mmrSelect(
+        Tables(spark, dir).embeddings, queryId = 0L, poolSize = 20, k = 8, lambda = 0.75)
+    },
+
     // --------------------------- Soundex blocking + Jaro-Winkler scoring
     // The classic linkage pipeline end to end: phonetic BLOCKING (American
     // Soundex — Spark's codegen'd builtin) shrinks the candidate grid to
@@ -308,4 +322,38 @@ object RankingQueries {
         Tables(spark, dir).documents, "doc_id", "text", maxDfRatio = 0.5, minSim = 0.1, maxDfAbs = 2000L)
     }
   )
+
+  /** DuckDB replay of [[graft.operators.Similarity.mmrSelect]]: pool and
+    * pairwise sims on the proven round-9 cosine, then the greedy
+    * trajectory UNROLLED — one argmax CTE per pick, each scoring
+    * round(λ·rel9 − (1−λ)·maxsim-to-selected, 9) with the vec_id
+    * tie-break, MATERIALIZED so DuckDB never re-inlines a step. */
+  private def mmrSql(queryId: Long, poolSize: Int, k: Int): String = {
+    val steps = (2 to k).map { j =>
+      val prev = s"selu${j - 1}"
+      s"""sel$j AS MATERIALIZED (
+         |  SELECT p.vec_id, p.rel9,
+         |         round(0.75 * p.rel9 - 0.25 * (SELECT MAX(s.sim9) FROM sim s
+         |                JOIN $prev u ON s.a = p.vec_id AND s.b = u.vec_id), 9) AS score9,
+         |         $j AS rank
+         |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  ORDER BY score9 DESC, p.vec_id ASC LIMIT 1),
+         |selu$j AS (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM sel$j)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(j => s"SELECT rank, vec_id, rel9, score9 FROM sel$j").mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $queryId),
+       c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> $queryId),
+       rel AS MATERIALIZED (SELECT vec_id, round(list_cosine_similarity(q.qv, c.cv), 9) AS rel9 FROM c, q),
+       pool AS MATERIALIZED (SELECT vec_id, rel9 FROM rel ORDER BY rel9 DESC, vec_id ASC LIMIT $poolSize),
+       pc AS MATERIALIZED (SELECT p.vec_id, c.cv FROM pool p JOIN c ON c.vec_id = p.vec_id),
+       sim AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+                                   round(list_cosine_similarity(x.cv, y.cv), 9) AS sim9
+                            FROM pc x JOIN pc y ON x.vec_id <> y.vec_id),
+       sel1 AS MATERIALIZED (SELECT vec_id, rel9, round(0.75 * rel9, 9) AS score9, 1 AS rank
+                             FROM pool ORDER BY round(0.75 * rel9, 9) DESC, vec_id ASC LIMIT 1),
+       selu1 AS (SELECT vec_id FROM sel1),
+       $steps
+       $unionAll
+       ORDER BY rank"""
+  }
 }

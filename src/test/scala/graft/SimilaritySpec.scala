@@ -623,4 +623,23 @@ class SimilaritySpec extends SparkSpec {
     val d1 = Similarity.pcaFitK(embs, "vec_id", "embedding", iters = 8, nComponents = 2, orthoTol = 0.0)
     assert(d0.components(0).sameElements(d1.components(0)) && d0.components(1).sameElements(d1.components(1)))
   }
+
+  test("mmrSelect: low lambda swaps the duplicate for the diverse pick, lambda=1 is pure top-k, deterministic") {
+    import spark.implicits._
+    // query along x; ids 1,2 collinear with it (mutual sim exactly 1),
+    // id 3 at 45 degrees (rel = sim-to-twins = 1/sqrt(2))
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(2.0, 0.0, 0.0)),
+      (2L, Array(3.0, 0.0, 0.0)), (3L, Array(1.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val lo = Similarity.mmrSelect(vecs, queryId = 0L, poolSize = 3, k = 2, lambda = 0.25)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1)))
+    assert(lo.toSeq == Seq((1, 1L), (2, 3L)), lo.mkString(",")) // diversity beats the twin
+    val hi = Similarity.mmrSelect(vecs, queryId = 0L, poolSize = 3, k = 2, lambda = 1.0)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1)))
+    assert(hi.toSeq == Seq((1, 1L), (2, 2L)), hi.mkString(",")) // pure relevance keeps both twins
+    val again = Similarity.mmrSelect(vecs.repartition(5), queryId = 0L, poolSize = 3, k = 2, lambda = 0.25)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1)))
+    assert(again.sameElements(lo))
+  }
 }
