@@ -728,6 +728,50 @@ object DataQuality {
             6)).as("cramers_v"))
   }
 
+  /** Quantile normalization — the batch-effect/covariate-shift correction
+    * from genomics (Bolstad et al. 2003) generalized to unequal group
+    * sizes: each value is replaced by the POOLED distribution's
+    * interpolated quantile at its within-group rank position
+    * p = (r − ½)/n_g, so every group's distribution maps onto the same
+    * reference and downstream comparisons see shape, not shift.
+    *
+    * Determinism: ranks and sizes are exact integers; the target pooled
+    * position t = p·(N−1) is a fixed-order double, its fraction snaps to
+    * the 1e-9 grid before ONE linear interpolation under round(·, 6).
+    * Ties within a group get consecutive ranks but identical emitted rows
+    * (the output multiset is rank-order-free). The pooled order is a
+    * global sort — the exact-percentile stance of quantileBucketize
+    * (swap an approx grid in beyond single-node order-statistics scale);
+    * the per-group windows shuffle once on the group key.
+    * Output: (group, value, qn_value) per input row. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val pts = df.select(
+      col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
+    val ranked = pts
+      .withColumn("r", row_number().over(W.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("ng", count(lit(1)).over(W.partitionBy(col("g"))))
+    val pool = pts
+      .select(col("v").as("pv"))
+      .withColumn("idx", row_number().over(W.orderBy(col("pv"))))
+      .withColumn("n", count(lit(1)).over())
+    val dbl = (c: Column) => c.cast("double")
+    val t   = (dbl(col("r")) - lit(0.5)) / dbl(col("ng")) * dbl(col("n") - 1)
+    val withT = ranked
+      .crossJoin(broadcast(pool.select(col("n")).limit(1)))
+      .withColumn("k", floor(t).cast("long"))
+      .withColumn("frac", round(t - floor(t), 9))
+    withT
+      .join(pool.select(col("idx"), col("pv").as("v_lo")), col("k") + 1 === col("idx"))
+      .join(pool.select(col("idx").as("idx2"), col("pv").as("v_hi")),
+        col("k") + 2 === col("idx2"), "left")
+      .select(
+        col("g").as(groupCol),
+        col("v").as(valueCol),
+        round(col("v_lo") + col("frac") * (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")), 6)
+          .as("qn_value"))
+  }
+
   /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
     * categorical raters (two annotators, or two automated quality gates
     * whose consistency a labeling pipeline must audit):

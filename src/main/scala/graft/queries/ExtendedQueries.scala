@@ -1307,6 +1307,32 @@ object ExtendedQueries {
       DataQuality.tClosenessAudit(j, Seq("c_mktsegment", "c_nationkey"), "o_orderpriority", t = 0.05)
     },
 
+    // Quantile normalization (DataQuality.quantileNormalize): map every
+    // segment's account-balance distribution onto the pooled reference by
+    // interpolated quantile at the within-group rank position — the
+    // batch-effect correction. Exact integer ranks, grid-9 fraction, one
+    // interpolation under round(., 6).
+    Q(
+      "quality_quantile_normalize",
+      Some("""
+        WITH pts AS (SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS v FROM customer),
+        rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+                      COUNT(*) OVER (PARTITION BY g) AS ng FROM pts),
+        nn AS (SELECT COUNT(*) AS n FROM pts),
+        pool AS (SELECT v AS pv, row_number() OVER (ORDER BY v) AS idx FROM pts),
+        wt AS (SELECT g, v,
+                      CAST(floor((CAST(r AS DOUBLE) - 0.5) / CAST(ng AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS k,
+                      round((CAST(r AS DOUBLE) - 0.5) / CAST(ng AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                            - floor((CAST(r AS DOUBLE) - 0.5) / CAST(ng AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 9) AS frac
+               FROM rk CROSS JOIN nn)
+        SELECT wt.g AS c_mktsegment, wt.v AS c_acctbal,
+               round(lo.pv + wt.frac * (COALESCE(hi.pv, lo.pv) - lo.pv), 6) AS qn_value
+        FROM wt JOIN pool lo ON lo.idx = wt.k + 1
+        LEFT JOIN pool hi ON hi.idx = wt.k + 2
+      """)) { (spark, dir) =>
+      DataQuality.quantileNormalize(Tables(spark, dir).customer, "c_mktsegment", "c_acctbal")
+    },
+
     // Cohen's kappa (DataQuality.cohensKappa): chance-corrected agreement
     // between two automated document-quality raters (char-length vs
     // word-count gates) — exact integer contingency/margins, kappa from

@@ -304,6 +304,25 @@ class DataQualitySpec extends SparkSpec {
     assert(d.forall(_.isNullAt(3)), d.mkString(","))
   }
 
+  test("quantileNormalize: shifted groups map to identical references, hand-interpolated closed forms") {
+    import spark.implicits._
+    // two equal-size groups shifted by 10: pooled = 1,2,3,11,12,13; both
+    // groups land on the SAME reference values at ranks 1..3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 11L), ("b", 12L), ("b", 13L))
+      .toDF("g", "v")
+    val r = DataQuality.quantileNormalize(df, "g", "v").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(2)).sorted.toSeq).toMap
+    val want = Seq(1.833333, 7.0, 12.166667)
+    assert(r("a") == want, r("a").toString)
+    assert(r("b") == want, r("b").toString)
+    // single group: QN at equal pool = near-identity on interior ranks
+    val one = Seq(("x", 10L), ("x", 20L), ("x", 30L)).toDF("g", "v")
+    val o = DataQuality.quantileNormalize(one, "g", "v").collect()
+      .map(_.getDouble(2)).sorted.toSeq
+    // t = (r-.5)/3*2 -> 0.333../1.0/1.666..: 13.333333, 20, 26.666667
+    assert(o == Seq(13.333333, 20.0, 26.666667), o.toString)
+  }
+
   test("cohensKappa: textbook 0.4 fixture, independence is 0, perfect agreement 1, constant raters NULL") {
     import spark.implicits._
     // classic 2x2: O = [[20,5],[10,15]] -> po=0.7, pe=0.5, kappa=0.4
