@@ -816,6 +816,51 @@ object DataQuality {
           6).as("kappa"))
   }
 
+  /** Seeded randomized response (Warner 1965) — the LOCAL-DP primitive:
+    * each unit reports its true binary attribute with probability p and
+    * the flip otherwise (ε = ln(p/(1−p))), and the aggregator recovers an
+    * unbiased per-group frequency π̂ = (λ̂ + p − 1)/(2p − 1) from reported
+    * counts alone. Same reproducible-release discipline as
+    * [[dpNoisyCounts]]: the flip is DETERMINISTIC from splitmix64(key ⊕
+    * seed) via the exact dyadic u = top-53 bits / 2⁵³, so a release is
+    * re-derivable and auditable bit-for-bit (the seed is the secret).
+    *
+    * p must be an exact binary fraction (0.75, 0.875…) so the u < p
+    * comparison is grid-exact cross-engine. Counts are exact ints;
+    * π̂ and the true fraction (riding along for the audit — the local-DP
+    * contract is that the AGGREGATE recovers it) are each ONE fixed-order
+    * formula under round(·, 6). π̂ is the raw unbiased estimator — it may
+    * leave [0,1] on small groups by design. One map-side-combined pass. */
+  def randomizedResponse(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      truth: Column,
+      seed: Long,
+      p: Double = 0.75): DataFrame = {
+    require(p > 0.5 && p < 1.0, s"p must be in (0.5, 1), got $p")
+    val h = graft.functions.TextFunctions.mix64(col(keyCol).cast("long").bitwiseXOR(lit(seed)))
+    val u = shiftrightunsigned(h, 11).cast("double") / lit(9007199254740992.0)
+    val reported = df
+      .select(col(groupCol).as("g"), truth.as("t"), u.as("u"))
+      .select(col("g"), col("t"), (col("t") === (col("u") < p)).as("rep"))
+    val dbl = (c: Column) => c.cast("double")
+    reported
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("rep"), 1L).otherwise(0L)).as("n_yes_reported"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_yes_true"))
+      .select(
+        col("g").as(groupCol),
+        col("n"), col("n_yes_reported"),
+        round(
+          (dbl(col("n_yes_reported")) / dbl(col("n")) + (p - 1.0)) / (2.0 * p - 1.0),
+          6).as("pi_hat"),
+        round(dbl(col("n_yes_true")) / dbl(col("n")), 6).as("pi_true"))
+      .orderBy(col(groupCol))
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns — the
     * privacy gate a dataset passes before release (Sweeney 2002; Machanavajjhala
     * et al. 2007): every QI combination's group size (re-identification risk

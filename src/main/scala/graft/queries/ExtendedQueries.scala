@@ -1371,6 +1371,21 @@ object ExtendedQueries {
       DataQuality.cohensKappa(rated, "rater_a", "rater_b")
     },
 
+    // Seeded randomized response (DataQuality.randomizedResponse): the
+    // local-DP primitive — each customer reports acctbal>0 truthfully
+    // with p=0.75 (flip decided by splitmix64(custkey ^ seed), exact
+    // dyadic u), and the per-segment unbiased estimator recovers the true
+    // fraction from reported counts alone; the true fraction rides along
+    // for the audit. The oracle replays hash, u, flips, and both
+    // single-division formulas bit-for-bit.
+    Q(
+      "privacy_randomized_response",
+      Some(randomizedResponseSql(seed = 20260814L))) { (spark, dir) =>
+      DataQuality.randomizedResponse(
+        Tables(spark, dir).customer, "c_mktsegment", "c_custkey",
+        col("c_acctbal") > 0, seed = 20260814L, p = 0.75)
+    },
+
     // Seeded ε-DP count release (Laplace, sensitivity 1, b = 1/ε = 2):
     // daily event counts plus noise derived deterministically from
     // (day ⊕ seed) through splitmix64 inverse-CDF sampling — the
@@ -1834,6 +1849,36 @@ object ExtendedQueries {
               FROM keyed GROUP BY 1)
        SELECT * FROM (${arm("az", "zorder")} UNION ALL ${arm("al", "lex")})
        ORDER BY layout DESC"""
+  }
+
+  /** DuckDB replay of [[graft.operators.DataQuality.randomizedResponse]]
+    * on customer/(acctbal>0) at p = 0.75: the splitmix64 chain on
+    * custkey ⊕ seed, the exact dyadic u, the u < p flip, and both
+    * one-division formulas. */
+  private def randomizedResponseSql(seed: Long): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    s"""
+    WITH g AS (SELECT c_mktsegment AS seg, (c_acctbal > 0) AS t,
+                      xor(CAST(c_custkey AS UBIGINT), $seed::UBIGINT) AS x
+               FROM customer),
+    a1 AS (SELECT seg, t, xor(x, x >> 30) AS a FROM g),
+    a2 AS (SELECT seg, t, ${mulmod("a", "13787848793156543929")} AS z FROM a1),
+    a3 AS (SELECT seg, t, xor(z, z >> 27) AS a FROM a2),
+    a4 AS (SELECT seg, t, ${mulmod("a", "10723151780598845931")} AS z FROM a3),
+    hx AS (SELECT seg, t, xor(z, z >> 31) AS h FROM a4),
+    uu AS (SELECT seg, t, CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM hx),
+    rp AS (SELECT seg, t, (t = (u < 0.75)) AS rep FROM uu),
+    ag AS (SELECT seg, COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_yes_reported,
+                  CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_yes_true
+           FROM rp GROUP BY 1)
+    SELECT seg AS c_mktsegment, n, n_yes_reported,
+           round((CAST(n_yes_reported AS DOUBLE) / CAST(n AS DOUBLE) + (-0.25)) / 0.5, 6) AS pi_hat,
+           round(CAST(n_yes_true AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pi_true
+    FROM ag ORDER BY c_mktsegment"""
   }
 
   private def dpCountsSql(seed: Long, b: Int): String = {

@@ -304,6 +304,23 @@ class DataQualitySpec extends SparkSpec {
     assert(d.forall(_.isNullAt(3)), d.mkString(","))
   }
 
+  test("randomizedResponse: seed-reproducible, estimator self-consistent, recovers the truth within noise") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(k => ("g", k, k % 4 != 0)).toDF("grp", "key", "truth")
+    def run(seed: Long) = DataQuality.randomizedResponse(
+      df, "grp", "key", col("truth"), seed = seed, p = 0.75).collect().head
+    val r = run(7L)
+    assert(r.toString == run(7L).toString)         // same seed, same release
+    assert(r.toString != run(8L).toString)         // a fresh seed is a fresh release
+    val (n, nyes, piHat, piTrue) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    assert(n == 2000L && piTrue == 0.75, r.toString)
+    val recomputed = BigDecimal((nyes.toDouble / n + (-0.25)) / 0.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(piHat == recomputed, s"$piHat vs $recomputed")
+    // unbiased estimator: sd ~ sqrt(p(1-p))/(2p-1)/sqrt(n) ~ 0.019 — 5 sigma
+    assert(math.abs(piHat - piTrue) < 0.1, r.toString)
+  }
+
   test("quantileNormalize: shifted groups map to identical references, hand-interpolated closed forms") {
     import spark.implicits._
     // two equal-size groups shifted by 10: pooled = 1,2,3,11,12,13; both
