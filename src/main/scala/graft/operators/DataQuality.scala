@@ -587,6 +587,20 @@ object DataQuality {
     * |values|·g² — document-bounded for the low-cardinality group axes
     * this is for (require ≤ 64 groups, same stance as mannWhitneyPairs);
     * the BH windows run over m ≤ 2016 rows. */
+  /** Two-sided normal p-value from a grid-6 z: erfc(|z|/√2) via the
+    * Abramowitz-Stegun 7.1.26 polynomial (|ε| < 1.5·10⁻⁷ — both engines
+    * evaluate the SAME Horner chain, so cross-engine parity is exact even
+    * though the approximation isn't), under round(·, 9). Shared by every
+    * z-based test in the engine (BH battery, log-rank, …) so the oracle
+    * formula is written exactly once per side. */
+  private[operators] def normalTwoSidedP(z: Column): Column = {
+    val x = abs(z) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t + lit(1.421413741)) * t
+      - lit(0.284496736)) * t + lit(0.254829592)) * t
+    round(poly * exp(-x * x), 9)
+  }
+
   def bhFdrMannWhitney(
       df: DataFrame,
       groupCol: String,
@@ -620,17 +634,11 @@ object DataQuality {
     val dbl = (c: Column) => c.cast("double")
     val sd2u = sqrt(dbl(col("n_a")) * dbl(col("n_b")) * dbl(col("n_a") + col("n_b") + 1) / 3.0)
     val zc   = round((dbl(col("u2_a")) - dbl(col("n_a")) * dbl(col("n_b"))) / sd2u, 6)
-    // A&S 7.1.26 erfc on x = |z|/sqrt(2): t = 1/(1 + 0.3275911 x),
-    // erfc(x) = (((((a5 t + a4) t) + a3) t + a2) t + a1) t · e^{−x²}
-    val x = abs(col("z")) / sqrt(lit(2.0))
-    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
-    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t + lit(1.421413741)) * t
-      - lit(0.284496736)) * t + lit(0.254829592)) * t
     val scored = u2
       .join(broadcast(grp.select(col("g").as("ga"), col("n").as("n_a"))), Seq("ga"))
       .join(broadcast(grp.select(col("g").as("gb"), col("n").as("n_b"))), Seq("gb"))
       .withColumn("z", zc)
-      .withColumn("p_value", round(poly * exp(-x * x), 9))
+      .withColumn("p_value", normalTwoSidedP(col("z")))
     val m     = java.lang.Math.toIntExact(nGroups * (nGroups - 1) / 2)
     val wrank = W.orderBy(col("p_value").asc, col("ga").asc, col("gb").asc)
     val wmin = W.orderBy(col("p_rank").desc)

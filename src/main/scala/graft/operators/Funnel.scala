@@ -562,4 +562,89 @@ object Funnel {
         col("d").as("d_churned"),
         round(exp(col("s_ln")), 6).as("survival"))
   }
+
+  /** Log-rank test (Mantel 1966) — the hypothesis test [[kaplanMeier]]
+    * lacks: do two groups share one survival curve? The A/B test for
+    * time-to-event (churn, retention) where a plain conversion z-test
+    * throws away WHEN events happen and censoring. Input is an
+    * observations frame (group ∈ exactly 2 labels, time, event 0/1 —
+    * 0 = right-censored); at each death time t the observed group-1
+    * deaths are compared to the hypergeometric expectation
+    * d_t·n_1t/n_t, with variance d_t·r·(1−r)·(n_t−d_t)/(n_t−1),
+    * r = n_1t/n_t.
+    *
+    * Determinism: at-risk counts are exact integers from two cumulative
+    * windows over the (distinct-time-sized) table; each E/V term is a
+    * fixed-order double from exact longs snapped to the 1e-9 grid, summed
+    * as exact decimals; O₁ is an exact long; χ², z, and the A&S-7.1.26
+    * two-sided p are fixed-order formulas from the round-6 sums.
+    * Group 1 = the lexicographically smaller label. Zero variance (no
+    * deaths, or one group empty at every death time) yields NULL
+    * statistics, never NaN. One data-sized aggregation; everything after
+    * is time-distinct-sized. */
+  def logRank(
+      obs: DataFrame,
+      groupCol: String,
+      timeCol: String,
+      eventCol: String,
+      alphaSig: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = obs.select(
+      col(groupCol).cast("string").as("g"),
+      col(timeCol).cast("long").as("t"),
+      col(eventCol).cast("long").as("e"))
+    val labels = o.select(col("g")).distinct().collect().map(_.getString(0)).sorted
+    require(labels.length == 2, s"logRank needs exactly 2 groups, got ${labels.length}")
+    val gA = labels(0)
+    val perT = o
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("g") === gA, col("e")).otherwise(0L)).as("d1"),
+        sum(col("e")).as("d"),
+        sum(when(col("g") === gA, 1L).otherwise(0L)).as("ended1"),
+        count(lit(1)).as("ended"))
+      .crossJoin(broadcast(o.agg(
+        sum(when(col("g") === gA, 1L).otherwise(0L)).as("tot1"),
+        count(lit(1)).as("tot"))))
+    val wT = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val dbl = (c: Column) => c.cast("double")
+    val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val risk = perT
+      .withColumn("n1t", col("tot1") - coalesce(sum(col("ended1")).over(wT), lit(0L)))
+      .withColumn("nt", col("tot") - coalesce(sum(col("ended")).over(wT), lit(0L)))
+      .filter(col("d") > 0)
+    val r = dbl(col("n1t")) / dbl(col("nt"))
+    val terms = risk.select(
+      col("d1"), col("d"), col("tot1"), col("tot"),
+      round(dbl(col("d")) * r, 9).cast(dec9).as("e1t"),
+      when(col("nt") > 1,
+        round(
+          dbl(col("d")) * r * (lit(1.0) - r) * dbl(col("nt") - col("d")) / dbl(col("nt") - 1),
+          9))
+        .otherwise(lit(0.0)).cast(dec9).as("vt"))
+    val agg = terms.agg(
+      first(col("tot1")).as("n_1"),
+      first(col("tot") - col("tot1")).as("n_2"),
+      sum(col("d1")).as("o_1"),
+      sum(col("d")).as("d_total"),
+      round(sum(col("e1t")), 6).cast("double").as("e_1"),
+      round(sum(col("vt")), 6).cast("double").as("v"))
+    agg
+      .select(
+        col("n_1"), col("n_2"), col("o_1"),
+        col("e_1"),
+        (col("d_total") - col("o_1")).as("o_2"),
+        round(dbl(col("d_total")) - col("e_1"), 6).as("e_2"),
+        col("v"),
+        round(
+          when(col("v") > 0,
+            (dbl(col("o_1")) - col("e_1")) * (dbl(col("o_1")) - col("e_1")) / col("v")),
+          6).as("chi2"),
+        round(
+          when(col("v") > 0, (dbl(col("o_1")) - col("e_1")) / sqrt(col("v"))),
+          6).as("z"))
+      .withColumn("p_value", when(col("z").isNotNull, DataQuality.normalTwoSidedP(col("z"))))
+      .withColumn("significant",
+        when(col("p_value").isNotNull, col("p_value") <= alphaSig))
+  }
 }

@@ -1531,6 +1531,77 @@ object AdvancedQueries {
         Tables(spark, dir).events, "user_id", "ts", baseDate = "2024-01-01", churnGapDays = 1)
     },
 
+    // Log-rank test (Funnel.logRank): do even- and odd-keyed users share
+    // one churn curve? The time-to-event A/B test the Kaplan-Meier curve
+    // lacks — exact at-risk integers from cumulative windows, grid-9
+    // hypergeometric E/V terms in exact decimal sums, fixed-order chi2/z
+    // and the shared A&S two-sided p.
+    Q(
+      "events_logrank",
+      Some("""
+        WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxus FROM events),
+        obs AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+                       datediff('day', DATE '2024-01-01', CAST(last_ts AS DATE)) AS t,
+                       CASE WHEN (SELECT mxus FROM mx) - epoch_us(last_ts) > 86400000000 THEN 1 ELSE 0 END AS e
+                FROM (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)),
+        tot AS (SELECT CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT) AS tot1,
+                       COUNT(*) AS tot FROM obs),
+        pt AS (SELECT t, CAST(SUM(CASE WHEN g = '0' THEN e ELSE 0 END) AS BIGINT) AS d1,
+                      CAST(SUM(e) AS BIGINT) AS d,
+                      CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT) AS ended1,
+                      COUNT(*) AS ended
+               FROM obs GROUP BY t),
+        risk AS (SELECT t, d1, d,
+                        (SELECT tot1 FROM tot)
+                          - COALESCE(SUM(ended1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1t,
+                        (SELECT tot FROM tot)
+                          - COALESCE(SUM(ended) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt
+                 FROM pt),
+        terms AS (SELECT d1, d,
+                         CAST(round(CAST(d AS DOUBLE) * (CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE)), 9) AS DECIMAL(20,9)) AS e1t,
+                         CAST(CASE WHEN nt > 1
+                              THEN round(CAST(d AS DOUBLE) * (CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE))
+                                         * (1.0 - (CAST(n1t AS DOUBLE) / CAST(nt AS DOUBLE)))
+                                         * CAST(nt - d AS DOUBLE) / CAST(nt - 1 AS DOUBLE), 9)
+                              ELSE 0.0 END AS DECIMAL(20,9)) AS vt
+                  FROM risk WHERE d > 0),
+        ag AS (SELECT (SELECT tot1 FROM tot) AS n_1,
+                      (SELECT tot - tot1 FROM tot) AS n_2,
+                      CAST(SUM(d1) AS BIGINT) AS o_1,
+                      CAST(SUM(d) AS BIGINT) AS d_total,
+                      CAST(round(SUM(e1t), 6) AS DOUBLE) AS e_1,
+                      CAST(round(SUM(vt), 6) AS DOUBLE) AS v
+               FROM terms),
+        fin AS (SELECT n_1, n_2, o_1, e_1, d_total - o_1 AS o_2,
+                       round(CAST(d_total AS DOUBLE) - e_1, 6) AS e_2, v,
+                       round(CASE WHEN v > 0
+                             THEN (CAST(o_1 AS DOUBLE) - e_1) * (CAST(o_1 AS DOUBLE) - e_1) / v END, 6) AS chi2,
+                       round(CASE WHEN v > 0
+                             THEN (CAST(o_1 AS DOUBLE) - e_1) / sqrt(v) END, 6) AS z
+                FROM ag),
+        pv AS (SELECT fin.*, abs(z) / sqrt(2.0) AS x,
+                      1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+               FROM fin)
+        SELECT n_1, n_2, o_1, e_1, o_2, e_2, v, chi2, z,
+               round(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                       - 0.284496736) * tt + 0.254829592) * tt * exp(-x * x), 9) AS p_value,
+               round(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                       - 0.284496736) * tt + 0.254829592) * tt * exp(-x * x), 9) <= 0.05 AS significant
+        FROM pv
+      """)) { (spark, dir) =>
+      val events = Tables(spark, dir).events
+      val mx = events.agg(max(unix_micros(col("ts"))).as("mxus"))
+      val obs = events
+        .groupBy(col("user_id").as("uid"))
+        .agg(max(col("ts")).as("last_ts"))
+        .crossJoin(broadcast(mx))
+        .select(
+          (col("uid") % 2).cast("string").as("g"),
+          datediff(to_date(col("last_ts")), to_date(lit("2024-01-01"))).as("t"),
+          (col("mxus") - unix_micros(col("last_ts")) > 86400000000L).cast("long").as("e"))
+      graft.operators.Funnel.logRank(obs, "g", "t", "e", alphaSig = 0.05)
+    },
+
     // ------------------------------------------------ weighted PageRank
     // Rank distributed proportionally to interaction VOLUME (lineitem
     // counts per customer→supplier pair) instead of uniformly per edge —

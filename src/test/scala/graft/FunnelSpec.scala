@@ -261,4 +261,25 @@ class FunnelSpec extends SparkSpec {
     val alive = Seq((1L, ts(9)), (2L, ts(8))).toDF("user_id", "ts")
     assert(Funnel.kaplanMeier(alive, "user_id", "ts", "2024-01-01", churnGapDays = 2).isEmpty)
   }
+
+  test("logRank: mirrored groups score 0, separated groups hand-computed significant, no deaths NULL") {
+    import spark.implicits._
+    // identical curves: O1 = E1 exactly -> chi2 = z = 0, p ~ 1
+    val same = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),
+      ("b", 1L, 1L), ("b", 2L, 1L), ("b", 3L, 1L)).toDF("g", "t", "e")
+    val s = Funnel.logRank(same, "g", "t", "e").collect().head
+    assert(s.getDouble(7) == 0.0 && s.getDouble(8) == 0.0 && !s.getBoolean(10), s.toString)
+    // fully separated: E1 = 0.5+0.4+0.25 = 1.15, V = 0.25+0.24+0.1875,
+    // chi2 = 1.85^2/0.6775 = 5.051661 -> significant
+    val sep = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),
+      ("b", 11L, 1L), ("b", 12L, 1L), ("b", 13L, 1L)).toDF("g", "t", "e")
+    val r = Funnel.logRank(sep, "g", "t", "e").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(6))
+      == ((3L, 3L, 3L, 1.15, 0.6775)), r.toString)
+    assert(r.getDouble(7) == 5.051661 && r.getBoolean(10), r.toString)
+    // all censored: no death times, NULL statistics rather than NaN
+    val cens = Seq(("a", 1L, 0L), ("b", 2L, 0L)).toDF("g", "t", "e")
+    val c = Funnel.logRank(cens, "g", "t", "e").collect().head
+    assert(c.isNullAt(7) && c.isNullAt(9), c.toString)
+  }
 }
