@@ -736,6 +736,63 @@ object DataQuality {
             6)).as("cramers_v"))
   }
 
+  /** Cochran-Armitage trend test (Cochran 1954; Armitage 1955) — is a
+    * binary rate TRENDING across ordered categories? The χ² independence
+    * test ignores the ordering; this is the one-degree-of-freedom test
+    * that uses it (rate drift across years, cohorts, size buckets).
+    *
+    * Cross-multiplied integer form: with per-category (score w, trials n,
+    * successes r) and totals (N, R), the statistic's numerator
+    * A = Σ w·(N·r − n·R) and the score spread B = N·Σw²n − (Σwn)² are
+    * EXACT integers (DECIMAL(38,0) products — petabyte counts cannot
+    * wrap), and z = A·√(N/(R·(N−R)·B)) is ONE fixed-order double formula
+    * under round(·, 6); two-sided p via the shared A&S chain. Degenerate
+    * inputs (all/no successes, or zero score spread) yield NULL, never
+    * NaN. One map-side-combined category aggregate; everything after is
+    * category-sized. */
+  def cochranArmitage(
+      df: DataFrame,
+      scoreCol: String,
+      success: Column,
+      alphaSig: Double = 0.05): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dbl   = (c: Column) => c.cast("double")
+    val cat = df
+      .select(col(scoreCol).cast("long").as("w"), success.cast("long").as("s"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("r"))
+    val tot = cat.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("n_total"),
+      sum(col("r")).as("r_total"),
+      sum(col("w").cast(dec38) * col("n")).as("swn"),
+      sum(col("w").cast(dec38) * col("w") * col("n")).as("sw2n"))
+    val agg = cat
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("k")).as("k"),
+        first(col("n_total")).as("n_total"),
+        first(col("r_total")).as("r_total"),
+        sum(col("w").cast(dec38) *
+          (col("n_total").cast(dec38) * col("r") - col("n").cast(dec38) * col("r_total")))
+          .as("a_num"),
+        first(col("n_total").cast(dec38) * col("sw2n") - col("swn") * col("swn")).as("b_num"))
+    agg
+      .select(
+        col("k"), col("n_total"), col("r_total"),
+        col("a_num").cast("long").as("a_num"),
+        col("b_num").cast("long").as("b_num"),
+        round(
+          when(
+            col("r_total") > 0 && col("r_total") < col("n_total") && col("b_num") > 0,
+            dbl(col("a_num")) * sqrt(
+              dbl(col("n_total")) /
+                (dbl(col("r_total")) * dbl(col("n_total") - col("r_total")) * dbl(col("b_num"))))),
+          6).as("z"))
+      .withColumn("p_value", when(col("z").isNotNull, normalTwoSidedP(col("z"))))
+      .withColumn("significant", when(col("p_value").isNotNull, col("p_value") <= alphaSig))
+  }
+
   /** Quantile normalization — the batch-effect/covariate-shift correction
     * from genomics (Bolstad et al. 2003) generalized to unequal group
     * sizes: each value is replaced by the POOLED distribution's

@@ -1307,6 +1307,60 @@ object ExtendedQueries {
       DataQuality.tClosenessAudit(j, Seq("c_mktsegment", "c_nationkey"), "o_orderpriority", t = 0.05)
     },
 
+    // Cochran-Armitage trend test (DataQuality.cochranArmitage): is the
+    // urgent-order rate trending across order YEARS? The ordered-category
+    // test chi-square independence ignores — cross-multiplied exact
+    // integer numerator/spread through DECIMAL(38,0), one fixed-order z,
+    // the shared A&S two-sided p.
+    Q(
+      "quality_trend_test",
+      Some("""
+        WITH b AS (SELECT CAST(year(o_orderdate) - 1992 AS BIGINT) AS w,
+                          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s
+                   FROM orders),
+        cat AS (SELECT w, COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS r FROM b GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+                       CAST(SUM(r) AS BIGINT) AS r_total,
+                       SUM(CAST(w AS HUGEINT) * n) AS swn,
+                       SUM(CAST(w AS HUGEINT) * w * n) AS sw2n
+                FROM cat),
+        ag AS (SELECT (SELECT k FROM tot) AS k,
+                      (SELECT n_total FROM tot) AS n_total,
+                      (SELECT r_total FROM tot) AS r_total,
+                      CAST(SUM(CAST(w AS HUGEINT)
+                        * (CAST((SELECT n_total FROM tot) AS HUGEINT) * r
+                           - CAST(n AS HUGEINT) * (SELECT r_total FROM tot))) AS BIGINT) AS a_num,
+                      CAST((SELECT CAST(n_total AS HUGEINT) * sw2n - swn * swn FROM tot) AS BIGINT) AS b_num
+               FROM cat),
+        fin AS (SELECT k, n_total, r_total, a_num, b_num,
+                       round(CASE WHEN r_total > 0 AND r_total < n_total AND b_num > 0
+                             THEN CAST(a_num AS DOUBLE)
+                                  * sqrt(CAST(n_total AS DOUBLE)
+                                         / (CAST(r_total AS DOUBLE) * CAST(n_total - r_total AS DOUBLE)
+                                            * CAST(b_num AS DOUBLE)))
+                             END, 6) AS z
+                FROM ag),
+        pv AS (SELECT fin.*, abs(z) / sqrt(2.0) AS x,
+                      1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+               FROM fin)
+        SELECT k, n_total, r_total, a_num, b_num, z,
+               CASE WHEN z IS NOT NULL
+                    THEN round(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                                 - 0.284496736) * tt + 0.254829592) * tt * exp(-x * x), 9)
+               END AS p_value,
+               CASE WHEN z IS NOT NULL
+                    THEN round(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+                                 - 0.284496736) * tt + 0.254829592) * tt * exp(-x * x), 9) <= 0.05
+               END AS significant
+        FROM pv
+      """)) { (spark, dir) =>
+      DataQuality.cochranArmitage(
+        Tables(spark, dir).orders.select(
+          (year(col("o_orderdate")) - 1992).cast("long").as("yr"),
+          col("o_orderpriority")),
+        "yr", col("o_orderpriority") === "1-URGENT", alphaSig = 0.05)
+    },
+
     // Quantile normalization (DataQuality.quantileNormalize): map every
     // segment's account-balance distribution onto the pooled reference by
     // interpolated quantile at the within-group rank position — the

@@ -304,6 +304,29 @@ class DataQualitySpec extends SparkSpec {
     assert(d.forall(_.isNullAt(3)), d.mkString(","))
   }
 
+  test("cochranArmitage: perfect monotone trend significant, flat rate zero, degenerate NULL") {
+    import spark.implicits._
+    // rates 0/5, 2/5, 4/5 across scores 0,1,2: hand integers
+    // N=15, R=6; A = sum w(N r - n R) = 1*(30-30) + 2*(60-30) = 60
+    // swn = 15, sw2n = 25 -> B = 15*25 - 225 = 150
+    val rows = (Seq.fill(5)((0L, false)) ++
+      (Seq.fill(2)((1L, true)) ++ Seq.fill(3)((1L, false))) ++
+      (Seq.fill(4)((2L, true)) ++ Seq.fill(1)((2L, false)))).toDF("w", "s")
+    val r = DataQuality.cochranArmitage(rows, "w", col("s")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 15L, 6L, 60L, 150L)), r.toString)
+    val zWant = BigDecimal(60.0 * math.sqrt(15.0 / (6.0 * 9.0 * 150.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == zWant && r.getBoolean(7), r.toString)
+    // identical rate everywhere: A = 0 exactly -> z = 0, insignificant
+    val flat = (0L to 2L).flatMap(w => Seq((w, true), (w, false))).toDF("w", "s")
+    val f = DataQuality.cochranArmitage(flat, "w", col("s")).collect().head
+    assert(f.getLong(3) == 0L && f.getDouble(5) == 0.0 && !f.getBoolean(7), f.toString)
+    // all successes: no variance -> NULL, not NaN
+    val degen = Seq((0L, true), (1L, true)).toDF("w", "s")
+    assert(DataQuality.cochranArmitage(degen, "w", col("s")).collect().head.isNullAt(5))
+  }
+
   test("randomizedResponse: seed-reproducible, estimator self-consistent, recovers the truth within noise") {
     import spark.implicits._
     val df = (1L to 2000L).map(k => ("g", k, k % 4 != 0)).toDF("grp", "key", "truth")
