@@ -776,6 +776,60 @@ object Graph {
     * without materializing the mirror), ONE double division, round 6 —
     * the fully-replayable shape, no sqrt. A regular graph has zero degree
     * variance: NULL, not NaN. Output: (n_nodes, n_edges, assortativity). */
+  /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al. 2006
+    * for the normalization caveat) — do high-degree nodes preferentially
+    * link to EACH OTHER? φ(k) = 2·E₍>k₎ / (N₍>k₎·(N₍>k₎−1)) over the
+    * subgraph induced by nodes of degree > k: the elite-clique signal
+    * beside [[degreeAssortativity]]'s one-number mixing coefficient
+    * (assortativity averages over the whole graph; the rich-club ladder
+    * localizes it to the hubs, where spam rings and co-purchase cliques
+    * live).
+    *
+    * One canonical-edge pass + one degree aggregate; every ladder rung is
+    * a CONDITIONAL SUM in the same aggregation (no per-k jobs): an edge
+    * counts at rung k iff min(deg_a, deg_b) > k, a node iff deg > k.
+    * Exact integers until φ's one division under round(·, 6); rungs with
+    * fewer than 2 qualifying nodes emit NULL, never NaN. Output one row
+    * per rung: (k, n_nodes, n_edges, phi). */
+  def richClub(edges: DataFrame, aCol: String, bCol: String, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks, "ks must be sorted distinct")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dg"))
+    val eAggs = ks.map(k =>
+      sum(when(least(col("da"), col("db")) > k, 1L).otherwise(0L)).as(s"e_$k"))
+    val nAggs = ks.map(k => sum(when(col("dg") > k, 1L).otherwise(0L)).as(s"n_$k"))
+    val ek = und
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+      .agg(eAggs.head, eAggs.tail: _*)
+    val nk = deg.agg(nAggs.head, nAggs.tail: _*)
+    val rungs = ks.map(k =>
+      struct(lit(k).as("k"), col(s"n_$k").as("n_nodes"), col(s"e_$k").as("n_edges")))
+    val out = nk
+      .crossJoin(broadcast(ek))
+      .select(explode(array(rungs: _*)).as("r"))
+      .select(
+        col("r.k").as("k"),
+        col("r.n_nodes").as("n_nodes"),
+        col("r.n_edges").as("n_edges"),
+        round(
+          when(col("r.n_nodes") >= 2,
+            (col("r.n_edges") * 2).cast("double")
+              / (col("r.n_nodes").cast("double") * (col("r.n_nodes") - 1).cast("double"))),
+          6).as("phi"))
+      .orderBy(col("k"))
+    val materialized = out.localCheckpoint(true)
+    und.unpersist()
+    materialized
+  }
+
   def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))

@@ -629,6 +629,42 @@ object AdvancedQueries {
       graft.operators.Graph.triangleStats(edges, "pa", "pb")
     },
 
+    // Rich-club coefficient ladder (Graph.richClub): do co-purchase hubs
+    // link to each other more densely than the graph at large? One edge
+    // pass with every ladder rung as a conditional sum — exact integers,
+    // one division per rung, NULL below 2 qualifying nodes.
+    Q(
+      "graph_rich_club",
+      Some("""
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (SELECT id, COUNT(*) AS dg
+                FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY 1),
+        ed AS (SELECT e.a, e.b, da.dg AS da, db.dg AS db
+               FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        ks(k) AS (VALUES (1), (2), (4), (8), (16), (32)),
+        rungs AS (SELECT k,
+                         (SELECT COUNT(*) FROM deg WHERE dg > k) AS n_nodes,
+                         (SELECT COUNT(*) FROM ed WHERE LEAST(da, db) > k) AS n_edges
+                  FROM ks)
+        SELECT CAST(k AS BIGINT) AS k, n_nodes, n_edges,
+               round(CASE WHEN n_nodes >= 2
+                     THEN CAST(n_edges * 2 AS DOUBLE)
+                          / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)) END, 6) AS phi
+        FROM rungs ORDER BY k
+      """)) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") && col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.operators.Graph.richClub(edges, "pa", "pb", ks = Seq(1L, 2L, 4L, 8L, 16L, 32L))
+    },
+
     // ------------------------------------------------ k-core extraction
     // Dense-kernel extraction (Seidman 1983): parallel peeling of nodes
     // with degree < k until the fixpoint — the maximal subgraph where

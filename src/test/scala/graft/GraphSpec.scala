@@ -438,4 +438,22 @@ class GraphSpec extends SparkSpec {
     got.filter(_._1 <= 5).foreach { case (id, _, auth) => assert(auth == 0.0, s"source $id") }
     got.filter(_._1 >= 10).foreach { case (id, hub, _) => assert(hub == 0.0, s"sink $id") }
   }
+
+  test("richClub: clique-plus-pendants closed form, insufficient-node rungs NULL") {
+    import spark.implicits._
+    // K4 on 1..4 (each degree >= 3) plus a pendant chain 4-5 (deg 5 = 1):
+    // deg: 1,2,3 -> 3; 4 -> 4; 5 -> 1
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)
+    ).toDF("a", "b")
+    val r = Graph.richClub(edges, "a", "b", ks = Seq(0L, 2L, 3L, 10L))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((5L, 7L)))            // whole graph: phi = 14/20
+    assert(r(2L) == ((4L, 6L)))            // the K4: phi = 1
+    assert(r(3L) == ((1L, 0L)))            // only node 4 qualifies -> NULL phi
+    val rows = Graph.richClub(edges, "a", "b", ks = Seq(0L, 2L, 3L, 10L)).collect()
+    val phi = rows.map(x => x.getLong(0) -> x).toMap
+    assert(phi(0L).getDouble(3) == 0.7 && phi(2L).getDouble(3) == 1.0)
+    assert(phi(3L).isNullAt(3) && phi(10L).isNullAt(3))
+  }
 }
