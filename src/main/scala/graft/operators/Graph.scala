@@ -776,6 +776,61 @@ object Graph {
     * without materializing the mirror), ONE double division, round 6 —
     * the fully-replayable shape, no sqrt. A regular graph has zero degree
     * variance: NULL, not NaN. Output: (n_nodes, n_edges, assortativity). */
+  /** Newman modularity (Newman & Girvan 2004) of a given node partition:
+    * Q = Σ_c (e_c/m − (d_c/2m)²) — the standard "is this community
+    * structure real" score, here as an AUDIT of any labeling (LPA output,
+    * a metadata partition, an external clustering). Cross-multiplied
+    * exact form: Q·4m² = Σ_c (4m·e_c − d_c²) is an exact integer
+    * (DECIMAL(38,0) products), so Q is ONE division under round(·, 6).
+    * Nodes are labeled by inner join — unlabeled nodes (and their edges)
+    * drop, documented. One canonical-edge pass + two label-keyed
+    * aggregations; everything after is community-sized. Output one row:
+    * (n_nodes, n_communities, m_edges, q_num, q_modularity). */
+  def modularity(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(idCol).as("id"), col(labelCol).cast("string").as("c"))
+    val el = und
+      .join(lab.select(col("id").as("a"), col("c").as("ca")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("c").as("cb")), Seq("b"))
+      .cache()
+    val m = el.count()
+    val ec = el.filter(col("ca") === col("cb")).groupBy(col("ca").as("c"))
+      .agg(count(lit(1)).as("e_c"))
+    val dc = el
+      .select(explode(array(col("ca"), col("cb"))).as("c"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("d_c"))
+    val nNodes = el.select(explode(array(col("a"), col("b"))).as("id")).distinct().count()
+    val out = dc
+      .join(ec, Seq("c"), "left")
+      .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(lit(4L * m).cast(dec38) * col("e_c") - col("d_c").cast(dec38) * col("d_c"))
+          .as("q_num"))
+      .select(
+        lit(nNodes).as("n_nodes"),
+        col("n_communities"),
+        lit(m).as("m_edges"),
+        col("q_num").cast("long").as("q_num"),
+        round(
+          when(lit(m) > 0,
+            col("q_num").cast("double") / (lit(4.0) * m.toDouble * m.toDouble)),
+          6).as("q_modularity"))
+    el.unpersist()
+    out
+  }
+
   /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al. 2006
     * for the normalization caveat) — do high-degree nodes preferentially
     * link to EACH OTHER? φ(k) = 2·E₍>k₎ / (N₍>k₎·(N₍>k₎−1)) over the

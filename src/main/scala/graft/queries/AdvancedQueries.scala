@@ -629,6 +629,51 @@ object AdvancedQueries {
       graft.operators.Graph.triangleStats(edges, "pa", "pb")
     },
 
+    // Newman modularity of the NATION partition on the customer-supplier
+    // co-purchase graph (Graph.modularity): is trade nation-assortative?
+    // The community-quality audit for ANY labeling — cross-multiplied
+    // exact integer numerator, one division.
+    Q(
+      "graph_modularity",
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        und AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM e0 WHERE a <> b),
+        lab AS (SELECT c_custkey AS id, CAST(c_nationkey AS VARCHAR) AS c FROM customer
+                UNION ALL
+                SELECT s_suppkey + 10000000, CAST(s_nationkey AS VARCHAR) FROM supplier),
+        el AS (SELECT und.a, und.b, la.c AS ca, lb.c AS cb
+               FROM und JOIN lab la ON la.id = und.a JOIN lab lb ON lb.id = und.b),
+        m AS (SELECT COUNT(*) AS m FROM el),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM
+                 (SELECT DISTINCT id FROM (SELECT a AS id FROM el UNION ALL SELECT b FROM el))),
+        ec AS (SELECT ca AS c, COUNT(*) AS e_c FROM el WHERE ca = cb GROUP BY 1),
+        dc AS (SELECT c, COUNT(*) AS d_c FROM
+                 (SELECT ca AS c FROM el UNION ALL SELECT cb FROM el) GROUP BY 1),
+        ag AS (SELECT COUNT(*) AS n_communities,
+                      CAST(SUM(4 * (SELECT m FROM m)::HUGEINT * COALESCE(ec.e_c, 0)
+                               - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS BIGINT) AS q_num
+               FROM dc LEFT JOIN ec ON ec.c = dc.c)
+        SELECT (SELECT n_nodes FROM nn) AS n_nodes, n_communities,
+               (SELECT m FROM m) AS m_edges, q_num,
+               round(CASE WHEN (SELECT m FROM m) > 0
+                     THEN CAST(q_num AS DOUBLE)
+                          / (4.0 * CAST((SELECT m FROM m) AS DOUBLE) * CAST((SELECT m FROM m) AS DOUBLE))
+                     END, 6) AS q_modularity
+        FROM ag
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      val labels = t.customer
+        .select(col("c_custkey").as("id"), col("c_nationkey").cast("string").as("nat"))
+        .unionAll(t.supplier
+          .select((col("s_suppkey") + 10000000L).as("id"), col("s_nationkey").cast("string").as("nat")))
+      graft.operators.Graph.modularity(edges, "src", "dst", labels, "id", "nat")
+    },
+
     // Rich-club coefficient ladder (Graph.richClub): do co-purchase hubs
     // link to each other more densely than the graph at large? One edge
     // pass with every ladder rung as a conditional sum — exact integers,

@@ -439,6 +439,27 @@ class GraphSpec extends SparkSpec {
     got.filter(_._1 >= 10).foreach { case (id, hub, _) => assert(hub == 0.0, s"sink $id") }
   }
 
+  test("modularity: two disjoint cliques score 1/2, their random split scores lower, single community 0-ish") {
+    import spark.implicits._
+    // two disjoint triangles, labeled by their own component: m=6,
+    // e_c = 3 each, d_c = 6 each -> Q*4m^2 = 2*(4*6*3 - 36) = 72 ->
+    // Q = 72/144 = 0.5, the textbook two-clique maximum
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("a", "b")
+    val goodLab = (1L to 6L).map(i => (i, if (i <= 3) "x" else "y")).toDF("id", "c")
+    val g = Graph.modularity(edges, "a", "b", goodLab, "id", "c").collect().head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getDouble(4))
+      == ((6L, 2L, 6L, 72L, 0.5)), g.toString)
+    // a cross-cutting split scores strictly lower
+    val badLab = (1L to 6L).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("id", "c")
+    val b = Graph.modularity(edges, "a", "b", badLab, "id", "c").collect().head
+    assert(b.getDouble(4) < 0.5, b.toString)
+    // everything in one community: e_c = m, d_c = 2m -> Q = 0 exactly
+    val oneLab = (1L to 6L).map(i => (i, "z")).toDF("id", "c")
+    val o = Graph.modularity(edges, "a", "b", oneLab, "id", "c").collect().head
+    assert(o.getLong(3) == 0L && o.getDouble(4) == 0.0, o.toString)
+  }
+
   test("richClub: clique-plus-pendants closed form, insufficient-node rungs NULL") {
     import spark.implicits._
     // K4 on 1..4 (each degree >= 3) plus a pendant chain 4-5 (deg 5 = 1):
