@@ -686,6 +686,70 @@ object Sketches {
           6).as("rel_err"))
   }
 
+  /** Count-min heavy-CHANGE detection (the deltoid question, Cormode &
+    * Muthukrishnan 2005): which keys' traffic moved most between two time
+    * windows? Count-min is LINEAR, so two stored depth·2^logW matrices —
+    * built here relationally with the portable splitmix64 buckets, no
+    * driver arrays — answer it without re-scanning either window: per
+    * key, est = min_r cell(r, b_r(key)) in each half, delta_est their
+    * difference, movers ranked by (|delta_est| desc, key asc). The
+    * windows split at the integer midpoint of the event-time range
+    * (floor division — deterministic). Exact per-key deltas ride along
+    * for the audit; est ≥ exact per half (count-min never undercounts),
+    * so |delta_est| can over- or under-shoot only by collision noise.
+    * Every stage is a bounded aggregate: key-distinct probe table,
+    * depth·2^logW cells. Output topK rows:
+    * (key, est_before, est_after, delta_est, delta_exact). */
+  def cmsHeavyChange(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      logW: Int = 10,
+      depth: Int = 4,
+      topK: Int = 20): DataFrame = {
+    val mm = df.agg(
+      min(unix_micros(col(tsCol))).as("mn"), max(unix_micros(col(tsCol))).as("mx"))
+    val n = df
+      .crossJoin(broadcast(mm))
+      .select(
+        col(keyCol).cast("long").as("x"),
+        when(unix_micros(col(tsCol)) <= expr("(mn + mx) div 2"), 0).otherwise(1).as("h"))
+      .groupBy(col("x"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val rs = (0 until depth).map(r =>
+      struct(lit(r).as("r"), lit(BloomGolden * (r + 1).toLong).as("salt")))
+    val keyed = n
+      .select(col("x"), col("h"), col("cnt"), explode(array(rs: _*)).as("e"))
+      .select(col("x"), col("h"), col("cnt"), col("e.r").as("r"),
+        shiftrightunsigned(
+          graft.functions.TextFunctions.mix64(col("x").bitwiseXOR(col("e.salt"))),
+          64 - logW).as("b"))
+    val cells = keyed.groupBy(col("r"), col("b"), col("h")).agg(sum(col("cnt")).as("cell"))
+    val probes = keyed.select(col("x"), col("r"), col("b")).distinct()
+    val est = probes
+      .join(cells.filter(col("h") === 0).select(col("r"), col("b"), col("cell").as("c0")),
+        Seq("r", "b"), "left")
+      .join(cells.filter(col("h") === 1).select(col("r"), col("b"), col("cell").as("c1")),
+        Seq("r", "b"), "left")
+      .groupBy(col("x"))
+      .agg(
+        min(coalesce(col("c0"), lit(0L))).as("est_before"),
+        min(coalesce(col("c1"), lit(0L))).as("est_after"))
+    val exact = n.groupBy(col("x")).agg(
+      sum(when(col("h") === 0, col("cnt")).otherwise(0L)).as("x0"),
+      sum(when(col("h") === 1, col("cnt")).otherwise(0L)).as("x1"))
+    val W = org.apache.spark.sql.expressions.Window
+    est
+      .join(exact, Seq("x"))
+      .withColumn("delta_est", col("est_after") - col("est_before"))
+      .withColumn("delta_exact", col("x1") - col("x0"))
+      .withColumn("rk", row_number().over(W.orderBy(abs(col("delta_est")).desc, col("x").asc)))
+      .filter(col("rk") <= topK)
+      .select(col("x").as(keyCol), col("est_before"), col("est_after"),
+        col("delta_est"), col("delta_exact"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   def heavyHitters(
       df: DataFrame,
       keyCol: String,

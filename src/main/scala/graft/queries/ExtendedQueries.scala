@@ -577,6 +577,19 @@ object ExtendedQueries {
       Sketches.amsF2(Tables(spark, dir).events, "user_id", groups = 4, perGroup = 16)
     },
 
+    // Count-min heavy-change detection (Sketches.cmsHeavyChange): which
+    // users' traffic moved most between the two halves of the event-time
+    // range? Sketch linearity means two stored matrices answer it without
+    // rescanning either window; exact per-key deltas ride along. Movers
+    // ranked (|delta| desc, key) — a total order, so the top-20 cut
+    // replays.
+    Q(
+      "sketch_cms_delta",
+      Some(cmsHeavyChangeSql(logW = 10, depth = 4, topK = 20))) { (spark, dir) =>
+      Sketches.cmsHeavyChange(
+        Tables(spark, dir).events, "user_id", "ts", logW = 10, depth = 4, topK = 20)
+    },
+
     // AMS join-size estimator (Sketches.amsJoinSize): the same sign-hash
     // counters on events.user_id and orders.o_custkey, per-estimator
     // products S_a*S_b whose expectation IS the inner-join cardinality —
@@ -2049,6 +2062,56 @@ object ExtendedQueries {
                          THEN abs($est - CAST(join_exact AS DOUBLE)) / CAST(join_exact AS DOUBLE)
                     END, 6) AS rel_err
        FROM sza, szb, ex, mid"""
+  }
+
+  /** DuckDB replay of [[graft.operators.Sketches.cmsHeavyChange]]: the
+    * integer-midpoint split, one splitmix64 bucket chain per depth row
+    * over the distinct keys, per-(row, bucket, half) cell sums, the
+    * min-over-rows estimates for both halves, and the
+    * (|delta| desc, key) mover ranking. */
+  private def cmsHeavyChangeSql(logW: Int, depth: Int, topK: Int): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    val chains = (0 until depth).map { r =>
+      val seed = java.lang.Long.toUnsignedString(Sketches.BloomGolden * (r + 1).toLong)
+      s"""r${r}y AS (SELECT x, xor(x, $seed::UBIGINT) AS y FROM keys),
+         |r${r}a AS (SELECT x, xor(y, y >> 30) AS a FROM r${r}y),
+         |r${r}b AS (SELECT x, ${mulmod("a", "13787848793156543929")} AS z FROM r${r}a),
+         |r${r}c AS (SELECT x, xor(z, z >> 27) AS a FROM r${r}b),
+         |r${r}d AS (SELECT x, ${mulmod("a", "10723151780598845931")} AS z FROM r${r}c),
+         |r${r}e AS (SELECT x, xor(z, z >> 31) >> ${64 - logW} AS b FROM r${r}d),
+         |r${r}cell AS (SELECT e.b, n.h, CAST(SUM(n.cnt) AS BIGINT) AS cell
+         |              FROM r${r}e e JOIN n ON n.x = e.x GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until depth).map { r =>
+      s"""JOIN r${r}e ON r${r}e.x = keys.x
+         |LEFT JOIN r${r}cell p${r}0 ON p${r}0.b = r${r}e.b AND p${r}0.h = 0
+         |LEFT JOIN r${r}cell p${r}1 ON p${r}1.b = r${r}e.b AND p${r}1.h = 1""".stripMargin
+    }.mkString("\n")
+    val lo = (0 until depth).map(r => s"COALESCE(p${r}0.cell, 0)").mkString("LEAST(", ", ", ")")
+    val hi = (0 until depth).map(r => s"COALESCE(p${r}1.cell, 0)").mkString("LEAST(", ", ", ")")
+    s"""WITH mm AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+       n AS (SELECT CAST(user_id AS UBIGINT) AS x,
+                    CASE WHEN epoch_us(ts) <= (SELECT (mn + mx) // 2 FROM mm) THEN 0 ELSE 1 END AS h,
+                    COUNT(*) AS cnt
+             FROM events GROUP BY 1, 2),
+       keys AS (SELECT DISTINCT x FROM n),
+       $chains,
+       est AS (SELECT keys.x, $lo AS est_before, $hi AS est_after
+               FROM keys
+               $joins),
+       ex AS (SELECT x, CAST(SUM(CASE WHEN h = 0 THEN cnt ELSE 0 END) AS BIGINT) AS x0,
+                     CAST(SUM(CASE WHEN h = 1 THEN cnt ELSE 0 END) AS BIGINT) AS x1
+              FROM n GROUP BY 1),
+       fin AS (SELECT est.x, est.est_before, est.est_after,
+                      est.est_after - est.est_before AS delta_est,
+                      ex.x1 - ex.x0 AS delta_exact,
+                      row_number() OVER (ORDER BY abs(est.est_after - est.est_before) DESC, est.x ASC) AS rk
+               FROM est JOIN ex ON ex.x = est.x)
+       SELECT CAST(x AS BIGINT) AS user_id, est_before, est_after, delta_est, delta_exact, rk
+       FROM fin WHERE rk <= $topK ORDER BY rk"""
   }
 
   private def cmsSql(logW: Int, depth: Int): String = {

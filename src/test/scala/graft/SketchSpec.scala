@@ -286,6 +286,25 @@ class SketchSpec extends SparkSpec {
     assert(r.toString == again.toString)
   }
 
+  test("cmsHeavyChange: wide sketch recovers exact deltas, planted mover ranks first, partitioning-invariant") {
+    import spark.implicits._
+    // 50 keys with balanced halves + key 99 appearing only in the second
+    // half 40 times: at logW=10 (1024 buckets vs 51 keys) collisions are
+    // absent, so est == exact per half and the mover is recovered exactly
+    val base = (1L to 50L).flatMap(k => Seq((k, 1000L), (k, 9000L)))
+    val spike = Seq.fill(40)((99L, 9000L))
+    val df = (base ++ spike).toDF("k", "us")
+      .select(col("k"), expr("timestamp_micros(us)").as("ts"))
+    val r = Sketches.cmsHeavyChange(df, "k", "ts", logW = 10, depth = 4, topK = 5).collect()
+    val top = r.head
+    assert((top.getLong(0), top.getLong(3), top.getLong(4)) == ((99L, 40L, 40L)), top.toString)
+    // balanced keys: delta exactly 0 (est equals exact both halves)
+    r.tail.foreach(x => assert(x.getLong(3) == 0L && x.getLong(4) == 0L, x.toString))
+    val again = Sketches.cmsHeavyChange(df.repartition(7), "k", "ts", logW = 10, depth = 4, topK = 5)
+      .collect()
+    assert(r.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("AMS join size: identical single-key tables are hash-free exact, disjoint keys estimate around 0, exact audit right") {
     import spark.implicits._
     // one shared key on both sides: S^A_j = ±17, S^B_j = ±5 with the SAME
