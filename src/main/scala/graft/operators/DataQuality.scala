@@ -881,6 +881,91 @@ object DataQuality {
           6).as("kappa"))
   }
 
+  /** Mondrian k-anonymization (LeFevre, DeWitt & Ramakrishnan 2006) — the
+    * GENERALIZER the audit family ([[kAnonymityAudit]], [[tClosenessAudit]])
+    * checks the output of: greedy median partitioning of the QI space
+    * until no partition can split without dropping below k, then each
+    * record is released with its partition's [min, max] ranges instead of
+    * its exact values.
+    *
+    * Deterministic strict-Mondrian recursion, fully unrollable: each
+    * round, every live partition picks the dimension with the widest RAW
+    * range (ties → dimension order; same-units caveat documented), takes
+    * the LOWER MEDIAN of that dimension (rank ⌊(n+1)/2⌋ — a pure rank
+    * selection, exact under ties), and splits into ≤ median / > median
+    * iff BOTH sides keep ≥ k records; rounds past the fixpoint are
+    * no-ops, so a bounded unroll replays the engine's recursion exactly
+    * (the k-core discipline). Partition ids are the split path ("r",
+    * "rL", "rLR", …) — a deterministic total encoding.
+    *
+    * Scale: each round is one stats aggregate + one rank window per live
+    * partition set (all partitions in parallel — the windows key on the
+    * partition id), `rounds` is O(log(n/k)) by construction, and lineage
+    * is cut every few rounds. Output: one row per equivalence class
+    * (class_id, n, lo/hi per QI dim) — every class satisfies n ≥ k by
+    * the split rule (k ≤ n < 2k·(max split imbalance) in practice). */
+  def mondrianAnonymize(
+      df: DataFrame,
+      qiCols: Seq[String],
+      k: Long,
+      rounds: Int): DataFrame = {
+    require(qiCols.size >= 1 && qiCols.size <= 4, s"1..4 QI dims, got ${qiCols.size}")
+    require(k >= 2 && rounds >= 1, s"need k >= 2, rounds >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val dims = qiCols.indices.map(i => s"q$i")
+    var cur = df
+      .select(qiCols.zipWithIndex.map { case (c, i) => col(c).cast("long").as(s"q$i") }: _*)
+      .withColumn("pid", lit("r"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < rounds) {
+      val wp = W.partitionBy(col("pid"))
+      // per-partition stats: n + range per dim
+      var s = cur.withColumn("n", count(lit(1)).over(wp))
+      dims.foreach { d =>
+        s = s
+          .withColumn(s"lo_$d", min(col(d)).over(wp))
+          .withColumn(s"hi_$d", max(col(d)).over(wp))
+      }
+      // widest raw range wins, ties to the first dimension (strict > keeps
+      // the earlier index on equal ranges)
+      val ranges = dims.map(d => col(s"hi_$d") - col(s"lo_$d"))
+      val widest = dims.indices.tail.foldLeft((lit(0), ranges(0))) { case ((bi, br), i) =>
+        (when(ranges(i) > br, lit(i)).otherwise(bi), greatest(br, ranges(i)))
+      }._1
+      s = s.withColumn("dim", widest)
+      // lower median of the chosen dimension: the value at rank
+      // floor((n+1)/2) — equal values are interchangeable for <= median
+      val chosen = dims.indices.foldRight(col(dims.last)) { (i, acc) =>
+        if (i == dims.size - 1) acc else when(col("dim") === i, col(dims(i))).otherwise(acc)
+      }
+      s = s.withColumn("v", chosen)
+      val wv = W.partitionBy(col("pid")).orderBy(col("v"))
+      s = s
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("med",
+          max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("v"))).over(wp))
+      // left size = rows with v <= med
+      s = s.withColumn("n_left", sum(when(col("v") <= col("med"), 1L).otherwise(0L)).over(wp))
+      val canSplit = col("n_left") >= k && (col("n") - col("n_left")) >= k
+      cur = s
+        .withColumn("pid",
+          when(canSplit && col("v") <= col("med"), concat(col("pid"), lit("L")))
+            .when(canSplit, concat(col("pid"), lit("R")))
+            .otherwise(col("pid")))
+        .select((dims.map(col) :+ col("pid")): _*)
+      round += 1
+      if (round % 3 == 0 || round == rounds) cur = cur.localCheckpoint(true)
+    }
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      qiCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(s"q$i")).as(s"${c}_lo"), max(col(s"q$i")).as(s"${c}_hi"))
+      }
+    cur.groupBy(col("pid").as("class_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("class_id"))
+  }
+
   /** Seeded randomized response (Warner 1965) — the LOCAL-DP primitive:
     * each unit reports its true binary attribute with probability p and
     * the flip otherwise (ε = ln(p/(1−p))), and the aggregator recovers an

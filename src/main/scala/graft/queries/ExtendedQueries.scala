@@ -1438,6 +1438,21 @@ object ExtendedQueries {
       DataQuality.cohensKappa(rated, "rater_a", "rater_b")
     },
 
+    // Mondrian k-anonymization (DataQuality.mondrianAnonymize): the
+    // GENERALIZER behind the k-anonymity audit — greedy median
+    // partitioning of (balance cents, nation) until no split keeps both
+    // sides >= 25, records released as class [lo, hi] ranges. The oracle
+    // unrolls all 6 rounds; post-fixpoint rounds are no-ops so engine
+    // early-stopping and the padded replay agree.
+    Q(
+      "privacy_mondrian",
+      Some(mondrianSql(k = 25L, rounds = 6))) { (spark, dir) =>
+      val prepped = Tables(spark, dir).customer.select(
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"),
+        col("c_nationkey").cast("long").as("nat"))
+      DataQuality.mondrianAnonymize(prepped, Seq("bal_cents", "nat"), k = 25L, rounds = 6)
+    },
+
     // Seeded randomized response (DataQuality.randomizedResponse): the
     // local-DP primitive — each customer reports acctbal>0 truthfully
     // with p=0.75 (flip decided by splitmix64(custkey ^ seed), exact
@@ -1916,6 +1931,45 @@ object ExtendedQueries {
               FROM keyed GROUP BY 1)
        SELECT * FROM (${arm("az", "zorder")} UNION ALL ${arm("al", "lex")})
        ORDER BY layout DESC"""
+  }
+
+  /** DuckDB replay of [[graft.operators.DataQuality.mondrianAnonymize]]
+    * on customer (balance cents, nation) at a fixed round budget: each
+    * unrolled round recomputes per-partition stats, the strict-> widest
+    * dimension, the lower-median rank selection, and the both-sides-≥-k
+    * split rule — rounds past the fixpoint are no-ops, so engine
+    * early-stopping and the padded replay agree exactly. */
+  private def mondrianSql(k: Long, rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""s${r}s AS MATERIALIZED (SELECT pid, COUNT(*) AS n,
+         |      MIN(q0) AS lo0, MAX(q0) AS hi0, MIN(q1) AS lo1, MAX(q1) AS hi1
+         |      FROM p$r GROUP BY pid),
+         |s${r}d AS (SELECT pid, n,
+         |      CASE WHEN (hi1 - lo1) > (hi0 - lo0) THEN 1 ELSE 0 END AS dim FROM s${r}s),
+         |s${r}v AS (SELECT p.q0, p.q1, p.pid, s.n, s.dim,
+         |      CASE WHEN s.dim = 0 THEN p.q0 ELSE p.q1 END AS v
+         |      FROM p$r p JOIN s${r}d s USING (pid)),
+         |s${r}r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY v) AS rn FROM s${r}v),
+         |s${r}m AS (SELECT pid, MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+         |      FROM s${r}r GROUP BY pid),
+         |s${r}x AS (SELECT r.q0, r.q1, r.pid, r.n, r.v, m.med,
+         |      SUM(CASE WHEN r.v <= m.med THEN 1 ELSE 0 END) OVER (PARTITION BY r.pid) AS n_left
+         |      FROM s${r}r r JOIN s${r}m m USING (pid)),
+         |p${r + 1} AS MATERIALIZED (SELECT q0, q1,
+         |      CASE WHEN n_left >= $k AND (n - n_left) >= $k
+         |           THEN pid || (CASE WHEN v <= med THEN 'L' ELSE 'R' END)
+         |           ELSE pid END AS pid
+         |      FROM s${r}x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p0 AS MATERIALIZED (
+         SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS q0, CAST(c_nationkey AS BIGINT) AS q1,
+                'r' AS pid
+         FROM customer),
+       $roundCtes
+       SELECT pid AS class_id, COUNT(*) AS n,
+              MIN(q0) AS bal_cents_lo, MAX(q0) AS bal_cents_hi,
+              MIN(q1) AS nat_lo, MAX(q1) AS nat_hi
+       FROM p$rounds GROUP BY pid ORDER BY class_id"""
   }
 
   /** DuckDB replay of [[graft.operators.DataQuality.randomizedResponse]]

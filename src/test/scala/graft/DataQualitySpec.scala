@@ -304,6 +304,29 @@ class DataQualitySpec extends SparkSpec {
     assert(d.forall(_.isNullAt(3)), d.mkString(","))
   }
 
+  test("mondrianAnonymize: 1-D hand recursion, widest-dim choice, identical QIs never split, k respected") {
+    import spark.implicits._
+    // 1..10 at k=2: r -> (1-5 | 6-10) -> (1-3 | 4-5 | 6-8 | 9-10) -> stops
+    val one = (1L to 10L).map(v => Tuple1(v)).toDF("x")
+    val r = DataQuality.mondrianAnonymize(one, Seq("x"), k = 2L, rounds = 4)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+    assert(r.toSeq == Seq(
+      "rLL" -> ((3L, 1L, 3L)), "rLR" -> ((2L, 4L, 5L)),
+      "rRL" -> ((3L, 6L, 8L)), "rRR" -> ((2L, 9L, 10L))), r.mkString(","))
+    // 2-D: x spans 0..100, y only 0..1 -> every split is on x (y ranges stay full)
+    val two = (0L to 100L by 4L).map(x => (x, x % 2)).toDF("x", "y")
+    val t = DataQuality.mondrianAnonymize(two, Seq("x", "y"), k = 5L, rounds = 3)
+      .collect()
+    assert(t.length > 1)
+    val xRanges = t.map(row => (row.getLong(2), row.getLong(3))).sortBy(_._1)
+    xRanges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo, xRanges.mkString(",")) }
+    t.foreach(row => assert(row.getLong(1) >= 5L, row.toString))
+    // zero ranges: a partition of identical QI rows never splits
+    val const = Seq.fill(7)((1L, 2L)).toDF("x", "y")
+    val c = DataQuality.mondrianAnonymize(const, Seq("x", "y"), k = 2L, rounds = 3).collect()
+    assert(c.length == 1 && c.head.getLong(1) == 7L, c.mkString(","))
+  }
+
   test("cochranArmitage: perfect monotone trend significant, flat rate zero, degenerate NULL") {
     import spark.implicits._
     // rates 0/5, 2/5, 4/5 across scores 0,1,2: hand integers
