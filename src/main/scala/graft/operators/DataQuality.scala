@@ -881,6 +881,76 @@ object DataQuality {
           6).as("kappa"))
   }
 
+  /** Poisson(1) CDF thresholds (k = 0..8) for the seeded bootstrap's
+    * inverse-CDF weight draw. The DEFINITION of the weight function is
+    * these exact double literals (both engines compare the same dyadic u
+    * against the same constants), not the analytic CDF. */
+  private[graft] val Poisson1Cdf: Seq[Double] = {
+    val pmf = (0 to 8).scanLeft(math.exp(-1.0)) { case (p, k) => p / (k + 1) }.take(9)
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Seeded Poisson bootstrap confidence interval for a mean (Chamandy et
+    * al. 2012, "Estimating uncertainty for massive data streams" — the
+    * scalable bootstrap): instead of resampling rows, replicate b weights
+    * each row by a Poisson(1) draw, so all B replicates ride ONE pass
+    * with a B-way explode and no shuffled resample. The error bars a
+    * 100 TB mean needs, without a second scan per replicate.
+    *
+    * Reproducible-release discipline: the draw is the inverse Poisson(1)
+    * CDF of the exact dyadic u = splitmix64(key ⊕ golden·(b+1)) top-53
+    * bits / 2⁵³, compared against the fixed [[Poisson1Cdf]] literals —
+    * deterministic and replayable bit-for-bit. Replicate means are exact
+    * decimal sums (values on the money grid) over integer weight sums,
+    * one division each under round(·, 9); the interval is a pure rank
+    * selection at ranks ⌈α/2·B⌉ and B+1−⌈α/2·B⌉ (ties interchangeable).
+    * Output one row: (n, n_replicates, mean, ci_lo, ci_hi). */
+  def bootstrapMeanCi(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      b: Int = 64,
+      alpha: Double = 0.05): DataFrame = {
+    require(b >= 8, s"need >= 8 replicates, got $b")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    val W   = org.apache.spark.sql.expressions.Window
+    val dbl = (c: Column) => c.cast("double")
+    val salts = (0 until b).map(j =>
+      struct(lit(j).as("b"), lit(Sketches.BloomGolden * (j + 1).toLong).as("salt")))
+    val h = graft.functions.TextFunctions.mix64(col("key").bitwiseXOR(col("e.salt")))
+    val u = shiftrightunsigned(h, 11).cast("double") / lit(9007199254740992.0)
+    val w = Poisson1Cdf.zipWithIndex.foldRight(lit(Poisson1Cdf.size): Column) {
+      case ((cdf, k), acc) => when(col("u") < cdf, k).otherwise(acc)
+    }
+    val reps = df
+      .select(col(keyCol).cast("long").as("key"), col(valueCol).cast(dec).as("x"))
+      .select(col("key"), col("x"), explode(array(salts: _*)).as("e"))
+      .select(col("e.b").as("b"), col("x"), u.as("u"))
+      .select(col("b"), col("x"), w.as("w"))
+      .groupBy(col("b"))
+      // w <= 9 sized DECIMAL(2,0): 28+2+1 = 31 <= 38 keeps the product at
+      // scale 2 exactly (a LongType operand would trip allowPrecisionLoss)
+      .agg(
+        sum(col("x") * col("w").cast(org.apache.spark.sql.types.DecimalType(2, 0))).as("sx"),
+        sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("b"), round(dbl(col("sx")) / dbl(col("sw")), 9).as("m"))
+    val loRank = math.max(1, math.ceil(alpha / 2.0 * b).toInt)
+    val hiRank = b + 1 - loRank
+    val ranked = reps.withColumn("rn", row_number().over(W.orderBy(col("m").asc, col("b").asc)))
+    val ci = ranked.agg(
+      max(when(col("rn") === loRank, col("m"))).as("ci_lo"),
+      max(when(col("rn") === hiRank, col("m"))).as("ci_hi"))
+    df.agg(count(lit(1)).as("n"), sum(col(valueCol).cast(dec)).as("sx"))
+      .crossJoin(broadcast(ci))
+      .select(
+        col("n"),
+        lit(b).as("n_replicates"),
+        round(dbl(col("sx")) / dbl(col("n")), 9).as("mean"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
+  }
+
   /** Mondrian k-anonymization (LeFevre, DeWitt & Ramakrishnan 2006) — the
     * GENERALIZER the audit family ([[kAnonymityAudit]], [[tClosenessAudit]])
     * checks the output of: greedy median partitioning of the QI space

@@ -1438,6 +1438,18 @@ object ExtendedQueries {
       DataQuality.cohensKappa(rated, "rater_a", "rater_b")
     },
 
+    // Seeded Poisson bootstrap CI (DataQuality.bootstrapMeanCi): error
+    // bars for the mean order value from ONE pass — 64 replicates ride a
+    // B-way explode with Poisson(1) weights drawn by inverse CDF from the
+    // exact dyadic splitmix u, replicate means are exact decimal sums
+    // with one division each, the interval is a pure rank selection.
+    Q(
+      "ml_bootstrap_ci",
+      Some(bootstrapCiSql(b = 64, alpha = 0.05))) { (spark, dir) =>
+      DataQuality.bootstrapMeanCi(
+        Tables(spark, dir).orders, "o_orderkey", "o_totalprice", b = 64, alpha = 0.05)
+    },
+
     // Mondrian k-anonymization (DataQuality.mondrianAnonymize): the
     // GENERALIZER behind the k-anonymity audit — greedy median
     // partitioning of (balance cents, nation) until no split keeps both
@@ -1931,6 +1943,49 @@ object ExtendedQueries {
               FROM keyed GROUP BY 1)
        SELECT * FROM (${arm("az", "zorder")} UNION ALL ${arm("al", "lex")})
        ORDER BY layout DESC"""
+  }
+
+  /** DuckDB replay of [[graft.operators.DataQuality.bootstrapMeanCi]] on
+    * orders.o_totalprice: the splitmix64 chain per (row, replicate), the
+    * exact dyadic u, the shared Poisson(1) CDF ladder, decimal replicate
+    * means, and the rank-selected interval. */
+  private def bootstrapCiSql(b: Int, alpha: Double): String = {
+    def mulmod(a: String, c: String): String =
+      s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+         | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+         | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+    val salts = (0 until b)
+      .map(j =>
+        s"($j, ${java.lang.Long.toUnsignedString(Sketches.BloomGolden * (j + 1).toLong)}::UBIGINT)")
+      .mkString(", ")
+    val ladder = DataQuality.Poisson1Cdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString(" ")
+    val loRank = math.max(1, math.ceil(alpha / 2.0 * b).toInt)
+    val hiRank = b + 1 - loRank
+    s"""WITH r AS (SELECT CAST(o_orderkey AS UBIGINT) AS key,
+                          CAST(o_totalprice AS DECIMAL(28,2)) AS x
+                   FROM orders),
+       salts(b, salt) AS (VALUES $salts),
+       f AS (SELECT r.x, s.b, xor(r.key, s.salt) AS y FROM r CROSS JOIN salts s),
+       a1 AS (SELECT x, b, xor(y, y >> 30) AS a FROM f),
+       b1 AS (SELECT x, b, ${mulmod("a", "13787848793156543929")} AS z FROM a1),
+       c1 AS (SELECT x, b, xor(z, z >> 27) AS a FROM b1),
+       d1 AS (SELECT x, b, ${mulmod("a", "10723151780598845931")} AS z FROM c1),
+       e1 AS (SELECT x, b, xor(z, z >> 31) AS h FROM d1),
+       uu AS (SELECT x, b, CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM e1),
+       ww AS (SELECT x, b, CASE $ladder ELSE ${DataQuality.Poisson1Cdf.size} END AS w FROM uu),
+       reps AS (SELECT b, round(CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 9) AS m
+                FROM ww GROUP BY b HAVING SUM(w) > 0),
+       ranked AS (SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn FROM reps),
+       ci AS (SELECT MAX(CASE WHEN rn = $loRank THEN m END) AS ci_lo,
+                     MAX(CASE WHEN rn = $hiRank THEN m END) AS ci_hi
+              FROM ranked),
+       tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM r)
+       SELECT n, $b AS n_replicates,
+              round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean,
+              round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi
+       FROM tot, ci"""
   }
 
   /** DuckDB replay of [[graft.operators.DataQuality.mondrianAnonymize]]

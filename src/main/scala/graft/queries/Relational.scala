@@ -560,6 +560,48 @@ object Relational {
     // (map-side partial agg shrinks the fact side to one row per customer)
     // so the outer join carries counts, not order rows — at 100 TB the
     // join input is customer-sized on both sides instead of order-sized.
+    // TPC-H Q7-style cross-nation trade volume: revenue between every
+    // (customer nation, supplier nation) pair by ship year — the
+    // multi-join star shape (lineitem x orders x customer x supplier x
+    // nation x nation) where both nation sides broadcast and the fact
+    // scan carries the money arithmetic. Decimal-exact revenue sums.
+    Q(
+      "sql_q7_volume",
+      Some("""
+        SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+        GROUP BY 1, 2, 3
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val n1 = t.nation.filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey").as("ck_nat"), col("n_name").as("cust_nation"))
+      val n2 = t.nation.filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey").as("sk_nat"), col("n_name").as("supp_nation"))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("ck_nat"))
+        .join(broadcast(n2), col("s_nationkey") === col("sk_nat"))
+        .groupBy(
+          col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          asDouble(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // coalesce(n, 0) restores the zero-order customers the pre-agg form
     // would otherwise lose. Pure integer counts — engine-exact.
     Q(

@@ -304,6 +304,25 @@ class DataQualitySpec extends SparkSpec {
     assert(d.forall(_.isNullAt(3)), d.mkString(","))
   }
 
+  test("bootstrapMeanCi: CI brackets the mean and shrinks with n, deterministic, constant data collapses") {
+    import spark.implicits._
+    val small = (1L to 200L).map(k => (k, (k % 100).toDouble)).toDF("k", "v")
+    val s = DataQuality.bootstrapMeanCi(small, "k", "v").collect().head
+    assert(s.getLong(0) == 200L && s.getInt(1) == 64, s.toString)
+    assert(s.getDouble(3) <= s.getDouble(2) && s.getDouble(2) <= s.getDouble(4), s.toString)
+    // 10x the data: the interval tightens (sd ~ 1/sqrt(n))
+    val big = (1L to 2000L).map(k => (k, (k % 100).toDouble)).toDF("k", "v")
+    val g = DataQuality.bootstrapMeanCi(big, "k", "v").collect().head
+    assert(g.getDouble(4) - g.getDouble(3) < s.getDouble(4) - s.getDouble(3), s"$s vs $g")
+    // deterministic across partitionings
+    val again = DataQuality.bootstrapMeanCi(big.repartition(13), "k", "v").collect().head
+    assert(g.toString == again.toString)
+    // constant data: every replicate mean IS the constant -> zero-width CI
+    val const = (1L to 50L).map(k => (k, 7.0)).toDF("k", "v")
+    val c = DataQuality.bootstrapMeanCi(const, "k", "v").collect().head
+    assert(c.getDouble(2) == 7.0 && c.getDouble(3) == 7.0 && c.getDouble(4) == 7.0, c.toString)
+  }
+
   test("mondrianAnonymize: 1-D hand recursion, widest-dim choice, identical QIs never split, k respected") {
     import spark.implicits._
     // 1..10 at k=2: r -> (1-5 | 6-10) -> (1-3 | 4-5 | 6-8 | 9-10) -> stops
