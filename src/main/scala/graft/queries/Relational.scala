@@ -579,13 +579,13 @@ object Relational {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation n1 ON c_nationkey = n1.n_nationkey
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+        WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 15
         GROUP BY 1, 2, 3
       """)) { (spark, dir) =>
       val t = Tables(spark, dir)
-      val n1 = t.nation.filter(col("n_nationkey") < 3)
+      val n1 = t.nation.filter(col("n_nationkey") < 5)
         .select(col("n_nationkey").as("ck_nat"), col("n_name").as("cust_nation"))
-      val n2 = t.nation.filter(col("n_nationkey") < 3)
+      val n2 = t.nation.filter(col("n_nationkey") < 15)
         .select(col("n_nationkey").as("sk_nat"), col("n_name").as("supp_nation"))
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
