@@ -437,6 +437,33 @@ object Corpus {
   /** Deflated-bytes / raw-bytes of a text column — see [[deflateRatioUdf]]. */
   def deflateRatio(c: Column): Column = deflateRatioUdf(c)
 
+  /** Raw deflate output size in bytes (same fixed configuration as
+    * [[deflateRatioUdf]]: level 6, raw stream). Unlike the ratio, empty
+    * input is NOT special-cased — the deflater still emits its final empty
+    * block (2 bytes), so the count is exactly what `Deflater(6, nowrap)`
+    * produces for every input. This is the pinnable integer the planted-
+    * payload oracle checks against an independent zlib (python 1.2.13
+    * agrees byte-for-byte on the whole fixture). */
+  private lazy val deflateBytesUdf =
+    udf { (s: String) =>
+      if (s == null) None
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d   = new java.util.zip.Deflater(6, true)
+        try {
+          d.setInput(raw)
+          d.finish()
+          val buf   = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          Some(total)
+        } finally d.end()
+      }
+    }
+
+  /** Deflate-output byte count of a text column — see [[deflateBytesUdf]]. */
+  def deflateBytes(c: Column): Column = deflateBytesUdf(c)
+
   /** C4/RefinedWeb-style line-level boilerplate removal: a line that occurs
     * in `minDf` or more DISTINCT documents is navigation/cookie-banner/
     * footer chrome, not content — remove it from every document it appears

@@ -718,12 +718,9 @@ object TextQueries {
     },
 
     // Compression-ratio quality signal (Corpus.deflateRatio): zlib-deflate
-    // at fixed level 6 raw, deflated/raw bytes. No SQL engine exposes
-    // zlib, so this is rows-only; CorpusSpec pins the properties that make
-    // the signal a filter (repetition compresses away, 4x-repeated text
-    // drops the ratio, determinism, empty/null contract). The rep4 column
-    // witnesses the separation ON the gate data itself: every row must
-    // satisfy ratio_rep4 < ratio.
+    // at fixed level 6 raw, deflated/raw bytes — planted-fixture oracle
+    // below (text_compression_ratio); data-sized SQL-replayable proxy in
+    // text_kgram_economy.
     // Heaps-law vocabulary growth: V(N) at 10 document checkpoints in
     // doc-id order — the duplication/encoding-rot curve. Exact integers;
     // the oracle replays first-occurrence docs + the doc-level cumulative
@@ -748,14 +745,95 @@ object TextQueries {
       Corpus.vocabGrowth(Tables(spark, dir).documents, "doc_id", "text", points = 10)
     },
 
-    Q("text_compression_ratio", None) { (spark, dir) =>
-      val rep4 = concat(col("text"), lit(" "), col("text"), lit(" "), col("text"), lit(" "), col("text"))
+    // Compression-ratio gate: zlib-deflate is not expressible in any SQL
+    // oracle, so the gate row pins PLANTED payloads whose exact deflate
+    // byte counts were precomputed with an independent zlib (python 3,
+    // zlib 1.2.13 — byte-identical to the JDK's bundled zlib at level 6
+    // raw across the whole fixture; see CorpusSpec). The payloads span the
+    // behaviors that make the signal a quality filter: natural prose in
+    // the middle, spam/run/boilerplate compressing to almost nothing,
+    // hex noise stuck near its 4-bits-per-char floor, multibyte UTF-8
+    // counted in bytes not chars, and the empty-input ratio=1.0 contract.
+    // Data-sized compressibility over `documents` stays gated via the
+    // SQL-replayable k-gram economy proxy (text_kgram_economy) and the
+    // CorpusSpec property pins (rep4 separation, determinism).
+    Q(
+      "text_compression_ratio",
+      Some("""
+        SELECT pid, n_raw, n_deflate, ratio FROM (VALUES
+          ('p1_hello',   CAST(11   AS BIGINT), CAST(13  AS BIGINT), CAST(1.181818 AS DOUBLE)),
+          ('p2_prose',   CAST(160  AS BIGINT), CAST(123 AS BIGINT), CAST(0.76875  AS DOUBLE)),
+          ('p3_spam',    CAST(1000 AS BIGINT), CAST(15  AS BIGINT), CAST(0.015    AS DOUBLE)),
+          ('p4_run',     CAST(1000 AS BIGINT), CAST(11  AS BIGINT), CAST(0.011    AS DOUBLE)),
+          ('p5_hex',     CAST(256  AS BIGINT), CAST(152 AS BIGINT), CAST(0.59375  AS DOUBLE)),
+          ('p6_unicode', CAST(620  AS BIGINT), CAST(42  AS BIGINT), CAST(0.067742 AS DOUBLE)),
+          ('p7_empty',   CAST(0    AS BIGINT), CAST(2   AS BIGINT), CAST(1.0      AS DOUBLE)),
+          ('p8_json',    CAST(750  AS BIGINT), CAST(24  AS BIGINT), CAST(0.032    AS DOUBLE))
+        ) AS t(pid, n_raw, n_deflate, ratio)
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val hexNoise = // md5("g0") || md5("g1") || ... || md5("g7"): looks random, ~0.59 floor
+        "8ac829e3bb8338d74cfb45ebe834d8e10120a4f9196a5f9eb9f523f31f914da7" +
+          "e1c80488853d86ab9d6decfe30d8930f8a9fd7dfda802921fdc4079f9a528ce8" +
+          "b0b5c8f28ad7834e70a958a8882fa59a37c965a8d6d7bec292c7b11ff315d9ea" +
+          "4a4314ef967aad20a9e7c423bc16e39c727bb92f57c3951d11695a52c92c2b0c"
+      val planted = Seq(
+        ("p1_hello", "hello world"),
+        (
+          "p2_prose",
+          "The quick brown fox jumps over the lazy dog. Pack my box with five dozen " +
+            "liquor jugs. How vexingly quick daft zebras jump! Sphinx of black quartz, judge my vow."),
+        ("p3_spam", "spam " * 200),
+        ("p4_run", "a" * 1000),
+        ("p5_hex", hexNoise),
+        // "héllo wörld ünïcode ™✓ " — escapes keep the payload
+        // identical regardless of the compiler's platform charset.
+        ("p6_unicode", "h\u00e9llo w\u00f6rld \u00fcn\u00efcode \u2122\u2713 " * 20),
+        ("p7_empty", ""),
+        ("p8_json", "{\"k\":\"v\",\"n\":1}" * 50)
+      ).toDF("pid", "payload")
+      planted.select(
+        col("pid"),
+        octet_length(col("payload")).cast("long").as("n_raw"),
+        Corpus.deflateBytes(col("payload")).as("n_deflate"),
+        round(Corpus.deflateRatio(col("payload")), 6).as("ratio"))
+    },
+
+    // Data-sized compressibility proxy that IS SQL-replayable: character
+    // 4-gram token economy (distinct/total — the dictionary-coder intuition
+    // behind LZ: repeated substrings mean fewer distinct grams per emitted
+    // gram). Exact integers plus one IEEE division, so the hash is
+    // bit-stable across engines. Docs shorter than 4 chars define
+    // economy=1.0 (nothing to compress). Row-local projection, zero
+    // shuffle — the same scaling shape as the deflate signal it proxies.
+    Q(
+      "text_kgram_economy",
+      Some("""
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(g) > 0
+                    THEN CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                    ELSE CAST(1.0 AS DOUBLE) END AS economy
+        FROM (SELECT doc_id,
+                     CASE WHEN length(text) >= 4
+                          THEN list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))
+                          ELSE CAST([] AS VARCHAR[]) END AS g
+              FROM documents)
+      """)) { (spark, dir) =>
+      val grams = expr(
+        """CASE WHEN char_length(text) >= 4
+                THEN transform(sequence(1, char_length(text) - 3), i -> substring(text, i, 4))
+                ELSE CAST(array() AS ARRAY<STRING>) END""")
       Tables(spark, dir).documents
+        .withColumn("g", grams)
         .select(
           col("doc_id"),
-          round(Corpus.deflateRatio(col("text")), 6).as("ratio"),
-          round(Corpus.deflateRatio(rep4), 6).as("ratio_rep4"))
-        .filter(col("ratio_rep4") < col("ratio"))
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+          when(size(col("g")) > 0, size(array_distinct(col("g"))).cast("double") / size(col("g")))
+            .otherwise(lit(1.0))
+            .as("economy"))
     },
 
     // Gopher-style repetition signals (Rae et al. 2021 App. A): duplicate

@@ -29,16 +29,12 @@ class QueriesSpec extends SparkSpec {
   /** Every rows-only query must be on this list, each with the spec that
     * pins its correctness — adding a query with NEITHER an oracle NOR an
     * entry here fails the build, so coverage can't silently erode. */
-  private val rowsOnlyPinnedBy = Map(
-    // the irreducible rows-only set: the driver-held BPE merge table and
-    // raw deflate byte counts (zlib-implementation-specific). The four
-    // sketch queries moved OFF this list in r11: at gate scale each sits
-    // in its sketch's exact regime (HLL coupon mode at lgK=14, GK at
-    // rank-error<1, collision-free CMS over 5 keys), making the full row
-    // hash-checkable; SketchSpec still pins the production-scale error
-    // envelopes. Every deterministic query — including the approximate-
-    // but-derandomized ANN family — carries a full oracle.
-    "text_compression_ratio" -> "CorpusSpec (separation + determinism; in-query rep4 witness)")
+  private val rowsOnlyPinnedBy = Map.empty[String, String]
+  // Empty as of r13: text_compression_ratio — the last rows-only row —
+  // now carries a planted-payload oracle (deflate byte counts precomputed
+  // with an independent zlib and pinned as a VALUES join), and the
+  // data-sized compressibility signal is gated via the SQL-replayable
+  // text_kgram_economy proxy. Every registered query is fully oracled.
 
   test("no query lacks both an oracle and a pinned rows-only spec") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
