@@ -116,6 +116,40 @@ object Relational {
         .agg(asDouble(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))).as("revenue"))
     },
 
+    // ------------------------------------------------ stats-driven join
+    // Cost-based join shape from PUBLISHED catalog stats, end to end: PUT
+    // the dimension into the versioned store, ANALYZE it (one-pass column
+    // stats published as `<name>.__stats__`), then join through
+    // Catalog.joinWithStats, which reads the stats frame and picks
+    // broadcast-vs-merge from the DECOMPRESSED size estimate instead of
+    // Spark's on-disk-bytes guess. At 100 TB the decision is the point: a
+    // snappy-parquet side under the 10 MB conf default can hydrate to
+    // gigabytes, and the stats veto is what stops that broadcast (see
+    // Catalog.scala scaladoc; PlanSpec asserts both plan shapes). Here
+    // nation is 25 rows, so the stats PICK the broadcast — no shuffle of
+    // customer.
+    Q(
+      "catalog_stats_join",
+      Some("""
+        SELECT n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-stats-join").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("nation_dim", t.nation)
+      cat.analyzeTable("nation_dim")
+      cat
+        .joinWithStats(t.customer, "nation_dim", col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          asDouble(sum(money(col("c_acctbal")))).as("sum_acctbal"))
+    },
+
     // ---------------------------------------------------------- semi join
     // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
     // keys of the filtered side when small; left_semi never duplicates rows.

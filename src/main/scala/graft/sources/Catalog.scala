@@ -302,6 +302,88 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     readTable(s"$name.__stats__", format)
   }
 
+  /** Parse the published `__stats__` frame back into a sizing estimate, or
+    * None if ANALYZE was never run for `name`. The frame is one row per
+    * atomic column (bounded by schema width, never by data), so the collect
+    * is metadata-sized.
+    *
+    * Row-width model: fixed in-memory widths for numeric/temporal types;
+    * strings are bounded by the LONGER of the stored min/max values (a
+    * lexicographic min/max is not a length max, so a floor of 16 bytes
+    * absorbs short-extreme cases) plus object overhead. This deliberately
+    * estimates the DECOMPRESSED row, not the on-disk bytes — the number
+    * that actually matters for a broadcast decision, and exactly what
+    * Spark's own file-size estimator gets wrong on well-compressed parquet
+    * (a 9 MB file can hydrate to gigabytes and OOM every executor that
+    * receives the broadcast). */
+  def statsFor(name: String, format: String = "parquet"): Option[Catalog.TableStats] = {
+    if (!exists(s"$name.__stats__")) return None
+    val rows = readTable(s"$name.__stats__", format)
+      .select("column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls")
+      .collect()
+    if (rows.isEmpty) return None
+    val cols = rows.toSeq.map { r =>
+      Catalog.ColumnStats(
+        column = r.getString(0),
+        dataType = r.getString(1),
+        minValue = Option(r.getString(3)),
+        maxValue = Option(r.getString(4)),
+        nDistinct = r.getLong(5),
+        nNulls = r.getLong(6))
+    }
+    val nRows = rows.head.getLong(2)
+    val rowBytes = cols.map { c =>
+      c.dataType match {
+        case "boolean" | "tinyint"                         => 1L
+        case "smallint"                                    => 2L
+        case "int" | "float" | "date"                      => 4L
+        case "bigint" | "double" | "timestamp" | "timestamp_ntz" => 8L
+        case t if t.startsWith("decimal")                  => 16L
+        case _ => // string-ish: bounded by the longer stored extreme + JVM object overhead
+          val seen = math.max(c.minValue.map(_.length).getOrElse(0), c.maxValue.map(_.length).getOrElse(0))
+          math.max(seen.toLong, 16L) + 24L
+      }
+    }.sum
+    Some(Catalog.TableStats(nRows, rowBytes, cols))
+  }
+
+  /** Stats-driven join: joins `left` against the stored table `rightName`,
+    * picking the physical shape from the PUBLISHED `__stats__` estimate
+    * rather than Spark's on-disk-bytes guess.
+    *
+    *  - stats say the hydrated right side fits under `broadcastThresholdBytes`
+    *    → force `broadcast(right)`: no shuffle of the (arbitrarily large)
+    *    left side, the plan you want when right is a dimension;
+    *  - stats say it does NOT fit → hint `merge`: explicitly FORBID the
+    *    broadcast Spark's compressed-file-size estimator might still pick.
+    *    This is the 100×-scale guard — a snappy-parquet table under the
+    *    10 MB conf default can decompress to gigabytes, and an auto-chosen
+    *    broadcast of it kills the job; a sort-merge join is merely slower,
+    *    never fatal;
+    *  - no stats published → plain join, Spark's own estimate decides
+    *    (honest fallback: we know nothing the optimizer doesn't).
+    *
+    * The default threshold mirrors `spark.sql.autoBroadcastJoinThreshold`'s
+    * default (10 MB); deployments that raised the conf pass the same value
+    * here. */
+  def joinWithStats(
+      left: org.apache.spark.sql.DataFrame,
+      rightName: String,
+      joinExprs: org.apache.spark.sql.Column,
+      joinType: String = "inner",
+      format: String = "parquet",
+      broadcastThresholdBytes: Long = 10L * 1024 * 1024): org.apache.spark.sql.DataFrame = {
+    val right = readTable(rightName, format)
+    statsFor(rightName, format) match {
+      case Some(s) if s.estBytes <= broadcastThresholdBytes =>
+        left.join(org.apache.spark.sql.functions.broadcast(right), joinExprs, joinType)
+      case Some(_) =>
+        left.join(right.hint("merge"), joinExprs, joinType)
+      case None =>
+        left.join(right, joinExprs, joinType)
+    }
+  }
+
   def readTableVersion(name: String, version: Long, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
     val p = versionDirs(name).collectFirst {
       case (v, path) if v == version && isComplete(path) => path
@@ -350,6 +432,21 @@ object Catalog {
   val OldSuffix: String = ".__old__"
   /** Engine-native write-once version dirs: `<name>.__v<N>__`. */
   val VersionRe: scala.util.matching.Regex = "^(.*)\\.__v(\\d+)__$".r
+
+  /** One atomic column's published ANALYZE stats (see [[Catalog.analyzeTable]]). */
+  final case class ColumnStats(
+      column: String,
+      dataType: String,
+      minValue: Option[String],
+      maxValue: Option[String],
+      nDistinct: Long,
+      nNulls: Long)
+
+  /** Table-level sizing parsed from the `__stats__` frame: row count plus a
+    * conservative DECOMPRESSED per-row width (see [[Catalog.statsFor]]). */
+  final case class TableStats(nRows: Long, estRowBytes: Long, columns: Seq[ColumnStats]) {
+    def estBytes: Long = nRows * estRowBytes
+  }
 }
 
 /** A PUT raced a recent write to the same name (within the reference's 60 s

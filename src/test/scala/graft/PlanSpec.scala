@@ -447,4 +447,39 @@ class PlanSpec extends SparkSpec {
     val p = planOf("ann_pq_adc")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, s"LUT must broadcast-equi-join:\n$p")
   }
+
+  test("joinWithStats: published ANALYZE stats pick broadcast under threshold, forbid it above") {
+    import graft.sources.{Catalog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft-planspec-cat").toString
+    val cat  = new Catalog(spark, root)
+    val t    = Tables(spark, dir)
+    cat.putTable("nation_dim", t.nation)
+    cat.analyzeTable("nation_dim")
+
+    val stats = cat.statsFor("nation_dim")
+    assert(stats.isDefined, "ANALYZE must publish a readable __stats__ frame")
+    assert(stats.get.nRows == 25, s"nation has 25 rows, stats say ${stats.get.nRows}")
+    assert(stats.get.estBytes > 0)
+
+    val on = col("c_nationkey") === col("n_nationkey")
+    // 25 hydrated rows sit far under the 10 MB default: stats force broadcast
+    val bc = cat.joinWithStats(t.customer, "nation_dim", on)
+      .queryExecution.executedPlan.toString
+    assert(bc.contains("BroadcastHashJoin"), s"stats under threshold must broadcast:\n$bc")
+
+    // 1-byte threshold models "stats say the hydrated side is too big":
+    // broadcast must be VETOED even though the on-disk file is tiny enough
+    // that Spark's own estimator would have picked it
+    val sm = cat.joinWithStats(t.customer, "nation_dim", on, broadcastThresholdBytes = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!sm.contains("BroadcastHashJoin"), s"stats over threshold must veto broadcast:\n$sm")
+    assert(sm.contains("SortMergeJoin") || sm.contains("ShuffledHashJoin"),
+      s"vetoed broadcast should fall back to a shuffle join:\n$sm")
+
+    // no stats published → honest fallback: plain join, optimizer decides
+    cat.putTable("nation_nostats", t.nation)
+    assert(cat.statsFor("nation_nostats").isEmpty)
+    val plain = cat.joinWithStats(t.customer, "nation_nostats", on)
+    assert(plain.count() == t.customer.count(), "fallback join must still run")
+  }
 }
