@@ -314,11 +314,11 @@ object Sketches {
       probeKeyCol: String,
       logW: Int = 10,
       depth: Int = 4): DataFrame = {
-    val spark    = probes.sparkSession
     val counters = cmsBuild(df, keyCol, logW, depth)
-    val cb       = spark.sparkContext.broadcast(counters)
-    val est      = udf((k: Long) => cmsEstimate(cb.value, k, logW, depth))
-    probes.withColumn("cms_est", est(col(probeKeyCol).cast("long")))
+    // native probe: the matrix rides the plan as a codegen reference object
+    // (shipped once per task like a broadcast), the scan stays codegen'd
+    val est = graft.functions.SketchExpressions.cmsEstimate(counters, logW, depth) _
+    probes.withColumn("cms_est", est(col(probeKeyCol)))
   }
 
   /** Probe helper: all `nHashes` bits set. */
@@ -347,13 +347,12 @@ object Sketches {
       probeKeyCol: String,
       logBits: Int = 20,
       nHashes: Int = 4): DataFrame = {
-    val spark  = probes.sparkSession
     val filter = bloomBuild(members, memberKeyCol, logBits, nHashes)
-    val fb     = spark.sparkContext.broadcast(filter)
-    val hit    = udf((k: Long) => bloomContains(fb.value, k, logBits, nHashes))
+    // native probe (see cmsCounts): filter ships as a codegen reference obj
+    val hit = graft.functions.SketchExpressions.bloomContains(filter, logBits, nHashes) _
     probes.select(
       col(probeKeyCol),
-      hit(col(probeKeyCol).cast("long")).as("in_filter"))
+      hit(col(probeKeyCol)).as("in_filter"))
   }
 
   // --------------------------------------------------------- KMV / theta
@@ -762,9 +761,9 @@ object Sketches {
     val bytes = sketchRow.head().getAs[Array[Byte]]("cms")
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
-    val spark = df.sparkSession
-    val bc    = spark.sparkContext.broadcast(cms)
-    val probe = org.apache.spark.sql.functions.udf((k: String) => bc.value.estimateCount(k))
+    // native probe (see cmsCounts): the sketch is Serializable and rides the
+    // plan references; estimateCount runs inside whole-stage codegen
+    val probe = graft.functions.SketchExpressions.cmsSketchEstimate(cms) _
     candidates
       .select(col(keyCol).cast("string").as(keyCol))
       .withColumn("est_count", probe(col(keyCol)))

@@ -324,4 +324,41 @@ class SketchSpec extends SparkSpec {
     val o = Sketches.amsJoinSize(x, "k", y, "k").collect().head
     assert(o.getLong(4) == 4L * 3 + 2 * 5, o.toString)
   }
+
+  test("native sketch probes: generated code compiles (fallback off), matches interpreted eval, no UDF in plan") {
+    import spark.implicits._
+    val data   = (Seq.fill(40)(7L) ++ Seq.fill(3)(11L) ++ (100L to 140L)).toDF("k")
+    val probes = Seq(7L, 11L, 100L, 999L).toDF("k")
+    // fallback=false turns a codegen compile error into a hard failure
+    // instead of a silent interpreted-path rescue — this test is what
+    // proves the generated Java in SketchExpressions actually compiles
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cms = Sketches.cmsCounts(data, "k", probes, "k", logW = 8, depth = 4)
+      assert(!cms.queryExecution.executedPlan.toString.contains("UDF"))
+      val cmsMap = cms.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cmsMap(7L) >= 40L && cmsMap(11L) >= 3L, cmsMap.toString) // est >= exact always
+      // interpreted eval (the build-side helpers) must agree bit for bit
+      val counters = Sketches.cmsBuild(data, "k", logW = 8, depth = 4)
+      cmsMap.foreach { case (k, est) =>
+        assert(est == Sketches.cmsEstimate(counters, k, 8, 4), s"codegen/interpreted drift at $k")
+      }
+
+      val bloom = Sketches.bloomMembership(data, "k", probes, "k", logBits = 12, nHashes = 4)
+      assert(!bloom.queryExecution.executedPlan.toString.contains("UDF"))
+      val hits = bloom.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(hits(7L) && hits(11L) && hits(100L), s"no false negatives ever: $hits")
+
+      val hh = Sketches.heavyHitters(data, "k", probes, minCount = 10L)
+      assert(!hh.queryExecution.executedPlan.toString.contains("UDF"))
+      val hhKeys = hh.collect().map(_.getString(0)).toSet
+      assert(hhKeys.contains("7") && !hhKeys.contains("999"), hhKeys.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
