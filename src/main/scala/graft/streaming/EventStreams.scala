@@ -352,6 +352,145 @@ object EventStreams {
         })
   }
 
+  final case class CusumState(hours: Map[Long, Long])
+  final case class CusumPoint(
+      hour_start: Timestamp, x: Long, cusum: Double, is_peak: Boolean, n_total: Long)
+
+  /** Streaming CUSUM changepoint scan — the live counterpart of
+    * [[graft.operators.TimeSeries.cusum]] (which IS its replay spec).
+    * CUSUM is RETROSPECTIVE by definition (C_t = Σ_{i≤t}(x_i − x̄) needs
+    * the global mean x̄, unlike Page-Hinkley's running-mean online form),
+    * so the live twin keeps the COMPRESSED hourly-count axis as state —
+    * one (hour → count) entry per hour, time-bounded, never data-sized;
+    * it is exactly the axis the batch operator's window runs on — and
+    * re-emits the refreshed full scan every micro-batch (Update mode).
+    * Each snapshot row carries `n_total` (events folded so far), so the
+    * converged scan is the row set with the maximum n_total.
+    *
+    * Arithmetic parity with the batch operator, move for move: hour
+    * truncation on the micros grid (≡ date_trunc('hour') under the UTC
+    * session the engine pins), exact integer n·C_t = n·Σ_{i≤t}x_i − t·S
+    * (BigInt, the batch side's DECIMAL(38,0)), ONE double division per
+    * row snapped HALF_UP to 1e-6, and is_peak as an exact |n·C_t| = max
+    * compare (ties all flag). Under event-time-ordered arrival the final
+    * snapshot equals the batch rows bit for bit (StreamingSpec pins it).
+    * The single group key is correct, not a funnel: the series is global
+    * by definition and the state it carries is the hour axis, not the
+    * event log. */
+  def cusumStream(events: Dataset[Event]): Dataset[CusumPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMicros = 3600L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Int, evs: Iterator[Event], state: GroupState[CusumState]) => {
+          var hours = state.getOption.map(_.hours).getOrElse(Map.empty[Long, Long])
+          evs.foreach { e =>
+            val h = Math.floorDiv(micros(e.ts), hourMicros) * hourMicros
+            hours = hours.updated(h, hours.getOrElse(h, 0L) + 1L)
+          }
+          state.update(CusumState(hours))
+          val series = hours.toVector.sortBy(_._1)
+          val n      = BigInt(series.size)
+          val s      = BigInt(series.iterator.map(_._2).sum)
+          val total  = series.iterator.map(_._2).sum
+          var cum    = BigInt(0)
+          val nc = series.zipWithIndex.map { case ((h, x), i) =>
+            cum += x
+            (h, x, n * cum - BigInt(i + 1) * s)
+          }
+          val pk = if (nc.isEmpty) BigInt(0) else nc.iterator.map(_._3.abs).max
+          nc.iterator.map { case (h, x, v) =>
+            CusumPoint(
+              new Timestamp(h / 1000L),
+              x,
+              java.math.BigDecimal
+                .valueOf(v.toDouble / n.toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .doubleValue(),
+              v.abs == pk,
+              total)
+          }
+        })
+  }
+
+  final case class SprtState(days: Map[Long, (Long, Long)])
+  final case class SprtPoint(
+      day: String, n_cum: Long, conv_cum: Long, llr: Double, decision: String, n_total: Long)
+
+  /** Streaming Wald SPRT — the live counterpart of
+    * [[graft.operators.Funnel.sprtDaily]] (its replay spec). Like
+    * [[cusumStream]], the state is the COMPRESSED daily rollup — one
+    * (day → (n, conversions)) entry per day, calendar-bounded — and every
+    * micro-batch re-emits the refreshed day-cumulative trajectory with its
+    * decision column (Update mode; `n_total` marks the converged snapshot).
+    * That matches how the test is actually served: the decision for day d
+    * legitimately updates while d's events are still arriving, and
+    * freezes once arrival passes d.
+    *
+    * Parity: the four log-likelihood constants snap to the 1e-12 grid
+    * exactly as the batch side's DECIMAL(13,12) literals; llr is the exact
+    * decimal linear combination c·ln(p1/p0) + (n−c)·ln((1−p1)/(1−p0)) of
+    * exact counts; decisions compare on the UNROUNDED scale-12 value; the
+    * emitted llr rounds HALF_UP to 1e-6 — bit-identical to the batch rows
+    * on ordered arrival (StreamingSpec pins it). */
+  def sprtStream(
+      events: Dataset[Event],
+      convType: String,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.05): Dataset[SprtPoint] = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1, "need distinct p0,p1 in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "alpha,beta in (0,1)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def snap12(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(math.log(x)).setScale(12, java.math.RoundingMode.HALF_UP)
+    val l1 = snap12(p1 / p0)
+    val l0 = snap12((1.0 - p1) / (1.0 - p0))
+    val hi = snap12((1.0 - beta) / alpha)
+    val lo = snap12(beta / (1.0 - alpha))
+    val dayMicros = 86400L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Int, evs: Iterator[Event], state: GroupState[SprtState]) => {
+          var days = state.getOption.map(_.days).getOrElse(Map.empty[Long, (Long, Long)])
+          evs.foreach { e =>
+            val d        = Math.floorDiv(micros(e.ts), dayMicros)
+            val (dn, dc) = days.getOrElse(d, (0L, 0L))
+            days = days.updated(d, (dn + 1L, dc + (if (e.event_type == convType) 1L else 0L)))
+          }
+          state.update(SprtState(days))
+          val series = days.toVector.sortBy(_._1)
+          val total  = series.iterator.map(_._2._1).sum
+          var nCum   = 0L
+          var cCum   = 0L
+          series.iterator.map { case (d, (dn, dc)) =>
+            nCum += dn
+            cCum += dc
+            val llr12 = java.math.BigDecimal
+              .valueOf(cCum).multiply(l1)
+              .add(java.math.BigDecimal.valueOf(nCum - cCum).multiply(l0))
+            val decision =
+              if (llr12.compareTo(hi) >= 0) "accept_h1"
+              else if (llr12.compareTo(lo) <= 0) "accept_h0"
+              else "continue"
+            SprtPoint(
+              java.time.LocalDate.ofEpochDay(d).toString,
+              nCum,
+              cCum,
+              llr12.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+              decision,
+              total)
+          }
+        })
+  }
+
   final case class KmvState(hashes: Array[Long], nRows: Long)
   final case class KmvEstimate(event_type: String, distinct_est: Double, n_rows: Long)
 

@@ -669,4 +669,62 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming CUSUM converged snapshot equals the batch scan bit-for-bit on an in-order stream") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .cusumStream(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("cusum_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val snaps = spark.table("cusum_out").collect()
+    val maxN  = snaps.map(_.getLong(4)).max
+    val streamed = snaps
+      .filter(_.getLong(4) == maxN) // the converged (all-events) snapshot
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val batch = graft.operators.TimeSeries
+      .cusum(events.toDF(), "ts")
+      .collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(maxN == events.count())
+    assert(streamed == batch)
+    assert(batch.size > 100 && batch.values.exists(_._3))
+  }
+
+  test("streaming SPRT converged trajectory equals the batch daily checkpoints bit-for-bit") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .sprtStream(stream, convType = "purchase", p0 = 0.15, p1 = 0.20)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("sprt_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val snaps = spark.table("sprt_out").collect()
+    val maxN  = snaps.map(_.getLong(5)).max
+    val streamed = snaps
+      .filter(_.getLong(5) == maxN)
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    val batch = graft.operators.Funnel
+      .sprtDaily(events.toDF(), "ts", "event_type", "purchase", p0 = 0.15, p1 = 0.20)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(maxN == events.count())
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.values.exists(_._4 != "continue"))
+  }
 }
