@@ -332,4 +332,37 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioFingerprint(Multimodal.ingest(bad, "media_id", "kind", "payload")).collect())
     assert(e.getMessage.contains("audioFingerprint") || e.getCause != null)
   }
+
+  test("FfmpegCodec: missing binary is detected and decode fails loudly, never fabricates") {
+    // runs everywhere: the availability probe must say false for a
+    // nonexistent binary, and decode through one must fail loudly
+    assert(!Multimodal.FfmpegCodec.detect("graft-no-such-binary"))
+    val codec = new Multimodal.FfmpegCodec(ffmpegBin = "graft-no-such-binary")
+    val e = intercept[IllegalArgumentException](
+      codec.decode(1L, "image", "P5 1 1 255\n ".getBytes("US-ASCII")))
+    assert(e.getMessage.contains("cannot launch"), e.getMessage)
+  }
+
+  test("FfmpegCodec: real decode through the pipe (gated on an ffmpeg binary)") {
+    assume(Multimodal.FfmpegCodec.available, "no ffmpeg in this environment - cancelled, not passed")
+    val codec = new Multimodal.FfmpegCodec(bands = 4, rasterW = 16, rasterH = 16)
+    // image: a real P6 PPM, solid mid-gray — every decoded gray pixel is
+    // (close to) 128, so every band mean must be too, at ANY scale factor
+    val ppm = "P6 8 8 255\n".getBytes("US-ASCII") ++ Array.fill[Byte](8 * 8 * 3)(128.toByte)
+    val img = codec.decode(7L, "image", ppm)
+    assert(img.width == 16 && img.height == 16 && img.nFrames == 1)
+    assert(img.features.length == 4 && img.features.forall(f => math.abs(f - 128f) <= 2f),
+      img.features.mkString(","))
+    // determinism: the pipe must be a pure function of the payload
+    assert(codec.decode(7L, "image", ppm).features.toSeq == img.features.toSeq)
+    // audio: a real WAV resampled to mono s16; silence decodes to ~zero
+    val wav = Multimodal.syntheticWav(3, 8000, 800, 1)
+    val aud = codec.decode(3L, "audio", wav)
+    assert(aud.width == 16000 && aud.height == 1 && aud.nFrames > 0)
+    assert(aud.features.length == 4)
+    // failure path: garbage bytes exit nonzero and surface the stderr tail
+    val e = intercept[IllegalArgumentException](
+      codec.decode(9L, "image", Array[Byte](1, 2, 3, 4)))
+    assert(e.getMessage.contains("ffmpeg exit") || e.getMessage.contains("no samples"), e.getMessage)
+  }
 }
