@@ -31,6 +31,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional family filter (isolated re-adjudication as the suite grows):
+    //   runMain graft.Bench graph_,dedup_   -> only names with those prefixes
+    // A filtered run is a PARTIAL measurement: it writes
+    // BENCH_LOCAL_partial.json (never clobbering the full-suite record the
+    // driver reads), reports metric "partial_total", and restricts the
+    // pin-discipline check to the selection.
+    val prefixes: Seq[String] =
+      args.headOption.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val partial = prefixes.nonEmpty
+    val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (partial) SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      else SparkEntry.queries
+    if (selected.isEmpty) {
+      println(s"""{"metric":"error","reason":"no query matches the family filter","filter":"${prefixes.mkString(",")}"}""")
+      sys.exit(1)
+    }
     val spark = Engine.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,7 +64,7 @@ object Bench {
       val pinPath  = java.nio.file.Paths.get(repoRoot, "BASELINE_LOCAL.json")
       if (java.nio.file.Files.exists(pinPath)) {
         val pins = parseFlatJson(new String(java.nio.file.Files.readAllBytes(pinPath), "UTF-8"))
-        val unpinned = SparkEntry.queries.keySet -- pins.keySet
+        val unpinned = selected.keySet -- pins.keySet
         if (unpinned.nonEmpty) {
           println(s"""{"metric":"error","reason":"unpinned queries (add BASELINE_LOCAL.json entries in the same commit)","queries":[${unpinned.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]}""")
           spark.stop()
@@ -67,7 +83,7 @@ object Bench {
     // first documents-pipeline query otherwise); sf0.1 data is NOT touched
     val warmDir = "/root/testdata/sf0.001"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
-    SparkEntry.queries.toSeq
+    selected.toSeq
       .map { case (_, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
@@ -99,7 +115,7 @@ object Bench {
     // and are reported in an "errors" field instead of vanishing.
     val failures = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Seq[(String, (Double, Double))] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
@@ -113,7 +129,7 @@ object Bench {
     }
     // best pass per query, carrying THAT run's GC window; a query that
     // failed in EVERY pass surfaces as +Inf (and in "errors"), never as 0
-    val best = SparkEntry.queries.keys.toSeq.sorted
+    val best = selected.keys.toSeq.sorted
       .map(name => name -> passes.map(_(name)).minBy(_._1))
     // queries that failed every pass: excluded from the numeric map/total
     // (Infinity is not valid JSON) and emitted under "errors" instead
@@ -141,11 +157,14 @@ object Bench {
     val errsJson =
       s""""errors":[${errored.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""flaky":[${flaky.map("\"" + _ + "\"").mkString(",")}]"""
+    val metric = if (partial) "partial_total" else "total"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir",$errsJson,"regressed":[${regressed.mkString(",")}]}"""
-    // full-precision record: survives any stdout tail-window truncation
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir",$errsJson,"regressed":[${regressed.mkString(",")}]}"""
+    // full-precision record: survives any stdout tail-window truncation.
+    // Partial (family-filtered) runs write a SEPARATE file so the
+    // driver-read full-suite record is never clobbered by a subset map.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(repoRoot, if (partial) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     // The driver keeps only the last ~2000 chars of stdout and parses the
@@ -172,8 +191,8 @@ object Bench {
     }
     val regShown = regCompact.take(10)
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries_full":"BENCH_LOCAL.json","queries":$qsCompact,"sf":"$sfLabel",""" +
+      s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries_full":"${if (partial) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL.json"}","queries":$qsCompact,"sf":"$sfLabel",""" +
         s""""n_errors":${errored.size},""" +
         s""""regressed_total":${regCompact.size},"regressed":[${regShown.mkString(",")}]}"""
     spark.stop()
