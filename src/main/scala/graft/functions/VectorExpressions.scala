@@ -267,6 +267,122 @@ case class VecNearest(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** The m nearest centroids (ascending L2² on the COSINE sphere — the input
+  * is unit-normalized in place before the scan, so cells match the IVF
+  * coarse quantizer exactly) as array<int> of centroid indices. Replaces
+  * the `nearestCells` ScalaUDF that sat on every IVF assign/probe path:
+  * the UDF paid catalyst→Seq[Double] boxing per row; this expression reads
+  * the unsafe buffer in place, keeps the m-best insertion heap in
+  * primitives, and participates in whole-stage codegen. Tie semantics are
+  * the UDF's, bit for bit: equal distances keep ascending-index order and
+  * a boundary tie keeps the incumbent (strict `<`/`>` compares only).
+  * Centroids ride as a reference object (k·d doubles, model-bounded). */
+case class VecNearestCells(child: Expression, centroids: Array[Array[Double]], m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "vec_nearest_cells needs at least one centroid")
+  require(m >= 1, s"m must be >= 1, got $m")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "vec_nearest_cells"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != centroids(0).length)
+      throw new IllegalArgumentException(
+        s"vec_nearest_cells: dimension mismatch ($n vs model ${centroids(0).length})")
+    // unit-normalize a primitive copy (the UDF's `normalized(v.toArray)`)
+    val u = new Array[Double](n)
+    var s = 0.0; var i = 0
+    while (i < n) { val x = v.getDouble(i); u(i) = x; s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm > 0) { i = 0; while (i < n) { u(i) /= nrm; i += 1 } }
+    val mm    = math.min(m, centroids.length)
+    val dBest = new Array[Double](mm)
+    val iBest = new Array[Int](mm)
+    var size  = 0
+    var c     = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0; i = 0
+      while (i < n) { val x = u(i) - ctr(i); d += x * x; i += 1 }
+      if (size < mm) {
+        var p = size
+        while (p > 0 && dBest(p - 1) > d) { dBest(p) = dBest(p - 1); iBest(p) = iBest(p - 1); p -= 1 }
+        dBest(p) = d; iBest(p) = c; size += 1
+      } else if (d < dBest(mm - 1)) {
+        var p = mm - 1
+        while (p > 0 && dBest(p - 1) > d) { dBest(p) = dBest(p - 1); iBest(p) = iBest(p - 1); p -= 1 }
+        dBest(p) = d; iBest(p) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(iBest, size))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => {
+        val n     = ctx.freshName("n")
+        val u     = ctx.freshName("u")
+        val s     = ctx.freshName("s")
+        val nrm   = ctx.freshName("nrm")
+        val mm    = ctx.freshName("mm")
+        val dBest = ctx.freshName("dBest")
+        val iBest = ctx.freshName("iBest")
+        val size  = ctx.freshName("size")
+        val c     = ctx.freshName("c")
+        val ctr   = ctx.freshName("ctr")
+        val d     = ctx.freshName("d")
+        val i     = ctx.freshName("i")
+        val x     = ctx.freshName("x")
+        val p     = ctx.freshName("p")
+        s"""
+        |final int $n = $v.numElements();
+        |if ($n != $cs[0].length) {
+        |  throw new IllegalArgumentException(
+        |    "vec_nearest_cells: dimension mismatch (" + $n + " vs model " + $cs[0].length + ")");
+        |}
+        |final double[] $u = new double[$n];
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $x = $v.getDouble($i); $u[$i] = $x; $s += $x * $x;
+        |}
+        |final double $nrm = Math.sqrt($s);
+        |if ($nrm > 0) { for (int $i = 0; $i < $n; $i++) $u[$i] /= $nrm; }
+        |final int $mm = Math.min($m, $cs.length);
+        |final double[] $dBest = new double[$mm];
+        |final int[] $iBest = new int[$mm];
+        |int $size = 0;
+        |for (int $c = 0; $c < $cs.length; $c++) {
+        |  final double[] $ctr = $cs[$c];
+        |  double $d = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) { final double $x = $u[$i] - $ctr[$i]; $d += $x * $x; }
+        |  if ($size < $mm) {
+        |    int $p = $size;
+        |    while ($p > 0 && $dBest[$p - 1] > $d) { $dBest[$p] = $dBest[$p - 1]; $iBest[$p] = $iBest[$p - 1]; $p--; }
+        |    $dBest[$p] = $d; $iBest[$p] = $c; $size++;
+        |  } else if ($d < $dBest[$mm - 1]) {
+        |    int $p = $mm - 1;
+        |    while ($p > 0 && $dBest[$p - 1] > $d) { $dBest[$p] = $dBest[$p - 1]; $iBest[$p] = $iBest[$p - 1]; $p--; }
+        |    $dBest[$p] = $d; $iBest[$p] = $c;
+        |  }
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |  .fromPrimitiveArray(java.util.Arrays.copyOf($iBest, $size));
+        """.stripMargin
+      })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** vec_dot as a Column — drop-in for the HOF fold, whole-stage-codegen'd.
     * Inputs are cast to array<double> so the expression always sees doubles. */
@@ -291,4 +407,8 @@ object VectorFunctions {
   /** struct(cluster, dist2) of the nearest centroid (see [[VecNearest]]). */
   def vec_nearest(v: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(VecNearest(Bridge.expression(v.cast(ArrayType(DoubleType))), centroids))
+
+  /** array<int> of the m nearest cosine cells (see [[VecNearestCells]]). */
+  def vec_nearest_cells(v: Column, centroids: Array[Array[Double]], m: Int): Column =
+    Bridge.column(VecNearestCells(Bridge.expression(v.cast(ArrayType(DoubleType))), centroids, m))
 }

@@ -340,7 +340,7 @@ object Similarity {
     * the unit sphere L2² = 2·(1−cos), so normalized-L2 cells are exactly
     * cosine cells — unnormalized L2 cells disagree with cosine whenever
     * vector norms vary, which was the main IVF recall leak. */
-  private def normalized(v: Array[Double]): Array[Double] = {
+  private[graft] def normalized(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val n = math.sqrt(s)
@@ -421,7 +421,9 @@ object Similarity {
     * distances keep ascending-index order, and a boundary tie keeps the
     * incumbent (lower index). nlist can now grow (√n cells at corpus
     * scale) without the probe cost growing n·log n per row. */
-  private def nearestCells(u: Array[Double], centroids: Array[Array[Double]], m: Int): Seq[Int] = {
+  // private[graft]: SimilaritySpec pins the codegen'd VecNearestCells
+  // expression bit-equal to this reference implementation (incl. ties)
+  private[graft] def nearestCells(u: Array[Double], centroids: Array[Array[Double]], m: Int): Seq[Int] = {
     val mm    = math.min(math.max(m, 1), centroids.length)
     val dBest = new Array[Double](mm)
     val iBest = new Array[Int](mm)
@@ -446,10 +448,11 @@ object Similarity {
   }
 
   def ivfAssign(corpus: DataFrame, centroids: Array[Array[Double]], assign: Int = 1): DataFrame = {
-    val cellsOf = udf { (v: Seq[Double]) =>
-      // cosine cells, matching the quantizer
-      nearestCells(normalized(v.toArray), centroids, assign)
-    }
+    // native codegen'd probe (graft.functions.VecNearestCells): same cosine
+    // cells as the quantizer, same tie semantics as the old ScalaUDF, no
+    // per-row Seq[Double] boxing
+    def cellsOf(c: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.vec_nearest_cells(c, centroids, assign)
     corpus
       .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -469,9 +472,8 @@ object Similarity {
       centroids: Array[Array[Double]],
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    val probesOf = udf { (v: Seq[Double]) =>
-      nearestCells(normalized(v.toArray), centroids, nprobe)
-    }
+    def probesOf(c: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.vec_nearest_cells(c, centroids, nprobe)
     val qprobe = broadcast(
       queries
         .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
@@ -574,9 +576,8 @@ object Similarity {
         col("cq8.scale").as("cscale"),
         col("cq8.q").as("cq"))
 
-    val probesOf = udf { (v: Seq[Double]) =>
-      nearestCells(normalized(v.toArray), centroids, nprobe)
-    }
+    def probesOf(c: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.vec_nearest_cells(c, centroids, nprobe)
     val qprep = queries
       .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -1574,7 +1575,8 @@ object Similarity {
       val codes = pqCodes(resid.select(col("vec_id"), col("embedding")), model)
         .join(resid.select(col("vec_id"), col("cell")), "vec_id")
 
-      val probesOf = udf { (v: Seq[Double]) => nearestCells(normalized(v.toArray), cents, nprobe) }
+      def probesOf(c: org.apache.spark.sql.Column) =
+        graft.functions.VectorFunctions.vec_nearest_cells(c, cents, nprobe)
       val qunit = queries
         .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
         .withColumn("qn", norm(col("qv")))

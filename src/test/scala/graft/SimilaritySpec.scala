@@ -642,4 +642,40 @@ class SimilaritySpec extends SparkSpec {
       .collect().sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1)))
     assert(again.sameElements(lo))
   }
+
+  test("VecNearestCells codegen == reference nearestCells bit-for-bit, ties included, fallback off") {
+    import spark.implicits._
+    // deterministic vectors with PLANTED exact ties: centroid 5 == centroid 2
+    def vec(seed: Long, d: Int): Array[Double] =
+      Array.tabulate(d)(i => ((graft.functions.Mix64.mix(seed * 31 + i) >>> 11).toDouble / (1L << 53)) - 0.5)
+    val d         = 8
+    val centroids = Array.tabulate(6)(c => if (c == 5) vec(2L, d) else vec(c.toLong, d))
+    val rows      = (0 until 200).map(i => (i.toLong, vec(1000L + i, d).toSeq)) :+
+      (999L, Array.fill(d)(0.0).toSeq) // zero vector: normalization no-op branch
+    val df = rows.toDF("vec_id", "embedding")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // codegen must COMPILE
+    try {
+      for (m <- Seq(1, 3, 6)) {
+        val got = df
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.vec_nearest_cells(col("embedding"), centroids, m).as("cells"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+          .toMap
+        rows.foreach { case (id, emb) =>
+          val want = Similarity.nearestCells(Similarity.normalized(emb.toArray), centroids, m)
+          assert(got(id) == want, s"id=$id m=$m: got ${got(id)}, reference $want")
+        }
+        // the planted duplicate centroid must keep ascending-index tie order
+        val full = got(0L)
+        if (m == 6) assert(full.indexOf(2) < full.indexOf(5), s"tie order broke: $full")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
