@@ -220,6 +220,36 @@ object DataQuality {
     }.reduce(_ unionByName _)
   }
 
+  /** Join-key skew audit — the pre-join diagnosis that decides SALTING vs
+    * AQE-skew-join vs plain shuffle at scale: hot-key counts, each key's
+    * share of the table, and the table-level skew factor max/avg (a
+    * uniform key distribution scores 1.0; the score IS the multiplier on
+    * the slowest shuffle partition if this column becomes a join key, the
+    * straggler that decides a 100 TB join's wall clock). One map-side
+    * partial-aggregated key count, one 1-row stats aggregate broadcast
+    * back, a bounded top-k heap (TakeOrderedAndProject via sort-limit on
+    * the key-distinct frame) — never a full sort. Total order (cnt desc,
+    * key asc) so the cut is deterministic; exact integers with one
+    * rounded division per derived column. */
+  def joinKeySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val g = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val t = g.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).cast("long").as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    g.orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+      .crossJoin(broadcast(t))
+      .select(
+        col("key"),
+        col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_keys"),
+        col("n_rows"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6).as("skew_factor"))
+  }
+
   /** Benford first-digit test (Benford 1938; the accounting-fraud /
     * synthetic-data smell test): leading-digit distribution of a positive
     * numeric column against the log-law p(d) = log10(1 + 1/d), with the

@@ -2355,6 +2355,28 @@ object PipelineQueries {
         ("customer", t.customer, Seq("c_custkey"))))
     },
 
+    // ------------------------------------------------ join-skew audit
+    // Hot-key diagnosis for the shuffle planner (DataQuality.joinKeySkew):
+    // the skew_factor column is the straggler multiplier if this column
+    // keys a join — the number that decides salting vs AQE skew-join
+    // BEFORE the 100 TB shuffle runs, not after it stalls. Exact counts,
+    // deterministic (cnt desc, key asc) top-k cut, two rounded divisions.
+    Q(
+      "quality_skew_audit",
+      Some("""
+        WITH g AS (SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt FROM g)
+        SELECT key, cnt,
+               round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+               n_keys, n_rows,
+               round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor
+        FROM g, t
+        ORDER BY cnt DESC, key ASC
+        LIMIT 10
+      """)) { (spark, dir) =>
+      DataQuality.joinKeySkew(Tables(spark, dir).lineitem, "l_suppkey", topK = 10)
+    },
+
     // -------------------------------------------- Benford first-digit
     // Leading-digit law over order totals (money cast to DECIMAL first so
     // both engines string-format identically — no double-format skew):

@@ -463,6 +463,44 @@ object TextQueries {
       graft.operators.Corpus.scriptProfile(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // Encoding-rot / mojibake audit: the ingest-side signal that catches
+    // double-encoded UTF-8 (the Ã/Â continuation signature), U+FFFD
+    // replacement chars a lossy transcode left behind, and stray C0
+    // control bytes — each an exact char count by length-difference under
+    // a global regexp strip, so the hash replays exactly (counts, no
+    // floats). Row-local projection, zero shuffle, codegen'd; the same
+    // shape at 100 TB. Java regex and RE2 both take \x{hh} classes;
+    // DuckDB's regexp_replace needs the explicit 'g' flag to match
+    // Spark's always-global semantics.
+    Q(
+      "text_encoding_audit",
+      Some("""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g')) AS BIGINT) AS n_replacement,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_control,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\x{C2}\x{C3}]', '', 'g')) AS BIGINT) AS n_mojibake,
+               (LENGTH(text) - LENGTH(regexp_replace(text, '\x{FFFD}', '', 'g'))
+                + LENGTH(text) - LENGTH(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                + LENGTH(text) - LENGTH(regexp_replace(text, '[\x{C2}\x{C3}]', '', 'g'))) > 0 AS is_suspect
+        FROM documents
+      """)) { (spark, dir) =>
+      def stripped(pat: String) =
+        (length(col("text")) - length(regexp_replace(col("text"), pat, ""))).cast("long")
+      val nRep  = stripped("\\x{FFFD}")
+      val nCtl  = stripped("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+      val nMoji = stripped("[\\x{C2}\\x{C3}]")
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        stripped("[^\\x00-\\x7F]").as("n_non_ascii"),
+        nRep.as("n_replacement"),
+        nCtl.as("n_control"),
+        nMoji.as("n_mojibake"),
+        (nRep + nCtl + nMoji > 0).as("is_suspect"))
+    },
+
     // Linear quality-classifier TRAINING (operators/Corpus): full-batch
     // logistic GD over the same four features, weak labels = lang='en'
     // (the fastText-filter recipe: teach surface statistics to separate
