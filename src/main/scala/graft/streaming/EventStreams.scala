@@ -491,6 +491,62 @@ object EventStreams {
         })
   }
 
+  final case class JsdState(counts: Map[String, Long])
+  final case class JsdPoint(
+      category: String, n_a: Long, n_b: Long,
+      share_a: Double, share_b: Double, js_contrib: Double, n_total: Long)
+
+  /** Streaming Jensen-Shannon drift monitor — the live counterpart of
+    * [[graft.operators.DataQuality.jsDivergence]] (its replay spec): the
+    * REFERENCE distribution (yesterday's category counts, the training
+    * mix, the contract) is fixed up front; the live side folds arriving
+    * category counts into category-bounded state and every micro-batch
+    * re-emits the per-category JSD contributions of live-so-far vs
+    * reference (Update mode; `n_total` marks the converged snapshot).
+    * This is the ingest-side drift alarm: sum(js_contrib) crossing the
+    * alert threshold mid-stream is the point of the operator — the batch
+    * op only says it AFTER the window closes.
+    *
+    * Parity with the batch operator, move for move: exact integer counts,
+    * shares as one double division each, p·ln(p/m) terms in the same
+    * fixed order (zero-count sides contribute exactly 0), the contribution
+    * snapped HALF_UP to the 1e-12 grid and shares to 1e-6 — the converged
+    * snapshot equals the batch rows bit for bit (StreamingSpec pins it;
+    * arrival order is immaterial here, counts commute). */
+  def jsdStream(
+      events: Dataset[Event],
+      reference: Map[String, Long]): Dataset[JsdPoint] = {
+    require(reference.nonEmpty && reference.valuesIterator.forall(_ >= 0L),
+      "reference needs nonnegative category counts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ta = reference.valuesIterator.sum.toDouble
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Int, evs: Iterator[Event], state: GroupState[JsdState]) => {
+          var live = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          evs.foreach { e =>
+            live = live.updated(e.event_type, live.getOrElse(e.event_type, 0L) + 1L)
+          }
+          state.update(JsdState(live))
+          val tb    = live.valuesIterator.sum
+          val total = tb
+          val cats  = (reference.keySet ++ live.keySet).toVector.sorted
+          cats.iterator.map { cat =>
+            val na = reference.getOrElse(cat, 0L)
+            val nb = live.getOrElse(cat, 0L)
+            val p  = na.toDouble / ta
+            val q  = nb.toDouble / tb.toDouble
+            val m  = (p + q) * 0.5
+            def term(x: Double) = if (x > 0.0) x * math.log(x / m) else 0.0
+            JsdPoint(cat, na, nb, r(p, 6), r(q, 6), r((term(p) + term(q)) * 0.5, 12), total)
+          }
+        })
+  }
+
   final case class KmvState(hashes: Array[Long], nRows: Long)
   final case class KmvEstimate(event_type: String, distinct_est: Double, n_rows: Long)
 

@@ -670,6 +670,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming JSD drift monitor converged snapshot equals the batch operator bit-for-bit") {
+    import spark.implicits._
+    // reference = the even-id half's category mix; live = the full stream
+    val refDf = events.filter(col("event_id") % 2 === 0)
+    val reference = refDf
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .jsdStream(stream, reference)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("jsd_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val snaps = spark.table("jsd_out").collect()
+    val maxN  = snaps.map(_.getLong(6)).max
+    val streamed = snaps
+      .filter(_.getLong(6) == maxN)
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val batch = graft.operators.DataQuality
+      .jsDivergence(refDf, events.toDF(), "event_type")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(maxN == events.count())
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.values.map(_._5).sum >= 0.0)
+  }
+
   test("streaming CUSUM converged snapshot equals the batch scan bit-for-bit on an in-order stream") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
