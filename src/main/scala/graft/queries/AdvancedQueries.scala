@@ -523,6 +523,55 @@ object AdvancedQueries {
     // The additive hour-of-day seasonal component: mean hourly count per
     // hour-of-day minus the grand mean — exact integer sums, both
     // divisions snapped to 1e-6 BEFORE the subtraction; peak flags are
+    // Pairwise DTW between event-type daily profiles
+    // (TimeSeries.dtwDailyProfiles): phase-tolerant load-shape similarity,
+    // all-integer micro-share DP. The oracle replays the SAME cell-by-cell
+    // scan as a recursive CTE over t = i·n + j carrying (prev, cur) row
+    // lists — pairs advance in lockstep because the day axis is shared, so
+    // one recursion drives every pair.
+    Q(
+      "events_dtw",
+      Some("""
+        WITH RECURSIVE
+        daily AS (SELECT event_type AS etype, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                  FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day FROM daily),
+        types AS (SELECT DISTINCT etype FROM daily),
+        grid AS (SELECT t.etype, d.day, COALESCE(x.cnt, 0) AS cnt
+                 FROM types t CROSS JOIN days d
+                 LEFT JOIN daily x ON x.etype = t.etype AND x.day = d.day),
+        tot AS (SELECT etype, CAST(SUM(cnt) AS BIGINT) AS total FROM grid GROUP BY 1),
+        prof AS (SELECT g.etype,
+                        list(CAST(g.cnt * 1000000 // t.total AS BIGINT) ORDER BY g.day) AS series
+                 FROM grid g JOIN tot t ON g.etype = t.etype GROUP BY g.etype),
+        pairs AS (SELECT a.etype AS type_a, b.etype AS type_b,
+                         a.series AS sa, b.series AS sb, len(a.series) AS n
+                  FROM prof a JOIN prof b ON a.etype < b.etype),
+        dp AS (
+          SELECT type_a, type_b, sa, sb, n, 0 AS t,
+                 CAST([] AS BIGINT[]) AS prev, CAST([] AS BIGINT[]) AS cur
+          FROM pairs
+          UNION ALL
+          SELECT type_a, type_b, sa, sb, n, t + 1,
+                 CASE WHEN (t % n) = n - 1 THEN list_append(cur, cell) ELSE prev END,
+                 CASE WHEN (t % n) = n - 1 THEN CAST([] AS BIGINT[]) ELSE list_append(cur, cell) END
+          FROM (
+            SELECT *,
+                   abs(sa[(t // n) + 1] - sb[(t % n) + 1])
+                   + CASE WHEN t // n = 0 AND t % n = 0 THEN 0
+                          WHEN t // n = 0 THEN cur[t % n]
+                          WHEN t % n = 0 THEN prev[1]
+                          ELSE least(prev[(t % n) + 1], prev[t % n], cur[t % n]) END AS cell
+            FROM dp WHERE t < n * n) s)
+        SELECT type_a, type_b,
+               CAST(n AS BIGINT) AS n_points,
+               prev[n] AS dtw_micro,
+               CAST(prev[n] AS DOUBLE) / 1000000.0 AS dtw
+        FROM dp WHERE t = n * n
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.dtwDailyProfiles(Tables(spark, dir).events, "ts", "event_type")
+    },
+
     // exact compares on snapped means.
     Q(
       "events_seasonal",

@@ -254,4 +254,60 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("flatx")._2.isEmpty)
     assert(run(df.repartition(13)) == got, "exact moments must be partitioning-invariant")
   }
+
+  test("dtwDailyProfiles: cell-scan fold equals a reference DP, zero-fill and self-similarity hold") {
+    // reference DP on the micro-share grid, same floor-div profile build
+    def microSeries(counts: Map[Int, Long], days: Seq[Int]): Array[Long] = {
+      val total = counts.values.sum
+      days.map(d => counts.getOrElse(d, 0L) * 1000000L / total).toArray
+    }
+    def refDtw(a: Array[Long], b: Array[Long]): Long = {
+      val n = a.length
+      val d = Array.ofDim[Long](n, n)
+      for (i <- 0 until n; j <- 0 until n) {
+        val c = math.abs(a(i) - b(j))
+        d(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0L
+          case (0, _) => d(0)(j - 1)
+          case (_, 0) => d(i - 1)(0)
+          case _      => math.min(d(i - 1)(j), math.min(d(i - 1)(j - 1), d(i)(j - 1)))
+        })
+      }
+      d(n - 1)(n - 1)
+    }
+    // three types over 5 days; "shift" is "base" delayed one day (DTW must
+    // score the pair far below the Euclidean-style mismatch), "spike" is
+    // unrelated; type "gap" misses day 3 entirely (zero-fill path)
+    val counts = Map(
+      "base"  -> Map(1 -> 10L, 2 -> 40L, 3 -> 10L, 4 -> 10L, 5 -> 10L),
+      "shift" -> Map(1 -> 10L, 2 -> 10L, 3 -> 40L, 4 -> 10L, 5 -> 10L),
+      "gap"   -> Map(1 -> 30L, 2 -> 30L, 4 -> 30L, 5 -> 30L))
+    val rows = for {
+      (ty, m) <- counts.toSeq; (day, n) <- m.toSeq; k <- 1L to n
+    } yield (k, ts(f"2024-01-0$day%d 12:00:00"), 1L, ty, 1.0)
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TimeSeries
+      .dtwDailyProfiles(df, "ts", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val days = Seq(1, 2, 3, 4, 5)
+    val series = counts.map { case (ty, m) => ty -> microSeries(m, days) }
+    for (((a, b), (n, micro, dtw)) <- got) {
+      assert(n == 5L)
+      val want = refDtw(series(a), series(b))
+      assert(micro == want, s"($a,$b): got $micro, reference $want")
+      assert(dtw == micro.toDouble / 1000000.0)
+    }
+    assert(got.size == 3)
+    // the warp absorbs the one-day shift: base~shift must beat base~gap
+    assert(got(("base", "shift"))._2 < got(("base", "gap"))._2, got.toString)
+    // self-DTW is exactly 0 (identical series, diagonal path costs 0)
+    val self = graft.operators.TimeSeries
+      .dtwDailyProfiles(df.union(df.withColumn("event_type", concat(col("event_type"), lit("2")))), "ts", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(self(("base", "base2")) == 0L, self.toString)
+  }
 }
