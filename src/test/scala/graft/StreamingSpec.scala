@@ -670,6 +670,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN serve over the static IVF index equals batch ivfSearch bit-for-bit") {
+    import spark.implicits._
+    val emb = Tables(spark, SharedSpark.sf0001).embeddings
+      .select(col("vec_id"), col("embedding")).cache()
+    val queries = emb.filter(col("vec_id") % 17 === 0) // ~1/17 of vectors ask
+    // offline: train the coarse quantizer once, build + cache the cell index
+    val centroids = graft.operators.Similarity.trainCoarseQuantizer(emb, nlist = 8, sampleN = 2048)
+    val index     = graft.operators.Similarity.ivfAssign(emb, centroids, assign = 2).cache()
+    index.count()
+
+    val batch = graft.operators.Similarity
+      .ivfSearch(index, queries, centroids, k = 5, nprobe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+
+    // online: the same queries arrive as a 3-file parquet stream
+    val qdir = java.nio.file.Files.createTempDirectory("graft_annq_").toString
+    queries.repartition(3).write.mode("overwrite").parquet(qdir)
+    val sq = graft.streaming.AnnStreams
+      .ivfServeStream(
+        spark.readStream.schema(queries.schema).parquet(qdir),
+        index, centroids, k = 5, nprobe = 3)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ann_serve_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val streamed = spark
+      .table("ann_serve_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.keys.map(_._1).toSet.size > 10)
+  }
+
   test("streaming JSD drift monitor converged snapshot equals the batch operator bit-for-bit") {
     import spark.implicits._
     // reference = the even-id half's category mix; live = the full stream
