@@ -1013,6 +1013,33 @@ object TextQueries {
       Bpe.tokenCounts(docs, "doc_id", "text", model)
     },
 
+    // Tokenizer fertility by language — the multilingual tokenizer-health
+    // audit (a vocab trained on the wrong mix shows fertility blowing up
+    // on the under-served language; chars-per-token is the compression
+    // twin). Pure rollup of the SAME distributed BPE train+encode the
+    // token-count gate replays, grouped by lang: exact integer sums, two
+    // rounded divisions. Adds nothing data-sized beyond bpe_token_count.
+    Q("bpe_fertility_by_lang", Some(bpeFertilitySql(8, 8))) { (spark, dir) =>
+      val docs   = Tables(spark, dir).documents
+      val model  = Bpe.trainDistributed(docs, "text", numMerges = 8)
+      val counts = Bpe.tokenCounts(docs, "doc_id", "text", model)
+      docs
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("nc"))
+        .join(counts, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_words"), lit(0L))).as("n_words"),
+          sum(coalesce(col("n_bpe_tokens"), lit(0L))).as("n_bpe_tokens"),
+          sum(col("nc")).as("n_chars"),
+          round(
+            sum(coalesce(col("n_bpe_tokens"), lit(0L))).cast("double") /
+              sum(coalesce(col("n_words"), lit(0L))), 6).as("fertility"),
+          round(
+            sum(col("nc")).cast("double") /
+              sum(coalesce(col("n_bpe_tokens"), lit(0L))), 6).as("chars_per_token"))
+    },
+
     // ------------------------------------------- HTML → text extraction
     // The WET-style main-content extraction step every web-scraped corpus
     // runs before any quality/dedup pass: drop style/script blocks, strip
@@ -1488,7 +1515,7 @@ object TextQueries {
     * the engine's encodeWord scan), splice it in, repeat. word + EOW is at
     * most 9 symbols at every SF, so 8 steps reach the fixpoint. Token count
     * = final symbols excluding a still-standalone chr(1) sentinel. */
-  private def bpeSql(merges: Int, encSteps: Int): String = {
+  private def bpeCoreSql(merges: Int, encSteps: Int, finalSelect: String): String = {
     def trainRound(r: Int): String = {
       val p = r - 1
       s"""pc$r AS (SELECT syms[CAST(j AS INT)] AS pa, syms[CAST(j AS INT)+1] AS pb, CAST(SUM(n) AS BIGINT) AS cnt
@@ -1535,9 +1562,32 @@ object TextQueries {
     docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents),
     agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(npw) AS BIGINT) AS n_bpe_tokens
             FROM docw JOIN npw USING (word) GROUP BY doc_id)
-    SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words, COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
-    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+    $finalSelect"""
   }
+
+  private def bpeSql(merges: Int, encSteps: Int): String =
+    bpeCoreSql(
+      merges,
+      encSteps,
+      """SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words, COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""")
+
+  /** Tokenizer-health rollup on top of the same BPE replay: fertility
+    * (subword tokens per whitespace word — the multilingual-tokenizer
+    * health number) and chars-per-token per language. */
+  private def bpeFertilitySql(merges: Int, encSteps: Int): String =
+    bpeCoreSql(
+      merges,
+      encSteps,
+      """SELECT d.lang,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(COALESCE(agg.n_words, 0)) AS BIGINT) AS n_words,
+                CAST(SUM(COALESCE(agg.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+                CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
+                round(CAST(SUM(COALESCE(agg.n_bpe_tokens, 0)) AS DOUBLE) / SUM(COALESCE(agg.n_words, 0)), 6) AS fertility,
+                round(CAST(SUM(length(d.text)) AS DOUBLE) / SUM(COALESCE(agg.n_bpe_tokens, 0)), 6) AS chars_per_token
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         GROUP BY d.lang""")
 
   /** Shared NB prefix: token counts per lang, add-1-smoothed DECIMAL(20,12)
     * log-likelihood cells over the vocab × class grid, priors, and the
