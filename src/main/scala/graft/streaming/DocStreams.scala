@@ -127,6 +127,53 @@ object DocStreams {
         })
   }
 
+  final case class ContamHit(doc_id: Long, n_shared_grams: Long)
+
+  /** Streaming decontamination gate — the live counterpart of
+    * [[graft.operators.Corpus.evalOverlapBloom]] (one oracle-checked batch
+    * operator serves as its replay spec): eval-set n-grams are hashed and
+    * Bloom-built ONCE offline; each ARRIVING training document's distinct
+    * gram hashes run through the codegen'd
+    * [[graft.functions.BloomMightContain]] prefilter (the filter rides the
+    * plan, 512 KiB at the 2²² default, broadcast-cheap at any eval size),
+    * survivors are exact-verified by a stream-static semi-join against the
+    * true eval gram set (Bloom FPs cost bytes, never correctness), and the
+    * per-doc shared-gram count folds in a stateless
+    * flatMapGroupsWithState (append mode — a doc's grams live inside its
+    * micro-batch, so nothing survives between batches). Emits only
+    * CONTAMINATED docs, exactly like the batch report; the ingest pipeline
+    * drops or quarantines on sight instead of discovering the leak in the
+    * nightly batch audit. StreamingSpec pins stream ≡ batch. */
+  def decontamStream(
+      docs: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      numBits: Int = 1 << 22,
+      numHashes: Int = 4): Dataset[ContamHit] = {
+    import graft.functions.Bloom
+    import graft.operators.Corpus
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // static side, built once at plan time (the offline index contract)
+    val evalGrams = Corpus
+      .tokenNgramHashes(eval_, idCol, textCol, n, distinctInRow = true)
+      .select(col("gram_h"))
+      .distinct()
+    val bloom = Bloom.build(evalGrams, "gram_h", numBits, numHashes)
+    Corpus
+      .tokenNgramHashes(docs, idCol, textCol, n, distinctInRow = true)
+      .filter(Bloom.mightContain(bloom, numHashes)(col("gram_h")))
+      .join(evalGrams, Seq("gram_h"), "left_semi") // stream-static exact verify
+      .select(col("doc_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[Long], _: GroupState[Int]) =>
+          Iterator(ContamHit(id, rows.size.toLong)))
+  }
+
   /** Exact |A ∩ B| of two SORTED distinct long arrays by linear merge. */
   private[streaming] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

@@ -550,6 +550,36 @@ class StreamingSpec extends SparkSpec {
       s"diff: ${(batch.toSet -- streamed.toSet).take(3)} / ${(streamed.toSet -- batch.toSet).take(3)}")
   }
 
+  test("streaming decontamination gate equals the batch Bloom-prefilter report") {
+    val docs = Tables(spark, SharedSpark.sf0001).documents.select(col("doc_id"), col("text"))
+    // eval set = every 13th doc: those docs are IN the stream, so each
+    // shares all its own grams — guaranteed contamination plus clean docs
+    val eval_ = docs.filter(col("doc_id") % 13 === 0)
+    val stage = java.nio.file.Files.createTempDirectory("graft_decontam_stream_").toString
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    val sq = graft.streaming.DocStreams
+      .decontamStream(stream, eval_, "doc_id", "text", n = 8)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("decontam_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    val streamed = spark.table("decontam_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Corpus
+      .evalOverlapBloom(docs, eval_, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // every eval doc long enough to carry an 8-gram must self-flag
+    val evalIds = eval_.filter(size(split(col("text"), "\\s+")) >= 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.subsetOf(batch.keySet), s"missing self-hits: ${(evalIds -- batch.keySet).take(3)}")
+    assert(batch.size > evalIds.size / 2 && streamed.nonEmpty)
+  }
+
   test("streaming near-dup tier: verified hit set == batch minhashDupPairs, flags == nearDupFlags") {
     val docs = Tables(spark, SharedSpark.sf0001).documents.select(col("doc_id"), col("text"))
     val stage = java.nio.file.Files.createTempDirectory("graft_neardup_stream_").toString
