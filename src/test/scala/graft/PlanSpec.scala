@@ -448,6 +448,23 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, s"LUT must broadcast-equi-join:\n$p")
   }
 
+  test("round-13 rows keep their plan contracts: row-local scans, partial aggs, bounded top-k") {
+    // encoding audit: one corpus scan, zero exchanges (row-local projection)
+    val enc = planOf("text_encoding_audit")
+    assert("FileScan".r.findAllIn(enc).length == 1, s"one scan:\n$enc")
+    assert(!enc.contains("Exchange"), s"row-local projection must not shuffle:\n$enc")
+    // skew audit: map-side-combined key count + bounded top-k, no global sort
+    val skew = planOf("quality_skew_audit")
+    assert("HashAggregate".r.findAllIn(skew).length >= 2, s"partial+final key count:\n$skew")
+    assert(skew.contains("TakeOrderedAndProject"), s"top-k must be a bounded heap:\n$skew")
+    // DTW: the event log is scanned exactly ONCE (the eager rollup
+    // checkpoint); the cartesians left in the plan pair only the
+    // model-bounded profile frames
+    val dtw = planOf("events_dtw")
+    assert(!dtw.contains("FileScan"),
+      s"events must be scanned once, at the materialized rollup:\n$dtw")
+  }
+
   test("joinWithStats: published ANALYZE stats pick broadcast under threshold, forbid it above") {
     import graft.sources.{Catalog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft-planspec-cat").toString
