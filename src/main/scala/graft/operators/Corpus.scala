@@ -374,6 +374,63 @@ object Corpus {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Known-key WATERMARK DETECTION (Kirchenbauer et al. 2023, the
+    * detector side): a green-list watermarker biases each generated token
+    * toward the "green" γ-fraction of the vocabulary selected by a keyed
+    * hash of the preceding context; the detector recomputes the green
+    * test for every adjacent token pair and flags documents whose green
+    * fraction is a z-score above the γ baseline. In a training-data
+    * pipeline this is the filter-synthetic-text gate: honestly human text
+    * scores z ≈ 0 by construction, watermarked model output scores z in
+    * the tens.
+    *
+    * The keyed hash here is md5 over `prev ∥ US ∥ cur` (md5 hashes the
+    * UTF-8 bytes identically in every engine, so the green test — first
+    * 16 hex chars, compared lexicographically against the ⌊γ·2⁶⁴⌋ hex
+    * threshold — replays exactly; fixed-width lowercase hex order IS
+    * unsigned numeric order, the md5-threshold idiom the deterministic
+    * samplers already bank on). Detection is row-local: token split,
+    * pair hashes, one count — zero shuffle, scan-parallel at any scale.
+    * z = (g − γn)/√(nγ(1−γ)) in one fixed double order, round(·,6);
+    * docs with <2 tokens emit NULL z, never a divide-by-zero. */
+  def watermarkDetect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gamma: Double = 0.25,
+      zAlert: Double = 4.0): DataFrame = {
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1), got $gamma")
+    val thresholdHex = f"${(BigDecimal(gamma) * BigDecimal(BigInt(2).pow(64))).toBigInt}%016x"
+    val toks = expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')")
+    // CASE guard: Spark's sequence(2, n) runs DESCENDING for n < 2 — a
+    // 1-token doc would probe element_at(tk, 0) without it
+    val greens = expr(
+      s"""CASE WHEN size(tk) >= 2 THEN size(filter(
+         |  transform(sequence(2, size(tk)), i ->
+         |    substring(md5(concat(element_at(tk, i - 1), chr(31), element_at(tk, i))), 1, 16)),
+         |  h -> h < '$thresholdHex')) ELSE 0 END""".stripMargin)
+    val n = col("n_scored").cast("double")
+    val z = (col("n_green").cast("double") - lit(gamma) * col("n_scored")) /
+      sqrt(n * lit(gamma) * lit(1.0 - gamma))
+    df.select(col(idCol).as("doc_id"), toks.as("tk"))
+      .select(
+        col("doc_id"),
+        (size(col("tk")) - 1).cast("long").as("n_scored"),
+        greens.cast("long").as("n_green"))
+      .select(
+        col("doc_id"),
+        greatest(col("n_scored"), lit(0L)).as("n_scored"),
+        when(col("n_scored") > 0, col("n_green")).otherwise(lit(0L)).as("n_green"))
+      .select(
+        col("doc_id"),
+        col("n_scored"),
+        col("n_green"),
+        when(col("n_scored") > 0,
+          round(col("n_green").cast("double") / col("n_scored"), 6)).as("green_frac"),
+        when(col("n_scored") > 0, round(z, 6)).as("z_score"),
+        when(col("n_scored") > 0, round(z, 6) > zAlert).otherwise(lit(false)).as("is_flagged"))
+  }
+
   /** Fold a rule list (regex → replacement) over a text column — the PII /
     * boilerplate scrub primitive. Patterns must stay in the RE2-compatible
     * subset (no lookaround) so the same rules run on any engine. */

@@ -463,6 +463,36 @@ object TextQueries {
       graft.operators.Corpus.scriptProfile(Tables(spark, dir).documents, "doc_id", "text")
     },
 
+    // Known-key watermark detection (Corpus.watermarkDetect; Kirchenbauer
+    // et al. 2023 detector side): per-doc green-pair fraction under the
+    // md5-keyed green test and its one-proportion z-score vs gamma=0.25 —
+    // the filter-synthetic-text gate. Human text scores z near 0 (this
+    // corpus does, by construction); CorpusSpec plants a greedily
+    // green-chasing generation and pins z in the tens. Row-local, zero
+    // shuffle; md5 hex-threshold compare replays exactly in any engine.
+    Q(
+      "text_watermark_detect",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     GREATEST(len(tk) - 1, 0) AS n_scored,
+                     CASE WHEN len(tk) >= 2 THEN len(list_filter(
+                       list_transform(range(2, len(tk) + 1), i -> substr(md5(tk[i - 1] || chr(31) || tk[i]), 1, 16)),
+                       h -> h < '4000000000000000')) ELSE 0 END AS n_green
+              FROM t)
+        SELECT doc_id,
+               CAST(n_scored AS BIGINT) AS n_scored,
+               CAST(n_green AS BIGINT) AS n_green,
+               CASE WHEN n_scored > 0 THEN round(CAST(n_green AS DOUBLE) / n_scored, 6) END AS green_frac,
+               CASE WHEN n_scored > 0 THEN round((CAST(n_green AS DOUBLE) - 0.25 * n_scored)
+                    / sqrt(CAST(n_scored AS DOUBLE) * 0.25 * 0.75), 6) END AS z_score,
+               CASE WHEN n_scored > 0 THEN round((CAST(n_green AS DOUBLE) - 0.25 * n_scored)
+                    / sqrt(CAST(n_scored AS DOUBLE) * 0.25 * 0.75), 6) > 4.0 ELSE FALSE END AS is_flagged
+        FROM g
+      """)) { (spark, dir) =>
+      Corpus.watermarkDetect(Tables(spark, dir).documents, "doc_id", "text", gamma = 0.25, zAlert = 4.0)
+    },
+
     // Encoding-rot / mojibake audit: the ingest-side signal that catches
     // double-encoded UTF-8 (the Ã/Â continuation signature), U+FFFD
     // replacement chars a lossy transcode left behind, and stray C0

@@ -784,4 +784,39 @@ class CorpusSpec extends SparkSpec {
     val r8 = Corpus.gopherRules(noStop, "doc_id", "text", minWords = 5).collect().head
     assert(!r8.getBoolean(9) && !r8.getBoolean(10))
   }
+
+  test("watermarkDetect: planted green-chasing generation flags, honest text does not, edges safe") {
+    // the detector's green test, reimplemented independently for planting
+    def hex16(prev: String, cur: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((prev + "\u001f" + cur).getBytes("UTF-8"))
+      md.take(8).map(b => f"$b%02x").mkString
+    }
+    def isGreen(prev: String, cur: String): Boolean = hex16(prev, cur) < "4000000000000000"
+    val vocab = (0 until 64).map(i => s"tok$i")
+    // watermarked: greedily pick a green successor every step (the
+    // watermarker's soft bias taken to its deterministic extreme)
+    val wm = Iterator.iterate(List("seed")) { acc =>
+      vocab.find(c => isGreen(acc.head, c)).getOrElse(vocab.head) :: acc
+    }.drop(200).next().reverse.mkString(" ")
+    // honest: the same vocab cycled with no knowledge of the key
+    val honest = (0 until 200).map(i => vocab(i % vocab.size)).mkString(" ")
+    val df = Seq(
+      (1L, wm), (2L, honest), (3L, ""), (4L, "solo"), (5L, "two tokens")
+    ).toDF("doc_id", "text")
+    val got = Corpus.watermarkDetect(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(5), s"planted watermark must flag: ${got(1L)}")
+    assert(got(1L).getDouble(4) > 10.0, s"greedy green-chaser scores z in the tens: ${got(1L)}")
+    assert(!got(2L).getBoolean(5) && math.abs(got(2L).getDouble(4)) < 4.0,
+      s"honest text must not flag: ${got(2L)}")
+    // edges: empty and 1-token docs emit 0 scored pairs, NULL z, no flag
+    for (id <- Seq(3L, 4L)) {
+      assert(got(id).getLong(1) == 0L && got(id).isNullAt(4) && !got(id).getBoolean(5), got(id).toString)
+    }
+    val pair = got(5L)
+    assert(pair.getLong(1) == 1L && !pair.isNullAt(4))
+    // cross-check one pair against the independent green test
+    assert((pair.getLong(2) == 1L) == isGreen("two", "tokens"))
+  }
 }
