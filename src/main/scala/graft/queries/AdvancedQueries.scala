@@ -523,6 +523,57 @@ object AdvancedQueries {
     // The additive hour-of-day seasonal component: mean hourly count per
     // hour-of-day minus the grand mean — exact integer sums, both
     // divisions snapped to 1e-6 BEFORE the subtraction; peak flags are
+    // Kleinberg-style burst detection (TimeSeries.burstDetect): two-state
+    // Viterbi over the hourly series on the 1e-6 integer cost grid. The
+    // oracle replays the identical scan as two recursive CTEs — forward
+    // min-plus with parent lists, then the backtrace walk.
+    Q(
+      "events_burst",
+      Some("""
+        WITH RECURSIVE
+        hx AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1),
+        m AS (SELECT COUNT(*) AS t_n, CAST(SUM(x) AS BIGINT) AS s_n FROM hx),
+        ser AS (SELECT list(x ORDER BY h) AS xs, list(h ORDER BY h) AS hs FROM hx),
+        par AS (SELECT xs, hs, len(xs) AS t_n,
+                       CAST(m.s_n AS DOUBLE) / m.t_n AS lam0,
+                       3.0 * (CAST(m.s_n AS DOUBLE) / m.t_n) AS lam1,
+                       CAST(round(ln(CAST(m.t_n AS DOUBLE)) * 1.0 * 1000000.0, 0) AS BIGINT) AS tau
+                FROM ser, m),
+        cost AS (SELECT *,
+                   list_transform(xs, e -> CAST(round((lam0 - e * ln(lam0)) * 1000000.0, 0) AS BIGINT)) AS c0,
+                   list_transform(xs, e -> CAST(round((lam1 - e * ln(lam1)) * 1000000.0, 0) AS BIGINT)) AS c1
+                 FROM par),
+        fw AS (
+          SELECT t_n, tau, c0, c1, hs, xs, 1 AS t, c0[1] AS d0, c1[1] + tau AS d1,
+                 CAST([] AS BOOLEAN[]) AS p0, CAST([] AS BOOLEAN[]) AS p1
+          FROM cost
+          UNION ALL
+          SELECT t_n, tau, c0, c1, hs, xs, t + 1,
+                 c0[t + 1] + least(d0, d1),
+                 c1[t + 1] + least(d0 + tau, d1),
+                 list_append(p0, d1 < d0),
+                 list_append(p1, d1 < d0 + tau)
+          FROM fw WHERE t < t_n),
+        bt AS (
+          SELECT t_n, hs, xs, p0, p1, t_n AS t, [d1 < d0] AS st
+          FROM fw WHERE t = t_n
+          UNION ALL
+          SELECT t_n, hs, xs, p0, p1, t - 1,
+                 list_prepend(CASE WHEN st[1] THEN p1[t - 1] ELSE p0[t - 1] END, st)
+          FROM bt WHERE t > 1)
+        SELECT strftime(hs[i], '%Y-%m-%d %H:%M:%S') AS hour_start,
+               CAST(xs[i] AS BIGINT) AS x,
+               st[i] AS in_burst
+        FROM (SELECT hs, xs, st FROM bt WHERE t = 1) r,
+             LATERAL (SELECT unnest(range(1, len(hs) + 1)) AS i) u
+      """)) { (spark, dir) =>
+      graft.operators.TimeSeries.burstDetect(Tables(spark, dir).events, "ts", s = 3.0, gamma = 1.0)
+        .select(
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("x"),
+          col("in_burst"))
+    },
+
     // Pairwise DTW between event-type daily profiles
     // (TimeSeries.dtwDailyProfiles): phase-tolerant load-shape similarity,
     // all-integer micro-share DP. The oracle replays the SAME cell-by-cell

@@ -310,4 +310,48 @@ class TimeSeriesSpec extends SparkSpec {
       .toMap
     assert(self(("base", "base2")) == 0L, self.toString)
   }
+
+  test("burstDetect: Viterbi path equals a reference DP, planted burst found, threshold flicker ignored") {
+    def refBurst(xs: Array[Long], s: Double, gamma: Double): Array[Boolean] = {
+      val t    = xs.length
+      val lam0 = xs.sum.toDouble / t
+      val lam1 = s * lam0
+      def micro(v: Double) = math.round(v * 1000000.0)
+      val tau = micro(math.log(t.toDouble) * gamma)
+      def c(lam: Double, x: Long) = micro(lam - x * math.log(lam))
+      var d0 = c(lam0, xs(0)); var d1 = c(lam1, xs(0)) + tau
+      val p0 = Array.ofDim[Boolean](t); val p1 = Array.ofDim[Boolean](t)
+      for (i <- 1 until t) {
+        val n0 = c(lam0, xs(i)) + math.min(d0, d1)
+        val n1 = c(lam1, xs(i)) + math.min(d0 + tau, d1)
+        p0(i) = d1 < d0; p1(i) = d1 < d0 + tau
+        d0 = n0; d1 = n1
+      }
+      val st = Array.ofDim[Boolean](t)
+      st(t - 1) = d1 < d0
+      for (i <- t - 1 to 1 by -1) st(i - 1) = if (st(i)) p1(i) else p0(i)
+      st
+    }
+    // 24 hours at ~5 events/hour with a 3-hour 40/hour burst and one noisy
+    // 9-event hour a bare threshold would false-alarm on
+    val perHour = Array.tabulate(24)(h => if (h >= 10 && h <= 12) 40L else if (h == 20) 9L else 5L)
+    val rows = for {
+      (n, h) <- perHour.zipWithIndex.map { case (n, h) => (n, h) }.toSeq
+      k <- 1L to n
+    } yield (h * 100L + k, ts(f"2024-01-01 $h%02d:30:00"), 1L, "e", 1.0)
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TimeSeries.burstDetect(df, "ts", s = 3.0, gamma = 1.0)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 24)
+    val want = refBurst(perHour, 3.0, 1.0)
+    assert(got.map(_._2).sameElements(want), s"got ${got.map(_._2).mkString(",")} want ${want.mkString(",")}")
+    (0 until 24).foreach { h =>
+      val expected = h >= 10 && h <= 12
+      assert(got(h)._2 == expected, s"hour $h: in_burst=${got(h)._2}, burst window is 10-12 only")
+    }
+    // single-hour series exercises the t_n = 1 branch
+    val tiny = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "e", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val one = graft.operators.TimeSeries.burstDetect(tiny, "ts").collect()
+    assert(one.length == 1 && !one.head.getBoolean(2))
+  }
 }
