@@ -2377,6 +2377,39 @@ object PipelineQueries {
       DataQuality.joinKeySkew(Tables(spark, dir).lineitem, "l_suppkey", topK = 10)
     },
 
+    // --------------------------------------------- ER blocking audit
+    // Blocking-quality metrics (DataQuality.blockingAudit) for a
+    // nation × segment blocking of customer: reduction ratio vs the
+    // full n² cross product plus the hot-block table — the go/no-go read
+    // BEFORE the pair scorer runs (the er_* family's quadratic stage is
+    // only affordable because a key like this scores >0.99 here).
+    Q(
+      "er_blocking_audit",
+      Some("""
+        WITH b AS (SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS block_key,
+                          COUNT(*) AS block_size
+                   FROM customer GROUP BY 1),
+        bp AS (SELECT block_key, block_size,
+                      CAST(block_size * (block_size - 1) // 2 AS BIGINT) AS block_pairs
+               FROM b),
+        t AS (SELECT CAST(SUM(block_size) AS BIGINT) AS n_records,
+                     COUNT(*) AS n_blocks,
+                     CAST(SUM(block_pairs) AS BIGINT) AS candidate_pairs
+              FROM bp),
+        t2 AS (SELECT *, CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS full_pairs FROM t)
+        SELECT block_key, block_size, block_pairs, n_records, n_blocks,
+               candidate_pairs, full_pairs,
+               round(1.0 - CAST(candidate_pairs AS DOUBLE) / CAST(full_pairs AS DOUBLE), 6) AS reduction_ratio
+        FROM bp, t2
+        ORDER BY block_pairs DESC, block_key
+        LIMIT 10
+      """)) { (spark, dir) =>
+      DataQuality.blockingAudit(
+        Tables(spark, dir).customer,
+        expr("concat(CAST(c_nationkey AS STRING), '|', c_mktsegment)"),
+        topK = 10)
+    },
+
     // -------------------------------------------- Benford first-digit
     // Leading-digit law over order totals (money cast to DECIMAL first so
     // both engines string-format identically — no double-format skew):
