@@ -171,6 +171,64 @@ object Similarity {
     * gate, so the whole clustering replays. Returns one row per vector:
     * (vec_id, role ∈ core|border|noise, cluster_id — NULL for noise;
     * an isolated core anchors its own singleton cluster). */
+  /** SIMPLIFIED SILHOUETTE cluster-quality audit (Hruschka et al. 2004 —
+    * the O(n·k) variant of Rousseeuw 1987 that swaps all-pairs distances
+    * for centroid distances, the only silhouette that scales): per vector,
+    * a = distance to its own final centroid, b = min distance to any other
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; per-cluster mean s is the
+    * "did k make sense" read (near 0 = overlapping clusters, negative =
+    * misassigned mass). Runs the SAME deterministic k-means as
+    * cluster_kmeans, so the replay composes the proven unrolled-Lloyd
+    * oracle.
+    *
+    * Exactness: distances reuse the (v−c)² sequential left fold the
+    * k-means oracle already proves bit-equal; each s snaps to the 1e-9
+    * grid and cluster means are exact DECIMAL sums with one final rounded
+    * division. Scale: one crossjoin of vectors × the k-row broadcast
+    * centroid frame (O(n·k), the algorithm's own cost), one per-vector
+    * aggregate, k-row output. */
+  def kmeansSilhouette(
+      vectors: DataFrame,
+      k: Int,
+      maxIter: Int = 10,
+      tol: Double = 0.0): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val r = kmeans(vectors, k, maxIter, tol)
+    val cents = r.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "cv")
+    // the kmeans prep arithmetic, reproduced: norm = sequential √Σt², x/n
+    val prep = vectors
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+      .select(
+        col("vec_id"),
+        when(col("nrm") > 0, transform(col("v0"), x => x / col("nrm")))
+          .otherwise(col("v0")).as("v"))
+    val d2 = expr(
+      """aggregate(sequence(1, size(v)), 0D,
+        |  (acc, i) -> acc + (element_at(v, i) - element_at(cv, i)) * (element_at(v, i) - element_at(cv, i)))""".stripMargin)
+    val ab = prep
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"), d2.as("d2"))
+      .join(r.assignments.select(col("vec_id"), col("cluster").as("own")), Seq("vec_id"))
+      .groupBy(col("vec_id"), col("own"))
+      .agg(
+        max(when(col("cluster") === col("own"), col("d2"))).as("a2"),
+        min(when(col("cluster") =!= col("own"), col("d2"))).as("b2"))
+    val sRaw = (sqrt(col("b2")) - sqrt(col("a2"))) /
+      greatest(sqrt(col("a2")), sqrt(col("b2")))
+    val s9 = round(
+      when(coalesce(greatest(sqrt(col("a2")), sqrt(col("b2"))), lit(0.0)) === 0.0, lit(0.0))
+        .otherwise(sRaw), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(12, 9))
+    ab.select(col("own").as("cluster"), s9.as("s9"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("s9")).cast("double") / count(lit(1)), 6).as("mean_silhouette"))
+  }
+
   def dbscan(vectors: DataFrame, simThreshold: Double, minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be positive, got $minPts")
     val pairs = cosineDupPairs(vectors, simThreshold)

@@ -1637,6 +1637,32 @@ object PipelineQueries {
       r.assignments.select(col("vec_id"), col("cluster"))
     },
 
+    // Simplified-silhouette cluster-quality audit over the SAME k-means
+    // (Similarity.kmeansSilhouette): per-cluster mean of
+    // (b − a)/max(a, b) with a/b the own/nearest-other centroid distances
+    // — O(n·k), the only silhouette that scales. The oracle composes the
+    // proven unrolled-Lloyd prefix: distances reuse its (v−c)² fold, each
+    // s snaps to the 1e-9 grid, means are exact decimal sums.
+    Q(
+      "cluster_silhouette",
+      Some(s"""${kmeansCellsPrefix(10, 10)},
+        dist AS (SELECT nv.vec_id, c.cluster,
+                        list_reduce(list_transform(range(1, 65), i -> (nv.v[i] - c.cv[i]) * (nv.v[i] - c.cv[i])), (a, b) -> a + b) AS d2
+                 FROM nv CROSS JOIN c10 c),
+        ab AS (SELECT d.vec_id, MAX(af.cluster) AS own,
+                      MAX(CASE WHEN d.cluster = af.cluster THEN d.d2 END) AS a2,
+                      MIN(CASE WHEN d.cluster <> af.cluster THEN d.d2 END) AS b2
+               FROM dist d JOIN af ON af.vec_id = d.vec_id GROUP BY d.vec_id),
+        sil AS (SELECT own AS cluster,
+                       CAST(round(CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+                            ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) END, 9) AS DECIMAL(12,9)) AS s9
+                FROM ab)
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               round(CAST(SUM(s9) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+        FROM sil GROUP BY cluster""")) { (spark, dir) =>
+      Similarity.kmeansSilhouette(Tables(spark, dir).embeddings, k = 10, maxIter = 10, tol = 0.0)
+    },
+
     // --------------------------------------------- semantic dedup (SemDeDup)
     // Cluster-then-prune: the exact cosine pair search confined to k-means
     // cells — every emitted pair is exact-verified, recall bounded by cell
