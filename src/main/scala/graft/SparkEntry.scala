@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, ExtendedQueries, PipelineQueries, Q, RankingQueries, Relational, TextQueries}
+import graft.queries.{AdvancedQueries, ExtendedQueries, PipelineQueries, Q, RankingQueries, Relational, StatsQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{AdvancedQueries, ExtendedQueries, PipelineQueries, Q, Rank
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    Relational.all ++ TextQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++ ExtendedQueries.all ++ RankingQueries.all
+    Relational.all ++ TextQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++ ExtendedQueries.all ++ RankingQueries.all ++ StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

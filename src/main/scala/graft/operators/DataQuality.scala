@@ -1332,4 +1332,259 @@ object DataQuality {
         round(col("dev") / (lit(1.4826) * col("mad")), scale).as("score"))
       .filter(col("score") > k)
   }
+
+  /** One-way ANOVA F across groups on an INTEGER-GRID value (the parametric
+    * sibling of [[kruskalWallis]] — the mean-shift screen a pipeline runs on
+    * per-source quality metrics before pooling sources): F = (SSB/(k−1)) /
+    * (SSW/(N−k)) with SSB = Σⱼ Sⱼ²/nⱼ − S²/N and SSW = Σx² − Σⱼ Sⱼ²/nⱼ.
+    *
+    * Exactness: values cast to long, so nⱼ / Sⱼ / Σx² aggregate exactly
+    * (DECIMAL(38,0) sums ≡ DuckDB HUGEINT); each Sⱼ²/nⱼ term and the grand
+    * term snap to the 1e-9 grid before their exact decimal sums, and F is a
+    * fixed-order double from those grid values under round(·, 6). One
+    * group-by pass + a group-count rollup — map-side combined, no skew
+    * exposure beyond the group key itself. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec9  = org.apache.spark.sql.types.DecimalType(30, 9)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valueCol).cast("long")
+    val perGroup = df
+      .select(col(groupCol).cast("string").as("g"), x.as("x"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("nj"),
+        sum(col("x")).cast(dec38).as("sj"),
+        sum(col("x") * col("x")).cast(dec38).as("sxxj"))
+    val terms = perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("nj")).as("n"),
+      sum(col("sj")).cast(dec38).as("s"),
+      sum(col("sxxj")).cast(dec38).as("sxx"),
+      sum(
+        round(col("sj").cast("double") * col("sj").cast("double") / col("nj").cast("double"), 9)
+          .cast(dec9)).cast(dec9).as("t9"))
+    val nD    = col("n").cast("double")
+    val kD    = col("n_groups").cast("double")
+    val grand = round(col("s").cast("double") * col("s").cast("double") / nD, 9).cast(dec9)
+    val ssb   = col("t9").cast("double") - grand.cast("double")
+    val ssw   = col("sxx").cast("double") - col("t9").cast("double")
+    terms.select(
+      col("n"),
+      col("n_groups"),
+      (col("n_groups") - 1).as("df1"),
+      (col("n") - col("n_groups")).as("df2"),
+      round(ssb, 6).as("ssb"),
+      round(ssw, 6).as("ssw"),
+      round(when(ssw > 0.0 && kD > 1.0, (ssb / (kD - lit(1.0))) / (ssw / (nD - kD))), 6)
+        .as("f_stat"))
+  }
+
+  /** Welch's unequal-variance t-test between two named groups on an
+    * INTEGER-GRID value (the robust two-sample mean comparison — A/B deltas,
+    * source-vs-source quality): t = (x̄_a − x̄_b)/√(v_a/n_a + v_b/n_b) with
+    * the Welch–Satterthwaite df. Same moment discipline as [[anovaF]]:
+    * exact long/decimal n, S, Σx², then one fixed-order double formula per
+    * output column under round(·, 6). The normal-approximation p-value uses
+    * the engine-wide erfc polynomial (exact cross-engine parity) — a
+    * documented approximation that is tight at the df this screen runs at. */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valueCol).cast("long")
+    val m = df
+      .select(col(groupCol).cast("string").as("g"), x.as("x"))
+      .filter(col("g").isin(groupA, groupB))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(dec38).as("s"),
+        sum(col("x") * col("x")).cast(dec38).as("sxx"))
+    def side(tag: String, name: String) = m
+      .filter(col("g") === tag)
+      .select(
+        col("n").as(s"n_$name"),
+        col("s").cast("double").as(s"s_$name"),
+        col("sxx").cast("double").as(s"sxx_$name"))
+    val j  = side(groupA, "a").crossJoin(side(groupB, "b"))
+    def nD(t: String)   = col(s"n_$t").cast("double")
+    def mean(t: String) = col(s"s_$t") / nD(t)
+    def vr(t: String) =
+      (col(s"sxx_$t") - col(s"s_$t") * col(s"s_$t") / nD(t)) / (nD(t) - lit(1.0))
+    val sea = vr("a") / nD("a")
+    val seb = vr("b") / nD("b")
+    val se2 = sea + seb
+    val t   = (mean("a") - mean("b")) / sqrt(se2)
+    val dfW = se2 * se2 /
+      (sea * sea / (nD("a") - lit(1.0)) + seb * seb / (nD("b") - lit(1.0)))
+    j.select(
+      col("n_a"),
+      col("n_b"),
+      round(mean("a"), 6).as("mean_a"),
+      round(mean("b"), 6).as("mean_b"),
+      round(vr("a"), 6).as("var_a"),
+      round(vr("b"), 6).as("var_b"),
+      round(t, 6).as("t_stat"),
+      round(dfW, 6).as("df_welch"),
+      normalTwoSidedP(round(t, 6)).as("p_normal"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene with the MEDIAN
+    * center — the robust "are these sources equally noisy" screen that
+    * gates pooled-variance assumptions): W = one-way ANOVA F on the
+    * absolute deviations zᵢⱼ = |xᵢⱼ − medianⱼ|.
+    *
+    * The center is the first order statistic whose cumulative count reaches
+    * (n+1)/2 (the median for odd n, the upper median for even n), picked via
+    * cumulative distinct-value counts — a total, tie-free definition both
+    * engines can replay exactly, and on an integer grid it keeps every
+    * deviation an exact integer, so the whole statistic inherits
+    * [[anovaF]]'s exactness. Two group-by passes + the ANOVA pass; the
+    * per-group value histogram is the only extra shuffle. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val pool = df.select(col(groupCol).cast("string").as("g"), col(valueCol).cast("long").as("x"))
+    val cnt = pool.groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+    val wg = W.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = cnt.select(
+      col("g"), col("x"), col("c"),
+      sum(col("c")).over(wg).as("cum"),
+      sum(col("c")).over(W.partitionBy(col("g"))).as("nj"))
+    val med = cum
+      .filter(col("cum") >= (col("nj") + 1) / 2)
+      .groupBy(col("g"))
+      .agg(min(col("x")).as("med"))
+    val dev = pool
+      .join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("z"))
+    anovaF(dev, "g", "z")
+      .withColumnRenamed("f_stat", "w_stat")
+  }
+
+  /** Jarque–Bera normality test on an INTEGER-GRID value: JB = n/6·(S² +
+    * (K−3)²/4) from the sample skewness S = m₃/m₂^{3/2} and kurtosis K =
+    * m₄/m₂² — the "is this metric even Gaussian-ish" gate before any
+    * z-score-based outlier rule is trusted. Raw power sums Σx..Σx⁴
+    * aggregate exactly (long terms into DECIMAL(38,0) ≡ HUGEINT; the x⁴
+    * term bounds |x| ≤ ~55k, guarded); central moments and JB are one
+    * fixed-order double chain under round(·, 6), and since JB ~ χ²(2) the
+    * p-value has the CLOSED form exp(−JB/2) — evaluated on the grid-6 JB,
+    * round(·, 9). One aggregation, map-side combined, no shuffle by key. */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x  = col(valueCol).cast("long")
+    val x2 = x * x
+    val m = df
+      .select(x.as("x"), x2.as("x2"), (x2 * x).as("x3"), (x2 * x2).as("x4"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(dec38).as("s1"),
+        sum(col("x2")).cast(dec38).as("s2"),
+        sum(col("x3")).cast(dec38).as("s3"),
+        sum(col("x4")).cast(dec38).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD - lit(3.0) * mu * (col("s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nD - lit(4.0) * mu * (col("s3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / nD) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val jb   = round(nD / lit(6.0) * (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0)), 6)
+    m.select(
+        col("n"),
+        round(mu, 6).as("mean"),
+        round(m2, 6).as("m2"),
+        round(when(m2 > 0.0, skew), 6).as("skewness"),
+        round(when(m2 > 0.0, kurt), 6).as("kurtosis"),
+        when(m2 > 0.0, jb).as("jb_stat"),
+        round(when(m2 > 0.0, exp(-jb / lit(2.0))), 9).as("p_chi2"))
+      .select(
+        col("n"), col("mean"), col("m2"), col("skewness"), col("kurtosis"),
+        col("jb_stat"), col("p_chi2"))
+  }
+
+  /** Rank-based ROC AUC of a score column against a binary label — the
+    * threshold-free quality-classifier eval (AUC = P(score⁺ > score⁻) with
+    * ties at ½, i.e. the normalized Mann–Whitney U): using the same
+    * doubled-midrank trick as [[kruskalWallis]] (r2 = 2·rank is an exact
+    * integer even at ties), AUC = (Σr2⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) — ONE
+    * exact-integer division pair, round(·, 6). Requires a decimal-grid
+    * score so distinct-score grouping is engine-identical. Shuffles once on
+    * distinct score values (vocab-sized), then a global ordered prefix sum
+    * over that distinct set — swap in a two-phase prefix sum if the score
+    * cardinality ever outgrows a window partition. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val pool = df.select(col(scoreCol).as("s"), col(labelCol).cast("long").as("y"))
+    val cnt = pool.groupBy(col("s")).agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
+    val wv = W.orderBy(col("s")).rowsBetween(W.unboundedPreceding, -1)
+    val ranked = cnt.select(
+      col("pos"),
+      col("c"),
+      (coalesce(sum(col("c")).over(wv), lit(0L)) * 2 + col("c") + 1).as("r2"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val agg = ranked.agg(
+      sum(col("pos")).as("n_pos"),
+      sum(col("c") - col("pos")).as("n_neg"),
+      sum(col("pos").cast(dec38) * col("r2")).cast(dec38).as("sr2_pos"))
+    val auc = (col("sr2_pos").cast("double") -
+      col("n_pos").cast("double") * (col("n_pos").cast("double") + lit(1.0))) /
+      (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+    agg.select(
+      col("n_pos"),
+      col("n_neg"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0, auc), 6).as("auc"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0, lit(2.0) * auc - lit(1.0)), 6).as("gini"))
+  }
+
+  /** ℓ-diversity audit per quasi-identifier class (Machanavajjhala et al.
+    * 2007 — the refinement k-anonymity misses: a class can be k-large yet
+    * leak its sensitive value when all k rows share it): per QI class,
+    * distinct-ℓ (count of distinct sensitive values) and entropy-ℓ =
+    * exp(−Σ p ln p) — the effective number of sensitive values an observer
+    * faces. Counts are exact integers; each p·ln p term snaps to the 1e-12
+    * grid before the exact decimal sum (the [[jsDivergence]] discipline),
+    * entropy-ℓ is exp of the grid sum under round(·, 6). Two group-by
+    * passes, class-sized output, flagged rows = classes under the bar. */
+  def lDiversityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      minL: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(minL >= 1, s"minL must be positive, got $minL")
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val qis = quasiCols.map(c => col(c).cast("string").as(c))
+    val cells = df
+      .select(qis :+ col(sensitiveCol).cast("string").as("sv"): _*)
+      .groupBy(quasiCols.map(col) :+ col("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+    val totals = cells
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("c")).as("class_n"), count(lit(1)).as("distinct_l"))
+    val withP = cells
+      .join(totals, quasiCols)
+      .select(
+        (quasiCols.map(col) :+
+          round(
+            (col("c").cast("double") / col("class_n").cast("double")) *
+              log(col("c").cast("double") / col("class_n").cast("double")),
+            12).cast(dec12).as("plogp")): _*)
+    val ent = withP
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("plogp")).cast(dec12).as("hsum"))
+    totals
+      .join(ent, quasiCols)
+      .select(
+        (quasiCols.map(col) :+ col("class_n") :+ col("distinct_l") :+
+          round(exp(-col("hsum").cast("double")), 6).as("entropy_l") :+
+          (col("distinct_l") < minL).as("below_distinct_l") :+
+          (round(exp(-col("hsum").cast("double")), 6) < minL.toDouble).as("below_entropy_l")): _*)
+  }
 }

@@ -183,4 +183,79 @@ object Features {
     rows.toDF("group_key", "n", "slope", "intercept", "r2")
       .orderBy(col("group_key"))
   }
+
+  /** Per-group ridge regression with two features in CLOSED form (the
+    * L2-regularized sibling of [[olsFit]] — the stable fit when features
+    * correlate, e.g. quantity and discount both tracking price): solve
+    * (XᵀX + λ·diag(0,1,1))·β = Xᵀy by Cramer's rule on the 3×3 normal
+    * equations. The intercept is NOT penalized (standard).
+    *
+    * Exactness: all nine moments (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy,
+    * Σx₁y, Σx₂y) aggregate exactly from integer-grid inputs (long products
+    * into DECIMAL(38,0) ≡ DuckDB HUGEINT); the four 3×3 determinants are
+    * ONE fixed-order double chain each from those exact integers plus the
+    * λ literal, so both engines produce bit-identical βs under round(·, 6).
+    * One group-by pass over the data; the solve touches only the
+    * group-count-sized moment table (driver-side, model-bounded — the
+    * [[olsFit]] stance). */
+  def ridgeFit(
+      df: DataFrame,
+      groupCol: String,
+      x1Col: Column,
+      x2Col: Column,
+      yCol: Column,
+      lambda: Double): DataFrame = {
+    require(lambda >= 0.0, s"lambda must be non-negative, got $lambda")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x1 = x1Col.cast("long").cast(dec18)
+    val x2 = x2Col.cast("long").cast(dec18)
+    val y  = yCol.cast("long").cast(dec18)
+    val moments = df
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x1).cast(dec38).as("sx1"),
+        sum(x2).cast(dec38).as("sx2"),
+        sum(x1 * x1).cast(dec38).as("sx11"),
+        sum(x1 * x2).cast(dec38).as("sx12"),
+        sum(x2 * x2).cast(dec38).as("sx22"),
+        sum(y).cast(dec38).as("sy"),
+        sum(x1 * y).cast(dec38).as("sx1y"),
+        sum(x2 * y).cast(dec38).as("sx2y"))
+      .collect() // group-count-sized model frame, never data-sized
+    def r6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = moments.toSeq.map { r =>
+      val n    = r.getLong(1).toDouble
+      def d(i: Int): Double = r.getDecimal(i).doubleValue()
+      val (sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y) =
+        (d(2), d(3), d(4), d(5), d(6), d(7), d(8), d(9))
+      // A = XtX + lambda on the two slope diagonals; b = Xty. Fixed-order
+      // 3x3 Cramer chain, mirrored verbatim in the oracle SQL.
+      val (a11, a12, a13) = (n, sx1, sx2)
+      val (a21, a22, a23) = (sx1, sx11 + lambda, sx12)
+      val (a31, a32, a33) = (sx2, sx12, sx22 + lambda)
+      def det3(
+          m11: Double, m12: Double, m13: Double,
+          m21: Double, m22: Double, m23: Double,
+          m31: Double, m32: Double, m33: Double): Double =
+        m11 * (m22 * m33 - m23 * m32) -
+          m12 * (m21 * m33 - m23 * m31) +
+          m13 * (m21 * m32 - m22 * m31)
+      val det = det3(a11, a12, a13, a21, a22, a23, a31, a32, a33)
+      val (b1, b2, b3) = (sy, sx1y, sx2y)
+      val beta =
+        if (det == 0.0) (None, None, None)
+        else
+          (Some(r6(det3(b1, a12, a13, b2, a22, a23, b3, a32, a33) / det)),
+            Some(r6(det3(a11, b1, a13, a21, b2, a23, a31, b3, a33) / det)),
+            Some(r6(det3(a11, a12, b1, a21, a22, b2, a31, a32, b3) / det)))
+      (r.getString(0), r.getLong(1), beta._1, beta._2, beta._3)
+    }
+    rows.toDF("group_key", "n", "beta0", "beta1", "beta2")
+      .orderBy(col("group_key"))
+  }
 }

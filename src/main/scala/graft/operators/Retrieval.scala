@@ -407,4 +407,66 @@ object Retrieval {
             6).as("rouge_f"))
     }.reduce(_ unionByName _)
   }
+
+  /** Sentence-BLEU up to bigrams (Papineni et al. 2002) over paired texts —
+    * the precision-side generation eval beside [[rougeNgram]]'s recall side
+    * (and the same candidate-vs-reference leakage screen read the other
+    * way): BLEU₂ = BP · √(p₁·p₂) with pₙ the CLIPPED n-gram precision and
+    * the brevity penalty BP = min(1, e^{1−r/c}). The geometric mean is
+    * written as √(p₁p₂) — sqrt is IEEE-exact, so no ln/exp chain for the
+    * mean; the one exp in BP runs on an exact integer ratio and rounds at
+    * 6. Emits the exact integer counts (clip₁, clip₂, c_len, r_len) beside
+    * the floats so every division is replayable.
+    *
+    * Scale shape: identical to [[rougeNgram]] — both gram bags are
+    * row-local arrays, zero exchanges, scan-parallel at any corpus size. */
+  def bleuPairs(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String): DataFrame = {
+    def grams(c: org.apache.spark.sql.Column, n: Int) = {
+      val t = toks(c)
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def clip(cg: org.apache.spark.sql.Column, rg: org.apache.spark.sql.Column) =
+      aggregate(
+        array_distinct(cg),
+        lit(0L),
+        (acc, g) =>
+          acc + least(
+            size(filter(cg, x => x === g)),
+            size(filter(rg, x => x === g))).cast("long"))
+    val base = pairs.select(
+      col(idCol).as("pair_id"),
+      grams(col(candCol), 1).as("c1"),
+      grams(col(refCol), 1).as("r1"),
+      grams(col(candCol), 2).as("c2"),
+      grams(col(refCol), 2).as("r2"))
+    val withCounts = base.select(
+      col("pair_id"),
+      size(col("c1")).cast("long").as("c_len"),
+      size(col("r1")).cast("long").as("r_len"),
+      size(col("c2")).cast("long").as("c2_len"),
+      clip(col("c1"), col("r1")).as("clip1"),
+      clip(col("c2"), col("r2")).as("clip2"))
+    val p1 = col("clip1").cast("double") / col("c_len").cast("double")
+    val p2 = col("clip2").cast("double") / col("c2_len").cast("double")
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("r_len").cast("double") / col("c_len").cast("double")))
+    withCounts.select(
+      col("pair_id"),
+      col("c_len"),
+      col("r_len"),
+      col("clip1"),
+      col("clip2"),
+      round(when(col("c_len") > 0, p1).otherwise(lit(0.0)), 6).as("p1"),
+      round(when(col("c2_len") > 0, p2).otherwise(lit(0.0)), 6).as("p2"),
+      round(
+        when(col("c_len") > 0 && col("c2_len") > 0 && col("clip1") > 0 && col("clip2") > 0,
+          bp * sqrt(p1 * p2)).otherwise(lit(0.0)),
+        6).as("bleu2"))
+  }
 }

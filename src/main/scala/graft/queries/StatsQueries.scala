@@ -1,0 +1,454 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DataQuality, Features, Graph, Retrieval, TimeSeries}
+import graft.sources.Tables
+
+/** Round-13 inference battery: the classical-statistics tests, model fits
+  * and structure audits a data pipeline leans on once the descriptive
+  * screens (drift, skew, outliers) have fired — "are these sources the SAME
+  * distribution" (ANOVA / Welch / Brown–Forsythe), "is this metric even
+  * Gaussian" (Jarque–Bera), "does the quality classifier rank at all"
+  * (ROC AUC), "is the series random / periodic" (runs test / epoch
+  * folding), plus ridge fits, BLEU pairs, entropy ℓ-diversity and directed
+  * SCC. All §2e extension family; every oracle replays the exact integer /
+  * decimal-grid moment chain of its operator.
+  */
+object StatsQueries {
+
+  /** Shared erfc-polynomial p-value arm (Abramowitz–Stegun 7.1.26), the SQL
+    * twin of [[graft.operators.DataQuality.normalTwoSidedP]]: identical
+    * Horner chain on both engines, round(·, 9). `z` must already be a
+    * grid-6 double expression. */
+  private def pNormalSql(z: String): String = {
+    val x = s"(abs($z) / sqrt(2.0))"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"""round(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t
+       - 0.284496736) * $t + 0.254829592) * $t * exp(-$x * $x), 9)"""
+  }
+
+  /** One-way ANOVA moment chain over a (g, x BIGINT) relation named `src`:
+    * exposes CTE `t` with n, n_groups, s, sxx, t9 — the SQL twin of
+    * [[graft.operators.DataQuality.anovaF]]'s aggregation pass. */
+  private def anovaMomentsSql(src: String): String =
+    s"""pg AS (SELECT g, COUNT(*) AS nj, CAST(SUM(x) AS HUGEINT) AS sj,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxxj
+           FROM $src GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n_groups, CAST(SUM(nj) AS BIGINT) AS n,
+                 CAST(SUM(sj) AS HUGEINT) AS s, CAST(SUM(sxxj) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                                     / CAST(nj AS DOUBLE), 9) AS DECIMAL(30,9)))
+                      AS DECIMAL(30,9)) AS t9
+          FROM pg)"""
+
+  /** The F-statistic select over [[anovaMomentsSql]]'s `t`, with the same
+    * fixed-order double chain as the Spark side. `fName` lets the
+    * Brown–Forsythe variant rename F to W. */
+  private def anovaSelectSql(fName: String): String = {
+    val grand = "CAST(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(30,9)) AS DOUBLE)"
+    val ssb   = s"(CAST(t9 AS DOUBLE) - $grand)"
+    val ssw   = "(CAST(sxx AS DOUBLE) - CAST(t9 AS DOUBLE))"
+    s"""SELECT n, n_groups, n_groups - 1 AS df1, n - n_groups AS df2,
+           round($ssb, 6) AS ssb, round($ssw, 6) AS ssw,
+           round(CASE WHEN $ssw > 0.0 AND CAST(n_groups AS DOUBLE) > 1.0
+                 THEN ($ssb / (CAST(n_groups AS DOUBLE) - 1.0))
+                      / ($ssw / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))) END, 6) AS $fName
+    FROM t"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------- one-way ANOVA F
+    // Mean-shift screen across the returnflag segments on quantity — the
+    // parametric sibling of quality_kruskal_wallis, sharing its exact
+    // decimal-moment discipline (each Sⱼ²/nⱼ term snaps to the 1e-9 grid
+    // before the exact sum; F is one fixed-order double under round 6).
+    Q(
+      "quality_anova_f",
+      Some(s"""
+        WITH m AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        ${anovaMomentsSql("m")}
+        ${anovaSelectSql("f_stat")}
+      """)) { (spark, dir) =>
+      DataQuality.anovaF(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
+    },
+
+    // --------------------------------------------------- Welch's t-test
+    // Unequal-variance two-sample mean comparison (returned vs accepted
+    // lines on price cents): exact HUGEINT moments, one fixed-order double
+    // chain for t and the Welch–Satterthwaite df, erfc-polynomial normal
+    // p — the A/B read that doesn't assume pooled variance.
+    Q(
+      "quality_welch_ttest",
+      Some {
+        def nD(t: String)   = s"CAST(n_$t AS DOUBLE)"
+        def mean(t: String) = s"(s_$t / ${nD(t)})"
+        def vr(t: String)   = s"((sxx_$t - s_$t * s_$t / ${nD(t)}) / (${nD(t)} - 1.0))"
+        val sea = s"(${vr("a")} / ${nD("a")})"
+        val seb = s"(${vr("b")} / ${nD("b")})"
+        val se2 = s"($sea + $seb)"
+        val tE  = s"((${mean("a")} - ${mean("b")}) / sqrt($se2))"
+        val dfW = s"($se2 * $se2 / ($sea * $sea / (${nD("a")} - 1.0) + $seb * $seb / (${nD("b")} - 1.0)))"
+        s"""
+        WITH m AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+                   FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        s AS (SELECT g, COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS s,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx
+              FROM m GROUP BY 1),
+        a AS (SELECT n AS n_a, CAST(s AS DOUBLE) AS s_a, CAST(sxx AS DOUBLE) AS sxx_a FROM s WHERE g = 'A'),
+        b AS (SELECT n AS n_b, CAST(s AS DOUBLE) AS s_b, CAST(sxx AS DOUBLE) AS sxx_b FROM s WHERE g = 'R')
+        SELECT n_a, n_b,
+               round(${mean("a")}, 6) AS mean_a, round(${mean("b")}, 6) AS mean_b,
+               round(${vr("a")}, 6) AS var_a, round(${vr("b")}, 6) AS var_b,
+               round($tE, 6) AS t_stat, round($dfW, 6) AS df_welch,
+               ${pNormalSql(s"round($tE, 6)")} AS p_normal
+        FROM a, b
+      """
+      }) { (spark, dir) =>
+      val prep = Tables(spark, dir).lineitem.select(
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).as("cents"))
+      DataQuality.welchTTest(prep, "g", "cents", "A", "R")
+    },
+
+    // ---------------------------------------- Brown–Forsythe variance test
+    // "Are these sources equally NOISY" (not just equally centered):
+    // ANOVA-F on |x − group median|, median picked by the total
+    // cumulative-count definition so the centers — and hence every
+    // deviation — are exact integers on both engines.
+    Q(
+      "quality_brown_forsythe",
+      Some(s"""
+        WITH pool AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        cnt AS (SELECT g, x, COUNT(*) AS c FROM pool GROUP BY 1, 2),
+        cum AS (SELECT g, x, c,
+                       SUM(c) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(c) OVER (PARTITION BY g) AS nj
+                FROM cnt),
+        med AS (SELECT g, MIN(x) AS med FROM cum WHERE cum >= (nj + 1) / 2 GROUP BY 1),
+        dev AS (SELECT pool.g AS g, abs(x - med) AS x FROM pool JOIN med USING (g)),
+        ${anovaMomentsSql("dev")}
+        ${anovaSelectSql("w_stat")}
+      """)) { (spark, dir) =>
+      DataQuality.brownForsythe(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
+    },
+
+    // ------------------------------------------------ Jarque–Bera normality
+    // "Is this metric even Gaussian-ish" — the gate before any z-score
+    // outlier rule is trusted. Exact HUGEINT power sums Σx..Σx⁴, one
+    // fixed-order central-moment chain, and the CLOSED-form χ²(2) p-value
+    // exp(−JB/2) on the grid-6 statistic.
+    Q(
+      "quality_jarque_bera",
+      Some {
+        val mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+        val m2 = s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - $mu * $mu)"
+        val m3 = s"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) - 3.0 * $mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) + 2.0 * $mu * $mu * $mu)"
+        val m4 = s"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) - 4.0 * $mu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) + 6.0 * $mu * $mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - 3.0 * $mu * $mu * $mu * $mu)"
+        val sk = s"($m3 / ($m2 * sqrt($m2)))"
+        val ku = s"($m4 / ($m2 * $m2))"
+        val jb = s"round(CAST(n AS DOUBLE) / 6.0 * ($sk * $sk + ($ku - 3.0) * ($ku - 3.0) / 4.0), 6)"
+        s"""
+        WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        m AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS s1,
+                     SUM(CAST(x AS HUGEINT) * x) AS s2,
+                     SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                     SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+              FROM v)
+        SELECT n, round($mu, 6) AS mean, round($m2, 6) AS m2,
+               round(CASE WHEN $m2 > 0.0 THEN $sk END, 6) AS skewness,
+               round(CASE WHEN $m2 > 0.0 THEN $ku END, 6) AS kurtosis,
+               CASE WHEN $m2 > 0.0 THEN $jb END AS jb_stat,
+               round(CASE WHEN $m2 > 0.0 THEN exp(-($jb) / 2.0) END, 9) AS p_chi2
+        FROM m
+      """
+      }) { (spark, dir) =>
+      DataQuality.jarqueBera(Tables(spark, dir).lineitem, "l_quantity")
+    },
+
+    // ------------------------------------------------------- ROC AUC
+    // Threshold-free eval of the length-proxy quality score against the
+    // lang=en label (the same score/label pairing as
+    // quality_isotonic_calibrate, read as a ranking): doubled-midrank
+    // Mann–Whitney form — Σ2R⁺ is an exact integer even at ties, AUC and
+    // Gini are ONE exact division away, round 6.
+    Q(
+      "ml_roc_auc",
+      Some {
+        val auc = """((CAST(sr2_pos AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+                     / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))"""
+        s"""
+        WITH pool AS (SELECT n_chars % 1000 AS s, CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+        cnt AS (SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS pos FROM pool GROUP BY 1),
+        rk AS (SELECT pos, c,
+                      2 * COALESCE(SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + c + 1 AS r2
+               FROM cnt),
+        a AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(c - pos) AS BIGINT) AS n_neg,
+                     CAST(SUM(CAST(pos AS HUGEINT) * r2) AS HUGEINT) AS sr2_pos
+              FROM rk)
+        SELECT n_pos, n_neg,
+               round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN $auc END, 6) AS auc,
+               round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN 2.0 * $auc - 1.0 END, 6) AS gini
+        FROM a
+      """
+      }) { (spark, dir) =>
+      val scored = Tables(spark, dir).documents.select(
+        (col("n_chars") % 1000).as("score"),
+        (col("lang") === "en").cast("long").as("y"))
+      DataQuality.rocAuc(scored, "score", "y")
+    },
+
+    // ------------------------------------------------------ ridge fit
+    // L2-regularized two-feature regression per returnflag (price cents on
+    // quantity + discount cents, λ=1000, intercept unpenalized) — the
+    // stable fit when features correlate. Nine exact HUGEINT moments per
+    // group, then four fixed-order 3×3 Cramer determinants; βs round at 6.
+    Q(
+      "ml_ridge_fit",
+      Some {
+        val lam = "1000.0"
+        def det3(m: Seq[String]): String =
+          s"""(${m(0)} * (${m(4)} * ${m(8)} - ${m(5)} * ${m(7)})
+             - ${m(1)} * (${m(3)} * ${m(8)} - ${m(5)} * ${m(6)})
+             + ${m(2)} * (${m(3)} * ${m(7)} - ${m(4)} * ${m(6)}))"""
+        val a = Seq(
+          "CAST(n AS DOUBLE)", "CAST(sx1 AS DOUBLE)", "CAST(sx2 AS DOUBLE)",
+          s"CAST(sx1 AS DOUBLE)", s"(CAST(sx11 AS DOUBLE) + $lam)", "CAST(sx12 AS DOUBLE)",
+          "CAST(sx2 AS DOUBLE)", "CAST(sx12 AS DOUBLE)", s"(CAST(sx22 AS DOUBLE) + $lam)")
+        val b   = Seq("CAST(sy AS DOUBLE)", "CAST(sx1y AS DOUBLE)", "CAST(sx2y AS DOUBLE)")
+        val det = det3(a)
+        def rep(i: Int) = det3(a.zipWithIndex.map { case (v, j) => if (j % 3 == i) b(j / 3) else v })
+        s"""
+        WITH m AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x1,
+                          CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                   FROM lineitem),
+        mom AS (SELECT g, COUNT(*) AS n,
+                       CAST(SUM(x1) AS HUGEINT) AS sx1, CAST(SUM(x2) AS HUGEINT) AS sx2,
+                       SUM(CAST(x1 AS HUGEINT) * x1) AS sx11, SUM(CAST(x1 AS HUGEINT) * x2) AS sx12,
+                       SUM(CAST(x2 AS HUGEINT) * x2) AS sx22,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       SUM(CAST(x1 AS HUGEINT) * y) AS sx1y, SUM(CAST(x2 AS HUGEINT) * y) AS sx2y
+                FROM m GROUP BY 1)
+        SELECT g AS group_key, n,
+               CASE WHEN $det <> 0.0 THEN round(${rep(0)} / $det, 6) END AS beta0,
+               CASE WHEN $det <> 0.0 THEN round(${rep(1)} / $det, 6) END AS beta1,
+               CASE WHEN $det <> 0.0 THEN round(${rep(2)} / $det, 6) END AS beta2
+        FROM mom ORDER BY group_key
+      """
+      }) { (spark, dir) =>
+      Features.ridgeFit(
+        Tables(spark, dir).lineitem,
+        "l_returnflag",
+        col("l_quantity"),
+        round(col("l_discount") * 100),
+        round(col("l_extendedprice") * 100),
+        lambda = 1000.0)
+    },
+
+    // ----------------------------------------------- entropy ℓ-diversity
+    // The refinement k-anonymity misses: a (event_type, day) class can be
+    // k-large yet leak when nearly all rows share one subject bucket —
+    // entropy-ℓ = exp(−Σp ln p) is the effective number of sensitive
+    // values an observer faces. 1e-12-grid p·ln p terms, exact decimal
+    // sums, round-6 entropy.
+    Q(
+      "privacy_l_diversity",
+      Some("""
+        WITH base AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                             CAST(user_id % 50 AS VARCHAR) AS sv
+                      FROM events),
+        cells AS (SELECT event_type, day, sv, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
+        tot AS (SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS class_n, COUNT(*) AS distinct_l
+                FROM cells GROUP BY 1, 2),
+        wp AS (SELECT cells.event_type, cells.day,
+                      CAST(round((CAST(c AS DOUBLE) / CAST(class_n AS DOUBLE))
+                                 * ln(CAST(c AS DOUBLE) / CAST(class_n AS DOUBLE)), 12)
+                           AS DECIMAL(20,12)) AS plogp
+               FROM cells JOIN tot USING (event_type, day)),
+        ent AS (SELECT event_type, day, CAST(SUM(plogp) AS DECIMAL(20,12)) AS hsum
+                FROM wp GROUP BY 1, 2)
+        SELECT t.event_type, t.day, class_n, distinct_l,
+               round(exp(-CAST(hsum AS DOUBLE)), 6) AS entropy_l,
+               distinct_l < 20 AS below_distinct_l,
+               round(exp(-CAST(hsum AS DOUBLE)), 6) < 20.0 AS below_entropy_l
+        FROM tot t JOIN ent USING (event_type, day)
+      """)) { (spark, dir) =>
+      val ev = Tables(spark, dir).events.select(
+        col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        (col("user_id") % 50).cast("string").as("sv"))
+      DataQuality.lDiversityAudit(ev, Seq("event_type", "day"), "sv", minL = 20)
+    },
+
+    // -------------------------------------------------- runs test
+    // Wald–Wolfowitz serial-randomness gate on the hourly count series:
+    // exact integer signs/runs against the cumulative-count median,
+    // fixed-order E[R]/Var[R]/z, erfc-polynomial p.
+    Q(
+      "events_runs_test",
+      Some {
+        val n1 = "CAST(n_above AS DOUBLE)"
+        val n2 = "CAST(n_below AS DOUBLE)"
+        val nT = s"($n1 + $n2)"
+        val er = s"(2.0 * $n1 * $n2 / $nT + 1.0)"
+        val vr = s"(2.0 * $n1 * $n2 * (2.0 * $n1 * $n2 - $n1 - $n2) / ($nT * $nT * ($nT - 1.0)))"
+        val z  = s"round((CAST(runs AS DOUBLE) - $er) / sqrt($vr), 6)"
+        s"""
+        WITH hx AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1),
+        cnt AS (SELECT x, COUNT(*) AS c FROM hx GROUP BY 1),
+        cum AS (SELECT x, c,
+                       SUM(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(c) OVER () AS n_all
+                FROM cnt),
+        med AS (SELECT MIN(x) AS med FROM cum WHERE cum >= (n_all + 1) / 2),
+        sgn AS (SELECT h, CAST(x > med AS INT) AS s FROM hx, med WHERE x <> med),
+        fl AS (SELECT s, lag(s) OVER (ORDER BY h) AS prev FROM sgn),
+        a AS (SELECT CAST(SUM(s) AS BIGINT) AS n_above,
+                     CAST(SUM(1 - s) AS BIGINT) AS n_below,
+                     CAST(SUM(CASE WHEN prev IS NOT NULL AND s <> prev THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+              FROM fl)
+        SELECT n_above, n_below, runs, round($er, 6) AS expected_runs,
+               CASE WHEN $vr > 0.0 THEN $z END AS z,
+               CASE WHEN $vr > 0.0 THEN ${pNormalSql(z)} END AS p_value
+        FROM a
+      """
+      }) { (spark, dir) =>
+      TimeSeries.runsTest(Tables(spark, dir).events, "ts")
+    },
+
+    // --------------------------------------------- epoch-folding period scan
+    // Periodicity detection with NO trigonometry (sin/cos libm parity
+    // across engines is not a thing): fold hours by t mod T and score each
+    // candidate period by Stellingwerf's phase-dispersion statistic
+    // θ = SSW/SST — the variance share the fold FAILS to explain, minimal
+    // (0 at a perfect period, where ANOVA F would degenerate to ∞) at the
+    // true period. Candidate list is literal-sized; each arm is one
+    // phase-keyed aggregation over the compressed hourly series.
+    Q(
+      "events_period_fold",
+      Some {
+        val periods = Seq(5, 7, 12, 24)
+        val grand = "CAST(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(30,9)) AS DOUBLE)"
+        val ssb   = s"round(CAST(t9 AS DOUBLE) - $grand, 6)"
+        val ssw   = "round(CAST(sxx AS DOUBLE) - CAST(t9 AS DOUBLE), 6)"
+        val f = s"""round(CASE WHEN (CAST(sxx AS DOUBLE) - CAST(t9 AS DOUBLE)) > 0.0 AND CAST(n_groups AS DOUBLE) > 1.0
+                   THEN ((CAST(t9 AS DOUBLE) - $grand) / (CAST(n_groups AS DOUBLE) - 1.0))
+                        / ((CAST(sxx AS DOUBLE) - CAST(t9 AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))) END, 6)"""
+        val arms = periods.map { p =>
+          s"""a$p AS (
+            WITH m AS (SELECT CAST(t % $p AS VARCHAR) AS g, x FROM hx),
+            ${anovaMomentsSql("m")}
+            SELECT CAST($p AS INTEGER) AS period, n_groups - 1 AS df1, n - n_groups AS df2,
+                   round(CASE WHEN $ssb + $ssw > 0.0 THEN $ssw / ($ssb + $ssw) END, 6) AS theta,
+                   $f AS f_stat
+            FROM t)"""
+        }.mkString(",\n")
+        val union = periods.map(p => s"SELECT * FROM a$p").mkString(" UNION ALL ")
+        s"""
+        WITH hx AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS t, x
+          FROM (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1)),
+        $arms,
+        u AS (SELECT * FROM ($union)),
+        mx AS (SELECT MIN(theta) AS tm FROM u)
+        SELECT period, df1, df2, theta, f_stat, theta = tm AS is_best
+        FROM u, mx ORDER BY period
+      """
+      }) { (spark, dir) =>
+      TimeSeries.periodFold(Tables(spark, dir).events, "ts", Seq(5, 7, 12, 24))
+    },
+
+    // ------------------------------------------------------ BLEU pairs
+    // The precision-side generation eval beside eval_rouge_pairs (same
+    // even-vs-odd corpus self-pairing): clipped n-gram precisions as exact
+    // integer counts, geometric mean as an IEEE-exact sqrt, brevity
+    // penalty's one exp on an exact integer ratio, round 6.
+    Q(
+      "eval_bleu_pairs",
+      Some {
+        def gramSide(side: String, n: Int): String =
+          s"""SELECT pair_id, unnest(list_transform(range(1, len($side) - $n + 2),
+                 i -> array_to_string($side[CAST(i AS INT):CAST(i AS INT)+$n-1], ' '))) AS g
+                 FROM p WHERE len($side) >= $n"""
+        def clipJoin(n: Int): String =
+          s"""SELECT cn.pair_id, CAST(SUM(least(cn.c, rn.c)) AS BIGINT) AS clip
+              FROM (SELECT pair_id, g, COUNT(*) AS c FROM (${gramSide("ct", n)}) GROUP BY 1, 2) cn
+              JOIN (SELECT pair_id, g, COUNT(*) AS c FROM (${gramSide("rt", n)}) GROUP BY 1, 2) rn
+                ON cn.pair_id = rn.pair_id AND cn.g = rn.g
+              GROUP BY cn.pair_id"""
+        val p1 = "(CAST(clip1 AS DOUBLE) / CAST(c_len AS DOUBLE))"
+        val p2 = "(CAST(clip2 AS DOUBLE) / CAST(c2_len AS DOUBLE))"
+        val bp = "(CASE WHEN c_len >= r_len THEN 1.0 ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)"
+        s"""
+        WITH c AS (SELECT doc_id // 2 AS pair_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ct FROM documents WHERE doc_id % 2 = 0),
+        r AS (SELECT (doc_id - 1) // 2 AS pair_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rt FROM documents WHERE doc_id % 2 = 1),
+        p AS MATERIALIZED (SELECT c.pair_id, c.ct, r.rt FROM c JOIN r USING (pair_id)),
+        base AS (SELECT pair_id, CAST(len(ct) AS BIGINT) AS c_len, CAST(len(rt) AS BIGINT) AS r_len,
+                        CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS c2_len
+                 FROM p),
+        cl1 AS (${clipJoin(1)}),
+        cl2 AS (${clipJoin(2)}),
+        w AS (SELECT base.pair_id, c_len, r_len, c2_len,
+                     COALESCE(cl1.clip, 0) AS clip1, COALESCE(cl2.clip, 0) AS clip2
+              FROM base LEFT JOIN cl1 ON cl1.pair_id = base.pair_id
+                        LEFT JOIN cl2 ON cl2.pair_id = base.pair_id)
+        SELECT pair_id, c_len, r_len, clip1, clip2,
+               round(CASE WHEN c_len > 0 THEN $p1 ELSE 0.0 END, 6) AS p1,
+               round(CASE WHEN c2_len > 0 THEN $p2 ELSE 0.0 END, 6) AS p2,
+               round(CASE WHEN c_len > 0 AND c2_len > 0 AND clip1 > 0 AND clip2 > 0
+                     THEN $bp * sqrt($p1 * $p2) ELSE 0.0 END, 6) AS bleu2
+        FROM w
+      """
+      }) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+      val pairs = d
+        .filter(col("doc_id") % 2 === 0)
+        .select(expr("CAST(doc_id DIV 2 AS BIGINT)").as("pair_id"), col("text").as("cand"))
+        .join(
+          d.filter(col("doc_id") % 2 === 1)
+            .select(expr("CAST((doc_id - 1) DIV 2 AS BIGINT)").as("pair_id"), col("text").as("ref")),
+          "pair_id")
+      Retrieval.bleuPairs(pairs, "pair_id", "cand", "ref")
+    },
+
+    // ------------------------------------------- directed SCC
+    // Mutual-reachability structure of the event-type transition graph
+    // (which journey states can RETURN to each other — the cycle read
+    // undirected components cannot express): reachability doubling to the
+    // fix-point, scc = min mutually-reachable id. The oracle unrolls 3
+    // doubling rounds (reach radius 8 ≥ the state-graph diameter); the
+    // Spark side stops at the same fix-point by row-count convergence.
+    Q(
+      "graph_scc",
+      Some {
+        def dbl(k: Int): String =
+          s"""r$k AS (SELECT x.u AS u, y.v AS v FROM r${k - 1} x JOIN r${k - 1} y ON y.u = x.v
+              UNION SELECT u, v FROM r${k - 1})"""
+        s"""
+        WITH seq AS (SELECT event_type AS v,
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS u
+                     FROM events),
+        dir AS (SELECT DISTINCT u, v FROM seq WHERE u IS NOT NULL AND u <> v),
+        nodes AS (SELECT u AS id FROM dir UNION SELECT v FROM dir),
+        r0 AS (SELECT id AS u, id AS v FROM nodes UNION SELECT u, v FROM dir),
+        ${dbl(1)}, ${dbl(2)}, ${dbl(3)}
+        SELECT f.u AS id, MIN(f.v) AS scc
+        FROM r3 f JOIN r3 b ON b.u = f.v AND b.v = f.u
+        GROUP BY 1
+      """
+      }) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = Tables(spark, dir).events
+        .select(col("event_type").as("v"), lag(col("event_type"), 1).over(w).as("u"))
+        .filter(col("u").isNotNull && col("u") =!= col("v"))
+        .distinct()
+      Graph.stronglyConnectedComponents(edges, "u", "v")
+    }
+  )
+}

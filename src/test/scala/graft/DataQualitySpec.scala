@@ -472,4 +472,85 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(ps == Seq(("A", "B"), ("A", "C"), ("B", "C")), ps.toString)
   }
+
+  test("anovaF: hand-computed two-group F, identical groups score 0") {
+    import spark.implicits._
+    // A=[1,2,3], B=[4,5,6]: t9 = 36/3 + 225/3 = 87, grand = 441/6 = 73.5,
+    // ssb = 13.5; sxx = 14 + 77 = 91, ssw = 4; F = (13.5/1)/(4/4) = 13.5
+    val df = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6)).toDF("g", "v")
+    val r = DataQuality.anovaF(df, "g", "v").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 13.5 && r.getDouble(5) == 4.0 && r.getDouble(6) == 13.5, r.toString)
+    // identical distributions: SSB = 0 -> F = 0
+    val same = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2)).toDF("g", "v")
+    val s = DataQuality.anovaF(same, "g", "v").collect().head
+    assert(s.getDouble(4) == 0.0 && s.getDouble(6) == 0.0, s.toString)
+  }
+
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df") {
+    import spark.implicits._
+    // A=[1,2,3] (mean 2, var 1), B=[7,9,11] (mean 9, var 4):
+    // t = -7/sqrt(1/3+4/3) = -5.422177, df = (5/3)^2/((1/9)/2+(16/9)/2) = 50/17
+    val df = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 7), ("B", 9), ("B", 11)).toDF("g", "v")
+    val r = DataQuality.welchTTest(df, "g", "v", "A", "B").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 9.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 4.0)
+    assert(math.abs(r.getDouble(6) - -5.422177) < 1e-9, s"t=${r.getDouble(6)}")
+    assert(math.abs(r.getDouble(7) - 50.0 / 17.0) < 1e-5, s"df=${r.getDouble(7)}")
+    assert(r.getDouble(8) > 0.0 && r.getDouble(8) < 0.01, s"p=${r.getDouble(8)}")
+  }
+
+  test("brownForsythe: identical deviation profiles score 0, unequal spread scores positive") {
+    import spark.implicits._
+    val same = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 11), ("B", 12), ("B", 13)).toDF("g", "v")
+    val s = DataQuality.brownForsythe(same, "g", "v").collect().head
+    // same spread around different centers: |x - med| identical -> W = 0
+    assert(s.getDouble(6) == 0.0, s.toString)
+    val diff = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 0), ("B", 10), ("B", 20)).toDF("g", "v")
+    val d = DataQuality.brownForsythe(diff, "g", "v").collect().head
+    assert(d.getDouble(6) > 1.0, d.toString)
+  }
+
+  test("jarqueBera: symmetric uniform grid has zero skew, kurtosis 1.7, closed-form p") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3, 4, 5).toDF("v")
+    val r = DataQuality.jarqueBera(df, "v").collect().head
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.7, r.toString)
+    // JB = 5/6 * (1.3^2/4) = 0.352083; p = exp(-JB/2)
+    assert(r.getDouble(5) == 0.352083, r.toString)
+    assert(math.abs(r.getDouble(6) - math.exp(-0.352083 / 2.0)) < 1e-6, r.toString)
+  }
+
+  test("rocAuc: perfect separation 1.0, all-tied scores 0.5, reversed ranking 0.0") {
+    import spark.implicits._
+    val perfect = Seq((10, 1), (11, 1), (1, 0), (2, 0)).toDF("s", "y")
+    val p = DataQuality.rocAuc(perfect, "s", "y").collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0, p.toString)
+    val tied = Seq((5, 1), (5, 1), (5, 0), (5, 0)).toDF("s", "y")
+    val t = DataQuality.rocAuc(tied, "s", "y").collect().head
+    assert(t.getDouble(2) == 0.5 && t.getDouble(3) == 0.0, t.toString)
+    val rev = Seq((1, 1), (2, 1), (10, 0), (11, 0)).toDF("s", "y")
+    val v = DataQuality.rocAuc(rev, "s", "y").collect().head
+    assert(v.getDouble(2) == 0.0 && v.getDouble(3) == -1.0, v.toString)
+  }
+
+  test("lDiversityAudit: single-value class flagged, uniform class's entropy-l = its distinct-l") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "y"), ("b", "x"), ("b", "y")
+    ).toDF("qi", "sv")
+    val out = DataQuality.lDiversityAudit(df, Seq("qi"), "sv", minL = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 1L && a.getDouble(3) == 1.0)
+    assert(a.getBoolean(4) && a.getBoolean(5), a.toString)
+    val b = out("b")
+    assert(b.getLong(1) == 4L && b.getLong(2) == 2L && b.getDouble(3) == 2.0)
+    assert(!b.getBoolean(4) && !b.getBoolean(5), b.toString)
+  }
 }

@@ -70,4 +70,25 @@ class FeaturesSpec extends SparkSpec {
     val ks = Features.olsFit(two, "grp", col("x"), col("y")).collect().map(_.getString(0)).toSeq
     assert(ks == Seq("a", "g"), ks.toString)
   }
+
+  test("ridgeFit: lambda=0 recovers an exact planted fit; huge lambda shrinks slopes to the mean model") {
+    import spark.implicits._
+    // y = x1 + 2*x2 exactly, features not collinear -> OLS (lambda=0) is exact
+    val df = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 6L), (6L, 5L))
+      .map { case (x1, x2) => ("z", x1, x2, x1 + 2 * x2) }
+      .toDF("g", "x1", "x2", "y")
+    val r0 = Features.ridgeFit(df, "g", col("x1"), col("x2"), col("y"), lambda = 0.0)
+      .collect().head
+    assert(r0.getString(0) == "z" && r0.getLong(1) == 6L)
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 1.0 && r0.getDouble(4) == 2.0, r0.toString)
+    // ridge path: slopes shrink monotonically toward 0, intercept toward mean(y)=10.5
+    val rBig = Features.ridgeFit(df, "g", col("x1"), col("x2"), col("y"), lambda = 1e12)
+      .collect().head
+    assert(math.abs(rBig.getDouble(3)) < 1e-4 && math.abs(rBig.getDouble(4)) < 1e-4, rBig.toString)
+    assert(math.abs(rBig.getDouble(2) - 10.5) < 1e-3, rBig.toString)
+    val rMid = Features.ridgeFit(df, "g", col("x1"), col("x2"), col("y"), lambda = 100.0)
+      .collect().head
+    assert(rMid.getDouble(3) > 0.0 && rMid.getDouble(3) < 1.0, rMid.toString)
+    assert(rMid.getDouble(4) > 0.0 && rMid.getDouble(4) < 2.0, rMid.toString)
+  }
 }

@@ -477,4 +477,58 @@ class GraphSpec extends SparkSpec {
     assert(phi(0L).getDouble(3) == 0.7 && phi(2L).getDouble(3) == 1.0)
     assert(phi(3L).isNullAt(3) && phi(10L).isNullAt(3))
   }
+
+  test("stronglyConnectedComponents equals driver Tarjan on random digraphs; cycle+tail hand case") {
+    import spark.implicits._
+
+    def tarjan(nodes: Seq[Long], adj: Map[Long, Seq[Long]]): Map[Long, Long] = {
+      var index = 0
+      val idx     = scala.collection.mutable.Map[Long, Int]()
+      val low     = scala.collection.mutable.Map[Long, Int]()
+      val onStack = scala.collection.mutable.Set[Long]()
+      val stack   = scala.collection.mutable.Stack[Long]()
+      val comp    = scala.collection.mutable.Map[Long, Long]()
+      def connect(v: Long): Unit = {
+        idx(v) = index; low(v) = index; index += 1
+        stack.push(v); onStack += v
+        for (w <- adj.getOrElse(v, Nil)) {
+          if (!idx.contains(w)) { connect(w); low(v) = math.min(low(v), low(w)) }
+          else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+        }
+        if (low(v) == idx(v)) {
+          val members = scala.collection.mutable.Buffer[Long]()
+          var w = -1L
+          do { w = stack.pop(); onStack -= w; members += w } while (w != v)
+          val label = members.min
+          members.foreach(m => comp(m) = label)
+        }
+      }
+      nodes.foreach(v => if (!idx.contains(v)) connect(v))
+      comp.toMap
+    }
+
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val edges = (1 to 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val expected = tarjan(nodes, adj)
+      val got = Graph
+        .stronglyConnectedComponents(edges.toDF("s", "d"), "s", "d")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == expected, s"trial $trial: got $got expected $expected")
+    }
+
+    // 2-cycle with a tail: {1,2} mutual, 3 alone downstream
+    val e2 = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("s", "d")
+    val m = Graph.stronglyConnectedComponents(e2, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), m.toString)
+  }
 }

@@ -213,4 +213,24 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSeq
     assert(both.head == 2L, both.toString)
   }
+
+  test("bleuPairs: identical pair scores 1, disjoint 0, short candidate pays exp(1-r/c) brevity") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "a b c", "a b c"),
+      (2L, "x y", "a b c d"),
+      (3L, "a b", "a b c d")
+    ).toDF("pair_id", "cand", "ref")
+    val out = Retrieval.bleuPairs(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val same = out(1L)
+    assert(same.getLong(1) == 3L && same.getLong(3) == 3L && same.getLong(4) == 2L)
+    assert(same.getDouble(5) == 1.0 && same.getDouble(6) == 1.0 && same.getDouble(7) == 1.0)
+    val disj = out(2L)
+    assert(disj.getLong(3) == 0L && disj.getDouble(7) == 0.0, disj.toString)
+    val short = out(3L)
+    // p1 = p2 = 1, BP = exp(1 - 4/2) = 0.367879
+    assert(short.getDouble(5) == 1.0 && short.getDouble(6) == 1.0)
+    assert(math.abs(short.getDouble(7) - math.exp(-1.0)) < 1e-6, short.toString)
+  }
 }

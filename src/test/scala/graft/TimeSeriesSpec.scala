@@ -354,4 +354,41 @@ class TimeSeriesSpec extends SparkSpec {
     val one = graft.operators.TimeSeries.burstDetect(tiny, "ts").collect()
     assert(one.length == 1 && !one.head.getBoolean(2))
   }
+
+  test("runsTest: alternating signed series counts every flip, hand-checked z") {
+    import spark.implicits._
+    // hourly counts cycle 1,2,3 over 9 hours; the cumulative-count median
+    // is 2, the 2-hours drop, leaving signs -,+,-,+,-,+ -> 6 runs of 3/3
+    val rows = for {
+      i <- 0 until 9
+      j <- 0 until (i % 3 + 1)
+    } yield (f"2024-01-01 $i%02d:0$j:00", 1L)
+    val ev = rows.toDF("tss", "k").select(to_timestamp(col("tss")).as("ts"))
+    val r = TimeSeries.runsTest(ev, "ts").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 6L, r.toString)
+    assert(r.getDouble(3) == 4.0, r.toString)
+    // z = 2/sqrt(1.2) = 1.825742
+    assert(math.abs(r.getDouble(4) - 1.825742) < 1e-9, r.toString)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 0.1, r.toString)
+  }
+
+  test("periodFold: the planted period's F towers over off-periods and wins is_best") {
+    import spark.implicits._
+    // counts cycle [1,9,1,1] with exact period 4 over 40 hours
+    val pattern = Array(1, 9, 1, 1)
+    val rows = for {
+      i <- 0 until 40
+      j <- 0 until pattern(i % 4)
+    } yield (f"2024-01-0${i / 24 + 1} ${i % 24}%02d:${j % 60}%02d:00", 1L)
+    val ev  = rows.toDF("tss", "k").select(to_timestamp(col("tss")).as("ts"))
+    val out = TimeSeries.periodFold(ev, "ts", Seq(3, 4, 5)).collect()
+    val byP = out.map(r => r.getInt(0) -> r).toMap
+    // the perfect fold explains ALL variance: theta = 0, F degenerates to
+    // NULL (ssw = 0) — exactly the case theta is there to keep ranked
+    assert(byP(4).getDouble(3) == 0.0 && byP(4).isNullAt(4), byP(4).toString)
+    assert(byP(4).getBoolean(5), out.mkString(";"))
+    assert(!byP(3).getBoolean(5) && !byP(5).getBoolean(5), out.mkString(";"))
+    assert(byP(3).getDouble(3) > 0.9 && byP(5).getDouble(3) > 0.9, out.mkString(";"))
+    assert(byP(4).getLong(1) == 3L && byP(4).getLong(2) == 36L, byP(4).toString)
+  }
 }
