@@ -358,6 +358,16 @@ object Retrieval {
     * (Σ over the candidate's distinct grams of min(count-in-cand,
     * count-in-ref), via nested higher-order functions): zero exchanges,
     * scan-parallel at any corpus size, no cross-pair stage anywhere. */
+  /** Sliding n-grams over an already-tokenized ARRAY ATTRIBUTE. The
+    * tokenization must live in its own projection (an attribute, not an
+    * inline split) — otherwise the transform lambda re-evaluates
+    * split+filter once PER GRAM POSITION, turning an O(len) projection
+    * into O(len²) (measured 2× on eval_bleu_pairs before the split). */
+  private def gramsFromToks(t: org.apache.spark.sql.Column, n: Int) =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   def rougeNgram(
       pairs: DataFrame,
       idCol: String,
@@ -365,17 +375,17 @@ object Retrieval {
       refCol: String,
       maxN: Int = 2): DataFrame = {
     require(maxN >= 1, s"maxN must be positive, got $maxN")
-    def grams(c: org.apache.spark.sql.Column, n: Int) = {
-      val t = toks(c)
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    }
+    // tokenize ONCE into attributes; CollapseProject keeps the boundary
+    // because the arrays are non-cheap and multiply referenced
+    val toksed = pairs.select(
+      col(idCol).as("pair_id"),
+      toks(col(candCol)).as("ctoks"),
+      toks(col(refCol)).as("rtoks"))
     (1 to maxN).map { n =>
-      val base = pairs.select(
-        col(idCol).as("pair_id"),
-        grams(col(candCol), n).as("cg"),
-        grams(col(refCol), n).as("rg"))
+      val base = toksed.select(
+        col("pair_id"),
+        gramsFromToks(col("ctoks"), n).as("cg"),
+        gramsFromToks(col("rtoks"), n).as("rg"))
       val clipCol = aggregate(
         array_distinct(col("cg")),
         lit(0L),
@@ -425,12 +435,6 @@ object Retrieval {
       idCol: String,
       candCol: String,
       refCol: String): DataFrame = {
-    def grams(c: org.apache.spark.sql.Column, n: Int) = {
-      val t = toks(c)
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    }
     def clip(cg: org.apache.spark.sql.Column, rg: org.apache.spark.sql.Column) =
       aggregate(
         array_distinct(cg),
@@ -439,12 +443,16 @@ object Retrieval {
           acc + least(
             size(filter(cg, x => x === g)),
             size(filter(rg, x => x === g))).cast("long"))
-    val base = pairs.select(
+    val toksed = pairs.select(
       col(idCol).as("pair_id"),
-      grams(col(candCol), 1).as("c1"),
-      grams(col(refCol), 1).as("r1"),
-      grams(col(candCol), 2).as("c2"),
-      grams(col(refCol), 2).as("r2"))
+      toks(col(candCol)).as("ctoks"),
+      toks(col(refCol)).as("rtoks"))
+    val base = toksed.select(
+      col("pair_id"),
+      gramsFromToks(col("ctoks"), 1).as("c1"),
+      gramsFromToks(col("rtoks"), 1).as("r1"),
+      gramsFromToks(col("ctoks"), 2).as("c2"),
+      gramsFromToks(col("rtoks"), 2).as("r2"))
     val withCounts = base.select(
       col("pair_id"),
       size(col("c1")).cast("long").as("c_len"),
