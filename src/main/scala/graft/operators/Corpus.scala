@@ -1842,4 +1842,46 @@ object Corpus {
         col("wc_ok") && col("mwl_ok") && col("symbol_ok") && col("bullet_ok") &&
           col("ellipsis_ok") && col("alpha_ok") && col("stop_ok"))
   }
+
+  /** Per-term burstiness profile over the corpus (Church & Gale 1995 — the
+    * "content words arrive in bursts, function words arrive evenly" signal
+    * behind stopword detection, keyword weighting and spam-template
+    * spotting): for every term with df ≥ minDf, burstiness = cf/df (mean
+    * count per CONTAINING doc) and the variance-to-mean ratio over ALL
+    * docs, VMR = (Σc² − cf²/N)/cf — VMR ≈ 1 is Poisson (evenly scattered),
+    * VMR ≫ 1 is bursty. Counts are exact integers (docs without the term
+    * contribute exactly 0 to every sum, so only containing-doc rows are
+    * ever materialized); both ratios are one fixed-order double each under
+    * round(·, 6). One (term, doc) aggregation then a term-keyed rollup —
+    * vocab-sized output, the df floor is the hot-term/noise cut. */
+  def termBurstiness(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long): DataFrame = {
+    require(minDf >= 1, s"minDf must be positive, got $minDf")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perDoc = docs
+      .select(col(idCol).as("doc"), explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perTerm = perDoc
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c")).cast(dec38).as("cf"),
+        sum(col("c") * col("c")).cast(dec38).as("s2"))
+      .filter(col("df") >= minDf)
+    val cfD = col("cf").cast("double")
+    val vmr = (col("s2").cast("double") - cfD * cfD / col("n_docs").cast("double")) / cfD
+    perTerm
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("term"),
+        col("df"),
+        col("cf").cast("long").as("cf"),
+        round(cfD / col("df").cast("double"), 6).as("burstiness"),
+        round(vmr, 6).as("vmr"))
+  }
 }

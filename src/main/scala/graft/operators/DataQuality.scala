@@ -1509,6 +1509,71 @@ object DataQuality {
         col("jb_stat"), col("p_chi2"))
   }
 
+  /** Friedman test across k treatments over matched blocks (the
+    * repeated-measures sibling of [[kruskalWallis]] — "do these treatments
+    * keep the same ORDER across blocks", e.g. event types across days,
+    * quality metrics across sources): rank treatments WITHIN each complete
+    * block (doubled midranks, so ties stay exact integers), then
+    * χ²_F = 3·ΣⱼR2ⱼ²/(n·k·(k+1)) − 3n(k+1) from the per-treatment doubled
+    * rank sums (the 12·(R/2)² identity folded in). Blocks missing any
+    * treatment are dropped (the balanced-design requirement, applied
+    * mechanically). Tie correction divides by C = 1 − Σ(t³−t)/(n·k·(k²−1)).
+    * Exactness: rank sums and tie mass are exact integers (DECIMAL(38,0)
+    * sums of long products); both statistics are one fixed-order double
+    * chain under round(·, 6). Input is one row per (block, treatment);
+    * shuffles are block-keyed then treatment-keyed, output is one row. */
+  def friedmanTest(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    val W     = org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pool = df.select(
+      col(blockCol).cast("string").as("b"),
+      col(treatCol).cast("string").as("t"),
+      col(valueCol).cast("long").as("x"))
+    val k = pool.select(col("t")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = pool
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(k))
+      .filter(col("nt") === col("k"))
+      .select(col("b"))
+    val rows = pool.join(broadcast(complete), Seq("b"))
+    // doubled midranks within each block over the value histogram
+    val cnt = rows.groupBy(col("b"), col("x")).agg(count(lit(1)).as("c"))
+    val wv  = W.partitionBy(col("b")).orderBy(col("x")).rowsBetween(W.unboundedPreceding, -1)
+    val rmap = cnt.select(
+      col("b"), col("x"),
+      (coalesce(sum(col("c")).over(wv), lit(0L)) * 2 + col("c") + 1).as("r2"))
+    val perTreat = rows
+      .join(rmap, Seq("b", "x"))
+      .groupBy(col("t"))
+      .agg(sum(col("r2")).cast(dec38).as("r2j"))
+    val terms = perTreat.agg(
+      sum(col("r2j") * col("r2j")).cast(dec38).as("sr2sq"))
+    val nBlocks = complete.agg(count(lit(1)).as("n"))
+    val ties = cnt.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).cast(dec38).as("tie_mass"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val chi2 = lit(3.0) * col("sr2sq").cast("double") / (nD * kD * (kD + lit(1.0))) -
+      lit(3.0) * nD * (kD + lit(1.0))
+    val c = lit(1.0) - col("tie_mass").cast("double") / (nD * kD * (kD * kD - lit(1.0)))
+    terms
+      .crossJoin(broadcast(nBlocks))
+      .crossJoin(broadcast(k))
+      .crossJoin(broadcast(ties))
+      .select(
+        col("n").as("n_blocks"),
+        col("k"),
+        (col("k") - 1).as("df"),
+        round(when(nD > 0.0, chi2), 6).as("chi2"),
+        round(when(nD > 0.0 && c > 0.0, chi2 / c), 6).as("chi2_tie_corrected"))
+  }
+
   /** Rank-based ROC AUC of a score column against a binary label — the
     * threshold-free quality-classifier eval (AUC = P(score⁺ > score⁻) with
     * ties at ½, i.e. the normalized Mann–Whitney U): using the same

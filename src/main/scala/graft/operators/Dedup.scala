@@ -1089,4 +1089,62 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist"))
     (chunks, result)
   }
+
+  /** Content-defined chunking dedup (the backup/storage-dedup classic —
+    * Muthitacharoen et al. 2001 LBFS — applied to corpus text): cut each
+    * document where the rolling fingerprint of a w-char window satisfies a
+    * 1-in-2^bits boundary test, so chunk boundaries move WITH the content
+    * (an insertion shifts only the chunk it lands in, where fixed-size
+    * blocks would shift every downstream block — the property that makes
+    * chunk-hash dedup robust to edits). Fingerprint = first hex byte of
+    * md5(window) ∈ {00,20,…,e0} (byte % 32 = 0 → expected chunk 32 chars);
+    * md5 hex is engine-identical, and the IN-list test replays anywhere.
+    * Returns one row per DUPLICATED chunk (n_docs, n_occurrences, len) —
+    * the cross-document shared-content mass a storage layer would
+    * single-instance.
+    *
+    * Scale shape: boundary scan and chunk split are row-local array
+    * arithmetic over an attribute token of the doc (zero exchanges); the
+    * only shuffle is the final chunk-hash group-by, whose key space is
+    * content-bounded. Window hashing is O(len) md5s per doc — the
+    * linear-scan cost every CDC system pays. */
+  def cdcChunkDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      minChunkOccurrences: Long = 2): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val boundaryBytes = Seq("00", "20", "40", "60", "80", "a0", "c0", "e0")
+    val base = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    // cut positions: i in [2, len-window+1] where the window fingerprint
+    // hits the boundary mask; 1 and len+1 frame the first/last chunk
+    val withCuts = base.select(
+      col("doc"),
+      col("txt"),
+      concat(
+        array(lit(1)),
+        when(length(col("txt")) >= window + 1,
+          filter(
+            sequence(lit(2), length(col("txt")) - window + 1),
+            i => substring(md5(col("txt").substr(i, lit(window))), 1, 2).isin(boundaryBytes: _*)))
+          .otherwise(array().cast("array<int>")),
+        array(length(col("txt")) + 1)).as("cuts"))
+    val chunks = withCuts.select(
+      col("doc"),
+      explode(
+        transform(
+          sequence(lit(0), size(col("cuts")) - 2),
+          j => col("txt").substr(
+            element_at(col("cuts"), j + 1),
+            element_at(col("cuts"), j + 2) - element_at(col("cuts"), j + 1))))
+        .as("chunk"))
+      .filter(length(col("chunk")) > 0)
+    chunks
+      .groupBy(md5(col("chunk")).as("chunk_hash"), length(col("chunk")).as("chunk_len"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc")).as("n_docs"))
+      .filter(col("n_occurrences") >= minChunkOccurrences)
+  }
 }

@@ -647,4 +647,56 @@ object Funnel {
       .withColumn("significant",
         when(col("p_value").isNotNull, col("p_value") <= alphaSig))
   }
+
+  /** Association rules over (user, day) baskets of event types (the
+    * market-basket read of a behavior log — "users who X that day also Y",
+    * the cross-sell / journey-design primitive): for every ORDERED type
+    * pair a→b co-present in a basket, support = n_ab/N, confidence =
+    * n_ab/n_a, lift = n_ab·N/(n_a·n_b) (>1 = positive association, <1 =
+    * substitution). Presence is DISTINCT per basket (counts don't inflate
+    * support); all four counts are exact integers, each metric one
+    * fixed-order double under round(·, 6). One distinct pass, one
+    * basket-keyed self-join on the type-pair (type vocabulary is small, so
+    * the pair frame is baskets × pairs-per-basket — bounded by k²·N), then
+    * type-pair-sized rollups. */
+  def assocRules(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String): DataFrame = {
+    val baskets = events
+      .select(
+        col(userCol).as("u"),
+        to_date(col(tsCol)).as("day"),
+        col(typeCol).cast("string").as("t"))
+      .distinct()
+    val nBaskets = baskets.select(col("u"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val nType = baskets.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val co = baskets.as("a")
+      .join(
+        baskets.as("b"),
+        col("a.u") === col("b.u") && col("a.day") === col("b.day") &&
+          col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    val directed = co.select(col("ta").as("antecedent"), col("tb").as("consequent"), col("n_ab"))
+      .unionByName(co.select(col("tb").as("antecedent"), col("ta").as("consequent"), col("n_ab")))
+    val nD  = col("n_baskets").cast("double")
+    val nab = col("n_ab").cast("double")
+    directed
+      .join(broadcast(nType.select(col("t").as("antecedent"), col("n_t").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(nType.select(col("t").as("consequent"), col("n_t").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("antecedent"),
+        col("consequent"),
+        col("n_ab"),
+        col("n_ante"),
+        col("n_cons"),
+        round(nab / nD, 6).as("support"),
+        round(nab / col("n_ante").cast("double"), 6).as("confidence"),
+        round(nab * nD / (col("n_ante").cast("double") * col("n_cons").cast("double")), 6)
+          .as("lift"))
+  }
 }

@@ -449,6 +449,252 @@ object StatsQueries {
         .filter(col("u").isNotNull && col("u") =!= col("v"))
         .distinct()
       Graph.stronglyConnectedComponents(edges, "u", "v")
+    },
+
+    // --------------------------------------------------- Friedman test
+    // Repeated-measures rank test: do the event types keep the same ORDER
+    // across day blocks? Doubled midranks within each complete block keep
+    // ties exact; χ²_F and its tie correction are fixed-order doubles from
+    // exact HUGEINT rank sums.
+    Q(
+      "quality_friedman",
+      Some("""
+        WITH pool AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS b, event_type AS t, COUNT(*) AS x
+                      FROM events GROUP BY 1, 2),
+        kk AS (SELECT COUNT(DISTINCT t) AS k FROM pool),
+        complete AS (SELECT b FROM pool GROUP BY b HAVING COUNT(*) = (SELECT k FROM kk)),
+        rws AS (SELECT pool.* FROM pool JOIN complete USING (b)),
+        cnt AS (SELECT b, x, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+        rmap AS (SELECT b, x,
+                        2 * COALESCE(SUM(c) OVER (PARTITION BY b ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          + c + 1 AS r2
+                 FROM cnt),
+        pt AS (SELECT t, CAST(SUM(r2) AS HUGEINT) AS r2j FROM rws JOIN rmap USING (b, x) GROUP BY 1),
+        terms AS (SELECT CAST(SUM(r2j * r2j) AS HUGEINT) AS sr2sq FROM pt),
+        nb AS (SELECT COUNT(*) AS n FROM complete),
+        ties AS (SELECT CAST(SUM(c * c * c - c) AS HUGEINT) AS tie_mass FROM cnt)
+        SELECT n AS n_blocks, k, k - 1 AS df,
+               round(CASE WHEN CAST(n AS DOUBLE) > 0.0
+                     THEN 3.0 * CAST(sr2sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+                          - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) END, 6) AS chi2,
+               round(CASE WHEN CAST(n AS DOUBLE) > 0.0
+                          AND 1.0 - CAST(tie_mass AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) > 0.0
+                     THEN (3.0 * CAST(sr2sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+                           - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+                          / (1.0 - CAST(tie_mass AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))) END, 6) AS chi2_tie_corrected
+        FROM terms, nb, kk, ties
+      """)) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      DataQuality.friedmanTest(daily, "day", "event_type", "cnt")
+    },
+
+    // -------------------------------------------------- term burstiness
+    // Church & Gale: content words arrive in bursts (VMR >> 1), function
+    // words arrive evenly (VMR ~ 1) — the stopword/keyword/spam-template
+    // separator. Exact integer (term, doc) counts; both ratios one
+    // fixed-order division each.
+    Q(
+      "text_burstiness",
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term FROM documents),
+        pd AS (SELECT term, doc_id, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        pt AS (SELECT term, COUNT(*) AS df, CAST(SUM(c) AS HUGEINT) AS cf,
+                      SUM(CAST(c AS HUGEINT) * c) AS s2
+               FROM pd GROUP BY 1 HAVING COUNT(*) >= 5)
+        SELECT term, df, CAST(cf AS BIGINT) AS cf,
+               round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+               round((CAST(s2 AS DOUBLE) - CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     / CAST(cf AS DOUBLE), 6) AS vmr
+        FROM pt, n
+      """)) { (spark, dir) =>
+      graft.operators.Corpus.termBurstiness(Tables(spark, dir).documents, "doc_id", "text", minDf = 5)
+    },
+
+    // ---------------------------------------------- association rules
+    // Market-basket over (user, day) baskets of event types: support /
+    // confidence / lift per ordered pair — the cross-sell / journey read.
+    // Distinct presence, exact integer counts, one division per metric.
+    Q(
+      "events_assoc_rules",
+      Some("""
+        WITH b AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day, event_type AS t FROM events),
+        nb AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT u, day FROM b)),
+        nt AS (SELECT t, COUNT(*) AS n_t FROM b GROUP BY 1),
+        co AS (SELECT a.t AS ta, b2.t AS tb, COUNT(*) AS n_ab
+               FROM b a JOIN b b2 ON b2.u = a.u AND b2.day = a.day AND a.t < b2.t
+               GROUP BY 1, 2),
+        d AS (SELECT ta AS antecedent, tb AS consequent, n_ab FROM co
+              UNION ALL SELECT tb AS antecedent, ta AS consequent, n_ab FROM co)
+        SELECT antecedent, consequent, n_ab, na.n_t AS n_ante, nc.n_t AS n_cons,
+               round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+               round(CAST(n_ab AS DOUBLE) / CAST(na.n_t AS DOUBLE), 6) AS confidence,
+               round(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+                     / (CAST(na.n_t AS DOUBLE) * CAST(nc.n_t AS DOUBLE)), 6) AS lift
+        FROM d JOIN nt na ON na.t = d.antecedent JOIN nt nc ON nc.t = d.consequent, nb
+      """)) { (spark, dir) =>
+      graft.operators.Funnel.assocRules(Tables(spark, dir).events, "user_id", "ts", "event_type")
+    },
+
+    // ------------------------------------------------ Granger causality
+    // Does yesterday's click count improve today's purchase forecast
+    // beyond purchase's own history? F of restricted-vs-unrestricted lag-1
+    // OLS, every moment exact, βs/RSS one fixed-order chain (the ridge
+    // Cramer machinery with λ=0 on the unrestricted side).
+    Q(
+      "events_granger",
+      Some {
+        def det3(m: Seq[String]): String =
+          s"""(${m(0)} * (${m(4)} * ${m(8)} - ${m(5)} * ${m(7)})
+             - ${m(1)} * (${m(3)} * ${m(8)} - ${m(5)} * ${m(6)})
+             + ${m(2)} * (${m(3)} * ${m(7)} - ${m(4)} * ${m(6)}))"""
+        def D(x: String)  = s"CAST($x AS DOUBLE)"
+        val a = Seq(
+          D("n"), D("syl"), D("sxl"),
+          D("syl"), D("sylyl"), D("sylxl"),
+          D("sxl"), D("sylxl"), D("sxlxl"))
+        val bv   = Seq(D("sy"), D("syyl"), D("syxl"))
+        val det  = det3(a)
+        def rep(i: Int) = det3(a.zipWithIndex.map { case (v, j) => if (j % 3 == i) bv(j / 3) else v })
+        val denR = s"(${D("n")} * ${D("sylyl")} - ${D("syl")} * ${D("syl")})"
+        val br   = s"((${D("n")} * ${D("syyl")} - ${D("sy")} * ${D("syl")}) / $denR)"
+        val ar   = s"((${D("sy")} - $br * ${D("syl")}) / ${D("n")})"
+        val rssR = s"(${D("syy")} - $ar * ${D("sy")} - $br * ${D("syyl")})"
+        val rssU = s"(${D("syy")} - ((${rep(0)} / $det) * ${D("sy")} + (${rep(1)} / $det) * ${D("syyl")} + (${rep(2)} / $det) * ${D("syxl")}))"
+        val ok   = s"$denR <> 0.0 AND $det <> 0.0"
+        s"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type AS t, COUNT(*) AS c FROM events GROUP BY 1, 2),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        ys AS (SELECT days.day, COALESCE(q.c, 0) AS y FROM days
+               LEFT JOIN (SELECT day, c FROM daily WHERE t = 'purchase') q USING (day)),
+        xs AS (SELECT days.day, COALESCE(q.c, 0) AS x FROM days
+               LEFT JOIN (SELECT day, c FROM daily WHERE t = 'click') q USING (day)),
+        r AS (SELECT ys.y, lag(ys.y) OVER (ORDER BY ys.day) AS yl, lag(xs.x) OVER (ORDER BY ys.day) AS xl
+              FROM ys JOIN xs ON xs.day = ys.day),
+        rr AS (SELECT * FROM r WHERE yl IS NOT NULL),
+        m AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(yl) AS HUGEINT) AS syl, CAST(SUM(xl) AS HUGEINT) AS sxl,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy, SUM(CAST(yl AS HUGEINT) * yl) AS sylyl,
+                     SUM(CAST(xl AS HUGEINT) * xl) AS sxlxl, SUM(CAST(yl AS HUGEINT) * xl) AS sylxl,
+                     SUM(CAST(y AS HUGEINT) * yl) AS syyl, SUM(CAST(y AS HUGEINT) * xl) AS syxl
+              FROM rr)
+        SELECT n AS t_obs,
+               CASE WHEN $ok THEN round($rssR, 6) END AS rss_restricted,
+               CASE WHEN $ok THEN round($rssU, 6) END AS rss_unrestricted,
+               CASE WHEN $ok AND $rssU > 0.0 AND ${D("n")} > 3.0
+                    THEN round(($rssR - $rssU) / ($rssU / (${D("n")} - 3.0)), 6) END AS f_stat
+        FROM m
+      """
+      }) { (spark, dir) =>
+      TimeSeries.grangerTest(Tables(spark, dir).events, "ts", "event_type",
+        causeType = "click", effectType = "purchase")
+    },
+
+    // ---------------------------------------------- classification report
+    // Per-class precision/recall/F1 from the NB language classifier's
+    // self-predictions — the eval every filtering model needs beside its
+    // confusion matrix. Exact integer tp/fp/fn from the matrix; three
+    // divisions, round 6. The oracle extends the proven NB replay prefix.
+    Q(
+      "ml_confusion_metrics",
+      Some(s"""${graft.queries.TextQueries.nbScoresSql},
+        pred AS (SELECT doc_id, cls AS predicted
+                 FROM (SELECT doc_id, cls, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rk FROM sc)
+                 WHERE rk = 1),
+        cm AS (SELECT d.lang AS actual, p.predicted, COUNT(*) AS n
+               FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+               GROUP BY 1, 2),
+        ba AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_actual FROM cm GROUP BY 1),
+        bp AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+        tp AS (SELECT actual AS cls, CAST(n AS BIGINT) AS tp FROM cm WHERE actual = predicted)
+        SELECT COALESCE(ba.cls, bp.cls) AS cls,
+               COALESCE(n_actual, 0) AS n_actual,
+               COALESCE(n_pred, 0) AS n_pred,
+               COALESCE(tp, 0) AS tp,
+               round(CASE WHEN COALESCE(n_pred, 0) > 0
+                     THEN CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 6) AS precision,
+               round(CASE WHEN COALESCE(n_actual, 0) > 0
+                     THEN CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE) END, 6) AS recall,
+               round(CASE WHEN COALESCE(n_pred, 0) > 0 AND COALESCE(n_actual, 0) > 0
+                          AND (CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                               + CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE)) > 0.0
+                     THEN 2.0 * (CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                              * (CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE))
+                          / (CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                             + CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE)) END, 6) AS f1
+        FROM ba FULL OUTER JOIN bp ON bp.cls = ba.cls
+        LEFT JOIN tp ON tp.cls = COALESCE(ba.cls, bp.cls)
+      """)) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+      // the class×class confusion matrix fans out into three aggregations;
+      // eager-checkpoint it so the heavy NB-classify subtree runs ONCE
+      val cm = graft.operators.LanguageModel
+        .naiveBayesClassify(d, d, "doc_id", "text", "lang")
+        .join(d.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val byAct  = cm.groupBy(col("actual").as("cls")).agg(sum(col("n")).as("n_actual"))
+      val byPred = cm.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("n_pred"))
+      val tps = cm.filter(col("actual") === col("predicted"))
+        .select(col("actual").as("cls"), col("n").as("tp"))
+      val joined = byAct
+        .join(byPred, Seq("cls"), "full_outer")
+        .join(tps, Seq("cls"), "left")
+        .select(
+          col("cls"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+      val p = col("tp").cast("double") / col("n_pred").cast("double")
+      val r = col("tp").cast("double") / col("n_actual").cast("double")
+      joined.select(
+        col("cls"),
+        col("n_actual"),
+        col("n_pred"),
+        col("tp"),
+        round(when(col("n_pred") > 0, p), 6).as("precision"),
+        round(when(col("n_actual") > 0, r), 6).as("recall"),
+        round(when(col("n_pred") > 0 && col("n_actual") > 0 && (p + r) > 0.0,
+          lit(2.0) * p * r / (p + r)), 6).as("f1"))
+    },
+
+    // --------------------------------------- content-defined chunk dedup
+    // LBFS-style CDC over the corpus text: boundaries where the md5 of an
+    // 8-char window lands in the 1-in-32 mask, so edits shift only their
+    // own chunk — then the duplicated-chunk table (the shared-content mass
+    // a storage layer would single-instance). Row-local split, one
+    // chunk-hash group-by.
+    Q(
+      "dedup_cdc_chunks",
+      Some("""
+        WITH base AS (SELECT doc_id AS doc, text AS txt FROM documents),
+        cuts AS (SELECT doc, txt,
+               list_concat(list_concat(
+                 [CAST(1 AS BIGINT)],
+                 CASE WHEN LENGTH(txt) >= 9
+                      THEN list_filter(range(2, LENGTH(txt) - 8 + 2),
+                             i -> substr(md5(substr(txt, CAST(i AS INTEGER), 8)), 1, 2)
+                                  IN ('00','20','40','60','80','a0','c0','e0'))
+                      ELSE CAST([] AS BIGINT[]) END),
+                 [LENGTH(txt) + 1]) AS cs
+             FROM base),
+        chunks AS (SELECT doc, unnest(list_transform(range(1, len(cs)),
+                     j -> substr(txt, CAST(cs[CAST(j AS INTEGER)] AS INTEGER),
+                                 CAST(cs[CAST(j AS INTEGER) + 1] - cs[CAST(j AS INTEGER)] AS INTEGER)))) AS chunk
+                   FROM cuts),
+        nz AS (SELECT doc, chunk FROM chunks WHERE LENGTH(chunk) > 0)
+        SELECT md5(chunk) AS chunk_hash,
+               CAST(LENGTH(chunk) AS INTEGER) AS chunk_len,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc) AS n_docs
+        FROM nz GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+      """)) { (spark, dir) =>
+      graft.operators.Dedup.cdcChunkDups(
+        Tables(spark, dir).documents, "doc_id", "text", window = 8, minChunkOccurrences = 2)
     }
   )
 }

@@ -1623,7 +1623,7 @@ object TextQueries {
     * log-likelihood cells over the vocab × class grid, priors, and the
     * exact-decimal per-(doc, class) score CTE `sc` — the SQL replay of
     * [[graft.operators.LanguageModel.naiveBayesClassify]]. */
-  private def nbScoresSql: String = """
+  private[queries] def nbScoresSql: String = """
     WITH tokt AS (SELECT lang AS cls, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents),
     cls AS (SELECT lang AS cls, COUNT(*) AS n_docs FROM documents GROUP BY 1),
     nd AS (SELECT COUNT(*) AS n FROM documents),

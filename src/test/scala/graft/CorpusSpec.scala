@@ -819,4 +819,22 @@ class CorpusSpec extends SparkSpec {
     // cross-check one pair against the independent green test
     assert((pair.getLong(2) == 1L) == isGreen("two", "tokens"))
   }
+
+  test("termBurstiness: hand VMR/burstiness, df floor cuts") {
+    import spark.implicits._
+    // x: df=1 cf=4 -> burstiness 4, vmr (16-4)/4 = 3; y: df=3 cf=3 -> 1, (3-9/4)/3 = 0.25
+    val docs = Seq((1L, "x x x x"), (2L, "y"), (3L, "y"), (4L, "y")).toDF("doc_id", "text")
+    val out = Corpus.termBurstiness(docs, "doc_id", "text", minDf = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(1) == 1L && x.getLong(2) == 4L)
+    assert(x.getDouble(3) == 4.0 && x.getDouble(4) == 3.0, x.toString)
+    val y = out("y")
+    assert(y.getLong(1) == 3L && y.getDouble(3) == 1.0 && y.getDouble(4) == 0.25, y.toString)
+    // df floor: only y survives minDf = 2
+    val cut = Corpus.termBurstiness(docs, "doc_id", "text", minDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(cut == Set("y"), cut.toString)
+  }
+
 }

@@ -538,6 +538,29 @@ class DataQualitySpec extends SparkSpec {
     assert(v.getDouble(2) == 0.0 && v.getDouble(3) == -1.0, v.toString)
   }
 
+  test("friedmanTest: perfectly consistent ordering hits n(k-1), incomplete blocks drop") {
+    import spark.implicits._
+    // 3 blocks, 3 treatments, always A<B<C: doubled rank sums 6/12/18,
+    // chi2 = 3*504/(3*3*4) - 36 = 6 = n(k-1), the tie-free maximum
+    val df = Seq(
+      ("d1", "A", 1), ("d1", "B", 2), ("d1", "C", 3),
+      ("d2", "A", 10), ("d2", "B", 20), ("d2", "C", 30),
+      ("d3", "A", 5), ("d3", "B", 6), ("d3", "C", 7),
+      ("d4", "A", 1), ("d4", "B", 2) // incomplete block: dropped
+    ).toDF("blk", "trt", "v")
+    val r = DataQuality.friedmanTest(df, "blk", "trt", "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L, r.toString)
+    assert(r.getDouble(3) == 6.0 && r.getDouble(4) == 6.0, r.toString)
+    // a shuffled ordering scores strictly lower
+    val mixed = Seq(
+      ("d1", "A", 3), ("d1", "B", 2), ("d1", "C", 1),
+      ("d2", "A", 1), ("d2", "B", 3), ("d2", "C", 2),
+      ("d3", "A", 2), ("d3", "B", 1), ("d3", "C", 3)
+    ).toDF("blk", "trt", "v")
+    val m = DataQuality.friedmanTest(mixed, "blk", "trt", "v").collect().head
+    assert(m.getDouble(3) == 0.0, m.toString) // perfectly balanced ranks
+  }
+
   test("lDiversityAudit: single-value class flagged, uniform class's entropy-l = its distinct-l") {
     import spark.implicits._
     val df = Seq(

@@ -347,4 +347,28 @@ class DedupSpec extends SparkSpec {
     assert(got.count() == 40L * 39 / 2, "all identical-doc pairs must survive — exactness over capping")
     assert(got.filter(col("a_id") === 99L || col("b_id") === 99L).count() == 0)
   }
+
+  test("cdcChunkDups: identical docs share every chunk; a prefix edit shifts only the head") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(7)
+    val text = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val twins = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val dup = Dedup.cdcChunkDups(twins, "doc_id", "text", window = 8, minChunkOccurrences = 2)
+    val rows = dup.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) == 2L && r.getLong(2) == 2L), rows.mkString(";"))
+    // total duplicated chunk length = full doc (every chunk is shared)
+    assert(rows.map(_.getInt(1).toLong).sum == text.length.toLong, rows.mkString(";"))
+    // content-defined robustness: a prefix insertion leaves the tail chunks
+    // intact (fixed-size blocks would shift every one of them)
+    val shifted = Seq((1L, text), (2L, "ZZZZZZ" + text)).toDF("doc_id", "text")
+    val shared = Dedup.cdcChunkDups(shifted, "doc_id", "text", window = 8, minChunkOccurrences = 2)
+      .collect()
+    assert(shared.nonEmpty, "prefix edit must not destroy all shared chunks")
+    assert(shared.forall(_.getLong(3) == 2L), shared.mkString(";"))
+    // disjoint docs share nothing
+    val disjoint = Seq((1L, "aaaa bbbb cccc"), (2L, "dddd eeee ffff")).toDF("doc_id", "text")
+    assert(Dedup.cdcChunkDups(disjoint, "doc_id", "text", 8, 2).count() == 0L)
+  }
+
 }

@@ -282,4 +282,30 @@ class FunnelSpec extends SparkSpec {
     val c = Funnel.logRank(cens, "g", "t", "e").collect().head
     assert(c.isNullAt(7) && c.isNullAt(9), c.toString)
   }
+
+  test("assocRules: hand-computed support/confidence/lift on three baskets") {
+    import spark.implicits._
+    // baskets: {a,b}, {a}, {a,b,c} -> N=3, n_a=3 n_b=2 n_c=1, n_ab=2 n_ac=1 n_bc=1
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 11:00:00", "b"),
+      (2L, "2024-01-01 10:00:00", "a"),
+      (3L, "2024-01-01 10:00:00", "a"), (3L, "2024-01-01 11:00:00", "b"),
+      (3L, "2024-01-01 12:00:00", "c"), (3L, "2024-01-01 13:00:00", "c") // dup presence collapses
+    ).toDF("user_id", "tss", "event_type")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val out = Funnel.assocRules(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap // (antecedent, consequent)
+    // columns: antecedent, consequent, n_ab, n_ante, n_cons, support, confidence, lift
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 2L && ab.getDouble(5) == 0.666667, ab.toString)
+    assert(ab.getDouble(6) == 0.666667 && ab.getDouble(7) == 1.0, ab.toString)
+    val ba = out(("b", "a"))
+    assert(ba.getDouble(6) == 1.0 && ba.getDouble(7) == 1.0, ba.toString)
+    val bc = out(("b", "c"))
+    assert(bc.getLong(2) == 1L && bc.getDouble(6) == 0.5 && bc.getDouble(7) == 1.5, bc.toString)
+    val cb = out(("c", "b"))
+    assert(cb.getDouble(6) == 1.0 && cb.getDouble(7) == 1.5, cb.toString)
+    assert(out.size == 6, out.keys.toString) // 3 undirected pairs, both directions
+  }
+
 }

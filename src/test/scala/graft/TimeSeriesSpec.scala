@@ -391,4 +391,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(byP(3).getDouble(3) > 0.9 && byP(5).getDouble(3) > 0.9, out.mkString(";"))
     assert(byP(4).getLong(1) == 3L && byP(4).getLong(2) == 36L, byP(4).toString)
   }
+
+  test("grangerTest: a one-day-lead cause scores a towering F; the reverse direction does not") {
+    import spark.implicits._
+    // x_t pseudo-random, y_t = x_{t-1} + (t % 2): x Granger-causes y
+    val days = 1 to 20
+    val xCounts = days.map(t => (t * 7) % 5 + 1)
+    val yCounts = days.map(t => (if (t >= 2) xCounts(t - 2) else 1) + t % 2)
+    val rows = days.flatMap { t =>
+      val day = f"2024-01-$t%02d"
+      Seq.fill(xCounts(t - 1))((s"$day 10:00:00", "xx")) ++
+        Seq.fill(yCounts(t - 1))((s"$day 11:00:00", "yy"))
+    }
+    val ev = rows.toDF("tss", "event_type")
+      .select(to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val fwd = TimeSeries.grangerTest(ev, "ts", "event_type", causeType = "xx", effectType = "yy")
+      .collect().head
+    val rev = TimeSeries.grangerTest(ev, "ts", "event_type", causeType = "yy", effectType = "xx")
+      .collect().head
+    assert(fwd.getLong(0) == 19L, fwd.toString)
+    assert(!fwd.isNullAt(3) && !rev.isNullAt(3), s"$fwd / $rev")
+    val (ff, fr) = (fwd.getDouble(3), rev.getDouble(3))
+    assert(ff > 10.0 && ff > 5.0 * math.max(fr, 0.001), s"forward F=$ff reverse F=$fr")
+    // the unrestricted model can only lower RSS
+    assert(fwd.getDouble(2) <= fwd.getDouble(1), fwd.toString)
+  }
+
 }
