@@ -416,6 +416,83 @@ object EventStreams {
         })
   }
 
+  final case class RunsState(hours: Map[Long, Long])
+  final case class RunsPoint(
+      n_above: Long,
+      n_below: Long,
+      runs: Long,
+      expected_runs: Option[Double],
+      z: Option[Double],
+      p_value: Option[Double],
+      n_total: Long)
+
+  /** Streaming Wald–Wolfowitz runs test — the live counterpart of
+    * [[graft.operators.TimeSeries.runsTest]] (its replay spec). Like
+    * [[cusumStream]], the test is retrospective (signs compare against the
+    * median of the WHOLE series), so the state is the compressed
+    * (hour → count) axis — time-bounded, never data-sized — and every
+    * micro-batch re-emits the refreshed one-row statistic (Update mode;
+    * `n_total` marks the converged snapshot).
+    *
+    * Arithmetic parity, move for move: the median by the batch side's
+    * cumulative-count rule (first value whose cum ≥ (n+1)/2 under float
+    * division), exact integer signs/runs/flips, E[R]/Var[R]/z in the same
+    * double order, HALF_UP snaps at 1e-6, and the shared erfc-polynomial
+    * p at 1e-9 — bit-identical to the batch row on ordered arrival
+    * (StreamingSpec pins it). */
+  def runsTestStream(events: Dataset[Event]): Dataset[RunsPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMicros = 3600L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def r(v: Double, scale: Int): Double =
+      java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Int, evs: Iterator[Event], state: GroupState[RunsState]) => {
+          var hours = state.getOption.map(_.hours).getOrElse(Map.empty[Long, Long])
+          evs.foreach { e =>
+            val h = Math.floorDiv(micros(e.ts), hourMicros) * hourMicros
+            hours = hours.updated(h, hours.getOrElse(h, 0L) + 1L)
+          }
+          state.update(RunsState(hours))
+          val series = hours.toVector.sortBy(_._1).map(_._2)
+          val total  = series.sum
+          // median: first count value whose cumulative frequency reaches
+          // (n+1)/2 — the batch operator's float-division threshold
+          val hist = series.groupBy(identity).view.mapValues(_.size.toLong).toVector.sortBy(_._1)
+          val thr  = (series.size + 1) / 2.0
+          var cum  = 0L
+          var med  = Long.MinValue
+          hist.foreach { case (v, c) =>
+            if (med == Long.MinValue) { cum += c; if (cum >= thr) med = v }
+          }
+          val signed = series.filter(_ != med).map(x => if (x > med) 1 else 0)
+          val n1 = signed.count(_ == 1).toLong
+          val n2 = signed.size.toLong - n1
+          val runs =
+            if (signed.isEmpty) 1L
+            else 1L + signed.iterator.sliding(2).withPartial(false).count(p => p(0) != p(1))
+          val (n1d, n2d) = (n1.toDouble, n2.toDouble)
+          val nTd = n1d + n2d
+          val er  = 2.0 * n1d * n2d / nTd + 1.0
+          val vr  = 2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d) / (nTd * nTd * (nTd - 1.0))
+          val z   = if (vr > 0.0) Some(r((runs.toDouble - er) / math.sqrt(vr), 6)) else None
+          val p = z.map { zz =>
+            val x    = math.abs(zz) / math.sqrt(2.0)
+            val t    = 1.0 / (1.0 + 0.3275911 * x)
+            val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+              - 0.284496736) * t + 0.254829592) * t
+            r(poly * math.exp(-x * x), 9)
+          }
+          Iterator.single(RunsPoint(
+            n1, n2, runs,
+            if (nTd > 0.0) Some(r(er, 6)) else None,
+            z, p, total))
+        })
+  }
+
   final case class SprtState(days: Map[Long, (Long, Long)])
   final case class SprtPoint(
       day: String, n_cum: Long, conv_cum: Long, llr: Double, decision: String, n_total: Long)

@@ -833,4 +833,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty && batch.values.exists(_._4 != "continue"))
   }
+
+  test("streaming runs test converged snapshot equals the batch row bit-for-bit") {
+    import spark.implicits._
+    val events = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .runsTestStream(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("runs_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val snaps = spark.table("runs_out").collect()
+    val maxN  = snaps.map(_.getLong(6)).max
+    val conv  = snaps.filter(_.getLong(6) == maxN).head
+    val batch = graft.operators.TimeSeries.runsTest(events, "ts").collect().head
+    assert(maxN == events.count())
+    assert(conv.getLong(0) == batch.getLong(0) && conv.getLong(1) == batch.getLong(1))
+    assert(conv.getLong(2) == batch.getLong(2))
+    assert(conv.getDouble(3) == batch.getDouble(3))
+    assert(conv.getDouble(4) == batch.getDouble(4) && conv.getDouble(5) == batch.getDouble(5))
+    assert(conv.getLong(2) > 1L) // a real series flips at least once
+  }
+
 }
