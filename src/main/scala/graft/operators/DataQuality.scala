@@ -1608,6 +1608,41 @@ object DataQuality {
       round(when(col("n_pos") > 0 && col("n_neg") > 0, lit(2.0) * auc - lit(1.0)), 6).as("gini"))
   }
 
+  /** McNemar's paired test between two classifiers scored on the SAME rows
+    * (Edwards' continuity-corrected form) — the right comparison when both
+    * models saw identical inputs, where an unpaired test wastes the
+    * pairing: only the DISCORDANT cells matter, b = A right / B wrong,
+    * c = A wrong / B right, χ² = (|b−c|−1)²/(b+c) ~ χ²(1). Since χ²(1) is
+    * the square of a standard normal, the p-value reuses the engine-wide
+    * erfc polynomial on √χ². All four agreement cells are exact integers
+    * from one conditional aggregation; χ² and p are one fixed-order chain
+    * under round(·, 6)/(·, 9). Input: one row per item with two boolean
+    * prediction columns and the boolean truth. */
+  def mcnemarTest(
+      df: DataFrame,
+      predACol: String,
+      predBCol: String,
+      labelCol: String): DataFrame = {
+    val aOk = col(predACol) === col(labelCol)
+    val bOk = col(predBCol) === col(labelCol)
+    val cells = df.agg(
+      sum(when(aOk && bOk, 1L).otherwise(0L)).as("both_right"),
+      sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b_cell"),
+      sum(when(!aOk && bOk, 1L).otherwise(0L)).as("c_cell"),
+      sum(when(!aOk && !bOk, 1L).otherwise(0L)).as("both_wrong"))
+    val bD = col("b_cell").cast("double")
+    val cD = col("c_cell").cast("double")
+    val chi2 = round(
+      (abs(bD - cD) - lit(1.0)) * (abs(bD - cD) - lit(1.0)) / (bD + cD), 6)
+    cells.select(
+      col("both_right"),
+      col("b_cell"),
+      col("c_cell"),
+      col("both_wrong"),
+      when(col("b_cell") + col("c_cell") > 0, chi2).as("chi2"),
+      when(col("b_cell") + col("c_cell") > 0, normalTwoSidedP(sqrt(chi2))).as("p_value"))
+  }
+
   /** ℓ-diversity audit per quasi-identifier class (Machanavajjhala et al.
     * 2007 — the refinement k-anonymity misses: a class can be k-large yet
     * leak its sensitive value when all k rows share it): per QI class,

@@ -699,4 +699,47 @@ object Funnel {
         round(nab * nD / (col("n_ante").cast("double") * col("n_cons").cast("double")), 6)
           .as("lift"))
   }
+
+  /** Post-hoc power analysis of a two-proportion A/B design (the "could
+    * this experiment even have detected its own lift" sanity check, and
+    * the sample-size planner for the next one): from the observed
+    * per-variant conversion rates, observed_power = Φ(|p_a−p_b|/se − z_α)
+    * with the unpooled se, and n_required_per_arm for the target power =
+    * ⌈(z_α+z_β)²·(p_a(1−p_a)+p_b(1−p_b))/(p_a−p_b)²⌉. Φ reuses the
+    * engine-wide erfc polynomial (two-sided halves, sign-cased). Counts
+    * are exact integers from one conditional aggregation; every float is
+    * a fixed-order chain under round(·, 6) (the ceil runs on a grid-9
+    * snap so engines never straddle an integer boundary). Input: one row
+    * per subject with (variant 0/1, converted 0/1). */
+  def abPowerAnalysis(
+      assignments: DataFrame,
+      variantCol: String,
+      convertedCol: String,
+      zAlpha: Double = 1.959964,
+      zBeta: Double = 0.841621): DataFrame = {
+    val v = assignments.agg(
+      sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col(variantCol) === 0, col(convertedCol).cast("long")).otherwise(0L)).as("xa"),
+      sum(when(col(variantCol) === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col(variantCol) === 1, col(convertedCol).cast("long")).otherwise(0L)).as("xb"))
+    val pa = col("xa").cast("double") / col("na").cast("double")
+    val pb = col("xb").cast("double") / col("nb").cast("double")
+    val se = sqrt(pa * (lit(1.0) - pa) / col("na").cast("double")
+      + pb * (lit(1.0) - pb) / col("nb").cast("double"))
+    val zEff = abs(pa - pb) / se
+    // Phi(u) from the shared two-sided erfc polynomial: u >= 0 -> 1 - P(u)/2
+    def phi(u: org.apache.spark.sql.Column) =
+      when(u >= 0.0, lit(1.0) - DataQuality.normalTwoSidedP(u) / lit(2.0))
+        .otherwise(DataQuality.normalTwoSidedP(u) / lit(2.0))
+    val nReq = ceil(round(
+      lit((zAlpha + zBeta) * (zAlpha + zBeta)) *
+        (pa * (lit(1.0) - pa) + pb * (lit(1.0) - pb)) /
+        ((pa - pb) * (pa - pb)), 9)).cast("long")
+    v.select(
+      col("na"), col("xa"), col("nb"), col("xb"),
+      round(pa, 6).as("p_a"),
+      round(pb, 6).as("p_b"),
+      round(when(se > 0.0, phi(round(zEff - lit(zAlpha), 6))), 6).as("observed_power"),
+      when(se > 0.0 && abs(pa - pb) > 0.0, nReq).as("n_required_per_arm"))
+  }
 }

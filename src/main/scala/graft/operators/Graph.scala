@@ -1318,4 +1318,26 @@ object Graph {
     release(reach)
     materialized
   }
+
+  /** Condensation of a directed graph: collapse each SCC (from
+    * [[stronglyConnectedComponents]]) to one node and count the edges
+    * between distinct components — the acyclic "which state clusters feed
+    * which" DAG that is the usable summary of any cyclic transition graph
+    * (topological order exists on the condensation, never on the raw
+    * graph). One edge scan joined twice against the component map
+    * (component-count-sized, broadcast), then a component-pair rollup.
+    * Inherits the SCC operator's bounded-reach scope. */
+  def sccCondense(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val scc = stronglyConnectedComponents(edges, srcCol, dstCol)
+    val dir = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    dir
+      .join(broadcast(scc.select(col("id").as("u"), col("scc").as("scc_src"))), Seq("u"))
+      .join(broadcast(scc.select(col("id").as("v"), col("scc").as("scc_dst"))), Seq("v"))
+      .filter(col("scc_src") =!= col("scc_dst"))
+      .groupBy(col("scc_src"), col("scc_dst"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
 }

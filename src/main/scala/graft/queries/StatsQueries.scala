@@ -58,6 +58,41 @@ object StatsQueries {
     FROM t"""
   }
 
+  /** The event-type transition graph both directed-graph gates run on:
+    * distinct (previous type → type) edges per user journey, self-loops
+    * dropped. */
+  private def transitionEdges(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("event_type").as("v"), lag(col("event_type"), 1).over(w).as("u"))
+      .filter(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Shared SCC oracle prefix: the transition edge set, 3 unrolled
+    * reachability-doubling rounds (radius 8 ≥ the state-graph diameter)
+    * and the mutual-reachability min-label map — exposes CTEs `dir` and
+    * `scc` (the SQL replay of
+    * [[graft.operators.Graph.stronglyConnectedComponents]]). */
+  private def sccSql: String = {
+    def dbl(k: Int): String =
+      s"""r$k AS (SELECT x.u AS u, y.v AS v FROM r${k - 1} x JOIN r${k - 1} y ON y.u = x.v
+          UNION SELECT u, v FROM r${k - 1})"""
+    s"""
+    WITH seq AS (SELECT event_type AS v,
+                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS u
+                 FROM events),
+    dir AS (SELECT DISTINCT u, v FROM seq WHERE u IS NOT NULL AND u <> v),
+    nodes AS (SELECT u AS id FROM dir UNION SELECT v FROM dir),
+    r0 AS (SELECT id AS u, id AS v FROM nodes UNION SELECT u, v FROM dir),
+    ${dbl(1)}, ${dbl(2)}, ${dbl(3)},
+    scc AS (SELECT f.u AS id, MIN(f.v) AS scc
+            FROM r3 f JOIN r3 b ON b.u = f.v AND b.v = f.u
+            GROUP BY 1)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------- one-way ANOVA F
@@ -426,29 +461,62 @@ object StatsQueries {
     // Spark side stops at the same fix-point by row-count convergence.
     Q(
       "graph_scc",
+      Some(s"""
+        $sccSql
+        SELECT id, scc FROM scc
+      """)) { (spark, dir) =>
+      Graph.stronglyConnectedComponents(transitionEdges(spark, dir), "u", "v")
+    },
+
+    // ------------------------------------------- SCC condensation DAG
+    // Collapse each mutually-reachable state cluster to one node and
+    // count the edges between distinct clusters — the acyclic summary a
+    // topological read of the journey graph actually needs (no topo order
+    // exists on the raw cyclic graph). The instance is the PRE-CONVERSION
+    // funnel (transitions before a user's first purchase): purchase keeps
+    // its incoming edges but none outgoing, so it condenses to a sink
+    // component fed by the browsing cycle — a non-trivial DAG where the
+    // full journey graph is one giant SCC.
+    Q(
+      "graph_scc_condense",
       Some {
         def dbl(k: Int): String =
           s"""r$k AS (SELECT x.u AS u, y.v AS v FROM r${k - 1} x JOIN r${k - 1} y ON y.u = x.v
               UNION SELECT u, v FROM r${k - 1})"""
         s"""
         WITH seq AS (SELECT event_type AS v,
-                            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS u
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS u,
+                            COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_purchases
                      FROM events),
-        dir AS (SELECT DISTINCT u, v FROM seq WHERE u IS NOT NULL AND u <> v),
+        dir AS (SELECT DISTINCT u, v FROM seq
+                WHERE u IS NOT NULL AND u <> v AND prior_purchases = 0),
         nodes AS (SELECT u AS id FROM dir UNION SELECT v FROM dir),
         r0 AS (SELECT id AS u, id AS v FROM nodes UNION SELECT u, v FROM dir),
-        ${dbl(1)}, ${dbl(2)}, ${dbl(3)}
-        SELECT f.u AS id, MIN(f.v) AS scc
-        FROM r3 f JOIN r3 b ON b.u = f.v AND b.v = f.u
-        GROUP BY 1
+        ${dbl(1)}, ${dbl(2)}, ${dbl(3)},
+        scc AS (SELECT f.u AS id, MIN(f.v) AS scc
+                FROM r3 f JOIN r3 b ON b.u = f.v AND b.v = f.u
+                GROUP BY 1)
+        SELECT sa.scc AS scc_src, sb.scc AS scc_dst, COUNT(*) AS n_edges
+        FROM dir JOIN scc sa ON sa.id = dir.u JOIN scc sb ON sb.id = dir.v
+        WHERE sa.scc <> sb.scc
+        GROUP BY 1, 2
       """
       }) { (spark, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val edges = Tables(spark, dir).events
-        .select(col("event_type").as("v"), lag(col("event_type"), 1).over(w).as("u"))
-        .filter(col("u").isNotNull && col("u") =!= col("v"))
+        .select(
+          col("event_type").as("v"),
+          lag(col("event_type"), 1).over(w).as("u"),
+          coalesce(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("prior_purchases"))
+        .filter(col("u").isNotNull && col("u") =!= col("v") && col("prior_purchases") === 0L)
+        .select(col("u"), col("v"))
         .distinct()
-      Graph.stronglyConnectedComponents(edges, "u", "v")
+      Graph.sccCondense(edges, "u", "v")
     },
 
     // --------------------------------------------------- Friedman test
@@ -659,6 +727,107 @@ object StatsQueries {
         round(when(col("n_actual") > 0, r), 6).as("recall"),
         round(when(col("n_pred") > 0 && col("n_actual") > 0 && (p + r) > 0.0,
           lit(2.0) * p * r / (p + r)), 6).as("f1"))
+    },
+
+    // ------------------------------------------------ A/B power analysis
+    // "Could this experiment even have detected its own lift": observed
+    // power of the ab_ztest design at α=0.05 and the per-arm sample size
+    // an 80%-power rerun needs. Φ reuses the engine-wide erfc polynomial;
+    // the ceil runs on a grid-9 snap so engines never straddle an integer.
+    Q(
+      "events_ab_power",
+      Some {
+        val pa = "(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE))"
+        val pb = "(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        val se = s"sqrt($pa * (1.0 - $pa) / CAST(na AS DOUBLE) + $pb * (1.0 - $pb) / CAST(nb AS DOUBLE))"
+        val u  = s"round(abs($pa - $pb) / $se - 1.959964, 6)"
+        val pU = pNormalSql(u)
+        val phi = s"(CASE WHEN $u >= 0.0 THEN 1.0 - $pU / 2.0 ELSE $pU / 2.0 END)"
+        val nReq = s"""CAST(ceil(round((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                      * ($pa * (1.0 - $pa) + $pb * (1.0 - $pb))
+                      / (($pa - $pb) * ($pa - $pb)), 9)) AS BIGINT)"""
+        s"""
+        WITH u AS (SELECT user_id % 2 AS variant,
+                          CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted
+                   FROM events GROUP BY user_id),
+        w AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                     CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS xa,
+                     CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                     CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS xb
+              FROM u)
+        SELECT na, xa, nb, xb,
+               round($pa, 6) AS p_a, round($pb, 6) AS p_b,
+               round(CASE WHEN $se > 0.0 THEN $phi END, 6) AS observed_power,
+               CASE WHEN $se > 0.0 AND abs($pa - $pb) > 0.0 THEN $nReq END AS n_required_per_arm
+        FROM w
+      """
+      }) { (spark, dir) =>
+      val assignments = Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 15)
+            .cast("int").as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+      graft.operators.Funnel.abPowerAnalysis(assignments, "variant", "converted")
+    },
+
+    // -------------------------------------------------- McNemar's test
+    // Paired comparison of the two quality classifiers the engine already
+    // trains/serves (NB language model vs the linear surface-statistics
+    // scorer) on identical rows: only the discordant cells carry signal;
+    // χ²(1) = Z², so the p-value reuses the erfc polynomial on √χ².
+    Q(
+      "ml_mcnemar",
+      Some(s"""${graft.queries.TextQueries.nbScoresSql},
+        pred AS (SELECT doc_id, cls AS predicted
+                 FROM (SELECT doc_id, cls, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rk FROM sc)
+                 WHERE rk = 1),
+        lin AS (SELECT doc_id,
+                       round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                         -1.5
+                         + 8.0 * (CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+                                  / GREATEST(LENGTH(text), 1))
+                         + 3.0 * (CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                                  / GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1))
+                         + (-4.0) * (CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE)
+                                  / GREATEST(LENGTH(text), 1))
+                         + 0.25 * ln(CAST(1.0 AS DOUBLE) + LENGTH(text))
+                       ))), 6) AS quality_score
+                FROM documents),
+        paired AS (SELECT (p.predicted = 'en') AS pred_a,
+                          (l.quality_score >= 0.5) AS pred_b,
+                          (d.lang = 'en') AS label
+                   FROM pred p JOIN lin l ON l.doc_id = p.doc_id
+                   JOIN documents d ON d.doc_id = p.doc_id),
+        cells AS (SELECT CAST(SUM(CASE WHEN pred_a = label AND pred_b = label THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+                         CAST(SUM(CASE WHEN pred_a = label AND pred_b <> label THEN 1 ELSE 0 END) AS BIGINT) AS b_cell,
+                         CAST(SUM(CASE WHEN pred_a <> label AND pred_b = label THEN 1 ELSE 0 END) AS BIGINT) AS c_cell,
+                         CAST(SUM(CASE WHEN pred_a <> label AND pred_b <> label THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+                  FROM paired)
+        SELECT both_right, b_cell, c_cell, both_wrong,
+               CASE WHEN b_cell + c_cell > 0
+                    THEN round((abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+                               * (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+                               / (CAST(b_cell AS DOUBLE) + CAST(c_cell AS DOUBLE)), 6) END AS chi2,
+               CASE WHEN b_cell + c_cell > 0
+                    THEN ${pNormalSql("""sqrt(round((abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+                               * (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+                               / (CAST(b_cell AS DOUBLE) + CAST(c_cell AS DOUBLE)), 6))""")} END AS p_value
+        FROM cells
+      """)) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+      val nb = graft.operators.LanguageModel
+        .naiveBayesClassify(d, d, "doc_id", "text", "lang")
+        .select(col("doc_id"), (col("predicted") === "en").as("pred_a"))
+      val lin = graft.operators.Corpus
+        .linearQualityScore(d, "doc_id", "text",
+          wTokensPerChar = 8.0, wStopwordRatio = 3.0, wPunctRatio = -4.0,
+          wLogLen = 0.25, bias = -1.5)
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("pred_b"))
+      val paired = nb
+        .join(lin, Seq("doc_id"))
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("label")), Seq("doc_id"))
+      DataQuality.mcnemarTest(paired, "pred_a", "pred_b", "label")
     },
 
     // --------------------------------------- content-defined chunk dedup

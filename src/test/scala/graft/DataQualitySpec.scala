@@ -576,4 +576,22 @@ class DataQualitySpec extends SparkSpec {
     assert(b.getLong(1) == 4L && b.getLong(2) == 2L && b.getDouble(3) == 2.0)
     assert(!b.getBoolean(4) && !b.getBoolean(5), b.toString)
   }
+
+  test("mcnemarTest: only discordant cells carry signal; hand chi2 with continuity correction") {
+    import spark.implicits._
+    // b=6 (A right, B wrong), c=1 -> chi2 = (5-1)^2/7 = 16/7
+    val rows =
+      Seq.fill(6)((true, false, true)) ++ Seq((false, true, true)) ++
+        Seq.fill(2)((true, true, true)) ++ Seq((false, false, true))
+    val df = rows.toDF("pred_a", "pred_b", "label")
+    val r = DataQuality.mcnemarTest(df, "pred_a", "pred_b", "label").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 6L, 1L, 1L)))
+    assert(r.getDouble(4) == 2.285714, r.toString)
+    assert(r.getDouble(5) > 0.12 && r.getDouble(5) < 0.14, r.toString)
+    // all concordant: undefined, NULL not NaN
+    val agree = Seq((true, true, true), (false, false, true)).toDF("pred_a", "pred_b", "label")
+    val a = DataQuality.mcnemarTest(agree, "pred_a", "pred_b", "label").collect().head
+    assert(a.isNullAt(4) && a.isNullAt(5), a.toString)
+  }
+
 }

@@ -308,4 +308,23 @@ class FunnelSpec extends SparkSpec {
     assert(out.size == 6, out.keys.toString) // 3 undirected pairs, both directions
   }
 
+
+  test("abPowerAnalysis: hand-computed power and required n; zero lift yields alpha/2 power") {
+    import spark.implicits._
+    // pa=0.8, pb=0.2 over 100/arm: z_eff = 0.6/sqrt(0.0032) = 10.6,
+    // power saturates at 1.0; n_req = ceil(7.848878*0.32/0.36) = 7
+    val strong = (0 until 100).flatMap(i => Seq((0, if (i < 80) 1 else 0), (1, if (i < 20) 1 else 0)))
+      .toDF("variant", "converted")
+    val s = Funnel.abPowerAnalysis(strong, "variant", "converted").collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == ((100L, 80L, 100L, 20L)))
+    assert(s.getDouble(4) == 0.8 && s.getDouble(5) == 0.2)
+    assert(s.getDouble(6) == 1.0, s.toString)
+    assert(s.getLong(7) == 7L, s.toString)
+    // zero observed lift: power collapses to the alpha/2 floor, n undefined
+    val flat = (0 until 100).flatMap(i => Seq((0, i % 2), (1, i % 2))).toDF("variant", "converted")
+    val f = Funnel.abPowerAnalysis(flat, "variant", "converted").collect().head
+    assert(math.abs(f.getDouble(6) - 0.025) < 0.001, f.toString)
+    assert(f.isNullAt(7), f.toString)
+  }
+
 }

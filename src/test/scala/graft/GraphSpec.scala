@@ -531,4 +531,17 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), m.toString)
   }
+
+  test("sccCondense: two 2-cycles and a pendant collapse to a 3-node DAG") {
+    import spark.implicits._
+    // {1,2} -> {3,4} via 2->3; {1,2} -> {5} via 2->5
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L), (2L, 5L)).toDF("s", "d")
+    val got = Graph.sccCondense(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 3L) -> 1L, (1L, 5L) -> 1L), got.toString)
+    // a single SCC condenses to nothing
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    assert(Graph.sccCondense(cycle, "s", "d").count() == 0L)
+  }
+
 }
