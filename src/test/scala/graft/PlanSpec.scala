@@ -465,6 +465,32 @@ class PlanSpec extends SparkSpec {
       s"events must be scanned once, at the materialized rollup:\n$dtw")
   }
 
+  test("session-2 rows keep their plan contracts: narrow scans, partial aggs, broadcast sides") {
+    // burstiness: one corpus scan; term-keyed aggregations partial-combine
+    val burst = planOf("text_burstiness")
+    assert("FileScan".r.findAllIn(burst).length <= 2, s"bounded scans:\n$burst")
+    assert("HashAggregate".r.findAllIn(burst).length >= 2, s"map-side combine:\n$burst")
+    // CDC chunking: the split is row-local; the only shuffle is the
+    // chunk-hash rollup (plus AQE coalesce)
+    val cdc = planOf("dedup_cdc_chunks")
+    assert("FileScan".r.findAllIn(cdc).length == 1, s"one scan:\n$cdc")
+    assert("Exchange hashpartitioning".r.findAllIn(cdc).length <= 1,
+      s"only the chunk-hash rollup may shuffle:\n$cdc")
+    // association rules: the per-type and basket-count sides broadcast
+    // into the pair frame — no pair-keyed sort-merge anywhere
+    val ar = planOf("events_assoc_rules")
+    assert(ar.contains("BroadcastHashJoin") || ar.contains("BroadcastNestedLoopJoin"),
+      s"bounded sides must broadcast:\n$ar")
+    assert(!ar.contains("SortMergeJoin"), s"no pair-keyed sort-merge:\n$ar")
+    // stats battery: single-pass conditional aggregation, no joins at all
+    val jb = planOf("quality_jarque_bera")
+    assert("FileScan".r.findAllIn(jb).length == 1 && !jb.contains("Join"),
+      s"one-pass moment aggregation:\n$jb")
+    // ROC AUC: the score histogram is the only data-sized aggregation
+    val auc = planOf("ml_roc_auc")
+    assert("FileScan".r.findAllIn(auc).length == 1, s"one scan:\n$auc")
+  }
+
   test("joinWithStats: published ANALYZE stats pick broadcast under threshold, forbid it above") {
     import graft.sources.{Catalog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft-planspec-cat").toString
