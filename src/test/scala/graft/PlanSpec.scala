@@ -470,12 +470,13 @@ class PlanSpec extends SparkSpec {
     val burst = planOf("text_burstiness")
     assert("FileScan".r.findAllIn(burst).length <= 2, s"bounded scans:\n$burst")
     assert("HashAggregate".r.findAllIn(burst).length >= 2, s"map-side combine:\n$burst")
-    // CDC chunking: the split is row-local; the only shuffle is the
-    // chunk-hash rollup (plus AQE coalesce)
+    // CDC chunking: the split is row-local; the only shuffles are the
+    // chunk-hash rollup's two distinct-agg phases (count(distinct doc)
+    // legitimately shuffles (key, doc) partials then the key rollup)
     val cdc = planOf("dedup_cdc_chunks")
     assert("FileScan".r.findAllIn(cdc).length == 1, s"one scan:\n$cdc")
-    assert("Exchange hashpartitioning".r.findAllIn(cdc).length <= 1,
-      s"only the chunk-hash rollup may shuffle:\n$cdc")
+    assert("Exchange hashpartitioning".r.findAllIn(cdc).length <= 2,
+      s"only the chunk-hash distinct-agg phases may shuffle:\n$cdc")
     // association rules: the per-type and basket-count sides broadcast
     // into the pair frame — no pair-keyed sort-merge anywhere
     val ar = planOf("events_assoc_rules")
