@@ -93,7 +93,79 @@ object StatsQueries {
             GROUP BY 1)"""
   }
 
+  /** DuckDB replay of [[graft.operators.Layout.zoneMapAuditHilbert]]: the
+    * Morton OR-chain and lex key as in the zorder oracle, plus the Hilbert
+    * index as `bits` unrolled state-machine CTE levels — each level reads
+    * the previous level's (st, d) and the ORIGINAL x/y bits, exactly like
+    * the operator's linear fold; digit/next tables are the same literal
+    * lists, 1-indexed on both engines. */
+  private def hilbertPruneSql(
+      bits: Int, bucketBits: Int, x0: Long, x1: Long, y0: Long, y1: Long): String = {
+    val mask  = (1L << bits) - 1
+    val shift = 2 * bits - bucketBits
+    val dTab  = "[0,1,3,2,2,3,1,0,0,3,1,2,2,1,3,0]"
+    val nTab  = "[2,0,3,0,1,2,1,3,0,1,2,2,3,3,0,1]"
+    val inter = ((0 until bits).map(i => s"(((x >> $i) & 1) << ${2 * i})") ++
+      (0 until bits).map(i => s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    val levels = (bits - 1 to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val key = s"CAST(st * 4 + (((x >> $i) & 1) * 2 + ((y >> $i) & 1)) + 1 AS INTEGER)"
+      s"""h${k + 1} AS (SELECT x, y, hit, b_zorder, b_lex,
+            d * 4 + ($dTab)[$key] AS d, ($nTab)[$key] AS st FROM h$k)"""
+    }.mkString(",\n")
+    def grp(bCol: String, alias: String) =
+      s"""$alias AS (SELECT $bCol AS b, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y,
+             MAX(y) AS max_y, COUNT(*) AS n_rows,
+             SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit
+          FROM hk GROUP BY 1)"""
+    def arm(src: String, name: String) =
+      s"""SELECT '$name' AS layout, COUNT(*) AS n_buckets,
+            CAST(SUM(CASE WHEN min_x <= $x1 AND max_x >= $x0 AND min_y <= $y1 AND max_y >= $y0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+            CAST(SUM(CASE WHEN min_x <= $x1 AND max_x >= $x0 AND min_y <= $y1 AND max_y >= $y0
+                          THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_touched,
+            CAST(SUM(n_hit) AS BIGINT) AS rows_matching
+          FROM $src"""
+    s"""WITH base AS (SELECT (o_custkey & $mask) AS x,
+                             (date_diff('day', DATE '1992-01-01', o_orderdate) & $mask) AS y
+                      FROM orders),
+       h0 AS (SELECT x, y,
+                     (($inter) >> $shift) AS b_zorder,
+                     (((x << $bits) | y) >> $shift) AS b_lex,
+                     (x BETWEEN $x0 AND $x1 AND y BETWEEN $y0 AND $y1) AS hit,
+                     CAST(0 AS BIGINT) AS st, CAST(0 AS BIGINT) AS d
+              FROM base),
+       $levels,
+       hk AS (SELECT x, y, hit, b_zorder, b_lex, (d >> $shift) AS b_hilbert FROM h$bits),
+       ${grp("b_hilbert", "ah")},
+       ${grp("b_zorder", "az")},
+       ${grp("b_lex", "al")}
+       SELECT * FROM (${arm("ah", "hilbert")} UNION ALL ${arm("az", "zorder")}
+                      UNION ALL ${arm("al", "lex")})
+       ORDER BY layout"""
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ------------------------------------------ Hilbert zone-map pruning
+    // The three-way read-amplification shoot-out (hilbert vs zorder vs
+    // lex) on the same (custkey, order-day) instance as
+    // layout_zorder_prune: Hilbert's adjacent-step property keeps bucket
+    // bounding boxes tighter, so a 2-D range predicate touches fewer
+    // zone-map buckets — the clustering-key decision a 100 TB lake owner
+    // actually faces. Exact integer counts end to end; the Hilbert index
+    // is a 4-state machine over quadrant digits (linear-size codegen'd
+    // expression; LayoutSpec pins it exhaustively against textbook xy2d).
+    Q(
+      "layout_hilbert_prune",
+      Some(hilbertPruneSql(bits = 14, bucketBits = 10, x0 = 50L, x1 = 2000L, y0 = 300L, y1 = 1500L))) {
+      (spark, dir) =>
+        val prepared = Tables(spark, dir).orders.select(
+          col("o_custkey").as("ck"),
+          datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).as("dayn"))
+        graft.operators.Layout.zoneMapAuditHilbert(
+          prepared, "ck", "dayn", bits = 14, bucketBits = 10,
+          x0 = 50L, x1 = 2000L, y0 = 300L, y1 = 1500L)
+    },
 
     // ------------------------------------------------- one-way ANOVA F
     // Mean-shift screen across the returnflag segments on quantity — the

@@ -33,4 +33,52 @@ class LayoutSpec extends SparkSpec {
     assert(r("zorder") == ((16L, 1L, 64L, 64L)), r.toString)
     assert(r("lex") == ((16L, 4L, 256L, 64L)), r.toString)
   }
+
+  test("hValue equals textbook xy2d exhaustively; consecutive indexes are grid-adjacent") {
+    import spark.implicits._
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 6
+    val n    = 1 << bits
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = grid.select(col("x"), col("y"), Layout.hValue(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (x <- 0 until n; y <- 0 until n)
+      assert(got((x.toLong, y.toLong)) == xy2d(n, x, y), s"($x,$y)")
+    // the curve property z-order lacks: every step moves to an ADJACENT cell
+    val byD = got.toSeq.map { case ((x, y), d) => d -> ((x, y)) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until n.toLong * n).toSeq, "bijection onto 0..n^2-1")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"non-adjacent step at ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("zoneMapAuditHilbert: hilbert never reads more than lex on an aligned square, all arms agree on truth") {
+    import spark.implicits._
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)).toDF("x", "y")
+    val r = Layout.zoneMapAuditHilbert(grid, "x", "y", bits = 5, bucketBits = 4,
+      x0 = 0L, x1 = 7L, y0 = 0L, y1 = 7L)
+      .collect().map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))).toMap
+    // the aligned 8x8 square is exactly one quadrant-of-quadrant: hilbert,
+    // like zorder, isolates it in ONE bucket; lex smears it across 4
+    assert(r("hilbert") == ((16L, 1L, 64L, 64L)), r.toString)
+    assert(r("zorder") == ((16L, 1L, 64L, 64L)), r.toString)
+    assert(r("lex") == ((16L, 4L, 256L, 64L)), r.toString)
+    assert(r.values.map(_._4).toSet.size == 1, "rows_matching is layout-independent")
+  }
+
 }
