@@ -905,6 +905,46 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** Walsh–Hadamard perceptual hash — the pHash idea (low-frequency
+    * transform coefficients thresholded at their median) with the DCT
+    * swapped for the 8×8 Walsh–Hadamard transform, whose ±1 basis keeps
+    * every coefficient an EXACT integer (DCT cosines would reopen the
+    * cross-engine trig-parity hole the engine refuses everywhere else):
+    * coeff(u,v) = Σ p(y,x)·(−1)^{bc(u∧x)+bc(v∧y)} over the 8×8 resample,
+    * for the 15 lowest-index AC pairs u,v ∈ [0,4)², bit k = coeff >
+    * median(AC) — brightness shifts move only the DC term, so the hash is
+    * invariant to them BY CONSTRUCTION (MultimodalSpec pins it), while
+    * dhash only survives monotone gradients. Same hamming/banding
+    * machinery downstream. Returns (media_id, wht_hash, ac_median). */
+  def whtHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    resizeNearest(media, tw = 8, th = 8)
+      .map { r =>
+        val p = Array.tabulate(64)(i => (r.pixels(i) & 0xff).toLong)
+        val coeffs = (for { u <- 0 until 4; v <- 0 until 4; if u != 0 || v != 0 } yield {
+          var s = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val neg = (Integer.bitCount(u & x) + Integer.bitCount(v & y)) % 2 == 1
+              s += (if (neg) -p(y * 8 + x) else p(y * 8 + x))
+              x += 1
+            }
+            y += 1
+          }
+          s
+        }).toArray
+        val med = coeffs.sorted.apply(7) // the 8th smallest of 15
+        var h = 0L
+        var k = 0
+        while (k < 15) { if (coeffs(k) > med) h |= 1L << k; k += 1 }
+        (r.mediaId, h, med)
+      }
+      .toDF("media_id", "wht_hash", "ac_median")
+  }
+
   /** Haitsma-Kalker-style AUDIO perceptual fingerprint — the WAV sibling
     * of [[dhash]]: the channel-summed 16-bit PCM signal is cut into
     * `segments` equal frame ranges, each range's energy is the exact

@@ -2700,6 +2700,49 @@ object PipelineQueries {
       Multimodal.dhash(media)
     },
 
+    // Walsh-Hadamard perceptual hash (the pHash idea with the DCT swapped
+    // for the ±1-basis WHT so every coefficient stays an EXACT integer —
+    // no cross-engine trig): 15 low-index AC coefficients of the 8×8
+    // resample, thresholded at their median (the 8th order statistic,
+    // well-defined under ties), packed into 15 bits. Brightness shifts
+    // move only the DC term, so the hash ignores them by construction.
+    // Oracle: the proven resize/pixel replay, a 15-row (u,v) frame with
+    // bit_count-parity signs, a row_number 8th-smallest median, and a
+    // power-of-two bit pack.
+    Q(
+      "multimodal_wht_hash",
+      Some("""
+        WITH m AS (SELECT doc_id AS media_id, text AS body, octet_length(encode(text)) AS nb,
+                          greatest(octet_length(encode(text)), 1) AS n FROM documents),
+        g AS (SELECT *, greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS sw FROM m),
+        hh AS (SELECT *, (n + sw - 1) // sw AS sh FROM g),
+        px AS (SELECT media_id, y, x, ((y * sh) // 8) * sw + ((x * sw) // 8) AS idx, body, nb
+               FROM hh, range(0, 8) ty(y), range(0, 8) tx(x)),
+        pv AS (SELECT media_id, y, x,
+                      CASE WHEN idx < nb THEN ord(substring(body, CAST(idx + 1 AS INT), 1)) ELSE 0 END AS p
+               FROM px),
+        uv AS (SELECT u, v, u * 4 + v - 1 AS k FROM range(0, 4) tu(u), range(0, 4) tv(v)
+               WHERE NOT (u = 0 AND v = 0)),
+        co AS (SELECT media_id, k,
+                      CAST(SUM(CASE WHEN (bit_count(CAST(u & x AS BIGINT)) + bit_count(CAST(v & y AS BIGINT))) % 2 = 0
+                               THEN p ELSE -p END) AS BIGINT) AS c
+               FROM pv, uv GROUP BY 1, 2),
+        med AS (SELECT media_id, c AS ac_median
+                FROM (SELECT media_id, c, row_number() OVER (PARTITION BY media_id ORDER BY c) AS rn FROM co)
+                WHERE rn = 8)
+        SELECT co.media_id,
+               CAST(SUM(CASE WHEN c > ac_median THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS wht_hash,
+               MIN(ac_median) AS ac_median
+        FROM co JOIN med ON med.media_id = co.media_id
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val media = Multimodal.ingest(
+        Tables(spark, dir).documents
+          .select(col("doc_id"), lit("image").as("kind"), col("text").cast("binary").as("payload")),
+        "doc_id", "kind", "payload")
+      Multimodal.whtHash(media)
+    },
+
     // Nearest-neighbor resize to a fixed 16x16 grid. The stub "decode"
     // treats the payload as a row-major ~square gray image (sw=floor(sqrt n),
     // sh=ceil(n/sw)) and the resize picks payload[(y*sh/16)*sw + (x*sw/16)]

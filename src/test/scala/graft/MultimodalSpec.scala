@@ -365,4 +365,30 @@ class MultimodalSpec extends SparkSpec {
       codec.decode(9L, "image", Array[Byte](1, 2, 3, 4)))
     assert(e.getMessage.contains("ffmpeg exit") || e.getMessage.contains("no samples"), e.getMessage)
   }
+
+  test("whtHash: hand-computed two-pixel case, brightness-shift invariant, constant image hashes 0") {
+    import spark.implicits._
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.ingest(
+        rows.toDF("id", "p").select(col("id"), lit("image").as("kind"), col("p").as("payload")),
+        "id", "kind", "payload")
+    // 64-byte payloads sample to the identity 8x8 grid (sw = sh = 8)
+    // single bright pixel at (y=0, x=1): coeff(u,v) = B*(-1)^bc(u&1) ->
+    // +B for u in {0,2} (7 AC pairs, k = 0,1,2,7,8,9,10), -B for u odd (8
+    // pairs); median = -B; bits set exactly on the +B ks -> 1927
+    val twoPix = Array.tabulate(64)(i => if (i == 1) 200.toByte else 0.toByte)
+    val flat   = Array.fill(64)(77.toByte)
+    val base   = Array.tabulate(64)(i => ((i * 37 + 11) % 180).toByte)
+    val shifted = base.map(b => (b + 40).toByte)
+    val other  = Array.tabulate(64)(i => ((i * 53 + 7) % 180).toByte)
+    val h = Multimodal.whtHash(mediaOf(Seq(
+        (1L, twoPix), (2L, flat), (3L, base), (4L, shifted), (5L, other))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h(1L) == ((1927L, -200L)), h(1L).toString)
+    assert(h(2L) == ((0L, 0L)), "constant image: every AC coefficient is 0")
+    // brightness shift moves ONLY the DC coefficient: hash AND median equal
+    assert(h(3L) == h(4L), s"${h(3L)} vs ${h(4L)}")
+    assert(h(3L)._1 != h(5L)._1, "distinct images diverge")
+  }
+
 }
