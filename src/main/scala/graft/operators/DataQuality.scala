@@ -1608,6 +1608,83 @@ object DataQuality {
       round(when(col("n_pos") > 0 && col("n_neg") > 0, lit(2.0) * auc - lit(1.0)), 6).as("gini"))
   }
 
+  /** Murphy decomposition of the Brier score over binned forecasts — the
+    * calibration-vs-sharpness read of a probabilistic classifier (Murphy
+    * 1973): with forecasts on an integer grid f = s/scale binned by
+    * ⌊s/binWidth⌋, BS = REL − RES + UNC + WBV, where REL = Σn_b(f̄_b−ȳ_b)²/N
+    * (calibration error — smaller is better), RES = Σn_b(ȳ_b−ȳ)²/N
+    * (sharpness — larger is better), UNC = ȳ(1−ȳ) (the data's own
+    * irreducible term), and the two within-bin terms that close the
+    * identity for raw (unbinned) forecasts under COARSE bins (Stephenson
+    * et al. 2008): WBV = ΣΣ(f_i−f̄_b)²/N and WBC = ΣΣ(f_i−f̄_b)(y_i−ȳ_b)/N,
+    * with BS = REL − RES + UNC + WBV − 2·WBC. The raw BS itself is ONE exact
+    * integer: Σ(s − scale·y)²/(scale²·N). Per-bin REL/RES/WBV terms snap to
+    * the 1e-12 grid before exact decimal sums (the engine's fixed-order
+    * contract); every emitted float rounds at 6. One bin-keyed aggregation
+    * (bin-count-sized after), no joins on data. */
+  def brierDecompose(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      scale: Int,
+      binWidth: Int): DataFrame = {
+    require(scale >= 2 && binWidth >= 1 && binWidth <= scale,
+      s"need scale >= 2 and 1 <= binWidth <= scale, got $scale/$binWidth")
+    val dec12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pool = df.select(col(scoreCol).cast("long").as("s"), col(labelCol).cast("long").as("y"))
+    val bins = pool
+      .groupBy((col("s") / binWidth).cast("long").as("b"))
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(col("s")).cast(dec38).as("sb"),
+        sum(col("y")).as("yb"),
+        sum(col("s") * col("s")).cast(dec38).as("ssb"),
+        sum(col("s") * col("y")).cast(dec38).as("syb"))
+    val tot = bins.agg(
+      sum(col("nb")).as("n"),
+      sum(col("yb")).as("ytot"),
+      (sum(col("ssb")).cast(dec38).cast("double") -
+        lit(2.0 * scale) * sum(col("syb")).cast(dec38).cast("double") +
+        lit(scale.toDouble * scale) * sum(col("yb")).cast("double")).as("sq_num"))
+    val nbD   = col("nb").cast("double")
+    val fbar  = col("sb").cast("double") / (nbD * scale)
+    val ybarB = col("yb").cast("double") / nbD
+    val ybar  = col("ytot").cast("double") / col("n").cast("double")
+    val terms = bins
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("ytot")).as("ytot"),
+        first(col("sq_num")).as("sq_num"),
+        sum(round(nbD * (fbar - ybarB) * (fbar - ybarB), 12).cast(dec12)).cast(dec12).as("rel12"),
+        sum(round(nbD * (ybarB - ybar) * (ybarB - ybar), 12).cast(dec12)).cast(dec12).as("res12"),
+        sum(
+          round(
+            (col("ssb").cast("double") -
+              col("sb").cast("double") * col("sb").cast("double") / nbD) /
+              (scale.toDouble * scale),
+            12).cast(dec12)).cast(dec12).as("wbv12"),
+        sum(
+          round(
+            (col("syb").cast("double") -
+              col("sb").cast("double") * col("yb").cast("double") / nbD) /
+              scale.toDouble,
+            12).cast(dec12)).cast(dec12).as("wbc12"),
+        count(lit(1)).as("n_bins"))
+    val nD = col("n").cast("double")
+    terms
+      .select(
+        col("n"),
+        col("n_bins"),
+        round(col("sq_num") / (lit(scale.toDouble * scale) * nD), 6).as("brier"),
+        round(col("rel12").cast("double") / nD, 6).as("reliability"),
+        round(col("res12").cast("double") / nD, 6).as("resolution"),
+        round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"),
+        round(col("wbv12").cast("double") / nD, 6).as("within_bin_var"),
+        round(col("wbc12").cast("double") / nD, 6).as("within_bin_cov"))
+  }
+
   /** McNemar's paired test between two classifiers scored on the SAME rows
     * (Edwards' continuity-corrected form) — the right comparison when both
     * models saw identical inputs, where an unpaired test wastes the

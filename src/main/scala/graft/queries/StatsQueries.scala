@@ -843,6 +843,51 @@ object StatsQueries {
       graft.operators.Funnel.abPowerAnalysis(assignments, "variant", "converted")
     },
 
+    // ------------------------------------------- Brier decomposition
+    // Murphy's calibration-vs-sharpness split of the length-proxy score
+    // against the lang=en label (the same pairing the isotonic and AUC
+    // rows read): BS = REL − RES + UNC + WBV − 2·WBC (the coarse-bin
+    // identity incl. both within-bin terms), raw BS as ONE exact integer
+    // ratio, per-bin terms on the 1e-12 grid.
+    Q(
+      "ml_brier_decompose",
+      Some {
+        val fbar  = "(CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000))"
+        val ybarB = "(CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        val ybar  = "(CAST(ytot AS DOUBLE) / CAST(n AS DOUBLE))"
+        s"""
+        WITH pool AS (SELECT n_chars % 1000 AS s, CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+        bins AS (SELECT s // 50 AS b, COUNT(*) AS nb, CAST(SUM(s) AS HUGEINT) AS sb,
+                        CAST(SUM(y) AS BIGINT) AS yb,
+                        SUM(CAST(s AS HUGEINT) * s) AS ssb, SUM(CAST(s AS HUGEINT) * y) AS syb
+                 FROM pool GROUP BY 1),
+        tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(yb) AS BIGINT) AS ytot,
+                       CAST(SUM(ssb) AS DOUBLE) - 2000.0 * CAST(SUM(syb) AS DOUBLE)
+                         + 1000000.0 * CAST(SUM(yb) AS DOUBLE) AS sq_num
+                FROM bins),
+        trm AS (SELECT MIN(n) AS n, MIN(ytot) AS ytot, MIN(sq_num) AS sq_num,
+                       CAST(SUM(CAST(round(CAST(nb AS DOUBLE) * ($fbar - $ybarB) * ($fbar - $ybarB), 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS rel12,
+                       CAST(SUM(CAST(round(CAST(nb AS DOUBLE) * ($ybarB - $ybar) * ($ybarB - $ybar), 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS res12,
+                       CAST(SUM(CAST(round((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (1000.0 * 1000), 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS wbv12,
+                       CAST(SUM(CAST(round((CAST(syb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE)) / 1000.0, 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS wbc12,
+                       COUNT(*) AS n_bins
+                FROM bins, tot)
+        SELECT n, n_bins,
+               round(sq_num / (1000000.0 * CAST(n AS DOUBLE)), 6) AS brier,
+               round(CAST(rel12 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS reliability,
+               round(CAST(res12 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resolution,
+               round($ybar * (1.0 - $ybar), 6) AS uncertainty,
+               round(CAST(wbv12 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS within_bin_var,
+               round(CAST(wbc12 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS within_bin_cov
+        FROM trm
+      """
+      }) { (spark, dir) =>
+      val scored = Tables(spark, dir).documents.select(
+        (col("n_chars") % 1000).as("score"),
+        (col("lang") === "en").cast("long").as("y"))
+      DataQuality.brierDecompose(scored, "score", "y", scale = 1000, binWidth = 50)
+    },
+
     // -------------------------------------------------- McNemar's test
     // Paired comparison of the two quality classifiers the engine already
     // trains/serves (NB language model vs the linear surface-statistics

@@ -594,4 +594,32 @@ class DataQualitySpec extends SparkSpec {
     assert(a.isNullAt(4) && a.isNullAt(5), a.toString)
   }
 
+
+  test("brierDecompose: Murphy identity closes, perfect forecasts score 0, constant forecast has zero resolution") {
+    import spark.implicits._
+    // mixed-calibration toy: scale 10, bin width 5 (2 bins)
+    val rows = Seq(
+      (1, 0), (1, 0), (2, 1), (3, 0),      // low bin
+      (8, 1), (8, 1), (9, 0), (9, 1)       // high bin
+    ).toDF("s", "y")
+    val r = DataQuality.brierDecompose(rows, "s", "y", scale = 10, binWidth = 5).collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L)
+    val (bs, rel, res, unc, wbv, wbc) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    // the coarse-bin Murphy identity BS = REL - RES + UNC + WBV - 2*WBC
+    assert(math.abs(bs - (rel - res + unc + wbv - 2 * wbc)) < 1e-5, r.toString)
+    assert(wbc == -0.003125, r.toString) // hand: (0.025 - 0.05)/8
+    assert(res > 0.0 && unc == 0.25, r.toString) // ybar = 1/2
+    // perfect sharp forecasts: BS = 0, REL = 0, RES = UNC
+    val perfect = Seq((0, 0), (0, 0), (10, 1), (10, 1)).toDF("s", "y")
+    val p = DataQuality.brierDecompose(perfect, "s", "y", scale = 10, binWidth = 5).collect().head
+    assert(p.getDouble(2) == 0.0 && p.getDouble(3) == 0.0, p.toString)
+    assert(p.getDouble(4) == p.getDouble(5), p.toString)
+    // one constant forecast value: RES = 0 and WBV = 0 by construction
+    val const = Seq((5, 0), (5, 1), (5, 1), (5, 0)).toDF("s", "y")
+    val c = DataQuality.brierDecompose(const, "s", "y", scale = 10, binWidth = 5).collect().head
+    assert(c.getDouble(4) == 0.0 && c.getDouble(6) == 0.0 && c.getDouble(7) == 0.0, c.toString)
+    assert(c.getDouble(2) == 0.25 && c.getDouble(3) == 0.0, c.toString) // f=0.5 vs ybar=0.5
+  }
+
 }
