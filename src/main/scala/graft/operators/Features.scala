@@ -258,4 +258,80 @@ object Features {
     rows.toDF("group_key", "n", "beta0", "beta1", "beta2")
       .orderBy(col("group_key"))
   }
+
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018) —
+    * the distribution-free uncertainty wrapper every served model needs:
+    * fit on the TRAIN split, take q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual on the CALIBRATION split, and ŷ ± q̂ then covers a
+    * fresh point with probability ≥ 1−α, no matter how wrong the model is.
+    * The TEST split reports the realized coverage and the interval width —
+    * the honesty check on the guarantee.
+    *
+    * Determinism/exactness: the model is the simple-OLS closed form from
+    * exact integer moments with slope/intercept snapped to the 1e-9 grid;
+    * residuals |y − (a + b·x)| snap to 1e-6, so the calibration quantile is
+    * an EXACT order statistic over grid values (cumulative distinct-value
+    * counts — the Brown–Forsythe median machinery at arbitrary rank) and
+    * coverage is an exact integer ratio. Splits come from a caller-supplied
+    * integer column mod 3 (0 train / 1 calib / 2 test). One scan fans into
+    * three split-filtered aggregations; the model and q̂ are one-row
+    * broadcast frames. */
+  def conformalInterval(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      splitCol: Column,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val W     = org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"),
+      pmod(splitCol.cast("long"), lit(3L)).as("split"))
+    val train = base.filter(col("split") === 0L)
+    val model = train.agg(
+      count(lit(1)).as("n_train"),
+      sum(col("x")).cast(dec38).as("sx"),
+      sum(col("y")).cast(dec38).as("sy"),
+      sum(col("x") * col("x")).cast(dec38).as("sxx"),
+      sum(col("x") * col("y")).cast(dec38).as("sxy"))
+    val nT  = col("n_train").cast("double")
+    val den = nT * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val b   = round((nT * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) / den, 9)
+    val a   = round((col("sy").cast("double") - b * col("sx").cast("double")) / nT, 9)
+    val fitted = model.select(col("n_train"), a.as("a"), b.as("b"))
+    def resid = round(abs(col("y").cast("double") - (col("a") + col("b") * col("x").cast("double"))), 6)
+    val calib = base.filter(col("split") === 1L)
+      .crossJoin(broadcast(fitted))
+      .select(resid.as("r"))
+    val hist = calib.groupBy(col("r")).agg(count(lit(1)).as("c"))
+    val cum = hist.select(
+      col("r"),
+      sum(col("c")).over(W.orderBy(col("r")).rowsBetween(W.unboundedPreceding, W.currentRow)).as("cum"),
+      sum(col("c")).over(W.partitionBy()).as("n_calib"))
+    val qHat = cum
+      .filter(col("cum") >= ceil((col("n_calib") + 1).cast("double") * lit(1.0 - alpha)))
+      .agg(min(col("r")).as("q_hat"), max(col("n_calib")).as("n_calib"))
+    val test = base.filter(col("split") === 2L)
+      .crossJoin(broadcast(fitted))
+      .crossJoin(broadcast(qHat))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(resid <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"),
+        first(col("n_train")).as("n_train"),
+        first(col("n_calib")).as("n_calib"),
+        first(col("a")).as("a"),
+        first(col("b")).as("b"),
+        first(col("q_hat")).as("q_hat"))
+    test.select(
+      col("n_train"),
+      col("n_calib"),
+      col("n_test"),
+      col("a").as("intercept"),
+      col("b").as("slope"),
+      col("q_hat"),
+      round(col("n_covered").cast("double") / col("n_test").cast("double"), 6).as("coverage_test"),
+      round(lit(2.0) * col("q_hat"), 6).as("interval_width"))
+  }
 }

@@ -843,6 +843,60 @@ object StatsQueries {
       graft.operators.Funnel.abPowerAnalysis(assignments, "variant", "converted")
     },
 
+    // -------------------------------------- split-conformal interval
+    // Distribution-free prediction intervals around the quantity→price
+    // OLS fit: q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration residual
+    // (an exact order statistic over grid-6 values), realized coverage
+    // reported on the held-out third — the uncertainty wrapper a served
+    // model ships with, guarantee first, honesty check second.
+    Q(
+      "ml_conformal_interval",
+      Some {
+        val res = "round(abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))), 6)"
+        s"""
+        WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                             (l_orderkey + l_linenumber) % 3 AS split
+                      FROM lineitem),
+        m AS (SELECT COUNT(*) AS n_train, CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+              FROM base WHERE split = 0),
+        f AS (SELECT n_train,
+                     round((CAST(n_train AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS b,
+                     sy, sx
+              FROM m),
+        f2 AS (SELECT n_train, b,
+                      round((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n_train AS DOUBLE), 9) AS a
+               FROM f),
+        cal AS (SELECT $res AS r FROM base, f2 WHERE split = 1),
+        hist AS (SELECT r, COUNT(*) AS c FROM cal GROUP BY 1),
+        cum AS (SELECT r,
+                       SUM(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(c) OVER () AS n_calib
+                FROM hist),
+        q AS (SELECT MIN(r) AS q_hat, MAX(n_calib) AS n_calib FROM cum
+              WHERE cum >= ceil(CAST(n_calib + 1 AS DOUBLE) * 0.9)),
+        t AS (SELECT COUNT(*) AS n_test,
+                     CAST(SUM(CASE WHEN $res <= q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
+                     MIN(f2.n_train) AS n_train, MIN(q.n_calib) AS n_calib,
+                     MIN(a) AS a, MIN(b) AS b, MIN(q_hat) AS q_hat
+              FROM base, f2, q WHERE split = 2)
+        SELECT CAST(n_train AS BIGINT) AS n_train, CAST(n_calib AS BIGINT) AS n_calib, n_test,
+               a AS intercept, b AS slope, q_hat,
+               round(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage_test,
+               round(2.0 * q_hat, 6) AS interval_width
+        FROM t
+      """
+      }) { (spark, dir) =>
+      Features.conformalInterval(
+        Tables(spark, dir).lineitem,
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100),
+        col("l_orderkey") + col("l_linenumber"),
+        alpha = 0.1)
+    },
+
     // ------------------------------------------- Brier decomposition
     // Murphy's calibration-vs-sharpness split of the length-proxy score
     // against the lang=en label (the same pairing the isotonic and AUC

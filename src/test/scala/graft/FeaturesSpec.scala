@@ -91,4 +91,30 @@ class FeaturesSpec extends SparkSpec {
     assert(rMid.getDouble(3) > 0.0 && rMid.getDouble(3) < 1.0, rMid.toString)
     assert(rMid.getDouble(4) > 0.0 && rMid.getDouble(4) < 2.0, rMid.toString)
   }
+
+  test("conformalInterval: planted residual ladder gives the exact order-statistic q and coverage") {
+    import spark.implicits._
+    // train: y = 5 + 2x exactly -> slope/intercept recovered on the grid
+    val train = (1 to 20).map(x => (x.toLong, 5L + 2L * x, 0L))
+    // calib |residuals|: 3,2,1,0,1,2,3,4,5,10 -> sorted 0,1,1,2,2,3,3,4,5,10
+    val calErr = Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L, 4L, 5L, 10L)
+    val calib  = calErr.zipWithIndex.map { case (e, i) => ((i + 1).toLong, 5L + 2L * (i + 1) + e, 1L) }
+    // test |residuals|: 0,4,5,6,7 -> covered at q=5: three of five
+    val tstErr = Seq(0L, 4L, -5L, 6L, -7L)
+    val test   = tstErr.zipWithIndex.map { case (e, i) => ((i + 1).toLong, 5L + 2L * (i + 1) + e, 2L) }
+    val df = (train ++ calib ++ test).toDF("x", "y", "s")
+    // alpha = 0.2: k = ceil(11 * 0.8) = 9 -> q = 9th smallest = 5
+    val r = Features.conformalInterval(df, col("x"), col("y"), col("s"), alpha = 0.2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((20L, 10L, 5L)), r.toString)
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 2.0, r.toString)
+    assert(r.getDouble(5) == 5.0, r.toString)
+    assert(r.getDouble(6) == 0.6, r.toString)
+    assert(r.getDouble(7) == 10.0, r.toString)
+    // alpha = 0.1: k = ceil(11 * 0.9) = 10 -> q = 10 covers everything
+    val r2 = Features.conformalInterval(df, col("x"), col("y"), col("s"), alpha = 0.1)
+      .collect().head
+    assert(r2.getDouble(5) == 10.0 && r2.getDouble(6) == 1.0, r2.toString)
+  }
+
 }
