@@ -1608,6 +1608,54 @@ object DataQuality {
       round(when(col("n_pos") > 0 && col("n_neg") > 0, lit(2.0) * auc - lit(1.0)), 6).as("gini"))
   }
 
+  /** Cramér–von Mises two-sample statistic in its tie-robust ECDF form —
+    * the L2 sibling of [[ksTestPairs]]'s sup-distance (KS sees only the
+    * single worst gap; CvM integrates EVERY gap, so it catches broad mild
+    * shifts KS underweights): T = n₁n₂/(n₁+n₂)² · Σ_v c_v·(F₁(v) − F₂(v))²
+    * over the pooled distinct values, c_v = pooled count at v (the
+    * discrete dH of the pooled ECDF — exact under ties by construction).
+    * Counts and cumulative counts are exact integers; each per-value term
+    * snaps to the 1e-12 grid before the exact decimal sum; T rounds at 6.
+    * One value-histogram aggregation + one ordered prefix pass over the
+    * distinct-value axis. */
+  def cramerVonMises(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val W     = org.apache.spark.sql.expressions.Window
+    val dec12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val pool = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("g").isin(groupA, groupB))
+    val cnt = pool.groupBy(col("v")).agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("c2"))
+    val wv = W.orderBy(col("v")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = cnt.select(
+      col("c1"), col("c2"),
+      sum(col("c1")).over(wv).as("cum1"),
+      sum(col("c2")).over(wv).as("cum2"),
+      sum(col("c1")).over(W.partitionBy()).as("n1"),
+      sum(col("c2")).over(W.partitionBy()).as("n2"))
+    val gap = col("cum1").cast("double") / col("n1").cast("double") -
+      col("cum2").cast("double") / col("n2").cast("double")
+    val agg = cum.agg(
+      max(col("n1")).as("n1"),
+      max(col("n2")).as("n2"),
+      sum(round((col("c1") + col("c2")).cast("double") * gap * gap, 12).cast(dec12))
+        .cast(dec12).as("s12"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    agg.select(
+      col("n1"),
+      col("n2"),
+      round(
+        n1D * n2D / ((n1D + n2D) * (n1D + n2D)) * col("s12").cast("double"),
+        6).as("t_stat"))
+  }
+
   /** Murphy decomposition of the Brier score over binned forecasts — the
     * calibration-vs-sharpness read of a probabilistic classifier (Murphy
     * 1973): with forecasts on an integer grid f = s/scale binned by

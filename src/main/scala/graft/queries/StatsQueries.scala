@@ -242,6 +242,40 @@ object StatsQueries {
       DataQuality.brownForsythe(Tables(spark, dir).lineitem, "l_returnflag", "l_quantity")
     },
 
+    // ------------------------------------- Cramér–von Mises two-sample
+    // The L2 sibling of quality_ks_test: KS sees only the worst ECDF gap,
+    // CvM integrates every gap over the pooled distinct-value axis (exact
+    // under ties by construction) — the broad-mild-shift detector. Per-
+    // value terms on the 1e-12 grid, exact decimal sum, round-6 T.
+    Q(
+      "quality_cramer_von_mises",
+      Some("""
+        WITH pool AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+                      FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        cnt AS (SELECT v, CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                       CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                FROM pool GROUP BY 1),
+        cum AS (SELECT c1, c2,
+                       SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                       SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+                       SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+                FROM cnt),
+        a AS (SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+                     CAST(SUM(CAST(round(CAST(c1 + c2 AS DOUBLE)
+                       * (CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       * (CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)), 12)
+                       AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS s12
+              FROM cum)
+        SELECT n1, n2,
+               round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                     * CAST(s12 AS DOUBLE), 6) AS t_stat
+        FROM a
+      """)) { (spark, dir) =>
+      DataQuality.cramerVonMises(
+        Tables(spark, dir).lineitem, "l_returnflag", "l_quantity", "A", "R")
+    },
+
     // ------------------------------------------------ Jarque–Bera normality
     // "Is this metric even Gaussian-ish" — the gate before any z-score
     // outlier rule is trusted. Exact HUGEINT power sums Σx..Σx⁴, one

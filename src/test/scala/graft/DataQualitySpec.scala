@@ -622,4 +622,25 @@ class DataQualitySpec extends SparkSpec {
     assert(c.getDouble(2) == 0.25 && c.getDouble(3) == 0.0, c.toString) // f=0.5 vs ybar=0.5
   }
 
+
+  test("cramerVonMises: identical samples score 0, disjoint supports hit the maximum, hand case") {
+    import spark.implicits._
+    val same = Seq(("A", 1), ("A", 2), ("R", 1), ("R", 2)).toDF("g", "v")
+    val s = DataQuality.cramerVonMises(same, "g", "v", "A", "R").collect().head
+    assert(s.getDouble(2) == 0.0, s.toString)
+    // disjoint supports A = {1,2}, R = {11,12}: per-value terms
+    // 1*(1/2)^2 + 1*1 + 1*(1/2)^2 + 0 = 1.5, T = (4/16)*1.5 = 0.375 —
+    // which equals the classical rank-form U-statistic value
+    // (U = 16, T = 16/16 - 15/24 = 0.375)
+    val disj = Seq(("A", 1), ("A", 2), ("R", 11), ("R", 12)).toDF("g", "v")
+    val d = DataQuality.cramerVonMises(disj, "g", "v", "A", "R").collect().head
+    assert(d.getLong(0) == 2L && d.getLong(1) == 2L && d.getDouble(2) == 0.375, d.toString)
+    // ties across samples contribute exactly once per distinct value
+    val tied = Seq(("A", 5), ("A", 5), ("R", 5), ("R", 9)).toDF("g", "v")
+    val t = DataQuality.cramerVonMises(tied, "g", "v", "A", "R").collect().head
+    // values 5: F1=1, F2=1/2 -> 3*(1/2)^2 = 0.75 ; value 9: gap 0
+    // T = (4/16)*0.75 = 0.1875
+    assert(t.getDouble(2) == 0.1875, t.toString)
+  }
+
 }
