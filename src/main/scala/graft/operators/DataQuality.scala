@@ -463,6 +463,58 @@ object DataQuality {
         col("contrib12").cast("double").as("js_contrib"))
   }
 
+  /** Per-period drift TIMELINE against a fixed reference window — the
+    * monitoring curve behind every "when did the mix start moving" page:
+    * one Jensen–Shannon divergence per day between that day's categorical
+    * mix and the reference window's mix (days before `refEnd`). JSD per
+    * [[jsDivergence]]'s discipline — exact integer counts, per-category
+    * p·ln terms snapped to the 1e-12 grid, exact decimal per-day sums —
+    * over a (day × category) scaffold so categories absent on a day
+    * contribute their exact 0-side terms. Two group-bys + one scaffold
+    * join; output is day-sized. */
+  def driftTimeline(
+      events: DataFrame,
+      tsCol: String,
+      catCol: String,
+      refEnd: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val base = events.select(
+      to_date(col(tsCol)).cast("string").as("day"),
+      col(catCol).cast("string").as("category"))
+    val cnt = base.groupBy(col("day"), col("category")).agg(count(lit(1)).as("n"))
+    val ref = cnt
+      .filter(col("day") < refEnd)
+      .groupBy(col("category"))
+      .agg(sum(col("n")).as("n_ref"))
+    val refTot = ref.agg(sum(col("n_ref")).as("t_ref"))
+    val scaffold = cnt.select(col("day")).distinct()
+      .crossJoin(broadcast(cnt.select(col("category")).distinct()))
+    val joined = scaffold
+      .join(cnt, Seq("day", "category"), "left")
+      .join(broadcast(ref), Seq("category"), "left")
+      .crossJoin(broadcast(refTot))
+      .select(
+        col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        col("t_ref"))
+    val dayTot = joined.groupBy(col("day")).agg(sum(col("n")).as("t_day"))
+    val p = col("n").cast("double") / col("t_day").cast("double")
+    val q = col("n_ref").cast("double") / col("t_ref").cast("double")
+    val m = (p + q) * lit(0.5)
+    def term(x: org.apache.spark.sql.Column) =
+      when(x > 0.0, x * log(x / m)).otherwise(lit(0.0))
+    joined
+      .join(dayTot, Seq("day"))
+      .select(
+        col("day"), col("t_day"),
+        round((term(p) + term(q)) * lit(0.5), 12).cast(dec12).as("contrib12"))
+      .groupBy(col("day"))
+      .agg(
+        max(col("t_day")).as("n_events"),
+        round(sum(col("contrib12")).cast(dec12).cast("double"), 6).as("jsd"))
+  }
+
   /** Gini concentration coefficient over per-entity totals (the revenue-
     * concentration / data-source-imbalance signal): with x₍₁₎ ≤ … ≤ x₍ₙ₎,
     * G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n. Totals aggregate exactly on the

@@ -144,6 +144,51 @@ object LanguageModel {
         round(col("s").cast("double") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
   }
 
+  /** Witten–Bell interpolated bigram score (Witten & Bell 1991) — the
+    * fourth count-LM smoothing beside add-k, Kneser–Ney and Good–Turing,
+    * and the one with the cleanest intuition: the probability of a NOVEL
+    * continuation after context w1 is estimated by how often w1 has
+    * produced novel continuations so far (its distinct-continuation count
+    * n1f), giving λ(w1) = c1/(c1+n1f) and p = (c2 + n1f·p_uni(w2)) /
+    * (c1 + n1f); unseen contexts back off to the unigram. Same shape and
+    * float discipline as [[kneserNeyScore]]: exact counts from one bigram
+    * aggregation, fixed-order double p, grid-12 ln, exact decimal per-doc
+    * sums, one division under round(·, 6). */
+  def wittenBellScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val bi = bigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val uni = train
+      .select(explode(toks(col(textCol))).as("w2"))
+      .groupBy(col("w2"))
+      .agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("ntok"))
+    val pu = coalesce(col("cu"), lit(0L)).cast("double") / col("ntok").cast("double")
+    val p = when(
+      coalesce(col("c1"), lit(0L)) > 0,
+      (coalesce(col("c2"), lit(0L)).cast("double") + col("n1f").cast("double") * pu) /
+        (col("c1").cast("double") + col("n1f").cast("double")))
+      .otherwise(pu)
+    bigrams(score, idCol, textCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("logp", round(log(greatest(p, lit(1e-12))), 12).cast(dec12))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(sum(col("logp")), 9).as("s"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams").cast("double"), 6).as("avg_logprob"))
+  }
+
   /** Good-Turing frequency re-estimation (Good 1953) — the third count-LM
     * smoothing beside add-k (bigramScore) and Kneser-Ney: the adjusted
     * count for words seen r times is r* = (r+1)·N_{r+1}/N_r over the

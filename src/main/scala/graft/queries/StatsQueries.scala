@@ -877,6 +877,86 @@ object StatsQueries {
       graft.operators.Funnel.abPowerAnalysis(assignments, "variant", "converted")
     },
 
+    // ---------------------------------------- Witten–Bell bigram score
+    // The fourth count-LM smoothing beside add-k/KN/Good–Turing: novel-
+    // continuation mass estimated by each context's distinct-continuation
+    // count, λ(w1) = c1/(c1+n1f), unigram backoff for unseen contexts.
+    // Same shape and float discipline as lm_kneser_ney.
+    Q(
+      "lm_witten_bell",
+      Some("""
+        WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS len FROM t WHERE len(toks) >= 2),
+        big0 AS (SELECT doc_id, unnest(list_transform(range(1, len), i -> {'pos': i, 'w1': toks[i], 'w2': toks[i + 1]})) AS u FROM t2),
+        b AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM big0),
+        bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1f FROM bic GROUP BY 1),
+        uni AS (SELECT w2, COUNT(*) AS cu FROM (SELECT unnest(toks) AS w2 FROM t) GROUP BY 1),
+        tt AS (SELECT CAST(SUM(cu) AS BIGINT) AS ntok FROM uni),
+        lp AS (SELECT b.doc_id, b.pos,
+                      round(ln(greatest(
+                        CASE WHEN COALESCE(c1, 0) > 0
+                             THEN (CAST(COALESCE(c2, 0) AS DOUBLE)
+                                   + CAST(n1f AS DOUBLE) * (CAST(COALESCE(cu, 0) AS DOUBLE) / CAST(ntok AS DOUBLE)))
+                                  / (CAST(c1 AS DOUBLE) + CAST(n1f AS DOUBLE))
+                             ELSE CAST(COALESCE(cu, 0) AS DOUBLE) / CAST(ntok AS DOUBLE) END,
+                        1e-12)), 12) AS logp
+               FROM b
+               LEFT JOIN bic USING (w1, w2)
+               LEFT JOIN ctx USING (w1)
+               LEFT JOIN uni USING (w2)
+               CROSS JOIN tt),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       round(SUM(CAST(logp AS DECIMAL(20,12))), 9) AS s
+                FROM lp GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               ROUND(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+        FROM agg
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      graft.operators.LanguageModel.wittenBellScore(docs, docs, "doc_id", "text")
+    },
+
+    // ----------------------------------------------- drift timeline
+    // One JSD per day against the first-week reference mix — the "when
+    // did the event mix start moving" monitoring curve (the timeline
+    // read of quality_drift_jsd's two-window snapshot). Scaffolded
+    // (day × category) so absent categories contribute their exact
+    // 0-side terms; 1e-12-grid contributions, exact decimal day sums.
+    Q(
+      "events_drift_timeline",
+      Some("""
+        WITH base AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type AS category FROM events),
+        cnt AS (SELECT day, category, COUNT(*) AS n FROM base GROUP BY 1, 2),
+        ref AS (SELECT category, CAST(SUM(n) AS BIGINT) AS n_ref FROM cnt WHERE day < '2024-01-08' GROUP BY 1),
+        rt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM ref),
+        sc AS (SELECT d.day, c.category FROM (SELECT DISTINCT day FROM cnt) d, (SELECT DISTINCT category FROM cnt) c),
+        j AS (SELECT sc.day, sc.category, COALESCE(cnt.n, 0) AS n, COALESCE(ref.n_ref, 0) AS n_ref, t_ref
+              FROM sc LEFT JOIN cnt ON cnt.day = sc.day AND cnt.category = sc.category
+              LEFT JOIN ref ON ref.category = sc.category, rt),
+        dt AS (SELECT day, CAST(SUM(n) AS BIGINT) AS t_day FROM j GROUP BY 1),
+        terms AS (SELECT j.day, dt.t_day,
+                         CAST(round((
+                           CASE WHEN CAST(n AS DOUBLE) / CAST(t_day AS DOUBLE) > 0.0
+                                THEN (CAST(n AS DOUBLE) / CAST(t_day AS DOUBLE))
+                                     * ln((CAST(n AS DOUBLE) / CAST(t_day AS DOUBLE))
+                                          / ((CAST(n AS DOUBLE) / CAST(t_day AS DOUBLE)
+                                              + CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)) * 0.5))
+                                ELSE 0.0 END
+                         + CASE WHEN CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) > 0.0
+                                THEN (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+                                     * ln((CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+                                          / ((CAST(n AS DOUBLE) / CAST(t_day AS DOUBLE)
+                                              + CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)) * 0.5))
+                                ELSE 0.0 END) * 0.5, 12) AS DECIMAL(20,12)) AS contrib12
+                  FROM j JOIN dt ON dt.day = j.day)
+        SELECT day, MAX(t_day) AS n_events,
+               round(CAST(CAST(SUM(contrib12) AS DECIMAL(20,12)) AS DOUBLE), 6) AS jsd
+        FROM terms GROUP BY 1
+      """)) { (spark, dir) =>
+      DataQuality.driftTimeline(Tables(spark, dir).events, "ts", "event_type", refEnd = "2024-01-08")
+    },
+
     // -------------------------------------- split-conformal interval
     // Distribution-free prediction intervals around the quantity→price
     // OLS fit: q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration residual

@@ -643,4 +643,23 @@ class DataQualitySpec extends SparkSpec {
     assert(t.getDouble(2) == 0.1875, t.toString)
   }
 
+
+  test("driftTimeline: reference-like days score 0, a flipped day spikes, absent categories count") {
+    import spark.implicits._
+    // ref window (days 1-2): a:b = 2:1 each day; day 3 matches; day 4 flips
+    val rows =
+      Seq.fill(2)(("2024-01-01 10:00:00", "a")) ++ Seq(("2024-01-01 11:00:00", "b")) ++
+        Seq.fill(2)(("2024-01-02 10:00:00", "a")) ++ Seq(("2024-01-02 11:00:00", "b")) ++
+        Seq.fill(2)(("2024-01-03 10:00:00", "a")) ++ Seq(("2024-01-03 11:00:00", "b")) ++
+        Seq.fill(3)(("2024-01-04 10:00:00", "b"))
+    val ev = rows.toDF("tss", "event_type").select(to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val out = DataQuality.driftTimeline(ev, "ts", "event_type", refEnd = "2024-01-03")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size == 4)
+    assert(out("2024-01-01") == ((3L, 0.0)) && out("2024-01-03") == ((3L, 0.0)), out.toString)
+    // the all-b day diverges hard; category a contributes its ref-side term
+    val d4 = out("2024-01-04")
+    assert(d4._1 == 3L && d4._2 > 0.2, out.toString)
+  }
+
 }

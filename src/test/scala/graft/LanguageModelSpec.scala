@@ -140,4 +140,23 @@ class LanguageModelSpec extends SparkSpec {
     // min-count: pairs below 5 never surface
     assert(out.values.forall(_._1 >= 5L))
   }
+
+  test("wittenBellScore: hand-computed interpolation, unigram backoff for unseen contexts") {
+    import spark.implicits._
+    // train "a b a b": bic (a,b)=2 (b,a)=1; ctx a:(2,1) b:(1,1); uni a=2 b=2, ntok=4
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // p(b|a) = (2 + 1*0.5)/3 = 5/6 ; p(a|b) = (1 + 0.5)/2 = 0.75
+    val score = Seq((7L, "a b a")).toDF("doc_id", "text")
+    val r = graft.operators.LanguageModel.wittenBellScore(train, score, "doc_id", "text")
+      .collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L)
+    // (round12 ln(5/6) + round12 ln(3/4)) / 2 -> -0.235002 at grid 6
+    assert(r.getDouble(2) == -0.235002, r.toString)
+    // unseen context z: backoff straight to p_uni(a) = 0.5
+    val back = Seq((8L, "z a")).toDF("doc_id", "text")
+    val b = graft.operators.LanguageModel.wittenBellScore(train, back, "doc_id", "text")
+      .collect().head
+    assert(b.getLong(1) == 1L && b.getDouble(2) == -0.693147, b.toString)
+  }
+
 }
