@@ -1660,6 +1660,60 @@ object DataQuality {
       round(when(col("n_pos") > 0 && col("n_neg") > 0, lit(2.0) * auc - lit(1.0)), 6).as("gini"))
   }
 
+  /** Mutual information between two categorical columns (in nats), plus
+    * the normalized variant MI/min(H(A),H(B)) — the dependence screen
+    * that catches what [[cramersV]]'s χ²-based effect size underweights
+    * (MI sees the full joint, not just the quadratic deviation): MI =
+    * Σ p(a,b)·ln(p(a,b)/(p(a)p(b))). Counts are exact integers from ONE
+    * joint aggregation (marginals roll up from it); every p·ln term snaps
+    * to the 1e-12 grid before exact decimal sums ([[jsDivergence]]'s
+    * contract); outputs round at 6. Joint-cardinality-sized after the one
+    * data pass. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
+    val joint = df
+      .select(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("nab"))
+    val ma  = joint.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val mb  = joint.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = joint.agg(sum(col("nab")).as("n"))
+    val nD  = col("n").cast("double")
+    val pab = col("nab").cast("double") / nD
+    val pa  = col("na").cast("double") / nD
+    val pb  = col("nb").cast("double") / nD
+    // joint-cardinality-sized; eager-checkpointed because three small
+    // aggregations (MI, H(A), H(B)) fan out from it
+    val withP = joint
+      .join(broadcast(ma), Seq("a"))
+      .join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .localCheckpoint(true)
+    val mi12 = withP
+      .agg(sum(round(pab * log(pab / (pa * pb)), 12).cast(dec12)).cast(dec12).as("mi12"))
+    def ent(mCol: String, nCol: String) = withP
+      .select(col(mCol), col(nCol), col("n")).distinct()
+      .agg(
+        sum(
+          round(-(col(nCol).cast("double") / nD) * log(col(nCol).cast("double") / nD), 12)
+            .cast(dec12)).cast(dec12).as("h12"))
+    val ha = ent("a", "na")
+    val hb = ent("b", "nb")
+    mi12
+      .crossJoin(broadcast(ha.select(col("h12").as("ha12"))))
+      .crossJoin(broadcast(hb.select(col("h12").as("hb12"))))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"),
+        round(col("mi12").cast("double"), 6).as("mi"),
+        round(col("ha12").cast("double"), 6).as("h_a"),
+        round(col("hb12").cast("double"), 6).as("h_b"),
+        round(
+          when(least(col("ha12"), col("hb12")).cast("double") > 0.0,
+            col("mi12").cast("double") / least(col("ha12"), col("hb12")).cast("double")),
+          6).as("mi_normalized"))
+  }
+
   /** Cramér–von Mises two-sample statistic in its tie-robust ECDF form —
     * the L2 sibling of [[ksTestPairs]]'s sup-distance (KS sees only the
     * single worst gap; CvM integrates EVERY gap, so it catches broad mild

@@ -742,4 +742,43 @@ object Funnel {
       round(when(se > 0.0, phi(round(zEff - lit(zAlpha), 6))), 6).as("observed_power"),
       when(se > 0.0 && abs(pa - pb) > 0.0, nReq).as("n_required_per_arm"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * behavioral quintile grid): per user, days since last purchase,
+    * purchase count, and exact-cent spend; each dimension is cut into
+    * quintiles by NTILE(5) over a TOTAL order (metric, then user id — the
+    * tiebreak that makes the bucketing engine-identical), 1 = best.
+    * Output one row per occupied (r, f, m) cell with its population and
+    * exact-decimal average spend — the segment table a lifecycle team
+    * actually routes on. One user-keyed aggregation; the three ntile
+    * windows run over the user-sized rollup, not the event log. */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      purchaseType: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val perUser = events
+      .filter(purchaseType)
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        max(to_date(col(tsCol))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col(valueCol) * 100).cast("long").cast(dec)).cast(dec).as("cents"))
+    val scored = perUser.select(
+      col("u"),
+      col("freq"),
+      col("cents"),
+      ntile(5).over(Window.orderBy(col("last_day").desc, col("u"))).as("r_seg"),
+      ntile(5).over(Window.orderBy(col("freq").desc, col("u"))).as("f_seg"),
+      ntile(5).over(Window.orderBy(col("cents").desc, col("u"))).as("m_seg"))
+    scored
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(sum(col("cents")).cast("double") / (count(lit(1)).cast("double") * 100.0), 6)
+          .as("avg_monetary"))
+  }
 }

@@ -877,6 +877,68 @@ object StatsQueries {
       graft.operators.Funnel.abPowerAnalysis(assignments, "variant", "converted")
     },
 
+    // --------------------------------------------- mutual information
+    // MI between returnflag and linestatus (nats) + the normalized
+    // MI/min(H) — the dependence screen that sees the full joint where
+    // Cramér's V only sees the quadratic deviation. One joint pass,
+    // 1e-12-grid p·ln terms, exact decimal sums.
+    Q(
+      "quality_mutual_information",
+      Some {
+        def plogp(n: String, t: String) =
+          s"-(CAST($n AS DOUBLE) / CAST($t AS DOUBLE)) * ln(CAST($n AS DOUBLE) / CAST($t AS DOUBLE))"
+        s"""
+        WITH joint AS (SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS nab
+                       FROM lineitem GROUP BY 1, 2),
+        ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM joint GROUP BY 1),
+        mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM joint GROUP BY 1),
+        tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM joint),
+        wp AS (SELECT joint.a, joint.b, nab, na, nb, n
+               FROM joint JOIN ma USING (a) JOIN mb USING (b), tot),
+        mi AS (SELECT CAST(SUM(CAST(round((CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln((CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+                              / ((CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)))), 12)
+                         AS DECIMAL(20,12))) AS DECIMAL(20,12)) AS mi12
+               FROM wp),
+        ha AS (SELECT CAST(SUM(CAST(round(${plogp("na", "n")}, 12) AS DECIMAL(20,12))) AS DECIMAL(20,12)) AS ha12
+               FROM (SELECT DISTINCT a, na, n FROM wp)),
+        hb AS (SELECT CAST(SUM(CAST(round(${plogp("nb", "n")}, 12) AS DECIMAL(20,12))) AS DECIMAL(20,12)) AS hb12
+               FROM (SELECT DISTINCT b, nb, n FROM wp))
+        SELECT n, round(CAST(mi12 AS DOUBLE), 6) AS mi,
+               round(CAST(ha12 AS DOUBLE), 6) AS h_a,
+               round(CAST(hb12 AS DOUBLE), 6) AS h_b,
+               round(CASE WHEN CAST(least(ha12, hb12) AS DOUBLE) > 0.0
+                     THEN CAST(mi12 AS DOUBLE) / CAST(least(ha12, hb12) AS DOUBLE) END, 6) AS mi_normalized
+        FROM mi, ha, hb, tot
+      """
+      }) { (spark, dir) =>
+      DataQuality.mutualInformation(Tables(spark, dir).lineitem, "l_returnflag", "l_linestatus")
+    },
+
+    // ------------------------------------------------ RFM segmentation
+    // The classic recency/frequency/monetary quintile grid over purchase
+    // events — NTILE(5) on total orders (metric, user id), 1 = best;
+    // exact-cent spend; one row per occupied cell.
+    Q(
+      "events_rfm_segments",
+      Some("""
+        WITH pu AS (SELECT user_id AS u, MAX(CAST(ts AS DATE)) AS last_day, COUNT(*) AS freq,
+                           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS cents
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        sc AS (SELECT u, freq, cents,
+                      NTILE(5) OVER (ORDER BY last_day DESC, u) AS r_seg,
+                      NTILE(5) OVER (ORDER BY freq DESC, u) AS f_seg,
+                      NTILE(5) OVER (ORDER BY cents DESC, u) AS m_seg
+               FROM pu)
+        SELECT r_seg, f_seg, m_seg, COUNT(*) AS n_users,
+               round(CAST(SUM(cents) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0), 6) AS avg_monetary
+        FROM sc GROUP BY 1, 2, 3
+      """)) { (spark, dir) =>
+      graft.operators.Funnel.rfmSegments(
+        Tables(spark, dir).events, "user_id", "ts", "value",
+        purchaseType = col("event_type") === "purchase")
+    },
+
     // ---------------------------------------- Witten–Bell bigram score
     // The fourth count-LM smoothing beside add-k/KN/Good–Turing: novel-
     // continuation mass estimated by each context's distinct-continuation

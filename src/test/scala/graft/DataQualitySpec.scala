@@ -662,4 +662,22 @@ class DataQualitySpec extends SparkSpec {
     assert(d4._1 == 3L && d4._2 > 0.2, out.toString)
   }
 
+
+  test("mutualInformation: independence scores 0, determinism scores min-entropy, normalized hits 1") {
+    import spark.implicits._
+    // perfectly independent 2x2 grid
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val i = DataQuality.mutualInformation(indep, "a", "b").collect().head
+    assert(i.getLong(0) == 4L && i.getDouble(1) == 0.0 && i.getDouble(4) == 0.0, i.toString)
+    // b determined by a: MI = H(B) = H(A) = ln 2, normalized = 1
+    val det = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val d = DataQuality.mutualInformation(det, "a", "b").collect().head
+    assert(d.getDouble(1) == 0.693147 && d.getDouble(2) == 0.693147, d.toString)
+    assert(d.getDouble(4) == 1.0, d.toString)
+    // single-valued column: zero entropy, MI 0, normalized NULL
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val c = DataQuality.mutualInformation(const, "a", "b").collect().head
+    assert(c.getDouble(1) == 0.0 && c.getDouble(2) == 0.0 && c.isNullAt(4), c.toString)
+  }
+
 }

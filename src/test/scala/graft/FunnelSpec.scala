@@ -327,4 +327,30 @@ class FunnelSpec extends SparkSpec {
     assert(f.isNullAt(7), f.toString)
   }
 
+
+  test("rfmSegments: planted quintiles land 1=best, cents exact, cells aggregate") {
+    import spark.implicits._
+    // 10 users: user u purchases once on day u with value u dollars ->
+    // recency/freq/monetary orders all deterministic; freq all ties (1)
+    // break by user id
+    val rows = (1 to 10).map { u =>
+      (u.toLong, f"2024-01-$u%02d 10:00:00", "purchase", u.toDouble)
+    }
+    val ev = rows.toDF("user_id", "tss", "event_type", "value")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"), col("event_type"), col("value"))
+    val out = graft.operators.Funnel
+      .rfmSegments(ev, "user_id", "ts", "value", col("event_type") === "purchase")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.values.map(_._1).sum == 10L, out.toString)
+    // quintiles of 10 users hold 2 each; recency and monetary orders agree
+    // (later user = more recent AND bigger spend) while the all-ties
+    // frequency breaks by id in the OPPOSITE direction — a clean
+    // anti-diagonal: (1,5,1) = users {9,10}, ..., (5,1,5) = users {1,2}
+    assert(out(((1, 5, 1))) == ((2L, 9.5)), out.toString)
+    assert(out(((5, 1, 5))) == ((2L, 1.5)), out.toString)
+    assert(out(((3, 3, 3))) == ((2L, 5.5)), out.toString)
+    assert(out.size == 5, out.toString)
+  }
+
 }
