@@ -877,6 +877,43 @@ object StatsQueries {
       graft.operators.Funnel.abPowerAnalysis(assignments, "variant", "converted")
     },
 
+    // -------------------------------------- degree power-law fit
+    // Clauset–Shalizi–Newman MLE over the co-purchase graph's degree
+    // distribution — the heavy-tail audit (α ≲ 2.5 = hub-dominated: the
+    // salting / broadcast-planning signal; α ≳ 3.5 = homogeneous).
+    // Grid-12 ln terms, exact decimal sum, one edge pass.
+    Q(
+      "graph_degree_powerlaw",
+      Some("""
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25),
+        e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (SELECT id, COUNT(*) AS d
+                FROM (SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0) GROUP BY 1),
+        al AS (SELECT COUNT(*) AS n_nodes, CAST(MAX(d) AS BIGINT) AS dmax FROM deg),
+        tl AS (SELECT COUNT(*) AS n_tail,
+                      CAST(SUM(CAST(round(ln(CAST(d AS DOUBLE) / 1.5), 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS slog12
+               FROM deg WHERE d >= 2)
+        SELECT n_nodes, n_tail, CAST(2 AS BIGINT) AS dmin,
+               round(CASE WHEN CAST(slog12 AS DOUBLE) > 0.0
+                     THEN 1.0 + CAST(n_tail AS DOUBLE) / CAST(slog12 AS DOUBLE) END, 6) AS alpha,
+               round(CASE WHEN CAST(slog12 AS DOUBLE) > 0.0
+                     THEN (1.0 + CAST(n_tail AS DOUBLE) / CAST(slog12 AS DOUBLE) - 1.0)
+                          / sqrt(CAST(n_tail AS DOUBLE)) END, 6) AS sigma,
+               dmax
+        FROM al, tl
+      """)) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct()
+      Graph.degreePowerlawFit(edges, "pa", "pb", dmin = 2L)
+    },
+
     // --------------------------------------------- mutual information
     // MI between returnflag and linestatus (nats) + the normalized
     // MI/min(H) — the dependence screen that sees the full joint where

@@ -544,4 +544,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.sccCondense(cycle, "s", "d").count() == 0L)
   }
 
+
+  test("degreePowerlawFit: hand MLE on a planted degree ladder, star vs clique separation") {
+    import spark.implicits._
+    // degrees: hub d=4, leaves d=1 (below dmin) -> tail = {4}
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val s = Graph.degreePowerlawFit(star, "a", "b", dmin = 2L).collect().head
+    assert(s.getLong(0) == 5L && s.getLong(1) == 1L && s.getLong(5) == 4L, s.toString)
+    // alpha = 1 + 1/ln(4/1.5), with the grid-12 snap on the ln term
+    val lnTerm = BigDecimal(math.log(4.0 / 1.5)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expA   = BigDecimal(1.0 + 1.0 / lnTerm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.getDouble(3) == expA, s.toString)
+    // K5: every degree 4, n_tail = 5, same per-node term -> same alpha,
+    // sigma shrinks by sqrt(5)
+    val k5 = (for { a <- 0 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)).toDF("a", "b")
+    val k = Graph.degreePowerlawFit(k5, "a", "b", dmin = 2L).collect().head
+    assert(k.getLong(1) == 5L && k.getDouble(3) == expA, k.toString)
+    assert(k.getDouble(4) < s.getDouble(4), "more tail mass tightens sigma")
+    // all degrees below dmin: NULL alpha, not NaN
+    val pair = Seq((1L, 2L)).toDF("a", "b")
+    val p = Graph.degreePowerlawFit(pair, "a", "b", dmin = 2L).collect().head
+    assert(p.getLong(1) == 0L && p.isNullAt(3) && p.isNullAt(4), p.toString)
+  }
+
 }
