@@ -624,6 +624,73 @@ object EventStreams {
         })
   }
 
+  final case class DriftTlState(cells: Map[String, Map[String, Long]])
+  final case class DriftDay(day: String, n_events: Long, jsd: Double, n_total: Long)
+
+  /** Streaming drift TIMELINE — the live counterpart of
+    * [[graft.operators.DataQuality.driftTimeline]] (its replay spec):
+    * per-day JSD of each day's categorical mix against a FIXED reference
+    * mix, re-emitted for every day on every micro-batch (Update mode;
+    * `n_total` marks the converged snapshot — a day's divergence
+    * legitimately moves while its events are still arriving and freezes
+    * once arrival passes it). State is the (day → category → count) grid —
+    * calendar × category bounded, never data-sized.
+    *
+    * Arithmetic parity, move for move: exact integer counts, shares as one
+    * double division each, p·ln(p/m) terms in the batch operator's fixed
+    * order snapped HALF_UP to the 1e-12 grid, and the per-day sum
+    * accumulated as EXACT BigDecimal (the batch side's DECIMAL(20,12)
+    * sum), rounded at 6 — bit-identical to the batch rows at convergence
+    * (StreamingSpec pins it; counts commute, so arrival order is
+    * immaterial). */
+  def driftTimelineStream(
+      events: Dataset[Event],
+      reference: Map[String, Long]): Dataset[DriftDay] = {
+    require(reference.nonEmpty && reference.valuesIterator.forall(_ >= 0L),
+      "reference needs nonnegative category counts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val tRef      = reference.valuesIterator.sum.toDouble
+    val dayMicros = 86400L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Int, evs: Iterator[Event], state: GroupState[DriftTlState]) => {
+          var cells = state.getOption.map(_.cells).getOrElse(Map.empty[String, Map[String, Long]])
+          evs.foreach { e =>
+            // UTC day truncation on the micros grid (the cusumStream
+            // discipline) — no JVM-default-timezone dependence
+            val day = java.time.LocalDate
+              .ofEpochDay(Math.floorDiv(micros(e.ts), dayMicros))
+              .toString
+            val m   = cells.getOrElse(day, Map.empty[String, Long])
+            cells = cells.updated(day, m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L))
+          }
+          state.update(DriftTlState(cells))
+          val total = cells.valuesIterator.map(_.valuesIterator.sum).sum
+          // category universe = everything seen anywhere (the batch
+          // scaffold) plus the reference's own categories
+          val cats = (cells.valuesIterator.flatMap(_.keysIterator).toSet ++ reference.keySet)
+            .toVector.sorted
+          cells.keysIterator.toVector.sorted.iterator.map { day =>
+            val dm   = cells(day)
+            val tDay = dm.valuesIterator.sum
+            var sum  = java.math.BigDecimal.ZERO
+            cats.foreach { cat =>
+              val p = dm.getOrElse(cat, 0L).toDouble / tDay.toDouble
+              val q = reference.getOrElse(cat, 0L).toDouble / tRef
+              val m = (p + q) * 0.5
+              def term(x: Double) = if (x > 0.0) x * math.log(x / m) else 0.0
+              sum = sum.add(java.math.BigDecimal.valueOf(r((term(p) + term(q)) * 0.5, 12)))
+            }
+            DriftDay(day, tDay, r(sum.doubleValue(), 6), total)
+          }
+        })
+  }
+
   final case class KmvState(hashes: Array[Long], nRows: Long)
   final case class KmvEstimate(event_type: String, distinct_est: Double, n_rows: Long)
 

@@ -861,4 +861,39 @@ class StreamingSpec extends SparkSpec {
     assert(conv.getLong(2) > 1L) // a real series flips at least once
   }
 
+
+  test("streaming drift timeline converged snapshot equals the batch per-day rows bit-for-bit") {
+    import spark.implicits._
+    val evDf = events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val ref = evDf
+      .filter(to_date(col("ts")) < "2024-01-08")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
+    val sq = EventStreams
+      .driftTimelineStream(stream, ref)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("drift_tl_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+
+    val snaps = spark.table("drift_tl_out").collect()
+    val maxN  = snaps.map(_.getLong(3)).max
+    val streamed = snaps
+      .filter(_.getLong(3) == maxN)
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val batch = graft.operators.DataQuality
+      .driftTimeline(evDf, "ts", "event_type", refEnd = "2024-01-08")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(maxN == events.count())
+    assert(streamed == batch)
+    assert(batch.size > 20 && batch.values.forall(_._2 >= 0.0))
+  }
+
 }
