@@ -1660,6 +1660,57 @@ object DataQuality {
       round(when(col("n_pos") > 0 && col("n_neg") > 0, lit(2.0) * auc - lit(1.0)), 6).as("gini"))
   }
 
+  /** Theil T inequality index with its between/within decomposition — the
+    * property [[giniCoefficient]] lacks: T = T_between + T_within EXACTLY,
+    * so source-level concentration separates from within-source
+    * concentration (the "is the imbalance across nations or inside them"
+    * read): T = Σᵢ sᵢ·ln(sᵢ·n), T_B = Σ_g S_g·ln(S_g·n/n_g), T_W = Σᵢ
+    * sᵢ·ln((xᵢ/X_g)·n_g) — the within term folded to ONE entity-level sum
+    * (S_g·Σ(x/X_g)ln(·) telescopes through the shares). Zero-value
+    * entities drop (ln 0), documented. Values on the integer cent grid
+    * aggregate exactly; every term snaps to the 1e-12 grid before exact
+    * decimal sums; outputs round at 6 (the additivity identity holds to
+    * the term grid). One entity pass + a group-sized rollup. */
+  def theilDecompose(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ent = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("long").as("x"))
+      .filter(col("x") > 0L)
+    val grp = ent.groupBy(col("g")).agg(count(lit(1)).as("ng"), sum(col("x")).cast(dec38).as("xg"))
+    val tot = grp.agg(
+      sum(col("ng")).as("n"),
+      count(lit(1)).as("n_groups"),
+      sum(col("xg")).cast(dec38).as("xt"))
+    val nD = col("n").cast("double")
+    val si = col("x").cast("double") / col("xt").cast("double")
+    val withStats = ent
+      .join(broadcast(grp), Seq("g"))
+      .crossJoin(broadcast(tot))
+    val entityTerms = withStats.agg(
+      sum(round(si * log(si * nD), 12).cast(dec12)).cast(dec12).as("t12"),
+      sum(
+        round(
+          si * log(col("x").cast("double") / col("xg").cast("double") * col("ng").cast("double")),
+          12).cast(dec12)).cast(dec12).as("tw12"))
+    val sg = col("xg").cast("double") / col("xt").cast("double")
+    val betweenTerms = grp
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(
+          round(sg * log(sg * (nD / col("ng").cast("double"))), 12).cast(dec12))
+          .cast(dec12).as("tb12"))
+    entityTerms
+      .crossJoin(broadcast(betweenTerms))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"),
+        col("n_groups"),
+        round(col("t12").cast("double"), 6).as("theil_total"),
+        round(col("tb12").cast("double"), 6).as("theil_between"),
+        round(col("tw12").cast("double"), 6).as("theil_within"))
+  }
+
   /** Mutual information between two categorical columns (in nats), plus
     * the normalized variant MI/min(H(A),H(B)) — the dependence screen
     * that catches what [[cramersV]]'s χ²-based effect size underweights

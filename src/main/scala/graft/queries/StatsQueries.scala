@@ -877,6 +877,44 @@ object StatsQueries {
       graft.operators.Funnel.abPowerAnalysis(assignments, "variant", "converted")
     },
 
+    // ------------------------------------------ Theil decomposition
+    // Customer-revenue inequality split into between-nation and
+    // within-nation parts — the additive decomposition Gini lacks (the
+    // "is the imbalance across sources or inside them" read). Cent-grid
+    // totals, 1e-12-grid terms, exact decimal sums.
+    Q(
+      "quality_theil_decompose",
+      Some {
+        val si = "(CAST(x AS DOUBLE) / CAST(xt AS DOUBLE))"
+        val sg = "(CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE))"
+        s"""
+        WITH ent AS (SELECT c.c_nationkey AS g, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS x
+                     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                     GROUP BY 1, o.o_custkey
+                     HAVING SUM(CAST(round(o_totalprice * 100) AS BIGINT)) > 0),
+        grp AS (SELECT g, COUNT(*) AS ng, CAST(SUM(x) AS HUGEINT) AS xg FROM ent GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, COUNT(*) AS n_groups, CAST(SUM(xg) AS HUGEINT) AS xt FROM grp),
+        et AS (SELECT CAST(SUM(CAST(round($si * ln($si * CAST(n AS DOUBLE)), 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS t12,
+                      CAST(SUM(CAST(round($si * ln(CAST(x AS DOUBLE) / CAST(xg AS DOUBLE) * CAST(ng AS DOUBLE)), 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS tw12
+               FROM ent JOIN grp USING (g), tot),
+        bt AS (SELECT CAST(SUM(CAST(round($sg * ln($sg * (CAST(n AS DOUBLE) / CAST(ng AS DOUBLE))), 12) AS DECIMAL(24,12))) AS DECIMAL(24,12)) AS tb12
+               FROM grp, tot)
+        SELECT n, n_groups,
+               round(CAST(t12 AS DOUBLE), 6) AS theil_total,
+               round(CAST(tb12 AS DOUBLE), 6) AS theil_between,
+               round(CAST(tw12 AS DOUBLE), 6) AS theil_within
+        FROM et, bt, tot
+      """
+      }) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val perCustomer = t.orders
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(col("c_nationkey"), col("cents"))
+      DataQuality.theilDecompose(perCustomer, "c_nationkey", "cents")
+    },
+
     // -------------------------------------- degree power-law fit
     // Clauset–Shalizi–Newman MLE over the co-purchase graph's degree
     // distribution — the heavy-tail audit (α ≲ 2.5 = hub-dominated: the

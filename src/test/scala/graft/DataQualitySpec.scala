@@ -680,4 +680,26 @@ class DataQualitySpec extends SparkSpec {
     assert(c.getDouble(1) == 0.0 && c.getDouble(2) == 0.0 && c.isNullAt(4), c.toString)
   }
 
+
+  test("theilDecompose: pure between-group inequality, perfect equality at 0, additivity") {
+    import spark.implicits._
+    // A = {1,1}, B = {3,3}: within-group shares are uniform -> T_W = 0,
+    // T = T_B = 0.25 ln 0.5 + 0.75 ln 1.5 = 0.130812
+    val pure = Seq(("A", 1L), ("A", 1L), ("B", 3L), ("B", 3L)).toDF("g", "v")
+    val r = DataQuality.theilDecompose(pure, "g", "v").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.130812 && r.getDouble(3) == 0.130812, r.toString)
+    assert(r.getDouble(4) == 0.0, r.toString)
+    // perfect equality: every component exactly 0
+    val eq = Seq(("A", 5L), ("A", 5L), ("B", 5L), ("B", 5L)).toDF("g", "v")
+    val e = DataQuality.theilDecompose(eq, "g", "v").collect().head
+    assert(e.getDouble(2) == 0.0 && e.getDouble(3) == 0.0 && e.getDouble(4) == 0.0, e.toString)
+    // mixed case: additivity holds on the term grid; zero values drop
+    val mix = Seq(("A", 1L), ("A", 9L), ("B", 5L), ("B", 5L), ("B", 0L)).toDF("g", "v")
+    val m = DataQuality.theilDecompose(mix, "g", "v").collect().head
+    assert(m.getLong(0) == 4L, m.toString) // the zero row dropped
+    assert(math.abs(m.getDouble(2) - (m.getDouble(3) + m.getDouble(4))) < 2e-6, m.toString)
+    assert(m.getDouble(4) > 0.0, m.toString)
+  }
+
 }
