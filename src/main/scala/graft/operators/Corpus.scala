@@ -1866,12 +1866,16 @@ object Corpus {
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("c"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // DECIMAL(18,0) per-row → DECIMAL(37,0) products: Σc² stays exact for
+    // hot terms where a long sum of squared counts would wrap (olsFit rule)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val cD = col("c").cast(dec18)
     val perTerm = perDoc
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),
-        sum(col("c")).cast(dec38).as("cf"),
-        sum(col("c") * col("c")).cast(dec38).as("s2"))
+        sum(cD).cast(dec38).as("cf"),
+        sum(cD * cD).cast(dec38).as("s2"))
       .filter(col("df") >= minDf)
     val cfD = col("cf").cast("double")
     val vmr = (col("s2").cast("double") - cfD * cfD / col("n_docs").cast("double")) / cfD

@@ -1390,7 +1390,8 @@ object DataQuality {
     * per-source quality metrics before pooling sources): F = (SSB/(k−1)) /
     * (SSW/(N−k)) with SSB = Σⱼ Sⱼ²/nⱼ − S²/N and SSW = Σx² − Σⱼ Sⱼ²/nⱼ.
     *
-    * Exactness: values cast to long, so nⱼ / Sⱼ / Σx² aggregate exactly
+    * Exactness: values land per-row in DECIMAL(18,0) (products DECIMAL(37,0),
+    * never a wrapping long), so nⱼ / Sⱼ / Σx² aggregate exactly
     * (DECIMAL(38,0) sums ≡ DuckDB HUGEINT); each Sⱼ²/nⱼ term and the grand
     * term snap to the 1e-9 grid before their exact decimal sums, and F is a
     * fixed-order double from those grid values under round(·, 6). One
@@ -1398,8 +1399,11 @@ object DataQuality {
     * exposure beyond the group key itself. */
   def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val dec9  = org.apache.spark.sql.types.DecimalType(30, 9)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val x = col(valueCol).cast("long")
+    // per-row DECIMAL(18,0) so x*x is DECIMAL(37,0) — sums stay exact where a
+    // long-typed sum(x*x) would wrap silently past Long.MaxValue (olsFit rule)
+    val x = col(valueCol).cast("long").cast(dec18)
     val perGroup = df
       .select(col(groupCol).cast("string").as("g"), x.as("x"))
       .groupBy(col("g"))
@@ -1445,8 +1449,11 @@ object DataQuality {
       valueCol: String,
       groupA: String,
       groupB: String): DataFrame = {
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val x = col(valueCol).cast("long")
+    // DECIMAL(18,0) per-row → DECIMAL(37,0) products: sum(x*x) stays exact
+    // past the ~SF-0.4 point where a long sum of cents² wraps (olsFit rule)
+    val x = col(valueCol).cast("long").cast(dec18)
     val m = df
       .select(col(groupCol).cast("string").as("g"), x.as("x"))
       .filter(col("g").isin(groupA, groupB))
@@ -1521,14 +1528,27 @@ object DataQuality {
     * (K−3)²/4) from the sample skewness S = m₃/m₂^{3/2} and kurtosis K =
     * m₄/m₂² — the "is this metric even Gaussian-ish" gate before any
     * z-score-based outlier rule is trusted. Raw power sums Σx..Σx⁴
-    * aggregate exactly (long terms into DECIMAL(38,0) ≡ HUGEINT; the x⁴
-    * term bounds |x| ≤ ~55k, guarded); central moments and JB are one
+    * aggregate exactly — per-row values land in DECIMAL(10,0) so x² is
+    * DECIMAL(21,0), x³ DECIMAL(32,0) and x⁴ DECIMAL(38,0), all under the
+    * 38-digit cap for |x| ≤ 3·10⁹ (an in-plan raise_error guards the
+    * bound loudly; sums cast DECIMAL(38,0) ≡ HUGEINT, never a wrapping
+    * long); central moments and JB are one
     * fixed-order double chain under round(·, 6), and since JB ~ χ²(2) the
     * p-value has the CLOSED form exp(−JB/2) — evaluated on the grid-6 JB,
     * round(·, 9). One aggregation, map-side combined, no shuffle by key. */
   def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    val dec10 = org.apache.spark.sql.types.DecimalType(10, 0)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val x  = col(valueCol).cast("long")
+    val xl = col(valueCol).cast("long")
+    // |x| ≤ 3e9 keeps x⁴ ≤ 8.1e37 inside DECIMAL(38,0); beyond that Spark
+    // would null the product silently (skipped by sum) — fail loudly instead
+    val x = when(
+      abs(xl) > lit(3000000000L),
+      raise_error(concat(
+        lit("jarqueBera: |x| exceeds the exact-x^4 bound 3e9, got "),
+        xl.cast("string"))))
+      .otherwise(xl)
+      .cast(dec10)
     val x2 = x * x
     val m = df
       .select(x.as("x"), x2.as("x2"), (x2 * x).as("x3"), (x2 * x2).as("x4"))
@@ -1836,16 +1856,22 @@ object DataQuality {
     require(scale >= 2 && binWidth >= 1 && binWidth <= scale,
       s"need scale >= 2 and 1 <= binWidth <= scale, got $scale/$binWidth")
     val dec12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val pool = df.select(col(scoreCol).cast("long").as("s"), col(labelCol).cast("long").as("y"))
+    // floor(s/w), not truncate-toward-zero: matches DuckDB's `//` on
+    // negative score grids too. DECIMAL(18,0) per-row products keep the
+    // power sums exact where a long sum would wrap (olsFit rule).
+    val sD = col("s").cast(dec18)
+    val yD = col("y").cast(dec18)
     val bins = pool
-      .groupBy((col("s") / binWidth).cast("long").as("b"))
+      .groupBy(floor(col("s").cast("double") / binWidth).cast("long").as("b"))
       .agg(
         count(lit(1)).as("nb"),
-        sum(col("s")).cast(dec38).as("sb"),
+        sum(sD).cast(dec38).as("sb"),
         sum(col("y")).as("yb"),
-        sum(col("s") * col("s")).cast(dec38).as("ssb"),
-        sum(col("s") * col("y")).cast(dec38).as("syb"))
+        sum(sD * sD).cast(dec38).as("ssb"),
+        sum(sD * yD).cast(dec38).as("syb"))
     val tot = bins.agg(
       sum(col("nb")).as("n"),
       sum(col("yb")).as("ytot"),

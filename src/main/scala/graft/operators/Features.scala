@@ -290,12 +290,17 @@ object Features {
       yCol.cast("long").as("y"),
       pmod(splitCol.cast("long"), lit(3L)).as("split"))
     val train = base.filter(col("split") === 0L)
+    // DECIMAL(18,0) per-row → DECIMAL(37,0) products: exact train moments
+    // where a long sum(x*x) would wrap silently (olsFit rule)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val xd = col("x").cast(dec18)
+    val yd = col("y").cast(dec18)
     val model = train.agg(
       count(lit(1)).as("n_train"),
-      sum(col("x")).cast(dec38).as("sx"),
-      sum(col("y")).cast(dec38).as("sy"),
-      sum(col("x") * col("x")).cast(dec38).as("sxx"),
-      sum(col("x") * col("y")).cast(dec38).as("sxy"))
+      sum(xd).cast(dec38).as("sx"),
+      sum(yd).cast(dec38).as("sy"),
+      sum(xd * xd).cast(dec38).as("sxx"),
+      sum(xd * yd).cast(dec38).as("sxy"))
     val nT  = col("n_train").cast("double")
     val den = nT * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
     val b   = round((nT * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) / den, 9)

@@ -418,9 +418,9 @@ object EventStreams {
 
   final case class RunsState(hours: Map[Long, Long])
   final case class RunsPoint(
-      n_above: Long,
-      n_below: Long,
-      runs: Long,
+      n_above: Option[Long],
+      n_below: Option[Long],
+      runs: Option[Long],
       expected_runs: Option[Double],
       z: Option[Double],
       p_value: Option[Double],
@@ -439,7 +439,10 @@ object EventStreams {
     * division), exact integer signs/runs/flips, E[R]/Var[R]/z in the same
     * double order, HALF_UP snaps at 1e-6, and the shared erfc-polynomial
     * p at 1e-9 — bit-identical to the batch row on ordered arrival
-    * (StreamingSpec pins it). */
+    * (StreamingSpec pins it). Degenerate parity: a constant series (every
+    * hour equals the median, signed frame empty) emits ALL-NULL statistic
+    * columns exactly like the batch aggregate over the empty frame —
+    * never a fabricated runs=1 row (StreamingSpec pins this too). */
   def runsTestStream(events: Dataset[Event]): Dataset[RunsPoint] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -469,27 +472,30 @@ object EventStreams {
             if (med == Long.MinValue) { cum += c; if (cum >= thr) med = v }
           }
           val signed = series.filter(_ != med).map(x => if (x > med) 1 else 0)
-          val n1 = signed.count(_ == 1).toLong
-          val n2 = signed.size.toLong - n1
-          val runs =
-            if (signed.isEmpty) 1L
-            else 1L + signed.iterator.sliding(2).withPartial(false).count(p => p(0) != p(1))
-          val (n1d, n2d) = (n1.toDouble, n2.toDouble)
-          val nTd = n1d + n2d
-          val er  = 2.0 * n1d * n2d / nTd + 1.0
-          val vr  = 2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d) / (nTd * nTd * (nTd - 1.0))
-          val z   = if (vr > 0.0) Some(r((runs.toDouble - er) / math.sqrt(vr), 6)) else None
-          val p = z.map { zz =>
-            val x    = math.abs(zz) / math.sqrt(2.0)
-            val t    = 1.0 / (1.0 + 0.3275911 * x)
-            val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
-              - 0.284496736) * t + 0.254829592) * t
-            r(poly * math.exp(-x * x), 9)
+          if (signed.isEmpty) {
+            // batch parity: TimeSeries.runsTest aggregates an EMPTY signed
+            // frame on a constant/median-flat series, so every statistic
+            // column is NULL — mirror that, never a fabricated runs=1 row
+            Iterator.single(RunsPoint(None, None, None, None, None, None, total))
+          } else {
+            val n1 = signed.count(_ == 1).toLong
+            val n2 = signed.size.toLong - n1
+            val runs =
+              1L + signed.iterator.sliding(2).withPartial(false).count(p => p(0) != p(1))
+            val (n1d, n2d) = (n1.toDouble, n2.toDouble)
+            val nTd = n1d + n2d
+            val er  = 2.0 * n1d * n2d / nTd + 1.0
+            val vr  = 2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d) / (nTd * nTd * (nTd - 1.0))
+            val z   = if (vr > 0.0) Some(r((runs.toDouble - er) / math.sqrt(vr), 6)) else None
+            val p = z.map { zz =>
+              val x    = math.abs(zz) / math.sqrt(2.0)
+              val t    = 1.0 / (1.0 + 0.3275911 * x)
+              val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                - 0.284496736) * t + 0.254829592) * t
+              r(poly * math.exp(-x * x), 9)
+            }
+            Iterator.single(RunsPoint(Some(n1), Some(n2), Some(runs), Some(r(er, 6)), z, p, total))
           }
-          Iterator.single(RunsPoint(
-            n1, n2, runs,
-            if (nTd > 0.0) Some(r(er, 6)) else None,
-            z, p, total))
         })
   }
 

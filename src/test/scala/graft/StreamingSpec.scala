@@ -861,6 +861,38 @@ class StreamingSpec extends SparkSpec {
     assert(conv.getLong(2) > 1L) // a real series flips at least once
   }
 
+  test("runs-test twins agree on the degenerate constant series: all statistic columns NULL") {
+    import spark.implicits._
+    // 4 hours × 1 event each → hourly series [1,1,1,1]: every hour equals
+    // the median, the signed frame is empty, and BOTH twins must emit one
+    // row whose six statistic columns are all NULL (no fabricated runs=1)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    val rows = (0 until 4).map { h =>
+      (h.toLong, new java.sql.Timestamp(base.getTime + h * 3600L * 1000L), h.toLong, "view", 1.0)
+    }
+    val flat = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val batch = graft.operators.TimeSeries.runsTest(flat, "ts").collect()
+    assert(batch.length == 1)
+    assert((0 until 6).forall(batch.head.isNullAt))
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_runs_flat_").toString
+    flat.coalesce(1).write.mode("overwrite").parquet(stage)
+    val sq = EventStreams
+      .runsTestStream(EventStreams.readEventStream(spark, stage).as[EventStreams.Event])
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("runs_flat_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    val snaps = spark.table("runs_flat_out").collect()
+    val conv  = snaps.filter(_.getLong(6) == 4L)
+    assert(conv.length == 1)
+    assert((0 until 6).forall(conv.head.isNullAt))
+  }
+
 
   test("streaming drift timeline converged snapshot equals the batch per-day rows bit-for-bit") {
     import spark.implicits._
