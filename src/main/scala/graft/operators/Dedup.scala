@@ -837,17 +837,9 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 50,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    import org.apache.spark.sql.graftbridge.Bridge
-
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    // reliable checkpoint files are owned by the checkpoint dir (cleaned by
-    // spark.cleaner.referenceTracking.cleanCheckpoints or dir lifecycle);
-    // only localCheckpoint blocks need explicit release
-    def release(df: DataFrame): Unit =
-      if (checkpointDir.isEmpty) Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(pairs, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))

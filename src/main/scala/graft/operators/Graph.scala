@@ -41,15 +41,11 @@ object Graph {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
-    import org.apache.spark.sql.graftbridge.Bridge
 
     val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit =
-      if (checkpointDir.isEmpty) Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     val e = materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
@@ -141,14 +137,15 @@ object Graph {
       weightCol: String,
       iterations: Int = 10,
       damping: Double = 0.85,
-      checkpointInterval: Int = 2): DataFrame = {
+      checkpointInterval: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
-    import org.apache.spark.sql.graftbridge.Bridge
 
-    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     // collapse duplicates to exact LONG weights (integer interaction
     // counts — exact Σw, so the w/Σw shares are deterministic doubles).
@@ -226,16 +223,17 @@ object Graph {
       sources: DataFrame,
       iterations: Int = 10,
       damping: Double = 0.85,
-      checkpointInterval: Int = 2): DataFrame = {
+      checkpointInterval: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
     require(sources.columns.length == 1, "sources must be a single-column id frame")
-    import org.apache.spark.sql.graftbridge.Bridge
 
     val spark = edges.sparkSession
-    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     val e = materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
@@ -318,15 +316,10 @@ object Graph {
       checkpointInterval: Int = 2): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
-    import org.apache.spark.sql.graftbridge.Bridge
 
-    val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit =
-      if (checkpointDir.isEmpty) Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).filter(col("a") =!= col("b"))
     val sym = materialize(
@@ -384,9 +377,13 @@ object Graph {
     * keyed shuffle per star step, edge-set signature convergence test,
     * never a driver collect). Nodes with no non-self edge are absent (an
     * edge list does not enumerate isolated nodes). */
-  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    val (labels, _) = Dedup.starComponents(pairs)
+    val (labels, _) = Dedup.starComponents(pairs, checkpointDir = checkpointDir)
     labels.select(col("doc_id").as("id"), col("cluster_id").as("component"))
   }
 
@@ -409,13 +406,14 @@ object Graph {
       dstCol: String,
       sources: DataFrame,
       maxDepth: Int,
-      undirected: Boolean = true): DataFrame = {
+      undirected: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     require(sources.columns.length == 1, "sources must be a single-column id frame")
-    import org.apache.spark.sql.graftbridge.Bridge
 
-    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).filter(col("a") =!= col("b"))
     val dir = if (undirected) raw.union(raw.select(col("b").as("a"), col("a").as("b"))) else raw
@@ -473,13 +471,14 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int = 8,
-      checkpointInterval: Int = 2): DataFrame = {
+      checkpointInterval: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, got $checkpointInterval")
-    import org.apache.spark.sql.graftbridge.Bridge
 
-    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     val e = materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
@@ -950,11 +949,13 @@ object Graph {
       aCol: String,
       bCol: String,
       nSources: Int,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(nSources >= 1, s"nSources must be positive, got $nSources")
     require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
     val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val st = IterState(edges, checkpointDir)
+    def mat(df: DataFrame): DataFrame = st.mat(df)
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
@@ -1033,9 +1034,11 @@ object Graph {
       aCol: String,
       bCol: String,
       nSources: Int,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(nSources >= 1 && maxDepth >= 1, "nSources and maxDepth must be positive")
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val st = IterState(edges, checkpointDir)
+    def mat(df: DataFrame): DataFrame = st.mat(df)
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
@@ -1085,10 +1088,12 @@ object Graph {
       aCol: String,
       bCol: String,
       k: Int,
-      rounds: Int = 6): DataFrame = {
+      rounds: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1, s"rounds must be positive, got $rounds")
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val st = IterState(edges, checkpointDir)
+    def mat(df: DataFrame): DataFrame = st.mat(df)
     def rankLt(d1: org.apache.spark.sql.Column, i1: org.apache.spark.sql.Column,
                d2: org.apache.spark.sql.Column, i2: org.apache.spark.sql.Column) =
       d1 < d2 || (d1 === d2 && i1 < i2)
@@ -1154,11 +1159,13 @@ object Graph {
       aCol: String,
       bCol: String,
       nSources: Int,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(nSources >= 1, s"nSources must be positive, got $nSources")
     require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
     val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val st = IterState(edges, checkpointDir)
+    def mat(df: DataFrame): DataFrame = st.mat(df)
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
@@ -1211,12 +1218,13 @@ object Graph {
       bCol: String,
       k: Int,
       maxRounds: Int = 32,
-      checkpointInterval: Int = 4): DataFrame = {
+      checkpointInterval: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
-    import org.apache.spark.sql.graftbridge.Bridge
-    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
 
     var live = materialize(
       edges
@@ -1252,7 +1260,7 @@ object Graph {
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("core_degree"))
-    val materialized = out.localCheckpoint(true)
+    val materialized = materialize(out)
     release(lastMat)
     materialized
   }
@@ -1270,18 +1278,22 @@ object Graph {
     * Scale boundary, stated honestly: the closure materializes REACH PAIRS,
     * Θ(Σ_v |reach(v)|) — the right tool for transition/metadata/state
     * graphs (event types, schema lineage, service call graphs: thousands of
-    * nodes, bounded reach), NOT for the billion-node content graph, where
-    * SCC needs the recursive FW–BW peeling this engine would hang off the
-    * same closure primitive. Each round is one self-join + distinct on the
-    * pair key — shuffle-partitioned, no driver data. */
+    * nodes, bounded reach), NOT for the billion-node content graph — that
+    * regime is [[sccFwBw]], the frontier-BFS forward–backward peeling whose
+    * state stays NODE-sized. Rule of thumb: closure when Σ|reach(v)| fits a
+    * shuffle (dense mutual reach, small node count — it then needs only
+    * ~log₂ diameter rounds), FW–BW when nodes are huge and reach sets would
+    * explode. Each round here is one self-join + distinct on the pair key —
+    * shuffle-partitioned, no driver data. */
   def stronglyConnectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxRounds: Int = 8): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit = Bridge.unpersistLocalCheckpoint(df)
+      maxRounds: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val st = IterState(edges, checkpointDir)
+    def materialize(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
     val dir = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
@@ -1314,8 +1326,151 @@ object Graph {
     val out = mutual
       .groupBy(col("id"))
       .agg(min(col("peer")).as("scc"))
-    val materialized = out.localCheckpoint(true)
+    val materialized = materialize(out)
     release(reach)
+    materialized
+  }
+
+  /** Strongly connected components by FORWARD–BACKWARD peeling (Fleischer,
+    * Hendrickson & Pınar 2000; the Multistep refinement of Slota et al.
+    * 2014) — the SCC algorithm for graphs whose transitive closure would
+    * explode: state is always NODE-sized (never reach-pairs, the
+    * [[stronglyConnectedComponents]] boundary). Per peel round, every live
+    * partition picks its minimum node id as pivot, one batched multi-source
+    * BFS follows edges FORWARD from all pivots and one BACKWARD (the same
+    * frontier machinery as [[bfsLevels]], keyed by partition so all
+    * partitions advance in the same jobs); F ∩ B is exactly the pivot's
+    * SCC (emitted with label = pivot, which IS the SCC minimum: the pivot
+    * is the partition min and the SCC is contained in the partition), and
+    * the remainder splits three ways — F∖SCC, B∖SCC, V∖(F∪B) — each a
+    * union of whole SCCs, so they recurse independently as new partition
+    * labels (part·4 + 1/2/3, collision-free for ≤ 31 rounds in a long).
+    * A TRIM step first peels every node with no in- or no out-edge inside
+    * its live partition (a trivial SCC by definition — the standard
+    * accelerator that collapses DAG-like regions without BFS work).
+    *
+    * Output (id, scc = min node id of the component) — identical semantics
+    * to [[stronglyConnectedComponents]], verified against it and against a
+    * driver-side Kosaraju on random digraphs (GraphSpec), and replayed by
+    * the same closure oracle in the gate (same results, different regime).
+    *
+    * Scale shape: per BFS level ONE frontier⋈edges shuffle + a seen-set
+    * anti-join (frontier-sized); per peel round one live-edge semi-join
+    * rebuild. Peel rounds are bounded by how many times the pivot's SCC
+    * fails to cover its partition — O(log n) expected on random structure
+    * (each split strictly removes the pivot's SCC); `maxPeelRounds` /
+    * `maxBfsRounds` cap both loops and the operator THROWS on
+    * non-convergence rather than emitting partial labels (the
+    * [[Dedup.starComponents]] discipline). All state goes through the
+    * [[IterState]] local/reliable checkpoint contract. */
+  def sccFwBw(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxPeelRounds: Int = 30,
+      maxBfsRounds: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxPeelRounds >= 1 && maxPeelRounds <= 31,
+      s"maxPeelRounds must be in [1, 31] (partition labels pack into a long), got $maxPeelRounds")
+    require(maxBfsRounds >= 1, s"maxBfsRounds must be positive, got $maxBfsRounds")
+    val st = IterState(edges, checkpointDir)
+    def mat(df: DataFrame): DataFrame = st.mat(df)
+    def release(df: DataFrame): Unit = st.release(df)
+
+    val dirE = mat(
+      edges
+        .select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+
+    // multi-source BFS reach over a live (part, a, b) edge set from the
+    // per-part pivots; returns the (part, id) reach set including pivots
+    def reach(live: DataFrame, pivots: DataFrame, forward: Boolean): DataFrame = {
+      val g =
+        if (forward) live
+        else live.select(col("part"), col("b").as("a"), col("a").as("b"))
+      var frontier = mat(pivots.select(col("part"), col("pivot").as("id")))
+      var seen     = frontier
+      var rounds   = 0
+      var done     = frontier.limit(1).isEmpty
+      while (!done && rounds < maxBfsRounds) {
+        val next = mat(
+          g.join(frontier.select(col("part").as("fpart"), col("id").as("fid")),
+              g("part") === col("fpart") && g("a") === col("fid"))
+            .select(g("part").as("part"), col("b").as("id"))
+            .distinct()
+            .join(seen, Seq("part", "id"), "left_anti"))
+        done = next.limit(1).isEmpty
+        if (!done) {
+          seen = mat(seen.union(next))
+          frontier = next
+          rounds += 1
+        }
+      }
+      if (!done)
+        throw new IllegalStateException(
+          s"sccFwBw: BFS did not drain within maxBfsRounds=$maxBfsRounds " +
+            "(graph diameter exceeds the budget) — raise maxBfsRounds")
+      seen
+    }
+
+    var active = mat(
+      dirE.select(col("a").as("id"))
+        .union(dirE.select(col("b").as("id")))
+        .distinct()
+        .select(col("id"), lit(0L).as("part")))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    while (round < maxPeelRounds && !active.limit(1).isEmpty) {
+      // live subgraph: edges whose BOTH endpoints are active in the same part
+      val live = mat(
+        dirE
+          .join(active.select(col("id").as("a"), col("part")), Seq("a"))
+          .join(active.select(col("id").as("b"), col("part").as("pb")), Seq("b"))
+          .filter(col("part") === col("pb"))
+          .select(col("part"), col("a"), col("b")))
+      // TRIM: a node with no in-edge or no out-edge in its live partition
+      // is a singleton SCC — peel without BFS. (Such a node can never sit
+      // INSIDE a path either, so leaving its edges in `live` for the BFS
+      // below cannot add anyone to F ∩ B.)
+      val hasOut = live.select(col("part"), col("a").as("id"))
+      val hasIn  = live.select(col("part"), col("b").as("id"))
+      val nonTrivial = hasOut.intersect(hasIn)
+      val trimmed = active.join(nonTrivial, Seq("part", "id"), "left_anti")
+      emitted += mat(trimmed.select(col("id"), col("id").as("scc")))
+      val act = mat(active.join(nonTrivial, Seq("part", "id"), "left_semi"))
+      release(active)
+      if (!act.limit(1).isEmpty) {
+        val pivots = mat(act.groupBy(col("part")).agg(min(col("id")).as("pivot")))
+        val fwd = reach(live, pivots, forward = true)
+        val bwd = reach(live, pivots, forward = false)
+        val scc = fwd.join(bwd, Seq("part", "id"), "left_semi")
+        emitted += mat(
+          scc.join(pivots, Seq("part")).select(col("id"), col("pivot").as("scc")))
+        // three-way split of the remainder, each a union of whole SCCs
+        val nextActive = act
+          .join(scc, Seq("part", "id"), "left_anti")
+          .join(fwd.select(col("part"), col("id"), lit(1).as("in_f")), Seq("part", "id"), "left")
+          .join(bwd.select(col("part"), col("id"), lit(1).as("in_b")), Seq("part", "id"), "left")
+          .select(
+            col("id"),
+            (col("part") * 4 +
+              when(col("in_f") === 1, 1).when(col("in_b") === 1, 2).otherwise(3)).as("part"))
+        active = mat(nextActive)
+        release(act); release(fwd); release(bwd)
+      } else active = act
+      release(live)
+      round += 1
+    }
+    if (!active.limit(1).isEmpty)
+      throw new IllegalStateException(
+        s"sccFwBw did not converge within maxPeelRounds=$maxPeelRounds — " +
+          "refusing to emit partial SCC labels")
+    val out =
+      if (emitted.isEmpty) active.select(col("id"), col("id").as("scc")).limit(0)
+      else emitted.reduce(_ unionAll _).select(col("id"), col("scc"))
+    val materialized = mat(out)
+    release(active)
     materialized
   }
 

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared iterative-state checkpointer for every multi-round operator
+  * (PageRank/HITS/k-core/BFS/CC/k-truss/SCC/star-components/...).
+  *
+  * Two modes, selected by the caller's `checkpointDir`:
+  *
+  *   - `None` (default, local mode / healthy short jobs): eager
+  *     `localCheckpoint` — fastest, blocks live on executors and are
+  *     explicitly released via [[release]] when a newer round supersedes
+  *     them. A lost executor loses its blocks → Spark restarts the JOB,
+  *     acceptable when rounds are cheap.
+  *   - `Some(dir)` (preemptible / long 100-TB runs): RELIABLE
+  *     `df.checkpoint` into `dir` — survives executor loss (hour-6 of a
+  *     100-node pagerank resumes instead of restarting). Release is a
+  *     no-op: reliable checkpoint files are owned by the checkpoint dir
+  *     lifecycle (`spark.cleaner.referenceTracking.cleanCheckpoints`),
+  *     not by per-round unpersists.
+  *
+  * One instance per operator call; construction registers the dir with the
+  * SparkContext (idempotent). Every iterative operator threads its own
+  * `checkpointDir: Option[String]` parameter into this class so the
+  * durability choice is uniform engine-wide (CheckpointModeSpec pins both
+  * modes). */
+private[graft] final class IterState(checkpointDir: Option[String]) {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Materialize a round's state: reliable when durable, local otherwise. */
+  def mat(df: DataFrame): DataFrame =
+    if (checkpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Drop a superseded round's blocks (local mode only — reliable
+    * checkpoint files outlive the lineage by design). */
+  def release(df: DataFrame): Unit =
+    if (checkpointDir.isEmpty) Bridge.unpersistLocalCheckpoint(df)
+}
+
+private[graft] object IterState {
+  /** Build a checkpointer for this operator call, registering the reliable
+    * dir with the session's SparkContext when one is given. */
+  def apply(anchor: DataFrame, checkpointDir: Option[String]): IterState = {
+    checkpointDir.foreach(anchor.sparkSession.sparkContext.setCheckpointDir)
+    new IterState(checkpointDir)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+
+/** Pins the engine-wide durable-checkpoint contract: every iterative
+  * operator accepts `checkpointDir`, and
+  *   - with it set, iteration state goes through RELIABLE `df.checkpoint`
+  *     (observable: RDD checkpoint files appear under the dir — this is
+  *     what survives a lost executor at hour 6 of a 100-TB pagerank);
+  *   - without it, state stays on fast `localCheckpoint` (observable: the
+  *     dir keeps no files);
+  * and the two modes return IDENTICAL results (checkpoint placement must
+  * never change arithmetic). */
+class CheckpointModeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a small graph with two components, a cycle, triangles and a dangler —
+  // enough structure that every operator below does real multi-round work
+  private lazy val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
+    (2L, 4L), (6L, 7L), (7L, 8L), (8L, 6L), (1L, 5L), (9L, 1L)
+  ).toDF("s", "t")
+
+  private def checkpointFiles(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (dir.exists()) walk(dir).filter(_.isFile) else Seq.empty
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def assertBothModes(name: String)(run: Option[String] => DataFrame): Unit = {
+    val local = sorted(run(None))
+    val dir   = java.nio.file.Files.createTempDirectory(s"graft_ckpt_${name}_").toFile
+    val durable = sorted(run(Some(dir.toString)))
+    assert(durable == local, s"$name: durable-checkpoint result diverged from local mode")
+    assert(
+      checkpointFiles(dir).nonEmpty,
+      s"$name: no RDD checkpoint files under $dir — reliable df.checkpoint was not used")
+    assert(local.nonEmpty, s"$name: empty result, the mode comparison proved nothing")
+  }
+
+  test("pageRank: reliable checkpoint when dir set, local otherwise, same ranks") {
+    assertBothModes("pagerank")(cd =>
+      Graph.pageRank(edges, "s", "t", iterations = 4, checkpointDir = cd)
+        .select(col("id"), round(col("rank"), 9).as("r")))
+  }
+
+  test("weightedPageRank threads checkpointDir") {
+    val w = edges.withColumn("w", (col("s") + col("t")) % 3 + 1)
+    assertBothModes("wpr")(cd =>
+      Graph.weightedPageRank(w, "s", "t", "w", iterations = 4, checkpointDir = cd)
+        .select(col("id"), round(col("rank"), 9).as("r")))
+  }
+
+  test("personalizedPageRank threads checkpointDir") {
+    val sources = Seq(1L).toDF("id")
+    assertBothModes("ppr")(cd =>
+      Graph.personalizedPageRank(edges, "s", "t", sources, iterations = 4, checkpointDir = cd)
+        .select(col("id"), round(col("rank"), 9).as("r")))
+  }
+
+  test("labelPropagation threads checkpointDir") {
+    assertBothModes("lpa")(cd =>
+      Graph.labelPropagation(edges, "s", "t", iterations = 3, checkpointDir = cd))
+  }
+
+  test("connectedComponents / starComponents thread checkpointDir") {
+    assertBothModes("cc")(cd => Graph.connectedComponents(edges, "s", "t", checkpointDir = cd))
+    val pairs = edges.select(col("s").as("a"), col("t").as("b"))
+    assertBothModes("star")(cd => Dedup.starComponents(pairs, checkpointDir = cd)._1)
+  }
+
+  test("bfsLevels threads checkpointDir") {
+    assertBothModes("bfs")(cd =>
+      Graph.bfsLevels(edges, "s", "t", Seq(1L).toDF("id"), maxDepth = 3, checkpointDir = cd))
+  }
+
+  test("hits threads checkpointDir") {
+    assertBothModes("hits")(cd =>
+      Graph.hits(edges, "s", "t", iterations = 4, checkpointDir = cd))
+  }
+
+  test("kCore threads checkpointDir") {
+    assertBothModes("kcore")(cd =>
+      Graph.kCore(edges, "s", "t", k = 2, checkpointInterval = 1, checkpointDir = cd))
+  }
+
+  test("kTruss threads checkpointDir") {
+    assertBothModes("ktruss")(cd =>
+      Graph.kTruss(edges, "s", "t", k = 3, rounds = 3, checkpointDir = cd))
+  }
+
+  test("betweenness / harmonic / eccentricity sampled thread checkpointDir") {
+    assertBothModes("btw")(cd =>
+      Graph.betweennessSampled(edges, "s", "t", nSources = 3, maxDepth = 3, checkpointDir = cd))
+    assertBothModes("harm")(cd =>
+      Graph.harmonicSampled(edges, "s", "t", nSources = 3, maxDepth = 3, checkpointDir = cd))
+    assertBothModes("ecc")(cd =>
+      Graph.eccentricitySampled(edges, "s", "t", nSources = 3, maxDepth = 3, checkpointDir = cd))
+  }
+
+  test("stronglyConnectedComponents threads checkpointDir") {
+    assertBothModes("scc")(cd =>
+      Graph.stronglyConnectedComponents(edges, "s", "t", checkpointDir = cd))
+  }
+}
