@@ -574,6 +574,22 @@ object StatsQueries {
       Graph.stronglyConnectedComponents(transitionEdges(spark, dir), "u", "v")
     },
 
+    // ------------------------------------------- directed SCC, FW–BW regime
+    // The SAME mutual-reachability answer computed by the billion-node
+    // algorithm: forward–backward peeling with trim, node-sized state, no
+    // reach-pair closure (Graph.sccFwBw documents which regime each SCC
+    // variant serves). The oracle is shared with graph_scc — semantics are
+    // identical, only the execution strategy differs, which is exactly
+    // what the twin gate rows pin.
+    Q(
+      "graph_scc_fwbw",
+      Some(s"""
+        $sccSql
+        SELECT id, scc FROM scc
+      """)) { (spark, dir) =>
+      Graph.sccFwBw(transitionEdges(spark, dir), "u", "v")
+    },
+
     // ------------------------------------------- SCC condensation DAG
     // Collapse each mutually-reachable state cluster to one node and
     // count the edges between distinct clusters — the acyclic summary a

@@ -532,6 +532,71 @@ class GraphSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), m.toString)
   }
 
+  test("sccFwBw equals driver Tarjan and the closure variant on random digraphs; hand cases") {
+    import spark.implicits._
+    // the same Tarjan as the closure spec, re-derived here so this test is
+    // self-contained against the FW–BW peeling path
+    def tarjan(nodes: Seq[Long], adj: Map[Long, Seq[Long]]): Map[Long, Long] = {
+      var index = 0
+      val idx     = scala.collection.mutable.Map[Long, Int]()
+      val low     = scala.collection.mutable.Map[Long, Int]()
+      val onStack = scala.collection.mutable.Set[Long]()
+      val stack   = scala.collection.mutable.Stack[Long]()
+      val comp    = scala.collection.mutable.Map[Long, Long]()
+      def connect(v: Long): Unit = {
+        idx(v) = index; low(v) = index; index += 1
+        stack.push(v); onStack += v
+        for (w <- adj.getOrElse(v, Nil)) {
+          if (!idx.contains(w)) { connect(w); low(v) = math.min(low(v), low(w)) }
+          else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+        }
+        if (low(v) == idx(v)) {
+          val members = scala.collection.mutable.Buffer[Long]()
+          var w = -1L
+          do { w = stack.pop(); onStack -= w; members += w } while (w != v)
+          val label = members.min
+          members.foreach(m => comp(m) = label)
+        }
+      }
+      nodes.foreach(v => if (!idx.contains(v)) connect(v))
+      comp.toMap
+    }
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 4) {
+      // vary density across trials: sparse DAG-ish through cycle-rich
+      val n = 20 + trial * 4
+      val edges = (1 to (n * 2 + trial * 10))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val expected = tarjan(nodes, adj)
+      val got = Graph.sccFwBw(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: got $got expected $expected")
+      val closure = Graph.stronglyConnectedComponents(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == closure, s"trial $trial: FW–BW and closure variants diverged")
+    }
+    // hand cases: 2-cycle + tail; pure cycle; path (all trivial); empty
+    val m = Graph.sccFwBw(Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), m.toString)
+    val cyc = Graph.sccFwBw(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), cyc.toString)
+    val path = Graph.sccFwBw(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(path == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L), path.toString)
+    assert(Graph.sccFwBw(Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d").count() == 0L)
+    // string ids work (the transition-graph gate shape)
+    val sg = Graph.sccFwBw(
+      Seq(("view", "cart"), ("cart", "view"), ("cart", "purchase")).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sg == Map("view" -> "cart", "cart" -> "cart", "purchase" -> "purchase"), sg.toString)
+  }
+
   test("sccCondense: two 2-cycles and a pendant collapse to a 3-node DAG") {
     import spark.implicits._
     // {1,2} -> {3,4} via 2->3; {1,2} -> {5} via 2->5
