@@ -2403,6 +2403,34 @@ object PipelineQueries {
       DataQuality.joinKeySkew(Tables(spark, dir).lineitem, "l_suppkey", topK = 10)
     },
 
+    // ------------------------------------------ audit-driven salted agg
+    // The skew loop CLOSED: quality_skew_audit diagnoses, Skew.autoSaltedAgg
+    // acts. The key here is a hot-key projection (suppkeys >= 5 collapse to
+    // one "default supplier" bucket carrying ~96% of rows, skew factor
+    // ~4.8), so the measured factor crosses the threshold and the
+    // aggregation runs the two-phase (key, salt) -> key plan — with results
+    // EXACTLY equal to the plain GROUP BY the oracle runs (associative
+    // integer sums; PlanSpec pins the plan shapes, this row pins values).
+    Q(
+      "agg_salted_hotkey",
+      Some("""
+        SELECT least(l_suppkey, 5) AS k,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      import graft.operators.Skew
+      val base = Tables(spark, dir).lineitem
+        .select(least(col("l_suppkey"), lit(5)).as("k"), col("l_quantity").cast("long").as("q"))
+      Skew.autoSaltedAgg(
+        base,
+        Seq("k"),
+        partial = Seq(count(lit(1)).as("n"), sum(col("q")).as("sum_qty")),
+        merge   = Seq(sum(col("n")).as("n"), sum(col("sum_qty")).as("sum_qty")),
+        skewThreshold = 4.0)
+    },
+
     // --------------------------------------------- ER blocking audit
     // Blocking-quality metrics (DataQuality.blockingAudit) for a
     // nation × segment blocking of customer: reduction ratio vs the

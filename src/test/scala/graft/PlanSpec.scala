@@ -526,4 +526,49 @@ class PlanSpec extends SparkSpec {
     val plain = cat.joinWithStats(t.customer, "nation_nostats", on)
     assert(plain.count() == t.customer.count(), "fallback join must still run")
   }
+
+  test("autoSaltedAgg: two-phase salted plan above the skew threshold, single shuffle below") {
+    import spark.implicits._
+    import graft.operators.Skew
+    import org.apache.spark.sql.functions.{count, lit, sum => fsum}
+    // hot frame: one key carries ~99% of rows (skew ~ 50); uniform frame ~ 1.0
+    val hot = (1 to 5000).map(_ => (0L, 1L)) ++ (1 to 100).map(i => (i.toLong, 1L))
+    val hotDf = hot.toDF("k", "v")
+    val uniDf = (1 to 5000).map(i => ((i % 50).toLong, 1L)).toDF("k", "v")
+    def run(df: DataFrame) = Skew.autoSaltedAgg(
+      df, Seq("k"),
+      partial = Seq(count(lit(1)).as("n"), fsum(col("v")).as("s")),
+      merge   = Seq(fsum(col("n")).as("n"), fsum(col("s")).as("s")),
+      skewThreshold = 4.0)
+
+    val salted = run(hotDf)
+    val ps = salted.queryExecution.executedPlan.toString
+    // two key shuffles: (k, __salt) partials, then the k merge
+    assert("Exchange hashpartitioning".r.findAllIn(ps).length == 2,
+      s"hot key must route through the two-phase salted plan:\n$ps")
+    assert(ps.contains("__salt"), s"phase-1 grouping must carry the salt column:\n$ps")
+
+    val plainAgg = run(uniDf)
+    val pp = plainAgg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pp).length == 1,
+      s"uniform key must keep the plain single-shuffle plan:\n$pp")
+    assert(!pp.contains("__salt"), s"no salt below the threshold:\n$pp")
+
+    // ACTION must not change ANSWERS: salted result == plain groupBy
+    val expected = hotDf.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), fsum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = salted.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "salted aggregation diverged from the plain groupBy")
+
+    // knownSkewFactor skips the measurement pass and forces the route
+    val forced = Skew.autoSaltedAgg(
+      uniDf, Seq("k"),
+      partial = Seq(fsum(col("v")).as("s")), merge = Seq(fsum(col("s")).as("s")),
+      knownSkewFactor = Some(100.0))
+    assert(forced.queryExecution.executedPlan.toString.contains("__salt"))
+    // and the estimator itself reads sanely on both shapes
+    assert(Skew.skewFactor(hotDf, Seq("k")) > 4.0)
+    assert(Skew.skewFactor(uniDf, Seq("k")) < 1.5)
+  }
 }
