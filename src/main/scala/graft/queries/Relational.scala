@@ -150,6 +150,37 @@ object Relational {
           asDouble(sum(money(col("c_acctbal")))).as("sum_acctbal"))
     },
 
+    // ------------------------------------------------ stats-driven prune
+    // Scan-side pruning from the SAME published stats (Catalog
+    // .readTableWhere): a 1995-only orders snapshot is PUT + ANALYZEd,
+    // then read under two predicates — one provably empty from the
+    // published min/max (orderdate past the version's max: the read plans
+    // an empty LOCAL relation, zero files touched — PlanSpec pins the
+    // plan), one in-range (a normal pushed-down filtered scan). The row
+    // pins both counts against DuckDB running the predicates the slow way.
+    Q(
+      "catalog_stats_prune",
+      Some("""
+        WITH o95 AS (SELECT * FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                       AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+        SELECT
+          (SELECT COUNT(*) FROM o95 WHERE o_orderdate > TIMESTAMP '1996-01-01 00:00:00') AS n_pruned,
+          (SELECT COUNT(*) FROM o95 WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00') AS n_kept
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-stats-prune").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_1995", t.orders.filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp")))
+      cat.analyzeTable("orders_1995")
+      val nPruned = cat.readTableWhere("orders_1995", "o_orderdate", ">", "1996-01-01 00:00:00").count()
+      val nKept   = cat.readTableWhere("orders_1995", "o_orderdate", ">=", "1995-06-01 00:00:00").count()
+      Seq((nPruned, nKept)).toDF("n_pruned", "n_kept")
+    },
+
     // ---------------------------------------------------------- semi join
     // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
     // keys of the filtered side when small; left_semi never duplicates rows.

@@ -384,6 +384,70 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     }
   }
 
+  /** Stats-driven SCAN pruning — the read-side complement of
+    * [[joinWithStats]] and the table-level sibling of the Z-order/Hilbert
+    * zone-map audits: evaluate a conjunct `colName op literal` against the
+    * PUBLISHED per-column min/max, and when the predicate is PROVABLY
+    * empty over the whole stored version (literal outside [min, max], or
+    * the column is all-NULL), return an empty LOCAL relation with the
+    * table's schema — the scan never plans a single file read (PlanSpec
+    * pins the plan shape: LocalTableScan, no FileScan). Otherwise the
+    * filtered read runs normally with the literal cast to the column type
+    * so the predicate still pushes into the parquet scan; no published
+    * stats → honest fallback to the filtered scan.
+    *
+    * At 100 TB this is the metadata short-circuit for time-partitioned
+    * reads ("yesterday's version can't contain today's data"): the prune
+    * decision reads ONE schema-width stats frame, never data. Comparisons
+    * run in the column's domain — numerically for numeric/decimal types,
+    * lexicographically for strings and ISO-rendered date/timestamp stats
+    * (pass literals in the same ISO rendering). Ops: < <= > >= =. */
+  def readTableWhere(
+      name: String,
+      colName: String,
+      op: String,
+      value: String,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(Set("<", "<=", ">", ">=", "=").contains(op), s"unsupported op: $op")
+    val table = readTable(name, format)
+    val field = table.schema.fields
+      .find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column '$colName' in $name"))
+    def filtered = {
+      val c = col(colName)
+      val v = lit(value).cast(field.dataType)
+      table.filter(op match {
+        case "<"  => c < v
+        case "<=" => c <= v
+        case ">"  => c > v
+        case ">=" => c >= v
+        case "="  => c === v
+      })
+    }
+    val provablyEmpty = statsFor(name, format).exists { s =>
+      s.columns.find(_.column == colName).exists { st =>
+        if (st.nNulls >= s.nRows && s.nRows > 0) true // all-NULL: no comparison matches
+        else (st.minValue, st.maxValue) match {
+          case (Some(mn), Some(mx)) =>
+            val cmpMin = Catalog.compareInDomain(mn, value, st.dataType)
+            val cmpMax = Catalog.compareInDomain(mx, value, st.dataType)
+            op match {
+              case "="  => cmpMin > 0 || cmpMax < 0 // literal outside [min, max]
+              case "<"  => cmpMin >= 0              // min >= literal: nothing below it
+              case "<=" => cmpMin > 0
+              case ">"  => cmpMax <= 0              // max <= literal: nothing above it
+              case ">=" => cmpMax < 0
+            }
+          case _ => false
+        }
+      }
+    }
+    if (provablyEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), table.schema)
+    else filtered
+  }
+
   def readTableVersion(name: String, version: Long, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
     val p = versionDirs(name).collectFirst {
       case (v, path) if v == version && isComplete(path) => path
@@ -432,6 +496,18 @@ object Catalog {
   val OldSuffix: String = ".__old__"
   /** Engine-native write-once version dirs: `<name>.__v<N>__`. */
   val VersionRe: scala.util.matching.Regex = "^(.*)\\.__v(\\d+)__$".r
+
+  /** Compare two values rendered as strings in a column's domain: numeric
+    * and decimal types compare as exact BigDecimal; everything else —
+    * strings, and the ISO renderings ANALYZE stores for date/timestamp —
+    * compares lexicographically (chronological for ISO). Used by the
+    * [[Catalog.readTableWhere]] prune decision. */
+  private[sources] def compareInDomain(a: String, b: String, dataType: String): Int = {
+    val numeric = Set("tinyint", "smallint", "int", "bigint", "float", "double")
+    if (numeric.contains(dataType) || dataType.startsWith("decimal"))
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    else a.compareTo(b)
+  }
 
   /** One atomic column's published ANALYZE stats (see [[Catalog.analyzeTable]]). */
   final case class ColumnStats(

@@ -527,6 +527,50 @@ class PlanSpec extends SparkSpec {
     assert(plain.count() == t.customer.count(), "fallback join must still run")
   }
 
+  test("readTableWhere: provably-empty predicate never plans a file scan; others push down") {
+    import graft.sources.{Catalog, Tables}
+    import org.apache.spark.sql.functions.lit
+    val t    = Tables(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val cat  = new Catalog(spark, root)
+    cat.putTable("orders95", t.orders.filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp")))
+    cat.analyzeTable("orders95")
+
+    // literal above the stored max: the whole version is provably excluded
+    val pruned = cat.readTableWhere("orders95", "o_orderdate", ">", "1996-01-01 00:00:00")
+    val pp = pruned.queryExecution.executedPlan.toString
+    assert(!pp.contains("FileScan") && !pp.contains("Scan parquet"),
+      s"stats-pruned read must not plan a file scan:\n$pp")
+    assert(pp.contains("LocalTableScan"), s"pruned read should be an empty local relation:\n$pp")
+    assert(pruned.count() == 0L)
+    assert(pruned.schema == cat.readTable("orders95").schema, "pruned frame must keep the schema")
+
+    // numeric domain: totalprice = -1 is below the stored min
+    assert(!cat.readTableWhere("orders95", "o_orderkey", "=", "-1")
+      .queryExecution.executedPlan.toString.contains("FileScan"))
+
+    // in-range literal: real filtered scan WITH pushdown
+    val kept = cat.readTableWhere("orders95", "o_orderdate", ">=", "1995-06-01 00:00:00")
+    val kf = kept.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(kf.contains("PushedFilters") && kf.contains("GreaterThanOrEqual"),
+      s"non-prunable predicate must still push into the scan:\n$kf")
+    assert(kept.count() > 0L)
+    // prune + filter agree with the plain filtered scan
+    val plain = cat.readTable("orders95")
+      .filter(col("o_orderdate") >= lit("1995-06-01 00:00:00").cast("timestamp")).count()
+    assert(kept.count() == plain)
+
+    // no stats published: honest fallback to the filtered scan
+    cat.putTable("orders95_nostats", t.orders.limit(10))
+    val fb = cat.readTableWhere("orders95_nostats", "o_orderkey", "=", "-1")
+    assert(fb.queryExecution.executedPlan.toString.contains("Scan") ||
+      fb.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(fb.count() == 0L)
+  }
+
   test("autoSaltedAgg: two-phase salted plan above the skew threshold, single shuffle below") {
     import spark.implicits._
     import graft.operators.Skew
