@@ -1070,6 +1070,123 @@ object TextQueries {
               sum(coalesce(col("n_bpe_tokens"), lit(0L))), 6).as("chars_per_token"))
     },
 
+    // ------------------------------------- end-to-end curation pipeline
+    // The composed run a real user executes FIRST: plant chrome + unicode
+    // mess → lineDedup (boilerplate lines out) → normalizeText (NFC,
+    // invisible strip, control/space fold) → cutSpans (8-grams in >=2 docs
+    // cut, Lee et al. 2022) → decontam vs the held-out doc_id%100 slice
+    // (any shared 4-gram quarantines the doc) → linear quality gate
+    // (score >= 0.5; fully-cut empty docs score 0.18 and drop here) →
+    // distributed BPE trained ON THE SURVIVING corpus, per-doc token
+    // counts. Every stage is an individually hash-proven oracle; this row
+    // pins the COMPOSITION — column contracts, fan-out checkpoints, plan
+    // depth — as one query. encSteps=9 because the planted 'Á' prefix
+    // glues one extra char onto the first content token (max word 9 chars
+    // at every SF, probed).
+    Q(
+      "corpus_e2e_pipeline",
+      Some {
+        val pipeline = """
+        m AS (
+          SELECT doc_id, source,
+                 'ACCEPT COOKIES TO CONTINUE' || chr(10) || 'A' || chr(769) || chr(8203) || text || chr(10) ||
+                 'nav: ' || source || chr(10) || '(c) example.com all rights reserved' AS t
+          FROM documents),
+        e AS (
+          SELECT doc_id, unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos,
+                 unnest(string_split(t, chr(10))) AS line
+          FROM m),
+        ne AS (SELECT * FROM e WHERE length(trim(line)) > 0),
+        ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM ne GROUP BY line),
+        keepl AS (SELECT ne.doc_id, ne.pos, ne.line FROM ne JOIN ldf USING (line) WHERE ldf.line_df < 10),
+        r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t FROM keepl GROUP BY doc_id),
+        nn AS (SELECT doc_id, nfc_normalize(t) AS s FROM r),
+        ii AS (SELECT doc_id, regexp_replace(s, '[' || chr(8203) || chr(8204) || chr(8205) || chr(8288) || chr(65279) || chr(173) || ']', '', 'g') AS s FROM nn),
+        cc AS (SELECT doc_id, regexp_replace(s, '[\p{Cc}\p{Zs}]', ' ', 'g') AS s FROM ii),
+        norm AS (SELECT doc_id, trim(regexp_replace(s, ' +', ' ', 'g')) AS s FROM cc),
+        tt AS (SELECT doc_id, list_filter(string_split_regex(s, '\s+'), x -> x <> '') AS toks FROM norm),
+        t1 AS (SELECT doc_id, toks FROM tt WHERE len(toks) >= 1),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i -> {'gpos': i, 'gram': array_to_string(toks[i:i+7], ' ')})) AS u
+               FROM t1 WHERE len(toks) >= 8),
+        g AS (SELECT doc_id, u.gpos AS gpos, u.gram AS gram FROM g0),
+        flagged AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov0 AS (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS pos FROM g JOIN flagged USING (gram)),
+        cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), i -> {'pos': i, 'token': toks[i]})) AS u FROM t1),
+        tk AS (SELECT doc_id, u.pos AS pos, u.token AS token FROM tok),
+        cut AS (SELECT tk.doc_id,
+                COALESCE(array_to_string(list(tk.token ORDER BY tk.pos) FILTER (WHERE cov.pos IS NULL), ' '), '') AS s
+                FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+                GROUP BY tk.doc_id),
+        evt AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents WHERE doc_id % 100 = 0),
+        evg AS (SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) AS gram
+                FROM evt WHERE len(toks) >= 4)),
+        trt AS (SELECT doc_id, s FROM cut WHERE doc_id % 100 <> 0),
+        trg AS (SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) - 2),
+                                      i -> array_to_string(list_filter(string_split_regex(s, '\s+'), x -> x <> '')[i:i+3], ' '))) AS gram
+                FROM trt WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 4)),
+        ov AS (SELECT trg.doc_id, COUNT(*) AS n_shared FROM trg JOIN evg USING (gram) GROUP BY 1),
+        surv AS (SELECT trt.doc_id, trt.s FROM trt LEFT JOIN ov ON ov.doc_id = trt.doc_id WHERE ov.doc_id IS NULL),
+        scored AS (
+          SELECT doc_id, s,
+                 round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                   -1.5
+                   + 8.0 * (CAST(len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) AS DOUBLE) / GREATEST(LENGTH(s), 1))
+                   + 3.0 * (CAST(len(list_filter(string_split_regex(s, '\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                            / GREATEST(len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')), 1))
+                   + (-4.0) * (CAST(len(regexp_extract_all(s, '[^a-z0-9\s]')) AS DOUBLE) / GREATEST(LENGTH(s), 1))
+                   + 0.25 * ln(CAST(1.0 AS DOUBLE) + LENGTH(s))
+                 ))), 6) AS quality_score
+          FROM surv),
+        final AS (SELECT doc_id, s, quality_score FROM scored WHERE quality_score >= 0.5),
+        final2 AS (SELECT doc_id, s AS text FROM final),
+        """
+        "WITH " + pipeline + bpeCtes(8, 9, "final2") + """
+        SELECT f.doc_id,
+               CAST(length(f.s) AS BIGINT) AS n_chars,
+               f.quality_score,
+               COALESCE(agg.n_words, 0) AS n_words,
+               COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM final f LEFT JOIN agg ON agg.doc_id = f.doc_id
+        """
+      }) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val messy = docs.select(
+        col("doc_id"),
+        concat(
+          lit("ACCEPT COOKIES TO CONTINUE\n"),
+          lit("A\u0301\u200B"), col("text"),
+          lit("\nnav: "), col("source"),
+          lit("\n(c) example.com all rights reserved")).as("text"))
+      val lined = Corpus.lineDedup(messy, "doc_id", "text", minDf = 10)
+      val norm  = lined.select(col("doc_id"), Corpus.normalizeText(col("text")).as("text"))
+      // cut fans out three ways (decontam grams, scoring, BPE) — checkpoint
+      // once so the whole upstream chain runs once, not per consumer
+      val cut = Corpus.cutSpans(norm, "doc_id", "text", n = 8, minDocs = 2)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
+      val train        = cut.filter(col("doc_id") % 100 =!= 0)
+      val evalDocs     = docs.filter(col("doc_id") % 100 === 0)
+      val contaminated = Corpus.evalOverlap(train, evalDocs, "doc_id", "text", n = 4)
+      val surv         = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val scored = Corpus.linearQualityScore(
+        surv, "doc_id", "text",
+        wTokensPerChar = 8.0, wStopwordRatio = 3.0, wPunctRatio = -4.0,
+        wLogLen = 0.25, bias = -1.5, keep = Seq("text"))
+      val fin = scored.filter(col("quality_score") >= 0.5).localCheckpoint(true)
+      val model  = Bpe.trainDistributed(fin, "text", numMerges = 8)
+      val counts = Bpe.tokenCounts(fin, "doc_id", "text", model)
+      fin
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"), col("quality_score"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_chars"), col("quality_score"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+    },
+
     // ------------------------------------------- HTML → text extraction
     // The WET-style main-content extraction step every web-scraped corpus
     // runs before any quality/dedup pass: drop style/script blocks, strip
@@ -1545,7 +1662,16 @@ object TextQueries {
     * the engine's encodeWord scan), splice it in, repeat. word + EOW is at
     * most 9 symbols at every SF, so 8 steps reach the fixpoint. Token count
     * = final symbols excluding a still-standalone chr(1) sentinel. */
-  private def bpeCoreSql(merges: Int, encSteps: Int, finalSelect: String): String = {
+  private def bpeCoreSql(merges: Int, encSteps: Int, finalSelect: String): String =
+    s"""
+    WITH ${bpeCtes(merges, encSteps, "documents")}
+    $finalSelect"""
+
+  /** The BPE train+encode replay as a bare CTE list (no WITH, no final
+    * select) over an arbitrary (doc_id, text) relation `src` — so composed
+    * oracles (corpus_e2e_pipeline) can train the tokenizer on a
+    * pipeline-transformed corpus instead of raw `documents`. */
+  private def bpeCtes(merges: Int, encSteps: Int, src: String): String = {
     def trainRound(r: Int): String = {
       val p = r - 1
       s"""pc$r AS (SELECT syms[CAST(j AS INT)] AS pa, syms[CAST(j AS INT)+1] AS pb, CAST(SUM(n) AS BIGINT) AS cnt
@@ -1579,9 +1705,8 @@ object TextQueries {
                         END AS syms
                  FROM e$p e LEFT JOIN bd$t b USING (word))"""
     }
-    s"""
-    WITH wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
-           SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents)
+    s"""wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM $src)
          GROUP BY word),
     st0 AS MATERIALIZED (SELECT word, n, list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)) || [chr(1)] AS syms FROM wc),
     ${(1 to merges).map(trainRound).mkString(",\n")},
@@ -1589,10 +1714,9 @@ object TextQueries {
     e0 AS (SELECT word, syms FROM st0),
     ${(1 to encSteps).map(encStep).mkString(",\n")},
     npw AS (SELECT word, CAST(len(list_filter(syms, s -> s <> chr(1))) AS BIGINT) AS npw FROM e$encSteps),
-    docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM documents),
+    docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM $src),
     agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(npw) AS BIGINT) AS n_bpe_tokens
-            FROM docw JOIN npw USING (word) GROUP BY doc_id)
-    $finalSelect"""
+            FROM docw JOIN npw USING (word) GROUP BY doc_id)"""
   }
 
   private def bpeSql(merges: Int, encSteps: Int): String =

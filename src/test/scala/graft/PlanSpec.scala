@@ -527,6 +527,18 @@ class PlanSpec extends SparkSpec {
     assert(plain.count() == t.customer.count(), "fallback join must still run")
   }
 
+  test("corpus_e2e_pipeline: composed plan depth stays bounded past the fan-out checkpoints") {
+    // the pipeline fans out twice (cut -> {decontam, scoring, BPE},
+    // final -> {BPE train, encode, output join}); both fan-outs are eagerly
+    // checkpointed, so the FINAL frame's plan must be shallow: the counts
+    // rollup + its join back, never a replay of the six upstream stages
+    val p = planOf("corpus_e2e_pipeline")
+    assert(!p.contains("FileScan"),
+      s"the final plan must read checkpoint blocks, not re-scan parquet through six stages:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"composed plan leaks shuffles ($exchanges):\n$p")
+  }
+
   test("readTableWhere: provably-empty predicate never plans a file scan; others push down") {
     import graft.sources.{Catalog, Tables}
     import org.apache.spark.sql.functions.lit
