@@ -500,8 +500,11 @@ object Multimodal {
     * back-pressure on both ends; stderr drained to a bounded tail buffer
     * surfaced on failure; video frames are FOLDED into first-frame band
     * sums + a byte count as they stream (memory is raster-bounded, never
-    * duration-bounded); a hard `timeoutSec` destroyForcibly guards
-    * against codec hangs; nonzero exit fails loudly with the stderr tail
+    * duration-bounded); a WATCHDOG thread destroyForcibly's the process
+    * at `timeoutSec` — armed from the side so even a decoder wedged with
+    * stdout still open (which a post-drain wait could never catch, the
+    * drain itself being blocked) gets killed and its pipe-break surfaces
+    * as the timeout failure; nonzero exit fails loudly with the stderr tail
     * (quarantine, don't fabricate). Feature arithmetic mirrors
     * [[PpmCodec]]/[[WavCodec]]: `bands` equal scan-order slices, integer
     * sums, one double division each.
@@ -559,6 +562,26 @@ object Multimodal {
       inThread.setDaemon(true)
       inThread.start()
 
+      // watchdog: a decoder wedged WITH STDOUT STILL OPEN would block the
+      // drain loop below forever — a post-drain waitFor(timeout) can never
+      // fire for it. Arm the kill from a side thread instead: destroying
+      // the process EOFs/breaks the stdout pipe, which unblocks the drain,
+      // and the flag tells the failure path apart from a clean exit.
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = new Thread(() => {
+        if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+          timedOut.set(true)
+          // kill DESCENDANTS FIRST: a wrapper-script decoder's child
+          // inherits the stdout fd, and killing only the direct process
+          // would leave the pipe open (and the drain blocked) until the
+          // child exits on its own
+          proc.descendants().forEach(h => { h.destroyForcibly(); () })
+          proc.destroyForcibly()
+        }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+
       // drain stdout on THIS thread, folding as we read
       val frameBytes = rasterW * rasterH
       val sums       = new Array[Long](bands)
@@ -569,7 +592,12 @@ object Multimodal {
       var carryByte  = 0
       val buf        = new Array[Byte](65536)
       val out        = proc.getInputStream
-      var read       = out.read(buf)
+      var read =
+        try out.read(buf)
+        catch {
+          case e: java.io.IOException =>
+            if (timedOut.get()) fail(s"decoder exceeded ${timeoutSec}s, killed") else throw e
+        }
       while (read >= 0) {
         var i = 0
         if (audio) {
@@ -596,12 +624,15 @@ object Multimodal {
             total += 1; i += 1
           }
         }
-        read = out.read(buf)
+        read =
+          try out.read(buf)
+          catch {
+            case e: java.io.IOException =>
+              if (timedOut.get()) fail(s"decoder exceeded ${timeoutSec}s, killed") else throw e
+          }
       }
-      if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-        proc.destroyForcibly()
-        fail(s"decoder exceeded ${timeoutSec}s, killed")
-      }
+      proc.waitFor() // already exited (EOF) or just killed by the watchdog
+      if (timedOut.get()) fail(s"decoder exceeded ${timeoutSec}s, killed")
       if (proc.exitValue() != 0)
         fail(s"ffmpeg exit ${proc.exitValue()}: ${stderrTail.synchronized(stderrTail.toString.trim)}")
       if (total == 0) fail("decoder produced no samples")

@@ -3004,6 +3004,60 @@ object PipelineQueries {
       Multimodal.audioFingerprint(Multimodal.ingest(media, "media_id", "kind", "payload"))
     },
 
+    // The EXTERNAL-decoder pipe, gate-checked: FfmpegCodec's entire
+    // subprocess machinery (writer thread + concurrent drain, round-robin
+    // s16le fold, watchdog, exit surface) runs against a PLANTED decoder
+    // honoring the same CLI contract — it echoes stdin, so the payload IS
+    // the decoded PCM stream and the oracle computes every band mean from
+    // the text bytes (s16le pairs: lo + 256*hi, ASCII so never negative;
+    // round-robin band k % 4; a dangling odd byte is ignored, floor(n/2)
+    // samples — the codec's carry never flushes). Where a real ffmpeg
+    // exists the gated MultimodalSpec integration test covers the real
+    // binary; this row makes the PIPE itself part of the correctness gate
+    // in every environment.
+    Q(
+      "multimodal_decode_ffmpeg",
+      Some("""
+        WITH d AS (SELECT CAST(doc_id AS INT) AS id, text FROM documents WHERE doc_id < 64),
+        n AS (SELECT id, text, CAST(length(text) // 2 AS BIGINT) AS ns FROM d),
+        samp AS (SELECT id, ns, text, unnest(range(0, ns)) AS k FROM n),
+        px AS (SELECT id, ns, CAST(k % 4 AS INT) AS band,
+                      ascii(substr(text, CAST(2 * k + 1 AS INT), 1)) +
+                      256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1)) AS p
+               FROM samp),
+        s AS (SELECT id, ns, band, SUM(p) AS bsum, COUNT(*) AS cnt FROM px GROUP BY 1, 2, 3)
+        SELECT CAST(id AS BIGINT) AS media_id, ns AS n_samples, band,
+               CAST(CAST(bsum AS DOUBLE) / cnt AS REAL) AS mean_amp
+        FROM s
+      """)) { (spark, dir) =>
+      // the planted decoder: -version probe + echo (args ignored). In local
+      // mode executors share the driver FS; on a real cluster this path is
+      // the preinstalled ffmpeg binary — the same deployment assumption the
+      // real codec carries.
+      val fdir = java.nio.file.Files.createTempDirectory("graft_fakeffmpeg_gate_")
+      val bin  = fdir.resolve("fake-ffmpeg")
+      java.nio.file.Files.write(
+        bin,
+        "#!/bin/sh\nif [ \"$1\" = \"-version\" ]; then exit 0; fi\ncat\n".getBytes("US-ASCII"))
+      bin.toFile.setExecutable(true)
+      val binPath = bin.toString
+      val media = Tables(spark, dir).documents
+        .filter(col("doc_id") < 64) // filter BEFORE use: id-offset scale copies
+        .select(
+          col("doc_id").cast("long").as("media_id"),
+          lit("audio").as("kind"),
+          col("text").cast("binary").as("payload"))
+      Multimodal
+        .decodeFeatures(
+          Multimodal.ingest(media, "media_id", "kind", "payload"),
+          () => new Multimodal.FfmpegCodec(bands = 4, ffmpegBin = binPath))
+        .toDF()
+        .select(
+          col("mediaId").as("media_id"),
+          col("nFrames").cast("long").as("n_samples"),
+          posexplode(col("features")).as(Seq("band", "mean_amp")))
+    },
+
     // REAL MP3 frame-header walk: each row synthesizes an MPEG-1 Layer
     // III stream by pure byte formula (fixed 128 kbps @ 44.1 kHz, frame
     // length 417, mono/stereo by id parity) and Mp3Codec parses it back —

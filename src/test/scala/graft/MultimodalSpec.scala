@@ -343,6 +343,84 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot launch"), e.getMessage)
   }
 
+  test("FfmpegCodec: the whole subprocess pipeline executes against a planted decoder") {
+    // the sandbox has no ffmpeg and no egress, so the pipe machinery —
+    // writer thread, concurrent drain, round-robin PCM fold, raster fold,
+    // stderr tail, exit-code surface, watchdog kill — is exercised through
+    // a PLANTED decoder honoring the same CLI contract (echoes stdin, so
+    // the payload IS the decoded stream and every feature is computable)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fakeffmpeg_")
+    val bin = dir.resolve("fake-ffmpeg")
+    java.nio.file.Files.write(bin,
+      """#!/bin/sh
+        |if [ "$1" = "-version" ]; then echo "fake-ffmpeg 0.0"; exit 0; fi
+        |tmp="$(mktemp)"
+        |cat > "$tmp"
+        |if [ ! -s "$tmp" ]; then echo "fake-ffmpeg: empty input" >&2; rm -f "$tmp"; exit 1; fi
+        |cat "$tmp"
+        |rm -f "$tmp"
+        |""".stripMargin.getBytes("US-ASCII"))
+    bin.toFile.setExecutable(true)
+    assert(Multimodal.FfmpegCodec.detect(bin.toString), "availability probe must accept the planted binary")
+    val codec = new Multimodal.FfmpegCodec(
+      bands = 4, rasterW = 16, rasterH = 16, timeoutSec = 30, ffmpegBin = bin.toString)
+
+    // audio: 1 MiB of deterministic s16le PCM — far larger than any pipe
+    // buffer, so ONLY the writer-thread + concurrent-drain shape avoids
+    // deadlock (the echo decoder back-pressures both pipes at once)
+    val nSamples = 524288
+    def sample(i: Int): Int = (i * 31 + 7) % 8191 - 4095
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = sample(i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val aud = codec.decode(7L, "audio", pcm)
+    assert(aud.nFrames == nSamples && aud.width == 16000 && aud.height == 1)
+    val sums   = new Array[Long](4)
+    val counts = new Array[Long](4)
+    i = 0
+    while (i < nSamples) { sums(i % 4) += sample(i); counts(i % 4) += 1; i += 1 }
+    (0 until 4).foreach { b =>
+      assert(math.abs(aud.features(b) - sums(b).toDouble / counts(b)) < 1e-3,
+        s"band $b: ${aud.features(b)} vs ${sums(b).toDouble / counts(b)}")
+    }
+    // determinism through the pipe
+    assert(codec.decode(7L, "audio", pcm).features.toSeq == aud.features.toSeq)
+
+    // video: exactly two 16x16 gray frames; features fold frame ONE only,
+    // nFrames counts the full stream
+    val vid = Array.tabulate(512)(k => ((k * 13 + 5) % 251).toByte)
+    val v = codec.decode(8L, "video", vid)
+    assert(v.nFrames == 2 && v.width == 16 && v.height == 16 && v.kind == "video")
+    (0 until 4).foreach { b =>
+      val exp = (b * 64 until (b + 1) * 64).map(k => vid(k) & 0xff).sum.toDouble / 64
+      assert(math.abs(v.features(b) - exp) < 1e-3, s"band $b: ${v.features(b)} vs $exp")
+    }
+
+    // failure path: empty payload -> decoder writes stderr, exits 1; the
+    // codec surfaces BOTH the exit code and the stderr tail
+    val err = intercept[IllegalArgumentException](codec.decode(9L, "audio", Array.emptyByteArray))
+    assert(err.getMessage.contains("ffmpeg exit 1") && err.getMessage.contains("empty input"),
+      err.getMessage)
+
+    // hang path: a decoder wedged with stdout OPEN — only the watchdog can
+    // kill it (a post-drain timeout would never run; the drain is blocked)
+    val slow = dir.resolve("slow-ffmpeg")
+    java.nio.file.Files.write(slow,
+      "#!/bin/sh\nif [ \"$1\" = \"-version\" ]; then exit 0; fi\nsleep 30\n".getBytes("US-ASCII"))
+    slow.toFile.setExecutable(true)
+    val slowCodec = new Multimodal.FfmpegCodec(bands = 2, timeoutSec = 1, ffmpegBin = slow.toString)
+    val t0 = System.nanoTime()
+    val kill = intercept[IllegalArgumentException](
+      slowCodec.decode(10L, "audio", Array[Byte](1, 2, 3, 4)))
+    assert(kill.getMessage.contains("exceeded 1s"), kill.getMessage)
+    assert((System.nanoTime() - t0) / 1e9 < 15.0, "watchdog must kill long before the 30s sleep")
+  }
+
   test("FfmpegCodec: real decode through the pipe (gated on an ffmpeg binary)") {
     assume(Multimodal.FfmpegCodec.available, "no ffmpeg in this environment - cancelled, not passed")
     val codec = new Multimodal.FfmpegCodec(bands = 4, rasterW = 16, rasterH = 16)
