@@ -123,19 +123,20 @@ object Boosting {
       labelCol: String,
       features: Seq[(String, Column)],
       rounds: Int,
-      eta: Double): DataFrame = {
+      eta: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(features.nonEmpty, "need at least one feature")
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     require(eta > 0.0 && eta <= 1.0, s"eta must be in (0,1], got $eta")
     val spark = df.sparkSession
     val dec12 = org.apache.spark.sql.types.DecimalType(20, 12)
     val names = features.map(_._1)
+    val st = IterState(df, checkpointDir)
 
-    var rows = df
-      .select(
+    var rows = st.mat(
+      df.select(
         features.map { case (n, c) => c.cast("long").as(s"bin_$n") } :+
-          col(labelCol).cast("int").cast(dec12).as("r"): _*)
-      .localCheckpoint(true)
+          col(labelCol).cast("int").cast(dec12).as("r"): _*))
 
     val wCum = Window
       .partitionBy(col("feature"))
@@ -186,21 +187,20 @@ object Boosting {
         .collect()(0)
       val (bf, bb) = (best.getString(0), best.getLong(1))
       val (vl, vr) = (best.getDecimal(5), best.getDecimal(6))
-      val updated = rows
-        .withColumn(
+      val updated = st.mat(
+        rows.withColumn(
           "r",
-          (col("r") - when(col(s"bin_$bf") <= bb, lit(vl)).otherwise(lit(vr))).cast(dec12))
-        .localCheckpoint(true)
+          (col("r") - when(col(s"bin_$bf") <= bb, lit(vl)).otherwise(lit(vr))).cast(dec12)))
       val absSum = updated
         .agg(round(sum(abs(col("r"))), 6).cast("double").as("a"))
         .collect()(0).getDouble(0)
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(rows)
+      st.release(rows)
       rows = updated
       model += ((k, bf, bb, best.getLong(2), best.getLong(3), best.getDouble(4),
         vl.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
         vr.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), absSum))
     }
-    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(rows)
+    st.release(rows)
     import spark.implicits._
     model.toSeq
       .toDF("round", "feature", "split_bin", "n_left", "n_right", "gain",

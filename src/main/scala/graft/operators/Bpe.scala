@@ -99,16 +99,18 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      checkpointEvery: Int = 8): Model = {
+      checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None): Model = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
-    var state = wordCounts(docs, textCol)
-      .select(
-        col("n"),
-        concat(
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-          array(lit(Eow))).as("syms"))
-      .localCheckpoint(true)
+    val st = IterState(docs, checkpointDir)
+    var state = st.mat(
+      wordCounts(docs, textCol)
+        .select(
+          col("n"),
+          concat(
+            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            array(lit(Eow))).as("syms")))
 
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round  = 0
@@ -147,7 +149,7 @@ object Bpe {
                 concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
                 .otherwise(concat(acc, array(s)))))
         round += 1
-        if (round % checkpointEvery == 0) state = state.localCheckpoint(true)
+        if (round % checkpointEvery == 0) state = st.mat(state)
       }
     }
     val _ = spark // session kept in scope for clarity; plans hang off `docs`

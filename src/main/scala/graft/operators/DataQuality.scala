@@ -1102,15 +1102,16 @@ object DataQuality {
       df: DataFrame,
       qiCols: Seq[String],
       k: Long,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(qiCols.size >= 1 && qiCols.size <= 4, s"1..4 QI dims, got ${qiCols.size}")
     require(k >= 2 && rounds >= 1, s"need k >= 2, rounds >= 1")
     val W = org.apache.spark.sql.expressions.Window
     val dims = qiCols.indices.map(i => s"q$i")
-    var cur = df
-      .select(qiCols.zipWithIndex.map { case (c, i) => col(c).cast("long").as(s"q$i") }: _*)
-      .withColumn("pid", lit("r"))
-      .localCheckpoint(true)
+    val st = graft.operators.IterState(df, checkpointDir)
+    var cur = st.mat(
+      df.select(qiCols.zipWithIndex.map { case (c, i) => col(c).cast("long").as(s"q$i") }: _*)
+        .withColumn("pid", lit("r")))
     var round = 0
     while (round < rounds) {
       val wp = W.partitionBy(col("pid"))
@@ -1149,7 +1150,7 @@ object DataQuality {
             .otherwise(col("pid")))
         .select((dims.map(col) :+ col("pid")): _*)
       round += 1
-      if (round % 3 == 0 || round == rounds) cur = cur.localCheckpoint(true)
+      if (round % 3 == 0 || round == rounds) cur = st.mat(cur)
     }
     val aggs = Seq(count(lit(1)).as("n")) ++
       qiCols.zipWithIndex.flatMap { case (c, i) =>

@@ -229,11 +229,16 @@ object Similarity {
         round(sum(col("s9")).cast("double") / count(lit(1)), 6).as("mean_silhouette"))
   }
 
-  def dbscan(vectors: DataFrame, simThreshold: Double, minPts: Int): DataFrame = {
+  def dbscan(
+      vectors: DataFrame,
+      simThreshold: Double,
+      minPts: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(minPts >= 1, s"minPts must be positive, got $minPts")
-    val pairs = cosineDupPairs(vectors, simThreshold)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
+    val st = IterState(vectors, checkpointDir)
+    val pairs = st.mat(
+      cosineDupPairs(vectors, simThreshold)
+        .select(col("a_id"), col("b_id")))
     val und = pairs
       .select(col("a_id").as("id"), col("b_id").as("nb"))
       .unionAll(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
@@ -243,13 +248,13 @@ object Similarity {
       .join(core.select(col("id").as("a_id")), Seq("a_id"))
       .join(core.select(col("id").as("b_id")), Seq("b_id"))
     val ccLabels = Dedup
-      .duplicateClusters(coreEdges)
+      .duplicateClusters(coreEdges, checkpointDir = checkpointDir)
       .select(col("doc_id").as("id"), col("cluster_id"))
     // isolated cores (no core neighbor) anchor their own singleton cluster
-    val coreLabels = core
-      .join(ccLabels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      .localCheckpoint(true)
+    val coreLabels = st.mat(
+      core
+        .join(ccLabels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id")))
     val borderLabels = und
       .join(core.select(col("id").as("nb")), Seq("nb"))            // neighbor is core
       .join(core, Seq("id"), "left_anti")                          // self is not

@@ -108,4 +108,40 @@ class CheckpointModeSpec extends SparkSpec {
     assertBothModes("scc")(cd =>
       Graph.stronglyConnectedComponents(edges, "s", "t", checkpointDir = cd))
   }
+
+  test("sccFwBw threads checkpointDir") {
+    assertBothModes("sccfwbw")(cd => Graph.sccFwBw(edges, "s", "t", checkpointDir = cd))
+  }
+
+  test("trainStumps / mondrianAnonymize / dbscan thread checkpointDir") {
+    import graft.operators.{Boosting, DataQuality, Similarity}
+    val labeled = (1 to 200)
+      .map(i => (i.toLong % 7, (i % 3).toLong, if (i % 7 < 3) 1 else 0))
+      .toDF("f_a", "f_b", "y")
+    assertBothModes("stumps")(cd =>
+      Boosting.trainStumps(
+        labeled, "y", Seq("a" -> col("f_a"), "b" -> col("f_b")), rounds = 3, eta = 0.5,
+        checkpointDir = cd))
+
+    val qi = (1 to 120).map(i => ((i % 13).toLong, (i % 7).toLong)).toDF("qa", "qb")
+    assertBothModes("mondrian")(cd =>
+      DataQuality.mondrianAnonymize(qi, Seq("qa", "qb"), k = 10, rounds = 3, checkpointDir = cd))
+
+    val vecs = (0 until 40)
+      .map(i => (i.toLong, Array.tabulate(4)(d => (if (i / 10 == d) 1f else 0f) + 0.01f * (i % 10))))
+      .toDF("vec_id", "embedding")
+    assertBothModes("dbscan")(cd =>
+      Similarity.dbscan(vecs, simThreshold = 0.99, minPts = 3, checkpointDir = cd))
+  }
+
+  test("Bpe.trainDistributed threads checkpointDir; models identical") {
+    import graft.operators.Bpe
+    val docs = (1 to 60).map(i => s"abab abba baba c${i % 5}").toDF("text")
+    val local = Bpe.trainDistributed(docs, "text", numMerges = 4, checkpointEvery = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_bpe_").toFile
+    val durable = Bpe.trainDistributed(
+      docs, "text", numMerges = 4, checkpointEvery = 1, checkpointDir = Some(dir.toString))
+    assert(durable.merges == local.merges, "durable-mode BPE learned different merges")
+    assert(checkpointFiles(dir).nonEmpty, "no reliable checkpoint files from the merge rounds")
+  }
 }
