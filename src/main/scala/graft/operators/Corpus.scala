@@ -1843,6 +1843,71 @@ object Corpus {
           col("ellipsis_ok") && col("alpha_ok") && col("stop_ok"))
   }
 
+  /** Data-constrained epoch plan (Muennighoff et al. 2023 "Scaling
+    * Data-Constrained Language Models" — the planning read a pipeline runs
+    * BEFORE training when the token budget exceeds the unique data): given
+    * a total token budget, integer mixture SHARES per source, and a repeat
+    * cap expressed as the rational maxEpochsNum/maxEpochsDen (repeating
+    * data beyond ~4 epochs returns rapidly decaying value — the paper's
+    * headline), emit per source the unique token supply, the budget's
+    * desired allocation, the repeat-capped serving level, and the epochs
+    * actually run.
+    *
+    * ALL allocation arithmetic is integer-exact: desired = budget·share
+    * DIV Σshares, cap = tokens·num DIV den, served = min(desired, cap) —
+    * no float ever decides a token (both engines replay bit-for-bit);
+    * only the reported `epochs` ratio is a double, under round(·, 6).
+    * Sources missing from `shares` get share 0 (reported, served 0) —
+    * the honest "you forgot a source" signal, never a silent drop.
+    *
+    * Scale shape: ONE map-side-combined per-source token count over the
+    * corpus; everything after runs on the source-count-sized frame joined
+    * against the (small, broadcast) shares frame. Output one row per
+    * source present in the corpus. */
+  def epochPlan(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      tokenBudget: Long,
+      shares: DataFrame,
+      maxEpochsNum: Long = 4L,
+      maxEpochsDen: Long = 1L): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(maxEpochsNum > 0 && maxEpochsDen > 0,
+      s"maxEpochs must be a positive rational, got $maxEpochsNum/$maxEpochsDen")
+    val perSource = docs
+      .select(col(sourceCol).cast("string").as("source"), size(toks(col(textCol))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val sh = shares.select(col("source").cast("string").as("source"), col("share").cast("long").as("share"))
+    val tot = sh.agg(sum(col("share")).as("share_sum"))
+    val joined = perSource
+      .join(sh, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("share"), lit(0L)).as("share"),
+        col("share_sum"))
+    // SQL DIV: genuine 64-bit integer division — a double `/` would round
+    // past 2^53 and silently misallocate tokens at real budgets
+    val desired = expr(s"CAST(($tokenBudget * share) DIV share_sum AS BIGINT)")
+    val cap     = expr(s"CAST((n_tokens * $maxEpochsNum) DIV $maxEpochsDen AS BIGINT)")
+    joined.select(
+      col("source"),
+      col("n_docs"),
+      col("n_tokens"),
+      col("share"),
+      desired.as("desired_tokens"),
+      cap.as("cap_tokens"),
+      least(desired, cap).as("served_tokens"),
+      round(
+        when(col("n_tokens") > 0, least(desired, cap).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0),
+        6).as("epochs"),
+      (desired > cap).as("capped"),
+      (desired - least(desired, cap)).as("budget_shortfall"))
+  }
+
   /** Per-term burstiness profile over the corpus (Church & Gale 1995 — the
     * "content words arrive in bursts, function words arrive evenly" signal
     * behind stopword detection, keyword weighting and spam-template

@@ -81,6 +81,88 @@ object Similarity {
       k)
   }
 
+  /** Binary (sign-bit) quantization: dim floats → ⌈dim/64⌉ packed longs,
+    * bit j of word w set iff embedding[64w+j] > 0 — the 32×-compression
+    * candidate representation modern vector stores default to (hamming
+    * distance over packed words ≈ 2 cpu ops/word vs a float dot product).
+    * Packing folds Horner-style (acc·2 + bit, high bit first) inside ONE
+    * codegen'd aggregate per word — no shift-by-column, no UDF. Bit 63 of
+    * a full word is the long's SIGN bit: the Horner fold covers bits
+    * 0..62 (its intermediates stay ≤ 2⁶³−1, ANSI-overflow-free) and the
+    * top bit adds Long.MinValue separately — the same split the oracle
+    * replays, since neither engine allows 1<<63 under checked arithmetic.
+    * Output (vec_id, bq: array<bigint>). */
+  def binaryQuantize(vectors: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val nWords = (dim + 63) / 64
+    val emb = asDoubleVec(col("embedding"))
+    def bit(j0: Int): Column = element_at(emb, lit(j0 + 1)) > lit(0.0) // absolute 0-based
+    val words = (0 until nWords).map { w =>
+      val lo   = w * 64
+      val hi   = math.min(lo + 63, dim - 1)
+      val full = hi - lo == 63
+      val bodyHi = if (full) hi - 1 else hi
+      val horner = aggregate(
+        sequence(lit(bodyHi), lit(lo), lit(-1)), // high bit first
+        lit(0L),
+        (acc, j) => acc * 2 + when(element_at(emb, j.cast("int") + 1) > lit(0.0), 1L).otherwise(0L))
+      if (full) horner + when(bit(hi), lit(Long.MinValue)).otherwise(lit(0L)) else horner
+    }
+    vectors.select(col("vec_id"), array(words: _*).as("bq"))
+  }
+
+  /** Top-k by BINARY-QUANTIZED candidate generation + exact rerank — the
+    * cheap-candidate regime between [[bruteTopK]] (exact but float-heavy)
+    * and [[ivfTopK]] (cell-pruned): hamming distance over the packed sign
+    * bits scans 32× fewer bytes than the float corpus, the bounded heap
+    * keeps the best `candidates` per query (ham asc, id asc — total
+    * order), and only those rerank with the EXACT cosine, so the emitted
+    * scores are true similarities (approximation lives only in which
+    * candidates survive; SimilaritySpec pins recall vs [[bruteTopK]]).
+    * Deterministic end to end — no trained state at all, which is the
+    * operational argument for BQ as the first ANN tier: nothing to fit,
+    * nothing to drift. Composes with IVF at extreme scale (quantize per
+    * cell and probe as usual); queries broadcast, corpus streams once. */
+  def bqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      k: Int,
+      candidates: Int): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1, got $candidates/$k")
+    val cb = binaryQuantize(corpus, dim).select(col("vec_id").as("neighbor_id"), col("bq").as("cbq"))
+    val qb = broadcast(
+      binaryQuantize(queries, dim).select(col("vec_id").as("query_id"), col("bq").as("qbq")))
+    val ham = aggregate(
+      zip_with(col("cbq"), col("qbq"), (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0),
+      (acc, h) => acc + h)
+    val cand = graft.operators.TopK.perGroup(
+      cb.join(qb, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), ham.as("hamming")),
+      groupCols = Seq("query_id"),
+      orderCols = Seq("hamming" -> true, "neighbor_id" -> true),
+      k = candidates)
+    val qv = broadcast(
+      queries
+        .select(col("vec_id").as("query_id"), asDoubleVec(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv"))))
+    val cv = corpus
+      .select(col("vec_id").as("neighbor_id"), asDoubleVec(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    rankTopK(
+      cand.select(col("query_id"), col("neighbor_id"))
+        .join(qv, Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(sim, 9).as("sim9"),
+          round(sim, 6).as("sim")),
+      k)
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
     * the DIVERSIFIED top-k every retrieval-for-training pipeline needs
     * once plain top-k starts returning near-duplicates: greedily pick the

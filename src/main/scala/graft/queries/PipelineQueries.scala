@@ -555,6 +555,44 @@ object PipelineQueries {
              FROM s)
        SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= $k"""
 
+  /** DuckDB oracle for ann_binary_quant: sign-bit packing as Σ bit<<j per
+    * 64-bit word (integer-identical to the engine's Horner fold), hamming
+    * candidates via xor + bit_count with the (ham asc, id asc) total-order
+    * cut, exact-cosine rerank of the survivors — the bruteOracle ranking
+    * discipline on the candidate subset. */
+  private def bqOracle(dim: Int, k: Int, nQueries: Int, candidates: Int): String = {
+    val nWords = (dim + 63) / 64
+    def word(w: Int): String = {
+      val lo = w * 64
+      val hi = math.min(lo + 63, dim - 1)
+      // bit 63 is the long's sign bit — neither engine shifts 1<<63 under
+      // checked arithmetic, so its term is the MinValue literal (the exact
+      // split binaryQuantize makes); the HUGEINT sum then fits BIGINT
+      s"""(SELECT CAST(SUM(CASE WHEN v[CAST(j AS INT) + 1] <= 0 THEN 0
+                               WHEN j - $lo = 63 THEN -9223372036854775808::HUGEINT
+                               ELSE (CAST(1 AS BIGINT) << CAST(j - $lo AS INT))::HUGEINT END)
+                  AS BIGINT)
+           FROM range($lo, ${hi + 1}) t$w(j))"""
+    }
+    val hamSum = (0 until nWords).map(w => s"bit_count(xor(b.bq$w, q.qb$w))").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, ${(0 until nWords).map(w => s"${word(w)} AS bq$w").mkString(", ")} FROM e),
+       q AS (SELECT vec_id AS query_id, ${(0 until nWords).map(w => s"bq$w AS qb$w").mkString(", ")}
+             FROM b WHERE vec_id < $nQueries),
+       h AS (SELECT q.query_id, b.vec_id AS neighbor_id, $hamSum AS ham
+             FROM b JOIN q ON b.vec_id <> q.query_id),
+       cand AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rc
+                FROM h) WHERE rc <= $candidates),
+       s AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(qe.v, ne.v) AS sim
+             FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ne ON ne.vec_id = c.neighbor_id),
+       r AS (SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rn
+             FROM s)
+       SELECT query_id, neighbor_id, sim, rn FROM r WHERE rn <= $k"""
+  }
+
   /** DuckDB oracle for ann_matryoshka_recall: each truncation is the
     * brute-force oracle on sliced vectors; overlap vs the full-dim truth
     * is exact integer counting. */
@@ -1331,6 +1369,48 @@ object PipelineQueries {
         "doc_id", "text", n = 4)
     },
 
+    // ---------------------------------------- data-constrained epoch plan
+    // Muennighoff et al. 2023 planning read: per source — unique token
+    // supply, the budget's share-weighted desired allocation, the 4-epoch
+    // repeat cap, and the served level. ALL allocation arithmetic is
+    // integer DIV (no float ever decides a token); shares derive from the
+    // source name so the row replays at any SF. High-share small sources
+    // hit the cap (capped=true, shortfall>0), low-share ones don't — both
+    // branches live at the gate SF.
+    Q(
+      "corpus_epoch_plan",
+      Some("""
+        WITH ps AS (SELECT source, COUNT(*) AS n_docs,
+                           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY 1),
+        sh AS (SELECT source, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS share
+               FROM (SELECT DISTINCT source FROM documents)),
+        tot AS (SELECT CAST(SUM(share) AS BIGINT) AS share_sum FROM sh),
+        j AS (SELECT ps.source, n_docs, n_tokens, COALESCE(sh.share, 0) AS share
+              FROM ps LEFT JOIN sh USING (source)),
+        a AS (SELECT *,
+                     CAST((100000 * share) // (SELECT share_sum FROM tot) AS BIGINT) AS desired_tokens,
+                     CAST((n_tokens * 4) // 1 AS BIGINT) AS cap_tokens
+              FROM j)
+        SELECT source, n_docs, n_tokens, share, desired_tokens, cap_tokens,
+               least(desired_tokens, cap_tokens) AS served_tokens,
+               round(CASE WHEN n_tokens > 0
+                          THEN CAST(least(desired_tokens, cap_tokens) AS DOUBLE) / n_tokens
+                          ELSE 0.0 END, 6) AS epochs,
+               desired_tokens > cap_tokens AS capped,
+               desired_tokens - least(desired_tokens, cap_tokens) AS budget_shortfall
+        FROM a
+      """)) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val shares = docs
+        .select(col("source")).distinct()
+        .select(
+          col("source"),
+          (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long").as("share"))
+      Corpus.epochPlan(docs, "source", "text", tokenBudget = 100000L, shares = shares,
+        maxEpochsNum = 4L, maxEpochsDen = 1L)
+    },
+
     // ------------------------------ decontamination, beyond-broadcast path
     // Same contamination report as decontam_overlap, computed through the
     // Bloom-prefilter + shuffle-verify plan (the shape for eval sets too
@@ -1908,6 +1988,19 @@ object PipelineQueries {
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
     },
 
+    // ------------------------------------------- ANN: binary quantization
+    // Sign-bit packing (1 bit/dim, 32x smaller than float32) + hamming
+    // candidate generation + exact-cosine rerank — the zero-training first
+    // ANN tier (nothing fitted, nothing to drift). Fully deterministic,
+    // so the oracle replays the SAME candidate cut and the row set
+    // hash-matches; emitted sims are TRUE cosines (approximation lives
+    // only in candidate survival — SimilaritySpec pins recall vs brute).
+    Q("ann_binary_quant", Some(bqOracle(dim = 64, k = 10, nQueries = 8, candidates = 150))) {
+      (spark, dir) =>
+        val emb = Tables(spark, dir).embeddings
+        Similarity.bqTopK(emb, emb.filter(col("vec_id") < 8), dim = 64, k = 10, candidates = 150)
+    },
+
     // ------------------------------------------------ ANN: LSH bucketed
     // Approximate versus brute force (recall < 1, spec pins >= 0.9 at
     // these ProfileAnn-tuned settings) but fully DETERMINISTIC — the
@@ -2429,6 +2522,38 @@ object PipelineQueries {
         partial = Seq(count(lit(1)).as("n"), sum(col("q")).as("sum_qty")),
         merge   = Seq(sum(col("n")).as("n"), sum(col("sum_qty")).as("sum_qty")),
         skewThreshold = 4.0)
+    },
+
+    // ------------------------- salted agg from PUBLISHED catalog stats
+    // The same hot-key aggregation, but the skew decision reads ANALYZE's
+    // heavy-hitter stat (max_freq·ndv/n_rows, published alongside the
+    // min/max zone stats) instead of running a measurement pass — at
+    // 100 TB the decision costs a metadata read. Results must equal the
+    // plain GROUP BY, as always.
+    Q(
+      "agg_salted_from_stats",
+      Some("""
+        SELECT least(l_suppkey, 5) AS k,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      import graft.operators.Skew
+      val root = java.nio.file.Files.createTempDirectory("graft-salt-stats").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("hot_lineitem", Tables(spark, dir).lineitem
+        .select(least(col("l_suppkey"), lit(5)).as("k"), col("l_quantity").cast("long").as("q")))
+      cat.analyzeTable("hot_lineitem", frequencyColumns = Seq("k"))
+      val published = cat.skewFactorFor("hot_lineitem", "k")
+      require(published.isDefined, "ANALYZE must publish the heavy-hitter stat")
+      Skew.autoSaltedAgg(
+        cat.readTable("hot_lineitem"),
+        Seq("k"),
+        partial = Seq(count(lit(1)).as("n"), sum(col("q")).as("sum_qty")),
+        merge   = Seq(sum(col("n")).as("n"), sum(col("sum_qty")).as("sum_qty")),
+        skewThreshold = 4.0,
+        knownSkewFactor = published)
     },
 
     // --------------------------------------------- ER blocking audit

@@ -265,7 +265,10 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * pass (no per-column scans); ndv is exact count-distinct — swap to
     * approx_count_distinct at extreme widths, the stats contract allows
     * it. Returns the stats frame it published. */
-  def analyzeTable(name: String, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+  def analyzeTable(
+      name: String,
+      format: String = "parquet",
+      frequencyColumns: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val df = readTable(name, format)
     // atomic columns only: min/max/ndv over arrays or structs is not a
@@ -286,6 +289,15 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     }
     val row = df.agg(count(lit(1)).as("__rows"), aggs.toSeq: _*).head()
     val nRows = row.getLong(0)
+    // opt-in heavy-hitter stat: the MAX per-value frequency of a would-be
+    // join/aggregation key — one extra (map-side combined) pass per listed
+    // column, and the published number autoSaltedAgg's skew decision can
+    // consume WITHOUT a measurement pass (skewFactorFor). -1 = not computed.
+    val maxFreqs: Map[String, Long] = frequencyColumns.map { c =>
+      require(fields.exists(_.name == c), s"frequencyColumns: no atomic column '$c' in $name")
+      val r = df.groupBy(col(c)).agg(count(lit(1)).as("c")).agg(max(col("c"))).head()
+      c -> (if (r.isNullAt(0)) 0L else r.getLong(0))
+    }.toMap
     val stats = fields.map { f =>
       (
         f.name,
@@ -294,10 +306,12 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         Option(row.getAs[String](s"${f.name}__min")).getOrElse(null),
         Option(row.getAs[String](s"${f.name}__max")).getOrElse(null),
         row.getAs[Long](s"${f.name}__ndv"),
-        row.getAs[Long](s"${f.name}__nulls"))
+        row.getAs[Long](s"${f.name}__nulls"),
+        maxFreqs.getOrElse(f.name, -1L))
     }.toSeq
     val out = spark.createDataFrame(stats).toDF(
-      "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls")
+      "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls",
+      "max_freq")
     putTable(s"$name.__stats__", out, format)
     readTable(s"$name.__stats__", format)
   }
@@ -318,9 +332,12 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * receives the broadcast). */
   def statsFor(name: String, format: String = "parquet"): Option[Catalog.TableStats] = {
     if (!exists(s"$name.__stats__")) return None
-    val rows = readTable(s"$name.__stats__", format)
-      .select("column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls")
-      .collect()
+    val frame = readTable(s"$name.__stats__", format)
+    // max_freq is absent in stats published before the heavy-hitter pass
+    // existed — tolerate old frames (None = not computed)
+    val hasFreq = frame.columns.contains("max_freq")
+    val base = Seq("column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls")
+    val rows = frame.select((if (hasFreq) base :+ "max_freq" else base).map(org.apache.spark.sql.functions.col): _*).collect()
     if (rows.isEmpty) return None
     val cols = rows.toSeq.map { r =>
       Catalog.ColumnStats(
@@ -329,7 +346,8 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         minValue = Option(r.getString(3)),
         maxValue = Option(r.getString(4)),
         nDistinct = r.getLong(5),
-        nNulls = r.getLong(6))
+        nNulls = r.getLong(6),
+        maxFreq = if (hasFreq && !r.isNullAt(7) && r.getLong(7) >= 0) Some(r.getLong(7)) else None)
     }
     val nRows = rows.head.getLong(2)
     val rowBytes = cols.map { c =>
@@ -346,6 +364,22 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     }.sum
     Some(Catalog.TableStats(nRows, rowBytes, cols))
   }
+
+  /** The PUBLISHED skew factor of a stored table's column — the same
+    * max_cnt · n_keys / n_rows statistic [[graft.operators.Skew.skewFactor]]
+    * measures live, read instead from ANALYZE's heavy-hitter stat (run
+    * `analyzeTable(name, frequencyColumns = Seq(col))` first). Feed it to
+    * `Skew.autoSaltedAgg(knownSkewFactor = ...)` and the salting decision
+    * costs a metadata read, not a key-count pass over 100 TB. None when
+    * stats or the frequency pass are missing (callers fall back to the
+    * live estimate — never a silent 1.0). */
+  def skewFactorFor(name: String, column: String, format: String = "parquet"): Option[Double] =
+    for {
+      s  <- statsFor(name, format)
+      cs <- s.columns.find(_.column == column)
+      mf <- cs.maxFreq
+      if s.nRows > 0
+    } yield mf.toDouble * cs.nDistinct / s.nRows
 
   /** Stats-driven join: joins `left` against the stored table `rightName`,
     * picking the physical shape from the PUBLISHED `__stats__` estimate
@@ -516,7 +550,8 @@ object Catalog {
       minValue: Option[String],
       maxValue: Option[String],
       nDistinct: Long,
-      nNulls: Long)
+      nNulls: Long,
+      maxFreq: Option[Long] = None)
 
   /** Table-level sizing parsed from the `__stats__` frame: row count plus a
     * conservative DECOMPRESSED per-row width (see [[Catalog.statsFor]]). */

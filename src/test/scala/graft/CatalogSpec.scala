@@ -212,4 +212,24 @@ class CatalogSpec extends SparkSpec {
     assert(cat.exists("t.__stats__"))
     assert(cat.readTable("t.__stats__").count() == 3)
   }
+
+  test("analyzeTable frequencyColumns publishes max_freq; skewFactorFor reads it back") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_freq_").toString
+    val cat  = new graft.sources.Catalog(spark, root)
+    // key 0 is hot (6 of 10 rows), keys 1..4 carry one row each -> 5 keys,
+    // max_freq 6, skew factor 6*5/10 = 3.0
+    val rows = (Seq.fill(6)(0L) ++ (1L to 4L)).map(k => (k, k * 10)).toDF("k", "v")
+    cat.putTable("freq_t", rows)
+    cat.analyzeTable("freq_t", frequencyColumns = Seq("k"))
+    val st = cat.statsFor("freq_t").get
+    assert(st.columns.find(_.column == "k").get.maxFreq.contains(6L))
+    assert(st.columns.find(_.column == "v").get.maxFreq.isEmpty, "unlisted column must not carry a stat")
+    assert(cat.skewFactorFor("freq_t", "k").contains(3.0))
+    assert(cat.skewFactorFor("freq_t", "v").isEmpty)
+    // ANALYZE without the pass: nothing published, reader says None
+    cat.putTable("nofreq_t", rows)
+    cat.analyzeTable("nofreq_t")
+    assert(cat.skewFactorFor("nofreq_t", "k").isEmpty)
+  }
 }

@@ -837,4 +837,29 @@ class CorpusSpec extends SparkSpec {
     assert(cut == Set("y"), cut.toString)
   }
 
+
+  test("epochPlan: integer allocation, repeat cap, missing-share source reported at zero") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "t1 t2 t3 t4 t5"), ("A", "t1 t2 t3 t4 t5"),         // 10 tokens
+      ("B", ("w " * 20).trim),                                   // 20 tokens
+      ("C", "x y z q")                                           // 4 tokens, no share
+    ).toDF("source", "text")
+    val shares = Seq(("A", 3L), ("B", 1L)).toDF("source", "share")
+    val got = Corpus
+      .epochPlan(docs, "source", "text", tokenBudget = 100L, shares = shares,
+        maxEpochsNum = 2L, maxEpochsDen = 1L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7), r.getBoolean(8), r.getLong(9))))
+      .toMap
+    // A: desired 100*3/4=75, cap 20 -> served 20, 2.0 epochs, capped, short 55
+    assert(got("A") == ((2L, 10L, 3L, 75L, 20L, 20L, 2.0, true, 55L)), got("A").toString)
+    // B: desired 25, cap 40 -> served 25, 1.25 epochs
+    assert(got("B") == ((1L, 20L, 1L, 25L, 40L, 25L, 1.25, false, 0L)), got("B").toString)
+    // C: no share -> zero allocation, still reported
+    assert(got("C") == ((1L, 4L, 0L, 0L, 8L, 0L, 0.0, false, 0L)), got("C").toString)
+  }
+
 }

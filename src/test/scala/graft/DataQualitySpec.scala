@@ -702,4 +702,5 @@ class DataQualitySpec extends SparkSpec {
     assert(m.getDouble(4) > 0.0, m.toString)
   }
 
+
 }

@@ -678,4 +678,45 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("binaryQuantize packs sign bits exactly; bqTopK reranks true cosines with high recall") {
+    import spark.implicits._
+    // hand packing: dim 3, bits (1,0,1) -> word 0b101 = 5
+    val tiny = Seq((1L, Array(1.0f, -1.0f, 2.0f)), (2L, Array(-0.5f, 0.5f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val packed = Similarity.binaryQuantize(tiny, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed(1L) == Seq(5L), packed(1L).toString)
+    assert(packed(2L) == Seq(2L), packed(2L).toString)
+    // two words: bit 0 and bit 64 set
+    val wide = Seq((7L, Array.tabulate(70)(i => if (i == 0 || i == 64) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pw = Similarity.binaryQuantize(wide, dim = 70).collect().head.getSeq[Long](1)
+    assert(pw == Seq(1L, 1L), pw.toString)
+
+    // corpus: rerank emits TRUE cosines (equal to brute's for shared pairs)
+    // and recall at the gate settings stays high
+    val emb = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 8)
+    val bq = Similarity.bqTopK(emb, queries, dim = 64, k = 10, candidates = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.bruteTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = bq.keySet.intersect(brute.keySet)
+    assert(shared.forall(p2 => bq(p2) == brute(p2)), "reranked sims must be the exact cosines")
+    val recall = shared.size.toDouble / brute.size
+    assert(recall >= 0.9, s"bq recall $recall below 0.9 at gate settings (150 candidates = 30% of the corpus hamming-scanned)")
+
+    // an exact duplicate has hamming 0 -> always survives and ranks first
+    val dup = emb.limit(0).unionByName(
+      Seq((9999L, Array.tabulate(64)(i => (math.sin(i + 1) * 100).toFloat), 0))
+        .toDF("vec_id", "embedding", "label")
+        .unionByName(Seq((9998L, Array.tabulate(64)(i => (math.sin(i + 1) * 100).toFloat), 0))
+          .toDF("vec_id", "embedding", "label")))
+    val both = emb.unionByName(dup)
+    val r = Similarity.bqTopK(both, both.filter(col("vec_id") === 9999L), dim = 64, k = 3, candidates = 20)
+      .collect().sortBy(_.getInt(3))
+    assert(r.head.getLong(1) == 9998L && r.head.getDouble(2) == 1.0, r.mkString(";"))
+  }
+
 }
