@@ -198,4 +198,51 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()
     assert(st.forall(r => r.getDouble(5) == 0.0), st.mkString(","))
   }
+
+  test("round-14 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    // sccFwBw: empty edges; pure self-loops (filtered -> empty); one edge
+    val noE = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Graph.sccFwBw(noE, "a", "b").count() == 0)
+    val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(graft.operators.Graph.sccFwBw(selfOnly, "a", "b").count() == 0)
+    val oneEdge = graft.operators.Graph.sccFwBw(Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneEdge == Map(1L -> 1L, 2L -> 2L), oneEdge.toString)
+
+    // epochPlan: empty corpus -> empty plan; zero-share-sum guarded by the
+    // left join (shares frame empty -> share_sum NULL -> desired NULL DIV)
+    val noDocs = Seq.empty[(String, String)].toDF("source", "text")
+    val sh = Seq(("A", 1L)).toDF("source", "share")
+    assert(graft.operators.Corpus.epochPlan(noDocs, "source", "text", 100L, sh).count() == 0)
+
+    // binaryQuantize/bqTopK: empty corpus and empty queries
+    val noVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.binaryQuantize(noVec, dim = 4).count() == 0)
+    val v = Seq((1L, Array(1f, -1f, 1f, -1f)), (2L, Array(1f, 1f, -1f, -1f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.bqTopK(v, noVec, dim = 4, k = 2, candidates = 2).count() == 0)
+    assert(graft.operators.Similarity.bqTopK(noVec, v, dim = 4, k = 2, candidates = 2).count() == 0)
+    val both = graft.operators.Similarity.bqTopK(v, v, dim = 4, k = 2, candidates = 2).collect()
+    assert(both.length == 2, both.mkString(",")) // each query's sole other vector
+
+    // autoSaltedAgg: empty input -> empty result on both routes
+    val noKv = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(graft.operators.Skew.autoSaltedAgg(
+      noKv, Seq("k"), Seq(sum(col("v")).as("s")), Seq(sum(col("s")).as("s"))).count() == 0)
+    assert(graft.operators.Skew.autoSaltedAgg(
+      noKv, Seq("k"), Seq(sum(col("v")).as("s")), Seq(sum(col("s")).as("s")),
+      knownSkewFactor = Some(100.0)).count() == 0)
+    assert(graft.operators.Skew.skewFactor(noKv, Seq("k")) == 1.0)
+
+    // readTableWhere: all-NULL column is provably empty for any comparison
+    val root = java.nio.file.Files.createTempDirectory("graft_edge_prune_").toString
+    val cat  = new graft.sources.Catalog(spark, root)
+    cat.putTable("nulls_t", Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "s"))
+    cat.analyzeTable("nulls_t")
+    val pruned = cat.readTableWhere("nulls_t", "s", "=", "anything")
+    assert(pruned.count() == 0)
+    assert(!pruned.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
 }
