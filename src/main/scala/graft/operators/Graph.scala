@@ -1402,15 +1402,23 @@ object Graph {
             .join(seen, Seq("part", "id"), "left_anti"))
         done = next.limit(1).isEmpty
         if (!done) {
-          seen = mat(seen.union(next))
+          // the new seen checkpoint COPIES both inputs' rows, so the
+          // superseded seen and the consumed frontier can drop their
+          // blocks now — without this, a deep BFS holds every level's
+          // frontier in executor memory for the whole reach call
+          val newSeen = mat(seen.union(next))
+          if (!(seen eq frontier)) release(seen)
+          release(frontier)
+          seen = newSeen
           frontier = next
           rounds += 1
-        }
+        } else release(next)
       }
       if (!done)
         throw new IllegalStateException(
           s"sccFwBw: BFS did not drain within maxBfsRounds=$maxBfsRounds " +
             "(graph diameter exceeds the budget) — raise maxBfsRounds")
+      if (!(frontier eq seen)) release(frontier) // last level's rows live in seen
       seen
     }
 
@@ -1457,7 +1465,7 @@ object Graph {
             (col("part") * 4 +
               when(col("in_f") === 1, 1).when(col("in_b") === 1, 2).otherwise(3)).as("part"))
         active = mat(nextActive)
-        release(act); release(fwd); release(bwd)
+        release(act); release(fwd); release(bwd); release(pivots)
       } else active = act
       release(live)
       round += 1
@@ -1471,6 +1479,10 @@ object Graph {
       else emitted.reduce(_ unionAll _).select(col("id"), col("scc"))
     val materialized = mat(out)
     release(active)
+    // the output checkpoint is self-contained — every per-round emitted
+    // frame (and the edge set) can drop its blocks now
+    emitted.foreach(release)
+    release(dirE)
     materialized
   }
 
