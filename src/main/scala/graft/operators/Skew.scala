@@ -116,4 +116,32 @@ object Skew {
       .join(explodedDim, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** The join-side twin of [[autoSaltedAgg]]: measure (or accept) the FACT
+    * side's key skew and only pay [[saltedJoin]]'s dim replication when the
+    * key actually crosses `skewThreshold` — n_salts = min(maxSalts,
+    * ⌈factor⌉), the same sizing rule. Below the threshold the plain
+    * equi-join runs untouched (replicating dim against a uniform key buys
+    * nothing and multiplies the build side). Same audit sources as the agg
+    * twin: a live [[skewFactor]] pass, a seeded sample of it, or a
+    * precomputed value (e.g. `Catalog.skewFactorFor` from published ANALYZE
+    * stats — the metadata-read decision). Inner equi-joins only, the
+    * [[saltedJoin]] contract; both routes emit identical rows (PlanSpec
+    * pins the shapes and the equality). */
+  def autoSaltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      skewThreshold: Double = 4.0,
+      maxSalts: Int = 64,
+      sampleFraction: Option[Double] = None,
+      knownSkewFactor: Option[Double] = None): DataFrame = {
+    require(skewThreshold > 1.0, s"skewThreshold must exceed 1.0, got $skewThreshold")
+    require(maxSalts >= 2, s"maxSalts must be >= 2, got $maxSalts")
+    val factor = knownSkewFactor.getOrElse(skewFactor(fact, Seq(key), sampleFraction))
+    if (factor >= skewThreshold) {
+      val salts = math.min(maxSalts.toLong, math.ceil(factor).toLong).toInt
+      saltedJoin(fact, dim, key, salts)
+    } else fact.join(dim, Seq(key))
+  }
 }

@@ -627,4 +627,33 @@ class PlanSpec extends SparkSpec {
     assert(Skew.skewFactor(hotDf, Seq("k")) > 4.0)
     assert(Skew.skewFactor(uniDf, Seq("k")) < 1.5)
   }
+
+  test("autoSaltedJoin: dim replication only above the skew threshold, identical rows") {
+    import spark.implicits._
+    import graft.operators.Skew
+    val hot = ((1 to 5000).map(_ => (0L, 1L)) ++ (1 to 100).map(i => (i.toLong, 1L)))
+      .toDF("k", "v")
+    val uni = (1 to 5000).map(i => ((i % 50).toLong, 1L)).toDF("k", "v")
+    val dim = (0L to 100L).map(k => (k, s"d$k")).toDF("k", "name")
+
+    val salted = Skew.autoSaltedJoin(hot, dim, "k", skewThreshold = 4.0)
+    val ps = salted.queryExecution.executedPlan.toString
+    assert(ps.contains("__salt") && ps.contains("Generate"),
+      s"hot fact key must replicate dim across salts:\n$ps")
+
+    val plain = Skew.autoSaltedJoin(uni, dim, "k", skewThreshold = 4.0)
+    val pp = plain.queryExecution.executedPlan.toString
+    assert(!pp.contains("__salt"), s"uniform key must keep the plain join:\n$pp")
+
+    // both routes emit exactly the plain join's rows
+    val expected = hot.join(dim, Seq("k")).groupBy(col("k"), col("name"))
+      .count().collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = salted.groupBy(col("k"), col("name"))
+      .count().collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, "salted join diverged from the plain join")
+
+    // published-stats route forces salting without a measurement pass
+    val forced = Skew.autoSaltedJoin(uni, dim, "k", knownSkewFactor = Some(50.0))
+    assert(forced.queryExecution.executedPlan.toString.contains("__salt"))
+  }
 }
