@@ -1843,6 +1843,55 @@ object Corpus {
           col("ellipsis_ok") && col("alpha_ok") && col("stop_ok"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * A-Res) — "give me k documents drawn proportional to quality", the
+    * per-document biased subsample the uniform md5-rank machinery
+    * (quotaPerSource/resample) cannot express: each row draws the exact
+    * dyadic u = (splitmix64(id ⊕ seed) >> 11 + 1)/2⁵³ ∈ (0, 1] and keys on
+    * priority = ln(u)/w — the monotone log of the paper's u^(1/w), so the
+    * k LARGEST priorities are exactly the paper's sample and heavier rows
+    * win proportionally more often. DERANDOMIZED like every sampler here
+    * (randomizedResponse/bootstrap discipline): re-running, re-partitioning
+    * or re-ingesting the corpus reproduces the same sample bit-for-bit,
+    * and the oracle replays the whole draw.
+    *
+    * Exactness: the splitmix finalizer is the codegen'd Mix64 expression;
+    * u is an exact dyadic; priority rounds to the 1e-9 grid (ln's last-ulp
+    * cross-engine freedom absorbed) with doc-id tiebreak — a total order.
+    * Weights must be POSITIVE (in-plan raise_error otherwise — a zero
+    * weight silently never sampling is the bug this surfaces) and should
+    * sit on a decimal grid (e.g. the round-6 quality score).
+    *
+    * Scale shape: ONE narrow scan; selection is the bounded-heap
+    * TopKPerGroup global top-k (O(k) memory per partition, k rows
+    * shuffled per partition — never a corpus sort). Output
+    * (doc_id, weight, priority, rn ≤ k). */
+  def weightedSample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), weightCol.cast("double").as("weight"))
+    val h = graft.functions.TextFunctions.mix64(col("doc_id").bitwiseXOR(lit(seed)))
+    val u = (shiftrightunsigned(h, 11) + 1).cast("double") / lit(9007199254740992.0)
+    val wGuard = when(col("weight") > 0.0, col("weight"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: non-positive weight for doc "), col("doc_id").cast("string"))))
+    val scored = base.select(
+      col("doc_id"),
+      col("weight"),
+      round(log(u) / wGuard, 9).as("priority"))
+    val top = TopK.perGroup(
+      scored,
+      groupCols = Seq.empty,
+      orderCols = Seq("priority" -> false, "doc_id" -> true),
+      k = k)
+    top.withColumn("rn", row_number().over(W.orderBy(col("priority").desc, col("doc_id"))))
+  }
+
   /** Data-constrained epoch plan (Muennighoff et al. 2023 "Scaling
     * Data-Constrained Language Models" — the planning read a pipeline runs
     * BEFORE training when the token budget exceeds the unique data): given
