@@ -1863,33 +1863,42 @@ object Corpus {
     * sit on a decimal grid (e.g. the round-6 quality score).
     *
     * Scale shape: ONE narrow scan; selection is the bounded-heap
-    * TopKPerGroup global top-k (O(k) memory per partition, k rows
-    * shuffled per partition — never a corpus sort). Output
-    * (doc_id, weight, priority, rn ≤ k). */
+    * TopKPerGroup top-k — global, or PER STRATUM when `strata` names
+    * grouping columns (k best-weighted docs per source: the biased
+    * sibling of quotaPerSource's uniform per-source cut) — O(k·groups)
+    * memory per partition, k rows shuffled per (group, partition), never
+    * a corpus sort. Output (strata..., doc_id, weight, priority, rn ≤ k
+    * per group). */
   def weightedSample(
       docs: DataFrame,
       idCol: String,
       weightCol: Column,
       k: Int,
-      seed: Long): DataFrame = {
+      seed: Long,
+      strata: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val W = org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).cast("long").as("doc_id"), weightCol.cast("double").as("weight"))
+    val base = docs.select(
+      strata.map(col) ++ Seq(col(idCol).cast("long").as("doc_id"), weightCol.cast("double").as("weight")): _*)
     val h = graft.functions.TextFunctions.mix64(col("doc_id").bitwiseXOR(lit(seed)))
     val u = (shiftrightunsigned(h, 11) + 1).cast("double") / lit(9007199254740992.0)
     val wGuard = when(col("weight") > 0.0, col("weight"))
       .otherwise(raise_error(concat(
         lit("weightedSample: non-positive weight for doc "), col("doc_id").cast("string"))))
     val scored = base.select(
-      col("doc_id"),
-      col("weight"),
-      round(log(u) / wGuard, 9).as("priority"))
+      strata.map(col) ++ Seq(
+        col("doc_id"),
+        col("weight"),
+        round(log(u) / wGuard, 9).as("priority")): _*)
     val top = TopK.perGroup(
       scored,
-      groupCols = Seq.empty,
+      groupCols = strata,
       orderCols = Seq("priority" -> false, "doc_id" -> true),
       k = k)
-    top.withColumn("rn", row_number().over(W.orderBy(col("priority").desc, col("doc_id"))))
+    val w =
+      if (strata.isEmpty) W.orderBy(col("priority").desc, col("doc_id"))
+      else W.partitionBy(strata.map(col): _*).orderBy(col("priority").desc, col("doc_id"))
+    top.withColumn("rn", row_number().over(w))
   }
 
   /** Data-constrained epoch plan (Muennighoff et al. 2023 "Scaling

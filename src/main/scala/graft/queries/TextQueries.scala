@@ -691,6 +691,54 @@ object TextQueries {
       Corpus.weightedSample(scored, "doc_id", col("quality_score"), k = 100, seed = 20260815L)
     },
 
+    // ---------------------- stratified weighted sampling (k per source)
+    // Same ES draw, bounded heap PER STRATUM: the 5 best quality-weighted
+    // docs per source — the biased sibling of quotaPerSource's uniform
+    // per-source cut. The oracle partitions the identical priorities by
+    // source.
+    Q(
+      "corpus_weighted_sample_stratified",
+      Some {
+        def mulmod(a: String, c: String): String =
+          s"""CAST((( ($a & 4294967295)::HUGEINT * $c::HUGEINT
+             | + ((( ($a) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+             | ) % 18446744073709551616::HUGEINT) AS UBIGINT)""".stripMargin
+        s"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                   -1.5
+                   + 8.0 * (CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+                            / GREATEST(LENGTH(text), 1))
+                   + 3.0 * (CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+                            / GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1))
+                   + (-4.0) * (CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE)
+                            / GREATEST(LENGTH(text), 1))
+                   + 0.25 * ln(CAST(1.0 AS DOUBLE) + LENGTH(text))
+                 ))), 6) AS w
+          FROM documents),
+        g AS (SELECT doc_id, source, w, xor(CAST(doc_id AS UBIGINT), 20260815::UBIGINT) AS x FROM s),
+        a1 AS (SELECT doc_id, source, w, xor(x, x >> 30) AS a FROM g),
+        a2 AS (SELECT doc_id, source, w, ${mulmod("a", "13787848793156543929")} AS z FROM a1),
+        a3 AS (SELECT doc_id, source, w, xor(z, z >> 27) AS a FROM a2),
+        a4 AS (SELECT doc_id, source, w, ${mulmod("a", "10723151780598845931")} AS z FROM a3),
+        hx AS (SELECT doc_id, source, w, xor(z, z >> 31) AS h FROM a4),
+        uu AS (SELECT doc_id, source, w, CAST((h >> 11) + 1 AS DOUBLE) / 9007199254740992.0 AS u FROM hx),
+        pr AS (SELECT doc_id, source, w, round(ln(u) / w, 9) AS priority FROM uu),
+        r AS (SELECT source, doc_id, w AS weight, priority,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+              FROM pr)
+        SELECT source, doc_id, weight, priority, rn FROM r WHERE rn <= 5
+      """
+      }) { (spark, dir) =>
+      val scored = Corpus.linearQualityScore(
+        Tables(spark, dir).documents, "doc_id", "text",
+        wTokensPerChar = 8.0, wStopwordRatio = 3.0, wPunctRatio = -4.0,
+        wLogLen = 0.25, bias = -1.5, keep = Seq("source"))
+      Corpus.weightedSample(scored, "doc_id", col("quality_score"), k = 5, seed = 20260815L,
+        strata = Seq("source"))
+    },
+
     // Language ID: deterministic stopword-dictionary scoring with a fixed
     // tie order. (The corpus vocabulary is language-independent, so most rows
     // score 'en' or 'und' — the operator contract is the mechanism, which at
