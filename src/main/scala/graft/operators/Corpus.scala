@@ -1918,6 +1918,18 @@ object Corpus {
     * Sources missing from `shares` get share 0 (reported, served 0) —
     * the honest "you forgot a source" signal, never a silent drop.
     *
+    * Overflow posture: budget·share and tokens·num are LONG×LONG products
+    * — at real budgets (10¹³ tokens) times real shares they exceed 2⁶³,
+    * so both products route through DECIMAL(19,0)×DECIMAL(19,0) →
+    * DECIMAL(38,0) (always representable: each factor < 10¹⁹) before the
+    * integral DIV brings them back under the divisor; the quotients fit a
+    * long because desired ≤ budget (share ≤ Σshares once shares are
+    * validated positive) and cap ≤ tokens·num/den with den ≥ 1 enforced
+    * against num at the rational guard. A shares row that is NULL or
+    * ≤ 0, or an EMPTY shares frame (Σshares would be NULL and every
+    * allocation would come back NULL), fails loudly in-plan via
+    * raise_error — the weightedSample weight-guard discipline.
+    *
     * Scale shape: ONE map-side-combined per-source token count over the
     * corpus; everything after runs on the source-count-sized frame joined
     * against the (small, broadcast) shares frame. Output one row per
@@ -1937,8 +1949,21 @@ object Corpus {
       .select(col(sourceCol).cast("string").as("source"), size(toks(col(textCol))).cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-    val sh = shares.select(col("source").cast("string").as("source"), col("share").cast("long").as("share"))
-    val tot = sh.agg(sum(col("share")).as("share_sum"))
+    // in-plan share validation: a NULL/non-positive share poisons the
+    // integer allocation silently (or flips desired negative) — refuse it
+    // at the projection, before any allocation arithmetic runs
+    val sh = shares.select(
+      col("source").cast("string").as("source"),
+      when(col("share").isNull || col("share").cast("long") <= 0L,
+        raise_error(concat(lit("epochPlan: share must be a positive long, got "),
+          coalesce(col("share").cast("string"), lit("NULL")), lit(" for source "),
+          coalesce(col("source").cast("string"), lit("NULL")))))
+        .otherwise(col("share").cast("long")).as("share"))
+    // an empty shares frame sums to NULL → every allocation would come
+    // back NULL; fail loudly instead
+    val tot = sh.agg(
+      when(sum(col("share")).isNull, raise_error(lit("epochPlan: shares frame is empty")))
+        .otherwise(sum(col("share"))).as("share_sum"))
     val joined = perSource
       .join(sh, Seq("source"), "left")
       .crossJoin(broadcast(tot))
@@ -1947,9 +1972,14 @@ object Corpus {
         coalesce(col("share"), lit(0L)).as("share"),
         col("share_sum"))
     // SQL DIV: genuine 64-bit integer division — a double `/` would round
-    // past 2^53 and silently misallocate tokens at real budgets
-    val desired = expr(s"CAST(($tokenBudget * share) DIV share_sum AS BIGINT)")
-    val cap     = expr(s"CAST((n_tokens * $maxEpochsNum) DIV $maxEpochsDen AS BIGINT)")
+    // past 2^53 and silently misallocate tokens at real budgets. The
+    // products run in DECIMAL (see scaladoc): LONG×LONG wraps silently in
+    // non-ANSI mode at real budgets, DECIMAL(19,0)² → DECIMAL(38,0) never
+    // can.
+    val desired = expr(
+      s"CAST((CAST($tokenBudget AS DECIMAL(19,0)) * CAST(share AS DECIMAL(19,0))) DIV share_sum AS BIGINT)")
+    val cap = expr(
+      s"CAST((CAST(n_tokens AS DECIMAL(19,0)) * CAST($maxEpochsNum AS DECIMAL(19,0))) DIV $maxEpochsDen AS BIGINT)")
     joined.select(
       col("source"),
       col("n_docs"),

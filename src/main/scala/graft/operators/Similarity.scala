@@ -95,7 +95,21 @@ object Similarity {
   def binaryQuantize(vectors: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")
     val nWords = (dim + 63) / 64
-    val emb = asDoubleVec(col("embedding"))
+    // In-plan length guard: element_at past the array end returns NULL,
+    // which the packing would silently fold to 0-bits — a truncated or
+    // corrupt vector must fail loudly, not quantize to a plausible code
+    // and degrade recall invisibly (the weightedSample raise_error
+    // discipline). Guarded vector gets its OWN projection so the Horner
+    // lambdas slice an attribute, not a re-evaluated size() check.
+    val raw = asDoubleVec(col("embedding"))
+    val guarded = vectors.select(
+      col("vec_id"),
+      when(size(raw) >= lit(dim), raw)
+        .otherwise(raise_error(concat(
+          lit(s"binaryQuantize: embedding shorter than dim=$dim (size="),
+          size(raw).cast("string"), lit(") at vec_id="), col("vec_id").cast("string"))))
+        .as("__emb"))
+    val emb = col("__emb")
     def bit(j0: Int): Column = element_at(emb, lit(j0 + 1)) > lit(0.0) // absolute 0-based
     val words = (0 until nWords).map { w =>
       val lo   = w * 64
@@ -108,7 +122,7 @@ object Similarity {
         (acc, j) => acc * 2 + when(element_at(emb, j.cast("int") + 1) > lit(0.0), 1L).otherwise(0L))
       if (full) horner + when(bit(hi), lit(Long.MinValue)).otherwise(lit(0L)) else horner
     }
-    vectors.select(col("vec_id"), array(words: _*).as("bq"))
+    guarded.select(col("vec_id"), array(words: _*).as("bq"))
   }
 
   /** Top-k by BINARY-QUANTIZED candidate generation + exact rerank — the

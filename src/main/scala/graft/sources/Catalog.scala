@@ -264,12 +264,21 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * never sees stats for a half-written table. All aggregates run in ONE
     * pass (no per-column scans); ndv is exact count-distinct — swap to
     * approx_count_distinct at extreme widths, the stats contract allows
-    * it. Returns the stats frame it published. */
+    * it. Returns the stats frame it published.
+    *
+    * Every row carries the DATA VERSION that was analyzed
+    * (`analyzed_version`), resolved once before the scan: consumers whose
+    * correctness (not just plan shape) depends on the stats — the
+    * [[readTableWhere]] provably-empty prune — refuse stats stamped with a
+    * version other than the one they are about to read, so a re-PUT
+    * without a re-ANALYZE degrades to a normal filtered scan instead of
+    * silently pruning rows the newer version contains. */
   def analyzeTable(
       name: String,
       format: String = "parquet",
       frequencyColumns: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    val analyzedVersion = versions(name).headOption.getOrElse(-1L)
     val df = readTable(name, format)
     // atomic columns only: min/max/ndv over arrays or structs is not a
     // meaningful pruning stat (and not consistently orderable)
@@ -307,11 +316,12 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         Option(row.getAs[String](s"${f.name}__max")).getOrElse(null),
         row.getAs[Long](s"${f.name}__ndv"),
         row.getAs[Long](s"${f.name}__nulls"),
-        maxFreqs.getOrElse(f.name, -1L))
+        maxFreqs.getOrElse(f.name, -1L),
+        analyzedVersion)
     }.toSeq
     val out = spark.createDataFrame(stats).toDF(
       "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls",
-      "max_freq")
+      "max_freq", "analyzed_version")
     putTable(s"$name.__stats__", out, format)
     readTable(s"$name.__stats__", format)
   }
@@ -333,11 +343,13 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
   def statsFor(name: String, format: String = "parquet"): Option[Catalog.TableStats] = {
     if (!exists(s"$name.__stats__")) return None
     val frame = readTable(s"$name.__stats__", format)
-    // max_freq is absent in stats published before the heavy-hitter pass
-    // existed — tolerate old frames (None = not computed)
+    // max_freq / analyzed_version are absent in stats published before
+    // those passes existed — tolerate old frames (None = not recorded)
     val hasFreq = frame.columns.contains("max_freq")
+    val hasVer  = frame.columns.contains("analyzed_version")
     val base = Seq("column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls")
-    val rows = frame.select((if (hasFreq) base :+ "max_freq" else base).map(org.apache.spark.sql.functions.col): _*).collect()
+    val names = base ++ (if (hasFreq) Seq("max_freq") else Nil) ++ (if (hasVer) Seq("analyzed_version") else Nil)
+    val rows = frame.select(names.map(org.apache.spark.sql.functions.col): _*).collect()
     if (rows.isEmpty) return None
     val cols = rows.toSeq.map { r =>
       Catalog.ColumnStats(
@@ -349,6 +361,9 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         nNulls = r.getLong(6),
         maxFreq = if (hasFreq && !r.isNullAt(7) && r.getLong(7) >= 0) Some(r.getLong(7)) else None)
     }
+    val verIdx = if (hasFreq) 8 else 7
+    val analyzedVersion =
+      if (hasVer && !rows.head.isNullAt(verIdx)) Some(rows.head.getLong(verIdx)) else None
     val nRows = rows.head.getLong(2)
     val rowBytes = cols.map { c =>
       c.dataType match {
@@ -362,7 +377,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
           math.max(seen.toLong, 16L) + 24L
       }
     }.sum
-    Some(Catalog.TableStats(nRows, rowBytes, cols))
+    Some(Catalog.TableStats(nRows, rowBytes, cols, analyzedVersion))
   }
 
   /** The PUBLISHED skew factor of a stored table's column — the same
@@ -459,19 +474,31 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         case "="  => c === v
       })
     }
+    // The prune changes RESULTS, not just the plan, so it only fires when
+    // the stats were analyzed against the EXACT data version this read
+    // resolves: a re-PUT without re-ANALYZE (stale stats), a pre-versioning
+    // stats frame (no stamp), or an unversioned plain-path layout (a
+    // re-PUT there never bumps a version, so staleness is undetectable)
+    // all degrade to the normal filtered scan.
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
     val provablyEmpty = statsFor(name, format).exists { s =>
+      currentVersion >= 0 && s.analyzedVersion.contains(currentVersion) &&
       s.columns.find(_.column == colName).exists { st =>
         if (st.nNulls >= s.nRows && s.nRows > 0) true // all-NULL: no comparison matches
         else (st.minValue, st.maxValue) match {
           case (Some(mn), Some(mx)) =>
-            val cmpMin = Catalog.compareInDomain(mn, value, st.dataType)
-            val cmpMax = Catalog.compareInDomain(mx, value, st.dataType)
-            op match {
-              case "="  => cmpMin > 0 || cmpMax < 0 // literal outside [min, max]
-              case "<"  => cmpMin >= 0              // min >= literal: nothing below it
-              case "<=" => cmpMin > 0
-              case ">"  => cmpMax <= 0              // max <= literal: nothing above it
-              case ">=" => cmpMax < 0
+            // non-finite stats (NaN/Infinity renderings) → None → no prune
+            (Catalog.compareInDomain(mn, value, st.dataType),
+             Catalog.compareInDomain(mx, value, st.dataType)) match {
+              case (Some(cmpMin), Some(cmpMax)) =>
+                op match {
+                  case "="  => cmpMin > 0 || cmpMax < 0 // literal outside [min, max]
+                  case "<"  => cmpMin >= 0              // min >= literal: nothing below it
+                  case "<=" => cmpMin > 0
+                  case ">"  => cmpMax <= 0              // max <= literal: nothing above it
+                  case ">=" => cmpMax < 0
+                }
+              case _ => false
             }
           case _ => false
         }
@@ -535,12 +562,16 @@ object Catalog {
     * and decimal types compare as exact BigDecimal; everything else —
     * strings, and the ISO renderings ANALYZE stores for date/timestamp —
     * compares lexicographically (chronological for ISO). Used by the
-    * [[Catalog.readTableWhere]] prune decision. */
-  private[sources] def compareInDomain(a: String, b: String, dataType: String): Int = {
+    * [[Catalog.readTableWhere]] prune decision. None when either side
+    * does not parse in the numeric domain — a float/double column
+    * containing NaN/Infinity renders a non-finite min/max, and the prune
+    * must degrade to a normal scan, not throw. */
+  private[sources] def compareInDomain(a: String, b: String, dataType: String): Option[Int] = {
     val numeric = Set("tinyint", "smallint", "int", "bigint", "float", "double")
     if (numeric.contains(dataType) || dataType.startsWith("decimal"))
-      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    else a.compareTo(b)
+      try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+    else Some(a.compareTo(b))
   }
 
   /** One atomic column's published ANALYZE stats (see [[Catalog.analyzeTable]]). */
@@ -554,8 +585,15 @@ object Catalog {
       maxFreq: Option[Long] = None)
 
   /** Table-level sizing parsed from the `__stats__` frame: row count plus a
-    * conservative DECOMPRESSED per-row width (see [[Catalog.statsFor]]). */
-  final case class TableStats(nRows: Long, estRowBytes: Long, columns: Seq[ColumnStats]) {
+    * conservative DECOMPRESSED per-row width (see [[Catalog.statsFor]]).
+    * `analyzedVersion` is the data version ANALYZE scanned (None for
+    * pre-versioning stats frames) — result-correctness consumers must
+    * match it against the version they read. */
+  final case class TableStats(
+      nRows: Long,
+      estRowBytes: Long,
+      columns: Seq[ColumnStats],
+      analyzedVersion: Option[Long] = None) {
     def estBytes: Long = nRows * estRowBytes
   }
 }

@@ -232,4 +232,35 @@ class CatalogSpec extends SparkSpec {
     cat.analyzeTable("nofreq_t")
     assert(cat.skewFactorFor("nofreq_t", "k").isEmpty)
   }
+
+  test("readTableWhere: stale stats (re-PUT without re-ANALYZE) must not prune the newer version") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("ev", Seq((1L, 10L), (2L, 20L)).toDF("id", "x"))
+    val stats = cat.analyzeTable("ev")
+    assert(stats.columns.contains("analyzed_version"))
+    assert(cat.statsFor("ev").get.analyzedVersion.contains(cat.versions("ev").max))
+    // analyzed version: max x = 20 -> "> 100" provably empty, prune fires
+    assert(cat.readTableWhere("ev", "x", ">", "100").count() == 0)
+    // re-PUT a version whose rows the stale stats would wrongly prune
+    cat.putTable("ev", Seq((3L, 500L)).toDF("id", "x"))
+    assert(cat.readTableWhere("ev", "x", ">", "100").count() == 1,
+      "stale stats silently pruned rows of the newer data version")
+    // re-ANALYZE restores the short-circuit, now against the new version
+    cat.analyzeTable("ev")
+    assert(cat.readTableWhere("ev", "x", ">", "1000").count() == 0)
+    assert(cat.readTableWhere("ev", "x", ">", "100").count() == 1)
+  }
+
+  test("readTableWhere: non-finite double stats (NaN) degrade to a filtered scan, never throw") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("nanny", Seq((1L, 1.5), (2L, Double.NaN), (3L, 9.0)).toDF("id", "v"))
+    cat.analyzeTable("nanny") // max renders "NaN": the prune comparison cannot parse it
+    // ">" consults the unparseable max -> degrade to the scan (Spark orders
+    // NaN above every double, so NaN and 9.0 both pass the pushed filter)
+    assert(cat.readTableWhere("nanny", "v", ">", "5").count() == 2)
+    // "<" consults only the parseable min (1.5 >= 0): prune still fires
+    assert(cat.readTableWhere("nanny", "v", "<", "0").count() == 0)
+  }
 }

@@ -144,4 +144,57 @@ class CheckpointModeSpec extends SparkSpec {
     assert(durable.merges == local.merges, "durable-mode BPE learned different merges")
     assert(checkpointFiles(dir).nonEmpty, "no reliable checkpoint files from the merge rounds")
   }
+
+  test("FAULT INJECTION: executor JVM killed mid-iteration — durable pageRank completes, ranks identical") {
+    // The durability claim, actually exercised: graft.tools.FaultProbe runs
+    // in its OWN JVM (this suite's shared context is local[8]; killable
+    // executors need a real standalone mini-cluster, local-cluster[2,1,1536]),
+    // runs pageRank in RELIABLE checkpoint mode, kill -9s one executor JVM
+    // once ≥3 checkpoint rounds are durably on disk, and exits 0 only if
+    // the kill landed BEFORE completion AND Spark observed the loss. Here
+    // we assert the recovered ranks equal an unperturbed run bit-for-bit
+    // at the shared round-9 rendering.
+    import scala.jdk.CollectionConverters._
+    import graft.tools.FaultProbe
+
+    val expected = Graph
+      .pageRank(FaultProbe.fixtureEdges.toDF("s", "t"), "s", "t", iterations = FaultProbe.Iterations)
+      .collect()
+      .map(r => s"${r.getLong(0)},${BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP)}")
+      .sorted.toSeq
+
+    val out     = java.nio.file.Files.createTempFile("graft_fault_ranks_", ".csv")
+    val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+    val addOpens = org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-cp", sys.props("java.class.path"),
+      "graft.tools.FaultProbe", out.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    // in-process Worker skips bin/load-spark-env.sh, which normally sets this
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val log  = new StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+      Iterator.continually(r.readLine()).takeWhile(_ != null).foreach(l => log.synchronized { log.append(l).append('\n') })
+    })
+    drain.setDaemon(true); drain.start()
+    val finished = proc.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      proc.descendants().forEach(_.destroyForcibly()); proc.destroyForcibly()
+      fail(s"fault probe timed out; log tail:\n${log.synchronized(log.toString).takeRight(4000)}")
+    }
+    drain.join(10000)
+    val logText = log.synchronized(log.toString)
+    assert(proc.exitValue() == 0,
+      s"fault probe exited ${proc.exitValue()}; log tail:\n${logText.takeRight(4000)}")
+    assert(logText.contains("FAULTPROBE_KILLED pid="), "probe never killed an executor")
+    assert(logText.contains("FAULTPROBE_EXECUTOR_REMOVED"), "Spark never observed the executor loss")
+    val got = new String(java.nio.file.Files.readAllBytes(out), "UTF-8").split("\n").toSeq
+    assert(got == expected,
+      s"ranks diverged after executor loss: ${got.diff(expected).take(5)} vs ${expected.diff(got).take(5)}")
+  }
 }

@@ -895,4 +895,30 @@ class CorpusSpec extends SparkSpec {
       (e.getCause != null && e.getCause.getMessage.contains("non-positive weight")))
   }
 
+  test("epochPlan: DECIMAL product survives budgets where long*share wraps; bad shares fail loudly") {
+    import spark.implicits._
+    val docs = Seq(("A", "t1 t2 t3 t4 t5"), ("B", "w1 w2 w3 w4 w5")).toDF("source", "text")
+    // 4e18 * 3 = 1.2e19 > 2^63: a long product wraps (or ANSI-throws); the
+    // DECIMAL route must allocate exactly budget*share/share_sum
+    val big = 4_000_000_000_000_000_000L
+    val got = Corpus
+      .epochPlan(docs, "source", "text", tokenBudget = big,
+        shares = Seq(("A", 3L), ("B", 1L)).toDF("source", "share"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap // desired_tokens
+    assert(got("A") == 3_000_000_000_000_000_000L, got.toString)
+    assert(got("B") == 1_000_000_000_000_000_000L, got.toString)
+    // empty shares: share_sum would be NULL -> every allocation NULL; loud instead
+    val e1 = intercept[Exception](
+      Corpus.epochPlan(docs, "source", "text", 100L,
+        Seq.empty[(String, Long)].toDF("source", "share")).collect())
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") + Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(e1).contains("shares frame is empty"), msg(e1))
+    // a non-positive share poisons the integer split; loud too
+    val e2 = intercept[Exception](
+      Corpus.epochPlan(docs, "source", "text", 100L,
+        Seq(("A", 0L), ("B", 1L)).toDF("source", "share")).collect())
+    assert(msg(e2).contains("share must be a positive long"), msg(e2))
+  }
+
 }

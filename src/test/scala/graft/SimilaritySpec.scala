@@ -719,4 +719,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getLong(1) == 9998L && r.head.getDouble(2) == 1.0, r.mkString(";"))
   }
 
+  test("binaryQuantize: a truncated embedding fails loudly, never packs silent 0-bits") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(1.0f, -1.0f, 2.0f)), (2L, Array(1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](Similarity.binaryQuantize(bad, dim = 3).collect())
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") + Option(t.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(e).contains("shorter than dim"), msg(e))
+    // oversized is fine: extra dimensions are simply not packed
+    val over = Seq((3L, Array(1.0f, -1.0f, 2.0f, 9.0f))).toDF("vec_id", "embedding")
+    val p = Similarity.binaryQuantize(over, dim = 3).collect().head.getSeq[Long](1)
+    assert(p == Seq(5L), p.toString)
+  }
+
 }
