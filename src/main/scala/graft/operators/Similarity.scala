@@ -831,6 +831,70 @@ object Similarity {
       .unionAll(audit("lsh", lshTopK(corpus, queries, k, bits, tables, probeHamming)))
   }
 
+  /** Closed-loop ANN tuning — the ACTION on [[recallAudit]]'s measurement,
+    * the same audit→action discipline [[graft.operators.Skew.autoSaltedAgg]]
+    * applies to ANALYZE's skew stats: walk nprobe up a doubling ladder
+    * (1, 2, 4, …, capped at nlist) and stop at the FIRST rung whose
+    * measured IVF recall against the brute-force truth meets
+    * `recallTarget`. Returns (chosen nprobe, walk trace) — one audit row
+    * per rung actually probed, `chosen = true` on the stopping rung.
+    *
+    * Deterministic end to end (sampled trainer seeded by mix64(vec_id),
+    * every rung's search and overlap exact), so the early-stopped walk is
+    * replayable — the gate row's DuckDB oracle recomputes every rung's
+    * recall and applies the same stop rule. nprobe = nlist probes every
+    * cell, which recovers the brute candidate set and recall 1.0, so the
+    * walk always terminates chosen for any target ≤ 1.
+    *
+    * Cost shape: the truth (nQueries·k rows) and the assigned index are
+    * materialized ONCE and reused across rungs (the fan-out checkpoint
+    * discipline); each rung is one cell-probed search + a counted join —
+    * ≤ log₂(nlist)+1 rungs, and the driver reads one 3-column audit row
+    * per rung to decide the next step, never data. The recall the
+    * decision consumes is computed IN-PLAN with the same round(·, 6) the
+    * audit publishes, so the stop rule and the trace can never disagree. */
+  def autoProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      recallTarget: Double,
+      nlist: Int = 16,
+      assign: Int = 2): (Int, DataFrame) = {
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recallTarget must be in (0, 1], got $recallTarget")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCoarseQuantizer(corpus, nlist, sampleN = 256 * nlist)
+    val index = ivfAssign(corpus, centroids, assign).localCheckpoint(eager = true)
+    val truth = bruteTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true)
+    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toSeq :+ nlist).distinct
+    val trace  = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double, Boolean)]
+    var chosen = -1
+    val rungs  = ladder.iterator
+    while (chosen < 0 && rungs.hasNext) {
+      val p = rungs.next()
+      val row = ivfSearch(index, queries, centroids, k, p)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select(
+          col("n_true"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+        .head()
+      val recall = row.getDouble(2)
+      val hit    = recall >= recallTarget
+      trace += ((p, row.getLong(0), row.getLong(1), recall, hit))
+      if (hit) chosen = p
+    }
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(index)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(truth)
+    (chosen, trace.toSeq.toDF("nprobe", "n_true", "n_hits", "recall", "chosen"))
+  }
+
   /** kNN classification: majority label among each query vector's k exact
     * nearest neighbors (cosine), ties broken toward the smallest label — a
     * fully deterministic, oracle-checkable label-propagation shape (the

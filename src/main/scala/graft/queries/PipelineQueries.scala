@@ -649,6 +649,42 @@ object PipelineQueries {
               round(CAST(h.n_hits AS DOUBLE) / tn.n_true, 6) AS recall
        FROM h, tn"""
 
+  /** DuckDB oracle for ann_auto_probe: one MATERIALIZED ivf arm per
+    * doubling-ladder rung (each the full sampled-kmeans replay at that
+    * nprobe), recall per rung, then the engine's early-stop rule in SQL —
+    * a rung is in the walk iff NO smaller rung already met the target,
+    * and the stopping rung is `chosen`. Replays [[Similarity.autoProbe]]
+    * decision-for-decision. */
+  private def autoProbeOracle(
+      k: Int,
+      nQueries: Int,
+      nlist: Int,
+      sampleN: Int,
+      iters: Int,
+      assign: Int,
+      target: Double): String = {
+    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist).toSeq :+ nlist).distinct
+    val arms = ladder
+      .map(p => s"p$p AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${ivfSampledOracle(nlist, sampleN, iters, assign, p, k)}) t)")
+      .mkString(",\n")
+    val rungs = ladder
+      .map(p => s"SELECT $p AS nprobe, (SELECT count(*) FROM p$p JOIN truth USING (query_id, neighbor_id)) AS n_hits")
+      .mkString("\nUNION ALL\n")
+    s"""WITH truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${bruteOracle(k, nQueries)}) t),
+       $arms,
+       tn AS (SELECT count(*) AS n_true FROM truth),
+       r AS ($rungs),
+       a AS (SELECT r.nprobe, tn.n_true, r.n_hits,
+                    round(CAST(r.n_hits AS DOUBLE) / tn.n_true, 6) AS recall
+             FROM r, tn),
+       w AS (SELECT a.*,
+                    COALESCE((SELECT MAX(CASE WHEN a2.recall >= $target THEN 1 ELSE 0 END)
+                              FROM a a2 WHERE a2.nprobe < a.nprobe), 0) AS earlier
+             FROM a)
+       SELECT nprobe, n_true, n_hits, recall, (recall >= $target) AS chosen
+       FROM w WHERE earlier = 0"""
+  }
+
   /** DuckDB oracle for embed_project: one UNION ALL arm per output dim,
     * each replaying randomProject's fold bit-for-bit — the ±1 signs come
     * from the same splitmix64 stream ([[Similarity.projectionSigns]],
@@ -2208,6 +2244,27 @@ object PipelineQueries {
         emb, emb.filter(col("vec_id") < 8), k = 10,
         nlist = 16, nprobe = 8, assign = 3, rerank = 4,
         bits = 8, tables = 12, probeHamming = 2)
+    },
+
+    // ------------------------------------------- ANN auto-probe (closed loop)
+    // The ACTION on the recall audit — the audit→action discipline the skew
+    // family set (measure, then let the measurement pick the plan): walk
+    // nprobe up the 1,2,4,…,nlist doubling ladder and stop at the first
+    // rung whose IVF recall-vs-brute meets the 0.9 target. Emits the walk
+    // trace (one audit row per probed rung, `chosen` on the stopper); the
+    // oracle recomputes every rung's recall in SQL and applies the same
+    // early-stop rule, so even the DATA-DEPENDENT walk length hashes. At
+    // 100 TB this turns "what nprobe do I deploy?" from a human guess into
+    // a measured, replayable decision on a query sample.
+    Q(
+      "ann_auto_probe",
+      Some(autoProbeOracle(
+        k = 10, nQueries = 8, nlist = 16, sampleN = 4096, iters = 10,
+        assign = 3, target = 0.9))) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.autoProbe(
+        emb, emb.filter(col("vec_id") < 8), k = 10, recallTarget = 0.9,
+        nlist = 16, assign = 3)._2
     },
 
     // ----------------------------------------------- DBSCAN clustering

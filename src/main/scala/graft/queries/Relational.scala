@@ -181,6 +181,39 @@ object Relational {
       Seq((nPruned, nKept)).toDF("n_pruned", "n_kept")
     },
 
+    // ------------------------------------------- file-granular stats prune
+    // Zone-map tier between "prune the whole table" and "read everything":
+    // orders is published as FOUR range-partitioned files on o_orderkey
+    // (disjoint per-file [min, max]), ANALYZE(fileStats = true) records the
+    // per-file extremes from one extra map-side-combined pass, and
+    // readTableWhere plans the scan over ONLY the files whose range can
+    // intersect the predicate — the selective tail read below touches 1 of
+    // 4 files (PlanSpec pins inputFiles), yet the row hashes against
+    // DuckDB running both predicates over ALL rows: pruning that changes a
+    // result is a bug, this row is the guard. At 100 TB this is min/max
+    // data skipping over the catalog's own metadata — no manifest format
+    // needed, no data read to decide.
+    Q(
+      "catalog_file_prune",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey > 55000) AS n_tail,
+          (SELECT CAST(COALESCE(SUM(CAST(o_custkey AS BIGINT)), 0) AS BIGINT) FROM orders WHERE o_orderkey > 55000) AS sum_tail_cust,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1000) AS n_head
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-file-prune").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_zoned", t.orders.repartitionByRange(4, col("o_orderkey")))
+      cat.analyzeTable("orders_zoned", fileStats = true)
+      val tail = cat.readTableWhere("orders_zoned", "o_orderkey", ">", "55000")
+      val nTail = tail.count()
+      val sumTail = tail.agg(coalesce(sum(col("o_custkey").cast("long")), lit(0L))).head().getLong(0)
+      val nHead = cat.readTableWhere("orders_zoned", "o_orderkey", "<=", "1000").count()
+      Seq((nTail, sumTail, nHead)).toDF("n_tail", "sum_tail_cust", "n_head")
+    },
+
     // ---------------------------------------------------------- semi join
     // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
     // keys of the filtered side when small; left_semi never duplicates rows.

@@ -272,11 +272,20 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * [[readTableWhere]] provably-empty prune — refuse stats stamped with a
     * version other than the one they are about to read, so a re-PUT
     * without a re-ANALYZE degrades to a normal filtered scan instead of
-    * silently pruning rows the newer version contains. */
+    * silently pruning rows the newer version contains.
+    *
+    * `fileStats = true` additionally publishes PER-FILE min/max/null
+    * stats (`<name>.__filestats__`) from the same scan pass — the
+    * zone-map tier between "prune the whole table" and "read everything":
+    * [[readTableWhere]] uses them to plan the scan over only the files
+    * whose [min, max] can intersect the predicate (see there). One extra
+    * map-side-combined aggregation keyed by `input_file_name()`; the
+    * result is nFiles × schema-width — metadata-sized, never data-sized. */
   def analyzeTable(
       name: String,
       format: String = "parquet",
-      frequencyColumns: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      frequencyColumns: Seq[String] = Nil,
+      fileStats: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val analyzedVersion = versions(name).headOption.getOrElse(-1L)
     val df = readTable(name, format)
@@ -323,7 +332,69 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls",
       "max_freq", "analyzed_version")
     putTable(s"$name.__stats__", out, format)
+    if (fileStats) {
+      val fAggs = fields.flatMap { f =>
+        val c = col(f.name)
+        Seq(
+          min(c).cast("string").as(s"${f.name}__min"),
+          max(c).cast("string").as(s"${f.name}__max"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
+      }
+      // one map-side-combined agg keyed by source file; the collect is
+      // nFiles × schema-width (metadata-sized), reshaped long for storage
+      val perFile = df
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("__rows"), fAggs.toSeq: _*)
+        .collect()
+      val fRows = perFile.toSeq.flatMap { r =>
+        val file = r.getString(0)
+        val n    = r.getLong(1)
+        fields.map { f =>
+          (file, f.name, f.dataType.simpleString, n,
+            Option(r.getAs[String](s"${f.name}__min")).orNull,
+            Option(r.getAs[String](s"${f.name}__max")).orNull,
+            r.getAs[Long](s"${f.name}__nulls"),
+            analyzedVersion)
+        }
+      }
+      val fOut = spark.createDataFrame(fRows).toDF(
+        "file", "column", "data_type", "n_rows", "min_value", "max_value", "n_nulls",
+        "analyzed_version")
+      putTable(s"$name.__filestats__", fOut, format)
+    }
     readTable(s"$name.__stats__", format)
+  }
+
+  /** Parse the published `__filestats__` frame (see [[analyzeTable]] with
+    * `fileStats = true`): per (file, column) min/max/null stats plus the
+    * stamped data version, or None if never published. The collect is
+    * nFiles × schema-width — catalog metadata, never data. */
+  def fileStatsFor(name: String, format: String = "parquet"): Option[Catalog.FileStats] = {
+    if (!exists(s"$name.__filestats__")) return None
+    val rows = readTable(s"$name.__filestats__", format)
+      .select(
+        org.apache.spark.sql.functions.col("file"),
+        org.apache.spark.sql.functions.col("column"),
+        org.apache.spark.sql.functions.col("data_type"),
+        org.apache.spark.sql.functions.col("n_rows"),
+        org.apache.spark.sql.functions.col("min_value"),
+        org.apache.spark.sql.functions.col("max_value"),
+        org.apache.spark.sql.functions.col("n_nulls"),
+        org.apache.spark.sql.functions.col("analyzed_version"))
+      .collect()
+    if (rows.isEmpty) return None
+    val cols = rows.toSeq.map { r =>
+      Catalog.FileColumnStats(
+        file = r.getString(0),
+        column = r.getString(1),
+        dataType = r.getString(2),
+        nRows = r.getLong(3),
+        minValue = Option(r.getString(4)),
+        maxValue = Option(r.getString(5)),
+        nNulls = r.getLong(6))
+    }
+    val ver = if (rows.head.isNullAt(7)) None else Some(rows.head.getLong(7))
+    Some(Catalog.FileStats(ver, cols))
   }
 
   /** Parse the published `__stats__` frame back into a sizing estimate, or
@@ -463,10 +534,10 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     val field = table.schema.fields
       .find(_.name == colName)
       .getOrElse(throw new IllegalArgumentException(s"no column '$colName' in $name"))
-    def filtered = {
+    def predicate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val c = col(colName)
       val v = lit(value).cast(field.dataType)
-      table.filter(op match {
+      df.filter(op match {
         case "<"  => c < v
         case "<=" => c <= v
         case ">"  => c > v
@@ -474,39 +545,55 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         case "="  => c === v
       })
     }
-    // The prune changes RESULTS, not just the plan, so it only fires when
-    // the stats were analyzed against the EXACT data version this read
-    // resolves: a re-PUT without re-ANALYZE (stale stats), a pre-versioning
-    // stats frame (no stamp), or an unversioned plain-path layout (a
-    // re-PUT there never bumps a version, so staleness is undetectable)
-    // all degrade to the normal filtered scan.
-    val currentVersion = versions(name).headOption.getOrElse(-1L)
-    val provablyEmpty = statsFor(name, format).exists { s =>
-      currentVersion >= 0 && s.analyzedVersion.contains(currentVersion) &&
-      s.columns.find(_.column == colName).exists { st =>
-        if (st.nNulls >= s.nRows && s.nRows > 0) true // all-NULL: no comparison matches
-        else (st.minValue, st.maxValue) match {
-          case (Some(mn), Some(mx)) =>
-            // non-finite stats (NaN/Infinity renderings) → None → no prune
-            (Catalog.compareInDomain(mn, value, st.dataType),
-             Catalog.compareInDomain(mx, value, st.dataType)) match {
-              case (Some(cmpMin), Some(cmpMax)) =>
-                op match {
-                  case "="  => cmpMin > 0 || cmpMax < 0 // literal outside [min, max]
-                  case "<"  => cmpMin >= 0              // min >= literal: nothing below it
-                  case "<=" => cmpMin > 0
-                  case ">"  => cmpMax <= 0              // max <= literal: nothing above it
-                  case ">=" => cmpMax < 0
-                }
-              case _ => false
-            }
-          case _ => false
-        }
-      }
-    }
-    if (provablyEmpty)
+    def emptyLocal =
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), table.schema)
-    else filtered
+    // Both prune tiers change RESULTS, not just the plan, so they only
+    // fire when the stats were analyzed against the EXACT data version
+    // this read resolves: a re-PUT without re-ANALYZE (stale stats), a
+    // pre-versioning stats frame (no stamp), or an unversioned plain-path
+    // layout (a re-PUT there never bumps a version, so staleness is
+    // undetectable) all degrade to the normal filtered scan. Version dirs
+    // are write-once, so a matching stamp also guarantees the recorded
+    // FILE LIST is exactly the live version's file list.
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
+    def stampOk(v: Option[Long]): Boolean = currentVersion >= 0 && v.contains(currentVersion)
+    // tier 1: whole-table prune — the read plans no file at all
+    val provablyEmpty = statsFor(name, format).exists { s =>
+      stampOk(s.analyzedVersion) &&
+      s.columns.find(_.column == colName).exists(st =>
+        Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, s.nRows, st.dataType, op, value))
+    }
+    if (provablyEmpty) emptyLocal
+    else {
+      // tier 2: file-granular prune from __filestats__ zone maps — plan the
+      // scan over only the files whose [min, max] can intersect the
+      // predicate. Path-list reads carry the resolved table schema
+      // explicitly; parquet/orc only (csv/json header/inference plumbing
+      // isn't worth a metadata tier they'd rarely deploy with).
+      val subset: Option[org.apache.spark.sql.DataFrame] =
+        if (format != "parquet" && format != "orc") None
+        else fileStatsFor(name, format) match {
+          case Some(fs) if stampOk(fs.analyzedVersion) =>
+            val allFiles = fs.columns.map(_.file).distinct
+            val colStats = fs.columns.filter(_.column == colName)
+            // every file must carry a stat row for the column, else the
+            // conservative answer is the full scan
+            if (allFiles.isEmpty || colStats.map(_.file).distinct.size != allFiles.size) None
+            else {
+              val keep = colStats.filterNot(st =>
+                Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, op, value))
+                .map(_.file)
+              if (keep.size >= allFiles.size) None // nothing pruned: plain scan
+              else if (keep.isEmpty) Some(emptyLocal)
+              else {
+                val r = spark.read.schema(table.schema)
+                Some(predicate(if (format == "parquet") r.parquet(keep: _*) else r.orc(keep: _*)))
+              }
+            }
+          case _ => None
+        }
+      subset.getOrElse(predicate(table))
+    }
   }
 
   def readTableVersion(name: String, version: Long, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
@@ -573,6 +660,55 @@ object Catalog {
       catch { case _: NumberFormatException => None }
     else Some(a.compareTo(b))
   }
+
+  /** True iff `<col> <op> <value>` PROVABLY matches no row of a unit (the
+    * whole table, or one file's zone) whose column stats are given: the
+    * unit is all-NULL (no comparison matches NULL), or the literal falls
+    * outside [min, max] in the op's direction. Unknown stats — missing
+    * min/max, or non-finite numeric renderings (NaN/Infinity) that
+    * [[compareInDomain]] refuses to parse — answer false: degrade to the
+    * scan, never prune on a guess. Shared by both prune tiers of
+    * [[Catalog.readTableWhere]]. */
+  private[sources] def rangeExcludes(
+      minValue: Option[String],
+      maxValue: Option[String],
+      nNulls: Long,
+      nRows: Long,
+      dataType: String,
+      op: String,
+      value: String): Boolean = {
+    if (nNulls >= nRows && nRows > 0) true
+    else (minValue, maxValue) match {
+      case (Some(mn), Some(mx)) =>
+        (compareInDomain(mn, value, dataType), compareInDomain(mx, value, dataType)) match {
+          case (Some(cmpMin), Some(cmpMax)) =>
+            op match {
+              case "="  => cmpMin > 0 || cmpMax < 0 // literal outside [min, max]
+              case "<"  => cmpMin >= 0              // min >= literal: nothing below it
+              case "<=" => cmpMin > 0
+              case ">"  => cmpMax <= 0              // max <= literal: nothing above it
+              case ">=" => cmpMax < 0
+              case _    => false
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** One (file, column) row of the published `__filestats__` zone map. */
+  final case class FileColumnStats(
+      file: String,
+      column: String,
+      dataType: String,
+      nRows: Long,
+      minValue: Option[String],
+      maxValue: Option[String],
+      nNulls: Long)
+
+  /** Parsed `__filestats__` frame: the stamped data version plus one
+    * [[FileColumnStats]] per (file, column). */
+  final case class FileStats(analyzedVersion: Option[Long], columns: Seq[FileColumnStats])
 
   /** One atomic column's published ANALYZE stats (see [[Catalog.analyzeTable]]). */
   final case class ColumnStats(

@@ -583,6 +583,48 @@ class PlanSpec extends SparkSpec {
     assert(fb.count() == 0L)
   }
 
+  test("readTableWhere: file-granular zone maps scan only intersecting files, results identical") {
+    import spark.implicits._
+    import graft.sources.Catalog
+    val root = java.nio.file.Files.createTempDirectory("graft-fileprune").toString
+    val cat  = new Catalog(spark, root)
+    // 4 range-partitioned files over id 1..400: disjoint per-file [min,max]
+    cat.putTable("zoned", (1L to 400L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    // before ANALYZE(fileStats): the selective read scans every file
+    val before = cat.readTableWhere("zoned", "id", "<", "5")
+    assert(before.inputFiles.length == 4, before.inputFiles.mkString(","))
+    cat.analyzeTable("zoned", fileStats = true)
+    assert(cat.fileStatsFor("zoned").get.columns.map(_.file).distinct.size == 4)
+
+    // selective low-end literal: only the first range file can intersect
+    val low = cat.readTableWhere("zoned", "id", "<", "5")
+    assert(low.inputFiles.length == 1,
+      s"zone maps should plan exactly 1 of 4 files, got ${low.inputFiles.length}")
+    assert(low.collect().map(_.toString).sorted.toSeq ==
+      before.collect().map(_.toString).sorted.toSeq, "pruned read changed the results")
+    // the predicate still pushes into the reduced scan
+    val lf = low.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(lf.contains("PushedFilters") && lf.contains("LessThan"), lf)
+
+    // spanning literal: several files intersect, but fewer than all when
+    // the cut lands inside the range (here >= 201 keeps the upper half)
+    val mid = cat.readTableWhere("zoned", "id", ">=", "201")
+    assert(mid.inputFiles.length < 4 && mid.inputFiles.nonEmpty)
+    assert(mid.count() == 200L)
+
+    // whole-table tier still wins for fully-out-of-range literals
+    val none = cat.readTableWhere("zoned", "id", ">", "400")
+    assert(none.inputFiles.isEmpty && none.count() == 0L)
+
+    // a re-PUT without re-ANALYZE invalidates the zone maps too: the new
+    // version's rows land OUTSIDE every recorded zone and must still be read
+    cat.putTable("zoned", Seq((9999L, 1L)).toDF("id", "v"))
+    val stale = cat.readTableWhere("zoned", "id", ">", "400")
+    assert(stale.count() == 1L, "stale file stats pruned rows of the newer version")
+  }
+
   test("autoSaltedAgg: two-phase salted plan above the skew threshold, single shuffle below") {
     import spark.implicits._
     import graft.operators.Skew

@@ -719,6 +719,37 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.getLong(1) == 9998L && r.head.getDouble(2) == 1.0, r.mkString(";"))
   }
 
+  test("autoProbe: stops at the first ladder rung meeting the target; recall monotone in nprobe") {
+    val emb     = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 8)
+
+    // target 1.0 forces the FULL ladder: nprobe = nlist probes every cell,
+    // recovers the brute candidate set, recall exactly 1.0
+    val (allChosen, allTrace) = Similarity.autoProbe(
+      emb, queries, k = 10, recallTarget = 1.0, nlist = 16, assign = 3)
+    val full = allTrace.collect()
+      .map(r => (r.getInt(0), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(full.map(_._1) == Seq(1, 2, 4, 8, 16), full.toString)
+    assert(full.map(_._2) == full.map(_._2).sorted,
+      s"recall must be non-decreasing in nprobe (candidate sets are supersets): $full")
+    assert(full.last._2 == 1.0 && full.last._3 && allChosen == 16, full.toString)
+    assert(full.init.forall(!_._3), "only the stopping rung may be marked chosen")
+
+    // a reachable target stops the walk EARLY with a prefix of that ladder
+    val reachable = full.map(_._2).filter(_ < 1.0).lastOption.getOrElse(0.5)
+    val (chosen, trace) = Similarity.autoProbe(
+      emb, queries, k = 10, recallTarget = reachable, nlist = 16, assign = 3)
+    val walked = trace.collect()
+      .map(r => (r.getInt(0), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(walked.map(_._1) == full.map(_._1).take(walked.size),
+      "early-stopped walk must be a prefix of the full ladder")
+    assert(walked.size < full.size, "a below-1.0 target should stop before the last rung")
+    assert(walked.last._3 && chosen == walked.last._1)
+    assert(walked.init.forall { case (_, r, c) => !c && r < reachable }, walked.toString)
+    // the walk's per-rung recalls replay the full ladder's (determinism)
+    assert(walked.map(_._2) == full.map(_._2).take(walked.size))
+  }
+
   test("binaryQuantize: a truncated embedding fails loudly, never packs silent 0-bits") {
     import spark.implicits._
     val bad = Seq((1L, Array(1.0f, -1.0f, 2.0f)), (2L, Array(1.0f, -1.0f)))
