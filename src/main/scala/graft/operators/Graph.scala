@@ -830,6 +830,110 @@ object Graph {
     out
   }
 
+  /** Louvain community detection (Blondel et al. 2008), one aggregation
+    * level as a BOUNDED-ROUND synchronous sweep — the gain-driven upgrade
+    * over [[labelPropagation]]'s frequency vote (GraphSpec pins that its
+    * modularity is ≥ LPA's on the fixture graphs; the `graph_louvain` gate
+    * row replays every round in SQL).
+    *
+    * Each round, every ELIGIBLE node evaluates moving to each neighboring
+    * community and takes the best strictly-improving move; all moves apply
+    * simultaneously. Classic sequential Louvain is visit-order-dependent —
+    * unreproducible across cluster sizes — so this sweep derandomizes it:
+    *
+    *   - the modularity-gain comparison is INTEGER-exact. With unweighted
+    *     degree k_u, community degree sums Σtot, m edges, the standard
+    *     gain of joining c is [k_in(u,c) − k_u·Σtot(c)/2m]/m up to the
+    *     shared 1/m factor, so moves compare score(c) = 2m·k_in(u,c) −
+    *     k_u·Σtot(c) (staying scores with u removed from its own
+    *     community: 2m·k_in(u,cu) − k_u·(Σtot(cu) − k_u)) — products run
+    *     in DECIMAL, no float ever decides a move, ties break to the
+    *     smallest community label;
+    *   - rounds alternate PARITY CLASSES (round r moves only nodes with
+    *     id % 2 == r % 2) — the 2-coloring guard synchronous Louvain
+    *     implementations use against oscillating label swaps (Grappolo-
+    *     style coloring, Lu/Halappanavar/Kalyanaraman 2015, reduced to
+    *     its cheapest deterministic form);
+    *   - a fixed `rounds` budget, labels checkpointed each round through
+    *     the shared [[IterState]] (durable under `checkpointDir`).
+    *
+    * One neighbor-keyed shuffle (k_in) plus two community-keyed
+    * aggregations (Σtot, argmax) per round; the only driver scalar is m.
+    * Skewed community sizes hot-key the Σtot aggregation exactly like any
+    * hot groupBy — compose with [[Skew.autoSaltedAgg]] at extreme scale.
+    * Returns (id, community); node ids must be non-negative (the parity
+    * guard uses id % 2; every graft id domain is). Second aggregation
+    * levels compose by condensing edges over the returned labels and
+    * calling this again. */
+  def louvain(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      rounds: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+
+    val st = IterState(edges, checkpointDir)
+    val raw = edges.select(col(aCol).as("a"), col(bCol).as("b")).filter(col("a") =!= col("b"))
+    val und = st.mat(
+      raw.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b")).distinct())
+    val sym = st.mat(und.union(und.select(col("b").as("a"), col("a").as("b"))))
+    val deg = st.mat(sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("k")))
+    val m   = und.count() // the one driver scalar; everything below is in-plan
+    st.release(und)
+    val twoM = lit(2L * m).cast(dec19)
+
+    var labels = st.mat(deg.select(col("id"), col("id").as("c")))
+    var r = 1
+    while (r <= rounds) {
+      val tot = labels
+        .join(deg, Seq("id"))
+        .groupBy(col("c"))
+        .agg(sum(col("k")).as("tot"))
+      val kin = sym
+        .join(labels.select(col("id").as("b"), col("c")), Seq("b"))
+        .groupBy(col("a").as("id"), col("c"))
+        .agg(count(lit(1)).as("kin"))
+      val base = labels
+        .select(col("id"), col("c").as("cu"))
+        .join(deg, Seq("id"))
+        .join(tot.select(col("c").as("cu"), col("tot").as("tot_cu")), Seq("cu"))
+        .join(
+          kin.select(col("id"), col("c").as("cu"), col("kin").as("kin_cu")),
+          Seq("id", "cu"), "left")
+        .select(
+          col("id"), col("cu"), col("k"),
+          (twoM * coalesce(col("kin_cu"), lit(0L)).cast(dec19) -
+            col("k").cast(dec19) * (col("tot_cu").cast(dec19) - col("k").cast(dec19)))
+            .as("s_stay"))
+      val cand = kin
+        .join(tot, Seq("c"))
+        .join(base.select(col("id"), col("cu"), col("k")), Seq("id"))
+        .filter(col("c") =!= col("cu"))
+        .select(
+          col("id"), col("c"),
+          (twoM * col("kin").cast(dec19) - col("k").cast(dec19) * col("tot").cast(dec19)).as("s"))
+      val best = cand
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("c"), col("s")), struct((-col("s")).as("ns"), col("c"))).as("bs"))
+      val next = base
+        .join(best, Seq("id"), "left")
+        .select(
+          col("id"),
+          when(
+            col("bs").isNotNull && col("bs.s") > col("s_stay") &&
+              col("id") % 2 === lit(r % 2),
+            col("bs.c")).otherwise(col("cu")).as("c"))
+      val mat = st.mat(next)
+      st.release(labels)
+      labels = mat
+      r += 1
+    }
+    st.release(sym); st.release(deg)
+    labels.select(col("id"), col("c").as("community"))
+  }
+
   /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al. 2006
     * for the normalization caveat) — do high-degree nodes preferentially
     * link to EACH OTHER? φ(k) = 2·E₍>k₎ / (N₍>k₎·(N₍>k₎−1)) over the

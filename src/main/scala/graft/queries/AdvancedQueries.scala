@@ -1520,6 +1520,23 @@ object AdvancedQueries {
       graft.operators.Graph.labelPropagation(edges, "src", "dst", iterations = 4)
     },
 
+    // --------------------------------------------- Louvain communities
+    // The gain-driven upgrade over the LPA frequency vote: bounded-round
+    // synchronous Louvain (one aggregation level) with exact-integer
+    // modularity-gain comparisons (2m·k_in − k·Σtot in DECIMAL/HUGEINT),
+    // smallest-label tie-breaks, and alternating parity classes as the
+    // synchronous-swap guard — fully deterministic, so the oracle unrolls
+    // all 4 rounds and the labels hash. GraphSpec pins modularity(louvain)
+    // ≥ modularity(LPA) on the fixture graphs.
+    Q("graph_louvain", Some(louvainOracle)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.louvain(edges, "src", "dst", rounds = 4)
+    },
+
     // ------------------------------------------- multi-source BFS levels
     // Reachability blast radius over the undirected interaction graph:
     // level(v) = min hops from any source (customers with id < 50), capped
@@ -2253,5 +2270,51 @@ object AdvancedQueries {
       }
       .mkString(",\n")
     s"$head,\n$rounds\nSELECT id, label FROM l$iters"
+  }
+
+  /** DuckDB oracle for graph_louvain: the bounded-round synchronous sweep
+    * unrolled — per round, community degree sums (tot), per-node
+    * neighbor-community edge counts (kin), the INTEGER gain comparison in
+    * HUGEINT (2m·kin − k·tot vs staying with the node's own k removed),
+    * best candidate via ROW_NUMBER (s DESC, c ASC) ≡ the operator's
+    * min_by((−s, c)), applied only on strict improvement AND the round's
+    * parity class. Integer end to end — exact compare. */
+  private def louvainOracle: String = {
+    val rounds = 4
+    val head =
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         und AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM e0 WHERE a <> b),
+         sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+         deg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS k FROM sym GROUP BY 1),
+         mm AS (SELECT COUNT(*) AS m FROM und),
+         l0 AS MATERIALIZED (SELECT id, id AS c FROM deg)"""
+    val body = (1 to rounds)
+      .map { k =>
+        val p = k - 1
+        s"""t$k AS MATERIALIZED (SELECT l.c, SUM(d.k) AS tot FROM l$p l JOIN deg d USING (id) GROUP BY l.c),
+            ki$k AS MATERIALIZED (SELECT s.a AS id, l.c, COUNT(*) AS kin
+                     FROM sym s JOIN l$p l ON l.id = s.b GROUP BY 1, 2),
+            base$k AS MATERIALIZED (SELECT l.id, l.c AS cu, d.k,
+                       2 * (SELECT m FROM mm)::HUGEINT * COALESCE(ki.kin, 0)
+                         - CAST(d.k AS HUGEINT) * (t.tot - d.k) AS s_stay
+                     FROM l$p l JOIN deg d USING (id)
+                     JOIN t$k t ON t.c = l.c
+                     LEFT JOIN ki$k ki ON ki.id = l.id AND ki.c = l.c),
+            cand$k AS (SELECT ki.id, ki.c,
+                       2 * (SELECT m FROM mm)::HUGEINT * ki.kin
+                         - CAST(b.k AS HUGEINT) * t.tot AS s
+                     FROM ki$k ki JOIN base$k b USING (id) JOIN t$k t ON t.c = ki.c
+                     WHERE ki.c <> b.cu),
+            best$k AS (SELECT id, c, s FROM (
+                       SELECT id, c, s, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, c ASC) AS rk
+                       FROM cand$k) WHERE rk = 1),
+            l$k AS MATERIALIZED (SELECT b.id,
+                       CASE WHEN bs.id IS NOT NULL AND bs.s > b.s_stay AND b.id % 2 = $k % 2
+                            THEN bs.c ELSE b.cu END AS c
+                     FROM base$k b LEFT JOIN best$k bs USING (id))"""
+      }
+      .mkString(",\n")
+    s"$head,\n$body\nSELECT id, c AS community FROM l$rounds"
   }
 }

@@ -69,6 +69,10 @@ class CheckpointModeSpec extends SparkSpec {
       Graph.labelPropagation(edges, "s", "t", iterations = 3, checkpointDir = cd))
   }
 
+  test("louvain threads checkpointDir") {
+    assertBothModes("louvain")(cd => Graph.louvain(edges, "s", "t", rounds = 3, checkpointDir = cd))
+  }
+
   test("connectedComponents / starComponents thread checkpointDir") {
     assertBothModes("cc")(cd => Graph.connectedComponents(edges, "s", "t", checkpointDir = cd))
     val pairs = edges.select(col("s").as("a"), col("t").as("b"))

@@ -108,6 +108,42 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) != out(4L), s"the bridge must not merge the communities: $out")
   }
 
+  test("louvain: recovers planted communities, modularity >= LPA on the fixture graphs") {
+    import spark.implicits._
+    def q(edges: org.apache.spark.sql.DataFrame, labels: org.apache.spark.sql.DataFrame): Double =
+      Graph.modularity(edges, "s", "t", labels.withColumnRenamed("community", "label"), "id", "label")
+        .collect().head.getDouble(4)
+    def qLpa(edges: org.apache.spark.sql.DataFrame): Double =
+      q(edges, Graph.labelPropagation(edges, "s", "t", iterations = 4)
+        .withColumnRenamed("label", "community"))
+
+    // two triangles + a bridge: Louvain must keep the triangles separate
+    val bridge = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "t")
+    val outB = Graph.louvain(bridge, "s", "t", rounds = 4)
+    val mB = outB.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(mB(1L), mB(2L), mB(3L)).size == 1, mB.toString)
+    assert(Set(mB(4L), mB(5L), mB(6L)).size == 1, mB.toString)
+    assert(mB(1L) != mB(4L), s"bridge must not merge the triangles: $mB")
+    assert(q(bridge, outB) >= qLpa(bridge), "louvain must not score below LPA on the bridge graph")
+
+    // random graphs: gain-driven beats (or ties) the frequency vote, and
+    // every node gets exactly one community
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(9100 + trial)
+      val edges = Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2).distinct.toDF("s", "t")
+      val lv = Graph.louvain(edges, "s", "t", rounds = 4)
+      val nodes = edges.select(col("s")).union(edges.select(col("t"))).distinct().count()
+      assert(lv.count() == nodes && lv.select(col("id")).distinct().count() == nodes)
+      val (ql, qp) = (q(edges, lv), qLpa(edges))
+      assert(ql >= qp, s"trial $trial: louvain Q=$ql below LPA Q=$qp")
+      // determinism: a second run is bit-identical
+      val again = Graph.louvain(edges, "s", "t", rounds = 4)
+      assert(again.collect().map(_.toString).sorted.toSeq ==
+        lv.collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("labelPropagation equals the driver synchronous-LPA reference on random graphs") {
     import spark.implicits._
     (0 until 3).foreach { trial =>
