@@ -174,6 +174,90 @@ object DocStreams {
           Iterator(ContamHit(id, rows.size.toLong)))
   }
 
+  /** One arriving weighted document: `stratum` is the sampling group key
+    * (callers concatenate multi-column strata; a constant = global
+    * sampling), matching the batch operator's `strata` columns. */
+  final case class WeightedDoc(stratum: String, doc_id: Long, weight: Double)
+
+  /** One row of a stratum's refreshed sample snapshot: the batch output
+    * columns plus `n_seen`, the stratum's total docs consumed so far (the
+    * convergence marker StreamingSpec keys the final snapshot on). */
+  final case class SampleEntry(
+      stratum: String, doc_id: Long, weight: Double, priority: Double, rn: Int, n_seen: Long)
+
+  /** Per-stratum A-Res reservoir: the current top-k entries (parallel
+    * arrays — tuples don't round-trip Spark state encoders as cleanly)
+    * plus the consumed-row count. O(k) per stratum, never data-sized. */
+  final case class SampleState(
+      ids: Array[Long], weights: Array[Double], priorities: Array[Double], nSeen: Long)
+
+  /** Streaming weighted sampling without replacement — the live twin of
+    * [[graft.operators.Corpus.weightedSample]] (Efraimidis & Spirakis
+    * 2006). A-Res is streaming-NATIVE: the paper's algorithm IS a running
+    * k-heap of the highest-priority rows, so the state here is exactly
+    * that reservoir per stratum and arrival/batch order cannot matter —
+    * priorities are a pure function of (doc_id, seed, weight).
+    *
+    * Arithmetic parity with the batch operator, move for move: the same
+    * splitmix64 finalizer ([[graft.functions.Mix64]].mix, the scalar twin
+    * of the codegen'd expression) over doc_id ⊕ seed, the same exact
+    * dyadic u = ((h >>> 11) + 1)/2⁵³, ln via Math.log (what Spark's `log`
+    * evaluates), ONE double division by the weight, and the HALF_UP snap
+    * to 1e-9 through BigDecimal.valueOf — Spark's own Round semantics.
+    * Selection order (priority desc, doc_id asc) compares through
+    * java.lang.Double.compare, the comparator Spark's sort uses, so the
+    * final snapshot equals the batch rows BIT FOR BIT (StreamingSpec pins
+    * equality under multi-batch, shuffled-arrival ingestion).
+    *
+    * Non-positive weights fail loudly (the batch raise_error guard,
+    * surfaced here as the task failure of the stateful map). Update mode:
+    * each micro-batch re-emits every touched stratum's refreshed top-k;
+    * the converged snapshot is the rows carrying the stratum's final
+    * n_seen. */
+  def weightedSampleStream(
+      docs: Dataset[WeightedDoc],
+      k: Int,
+      seed: Long): Dataset[SampleEntry] = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (stratum: String, rows: Iterator[WeightedDoc], state: GroupState[SampleState]) => {
+          var entries: Vector[(Double, Long, Double)] = state.getOption
+            .map(s => s.priorities.indices.map(i => (s.priorities(i), s.ids(i), s.weights(i))).toVector)
+            .getOrElse(Vector.empty)
+          var nSeen = state.getOption.map(_.nSeen).getOrElse(0L)
+          rows.foreach { d =>
+            if (d.weight <= 0.0)
+              throw new IllegalArgumentException(
+                s"weightedSampleStream: non-positive weight for doc ${d.doc_id}")
+            val h = graft.functions.Mix64.mix(d.doc_id ^ seed)
+            val u = ((h >>> 11) + 1).toDouble / 9007199254740992.0
+            val p = java.math.BigDecimal
+              .valueOf(math.log(u) / d.weight)
+              .setScale(9, java.math.RoundingMode.HALF_UP)
+              .doubleValue()
+            entries :+= ((p, d.doc_id, d.weight))
+            nSeen += 1
+          }
+          val top = entries
+            .sorted(new Ordering[(Double, Long, Double)] {
+              def compare(x: (Double, Long, Double), y: (Double, Long, Double)): Int = {
+                val c = java.lang.Double.compare(y._1, x._1) // priority DESC
+                if (c != 0) c else java.lang.Long.compare(x._2, y._2) // doc_id ASC
+              }
+            })
+            .take(k)
+          state.update(SampleState(
+            top.map(_._2).toArray, top.map(_._3).toArray, top.map(_._1).toArray, nSeen))
+          top.iterator.zipWithIndex.map { case ((p, id, w), i) =>
+            SampleEntry(stratum, id, w, p, i + 1, nSeen)
+          }
+        })
+  }
+
   /** Exact |A ∩ B| of two SORTED distinct long arrays by linear merge. */
   private[streaming] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

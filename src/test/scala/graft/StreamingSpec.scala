@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.Tables
-import graft.streaming.EventStreams
+import graft.streaming.{DocStreams, EventStreams}
 
 class StreamingSpec extends SparkSpec {
   private lazy val events = Tables(spark, SharedSpark.sf0001).events.cache()
@@ -926,6 +926,56 @@ class StreamingSpec extends SparkSpec {
     assert(maxN == events.count())
     assert(streamed == batch)
     assert(batch.size > 20 && batch.values.forall(_._2 >= 0.0))
+  }
+
+  test("streaming weighted sample converges to the batch A-Res rows bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two strata with opposing weight profiles; ids interleaved so batch
+    // boundaries cut through both reservoirs
+    val rows = (1L to 300L).map { i =>
+      val stratum = if (i % 2 == 0) "web" else "code"
+      val weight  = if (i <= 30) 500.0 else 0.25 + (i % 7) * 0.125 // heavy head, varied tail
+      (stratum, i, weight)
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val stream = mem.toDS().map(t => DocStreams.WeightedDoc(t._1, t._2, t._3))
+    val sq = DocStreams
+      .weightedSampleStream(stream, k = 12, seed = 41L)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("wsample_out")
+      .start()
+    try {
+      // shuffled arrival across three micro-batches: A-Res priorities are a
+      // pure function of (id, seed, weight), so order must not matter
+      val shuffled = new scala.util.Random(5).shuffle(rows)
+      val (b1, rest) = shuffled.splitAt(100)
+      val (b2, b3)   = rest.splitAt(100)
+      mem.addData(b1: _*); sq.processAllAvailable()
+      mem.addData(b2: _*); sq.processAllAvailable()
+      mem.addData(b3: _*); sq.processAllAvailable()
+    } finally sq.stop()
+
+    val snaps = spark.table("wsample_out").collect()
+    val finalN = snaps.groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getLong(5)).max }
+    val streamed = snaps
+      .filter(r => r.getLong(5) == finalN(r.getString(0)))
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    val batch = graft.operators.Corpus
+      .weightedSample(
+        rows.toDF("stratum", "doc_id", "w"), "doc_id", col("w"),
+        k = 12, seed = 41L, strata = Seq("stratum"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    assert(finalN == Map("web" -> 150L, "code" -> 150L), finalN.toString)
+    assert(streamed == batch, s"stream-batch divergence: ${streamed.toSet.diff(batch.toSet).take(3)}")
+    assert(batch.size == 24, "12 rows per stratum expected")
+    // heavy head dominates: most sampled ids come from the weighted head
+    assert(batch.keys.count(_._2 <= 30) >= 16, batch.keys.toString)
   }
 
 }
