@@ -37,18 +37,52 @@ object ProfileScale {
   }
 
   /** One scaled copy (index i) of the five big tables; dimension tables are
-    * file-copied unscaled. */
-  private def scaledCopy(t: Tables, i: Int): Map[String, DataFrame] = {
+    * file-copied unscaled.
+    *
+    * `sharedVocab` switches the DOCUMENT decorrelation from letter
+    * remapping (which MINTS a new word vocabulary per copy — the right
+    * default for dedup/similarity probes, but it makes any
+    * vocabulary-state stage, e.g. BPE pair counting, grow with m even
+    * though a real re-crawl would share its vocabulary) to a per-copy
+    * stride PERMUTATION of each doc's token order: n-gram shingles,
+    * exact-substring spans and hashes decorrelate (order destroyed),
+    * while every token spelling stays inside copy-0's vocabulary — the
+    * probe that separates "the operator is superlinear" from "the
+    * synthetic decorrelation inflated the vocabulary". */
+  private def scaledCopy(t: Tables, i: Int, sharedVocab: Boolean = false): Map[String, DataFrame] = {
     val off = lit(1000000000L * i)
     val docText =
       if (i == 0) col("text") else translate(col("text"), Letters, rotated(i))
+    val documents =
+      if (!sharedVocab)
+        t.documents.select(
+          (col("doc_id") + off).as("doc_id"),
+          docText.as("text"),
+          col("lang"),
+          col("source"),
+          col("n_chars"))
+      else {
+        val primes = Seq(1, 3, 5, 7, 11, 13, 17, 19)
+        val p      = lit(primes(i % primes.length))
+        val base = t.documents.select(
+          (col("doc_id") + off).as("doc_id"),
+          split(col("text"), " ").as("__toks"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        val n = size(col("__toks"))
+        val permuted =
+          if (i == 0) col("text")
+          else
+            when(
+              n > 1,
+              array_join(
+                transform(
+                  sequence(lit(0), n - 1),
+                  j => element_at(col("__toks"), pmod(j * p, n) + 1)),
+                " ")).otherwise(col("text"))
+        base.select(col("doc_id"), permuted.as("text"), col("lang"), col("source"), col("n_chars"))
+      }
     Map(
-      "documents" -> t.documents.select(
-        (col("doc_id") + off).as("doc_id"),
-        docText.as("text"),
-        col("lang"),
-        col("source"),
-        col("n_chars")),
+      "documents" -> documents,
       "embeddings" -> t.embeddings.select(
         (col("vec_id") + off).as("vec_id"),
         (if (i == 0) col("embedding")
@@ -88,10 +122,12 @@ object ProfileScale {
   }
 
   /** Materialize the ×m dir (idempotent per JVM run: overwrites). */
-  private def buildScaled(spark: SparkSession, srcDir: String, outDir: String, m: Int): Unit = {
+  private def buildScaled(
+      spark: SparkSession, srcDir: String, outDir: String, m: Int,
+      sharedVocab: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(outDir))
     val t = Tables(spark, srcDir)
-    val copies = (0 until m).map(i => scaledCopy(t, i))
+    val copies = (0 until m).map(i => scaledCopy(t, i, sharedVocab))
     copies.head.keys.foreach { name =>
       copies
         .map(_(name))
@@ -125,6 +161,7 @@ object ProfileScale {
     val mults = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 2, 4))
     val reps  = args.lift(2).map(_.toInt).getOrElse(2)
     val names = args.lift(3).map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val sharedVocab = args.lift(4).contains("sharedvocab")
     val spark = Engine
       .tune(
         SparkSession
@@ -137,8 +174,8 @@ object ProfileScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val scaledDirs = mults.map { m =>
-      val out = s"/tmp/graft_scale/x$m"
-      buildScaled(spark, dir, out, m)
+      val out = if (sharedVocab) s"/tmp/graft_scale/sv_x$m" else s"/tmp/graft_scale/x$m"
+      buildScaled(spark, dir, out, m, sharedVocab)
       m -> out
     }
 
