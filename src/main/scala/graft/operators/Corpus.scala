@@ -1996,6 +1996,91 @@ object Corpus {
       (desired - least(desired, cap)).as("budget_shortfall"))
   }
 
+  /** Full SPAN MAP of GPT-style sequence packing (Brown et al. 2020 §2.3
+    * — concatenate each shard in doc_id order, split every `seqLen`
+    * tokens): where [[packSequences]] assigns each doc only the window
+    * its FIRST token lands in, this emits one row PER SEQUENCE a doc
+    * overlaps, carrying the intra-doc token span and the landing offset —
+    * the exact slice map a tokenize-and-pack writer consumes (a
+    * boundary-crossing doc contributes its tail to the next sequence, and
+    * only the span map says which tokens go where).
+    *
+    * Output (shard, seq_id, doc_id, doc_tok_start, doc_tok_end, seq_tok_start):
+    * token positions are 0-based, end exclusive, seq_id scoped per shard.
+    * ALL arithmetic is integer-exact (offsets via a running window sum,
+    * splits via DIV — a double `/` would misplace tokens past 2^53);
+    * empty docs are skipped (they occupy no positions).
+    *
+    * Scale shape: one shuffle partitioned by shard; the running offset is
+    * a per-shard ordered window, so the SHARD is the parallelism unit —
+    * exactly how production packers operate (per input shard, not global:
+    * a global order would serialize the cumsum; [[packSequences]]'
+    * sub-shard note applies verbatim). The output adds one row per
+    * boundary crossing (≤ total_tokens/seqLen extra rows corpus-wide). */
+  def packSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      shardCol: String): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = docs
+      .select(
+        col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        size(toks(col(textCol))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val off = base.withColumn("start_off", coalesce(sum(col("n_tok")).over(W), lit(0L)))
+    val L = lit(seqLen.toLong)
+    off
+      .select(
+        col("shard"), col("doc_id"), col("n_tok"), col("start_off"),
+        explode(sequence(
+          expr(s"start_off DIV $seqLen"),
+          expr(s"(start_off + n_tok - 1) DIV $seqLen"))).as("seq_id"))
+      .select(
+        col("shard"),
+        col("seq_id"),
+        col("doc_id"),
+        (greatest(col("start_off"), col("seq_id") * L) - col("start_off")).as("doc_tok_start"),
+        (least(col("start_off") + col("n_tok"), (col("seq_id") + 1) * L) - col("start_off"))
+          .as("doc_tok_end"),
+        (greatest(col("start_off"), col("seq_id") * L) - col("seq_id") * L).as("seq_tok_start"))
+  }
+
+  /** Packing efficiency audit for [[packSequences]]: per shard, the token
+    * supply, the sequence count ⌈tokens/L⌉, and the padding the LAST
+    * (partial) sequence would carry — the number a pipeline watches when
+    * choosing shard granularity (padding is pure waste at training time).
+    * Integer-exact counts; only the reported fraction is a double under
+    * round(·, 6). One map-side-combined aggregation, shard-sized output. */
+  def packStats(
+      docs: DataFrame,
+      textCol: String,
+      seqLen: Int,
+      shardCol: String): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
+    docs
+      .select(col(shardCol).cast("string").as("shard"), size(toks(col(textCol))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(
+        col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${seqLen - 1}) DIV $seqLen").as("n_seqs"),
+        (expr(s"(n_tokens + ${seqLen - 1}) DIV $seqLen") * lit(seqLen.toLong) - col("n_tokens"))
+          .as("pad_tokens"),
+        round(
+          (expr(s"(n_tokens + ${seqLen - 1}) DIV $seqLen") * lit(seqLen.toLong) - col("n_tokens"))
+            .cast("double") /
+            (expr(s"(n_tokens + ${seqLen - 1}) DIV $seqLen") * lit(seqLen.toLong)).cast("double"),
+          6).as("pad_frac"))
+  }
+
   /** Per-term burstiness profile over the corpus (Church & Gale 1995 — the
     * "content words arrive in bursts, function words arrive evenly" signal
     * behind stopword detection, keyword weighting and spam-template

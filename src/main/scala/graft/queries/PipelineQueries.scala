@@ -1447,6 +1447,64 @@ object PipelineQueries {
         maxEpochsNum = 4L, maxEpochsDen = 1L)
     },
 
+    // -------------------------------------------- sequence packing spans
+    // The full SPAN MAP upgrade over pack_sequences (which assigns each
+    // doc only its first window): per source shard, docs concatenate in
+    // doc_id order and split into 512-token sequences; a doc crossing a
+    // boundary emits one span row per overlapped sequence with the
+    // intra-doc token range — what a tokenize-and-pack writer consumes.
+    // ALL integer arithmetic (running window offsets, DIV splits) — exact
+    // compare. The shard is the parallelism unit, like production packers.
+    Q(
+      "corpus_pack_spans",
+      Some("""
+        WITH base AS (
+          SELECT source AS shard, doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        nz AS (SELECT * FROM base WHERE n_tok > 0),
+        off AS (SELECT shard, doc_id, n_tok,
+                       CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+                FROM nz),
+        x AS (SELECT shard, doc_id, n_tok, start_off,
+                     unnest(range(start_off // 512, (start_off + n_tok - 1) // 512 + 1)) AS seq_id
+              FROM off)
+        SELECT shard, seq_id, doc_id,
+               GREATEST(start_off, seq_id * 512) - start_off AS doc_tok_start,
+               LEAST(start_off + n_tok, (seq_id + 1) * 512) - start_off AS doc_tok_end,
+               GREATEST(start_off, seq_id * 512) - seq_id * 512 AS seq_tok_start
+        FROM x
+      """)) { (spark, dir) =>
+      Corpus.packSpans(Tables(spark, dir).documents, "doc_id", "text",
+        seqLen = 512, shardCol = "source")
+    },
+
+    // ---------------------------------------------- packing efficiency
+    // The number a pipeline watches when choosing shard granularity: per
+    // shard, token supply, sequence count, and the padding the final
+    // partial sequence carries (pure training-time waste). Integer counts,
+    // one rounded fraction.
+    Q(
+      "corpus_pack_stats",
+      Some("""
+        WITH base AS (
+          SELECT source AS shard,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        nz AS (SELECT * FROM base WHERE n_tok > 0),
+        agg AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                FROM nz GROUP BY 1)
+        SELECT shard, n_docs, n_tokens,
+               CAST((n_tokens + 511) // 512 AS BIGINT) AS n_seqs,
+               CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT) AS pad_tokens,
+               round(CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS DOUBLE) /
+                     CAST(((n_tokens + 511) // 512) * 512 AS DOUBLE), 6) AS pad_frac
+        FROM agg
+      """)) { (spark, dir) =>
+      Corpus.packStats(Tables(spark, dir).documents, "text", seqLen = 512, shardCol = "source")
+    },
+
     // ------------------------------ decontamination, beyond-broadcast path
     // Same contamination report as decontam_overlap, computed through the
     // Bloom-prefilter + shuffle-verify plan (the shape for eval sets too

@@ -332,37 +332,47 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls",
       "max_freq", "analyzed_version")
     putTable(s"$name.__stats__", out, format)
-    if (fileStats) {
-      val fAggs = fields.flatMap { f =>
-        val c = col(f.name)
-        Seq(
-          min(c).cast("string").as(s"${f.name}__min"),
-          max(c).cast("string").as(s"${f.name}__max"),
-          sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
-      }
-      // one map-side-combined agg keyed by source file; the collect is
-      // nFiles × schema-width (metadata-sized), reshaped long for storage
-      val perFile = df
-        .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("__rows"), fAggs.toSeq: _*)
-        .collect()
-      val fRows = perFile.toSeq.flatMap { r =>
-        val file = r.getString(0)
-        val n    = r.getLong(1)
-        fields.map { f =>
-          (file, f.name, f.dataType.simpleString, n,
-            Option(r.getAs[String](s"${f.name}__min")).orNull,
-            Option(r.getAs[String](s"${f.name}__max")).orNull,
-            r.getAs[Long](s"${f.name}__nulls"),
-            analyzedVersion)
-        }
-      }
-      val fOut = spark.createDataFrame(fRows).toDF(
-        "file", "column", "data_type", "n_rows", "min_value", "max_value", "n_nulls",
-        "analyzed_version")
-      putTable(s"$name.__filestats__", fOut, format)
-    }
+    if (fileStats) publishFileStats(name, df, fields, analyzedVersion, format)
     readTable(s"$name.__stats__", format)
+  }
+
+  /** One map-side-combined pass keyed by source file; the collect is
+    * nFiles × schema-width (metadata-sized), reshaped long for storage.
+    * Shared by [[analyzeTable]] (fileStats = true) and [[compact]]'s
+    * zone-map rebuild. */
+  private def publishFileStats(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      fields: Array[org.apache.spark.sql.types.StructField],
+      analyzedVersion: Long,
+      format: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val fAggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
+    }
+    val perFile = df
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("__rows"), fAggs.toSeq: _*)
+      .collect()
+    val fRows = perFile.toSeq.flatMap { r =>
+      val file = r.getString(0)
+      val n    = r.getLong(1)
+      fields.map { f =>
+        (file, f.name, f.dataType.simpleString, n,
+          Option(r.getAs[String](s"${f.name}__min")).orNull,
+          Option(r.getAs[String](s"${f.name}__max")).orNull,
+          r.getAs[Long](s"${f.name}__nulls"),
+          analyzedVersion)
+      }
+    }
+    val fOut = spark.createDataFrame(fRows).toDF(
+      "file", "column", "data_type", "n_rows", "min_value", "max_value", "n_nulls",
+      "analyzed_version")
+    putTable(s"$name.__filestats__", fOut, format)
   }
 
   /** Parse the published `__filestats__` frame (see [[analyzeTable]] with
@@ -632,6 +642,31 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     val bytes  = fs.getContentSummary(current).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     putTable(name, readTable(name, format).repartition(nFiles), format)
+    // Stats coherence: compaction rewrites FILES, never data, so published
+    // TABLE stats remain true — re-stamp them to the compacted version
+    // (otherwise the version gate would needlessly disable the prune until
+    // the next ANALYZE). FILE zone maps describe the OLD files and are
+    // rebuilt from one map-side-combined pass when they existed; on any
+    // failure mid-way the stamps simply stay stale and every consumer
+    // degrades to the full scan — never a wrong prune.
+    val newVersion = versions(name).headOption.getOrElse(-1L)
+    if (newVersion >= 0 && exists(s"$name.__stats__")) {
+      val frame = readTable(s"$name.__stats__", format)
+      if (frame.columns.contains("analyzed_version"))
+        putTable(
+          s"$name.__stats__",
+          frame.withColumn("analyzed_version", org.apache.spark.sql.functions.lit(newVersion)),
+          format)
+    }
+    if (newVersion >= 0 && exists(s"$name.__filestats__")) {
+      val df = readTable(name, format)
+      val fields = df.schema.fields.filterNot(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+          f.dataType == org.apache.spark.sql.types.BinaryType)
+      publishFileStats(name, df, fields, newVersion, format)
+    }
     nFiles
   }
 }

@@ -252,6 +252,27 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readTableWhere("ev", "x", ">", "100").count() == 1)
   }
 
+  test("compact preserves the prune contract: table stats re-stamped, zone maps rebuilt") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("cz", (1L to 400L).map(i => (i, i % 5)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    cat.analyzeTable("cz", fileStats = true)
+    assert(cat.readTableWhere("cz", "id", ">", "400").count() == 0) // tier-1 prune fires
+    assert(cat.readTableWhere("cz", "id", "<", "5").inputFiles.length == 1) // tier-2 fires
+    cat.compact("cz") // rewrites the 4 small files into 1; data unchanged
+    // compaction changed only FILES: table stats were re-stamped, so the
+    // whole-table prune still fires with no re-ANALYZE
+    val pruned = cat.readTableWhere("cz", "id", ">", "400")
+    assert(pruned.inputFiles.isEmpty && pruned.count() == 0,
+      "re-stamped table stats must keep pruning after compact")
+    // zone maps were REBUILT over the compacted file set
+    val zs = cat.fileStatsFor("cz").get
+    assert(zs.analyzedVersion.contains(cat.versions("cz").max))
+    assert(zs.columns.map(_.file).distinct.size == 1, "zone maps must describe the new files")
+    assert(cat.readTableWhere("cz", "id", "<", "5").count() == 4)
+  }
+
   test("readTableWhere: non-finite double stats (NaN) degrade to a filtered scan, never throw") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

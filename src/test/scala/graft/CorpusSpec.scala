@@ -895,6 +895,43 @@ class CorpusSpec extends SparkSpec {
       (e.getCause != null && e.getCause.getMessage.contains("non-positive weight")))
   }
 
+  test("packSpans: exact concat-and-split span map; packStats padding math") {
+    import spark.implicits._
+    // shard A docs: 3 + 5 + 4 tokens at L=4 -> offsets d1 [0,3) d2 [3,8) d3 [8,12)
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "d e f g h", "A"), (3L, "i j k l", "A"),
+      (4L, "", "B"), (5L, "x y", "B")).toDF("doc_id", "text", "src")
+    val got = Corpus.packSpans(docs, "doc_id", "text", seqLen = 4, shardCol = "src")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      ("A", 0L, 1L, 0L, 3L, 0L), // d1 fills seq0[0..3)
+      ("A", 0L, 2L, 0L, 1L, 3L), // d2's first token closes seq0
+      ("A", 1L, 2L, 1L, 5L, 0L), // d2's remaining 4 fill seq1
+      ("A", 2L, 3L, 0L, 4L, 0L), // d3 fills seq2 exactly
+      ("B", 0L, 5L, 0L, 2L, 0L)  // empty doc 4 skipped; d5 starts seq0
+    ), got.toString)
+    // packing invariants: every doc's spans cover [0, n_tok) contiguously,
+    // and every sequence except a shard's last is exactly full
+    val byDoc = got.groupBy(_._3).map { case (d, spans) =>
+      d -> spans.toSeq.sortBy(_._4).map(s => (s._4, s._5))
+    }
+    assert(byDoc(2L) == Seq((0L, 1L), (1L, 5L)))
+    val fills = got.groupBy(t => (t._1, t._2)).map { case (k, spans) =>
+      k -> spans.toSeq.map(s => s._5 - s._4).sum
+    }
+    val lastSeq = got.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).max }
+    fills.foreach { case ((sh, sq), fill) =>
+      if (sq < lastSeq(sh)) assert(fill == 4L, s"non-final sequence ($sh, $sq) not full: $fill")
+    }
+    val stats = Corpus.packStats(docs, "text", 4, "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(stats("A") == ((3L, 12L, 3L, 0L, 0.0)), stats.toString)
+    assert(stats("B") == ((1L, 2L, 1L, 2L, 0.5)), stats.toString)
+  }
+
   test("epochPlan: DECIMAL product survives budgets where long*share wraps; bad shares fail loudly") {
     import spark.implicits._
     val docs = Seq(("A", "t1 t2 t3 t4 t5"), ("B", "w1 w2 w3 w4 w5")).toDF("source", "text")
