@@ -1537,6 +1537,22 @@ object AdvancedQueries {
       graft.operators.Graph.louvain(edges, "src", "dst", rounds = 4)
     },
 
+    // --------------------------------------- two-level Louvain (full recipe)
+    // Blondel 2008's second phase: condense the level-1 communities into
+    // supernodes (weight = inter-community edges, self-loop = intra count),
+    // rerun the WEIGHTED sweep on the community graph, compose the maps.
+    // Level 2 merges what the myopic first sweep couldn't — and runs on a
+    // community-space-sized graph, THE scale argument for multi-level
+    // detection at 100 TB. Both sweeps + the condensation replay in SQL.
+    Q("graph_louvain_two_level", Some(louvainTwoLevelOracle)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.louvainTwoLevel(edges, "src", "dst", rounds1 = 4, rounds2 = 4)
+    },
+
     // ------------------------------------------- multi-source BFS levels
     // Reachability blast radius over the undirected interaction graph:
     // level(v) = min hops from any source (customers with id < 50), capped
@@ -2316,5 +2332,72 @@ object AdvancedQueries {
       }
       .mkString(",\n")
     s"$head,\n$body\nSELECT id, c AS community FROM l$rounds"
+  }
+
+  /** One weighted Louvain round as CTEs, parameterized by level prefix —
+    * the generic form of the louvainOracle round (kin/degree/m are
+    * weighted SUMs instead of counts; identical arithmetic at w = 1). */
+  private def louvainRoundSql(p: String, k: Int): String = {
+    val prev = s"l$p${k - 1}"
+    s"""t$p$k AS MATERIALIZED (SELECT l.c, CAST(SUM(d.k) AS BIGINT) AS tot
+                 FROM $prev l JOIN deg$p d USING (id) GROUP BY l.c),
+        ki$p$k AS MATERIALIZED (SELECT s.a AS id, l.c, CAST(SUM(s.w) AS BIGINT) AS kin
+                 FROM sym$p s JOIN $prev l ON l.id = s.b GROUP BY 1, 2),
+        base$p$k AS MATERIALIZED (SELECT l.id, l.c AS cu, d.k,
+                   2 * (SELECT m FROM mm$p)::HUGEINT * COALESCE(ki.kin, 0)
+                     - CAST(d.k AS HUGEINT) * (t.tot - d.k) AS s_stay
+                 FROM $prev l JOIN deg$p d USING (id)
+                 JOIN t$p$k t ON t.c = l.c
+                 LEFT JOIN ki$p$k ki ON ki.id = l.id AND ki.c = l.c),
+        cand$p$k AS (SELECT ki.id, ki.c,
+                   2 * (SELECT m FROM mm$p)::HUGEINT * ki.kin
+                     - CAST(b.k AS HUGEINT) * t.tot AS s
+                 FROM ki$p$k ki JOIN base$p$k b USING (id) JOIN t$p$k t ON t.c = ki.c
+                 WHERE ki.c <> b.cu),
+        best$p$k AS (SELECT id, c, s FROM (
+                   SELECT id, c, s, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, c ASC) AS rk
+                   FROM cand$p$k) WHERE rk = 1),
+        l$p$k AS MATERIALIZED (SELECT b.id,
+                   CASE WHEN bs.id IS NOT NULL AND bs.s > b.s_stay AND b.id % 2 = $k % 2
+                        THEN bs.c ELSE b.cu END AS c
+                 FROM base$p$k b LEFT JOIN best$p$k bs USING (id))"""
+  }
+
+  /** DuckDB oracle for graph_louvain_two_level: level-1 sweep (weighted
+    * form at w = 1 — identical arithmetic to louvainOracle), condensation
+    * to the community graph (weight = inter-community edge count,
+    * self-loop = intra count, degrees get 2x self-loop, m includes
+    * self-loops), level-2 weighted sweep, label composition. */
+  private def louvainTwoLevelOracle: String = {
+    val r1 = 4; val r2 = 4
+    val head =
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         und AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM e0 WHERE a <> b),
+         symA AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM und
+                   UNION ALL SELECT b, a, CAST(1 AS BIGINT) FROM und),
+         degA AS MATERIALIZED (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM symA GROUP BY 1),
+         mmA AS (SELECT COUNT(*) AS m FROM und),
+         lA0 AS MATERIALIZED (SELECT id, id AS c FROM degA)"""
+    val level1 = (1 to r1).map(louvainRoundSql("A", _)).mkString(",\n")
+    val bridge =
+      s"""ce AS MATERIALIZED (SELECT LEAST(la.c, lb.c) AS a, GREATEST(la.c, lb.c) AS b, COUNT(*) AS w
+                 FROM und JOIN lA$r1 la ON la.id = und.a JOIN lA$r1 lb ON lb.id = und.b
+                 GROUP BY 1, 2),
+         symB AS MATERIALIZED (SELECT a, b, CAST(w AS BIGINT) AS w FROM ce WHERE a <> b
+                   UNION ALL SELECT b, a, CAST(w AS BIGINT) FROM ce WHERE a <> b),
+         degB AS MATERIALIZED (SELECT id, CAST(SUM(k) AS BIGINT) AS k FROM (
+                   SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM symB GROUP BY 1
+                   UNION ALL
+                   SELECT a AS id, CAST(2 * w AS BIGINT) FROM ce WHERE a = b) GROUP BY 1),
+         mmB AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM ce),
+         lB0 AS MATERIALIZED (SELECT id, id AS c FROM degB)"""
+    val level2 = (1 to r2).map(louvainRoundSql("B", _)).mkString(",\n")
+    s"""$head,
+       $level1,
+       $bridge,
+       $level2
+       SELECT l1.id, COALESCE(l2.c, l1.c) AS community
+       FROM lA$r1 l1 LEFT JOIN lB$r2 l2 ON l2.id = l1.c"""
   }
 }

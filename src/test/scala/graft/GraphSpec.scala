@@ -144,6 +144,55 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("louvainTwoLevel: condensed second sweep never lowers modularity; weighted sweep handles self-loops") {
+    import spark.implicits._
+    def q(edges: org.apache.spark.sql.DataFrame, labels: org.apache.spark.sql.DataFrame): Double =
+      Graph.modularity(edges, "s", "t", labels.withColumnRenamed("community", "label"), "id", "label")
+        .collect().head.getDouble(4)
+
+    // a ring of 4 triangle-pairs: level 1 finds the triangles, level 2 can
+    // merge adjacent ones where that pays; Q must never go down
+    val rnd = new scala.util.Random(77)
+    val cliques = (0 until 4).flatMap { c =>
+      val base = c * 10L
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2),
+        (base + 3, base + 4), (base + 4, base + 5), (base + 3, base + 5),
+        (base + 2, base + 3)) // intra-pair bridge
+    } ++ (0 until 4).map(c => (c * 10L + 5, ((c + 1) % 4) * 10L)) // ring bridges
+    val edges = cliques.toDF("s", "t")
+    val l1 = Graph.louvain(edges, "s", "t", rounds = 4)
+    val l2 = Graph.louvainTwoLevel(edges, "s", "t", rounds1 = 4, rounds2 = 4)
+    val (q1, q2) = (q(edges, l1), q(edges, l2))
+    assert(q2 >= q1, s"two-level Q=$q2 below one-level Q=$q1")
+    // composition: every node labeled exactly once, labels from the node space
+    val n = edges.select(col("s")).union(edges.select(col("t"))).distinct().count()
+    assert(l2.count() == n && l2.select("id").distinct().count() == n)
+
+    // random graphs: Q(two-level) >= Q(one-level), runs deterministic
+    (0 until 2).foreach { trial =>
+      val rg = Seq.fill(90)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2).distinct.toDF("s", "t")
+      val a = Graph.louvainTwoLevel(rg, "s", "t")
+      val b = Graph.louvainTwoLevel(rg, "s", "t")
+      assert(a.collect().map(_.toString).sorted.toSeq == b.collect().map(_.toString).sorted.toSeq)
+      assert(q(rg, a) >= q(rg, Graph.louvain(rg, "s", "t")), s"trial $trial")
+    }
+
+    // louvainWeighted self-loop handling: two supernodes with heavy
+    // self-loops and one weak link must NOT merge (gain is negative);
+    // hand check: m=21, k_1 = 2*10+1 = 21, k_2 = 21; moving 1 into {2}:
+    // score = 2*21*1 - 21*21 < 0 vs stay 2*21*0 - 21*(21-21) = 0 -> stay
+    val wEdges = Seq((1L, 1L, 10L), (2L, 2L, 10L), (1L, 2L, 1L)).toDF("a", "b", "w")
+    val lw = Graph.louvainWeighted(wEdges, "a", "b", "w", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lw == Map(1L -> 1L, 2L -> 2L), lw.toString)
+    // flip the balance: weak self-loops, heavy link -> they merge
+    val wEdges2 = Seq((1L, 1L, 1L), (2L, 2L, 1L), (1L, 2L, 10L)).toDF("a", "b", "w")
+    val lw2 = Graph.louvainWeighted(wEdges2, "a", "b", "w", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lw2(1L) == lw2(2L), lw2.toString)
+  }
+
   test("labelPropagation equals the driver synchronous-LPA reference on random graphs") {
     import spark.implicits._
     (0 until 3).foreach { trial =>
