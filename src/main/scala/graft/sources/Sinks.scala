@@ -88,7 +88,19 @@ object Sinks {
       colB: String,
       path: String,
       files: Int = 8,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    zOrdered(df, colA, colB, files).write.mode(mode).parquet(path)
+
+  /** The Z-order CLUSTERING transform behind [[writeZOrdered]], exposed so
+    * any writer can consume it — in particular
+    * [[graft.sources.Catalog.putTable]], whose versioned publish keeps the
+    * clustered partitioning: `putTable(name, zOrdered(df, a, b, files))`
+    * then `analyzeTable(name, fileStats = true)` gives the zone maps TIGHT
+    * per-file rectangles in (colA, colB) space, and `readTableWhere` scans
+    * fewer files than any single-column or random layout allows (PlanSpec
+    * pins z-ordered < unordered file counts under the same predicate —
+    * the layout-to-catalog composition the audits model analytically). */
+  def zOrdered(df: DataFrame, colA: String, colB: String, files: Int = 8): DataFrame = {
     // min-max scale both columns onto the full bitsPerCol range first —
     // otherwise the wider-domain column's high bits dominate the curve and
     // the narrow column never clusters (Delta's ZORDER does the same via
@@ -105,8 +117,5 @@ object Sinks {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write
-      .mode(mode)
-      .parquet(path)
   }
 }

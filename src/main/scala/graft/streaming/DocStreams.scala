@@ -258,6 +258,71 @@ object DocStreams {
         })
   }
 
+  /** One arriving document for the streaming packer. */
+  final case class PackDoc(shard: String, doc_id: Long, text: String)
+
+  /** One emitted packing span — identical shape to
+    * [[graft.operators.Corpus.packSpans]]' output rows. */
+  final case class PackSpan(
+      shard: String, seq_id: Long, doc_id: Long,
+      doc_tok_start: Long, doc_tok_end: Long, seq_tok_start: Long)
+
+  /** Per-shard packer state: the next free token offset and the last
+    * doc_id consumed (the ordered-arrival guard). O(1) per shard — the
+    * smallest state of any operator in this file. */
+  final case class PackState(nextOffset: Long, lastDocId: Long)
+
+  /** Streaming sequence packer — the live twin of
+    * [[graft.operators.Corpus.packSpans]]: docs arrive per shard, the
+    * packer keeps ONLY the next free token offset, and every arriving doc
+    * emits its final span rows immediately (Append mode — a span never
+    * changes once emitted, because packing is a pure running offset).
+    *
+    * ORDERED-ARRIVAL contract (the [[EventStreams]] as-of discipline):
+    * within a shard, docs must arrive in doc_id order across batches
+    * (batches are sorted internally; a batch whose smallest doc_id is ≤
+    * the last consumed one fails LOUDLY — silently packing out of order
+    * would produce offsets batch equivalence can't explain). Under that
+    * contract the emitted span set equals the batch operator bit for bit
+    * (StreamingSpec pins it): token counts replay the batch `toks`
+    * whitespace rule, and every offset/DIV is the same integer
+    * arithmetic. Empty docs are consumed (they advance lastDocId) but
+    * emit nothing and occupy no tokens, exactly like batch. */
+  def packSpansStream(docs: Dataset[PackDoc], seqLen: Int): Dataset[PackSpan] = {
+    require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = seqLen.toLong
+    docs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: String, rows: Iterator[PackDoc], state: GroupState[PackState]) => {
+          var off  = state.getOption.map(_.nextOffset).getOrElse(0L)
+          var last = state.getOption.map(_.lastDocId).getOrElse(Long.MinValue)
+          val out  = scala.collection.mutable.ArrayBuffer.empty[PackSpan]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (d.doc_id <= last)
+              throw new IllegalStateException(
+                s"packSpansStream: out-of-order arrival in shard $shard — doc ${d.doc_id} after $last")
+            last = d.doc_id
+            val nTok = d.text.split("\\s+").count(_.nonEmpty).toLong // the batch toks rule
+            if (nTok > 0) {
+              var s = off / L
+              val lastSeq = (off + nTok - 1) / L
+              while (s <= lastSeq) {
+                val lo = math.max(off, s * L)
+                val hi = math.min(off + nTok, (s + 1) * L)
+                out += PackSpan(shard, s, d.doc_id, lo - off, hi - off, lo - s * L)
+                s += 1
+              }
+              off += nTok
+            }
+          }
+          state.update(PackState(off, last))
+          out.iterator
+        })
+  }
+
   /** Exact |A ∩ B| of two SORTED distinct long arrays by linear merge. */
   private[streaming] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

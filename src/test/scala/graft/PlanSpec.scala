@@ -625,6 +625,28 @@ class PlanSpec extends SparkSpec {
     assert(stale.count() == 1L, "stale file stats pruned rows of the newer version")
   }
 
+  test("Z-order layout composes with zone maps: fewer files scanned than a random layout") {
+    import spark.implicits._
+    import graft.sources.{Catalog, Sinks}
+    val root = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+    val cat  = new Catalog(spark, root)
+    // 2-D grid: x and y both uniform over [0, 64) — a selective x-range is
+    // scattered across EVERY file under a random layout, clustered under Z
+    val grid = (0L until 4096L).map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    cat.putTable("grid_rand", grid.repartition(8))
+    cat.putTable("grid_z", Sinks.zOrdered(grid, "x", "y", files = 8))
+    cat.analyzeTable("grid_rand", fileStats = true)
+    cat.analyzeTable("grid_z", fileStats = true)
+    val predRand = cat.readTableWhere("grid_rand", "x", "<", "8")
+    val predZ    = cat.readTableWhere("grid_z", "x", "<", "8")
+    assert(predRand.inputFiles.length == 8,
+      s"random layout scatters the range over all files, got ${predRand.inputFiles.length}")
+    assert(predZ.inputFiles.length < 8 && predZ.inputFiles.nonEmpty,
+      s"z-ordered zone maps should skip files, got ${predZ.inputFiles.length}")
+    assert(predZ.count() == predRand.count() && predZ.count() == 8 * 64,
+      "layout must never change results")
+  }
+
   test("autoSaltedAgg: two-phase salted plan above the skew threshold, single shuffle below") {
     import spark.implicits._
     import graft.operators.Skew

@@ -978,4 +978,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch.keys.count(_._2 <= 30) >= 16, batch.keys.toString)
   }
 
+  test("streaming packer emits the batch packSpans rows exactly under ordered arrival") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // varied doc lengths incl. empties and boundary-crossers, two shards
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 120L).map { i =>
+      val shard = if (i % 2 == 0) "web" else "code"
+      val words = rnd.nextInt(9) // 0..8 tokens at L=5: empties + crossers
+      (shard, i, (1 to words).map(w => s"t${i}_$w").mkString(" "))
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    val sq = graft.streaming.DocStreams
+      .packSpansStream(mem.toDS().map(t => DocStreams.PackDoc(t._1, t._2, t._3)), seqLen = 5)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("pack_out")
+      .start()
+    try {
+      // ordered arrival per shard across three batches (doc_id ascending)
+      rows.grouped(40).foreach { b => mem.addData(b: _*); sq.processAllAvailable() }
+    } finally sq.stop()
+
+    val streamed = spark.table("pack_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val batch = graft.operators.Corpus
+      .packSpans(rows.toDF("src", "doc_id", "text"), "doc_id", "text", seqLen = 5, shardCol = "src")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+    assert(batch.nonEmpty && batch.exists(s => s._5 - s._4 < 5 && s._6 == 0),
+      "fixture should include boundary crossings")
+
+    // the ordered-arrival guard is loud: re-sending an already-consumed id
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    val sq2 = graft.streaming.DocStreams
+      .packSpansStream(mem2.toDS().map(t => DocStreams.PackDoc(t._1, t._2, t._3)), seqLen = 5)
+      .writeStream.outputMode("append").format("memory").queryName("pack_guard").start()
+    try {
+      mem2.addData(("w", 5L, "a b")); sq2.processAllAvailable()
+      mem2.addData(("w", 5L, "c d"))
+      val e = intercept[Exception](sq2.processAllAvailable())
+      def msg(t: Throwable): String = {
+        var m = ""; var c: Throwable = t
+        while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+        m
+      }
+      assert(msg(e).contains("out-of-order arrival"), msg(e))
+    } finally sq2.stop()
+  }
+
 }
