@@ -214,6 +214,34 @@ object Relational {
       Seq((nTail, sumTail, nHead)).toDF("n_tail", "sum_tail_cust", "n_head")
     },
 
+    // ----------------------------------- conjunct prune over a Z layout
+    // The 2-D composition: orders Z-clustered on (custkey, orderkey), zone
+    // maps published, then a 2-D range predicate read through
+    // readTableWhereAll — each conjunct prunes its own axis and the scan
+    // plans only files neither axis excludes (PlanSpec pins the composed
+    // file counts; this row pins that composed pruning NEVER changes
+    // results, hashing the counts against DuckDB over all rows).
+    Q(
+      "catalog_conj_prune",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_custkey <= 100 AND o_orderkey <= 3000) AS n_both,
+          (SELECT CAST(COALESCE(SUM(CAST(o_orderkey AS BIGINT)), 0) AS BIGINT)
+           FROM orders WHERE o_custkey <= 100 AND o_orderkey <= 3000) AS sum_keys
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-conj-prune").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_z2", graft.sources.Sinks.zOrdered(t.orders, "o_custkey", "o_orderkey", files = 8))
+      cat.analyzeTable("orders_z2", fileStats = true)
+      val both = cat.readTableWhereAll(
+        "orders_z2", Seq(("o_custkey", "<=", "100"), ("o_orderkey", "<=", "3000")))
+      val n = both.count()
+      val s = both.agg(coalesce(sum(col("o_orderkey").cast("long")), lit(0L))).head().getLong(0)
+      Seq((n, s)).toDF("n_both", "sum_keys")
+    },
+
     // ---------------------------------------------------------- semi join
     // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
     // keys of the filtered side when small; left_semi never duplicates rows.

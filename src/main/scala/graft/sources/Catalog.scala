@@ -537,24 +537,45 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       colName: String,
       op: String,
       value: String,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame =
+    readTableWhereAll(name, Seq((colName, op, value)), format)
+
+  /** The N-conjunct form of [[readTableWhere]]: `conjuncts` is a Seq of
+    * (column, op, literal) ANDed together. Both prune tiers compose
+    * conjunct-wise — the table (tier 1) or a file (tier 2) is skipped as
+    * soon as ANY conjunct provably excludes it, which is where multi-column
+    * layouts pay off: over a Z-ordered table each file is a tight
+    * rectangle in BOTH clustered dimensions, so a 2-D range predicate
+    * prunes on each axis independently (PlanSpec pins the composed file
+    * counts). A conjunct whose column lacks (complete) stats simply never
+    * excludes anything — per-conjunct conservatism, never a wrong prune. */
+  def readTableWhereAll(
+      name: String,
+      conjuncts: Seq[(String, String, String)],
       format: String = "parquet"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(Set("<", "<=", ">", ">=", "=").contains(op), s"unsupported op: $op")
-    val table = readTable(name, format)
-    val field = table.schema.fields
-      .find(_.name == colName)
-      .getOrElse(throw new IllegalArgumentException(s"no column '$colName' in $name"))
-    def predicate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val c = col(colName)
-      val v = lit(value).cast(field.dataType)
-      df.filter(op match {
-        case "<"  => c < v
-        case "<=" => c <= v
-        case ">"  => c > v
-        case ">=" => c >= v
-        case "="  => c === v
-      })
+    require(conjuncts.nonEmpty, "need at least one conjunct")
+    conjuncts.foreach { case (_, op, _) =>
+      require(Set("<", "<=", ">", ">=", "=").contains(op), s"unsupported op: $op")
     }
+    val table = readTable(name, format)
+    val fields = conjuncts.map { case (cn, _, _) =>
+      cn -> table.schema.fields
+        .find(_.name == cn)
+        .getOrElse(throw new IllegalArgumentException(s"no column '$cn' in $name"))
+    }.toMap
+    def predicate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      conjuncts.foldLeft(df) { case (acc, (cn, op, value)) =>
+        val c = col(cn)
+        val v = lit(value).cast(fields(cn).dataType)
+        acc.filter(op match {
+          case "<"  => c < v
+          case "<=" => c <= v
+          case ">"  => c > v
+          case ">=" => c >= v
+          case "="  => c === v
+        })
+      }
     def emptyLocal =
       spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), table.schema)
     // Both prune tiers change RESULTS, not just the plan, so they only
@@ -570,29 +591,36 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     // tier 1: whole-table prune — the read plans no file at all
     val provablyEmpty = statsFor(name, format).exists { s =>
       stampOk(s.analyzedVersion) &&
-      s.columns.find(_.column == colName).exists(st =>
-        Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, s.nRows, st.dataType, op, value))
+      conjuncts.exists { case (cn, op, value) =>
+        s.columns.find(_.column == cn).exists(st =>
+          Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, s.nRows, st.dataType, op, value))
+      }
     }
     if (provablyEmpty) emptyLocal
     else {
       // tier 2: file-granular prune from __filestats__ zone maps — plan the
-      // scan over only the files whose [min, max] can intersect the
-      // predicate. Path-list reads carry the resolved table schema
-      // explicitly; parquet/orc only (csv/json header/inference plumbing
-      // isn't worth a metadata tier they'd rarely deploy with).
+      // scan over only the files NO conjunct can exclude. Path-list reads
+      // carry the resolved table schema explicitly; parquet/orc only
+      // (csv/json header/inference plumbing isn't worth a metadata tier
+      // they'd rarely deploy with).
       val subset: Option[org.apache.spark.sql.DataFrame] =
         if (format != "parquet" && format != "orc") None
         else fileStatsFor(name, format) match {
           case Some(fs) if stampOk(fs.analyzedVersion) =>
             val allFiles = fs.columns.map(_.file).distinct
-            val colStats = fs.columns.filter(_.column == colName)
-            // every file must carry a stat row for the column, else the
-            // conservative answer is the full scan
-            if (allFiles.isEmpty || colStats.map(_.file).distinct.size != allFiles.size) None
+            if (allFiles.isEmpty) None
             else {
-              val keep = colStats.filterNot(st =>
-                Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, op, value))
-                .map(_.file)
+              // per conjunct: the set of files it provably excludes; a
+              // conjunct with incomplete column coverage excludes nothing
+              val excluded: Set[String] = conjuncts.flatMap { case (cn, op, value) =>
+                val colStats = fs.columns.filter(_.column == cn)
+                if (colStats.map(_.file).distinct.size != allFiles.size) Nil
+                else
+                  colStats.filter(st =>
+                    Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, op, value))
+                    .map(_.file)
+              }.toSet
+              val keep = allFiles.filterNot(excluded)
               if (keep.size >= allFiles.size) None // nothing pruned: plain scan
               else if (keep.isEmpty) Some(emptyLocal)
               else {

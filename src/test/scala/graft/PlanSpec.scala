@@ -645,6 +645,19 @@ class PlanSpec extends SparkSpec {
       s"z-ordered zone maps should skip files, got ${predZ.inputFiles.length}")
     assert(predZ.count() == predRand.count() && predZ.count() == 8 * 64,
       "layout must never change results")
+
+    // conjuncts compose: a 2-D range over the Z layout prunes on BOTH axes
+    // — strictly fewer files than either axis alone allows
+    val conj = cat.readTableWhereAll(
+      "grid_z", Seq(("x", "<", "8"), ("y", "<", "8")))
+    val yOnly = cat.readTableWhere("grid_z", "y", "<", "8")
+    assert(conj.inputFiles.length <= math.min(predZ.inputFiles.length, yOnly.inputFiles.length))
+    assert(conj.inputFiles.length < predZ.inputFiles.length,
+      s"second conjunct should tighten the file set: ${conj.inputFiles.length} vs ${predZ.inputFiles.length}")
+    assert(conj.count() == 8 * 8)
+    // a non-selective conjunct (excludes no zone) never blocks the other's prune
+    val mixed = cat.readTableWhereAll("grid_z", Seq(("x", "<", "8"), ("id", ">=", "0")))
+    assert(mixed.inputFiles.length == predZ.inputFiles.length && mixed.count() == 8 * 64)
   }
 
   test("autoSaltedAgg: two-phase salted plan above the skew threshold, single shuffle below") {
