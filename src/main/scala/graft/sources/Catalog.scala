@@ -634,6 +634,81 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     }
   }
 
+  /** Zone-overlap AUDIT over the published `__filestats__` maps — the
+    * measurement half of the layout loop (the skew family's audit→action
+    * discipline applied to storage): per column, how many unordered FILE
+    * PAIRS have intersecting [min, max] ranges. 0 = perfectly disjoint
+    * zones (every point/range predicate touches the minimum file set);
+    * → 1 = every file overlaps every other (zone maps prune nothing —
+    * the scattered layout a round-robin write produces). Feed a high
+    * fraction to [[compactZOrdered]], which re-clusters and re-publishes.
+    *
+    * Driver-side O(nFiles² per column) over the metadata frame — nFiles
+    * is catalog metadata (thousands), never data; ranges compare in the
+    * column's domain via the same parser the prune uses (unparseable or
+    * missing extremes count as overlapping — conservative, like the
+    * prune). Requires zone maps stamped to the LIVE version (loud
+    * otherwise: auditing stale geometry would mis-advise the rewrite). */
+  def zoneOverlapAudit(
+      name: String,
+      columns: Seq[String],
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    require(columns.nonEmpty, "need at least one column to audit")
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
+    val fs = fileStatsFor(name, format).getOrElse(
+      throw new IllegalStateException(s"no __filestats__ for $name — run analyzeTable(fileStats = true)"))
+    require(currentVersion >= 0 && fs.analyzedVersion.contains(currentVersion),
+      s"stale zone maps for $name (stamped ${fs.analyzedVersion}, live $currentVersion) — re-ANALYZE first")
+    val rows = columns.map { cn =>
+      val st = fs.columns.filter(_.column == cn)
+      require(st.nonEmpty, s"no zone stats for column '$cn' in $name")
+      val n = st.size
+      var overlap = 0L
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val a = st(i); val b = st(j)
+          // [mnA, mxA] ∩ [mnB, mxB] ≠ ∅ ⟺ mnA ≤ mxB ∧ mnB ≤ mxA;
+          // unknown extremes are treated as overlapping (conservative)
+          val disjoint = (for {
+            mnA <- a.minValue; mxA <- a.maxValue
+            mnB <- b.minValue; mxB <- b.maxValue
+            c1  <- Catalog.compareInDomain(mnA, mxB, a.dataType)
+            c2  <- Catalog.compareInDomain(mnB, mxA, a.dataType)
+          } yield c1 > 0 || c2 > 0).getOrElse(false)
+          if (!disjoint) overlap += 1
+          j += 1
+        }
+        i += 1
+      }
+      val maxPairs = n.toLong * (n - 1) / 2
+      (cn, n.toLong, overlap, maxPairs,
+        if (maxPairs == 0) 0.0
+        else BigDecimal(overlap.toDouble / maxPairs).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(rows).toDF("column", "n_files", "overlap_pairs", "max_pairs", "overlap_frac")
+  }
+
+  /** The ACTION on [[zoneOverlapAudit]]: rewrite the table Z-clustered on
+    * two columns ([[Sinks.zOrdered]] — each output file a tight rectangle
+    * in both dimensions), publish as a new version, and re-ANALYZE with
+    * fresh zone maps so [[readTableWhereAll]] prunes on both axes
+    * immediately. Returns the post-rewrite audit of the two columns —
+    * callers assert the overlap actually dropped instead of trusting the
+    * rewrite blindly. One clustering shuffle + one stats pass, both
+    * corpus-linear. */
+  def compactZOrdered(
+      name: String,
+      colA: String,
+      colB: String,
+      files: Int = 8,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    putTable(name, Sinks.zOrdered(readTable(name, format), colA, colB, files), format)
+    analyzeTable(name, format, fileStats = true)
+    zoneOverlapAudit(name, Seq(colA, colB), format)
+  }
+
   def readTableVersion(name: String, version: Long, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
     val p = versionDirs(name).collectFirst {
       case (v, path) if v == version && isComplete(path) => path

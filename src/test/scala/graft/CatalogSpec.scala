@@ -273,6 +273,31 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readTableWhere("cz", "id", "<", "5").count() == 4)
   }
 
+  test("zone-overlap audit -> compactZOrdered: the layout loop closes, measured") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val grid = (0L until 4096L).map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    cat.putTable("g", grid.repartition(8)) // round-robin: every file spans both full ranges
+    cat.analyzeTable("g", fileStats = true)
+    val before = cat.zoneOverlapAudit("g", Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(before("x") == 1.0 && before("y") == 1.0,
+      s"round-robin zones must fully overlap: $before")
+    val filesBefore = cat.readTableWhere("g", "x", "<", "8").inputFiles.length
+    assert(filesBefore == 8)
+    // the ACTION: re-cluster, re-publish, re-analyze — returns the new audit
+    val after = cat.compactZOrdered("g", "x", "y", files = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(after("x") < before("x") && after("y") < before("y"), after.toString)
+    val filesAfter = cat.readTableWhere("g", "x", "<", "8").inputFiles.length
+    assert(filesAfter < filesBefore, s"re-clustered prune should touch fewer files: $filesAfter")
+    assert(cat.readTable("g").count() == 4096, "re-clustering must not change the data")
+    // stale zone maps refuse to advise (a re-PUT without re-ANALYZE)
+    cat.putTable("g", grid.limit(10))
+    val e = intercept[Exception](cat.zoneOverlapAudit("g", Seq("x")))
+    assert(e.getMessage.contains("stale zone maps"), e.getMessage)
+  }
+
   test("readTableWhere: non-finite double stats (NaN) degrade to a filtered scan, never throw") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
