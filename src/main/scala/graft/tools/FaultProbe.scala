@@ -138,8 +138,9 @@ object FaultProbe {
       println("FAULTPROBE_JOB_FINISHED_BEFORE_KILL")
       spark.stop(); sys.exit(2)
     }
-    // give the loss event a beat to propagate, then require Spark saw it
-    val deadline = System.nanoTime() + 30e9.toLong
+    // give the loss event time to propagate (generous: on a loaded box the
+    // listener bus can lag far behind the kill), then require Spark saw it
+    val deadline = System.nanoTime() + 120e9.toLong
     while (!removedSeen && System.nanoTime() < deadline) Thread.sleep(100)
     if (!removedSeen) { spark.stop(); sys.exit(3) }
 

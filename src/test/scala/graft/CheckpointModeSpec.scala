@@ -167,34 +167,43 @@ class CheckpointModeSpec extends SparkSpec {
       .map(r => s"${r.getLong(0)},${BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP)}")
       .sorted.toSeq
 
-    val out     = java.nio.file.Files.createTempFile("graft_fault_ranks_", ".csv")
-    val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
-    val addOpens = org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
-      .split("\\s+").toSeq.filter(_.nonEmpty)
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx3g", "-cp", sys.props("java.class.path"),
-      "graft.tools.FaultProbe", out.toString)
-    val pb = new ProcessBuilder(cmd.asJava)
-    pb.environment().put("SPARK_HOME", "/opt/spark")
-    // in-process Worker skips bin/load-spark-env.sh, which normally sets this
-    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val log  = new StringBuilder
-    val drain = new Thread(() => {
-      val r = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
-      Iterator.continually(r.readLine()).takeWhile(_ != null).foreach(l => log.synchronized { log.append(l).append('\n') })
-    })
-    drain.setDaemon(true); drain.start()
-    val finished = proc.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) {
-      proc.descendants().forEach(_.destroyForcibly()); proc.destroyForcibly()
-      fail(s"fault probe timed out; log tail:\n${log.synchronized(log.toString).takeRight(4000)}")
+    def runProbe(): (Int, String, java.nio.file.Path) = {
+      val out     = java.nio.file.Files.createTempFile("graft_fault_ranks_", ".csv")
+      val javaBin = java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+      val addOpens = org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx3g", "-cp", sys.props("java.class.path"),
+        "graft.tools.FaultProbe", out.toString)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      // in-process Worker skips bin/load-spark-env.sh, which normally sets this
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val log  = new StringBuilder
+      val drain = new Thread(() => {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+        Iterator.continually(r.readLine()).takeWhile(_ != null).foreach(l => log.synchronized { log.append(l).append('\n') })
+      })
+      drain.setDaemon(true); drain.start()
+      val finished = proc.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        proc.descendants().forEach(_.destroyForcibly()); proc.destroyForcibly()
+        fail(s"fault probe timed out; log tail:\n${log.synchronized(log.toString).takeRight(4000)}")
+      }
+      drain.join(10000)
+      (proc.exitValue(), log.synchronized(log.toString), out)
     }
-    drain.join(10000)
-    val logText = log.synchronized(log.toString)
-    assert(proc.exitValue() == 0,
-      s"fault probe exited ${proc.exitValue()}; log tail:\n${logText.takeRight(4000)}")
+    // exits 2 (job won the kill race) and 3 (loss event outran its wait)
+    // are ENVIRONMENTAL races under heavy box load, not durability bugs —
+    // retry once; every other failure, and any result divergence, is real
+    var (exit, logText, out) = runProbe()
+    if (exit == 2 || exit == 3) {
+      info(s"fault probe raced (exit $exit) — retrying once on a calmer scheduler")
+      val r2 = runProbe(); exit = r2._1; logText = r2._2; out = r2._3
+    }
+    assert(exit == 0, s"fault probe exited $exit; log tail:\n${logText.takeRight(4000)}")
     assert(logText.contains("FAULTPROBE_KILLED pid="), "probe never killed an executor")
     assert(logText.contains("FAULTPROBE_EXECUTOR_REMOVED"), "Spark never observed the executor loss")
     val got = new String(java.nio.file.Files.readAllBytes(out), "UTF-8").split("\n").toSeq
