@@ -853,6 +853,58 @@ object Similarity {
     * per rung to decide the next step, never data. The recall the
     * decision consumes is computed IN-PLAN with the same round(·, 6) the
     * audit publishes, so the stop rule and the trace can never disagree. */
+  /** [[autoProbe]]'s LSH sibling: walk the multi-probe Hamming RADIUS up
+    * from 0 and stop at the first radius whose measured recall-vs-brute
+    * meets the target. Each +1 of radius expands every query's probe ball
+    * (1, 1+bits, 1+bits+C(bits,2), …), so the ladder is the natural
+    * cost/recall dial LSH exposes — unlike IVF there is no "probe
+    * everything" rung that guarantees recall 1.0, so the walk can END
+    * UNCHOSEN at `maxRadius` (chosen = -1, trace still emitted: the
+    * honest "this index can't reach that target, re-index with more
+    * tables/bits" answer rather than a silent best-effort). Same
+    * discipline as [[autoProbe]]: truth materialized once, in-plan
+    * round(·, 6) recall drives both the stop rule and the trace. */
+  def autoProbeLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      recallTarget: Double,
+      bits: Int = 8,
+      tables: Int = 12,
+      maxRadius: Int = 2): (Int, DataFrame) = {
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recallTarget must be in (0, 1], got $recallTarget")
+    require(maxRadius >= 0 && maxRadius <= 2,
+      s"maxRadius must be in 0..2 (lshTopK's supported probe radii), got $maxRadius")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = bruteTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true)
+    val trace  = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double, Boolean)]
+    var chosen = -1
+    var radius = 0
+    while (chosen < 0 && radius <= maxRadius) {
+      val row = lshTopK(corpus, queries, k, bits, tables, probeHamming = radius)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select(
+          col("n_true"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+        .head()
+      val recall = row.getDouble(2)
+      val hit    = recall >= recallTarget
+      trace += ((radius, row.getLong(0), row.getLong(1), recall, hit))
+      if (hit) chosen = radius
+      radius += 1
+    }
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(truth)
+    (chosen, trace.toSeq.toDF("radius", "n_true", "n_hits", "recall", "chosen"))
+  }
+
   def autoProbe(
       corpus: DataFrame,
       queries: DataFrame,

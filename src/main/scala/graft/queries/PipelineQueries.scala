@@ -649,6 +649,40 @@ object PipelineQueries {
               round(CAST(h.n_hits AS DOUBLE) / tn.n_true, 6) AS recall
        FROM h, tn"""
 
+  /** DuckDB oracle for ann_auto_probe_lsh: one MATERIALIZED lsh arm per
+    * Hamming radius 0..maxRadius, recall per rung, the engine's early-stop
+    * rule in SQL — with NO guaranteed-success rung, so when no radius
+    * meets the target every rung is emitted unchosen (the honest
+    * "re-index" answer [[Similarity.autoProbeLsh]] returns). */
+  private def autoProbeLshOracle(
+      k: Int,
+      nQueries: Int,
+      bits: Int,
+      tables: Int,
+      maxRadius: Int,
+      target: Double): String = {
+    val ladder = 0 to maxRadius
+    val arms = ladder
+      .map(r => s"pr$r AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${lshOracle(bits, tables, r, k, nQueries)}) t)")
+      .mkString(",\n")
+    val rungs = ladder
+      .map(r => s"SELECT $r AS radius, (SELECT count(*) FROM pr$r JOIN truth USING (query_id, neighbor_id)) AS n_hits")
+      .mkString("\nUNION ALL\n")
+    s"""WITH truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (${bruteOracle(k, nQueries)}) t),
+       $arms,
+       tn AS (SELECT count(*) AS n_true FROM truth),
+       r AS ($rungs),
+       a AS (SELECT r.radius, tn.n_true, r.n_hits,
+                    round(CAST(r.n_hits AS DOUBLE) / tn.n_true, 6) AS recall
+             FROM r, tn),
+       w AS (SELECT a.*,
+                    COALESCE((SELECT MAX(CASE WHEN a2.recall >= $target THEN 1 ELSE 0 END)
+                              FROM a a2 WHERE a2.radius < a.radius), 0) AS earlier
+             FROM a)
+       SELECT radius, n_true, n_hits, recall, (recall >= $target) AS chosen
+       FROM w WHERE earlier = 0"""
+  }
+
   /** DuckDB oracle for ann_auto_probe: one MATERIALIZED ivf arm per
     * doubling-ladder rung (each the full sampled-kmeans replay at that
     * nprobe), recall per rung, then the engine's early-stop rule in SQL —
@@ -2323,6 +2357,23 @@ object PipelineQueries {
       Similarity.autoProbe(
         emb, emb.filter(col("vec_id") < 8), k = 10, recallTarget = 0.9,
         nlist = 16, assign = 3)._2
+    },
+
+    // ------------------------------------- LSH auto-probe (closed loop)
+    // The same audit->action walk over LSH's cost dial — the multi-probe
+    // Hamming radius. Unlike IVF there is no probe-everything rung, so an
+    // unreachable target honestly ends UNCHOSEN ("re-index with more
+    // tables/bits") instead of silently serving best-effort. The oracle
+    // recomputes every rung's recall and replays the stop rule, covering
+    // both the early-stop and the exhausted-ladder shape.
+    Q(
+      "ann_auto_probe_lsh",
+      Some(autoProbeLshOracle(
+        k = 10, nQueries = 8, bits = 8, tables = 12, maxRadius = 2, target = 0.9))) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      Similarity.autoProbeLsh(
+        emb, emb.filter(col("vec_id") < 8), k = 10, recallTarget = 0.9,
+        bits = 8, tables = 12, maxRadius = 2)._2
     },
 
     // ----------------------------------------------- DBSCAN clustering

@@ -750,6 +750,32 @@ class SimilaritySpec extends SparkSpec {
     assert(walked.map(_._2) == full.map(_._2).take(walked.size))
   }
 
+  test("autoProbeLsh: radius ladder early-stops; unreachable targets end honestly unchosen") {
+    val emb     = graft.sources.Tables(spark, SharedSpark.sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 8)
+    // hardest target: walk as far as the ladder allows
+    val (c0, t0) = Similarity.autoProbeLsh(
+      emb, queries, k = 10, recallTarget = 1.0, bits = 8, tables = 12, maxRadius = 2)
+    val full = t0.collect().map(r => (r.getInt(0), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(full.map(_._1) == (0 until full.size), full.toString)
+    assert(full.map(_._2) == full.map(_._2).sorted,
+      s"recall must be non-decreasing in radius (probe balls are supersets): $full")
+    if (c0 == -1) assert(full.size == 3 && full.forall(!_._3), full.toString)
+    else assert(full.last._3 && c0 == full.last._1 && full.init.forall(!_._3), full.toString)
+
+    // a target equal to rung 0's own recall stops immediately
+    val (c1, t1) = Similarity.autoProbeLsh(
+      emb, queries, k = 10, recallTarget = full.head._2, bits = 8, tables = 12, maxRadius = 2)
+    assert(c1 == 0 && t1.count() == 1)
+
+    // an index too weak for the target: single table, exact-bucket probing
+    // only — the walk exhausts the ladder and says so, never best-efforts
+    val (c2, t2) = Similarity.autoProbeLsh(
+      emb, queries, k = 10, recallTarget = 0.99, bits = 12, tables = 1, maxRadius = 0)
+    val weak = t2.collect().map(r => (r.getDouble(3), r.getBoolean(4)))
+    assert(c2 == -1 && weak.length == 1 && !weak.head._2 && weak.head._1 < 0.99, weak.toString)
+  }
+
   test("binaryQuantize: a truncated embedding fails loudly, never packs silent 0-bits") {
     import spark.implicits._
     val bad = Seq((1L, Array(1.0f, -1.0f, 2.0f)), (2L, Array(1.0f, -1.0f)))
