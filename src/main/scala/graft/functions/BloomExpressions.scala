@@ -91,6 +91,24 @@ object Bloom {
     * set. Codegen'd; the bit array rides along as a reference object. */
   def mightContain(bits: Array[Long], numHashes: Int)(h: Column): Column =
     Bridge.column(BloomMightContain(Bridge.expression(h.cast("long")), bits, numHashes))
+
+  /** Driver-side probe — bit-identical arithmetic to [[BloomMightContain]]
+    * (same constants, same multiply-shift) for METADATA-SIZED decisions
+    * only: e.g. the per-file grep-index prune tests nFiles blooms on the
+    * driver to choose which files to scan. Never call this per data row —
+    * that is what the codegen'd expression is for. */
+  def testLocal(bits: Array[Long], numHashes: Int, h: Long): Boolean = {
+    require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0, "bits length must be a power of two")
+    val shift = 64 - (6 + java.lang.Integer.numberOfTrailingZeros(bits.length))
+    val cs    = constants(numHashes)
+    var i = 0
+    while (i < cs.length) {
+      val pos = (h * cs(i)) >>> shift
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Native membership probe (see [[Bloom]]). `bits.length * 64` must be a

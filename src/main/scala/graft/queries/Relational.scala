@@ -242,6 +242,112 @@ object Relational {
       Seq((n, s)).toDF("n_both", "sum_keys")
     },
 
+    // -------------------------------------------- bucketed co-located join
+    // Persisted co-location: both sides bucketed on the join key at PUT
+    // time, so the join needs NO exchange — the scans themselves satisfy
+    // the join's distribution — and the follow-up groupBy on the same key
+    // aggregates exchange-free too (BucketedJoinSpec pins the zero-Exchange
+    // plan). This row pins that the shuffle-free plan returns EXACTLY the
+    // plain join's rows (oracle = the ordinary join in DuckDB). At 100 TB
+    // this is the daily-join amortization: one bucketed write, then every
+    // subsequent join on that key skips the fact-table shuffle.
+    Q(
+      "catalog_bucketed_join",
+      Some("""
+        SELECT o_orderkey, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderkey
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-bucket-join").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putBucketedTable(
+        "ord_b",
+        t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")),
+        "o_orderkey",
+        8)
+      cat.putBucketedTable(
+        "li_b",
+        t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
+        "l_orderkey",
+        8)
+      cat.readBucketedTable("ord_b")
+        .join(cat.readBucketedTable("li_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          asDouble(sum(money(col("l_extendedprice")))).as("sum_price"))
+    },
+
+    // ------------------------------------------- append + targeted delete
+    // The mutation lifecycle end-to-end: PUT half the table, APPEND the
+    // other half (O(delta) — a manifest referencing the old files plus the
+    // new generation, no rewrite), re-ANALYZE, then a zone-map-TARGETED
+    // deleteWhere (only files whose [min,max] can contain matching rows are
+    // rewritten; the custkey-range layout makes most files provably
+    // unaffected) and a VACUUM of the unreferenced blobs. The oracle is the
+    // equivalent end state in DuckDB — append∪put minus the deleted range —
+    // so a wrong manifest, a lost file, a GC bite, or a delete touching the
+    // wrong rows all hash-mismatch. MutationSpec pins the mechanics
+    // (O(delta) append, untouched-file reuse, NULL survivors, time travel,
+    // vacuum refcounting).
+    Q(
+      "catalog_append_delete",
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(COALESCE(SUM(CAST(o_orderkey AS BIGINT)), 0) AS BIGINT) AS sum_keys
+        FROM orders WHERE o_custkey > 500
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-append-del").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_m", t.orders.filter(col("o_orderkey") <= 30000).repartitionByRange(4, col("o_custkey")))
+      cat.appendTable("orders_m", t.orders.filter(col("o_orderkey") > 30000).repartitionByRange(4, col("o_custkey")))
+      cat.analyzeTable("orders_m", fileStats = true)
+      cat.deleteWhere("orders_m", "o_custkey", "<=", "500")
+      cat.vacuum("orders_m")
+      val res = cat.readTable("orders_m")
+      val n   = res.count()
+      val s   = res.agg(coalesce(sum(col("o_orderkey").cast("long")), lit(0L))).head().getLong(0)
+      Seq((n, s)).toDF("n_rows", "sum_keys")
+    },
+
+    // -------------------------------------------- incremental ANALYZE
+    // Append + O(delta) stats refresh + zone-map prune, composed: the
+    // appended files are the ONLY ones scanned by analyzeAppended (per-file
+    // zone maps merge; IncrementalAnalyzeSpec pins the scan counts), the
+    // merged stats restamp to the live version, and readTableWhere prunes
+    // through them immediately — no O(table) re-ANALYZE between ingest and
+    // indexed reads. Oracle = the same range counts over all rows, so a
+    // wrong merge (bad min/max fold, lost file, stale stamp) changes
+    // results and hash-mismatches.
+    Q(
+      "catalog_incr_analyze",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1000) AS n_head,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey > 55000) AS n_tail,
+          (SELECT CAST(COALESCE(SUM(CAST(o_custkey AS BIGINT)), 0) AS BIGINT)
+           FROM orders WHERE o_orderkey > 55000) AS sum_tail
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-incr-analyze").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_i", t.orders.filter(col("o_orderkey") <= 30000).repartitionByRange(4, col("o_orderkey")))
+      cat.analyzeTable("orders_i", fileStats = true)
+      cat.appendTable("orders_i", t.orders.filter(col("o_orderkey") > 30000).repartitionByRange(4, col("o_orderkey")))
+      cat.analyzeAppended("orders_i")
+      val nHead = cat.readTableWhere("orders_i", "o_orderkey", "<=", "1000").count()
+      val tail  = cat.readTableWhere("orders_i", "o_orderkey", ">", "55000")
+      val nTail = tail.count()
+      val sTail = tail.agg(coalesce(sum(col("o_custkey").cast("long")), lit(0L))).head().getLong(0)
+      Seq((nHead, nTail, sTail)).toDF("n_head", "n_tail", "sum_tail")
+    },
+
     // ---------------------------------------------------------- semi join
     // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
     // keys of the filtered side when small; left_semi never duplicates rows.
@@ -282,6 +388,37 @@ object Relational {
           col("c_custkey") === col("o_custkey"),
           "left_anti")
         .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ---------------------------------------------- runtime-filter join
+    // Semi-join reduction: the selective predicate lives on orders, so a
+    // plain plan shuffles ALL of lineitem to meet the 1%-ish surviving
+    // build rows. bloomReducedJoin summarizes the surviving o_orderkey set
+    // into a 1 MiB Bloom and drops non-matching lineitem rows at the scan,
+    // BEFORE the shuffle; the join then removes Bloom false positives, so
+    // the result is exact (oracle = the plain join). At 100 TB this is the
+    // difference between shuffling the fact table and shuffling its sliver.
+    Q(
+      "join_bloom_reduce",
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 250000
+        GROUP BY o_orderpriority
+      """)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.operators.RuntimeFilter
+        .bloomReducedJoin(
+          t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
+          t.orders.filter(col("o_totalprice") > 250000)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "l_orderkey",
+          "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          asDouble(sum(money(col("l_extendedprice")))).as("sum_price"))
     },
 
     // ------------------------------------------------------------ window

@@ -189,6 +189,30 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
     },
 
+    // -------------------------------------------- grep with file pruning
+    // The 100-TB grep: a per-file token-Bloom index (analyzeGrepIndex —
+    // zone maps for text) lets the scan skip every file that can't contain
+    // all of the pattern's required tokens; the regex verifies survivors,
+    // so the result is EXACTLY the full-scan grep's (oracle = plain regex
+    // over all rows; GrepIndexSpec pins the file-skipping itself on a
+    // planted fixture). Blooms have no false negatives — a matching file
+    // always scans.
+    Q(
+      "grep_pruned_documents",
+      Some("""
+        SELECT doc_id, text FROM documents
+        WHERE regexp_matches(text, 'window agg')
+      """)) { (spark, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-grep-idx").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable(
+        "docs_g",
+        Tables(spark, dir).documents.select(col("doc_id"), col("text")).repartition(8, col("doc_id")))
+      cat.analyzeGrepIndex("docs_g", "text")
+      cat.grepPruned("docs_g", "text", "window agg", Seq("window", "agg"))
+        .select(col("doc_id"), col("text"))
+    },
+
     // -------------------------------------------------- per-key line count
     // The reference's juice-side "count lines of the group" as a native agg.
     Q(

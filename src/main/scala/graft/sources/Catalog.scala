@@ -120,19 +120,153 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
 
   /** Run `write` into the next version dir for `name`, then GC: drop failed
     * partials and every complete version older than the immediately-previous
-    * one, plus any plain-path upload this engine-native write shadows. */
+    * one, plus any plain-path upload this engine-native write shadows.
+    *
+    * Manifest awareness: a retained MANIFEST version ([[appendTable]] /
+    * [[deleteWhere]]) may reference data files living in an OLDER version
+    * dir or at the plain path (the append chained off them without
+    * rewriting). Deleting those dirs would corrupt the live table, so the
+    * GC first collects every directory the retained manifests reference and
+    * skips it. Unreferenced superseded dirs die exactly as before; the ones
+    * a manifest keeps alive die on a later publish, once rewrites (compact /
+    * deleteWhere) drop the last reference. Blob-area (`<name>.__data__`)
+    * garbage is [[vacuum]]'s job — version GC never reaches in there. */
   private def publishVersion(name: String)(write: Path => Unit): Unit =
     lockFor(name).synchronized {
       val existing = versionDirs(name)
       val next     = existing.map(_._1).maxOption.getOrElse(0L) + 1L
       write(pathOf(s"$name.__v${next}__"))
+      val protectedDirs: Set[Path] = versionDirs(name)
+        .filter { case (v, p) => v >= next - 1 && isComplete(p) }
+        .flatMap { case (_, p) => manifestOf(p).getOrElse(Nil) }
+        .map(f => fs.makeQualified(new Path(f).getParent))
+        .toSet
       versionDirs(name).foreach { case (v, p) =>
-        if (v < next && (v < next - 1 || !isComplete(p))) fs.delete(p, true)
+        if (v < next && (v < next - 1 || !isComplete(p)) &&
+            !protectedDirs.contains(fs.makeQualified(p))) fs.delete(p, true)
       }
       // a superseded interactive upload at the plain path; versioned reads
-      // shadow it already, delete only once the new version is live
-      if (fs.exists(pathOf(name))) fs.delete(pathOf(name), true)
+      // shadow it already, delete only once the new version is live (and
+      // never while a retained manifest still references its files)
+      if (fs.exists(pathOf(name)) && !protectedDirs.contains(fs.makeQualified(pathOf(name))))
+        fs.delete(pathOf(name), true)
     }
+
+  // --------------------------------------------------- manifest plumbing
+
+  private val ManifestFile = "_MANIFEST"
+
+  /** The file list a complete manifest version references (absolute paths,
+    * one per line), or None for a plain materialized version dir. */
+  private def manifestOf(dir: Path): Option[Seq[String]] = {
+    val m = new Path(dir, ManifestFile)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        Some(new String(bytes.toByteArray, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq)
+      } finally in.close()
+    }
+  }
+
+  private val ManifestSchemaFile = "_SCHEMA.json"
+
+  private val CommitFile = "_COMMIT"
+
+  /** Publish a manifest version: the file list, the table schema (so an
+    * all-rows-deleted empty manifest still reads with its schema, and
+    * manifest reads never pay a footer-inference pass), an optional
+    * commit id (the exactly-once marker for streaming appends), and the
+    * _SUCCESS completeness marker — marker LAST, so a crash mid-write never
+    * leaves a resolvable half-version, and the commit id becomes visible
+    * atomically WITH the data it stamps. */
+  private def writeManifest(
+      dir: Path,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      commitId: Option[Long] = None): Unit = {
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, ManifestFile), true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val sOut = fs.create(new Path(dir, ManifestSchemaFile), true)
+    try sOut.write(schema.json.getBytes("UTF-8"))
+    finally sOut.close()
+    commitId.foreach { id =>
+      val cOut = fs.create(new Path(dir, CommitFile), true)
+      try cOut.write(id.toString.getBytes("UTF-8"))
+      finally cOut.close()
+    }
+    val marker = new Path(dir, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker).close()
+  }
+
+  /** Highest commit id stamped on any retained complete version, -1 if
+    * none. Valid as a replay guard while the stream is the table's sole
+    * writer (the ingest deployment) — an interleaved non-stream write
+    * publishes without a stamp and eventually GCs the stamped version. */
+  private def lastCommittedBatch(name: String): Long =
+    versionDirs(name)
+      .filter { case (_, p) => isComplete(p) }
+      .flatMap { case (_, p) =>
+        val c = new Path(p, CommitFile)
+        if (!fs.exists(c)) None
+        else {
+          val in = fs.open(c)
+          try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+            Some(new String(bytes.toByteArray, "UTF-8").trim.toLong)
+          } finally in.close()
+        }
+      }
+      .maxOption
+      .getOrElse(-1L)
+
+  private def manifestSchemaOf(dir: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val m = new Path(dir, ManifestSchemaFile)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        Some(
+          org.apache.spark.sql.types.DataType
+            .fromJson(new String(bytes.toByteArray, "UTF-8"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } finally in.close()
+    }
+  }
+
+  /** Manifest-aware parquet read of a resolved version path. */
+  private def readParquetAt(p: Path): org.apache.spark.sql.DataFrame =
+    manifestOf(p) match {
+      case Some(files) =>
+        val schema = manifestSchemaOf(p).getOrElse(
+          throw new IllegalStateException(s"corrupt manifest version at $p: no $ManifestSchemaFile"))
+        if (files.isEmpty)
+          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      case None => spark.read.parquet(p.toString)
+    }
+
+  /** Parquet data files under `dir` (committer markers and metadata
+    * excluded), as absolute path strings. */
+  private def listDataFiles(dir: Path): Seq[String] =
+    fs.listStatus(dir)
+      .toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+
+  /** The data files the CURRENT readable version comprises: the manifest's
+    * list for a manifest version, the dir listing otherwise. */
+  private def liveFiles(name: String): Seq[String] = {
+    val p = resolveReadable(name)
+    manifestOf(p).getOrElse(listDataFiles(p))
+  }
 
   /** PUT of an in-memory dataset (engine-native write path). */
   def putText(name: String, ds: Dataset[String]): Unit =
@@ -178,7 +312,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       schema: Option[org.apache.spark.sql.types.StructType] = None): org.apache.spark.sql.DataFrame = {
     val p = resolveReadable(name).toString
     format match {
-      case "parquet" => spark.read.parquet(p)
+      case "parquet" => readParquetAt(resolveReadable(name))
       case "orc"     => spark.read.orc(p)
       case "csv" =>
         val r = spark.read.option("header", "true")
@@ -194,8 +328,9 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * recursive FS deletes of every version of the name. */
   def delete(name: String): Boolean = lockFor(name).synchronized {
     val versioned = versionDirs(name).map { case (_, p) => fs.delete(p, true) }
+    val blobs     = fs.delete(pathOf(s"$name.__data__"), true) // manifest-referenced data files
     val plain     = fs.delete(pathOf(name), true)
-    plain || versioned.exists(identity)
+    plain || blobs || versioned.exists(identity)
   }
 
   /** LS: where a file lives (src/node.go:191-204). The reference prints the 4
@@ -715,12 +850,557 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     }
     require(p.isDefined, s"version $version of $name is not retained (have: ${versions(name).mkString(",")})")
     format match {
-      case "parquet" => spark.read.parquet(p.get.toString)
+      case "parquet" => readParquetAt(p.get)
       case "orc"     => spark.read.orc(p.get.toString)
       case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(p.get.toString)
       case "json"    => spark.read.json(p.get.toString)
       case other     => throw new IllegalArgumentException(s"unsupported format: $other")
     }
+  }
+
+  // ------------------------------------------------------------ bucketing
+
+  private def bucketIdent(name: String): String =
+    "graft_bkt_" + name.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Bucketed PUT — data co-location as a catalog property. The rows are
+    * hash-partitioned into `nBuckets` files by `bucketCol` (one file per
+    * bucket: the write is repartitioned on the bucket expression first, the
+    * same Murmur3 hash bucketing uses, so each task owns exactly one
+    * bucket) and sorted within each bucket. Spark keeps bucket specs in
+    * table metadata, not in the files, so the spec is recorded twice: in
+    * the session catalog (for this session's reads) and in a versioned
+    * `<name>.__bucketspec__` side table stamped with the DATA VERSION it
+    * describes (for any later session — [[readBucketedTable]] re-registers
+    * from it, and refuses a spec whose stamp doesn't match the readable
+    * version, so a plain re-PUT can't silently masquerade as bucketed).
+    *
+    * Why this matters at 100 TB: two tables bucketed on their join key
+    * join WITHOUT a shuffle — the scan itself satisfies the join's
+    * distribution requirement — and a groupBy on the bucket key aggregates
+    * without an exchange. For a fact table joined every day on the same
+    * key, the one-time bucketed write amortizes the shuffle away from
+    * every subsequent query. (The reference's closest concept is its fixed
+    * hash-partitioned juice assignment, mapleJuice.go's `hash mod n` —
+    * per-job, never persisted; persisting the partitioning IS the
+    * extension.) */
+  def putBucketedTable(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      bucketCol: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(
+      df.schema.fieldNames.contains(bucketCol),
+      s"bucket column '$bucketCol' not in schema ${df.schema.fieldNames.mkString(",")}")
+    val ident = bucketIdent(name)
+    publishVersion(name) { dir =>
+      spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+      df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .bucketBy(nBuckets, bucketCol)
+        .sortBy(bucketCol)
+        .option("path", dir.toString)
+        .saveAsTable(ident)
+      // the bucketed write goes through the same committer, but be explicit:
+      // an incomplete version must never resolve
+      val marker = new Path(dir, "_SUCCESS")
+      if (!fs.exists(marker)) fs.create(marker).close()
+    }
+    val v = versions(name).headOption.getOrElse(-1L)
+    putTable(
+      s"$name.__bucketspec__",
+      spark.createDataFrame(Seq((bucketCol, nBuckets, v)))
+        .toDF("bucket_col", "n_buckets", "data_version"))
+  }
+
+  /** Read a [[putBucketedTable]] dataset WITH its bucket spec attached, so
+    * Catalyst plans co-located joins/aggregations shuffle-free. Fails
+    * loudly when the published spec's version stamp doesn't match the
+    * readable data version (a plain [[putTable]] re-PUT superseded the
+    * bucketed layout) — the silent alternative would be a correct-looking
+    * read whose co-location promise is a lie, exactly the staleness class
+    * the stats prune refuses. Re-registers the session-catalog entry from
+    * the side table when absent (fresh session) or pointing at a stale
+    * location. */
+  def readBucketedTable(name: String): org.apache.spark.sql.DataFrame = {
+    val specRows = readTable(s"$name.__bucketspec__").collect()
+    require(specRows.length == 1, s"corrupt bucket spec for '$name': ${specRows.length} rows")
+    val spec        = specRows.head
+    val bucketCol   = spec.getAs[String]("bucket_col")
+    val nBuckets    = spec.getAs[Int]("n_buckets")
+    val specVersion = spec.getAs[Long]("data_version")
+    val current     = versions(name).headOption.getOrElse(-1L)
+    require(
+      current >= 0 && specVersion == current,
+      s"bucket spec for '$name' is stamped v$specVersion but the readable data is v$current — " +
+        s"the bucketed layout was superseded by a plain PUT; re-PUT with putBucketedTable")
+    val ident = bucketIdent(name)
+    val path  = resolveReadable(name)
+    val cat   = spark.sessionState.catalog
+    val id    = org.apache.spark.sql.catalyst.TableIdentifier(ident)
+    val registeredHere = cat.tableExists(id) && {
+      val have = fs.makeQualified(new Path(cat.getTableMetadata(id).location)).toUri
+      val want = fs.makeQualified(path).toUri
+      have == want
+    }
+    if (!registeredHere) {
+      val schemaDdl = spark.read.parquet(path.toString).schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+      spark.sql(
+        s"CREATE TABLE `$ident` ($schemaDdl) USING PARQUET " +
+          s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $nBuckets BUCKETS " +
+          s"LOCATION '${path.toString}'")
+    }
+    spark.table(ident)
+  }
+
+  // ----------------------------------------------- mutations without rewrite
+
+  /** APPEND without rewriting: the new rows land as parquet files in the
+    * table's blob area (`<name>.__data__/gen-*`), and the published next
+    * version is a MANIFEST — the current version's file list plus the new
+    * files. Cost is O(delta), never O(table): at 100 TB an hourly ingest
+    * appends gigabytes without touching the corpus, where the plain
+    * [[putTable]] path would rewrite everything it read. Readers keep full
+    * version semantics (write-once manifests, read-stable under concurrent
+    * append, [[readTableVersion]] time travel), and the versioned-GC
+    * protects any older materialized dir the manifest still references.
+    *
+    * Schema is strict: an append whose columns differ (names or types) is a
+    * pipeline bug and fails loudly — silent widening would poison every
+    * downstream zone-map and bucket assumption. Stats/zone maps stay
+    * stamped with the pre-append version, so [[readTableWhereAll]] degrades
+    * to correct full scans until the caller re-ANALYZEs. Parquet only. */
+  def appendTable(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      commitId: Option[Long] = None): Unit =
+    lockFor(name).synchronized {
+      val (base, baseSchema) =
+        if (exists(name)) {
+          val t = readTable(name)
+          (liveFiles(name), Some(t.schema))
+        } else (Seq.empty[String], None)
+      baseSchema.foreach { s =>
+        val have = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val want = s.fields.map(f => (f.name, f.dataType)).toSeq
+        require(
+          have == want,
+          s"appendTable schema mismatch for '$name': table has $want, append has $have")
+      }
+      val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(gen.toString)
+      val newFiles = listDataFiles(gen)
+      publishVersion(name)(dir => writeManifest(dir, base ++ newFiles, df.schema, commitId))
+    }
+
+  /** Exactly-once [[appendTable]] for replayable sources (Structured
+    * Streaming's foreachBatch re-delivers a batch after a failure): the
+    * batch id commits ATOMICALLY with the data — it's a marker inside the
+    * manifest version, made visible by the same _SUCCESS flip — so a
+    * replayed id is detected and skipped instead of double-appended,
+    * whether the crash hit before or after the publish. Returns whether
+    * the batch was appended. Sole-writer guarantee: see
+    * [[lastCommittedBatch]]. */
+  def appendTableExactlyOnce(name: String, df: org.apache.spark.sql.DataFrame, batchId: Long): Boolean =
+    lockFor(name).synchronized {
+      if (batchId <= lastCommittedBatch(name)) false
+      else {
+        appendTable(name, df, commitId = Some(batchId))
+        true
+      }
+    }
+
+  /** Targeted DELETE (the GDPR / retention primitive): remove exactly the
+    * rows matching `column op value`, rewriting ONLY the files that can
+    * contain them. The zone maps ([[analyzeTable]] fileStats, stamped to
+    * the live version) split the file list into provably-unaffected files —
+    * which the new manifest re-references untouched — and candidate files,
+    * which are re-written minus the matching rows into the blob area. On a
+    * time-clustered 100 TB table a "delete user X's last week" touches the
+    * week's files, not the corpus. Without current zone maps every file is
+    * a candidate — correct, just unpruned.
+    *
+    * NULL semantics are SQL's: a row whose `column` is NULL never matches
+    * the predicate and always survives. A delete matching zero rows
+    * publishes nothing (no version churn). Returns a one-row report
+    * (n_files_live, n_files_rewritten, n_rows_deleted); the superseded
+    * blob files become [[vacuum]] garbage. Parquet only. */
+  def deleteWhere(
+      name: String,
+      colName: String,
+      op: String,
+      value: String): org.apache.spark.sql.DataFrame = lockFor(name).synchronized {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(Set("<", "<=", ">", ">=", "=").contains(op), s"unsupported op: $op")
+    val table = readTable(name)
+    val field = table.schema.fields
+      .find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column '$colName' in $name"))
+    val files          = liveFiles(name)
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
+    def norm(s: String): String = new Path(s).toUri.getPath
+    // files the predicate provably can't match — same zone-map logic (and
+    // the same version-stamp discipline) as the readTableWhereAll prune
+    val excludedNorm: Set[String] = fileStatsFor(name) match {
+      case Some(fsStats) if currentVersion >= 0 && fsStats.analyzedVersion.contains(currentVersion) =>
+        val colStats = fsStats.columns.filter(_.column == colName)
+        val allFiles = fsStats.columns.map(_.file).distinct
+        if (colStats.map(_.file).distinct.size != allFiles.size) Set.empty
+        else
+          colStats
+            .filter(st =>
+              Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, op, value))
+            .map(st => norm(st.file))
+            .toSet
+      case _ => Set.empty
+    }
+    val (untouched, candidates) = files.partition(f => excludedNorm.contains(norm(f)))
+    def report(rewritten: Long, deleted: Long) =
+      spark
+        .createDataFrame(Seq((files.size.toLong, rewritten, deleted)))
+        .toDF("n_files_live", "n_files_rewritten", "n_rows_deleted")
+    if (candidates.isEmpty) report(0L, 0L)
+    else {
+      val cand  = spark.read.schema(table.schema).parquet(candidates: _*)
+      val c     = col(colName)
+      val v     = lit(value).cast(field.dataType)
+      val predT = op match {
+        case "<"  => c < v
+        case "<=" => c <= v
+        case ">"  => c > v
+        case ">=" => c >= v
+        case "="  => c === v
+      }
+      val matches = coalesce(predT, lit(false)) // NULL column ⇒ survives
+      val nDel = cand.filter(matches).count()
+      if (nDel == 0L) report(0L, 0L)
+      else {
+        val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
+        cand.filter(not(matches)).write.mode("overwrite").parquet(gen.toString)
+        val rewritten = listDataFiles(gen)
+        publishVersion(name)(dir => writeManifest(dir, untouched ++ rewritten, table.schema))
+        report(candidates.size.toLong, nDel)
+      }
+    }
+  }
+
+  /** VACUUM: physically delete blob-area files no retained version's
+    * manifest references anymore (the rewrite garbage [[deleteWhere]] and
+    * compaction leave behind), plus emptied generation dirs. Version GC
+    * never reaches into the blob area, so this is the explicit reclaim
+    * step — run it when the retained-version window (current + previous)
+    * is past needing the old bytes. Returns the number of files removed.
+    * Driver-side file-list work only: the reference walks its whole SDFS
+    * file table the same way on DELETE (src/master.go:82-108). */
+  def vacuum(name: String): Long = lockFor(name).synchronized {
+    val dataRoot = pathOf(s"$name.__data__")
+    if (!fs.exists(dataRoot)) 0L
+    else {
+      val referenced: Set[String] = versionDirs(name)
+        .filter { case (_, p) => isComplete(p) }
+        .flatMap { case (_, p) => manifestOf(p).getOrElse(Nil) }
+        .map(f => new Path(f).toUri.getPath)
+        .toSet
+      var n = 0L
+      fs.listStatus(dataRoot).foreach { gen =>
+        if (gen.isDirectory) {
+          fs.listStatus(gen.getPath).foreach { st =>
+            val meta = st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")
+            if (st.isFile && !meta && !referenced.contains(st.getPath.toUri.getPath)) {
+              fs.delete(st.getPath, false)
+              n += 1L
+            }
+          }
+          val left = fs.listStatus(gen.getPath)
+          if (left.forall(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+            fs.delete(gen.getPath, true)
+        }
+      }
+      n
+    }
+  }
+
+  // ------------------------------------------------ incremental ANALYZE
+
+  /** O(delta) stats refresh after [[appendTable]] — the piece that makes
+    * append and pruning COMPOSE: a full [[analyzeTable]] after every
+    * append re-scans the corpus (O(table), exactly what the append avoided
+    * paying), while zone maps are per-file and therefore mergeable — only
+    * the files the previous `__filestats__` has never seen need scanning.
+    *
+    * Mechanics: per-file rows for still-live covered files are inherited
+    * verbatim (version restamped); the missing files get the same one-pass
+    * per-file aggregation a full ANALYZE runs, over ONLY those files. The
+    * table-level `__stats__` are recomputed by exact merge where the math
+    * is exact — row counts and null counts add, min/max compose in the
+    * column's domain — and published as UNKNOWN (-1 / null) where it is
+    * not: NDV and max_freq don't merge from per-file data, and a made-up
+    * number would quietly mis-size a broadcast or a salt factor, so the
+    * consumers' conservative missing-stat paths take over instead. Run a
+    * full ANALYZE when those two matter again.
+    *
+    * Loud on misuse: no prior `__filestats__` (nothing to be incremental
+    * against) or a schema drift since the last ANALYZE both throw.
+    * Returns a one-row report (n_files_live, n_files_scanned,
+    * n_files_inherited). Parquet only — same boundary as the mutations. */
+  def analyzeAppended(name: String, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(format == "parquet", s"analyzeAppended is parquet-only, got $format")
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
+    require(currentVersion >= 0, s"no versioned data for '$name'")
+    require(
+      this.exists(s"$name.__filestats__"),
+      s"no __filestats__ for '$name' — run analyzeTable(fileStats = true) once before going incremental")
+    val table = readTable(name, format)
+    val fields = table.schema.fields.filterNot(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+        f.dataType == org.apache.spark.sql.types.BinaryType)
+    val prior = readTable(s"$name.__filestats__", format).collect()
+    val priorColumns = prior.map(_.getAs[String]("column")).toSet
+    require(
+      priorColumns == fields.map(_.name).toSet,
+      s"schema drift since last ANALYZE of '$name' (stats cover $priorColumns) — run a full analyzeTable")
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val live         = liveFiles(name)
+    val liveNorm     = live.map(norm).toSet
+    val priorByNorm  = prior.groupBy(r => norm(r.getAs[String]("file")))
+    val coveredNorm  = liveNorm.intersect(priorByNorm.keySet)
+    val missing      = live.filterNot(f => coveredNorm.contains(norm(f)))
+    // inherited rows: still-live files keep their stats verbatim, restamped
+    val inherited = prior
+      .filter(r => coveredNorm.contains(norm(r.getAs[String]("file"))))
+      .map(r =>
+        (r.getAs[String]("file"), r.getAs[String]("column"), r.getAs[String]("data_type"),
+          r.getAs[Long]("n_rows"), r.getAs[String]("min_value"), r.getAs[String]("max_value"),
+          r.getAs[Long]("n_nulls"), currentVersion))
+      .toSeq
+    // scanned rows: the full ANALYZE's per-file pass, over ONLY the delta
+    val scanned: Seq[(String, String, String, Long, String, String, Long, Long)] =
+      if (missing.isEmpty) Nil
+      else {
+        val fAggs = fields.flatMap { f =>
+          val c = col(f.name)
+          Seq(
+            min(c).cast("string").as(s"${f.name}__min"),
+            max(c).cast("string").as(s"${f.name}__max"),
+            sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
+        }
+        spark.read
+          .schema(table.schema)
+          .parquet(missing: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("__rows"), fAggs.toSeq: _*)
+          .collect()
+          .toSeq
+          .flatMap { r =>
+            val file = r.getString(0)
+            val n    = r.getLong(1)
+            fields.map { f =>
+              (file, f.name, f.dataType.simpleString, n,
+                Option(r.getAs[String](s"${f.name}__min")).orNull,
+                Option(r.getAs[String](s"${f.name}__max")).orNull,
+                r.getAs[Long](s"${f.name}__nulls"),
+                currentVersion)
+            }
+          }
+      }
+    val allRows = inherited ++ scanned
+    putTable(
+      s"$name.__filestats__",
+      spark.createDataFrame(allRows).toDF(
+        "file", "column", "data_type", "n_rows", "min_value", "max_value", "n_nulls",
+        "analyzed_version"),
+      format)
+    // table-level merge from the per-file rows: exact where exact
+    val nRowsTotal = allRows.groupBy(_._1).map(_._2.head._4).sum
+    val tableRows = fields.map { f =>
+      val rs   = allRows.filter(_._2 == f.name)
+      val mins = rs.flatMap(r => Option(r._5))
+      val maxs = rs.flatMap(r => Option(r._6))
+      // any unparseable extreme poisons the whole fold to null (unknown is
+      // the safe answer — a null extreme never excludes anything)
+      def fold(vals: Seq[String], takeFirst: Int => Boolean): String =
+        if (vals.isEmpty) null
+        else
+          vals.tail
+            .foldLeft(Option(vals.head)) { (accOpt, b) =>
+              accOpt.flatMap(a =>
+                Catalog.compareInDomain(a, b, f.dataType.simpleString).map(c => if (takeFirst(c)) a else b))
+            }
+            .orNull
+      val mn = fold(mins, c => c <= 0)
+      val mx = fold(maxs, c => c >= 0)
+      (f.name, f.dataType.simpleString, nRowsTotal, mn, mx, -1L, rs.map(_._7).sum, -1L, currentVersion)
+    }.toSeq
+    putTable(
+      s"$name.__stats__",
+      spark.createDataFrame(tableRows).toDF(
+        "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls",
+        "max_freq", "analyzed_version"),
+      format)
+    spark
+      .createDataFrame(Seq((live.size.toLong, missing.size.toLong, coveredNorm.size.toLong)))
+      .toDF("n_files_live", "n_files_scanned", "n_files_inherited")
+  }
+
+  // ------------------------------------------------------- grep text index
+
+  /** Zone maps for TEXT: a per-file token Bloom index. One map-side-combined
+    * pass tokenizes `textCol` (maximal lowercase `[a-z0-9]+` runs — the same
+    * domain [[grepPruned]] validates its required tokens against), hashes
+    * each token, and folds the hashes into ONE Bloom bit array per source
+    * file ([[graft.functions.Bloom.BuildAgg]] as a grouped aggregate —
+    * partials merge by bitwise OR, so the shuffle moves nFiles × numBits/8
+    * bytes, not tokens). Published as `<name>.__grepidx__` (file, bits,
+    * num_hashes, analyzed_version): nFiles rows — metadata-sized, the text
+    * twin of `__filestats__`'s numeric min/max.
+    *
+    * Why: `grep_documents` is a full corpus scan by construction. At 100 TB
+    * the only way a literal-word grep gets cheaper is skipping FILES, and
+    * numeric zone maps can't see into a text column — a token Bloom can.
+    * numBits sizes per file (2^17 bits = 16 KiB/file holds ~1e-3 FP to
+    * ~9k distinct tokens/file; raise it for bigger files). */
+  def analyzeGrepIndex(
+      name: String,
+      textCol: String,
+      numBits: Int = 1 << 17,
+      numHashes: Int = 4,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val analyzedVersion = versions(name).headOption.getOrElse(-1L)
+    val bloomAgg = udaf(new graft.functions.Bloom.BuildAgg(numBits, numHashes))
+    val idx = readTable(name, format)
+      .select(input_file_name().as("file"), col(textCol))
+      // per-row distinct tokens; cross-row duplicates are fine (Bloom insert
+      // is idempotent), so no distinct() shuffle before the aggregate
+      .select(col("file"), explode(array_distinct(split(lower(col(textCol)), "[^a-z0-9]+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("file"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("file"))
+      .agg(bloomAgg(col("h")).as("bits"))
+      .withColumn("num_hashes", lit(numHashes))
+      .withColumn("analyzed_version", lit(analyzedVersion))
+    putTable(s"$name.__grepidx__", idx, format)
+    readTable(s"$name.__grepidx__", format)
+  }
+
+  /** O(delta) refresh of the [[analyzeGrepIndex]] token Blooms after an
+    * append — per-file Blooms are the ideal incremental stat: a still-live
+    * file's bloom is inherited verbatim (restamped), and only the files the
+    * index has never seen are tokenized, with the SAME numBits/numHashes
+    * the existing index was built with (read back from its rows — a mixed
+    * geometry index would probe wrong). Loud when there's no prior index.
+    * Returns a one-row report (n_files_live, n_files_scanned,
+    * n_files_inherited). */
+  def analyzeGrepIndexAppended(
+      name: String,
+      textCol: String,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(format == "parquet", s"analyzeGrepIndexAppended is parquet-only, got $format")
+    require(
+      this.exists(s"$name.__grepidx__"),
+      s"no __grepidx__ for '$name' — run analyzeGrepIndex once before going incremental")
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
+    require(currentVersion >= 0, s"no versioned data for '$name'")
+    val priorDf   = readTable(s"$name.__grepidx__", format)
+    val priorMeta = priorDf.select(col("file"), col("num_hashes"), size(col("bits")).as("words")).collect()
+    require(priorMeta.nonEmpty, s"empty __grepidx__ for '$name'")
+    val numHashes = priorMeta.head.getAs[Int]("num_hashes")
+    val numBits   = priorMeta.head.getAs[Int]("words") * 64
+    require(
+      priorMeta.forall(r => r.getAs[Int]("num_hashes") == numHashes && r.getAs[Int]("words") * 64 == numBits),
+      s"mixed bloom geometry in __grepidx__ for '$name' — rebuild with analyzeGrepIndex")
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val live      = liveFiles(name)
+    val liveNorm  = live.map(norm).toSet
+    val keepFiles = priorMeta.map(_.getAs[String]("file")).filter(f => liveNorm.contains(norm(f)))
+    val keptNorm  = keepFiles.map(norm).toSet
+    val missing   = live.filterNot(f => keptNorm.contains(norm(f)))
+    val inherited = priorDf
+      .filter(col("file").isin(keepFiles.toSeq: _*))
+      .withColumn("analyzed_version", lit(currentVersion))
+    val idx =
+      if (missing.isEmpty) inherited
+      else {
+        val bloomAgg = udaf(new graft.functions.Bloom.BuildAgg(numBits, numHashes))
+        val schema   = readTable(name, format).schema
+        val fresh = spark.read
+          .schema(schema)
+          .parquet(missing: _*)
+          .select(input_file_name().as("file"), col(textCol))
+          .select(col("file"), explode(array_distinct(split(lower(col(textCol)), "[^a-z0-9]+"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .select(col("file"), xxhash64(col("tok")).as("h"))
+          .groupBy(col("file"))
+          .agg(bloomAgg(col("h")).as("bits"))
+          .withColumn("num_hashes", lit(numHashes))
+          .withColumn("analyzed_version", lit(currentVersion))
+        inherited.unionByName(fresh)
+      }
+    putTable(s"$name.__grepidx__", idx, format)
+    spark
+      .createDataFrame(Seq((live.size.toLong, missing.size.toLong, keepFiles.size.toLong)))
+      .toDF("n_files_live", "n_files_scanned", "n_files_inherited")
+  }
+
+  /** Grep with file-granular pruning through the [[analyzeGrepIndex]] token
+    * Blooms: scan ONLY the files whose index says they might contain EVERY
+    * required token, then verify survivors with the real regex. Exact by
+    * construction — Blooms have no false negatives, so a file containing a
+    * match always scans; false-positive files are eliminated by the regex.
+    *
+    * `requiredTokens` is the caller's assertion that every document matching
+    * `pattern` contains each token as a maximal lowercase `[a-z0-9]+` run
+    * (e.g. pattern `"join .* shuffle"` requires `join` and `shuffle`; for an
+    * alternation, pass only tokens common to ALL branches, or run one call
+    * per branch and union). Tokens outside the tokenizer's domain are a
+    * caller bug and fail loudly. Missing or stale index (re-PUT without
+    * re-ANALYZE) degrades to the full filtered scan — same
+    * correctness-preserving fallback as [[readTableWhere]]. */
+  def grepPruned(
+      name: String,
+      textCol: String,
+      pattern: String,
+      requiredTokens: Seq[String],
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(requiredTokens.nonEmpty, "grepPruned needs at least one required token (else use a plain grep)")
+    requiredTokens.foreach(t =>
+      require(
+        t.matches("[a-z0-9]+"),
+        s"required token '$t' is outside the index tokenizer's domain [a-z0-9]+ — " +
+          "the prune would false-negative; lowercase it or split it"))
+    def fullScan = readTable(name, format).filter(col(textCol).rlike(pattern))
+    // file-list reads below are parquet-specific; other formats keep the
+    // correct full-scan path
+    if (format != "parquet") return fullScan
+    if (!this.exists(s"$name.__grepidx__")) return fullScan
+    val idx = readTable(s"$name.__grepidx__", format).collect() // nFiles rows — metadata-sized
+    val current = versions(name).headOption.getOrElse(-1L)
+    val fresh = current >= 0 && idx.forall(_.getAs[Long]("analyzed_version") == current)
+    if (!fresh) return fullScan
+    // token hashes via a one-row local relation — exact xxhash64 parity with
+    // the executor-side index build (never re-implement the hash driver-side)
+    val hashes = spark
+      .createDataFrame(requiredTokens.map(Tuple1(_)))
+      .toDF("tok")
+      .select(xxhash64(col("tok")))
+      .collect()
+      .map(_.getLong(0))
+    val files = idx.collect {
+      case r if hashes.forall(h =>
+            graft.functions.Bloom.testLocal(r.getAs[Seq[Long]]("bits").toArray, r.getAs[Int]("num_hashes"), h)) =>
+        r.getAs[String]("file")
+    }
+    if (files.isEmpty) readTable(name, format).filter(lit(false))
+    else spark.read.parquet(files.toSeq: _*).filter(col(textCol).rlike(pattern))
   }
 
   /** Small-file compaction (lakehouse OPTIMIZE): rewrite the dataset's

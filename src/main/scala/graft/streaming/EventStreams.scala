@@ -990,6 +990,30 @@ object EventStreams {
         } finally latest.unpersist()
       }
 
+  /** Append-only streaming INGEST into a catalog table — [[mergeStream]]'s
+    * twin for immutable event/log data. Each micro-batch lands O(delta)
+    * through the catalog's manifest append ([[graft.sources.Catalog
+    * .appendTable]]): the published next version references the previous
+    * version's files plus the batch's new files, so per-trigger cost is the
+    * batch size, never the table size (mergeStream's whole-table rewrite is
+    * the right shape only for keyed STATE tables). Exactly-once across
+    * Structured Streaming's failure/replay semantics: foreachBatch can
+    * re-deliver a batch id, and [[graft.sources.Catalog
+    * .appendTableExactlyOnce]] commits the id atomically with the data (a
+    * marker inside the manifest version), so a replayed batch is skipped —
+    * no dupes, no holes — as long as the stream is the table's sole writer.
+    * Compose with [[graft.sources.Catalog.compact]] + vacuum when the
+    * accumulated generations go small-file-pathological. */
+  def appendStream(
+      updates: DataFrame,
+      catalog: graft.sources.Catalog,
+      table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        catalog.appendTableExactlyOnce(table, batch, batchId): Unit
+      }
+
   /** Read a DIRECTORY of event parquet files as a stream, one file per
     * micro-batch (FileStreamSource requires a directory, not a single
     * file). Applies the same nanos→timestamp conversion as Tables when the
