@@ -348,6 +348,60 @@ object Relational {
       Seq((nHead, nTail, sTail)).toDF("n_head", "n_tail", "sum_tail")
     },
 
+    // ------------------------------------------------- sampled approx agg
+    // The AQP tier: analyzeSample publishes a deterministic md5-hash 1/16
+    // slice of the table (version-stamped like every stats tier), and
+    // approxAgg answers grouped COUNT/SUM from ONLY that slice, scaled by
+    // the exact integer factor — sample cost instead of corpus cost, and
+    // bit-reproducible (the oracle applies the SAME portable hash filter
+    // and scaling in DuckDB, so a biased sample, wrong scale, or stale
+    // stamp hash-mismatches). At 100 TB this is the "answer in seconds
+    // from the pre-materialized slice" exploratory path.
+    Q(
+      "catalog_approx_agg",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) * 16 AS BIGINT) AS n_est,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 16 AS DECIMAL(38,2)) AS DOUBLE) AS sum_est
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '1'
+        GROUP BY o_orderpriority
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-approx-agg").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_s", t.orders)
+      cat.analyzeSample("orders_s", "o_orderkey")
+      cat.approxAgg("orders_s", "o_orderpriority", "o_totalprice")
+    },
+
+    // --------------------------------------------- partial compaction
+    // Manifest-aware OPTIMIZE: a 16-way tiny-file PUT (the streaming-append
+    // pathology) bin-packed by compactSmallFiles, which rewrites ONLY the
+    // small files and re-references everything else. The oracle is the
+    // full-table count/sum, so a row lost or duplicated in the repack
+    // hash-mismatches. MutationSpec pins the mechanics (large files
+    // re-referenced verbatim, no-op below 2 small files, O(delta) stats
+    // refresh over the packed outputs).
+    Q(
+      "catalog_pack_small",
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(COALESCE(SUM(CAST(o_orderkey AS BIGINT)), 0) AS BIGINT) AS sum_keys
+        FROM orders
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-pack-small").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_p", t.orders.repartition(16))
+      cat.compactSmallFiles("orders_p", smallBytes = 1L << 30, targetBytes = 1L << 30)
+      val res = cat.readTable("orders_p")
+      val n   = res.count()
+      val s   = res.agg(coalesce(sum(col("o_orderkey").cast("long")), lit(0L))).head().getLong(0)
+      Seq((n, s)).toDF("n_rows", "sum_keys")
+    },
+
     // ---------------------------------------------------------- semi join
     // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
     // keys of the filtered side when small; left_semi never duplicates rows.

@@ -1124,6 +1124,118 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     }
   }
 
+  /** Partial compaction, manifest-aware — the OPTIMIZE that respects what
+    * append built: [[compact]] rewrites the whole table (right after a
+    * clustering change), but the streaming-append pathology is many SMALL
+    * generations sitting next to perfectly good large files. This bin-packs
+    * ONLY the files under `smallBytes` into ~`targetBytes` outputs and
+    * publishes a manifest that re-references every large file verbatim —
+    * O(small bytes), not O(table). Compose with [[analyzeAppended]] (the
+    * packed outputs are the only unseen files, so the stats refresh is
+    * O(delta) too) and [[vacuum]] (the packed-away inputs become
+    * unreferenced blobs once their last referencing version GCs). Returns
+    * a one-row report (n_files_live, n_files_packed, n_files_written);
+    * 0/0 written when ≤1 small file exists (packing one file is churn).
+    * Parquet only. */
+  def compactSmallFiles(
+      name: String,
+      smallBytes: Long = 8L << 20,
+      targetBytes: Long = 64L << 20): org.apache.spark.sql.DataFrame = lockFor(name).synchronized {
+    require(smallBytes > 0 && targetBytes > 0, "thresholds must be positive")
+    val files = liveFiles(name)
+    val sized = files.map(f => f -> fs.getFileStatus(new Path(f)).getLen)
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    def report(packed: Long, written: Long) =
+      spark
+        .createDataFrame(Seq((files.size.toLong, packed, written)))
+        .toDF("n_files_live", "n_files_packed", "n_files_written")
+    if (small.size <= 1) report(0L, 0L)
+    else {
+      val schema = readTable(name).schema
+      val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+      val gen  = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
+      spark.read
+        .schema(schema)
+        .parquet(small.map(_._1): _*)
+        .repartition(nOut)
+        .write
+        .mode("overwrite")
+        .parquet(gen.toString)
+      val packedFiles = listDataFiles(gen)
+      publishVersion(name)(dir => writeManifest(dir, big.map(_._1) ++ packedFiles, schema))
+      report(small.size.toLong, packedFiles.size.toLong)
+    }
+  }
+
+  // --------------------------------------------------------- sample tier
+
+  /** ANALYZE-time SAMPLE tier: publish `<name>.__sample__`, a DETERMINISTIC
+    * `sixteenths`/16 hash sample of the table (rows where the first hex
+    * digit of md5(keyCol) is below the threshold — a pure function of the
+    * row, so reruns, other engines, and the DuckDB oracle select the SAME
+    * rows), plus a version-stamped `__samplemeta__` describing it. The
+    * point at 100 TB: a pre-materialized 1/16 (or 1/8, 1/4, 1/2) slice
+    * answers exploratory aggregations at sample cost via [[approxAgg]]
+    * without touching the corpus, with the same staleness discipline as
+    * every other stats tier. `sixteenths` is restricted to {1,2,4,8} so the
+    * scale-up factor 16/sixteenths is an exact integer — estimates stay
+    * decimal-exact and cross-engine reproducible. */
+  def analyzeSample(
+      name: String,
+      keyCol: String,
+      sixteenths: Int = 1,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(Set(1, 2, 4, 8).contains(sixteenths), s"sixteenths must be one of 1,2,4,8; got $sixteenths")
+    val analyzedVersion = versions(name).headOption.getOrElse(-1L)
+    val threshold = sixteenths.toHexString // '1','2','4','8'
+    val sample = readTable(name, format)
+      .filter(substring(md5(col(keyCol).cast("string")), 1, 1) < lit(threshold))
+    putTable(s"$name.__sample__", sample, format)
+    putTable(
+      s"$name.__samplemeta__",
+      spark
+        .createDataFrame(Seq((keyCol, sixteenths, 16 / sixteenths, analyzedVersion)))
+        .toDF("key_col", "sixteenths", "scale", "data_version"),
+      format)
+    readTable(s"$name.__sample__", format)
+  }
+
+  /** Approximate grouped COUNT/SUM from the published sample tier — reads
+    * ONLY `<name>.__sample__` (sample cost, never corpus cost) and scales
+    * by the exact integer factor the sample was built with. Estimates from
+    * a stale sample are silently wrong in the worst way (they LOOK
+    * plausible), so a version-stamp mismatch is refused loudly, not
+    * degraded. Sums run through DECIMAL(18,2) so the estimate is
+    * bit-reproducible across engines. Unbiased for any group whose
+    * membership is independent of the md5 hash (i.e. everything that isn't
+    * keyed on the sample key itself); expected relative error ~
+    * 1/sqrt(group's sample count). */
+  def approxAgg(
+      name: String,
+      groupCol: String,
+      sumCol: String,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(this.exists(s"$name.__samplemeta__"), s"no sample tier for '$name' — run analyzeSample first")
+    val meta = readTable(s"$name.__samplemeta__", format).head()
+    val stamped = meta.getAs[Long]("data_version")
+    val current = versions(name).headOption.getOrElse(-1L)
+    require(
+      current >= 0 && stamped == current,
+      s"sample for '$name' is stamped v$stamped but the data is v$current — re-run analyzeSample " +
+        "(a stale-sample estimate would be silently biased)")
+    val scale = meta.getAs[Int]("scale")
+    readTable(s"$name.__sample__", format)
+      .groupBy(col(groupCol))
+      .agg(
+        (count(lit(1)) * scale).as("n_est"),
+        (sum(col(sumCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))) * scale)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .cast("double")
+          .as("sum_est"))
+  }
+
   // ------------------------------------------------ incremental ANALYZE
 
   /** O(delta) stats refresh after [[appendTable]] — the piece that makes

@@ -141,6 +141,39 @@ class MutationSpec extends SparkSpec {
     }
   }
 
+  test("compactSmallFiles packs only the small files; large files are re-referenced verbatim") {
+    withCat { cat =>
+      // one large generation + several tiny ones (the streaming-append shape)
+      cat.putTable("c1", kv(1 to 20000, "base").coalesce(1))
+      (1 to 4).foreach(i =>
+        cat.appendTable("c1", kv((20000 + i * 10 - 9) to (20000 + i * 10), s"g$i").coalesce(1)))
+      val files = cat.readTable("c1").inputFiles
+      val bigFile = files.maxBy(f => new java.io.File(new java.net.URI(f).getPath).length())
+      val bigLen  = new java.io.File(new java.net.URI(bigFile).getPath).length()
+      val rep = cat.compactSmallFiles("c1", smallBytes = bigLen, targetBytes = 1L << 30).head()
+      assert(rep.getAs[Long]("n_files_packed") === 4L)
+      assert(rep.getAs[Long]("n_files_written") >= 1L)
+      val after = cat.readTable("c1")
+      assert(after.count() === 20040)
+      assert(after.inputFiles.contains(bigFile), "the large file must be re-referenced, not rewritten")
+      // O(delta) stats compose: only the packed outputs are unseen
+      cat.analyzeTable("c1", fileStats = true)
+      cat.appendTable("c1", kv(30001 to 30010, "tail").coalesce(1))
+      val rep2 = cat.analyzeAppended("c1").head()
+      assert(rep2.getAs[Long]("n_files_scanned") === 1L)
+    }
+  }
+
+  test("compactSmallFiles is a no-op below two small files") {
+    withCat { cat =>
+      cat.putTable("c2", kv(1 to 100, "x").coalesce(1))
+      val v   = cat.versions("c2").head
+      val rep = cat.compactSmallFiles("c2").head()
+      assert(rep.getAs[Long]("n_files_packed") === 0L)
+      assert(cat.versions("c2").head === v, "no-op compaction must not churn versions")
+    }
+  }
+
   test("appendTableExactlyOnce: a replayed batch id is skipped, a fresh one lands") {
     withCat { cat =>
       assert(cat.appendTableExactlyOnce("s1", kv(1 to 10, "b0"), 0L))

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+
+/** The sampled approximate-aggregation tier: estimates are EXACTLY the
+  * scaled sample aggregate (determinism — same rows, same arithmetic,
+  * every run and every engine), reads touch only the sample table,
+  * estimates land near truth for well-populated groups, and a stale
+  * sample refuses loudly.
+  */
+class SampleTierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCat[A](f: Catalog => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sample-spec").toString
+    f(new Catalog(spark, root))
+  }
+
+  private def fixture = (1 to 8000).map(i => (i.toLong, s"g${i % 4}", (i % 100).toDouble)).toDF("k", "g", "x")
+
+  test("approxAgg equals the manually scaled deterministic sample aggregate") {
+    withCat { cat =>
+      cat.putTable("t", fixture)
+      cat.analyzeSample("t", "k")
+      val got = cat.approxAgg("t", "g", "x").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = fixture
+        .filter(substring(md5(col("k").cast("string")), 1, 1) < "1")
+        .groupBy(col("g"))
+        .agg(
+          (count(lit(1)) * 16).as("n_est"),
+          (sum(col("x").cast("decimal(18,2)")) * 16).cast("decimal(38,2)").cast("double").as("sum_est"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === want)
+    }
+  }
+
+  test("approxAgg reads only the sample table, never the base data") {
+    withCat { cat =>
+      cat.putTable("t2", fixture)
+      cat.analyzeSample("t2", "k")
+      val baseFiles = cat.readTable("t2").inputFiles.toSet
+      val est       = cat.approxAgg("t2", "g", "x")
+      assert(est.inputFiles.toSet.intersect(baseFiles).isEmpty, "estimate must come from the sample tier")
+    }
+  }
+
+  test("estimates land near truth for well-populated groups (1/16 of 2000 rows per group)") {
+    withCat { cat =>
+      cat.putTable("t3", fixture)
+      cat.analyzeSample("t3", "k")
+      val truth = fixture.groupBy(col("g")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      cat.approxAgg("t3", "g", "x").collect().foreach { r =>
+        val (g, nEst) = (r.getString(0), r.getLong(1))
+        val rel = math.abs(nEst - truth(g)).toDouble / truth(g)
+        assert(rel < 0.5, s"group $g estimate $nEst vs truth ${truth(g)} off by ${rel * 100}%")
+      }
+    }
+  }
+
+  test("stale sample refuses loudly after a re-PUT") {
+    withCat { cat =>
+      cat.putTable("t4", fixture)
+      cat.analyzeSample("t4", "k")
+      cat.putTable("t4", fixture.limit(100))
+      val e = intercept[IllegalArgumentException](cat.approxAgg("t4", "g", "x"))
+      assert(e.getMessage.contains("re-run analyzeSample"))
+    }
+  }
+
+  test("larger sixteenths trade cost for accuracy with exact integer scaling") {
+    withCat { cat =>
+      cat.putTable("t5", fixture)
+      cat.analyzeSample("t5", "k", sixteenths = 8)
+      val total = cat.approxAgg("t5", "g", "x").agg(sum(col("n_est"))).head().getLong(0)
+      val rel   = math.abs(total - 8000L).toDouble / 8000L
+      assert(rel < 0.15, s"half-sample total estimate $total vs 8000 off by ${rel * 100}%")
+      val e = intercept[IllegalArgumentException](cat.analyzeSample("t5", "k", sixteenths = 3))
+      assert(e.getMessage.contains("1,2,4,8"))
+    }
+  }
+}
