@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Catalog
+
+/** CATALOG-PERSISTED IVF index — the "index once, query many" lifecycle the
+  * in-memory ANN rows rebuild per query. [[Similarity.ivfSearch]] already
+  * documents serving from a reloaded index; this closes the loop through
+  * the storage layer with the property that makes it pay at 100 TB: the
+  * assignments are hive-partitioned BY CELL ([[Catalog.putPartitionedTable]]),
+  * so a probe of `nprobe` cells is a PARTITION-PRUNED scan — the planner
+  * lists only the probed cells' directories, and the other
+  * (nlist − nprobe)/nlist of the index contributes zero I/O (AnnIndexSpec
+  * pins PartitionFilters and the pruned file set; the gate row pins
+  * result-identity with the in-memory path against the full DuckDB k-means
+  * replay oracle).
+  *
+  * Layout: `<name>` = (neighbor_id, cv, cn) partitioned by cell (the
+  * full-precision vectors ride the index rows, so serving never touches
+  * the corpus); `<name>.__centroids__` = (cell, dim, v) — the nlist × d
+  * model, published AFTER the assignments so a crash mid-build can't leave
+  * a centroid table pointing at a missing index (search requires both).
+  * Both are versioned catalog tables; rebuild = re-run build.
+  *
+  * The deterministic trainer ([[Similarity.kmeans]] with tol = 0) keeps
+  * the whole lifecycle — train, persist, reload, probe, exact rerank —
+  * replayable in SQL, which is what lets the gate hash-check a PERSISTED
+  * index against DuckDB.
+  */
+object AnnIndex {
+
+  /** Train the centroid model, persist assignments (cell-partitioned) and
+    * the model; returns the centroids for immediate use. */
+  def build(
+      cat: Catalog,
+      name: String,
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 5,
+      assign: Int = 1): Array[Array[Double]] = {
+    val centroids = Similarity.kmeans(corpus, k = nlist, maxIter = iters, tol = 0.0).centroids
+    cat.putPartitionedTable(name, Similarity.ivfAssign(corpus, centroids, assign), "cell")
+    val spark = corpus.sparkSession
+    val rows = centroids.zipWithIndex.flatMap { case (arr, c) =>
+      arr.zipWithIndex.map { case (v, d) => (c, d, v) }
+    }.toSeq
+    cat.putTable(s"$name.__centroids__", spark.createDataFrame(rows).toDF("cell", "dim", "v"))
+    centroids
+  }
+
+  /** Reload the nlist × d centroid model (model-sized collect). */
+  def loadCentroids(cat: Catalog, name: String): Array[Array[Double]] = {
+    val rows = cat.readTable(s"$name.__centroids__").collect()
+    require(rows.nonEmpty, s"no persisted centroids for ANN index '$name' — run build first")
+    val nlist = rows.map(_.getAs[Int]("cell")).max + 1
+    val d     = rows.map(_.getAs[Int]("dim")).max + 1
+    val cs    = Array.fill(nlist)(new Array[Double](d))
+    rows.foreach(r => cs(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) = r.getAs[Double]("v"))
+    cs
+  }
+
+  /** Serve `queries` (a SMALL batch — it is broadcast by the searcher and
+    * its probed-cell union is computed as a tiny job) from the persisted
+    * index: restrict the scan to the union of every query's `nprobe`
+    * nearest cells — a partition-pruning IN-filter on the cell directory
+    * column — then run the standard exact-rerank search over the sliver.
+    * Identical results to the in-memory path by construction: the pruned
+    * cells are exactly the cells the searcher joins on. */
+  def search(
+      cat: Catalog,
+      name: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(cat, name)
+    val probed: Array[Int] = queries
+      .select(
+        explode(
+          graft.functions.VectorFunctions
+            .vec_nearest_cells(col("embedding").cast("array<double>"), centroids, nprobe)).as("cell"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+    val pruned = cat.readTable(name).filter(col("cell").isin(probed.toSeq: _*))
+    Similarity.ivfSearch(pruned, queries, centroids, k, nprobe)
+  }
+}

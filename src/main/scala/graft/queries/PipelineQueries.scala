@@ -2225,6 +2225,24 @@ object PipelineQueries {
           nprobe = 8)
     },
 
+    // --------------------- ANN: the PERSISTED index, partition-pruned
+    // ann_ivf_kmeans' storage twin — same deterministic trainer, same
+    // search math, same oracle — but the index lives in the catalog:
+    // assignments hive-partitioned BY CELL, centroids as a model table,
+    // queries served by a PARTITION-PRUNED scan of only the probed cells
+    // (AnnIndexSpec pins PartitionFilters + the pruned file set). The
+    // hash-identity with the in-memory row is the claim that persisting
+    // and reloading the index changes NOTHING but the I/O shape.
+    Q(
+      "ann_ivf_persisted",
+      Some(ivfKmeansOracle(nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10))) { (spark, dir) =>
+      val emb  = Tables(spark, dir).embeddings
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      graft.operators.AnnIndex.build(cat, "emb_ivf", emb, nlist = 16, iters = 5, assign = 3)
+      graft.operators.AnnIndex.search(cat, "emb_ivf", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
+    },
+
     // ------------------- ANN: int8 IVF over the DETERMINISTIC quantizer
     // ann_ivf_kmeans' int8 sibling: same decimal-exact k-means model, but
     // served from the quantized resident index (d+16 bytes/vector) with

@@ -304,6 +304,32 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       }
     }
 
+  /** Hive-layout PUT: the rows land under one directory PER VALUE of
+    * `partCol` (Spark's partitionBy), so an equality/IN predicate on that
+    * column prunes DIRECTORIES at planning time (PartitionFilters — zero
+    * data files of other partitions are even listed). The coarse sibling
+    * of the zone-map tier: use it when a column's values are few and
+    * queries select by them (date partitions, ANN index cells, language
+    * shards). Reads go through the ordinary [[readTable]] — Spark
+    * reconstructs the partition column from the directory names. */
+  def putPartitionedTable(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      partCol: String,
+      format: String = "parquet"): Unit = {
+    require(
+      df.schema.fieldNames.contains(partCol),
+      s"partition column '$partCol' not in schema ${df.schema.fieldNames.mkString(",")}")
+    publishVersion(name) { dir =>
+      val w = df.write.mode("overwrite").partitionBy(partCol)
+      format match {
+        case "parquet" => w.parquet(dir.toString)
+        case "orc"     => w.orc(dir.toString)
+        case other     => throw new IllegalArgumentException(s"unsupported partitioned format: $other")
+      }
+    }
+  }
+
   /** Structured dataset read, format-symmetric with [[putTable]]. For csv,
     * pass `schema` to avoid a driver inference pass over the data. */
   def readTable(
