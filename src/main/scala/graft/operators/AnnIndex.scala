@@ -31,8 +31,9 @@ import graft.sources.Catalog
   */
 object AnnIndex {
 
-  /** Train the centroid model, persist assignments (cell-partitioned) and
-    * the model; returns the centroids for immediate use. */
+  /** Train the centroid model, persist assignments (cell-partitioned), the
+    * model, and the build parameters (so [[append]] assigns new vectors
+    * with the SAME multiplicity); returns the centroids for immediate use. */
   def build(
       cat: Catalog,
       name: String,
@@ -47,7 +48,57 @@ object AnnIndex {
       arr.zipWithIndex.map { case (v, d) => (c, d, v) }
     }.toSeq
     cat.putTable(s"$name.__centroids__", spark.createDataFrame(rows).toDF("cell", "dim", "v"))
+    cat.putTable(
+      s"$name.__annmeta__",
+      spark.createDataFrame(Seq((nlist, iters, assign))).toDF("nlist", "iters", "assign"))
     centroids
+  }
+
+  /** Incremental maintenance: assign `vectors` with the FROZEN persisted
+    * model (no retraining — the appended vectors see exactly the geometry
+    * the base build froze, which is what keeps the whole multi-generation
+    * index replayable in the oracle) and persist them as a new
+    * cell-partitioned GENERATION table (`<name>.__anngenNNNN__`).
+    * [[search]] serves across the base and every generation; probes stay
+    * partition-pruned per generation (the IN-filter pushes through the
+    * union into each branch's directory listing). O(delta) by
+    * construction. Retrain when [[audit]] says the frozen geometry has
+    * drifted — rebuild re-trains and new appends chain off the new model.
+    * Returns the generation index. */
+  def append(cat: Catalog, name: String, vectors: DataFrame): Int = {
+    val meta      = cat.readTable(s"$name.__annmeta__").head()
+    val centroids = loadCentroids(cat, name)
+    val k         = cat.lsPrefix(s"$name.__anngen").size
+    val gen       = f"$name.__anngen$k%04d__"
+    cat.putPartitionedTable(gen, Similarity.ivfAssign(vectors, centroids, meta.getAs[Int]("assign")), "cell")
+    k
+  }
+
+  /** The base index plus every appended generation. */
+  private def readIndex(cat: Catalog, name: String): DataFrame =
+    cat.lsPrefix(s"$name.__anngen").sorted
+      .foldLeft(cat.readTable(name))((acc, g) => acc.unionByName(cat.readTable(g)))
+
+  /** The retrain signal: per-generation/vector counts and the CELL
+    * IMBALANCE of the combined index (max cell population / mean). A
+    * frozen model serving drifted data funnels new vectors into few
+    * cells, so probes stop pruning — imbalance rising past ~2–3 means
+    * rebuild. One map-side-combined count over index metadata columns. */
+  def audit(cat: Catalog, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{countDistinct => cd}
+    val idx    = readIndex(cat, name)
+    val nGens  = cat.lsPrefix(s"$name.__anngen").size
+    val counts = idx.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val r = counts
+      .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"), sum(col("n")).as("rows"), cd(col("cell")).as("cells"))
+      .head()
+    idx.sparkSession
+      .createDataFrame(Seq((
+        nGens.toLong,
+        r.getAs[Long]("rows"),
+        r.getAs[Long]("cells"),
+        BigDecimal(r.getAs[Double]("mx") / r.getAs[Double]("mean")).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n_gens", "n_index_rows", "n_cells", "cell_imbalance")
   }
 
   /** Reload the nlist × d centroid model (model-sized collect). */
@@ -83,7 +134,7 @@ object AnnIndex {
       .distinct()
       .collect()
       .map(_.getInt(0))
-    val pruned = cat.readTable(name).filter(col("cell").isin(probed.toSeq: _*))
+    val pruned = readIndex(cat, name).filter(col("cell").isin(probed.toSeq: _*))
     Similarity.ivfSearch(pruned, queries, centroids, k, nprobe)
   }
 }

@@ -32,14 +32,19 @@ object PipelineQueries {
     *    in double; `c{i}` keeps the previous centroid for empty cells.
     * Spark stops early only at an exact fixpoint (tol = 0), where further
     * unrolled rounds are identities — iteration counts can't diverge. */
-  private def kmeansCellsPrefix(k: Int, iters: Int, dim: Int = 64): String = {
+  private def kmeansCellsPrefix(k: Int, iters: Int, dim: Int = 64, trainWhere: String = ""): String = {
     val d1 = dim + 1
+    // tv = the TRAINING set (all vectors unless a subset predicate is
+    // given — the incremental-index rows train on a slice and assign
+    // everything); init and every round run on tv, downstream assignment
+    // CTEs keep using nv (all vectors)
     val head =
       s"""WITH v0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
          nrm AS MATERIALIZED (SELECT vec_id, x, sqrt(list_reduce(list_transform(x, t -> t * t), (a, b) -> a + b)) AS nr FROM v0),
          nv AS MATERIALIZED (SELECT vec_id, CASE WHEN nr > 0 THEN list_transform(x, t -> t / nr) ELSE x END AS v FROM nrm),
+         tv AS MATERIALIZED (SELECT vec_id, v FROM nv $trainWhere),
          c0 AS MATERIALIZED (SELECT cluster, cv FROM (
-              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv FROM nv) WHERE cluster < $k)"""
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv FROM tv) WHERE cluster < $k)"""
     val rounds = (1 to iters)
       .map { it =>
         val p = it - 1
@@ -48,7 +53,7 @@ object PipelineQueries {
                      ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
                        list_reduce(list_transform(range(1, $d1), i -> (nv.v[i] - c.cv[i]) * (nv.v[i] - c.cv[i])), (a, b) -> a + b) ASC,
                        c.cluster ASC) AS rk
-              FROM nv CROSS JOIN c$p c) WHERE rk = 1),
+              FROM tv AS nv CROSS JOIN c$p c) WHERE rk = 1),
             m$it AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS cv FROM (
               SELECT cluster, pos, CAST(SUM(CAST(val AS DECIMAL(38, 18))) AS DOUBLE) / COUNT(*) AS m
               FROM (SELECT cluster, unnest(range(1, $d1)) - 1 AS pos, unnest(v) AS val FROM a$it)
@@ -435,6 +440,21 @@ object PipelineQueries {
 
   private def ivfKmeansOracle(nlist: Int, iters: Int, assign: Int, nprobe: Int, k: Int): String =
     s"""${kmeansCellsPrefix(nlist, iters)},
+       ${ivfAssignProbes(s"c$iters", assign, nprobe, nQueries = 8)},
+       ${ivfExactTail(k)}"""
+
+  /** DuckDB oracle for ann_ivf_appended — the incremental-index lifecycle:
+    * the model trains on the SUBSET `trainWhere` selects (the base build),
+    * assignment/probe/serve run over ALL vectors (base + appended
+    * generations, frozen centroids) — exactly what AnnIndex.append does. */
+  private def ivfKmeansSubsetOracle(
+      nlist: Int,
+      iters: Int,
+      assign: Int,
+      nprobe: Int,
+      k: Int,
+      trainWhere: String): String =
+    s"""${kmeansCellsPrefix(nlist, iters, trainWhere = trainWhere)},
        ${ivfAssignProbes(s"c$iters", assign, nprobe, nQueries = 8)},
        ${ivfExactTail(k)}"""
 
@@ -2241,6 +2261,28 @@ object PipelineQueries {
       val cat  = new graft.sources.Catalog(spark, root)
       graft.operators.AnnIndex.build(cat, "emb_ivf", emb, nlist = 16, iters = 5, assign = 3)
       graft.operators.AnnIndex.search(cat, "emb_ivf", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
+    },
+
+    // ------------------ ANN: incremental index (frozen-model append)
+    // The maintenance half of the persisted index: build on the even-id
+    // half (the model trains on THAT slice only), append the odd-id half
+    // as a new generation assigned with the FROZEN centroids, serve across
+    // both generations. The oracle replays exactly this lifecycle — train
+    // on the subset, assign everything — so a retrain-on-append, a lost
+    // generation, or a multiplicity mismatch all hash-mismatch. Probes
+    // stay partition-pruned per generation (AnnIndexSpec).
+    Q(
+      "ann_ivf_appended",
+      Some(ivfKmeansSubsetOracle(
+        nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10,
+        trainWhere = "WHERE vec_id % 2 = 0"))) { (spark, dir) =>
+      val emb  = Tables(spark, dir).embeddings
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-inc").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      graft.operators.AnnIndex
+        .build(cat, "emb_inc", emb.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 5, assign = 3)
+      graft.operators.AnnIndex.append(cat, "emb_inc", emb.filter(col("vec_id") % 2 === 1))
+      graft.operators.AnnIndex.search(cat, "emb_inc", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
     },
 
     // ------------------- ANN: int8 IVF over the DETERMINISTIC quantizer

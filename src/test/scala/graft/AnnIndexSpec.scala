@@ -57,6 +57,34 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("append assigns with the frozen model; search serves across generations") {
+    withCat { cat =>
+      val base  = emb.filter(col("vec_id") % 2 === 0)
+      val delta = emb.filter(col("vec_id") % 2 === 1)
+      val built = AnnIndex.build(cat, "inc", base, nlist = 8, iters = 3, assign = 2)
+      val gen   = AnnIndex.append(cat, "inc", delta)
+      assert(gen === 0)
+      val queries = emb.filter(col("vec_id") < 6)
+      val got     = AnnIndex.search(cat, "inc", queries, k = 5, nprobe = 4)
+      // equal to the in-memory search over ALL vectors assigned with the
+      // SAME frozen (base-trained) centroids
+      val want = Similarity.ivfSearch(Similarity.ivfAssign(emb, built, assign = 2), queries, built, k = 5, nprobe = 4)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      assert(AnnIndex.append(cat, "inc", delta.limit(3)) === 1, "generations must number sequentially")
+    }
+  }
+
+  test("audit reports generations, rows, and cell imbalance") {
+    withCat { cat =>
+      AnnIndex.build(cat, "aud", emb.filter(col("vec_id") % 2 === 0), nlist = 8, iters = 3)
+      AnnIndex.append(cat, "aud", emb.filter(col("vec_id") % 2 === 1))
+      val r = AnnIndex.audit(cat, "aud").head()
+      assert(r.getAs[Long]("n_gens") === 1L)
+      assert(r.getAs[Long]("n_index_rows") === emb.count())
+      assert(r.getAs[Double]("cell_imbalance") >= 1.0)
+    }
+  }
+
   test("searching a missing index is loud") {
     withCat { cat =>
       val e = intercept[Exception](AnnIndex.search(cat, "nope", emb.limit(1), k = 3))
