@@ -402,6 +402,55 @@ object Relational {
       Seq((n, s)).toDF("n_rows", "sum_keys")
     },
 
+    // ------------------------------------------- storage lifecycle e2e
+    // The composed mutation lifecycle, hash-checked end to end: PUT a
+    // third of the table, APPEND the rest in two exactly-once batches,
+    // full ANALYZE, a targeted DELETE, an O(delta) analyzeAppended (it
+    // doubles as the post-delete refresh — untouched files inherit their
+    // zone maps, only the rewrite generation scans), small-file
+    // compaction, another O(delta) refresh, VACUUM, then two zone-map-
+    // pruned reads plus the full count/sum. Any step corrupting a row,
+    // losing a file, or pruning wrongly hash-mismatches the DuckDB end
+    // state. This is the row that says the storage engine's pieces
+    // compose, not just pass alone.
+    Q(
+      "catalog_lifecycle_e2e",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_custkey > 30) AS n_rows,
+          (SELECT CAST(COALESCE(SUM(CAST(o_orderkey AS BIGINT)), 0) AS BIGINT)
+           FROM orders WHERE o_custkey > 30) AS sum_keys,
+          (SELECT COUNT(*) FROM orders WHERE o_custkey > 30 AND o_orderkey <= 1000) AS n_head,
+          (SELECT COUNT(*) FROM orders WHERE o_custkey > 30 AND o_orderkey > 55000) AS n_tail
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_l", t.orders.filter(col("o_orderkey") <= 20000).repartitionByRange(3, col("o_orderkey")))
+      cat.appendTableExactlyOnce(
+        "orders_l",
+        t.orders.filter(col("o_orderkey") > 20000 && col("o_orderkey") <= 40000)
+          .repartitionByRange(3, col("o_orderkey")),
+        0L)
+      cat.appendTableExactlyOnce(
+        "orders_l",
+        t.orders.filter(col("o_orderkey") > 40000).repartitionByRange(3, col("o_orderkey")),
+        1L)
+      cat.analyzeTable("orders_l", fileStats = true)
+      cat.deleteWhere("orders_l", "o_custkey", "<=", "30")
+      cat.analyzeAppended("orders_l")
+      cat.compactSmallFiles("orders_l", smallBytes = 256L << 10, targetBytes = 1L << 20)
+      cat.analyzeAppended("orders_l")
+      cat.vacuum("orders_l")
+      val all   = cat.readTable("orders_l")
+      val nRows = all.count()
+      val sKeys = all.agg(coalesce(sum(col("o_orderkey").cast("long")), lit(0L))).head().getLong(0)
+      val nHead = cat.readTableWhere("orders_l", "o_orderkey", "<=", "1000").count()
+      val nTail = cat.readTableWhere("orders_l", "o_orderkey", ">", "55000").count()
+      Seq((nRows, sKeys, nHead, nTail)).toDF("n_rows", "sum_keys", "n_head", "n_tail")
+    },
+
     // ---------------------------------------------------------- semi join
     // EXISTS: customers that placed an order in 1995. Broadcast the DISTINCT
     // keys of the filtered side when small; left_semi never duplicates rows.

@@ -1102,9 +1102,24 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         case "="  => c === v
       }
       val matches = coalesce(predT, lit(false)) // NULL column ⇒ survives
-      val nDel = cand.filter(matches).count()
+      // one pass over the candidates: deleted AND surviving counts (the
+      // survivor count decides whether a rewrite generation exists at all)
+      val cnts = cand
+        .agg(
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.when(matches, 1L).otherwise(0L)),
+          org.apache.spark.sql.functions.count(lit(1)))
+        .head()
+      val nDel = if (cnts.isNullAt(0)) 0L else cnts.getLong(0)
+      val nTot = cnts.getLong(1)
       if (nDel == 0L) report(0L, 0L)
-      else {
+      else if (nDel == nTot) {
+        // nothing survives the candidate set: no rewrite generation — the
+        // manifest simply drops the candidate files (an all-empty-file
+        // generation would be live data that yields zero stats rows, which
+        // the incremental-ANALYZE coverage guard rightly refuses)
+        publishVersion(name)(dir => writeManifest(dir, untouched, table.schema))
+        report(candidates.size.toLong, nDel)
+      } else {
         val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
         cand.filter(not(matches)).write.mode("overwrite").parquet(gen.toString)
         val rewritten = listDataFiles(gen)
@@ -1300,13 +1315,19 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
         f.dataType == org.apache.spark.sql.types.BinaryType)
     val prior = readTable(s"$name.__filestats__", format).collect()
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val live     = liveFiles(name)
+    val liveNorm = live.map(norm).toSet
+    // an EMPTY stats frame is legitimate exactly when the table is empty
+    // (a delete-all left nothing to describe); empty stats over live data
+    // is a coverage hole only a full ANALYZE can fill
+    require(
+      prior.nonEmpty || live.isEmpty,
+      s"__filestats__ for '$name' is empty but the table has data — run a full analyzeTable(fileStats = true)")
     val priorColumns = prior.map(_.getAs[String]("column")).toSet
     require(
-      priorColumns == fields.map(_.name).toSet,
+      prior.isEmpty || priorColumns == fields.map(_.name).toSet,
       s"schema drift since last ANALYZE of '$name' (stats cover $priorColumns) — run a full analyzeTable")
-    def norm(s: String): String = new Path(s).toUri.getPath
-    val live         = liveFiles(name)
-    val liveNorm     = live.map(norm).toSet
     val priorByNorm  = prior.groupBy(r => norm(r.getAs[String]("file")))
     val coveredNorm  = liveNorm.intersect(priorByNorm.keySet)
     val missing      = live.filterNot(f => coveredNorm.contains(norm(f)))

@@ -90,6 +90,22 @@ class IncrementalAnalyzeSpec extends SparkSpec {
     }
   }
 
+  test("delete-all then refresh: empty table yields empty stats, refresh stays legal") {
+    withCat { cat =>
+      cat.putTable("t4", kv(1 to 100))
+      cat.analyzeTable("t4", fileStats = true)
+      cat.deleteWhere("t4", "k", ">=", "0") // everything goes
+      cat.analyzeAppended("t4")             // refresh over the empty table
+      assert(cat.readTable("t4.__filestats__").count() === 0)
+      val rep = cat.analyzeAppended("t4").head() // and AGAIN: empty prior + empty table is legal
+      assert(rep.getAs[Long]("n_files_live") === 0L)
+      // but empty stats over LIVE data is a coverage hole and must refuse
+      cat.appendTable("t4", kv(1 to 5))
+      val e = intercept[IllegalArgumentException](cat.analyzeAppended("t4"))
+      assert(e.getMessage.contains("empty but the table has data"))
+    }
+  }
+
   test("grep index refresh is loud without a prior index") {
     withCat { cat =>
       cat.putTable("docs2", Seq((1L, "alpha")).toDF("doc_id", "text"))

@@ -478,6 +478,38 @@ class StreamingSpec extends SparkSpec {
       "the earlier generations must be re-referenced, not rewritten")
   }
 
+  test("ingest maintenance loop: many appendStream generations, then compact + vacuum, zero loss") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_maint_src_").toString
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft_maint_ck_").toString
+    val cat = new graft.sources.Catalog(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_maint_cat_").toString)
+    (1 to 12).foreach { b =>
+      Seq.tabulate(50)(i => (b * 1000L + i, s"b$b")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val sch = spark.read.parquet(srcDir).schema
+    val src = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = EventStreams
+      .appendStream(src, cat, "maint")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000))
+    val before = cat.readTable("maint").inputFiles.length
+    assert(before >= 12, s"expected one generation per micro-batch, got $before files")
+    val rep = cat.compactSmallFiles("maint", smallBytes = 1L << 30, targetBytes = 1L << 30).head()
+    assert(rep.getAs[Long]("n_files_packed") === before.toLong)
+    // the packed-away generations become reclaimable once their last
+    // referencing version is GC'd by one more publish
+    cat.appendTable("maint", Seq((999999L, "tail")).toDF("k", "v").coalesce(1))
+    assert(cat.vacuum("maint") > 0L, "superseded ingest generations must be reclaimed")
+    val all = cat.readTable("maint")
+    assert(all.count() === 12L * 50 + 1)
+    assert(all.filter(col("v") === "b7").count() === 50)
+  }
+
   test("streaming KMV distinct estimate converges bit-identical to the batch sketch") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, stagedDir).as[EventStreams.Event]
