@@ -106,6 +106,23 @@ class IncrementalAnalyzeSpec extends SparkSpec {
     }
   }
 
+  test("grep index refresh composes with compaction: packed files scan, content stays findable") {
+    withCat { cat =>
+      cat.putTable("cdocs", (1 to 100).map(i => (i.toLong, s"filler row $i")).toDF("doc_id", "text").coalesce(1))
+      (1 to 3).foreach(g =>
+        cat.appendTable("cdocs", Seq((100L + g, s"gen$g zebrafish")).toDF("doc_id", "text").coalesce(1)))
+      cat.analyzeGrepIndex("cdocs", "text")
+      val rep1 = cat.compactSmallFiles("cdocs", smallBytes = 1L << 30, targetBytes = 1L << 30).head()
+      assert(rep1.getAs[Long]("n_files_packed") === 4L)
+      // post-compaction: every live file is new to the index → full rescan
+      // through the SAME incremental API, then pruning works again
+      val rep2 = cat.analyzeGrepIndexAppended("cdocs", "text").head()
+      assert(rep2.getAs[Long]("n_files_inherited") === 0L)
+      val hits = cat.grepPruned("cdocs", "text", "zebrafish", Seq("zebrafish"))
+      assert(hits.count() === 3)
+    }
+  }
+
   test("grep index refresh is loud without a prior index") {
     withCat { cat =>
       cat.putTable("docs2", Seq((1L, "alpha")).toDF("doc_id", "text"))
