@@ -281,6 +281,41 @@ object Relational {
           asDouble(sum(money(col("l_extendedprice")))).as("sum_price"))
     },
 
+    // -------------------------------- 3-conjunct prune over a 3-D Z layout
+    // The N-dimensional composition: orders Z-clustered on THREE axes
+    // (custkey, orderkey, totalprice — the (tenant, key, measure) shape),
+    // zone maps published, a 3-conjunct range read through
+    // readTableWhereAll. Each conjunct prunes its own axis; a 2-D curve
+    // would leave the third axis unclustered and its conjunct pruning
+    // nothing. Oracle = the same conjunction over all rows, so a wrong
+    // interleave or a bad scale fold changes results and hash-mismatches
+    // (SinksSpec pins the file-count win over the unordered layout).
+    Q(
+      "catalog_conj3_prune",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey <= 100 AND o_orderkey <= 3000 AND o_totalprice <= 100000) AS n_box,
+          (SELECT CAST(COALESCE(SUM(CAST(o_orderkey AS BIGINT)), 0) AS BIGINT)
+           FROM orders
+           WHERE o_custkey <= 100 AND o_orderkey <= 3000 AND o_totalprice <= 100000) AS sum_keys
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-conj3-prune").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable(
+        "orders_z3",
+        graft.sources.Sinks.zOrderedN(t.orders, Seq("o_custkey", "o_orderkey", "o_totalprice"), files = 8))
+      cat.analyzeTable("orders_z3", fileStats = true)
+      val box = cat.readTableWhereAll(
+        "orders_z3",
+        Seq(("o_custkey", "<=", "100"), ("o_orderkey", "<=", "3000"), ("o_totalprice", "<=", "100000")))
+      val n = box.count()
+      val s = box.agg(coalesce(sum(col("o_orderkey").cast("long")), lit(0L))).head().getLong(0)
+      Seq((n, s)).toDF("n_box", "sum_keys")
+    },
+
     // ------------------------------------------- append + targeted delete
     // The mutation lifecycle end-to-end: PUT half the table, APPEND the
     // other half (O(delta) — a manifest referencing the old files plus the

@@ -76,6 +76,50 @@ object Sinks {
       }
       .reduce((x, y) => x.bitwiseOR(y))
 
+  /** Morton (Z-order) value of N non-negative long columns, bit-interleaved
+    * round-robin (column j contributes bit i at position N·i + j). The
+    * 2-column [[zValue]] generalized: real tables cluster on
+    * (tenant, date, key)-shaped triples, and a 2-D curve leaves the third
+    * axis unclustered. `bitsPerCol · N` must fit a signed long. */
+  def zValueN(cols: Seq[org.apache.spark.sql.Column], bitsPerCol: Int): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 2, s"zValueN needs at least 2 columns, got $n")
+    require(n * bitsPerCol <= 63, s"$n columns × $bitsPerCol bits = ${n * bitsPerCol} > 63 — shrink bitsPerCol")
+    (0 until bitsPerCol)
+      .flatMap { i =>
+        cols.zipWithIndex.map { case (c, j) =>
+          shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), n * i + j)
+        }
+      }
+      .reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** N-column Z-order clustering — [[zOrdered]] generalized: min-max scale
+    * every column onto the shared bit range (bits auto-sized so N columns
+    * interleave into one long, capped at 16/column), range-partition +
+    * sort by the Morton value. Each output file is then a tight
+    * N-dimensional box, so an N-conjunct range predicate read through
+    * `Catalog.readTableWhereAll` prunes on EVERY axis (the 2-D story,
+    * with the third-plus axes no longer sacrificed). One 2N-scalar agg to
+    * the driver. */
+  def zOrderedN(df: DataFrame, colNames: Seq[String], files: Int = 8): DataFrame = {
+    require(colNames.size >= 2, "zOrderedN needs at least 2 columns")
+    val bits = math.min(16, 63 / colNames.size)
+    require(bits >= 4, s"${colNames.size} columns leave only $bits bits each — too coarse to cluster")
+    val scaleMax = (1L << bits) - 1
+    val aggs = colNames.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row  = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaledCols = colNames.zipWithIndex.map { case (c, i) =>
+      val lo = row.getDouble(2 * i)
+      val hi = row.getDouble(2 * i + 1)
+      (((col(c).cast("double") - lit(lo)) / lit(math.max(hi - lo, 1d))) * lit(scaleMax.toDouble)).cast("long")
+    }
+    df.withColumn("__z", zValueN(scaledCols, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** Z-ordered parquet: range-partition + sort by the Morton value of two
     * filter columns so each output FILE covers a tight rectangle in
     * (colA, colB) space — parquet min/max stats then skip most files for

@@ -85,6 +85,42 @@ class SinksSpec extends SparkSpec {
     assert(z.sameElements(Array(1L, 2L, 15L)))
   }
 
+  test("zValueN interleaves bits round-robin, exactly") {
+    import spark.implicits._
+    // reference: bit i of column j lands at position n*i + j
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.size
+      (0 until bits).flatMap(i => vals.zipWithIndex.map { case (v, j) => ((v >>> i) & 1L) << (n * i + j) })
+        .reduce(_ | _)
+    }
+    val rows = Seq((5L, 3L, 6L), (0L, 0L, 0L), (7L, 7L, 7L), (1L, 4L, 2L))
+    val got = rows.toDF("a", "b", "c")
+      .select(Sinks.zValueN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .as[Long].collect().toSeq
+    assert(got === rows.map { case (a, b, c) => ref(Seq(a, b, c), 3) })
+    intercept[IllegalArgumentException](Sinks.zValueN(Seq(col("a")), 3))
+    intercept[IllegalArgumentException](Sinks.zValueN(Seq(col("a"), col("b"), col("c")), 22))
+  }
+
+  test("3-D Z layout: a 3-conjunct box read scans fewer files than the unordered layout") {
+    val orders = Tables(spark, SharedSpark.sf001).orders
+    val cols   = Seq("o_custkey", "o_orderkey", "o_totalprice")
+    val conj   = Seq(("o_custkey", "<=", "100"), ("o_orderkey", "<=", "3000"), ("o_totalprice", "<=", "100000"))
+    def prunedFiles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val root = Files.createTempDirectory("graft_z3_").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("t", df)
+      cat.analyzeTable("t", fileStats = true)
+      val read = cat.readTableWhereAll("t", conj)
+      (read.select(input_file_name()).distinct().count(), read.count())
+    }
+    val (zFiles, zRows) = prunedFiles(Sinks.zOrderedN(orders, cols, files = 8))
+    val (uFiles, uRows) = prunedFiles(orders.repartition(8))
+    assert(zRows === uRows, "layout must never change results")
+    assert(zRows > 0, "fixture must hit the box")
+    assert(zFiles < uFiles, s"3-D clustering must out-prune the unordered layout ($zFiles vs $uFiles)")
+  }
+
   test("dynamic partition pruning fires on the date-partitioned layout") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
