@@ -410,6 +410,35 @@ object Relational {
       cat.approxAgg("orders_s", "o_orderpriority", "o_totalprice")
     },
 
+    // ------------------------------------------ incremental sample tier
+    // The sample tier's O(delta) refresh: hash-sample membership is a pure
+    // row property, so the sample of (base ∪ delta) is the union of their
+    // samples — analyzeSampleIncremental scans ONLY the appended files and
+    // carries the prior sampled rows verbatim (sound for pure appends;
+    // anything that rewrote a covered file refuses loudly —
+    // SampleTierSpec). The oracle is the SAME full-sample estimate over
+    // all rows, so hash-identity proves the O(delta) refresh changes
+    // nothing.
+    Q(
+      "catalog_approx_incr",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) * 16 AS BIGINT) AS n_est,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 16 AS DECIMAL(38,2)) AS DOUBLE) AS sum_est
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '1'
+        GROUP BY o_orderpriority
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-approx-incr").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable("orders_si", t.orders.filter(col("o_orderkey") <= 30000))
+      cat.analyzeSample("orders_si", "o_orderkey")
+      cat.appendTable("orders_si", t.orders.filter(col("o_orderkey") > 30000))
+      cat.analyzeSampleIncremental("orders_si")
+      cat.approxAgg("orders_si", "o_orderpriority", "o_totalprice")
+    },
+
     // --------------------------------------------- partial compaction
     // Manifest-aware OPTIMIZE: a 16-way tiny-file PUT (the streaming-append
     // pathology) bin-packed by compactSmallFiles, which rewrites ONLY the

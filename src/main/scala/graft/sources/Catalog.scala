@@ -1233,13 +1233,66 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     val sample = readTable(name, format)
       .filter(substring(md5(col(keyCol).cast("string")), 1, 1) < lit(threshold))
     putTable(s"$name.__sample__", sample, format)
+    publishSampleMeta(name, keyCol, sixteenths, analyzedVersion, liveFiles(name), format)
+    readTable(s"$name.__sample__", format)
+  }
+
+  private def publishSampleMeta(
+      name: String,
+      keyCol: String,
+      sixteenths: Int,
+      version: Long,
+      covered: Seq[String],
+      format: String): Unit =
     putTable(
       s"$name.__samplemeta__",
       spark
-        .createDataFrame(Seq((keyCol, sixteenths, 16 / sixteenths, analyzedVersion)))
-        .toDF("key_col", "sixteenths", "scale", "data_version"),
+        .createDataFrame(Seq((keyCol, sixteenths, 16 / sixteenths, version, covered)))
+        .toDF("key_col", "sixteenths", "scale", "data_version", "covered_files"),
       format)
-    readTable(s"$name.__sample__", format)
+
+  /** O(delta) refresh of the sample tier after [[appendTable]] — the hash
+    * sample of a union IS the union of the hash samples (membership is a
+    * pure row property), so only the files the previous sample never
+    * covered need scanning; the prior sampled rows carry over verbatim.
+    * Sound ONLY for pure appends: if any previously-covered file left the
+    * live set (a delete or compaction rewrote it), carried-over sample
+    * rows could represent rows that no longer exist, so that case is
+    * refused loudly — run a full [[analyzeSample]]. Returns a one-row
+    * report (n_files_live, n_files_scanned, n_files_inherited). */
+  def analyzeSampleIncremental(name: String, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(format == "parquet", s"analyzeSampleIncremental is parquet-only, got $format")
+    require(this.exists(s"$name.__samplemeta__"), s"no sample tier for '$name' — run analyzeSample first")
+    val meta       = readTable(s"$name.__samplemeta__", format).head()
+    val keyCol     = meta.getAs[String]("key_col")
+    val sixteenths = meta.getAs[Int]("sixteenths")
+    val covered    = meta.getAs[scala.collection.Seq[String]]("covered_files").toSeq
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val live     = liveFiles(name)
+    val liveNorm = live.map(norm).toSet
+    val goneAway = covered.filterNot(f => liveNorm.contains(norm(f)))
+    require(
+      goneAway.isEmpty,
+      s"${goneAway.size} file(s) the sample covered are no longer live in '$name' " +
+        "(a delete/compaction rewrote them) — carried-over sample rows could describe deleted rows; " +
+        "run a full analyzeSample")
+    val coveredNorm = covered.map(norm).toSet
+    val missing     = live.filterNot(f => coveredNorm.contains(norm(f)))
+    val current     = versions(name).headOption.getOrElse(-1L)
+    if (missing.nonEmpty) {
+      val threshold = sixteenths.toHexString
+      val schema    = readTable(name, format).schema
+      val fresh = spark.read
+        .schema(schema)
+        .parquet(missing: _*)
+        .filter(substring(md5(col(keyCol).cast("string")), 1, 1) < lit(threshold))
+      putTable(s"$name.__sample__", readTable(s"$name.__sample__", format).unionByName(fresh), format)
+    }
+    publishSampleMeta(name, keyCol, sixteenths, current, live, format)
+    spark
+      .createDataFrame(Seq((live.size.toLong, missing.size.toLong, covered.size.toLong)))
+      .toDF("n_files_live", "n_files_scanned", "n_files_inherited")
   }
 
   /** Approximate grouped COUNT/SUM from the published sample tier — reads

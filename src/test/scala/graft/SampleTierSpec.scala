@@ -62,6 +62,35 @@ class SampleTierSpec extends SparkSpec {
     }
   }
 
+  test("incremental sample refresh scans only new files and equals the full resample") {
+    withCat { cat =>
+      val base  = fixture.filter(col("k") <= 4000).repartition(2, col("k"))
+      val delta = fixture.filter(col("k") > 4000).coalesce(1)
+      cat.putTable("t6", base)
+      cat.analyzeSample("t6", "k")
+      cat.appendTable("t6", delta)
+      val rep = cat.analyzeSampleIncremental("t6").head()
+      assert(rep.getAs[Long]("n_files_scanned") === 1L)
+      assert(rep.getAs[Long]("n_files_inherited") === 2L)
+      val incr = cat.approxAgg("t6", "g", "x").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      cat.analyzeSample("t6", "k") // full resample over the same data
+      val full = cat.approxAgg("t6", "g", "x").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(incr === full, "union-of-samples must equal sample-of-union exactly")
+    }
+  }
+
+  test("incremental sample refuses after a mutation that rewrote covered files") {
+    withCat { cat =>
+      cat.putTable("t7", fixture)
+      cat.analyzeSample("t7", "k")
+      cat.deleteWhere("t7", "k", "<=", "100") // rewrites covered files
+      val e = intercept[IllegalArgumentException](cat.analyzeSampleIncremental("t7"))
+      assert(e.getMessage.contains("no longer live"))
+    }
+  }
+
   test("stale sample refuses loudly after a re-PUT") {
     withCat { cat =>
       cat.putTable("t4", fixture)
