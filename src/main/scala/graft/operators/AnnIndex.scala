@@ -31,16 +31,28 @@ import graft.sources.Catalog
   */
 object AnnIndex {
 
+  /** Per-(catalog-instance, index-name) monitor: [[append]] and
+    * [[deleteVectors]] read-modify-write shared side tables (generation
+    * counter, tombstone set), so in-process concurrent maintainers must
+    * serialize — same discipline as the catalog's own per-name locks. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(cat: Catalog, name: String): Object =
+    locks.computeIfAbsent(s"${System.identityHashCode(cat)}#$name", _ => new Object)
+
   /** Train the centroid model, persist assignments (cell-partitioned), the
     * model, and the build parameters (so [[append]] assigns new vectors
-    * with the SAME multiplicity); returns the centroids for immediate use. */
+    * with the SAME multiplicity); returns the centroids for immediate use.
+    * A REBUILD on an existing name first clears every derived side table —
+    * generations assigned with the old model and tombstones for the old
+    * rows must not survive into the new index's read path. */
   def build(
       cat: Catalog,
       name: String,
       corpus: DataFrame,
       nlist: Int,
       iters: Int = 5,
-      assign: Int = 1): Array[Array[Double]] = {
+      assign: Int = 1): Array[Array[Double]] = lockFor(cat, name).synchronized {
+    cat.lsPrefix(s"$name.__").foreach(cat.delete)
     val centroids = Similarity.kmeans(corpus, k = nlist, maxIter = iters, tol = 0.0).centroids
     cat.putPartitionedTable(name, Similarity.ivfAssign(corpus, centroids, assign), "cell")
     val spark = corpus.sparkSession
@@ -65,19 +77,71 @@ object AnnIndex {
     * construction. Retrain when [[audit]] says the frozen geometry has
     * drifted — rebuild re-trains and new appends chain off the new model.
     * Returns the generation index. */
-  def append(cat: Catalog, name: String, vectors: DataFrame): Int = {
-    val meta      = cat.readTable(s"$name.__annmeta__").head()
-    val centroids = loadCentroids(cat, name)
-    val k         = cat.lsPrefix(s"$name.__anngen").size
-    val gen       = f"$name.__anngen$k%04d__"
-    cat.putPartitionedTable(gen, Similarity.ivfAssign(vectors, centroids, meta.getAs[Int]("assign")), "cell")
-    k
-  }
+  def append(cat: Catalog, name: String, vectors: DataFrame): Int =
+    lockFor(cat, name).synchronized {
+      val meta      = cat.readTable(s"$name.__annmeta__").head()
+      val centroids = loadCentroids(cat, name)
+      // max existing generation + 1 (NOT the list's size: a crashed append
+      // can leave gaps, and size-derived names would then collide); the
+      // per-name lock serializes concurrent appenders so two maintainers
+      // can never mint the same generation and publish over each other.
+      val k = cat
+        .lsPrefix(s"$name.__anngen")
+        .flatMap(g => "\\d+".r.findFirstIn(g.stripPrefix(s"$name.__anngen")))
+        .map(_.toInt)
+        .maxOption
+        .map(_ + 1)
+        .getOrElse(0)
+      val gen = f"$name.__anngen$k%04d__"
+      cat.putPartitionedTable(gen, Similarity.ivfAssign(vectors, centroids, meta.getAs[Int]("assign")), "cell")
+      k
+    }
 
-  /** The base index plus every appended generation. */
-  private def readIndex(cat: Catalog, name: String): DataFrame =
-    cat.lsPrefix(s"$name.__anngen").sorted
+  /** TOMBSTONE deletion — the index-side twin of the corpus
+    * `deleteWhere`: record the ids in `<name>.__anntomb__` so every read
+    * path ([[search]], [[audit]]) excludes them from this call on. Without
+    * it the index silently serves neighbors the corpus already deleted —
+    * the staleness the catalog's sample tier refuses loudly
+    * (Catalog.analyzeSampleIncremental's coverage guard); an ANN index
+    * can do better than refuse, because exclusion is cheap: one
+    * tombstone-table anti-join, applied AFTER partition pruning, so probe
+    * I/O is unchanged. Tombstones accumulate across calls (set-union,
+    * idempotent); [[build]] clears them — a rebuild re-indexes only what
+    * its corpus argument contains, so the tombstones' work is done.
+    * `ids`' FIRST column is the vector id. Returns the live tombstone
+    * count. */
+  def deleteVectors(cat: Catalog, name: String, ids: DataFrame): Long =
+    lockFor(cat, name).synchronized {
+      require(cat.exists(name), s"no ANN index '$name' — nothing to delete from")
+      val tomb = ids.select(col(ids.columns.head).cast("long").as("neighbor_id")).distinct()
+      val merged =
+        if (cat.exists(s"$name.__anntomb__"))
+          cat.readTable(s"$name.__anntomb__").unionByName(tomb).distinct()
+        else tomb
+      // materialize BEFORE the overwrite: `merged` lazily reads the old
+      // version, and putTable's publish must not race its own input
+      val rows = merged.collect() // tombstone-sized, not corpus-sized
+      val fresh = cat.readTable(name).sparkSession
+        .createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+      cat.putTable(s"$name.__anntomb__", fresh)
+      rows.length.toLong
+    }
+
+  /** The base index plus every appended generation, minus tombstoned
+    * vectors. The anti-join's right side is the tombstone table (bounded
+    * by deletes, not corpus size); the cell filter the searcher applies
+    * above this still pushes into each generation's directory listing, so
+    * pruning is unaffected. */
+  private def readIndex(cat: Catalog, name: String): DataFrame = {
+    val base = cat.lsPrefix(s"$name.__anngen").sorted
       .foldLeft(cat.readTable(name))((acc, g) => acc.unionByName(cat.readTable(g)))
+    if (cat.exists(s"$name.__anntomb__"))
+      base.join(
+        broadcast(cat.readTable(s"$name.__anntomb__").select(col("neighbor_id"))),
+        Seq("neighbor_id"),
+        "left_anti")
+    else base
+  }
 
   /** The retrain signal: per-generation/vector counts and the CELL
     * IMBALANCE of the combined index (max cell population / mean). A
@@ -92,12 +156,17 @@ object AnnIndex {
     val r = counts
       .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"), sum(col("n")).as("rows"), cd(col("cell")).as("cells"))
       .head()
+    // an empty index (everything tombstoned / deleted) aggregates to NULL
+    // max/avg/sum — report an honest zero row, not an unboxing NPE
+    val empty = r.isNullAt(r.fieldIndex("rows"))
     idx.sparkSession
       .createDataFrame(Seq((
         nGens.toLong,
-        r.getAs[Long]("rows"),
-        r.getAs[Long]("cells"),
-        BigDecimal(r.getAs[Double]("mx") / r.getAs[Double]("mean")).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        if (empty) 0L else r.getAs[Long]("rows"),
+        if (empty) 0L else r.getAs[Long]("cells"),
+        if (empty) 0.0
+        else
+          BigDecimal(r.getAs[Double]("mx") / r.getAs[Double]("mean")).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
       .toDF("n_gens", "n_index_rows", "n_cells", "cell_imbalance")
   }
 

@@ -749,10 +749,11 @@ object Corpus {
     * plate, a too-steep one encoding rot or ID-like junk tokens.
     *
     * Distributed shape: token first-occurrence docs and per-doc lengths
-    * are corpus-wide aggregations (map-side combined); only the DOC-LEVEL
-    * cumulative table — one row per document, metadata-sized — rides a
-    * global ordered window, the same bounded-window judgment as the
-    * calibrate/quality-cut aggregates. Exact integers end to end. */
+    * are corpus-wide aggregations (map-side combined); the doc-level
+    * cumulative table (one row per DOCUMENT — a count that grows with the
+    * corpus) runs through [[PrefixSum.withRunning]]'s two-phase
+    * range-partitioned prefix sum, never a single-partition global
+    * window. Exact integers end to end. */
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String, points: Int = 10): DataFrame = {
     require(points >= 1, "points must be >= 1")
     val tokRows = df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
@@ -762,14 +763,15 @@ object Corpus {
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_new"))
-    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perDoc
-      .join(newPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"), coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .select(
-        row_number().over(Window.orderBy(col("doc_id"))).cast("long").as("docs_seen"),
-        sum(col("n_toks")).over(w).as("tokens_seen"),
-        sum(col("n_new")).over(w).as("vocab_size"))
+    val cum = PrefixSum
+      .withRunning(
+        perDoc
+          .join(newPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"), coalesce(col("n_new"), lit(0L)).as("n_new")),
+        order = Seq(col("doc_id")),
+        running = Seq("tokens_seen" -> col("n_toks"), "vocab_size" -> col("n_new")),
+        rowNumberAs = Some("docs_seen"))
+      .select(col("docs_seen"), col("tokens_seen"), col("vocab_size"))
     val nDocs = df.count()
     val marks = (1 to points).map(i => Math.floorDiv(i * nDocs, points.toLong)).distinct.filter(_ >= 1)
     cum.filter(col("docs_seen").isin(marks: _*))

@@ -521,9 +521,10 @@ object DataQuality {
     * money grid (DECIMAL cents), Σi·x is an exact decimal, and G is a
     * fixed-order double expression under round(·, 6); ranking ties break
     * by entity id so the rank assignment is total. The per-entity
-    * aggregate is the data-sized pass; the ranked cumulative runs on the
-    * entity table (global order — swap in a two-phase prefix sum when
-    * entities outgrow a window). Returns (n_entities, total, gini). */
+    * aggregate is the data-sized pass; the rank comes from
+    * [[PrefixSum.withRunning]]'s two-phase range-partitioned row number —
+    * the entity table grows with the corpus, so it never rides a
+    * single-partition global window. Returns (n_entities, total, gini). */
   def giniCoefficient(
       df: DataFrame,
       entityCol: String,
@@ -532,8 +533,9 @@ object DataQuality {
     val per = df
       .groupBy(col(entityCol).as("e"))
       .agg(sum(col(valueCol).cast(dec)).cast(dec).as("x"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("e"))
-    val ranked = per.select(col("x"), row_number().over(w).as("i"))
+    val ranked = PrefixSum
+      .withRunning(per, Seq(col("x"), col("e")), Seq.empty, rowNumberAs = Some("i"))
+      .select(col("x"), col("i"))
     val agg = ranked.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),

@@ -750,15 +750,17 @@ object Funnel {
     * tiebreak that makes the bucketing engine-identical), 1 = best.
     * Output one row per occupied (r, f, m) cell with its population and
     * exact-decimal average spend — the segment table a lifecycle team
-    * actually routes on. One user-keyed aggregation; the three ntile
-    * windows run over the user-sized rollup, not the event log. */
+    * actually routes on. One user-keyed aggregation; each quintile cut is
+    * a two-phase [[PrefixSum]] global row number + the SQL-standard NTILE
+    * formula over it — bucket-identical to `ntile(5).over(orderBy(...))`
+    * but distributed (the user rollup grows with the corpus; a global
+    * ntile window would funnel it through one task at 100×). */
   def rfmSegments(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       valueCol: String,
       purchaseType: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(18, 0)
     val perUser = events
       .filter(purchaseType)
@@ -767,13 +769,23 @@ object Funnel {
         max(to_date(col(tsCol))).as("last_day"),
         count(lit(1)).as("freq"),
         sum(round(col(valueCol) * 100).cast("long").cast(dec)).cast(dec).as("cents"))
-    val scored = perUser.select(
+    // total user count rides the plan as a broadcast scalar (no action)
+    val nUsers = broadcast(perUser.agg(count(lit(1)).as("__n_users")))
+    val withRns = Seq(
+      ("__rn_r", Seq(col("last_day").desc, col("u").asc)),
+      ("__rn_f", Seq(col("freq").desc, col("u").asc)),
+      ("__rn_m", Seq(col("cents").desc, col("u").asc)))
+      .foldLeft(perUser) { case (acc, (rn, ord)) =>
+        PrefixSum.withRunning(acc, ord, Seq.empty, rowNumberAs = Some(rn))
+      }
+      .crossJoin(nUsers)
+    val scored = withRns.select(
       col("u"),
       col("freq"),
       col("cents"),
-      ntile(5).over(Window.orderBy(col("last_day").desc, col("u"))).as("r_seg"),
-      ntile(5).over(Window.orderBy(col("freq").desc, col("u"))).as("f_seg"),
-      ntile(5).over(Window.orderBy(col("cents").desc, col("u"))).as("m_seg"))
+      PrefixSum.ntileFromRowNumber(col("__rn_r"), 5, col("__n_users")).as("r_seg"),
+      PrefixSum.ntileFromRowNumber(col("__rn_f"), 5, col("__n_users")).as("f_seg"),
+      PrefixSum.ntileFromRowNumber(col("__rn_m"), 5, col("__n_users")).as("m_seg"))
     scored
       .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
       .agg(

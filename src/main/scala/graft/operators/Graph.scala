@@ -934,7 +934,20 @@ object Graph {
     * `w`, `deg` = weighted degrees (self-loops already doubled in), `m` =
     * total edge weight. See [[louvain]] for the derandomization contract
     * (integer scores, smallest-label ties, parity classes, per-round
-    * IterState checkpoints). */
+    * IterState checkpoints).
+    *
+    * Convergence early-exit (same in-plan probe discipline as
+    * [[labelPropagation]]'s): each round's checkpointed frame carries a
+    * `moved` flag (the move predicate itself), and the sweep stops after
+    * TWO consecutive zero-move rounds. One quiet round is NOT a fixpoint
+    * here — the parity classes alternate, so round r only updates ids of
+    * parity r%2 and the OTHER class may still have pending moves — but two
+    * quiet rounds cover both parities over the same label state, and the
+    * update is a deterministic function of that state, so every later
+    * round is the identity: stopping is hash-identical to running the full
+    * budget. The probe is a limit-1 scan over blocks the checkpoint just
+    * wrote — no recompute, one extra cheap job per round, and it turns the
+    * fixed 4/8-round budget into "as many rounds as the graph needs". */
   private def louvainSweep(
       sym: DataFrame,
       deg: DataFrame,
@@ -945,7 +958,8 @@ object Graph {
     val twoM  = lit(2L * m).cast(dec19)
     var labels = st.mat(deg.select(col("id"), col("id").as("c")))
     var r = 1
-    while (r <= rounds) {
+    var quiet = 0 // consecutive rounds with zero moves (covers both parities at 2)
+    while (r <= rounds && quiet < 2) {
       val tot = labels
         .join(deg, Seq("id"))
         .groupBy(col("c"))
@@ -976,15 +990,20 @@ object Graph {
       val best = cand
         .groupBy(col("id"))
         .agg(min_by(struct(col("c"), col("s")), struct((-col("s")).as("ns"), col("c"))).as("bs"))
+      // `moved` is exactly the adopt predicate (cand already filters
+      // c <> cu, so firing implies the label genuinely changes); it rides
+      // the same checkpointed plan, making the convergence probe a scan
+      // over just-written blocks instead of a recompute.
+      val movePred = col("bs").isNotNull && col("bs.s") > col("s_stay") &&
+        col("id") % 2 === lit(r % 2)
       val next = base
         .join(best, Seq("id"), "left")
         .select(
           col("id"),
-          when(
-            col("bs").isNotNull && col("bs.s") > col("s_stay") &&
-              col("id") % 2 === lit(r % 2),
-            col("bs.c")).otherwise(col("cu")).as("c"))
+          when(movePred, col("bs.c")).otherwise(col("cu")).as("c"),
+          movePred.as("moved"))
       val mat = st.mat(next)
+      quiet = if (mat.filter(col("moved")).limit(1).isEmpty) quiet + 1 else 0
       st.release(labels)
       labels = mat
       r += 1
@@ -1043,6 +1062,143 @@ object Graph {
         .select(col("id"), coalesce(col("community2"), col("community")).as("community")))
     st.release(l1)
     out
+  }
+
+  /** N-LEVEL Louvain — the full recursive Blondel et al. 2008 pipeline
+    * [[louvainTwoLevel]] hard-caps at two levels: sweep, condense over the
+    * labels (supernode per community; weight = summed inter-community
+    * weight, self-loop = summed intra weight — condensing a condensed
+    * graph just re-applies the same bookkeeping), and RECURSE on the
+    * condensed graph "as long as modularity improves" (the paper's literal
+    * stop rule) up to `maxLevels`. Each level's sweep is ACCEPTED only if
+    * its partition strictly raises the EXACT integer modularity numerator
+    * Σ_c(2m·A_in(c) − Σtot(c)²) over the level's input partition
+    * ([[weightedQNum]]; m is level-invariant, so numerators compare
+    * across levels): a synchronous parity-guarded sweep makes only
+    * locally-positive-gain moves, but simultaneous same-parity moves can
+    * interact and LOWER global Q — the acceptance gate is what makes
+    * Q(level ℓ+1) ≥ Q(level ℓ) a guarantee rather than a hope, and it
+    * subsumes the no-moves fixpoint (identity labels give an equal
+    * numerator, hence rejection). Rejection stops the recursion; the
+    * DuckDB oracle replays the same unrolled levels with the same HUGEINT
+    * acceptance flags, so the early-exited result hashes equal.
+    *
+    * Scale shape: level 1 is node/edge-sized; every deeper level runs on a
+    * community-space graph that shrinks geometrically (the paper's "the
+    * number of communities decreases drastically at each pass"), so the
+    * recursion's total cost is dominated by level 1 plus fixed per-round
+    * job overhead — each extra level is nearly free while buying the
+    * coarse merges single- and two-level sweeps are too myopic to make.
+    * Composition is one broadcast-sized label join per level. GraphSpec
+    * pins Q(multilevel) ≥ Q(two-level) ≥ Q(one-level) on the fixtures. */
+  def louvainMultilevel(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      roundsPerLevel: Int = 4,
+      maxLevels: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    val st = IterState(edges, checkpointDir)
+    // level 1: unweighted sweep over the canonical undirected simple edges
+    var acc = st.mat(louvain(edges, aCol, bCol, roundsPerLevel, checkpointDir))
+    // labels of the most recently swept level, keyed by THAT level's node
+    // ids (level 1: original ids; level ℓ: level-(ℓ−1) community ids)
+    var lastLabels = acc
+    // current condensable graph: canonical weighted edges INCLUDING
+    // self-loops (level 1's carries w=1 and, having filtered a<>b, none)
+    var cur = st.mat(
+      edges
+        .select(col(aCol).as("a"), col(bCol).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .withColumn("w", lit(1L)))
+    var level     = 1
+    var converged = false
+    while (level < maxLevels && !converged) {
+      // condense over the labels of the level just swept: supernode per
+      // community, weights summed; intra edges land on the diagonal as
+      // self-loops (louvainWeighted doubles them into degrees and keeps
+      // them in m — the paper's exact bookkeeping)
+      val nextCur = st.mat(
+        cur
+          .join(lastLabels.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
+          .join(lastLabels.select(col("id").as("b"), col("community").as("cb")), Seq("b"))
+          .groupBy(least(col("ca"), col("cb")).as("a"), greatest(col("ca"), col("cb")).as("b"))
+          .agg(sum(col("w")).as("w")))
+      st.release(cur)
+      cur = nextCur
+      val l = st.mat(louvainWeighted(cur, "a", "b", "w", roundsPerLevel, checkpointDir))
+      // accept the level only if it STRICTLY raises the exact modularity
+      // numerator over this level's input partition (= the identity
+      // partition of the condensed graph); see Scaladoc
+      converged = weightedQNum(cur, Some(l)).compareTo(weightedQNum(cur, None)) <= 0
+      if (converged) st.release(l)
+      else {
+        val nextAcc = st.mat(
+          acc.join(
+              l.select(col("id").as("community"), col("community").as("c2")),
+              Seq("community"), "left")
+            .select(col("id"), coalesce(col("c2"), col("community")).as("community")))
+        if (!(lastLabels eq acc)) st.release(lastLabels)
+        st.release(acc)
+        acc = nextAcc
+        lastLabels = l
+      }
+      level += 1
+    }
+    if (!(lastLabels eq acc)) st.release(lastLabels)
+    st.release(cur)
+    acc.select(col("id"), col("community"))
+  }
+
+  /** EXACT modularity numerator Σ_c (2m·A_in(c) − Σtot(c)²) of a node
+    * partition over a canonical weighted edge list (a ≤ b per inter pair,
+    * self-loops on the diagonal) — the standard A_ii = 2·loopweight
+    * convention, so m, degrees and the numerator all match the sweep's
+    * gain arithmetic. Q = numerator / (2m)², and m is invariant under
+    * condensation, so numerators compare partitions ACROSS Louvain levels
+    * without ever leaving integers (DECIMAL(38,0) in-plan, BigDecimal at
+    * the driver — one community-space-sized aggregation pass, one scalar
+    * out). `labels` = None scores the identity partition (every node its
+    * own community), the "before" side of the acceptance gate. */
+  private def weightedQNum(
+      canonEdges: DataFrame,
+      labels: Option[DataFrame]): java.math.BigDecimal = {
+    val dec   = org.apache.spark.sql.types.DecimalType(38, 0)
+    val inter = canonEdges.filter(col("a") =!= col("b"))
+    val selfW = canonEdges.filter(col("a") === col("b"))
+    val deg = inter
+      .select(col("a").as("id"), col("w"))
+      .union(inter.select(col("b").as("id"), col("w")))
+      .union(selfW.select(col("a").as("id"), (col("w") * 2).as("w")))
+      .groupBy(col("id"))
+      .agg(sum(col("w")).as("k"))
+    val lab = labels
+      .map(_.select(col("id"), col("community").as("c")))
+      .getOrElse(deg.select(col("id"), col("id").as("c")))
+    val ain = canonEdges
+      .join(lab.select(col("id").as("a"), col("c").as("ca")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("c").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c"))
+      .agg((sum(col("w")) * 2).cast(dec).as("ain"))
+    val tot = deg
+      .join(lab, Seq("id"))
+      .groupBy(col("c"))
+      .agg(sum(col("k")).cast(dec).as("tot"))
+    val mTwice = canonEdges.agg((sum(col("w")) * 2).cast(dec).as("m2"))
+    val row = tot
+      .join(ain, Seq("c"), "left")
+      .crossJoin(mTwice)
+      .select(
+        sum(
+          col("m2") * coalesce(col("ain"), lit(0L).cast(dec)) - col("tot") * col("tot"))
+          .cast(dec)
+          .as("qn"))
+      .head()
+    if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
   }
 
   /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al. 2006

@@ -27,10 +27,22 @@ import org.apache.spark.sql.DataFrame
 private[graft] final class IterState(checkpointDir: Option[String]) {
   import org.apache.spark.sql.graftbridge.Bridge
 
-  /** Materialize a round's state: reliable when durable, local otherwise. */
-  def mat(df: DataFrame): DataFrame =
-    if (checkpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  /** Materialize a round's state: reliable when durable, local otherwise.
+    *
+    * The checkpoint is re-wrapped with CAPPED inherited statistics
+    * ([[Bridge.capCheckpointStats]]): Spark carries the origin plan's
+    * estimated sizeInBytes across checkpoints, and in a loop that
+    * estimate compounds doubly-exponentially (each round's join products
+    * become the next round's leaf stat) until the driver spends minutes
+    * multiplying megabyte-wide BigInts inside the stats visitor. The cap
+    * (1 TiB) is far above every broadcast threshold, so physical plans
+    * are unchanged — only the pathological planning cost goes. */
+  def mat(df: DataFrame): DataFrame = {
+    val cp =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    Bridge.capCheckpointStats(cp, IterState.StatsCapBytes)
+  }
 
   /** Drop a superseded round's blocks (local mode only — reliable
     * checkpoint files outlive the lineage by design). */
@@ -39,6 +51,9 @@ private[graft] final class IterState(checkpointDir: Option[String]) {
 }
 
 private[graft] object IterState {
+  /** 1 TiB: still "never broadcast this", never a BigInt avalanche. */
+  val StatsCapBytes: Long = 1L << 40
+
   /** Build a checkpointer for this operator call, registering the reliable
     * dir with the session's SparkContext when one is given. */
   def apply(anchor: DataFrame, checkpointDir: Option[String]): IterState = {

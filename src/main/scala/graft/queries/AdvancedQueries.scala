@@ -1553,6 +1553,25 @@ object AdvancedQueries {
       graft.operators.Graph.louvainTwoLevel(edges, "src", "dst", rounds1 = 4, rounds2 = 4)
     },
 
+    // ----------------------------------- n-level Louvain (recursive recipe)
+    // The recursion louvainTwoLevel stops short of: keep condensing and
+    // re-sweeping until a level moves nothing (identity labels — the exact
+    // fixpoint certificate: condensing over identity reproduces the same
+    // graph, and the sweep is deterministic). Every deeper level runs on a
+    // geometrically shrinking community graph, so levels 3..n are nearly
+    // free while making the coarse merges two levels can't. The oracle
+    // unrolls the full 4-level budget — post-convergence levels replay as
+    // identities in SQL too, so the early-exited Spark result hashes equal.
+    Q("graph_louvain_multilevel", Some(louvainMultilevelOracle)) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.louvainMultilevel(
+        edges, "src", "dst", roundsPerLevel = 4, maxLevels = 4)
+    },
+
     // ------------------------------------------- multi-source BFS levels
     // Reachability blast radius over the undirected interaction graph:
     // level(v) = min hops from any source (customers with id < 50), capped
@@ -2399,5 +2418,82 @@ object AdvancedQueries {
        $level2
        SELECT l1.id, COALESCE(l2.c, l1.c) AS community
        FROM lA$r1 l1 LEFT JOIN lB$r2 l2 ON l2.id = l1.c"""
+  }
+
+  /** DuckDB oracle for graph_louvain_multilevel: the full 4-level budget
+    * unrolled — level 1 (weighted rounds at w = 1 over the canonical simple
+    * edges), then for each deeper level the generic bridge (condense the
+    * previous level's weighted edge set over its final labels; self-loops
+    * on the diagonal, degrees get 2× self-loop weight, m includes
+    * self-loops), 4 more weighted rounds, and the operator's ACCEPTANCE
+    * GATE replayed exactly: a level counts only if its partition strictly
+    * raises the HUGEINT modularity numerator Σ_c(2m·A_in − Σtot²) over the
+    * level's input (identity) partition, and acceptance is prefix-chained
+    * (a rejected level stops the recursion, so deeper unrolled levels are
+    * gated off no matter what they compute). Composition walks the label
+    * maps down from the deepest ACCEPTED level. */
+  private def louvainMultilevelOracle: String = {
+    val rounds   = 4
+    val prefixes = Seq("A", "B", "C", "D") // 4 levels
+    val head =
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         und AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM e0 WHERE a <> b),
+         ceA AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM und),
+         symA AS MATERIALIZED (SELECT a, b, w FROM ceA UNION ALL SELECT b, a, w FROM ceA),
+         degA AS MATERIALIZED (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM symA GROUP BY 1),
+         mmA AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM ceA),
+         lA0 AS MATERIALIZED (SELECT id, id AS c FROM degA)"""
+    def bridge(p: String, q: String): String =
+      s"""ce$q AS MATERIALIZED (SELECT LEAST(la.c, lb.c) AS a, GREATEST(la.c, lb.c) AS b,
+                   CAST(SUM(e.w) AS BIGINT) AS w
+                 FROM ce$p e JOIN l$p$rounds la ON la.id = e.a JOIN l$p$rounds lb ON lb.id = e.b
+                 GROUP BY 1, 2),
+         sym$q AS MATERIALIZED (SELECT a, b, w FROM ce$q WHERE a <> b
+                   UNION ALL SELECT b, a, w FROM ce$q WHERE a <> b),
+         deg$q AS MATERIALIZED (SELECT id, CAST(SUM(k) AS BIGINT) AS k FROM (
+                   SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM sym$q GROUP BY 1
+                   UNION ALL
+                   SELECT a AS id, CAST(2 * w AS BIGINT) FROM ce$q WHERE a = b) GROUP BY 1),
+         mm$q AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM ce$q),
+         l${q}0 AS MATERIALIZED (SELECT id, id AS c FROM deg$q)"""
+    // the acceptance gate: HUGEINT Σ_c(2m·A_in(c) − Σtot(c)²) for the
+    // level's FINAL partition (qa) vs its input identity partition (qb =
+    // per node: 2m·2·selfloop − k²), prefix-chained into ok$q
+    def gate(q: String, prevOk: Option[String]): String = {
+      val chain = prevOk.map(p => s"(SELECT ok FROM ok$p) AND ").getOrElse("")
+      s"""qb$q AS (SELECT SUM(2 * (SELECT m FROM mm$q)::HUGEINT * COALESCE(sw.ain, 0)
+                        - CAST(d.k AS HUGEINT) * d.k) AS v
+                 FROM deg$q d LEFT JOIN (SELECT a AS id, 2 * SUM(w) AS ain
+                                         FROM ce$q WHERE a = b GROUP BY 1) sw ON sw.id = d.id),
+         qa$q AS (SELECT SUM(2 * (SELECT m FROM mm$q)::HUGEINT * COALESCE(ai.ain, 0)
+                        - t.tot * t.tot) AS v
+                 FROM (SELECT l.c, CAST(SUM(d.k) AS HUGEINT) AS tot
+                       FROM l$q$rounds l JOIN deg$q d USING (id) GROUP BY l.c) t
+                 LEFT JOIN (SELECT la.c, 2 * CAST(SUM(e.w) AS HUGEINT) AS ain
+                            FROM ce$q e JOIN l$q$rounds la ON la.id = e.a
+                                        JOIN l$q$rounds lb ON lb.id = e.b
+                            WHERE la.c = lb.c GROUP BY la.c) ai ON ai.c = t.c),
+         ok$q AS (SELECT $chain((SELECT v FROM qa$q) > (SELECT v FROM qb$q)) AS ok)"""
+    }
+    val levels = prefixes.zipWithIndex.map { case (p, i) =>
+      val sweep = (1 to rounds).map(louvainRoundSql(p, _)).mkString(",\n")
+      if (i == 0) sweep
+      else {
+        val prevOk = if (i >= 2) Some(prefixes(i - 1)) else None
+        s"${bridge(prefixes(i - 1), p)},\n$sweep,\n${gate(p, prevOk)}"
+      }
+    }.mkString(",\n")
+    s"""$head,
+       $levels
+       SELECT la.id,
+              CASE WHEN (SELECT ok FROM okD) THEN ld.c
+                   WHEN (SELECT ok FROM okC) THEN lc.c
+                   WHEN (SELECT ok FROM okB) THEN lb.c
+                   ELSE la.c END AS community
+       FROM lA$rounds la
+       LEFT JOIN lB$rounds lb ON lb.id = la.c
+       LEFT JOIN lC$rounds lc ON lc.id = lb.c
+       LEFT JOIN lD$rounds ld ON ld.id = lc.c"""
   }
 }

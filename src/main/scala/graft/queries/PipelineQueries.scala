@@ -335,9 +335,9 @@ object PipelineQueries {
 
   /** Exact-cosine IVF serve tail over amulti/qprobe/v0: candidate dedup,
     * the proven round-9/round-6 cosine, bounded rank cut. */
-  private def ivfExactTail(k: Int): String =
+  private def ivfExactTail(k: Int, candExtra: String = ""): String =
     s"""cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
-                FROM qprobe q JOIN amulti a ON a.cell = q.cell AND a.vec_id <> q.query_id),
+                FROM qprobe q JOIN amulti a ON a.cell = q.cell AND a.vec_id <> q.query_id$candExtra),
        sc AS (SELECT c2.query_id, c2.neighbor_id,
                      round(list_cosine_similarity(qa.x, nb.x), 9) AS sim9,
                      round(list_cosine_similarity(qa.x, nb.x), 6) AS sim
@@ -446,17 +446,24 @@ object PipelineQueries {
   /** DuckDB oracle for ann_ivf_appended — the incremental-index lifecycle:
     * the model trains on the SUBSET `trainWhere` selects (the base build),
     * assignment/probe/serve run over ALL vectors (base + appended
-    * generations, frozen centroids) — exactly what AnnIndex.append does. */
+    * generations, frozen centroids) — exactly what AnnIndex.append does.
+    * `deletedWhere` (a predicate over vec_id) replays AnnIndex tombstones:
+    * matching vectors stay OUT of the candidate set — they still shaped
+    * the trained model and the cell geometry (tombstoning is a read-path
+    * exclusion, not a rebuild), which is exactly what the operator does. */
   private def ivfKmeansSubsetOracle(
       nlist: Int,
       iters: Int,
       assign: Int,
       nprobe: Int,
       k: Int,
-      trainWhere: String): String =
+      trainWhere: String = "",
+      deletedWhere: String = ""): String = {
+    val extra = if (deletedWhere.isEmpty) "" else s" AND NOT (${deletedWhere.replace("vec_id", "a.vec_id")})"
     s"""${kmeansCellsPrefix(nlist, iters, trainWhere = trainWhere)},
        ${ivfAssignProbes(s"c$iters", assign, nprobe, nQueries = 8)},
-       ${ivfExactTail(k)}"""
+       ${ivfExactTail(k, candExtra = extra)}"""
+  }
 
   /** DuckDB oracle for ann_ivf_topk — the SAMPLED-trainer IVF, replayed
     * end to end: [[ivfSampledPrefix]] centroids, then the same
@@ -2283,6 +2290,61 @@ object PipelineQueries {
         .build(cat, "emb_inc", emb.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 5, assign = 3)
       graft.operators.AnnIndex.append(cat, "emb_inc", emb.filter(col("vec_id") % 2 === 1))
       graft.operators.AnnIndex.search(cat, "emb_inc", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
+    },
+
+    // --------------------------- ANN: tombstoned deletes (index hygiene)
+    // The deletion half of the index lifecycle: after a corpus deleteWhere
+    // the index must NOT keep serving the removed vectors. deleteVectors
+    // tombstones them (<name>.__anntomb__); every read path anti-joins the
+    // tombstone set AFTER partition pruning, so probe I/O is unchanged and
+    // the model/cell geometry stays frozen — which is exactly what the
+    // oracle replays: full-corpus training, candidate set minus the
+    // deleted ids. A lost tombstone, an eager re-train, or an anti-join
+    // on the wrong side would all hash-mismatch.
+    Q(
+      "ann_ivf_deleted",
+      Some(ivfKmeansSubsetOracle(
+        nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10,
+        deletedWhere = "vec_id % 7 = 3"))) { (spark, dir) =>
+      val emb  = Tables(spark, dir).embeddings
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-del").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      graft.operators.AnnIndex.build(cat, "emb_del", emb, nlist = 16, iters = 5, assign = 3)
+      graft.operators.AnnIndex
+        .deleteVectors(cat, "emb_del", emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      graft.operators.AnnIndex.search(cat, "emb_del", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
+    },
+
+    // ------------- ANN ⨯ storage lifecycle: the full composed maintenance
+    // Every maintenance verb the index and its base table support, in one
+    // row: build on the even half (train freezes there), append the odd
+    // half as a generation, tombstone a slice, then COMPACT the corpus
+    // table underneath (compactSmallFiles rewrites the base table's files
+    // — the index serves from its own cell-partitioned copies, so file
+    // churn in the corpus must change nothing). The oracle replays
+    // subset-train + frozen-model assignment + tombstone exclusion; the
+    // compaction's invisibility IS the assertion.
+    Q(
+      "ann_lifecycle_e2e",
+      Some(ivfKmeansSubsetOracle(
+        nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10,
+        trainWhere = "WHERE vec_id % 2 = 0",
+        deletedWhere = "vec_id % 7 = 3"))) { (spark, dir) =>
+      val emb  = Tables(spark, dir).embeddings
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-e2e").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      // base table lives in the catalog, deliberately fragmented so the
+      // compaction below has real work to do
+      cat.putTable("corpus_e", emb.repartition(16))
+      val base = cat.readTable("corpus_e")
+      graft.operators.AnnIndex
+        .build(cat, "emb_e2e", base.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 5, assign = 3)
+      graft.operators.AnnIndex.append(cat, "emb_e2e", base.filter(col("vec_id") % 2 === 1))
+      graft.operators.AnnIndex
+        .deleteVectors(cat, "emb_e2e", base.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      cat.compactSmallFiles("corpus_e", smallBytes = 64L << 20, targetBytes = 64L << 20)
+      graft.operators.AnnIndex
+        .search(cat, "emb_e2e", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
     },
 
     // ------------------- ANN: int8 IVF over the DETERMINISTIC quantizer

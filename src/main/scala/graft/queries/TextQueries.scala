@@ -197,11 +197,17 @@ object TextQueries {
     // over all rows; GrepIndexSpec pins the file-skipping itself on a
     // planted fixture). Blooms have no false negatives — a matching file
     // always scans.
+    // The \b anchors make the required-token claim hold by CONSTRUCTION,
+    // not by fixture vocabulary: a \b-delimited run has non-word neighbors
+    // (⊂ non-[a-z0-9]), so every regex match provably contains 'window'
+    // and 'agg' as maximal tokenizer runs — an unanchored 'window agg'
+    // would also match "rewindow aggregates", whose maximal tokens the
+    // Bloom never indexed, and the prune would drop a true match.
     Q(
       "grep_pruned_documents",
       Some("""
         SELECT doc_id, text FROM documents
-        WHERE regexp_matches(text, 'window agg')
+        WHERE regexp_matches(text, '\bwindow agg\b')
       """)) { (spark, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft-grep-idx").toString
       val cat  = new graft.sources.Catalog(spark, root)
@@ -209,7 +215,7 @@ object TextQueries {
         "docs_g",
         Tables(spark, dir).documents.select(col("doc_id"), col("text")).repartition(8, col("doc_id")))
       cat.analyzeGrepIndex("docs_g", "text")
-      cat.grepPruned("docs_g", "text", "window agg", Seq("window", "agg"))
+      cat.grepPruned("docs_g", "text", "\\bwindow agg\\b", Seq("window", "agg"))
         .select(col("doc_id"), col("text"))
     },
 

@@ -254,12 +254,32 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     }
 
   /** Parquet data files under `dir` (committer markers and metadata
-    * excluded), as absolute path strings. */
-  private def listDataFiles(dir: Path): Seq[String] =
-    fs.listStatus(dir)
+    * excluded), as absolute path strings.
+    *
+    * REFUSES hive-partitioned layouts (partCol=… subdirs from
+    * [[putPartitionedTable]]) instead of silently returning only the
+    * direct files: every caller is a manifest-mutation or stats/sample/
+    * index path (appendTable, deleteWhere, compactSmallFiles,
+    * analyzeSample, analyzeAppended, grep index), and a flat listing over
+    * a partitioned table would truncate it to the delta files on the next
+    * manifest publish — data loss with no error. Partitioned tables stay
+    * fully readable ([[readTable]] goes through partition discovery);
+    * mutating them in place needs partition-aware delta writes the flat
+    * manifest format does not carry, so the contract is a loud refusal. */
+  private def listDataFiles(dir: Path): Seq[String] = {
+    val entries = fs
+      .listStatus(dir)
       .toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
+      .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+    val subdirs = entries.filter(_.isDirectory)
+    require(
+      subdirs.isEmpty,
+      s"'$dir' has a hive-partitioned layout (${subdirs.map(_.getPath.getName).take(3).mkString(", ")}" +
+        s"${if (subdirs.size > 3) ", …" else ""}) — manifest mutations and file-granular services " +
+        "(append/deleteWhere/compact/analyze/sample/grep-index) are unsupported on partitioned " +
+        "tables; read them with readTable, or re-put unpartitioned to use table services")
+    entries.filter(_.isFile).map(_.getPath.toString)
+  }
 
   /** The data files the CURRENT readable version comprises: the manifest's
     * list for a manifest version, the dir listing otherwise. */
@@ -351,8 +371,21 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
   }
 
   /** DELETE from all replicas + metadata (src/master.go:82-108) — on Spark,
-    * recursive FS deletes of every version of the name. */
+    * recursive FS deletes of every version of the name, PLUS every derived
+    * side table under `<name>.__…` (`__stats__`, `__filestats__`,
+    * `__sample__`/`__samplemeta__`, `__grepidx__`, `__bucketspec__`, ANN
+    * metadata/generations). Version numbering restarts at v1 after a
+    * delete, so a surviving side table from the name's previous life would
+    * carry a version stamp that MATCHES the re-put data — the stamp
+    * discipline that makes stale stats refuse loudly would instead serve
+    * the old table's zone maps and samples as if they were fresh. Returns
+    * whether the BASE name existed. */
   def delete(name: String): Boolean = lockFor(name).synchronized {
+    lsPrefix(s"$name.__").foreach(deleteOne)
+    deleteOne(name)
+  }
+
+  private def deleteOne(name: String): Boolean = {
     val versioned = versionDirs(name).map { case (_, p) => fs.delete(p, true) }
     val blobs     = fs.delete(pathOf(s"$name.__data__"), true) // manifest-referenced data files
     val plain     = fs.delete(pathOf(name), true)

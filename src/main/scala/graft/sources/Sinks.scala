@@ -109,6 +109,15 @@ object Sinks {
     val scaleMax = (1L << bits) - 1
     val aggs = colNames.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row  = df.agg(aggs.head, aggs.tail: _*).head()
+    // min/max of an empty frame or an all-NULL column are NULL; getDouble
+    // on those would throw a bare NPE (or quietly read 0) — refuse with the
+    // actual problem named instead
+    colNames.zipWithIndex.foreach { case (c, i) =>
+      require(
+        !row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"zOrderedN: cluster column '$c' has no non-NULL values " +
+          "(empty input or all-NULL column) — cannot derive scale factors")
+    }
     val scaledCols = colNames.zipWithIndex.map { case (c, i) =>
       val lo = row.getDouble(2 * i)
       val hi = row.getDouble(2 * i + 1)

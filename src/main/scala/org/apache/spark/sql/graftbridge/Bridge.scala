@@ -31,6 +31,53 @@ object Bridge {
       case _                                            => ()
     }
 
+  /** Cap the ORIGIN statistics a checkpointed frame's LogicalRDD inherits.
+    *
+    * Spark preserves the origin plan's estimated Statistics across
+    * Dataset.checkpoint/localCheckpoint (so a checkpointed small dim can
+    * still broadcast). For ITERATIVE operators this inheritance compounds:
+    * round r's plan multiplies its leaves' sizeInBytes at every join
+    * (SizeInBytesOnlyStatsPlanVisitor), round r's checkpoint inherits that
+    * product as its own leaf stat, and round r+1 multiplies the products —
+    * the estimate grows doubly-exponentially in the round count. By ~10
+    * checkpointed rounds the sizeInBytes BigInts are megabytes wide and
+    * the DRIVER burns minutes in BigInteger.multiply during planning
+    * (observed live: a 4-level Louvain spending 35+ min in Toom-Cook-3
+    * inside the stats visitor). Capping each checkpoint's inherited
+    * sizeInBytes/rowCount at `capBytes` bounds every later product while
+    * keeping the only decision these numbers drive — "too big to
+    * broadcast" — intact (the cap is far above every broadcast
+    * threshold). Non-LogicalRDD frames pass through untouched. */
+  def capCheckpointStats(df: DataFrame, capBytes: Long): DataFrame = {
+    val analyzed =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+    analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val cap = BigInt(capBytes)
+        val s   = l.stats
+        if (s.sizeInBytes <= cap && s.rowCount.forall(_ <= cap)) df
+        else {
+          val capped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = s.sizeInBytes.min(cap),
+            rowCount = s.rowCount.map(_.min(cap)),
+            attributeStats = s.attributeStats,
+            isRuntime = s.isRuntime)
+          val fresh = new org.apache.spark.sql.execution.LogicalRDD(
+            l.output,
+            l.rdd,
+            l.outputPartitioning,
+            l.outputOrdering,
+            l.isStreaming,
+            l.stream)(
+            df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            Some(capped),
+            None)
+          ofRows(df.sparkSession, fresh)
+        }
+      case _ => df
+    }
+  }
+
   /** Install a TaskContext on the current thread — needed by helper threads
     * (e.g. a process-stdin writer) that consume a task's shuffle or cached
     * block iterators: block locks are tracked per TaskContext, and a thread

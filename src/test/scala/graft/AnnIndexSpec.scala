@@ -91,4 +91,80 @@ class AnnIndexSpec extends SparkSpec {
       assert(e.getMessage != null)
     }
   }
+
+  test("deleteVectors tombstones: search never serves a deleted neighbor (the corpus-deleteWhere twin)") {
+    withCat { cat =>
+      AnnIndex.build(cat, "del", emb, nlist = 8, iters = 3, assign = 2)
+      val queries = emb.filter(col("vec_id") < 6)
+      val before  = AnnIndex.search(cat, "del", queries, k = 5, nprobe = 4)
+      // delete every neighbor the first query currently sees — the
+      // strongest staleness probe: each of them WAS being served
+      val victims = before.filter(col("query_id") === 0).select(col("neighbor_id")).distinct()
+      val victimIds = victims.collect().map(_.getLong(0)).toSet
+      assert(victimIds.nonEmpty)
+      val n = AnnIndex.deleteVectors(cat, "del", victims)
+      assert(n === victimIds.size.toLong)
+      val after = AnnIndex.search(cat, "del", queries, k = 5, nprobe = 4)
+      val servedAfter = after.select(col("neighbor_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(servedAfter.intersect(victimIds).isEmpty,
+        s"tombstoned vectors still served: ${servedAfter.intersect(victimIds)}")
+      // deletion is read-path exclusion over the SAME frozen geometry:
+      // query 0's new neighbors are the next-best candidates, not a retrain
+      assert(after.filter(col("query_id") === 0).count() > 0)
+      // idempotent: deleting again changes nothing
+      assert(AnnIndex.deleteVectors(cat, "del", victims) === n)
+      // audit sees the shrunken live set (assign=2 → two rows per vector)
+      val live = AnnIndex.audit(cat, "del").head().getAs[Long]("n_index_rows")
+      assert(live === 2L * (emb.count() - victimIds.size))
+    }
+  }
+
+  test("deleting every vector leaves an empty index: audit reports a zero row, never an NPE") {
+    withCat { cat =>
+      AnnIndex.build(cat, "del2", emb, nlist = 8, iters = 3)
+      AnnIndex.deleteVectors(cat, "del2", emb.select(col("vec_id")))
+      val r = AnnIndex.audit(cat, "del2").head()
+      assert(r.getAs[Long]("n_index_rows") === 0L)
+      assert(r.getAs[Long]("n_cells") === 0L)
+      assert(r.getAs[Double]("cell_imbalance") === 0.0)
+    }
+  }
+
+  test("rebuild clears tombstones and stale generations (old-model leftovers must not leak in)") {
+    withCat { cat =>
+      AnnIndex.build(cat, "rb", emb.filter(col("vec_id") % 2 === 0), nlist = 8, iters = 3, assign = 2)
+      AnnIndex.append(cat, "rb", emb.filter(col("vec_id") % 2 === 1))
+      AnnIndex.deleteVectors(cat, "rb", emb.filter(col("vec_id") < 100).select(col("vec_id")))
+      // rebuild on the FULL corpus: generations assigned with the old
+      // model and tombstones for the old rows must all be gone
+      val built = AnnIndex.build(cat, "rb", emb, nlist = 8, iters = 3, assign = 2)
+      val r = AnnIndex.audit(cat, "rb").head()
+      assert(r.getAs[Long]("n_gens") === 0L, "stale generations survived the rebuild")
+      assert(r.getAs[Long]("n_index_rows") === emb.count() * 2, "tombstones survived the rebuild")
+      val queries = emb.filter(col("vec_id") < 6)
+      val got     = AnnIndex.search(cat, "rb", queries, k = 5, nprobe = 4)
+      val want = Similarity.ivfSearch(
+        Similarity.ivfAssign(emb, built, assign = 2), queries, built, k = 5, nprobe = 4)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  test("concurrent appends serialize: distinct generations, no lost vectors") {
+    withCat { cat =>
+      AnnIndex.build(cat, "cc", emb.filter(col("vec_id") % 4 === 0), nlist = 8, iters = 3)
+      val slices = (1 to 3).map(i => emb.filter(col("vec_id") % 4 === i))
+      val pool   = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        val futures = slices.map(s =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = AnnIndex.append(cat, "cc", s)
+          }))
+        val gens = futures.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        assert(gens.toSet === Set(0, 1, 2), s"generation numbers must be distinct+dense, got $gens")
+      } finally pool.shutdown()
+      val r = AnnIndex.audit(cat, "cc").head()
+      assert(r.getAs[Long]("n_gens") === 3L)
+      assert(r.getAs[Long]("n_index_rows") === emb.count(), "a concurrent append overwrote another's generation")
+    }
+  }
 }

@@ -309,4 +309,48 @@ class CatalogSpec extends SparkSpec {
     // "<" consults only the parseable min (1.5 >= 0): prune still fires
     assert(cat.readTableWhere("nanny", "v", "<", "0").count() == 0)
   }
+
+  test("hive-partitioned tables refuse manifest mutations loudly instead of truncating") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "part", "v")
+    cat.putPartitionedTable("pt", df, "part")
+    // reads stay fully available through partition discovery
+    assert(cat.readTable("pt").count() == 3)
+    // every mutation / file-granular service must refuse with the layout
+    // named — a flat listing would silently see ZERO data files and the
+    // next manifest publish would truncate the table to the delta
+    val append = intercept[IllegalArgumentException](
+      cat.appendTable("pt", Seq((4L, "c", 40L)).toDF("id", "part", "v")))
+    assert(append.getMessage.contains("partitioned"), append.getMessage)
+    val del = intercept[IllegalArgumentException](cat.deleteWhere("pt", "v", ">", "15"))
+    assert(del.getMessage.contains("partitioned"), del.getMessage)
+    val pack = intercept[IllegalArgumentException](cat.compactSmallFiles("pt"))
+    assert(pack.getMessage.contains("partitioned"), pack.getMessage)
+    // and the refusals left the data untouched
+    assert(cat.readTable("pt").count() == 3)
+  }
+
+  test("delete removes derived side tables: a re-put name never meets its previous life's stamps") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // first life: 3 rows, stats + sample published at its version
+    cat.putTable("reborn", Seq((1L, 5.0), (2L, 6.0), (3L, 7.0)).toDF("id", "v"))
+    cat.analyzeTable("reborn")
+    cat.analyzeSample("reborn", "id")
+    assert(cat.exists("reborn.__stats__") && cat.exists("reborn.__sample__"))
+    // delete: the base AND every __-derived side table must go — version
+    // numbering restarts at v1 after delete, so a surviving stamp from the
+    // old life would MATCH the new data's version and serve stale answers
+    assert(cat.delete("reborn"))
+    assert(!cat.exists("reborn.__stats__"), "stats survived delete")
+    assert(!cat.exists("reborn.__sample__"), "sample survived delete")
+    assert(!cat.exists("reborn.__samplemeta__"), "sample meta survived delete")
+    assert(cat.lsPrefix("reborn").isEmpty, s"leftovers: ${cat.lsPrefix("reborn")}")
+    // second life: completely different data — nothing stale to consult
+    cat.putTable("reborn", Seq((10L, 50.0)).toDF("id", "v"))
+    // prune path must not use the old table's min/max (old max 7 < 40
+    // would prove-empty a predicate the new data matches)
+    assert(cat.readTableWhere("reborn", "v", ">", "40").count() == 1)
+  }
 }

@@ -193,6 +193,50 @@ class GraphSpec extends SparkSpec {
     assert(lw2(1L) == lw2(2L), lw2.toString)
   }
 
+  test("louvainMultilevel: Q >= two-level, early-exits to a fixpoint, deterministic") {
+    import spark.implicits._
+    def q(edges: org.apache.spark.sql.DataFrame, labels: org.apache.spark.sql.DataFrame): Double =
+      Graph.modularity(edges, "s", "t", labels.withColumnRenamed("community", "label"), "id", "label")
+        .collect().head.getDouble(4)
+
+    // the triangle-pair ring again: multilevel must do at least as well as
+    // the hard-capped two-level recipe, and label every node exactly once
+    val cliques = (0 until 4).flatMap { c =>
+      val base = c * 10L
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2),
+        (base + 3, base + 4), (base + 4, base + 5), (base + 3, base + 5),
+        (base + 2, base + 3))
+    } ++ (0 until 4).map(c => (c * 10L + 5, ((c + 1) % 4) * 10L))
+    val edges = cliques.toDF("s", "t")
+    val l2 = Graph.louvainTwoLevel(edges, "s", "t", rounds1 = 4, rounds2 = 4)
+    val lm = Graph.louvainMultilevel(edges, "s", "t", roundsPerLevel = 4, maxLevels = 4)
+    val (q2, qm) = (q(edges, l2), q(edges, lm))
+    assert(qm >= q2, s"multilevel Q=$qm below two-level Q=$q2")
+    val n = edges.select(col("s")).union(edges.select(col("t"))).distinct().count()
+    assert(lm.count() == n && lm.select("id").distinct().count() == n)
+
+    // maxLevels = 1 degenerates to the single sweep exactly
+    val l1  = Graph.louvain(edges, "s", "t", rounds = 4)
+    val lm1 = Graph.louvainMultilevel(edges, "s", "t", roundsPerLevel = 4, maxLevels = 1)
+    assert(lm1.collect().map(_.toString).sorted.toSeq ==
+      l1.collect().map(_.toString).sorted.toSeq)
+
+    // a generous level budget must not change the answer once the identity
+    // fixpoint certificate fires (post-convergence levels are no-ops), and
+    // reruns are bit-identical
+    val rnd = new scala.util.Random(4242)
+    (0 until 2).foreach { trial =>
+      val rg = Seq.fill(90)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2).distinct.toDF("s", "t")
+      val a = Graph.louvainMultilevel(rg, "s", "t", roundsPerLevel = 4, maxLevels = 4)
+      val b = Graph.louvainMultilevel(rg, "s", "t", roundsPerLevel = 4, maxLevels = 8)
+      assert(a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq,
+        s"trial $trial: maxLevels 4 vs 8 diverged after the fixpoint certificate")
+      assert(q(rg, a) >= q(rg, Graph.louvainTwoLevel(rg, "s", "t")), s"trial $trial")
+    }
+  }
+
   test("labelPropagation equals the driver synchronous-LPA reference on random graphs") {
     import spark.implicits._
     (0 until 3).foreach { trial =>

@@ -733,4 +733,23 @@ class PlanSpec extends SparkSpec {
     val forced = Skew.autoSaltedJoin(uni, dim, "k", knownSkewFactor = Some(50.0))
     assert(forced.queryExecution.executedPlan.toString.contains("__salt"))
   }
+
+  test("entity-sized cumulatives run two-phase: no data-sized single-partition window survives") {
+    // vocabGrowth (per-document), rfmSegments (per-user), giniCoefficient
+    // (per-entity) — their windowed tables grow WITH the corpus, so every
+    // Window node in their plans must either be partitioned by the
+    // two-phase range-partition id or be the offsets window over the
+    // partition-count-sized totals (whose inputs are the __t_ partials).
+    // A Window line mentioning neither is the single-partition sort the
+    // rewrite exists to kill.
+    for (q <- Seq("corpus_vocab_growth", "events_rfm_segments", "quality_gini_revenue")) {
+      val plan = planOf(q)
+      val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty, s"$q: expected the two-phase windows in the plan")
+      val offenders = windows.filterNot(l => l.contains("__psum_pid") || l.contains("__t_"))
+      assert(
+        offenders.isEmpty,
+        s"$q: data-sized global window (no __psum_pid partition) in plan:\n${offenders.mkString("\n")}")
+    }
+  }
 }
