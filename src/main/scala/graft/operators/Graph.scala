@@ -912,6 +912,19 @@ object Graph {
           col(weightCol).cast("long").as("w"))
         .groupBy(col("a"), col("b"))
         .agg(sum(col("w")).as("w")))
+    val out = louvainWeightedCanonical(grouped, rounds, st)
+    st.release(grouped)
+    out
+  }
+
+  /** [[louvainWeighted]] minus the canonicalization shuffle, for callers
+    * whose edge list is ALREADY canonical-grouped (a ≤ b, one row per
+    * pair, self-loops on the diagonal) and checkpointed — which is exactly
+    * what [[louvainMultilevel]]'s condensation emits every level. */
+  private def louvainWeightedCanonical(
+      grouped: DataFrame,
+      rounds: Int,
+      st: IterState): DataFrame = {
     val selfW = grouped.filter(col("a") === col("b")).select(col("a").as("id"), col("w").as("sw"))
     val inter = grouped.filter(col("a") =!= col("b"))
     val sym = st.mat(
@@ -925,7 +938,8 @@ object Graph {
         .groupBy(col("id"))
         .agg(sum(col("k")).as("k")))
     val m = grouped.agg(sum(col("w"))).head().getLong(0) // total weight incl self-loops
-    st.release(grouped)
+    // `grouped`'s lifecycle belongs to the caller (louvainMultilevel keeps
+    // using it for the NEXT condensation after this sweep returns)
     louvainSweep(sym, deg, m, rounds, st)
   }
 
@@ -1129,10 +1143,15 @@ object Graph {
           .agg(sum(col("w")).as("w")))
       st.release(cur)
       cur = nextCur
-      val l = st.mat(louvainWeighted(cur, "a", "b", "w", roundsPerLevel, checkpointDir))
+      // cur is already canonical-grouped (the condensation above) — skip
+      // louvainWeighted's re-canonicalization shuffle
+      val l = st.mat(louvainWeightedCanonical(cur, roundsPerLevel, st))
       // accept the level only if it STRICTLY raises the exact modularity
-      // numerator over this level's input partition (= the identity
-      // partition of the condensed graph); see Scaladoc
+      // numerator over this level's input partition — the identity
+      // partition of the condensed graph, whose numerator equals the
+      // accepted partition's by condensation-invariance; both sides score
+      // on the COMMUNITY-SPACE graph, so the gate costs two tiny
+      // aggregation passes per level (see Scaladoc)
       converged = weightedQNum(cur, Some(l)).compareTo(weightedQNum(cur, None)) <= 0
       if (converged) st.release(l)
       else {

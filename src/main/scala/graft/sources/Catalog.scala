@@ -797,6 +797,15 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       // carry the resolved table schema explicitly; parquet/orc only
       // (csv/json header/inference plumbing isn't worth a metadata tier
       // they'd rarely deploy with).
+      // hive-partitioned layout probe (computed OUTSIDE the match below,
+      // where the pattern variable `fs` shadows the Hadoop FileSystem)
+      lazy val partitionBase: Option[String] = {
+        val resolved = resolveReadable(name)
+        if (fs.exists(resolved) &&
+          fs.listStatus(resolved).exists(st => st.isDirectory && st.getPath.getName.contains("=")))
+          Some(resolved.toString)
+        else None
+      }
       val subset: Option[org.apache.spark.sql.DataFrame] =
         if (format != "parquet" && format != "orc") None
         else fileStatsFor(name, format) match {
@@ -818,7 +827,13 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
               if (keep.size >= allFiles.size) None // nothing pruned: plain scan
               else if (keep.isEmpty) Some(emptyLocal)
               else {
-                val r = spark.read.schema(table.schema)
+                // hive-partitioned layout: the partition column lives in
+                // the DIRECTORY NAMES, not the leaf files — a bare
+                // path-list read with an explicit schema would fill it
+                // with NULLs (silently wrong rows). basePath makes Spark
+                // re-derive partition values from the kept files' paths.
+                val r0 = spark.read.schema(table.schema)
+                val r  = partitionBase.fold(r0)(b => r0.option("basePath", b))
                 Some(predicate(if (format == "parquet") r.parquet(keep: _*) else r.orc(keep: _*)))
               }
             }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max}
 
 import graft.sources.Catalog
 
@@ -329,6 +329,26 @@ class CatalogSpec extends SparkSpec {
     assert(pack.getMessage.contains("partitioned"), pack.getMessage)
     // and the refusals left the data untouched
     assert(cat.readTable("pt").count() == 3)
+  }
+
+  test("file-granular prune on a hive-partitioned table keeps the partition column's values") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // two partitions, disjoint value ranges so the zone prune has real work
+    val df = ((1 to 50).map(i => (i.toLong, "lo", i.toLong)) ++
+      (1 to 50).map(i => (100L + i, "hi", 1000L + i))).toDF("id", "part", "v")
+    cat.putPartitionedTable("ptp", df, "part")
+    cat.analyzeTable("ptp", fileStats = true)
+    // predicate only the 'hi' files can match: the pruned path-list read
+    // must re-derive part from the directory names, not NULL it out
+    val got = cat.readTableWhereAll("ptp", Seq(("v", ">", "1000")))
+    assert(got.count() === 50L)
+    val parts = got.select(col("part")).distinct().collect().map(_.getString(0)).toSet
+    assert(parts === Set("hi"), s"partition column lost by the pruned read: $parts")
+    // and a conjunct ON the partition column itself prunes + stays correct
+    val onPart = cat.readTableWhereAll("ptp", Seq(("part", "=", "lo")))
+    assert(onPart.count() === 50L)
+    assert(onPart.agg(max(col("v"))).head().getLong(0) === 50L)
   }
 
   test("delete removes derived side tables: a re-put name never meets its previous life's stamps") {

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+/** The two-phase prefix-sum machinery must be BIT-IDENTICAL to the
+  * single-partition global window it replaces — that is the whole
+  * contract (the gate rows that moved onto it are hash-compared against
+  * DuckDB's plain window SQL). Property-tested against Spark's own
+  * window functions on random data, plus the NTILE formula across the
+  * full (N mod buckets) residue range where the bucket-size arithmetic
+  * changes shape. */
+class PrefixSumSpec extends SparkSpec {
+
+  test("withRunning equals the single-partition window exactly on random data (ties included)") {
+    import spark.implicits._
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(1600 + trial)
+      // duplicate VALUES on purpose; the ORDER stays total via the unique id
+      val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      val df   = rows.toDF("id", "v", "u").repartition(7)
+      val got = PrefixSum
+        .withRunning(
+          df,
+          order = Seq(col("v"), col("id")),
+          running = Seq("rv" -> col("v"), "ru" -> col("u")),
+          rowNumberAs = Some("rn"),
+          numPartitions = 5)
+        .select(col("id"), col("rv"), col("ru"), col("rn"))
+      val w = Window.orderBy(col("v"), col("id")).rowsBetween(Window.unboundedPreceding, 0)
+      val want = df.select(
+        col("id"),
+        sum(col("v")).over(w).as("rv"),
+        sum(col("u")).over(w).as("ru"),
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long").as("rn"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, s"trial $trial diverged")
+    }
+  }
+
+  test("withRunning supports descending orders and empty input") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i % 9).toLong)).toDF("id", "v")
+    val got = PrefixSum
+      .withRunning(df, Seq(col("v").desc, col("id").asc), Seq("rv" -> col("v")), Some("rn"), 4)
+      .select(col("id"), col("rv"), col("rn"))
+    val w = Window.orderBy(col("v").desc, col("id").asc)
+    val want = df.select(
+      col("id"),
+      sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("rv"),
+      row_number().over(w).cast("long").as("rn"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val empty = df.filter(lit(false))
+    assert(PrefixSum.withRunning(empty, Seq(col("id")), Seq("rv" -> col("v")), Some("rn")).count() === 0L)
+  }
+
+  test("ntileFromRowNumber reproduces Spark's NTILE for every residue class and tiny N") {
+    import spark.implicits._
+    // N mod buckets sweeps 0..buckets-1, plus N < buckets (the q=0 branch)
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 10, 11, 12, 13, 14, 25, 99, 100); b <- Seq(3, 5)) {
+      val df = (1 to n).map(_.toLong).toDF("id")
+      val got = df
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("tot"))))
+        .select(
+          col("id"),
+          PrefixSum.ntileFromRowNumber(
+            row_number().over(Window.orderBy(col("id"))).cast("long"), b, col("tot")).as("nt"))
+      val want = df.select(col("id"), ntile(b).over(Window.orderBy(col("id"))).as("nt"))
+      assert(
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"N=$n buckets=$b diverged from Spark ntile")
+    }
+  }
+
+  test("phase 2 stays metadata-sized: the only partition-less window runs over per-partition totals") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
+    val out  = PrefixSum.withRunning(df, Seq(col("id")), Seq("rv" -> col("v")), Some("rn"), 8)
+    val plan = out.queryExecution.executedPlan.toString
+    val offenders = plan.linesIterator
+      .filter(_.contains("Window ["))
+      .filterNot(l => l.contains("__psum_pid") || l.contains("__t_"))
+      .toSeq
+    assert(offenders.isEmpty, s"data-sized global window leaked into the plan:\n${offenders.mkString("\n")}")
+  }
+}
