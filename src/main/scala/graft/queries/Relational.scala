@@ -350,6 +350,46 @@ object Relational {
       Seq((n, s)).toDF("n_rows", "sum_keys")
     },
 
+    // --------------------- partitioned-table mutation lifecycle
+    // The date-partitioned-ingest pattern every 100-TB lakehouse runs:
+    // hive-layout PUT (directory per o_orderpriority), APPEND (the delta
+    // generation keeps the layout — its partition values live in ITS
+    // directory names), targeted DELETE (survivor rewrite keeps the
+    // layout), small-file COMPACTION (packs within the layout), then a
+    // partition-pruned stats read. Every step once either truncated or
+    // NULLed the partition column on partitioned tables (flat listing /
+    // bare path-list reads); the oracle — the same per-priority rollup
+    // over the surviving rows — hash-catches any of those regressions.
+    Q(
+      "catalog_partitioned_lifecycle",
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_custkey <= 200)
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-part-life").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      // ingest batches arrive coalesced (a partitionBy write fans out one
+      // file per task per partition value — 32 tasks × 5 priorities would
+      // spray 160 shards per write; 4 tasks is the honest batch shape)
+      cat.putPartitionedTable(
+        "orders_p",
+        t.orders.filter(col("o_orderkey") % 3 === 0).repartition(4, col("o_orderkey")),
+        "o_orderpriority")
+      cat.appendTable(
+        "orders_p", t.orders.filter(col("o_orderkey") % 3 === 1).repartition(4, col("o_orderkey")))
+      cat.deleteWhere("orders_p", "o_custkey", "<=", "200")
+      cat.compactSmallFiles("orders_p", smallBytes = 64L << 20, targetBytes = 64L << 20)
+      cat.analyzeTable("orders_p", fileStats = true)
+      // the final read exercises the partition-pruned path-list plan
+      cat.readTable("orders_p")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("sum_keys"))
+    },
+
     // -------------------------------------------- incremental ANALYZE
     // Append + O(delta) stats refresh + zone-map prune, composed: the
     // appended files are the ONLY ones scanned by analyzeAppended (per-file

@@ -249,36 +249,71 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
           throw new IllegalStateException(s"corrupt manifest version at $p: no $ManifestSchemaFile"))
         if (files.isEmpty)
           spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(files: _*)
+        else readFilesWithLayout(files, schema)
       case None => spark.read.parquet(p.toString)
     }
 
   /** Parquet data files under `dir` (committer markers and metadata
-    * excluded), as absolute path strings.
-    *
-    * REFUSES hive-partitioned layouts (partCol=… subdirs from
-    * [[putPartitionedTable]]) instead of silently returning only the
-    * direct files: every caller is a manifest-mutation or stats/sample/
-    * index path (appendTable, deleteWhere, compactSmallFiles,
-    * analyzeSample, analyzeAppended, grep index), and a flat listing over
-    * a partitioned table would truncate it to the delta files on the next
-    * manifest publish — data loss with no error. Partitioned tables stay
-    * fully readable ([[readTable]] goes through partition discovery);
-    * mutating them in place needs partition-aware delta writes the flat
-    * manifest format does not carry, so the contract is a loud refusal. */
-  private def listDataFiles(dir: Path): Seq[String] = {
-    val entries = fs
-      .listStatus(dir)
+    * excluded), as absolute path strings — RECURSIVE, preserving hive
+    * partition paths (`partCol=…` subdirs from [[putPartitionedTable]]),
+    * so manifest mutations and file-granular services see a partitioned
+    * table's full file set. A flat listing here once silently truncated a
+    * partitioned table to its delta on the next manifest publish; every
+    * consumer now goes through [[readFilesWithLayout]], which restores
+    * partition-column values from the directory names. */
+  private def listDataFiles(dir: Path): Seq[String] =
+    fs.listStatus(dir)
       .toSeq
       .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-    val subdirs = entries.filter(_.isDirectory)
-    require(
-      subdirs.isEmpty,
-      s"'$dir' has a hive-partitioned layout (${subdirs.map(_.getPath.getName).take(3).mkString(", ")}" +
-        s"${if (subdirs.size > 3) ", …" else ""}) — manifest mutations and file-granular services " +
-        "(append/deleteWhere/compact/analyze/sample/grep-index) are unsupported on partitioned " +
-        "tables; read them with readTable, or re-put unpartitioned to use table services")
-    entries.filter(_.isFile).map(_.getPath.toString)
+      .flatMap { st =>
+        if (st.isDirectory) listDataFiles(st.getPath)
+        else Seq(st.getPath.toString)
+      }
+
+  /** The path prefix ending just BEFORE the first hive `k=v` directory
+    * segment — the `basePath` Spark needs to re-derive partition-column
+    * values when reading that file by explicit path. None for flat files
+    * (the trailing segment is the filename and never counts). */
+  private def hiveBaseOf(file: String): Option[String] = {
+    val segs = file.split('/')
+    val i    = segs.indexWhere(_.contains("="))
+    if (i <= 0 || i == segs.length - 1) None
+    else Some(segs.take(i).mkString("/"))
+  }
+
+  /** The hive partition COLUMNS a file list carries (directory-segment
+    * keys in path order), from its first partitioned member — empty for a
+    * flat layout. putPartitionedTable writes one level, but the walk is
+    * generic over nested layouts. */
+  private def partitionColsOf(files: Seq[String]): Seq[String] =
+    files
+      .find(f => hiveBaseOf(f).isDefined)
+      .toSeq
+      .flatMap(f =>
+        f.split('/').dropRight(1).filter(_.contains("=")).map(_.takeWhile(_ != '=')).toSeq)
+
+  /** Read an explicit FILE LIST with hive-layout awareness: files under a
+    * partitioned directory are grouped by their [[hiveBaseOf]] prefix and
+    * read with `basePath` so the partition column comes back from the
+    * directory names (a bare explicit-schema path read would fill it with
+    * NULLs — silently wrong rows); flat files read plainly. One group per
+    * layout root (manifests mix the original PUT's root with blob
+    * generations), unioned by name under the single explicit schema. */
+  private def readFilesWithLayout(
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    require(files.nonEmpty, "readFilesWithLayout needs at least one file")
+    files
+      .groupBy(hiveBaseOf)
+      .toSeq
+      .sortBy(_._1.getOrElse(""))
+      .map { case (base, group) =>
+        val r0 = spark.read.schema(schema)
+        val r  = base.fold(r0)(b => r0.option("basePath", b))
+        if (format == "orc") r.orc(group: _*) else r.parquet(group: _*)
+      }
+      .reduce(_ unionByName _)
   }
 
   /** The data files the CURRENT readable version comprises: the manifest's
@@ -797,15 +832,6 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       // carry the resolved table schema explicitly; parquet/orc only
       // (csv/json header/inference plumbing isn't worth a metadata tier
       // they'd rarely deploy with).
-      // hive-partitioned layout probe (computed OUTSIDE the match below,
-      // where the pattern variable `fs` shadows the Hadoop FileSystem)
-      lazy val partitionBase: Option[String] = {
-        val resolved = resolveReadable(name)
-        if (fs.exists(resolved) &&
-          fs.listStatus(resolved).exists(st => st.isDirectory && st.getPath.getName.contains("=")))
-          Some(resolved.toString)
-        else None
-      }
       val subset: Option[org.apache.spark.sql.DataFrame] =
         if (format != "parquet" && format != "orc") None
         else fileStatsFor(name, format) match {
@@ -827,14 +853,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
               if (keep.size >= allFiles.size) None // nothing pruned: plain scan
               else if (keep.isEmpty) Some(emptyLocal)
               else {
-                // hive-partitioned layout: the partition column lives in
-                // the DIRECTORY NAMES, not the leaf files — a bare
-                // path-list read with an explicit schema would fill it
-                // with NULLs (silently wrong rows). basePath makes Spark
-                // re-derive partition values from the kept files' paths.
-                val r0 = spark.read.schema(table.schema)
-                val r  = partitionBase.fold(r0)(b => r0.option("basePath", b))
-                Some(predicate(if (format == "parquet") r.parquet(keep: _*) else r.orc(keep: _*)))
+                Some(predicate(readFilesWithLayout(keep, table.schema, format)))
               }
             }
           case _ => None
@@ -1058,17 +1077,29 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
           val t = readTable(name)
           (liveFiles(name), Some(t.schema))
         } else (Seq.empty[String], None)
-      baseSchema.foreach { s =>
-        val have = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        val want = s.fields.map(f => (f.name, f.dataType)).toSeq
+      // name-set + type equality, then ALIGN to the table's column order:
+      // partition discovery moves the partition column to the end of a
+      // partitioned table's schema, so a by-position compare would reject
+      // the very frame putPartitionedTable originally accepted
+      val aligned = baseSchema.fold(df) { s =>
+        val have = df.schema.fields.map(f => (f.name, f.dataType)).toSet
+        val want = s.fields.map(f => (f.name, f.dataType)).toSet
         require(
           have == want,
           s"appendTable schema mismatch for '$name': table has $want, append has $have")
+        df.select(s.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
       }
+      // a hive-partitioned base keeps its layout: the delta generation is
+      // written partitionBy the same columns, so its files carry partition
+      // values in THEIR directory names and every partition-pruned /
+      // layout-aware read treats old and new files alike
+      val partCols = partitionColsOf(base)
       val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
-      df.write.mode("overwrite").parquet(gen.toString)
+      val w   = aligned.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(gen.toString)
       val newFiles = listDataFiles(gen)
-      publishVersion(name)(dir => writeManifest(dir, base ++ newFiles, df.schema, commitId))
+      publishVersion(name)(dir =>
+        writeManifest(dir, base ++ newFiles, baseSchema.getOrElse(df.schema), commitId))
     }
 
   /** Exactly-once [[appendTable]] for replayable sources (Structured
@@ -1139,7 +1170,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         .toDF("n_files_live", "n_files_rewritten", "n_rows_deleted")
     if (candidates.isEmpty) report(0L, 0L)
     else {
-      val cand  = spark.read.schema(table.schema).parquet(candidates: _*)
+      val cand  = readFilesWithLayout(candidates, table.schema)
       val c     = col(colName)
       val v     = lit(value).cast(field.dataType)
       val predT = op match {
@@ -1169,7 +1200,11 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         report(candidates.size.toLong, nDel)
       } else {
         val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
-        cand.filter(not(matches)).write.mode("overwrite").parquet(gen.toString)
+        // survivors of a partitioned table rewrite back into the same hive
+        // layout (their partition values came from the layout-aware read)
+        val partCols = partitionColsOf(candidates)
+        val w        = cand.filter(not(matches)).write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(gen.toString)
         val rewritten = listDataFiles(gen)
         publishVersion(name)(dir => writeManifest(dir, untouched ++ rewritten, table.schema))
         report(candidates.size.toLong, nDel)
@@ -1243,13 +1278,15 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       val schema = readTable(name).schema
       val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
       val gen  = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
-      spark.read
-        .schema(schema)
-        .parquet(small.map(_._1): _*)
+      // partitioned layouts pack WITHIN the layout: partitionBy re-splits
+      // the packed rows into their hive directories (per-partition file
+      // counts shrink; partition pruning keeps working on the packed gen)
+      val partCols = partitionColsOf(small.map(_._1))
+      val packedW = readFilesWithLayout(small.map(_._1), schema)
         .repartition(nOut)
         .write
         .mode("overwrite")
-        .parquet(gen.toString)
+      (if (partCols.nonEmpty) packedW.partitionBy(partCols: _*) else packedW).parquet(gen.toString)
       val packedFiles = listDataFiles(gen)
       publishVersion(name)(dir => writeManifest(dir, big.map(_._1) ++ packedFiles, schema))
       report(small.size.toLong, packedFiles.size.toLong)
@@ -1331,9 +1368,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     if (missing.nonEmpty) {
       val threshold = sixteenths.toHexString
       val schema    = readTable(name, format).schema
-      val fresh = spark.read
-        .schema(schema)
-        .parquet(missing: _*)
+      val fresh = readFilesWithLayout(missing, schema)
         .filter(substring(md5(col(keyCol).cast("string")), 1, 1) < lit(threshold))
       putTable(s"$name.__sample__", readTable(s"$name.__sample__", format).unionByName(fresh), format)
     }
@@ -1451,9 +1486,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
             max(c).cast("string").as(s"${f.name}__max"),
             sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
         }
-        spark.read
-          .schema(table.schema)
-          .parquet(missing: _*)
+        readFilesWithLayout(missing, table.schema)
           .groupBy(input_file_name().as("file"))
           .agg(count(lit(1)).as("__rows"), fAggs.toSeq: _*)
           .collect()
@@ -1591,9 +1624,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       else {
         val bloomAgg = udaf(new graft.functions.Bloom.BuildAgg(numBits, numHashes))
         val schema   = readTable(name, format).schema
-        val fresh = spark.read
-          .schema(schema)
-          .parquet(missing: _*)
+        val fresh = readFilesWithLayout(missing, schema)
           .select(input_file_name().as("file"), col(textCol))
           .select(col("file"), explode(array_distinct(split(lower(col(textCol)), "[^a-z0-9]+"))).as("tok"))
           .filter(length(col("tok")) > 0)
@@ -1660,7 +1691,12 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         r.getAs[String]("file")
     }
     if (files.isEmpty) readTable(name, format).filter(lit(false))
-    else spark.read.parquet(files.toSeq: _*).filter(col(textCol).rlike(pattern))
+    else {
+      // layout-aware: a partitioned corpus keeps its partition column in
+      // the pruned read (and the text column filter is unaffected)
+      val schema = readTable(name, format).schema
+      readFilesWithLayout(files.toSeq, schema).filter(col(textCol).rlike(pattern))
+    }
   }
 
   /** Small-file compaction (lakehouse OPTIMIZE): rewrite the dataset's

@@ -310,25 +310,50 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readTableWhere("nanny", "v", "<", "0").count() == 0)
   }
 
-  test("hive-partitioned tables refuse manifest mutations loudly instead of truncating") {
+  test("hive-partitioned tables support the full mutation lifecycle: append, delete, compact") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
     val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "part", "v")
     cat.putPartitionedTable("pt", df, "part")
-    // reads stay fully available through partition discovery
     assert(cat.readTable("pt").count() == 3)
-    // every mutation / file-granular service must refuse with the layout
-    // named — a flat listing would silently see ZERO data files and the
-    // next manifest publish would truncate the table to the delta
-    val append = intercept[IllegalArgumentException](
-      cat.appendTable("pt", Seq((4L, "c", 40L)).toDF("id", "part", "v")))
-    assert(append.getMessage.contains("partitioned"), append.getMessage)
-    val del = intercept[IllegalArgumentException](cat.deleteWhere("pt", "v", ">", "15"))
-    assert(del.getMessage.contains("partitioned"), del.getMessage)
-    val pack = intercept[IllegalArgumentException](cat.compactSmallFiles("pt"))
-    assert(pack.getMessage.contains("partitioned"), pack.getMessage)
-    // and the refusals left the data untouched
-    assert(cat.readTable("pt").count() == 3)
+
+    // APPEND: the delta generation keeps the hive layout (partition values
+    // live in ITS directory names too), old rows survive, and the column
+    // order difference (discovery moves 'part' to the schema tail) is
+    // aligned by name, not rejected by position
+    cat.appendTable("pt", Seq((4L, "c", 40L), (5L, "a", 50L)).toDF("id", "part", "v"))
+    val afterAppend = cat.readTable("pt")
+    assert(afterAppend.count() == 5, "append truncated the partitioned table")
+    val partsByRow = afterAppend.select(col("id"), col("part")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(
+      partsByRow == Map(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "c", 5L -> "a"),
+      s"partition values lost or nulled: $partsByRow")
+
+    // DELETE: survivors of rewritten files keep their partition values
+    val rep = cat.deleteWhere("pt", "v", ">", "35")
+    assert(rep.head().getAs[Long]("n_rows_deleted") == 2L)
+    val afterDelete = cat.readTable("pt")
+    assert(afterDelete.count() == 3)
+    assert(
+      afterDelete.select(col("part")).distinct().collect().map(_.getString(0)).toSet == Set("a", "b"),
+      "delete rewrite dropped partition values")
+
+    // COMPACT: small files pack WITHIN the layout; rows and partition
+    // values unharmed, file count shrinks
+    cat.appendTable("pt", Seq((6L, "b", 60L)).toDF("id", "part", "v"))
+    val before = cat.readTable("pt").inputFiles.length
+    cat.compactSmallFiles("pt", smallBytes = 64L << 20, targetBytes = 64L << 20)
+    val packed = cat.readTable("pt")
+    assert(packed.count() == 4)
+    assert(packed.inputFiles.length < before, "compaction wrote no fewer files")
+    val sums = packed.groupBy(col("part")).agg(org.apache.spark.sql.functions.sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("a" -> 40L, "b" -> 80L), s"compaction corrupted partitioned rows: $sums")
+
+    // and the sample/stats tiers compose on the partitioned manifest
+    cat.analyzeTable("pt", fileStats = true)
+    assert(cat.readTableWhereAll("pt", Seq(("part", "=", "b"))).count() == 2)
   }
 
   test("file-granular prune on a hive-partitioned table keeps the partition column's values") {
