@@ -1232,16 +1232,26 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       var n = 0L
       fs.listStatus(dataRoot).foreach { gen =>
         if (gen.isDirectory) {
-          fs.listStatus(gen.getPath).foreach { st =>
+          // RECURSIVE walk: partitioned generations (appendTable/deleteWhere
+          // /compactSmallFiles keep the hive layout) nest their data files
+          // under partCol=… subdirs — a one-level walk never examined them,
+          // so unreferenced partitioned blobs leaked forever
+          def reclaim(p: Path): Unit = fs.listStatus(p).foreach { st =>
             val meta = st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")
-            if (st.isFile && !meta && !referenced.contains(st.getPath.toUri.getPath)) {
+            if (!meta && st.isDirectory) reclaim(st.getPath)
+            else if (!meta && st.isFile && !referenced.contains(st.getPath.toUri.getPath)) {
               fs.delete(st.getPath, false)
               n += 1L
             }
           }
-          val left = fs.listStatus(gen.getPath)
-          if (left.forall(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
-            fs.delete(gen.getPath, true)
+          reclaim(gen.getPath)
+          def liveFilesBelow(p: Path): Long = fs.listStatus(p).map { st =>
+            val meta = st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")
+            if (meta) 0L
+            else if (st.isDirectory) liveFilesBelow(st.getPath)
+            else 1L
+          }.sum
+          if (liveFilesBelow(gen.getPath) == 0L) fs.delete(gen.getPath, true)
         }
       }
       n

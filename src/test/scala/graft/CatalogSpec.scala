@@ -354,6 +354,17 @@ class CatalogSpec extends SparkSpec {
     // and the sample/stats tiers compose on the partitioned manifest
     cat.analyzeTable("pt", fileStats = true)
     assert(cat.readTableWhereAll("pt", Seq(("part", "=", "b"))).count() == 2)
+
+    // VACUUM reclaims the rewritten-away partitioned blobs: the delete's
+    // candidate files and the pre-compaction shards sit in hive subdirs of
+    // their generations — a one-level walk leaked them forever
+    val reclaimed = cat.vacuum("pt")
+    assert(reclaimed > 0L, "vacuum reclaimed nothing from superseded partitioned generations")
+    val after = cat.readTable("pt")
+    assert(after.count() == 4, "vacuum touched referenced partitioned files")
+    assert(
+      after.groupBy(col("part")).agg(org.apache.spark.sql.functions.sum(col("v")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 40L, "b" -> 80L))
   }
 
   test("file-granular prune on a hive-partitioned table keeps the partition column's values") {

@@ -73,6 +73,13 @@ class CheckpointModeSpec extends SparkSpec {
     assertBothModes("louvain")(cd => Graph.louvain(edges, "s", "t", rounds = 3, checkpointDir = cd))
   }
 
+  test("louvainTwoLevel / louvainMultilevel thread checkpointDir") {
+    assertBothModes("louvainTwoLevel")(cd =>
+      Graph.louvainTwoLevel(edges, "s", "t", rounds1 = 3, rounds2 = 3, checkpointDir = cd))
+    assertBothModes("louvainMultilevel")(cd =>
+      Graph.louvainMultilevel(edges, "s", "t", roundsPerLevel = 3, maxLevels = 3, checkpointDir = cd))
+  }
+
   test("connectedComponents / starComponents thread checkpointDir") {
     assertBothModes("cc")(cd => Graph.connectedComponents(edges, "s", "t", checkpointDir = cd))
     val pairs = edges.select(col("s").as("a"), col("t").as("b"))
