@@ -350,6 +350,41 @@ object Relational {
       Seq((n, s)).toDF("n_rows", "sum_keys")
     },
 
+    // ------------------------------ schema-evolving append (ADD COLUMN)
+    // The other mutation verb a lakehouse needs: append a frame carrying a
+    // NEW column; pre-evolution files serve NULL for it with zero rewrite
+    // (the manifest's explicit schema widens, and path-list reads fill the
+    // missing column). The oracle rebuilds the same two-epoch table in
+    // SQL — a dropped old row, a rewritten base file, or a NULL that
+    // became a default all hash-mismatch. Exact-decimal money discipline
+    // on the evolved column's aggregate.
+    Q(
+      "catalog_schema_evolve",
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_evolved,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        FROM orders
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable(
+        "orders_e",
+        t.orders.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey"), col("o_custkey")))
+      cat.appendTableEvolve(
+        "orders_e",
+        t.orders
+          .filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      cat.readTable("orders_e").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_evolved"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+    },
+
     // --------------------- partitioned-table mutation lifecycle
     // The date-partitioned-ingest pattern every 100-TB lakehouse runs:
     // hive-layout PUT (directory per o_orderpriority), APPEND (the delta

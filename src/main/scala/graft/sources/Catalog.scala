@@ -1102,6 +1102,46 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         writeManifest(dir, base ++ newFiles, baseSchema.getOrElse(df.schema), commitId))
     }
 
+  /** Schema-EVOLVING append — the lakehouse ADD COLUMN verb [[appendTable]]
+    * deliberately refuses: `df` must carry every existing column (same
+    * type) and may ADD new ones, which are appended to the table schema.
+    * The manifest's schema becomes the evolved one, and because manifest
+    * reads pass that schema explicitly ([[readFilesWithLayout]]), the
+    * PRE-EVOLUTION files serve NULL for the new columns without any
+    * rewrite — O(delta) evolution, the parquet-native contract every
+    * table format (Delta/Iceberg/Hudi) exposes. Dropping or retyping a
+    * column stays refused (that's a rewrite, not an append).
+    *
+    * Stats/sample/grep tiers keep their staleness discipline: their
+    * schema-drift guards detect the widened schema and refuse the
+    * incremental paths until a full ANALYZE/analyzeSample re-covers the
+    * table — degraded loudly, never silently wrong. Partitioned bases
+    * keep their layout exactly as in [[appendTable]]. */
+  def appendTableEvolve(name: String, df: org.apache.spark.sql.DataFrame, commitId: Option[Long] = None): Unit =
+    lockFor(name).synchronized {
+      require(exists(name), s"no such dataset: $name — appendTableEvolve needs an existing table (use putTable)")
+      val t         = readTable(name)
+      val base      = liveFiles(name)
+      val haveTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing   = t.schema.fields.filterNot(f => haveTypes.contains(f.name))
+      require(
+        missing.isEmpty,
+        s"appendTableEvolve cannot DROP columns of '$name': append lacks ${missing.map(_.name).mkString(", ")}")
+      val retyped = t.schema.fields.filter(f => haveTypes(f.name) != f.dataType)
+      require(
+        retyped.isEmpty,
+        s"appendTableEvolve cannot RETYPE columns of '$name': ${retyped.map(_.name).mkString(", ")}")
+      val existingNames = t.schema.fieldNames.toSet
+      val added         = df.schema.fields.filterNot(f => existingNames.contains(f.name))
+      val evolved       = org.apache.spark.sql.types.StructType(t.schema.fields ++ added)
+      val aligned       = df.select(evolved.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+      val partCols      = partitionColsOf(base)
+      val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
+      val w   = aligned.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(gen.toString)
+      publishVersion(name)(dir => writeManifest(dir, base ++ listDataFiles(gen), evolved, commitId))
+    }
+
   /** Exactly-once [[appendTable]] for replayable sources (Structured
     * Streaming's foreachBatch re-delivers a batch after a failure): the
     * batch id commits ATOMICALLY with the data — it's a marker inside the

@@ -387,6 +387,35 @@ class CatalogSpec extends SparkSpec {
     assert(onPart.agg(max(col("v"))).head().getLong(0) === 50L)
   }
 
+  test("appendTableEvolve: new columns NULL-backfill old files, refusals for drop/retype, partitioned bases keep layout") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("ev", Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    cat.appendTableEvolve("ev", Seq((3L, "z", 30.5)).toDF("id", "s", "score"))
+    val t = cat.readTable("ev")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    val byId = t.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(30.5)),
+      s"old files must serve NULL for the evolved column: $byId")
+    // drop and retype are rewrites, not appends — refuse loudly
+    val drop = intercept[IllegalArgumentException](
+      cat.appendTableEvolve("ev", Seq((4L, 1.0)).toDF("id", "score")))
+    assert(drop.getMessage.contains("DROP"), drop.getMessage)
+    val retype = intercept[IllegalArgumentException](
+      cat.appendTableEvolve("ev", Seq((4L, 5, 1.0)).toDF("id", "s", "score")))
+    assert(retype.getMessage.contains("RETYPE"), retype.getMessage)
+    // evolved tables keep evolving: deleteWhere rewrites carry the wide schema
+    cat.deleteWhere("ev", "id", "=", "2")
+    assert(cat.readTable("ev").count() == 2)
+
+    // partitioned base: layout preserved, partition values + NULL backfill coexist
+    cat.putPartitionedTable("evp", Seq((1L, "a"), (2L, "b")).toDF("id", "part"), "part")
+    cat.appendTableEvolve("evp", Seq((3L, "a", 7L)).toDF("id", "part", "extra"))
+    val p = cat.readTable("evp").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("part"), Option(r.getAs[Any]("extra"))))).toMap
+    assert(p == Map(1L -> (("a", None)), 2L -> (("b", None)), 3L -> (("a", Some(7L)))), p.toString)
+  }
+
   test("delete removes derived side tables: a re-put name never meets its previous life's stamps") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

@@ -112,4 +112,27 @@ class SampleTierSpec extends SparkSpec {
       assert(e.getMessage.contains("1,2,4,8"))
     }
   }
+
+  test("sample tier composes with hive-partitioned tables: incremental refresh scans the partitioned delta only") {
+    withCat { cat =>
+      val base  = fixture.filter(col("k") <= 4000).repartition(2, col("k"))
+      val delta = fixture.filter(col("k") > 4000).coalesce(1)
+      cat.putPartitionedTable("tp", base, "g")
+      cat.analyzeSample("tp", "k")
+      cat.appendTable("tp", delta)
+      val rep = cat.analyzeSampleIncremental("tp").head()
+      // the partitioned delta generation lands one file PER PARTITION DIR
+      // (4 g-values × 1 task); only those files scan, the base inherits
+      assert(rep.getAs[Long]("n_files_scanned") === 4L, rep.toString)
+      val incr = cat.approxAgg("tp", "g", "x").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      cat.analyzeSample("tp", "k") // full resample over the same data
+      val full = cat.approxAgg("tp", "g", "x").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(incr === full, "partitioned union-of-samples must equal sample-of-union exactly")
+      // the estimate groups BY THE PARTITION COLUMN — if the layout-aware
+      // delta scan had NULLed it, g-groups would be wrong, not just off
+      assert(incr.keySet === Set("g0", "g1", "g2", "g3"), incr.keySet.toString)
+    }
+  }
 }
