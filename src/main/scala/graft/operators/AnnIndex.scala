@@ -193,7 +193,26 @@ object AnnIndex {
       name: String,
       queries: DataFrame,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4): DataFrame =
+    searchFiltered(cat, name, queries, k, nprobe, allowed = None)
+
+  /** FILTERED search — the metadata-predicate variant every production
+    * vector store exposes (and the pre-filtering trap they all document):
+    * `allowed` is an id allowlist (first column = vector id, typically a
+    * corpus predicate's projection), applied to the candidate set BEFORE
+    * the top-k cut, so the k results are the best-scoring vectors that
+    * SATISFY the predicate — post-filtering the unfiltered top-k would
+    * silently return fewer than k (or zero) matches for selective
+    * predicates. The allowlist lands as a semi-join AFTER partition
+    * pruning: probe I/O is unchanged, and the join side is the
+    * predicate's id set, not the corpus. Tombstones still apply on top. */
+  def searchFiltered(
+      cat: Catalog,
+      name: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val centroids = loadCentroids(cat, name)
     val probed: Array[Int] = queries
       .select(
@@ -204,6 +223,12 @@ object AnnIndex {
       .collect()
       .map(_.getInt(0))
     val pruned = readIndex(cat, name).filter(col("cell").isin(probed.toSeq: _*))
-    Similarity.ivfSearch(pruned, queries, centroids, k, nprobe)
+    val candidates = allowed.fold(pruned) { ids =>
+      pruned.join(
+        ids.select(col(ids.columns.head).cast("long").as("neighbor_id")).distinct(),
+        Seq("neighbor_id"),
+        "left_semi")
+    }
+    Similarity.ivfSearch(candidates, queries, centroids, k, nprobe)
   }
 }

@@ -2315,6 +2315,29 @@ object PipelineQueries {
       graft.operators.AnnIndex.search(cat, "emb_del", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
     },
 
+    // ------------------------------ ANN: metadata-FILTERED search
+    // The "top-k among rows matching a predicate" query every production
+    // vector store serves — and the pre/post-filtering trap: filtering
+    // AFTER the top-k cut silently under-returns for selective
+    // predicates. searchFiltered semi-joins the allowlist into the
+    // candidate set BEFORE ranking (and AFTER partition pruning, so probe
+    // I/O is unchanged); the oracle restricts its candidate set with the
+    // same predicate, so a post-filter implementation (missing neighbors)
+    // or a pre-prune one (changed probes) would both hash-mismatch.
+    Q(
+      "ann_ivf_filtered",
+      Some(ivfKmeansSubsetOracle(
+        nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10,
+        deletedWhere = "vec_id % 5 = 2"))) { (spark, dir) =>
+      val emb  = Tables(spark, dir).embeddings
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-filt").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      graft.operators.AnnIndex.build(cat, "emb_f", emb, nlist = 16, iters = 5, assign = 3)
+      graft.operators.AnnIndex.searchFiltered(
+        cat, "emb_f", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8,
+        allowed = Some(emb.filter(col("vec_id") % 5 =!= 2).select(col("vec_id"))))
+    },
+
     // ------------- ANN ⨯ storage lifecycle: the full composed maintenance
     // Every maintenance verb the index and its base table support, in one
     // row: build on the even half (train freezes there), append the odd

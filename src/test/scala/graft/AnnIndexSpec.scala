@@ -149,6 +149,29 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("searchFiltered: k best AMONG the allowlist, not a post-filter of the unfiltered top-k") {
+    withCat { cat =>
+      AnnIndex.build(cat, "flt", emb, nlist = 8, iters = 3, assign = 2)
+      val queries = emb.filter(col("vec_id") < 4)
+      val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      val got = AnnIndex.searchFiltered(cat, "flt", queries, k = 5, nprobe = 4, Some(allowed))
+      // every neighbor satisfies the predicate
+      val bad = got.filter(col("neighbor_id") % 3 =!= 0).count()
+      assert(bad === 0L, "filtered search served a neighbor outside the allowlist")
+      // and it's NOT a post-filter: ranking among allowed rows only — the
+      // reference is the in-memory search over the pre-filtered index
+      val built = AnnIndex.loadCentroids(cat, "flt")
+      val want = Similarity.ivfSearch(
+        Similarity.ivfAssign(emb, built, assign = 2)
+          .filter(col("neighbor_id") % 3 === 0),
+        queries, built, k = 5, nprobe = 4)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "filtered search diverged from ranking over the pre-filtered candidates")
+      // unfiltered search still works through the same entry
+      assert(AnnIndex.search(cat, "flt", queries, k = 5, nprobe = 4).count() > 0)
+    }
+  }
+
   test("concurrent appends serialize: distinct generations, no lost vectors") {
     withCat { cat =>
       AnnIndex.build(cat, "cc", emb.filter(col("vec_id") % 4 === 0), nlist = 8, iters = 3)
