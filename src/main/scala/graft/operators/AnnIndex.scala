@@ -127,6 +127,14 @@ object AnnIndex {
       rows.length.toLong
     }
 
+  /** The SERVING frame: base index plus every appended generation, minus
+    * tombstoned vectors — what [[search]] scans after pruning, exposed
+    * publicly so online paths compose with index maintenance (e.g.
+    * [[graft.streaming.AnnStreams.ivfServeStream]] takes the cell index
+    * as a frame; passing this one means a corpus delete propagates to the
+    * stream on its next batch, no restart). */
+  def liveIndex(cat: Catalog, name: String): DataFrame = readIndex(cat, name)
+
   /** The base index plus every appended generation, minus tombstoned
     * vectors. The anti-join's right side is the tombstone table (bounded
     * by deletes, not corpus size); the cell filter the searcher applies

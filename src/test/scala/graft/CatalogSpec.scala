@@ -416,6 +416,24 @@ class CatalogSpec extends SparkSpec {
     assert(p == Map(1L -> (("a", None)), 2L -> (("b", None)), 3L -> (("a", Some(7L)))), p.toString)
   }
 
+  test("time travel across schema evolution: each version reads with ITS OWN schema") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("tt", Seq((1L, "x")).toDF("id", "s"))
+    cat.appendTable("tt", Seq((2L, "y")).toDF("id", "s")) // v2: manifest, narrow schema
+    cat.appendTableEvolve("tt", Seq((3L, "z", 9.5)).toDF("id", "s", "score")) // v3: wide
+    val vs = cat.versions("tt")
+    assert(vs.size >= 2)
+    // the retained pre-evolution version still reads NARROW — evolution is
+    // a property of the version's manifest, not a global mutation
+    val before = cat.readTableVersion("tt", vs(1))
+    assert(before.schema.fieldNames.toSeq == Seq("id", "s"), before.schema.fieldNames.mkString(","))
+    assert(before.count() == 2)
+    val after = cat.readTableVersion("tt", vs.head)
+    assert(after.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    assert(after.count() == 3)
+  }
+
   test("delete removes derived side tables: a re-put name never meets its previous life's stamps") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

@@ -813,6 +813,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.keys.map(_._1).toSet.size > 10)
   }
 
+  test("streaming ANN serve over a TOMBSTONED persisted index: deletes propagate, stream equals batch") {
+    import graft.operators.AnnIndex
+    val emb = Tables(spark, SharedSpark.sf0001).embeddings
+      .select(col("vec_id"), col("embedding")).cache()
+    val queries = emb.filter(col("vec_id") % 17 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-ts-stream").toString
+    val cat  = new graft.sources.Catalog(spark, root)
+    AnnIndex.build(cat, "ix_ts", emb, nlist = 8, iters = 3, assign = 2)
+    // tombstone every third vector AFTER the build — the serving frame
+    // must reflect it without a rebuild or stream restart
+    AnnIndex.deleteVectors(cat, "ix_ts", emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")))
+    val centroids = AnnIndex.loadCentroids(cat, "ix_ts")
+    val batch = AnnIndex.search(cat, "ix_ts", queries, k = 5, nprobe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val qdir = java.nio.file.Files.createTempDirectory("graft_annq_ts_").toString
+    queries.repartition(3).write.mode("overwrite").parquet(qdir)
+    val sq = graft.streaming.AnnStreams
+      .ivfServeStream(
+        spark.readStream.schema(queries.schema).parquet(qdir),
+        AnnIndex.liveIndex(cat, "ix_ts"), centroids, k = 5, nprobe = 3)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ann_ts_out")
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    val streamedRows = spark.table("ann_ts_out").collect()
+    assert(streamedRows.forall(_.getLong(1) % 3 != 0), "a tombstoned vector streamed out")
+    val streamed = streamedRows
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(streamed == batch, "tombstoned stream diverged from tombstoned batch search")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming JSD drift monitor converged snapshot equals the batch operator bit-for-bit") {
     import spark.implicits._
     // reference = the even-id half's category mix; live = the full stream
