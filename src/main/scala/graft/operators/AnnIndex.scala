@@ -31,20 +31,36 @@ import graft.sources.Catalog
   */
 object AnnIndex {
 
-  /** Per-(catalog-instance, index-name) monitor: [[append]] and
+  /** Per-(catalog-ROOT, index-name) monitor: [[append]] and
     * [[deleteVectors]] read-modify-write shared side tables (generation
     * counter, tombstone set), so in-process concurrent maintainers must
-    * serialize — same discipline as the catalog's own per-name locks. */
+    * serialize. Keyed by the qualified root PATH, not the instance: the
+    * query suite's common pattern is a fresh `new Catalog(spark, root)`
+    * per call, and instance-keyed monitors would let two instances on the
+    * same root race each other (identityHashCode can also collide across
+    * unrelated catalogs). Same discipline as the catalog's own per-name
+    * locks; cross-JVM exclusion is the catalog writer lease's job. */
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(cat: Catalog, name: String): Object =
-    locks.computeIfAbsent(s"${System.identityHashCode(cat)}#$name", _ => new Object)
+    locks.computeIfAbsent(s"${cat.rootPath}#$name", _ => new Object)
 
   /** Train the centroid model, persist assignments (cell-partitioned), the
     * model, and the build parameters (so [[append]] assigns new vectors
     * with the SAME multiplicity); returns the centroids for immediate use.
-    * A REBUILD on an existing name first clears every derived side table —
-    * generations assigned with the old model and tombstones for the old
-    * rows must not survive into the new index's read path. */
+    * A REBUILD on an existing name clears the derived side tables in
+    * CRASH-SAFE order: (1) superseded generations go first — they were
+    * assigned with the OLD model and must never union with the new base's
+    * cell space (a crash here loses only appends the rebuild corpus
+    * supersedes, and the old base still serves WITH its tombstones);
+    * (2) centroids and meta are overwritten in place (versioned puts —
+    * never a delete window where search loses its model); (3) tombstones
+    * are cleared LAST, only after the new index is fully published. The
+    * invariant this ordering buys: no crash point can RESURRECT a deleted
+    * vector on the read path — a rebuild that dies between base publish
+    * and tombstone clear leaves conservative over-exclusion (old
+    * tombstone ids anti-joined against the new base) until build is
+    * re-run, never the silent staleness [[deleteVectors]] exists to
+    * prevent. */
   def build(
       cat: Catalog,
       name: String,
@@ -52,7 +68,7 @@ object AnnIndex {
       nlist: Int,
       iters: Int = 5,
       assign: Int = 1): Array[Array[Double]] = lockFor(cat, name).synchronized {
-    cat.lsPrefix(s"$name.__").foreach(cat.delete)
+    cat.lsPrefix(s"$name.__anngen").foreach(cat.delete)
     val centroids = Similarity.kmeans(corpus, k = nlist, maxIter = iters, tol = 0.0).centroids
     cat.putPartitionedTable(name, Similarity.ivfAssign(corpus, centroids, assign), "cell")
     val spark = corpus.sparkSession
@@ -63,6 +79,7 @@ object AnnIndex {
     cat.putTable(
       s"$name.__annmeta__",
       spark.createDataFrame(Seq((nlist, iters, assign))).toDF("nlist", "iters", "assign"))
+    cat.lsPrefix(s"$name.__anntomb").foreach(cat.delete)
     centroids
   }
 
@@ -127,12 +144,18 @@ object AnnIndex {
       rows.length.toLong
     }
 
-  /** The SERVING frame: base index plus every appended generation, minus
-    * tombstoned vectors — what [[search]] scans after pruning, exposed
-    * publicly so online paths compose with index maintenance (e.g.
-    * [[graft.streaming.AnnStreams.ivfServeStream]] takes the cell index
-    * as a frame; passing this one means a corpus delete propagates to the
-    * stream on its next batch, no restart). */
+  /** The serving frame as a SNAPSHOT: base index plus every appended
+    * generation, minus tombstoned vectors — what [[search]] scans after
+    * pruning, exposed publicly so online paths compose with index
+    * maintenance. Snapshot semantics, stated plainly: the catalog state
+    * (manifest version, generation list, tombstone-table existence)
+    * resolves EAGERLY at this call — maintenance issued afterwards is
+    * invisible to the returned frame, so a long-lived consumer (a
+    * stream-static join captures the frame at stream start) keeps serving
+    * the snapshot until it re-derives. For per-micro-batch propagation of
+    * appends and deletes with no restart, use
+    * [[graft.streaming.AnnStreams.ivfServeStreamLive]], which re-resolves
+    * this frame inside every batch. */
   def liveIndex(cat: Catalog, name: String): DataFrame = readIndex(cat, name)
 
   /** The base index plus every appended generation, minus tombstoned
@@ -150,6 +173,39 @@ object AnnIndex {
         "left_anti")
     else base
   }
+
+  /** GENERATION COMPACTION — the maintenance verb that closes the append
+    * lifecycle: fold every appended generation into the base table (one
+    * cell-partitioned rewrite of base ∪ generations — the assignments
+    * were all made with the SAME frozen model, so cell geometry is
+    * untouched) and drop the generation tables. Why it matters at scale:
+    * each generation is its own hive directory tree, so a probe of p
+    * cells lists p directories PER GENERATION — after thousands of small
+    * appends the listing tax dominates; compaction restores one-listing-
+    * per-cell probes without retraining (audit()'s imbalance signal, not
+    * this, decides retraining). Tombstones are untouched — they anti-join
+    * ids, not generations.
+    *
+    * Crash-safe by the scorer's own algebra: the new base publishes FIRST,
+    * so a reader in the window (or after a crash mid-cleanup) unions the
+    * folded base with still-present old generations — duplicate index
+    * rows with identical payloads, which the searcher collapses
+    * (candidates.distinct + per-(query, neighbor) max) — results are
+    * bit-identical at every crash point, never missing and never doubled.
+    * Returns the number of generations folded. */
+  def compactGenerations(cat: Catalog, name: String): Int =
+    lockFor(cat, name).synchronized {
+      require(cat.exists(name), s"no ANN index '$name' — nothing to compact")
+      val gens = cat.lsPrefix(s"$name.__anngen").sorted
+      if (gens.isEmpty) return 0
+      val folded = gens.foldLeft(cat.readTable(name))((acc, g) => acc.unionByName(cat.readTable(g)))
+      // cluster by cell before the partitionBy write: without it every
+      // write task fans one file into every cell directory (tasks × cells
+      // shards — the exact small-file churn this verb exists to remove)
+      cat.putPartitionedTable(name, folded.repartition(col("cell")), "cell")
+      gens.foreach(cat.delete)
+      gens.size
+    }
 
   /** The retrain signal: per-generation/vector counts and the CELL
     * IMBALANCE of the combined index (max cell population / mean). A

@@ -573,8 +573,10 @@ object Funnel {
     * d_t·n_1t/n_t, with variance d_t·r·(1−r)·(n_t−d_t)/(n_t−1),
     * r = n_1t/n_t.
     *
-    * Determinism: at-risk counts are exact integers from two cumulative
-    * windows over the (distinct-time-sized) table; each E/V term is a
+    * Determinism: at-risk counts are exact integers from two two-phase
+    * prefix sums ([[PrefixSum.withRunning]] — the distinct-time table
+    * grows with the data, so no single-partition window) over the
+    * distinct-time-sized table; each E/V term is a
     * fixed-order double from exact longs snapped to the 1e-9 grid, summed
     * as exact decimals; O₁ is an exact long; χ², z, and the A&S-7.1.26
     * two-sided p are fixed-order formulas from the round-6 sums.
@@ -588,7 +590,6 @@ object Funnel {
       timeCol: String,
       eventCol: String,
       alphaSig: Double = 0.05): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = obs.select(
       col(groupCol).cast("string").as("g"),
       col(timeCol).cast("long").as("t"),
@@ -606,12 +607,23 @@ object Funnel {
       .crossJoin(broadcast(o.agg(
         sum(when(col("g") === gA, 1L).otherwise(0L)).as("tot1"),
         count(lit(1)).as("tot"))))
-    val wT = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
     val dbl = (c: Column) => c.cast("double")
     val dec9 = org.apache.spark.sql.types.DecimalType(20, 9)
-    val risk = perT
-      .withColumn("n1t", col("tot1") - coalesce(sum(col("ended1")).over(wT), lit(0L)))
-      .withColumn("nt", col("tot") - coalesce(sum(col("ended")).over(wT), lit(0L)))
+    // risk-set cumulatives via the two-phase prefix sum, NOT a global
+    // Window.orderBy(t): perT is distinct-event-time-sized, which grows
+    // with the data under fine-grained timestamps — the exact shape that
+    // funnels 100 TB through one task as a single-partition window. The
+    // exclusive cumulative the risk set needs is the inclusive running
+    // sum minus the current row's own value (t is distinct after the
+    // groupBy, so the order is total and the result is bit-identical).
+    val cum = PrefixSum.withRunning(
+      perT,
+      order = Seq(col("t")),
+      running = Seq("__cum_ended1" -> col("ended1"), "__cum_ended" -> col("ended")))
+    val risk = cum
+      .withColumn("n1t", col("tot1") - (col("__cum_ended1") - col("ended1")))
+      .withColumn("nt", col("tot") - (col("__cum_ended") - col("ended")))
+      .drop("__cum_ended1", "__cum_ended")
       .filter(col("d") > 0)
     val r = dbl(col("n1t")) / dbl(col("nt"))
     val terms = risk.select(

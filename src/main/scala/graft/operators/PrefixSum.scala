@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   * where the sampled range boundaries land, so the two-phase output is
   * bit-identical to the single-partition window it replaces.
   *
-  * Cost shape: one range shuffle + one hash shuffle of the data (the
+  * Cost shape: one range shuffle of the data, materialized once (an eager
+  * local checkpoint — see the correctness note at the call site: both
+  * phases must see the SAME sampled boundaries), + one hash shuffle (the
   * partitioned window re-clusters by partition id) + one broadcast of a
   * partition-count-sized offset table — instead of funneling the whole
   * table through one task. */
@@ -55,7 +57,23 @@ object PrefixSum {
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(n, order: _*).withColumn(Pid, spark_partition_id())
+    // MATERIALIZE the ranged frame once (eager local checkpoint) before
+    // either phase reads it. Both phases must observe the SAME partition
+    // boundaries: phase 1's local windows and phase 2's per-partition
+    // totals join on the partition id, so if the range exchange executed
+    // twice — which happens whenever exchange reuse is off or column
+    // pruning pushes different projections below the two branches —
+    // RangePartitioner would re-SAMPLE boundaries with a fresh rdd.id
+    // seed, the two executions could split the key space differently, and
+    // offsets would silently attach to the wrong local sums. A prefix sum
+    // is a genuine all-to-all barrier (phase 2 needs every partition's
+    // total before any global value is final), so materializing phase 1's
+    // input IS the algorithm's barrier, not an extra cost: one pass, then
+    // both branches are partition-local reads of the same blocks.
+    val ranged = df
+      .repartitionByRange(n, order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .localCheckpoint(true)
     val wLoc = Window
       .partitionBy(col(Pid))
       .orderBy(order: _*)

@@ -2370,6 +2370,37 @@ object PipelineQueries {
         .search(cat, "emb_e2e", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
     },
 
+    // ----------------- ANN: GENERATION compaction (index-side OPTIMIZE)
+    // After many frozen-model appends the index is base + N generation
+    // directory trees, and every probe pays a listing per generation;
+    // compactGenerations folds them into one cell-partitioned base
+    // WITHOUT retraining (same frozen geometry — cells don't move) and
+    // drops the generation tables. The oracle is the SAME subset-train +
+    // tombstone replay as the uncompacted lifecycle: compaction's
+    // invisibility to search results IS the assertion, now for the
+    // index's own files rather than the corpus table's. Two appends make
+    // the fold non-trivial; the tombstone proves deletes survive it.
+    Q(
+      "ann_gen_compact",
+      Some(ivfKmeansSubsetOracle(
+        nlist = 16, iters = 5, assign = 3, nprobe = 8, k = 10,
+        trainWhere = "WHERE vec_id % 2 = 0",
+        deletedWhere = "vec_id % 7 = 3"))) { (spark, dir) =>
+      val emb  = Tables(spark, dir).embeddings
+      val root = java.nio.file.Files.createTempDirectory("graft-ann-gc").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      graft.operators.AnnIndex
+        .build(cat, "emb_gc", emb.filter(col("vec_id") % 2 === 0), nlist = 16, iters = 5, assign = 3)
+      graft.operators.AnnIndex.append(cat, "emb_gc", emb.filter(col("vec_id") % 4 === 1))
+      graft.operators.AnnIndex.append(cat, "emb_gc", emb.filter(col("vec_id") % 4 === 3))
+      graft.operators.AnnIndex
+        .deleteVectors(cat, "emb_gc", emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val folded = graft.operators.AnnIndex.compactGenerations(cat, "emb_gc")
+      require(folded == 2, s"expected to fold 2 generations, folded $folded")
+      graft.operators.AnnIndex
+        .search(cat, "emb_gc", emb.filter(col("vec_id") < 8), k = 10, nprobe = 8)
+    },
+
     // ------------------- ANN: int8 IVF over the DETERMINISTIC quantizer
     // ann_ivf_kmeans' int8 sibling: same decimal-exact k-means model, but
     // served from the quantized resident index (d+16 bytes/vector) with

@@ -385,6 +385,58 @@ object Relational {
           .cast("double").as("sum_price"))
     },
 
+    // ------------------------------------- shallow time travel, oracled
+    // readTableVersion under the full gate: PUT (v1, two columns) →
+    // APPEND (v2) → schema-evolving APPEND (v3 adds o_totalprice) — the
+    // GC retains v1 alive because v2's manifest still references its
+    // files, so the FIRST version stays readable across two manifest
+    // publishes and a schema evolution. The row reads v_first (must be
+    // exactly the original put: no appended rows, no evolved column) next
+    // to the latest version; the oracle rebuilds both epochs in SQL, so
+    // a version read that leaks newer files, loses the old schema, or
+    // resolves the wrong snapshot hash-mismatches. Version ids come from
+    // versions() (monotonic via the commit high-water mark), never from
+    // hardcoded numbering.
+    Q(
+      "catalog_time_travel",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0) AS n_v1,
+          (SELECT CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT)
+           FROM orders WHERE o_orderkey % 4 = 0) AS sum_keys_v1,
+          (SELECT COUNT(*) FROM orders) AS n_latest,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (2, 3)) AS n_evolved,
+          (SELECT CAST(SUM(CASE WHEN o_orderkey % 4 IN (2, 3)
+                                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           FROM orders) AS sum_price
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-time-travel").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable(
+        "orders_t",
+        t.orders.filter(col("o_orderkey") % 4 === 0).select(col("o_orderkey"), col("o_custkey")))
+      cat.appendTable(
+        "orders_t",
+        t.orders.filter(col("o_orderkey") % 4 === 1).select(col("o_orderkey"), col("o_custkey")))
+      cat.appendTableEvolve(
+        "orders_t",
+        t.orders
+          .filter(col("o_orderkey") % 4 >= 2)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      val vFirst = cat.versions("orders_t").min
+      val first  = cat.readTableVersion("orders_t", vFirst)
+      val a = first.agg(
+        count(lit(1)).as("n_v1"),
+        sum(col("o_orderkey").cast("long")).as("sum_keys_v1"))
+      val b = cat.readTable("orders_t").agg(
+        count(lit(1)).as("n_latest"),
+        count(col("o_totalprice")).as("n_evolved"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      a.crossJoin(b) // both sides are single-row aggregates — scalar join
+    },
+
     // --------------------- partitioned-table mutation lifecycle
     // The date-partitioned-ingest pattern every 100-TB lakehouse runs:
     // hive-layout PUT (directory per o_orderpriority), APPEND (the delta
@@ -401,7 +453,7 @@ object Relational {
         SELECT o_orderpriority, COUNT(*) AS n,
                CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
         FROM orders
-        WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_custkey <= 200)
+        WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_custkey <= 20)
         GROUP BY 1
       """)) { (spark, dir) =>
       val t    = Tables(spark, dir)
@@ -416,13 +468,69 @@ object Relational {
         "o_orderpriority")
       cat.appendTable(
         "orders_p", t.orders.filter(col("o_orderkey") % 3 === 1).repartition(4, col("o_orderkey")))
-      cat.deleteWhere("orders_p", "o_custkey", "<=", "200")
+      // threshold 20, not an sf0.1-sized absolute: TPC-H custkeys only
+      // reach ~150 at sf0.001, so a larger constant deletes 100% of rows
+      // at the smoke scale and the non-empty invariant fires — the delete
+      // must stay non-degenerate at EVERY supported sf
+      cat.deleteWhere("orders_p", "o_custkey", "<=", "20")
       cat.compactSmallFiles("orders_p", smallBytes = 64L << 20, targetBytes = 64L << 20)
       cat.analyzeTable("orders_p", fileStats = true)
       // the final read exercises the partition-pruned path-list plan
       cat.readTable("orders_p")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("sum_keys"))
+    },
+
+    // ------------------------------------------------ CHANGEFEED (CDC)
+    // tableChanges under the gate: the row-level diff between retained
+    // versions, computed from the manifest FILE diff (O(changed files),
+    // never O(table)). Three spans, each a different mutation verb:
+    // append (inserts = the delta, zero deletes), deleteWhere (deletes =
+    // the removed rows, zero inserts), and COMPACTION — whose span must
+    // be EMPTY both ways (file churn is not data change; the invariance
+    // falls out of the multiset algebra, and this row hash-pins it).
+    // Span scalars collect eagerly IN ORDER because the version-retention
+    // window slides as mutations publish — the changefeed contract is
+    // "diff retained versions", not "diff arbitrary history".
+    Q(
+      "catalog_changefeed",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1) AS n_ins_append,
+          (SELECT CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT)
+           FROM orders WHERE o_orderkey % 3 = 1) AS sum_ins_keys,
+          CAST(0 AS BIGINT) AS n_del_append,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 3 IN (0, 1) AND o_custkey <= 20) AS n_del_delete,
+          (SELECT CAST(COALESCE(SUM(CAST(o_orderkey AS BIGINT)), 0) AS BIGINT)
+           FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_custkey <= 20) AS sum_del_keys,
+          CAST(0 AS BIGINT) AS n_ins_delete,
+          CAST(0 AS BIGINT) AS n_changes_compact
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-changefeed").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      cat.putTable("orders_cf", base.filter(col("o_orderkey") % 3 === 0))
+      cat.appendTable("orders_cf", base.filter(col("o_orderkey") % 3 === 1))
+      val Seq(v2, v1) = cat.versions("orders_cf").take(2)
+      val cf12 = cat.tableChanges("orders_cf", v1, v2)
+      val ins12 = cf12.filter(col("_change_type") === "insert")
+        .agg(count(lit(1)), coalesce(sum(col("o_orderkey").cast("long")), lit(0L))).head()
+      val nDel12 = cf12.filter(col("_change_type") === "delete").count()
+      cat.deleteWhere("orders_cf", "o_custkey", "<=", "20")
+      val v3 = cat.versions("orders_cf").max
+      val cf23 = cat.tableChanges("orders_cf", v2, v3)
+      val del23 = cf23.filter(col("_change_type") === "delete")
+        .agg(count(lit(1)), coalesce(sum(col("o_orderkey").cast("long")), lit(0L))).head()
+      val nIns23 = cf23.filter(col("_change_type") === "insert").count()
+      cat.compactSmallFiles("orders_cf", smallBytes = 64L << 20, targetBytes = 64L << 20)
+      val v4 = cat.versions("orders_cf").max
+      val nCompact = cat.tableChanges("orders_cf", v3, v4).count()
+      Seq((ins12.getLong(0), ins12.getLong(1), nDel12, del23.getLong(0), del23.getLong(1), nIns23, nCompact))
+        .toDF("n_ins_append", "sum_ins_keys", "n_del_append", "n_del_delete",
+          "sum_del_keys", "n_ins_delete", "n_changes_compact")
     },
 
     // -------------------------------------------- incremental ANALYZE

@@ -19,13 +19,23 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * PUT / GET / DELETE / LS / STORE, plus prefix listing used by maple source
   * scans (src/master.go:448-453).
   */
-final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long = Catalog.DefaultConflictWindowMs) {
-  import Catalog.{OldSuffix, TmpSuffix, VersionRe}
+final class Catalog(
+    spark: SparkSession,
+    root: String,
+    putConflictWindowMs: Long = Catalog.DefaultConflictWindowMs,
+    writerLeaseMs: Long = Catalog.DefaultWriterLeaseMs) {
+  import Catalog.{OldSuffix, SystemDirs, TmpSuffix, VersionRe}
   private val conf: Configuration = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem      = new Path(root).getFileSystem(conf)
   private def pathOf(name: String): Path = new Path(root, name)
 
   fs.mkdirs(new Path(root))
+
+  /** The qualified storage root — the identity of this namespace. Two
+    * Catalog instances with equal rootPath address the SAME tables, which
+    * is what cross-instance coordinators (e.g. AnnIndex's per-name
+    * maintenance locks) must key on instead of instance identity. */
+  def rootPath: String = fs.makeQualified(new Path(root)).toString
 
   /** PUT: upload a local file under a global name (overwrite semantics, like
     * the reference's subsequent-PUT branch src/master.go:212-298).
@@ -131,11 +141,93 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * a manifest keeps alive die on a later publish, once rewrites (compact /
     * deleteWhere) drop the last reference. Blob-area (`<name>.__data__`)
     * garbage is [[vacuum]]'s job — version GC never reaches in there. */
+  // ------------------------------------------- commit counter + writer lease
+
+  /** Per-name commit HIGH-WATER MARK, stored OUTSIDE the name's own
+    * directory tree (`__hwm__/<name>`) so it SURVIVES [[delete]]: version
+    * numbers are monotonic across the name's whole lifetime, including
+    * DELETE + re-PUT. Without it, numbering restarts at v1 after a delete
+    * and [[readTableVersion]] time travel could silently conflate a
+    * pre-delete generation's version id with the re-put table's — the
+    * reference's `files_present`/`last_processed` metadata likewise never
+    * reuses state across DELETE (src/master.go:82-108). A missing or
+    * unparsable mark degrades to the directory scan (the pre-hwm
+    * behavior), never an error. */
+  private def hwmPath(name: String): Path = new Path(root, s"__hwm__/$name")
+
+  private def readHwm(name: String): Long = {
+    val p = hwmPath(name)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        new String(bytes.toByteArray, "UTF-8").trim.toLongOption.getOrElse(0L)
+      } finally in.close()
+    }
+  }
+
+  private def writeHwm(name: String, v: Long): Unit = {
+    val p = hwmPath(name)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** CROSS-JVM writer fence: every publish takes a create-exclusive lease
+    * file (`__locks__/<name>.lock`) for the duration of the write. The
+    * in-process per-name monitors serialize writers within one driver;
+    * two DRIVERS publishing the same name could still interleave version
+    * scans and GC — the reference solves this with a single master
+    * serializing all writes through one goroutine (src/master.go:212-298);
+    * the storage-level equivalent is an exclusive-create lock (atomic on
+    * HDFS and local FS; object stores want a conditional put). A held
+    * lease REFUSES loudly ([[ConcurrentWriteException]]) rather than
+    * queueing — the caller decides whether to retry. Leases from crashed
+    * writers expire after `writerLeaseMs` (age by storage modtime) and are
+    * taken over; the default is generous because a lease spans a full
+    * Spark write job. `writerLeaseMs <= 0` disables the fence. */
+  private def leasePath(name: String): Path = new Path(root, s"__locks__/$name.lock")
+
+  private def acquireLease(name: String): Unit = {
+    if (writerLeaseMs <= 0L) return
+    val p = leasePath(name)
+    fs.mkdirs(p.getParent)
+    if (fs.exists(p)) {
+      val ageMs = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      if (ageMs > writerLeaseMs) fs.delete(p, false) // expired: crashed writer
+      else throw new ConcurrentWriteException(name, ageMs, writerLeaseMs)
+    }
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: java.io.IOException => // lost the create race to another writer
+          throw new ConcurrentWriteException(name, 0L, writerLeaseMs)
+      }
+    try out.write(s"${java.lang.ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def releaseLease(name: String): Unit =
+    if (writerLeaseMs > 0L) fs.delete(leasePath(name), false)
+
   private def publishVersion(name: String)(write: Path => Unit): Unit =
     lockFor(name).synchronized {
+      acquireLease(name)
+      try publishVersionLocked(name)(write)
+      finally releaseLease(name)
+    }
+
+  private def publishVersionLocked(name: String)(write: Path => Unit): Unit = {
       val existing = versionDirs(name)
-      val next     = existing.map(_._1).maxOption.getOrElse(0L) + 1L
+      // next = max(directory scan, lifetime high-water mark) + 1: the scan
+      // alone restarts at 1 after DELETE wiped the dirs; the mark survives
+      val next =
+        math.max(existing.map(_._1).maxOption.getOrElse(0L), readHwm(name)) + 1L
       write(pathOf(s"$name.__v${next}__"))
+      writeHwm(name, next)
       val protectedDirs: Set[Path] = versionDirs(name)
         .filter { case (v, p) => v >= next - 1 && isComplete(p) }
         .flatMap { case (_, p) => manifestOf(p).getOrElse(Nil) }
@@ -270,27 +362,49 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
         else Seq(st.getPath.toString)
       }
 
+  /** The index of the table-directory segment (`<name>.__vN__` version dir
+    * or `<name>.__data__` blob area) in a catalog file path's segments —
+    * hive `k=v` detection must scan strictly BELOW it. Anchoring matters:
+    * a `=` in the catalog ROOT itself (an object-store prefix or run dir
+    * like `.../run=5/...`) is not a partition directory, and treating it
+    * as one would misclassify every table under that root as partitioned
+    * (bogus basePath, fabricated columns on reads, partitionBy on
+    * nonexistent columns during mutations). -1 when the path is not a
+    * versioned/blob layout (legacy plain dirs — never partitioned). */
+  private def tableDirIdx(segs: Array[String]): Int =
+    segs.indexWhere(s => VersionRe.matches(s) || s.endsWith(".__data__"))
+
   /** The path prefix ending just BEFORE the first hive `k=v` directory
-    * segment — the `basePath` Spark needs to re-derive partition-column
-    * values when reading that file by explicit path. None for flat files
-    * (the trailing segment is the filename and never counts). */
+    * segment BELOW the table/version directory — the `basePath` Spark
+    * needs to re-derive partition-column values when reading that file by
+    * explicit path. None for flat files (the trailing segment is the
+    * filename and never counts). */
   private def hiveBaseOf(file: String): Option[String] = {
-    val segs = file.split('/')
-    val i    = segs.indexWhere(_.contains("="))
+    val segs   = file.split('/')
+    val anchor = tableDirIdx(segs)
+    if (anchor < 0) return None
+    val i = segs.indexWhere(_.contains("="), anchor + 1)
     if (i <= 0 || i == segs.length - 1) None
     else Some(segs.take(i).mkString("/"))
   }
 
   /** The hive partition COLUMNS a file list carries (directory-segment
-    * keys in path order), from its first partitioned member — empty for a
-    * flat layout. putPartitionedTable writes one level, but the walk is
-    * generic over nested layouts. */
+    * keys in path order, scanned below the table dir like [[hiveBaseOf]]),
+    * from its first partitioned member — empty for a flat layout.
+    * putPartitionedTable writes one level, but the walk is generic over
+    * nested layouts. */
   private def partitionColsOf(files: Seq[String]): Seq[String] =
     files
       .find(f => hiveBaseOf(f).isDefined)
       .toSeq
-      .flatMap(f =>
-        f.split('/').dropRight(1).filter(_.contains("=")).map(_.takeWhile(_ != '=')).toSeq)
+      .flatMap { f =>
+        val segs = f.split('/')
+        segs
+          .slice(tableDirIdx(segs) + 1, segs.length - 1)
+          .filter(_.contains("="))
+          .map(_.takeWhile(_ != '='))
+          .toSeq
+      }
 
   /** Read an explicit FILE LIST with hive-layout awareness: files under a
     * partitioned directory are grouped by their [[hiveBaseOf]] prefix and
@@ -409,12 +523,12 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
     * recursive FS deletes of every version of the name, PLUS every derived
     * side table under `<name>.__…` (`__stats__`, `__filestats__`,
     * `__sample__`/`__samplemeta__`, `__grepidx__`, `__bucketspec__`, ANN
-    * metadata/generations). Version numbering restarts at v1 after a
-    * delete, so a surviving side table from the name's previous life would
-    * carry a version stamp that MATCHES the re-put data — the stamp
-    * discipline that makes stale stats refuse loudly would instead serve
-    * the old table's zone maps and samples as if they were fresh. Returns
-    * whether the BASE name existed. */
+    * metadata/generations). A surviving side table from the name's
+    * previous life would carry stamps from that life — purging them keeps
+    * the stale-stats discipline airtight, and the commit high-water mark
+    * (which delete deliberately does NOT remove) keeps version ids
+    * monotonic across the delete so time travel can never conflate the
+    * two lives. Returns whether the BASE name existed. */
   def delete(name: String): Boolean = lockFor(name).synchronized {
     lsPrefix(s"$name.__").foreach(deleteOne)
     deleteOne(name)
@@ -463,7 +577,7 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       }
       val plainNames = plain
         .map(_.getPath.getName)
-        .filterNot(n => n.endsWith(TmpSuffix) || n.endsWith(OldSuffix))
+        .filterNot(n => n.endsWith(TmpSuffix) || n.endsWith(OldSuffix) || SystemDirs.contains(n))
       (versionedNames ++ plainNames).distinct.sorted
     }
 
@@ -949,6 +1063,55 @@ final class Catalog(spark: SparkSession, root: String, putConflictWindowMs: Long
       case "json"    => spark.read.json(p.get.toString)
       case other     => throw new IllegalArgumentException(s"unsupported format: $other")
     }
+  }
+
+  /** CHANGEFEED — the row-level difference between two retained versions
+    * (Delta/Iceberg's change-data-feed read, built from what the manifest
+    * protocol already records): every version IS a file-list snapshot, so
+    * the change set is the multiset difference of the FILE diff —
+    * `inserts = rows(added files) ∖ rows(removed files)` and
+    * `deletes = rows(removed files) ∖ rows(added files)` — which is
+    * O(changed files), never O(table), for every manifest mutation:
+    * an append touches only the delta generation (removed = ∅, zero
+    * diff work), a deleteWhere touches only the rewritten candidates,
+    * and a pure COMPACTION (same rows, new files) cancels to an EMPTY
+    * feed — file churn is not data change, the invariance falls out of
+    * the algebra instead of needing a special case. A re-PUT (full
+    * overwrite) honestly diffs the whole table — it IS a full change.
+    *
+    * Both sides read with the TO version's schema, so pre-evolution files
+    * serve NULL for later columns exactly as the live read does; the
+    * multiset (exceptAll) semantics keep duplicate rows honest. Output =
+    * the changed rows plus a `_change_type` column ('insert' | 'delete');
+    * an UPDATE appears as its delete + insert pair, as in every
+    * file-granular CDC feed. Version ids are the monotonic commit ids
+    * ([[versions]]) — spans never conflate across DELETE + re-PUT. */
+  def tableChanges(name: String, vFrom: Long, vTo: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(vFrom < vTo, s"tableChanges needs vFrom < vTo, got $vFrom >= $vTo")
+    val retained = versionDirs(name).filter { case (_, p) => isComplete(p) }.toMap
+    def dirOf(v: Long): Path = retained.getOrElse(
+      v,
+      throw new IllegalArgumentException(
+        s"version $v of $name is not retained (have: ${versions(name).mkString(",")})"))
+    val (pFrom, pTo) = (dirOf(vFrom), dirOf(vTo))
+    def filesOf(p: Path): Set[String] = manifestOf(p).getOrElse(listDataFiles(p)).toSet
+    val (fFrom, fTo) = (filesOf(pFrom), filesOf(pTo))
+    val added   = (fTo -- fFrom).toSeq.sorted
+    val removed = (fFrom -- fTo).toSeq.sorted
+    val schema = manifestSchemaOf(pTo)
+      .getOrElse(spark.read.parquet(pTo.toString).schema)
+    def readOrEmpty(files: Seq[String]): org.apache.spark.sql.DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else readFilesWithLayout(files, schema)
+    val (addRows, remRows) = (readOrEmpty(added), readOrEmpty(removed))
+    val cols = schema.fieldNames.map(col).toSeq
+    // align column ORDER before exceptAll (layout groups union by name,
+    // and pre/post-evolution file groups can disagree on position)
+    val (a, r) = (addRows.select(cols: _*), remRows.select(cols: _*))
+    a.exceptAll(r).withColumn("_change_type", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
   // ------------------------------------------------------------ bucketing
@@ -1806,6 +1969,11 @@ object Catalog {
   /** Legacy staging/backup suffixes, still hidden from [[Catalog.store]]. */
   val TmpSuffix: String = ".__tmp__"
   val OldSuffix: String = ".__old__"
+  /** Namespace-level bookkeeping dirs (commit high-water marks, writer
+    * leases) — not tables, hidden from [[Catalog.store]]. */
+  val SystemDirs: Set[String] = Set("__hwm__", "__locks__")
+  /** A writer lease spans a full Spark write job, so expiry is generous. */
+  val DefaultWriterLeaseMs: Long = 15 * 60 * 1000L
   /** Engine-native write-once version dirs: `<name>.__v<N>__`. */
   val VersionRe: scala.util.matching.Regex = "^(.*)\\.__v(\\d+)__$".r
 
@@ -1903,3 +2071,12 @@ object Catalog {
 final class PutConflictException(val name: String, val ageMs: Long, val windowMs: Long)
     extends RuntimeException(
       s"'$name' was written ${ageMs}ms ago (< ${windowMs}ms conflict window)")
+
+/** Another writer (possibly another JVM) holds the publish lease for this
+  * name — the engine-native write was refused rather than risking
+  * interleaved version scans/GC. Retry once the other write completes, or
+  * wait out the lease expiry if its holder crashed. */
+final class ConcurrentWriteException(val name: String, val ageMs: Long, val leaseMs: Long)
+    extends RuntimeException(
+      s"another writer holds the publish lease for '$name' " +
+        s"(held ${ageMs}ms, expires after ${leaseMs}ms)")

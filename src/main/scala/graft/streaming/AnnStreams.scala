@@ -32,6 +32,40 @@ object AnnStreams {
 
   final case class ServedHit(query_id: Long, neighbor_id: Long, sim: Double, rn: Int)
 
+  /** LIVE serving over a catalog-persisted index: every micro-batch
+    * re-resolves the index state — an [[graft.operators.AnnIndex.append]]
+    * or [[graft.operators.AnnIndex.deleteVectors]] issued while the
+    * stream runs lands on the NEXT batch, no rebuild, no restart.
+    *
+    * Why a separate entry point: [[ivfServeStream]]'s stream-static join
+    * re-EXECUTES its static side per batch, but the static plan is FIXED
+    * at stream start — `readTable` bakes the manifest version's file list
+    * into the frame and the tombstone anti-join only exists if the
+    * tombstone table existed at construction, so maintenance after start
+    * is structurally invisible there (snapshot semantics, documented at
+    * [[graft.operators.AnnIndex.liveIndex]]). foreachBatch is the
+    * mechanism that makes liveness real: each batch is a static frame, so
+    * the full BATCH search path — fresh generation listing, partition-
+    * pruned probes, tombstone anti-join, filtered rerank — runs against
+    * the catalog as it is NOW, and stream results stay bit-identical to
+    * what [[graft.operators.AnnIndex.search]] would return at that
+    * moment. Per-batch planning cost is a metadata listing + the same
+    * model-sized centroid load the batch path pays — nothing data-sized.
+    *
+    * `sink` receives each batch's hits (columns: query id, neighbor_id,
+    * sim, rn — the batch searcher's schema) plus the batch id; callers
+    * start the returned writer (`.start()` / trigger of their choice). */
+  def ivfServeStreamLive(
+      queryStream: DataFrame,
+      cat: graft.sources.Catalog,
+      name: String,
+      k: Int,
+      nprobe: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.operators.AnnIndex.search(cat, name, batch.toDF(), k, nprobe), batchId)
+    }
+
   def ivfServeStream(
       queryStream: DataFrame,
       cellIndex: DataFrame,

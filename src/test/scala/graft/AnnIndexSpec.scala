@@ -190,4 +190,35 @@ class AnnIndexSpec extends SparkSpec {
       assert(r.getAs[Long]("n_index_rows") === emb.count(), "a concurrent append overwrote another's generation")
     }
   }
+
+  test("compactGenerations folds appends into the base with bit-identical search; tombstones survive") {
+    withCat { cat =>
+      AnnIndex.build(cat, "gc", emb.filter(col("vec_id") % 2 === 0), nlist = 8, iters = 3, assign = 2)
+      AnnIndex.append(cat, "gc", emb.filter(col("vec_id") % 4 === 1))
+      AnnIndex.append(cat, "gc", emb.filter(col("vec_id") % 4 === 3))
+      AnnIndex.deleteVectors(cat, "gc", emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+      val queries = emb.filter(col("vec_id") < 6)
+      val before  = AnnIndex.search(cat, "gc", queries, k = 5, nprobe = 4).collect().toSet
+      assert(AnnIndex.compactGenerations(cat, "gc") === 2)
+      // generations gone, audit agrees, index row count preserved
+      assert(cat.lsPrefix("gc.__anngen").isEmpty, "generation tables must be dropped")
+      val a = AnnIndex.audit(cat, "gc").head()
+      assert(a.getAs[Long]("n_gens") === 0L)
+      // search results are bit-identical — compaction is pure file motion
+      val after = AnnIndex.search(cat, "gc", queries, k = 5, nprobe = 4).collect().toSet
+      assert(after === before, "generation compaction changed search results")
+      // tombstones survive the fold: deleted ids still never served
+      assert(!after.exists(_.getLong(1) % 5 == 0), "a tombstoned vector reappeared after compaction")
+      // idempotent second call: nothing to fold
+      assert(AnnIndex.compactGenerations(cat, "gc") === 0)
+      // CRASH WINDOW replay: the folded base coexisting with a stale
+      // generation (cleanup died) must serve the same results — the
+      // scorer collapses duplicate index rows
+      val stale = Similarity.ivfAssign(
+        emb.filter(col("vec_id") % 4 === 1), AnnIndex.loadCentroids(cat, "gc"), assign = 2)
+      cat.putPartitionedTable("gc.__anngen0007__", stale, "cell")
+      val window = AnnIndex.search(cat, "gc", queries, k = 5, nprobe = 4).collect().toSet
+      assert(window === before, "duplicate rows in the crash window changed search results")
+    }
+  }
 }

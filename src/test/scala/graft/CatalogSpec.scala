@@ -442,9 +442,10 @@ class CatalogSpec extends SparkSpec {
     cat.analyzeTable("reborn")
     cat.analyzeSample("reborn", "id")
     assert(cat.exists("reborn.__stats__") && cat.exists("reborn.__sample__"))
-    // delete: the base AND every __-derived side table must go — version
-    // numbering restarts at v1 after delete, so a surviving stamp from the
-    // old life would MATCH the new data's version and serve stale answers
+    // delete: the base AND every __-derived side table must go — a
+    // surviving stamp from the old life is stale by definition (and the
+    // monotonic commit counter is belt-and-braces, not a license to keep
+    // old stamps around)
     assert(cat.delete("reborn"))
     assert(!cat.exists("reborn.__stats__"), "stats survived delete")
     assert(!cat.exists("reborn.__sample__"), "sample survived delete")
@@ -455,5 +456,121 @@ class CatalogSpec extends SparkSpec {
     // prune path must not use the old table's min/max (old max 7 < 40
     // would prove-empty a predicate the new data matches)
     assert(cat.readTableWhere("reborn", "v", ">", "40").count() == 1)
+  }
+
+  test("version numbers are monotonic across DELETE + re-PUT; pre-delete ids refuse loudly") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("phoenix", Seq((1L, "first-life")).toDF("id", "s"))
+    cat.putTable("phoenix", Seq((2L, "first-life-v2")).toDF("id", "s"))
+    val lifeOne = cat.versions("phoenix")
+    assert(lifeOne.nonEmpty)
+    val maxBefore = lifeOne.max
+    assert(cat.delete("phoenix"))
+    // rebirth: the commit high-water mark survives the delete, so the new
+    // life's version ids continue strictly ABOVE the old life's — a
+    // readTableVersion(pre-delete id) can never silently resolve to the
+    // re-put table's data
+    cat.putTable("phoenix", Seq((3L, "second-life")).toDF("id", "s"))
+    val lifeTwo = cat.versions("phoenix")
+    assert(lifeTwo.forall(_ > maxBefore),
+      s"re-put version ids ${lifeTwo.mkString(",")} must exceed pre-delete max $maxBefore")
+    // every pre-delete id is gone, and asking for one refuses loudly
+    lifeOne.foreach { v =>
+      val e = intercept[IllegalArgumentException](cat.readTableVersion("phoenix", v))
+      assert(e.getMessage.contains("not retained"), e.getMessage)
+    }
+    assert(cat.readTableVersion("phoenix", lifeTwo.head).collect().map(_.getString(1)).toSeq
+      == Seq("second-life"))
+    // bookkeeping dirs never leak into the namespace listing
+    assert(!cat.store().exists(Set("__hwm__", "__locks__")), cat.store().mkString(","))
+  }
+
+  test("cross-JVM writer fence: a held publish lease refuses loudly; an expired one is taken over") {
+    import spark.implicits._
+    import graft.sources.ConcurrentWriteException
+    val root = Files.createTempDirectory("graft_catalog_lease_")
+    val cat  = new Catalog(spark, root.toString, writerLeaseMs = 60000L)
+    cat.putTable("fenced", Seq((1L, "a")).toDF("id", "s"))
+    // simulate another JVM mid-publish: its lease file exists and is fresh
+    val lock = root.resolve("__locks__/fenced.lock")
+    Files.createDirectories(lock.getParent)
+    Files.writeString(lock, "99999\n")
+    val e = intercept[ConcurrentWriteException](
+      cat.putTable("fenced", Seq((2L, "b")).toDF("id", "s")))
+    assert(e.getMessage.contains("publish lease"), e.getMessage)
+    // the refused write published nothing: first version still serves
+    assert(cat.readTable("fenced").collect().map(_.getString(1)).toSeq == Seq("a"))
+    // crashed writer: age the lease past expiry — the next writer takes over
+    Files.setLastModifiedTime(
+      lock, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    cat.putTable("fenced", Seq((3L, "c")).toDF("id", "s"))
+    assert(cat.readTable("fenced").collect().map(_.getString(1)).toSeq == Seq("c"))
+    assert(!Files.exists(lock), "lease must be released after a successful publish")
+    // a second catalog INSTANCE on the same root shares the fence
+    val cat2 = new Catalog(spark, root.toString, writerLeaseMs = 60000L)
+    Files.writeString(lock, "99999\n")
+    intercept[ConcurrentWriteException](cat2.putTable("fenced", Seq((4L, "d")).toDF("id", "s")))
+    Files.delete(lock)
+  }
+
+  test("tableChanges: append yields inserts, deleteWhere yields deletes, compaction an EMPTY feed") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("cdc", Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "c")).toDF("id", "s"))
+    cat.appendTable("cdc", Seq((4L, "d"), (5L, "e")).toDF("id", "s"))
+    val Seq(v2, v1) = cat.versions("cdc").take(2)
+    // append span: exactly the delta as inserts, zero deletes, O(delta)
+    val cf12 = cat.tableChanges("cdc", v1, v2).collect()
+    assert(cf12.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      == Set((4L, "d", "insert"), (5L, "e", "insert")))
+    cat.deleteWhere("cdc", "id", "<=", "2")
+    val v3 = cat.versions("cdc").max
+    // delete span: the removed rows as deletes (duplicates kept as
+    // multiset — both (3,c) copies SURVIVE, so neither appears)
+    val cf23 = cat.tableChanges("cdc", v2, v3).collect()
+    assert(cf23.map(r => (r.getLong(0), r.getString(2))).toSet
+      == Set((1L, "delete"), (2L, "delete")), cf23.mkString(";"))
+    // compaction span: file churn, zero data change — EMPTY both ways
+    cat.compactSmallFiles("cdc", smallBytes = 64L << 20, targetBytes = 64L << 20)
+    val v4 = cat.versions("cdc").max
+    assert(cat.tableChanges("cdc", v3, v4).count() === 0L,
+      "compaction leaked into the changefeed")
+    // schema evolution: pre-evolution side aligns to the TO schema (NULL
+    // for the new column), and the feed reports exactly the evolved delta
+    cat.appendTableEvolve("cdc", Seq((6L, "f", 9.5)).toDF("id", "s", "score"))
+    val v5 = cat.versions("cdc").max
+    val cf45 = cat.tableChanges("cdc", v4, v5).collect()
+    assert(cf45.length == 1 && cf45.head.getLong(0) == 6L && cf45.head.getDouble(2) == 9.5)
+    // guards: inverted span and GC'd versions refuse loudly
+    intercept[IllegalArgumentException](cat.tableChanges("cdc", v5, v4))
+    intercept[IllegalArgumentException](cat.tableChanges("cdc", 999L, 1000L))
+  }
+
+  test("hive k=v detection anchors below the table dir: a k=v segment in the ROOT never misclassifies") {
+    import spark.implicits._
+    // the catalog root itself contains a k=v segment (an object-store
+    // prefix / run dir shape) — every table under it must still read and
+    // mutate as its own layout says, not as a fabricated partitioned one
+    val base = Files.createTempDirectory("graft_catalog_kv_")
+    val root = base.resolve("run=5").resolve("data")
+    val cat  = new Catalog(spark, root.toString)
+    val df   = Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1")).toDF("id", "s", "part")
+    // flat table: append goes through manifest mutation — partitionColsOf
+    // must come back EMPTY despite run=5 sitting in every absolute path
+    cat.putTable("flat", df.select(col("id"), col("s")))
+    cat.appendTable("flat", Seq((4L, "w")).toDF("id", "s"))
+    val flat = cat.readTable("flat")
+    assert(flat.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(flat.count() == 4)
+    // partitioned table: the REAL k=v level (below the version dir) must
+    // still be detected — mutations keep the layout and the partition
+    // column survives an append + delete round trip with correct values
+    cat.putPartitionedTable("parted", df, "part")
+    cat.appendTable("parted", Seq((9L, "q", "p3")).toDF("id", "s", "part"))
+    cat.deleteWhere("parted", "id", "<=", "1")
+    val back = cat.readTable("parted").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("part"))).toSet
+    assert(back == Set((2L, "p2"), (3L, "p1"), (9L, "p3")), back.toString)
   }
 }

@@ -851,6 +851,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("LIVE ANN serve: a delete issued WHILE the stream runs lands on the next batch, no restart") {
+    import graft.operators.AnnIndex
+    val emb = Tables(spark, SharedSpark.sf0001).embeddings
+      .select(col("vec_id"), col("embedding")).cache()
+    val queries = emb.filter(col("vec_id") % 17 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-live-stream").toString
+    val cat  = new graft.sources.Catalog(spark, root)
+    AnnIndex.build(cat, "ix_live", emb, nlist = 8, iters = 3, assign = 2)
+    val qdir = java.nio.file.Files.createTempDirectory("graft_annq_live_").toString
+    // batch 1's queries staged BEFORE the stream starts
+    queries.coalesce(1).write.mode("overwrite").parquet(qdir)
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+    val sq = graft.streaming.AnnStreams
+      .ivfServeStreamLive(
+        spark.readStream.schema(queries.schema).parquet(qdir),
+        cat, "ix_live", k = 5, nprobe = 3) { (hits, id) => perBatch.put(id, hits.collect()) }
+      .start()
+    try {
+      sq.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val firstBatches = perBatch.keySet().asScala.max + 1
+      assert(perBatch.asScala.values.exists(_.nonEmpty))
+      // pre-delete truth: some served neighbor IS about to be tombstoned,
+      // otherwise the propagation assertion below is vacuous
+      assert(perBatch.asScala.values.exists(_.exists(_.getLong(1) % 3 == 0)),
+        "fixture degenerate: no soon-to-be-deleted neighbor served in batch 1")
+      // maintenance DURING the stream: tombstone every third vector
+      AnnIndex.deleteVectors(cat, "ix_live", emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")))
+      // batch 2: same queries arrive again as a new file
+      queries.coalesce(1).write.mode("append").parquet(qdir)
+      sq.processAllAvailable()
+      val later = perBatch.asScala.filter(_._1 >= firstBatches).values.flatten.toArray
+      assert(later.nonEmpty, "no post-delete batch produced hits")
+      assert(later.forall(_.getLong(1) % 3 != 0),
+        "a tombstoned vector streamed out AFTER the delete — liveness contract broken")
+      // bit-parity with the batch searcher against the SAME catalog state
+      val batchNow = AnnIndex.search(cat, "ix_live", queries, k = 5, nprobe = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val streamedNow = later
+        .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(streamedNow == batchNow, "live stream diverged from the batch search it re-derives")
+    } finally sq.stop()
+  }
+
   test("streaming JSD drift monitor converged snapshot equals the batch operator bit-for-bit") {
     import spark.implicits._
     // reference = the even-id half's category mix; live = the full stream
