@@ -481,6 +481,44 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("sum_keys"))
     },
 
+    // --------------------------------------------- RESTORE (rollback)
+    // The undo verb under the gate: PUT → a bad deleteWhere → restoreTable
+    // back to the pre-delete version. The restore is O(metadata) — a new
+    // manifest referencing the old version's files, no data motion — and
+    // history-preserving: the changefeed across the restore span reports
+    // exactly the undone rows flowing back as inserts (n_restored), which
+    // the oracle recomputes as the deleted slice. A restore that loses
+    // rows, resurrects the delete, or rewrites history hash-mismatches.
+    Q(
+      "catalog_restore",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows,
+          (SELECT CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT)
+           FROM orders WHERE o_orderkey % 2 = 0) AS sum_keys,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 2 = 0 AND o_custkey <= 20) AS n_restored
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-restore").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      cat.putTable(
+        "orders_r",
+        t.orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")))
+      val vGood = cat.versions("orders_r").max
+      cat.deleteWhere("orders_r", "o_custkey", "<=", "20") // the mistake
+      val vBad = cat.versions("orders_r").max
+      cat.restoreTable("orders_r", vGood)
+      val vNow = cat.versions("orders_r").max
+      val nRestored = cat.tableChanges("orders_r", vBad, vNow)
+        .filter(col("_change_type") === "insert").count()
+      val r = cat.readTable("orders_r")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("s")).head()
+      Seq((r.getLong(0), r.getLong(1), nRestored)).toDF("n_rows", "sum_keys", "n_restored")
+    },
+
     // ------------------------------------------------ CHANGEFEED (CDC)
     // tableChanges under the gate: the row-level diff between retained
     // versions, computed from the manifest FILE diff (O(changed files),
@@ -531,6 +569,70 @@ object Relational {
       Seq((ins12.getLong(0), ins12.getLong(1), nDel12, del23.getLong(0), del23.getLong(1), nIns23, nCompact))
         .toDF("n_ins_append", "sum_ins_keys", "n_del_append", "n_del_delete",
           "sum_del_keys", "n_ins_delete", "n_changes_compact")
+    },
+
+    // ---------------------- incremental VIEW MAINTENANCE over the feed
+    // The payoff query for the changefeed: a downstream aggregate kept
+    // current by consuming ONLY changesSince feeds — the initial snapshot
+    // plus signed deltas (insert = +1, delete = −1), never a re-read of
+    // the base table. Three mutation rounds (append, deleteWhere,
+    // compaction — whose feed must contribute NOTHING); the final view is
+    // hash-compared to the oracle's full rollup of the end state, so a
+    // missed change, a double-counted row, or compaction leaking into the
+    // feed all mismatch. The cost model this proves: maintaining the view
+    // is O(churn), not O(table) — the difference between viable and
+    // non-viable at 100 TB with gigabytes of daily churn.
+    Q(
+      "catalog_cdc_incr_view",
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_custkey <= 20)
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc-view").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      cat.putTable("orders_v", base.filter(col("o_orderkey") % 3 === 0))
+      // the consumer's VIEW STATE is view-sized (one row per priority) and
+      // each poll folds a churn-sized delta into it, materialized at poll
+      // time — both because that IS incremental maintenance's cost model
+      // and because a feed is a snapshot over the retention window (hold
+      // it lazily across later mutations and the window slides past it)
+      def deltaOf(rows: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] = rows
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("__sign")).as("dn"),
+          sum(col("__sign") * col("o_orderkey").cast("long")).as("dk"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      // bootstrap: the one full read the consumer ever does
+      var state  = deltaOf(cat.readTable("orders_v").withColumn("__sign", lit(1L)))
+      var cursor = cat.versions("orders_v").max
+      def poll(): Unit = {
+        val (cur, feed) = cat.changesSince("orders_v", cursor)
+        cursor = cur
+        val d = deltaOf(feed.withColumn(
+          "__sign", when(col("_change_type") === "insert", 1L).otherwise(-1L)))
+        state = (state.keySet ++ d.keySet).map { k =>
+          val (n0, s0) = state.getOrElse(k, (0L, 0L))
+          val (dn, ds) = d.getOrElse(k, (0L, 0L))
+          k -> ((n0 + dn, s0 + ds))
+        }.toMap
+      }
+      cat.appendTable("orders_v", base.filter(col("o_orderkey") % 3 === 1))
+      poll()
+      cat.deleteWhere("orders_v", "o_custkey", "<=", "20")
+      poll()
+      cat.compactSmallFiles("orders_v", smallBytes = 64L << 20, targetBytes = 64L << 20)
+      poll() // must contribute nothing — compaction is not churn
+      state.toSeq
+        .collect { case (k, (n, s)) if n > 0 => (k, n, s) }
+        .toDF("o_orderpriority", "n", "sum_keys")
     },
 
     // -------------------------------------------- incremental ANALYZE

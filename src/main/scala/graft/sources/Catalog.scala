@@ -23,7 +23,9 @@ final class Catalog(
     spark: SparkSession,
     root: String,
     putConflictWindowMs: Long = Catalog.DefaultConflictWindowMs,
-    writerLeaseMs: Long = Catalog.DefaultWriterLeaseMs) {
+    writerLeaseMs: Long = Catalog.DefaultWriterLeaseMs,
+    retainVersions: Int = Catalog.DefaultRetainVersions) {
+  require(retainVersions >= 2, s"retainVersions must be >= 2 (current + previous), got $retainVersions")
   import Catalog.{OldSuffix, SystemDirs, TmpSuffix, VersionRe}
   private val conf: Configuration = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem      = new Path(root).getFileSystem(conf)
@@ -228,13 +230,25 @@ final class Catalog(
         math.max(existing.map(_._1).maxOption.getOrElse(0L), readHwm(name)) + 1L
       write(pathOf(s"$name.__v${next}__"))
       writeHwm(name, next)
+      // protect the OWNING version/blob directory of every referenced
+      // file, not its immediate parent: a hive-partitioned file's parent
+      // is the leaf `k=v` dir, which the version-dir GC check below would
+      // never match — the naive parent mapping silently deleted a
+      // partitioned base dir out from under manifests that still
+      // referenced its files (flat tables only survived because there
+      // parent == version dir)
+      // the GC horizon: keep the newest `retainVersions` complete versions
+      // (default 2 = current + previous, the minimum reader-stability
+      // window) — a deployment wanting deeper time travel / changefeed
+      // history raises the knob, not the protocol
+      val horizon = next - (retainVersions - 1)
       val protectedDirs: Set[Path] = versionDirs(name)
-        .filter { case (v, p) => v >= next - 1 && isComplete(p) }
+        .filter { case (v, p) => v >= horizon && isComplete(p) }
         .flatMap { case (_, p) => manifestOf(p).getOrElse(Nil) }
-        .map(f => fs.makeQualified(new Path(f).getParent))
+        .map(protectRootOf)
         .toSet
       versionDirs(name).foreach { case (v, p) =>
-        if (v < next && (v < next - 1 || !isComplete(p)) &&
+        if (v < next && (v < horizon || !isComplete(p)) &&
             !protectedDirs.contains(fs.makeQualified(p))) fs.delete(p, true)
       }
       // a superseded interactive upload at the plain path; versioned reads
@@ -243,6 +257,25 @@ final class Catalog(
       if (fs.exists(pathOf(name)) && !protectedDirs.contains(fs.makeQualified(pathOf(name))))
         fs.delete(pathOf(name), true)
     }
+
+  /** The GC-protection root of a referenced data file: its ancestor
+    * version dir (`*.__vN__`), blob area (`*.__data__`), or — for legacy
+    * plain layouts — the file's own directory. This is the unit the
+    * version GC deletes, so it is the unit protection must name. */
+  private def protectRootOf(file: String): Path = {
+    val rootQ = fs.makeQualified(new Path(root))
+    var p     = fs.makeQualified(new Path(file)).getParent
+    var last  = p
+    while (p != null && p != rootQ) {
+      val n = p.getName
+      if (VersionRe.matches(n) || n.endsWith(".__data__")) return p
+      last = p
+      p = p.getParent
+    }
+    // no version/blob ancestor below the root: a legacy plain layout —
+    // protect the topmost dir under the root (the plain table dir itself)
+    last
+  }
 
   // --------------------------------------------------- manifest plumbing
 
@@ -587,10 +620,11 @@ final class Catalog(
   def exists(name: String): Boolean = fs.exists(resolveReadable(name))
 
   /** Version numbers currently readable for `name`, newest first — the
-    * time-travel window. The publish GC retains the current and
-    * immediately-previous complete versions, so depth is at most 2 (plus
-    * any in-flight write); a deployment wanting deeper history raises the
-    * GC horizon, not this API. */
+    * time-travel / changefeed window. The publish GC retains the newest
+    * `retainVersions` complete versions (constructor knob; default 2 =
+    * current + previous), plus any older version whose files a retained
+    * manifest still references. Deeper history = a bigger knob, same
+    * protocol. */
   def versions(name: String): Seq[Long] =
     versionDirs(name).filter { case (_, p) => isComplete(p) }.map(_._1).sorted.reverse
 
@@ -1065,6 +1099,35 @@ final class Catalog(
     }
   }
 
+  /** RESTORE (rollback) — publish a NEW version whose content is exactly
+    * a retained older version's: the undo verb for a bad deleteWhere /
+    * append / compaction (Delta's RESTORE, Iceberg's rollback). O(METADATA)
+    * by construction: no data moves — the new version's manifest simply
+    * references the target version's file list (referencing other
+    * versions' directories is already the manifest protocol's normal
+    * state, and the publish GC protects every directory a retained
+    * manifest references). History is preserved, not rewritten: the
+    * restore is a new monotonic commit on top, so [[tableChanges]] across
+    * the restore span reports the undone rows flowing back (a reverted
+    * delete shows them as inserts — the file-diff algebra gives the
+    * audit trail for free), and time travel into the mistake window still
+    * works while it is retained. Throws if `toVersion` is not retained —
+    * you cannot restore to history the GC horizon already dropped. */
+  def restoreTable(name: String, toVersion: Long): Unit = lockFor(name).synchronized {
+    val target = versionDirs(name).collectFirst {
+      case (v, p) if v == toVersion && isComplete(p) => p
+    }
+    require(
+      target.isDefined,
+      s"version $toVersion of $name is not retained (have: ${versions(name).mkString(",")})")
+    val current = versions(name).headOption.getOrElse(-1L)
+    require(toVersion != current, s"version $toVersion of $name is already current")
+    val files  = manifestOf(target.get).getOrElse(listDataFiles(target.get))
+    val schema = manifestSchemaOf(target.get)
+      .getOrElse(spark.read.parquet(target.get.toString).schema)
+    publishVersion(name)(dir => writeManifest(dir, files, schema))
+  }
+
   /** CHANGEFEED — the row-level difference between two retained versions
     * (Delta/Iceberg's change-data-feed read, built from what the manifest
     * protocol already records): every version IS a file-list snapshot, so
@@ -1112,6 +1175,30 @@ final class Catalog(
     val (a, r) = (addRows.select(cols: _*), remRows.select(cols: _*))
     a.exceptAll(r).withColumn("_change_type", lit("insert"))
       .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Incremental changefeed consumption — the poll loop every downstream
+    * incremental job runs against a CDC-capable table: "give me everything
+    * since my cursor". Returns (currentVersion, feed); the consumer
+    * persists the returned version as its new cursor and the feed is
+    * empty (schema intact) when nothing changed. A cursor that fell
+    * behind the retention window refuses loudly via [[tableChanges]] —
+    * the consumer must re-bootstrap from a full read, never silently skip
+    * missed changes (size the `retainVersions` knob to the slowest
+    * consumer's lag). Cursors are the monotonic commit ids, so a DELETE +
+    * re-PUT between polls can never masquerade as "no change". */
+  def changesSince(name: String, sinceVersion: Long): (Long, org.apache.spark.sql.DataFrame) = {
+    val current = versions(name).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no readable versions of $name"))
+    require(
+      sinceVersion <= current,
+      s"cursor $sinceVersion is ahead of $name's current version $current")
+    if (sinceVersion == current) {
+      val schema = readTable(name).schema
+        .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      (current,
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    } else (current, tableChanges(name, sinceVersion, current))
   }
 
   // ------------------------------------------------------------ bucketing
@@ -1974,6 +2061,9 @@ object Catalog {
   val SystemDirs: Set[String] = Set("__hwm__", "__locks__")
   /** A writer lease spans a full Spark write job, so expiry is generous. */
   val DefaultWriterLeaseMs: Long = 15 * 60 * 1000L
+  /** GC keeps this many newest complete versions; 2 = current + previous,
+    * the minimum that guarantees in-flight readers their snapshot. */
+  val DefaultRetainVersions: Int = 2
   /** Engine-native write-once version dirs: `<name>.__v<N>__`. */
   val VersionRe: scala.util.matching.Regex = "^(.*)\\.__v(\\d+)__$".r
 
