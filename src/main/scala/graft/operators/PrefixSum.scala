@@ -57,6 +57,18 @@ object PrefixSum {
     val n =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Design note — why materialization and not deterministic bucketing:
+    // the alternative that avoids this checkpoint is a driver-sampled
+    // boundary list baked into a pure pid = count(boundaries <= row)
+    // column (re-evaluation-immune by construction; boundary quality only
+    // affects balance, never correctness, since the count is monotone in
+    // the total order). But its sampling pass is a separate ACTION, and
+    // separate DataFrame actions do not share shuffle stages — for the
+    // chained / aggregation-fed callers here (three chained RFM passes,
+    // the vocab-growth join) that re-executes the expensive upstream per
+    // call, costing more than the one full-width write below. If a future
+    // caller feeds a raw-scan-shaped frame at 100 TB, revisit.
+    //
     // MATERIALIZE the ranged frame once (eager local checkpoint) before
     // either phase reads it. Both phases must observe the SAME partition
     // boundaries: phase 1's local windows and phase 2's per-partition

@@ -481,6 +481,78 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("sum_keys"))
     },
 
+    // ------------------------------------------------- UPSERT (MERGE)
+    // The UPDATE verb under the gate: PUT the even-key half, then one
+    // MERGE batch that UPDATES every key ≡ 0 (mod 4) (price doubled —
+    // whole-row replacement) and INSERTS every key ≡ 1 (mod 4) (new
+    // rows, also at doubled price). The oracle rebuilds the exact end
+    // state — original rows for keys ≡ 2 (mod 4), doubled rows for the
+    // merged keys — so a lost replacement (old row survives), a double
+    // apply, a dropped insert, or a key matched by position instead of
+    // value all hash-mismatch. ×2 is exact in binary FP, so the doubled
+    // price is bit-identical on both engines; sums run through DECIMAL.
+    Q(
+      "catalog_upsert",
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys,
+               CAST(SUM(CASE WHEN o_orderkey % 4 IN (0, 1)
+                             THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
+                             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      cat.putTable(
+        "orders_m2", base.filter(col("o_orderkey") % 2 === 0).repartitionByRange(4, col("o_orderkey")))
+      val updates = base
+        .filter(col("o_orderkey") % 4 <= 1)
+        .select(col("o_orderkey"), col("o_custkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+      cat.upsertTable("orders_m2", updates, "o_orderkey")
+      cat.readTable("orders_m2").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey").cast("long")).as("sum_keys"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+    },
+
+    // ----------------------------- NESTED (multi-level) hive partitioning
+    // Two directory levels (priority/status) with the full mutation story
+    // on top: hive PUT by BOTH columns, APPEND keeping the nested layout
+    // (the delta generation's files carry both partition values in their
+    // own directory names). The rollup groups by both partition columns,
+    // so a NULLed or truncated level anywhere — the classic flat-listing
+    // or wrong-basePath regression, now across two levels — changes the
+    // group keys and hash-mismatches.
+    Q(
+      "catalog_partitioned_nested",
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
+        FROM orders
+        GROUP BY 1, 2
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-part-nested").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"))
+      // coalesced ingest batches, same honest shape as the 1-level row
+      // (fan-out here is 5 priorities × 3 statuses = 15 dirs per batch)
+      cat.putPartitionedTableBy(
+        "orders_n",
+        base.filter(col("o_orderkey") % 2 === 0).repartition(4, col("o_orderkey")),
+        Seq("o_orderpriority", "o_orderstatus"))
+      cat.appendTable(
+        "orders_n", base.filter(col("o_orderkey") % 2 === 1).repartition(4, col("o_orderkey")))
+      cat.readTable("orders_n")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("sum_keys"))
+    },
+
     // --------------------------------------------- RESTORE (rollback)
     // The undo verb under the gate: PUT → a bad deleteWhere → restoreTable
     // back to the pre-delete version. The restore is O(metadata) — a new

@@ -518,12 +518,31 @@ final class Catalog(
       name: String,
       df: org.apache.spark.sql.DataFrame,
       partCol: String,
+      format: String = "parquet"): Unit =
+    putPartitionedTableBy(name, df, Seq(partCol), format)
+
+  /** Multi-level hive layout: one directory level PER listed column, in
+    * order (`date=…/region=…/…`) — the standard warehouse shape when two
+    * coarse dimensions both carry selective predicates. Every downstream
+    * verb is already layout-generic ([[partitionColsOf]] walks all `k=v`
+    * levels): append/deleteWhere/compact keep the nested layout, pruned
+    * reads push predicates on ANY prefix or combination of the levels
+    * into the directory listing. Order the columns coarsest-first — the
+    * directory fan-out is the PRODUCT of the cardinalities, and a
+    * high-cardinality inner level multiplies small files (the same
+    * judgment call every table format documents). */
+  def putPartitionedTableBy(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String],
       format: String = "parquet"): Unit = {
-    require(
-      df.schema.fieldNames.contains(partCol),
-      s"partition column '$partCol' not in schema ${df.schema.fieldNames.mkString(",")}")
+    require(partCols.nonEmpty, "putPartitionedTableBy needs at least one partition column")
+    partCols.foreach(c =>
+      require(
+        df.schema.fieldNames.contains(c),
+        s"partition column '$c' not in schema ${df.schema.fieldNames.mkString(",")}"))
     publishVersion(name) { dir =>
-      val w = df.write.mode("overwrite").partitionBy(partCol)
+      val w = df.write.mode("overwrite").partitionBy(partCols: _*)
       format match {
         case "parquet" => w.parquet(dir.toString)
         case "orc"     => w.orc(dir.toString)
@@ -1500,6 +1519,111 @@ final class Catalog(
         report(candidates.size.toLong, nDel)
       }
     }
+  }
+
+  /** UPSERT (MERGE) — the UPDATE verb completing the DML set (append =
+    * insert, deleteWhere = delete): for each row of `updates`, REPLACE the
+    * stored row carrying the same key, or INSERT it if the key is new —
+    * Delta/Iceberg's `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`
+    * for whole rows. O(touched files + delta), never O(table):
+    *
+    *   - files whose key-column zone provably can't contain ANY update
+    *     key are untouched (zone-map prune against the update batch's
+    *     [min, max] key range — fresh `__filestats__` only, same
+    *     version-stamp discipline as [[deleteWhere]]);
+    *   - candidate files rewrite minus the matched keys: a BROADCAST
+    *     anti-join against the update key set (update batches are
+    *     delta-sized — the join never shuffles the table);
+    *   - the update rows land as a new generation keeping the hive
+    *     layout, exactly like [[appendTable]].
+    *
+    * MERGE semantics require one row per key in `updates` (duplicate or
+    * NULL keys refuse loudly — "which copy wins" must never be an
+    * accident of partitioning). The changefeed reports an update as its
+    * delete + insert pair, as in every file-granular CDC feed. Returns a
+    * report frame (files live/rewritten, rows replaced/upserted). */
+  def upsertTable(
+      name: String,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = lockFor(name).synchronized {
+    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit, max, min}
+    val table = readTable(name)
+    require(
+      table.schema.fieldNames.contains(keyCol),
+      s"no key column '$keyCol' in $name")
+    // same name-set + type alignment contract as appendTable
+    val have = updates.schema.fields.map(f => (f.name, f.dataType)).toSet
+    val want = table.schema.fields.map(f => (f.name, f.dataType)).toSet
+    require(have == want, s"upsertTable schema mismatch for '$name': table has $want, updates has $have")
+    val aligned = updates.select(table.schema.fieldNames.map(col(_)): _*)
+    val keyField = table.schema.fields.find(_.name == keyCol).get
+    // one delta-sized pass: key sanity + the prune range
+    val k = aligned.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("nk"),
+      org.apache.spark.sql.functions.sum(col(keyCol).isNull.cast("long")).as("nulls"),
+      min(col(keyCol)).cast("string").as("kmin"),
+      max(col(keyCol)).cast("string").as("kmax")).head()
+    val nUpd = k.getAs[Long]("n")
+    if (nUpd == 0L) {
+      return spark.createDataFrame(Seq((liveFiles(name).size.toLong, 0L, 0L, 0L)))
+        .toDF("n_files_live", "n_files_rewritten", "n_rows_replaced", "n_rows_upserted")
+    }
+    require(k.getAs[Long]("nulls") == 0L, s"upsertTable: NULL keys in the update batch for '$name'")
+    require(
+      k.getAs[Long]("nk") == nUpd,
+      s"upsertTable: duplicate keys in the update batch for '$name' (${nUpd - k.getAs[Long]("nk")} extra rows) — one row per key")
+    val (kmin, kmax)   = (k.getAs[String]("kmin"), k.getAs[String]("kmax"))
+    val files          = liveFiles(name)
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
+    def norm(s: String): String = new Path(s).toUri.getPath
+    // untouched = zone provably DISJOINT from [kmin, kmax] (outside either
+    // end); unknown stats exclude nothing — degrade to the rewrite
+    val excludedNorm: Set[String] = fileStatsFor(name) match {
+      case Some(fsStats) if currentVersion >= 0 && fsStats.analyzedVersion.contains(currentVersion) =>
+        val colStats = fsStats.columns.filter(_.column == keyCol)
+        val allFiles = fsStats.columns.map(_.file).distinct
+        if (colStats.map(_.file).distinct.size != allFiles.size) Set.empty
+        else
+          colStats
+            .filter(st =>
+              // entirely below the batch (no row >= kmin) or entirely
+              // above it (no row <= kmax) — either proves disjointness
+              Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, ">=", kmin) ||
+                Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, "<=", kmax))
+            .map(st => norm(st.file))
+            .toSet
+      case _ => Set.empty
+    }
+    val (untouched, candidates) = files.partition(f => excludedNorm.contains(norm(f)))
+    val partCols = partitionColsOf(files)
+    val gens     = scala.collection.mutable.ArrayBuffer.empty[String]
+    def writeGen(df: org.apache.spark.sql.DataFrame): Unit = {
+      val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
+      val w   = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(gen.toString)
+      gens ++= listDataFiles(gen)
+    }
+    val keys = aligned.select(col(keyCol))
+    val nReplaced =
+      if (candidates.isEmpty) 0L
+      else {
+        val cand      = readFilesWithLayout(candidates, table.schema)
+        val survivors = cand.join(broadcast(keys), Seq(keyCol), "left_anti")
+        val nCand     = cand.count()
+        val nSurv     = survivors.count()
+        if (nSurv > 0L && nSurv < nCand) writeGen(survivors)
+        // nSurv == nCand: no key matched — candidates stay AS THEY ARE
+        // (no rewrite generation; the manifest keeps the original files)
+        nCand - nSurv
+      }
+    writeGen(aligned)
+    val keep       = if (nReplaced == 0L) untouched ++ candidates else untouched
+    val nRewritten = if (nReplaced == 0L) 0L else candidates.size.toLong
+    publishVersion(name)(dir => writeManifest(dir, keep ++ gens, table.schema))
+    spark
+      .createDataFrame(Seq((files.size.toLong, nRewritten, nReplaced, nUpd)))
+      .toDF("n_files_live", "n_files_rewritten", "n_rows_replaced", "n_rows_upserted")
   }
 
   /** VACUUM: physically delete blob-area files no retained version's

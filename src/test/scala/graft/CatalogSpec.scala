@@ -638,6 +638,85 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.tableChanges("cdc", 999L, 1000L))
   }
 
+  test("upsertTable: keyed replace-or-insert, zone-pruned rewrites, loud duplicate/NULL keys") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable(
+      "mrg",
+      (1 to 40).map(i => (i.toLong, s"v$i", i * 1.0)).toDF("id", "s", "x")
+        .repartitionByRange(4, col("id")))
+    cat.analyzeTable("mrg", fileStats = true)
+    // updates touch only keys 1..5 (one range file) + insert 100..102
+    val ups = (Seq(1L, 3L, 5L).map(i => (i, s"UP$i", -1.0)) ++
+      Seq(100L, 101L, 102L).map(i => (i, s"NEW$i", 9.9))).toDF("id", "s", "x")
+    val rep = cat.upsertTable("mrg", ups, "id").head()
+    assert(rep.getAs[Long]("n_rows_replaced") === 3L)
+    assert(rep.getAs[Long]("n_rows_upserted") === 6L)
+    // zone maps were fresh: files whose id-range can't meet [1, 102]...
+    // every range intersects here, but the 4-file split means at most the
+    // intersecting files rewrite — assert we did better than rewrite-all
+    // is not provable with this key spread, so assert correctness instead
+    val back = cat.readTable("mrg").collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(back.size === 43)
+    assert(back(1L) == (("UP1", -1.0)) && back(3L) == (("UP3", -1.0)) && back(5L) == (("UP5", -1.0)))
+    assert(back(2L) == (("v2", 2.0)) && back(40L) == (("v40", 40.0)))
+    assert(back(101L) == (("NEW101", 9.9)))
+    // a SECOND upsert whose keys sit entirely above every stored range:
+    // with fresh zone maps, zero files rewrite (pure insert)
+    cat.analyzeTable("mrg", fileStats = true)
+    val rep2 = cat.upsertTable("mrg", Seq((200L, "NEW200", 1.0)).toDF("id", "s", "x"), "id").head()
+    assert(rep2.getAs[Long]("n_files_rewritten") === 0L)
+    assert(rep2.getAs[Long]("n_rows_replaced") === 0L)
+    assert(cat.readTable("mrg").count() === 44L)
+    // update batches with duplicate or NULL keys refuse loudly
+    intercept[IllegalArgumentException](
+      cat.upsertTable("mrg", Seq((7L, "a", 1.0), (7L, "b", 2.0)).toDF("id", "s", "x"), "id"))
+    val nullKey = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(null, "a", 1.0)),
+      cat.readTable("mrg").schema)
+    intercept[IllegalArgumentException](cat.upsertTable("mrg", nullKey, "id"))
+    // schema mismatch refuses
+    intercept[IllegalArgumentException](
+      cat.upsertTable("mrg", Seq((1L, "a")).toDF("id", "s"), "id"))
+  }
+
+  test("nested (two-level) hive layout: full mutation lifecycle + partition-pruned scans on both levels") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = (1 to 60).map(i => (i.toLong, s"d${i % 2}", s"r${i % 3}", i * 10L))
+      .toDF("id", "day", "region", "v")
+    cat.putPartitionedTableBy("nested", df.filter(col("id") <= 30), Seq("day", "region"))
+    cat.appendTable("nested", df.filter(col("id") > 30))
+    val all = cat.readTable("nested")
+    assert(all.count() === 60L)
+    // both partition columns come back with real values at every level
+    assert(all.filter(col("day").isNull || col("region").isNull).count() === 0L)
+    assert(all.select(col("day"), col("region")).distinct().count() === 6L)
+    // predicates on any level are PartitionFilters (planning-time pruning),
+    // and the pruned answers are right
+    val pruned = all.filter(col("day") === "d1" && col("region") === "r2")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && (scan.contains("day") || scan.contains("region")),
+      s"predicate did not reach the partition listing:\n${scan.take(600)}")
+    assert(pruned.collect().map(_.getAs[Long]("id")).sorted.toSeq
+      == (1 to 60).filter(i => i % 2 == 1 && i % 3 == 2).map(_.toLong))
+    // deleteWhere keeps the nested layout; the changefeed composes with
+    // it (delete span collected while both span versions are retained)
+    val vAppend = cat.versions("nested").max
+    cat.deleteWhere("nested", "id", "<=", "10")
+    val vDelete = cat.versions("nested").max
+    val feed = cat.tableChanges("nested", vAppend, vDelete).collect()
+    assert(feed.map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+      == (1 to 10).map(i => (i.toLong, "delete")).toSet, feed.take(5).mkString(";"))
+    // compaction packs within the layout, values unharmed
+    cat.compactSmallFiles("nested", smallBytes = 64L << 20, targetBytes = 64L << 20)
+    val after = cat.readTable("nested")
+    assert(after.count() === 50L)
+    assert(after.filter(col("day").isNull || col("region").isNull).count() === 0L)
+    assert(after.agg(org.apache.spark.sql.functions.sum(col("id"))).head().getLong(0)
+      === (11 to 60).sum.toLong)
+  }
+
   test("hive k=v detection anchors below the table dir: a k=v segment in the ROOT never misclassifies") {
     import spark.implicits._
     // the catalog root itself contains a k=v segment (an object-store
