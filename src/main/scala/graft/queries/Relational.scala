@@ -707,6 +707,138 @@ object Relational {
         .toDF("o_orderpriority", "n", "sum_keys")
     },
 
+    // ------------------------------------------- expectation-gated ingest
+    // The write-path data-quality gate: PUT a curated base, then ONE
+    // appendTableExpect of a raw batch under two declared rules — clean
+    // rows land in the table, violators land in the quarantine with the
+    // rules they broke. The oracle rebuilds both end states and the
+    // per-rule counts from the same predicates, so a leaked dirty row, a
+    // dropped clean row, a wrong rule attribution, or a double-counted
+    // violation all hash-mismatch. NULL-free columns by TPC-H
+    // construction, so ANSI CHECK null semantics don't bite here.
+    Q(
+      "catalog_expectations",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0
+             OR (o_orderkey % 3 = 1 AND o_totalprice <= 300000
+                 AND o_orderpriority <> '1-URGENT')) AS n_main,
+          (SELECT CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) FROM orders
+           WHERE o_orderkey % 3 = 0
+             OR (o_orderkey % 3 = 1 AND o_totalprice <= 300000
+                 AND o_orderpriority <> '1-URGENT')) AS sum_main,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1
+             AND (o_totalprice > 300000 OR o_orderpriority = '1-URGENT')) AS n_quar,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1
+             AND o_totalprice > 300000) AS n_price_cap,
+          (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1
+             AND o_orderpriority = '1-URGENT') AS n_not_urgent
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-expect").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      cat.putTable("orders_x", base.filter(col("o_orderkey") % 3 === 0).repartition(4))
+      val report = cat.appendTableExpect(
+        "orders_x",
+        base.filter(col("o_orderkey") % 3 === 1).repartition(4),
+        Seq(
+          "price_cap"  -> "o_totalprice <= 300000",
+          "not_urgent" -> "o_orderpriority <> '1-URGENT'"))
+      val main = cat.readTable("orders_x").agg(
+        count(lit(1)).as("n_main"),
+        sum(col("o_orderkey").cast("long")).as("sum_main"))
+      val quar = cat.quarantineOf("orders_x").agg(count(lit(1)).as("n_quar"))
+      val rep = report.agg(
+        sum(when(col("rule") === "price_cap", col("n_violations"))).as("n_price_cap"),
+        sum(when(col("rule") === "not_urgent", col("n_violations"))).as("n_not_urgent"))
+      main.crossJoin(quar).crossJoin(rep) // three single-row aggregates — scalar joins
+    },
+
+    // ----------------------------------- value-Bloom point-lookup pruning
+    // The needle-in-100-TB read: three append generations (so the table is
+    // many files), per-file value Blooms on the probe column built in one
+    // scan + one O(delta) incremental refresh, then an IN-list lookup that
+    // reads ONLY Bloom-candidate files. Exact by construction (no Bloom
+    // false negatives; survivors re-filtered) — the oracle is the plain
+    // IN-list over all of orders, so a wrongly-pruned file (lost rows) or
+    // a stale-stamp read hash-mismatches. CatalogSpec asserts the prune
+    // ratio on a controlled fixture; here the gate asserts exactness.
+    Q(
+      "catalog_bloom_lookup",
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
+        FROM orders
+        WHERE o_custkey IN (1, 2, 4, 5, 7, 8, 10, 11)
+        GROUP BY 1
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-bloom-lookup").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      cat.putTable(
+        "orders_bl", base.filter(col("o_orderkey") % 3 === 0).repartitionByRange(4, col("o_custkey")))
+      cat.appendTable(
+        "orders_bl", base.filter(col("o_orderkey") % 3 === 1).repartitionByRange(4, col("o_custkey")))
+      cat.analyzeBloomIndex("orders_bl", Seq("o_custkey"))
+      cat.appendTable(
+        "orders_bl", base.filter(col("o_orderkey") % 3 === 2).repartitionByRange(4, col("o_custkey")))
+      cat.analyzeBloomIndexAppended("orders_bl") // only the third generation scans
+      cat
+        .readTableLookupIn("orders_bl", "o_custkey", Seq(1, 2, 4, 5, 7, 8, 10, 11))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("sum_keys"))
+    },
+
+    // ----------------------------------------------- zero-copy shallow clone
+    // CREATE TABLE dev SHALLOW CLONE prod, then diverge BOTH sides: append
+    // new rows to the clone, delete + compact + vacuum the source. The
+    // clone's manifest references the source's files, so the source-side
+    // publish GC and vacuum run with cross-table protection — without it,
+    // the clone silently truncates to its divergence delta (the bug class
+    // this verb exists to prevent), and the clone-side rollup
+    // hash-mismatches. Source-side rollup catches the reverse leak (the
+    // clone's append must never reach the source).
+    Q(
+      "catalog_clone",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 2 = 0 AND NOT (o_custkey <= 20)) AS n_src,
+          (SELECT CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) FROM orders
+           WHERE o_orderkey % 2 = 0 AND NOT (o_custkey <= 20)) AS sum_src,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1) AS n_clone,
+          (SELECT CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1) AS sum_clone
+      """)) { (spark, dir) =>
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-clone").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      cat.putTable(
+        "orders_prod", base.filter(col("o_orderkey") % 2 === 0).repartitionByRange(4, col("o_orderkey")))
+      cat.cloneTable("orders_prod", "orders_dev")
+      // clone-side divergence: new rows the source must never see
+      cat.appendTable("orders_dev", base.filter(col("o_orderkey") % 4 === 1))
+      // source-side divergence + GC pressure: the delete republishes (the
+      // clone-shared base version leaves the source's own retained window),
+      // compaction publishes again, vacuum sweeps the blob area — the
+      // clone survives all three only through the back-reference protection
+      cat.deleteWhere("orders_prod", "o_custkey", "<=", "20")
+      cat.compactSmallFiles("orders_prod", smallBytes = 64L << 20, targetBytes = 64L << 20)
+      cat.vacuum("orders_prod")
+      val src = cat.readTable("orders_prod").agg(
+        count(lit(1)).as("n_src"),
+        sum(col("o_orderkey").cast("long")).as("sum_src"))
+      val dev = cat.readTable("orders_dev").agg(
+        count(lit(1)).as("n_clone"),
+        sum(col("o_orderkey").cast("long")).as("sum_clone"))
+      src.crossJoin(dev) // both sides single-row aggregates — scalar join
+    },
+
     // -------------------------------------------- incremental ANALYZE
     // Append + O(delta) stats refresh + zone-map prune, composed: the
     // appended files are the ONLY ones scanned by analyzeAppended (per-file

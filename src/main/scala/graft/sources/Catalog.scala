@@ -242,9 +242,15 @@ final class Catalog(
       // window) — a deployment wanting deeper time travel / changefeed
       // history raises the knob, not the protocol
       val horizon = next - (retainVersions - 1)
-      val protectedDirs: Set[Path] = versionDirs(name)
+      // protection = files referenced by this table's retained manifests
+      // PLUS files referenced by any live shallow clone of this table
+      // (cloneTable publishes manifests that point INTO this table's
+      // version/blob dirs — without the cross-table set, the third publish
+      // after a clone would GC the clone's data out from under it)
+      val protectedDirs: Set[Path] = (versionDirs(name)
         .filter { case (v, p) => v >= horizon && isComplete(p) }
         .flatMap { case (_, p) => manifestOf(p).getOrElse(Nil) }
+        ++ cloneProtectedFiles(name))
         .map(protectRootOf)
         .toSet
       versionDirs(name).foreach { case (v, p) =>
@@ -582,8 +588,23 @@ final class Catalog(
     * monotonic across the delete so time travel can never conflate the
     * two lives. Returns whether the BASE name existed. */
   def delete(name: String): Boolean = lockFor(name).synchronized {
+    // a live shallow clone reads THIS table's data files — deleting the
+    // base would truncate the clone silently; refuse loudly instead
+    // (delete the clones first, or never clone what you plan to drop)
+    val liveClones = cloneRefsOf(name).filter(c => versionDirs(c).nonEmpty || fs.exists(pathOf(c)))
+    if (liveClones.nonEmpty)
+      throw new LiveCloneException(name, liveClones)
     lsPrefix(s"$name.__").foreach(deleteOne)
-    deleteOne(name)
+    val r = deleteOne(name)
+    // deregister this name everywhere: its own (now-empty) refs dir, and
+    // any back-reference a cloneTable(src, name) registered under a src
+    fs.delete(refsDirOf(name), true)
+    val refsRoot = new Path(root, "__refs__")
+    if (fs.exists(refsRoot))
+      fs.listStatus(refsRoot).foreach { d =>
+        if (d.isDirectory) fs.delete(new Path(d.getPath, name), false)
+      }
+    r
   }
 
   private def deleteOne(name: String): Boolean = {
@@ -1638,9 +1659,12 @@ final class Catalog(
     val dataRoot = pathOf(s"$name.__data__")
     if (!fs.exists(dataRoot)) 0L
     else {
-      val referenced: Set[String] = versionDirs(name)
+      val referenced: Set[String] = (versionDirs(name)
         .filter { case (_, p) => isComplete(p) }
         .flatMap { case (_, p) => manifestOf(p).getOrElse(Nil) }
+        // a live shallow clone's manifests may reference this table's
+        // blob-area files — vacuum must treat them as live too
+        ++ cloneProtectedFiles(name))
         .map(f => new Path(f).toUri.getPath)
         .toSet
       var n = 0L
@@ -2172,6 +2196,378 @@ final class Catalog(
     }
     nFiles
   }
+
+  // ------------------------------------------------------ shallow clones
+
+  /** Directory of clone back-references for `src`: one zero-byte file per
+    * registered clone name, under the namespace-level `__refs__` area
+    * (hidden from [[store]] like `__hwm__`/`__locks__`). */
+  private def refsDirOf(src: String): Path = new Path(root, s"__refs__/$src")
+
+  /** Names registered as shallow clones of `name`, TRANSITIVELY: a clone
+    * of a clone can still reference the ORIGINAL table's data files after
+    * the middle table diverges (its manifest dropped them but the
+    * grandchild's didn't), so GC protection must see the whole closure.
+    * Cycle-safe; order is discovery order. */
+  private def cloneRefsOf(name: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(n: String): Unit = {
+      val d = refsDirOf(n)
+      if (fs.exists(d))
+        fs.listStatus(d).map(_.getPath.getName).foreach(c => if (seen.add(c)) walk(c))
+    }
+    walk(name)
+    seen.toSeq
+  }
+
+  /** Every data file referenced by a retained complete version of any
+    * (transitive) clone of `name` — the cross-table protection set the
+    * publish GC and [[vacuum]] honor. O(clones × manifest lines), pure
+    * metadata. */
+  private def cloneProtectedFiles(name: String): Seq[String] =
+    cloneRefsOf(name).flatMap { c =>
+      versionDirs(c)
+        .filter { case (_, p) => isComplete(p) }
+        .flatMap { case (_, p) => manifestOf(p).getOrElse(Nil) }
+    }
+
+  /** ZERO-COPY shallow clone (the lakehouse `CREATE TABLE dst SHALLOW
+    * CLONE src` verb): publish a manifest for `dst` that references the
+    * SOURCE's current data files — no bytes move, so cloning a 100-TB
+    * table is one metadata write. From then on the two names diverge
+    * independently: appends/deletes/compactions on either side publish
+    * their own generations and never touch the other's rows.
+    *
+    * The sharp edge every shallow-clone implementation has is GC: the
+    * clone's manifest points INTO the source's version/blob directories,
+    * which the source's own publish GC and [[vacuum]] would otherwise
+    * reclaim two publishes later. The clone therefore registers a
+    * BACK-REFERENCE (`__refs__/<src>/<dst>`) BEFORE its manifest is
+    * written — a crash between the two leaves an orphan ref that only
+    * over-protects (and is cleaned by `delete(dst)`); the reverse order
+    * would let a racing source publish GC the files the new clone is
+    * about to reference. Both GC paths extend their protection set with
+    * every live clone's referenced files ([[cloneProtectedFiles]]),
+    * transitively, and `delete(src)` refuses loudly while clones live.
+    *
+    * The whole operation holds the source's writer lease, so no publish
+    * can slip between the snapshot read and the ref registration —
+    * cross-JVM included.
+    *
+    * The reference's SDFS has no snapshot verb at all (a PUT overwrites
+    * in place, src/master.go:212-298); this is the engine-side extension
+    * that makes dev/test branching free at scale. */
+  def cloneTable(src: String, dst: String): Unit = {
+    require(src != dst, s"cannot clone '$src' onto itself")
+    lockFor(src).synchronized {
+      acquireLease(src)
+      try {
+        require(
+          versionDirs(dst).isEmpty && !fs.exists(pathOf(dst)),
+          s"clone target '$dst' already exists — clone creates, it never overwrites")
+        require(exists(src), s"clone source '$src' does not exist")
+        val files  = liveFiles(src)
+        val schema = manifestSchemaOf(resolveReadable(src)).getOrElse(readTable(src).schema)
+        fs.mkdirs(refsDirOf(src))
+        fs.create(new Path(refsDirOf(src), dst), true).close()
+        publishVersion(dst)(dir => writeManifest(dir, files, schema))
+      } finally releaseLease(src)
+    }
+  }
+
+  // ------------------------- expectation-gated writes (data-quality CHECKs)
+
+  /** Constraint-gated APPEND — the write-path data-quality gate a training
+    * pipeline puts in front of every ingest (the "expectations" verb of
+    * Delta Live Tables / Great Expectations, engine-native here). Each
+    * expectation is `(ruleName, boolean SQL predicate over the batch's
+    * columns)`; a row violating ANY rule is dirty. ANSI CHECK-constraint
+    * NULL semantics: a predicate evaluating to NULL counts as SATISFIED —
+    * declare `col IS NOT NULL` explicitly when null itself is the defect.
+    *
+    * `onViolation`:
+    *   - `"quarantine"` (default): clean rows append to the table; dirty
+    *     rows land in `<name>.__quarantine__` with a `_violated`
+    *     array<string> of the rules they broke and the `_quarantined_commit`
+    *     table version their clean siblings published — the re-driveable
+    *     dead-letter queue (fix upstream, re-append the quarantine).
+    *   - `"drop"`: clean rows append; dirty rows are counted and discarded.
+    *   - `"fail"`: if ANY row violates, nothing is written and
+    *     [[ExpectationViolationException]] reports per-rule counts — the
+    *     all-or-nothing CI gate.
+    *
+    * Scale shape: ONE scan of the batch — every rule evaluates in a single
+    * projection (an array of `when`s, codegen'd), the batch is persisted
+    * delta-sized so the clean/dirty split and per-rule counts never
+    * recompute the source, and both appends are O(delta) manifest appends.
+    * Table-size never appears in the cost. Returns the per-rule report
+    * `(rule, n_violations)` with a row for EVERY declared rule (zeros
+    * included — a silent rule is indistinguishable from a skipped one
+    * otherwise). Parquet only (the manifest-append path). */
+  def appendTableExpect(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      expectations: Seq[(String, String)],
+      onViolation: String = "quarantine"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(expectations.nonEmpty, "appendTableExpect needs at least one expectation")
+    require(
+      expectations.map(_._1).distinct.size == expectations.size,
+      "duplicate expectation rule names")
+    require(
+      Set("quarantine", "drop", "fail").contains(onViolation),
+      s"onViolation must be quarantine|drop|fail, got '$onViolation'")
+    require(
+      !df.columns.contains("_violated") && !df.columns.contains("_quarantined_commit"),
+      "batch already carries a _violated/_quarantined_commit column")
+    // cast to containsNull=true: parquet round-trips array elements as
+    // nullable, and the quarantine's second append would otherwise refuse
+    // its own first batch's schema
+    val viol = array_compact(
+      array(expectations.map { case (rule, p) => when(!expr(p), lit(rule)) }: _*))
+      .cast(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true))
+    val checked = df.withColumn("_violated", viol).persist()
+    try {
+      val perRule: Map[String, Long] = checked
+        .select(explode(col("_violated")).as("rule"))
+        .groupBy(col("rule"))
+        .count()
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      val nDirty = checked.filter(size(col("_violated")) > 0).count()
+      if (onViolation == "fail" && nDirty > 0)
+        throw new ExpectationViolationException(name, nDirty, perRule)
+      val clean = checked.filter(size(col("_violated")) === 0).drop("_violated")
+      appendTable(name, clean)
+      if (onViolation == "quarantine" && nDirty > 0) {
+        val commit = versions(name).headOption.getOrElse(-1L)
+        val dirty = checked
+          .filter(size(col("_violated")) > 0)
+          .withColumn("_quarantined_commit", lit(commit))
+        appendTable(s"$name.__quarantine__", dirty)
+      }
+      val rows = expectations.map { case (rule, _) => (rule, perRule.getOrElse(rule, 0L)) }
+      spark.createDataFrame(rows).toDF("rule", "n_violations")
+    } finally { checked.unpersist(); () }
+  }
+
+  /** The dead-letter queue [[appendTableExpect]] fills: original columns +
+    * `_violated` (array of broken rule names) + `_quarantined_commit`. */
+  def quarantineOf(name: String): org.apache.spark.sql.DataFrame =
+    readTable(s"$name.__quarantine__")
+
+  /** [[appendTableExpect]] (quarantine mode) × [[appendTableExactlyOnce]]:
+    * the per-micro-batch body of an expectation-gated STREAMING ingest
+    * ([[graft.streaming.EventStreams.expectStream]]). Both sides carry
+    * their own replay guard — foreachBatch can re-deliver a batch id
+    * after a crash that landed the clean append but not the quarantine
+    * one (or vice versa), and each side independently skips what it
+    * already committed, so a replay can never double-append either. A
+    * clean-only batch leaves the quarantine's commit cursor behind on
+    * purpose: Structured Streaming replays the FAILED batch before
+    * advancing, so the cursor is always ≤ the replayed id when it
+    * matters. Returns false when BOTH sides had already committed this
+    * batch. */
+  def appendTableExpectExactlyOnce(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      expectations: Seq[(String, String)],
+      batchId: Long): Boolean = lockFor(name).synchronized {
+    import org.apache.spark.sql.functions._
+    require(expectations.nonEmpty, "appendTableExpectExactlyOnce needs at least one expectation")
+    val q        = s"$name.__quarantine__"
+    val needMain = batchId > lastCommittedBatch(name)
+    val needQuar = batchId > lastCommittedBatch(q)
+    if (!needMain && !needQuar) false
+    else {
+      val viol = array_compact(
+        array(expectations.map { case (rule, p) => when(!expr(p), lit(rule)) }: _*))
+        .cast(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true))
+      val checked = df.withColumn("_violated", viol).persist()
+      try {
+        if (needMain)
+          appendTable(name, checked.filter(size(col("_violated")) === 0).drop("_violated"),
+            commitId = Some(batchId))
+        if (needQuar) {
+          val dirty = checked.filter(size(col("_violated")) > 0)
+          if (dirty.limit(1).count() > 0) {
+            val commit = versions(name).headOption.getOrElse(-1L)
+            appendTable(q, dirty.withColumn("_quarantined_commit", lit(commit)),
+              commitId = Some(batchId))
+          }
+        }
+        true
+      } finally { checked.unpersist(); () }
+    }
+  }
+
+  // ------------------- per-file value Blooms (point-lookup file pruning)
+
+  /** Per-file, per-column VALUE Bloom filters — the equality-lookup
+    * complement to the min/max zone maps ([[analyzeTable]] fileStats) and
+    * the token Blooms ([[analyzeGrepIndex]]): zone maps prune range
+    * predicates on CLUSTERED columns, but an equality/IN probe on a
+    * column with no sort order (ids, foreign keys) overlaps every file's
+    * [min,max] and prunes nothing. A per-file Bloom of `xxhash64(col)`
+    * answers "might this FILE contain this VALUE" regardless of layout —
+    * the needle-in-100-TB lookup reads only the files whose Bloom fires.
+    *
+    * One scan builds all `cols` at once (explode of per-column hash
+    * structs, NULLs excluded — an equality probe can never match NULL, so
+    * an all-NULL file correctly vanishes from the index and prunes). Rows:
+    * `(file, colname, bits, num_hashes, datatype, analyzed_version)`;
+    * `datatype` is the column's Catalyst JSON so probes hash literals in
+    * the EXACT same domain (an int probed as a long hashes differently).
+    * Version-stamped like every stats tier: readers refuse a stale index
+    * and degrade to the full scan, never prune on yesterday's files. */
+  def analyzeBloomIndex(
+      name: String,
+      cols: Seq[String],
+      numBits: Int = 1 << 17,
+      numHashes: Int = 4,
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "analyzeBloomIndex needs at least one column")
+    val t = readTable(name, format)
+    cols.foreach(c =>
+      require(t.columns.contains(c), s"column '$c' not in table '$name' (${t.columns.mkString(",")})"))
+    val analyzedVersion = versions(name).headOption.getOrElse(-1L)
+    val dtJson = map(cols.flatMap(c => Seq(lit(c), lit(t.schema(c).dataType.json))): _*)
+    val bloomAgg = udaf(new graft.functions.Bloom.BuildAgg(numBits, numHashes))
+    val pairs = array(cols.map(c =>
+      struct(lit(c).as("colname"), xxhash64(col(c)).as("h"), col(c).isNull.as("isnull"))): _*)
+    val idx = t
+      .select(input_file_name().as("file"), explode(pairs).as("p"))
+      .filter(!col("p.isnull"))
+      .select(col("file"), col("p.colname").as("colname"), col("p.h").as("h"))
+      .groupBy(col("file"), col("colname"))
+      .agg(bloomAgg(col("h")).as("bits"))
+      .withColumn("num_hashes", lit(numHashes))
+      .withColumn("datatype", element_at(dtJson, col("colname")))
+      .withColumn("analyzed_version", lit(analyzedVersion))
+    putTable(s"$name.__valbloom__", idx, format)
+    readTable(s"$name.__valbloom__", format)
+  }
+
+  /** O(delta) refresh of [[analyzeBloomIndex]] after an append: still-live
+    * files inherit their Blooms verbatim (restamped); only never-seen
+    * files scan, with the prior index's exact geometry, columns, and type
+    * domains. Loud when no prior index exists. Returns `(n_files_live,
+    * n_files_scanned, n_files_inherited)`. */
+  def analyzeBloomIndexAppended(name: String, format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(format == "parquet", s"analyzeBloomIndexAppended is parquet-only, got $format")
+    require(
+      this.exists(s"$name.__valbloom__"),
+      s"no __valbloom__ for '$name' — run analyzeBloomIndex once before going incremental")
+    val currentVersion = versions(name).headOption.getOrElse(-1L)
+    require(currentVersion >= 0, s"no versioned data for '$name'")
+    val priorDf = readTable(s"$name.__valbloom__", format)
+    val priorMeta = priorDf
+      .select(col("file"), col("colname"), col("num_hashes"), size(col("bits")).as("words"))
+      .collect()
+    require(priorMeta.nonEmpty, s"empty __valbloom__ for '$name'")
+    val numHashes = priorMeta.head.getAs[Int]("num_hashes")
+    val numBits   = priorMeta.head.getAs[Int]("words") * 64
+    require(
+      priorMeta.forall(r => r.getAs[Int]("num_hashes") == numHashes && r.getAs[Int]("words") * 64 == numBits),
+      s"mixed bloom geometry in __valbloom__ for '$name' — rebuild with analyzeBloomIndex")
+    val cols = priorMeta.map(_.getAs[String]("colname")).distinct.toSeq.sorted
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val live      = liveFiles(name)
+    val liveNorm  = live.map(norm).toSet
+    val keepFiles = priorMeta.map(_.getAs[String]("file")).distinct.filter(f => liveNorm.contains(norm(f)))
+    val keptNorm  = keepFiles.map(norm).toSet
+    val missing   = live.filterNot(f => keptNorm.contains(norm(f)))
+    val inherited = priorDf
+      .filter(col("file").isin(keepFiles.toSeq: _*))
+      .withColumn("analyzed_version", lit(currentVersion))
+    val idx =
+      if (missing.isEmpty) inherited
+      else {
+        val schema = readTable(name, format).schema
+        val dtJson = map(cols.flatMap(c => Seq(lit(c), lit(schema(c).dataType.json))): _*)
+        val bloomAgg = udaf(new graft.functions.Bloom.BuildAgg(numBits, numHashes))
+        val pairs = array(cols.map(c =>
+          struct(lit(c).as("colname"), xxhash64(col(c)).as("h"), col(c).isNull.as("isnull"))): _*)
+        val fresh = readFilesWithLayout(missing, schema)
+          .select(input_file_name().as("file"), explode(pairs).as("p"))
+          .filter(!col("p.isnull"))
+          .select(col("file"), col("p.colname").as("colname"), col("p.h").as("h"))
+          .groupBy(col("file"), col("colname"))
+          .agg(bloomAgg(col("h")).as("bits"))
+          .withColumn("num_hashes", lit(numHashes))
+          .withColumn("datatype", element_at(dtJson, col("colname")))
+          .withColumn("analyzed_version", lit(currentVersion))
+        inherited.unionByName(fresh)
+      }
+    putTable(s"$name.__valbloom__", idx, format)
+    spark
+      .createDataFrame(Seq((live.size.toLong, missing.size.toLong, keepFiles.size.toLong)))
+      .toDF("n_files_live", "n_files_scanned", "n_files_inherited")
+  }
+
+  /** The files an IN-list equality probe must read according to the
+    * [[analyzeBloomIndex]] Blooms: every live file whose Bloom fires for
+    * AT LEAST ONE probe value. `None` = no fresh index for this column —
+    * the caller must full-scan (correctness-preserving degrade, same
+    * discipline as [[grepPruned]]). Public so deployments (and the spec)
+    * can audit prune ratios without reading plans. */
+  def lookupCandidateFiles(
+      name: String,
+      colName: String,
+      values: Seq[Any],
+      format: String = "parquet"): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    require(values.nonEmpty, "lookup needs at least one probe value")
+    if (format != "parquet") return None
+    if (!this.exists(s"$name.__valbloom__")) return None
+    val idx = readTable(s"$name.__valbloom__", format)
+      .filter(col("colname") === colName)
+      .collect() // nFiles rows — metadata-sized
+    if (idx.isEmpty) return None
+    val current = versions(name).headOption.getOrElse(-1L)
+    if (!(current >= 0 && idx.forall(_.getAs[Long]("analyzed_version") == current))) return None
+    // probe hashes via a one-row relation CAST to the indexed column's
+    // exact type — xxhash64 parity with the executor-side build (an int
+    // probed as a long hashes differently; never re-implement the hash)
+    val dt = org.apache.spark.sql.types.DataType.fromJson(idx.head.getAs[String]("datatype"))
+    val row = spark
+      .range(1)
+      .select(values.zipWithIndex.map { case (v, i) => xxhash64(lit(v).cast(dt)).as(s"h$i") }: _*)
+      .head()
+    val hashes = values.indices.map(row.getLong)
+    Some(idx.collect {
+      case r
+          if hashes.exists(h =>
+            graft.functions.Bloom
+              .testLocal(r.getAs[Seq[Long]]("bits").toArray, r.getAs[Int]("num_hashes"), h)) =>
+        r.getAs[String]("file")
+    }.toSeq)
+  }
+
+  /** Point lookup `column IN (values)` through the per-file value Blooms:
+    * read ONLY the candidate files, then apply the exact predicate (Bloom
+    * false positives are eliminated; no false negatives exist). Missing or
+    * stale index degrades to the full filtered scan. An all-files-pruned
+    * probe returns the empty frame with the table's schema. Layout-aware:
+    * partitioned tables keep their partition columns in the pruned read. */
+  def readTableLookupIn(
+      name: String,
+      colName: String,
+      values: Seq[Any],
+      format: String = "parquet"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def fullScan = readTable(name, format).filter(col(colName).isin(values: _*))
+    lookupCandidateFiles(name, colName, values, format) match {
+      case None      => fullScan
+      case Some(Nil) => readTable(name, format).filter(lit(false))
+      case Some(files) =>
+        readFilesWithLayout(files, readTable(name, format).schema, format)
+          .filter(col(colName).isin(values: _*))
+    }
+  }
 }
 
 object Catalog {
@@ -2182,7 +2578,7 @@ object Catalog {
   val OldSuffix: String = ".__old__"
   /** Namespace-level bookkeeping dirs (commit high-water marks, writer
     * leases) — not tables, hidden from [[Catalog.store]]. */
-  val SystemDirs: Set[String] = Set("__hwm__", "__locks__")
+  val SystemDirs: Set[String] = Set("__hwm__", "__locks__", "__refs__")
   /** A writer lease spans a full Spark write job, so expiry is generous. */
   val DefaultWriterLeaseMs: Long = 15 * 60 * 1000L
   /** GC keeps this many newest complete versions; 2 = current + previous,
@@ -2294,3 +2690,21 @@ final class ConcurrentWriteException(val name: String, val ageMs: Long, val leas
     extends RuntimeException(
       s"another writer holds the publish lease for '$name' " +
         s"(held ${ageMs}ms, expires after ${leaseMs}ms)")
+
+/** DELETE refused: live shallow clones still read this table's data files
+  * ([[Catalog.cloneTable]]) — dropping the base would truncate them
+  * silently. Delete the clones first. */
+final class LiveCloneException(val name: String, val clones: Seq[String])
+    extends RuntimeException(
+      s"cannot delete '$name': live shallow clone(s) ${clones.mkString(", ")} " +
+        "reference its data files — delete the clones first")
+
+/** `onViolation = "fail"` tripped: the batch had rows violating declared
+  * expectations, nothing was written ([[Catalog.appendTableExpect]]). */
+final class ExpectationViolationException(
+    val name: String,
+    val nDirty: Long,
+    val perRule: Map[String, Long])
+    extends RuntimeException(
+      s"append to '$name' refused: $nDirty row(s) violate expectations " +
+        perRule.toSeq.sorted.map { case (r, n) => s"$r=$n" }.mkString("(", ", ", ")"))

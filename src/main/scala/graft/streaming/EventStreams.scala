@@ -1014,6 +1014,29 @@ object EventStreams {
         catalog.appendTableExactlyOnce(table, batch, batchId): Unit
       }
 
+  /** Expectation-GATED streaming ingest — [[appendStream]] with the
+    * write-path data-quality gate ([[graft.sources.Catalog
+    * .appendTableExpect]]) applied to every micro-batch: clean rows
+    * append to the table, violators land in `<table>.__quarantine__`
+    * tagged with the rules they broke, and BOTH sides keep exactly-once
+    * semantics under foreachBatch's crash-replay (each side carries its
+    * own commit cursor — see [[graft.sources.Catalog
+    * .appendTableExpectExactlyOnce]]). The quarantine is the streaming
+    * dead-letter queue: bounded by the violation rate, re-driveable
+    * (fix upstream, re-append), and never blocks the clean flow — the
+    * always-on posture a 100-TB ingest wants, vs the all-or-nothing
+    * batch `onViolation = "fail"` gate. */
+  def expectStream(
+      updates: DataFrame,
+      catalog: graft.sources.Catalog,
+      table: String,
+      expectations: Seq[(String, String)]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        catalog.appendTableExpectExactlyOnce(table, batch, expectations, batchId): Unit
+      }
+
   /** Read a DIRECTORY of event parquet files as a stream, one file per
     * micro-batch (FileStreamSource requires a directory, not a single
     * file). Applies the same nanos→timestamp conversion as Tables when the

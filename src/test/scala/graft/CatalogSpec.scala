@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.{col, max}
 
 import graft.sources.Catalog
@@ -742,5 +744,182 @@ class CatalogSpec extends SparkSpec {
     val back = cat.readTable("parted").collect().map(r =>
       (r.getAs[Long]("id"), r.getAs[String]("part"))).toSet
     assert(back == Set((2L, "p2"), (3L, "p1"), (9L, "p3")), back.toString)
+  }
+
+  // ------------------------------------------------ expectation-gated writes
+
+  test("appendTableExpect quarantines violators with rule attribution; clean rows append") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("exp_t", Seq((1L, 10.0, "ok"), (2L, 20.0, "ok")).toDF("id", "price", "tag"))
+    val batch = Seq(
+      (3L, 30.0, "ok"),    // clean
+      (4L, -5.0, "ok"),    // violates price_pos
+      (5L, 50.0, "bad"),   // violates tag_ok
+      (6L, -1.0, "bad")    // violates BOTH
+    ).toDF("id", "price", "tag")
+    val report = cat.appendTableExpect(
+      "exp_t", batch,
+      Seq("price_pos" -> "price >= 0", "tag_ok" -> "tag <> 'bad'"))
+    // report: every rule gets a row; a both-rules row counts in both
+    val rep = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("price_pos" -> 2L, "tag_ok" -> 2L), rep.toString)
+    // table: base + the one clean row
+    assert(cat.readTable("exp_t").select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // quarantine: the three dirty rows, each tagged with the rules it broke
+    val q = cat.quarantineOf("exp_t").collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Seq[String]]("_violated").toSet).toMap
+    assert(q == Map(
+      4L -> Set("price_pos"),
+      5L -> Set("tag_ok"),
+      6L -> Set("price_pos", "tag_ok")), q.toString)
+    // the quarantine stamp is the commit the clean siblings published
+    val stamps = cat.quarantineOf("exp_t").select("_quarantined_commit")
+      .collect().map(_.getLong(0)).toSet
+    assert(stamps == Set(cat.versions("exp_t").max))
+    // a SECOND gated batch appends to the existing quarantine (the array
+    // column's parquet nullability round-trip must not refuse it)
+    cat.appendTableExpect(
+      "exp_t", Seq((7L, -7.0, "ok")).toDF("id", "price", "tag"),
+      Seq("price_pos" -> "price >= 0", "tag_ok" -> "tag <> 'bad'"))
+    assert(cat.quarantineOf("exp_t").count() == 4)
+  }
+
+  test("appendTableExpect fail mode writes NOTHING; drop mode discards violators silently") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("exp_f", Seq((1L, 10.0)).toDF("id", "price"))
+    val vBefore = cat.versions("exp_f").max
+    val ex = intercept[graft.sources.ExpectationViolationException] {
+      cat.appendTableExpect(
+        "exp_f", Seq((2L, -1.0), (3L, 5.0)).toDF("id", "price"),
+        Seq("price_pos" -> "price >= 0"), onViolation = "fail")
+    }
+    assert(ex.perRule == Map("price_pos" -> 1L))
+    assert(cat.versions("exp_f").max == vBefore, "fail mode must not publish")
+    assert(!cat.exists("exp_f.__quarantine__"))
+    // drop: clean row lands, dirty row vanishes, still no quarantine table
+    val rep = cat.appendTableExpect(
+      "exp_f", Seq((2L, -1.0), (3L, 5.0)).toDF("id", "price"),
+      Seq("price_pos" -> "price >= 0"), onViolation = "drop")
+    assert(rep.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("price_pos", 1L)))
+    assert(cat.readTable("exp_f").select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(!cat.exists("exp_f.__quarantine__"))
+  }
+
+  test("appendTableExpect: all-clean batch reports zeros and creates no quarantine; NULL predicate passes (ANSI CHECK)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("exp_c", Seq((1L, Some(10.0))).toDF("id", "price"))
+    // price NULL on id=2: `price >= 0` evaluates NULL → SATISFIED by CHECK
+    // semantics; the explicit IS NOT NULL rule is what catches nulls
+    val rep1 = cat.appendTableExpect(
+      "exp_c", Seq((2L, Option.empty[Double])).toDF("id", "price"),
+      Seq("price_pos" -> "price >= 0"))
+    assert(rep1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("price_pos", 0L)))
+    assert(!cat.exists("exp_c.__quarantine__"))
+    assert(cat.readTable("exp_c").count() == 2)
+    val rep2 = cat.appendTableExpect(
+      "exp_c", Seq((3L, Option.empty[Double])).toDF("id", "price"),
+      Seq("price_set" -> "price IS NOT NULL"))
+    assert(rep2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("price_set", 1L)))
+    assert(cat.quarantineOf("exp_c").count() == 1)
+  }
+
+  // ------------------------------------------- value-Bloom point lookups
+
+  test("bloom lookup prunes to candidate files and stays exact; stale index degrades to full scan") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // three generations with DISJOINT id ranges → a probe hits one gen
+    cat.putTable("bl_t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s").repartition(2))
+    cat.appendTable("bl_t", (101L to 200L).map(i => (i, s"v$i")).toDF("id", "s").repartition(2))
+    cat.appendTable("bl_t", (201L to 300L).map(i => (i, s"v$i")).toDF("id", "s").repartition(2))
+    cat.analyzeBloomIndex("bl_t", Seq("id", "s"))
+    val cand = cat.lookupCandidateFiles("bl_t", "id", Seq(150L, 160L)).get
+    assert(cand.nonEmpty && cand.size < 6,
+      s"expected a proper prune over 6 files, got ${cand.size}")
+    val got = cat.readTableLookupIn("bl_t", "id", Seq(150L, 160L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(150L, 160L))
+    // string-typed column probes hash in the string domain
+    assert(cat.readTableLookupIn("bl_t", "s", Seq("v42", "v250"))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(42L, 250L))
+    // all-pruned probe: empty frame, schema intact
+    val none = cat.readTableLookupIn("bl_t", "id", Seq(9999L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "s"))
+    // stale: append WITHOUT refresh → candidates refuse, read degrades to
+    // the full scan and still sees the new row
+    cat.appendTable("bl_t", Seq((301L, "v301")).toDF("id", "s"))
+    assert(cat.lookupCandidateFiles("bl_t", "id", Seq(301L)).isEmpty)
+    assert(cat.readTableLookupIn("bl_t", "id", Seq(301L)).count() == 1)
+    // O(delta) refresh: only the unseen generation scans, then pruning resumes
+    val rep = cat.analyzeBloomIndexAppended("bl_t").head()
+    assert(rep.getAs[Long]("n_files_scanned") >= 1
+      && rep.getAs[Long]("n_files_inherited") >= 6, rep.toString)
+    assert(cat.lookupCandidateFiles("bl_t", "id", Seq(301L)).get.nonEmpty)
+    assert(cat.readTableLookupIn("bl_t", "id", Seq(301L)).count() == 1)
+  }
+
+  // ------------------------------------------------------ shallow clones
+
+  test("cloneTable is zero-copy, isolated both ways, and survives source GC + vacuum") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    cat.putTable("prod", (1L to 90L).map(i => (i, i * 2)).toDF("id", "v").repartition(3))
+    cat.cloneTable("prod", "dev")
+    // zero-copy: the clone's version dir holds ONLY metadata, no parquet
+    val devDir = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("dev.__v")).toSeq
+    assert(devDir.size == 1)
+    val inDev = java.nio.file.Files.list(devDir.head).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(inDev.forall(f => f.startsWith("_") || f.startsWith(".")),
+      s"clone dir must be metadata-only (manifest/schema/marker + checksums): $inDev")
+    assert(cat.readTable("dev").count() == 90)
+    // diverge the clone; the source must not see it
+    cat.appendTable("dev", Seq((1000L, 0L)).toDF("id", "v"))
+    assert(cat.readTable("prod").count() == 90)
+    // source-side churn: delete + compact + two more publishes push the
+    // clone-shared base version far outside the source's retained window,
+    // then vacuum sweeps the blob area — the clone must survive all of it
+    cat.deleteWhere("prod", "id", "<=", "30")
+    cat.compactSmallFiles("prod", smallBytes = 64L << 20, targetBytes = 64L << 20)
+    cat.appendTable("prod", Seq((2000L, 0L)).toDF("id", "v"))
+    cat.appendTable("prod", Seq((2001L, 0L)).toDF("id", "v"))
+    cat.vacuum("prod")
+    assert(cat.readTable("prod").count() == 62)
+    assert(cat.readTable("dev").count() == 91,
+      "clone truncated — source GC reclaimed clone-referenced files")
+    // the clone pins the base: delete refuses while the clone lives
+    val ex = intercept[graft.sources.LiveCloneException](cat.delete("prod"))
+    assert(ex.clones == Seq("dev"))
+    assert(cat.delete("dev"))
+    assert(cat.delete("prod"), "after the clone is gone, delete proceeds")
+    assert(!cat.exists("prod") && !cat.exists("dev"))
+  }
+
+  test("clone-of-clone: transitive back-references protect the grandparent's files") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("g0", (1L to 50L).map(i => (i, i)).toDF("id", "v").repartition(2))
+    cat.cloneTable("g0", "g1")
+    cat.cloneTable("g1", "g2")
+    // diverge g1 AWAY from g0's files entirely (full compact rewrites all
+    // of g1's data into its own dirs) — g2 still references g0's originals
+    cat.compact("g1")
+    // churn g0 so its own retained window drops the shared base version
+    cat.deleteWhere("g0", "id", "<=", "10")
+    cat.appendTable("g0", Seq((900L, 0L)).toDF("id", "v"))
+    cat.appendTable("g0", Seq((901L, 0L)).toDF("id", "v"))
+    cat.vacuum("g0")
+    assert(cat.readTable("g2").count() == 50,
+      "grandchild clone truncated — transitive protection failed")
+    assert(cat.readTable("g1").count() == 50)
+    assert(cat.readTable("g0").count() == 42)
   }
 }

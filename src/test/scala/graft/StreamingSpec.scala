@@ -478,6 +478,52 @@ class StreamingSpec extends SparkSpec {
       "the earlier generations must be re-referenced, not rewritten")
   }
 
+  test("expectStream: clean rows land, violators quarantine with rule tags, restart replays neither") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_expstream_src_").toString
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft_expstream_ck_").toString
+    val cat = new graft.sources.Catalog(
+      spark,
+      java.nio.file.Files.createTempDirectory("graft_expstream_cat_").toString)
+    val rules = Seq("v_pos" -> "v >= 0", "tag_ok" -> "tag <> 'bad'")
+
+    def stage(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "v", "tag").coalesce(1).write.mode("append").parquet(srcDir)
+
+    def run(): Unit = {
+      val sch = spark.read.parquet(srcDir).schema
+      val src = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = EventStreams
+        .expectStream(src, cat, "gated", rules)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query must drain and stop")
+    }
+
+    // batch 0: one clean, one v-violation; batch 1: clean only;
+    // batch 2: one double-violation
+    stage(Seq((1L, 10L, "ok"), (2L, -1L, "ok")))
+    stage(Seq((3L, 30L, "ok")))
+    stage(Seq((4L, -4L, "bad")))
+    run()
+    assert(cat.readTable("gated").select("k").as[Long].collect().toSet == Set(1L, 3L))
+    val q1 = cat.quarantineOf("gated").collect().map(r =>
+      r.getAs[Long]("k") -> r.getAs[Seq[String]]("_violated").toSet).toMap
+    assert(q1 == Map(2L -> Set("v_pos"), 4L -> Set("v_pos", "tag_ok")), q1.toString)
+
+    // crash + new data + fresh query on the same checkpoint: the three
+    // committed batches replay NOTHING on either side; only the new file
+    // lands (split across both sides)
+    stage(Seq((5L, 50L, "ok"), (6L, 60L, "bad")))
+    run()
+    assert(cat.readTable("gated").select("k").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    val q2 = cat.quarantineOf("gated").collect().map(r =>
+      r.getAs[Long]("k") -> r.getAs[Seq[String]]("_violated").toSet).toMap
+    assert(q2 == Map(2L -> Set("v_pos"), 4L -> Set("v_pos", "tag_ok"), 6L -> Set("tag_ok")),
+      "restart must append exactly the new rows on both sides: " + q2)
+  }
+
   test("ingest maintenance loop: many appendStream generations, then compact + vacuum, zero loss") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_maint_src_").toString
