@@ -1022,29 +1022,53 @@ final class Catalog(
       // they'd rarely deploy with).
       val subset: Option[org.apache.spark.sql.DataFrame] =
         if (format != "parquet" && format != "orc") None
-        else fileStatsFor(name, format) match {
-          case Some(fs) if stampOk(fs.analyzedVersion) =>
-            val allFiles = fs.columns.map(_.file).distinct
-            if (allFiles.isEmpty) None
-            else {
-              // per conjunct: the set of files it provably excludes; a
-              // conjunct with incomplete column coverage excludes nothing
-              val excluded: Set[String] = conjuncts.flatMap { case (cn, op, value) =>
-                val colStats = fs.columns.filter(_.column == cn)
-                if (colStats.map(_.file).distinct.size != allFiles.size) Nil
-                else
-                  colStats.filter(st =>
-                    Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, op, value))
-                    .map(_.file)
-              }.toSet
-              val keep = allFiles.filterNot(excluded)
-              if (keep.size >= allFiles.size) None // nothing pruned: plain scan
-              else if (keep.isEmpty) Some(emptyLocal)
+        else {
+          def normP(s: String): String = new Path(s).toUri.getPath
+          val zone: Option[(Seq[String], Set[String])] = fileStatsFor(name, format) match {
+            case Some(fs) if stampOk(fs.analyzedVersion) =>
+              val allFiles = fs.columns.map(_.file).distinct
+              if (allFiles.isEmpty) None
               else {
-                Some(predicate(readFilesWithLayout(keep, table.schema, format)))
+                // per conjunct: the set of files it provably excludes; a
+                // conjunct with incomplete column coverage excludes nothing
+                val excluded: Set[String] = conjuncts.flatMap { case (cn, op, value) =>
+                  val colStats = fs.columns.filter(_.column == cn)
+                  if (colStats.map(_.file).distinct.size != allFiles.size) Nil
+                  else
+                    colStats.filter(st =>
+                      Catalog.rangeExcludes(st.minValue, st.maxValue, st.nNulls, st.nRows, st.dataType, op, value))
+                      .map(_.file)
+                }.toSet
+                Some((allFiles, excluded))
               }
-            }
-          case _ => None
+            case _ => None
+          }
+          // tier 2b: EQUALITY conjuncts additionally probe the per-file
+          // value Blooms ([[analyzeBloomIndex]]) — the prune zone maps
+          // can't make on an unclustered column (every file's [min, max]
+          // overlaps a point probe; its Bloom usually doesn't). The two
+          // exclusion sets UNION: a file survives only if no conjunct
+          // excludes it by range OR by membership. Works with zone maps,
+          // without them (the file list then comes from the manifest), or
+          // not at all (no fresh index → empty set, plain scan).
+          val bloomExcludedNorm: Set[String] =
+            if (format != "parquet") Set.empty
+            else
+              conjuncts
+                .filter(_._2 == "=")
+                .flatMap { case (cn, _, value) => bloomEqualityExcluded(name, cn, value, currentVersion) }
+                .toSet
+          val base: Seq[String] =
+            zone.map(_._1).getOrElse(if (bloomExcludedNorm.isEmpty) Nil else liveFiles(name))
+          if (base.isEmpty) None
+          else {
+            val zoneExcludedNorm = zone.map(_._2.map(normP)).getOrElse(Set.empty[String])
+            val keep = base.filterNot(f =>
+              zoneExcludedNorm.contains(normP(f)) || bloomExcludedNorm.contains(normP(f)))
+            if (keep.size >= base.size) None // nothing pruned: plain scan
+            else if (keep.isEmpty) Some(emptyLocal)
+            else Some(predicate(readFilesWithLayout(keep, table.schema, format)))
+          }
         }
       subset.getOrElse(predicate(table))
     }
@@ -2506,6 +2530,47 @@ final class Catalog(
     spark
       .createDataFrame(Seq((live.size.toLong, missing.size.toLong, keepFiles.size.toLong)))
       .toDF("n_files_live", "n_files_scanned", "n_files_inherited")
+  }
+
+  /** Files an equality conjunct `colName = value` provably cannot match,
+    * per a FRESH `__valbloom__` index for that column: files whose Bloom
+    * misses the probe hash, plus live files ABSENT from the index — the
+    * index was built at this exact version, so absence means the column
+    * had no non-NULL value in that file, and equality never matches NULL.
+    * NORMALIZED paths. Empty when no fresh index covers the column
+    * (conservative: nothing excluded). The probe literal arrives as a
+    * string ([[readTableWhereAll]]'s domain) and is cast to the index's
+    * recorded type — the exact build-side hash domain; a literal that
+    * casts to NULL hashes degenerately, which stays CORRECT because the
+    * final predicate (`col = NULL`) matches nothing regardless of which
+    * files scan. */
+  private def bloomEqualityExcluded(
+      name: String,
+      colName: String,
+      value: String,
+      currentVersion: Long): Set[String] = {
+    import org.apache.spark.sql.functions._
+    if (currentVersion < 0) return Set.empty
+    if (!this.exists(s"$name.__valbloom__")) return Set.empty
+    val idx =
+      try readTable(s"$name.__valbloom__").filter(col("colname") === colName).collect()
+      catch { case scala.util.control.NonFatal(_) => return Set.empty }
+    if (idx.isEmpty) return Set.empty
+    if (!idx.forall(_.getAs[Long]("analyzed_version") == currentVersion)) return Set.empty
+    def normP(s: String): String = new Path(s).toUri.getPath
+    val dt =
+      try org.apache.spark.sql.types.DataType.fromJson(idx.head.getAs[String]("datatype"))
+      catch { case scala.util.control.NonFatal(_) => return Set.empty }
+    val h = spark.range(1).select(xxhash64(lit(value).cast(dt))).head().getLong(0)
+    val misses = idx.collect {
+      case r
+          if !graft.functions.Bloom
+            .testLocal(r.getAs[Seq[Long]]("bits").toArray, r.getAs[Int]("num_hashes"), h) =>
+        normP(r.getAs[String]("file"))
+    }.toSet
+    val indexed = idx.map(r => normP(r.getAs[String]("file"))).toSet
+    val absent  = liveFiles(name).map(normP).filterNot(indexed).toSet
+    misses ++ absent
   }
 
   /** The files an IN-list equality probe must read according to the

@@ -865,6 +865,41 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readTableLookupIn("bl_t", "id", Seq(301L)).count() == 1)
   }
 
+  test("readTableWhere equality probes compose value Blooms with (and without) zone maps") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // three generations, disjoint id ranges; ids are NOT range-clustered
+    // within a generation (repartition = hash), so only cross-generation
+    // pruning is possible — and a point probe needs membership, not ranges
+    cat.putTable("rw_t", (1L to 100L).map(i => (i, i * 3)).toDF("id", "v").repartition(2))
+    cat.appendTable("rw_t", (101L to 200L).map(i => (i, i * 3)).toDF("id", "v").repartition(2))
+    cat.appendTable("rw_t", (201L to 300L).map(i => (i, i * 3)).toDF("id", "v").repartition(2))
+    val total = cat.readTable("rw_t").inputFiles.length
+    // no stats of any kind: plain filtered scan over every file
+    assert(cat.readTableWhere("rw_t", "id", "=", "150").inputFiles.length == total)
+    // Bloom index ALONE (no zone maps): the equality read prunes to the
+    // Bloom-candidate files and stays exact
+    cat.analyzeBloomIndex("rw_t", Seq("id"))
+    val pruned = cat.readTableWhere("rw_t", "id", "=", "150")
+    assert(pruned.inputFiles.length < total,
+      s"bloom tier must prune: ${pruned.inputFiles.length} vs $total")
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((150L, 450L)))
+    // zone maps on top: the two exclusion sets union (here zone maps also
+    // exclude by the per-generation id ranges — never fewer files pruned)
+    cat.analyzeTable("rw_t", fileStats = true)
+    val both = cat.readTableWhere("rw_t", "id", "=", "150")
+    assert(both.inputFiles.length <= pruned.inputFiles.length)
+    assert(both.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    // non-equality conjuncts never consult Blooms (range ops keep the
+    // zone-map contract): still exact
+    assert(cat.readTableWhere("rw_t", "id", "<=", "3").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // stale Bloom (append without refresh) must not prune the new row away
+    cat.appendTable("rw_t", Seq((301L, 903L)).toDF("id", "v"))
+    assert(cat.readTableWhere("rw_t", "id", "=", "301").collect().map(_.getLong(0)).toSeq
+      == Seq(301L))
+  }
+
   // ------------------------------------------------------ shallow clones
 
   test("cloneTable is zero-copy, isolated both ways, and survives source GC + vacuum") {
