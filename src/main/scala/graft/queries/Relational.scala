@@ -839,6 +839,62 @@ object Relational {
       src.crossJoin(dev) // both sides single-row aggregates — scalar join
     },
 
+    // ------------------------------------- merge-on-read DELETE (vectors)
+    // The scattered-delete shape CoW gets wrong at 100 TB: tombstoned keys
+    // hit every file, so deleteWhere would rewrite the corpus while
+    // deleteByKeys publishes ONE metadata version (same file list + a
+    // broadcast-sized deletion vector) and every reader — live, pruned,
+    // changefeed — serves effective rows. The row then appends under the
+    // vector (carry + no resurrect), audits the DV span through the
+    // changefeed, folds the vector with mergeDeletes, and asserts the
+    // merge was invisible (n_after) AND churn-free in the feed
+    // (n_merge_feed = 0). Oracle rebuilds every scalar from predicates.
+    Q(
+      "catalog_mor_delete",
+      Some("""
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE (o_orderkey % 2 = 0 AND NOT o_orderkey % 13 = 7) OR o_orderkey % 2 = 1) AS n_live,
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders
+           WHERE (o_orderkey % 2 = 0 AND NOT o_orderkey % 13 = 7) OR o_orderkey % 2 = 1) AS sum_price,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_orderkey % 2 = 0 AND o_orderkey % 13 = 7) AS n_deleted,
+          CAST(0 AS BIGINT) AS n_merge_feed,
+          (SELECT COUNT(*) FROM orders
+           WHERE (o_orderkey % 2 = 0 AND NOT o_orderkey % 13 = 7) OR o_orderkey % 2 = 1) AS n_after
+      """)) { (spark, dir) =>
+      import spark.implicits._
+      val t    = Tables(spark, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
+      val cat  = new graft.sources.Catalog(spark, root)
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      cat.putTable(
+        "orders_mor", base.filter(col("o_orderkey") % 2 === 0).repartitionByRange(4, col("o_orderkey")))
+      val vPut = cat.versions("orders_mor").max
+      // GDPR-shaped delete: keys ≡ 7 (mod 13) are scattered across every
+      // range file — the CoW-worst case, O(tombstones) here
+      cat.deleteByKeys(
+        "orders_mor",
+        base.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 13 === 7)
+          .select(col("o_orderkey")))
+      val vDv = cat.versions("orders_mor").max
+      val nDeleted = cat.tableChanges("orders_mor", vPut, vDv)
+        .filter(col("_change_type") === "delete").count()
+      // ingest continues under the vector (odd keys are never tombstoned)
+      cat.appendTable("orders_mor", base.filter(col("o_orderkey") % 2 === 1))
+      val preMerge = cat.readTable("orders_mor").agg(
+        count(lit(1)).as("n_live"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      val vAppend = cat.versions("orders_mor").max
+      cat.mergeDeletes("orders_mor")
+      val vMerge     = cat.versions("orders_mor").max
+      val nMergeFeed = cat.tableChanges("orders_mor", vAppend, vMerge).count()
+      val nAfter     = cat.readTable("orders_mor").count()
+      preMerge.crossJoin(
+        Seq((nDeleted, nMergeFeed, nAfter)).toDF("n_deleted", "n_merge_feed", "n_after"))
+    },
+
     // -------------------------------------------- incremental ANALYZE
     // Append + O(delta) stats refresh + zone-map prune, composed: the
     // appended files are the ONLY ones scanned by analyzeAppended (per-file

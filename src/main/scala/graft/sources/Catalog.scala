@@ -372,17 +372,238 @@ final class Catalog(
     }
   }
 
-  /** Manifest-aware parquet read of a resolved version path. */
+  /** Manifest-aware parquet read of a resolved version path. A version
+    * carrying a deletion vector ([[deleteByKeys]]) serves its EFFECTIVE
+    * rows: data files anti-joined against the (broadcast, tombstone-sized)
+    * key set — merge-on-read, every reader, including time travel (each
+    * version applies ITS OWN vector). */
   private def readParquetAt(p: Path): org.apache.spark.sql.DataFrame =
     manifestOf(p) match {
       case Some(files) =>
         val schema = manifestSchemaOf(p).getOrElse(
           throw new IllegalStateException(s"corrupt manifest version at $p: no $ManifestSchemaFile"))
-        if (files.isEmpty)
-          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        else readFilesWithLayout(files, schema)
+        val df =
+          if (files.isEmpty)
+            spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          else readFilesWithLayout(files, schema)
+        applyDeletesOf(p, df)
       case None => spark.read.parquet(p.toString)
     }
+
+  /** RAW physical read of the current version — the manifest's files
+    * WITHOUT the deletion-vector anti-join. For the per-FILE index/stat
+    * builders only (`input_file_name()` cannot span the anti-join, and an
+    * index describing a file's physical contents is exactly right: a
+    * tombstoned row in a Bloom or zone map costs a false positive, never
+    * a false negative — conservative, like every prune tier). */
+  private def readTableRaw(name: String, format: String = "parquet"): org.apache.spark.sql.DataFrame =
+    format match {
+      case "parquet" =>
+        val p = resolveReadable(name)
+        manifestOf(p) match {
+          case Some(files) =>
+            val schema = manifestSchemaOf(p).getOrElse(
+              throw new IllegalStateException(s"corrupt manifest version at $p: no $ManifestSchemaFile"))
+            if (files.isEmpty)
+              spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+            else readFilesWithLayout(files, schema)
+          case None => spark.read.parquet(p.toString)
+        }
+      case other => readTable(name, other)
+    }
+
+  // ------------------------------- deletion vectors (merge-on-read DELETE)
+
+  private val DeletesDir = "_DELETES"
+
+  /** The deletion vector of a version dir: a one-column parquet frame
+    * whose column IS the key column, or None. Lives INSIDE the version
+    * dir, so it versions, time-travels, GC-protects, and DELETE-purges
+    * with its manifest for free. */
+  private def deletesAt(dir: Path): Option[org.apache.spark.sql.DataFrame] = {
+    val p = new Path(dir, DeletesDir)
+    if (!fs.exists(p)) None else Some(spark.read.parquet(p.toString))
+  }
+
+  /** Anti-join `df` against the version's deletion vector (broadcast —
+    * vectors are tombstone-sized by contract). Rows with a NULL key
+    * survive: a NULL never equals a tombstoned key, the same semantics
+    * every equality path in the engine keeps. */
+  private def applyDeletesOf(dir: Path, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    deletesAt(dir) match {
+      case None => df
+      case Some(dv) =>
+        import org.apache.spark.sql.functions.broadcast
+        val kc = dv.schema.fields.head.name
+        df.join(broadcast(dv), df(kc) === dv(kc), "left_anti")
+    }
+
+  /** Apply the CURRENT version's deletion vector — for pruned path-list
+    * reads ([[readTableWhereAll]] tier 2, [[readTableLookupIn]],
+    * [[grepPruned]]) that bypass [[readParquetAt]]. */
+  private def applyCurrentDeletes(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    applyDeletesOf(resolveReadable(name), df)
+
+  /** Copy the previous version's deletion vector into a new version dir —
+    * the carry-forward every delta-publishing verb (append, evolve,
+    * clone, restore) performs BEFORE its `_SUCCESS` marker exists, so no
+    * crash point yields a complete version whose tombstones vanished. */
+  private def carryDeletes(fromDir: Path, toDir: Path): Unit = {
+    val src = new Path(fromDir, DeletesDir)
+    if (fs.exists(src)) {
+      fs.mkdirs(toDir)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, new Path(toDir, DeletesDir), false, conf): Unit
+    }
+  }
+
+  /** Loud guard for verbs whose file-granular rewrites don't understand
+    * vectors yet ([[deleteWhere]], [[upsertTable]], [[compactSmallFiles]]):
+    * run [[mergeDeletes]] first. (Full rewrites — [[compact]],
+    * [[compactZOrdered]] — go through [[readTable]], which applies the
+    * vector, so they materialize the deletes correctly and need no guard.) */
+  private def requireNoDeletes(name: String, verb: String): Unit =
+    require(
+      deletesAt(resolveReadable(name)).isEmpty,
+      s"$verb on '$name' refused: a deletion vector is pending — run mergeDeletes('$name') first")
+
+  /** Merge-on-read DELETE by key — the scattered-delete shape
+    * (GDPR "remove user X everywhere") where [[deleteWhere]]'s
+    * copy-on-write rewrite is wrong at scale: when the matching rows are
+    * scattered across a 100-TB table, the candidate set is EVERY file and
+    * CoW rewrites the corpus. This verb rewrites NOTHING: it publishes a
+    * new version with the SAME file list plus a deletion vector (the
+    * distinct key set, one column named as the key), and every reader —
+    * live reads, pruned reads, time travel, the changefeed — serves
+    * effective rows by anti-joining the broadcast vector. O(tombstones)
+    * write; read overhead is one broadcast anti-join until
+    * [[mergeDeletes]] folds the vector into a targeted rewrite.
+    *
+    * `keys` must be exactly one column, named as the table's key column;
+    * it is cast to the column's type (the vector must probe in the
+    * column's exact domain) and unioned with any pending vector (same key
+    * column required — one key domain per table at a time). Appending a
+    * tombstoned key refuses loudly ([[appendTable]]'s resurrect guard);
+    * bucketed tables refuse (their layout contract is rewrite-based).
+    * Returns a one-row report (n_tombstones_total, n_tombstones_new). */
+  def deleteByKeys(name: String, keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lockFor(name).synchronized {
+      import org.apache.spark.sql.functions.col
+      require(
+        keys.schema.fields.length == 1,
+        s"keys frame must carry exactly the key column, got ${keys.schema.fieldNames.mkString(",")}")
+      val keyCol = keys.schema.fields.head.name
+      require(
+        !this.exists(s"$name.__bucketspec__"),
+        s"'$name' is bucketed — deletion vectors would break the bucket-file contract; use deleteWhere")
+      val cur    = resolveReadable(name)
+      val schema = manifestSchemaOf(cur).getOrElse(readTable(name).schema)
+      val field = schema.fields
+        .find(_.name == keyCol)
+        .getOrElse(throw new IllegalArgumentException(s"no key column '$keyCol' in $name"))
+      val prev = deletesAt(cur)
+      prev.foreach(d =>
+        require(
+          d.schema.fields.head.name == keyCol,
+          s"pending deletion vector of '$name' is keyed by '${d.schema.fields.head.name}' — " +
+            s"one key domain per table; mergeDeletes first"))
+      val typed = keys.select(col(keyCol).cast(field.dataType).as(keyCol)).na.drop().distinct()
+      val nPrev = prev.map(_.count()).getOrElse(0L)
+      val newDv = prev.fold(typed)(d => d.unionByName(typed).distinct()).persist()
+      try {
+        val nTotal = newDv.count()
+        val files  = liveFiles(name)
+        publishVersion(name) { dir =>
+          newDv.write.mode("overwrite").parquet(new Path(dir, DeletesDir).toString)
+          writeManifest(dir, files, schema)
+        }
+        spark
+          .createDataFrame(Seq((nTotal, nTotal - nPrev)))
+          .toDF("n_tombstones_total", "n_tombstones_new")
+      } finally { newDv.unpersist(); () }
+    }
+
+  /** [[deleteByKeys]] convenience for a driver-side key list. */
+  def deleteByKeys(name: String, keyCol: String, values: Seq[Any]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, lit}
+    require(values.nonEmpty, "deleteByKeys needs at least one key")
+    deleteByKeys(
+      name,
+      spark.range(1).select(explode(array(values.map(lit): _*)).as(keyCol)))
+  }
+
+  /** The pending deletion vector (empty frame when none) — audit surface. */
+  def deletedKeysOf(name: String): Option[org.apache.spark.sql.DataFrame] =
+    deletesAt(resolveReadable(name))
+
+  /** Fold the pending deletion vector into a TARGETED rewrite — the
+    * maintenance half of merge-on-read (Delta/Iceberg's rewrite of
+    * position/equality deletes): rewrite ONLY the files that can contain
+    * a tombstoned key — pruned through the per-file value Blooms
+    * ([[analyzeBloomIndex]]) when a fresh index covers the key column,
+    * every file otherwise (correct, just unpruned) — anti-joined against
+    * the broadcast vector, republish untouched files verbatim, drop the
+    * vector. Read results are bit-identical before and after (the spec's
+    * invariant); what changes is that readers stop paying the anti-join.
+    * Returns (n_files_live, n_files_rewritten, n_tombstones_merged). */
+  def mergeDeletes(name: String): org.apache.spark.sql.DataFrame = lockFor(name).synchronized {
+    import org.apache.spark.sql.functions.{broadcast, col, xxhash64}
+    val cur = resolveReadable(name)
+    def report(live: Long, rewritten: Long, merged: Long) =
+      spark
+        .createDataFrame(Seq((live, rewritten, merged)))
+        .toDF("n_files_live", "n_files_rewritten", "n_tombstones_merged")
+    deletesAt(cur) match {
+      case None => report(liveFiles(name).size.toLong, 0L, 0L) // idempotent no-op
+      case Some(dv) =>
+        val keyCol = dv.schema.fields.head.name
+        val schema = manifestSchemaOf(cur).getOrElse(readTable(name).schema)
+        val files  = liveFiles(name)
+        def norm(s: String): String = new Path(s).toUri.getPath
+        val currentVersion = versions(name).headOption.getOrElse(-1L)
+        // candidate selection through the value Blooms when fresh: a file
+        // whose Bloom misses EVERY tombstoned key provably holds none
+        val candidateNorm: Option[Set[String]] =
+          if (!this.exists(s"$name.__valbloom__")) None
+          else {
+            val idx = readTable(s"$name.__valbloom__")
+              .filter(col("colname") === keyCol)
+              .collect()
+            val fresh = idx.nonEmpty && currentVersion >= 0 &&
+              idx.forall(_.getAs[Long]("analyzed_version") == currentVersion)
+            if (!fresh) None
+            else {
+              val hashes = dv.select(xxhash64(col(keyCol))).collect().map(_.getLong(0)) // tombstone-sized
+              Some(idx.collect {
+                case r
+                    if hashes.exists(h =>
+                      graft.functions.Bloom
+                        .testLocal(r.getAs[Seq[Long]]("bits").toArray, r.getAs[Int]("num_hashes"), h)) =>
+                  norm(r.getAs[String]("file"))
+              }.toSet)
+            }
+          }
+        val (candidates, untouched) = candidateNorm match {
+          case Some(c) => files.partition(f => c.contains(norm(f)))
+          case None    => (files, Seq.empty[String])
+        }
+        val nTomb = dv.count()
+        val rewrittenFiles =
+          if (candidates.isEmpty) Seq.empty[String]
+          else {
+            val cand     = readFilesWithLayout(candidates, schema)
+            val partCols = partitionColsOf(candidates)
+            val gen      = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
+            val w = cand
+              .join(broadcast(dv), cand(keyCol) === dv(keyCol), "left_anti")
+              .write
+              .mode("overwrite")
+            (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(gen.toString)
+            listDataFiles(gen)
+          }
+        publishVersion(name)(dir => writeManifest(dir, untouched ++ rewrittenFiles, schema))
+        report(files.size.toLong, candidates.size.toLong, nTomb)
+    }
+  }
 
   /** Parquet data files under `dir` (committer markers and metadata
     * excluded), as absolute path strings — RECURSIVE, preserving hive
@@ -749,7 +970,10 @@ final class Catalog(
       "column", "data_type", "n_rows", "min_value", "max_value", "n_distinct", "n_nulls",
       "max_freq", "analyzed_version")
     putTable(s"$name.__stats__", out, format)
-    if (fileStats) publishFileStats(name, df, fields, analyzedVersion, format)
+    // file stats describe PHYSICAL files (raw read: input_file_name can't
+    // span a deletion-vector anti-join, and per-file zone maps over raw
+    // rows stay conservative for every prune)
+    if (fileStats) publishFileStats(name, readTableRaw(name, format), fields, analyzedVersion, format)
     readTable(s"$name.__stats__", format)
   }
 
@@ -1067,7 +1291,8 @@ final class Catalog(
               zoneExcludedNorm.contains(normP(f)) || bloomExcludedNorm.contains(normP(f)))
             if (keep.size >= base.size) None // nothing pruned: plain scan
             else if (keep.isEmpty) Some(emptyLocal)
-            else Some(predicate(readFilesWithLayout(keep, table.schema, format)))
+            else
+              Some(predicate(applyCurrentDeletes(name, readFilesWithLayout(keep, table.schema, format))))
           }
         }
       subset.getOrElse(predicate(table))
@@ -1189,7 +1414,12 @@ final class Catalog(
     val files  = manifestOf(target.get).getOrElse(listDataFiles(target.get))
     val schema = manifestSchemaOf(target.get)
       .getOrElse(spark.read.parquet(target.get.toString).schema)
-    publishVersion(name)(dir => writeManifest(dir, files, schema))
+    publishVersion(name) { dir =>
+      // the restored state is the TARGET's effective rows — its deletion
+      // vector (or absence of one) comes along with its file list
+      carryDeletes(target.get, dir)
+      writeManifest(dir, files, schema)
+    }
   }
 
   /** CHANGEFEED — the row-level difference between two retained versions
@@ -1214,7 +1444,7 @@ final class Catalog(
     * file-granular CDC feed. Version ids are the monotonic commit ids
     * ([[versions]]) — spans never conflate across DELETE + re-PUT. */
   def tableChanges(name: String, vFrom: Long, vTo: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(vFrom < vTo, s"tableChanges needs vFrom < vTo, got $vFrom >= $vTo")
     val retained = versionDirs(name).filter { case (_, p) => isComplete(p) }.toMap
     def dirOf(v: Long): Path = retained.getOrElse(
@@ -1232,7 +1462,47 @@ final class Catalog(
       if (files.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else readFilesWithLayout(files, schema)
-    val (addRows, remRows) = (readOrEmpty(added), readOrEmpty(removed))
+    // Deletion vectors make each side's EFFECTIVE rows = files ∖ vector,
+    // so file-identical versions can still differ ([[deleteByKeys]]).
+    // Changed files diff as before (each side minus ITS vector); COMMON
+    // files contribute only the rows whose key is in the vectors'
+    // symmetric difference — O(delta keys), never O(table). A span with
+    // no vectors on either side reduces exactly to the file-diff algebra.
+    val (dvFrom, dvTo) = (deletesAt(pFrom), deletesAt(pTo))
+    (dvFrom, dvTo) match {
+      case (Some(a), Some(b)) =>
+        require(
+          a.schema.fields.head.name == b.schema.fields.head.name,
+          s"changefeed span of '$name' crosses deletion vectors with different key columns")
+      case _ => ()
+    }
+    def antiDv(
+        df: org.apache.spark.sql.DataFrame,
+        dv: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+      dv.fold(df) { d =>
+        val kc = d.schema.fields.head.name
+        df.join(broadcast(d), df(kc) === d(kc), "left_anti")
+      }
+    val deltaKeys: Option[org.apache.spark.sql.DataFrame] = (dvFrom, dvTo) match {
+      case (None, None) => None
+      case _ =>
+        val ex = dvFrom.orElse(dvTo).get
+        val f  = dvFrom.getOrElse(ex.limit(0))
+        val t  = dvTo.getOrElse(ex.limit(0))
+        Some(f.exceptAll(t).unionByName(t.exceptAll(f)).distinct())
+    }
+    val common = (fFrom intersect fTo).toSeq.sorted
+    val commonDelta: org.apache.spark.sql.DataFrame = deltaKeys match {
+      case Some(dk) if common.nonEmpty =>
+        val kc = dk.schema.fields.head.name
+        val c  = readOrEmpty(common)
+        // materialize once (delta-key-sized): it feeds BOTH diff sides,
+        // and re-scanning the common files twice would double the I/O
+        c.join(broadcast(dk), c(kc) === dk(kc), "left_semi").localCheckpoint(true)
+      case _ => readOrEmpty(Nil)
+    }
+    val addRows = antiDv(readOrEmpty(added), dvTo).unionByName(antiDv(commonDelta, dvTo))
+    val remRows = antiDv(readOrEmpty(removed), dvFrom).unionByName(antiDv(commonDelta, dvFrom))
     val cols = schema.fieldNames.map(col).toSeq
     // align column ORDER before exceptAll (layout groups union by name,
     // and pre/post-evolution file groups can disagree on position)
@@ -1403,6 +1673,18 @@ final class Catalog(
           s"appendTable schema mismatch for '$name': table has $want, append has $have")
         df.select(s.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
       }
+      // pending deletion vector: carried forward (tombstones survive the
+      // append), and a batch REINSERTING a tombstoned key refuses loudly —
+      // the anti-join would silently swallow the new row otherwise
+      val prevDir = if (exists(name)) Some(resolveReadable(name)) else None
+      prevDir.flatMap(deletesAt).foreach { dv =>
+        import org.apache.spark.sql.functions.broadcast
+        val kc = dv.schema.fields.head.name
+        require(
+          aligned.join(broadcast(dv), aligned(kc) === dv(kc), "left_semi").isEmpty,
+          s"append to '$name' refused: the batch reinserts tombstoned '$kc' key(s) — " +
+            s"mergeDeletes('$name') first (or the delete was a mistake: restoreTable)")
+      }
       // a hive-partitioned base keeps its layout: the delta generation is
       // written partitionBy the same columns, so its files carry partition
       // values in THEIR directory names and every partition-pruned /
@@ -1412,8 +1694,10 @@ final class Catalog(
       val w   = aligned.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(gen.toString)
       val newFiles = listDataFiles(gen)
-      publishVersion(name)(dir =>
-        writeManifest(dir, base ++ newFiles, baseSchema.getOrElse(df.schema), commitId))
+      publishVersion(name) { dir =>
+        prevDir.foreach(carryDeletes(_, dir))
+        writeManifest(dir, base ++ newFiles, baseSchema.getOrElse(df.schema), commitId)
+      }
     }
 
   /** Schema-EVOLVING append — the lakehouse ADD COLUMN verb [[appendTable]]
@@ -1449,11 +1733,25 @@ final class Catalog(
       val added         = df.schema.fields.filterNot(f => existingNames.contains(f.name))
       val evolved       = org.apache.spark.sql.types.StructType(t.schema.fields ++ added)
       val aligned       = df.select(evolved.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+      // same deletion-vector discipline as appendTable: resurrect check +
+      // carry-forward (an evolved column never touches the key domain)
+      val prevDir = resolveReadable(name)
+      deletesAt(prevDir).foreach { dv =>
+        import org.apache.spark.sql.functions.broadcast
+        val kc = dv.schema.fields.head.name
+        require(
+          aligned.join(broadcast(dv), aligned(kc) === dv(kc), "left_semi").isEmpty,
+          s"appendTableEvolve to '$name' refused: the batch reinserts tombstoned '$kc' key(s) — " +
+            s"mergeDeletes('$name') first")
+      }
       val partCols      = partitionColsOf(base)
       val gen = new Path(pathOf(s"$name.__data__"), s"gen-${java.util.UUID.randomUUID()}")
       val w   = aligned.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(gen.toString)
-      publishVersion(name)(dir => writeManifest(dir, base ++ listDataFiles(gen), evolved, commitId))
+      publishVersion(name) { dir =>
+        carryDeletes(prevDir, dir)
+        writeManifest(dir, base ++ listDataFiles(gen), evolved, commitId)
+      }
     }
 
   /** Exactly-once [[appendTable]] for replayable sources (Structured
@@ -1495,6 +1793,7 @@ final class Catalog(
       value: String): org.apache.spark.sql.DataFrame = lockFor(name).synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(Set("<", "<=", ">", ">=", "=").contains(op), s"unsupported op: $op")
+    requireNoDeletes(name, "deleteWhere")
     val table = readTable(name)
     val field = table.schema.fields
       .find(_.name == colName)
@@ -1592,6 +1891,7 @@ final class Catalog(
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String): org.apache.spark.sql.DataFrame = lockFor(name).synchronized {
     import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit, max, min}
+    requireNoDeletes(name, "upsertTable")
     val table = readTable(name)
     require(
       table.schema.fieldNames.contains(keyCol),
@@ -1738,6 +2038,7 @@ final class Catalog(
       smallBytes: Long = 8L << 20,
       targetBytes: Long = 64L << 20): org.apache.spark.sql.DataFrame = lockFor(name).synchronized {
     require(smallBytes > 0 && targetBytes > 0, "thresholds must be positive")
+    requireNoDeletes(name, "compactSmallFiles")
     val files = liveFiles(name)
     val sized = files.map(f => f -> fs.getFileStatus(new Path(f)).getLen)
     val (small, big) = sized.partition(_._2 < smallBytes)
@@ -2040,7 +2341,7 @@ final class Catalog(
     import org.apache.spark.sql.functions._
     val analyzedVersion = versions(name).headOption.getOrElse(-1L)
     val bloomAgg = udaf(new graft.functions.Bloom.BuildAgg(numBits, numHashes))
-    val idx = readTable(name, format)
+    val idx = readTableRaw(name, format)
       .select(input_file_name().as("file"), col(textCol))
       // per-row distinct tokens; cross-row duplicates are fine (Bloom insert
       // is idempotent), so no distinct() shuffle before the aggregate
@@ -2167,7 +2468,8 @@ final class Catalog(
       // layout-aware: a partitioned corpus keeps its partition column in
       // the pruned read (and the text column filter is unaffected)
       val schema = readTable(name, format).schema
-      readFilesWithLayout(files.toSeq, schema).filter(col(textCol).rlike(pattern))
+      applyCurrentDeletes(name, readFilesWithLayout(files.toSeq, schema))
+        .filter(col(textCol).rlike(pattern))
     }
   }
 
@@ -2290,11 +2592,17 @@ final class Catalog(
           versionDirs(dst).isEmpty && !fs.exists(pathOf(dst)),
           s"clone target '$dst' already exists — clone creates, it never overwrites")
         require(exists(src), s"clone source '$src' does not exist")
+        val srcDir = resolveReadable(src)
         val files  = liveFiles(src)
-        val schema = manifestSchemaOf(resolveReadable(src)).getOrElse(readTable(src).schema)
+        val schema = manifestSchemaOf(srcDir).getOrElse(readTable(src).schema)
         fs.mkdirs(refsDirOf(src))
         fs.create(new Path(refsDirOf(src), dst), true).close()
-        publishVersion(dst)(dir => writeManifest(dir, files, schema))
+        publishVersion(dst) { dir =>
+          // a pending deletion vector is part of the source's effective
+          // state — the clone snapshots it (and diverges from there)
+          carryDeletes(srcDir, dir)
+          writeManifest(dir, files, schema)
+        }
       } finally releaseLease(src)
     }
   }
@@ -2453,7 +2761,7 @@ final class Catalog(
       format: String = "parquet"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty, "analyzeBloomIndex needs at least one column")
-    val t = readTable(name, format)
+    val t = readTableRaw(name, format)
     cols.foreach(c =>
       require(t.columns.contains(c), s"column '$c' not in table '$name' (${t.columns.mkString(",")})"))
     val analyzedVersion = versions(name).headOption.getOrElse(-1L)
@@ -2629,7 +2937,7 @@ final class Catalog(
       case None      => fullScan
       case Some(Nil) => readTable(name, format).filter(lit(false))
       case Some(files) =>
-        readFilesWithLayout(files, readTable(name, format).schema, format)
+        applyCurrentDeletes(name, readFilesWithLayout(files, readTable(name, format).schema, format))
           .filter(col(colName).isin(values: _*))
     }
   }

@@ -900,6 +900,123 @@ class CatalogSpec extends SparkSpec {
       == Seq(301L))
   }
 
+  // ------------------------------- merge-on-read deletes (deletion vectors)
+
+  test("deleteByKeys is metadata-only; every read path serves effective rows; time travel keeps epochs") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("mor_t", (1L to 100L).map(i => (i, i * 2)).toDF("id", "v").repartition(3))
+    val filesBefore = cat.readTable("mor_t").inputFiles.map(f => f.substring(f.indexOf("/mor_t"))).toSet
+    val vPre = cat.versions("mor_t").max
+    val rep = cat.deleteByKeys("mor_t", "id", (1L to 100L by 7).map(_.asInstanceOf[Any])).head()
+    assert(rep.getAs[Long]("n_tombstones_total") == 15 && rep.getAs[Long]("n_tombstones_new") == 15)
+    // metadata-only: the new version references the SAME data files
+    val filesAfter = cat.readTable("mor_t").inputFiles
+      .filterNot(_.contains("_DELETES")) // the vector itself is a plan leaf
+      .map(f => f.substring(f.indexOf("/mor_t"))).toSet
+    assert(filesAfter == filesBefore, "deleteByKeys must not rewrite data files")
+    val dead = (1L to 100L by 7).toSet
+    val live = (1L to 100L).filterNot(dead).toSet
+    assert(cat.readTable("mor_t").select("id").as[Long].collect().toSet == live)
+    // pruned reads apply the vector too
+    cat.analyzeBloomIndex("mor_t", Seq("id"))
+    assert(cat.readTableLookupIn("mor_t", "id", Seq(8L, 9L)).select("id").as[Long].collect().toSet
+      == Set(9L), "8 is tombstoned (1+7), 9 is live")
+    assert(cat.readTableWhere("mor_t", "id", "=", "15").count() == 0, "15 = 1+2*7 is tombstoned")
+    assert(cat.readTableWhere("mor_t", "id", "=", "16").count() == 1)
+    // time travel: the pre-delete version still serves all 100 rows
+    assert(cat.readTableVersion("mor_t", vPre).count() == 100)
+    // a second vector unions; deletedKeysOf audits
+    cat.deleteByKeys("mor_t", "id", Seq(2L))
+    assert(cat.readTable("mor_t").count() == live.size - 1)
+    assert(cat.deletedKeysOf("mor_t").get.count() == 16)
+  }
+
+  test("deletion vectors: append carries + refuses resurrects; CoW verbs refuse until merged") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("mor_g", (1L to 50L).map(i => (i, i)).toDF("id", "v").repartition(2))
+    cat.deleteByKeys("mor_g", "id", Seq(10L, 20L))
+    // append of fresh keys carries the vector forward
+    cat.appendTable("mor_g", Seq((51L, 51L)).toDF("id", "v"))
+    assert(cat.readTable("mor_g").count() == 49)
+    assert(cat.deletedKeysOf("mor_g").get.count() == 2)
+    // reinserting a tombstoned key refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      cat.appendTable("mor_g", Seq((20L, 0L)).toDF("id", "v"))
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+    // CoW rewrite verbs demand a merge first
+    assert(intercept[IllegalArgumentException](
+      cat.deleteWhere("mor_g", "id", "<=", "5")).getMessage.contains("mergeDeletes"))
+    assert(intercept[IllegalArgumentException](
+      cat.upsertTable("mor_g", Seq((3L, 9L)).toDF("id", "v"), "id")).getMessage.contains("mergeDeletes"))
+    assert(intercept[IllegalArgumentException](
+      cat.compactSmallFiles("mor_g")).getMessage.contains("mergeDeletes"))
+    // after the merge, the verbs work again and results are unchanged
+    cat.mergeDeletes("mor_g")
+    assert(cat.readTable("mor_g").count() == 49)
+    cat.deleteWhere("mor_g", "id", "<=", "5")
+    assert(cat.readTable("mor_g").count() == 44)
+  }
+
+  test("mergeDeletes rewrites only Bloom-candidate files; results bit-identical; idempotent") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // three generations with disjoint id ranges → tombstones from ONE
+    // generation leave the other generations' files untouched
+    cat.putTable("mor_m", (1L to 100L).map(i => (i, i)).toDF("id", "v").repartition(2))
+    cat.appendTable("mor_m", (101L to 200L).map(i => (i, i)).toDF("id", "v").repartition(2))
+    cat.appendTable("mor_m", (201L to 300L).map(i => (i, i)).toDF("id", "v").repartition(2))
+    cat.deleteByKeys("mor_m", "id", Seq(150L, 160L, 170L))
+    cat.analyzeBloomIndex("mor_m", Seq("id")) // fresh at the DV version
+    val before = cat.readTable("mor_m").select("id").as[Long].collect().sorted.toSeq
+    val filesBefore = cat.readTable("mor_m").inputFiles.toSet
+    val rep = cat.mergeDeletes("mor_m").head()
+    assert(rep.getAs[Long]("n_files_rewritten") < rep.getAs[Long]("n_files_live"),
+      s"bloom prune must spare the generations without tombstoned keys: $rep")
+    assert(rep.getAs[Long]("n_tombstones_merged") == 3)
+    val after = cat.readTable("mor_m").select("id").as[Long].collect().sorted.toSeq
+    assert(after == before, "merge must be invisible to readers")
+    assert(cat.deletedKeysOf("mor_m").isEmpty)
+    // untouched files are re-referenced verbatim
+    val filesAfter = cat.readTable("mor_m").inputFiles.toSet
+    assert((filesBefore intersect filesAfter).nonEmpty, "untouched generations must not rewrite")
+    // idempotent: a second merge is a zero-work no-op
+    val rep2 = cat.mergeDeletes("mor_m").head()
+    assert(rep2.getAs[Long]("n_files_rewritten") == 0 && rep2.getAs[Long]("n_tombstones_merged") == 0)
+  }
+
+  test("changefeed across deletion vectors: DV span = deletes, merge span = empty, restore = un-deletes, clone snapshots the vector") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putTable("mor_c", (1L to 40L).map(i => (i, i)).toDF("id", "v").repartition(2))
+    val v1 = cat.versions("mor_c").max
+    cat.deleteByKeys("mor_c", "id", Seq(5L, 15L, 25L))
+    val v2 = cat.versions("mor_c").max
+    // the DV publish is a pure row-level delete in the feed
+    val feed1 = cat.tableChanges("mor_c", v1, v2).collect()
+    assert(feed1.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(feed1.map(_.getAs[Long]("id")).toSet == Set(5L, 15L, 25L))
+    // clone under a pending vector snapshots effective rows
+    cat.cloneTable("mor_c", "mor_c_dev")
+    assert(cat.readTable("mor_c_dev").count() == 37)
+    // merge: the feed across the span must be EMPTY (file churn, no data change)
+    cat.mergeDeletes("mor_c")
+    val v3 = cat.versions("mor_c").max
+    assert(cat.tableChanges("mor_c", v2, v3).isEmpty, "merge span must cancel")
+    assert(cat.readTable("mor_c").count() == 37)
+    // restore to the pre-delete version: the tombstoned rows flow BACK as inserts
+    cat.restoreTable("mor_c", v1)
+    val v4 = cat.versions("mor_c").max
+    val back = cat.tableChanges("mor_c", v3, v4).collect()
+    assert(back.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(back.map(_.getAs[Long]("id")).toSet == Set(5L, 15L, 25L))
+    assert(cat.readTable("mor_c").count() == 40)
+    // the clone diverged at the snapshot: still 37 effective rows
+    assert(cat.readTable("mor_c_dev").count() == 37)
+  }
+
   // ------------------------------------------------------ shallow clones
 
   test("cloneTable is zero-copy, isolated both ways, and survives source GC + vacuum") {
