@@ -41,13 +41,39 @@ private[graft] final class IterState(checkpointDir: Option[String]) {
     val cp =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    Bridge.capCheckpointStats(cp, IterState.StatsCapBytes)
+    // HONEST stats beat the old 1 TiB cap on both of its axes: the BigInt
+    // avalanche cannot start from small measured longs, and the planner
+    // sees node-sized state as broadcastable (no exchange, no sort) while
+    // genuinely large state still plans distributed — scale-adaptive by
+    // measurement, not by constant. Reliable-checkpoint mode (blocks not
+    // in the block manager) falls back to the cap.
+    Bridge.withMeasuredStats(cp, IterState.StatsCapBytes)
   }
 
   /** Drop a superseded round's blocks (local mode only — reliable
     * checkpoint files outlive the lineage by design). */
   def release(df: DataFrame): Unit =
     if (checkpointDir.isEmpty) Bridge.unpersistLocalCheckpoint(df)
+
+  /** Materialize a round's state HASH-PARTITIONED on `keys` at an exact
+    * `parts` width, and re-advertise that partitioning on the checkpoint
+    * (guide §2.4 — remove shuffles outright).
+    *
+    * Spark 4's checkpoint returns `UnknownPartitioning`, so without the
+    * rewrap every iteration of every iterative operator re-shuffles its
+    * state AND its (iteration-invariant!) edge/degree frames on every
+    * join. Keying all of an operator's frames with one shared width makes
+    * the per-iteration equi-joins co-partitioned — no Exchange, no extra
+    * AQE stage-job, and at scale the edge set crosses the network once at
+    * setup instead of once per iteration. The declaration cannot lie:
+    * the repartition happens HERE, immediately under the checkpoint, and
+    * an explicit width is never AQE-coalesced, so the advertised
+    * HashPartitioning(keys, parts) is exactly the bytes' layout. */
+  def matKeyed(df: DataFrame, parts: Int, keys: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cp = mat(df.repartition(parts, keys.map(col): _*))
+    Bridge.withHashPartitioning(cp, keys, parts)
+  }
 }
 
 private[graft] object IterState {

@@ -16,6 +16,7 @@ object ProfileQuery {
     val dir   = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n     = args.lift(1).map(_.toInt).getOrElse(5)
     val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq("q1_pricing_summary"))
+    val noAqe = args.lift(3).contains("noaqe") // A/B probe: AQE latency share
     val spark = Engine
       .tune(
         SparkSession
@@ -26,6 +27,7 @@ object ProfileQuery {
           .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())

@@ -78,6 +78,91 @@ object Bridge {
     }
   }
 
+  /** Replace a checkpointed frame's INHERITED statistics with the MEASURED
+    * size of its just-materialized blocks.
+    *
+    * Two birds: (1) the doubly-exponential BigInt planning tax
+    * [[capCheckpointStats]] was built for cannot arise — measured sizes
+    * are small honest longs; (2) unlike the 1 TiB cap, which forced every
+    * iterative-state join to a sort-merge plan even when the state is a
+    * few hundred KB, honest sizes let the planner broadcast node-sized
+    * state STATICALLY (no exchange, no sort) while a genuinely large
+    * state at production scale reads as genuinely large and plans as a
+    * distributed join — the right plan at every scale, from the same
+    * code. Only meaningful for eagerly-persisted local checkpoints; when
+    * the blocks aren't in the block manager (reliable checkpoint files),
+    * falls back to capping the inherited stats at `fallbackCapBytes`. */
+  def withMeasuredStats(df: DataFrame, fallbackCapBytes: Long): DataFrame = {
+    val analyzed =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+    analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val sc = df.sparkSession.sparkContext
+        val measured = sc.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => math.max(i.memSize + i.diskSize, 1L))
+        measured match {
+          case Some(bytes) =>
+            val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+              sizeInBytes = BigInt(bytes))
+            val fresh = new org.apache.spark.sql.execution.LogicalRDD(
+              l.output,
+              l.rdd,
+              l.outputPartitioning,
+              l.outputOrdering,
+              l.isStreaming,
+              l.stream)(
+              df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+              Some(stats),
+              None)
+            ofRows(df.sparkSession, fresh)
+          case None => capCheckpointStats(df, fallbackCapBytes)
+        }
+      case _ => df
+    }
+  }
+
+  /** Re-advertise a hash partitioning on a just-checkpointed frame.
+    *
+    * Spark 4's Dataset.localCheckpoint/checkpoint returns a LogicalRDD
+    * with `UnknownPartitioning` (probed empirically — the constructor has
+    * the field, the checkpoint path just never fills it), so EVERY
+    * equi-join against checkpointed iterative state re-shuffles both
+    * sides even when the state was explicitly hash-partitioned on the
+    * join key one line earlier. This rewrap puts the truth back: the
+    * caller guarantees the frame's final transformation was
+    * `repartition(numPartitions, keys...)` (IterState.matKeyed makes the
+    * guarantee structural — it applies the repartition itself), so
+    * declaring HashPartitioning(keys, numPartitions) describes the bytes
+    * exactly and EnsureRequirements can elide the per-iteration
+    * exchanges (optimization guide §2.4). Keys resolve by NAME against
+    * the checkpoint's own output attributes. Non-LogicalRDD frames pass
+    * through untouched. */
+  def withHashPartitioning(df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame = {
+    val analyzed =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+    analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = keys.map(k =>
+          l.output
+            .find(_.name == k)
+            .getOrElse(sys.error(s"withHashPartitioning: no column '$k' in ${l.output.map(_.name)}")))
+        val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, numPartitions)
+        val fresh = new org.apache.spark.sql.execution.LogicalRDD(
+          l.output,
+          l.rdd,
+          part,
+          l.outputOrdering,
+          l.isStreaming,
+          l.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(l.stats),
+          None)
+        ofRows(df.sparkSession, fresh)
+      case _ => df
+    }
+  }
+
   /** Install a TaskContext on the current thread — needed by helper threads
     * (e.g. a process-stdin writer) that consume a task's shuffle or cached
     * block iterators: block locks are tracked per TaskContext, and a thread
